@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.fixtures.LogGen
+import graft.functions.LogParse
+import graft.operators.Windowing
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational query surface: the reference's pipeline re-expressed as
+  * oracle-checked batch queries, plus the star-schema capability queries a
+  * real user of the engine runs daily (joins, top-k, JSON extraction).
+  *
+  * Numeric discipline (applies to every query here): any aggregate whose
+  * value depends on float summation ORDER (sum/avg over doubles) is computed
+  * as an exact DECIMAL sum and only then cast to double — partitioning and
+  * AQE re-plans can reorder float adds, and at 1000 executors a bare
+  * `sum(double)` is not reproducible. min/max/count are order-insensitive
+  * and stay native.
+  */
+object CoreQueries {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** TPC-H Q1-style pricing summary over lineitem: the canonical
+    * shuffle-light aggregation (map-side partial agg → 6-group exchange). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+        sum(
+          col("l_extendedprice").cast(Dec) *
+            (lit(BigDecimal(1)).cast(Dec) - col("l_discount").cast(Dec))
+        ).cast("double").as("sum_disc_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty")
+      )
+
+  /** O3 as an oracle-checked query: render events rows into the reference
+    * wire format (LogGen), parse them back with the native-expression
+    * parser, emit the typed point columns. The DuckDB oracle recomputes the
+    * expected output directly from events — a full construct→parse
+    * round-trip proof. */
+  def parseLogs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = LogGen.eventsAsServiceLogs(Tables.events(spark, dir))
+    LogParse.parse(raw, "raw").select(
+      col("event_id"),
+      col("time"),
+      col("operation"),
+      col("callerservice"),
+      col("awsaccountid"),
+      col("latency"),
+      col("measure_name"),
+      col("measure_value"),
+      col("measure_value_type"),
+      col("time_unit")
+    )
+  }
+
+  /** Flagship query (SURVEY §7.1, operators O3+O4+O5+O6): parse pipeline →
+    * event time → per-10s-tumbling-window, per-(callerservice, operation)
+    * count/min/max/sum/avg latency. Keyed `groupBy(window, keys)` — scales
+    * out where the reference's `windowAll` funnelled through one task. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = LogParse.parse(
+      LogGen.eventsAsServiceLogs(Tables.events(spark, dir)),
+      "raw"
+    )
+    Windowing
+      .tumblingStats(
+        parsed,
+        timeCol = "event_time",
+        keys = Seq("callerservice", "operation"),
+        durMs = 10000L,
+        valueCol = "latency"
+      )
+      .select(
+        col("window_start"),
+        col("callerservice"),
+        col("operation"),
+        col("cnt"),
+        col("min_value"),
+        col("max_value"),
+        col("sum_value"),
+        col("avg_value")
+      )
+  }
+
+  /** O7/O8 batch semantics: flag rows later than (max event time − 5s).
+    * Deterministic — cutoff derives from the data, never wall clock. */
+  def lateSplit(spark: SparkSession, dir: String): DataFrame =
+    Windowing
+      .withLateFlag(Tables.events(spark, dir), "ts", "5 SECONDS")
+      .select(col("event_id"), col("ts"), col("is_late"))
+
+  /** lineitem ⋈ orders ⋈ customer revenue rollup. orders⋈lineitem is the
+    * big shuffle join on the natural key; customer is small at every SF and
+    * explicitly broadcast — no second shuffle. */
+  def join3Way(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(
+          col("l_extendedprice").cast(Dec) *
+            (lit(BigDecimal(1)).cast(Dec) - col("l_discount").cast(Dec))
+        ).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders")
+      )
+  }
+
+  /** Top-k with a deterministic tiebreak (price desc, then key) — a global
+    * TakeOrderedAndProject, not a full sort: Spark keeps only k rows per
+    * partition then merges k·p rows on the driver. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  /** JSON extraction from the events `props` payload (`{"k": 87}`) +
+    * grouped aggregation — exact integer sums, no float hazard. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")
+      )
+}

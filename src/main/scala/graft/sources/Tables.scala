@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch table loaders over the shared parquet fixtures.
+  *
+  * The reference's only source is a Kinesis stream of text records
+  * (StreamingJob.java:74-110); in this offline environment all batch inputs
+  * are parquet. Plain `spark.read.parquet` keeps the scan fully Catalyst
+  * managed — column pruning and predicate pushdown reach the parquet reader
+  * (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Spread a narrow-but-compute-heavy input across the cluster. The local
+    * fixture files are single-row-group parquet, so the scan stage is one
+    * task no matter what `maxPartitionBytes` says — a round-robin shuffle of
+    * the (tiny) input buys full parallelism for expensive downstream
+    * expressions. Guarded: when the source already has at least
+    * `defaultParallelism` splits (any real multi-file/100 TB table), this is
+    * a no-op — never an unconditional reshuffle of a big input. */
+  def distribute(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+    * nanos Long (`nanosAsLong`, a runtime-settable session conf) and rebuild
+    * a TimestampType column by integer division — `DIV 1000` truncates
+    * toward zero exactly like DuckDB's ns→µs read path, keeping the oracle
+    * bit-identical. Never divide the Long through Double (2^63 ns ≫ 2^53
+    * mantissa — silent precision loss). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
