@@ -1,6 +1,7 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.functions.TextFunctions
+import graft.queries.{CoreQueries, TextQueries}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -27,8 +28,23 @@ object SparkEntry {
     "late_split" -> (CoreQueries.lateSplit _),
     "join_3way" -> (CoreQueries.join3Way _),
     "topk" -> (CoreQueries.topK _),
-    "json_extract" -> (CoreQueries.jsonExtract _)
+    "json_extract" -> (CoreQueries.jsonExtract _),
+    "dedup_exact" -> (TextQueries.dedupExact _),
+    "text_stats" -> (TextQueries.textStats _),
+    "token_count" -> (TextQueries.tokenCount _),
+    "lang_id" -> (TextQueries.langIdQuery _),
+    "quality_score" -> (TextQueries.qualityScore _),
+    "fingerprint" -> (TextQueries.fingerprint _),
+    "simhash" -> (TextQueries.simhash _)
   )
+
+  /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
+    * note DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics. */
+  private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val WordToksSql = s"regexp_extract_all($NormSql, '[a-z0-9]+')"
+  private def inList(lang: String): String =
+    TextFunctions.Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,9 +88,75 @@ object SparkEntry {
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "json_extract" ->
       """SELECT event_type, count(*) AS cnt,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH d AS (SELECT doc_id, md5($NormSql) AS fp FROM documents)
+         |SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY fp) AS keeper,
+         |  doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
+         |FROM d""".stripMargin,
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $WordToksSql AS tokens FROM documents)
+         |SELECT doc_id, lang, length(text) AS text_len, len(tokens) AS n_tokens,
+         |  len(list_distinct(tokens)) AS n_distinct_tokens,
+         |  CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE) /
+         |    CAST(nullif(len(tokens), 0) AS DOUBLE) AS avg_token_len
+         |FROM t""".stripMargin,
+    "token_count" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_bpe_tokens,
+        |  len(list_distinct(toks)) AS n_distinct_bpe
+        |FROM t""".stripMargin,
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS tokens FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tokens, x -> x IN ${inList("en")})) AS en_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("es")})) AS es_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("fr")})) AS fr_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("de")})) AS de_hits
+         |FROM t)
+         |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN de_hits > 0 THEN 'de'
+         |       ELSE 'und' END AS lang_pred
+         |FROM s""".stripMargin,
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS text_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits
+         |FROM t)
+         |SELECT doc_id,
+         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
+         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
+         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
+         |FROM q""".stripMargin,
+    "fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents)
+         |SELECT doc_id, md5($NormSql) AS content_fp,
+         |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS bag_fp
+         |FROM t""".stripMargin,
+    "simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($WordToksSql)) AS tok FROM documents),
+         |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
+         |         * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) AS h
+         |  FROM toks),
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         |  FROM h, (SELECT unnest(range(0, 32)) AS j) js),
+         |s AS (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |FROM s GROUP BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (north-star extension beyond the reference surface): normalization,
+  * tokenization, language-ID heuristics, fingerprinting, SimHash.
+  *
+  * Everything is native Catalyst expressions over string/array functions —
+  * no UDFs — and every derivation is cross-engine deterministic (md5-based
+  * hashing, exact integer arithmetic, fixed-order double formulas) so the
+  * DuckDB oracle can recompute identical values.
+  */
+object TextFunctions {
+
+  /** Whitespace-collapse + trim + lowercase normalization — the canonical
+    * key for exact dedup. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Word tokens: maximal `[a-z0-9]+` runs over the normalized text. */
+  def wordTokens(c: Column): Column =
+    regexp_extract_all(normText(c), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish tokens: letter runs, digit runs, and single punctuation
+    * marks — the pre-tokenization split most BPE vocabularies assume. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+      "on", "with", "as", "at", "by", "this", "that"),
+    "es" -> Seq("el", "la", "de", "los", "las", "en", "y", "que", "un",
+      "una", "es", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "des", "une", "et", "est", "pour", "dans",
+      "du", "au", "sur", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "im", "ein", "eine", "zu")
+  )
+
+  /** Count of tokens that appear in `words` (duplicates counted — a
+    * frequency signal, unlike a set intersection). */
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Deterministic language-ID: argmax of stopword hit counts with a fixed
+    * preference order (en > es > fr > de), `und` when no list scores. A
+    * heuristic, not a model — the point is a scalable, engine-native,
+    * reproducible classifier. */
+  def langId(tokens: Column): Column = {
+    val en = stopwordHits(tokens, Stopwords("en"))
+    val es = stopwordHits(tokens, Stopwords("es"))
+    val fr = stopwordHits(tokens, Stopwords("fr"))
+    val de = stopwordHits(tokens, Stopwords("de"))
+    when(en >= es && en >= fr && en >= de && en > 0, "en")
+      .when(es >= fr && es >= de && es > 0, "es")
+      .when(fr >= de && fr > 0, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Order-sensitive content fingerprint: md5 of the normalized text. */
+  def contentFingerprint(c: Column): Column = md5(normText(c))
+
+  /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
+    * set — robust to word reordering, the cheap first-pass near-dup key. */
+  def bagFingerprint(tokens: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens)), " "))
+
+  /** First 8 hex chars of md5 parsed as an unsigned 32-bit int — the
+    * portable per-token hash both engines reproduce bit-for-bit. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

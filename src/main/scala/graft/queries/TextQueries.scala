@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over the `documents` table: exact
+  * dedup, token/statistics profiling, language ID, quality scoring,
+  * fingerprinting, SimHash. Each is a `queries()` entry with a DuckDB
+  * oracle recomputing the same deterministic derivation.
+  *
+  * Scale notes (100 TB): every query here is a single scan + narrow
+  * map-side work + one hash shuffle on a compact key (md5 or doc_id) —
+  * no cross joins, no global sorts, no driver-side collection. Dedup
+  * partitions by the 32-hex md5 of the normalized text, never by the text
+  * itself (shuffling full document bodies as keys would dominate the
+  * exchange).
+  */
+object TextQueries {
+
+  /** Exact dedup mapping: every doc → the minimal doc_id sharing its
+    * normalized-text fingerprint. Window-min over the fingerprint
+    * partition; `is_dup` marks rows a dedup pass would drop. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(normText(col("text"))))
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper"), col("is_dup"))
+  }
+
+  /** Per-document token statistics: counts, distinct counts, exact mean
+    * token length (integer sum ÷ count through double — deterministic). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        // DuckDB len()/length() are BIGINT — match the oracle's types
+        length(col("text")).cast("long").as("text_len"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_distinct_tokens"),
+        (aggregate(transform(col("tokens"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          when(size(col("tokens")) === 0, lit(null))
+            .otherwise(size(col("tokens"))).cast("double"))
+          .as("avg_token_len")
+      )
+
+  /** BPE-ish token counting (letter runs / digit runs / punctuation). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", bpeTokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_bpe")
+      )
+
+  /** Stopword-argmax language ID with per-language scores exposed. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        col("doc_id"),
+        stopwordHits(col("tokens"), Stopwords("en")).cast("long").as("en_hits"),
+        stopwordHits(col("tokens"), Stopwords("es")).cast("long").as("es_hits"),
+        stopwordHits(col("tokens"), Stopwords("fr")).cast("long").as("fr_hits"),
+        stopwordHits(col("tokens"), Stopwords("de")).cast("long").as("de_hits"),
+        langId(col("tokens")).as("lang_pred")
+      )
+
+  /** Composite quality score in [0,1]: length, alphabetic ratio, stopword
+    * ratio, token-length sanity. The formula is written in the exact same
+    * operation order as the oracle SQL — IEEE-identical doubles. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .withColumn("n_tok", size(col("tokens")).cast("double"))
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn(
+        "n_alpha",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+      )
+      .withColumn(
+        "stop_hits",
+        stopwordHits(col("tokens"), Stopwords("en")).cast("double")
+      )
+    docs.select(
+      col("doc_id"),
+      (least(lit(1.0), col("n_tok") / lit(50.0)) * lit(0.3) +
+        (col("n_alpha") / col("text_len")) * lit(0.4) +
+        least(lit(0.3), col("stop_hits") / col("n_tok"))).as("quality")
+    )
+  }
+
+  /** Content + bag-of-words fingerprints (md5; order-sensitive and
+    * order-insensitive). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        col("doc_id"),
+        contentFingerprint(col("text")).as("content_fp"),
+        bagFingerprint(col("tokens")).as("bag_fp")
+      )
+
+  /** 32-bit SimHash per document: each distinct token votes ±1 on every
+    * bit of its 32-bit md5-derived hash; the sign vector is the signature.
+    * Shaped as explode → two keyed aggregations — all shuffles are on
+    * (doc_id) or (doc_id, bit), both compact and well-distributed; no
+    * per-row state, scales linearly in corpus size. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(wordTokens(col("text")))).as("tok")
+      )
+      .withColumn("h", md5Hash32(col("tok")))
+    val bits = toks
+      .select(
+        col("doc_id"),
+        col("h"),
+        explode(sequence(lit(0), lit(31))).as("j")
+      )
+      .withColumn(
+        "vote",
+        expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+      )
+    bits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(
+          when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+            .otherwise(lit(0L))
+        ).as("simhash")
+      )
+  }
+}
