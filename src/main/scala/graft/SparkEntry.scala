@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.queries.{CoreQueries, TextQueries}
+import graft.queries.{CoreQueries, SimilarityQueries, TextQueries}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -35,8 +35,29 @@ object SparkEntry {
     "lang_id" -> (TextQueries.langIdQuery _),
     "quality_score" -> (TextQueries.qualityScore _),
     "fingerprint" -> (TextQueries.fingerprint _),
-    "simhash" -> (TextQueries.simhash _)
+    "simhash" -> (TextQueries.simhash _),
+    "knn_cosine" -> (SimilarityQueries.knnCosine _),
+    "ann_ivf" -> (SimilarityQueries.annIvf _),
+    "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
+    "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
+    "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _)
   )
+
+  /** DuckDB fragment: cosine similarity between two list<float> columns in
+    * index-order double accumulation — the same fold order as
+    * VectorOps.cosine, so values agree bitwise. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** DuckDB fragment: word 3-gram shingle list of normalized text from a
+    * token-list column `ws` (empty below 3 tokens). */
+  private val ShingleSql =
+    """CASE WHEN len(ws) >= 3
+      | THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      | ELSE [] END""".stripMargin
 
   /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
     * note DuckDB regexp_replace needs the 'g' flag to match Spark's
@@ -157,6 +178,58 @@ object SparkEntry {
          |s AS (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j)
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM s GROUP BY doc_id""".stripMargin
+         |FROM s GROUP BY doc_id""".stripMargin,
+    "knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qemb", "e.embedding")} AS cos
+         |      FROM embeddings e, q WHERE e.vec_id != q.qid),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 5""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS ccos
+         |  FROM embeddings e, cent c),
+         |asn AS (SELECT vec_id, embedding, cid AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, bucket FROM asn WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid, ${cosSql("q.qemb", "a.embedding")} AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS ccos
+         |  FROM embeddings e, cent c),
+         |asn AS (SELECT vec_id, embedding, cid AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
+         |se AS (SELECT doc_id, sh, s.seed FROM shx, (SELECT unnest(range(0, 12)) AS seed) s),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh FROM se GROUP BY doc_id, seed),
+         |b AS (SELECT doc_id, seed // 3 AS band, md5(string_agg(mh, '' ORDER BY seed)) AS sig
+         |      FROM mh GROUP BY doc_id, seed // 3)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, list_distinct($ShingleSql) AS shs
+         |  FROM (SELECT doc_id, lang, source, n_chars, $WordToksSql AS ws FROM documents)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.shs, b.shs)) AS inter, len(a.shs) AS na, len(b.shs) AS nb
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM p""".stripMargin
   )
 }
