@@ -40,8 +40,17 @@ object SparkEntry {
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
-    "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _)
+    "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "multimodal_meta" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir)))
   )
+
+  /** DuckDB fragment: first 8 hex chars of md5(s) parsed as uint32 —
+    * mirrors TextFunctions.md5Hash32. */
+  private def hash32Sql(s: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
+       |       * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)""".stripMargin
 
   /** DuckDB fragment: cosine similarity between two list<float> columns in
     * index-order double accumulation — the same fold order as
@@ -230,6 +239,20 @@ object SparkEntry {
          |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-         |FROM p""".stripMargin
+         |FROM p""".stripMargin,
+    // documents.text is pure ASCII (verified: length == octet_length for
+    // every row), so first-8-BYTES == first-8-CHARS; DuckDB has no blob
+    // substring, Spark side slices the real binary payload.
+    "multimodal_meta" ->
+      s"""WITH x AS (SELECT doc_id, text, lower(hex(encode(text))) AS ph FROM documents),
+         |h AS (SELECT doc_id, text, ph, ${hash32Sql("ph")} AS h FROM x)
+         |SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+         |  (h % 1920) + 1 AS width,
+         |  ((h >> 8) % 1080) + 1 AS height,
+         |  CAST(${hash32Sql("'0:' || ph")} AS DOUBLE) / 4294967296.0 AS f0,
+         |  CAST(${hash32Sql("'7:' || ph")} AS DOUBLE) / 4294967296.0 AS f7
+         |FROM h""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side plumbing — binary schema, metadata projection,
+  * deterministic batched transforms, partition-friendly shapes — is real
+  * and oracle-checked. The actual media DECODE is a clearly marked STUB
+  * (this container ships no image/audio codecs): [[decodeImageStub]]
+  * derives plausible typed fields deterministically from the bytes, and is
+  * the single splice point where a real decoder (a vectorized
+  * Arrow/Pandas-UDF batch decode, or a JNI codec behind a native
+  * `Expression`) would plug in without touching any caller.
+  */
+object Multimodal {
+
+  /** Treat a string column as an opaque binary payload (the fixture stand-
+    * in for image/audio bytes). */
+  def asPayload(c: Column): Column = encode(c, "UTF-8")
+
+  /** Typed metadata every modality carries regardless of codec. */
+  def payloadMeta(payload: Column): Column =
+    struct(
+      length(payload).cast("long").as("n_bytes"),
+      lower(hex(substring(payload, 1, 8))).as("header_hex")
+    )
+
+  /** STUB decode: width/height/channels derived deterministically from a
+    * 32-bit md5 of the header bytes. A real implementation replaces ONLY
+    * the body (e.g. `mapInArrow` over the binary column → actual pixel
+    * dims); the schema and call sites stay fixed. */
+  def decodeImageStub(payload: Column): Column = {
+    val h = TextFunctions.md5Hash32(lower(hex(payload)))
+    struct(
+      (pmod(h, lit(1920L)) + 1L).cast("long").as("width"),
+      (pmod(shiftright(h, 8), lit(1080L)) + 1L).cast("long").as("height"),
+      lit(3L).as("channels")
+    )
+  }
+
+  /** STUB feature extraction: an 8-dim pseudo-embedding from seeded md5
+    * hashes of the payload, normalized to [0,1). Deterministic, portable,
+    * and shaped exactly like a real encoder output (array<double>). */
+  def featureStub(payload: Column): Column =
+    transform(
+      sequence(lit(0), lit(7)),
+      i =>
+        TextFunctions.md5Hash32(concat(i.cast("string"), lit(":"), lower(hex(payload))))
+          .cast("double") / lit(4294967296.0)
+    )
+
+  /** Frame sampling for a "video" payload: every `stride`-th 16-byte block
+    * as one frame (binary slices — the partition-local, codec-free shape
+    * real frame extraction follows). */
+  def sampleFrames(payload: Column, stride: Int): Column =
+    transform(
+      sequence(lit(0), (length(payload) / lit(16 * stride)).cast("int") - 1),
+      i => substring(payload, i * (16 * stride) + 1, lit(16))
+    )
+
+  /** The oracle-checked multimodal query: documents → payload + metadata +
+    * stub decode + stub features. */
+  def metaQuery(docs: DataFrame): DataFrame = {
+    val withPayload = docs.withColumn("payload", asPayload(col("text")))
+    withPayload.select(
+      col("doc_id"),
+      col("payload"),
+      payloadMeta(col("payload")).as("meta"),
+      decodeImageStub(col("payload")).as("img"),
+      featureStub(col("payload")).as("features")
+    ).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.header_hex").as("header_hex"),
+      col("img.width").as("width"),
+      col("img.height").as("height"),
+      element_at(col("features"), 1).as("f0"),
+      element_at(col("features"), 8).as("f7")
+    )
+  }
+}

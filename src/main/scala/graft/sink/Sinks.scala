@@ -1,0 +1,128 @@
+package graft.sink
+
+import graft.config.AppConfig
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Batched fault-tolerant sinks (operators O9–O12).
+  *
+  * The reference hand-rolls a 50-record buffer flushed via WriteRecords,
+  * removes per-record rejects from the live buffer, and checkpoints the
+  * unflushed buffer into Flink state (TimestreamSink.java:72-125,150-172).
+  * In Structured Streaming the micro-batch IS the buffer and
+  * `checkpointLocation` IS the state snapshot, so the whole buffer/flush/
+  * restore machinery collapses into `foreachBatch` + a validation split —
+  * which also fixes the reference's flush-by-`==`-only bug
+  * (TimestreamSink.java:132: a buffer that skips the exact boundary never
+  * flushes).
+  *
+  * Per-record rejection (Timestream's RejectedRecordsException) becomes a
+  * declarative validity predicate: rejected rows land in a dead-letter
+  * table in the same transaction scope as the batch, instead of reverse-
+  * index buffer surgery (TimestreamSink.java:103-120).
+  */
+object Sinks {
+
+  /** A write target for point batches. */
+  trait RecordSink {
+    /** Write one (micro-)batch; returns (accepted, rejected) row counts. */
+    def write(batch: DataFrame, batchId: Long): (Long, Long)
+  }
+
+  /** Validity predicate mirroring Timestream's per-record rejection
+    * rules: a record needs a time, a measure value parseable as its
+    * declared type, and a known measure-value type. */
+  def isValidPoint(df: DataFrame): DataFrame =
+    df.withColumn(
+      "_valid",
+      col("time").isNotNull &&
+        col("measure_value_type").isin("DOUBLE", "BIGINT", "VARCHAR", "BOOLEAN") &&
+        (col("measure_value_type") =!= "DOUBLE" || col("measure_value").try_cast("double").isNotNull) &&
+        (col("measure_value_type") =!= "BIGINT" || col("measure_value").try_cast("long").isNotNull)
+    )
+
+  /** Offline-runnable table sink: appends accepted rows as parquet under
+    * `path`, rejected rows under `path`/_dead_letter. Stands in for the
+    * Timestream/JDBC endpoint in this sandbox; the split logic is the
+    * production logic. */
+  final class ParquetTableSink(path: String) extends RecordSink {
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
+      val flagged = isValidPoint(batch).cache()
+      try {
+        val ok = flagged.filter(col("_valid")).drop("_valid")
+        val bad = flagged.filter(!col("_valid")).drop("_valid")
+        val nOk = ok.count()
+        val nBad = bad.count()
+        if (nOk > 0) ok.write.mode("append").parquet(s"$path/data")
+        if (nBad > 0) bad.write.mode("append").parquet(s"$path/_dead_letter")
+        (nOk, nBad)
+      } finally flagged.unpersist()
+    }
+  }
+
+  /** JDBC sink (the BASELINE.json-designated production edge). Code path
+    * is complete but only exercised when a jdbcUrl is configured — the
+    * sandbox has no database endpoint. Rejected rows go to
+    * `<table>_dead_letter` on the same connection. */
+  final class JdbcBatchSink(cfg: AppConfig) extends RecordSink {
+    require(cfg.jdbcUrl.nonEmpty, "JdbcBatchSink needs jdbcUrl")
+    private val props = new java.util.Properties()
+
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
+      val flagged = isValidPoint(batch).cache()
+      try {
+        val ok = flagged.filter(col("_valid")).drop("_valid")
+        val bad = flagged.filter(!col("_valid")).drop("_valid")
+        val (nOk, nBad) = (ok.count(), bad.count())
+        ok.write.mode("append").jdbc(cfg.jdbcUrl.get, cfg.tableName, props)
+        if (nBad > 0)
+          bad.write.mode("append").jdbc(cfg.jdbcUrl.get, s"${cfg.tableName}_dead_letter", props)
+        (nOk, nBad)
+      } finally flagged.unpersist()
+    }
+  }
+
+  /** Console sink (O9 — the reference's side-output `print()`). */
+  final class ConsoleSink extends RecordSink {
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
+      batch.show(20, truncate = false)
+      (batch.count(), 0L)
+    }
+  }
+
+  /** Idempotent DDL initializer (O12). The reference creates the
+    * Timestream database/table and swallows ConflictException
+    * (TimestreamInitializer.java:30-58); here: `CREATE TABLE IF NOT
+    * EXISTS` DDL for the JDBC edge, directory+marker bootstrap for the
+    * offline table sink. Safe to call repeatedly. */
+  object DdlInitializer {
+
+    /** DDL the JDBC edge would run, retention encoded as comments the way
+      * a warehouse encodes table properties. */
+    def createTableSql(cfg: AppConfig): String =
+      s"""CREATE TABLE IF NOT EXISTS ${cfg.databaseName}.${cfg.tableName} (
+         |  time BIGINT NOT NULL,
+         |  time_unit VARCHAR,
+         |  measure_name VARCHAR,
+         |  measure_value VARCHAR,
+         |  measure_value_type VARCHAR,
+         |  callerservice VARCHAR,
+         |  operation VARCHAR,
+         |  awsaccountid VARCHAR
+         |) /* memory_store_retention_hours=${cfg.memoryStoreRetentionHours},
+         |     magnetic_store_retention_days=${cfg.magneticStoreRetentionDays} */""".stripMargin
+
+    /** Offline flavor: ensure the sink directory tree exists (idempotent,
+      * like CREATE IF NOT EXISTS). Returns true iff it newly created. */
+    def ensureTableDir(path: String): Boolean = {
+      val p = Paths.get(path)
+      val existed = Files.exists(p)
+      Files.createDirectories(Paths.get(s"$path/data"))
+      Files.createDirectories(Paths.get(s"$path/_dead_letter"))
+      !existed
+    }
+  }
+}

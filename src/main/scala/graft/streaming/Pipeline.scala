@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.config.AppConfig
+import graft.functions.LogParse
+import graft.sink.Sinks.RecordSink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** The reference pipeline, Structured-Streaming-native (operators
+  * O1–O11 end to end):
+  *
+  *   source (text records) → native-expression parse → event time +
+  *   watermark (lateness folded in, O4+O6) → keyed 10 s tumbling window
+  *   aggregation (O5 — `groupBy(window, keys)`, which scales out where the
+  *   reference's `windowAll` forced parallelism 1,
+  *   StreamingJob.java:148) → foreachBatch sink with validation
+  *   dead-letter (O10), checkpointed (O11) — plus the late-data router
+  *   (O7/O8), Spark's one genuinely missing streaming primitive.
+  *
+  * Semantic substitution, documented: Flink's `allowedLateness(5s)`
+  * re-fires closed windows; Spark append mode fires once when the
+  * watermark clears window end + delay. Records later than that are
+  * silently DROPPED by Spark's window operator — the [[LateRouter]]
+  * recovers them into a dead-letter sink before they reach the window,
+  * mirroring `sideOutputLateData` (StreamingJob.java:128,150-166).
+  */
+object Pipeline {
+
+  /** Source abstraction (O1/O2). The sandbox has no Kinesis endpoint; the
+    * connector options the reference tunes (StreamingJob.java:77-95) live
+    * in [[AppConfig]] and map 1:1 onto a Kinesis connector's options when
+    * one is on the classpath. Offline sources: file stream and
+    * MemoryStream (tests). */
+  trait LogSource {
+    def stream(spark: SparkSession): DataFrame // one string column `raw`
+  }
+
+  /** Text-file drop-in for the Kinesis edge: each line-group file is a
+    * record batch. `wholetext` keeps one record per file, matching
+    * one-Kinesis-record-per-payload. */
+  final class FileLogSource(dir: String) extends LogSource {
+    override def stream(spark: SparkSession): DataFrame =
+      spark.readStream.option("wholetext", "true").text(dir)
+        .withColumnRenamed("value", "raw")
+  }
+
+  /** Parse + event-time + watermark (O3+O4+O6): the batch parser reused
+    * verbatim — one relational core for both modes. */
+  def parsed(raw: DataFrame, cfg: AppConfig): DataFrame =
+    LogParse.parse(raw, "raw")
+      .withWatermark("event_time", s"${cfg.latenessSeconds} seconds")
+
+  /** Streaming flagship aggregation (O5): keyed tumbling window stats.
+    * Uses `functions.window` here — the streaming state store keys on the
+    * window struct (unlike the batch path, where arithmetic bucketing
+    * avoids a filter-pushdown double-parse; see Windowing.tumble). */
+  def windowedStats(parsedDf: DataFrame, cfg: AppConfig): DataFrame =
+    parsedDf
+      .groupBy(
+        window(col("event_time"), s"${cfg.windowSeconds} seconds"),
+        col("callerservice"),
+        col("operation")
+      )
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("latency")).as("min_latency"),
+        max(col("latency")).as("max_latency"),
+        avg(col("latency")).as("avg_latency")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("callerservice"), col("operation"),
+        col("cnt"), col("min_latency"), col("max_latency"), col("avg_latency")
+      )
+
+  /** Late-data side output (O7/O8). Tracks the max event time seen across
+    * micro-batches — Flink's `forMonotonousTimestamps` watermark (max seen
+    * − ε, StreamingJob.java:132-144) advanced at BATCH boundaries: rows are
+    * judged against the watermark as of batch START, exactly like Flink
+    * judges each record against the watermark at its arrival. In-order
+    * data inside one batch is therefore never flagged (Flink parity);
+    * a record 600 s behind the established watermark goes to the late
+    * sink. Driver-side watermark state is rebuilt from data on restart
+    * (at-least-once, same guarantee as the reference's checkpointed
+    * buffer). */
+  final class LateRouter(
+      latenessMs: Long,
+      onTime: RecordSink,
+      late: RecordSink
+  ) extends Serializable {
+    private val maxSeenMs = new AtomicLong(Long.MinValue)
+
+    def process(batch: DataFrame, batchId: Long): Unit = {
+      // watermark as of batch start — rows in this batch are judged
+      // against what was seen BEFORE it
+      val cutoff = maxSeenMs.get() match {
+        case Long.MinValue => Long.MinValue
+        case m => m - latenessMs
+      }
+      val flagged = batch.withColumn(
+        "_late",
+        col("time").isNotNull && col("time") < lit(cutoff)
+      ).cache()
+      try {
+        late.write(flagged.filter(col("_late")).drop("_late"), batchId)
+        onTime.write(flagged.filter(!col("_late")).drop("_late"), batchId)
+      } finally flagged.unpersist()
+      // advance the watermark for subsequent batches
+      val batchMax = batch.agg(max(col("time"))).collect()(0)
+      if (!batchMax.isNullAt(0)) {
+        val m = batchMax.getLong(0)
+        maxSeenMs.updateAndGet(prev => math.max(prev, m))
+      }
+    }
+  }
+
+  /** Wire the full job: parse → late router (dead-letter + main point
+    * sink). Checkpointed; AvailableNow trigger for deterministic tests,
+    * continuous micro-batches in production. */
+  def start(
+      spark: SparkSession,
+      source: LogSource,
+      cfg: AppConfig,
+      router: LateRouter,
+      checkpointDir: String,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    val q = parsed(source.stream(spark), cfg)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => router.process(df, id))
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+}

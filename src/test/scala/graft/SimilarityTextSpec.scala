@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorOps._
+import graft.operators.Multimodal
+
+import org.apache.spark.sql.functions._
+
+class SimilarityTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val cs = df.select(cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cs(0) - 1.0) < 1e-12 && cs(1) == 0.0)
+  }
+
+  test("knn returns k neighbours per query with deterministic ordering") {
+    val out = graft.queries.SimilarityQueries
+      .knnCosine(spark, "/root/testdata/sf0.001")
+    val counts = out.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 10 && counts.values.forall(_ == 5L))
+  }
+
+  test("identical texts share minhash-band signatures and simhash") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, t), (2L, t), (3L, "completely different words entirely unrelated content here")).toDF("doc_id", "text")
+    // same text → same content fingerprint
+    val fps = df.select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
+  test("langId picks the dominant stopword language deterministically") {
+    val df = Seq(
+      "the cat sat on the mat and it is a hat",
+      "el gato y la casa de los perros es una",
+      "zzz qqq xxx"
+    ).toDF("text")
+    val got = df.select(langId(wordTokens(col("text")))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("multimodal stubs are deterministic and correctly shaped") {
+    val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
+    val a = Multimodal.metaQuery(df).collect()(0)
+    val b = Multimodal.metaQuery(df).collect()(0)
+    assert(a == b)                      // deterministic
+    assert(a.getAs[Long]("n_bytes") == 43L)
+    assert(a.getAs[Long]("width") >= 1 && a.getAs[Long]("width") <= 1920)
+    assert(a.getAs[Double]("f0") >= 0.0 && a.getAs[Double]("f0") < 1.0)
+    // frame sampling: 43 bytes / 16 → 2 full frames at stride 1
+    val frames = df.select(Multimodal.sampleFrames(Multimodal.asPayload(col("text")), 1).as("fr"))
+      .select(size(col("fr"))).as[Int].collect()(0)
+    assert(frames == 2)
+  }
+}

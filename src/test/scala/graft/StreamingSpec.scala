@@ -1,0 +1,99 @@
+package graft
+
+import graft.config.AppConfig
+import graft.fixtures.LogGen
+import graft.sink.Sinks.ParquetTableSink
+import graft.streaming.Pipeline
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streaming parity (SURVEY §5.4): MemoryStream of generator-format
+  * records → parse → watermark → windowed agg / late router, fully
+  * deterministic (seeded generator, AvailableNow trigger, no wall clock).
+  * Reproduces the reference's `--percent-late/--late-time` scenario
+  * (timestream_kinesis_data_gen.py:50-59). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("windowed aggregation over a memory stream matches batch semantics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val recs = LogGen.records(n = 100, seed = 7L)
+    ms.addData(recs: _*)
+    val cfg = AppConfig()
+    val agg = Pipeline.windowedStats(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), cfg), cfg)
+    val q = agg.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-agg"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_agg")
+    // 100 records, 1s apart → 11 distinct 10s windows; grouped by service/op
+    val total = got.agg(sum("cnt")).as[Long].collect()(0)
+    assert(total == 100L)
+    // 100 records 1s apart from an epoch-aligned base → exactly 10 windows
+    assert(got.select("window_start").distinct().count() == 10L)
+  }
+
+  test("late router reproduces --percent-late: late records hit the dead letter") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val base = 1700000000000L
+    // batch 1 establishes the watermark (in-order, no late injection);
+    // batch 2 interleaves 25% records timestamped 600s in the past —
+    // the reference generator's --percent-late 25 --late-time 600
+    val batch1 = LogGen.records(n = 100, seed = 11L, baseTimeMs = base)
+    val batch2 = LogGen.records(n = 100, seed = 13L, baseTimeMs = base + 100000L,
+      percentLate = 25, lateSeconds = 600)
+    def timesOf(rs: Seq[String]) = rs.map(_.linesIterator
+      .find(_.startsWith("EndTime=")).get.stripPrefix("EndTime=").toLong)
+    val wmAfter1 = timesOf(batch1).max
+    val cutoff = wmAfter1 - 5000L
+    val expectedLate = timesOf(batch2).count(_ < cutoff)
+    assert(expectedLate > 0) // the scenario actually injects lateness
+
+    val sinkDir = tmp("sink")
+    val router = new Pipeline.LateRouter(5000L,
+      new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"))
+    val q = Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), AppConfig())
+      .writeStream
+      .option("checkpointLocation", tmp("ckpt-router"))
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => router.process(df, id))
+      .start()
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val late = spark.read.parquet(s"$sinkDir/late/data")
+    val main = spark.read.parquet(s"$sinkDir/main/data")
+    assert(late.count() == expectedLate)
+    assert(main.count() == 200L - expectedLate)
+    // every late row really is older than the batch-1 watermark cutoff
+    assert(late.filter(col("time") >= cutoff).count() == 0)
+  }
+
+  test("file source + checkpoint: end-to-end through a real directory") {
+    val srcDir = tmp("src")
+    LogGen.records(n = 10, seed = 3L).zipWithIndex.foreach { case (r, i) =>
+      Files.writeString(java.nio.file.Path.of(srcDir, s"rec_$i.log"), r)
+    }
+    val sinkDir = tmp("fsink")
+    val router = new Pipeline.LateRouter(5000L,
+      new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"))
+    val q = Pipeline.start(spark, new Pipeline.FileLogSource(srcDir),
+      AppConfig(), router, tmp("ckpt-file"), availableNow = true)
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
+  }
+}
