@@ -52,14 +52,26 @@ object SparkEntry {
        |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
        |       * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)""".stripMargin
 
-  /** DuckDB fragment: cosine similarity between two list<float> columns in
-    * index-order double accumulation — the same fold order as
-    * VectorOps.cosine, so values agree bitwise. */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  /** DuckDB fragment: dot product of two list<float> columns in index-order
+    * double accumulation — the same fold order as VectorOps.dotD, so
+    * values agree bitwise. */
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** Self-dot of `embedding` (for the norm CTE). */
+  private val dotSelfSql = dotSql("embedding", "embedding")
+
+  /** Shared IVF-assignment CTE prefix: per-vector norm + nearest-centroid
+    * bucket (mirrors SimilarityQueries.ivfAssign). */
+  private lazy val IvfAssignSql: String =
+    s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
+       |scored AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |    ${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) AS ccos
+       |  FROM en e, cent c),
+       |asn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
 
   /** DuckDB fragment: word 3-gram shingle list of normalized text from a
     * token-list column `ws` (empty below 3 tokens). */
@@ -189,47 +201,45 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |FROM s GROUP BY doc_id""".stripMargin,
     "knn_cosine" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10),
-         |p AS (SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qemb", "e.embedding")} AS cos
-         |      FROM embeddings e, q WHERE e.vec_id != q.qid),
+      s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |p AS (SELECT q.qid, e.vec_id AS vid,
+         |        ${dotSql("q.qemb", "e.embedding")} / (q.qnrm * e.nrm) AS cos
+         |      FROM en e, q WHERE e.vec_id != q.qid),
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 5""".stripMargin,
     "ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
-         |scored AS (SELECT e.vec_id, e.embedding, c.cid,
-         |    ${cosSql("e.embedding", "c.cemb")} AS ccos
-         |  FROM embeddings e, cent c),
-         |asn AS (SELECT vec_id, embedding, cid AS bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qemb, bucket FROM asn WHERE vec_id < 10),
-         |p AS (SELECT q.qid, a.vec_id AS vid, ${cosSql("q.qemb", "a.embedding")} AS cos
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM asn WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
          |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
     "embedding_neardup" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
-         |scored AS (SELECT e.vec_id, e.embedding, c.cid,
-         |    ${cosSql("e.embedding", "c.cemb")} AS ccos
-         |  FROM embeddings e, cent c),
-         |asn AS (SELECT vec_id, embedding, cid AS bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |    FROM scored) WHERE rn = 1),
+      s"""$IvfAssignSql,
          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
-    "minhash_lsh" ->
+    "minhash_lsh" -> {
+      val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
+        case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until 4).map { bd =>
+        val cat = (0 until 3).map(j => s"mh${bd * 3 + j}").mkString(" || ',' || ")
+        s"SELECT doc_id, $bd AS band, md5($cat) AS sig FROM m"
+      }.mkString("\n  UNION ALL ")
       s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
          |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
-         |se AS (SELECT doc_id, sh, s.seed FROM shx, (SELECT unnest(range(0, 12)) AS seed) s),
-         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh FROM se GROUP BY doc_id, seed),
-         |b AS (SELECT doc_id, seed // 3 AS band, md5(string_agg(mh, '' ORDER BY seed)) AS sig
-         |      FROM mh GROUP BY doc_id, seed // 3)
+         |hh AS (SELECT doc_id, ${hash32Sql("sh")} AS h FROM shx),
+         |m AS (SELECT doc_id, $minExprs FROM hh GROUP BY doc_id),
+         |b AS ($bandSelects)
          |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin,
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin
+    },
     "ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, n_chars, list_distinct($ShingleSql) AS shs
          |  FROM (SELECT doc_id, lang, source, n_chars, $WordToksSql AS ws FROM documents)),

