@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.queries.{CoreQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, SimilarityQueries, TextQueries}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -42,7 +42,14 @@ object SparkEntry {
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
-      graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir)))
+      graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
+    "window_rank" -> (AnalyticsQueries.windowRank _),
+    "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
+    "semi_anti" -> (AnalyticsQueries.semiAnti _),
+    "setops" -> (AnalyticsQueries.setOps _),
+    "join_5way" -> (AnalyticsQueries.join5Way _),
+    "sliding_agg" -> (AnalyticsQueries.slidingAgg _),
+    "session_agg" -> (AnalyticsQueries.sessionAgg _)
   )
 
   /** DuckDB fragment: first 8 hex chars of md5(s) parsed as uint32 —
@@ -263,6 +270,67 @@ object SparkEntry {
          |  ((h >> 8) % 1080) + 1 AS height,
          |  CAST(${hash32Sql("'0:' || ph")} AS DOUBLE) / 4294967296.0 AS f0,
          |  CAST(${hash32Sql("'7:' || ph")} AS DOUBLE) / 4294967296.0 AS f7
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "semi_anti" ->
+      """SELECT 'with_orders' AS tag, count(*) AS cnt FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS tag, count(*) AS cnt FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "setops" ->
+      """SELECT 'intersect' AS tag, count(*) AS cnt FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'except' AS tag, count(*) AS cnt FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'union' AS tag, count(*) AS cnt FROM
+        |  (SELECT DISTINCT k FROM (SELECT c_custkey AS k FROM customer UNION ALL SELECT o_custkey FROM orders))""".stripMargin,
+    "join_5way" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "sliding_agg" ->
+      """WITH e AS (SELECT event_type, value, epoch_ms(ts) AS ms FROM events),
+        |x AS (SELECT event_type, value,
+        |        make_timestamp(((ms - (ms % 5000)) - k.k * 5000) * 1000) AS window_start
+        |      FROM e, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY window_start, event_type""".stripMargin,
+    "session_agg" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |c AS (SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM c GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational capability widening: SQL analytic windows (OVER clauses),
+  * ROLLUP, set operations, semi/anti joins, the deep star join, and the
+  * sliding/session event-time windows the reference imports but never
+  * uses (StreamingJob.java:39).
+  *
+  * Scale notes: analytic windows partition by compact keys (custkey /
+  * user_id) — no global windows; the 5-way join broadcasts every
+  * dimension and leaves exactly one big shuffle (orders⋈lineitem);
+  * sliding windows explode each row into window/slide = 2 copies only;
+  * session windows are lag+cumsum per user partition, linear state.
+  */
+object AnalyticsQueries {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** Ranking + running aggregate per customer (rank, exact decimal
+    * running sum exposed as double). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      rank().over(w).cast("long").as("rk"),
+      sum(col("o_totalprice").cast(Dec))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("run_sum")
+    )
+  }
+
+  /** ROLLUP aggregation with grouping indicators. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls")
+      )
+
+  /** Left semi + anti join counts: customers with vs without orders. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).withColumn("tag", lit("with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).withColumn("tag", lit("without_orders"))
+    semi.unionByName(anti).select(col("tag"), col("cnt"))
+  }
+
+  /** Set operations (distinct semantics in both engines): customer keys vs
+    * ordering-customer keys. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val inter = c.intersect(o).agg(count(lit(1)).as("cnt"))
+      .withColumn("tag", lit("intersect"))
+    val exc = c.except(o).agg(count(lit(1)).as("cnt"))
+      .withColumn("tag", lit("except"))
+    val uni = c.union(o).distinct().agg(count(lit(1)).as("cnt"))
+      .withColumn("tag", lit("union"))
+    inter.unionByName(exc).unionByName(uni).select(col("tag"), col("cnt"))
+  }
+
+  /** 5-way star join (TPC-H Q5 shape): revenue per nation. Every
+    * dimension (region, nation, customer) broadcast; the only shuffle
+    * join is orders⋈lineitem on the natural key. */
+  def join5Way(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(
+          col("l_extendedprice").cast(Dec) *
+            (lit(BigDecimal(1)).cast(Dec) - col("l_discount").cast(Dec))
+        ).cast("double").as("revenue")
+      )
+  }
+
+  /** Sliding event-time windows (10 s window, 5 s slide) — each event
+    * belongs to exactly window/slide = 2 windows; the explode factor is
+    * the overlap count, not the data size. The unused import the
+    * reference never wired (StreamingJob.java:39), implemented. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+    ev.select(col("event_type"), col("value"), col("ms"),
+        explode(array(lit(0), lit(1))).as("k"))
+      .withColumn("ws_ms",
+        (col("ms") - pmod(col("ms"), lit(5000L))) - col("k") * lit(5000L))
+      .withColumn("window_start", timestamp_millis(col("ws_ms")))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value")
+      )
+  }
+
+  /** Session windows per user (1 h inactivity gap) via lag + running
+    * session counter — linear per-partition state, the batch equivalent
+    * of `session_window`. */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // gap compared in exact integer MICROSECONDS on both engines
+    // (Spark's timestamp→long cast truncates to seconds — a precision
+    // mismatch vs DuckDB's fractional epoch())
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600000000L, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end")
+      )
+  }
+}
