@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state on top of Structured Streaming —
+  * `flatMapGroupsWithState` sessionization and watermarked streaming
+  * dedup. The reference has no keyed state at all (SURVEY §2.1: "no keyed
+  * state, no timers"); these are the state primitives a production
+  * version of its pipeline grows into, and the streaming counterparts of
+  * the batch `session_agg` / `dedup_exact` oracle queries.
+  */
+object Stateful {
+
+  final case class Evt(user_id: Long, event_ms: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Streaming sessionization with an inactivity gap: state is one open
+    * session per user (O(users) state, never O(events)); sessions close
+    * via event-time timeout when the watermark passes end+gap, exactly
+    * like the batch lag+cumsum `session_agg`. */
+  def sessionize(
+      ds: Dataset[Evt],
+      gapMs: Long,
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.end, s.n))
+          } else {
+            val times = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t <= s.end + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming dedup on the point identity (time × dimensions) — the
+    * exactly-once story SURVEY §3.3 sketches for the at-least-once sink:
+    * re-sent records drop at the state store. The input must already
+    * carry a watermark (e.g. from [[Pipeline.parsed]]) — it bounds the
+    * dedup state; re-defining one here is disallowed by Spark. */
+  def dedupPoints(parsed: DataFrame): DataFrame =
+    parsed.dropDuplicates("time", "awsaccountid", "operation", "callerservice")
+}

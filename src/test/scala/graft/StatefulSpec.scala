@@ -1,0 +1,69 @@
+package graft
+
+import graft.config.AppConfig
+import graft.fixtures.LogGen
+import graft.streaming.{Pipeline, Stateful}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("flatMapGroupsWithState sessionization closes sessions on watermark timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Stateful.Evt]
+    val base = 1700000000000L
+    val sessions = Stateful.sessionize(ms.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-sess"))
+      .start()
+    // user 1: two bursts 10 min apart (two sessions); user 2: one burst
+    ms.addData(
+      Stateful.Evt(1L, base), Stateful.Evt(1L, base + 10000),
+      Stateful.Evt(2L, base + 5000))
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(1L, base + 600000), Stateful.Evt(2L, base + 610000))
+    q.processAllAvailable()
+    // push watermark far ahead so every open session times out
+    ms.addData(Stateful.Evt(99L, base + 7200000))
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(98L, base + 9000000))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // first burst of user 1: 2 events spanning 10s
+    assert(got.contains((1L, base, base + 10000, 2L)))
+    // second burst of user 1 closed by the far-future watermark
+    assert(got.contains((1L, base + 600000, base + 600000, 1L)))
+    assert(got.contains((2L, base + 5000, base + 5000, 1L)))
+    assert(got.contains((2L, base + 610000, base + 610000, 1L)))
+  }
+
+  test("streaming dedup drops re-sent records at the state store") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val rec = LogGen.record("GetTable", 111L, "GLUE", "1.5", 1700000000000L)
+    val rec2 = LogGen.record("GetTable", 222L, "S3", "2.5", 1700000001000L)
+    val deduped = Stateful.dedupPoints(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), AppConfig())
+        .select("time", "awsaccountid", "operation", "callerservice", "latency", "event_time"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-dedup"))
+      .start()
+    ms.addData(rec, rec, rec2)       // duplicate within batch
+    q.processAllAvailable()
+    ms.addData(rec)                  // re-sent across batches
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2L)
+  }
+}
