@@ -43,6 +43,8 @@ object SparkEntry {
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
+    "filter_pushdown" -> (CoreQueries.filterPushdown _),
+    "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
     "semi_anti" -> (AnalyticsQueries.semiAnti _),
@@ -271,6 +273,18 @@ object SparkEntry {
          |  CAST(${hash32Sql("'0:' || ph")} AS DOUBLE) / 4294967296.0 AS f0,
          |  CAST(${hash32Sql("'7:' || ph")} AS DOUBLE) / 4294967296.0 AS f7
          |FROM h""".stripMargin,
+    "filter_pushdown" ->
+      """SELECT l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
+        |GROUP BY l_linestatus""".stripMargin,
+    "date_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(rank() OVER w AS BIGINT) AS rk,

@@ -85,4 +85,25 @@ object LogParse {
       .withColumn("event_time", timestamp_millis(col("time")))
     withFields.drop("_kv")
   }
+
+  /** Typed flavor: the same parse surfaced as `Dataset[TimestreamPoint]`
+    * for callers that want compile-time field checks (SURVEY §1.3's typed
+    * path). Same expressions underneath — not a row-level closure. */
+  def parseTyped(
+      df: DataFrame,
+      rawCol: String = "raw"
+  ): org.apache.spark.sql.Dataset[graft.model.TimestreamPoint] = {
+    import df.sparkSession.implicits._
+    parse(df, rawCol)
+      .select(
+        col("time"),
+        col("time_unit").as("timeUnit"),
+        col("measure_name").as("measureName"),
+        col("measure_value").as("measureValue"),
+        col("measure_value_type").as("measureValueType"),
+        col("dimensions")
+      )
+      .na.fill(0L, Seq("time"))
+      .as[graft.model.TimestreamPoint]
+  }
 }

@@ -127,6 +127,36 @@ object CoreQueries {
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
 
+  /** Selective scan: filter + narrow projection designed to reach the
+    * parquet reader (PushedFilters + pruned ReadSchema — asserted by
+    * PlanSpec). At 100 TB this is the difference between reading 2 columns
+    * of a date range and reading everything. */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      // session-TZ (UTC) timestamp literal — java.sql.Timestamp.valueOf
+      // would use the JVM default zone and could disagree with the oracle
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty")
+      )
+
+  /** Date/time function surface: per-month order rollup (UTC month
+    * truncation, portable across engines). */
+  def dateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority")
+      )
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_custs")
+      )
+
   /** JSON extraction from the events `props` payload (`{"k": 87}`) +
     * grouped aggregation — exact integer sums, no float hazard. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

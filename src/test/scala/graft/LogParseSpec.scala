@@ -66,6 +66,17 @@ class LogParseSpec extends SparkSuite {
     assert(r2.isNullAt(1) && r2.getLong(0) == 9L)
   }
 
+  test("typed path: parse to Dataset[TimestreamPoint] with POJO-default time") {
+    val ds = LogParse.parseTyped(Seq(
+      LogGen.record("GetTable", 42L, "S3", "1.5", 777L),
+      "Operation=x\nEOE" // no EndTime: reference POJO long default = 0
+    ).toDF("raw"), "raw")
+    val pts = ds.collect().sortBy(_.time)
+    assert(pts(0).time == 0L && pts(0).dimensions == Map("operation" -> "x"))
+    assert(pts(1).time == 777L && pts(1).measureValue == "1.5" &&
+      pts(1).measureValueType == "DOUBLE" && pts(1).timeUnit == "MILLISECONDS")
+  }
+
   test("property: parser is total on arbitrary line soup (100 seeded samples)") {
     val lineGen = Gen.oneOf(
       Gen.alphaNumStr,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, CoreQueries, SimilarityQueries}
+
+/** Physical-plan assertions — the 100 TB design contract, enforced:
+  * filters and projections reach the parquet scan, small sides broadcast,
+  * and nothing regresses into a cartesian product. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.treeString
+
+  test("filter_pushdown: predicates reach the parquet scan, schema pruned") {
+    val p = plan(CoreQueries.filterPushdown(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate")))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    // projection pruning: the 11-column table reads only the 4 needed
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_partkey"))
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+  }
+
+  test("q1_agg: column pruning keeps the scan narrow") {
+    val p = plan(CoreQueries.q1Agg(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("join_3way / join_5way: dims broadcast, no cartesian product") {
+    Seq(CoreQueries.join3Way(spark, dir), AnalyticsQueries.join5Way(spark, dir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.contains("BroadcastHashJoin"))
+        assert(!p.contains("CartesianProduct"))
+      }
+  }
+
+  test("similarity queries never build an all-pairs cartesian") {
+    Seq(
+      SimilarityQueries.knnCosine(spark, dir),
+      SimilarityQueries.annIvf(spark, dir),
+      SimilarityQueries.embeddingNearDup(spark, dir),
+      SimilarityQueries.minhashLsh(spark, dir),
+      SimilarityQueries.ngramJaccard(spark, dir)
+    ).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("topk compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(CoreQueries.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

@@ -19,6 +19,9 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // PlanSpec reads FileScan metadata (PushedFilters/ReadSchema) from
+      // plan strings; the 100-char default truncates them mid-list
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
