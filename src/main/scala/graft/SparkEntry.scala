@@ -51,7 +51,10 @@ object SparkEntry {
     "setops" -> (AnalyticsQueries.setOps _),
     "join_5way" -> (AnalyticsQueries.join5Way _),
     "sliding_agg" -> (AnalyticsQueries.slidingAgg _),
-    "session_agg" -> (AnalyticsQueries.sessionAgg _)
+    "session_agg" -> (AnalyticsQueries.sessionAgg _),
+    // no oracle entry (sketches are engine-specific): driver records a
+    // rows-only check, by design
+    "approx_stats" -> (AnalyticsQueries.approxStats _)
   )
 
   /** DuckDB fragment: first 8 hex chars of md5(s) parsed as uint32 —

@@ -117,6 +117,20 @@ object AnalyticsQueries {
       )
   }
 
+  /** Sketch-based approximate aggregates — HyperLogLog++ distinct counts
+    * and approximate quantiles per event type. No DuckDB oracle (sketch
+    * algorithms are engine-specific; the driver records a rows-only
+    * check): the point is the 100 TB shape — constant-size mergeable
+    * state where exact distinct/quantile would shuffle the world. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value")
+      )
+
   /** Session windows per user (1 h inactivity gap) via lag + running
     * session counter — linear per-partition state, the batch equivalent
     * of `session_window`. */
