@@ -34,6 +34,8 @@ object SparkEntry {
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langIdQuery _),
     "quality_score" -> (TextQueries.qualityScore _),
+    "top_terms" -> (TextQueries.topTerms _),
+    "salted_agg" -> (TextQueries.saltedAgg _),
     "fingerprint" -> (TextQueries.fingerprint _),
     "simhash" -> (TextQueries.simhash _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
@@ -276,6 +278,19 @@ object SparkEntry {
          |  CAST(${hash32Sql("'0:' || ph")} AS DOUBLE) / 4294967296.0 AS f0,
          |  CAST(${hash32Sql("'7:' || ph")} AS DOUBLE) / 4294967296.0 AS f7
          |FROM h""".stripMargin,
+    "top_terms" ->
+      s"""WITH t AS (SELECT lang, unnest($WordToksSql) AS tok FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok),
+         |r AS (SELECT lang, tok, cnt,
+         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+         |      FROM c)
+         |SELECT lang, tok, cnt, rk FROM r WHERE rk <= 10""".stripMargin,
+    // salted two-stage aggregation must equal the direct GROUP BY —
+    // the oracle IS the direct form
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "filter_pushdown" ->
       """SELECT l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.expressions.FloatVecDot
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
+  * API.
+  *
+  * Two registration paths:
+  *   - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     at session build time (the production wiring);
+  *   - [[register]] for injecting into an already-built session (tests,
+  *     notebooks).
+  */
+object GraftFunctions {
+
+  private val vecDotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
+    FloatVecDot(exprs(0), exprs(1))
+  }
+
+  private val vecDotInfo =
+    new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))
+    ))
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew-aware two-stage aggregation: pre-aggregate on (keys, salt) to
+  * spread a hot key over `buckets` reducers, then combine partials on the
+  * keys alone. Results are identical to a direct groupBy (counts and
+  * exact-decimal sums are associative); what changes is the shuffle: the
+  * hottest key's rows land on `buckets` tasks instead of one. This is the
+  * manual fallback for skew that AQE's skew-join handling doesn't cover
+  * (single-key aggregation skew at 1000 executors).
+  */
+object Salting {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** Salt from a high-cardinality spreading column (deterministic
+    * murmur3). */
+  def salt(spreadCol: Column, buckets: Int): Column =
+    pmod(hash(spreadCol), lit(buckets))
+
+  /** count + exact decimal sum of `valueCol` per `keys`, two-stage. */
+  def saltedStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      spreadCol: String,
+      buckets: Int = 16
+  ): DataFrame = {
+    val partial = df
+      .withColumn("_salt", salt(col(spreadCol), buckets))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(
+        count(lit(1)).as("_cnt"),
+        sum(col(valueCol).cast(Dec)).as("_sum")
+      )
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_cnt")).as("cnt"),
+        sum(col("_sum")).cast("double").as("sum_value")
+      )
+  }
+}

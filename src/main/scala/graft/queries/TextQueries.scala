@@ -111,6 +111,32 @@ object TextQueries {
         bagFingerprint(col("tokens")).as("bag_fp")
       )
 
+  /** Top terms per language: explode → count → rank ≤ 10 with a
+    * deterministic tiebreak. The corpus-vocabulary profile every
+    * training-data pipeline reports. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(wordTokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("tok"), col("cnt"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Skew-aware grouped stats over events (two-stage salted aggregation;
+    * bit-identical to a direct GROUP BY — the oracle IS the direct GROUP
+    * BY). */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedStats(
+      Tables.events(spark, dir),
+      keys = Seq("event_type"),
+      valueCol = "value",
+      spreadCol = "event_id",
+      buckets = 16
+    )
+
   /** 32-bit SimHash per document: each distinct token votes ±1 on every
     * bit of its 32-bit md5-derived hash; the sign vector is the signature.
     * Shaped as explode → two keyed aggregations — all shuffles are on

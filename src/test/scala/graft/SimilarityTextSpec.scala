@@ -44,6 +44,26 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("vec_dot is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d"
+    ).as[Double].collect()(0)
+    assert(got == 32.0)
+  }
+
+  test("salted aggregation equals the direct groupBy bit-for-bit") {
+    val direct = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = graft.queries.TextQueries.saltedAgg(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)

@@ -42,6 +42,19 @@ class StreamingSpec extends SparkSuite {
     assert(total == 100L)
     // 100 records 1s apart from an epoch-aligned base → exactly 10 windows
     assert(got.select("window_start").distinct().count() == 10L)
+
+    // streaming ↔ batch parity: the same records through the BATCH
+    // windowing core must produce identical (window, key, count) triples
+    val batch = graft.operators.Windowing.tumblingStats(
+      graft.functions.LogParse.parse(recs.toDF("raw"), "raw"),
+      "event_time", Seq("callerservice", "operation"), 10000L, "latency")
+    val batchSet = batch
+      .select(col("window_start"), col("callerservice"), col("operation"), col("cnt"))
+      .as[(java.sql.Timestamp, String, String, Long)].collect().toSet
+    val streamSet = got
+      .select(col("window_start"), col("callerservice"), col("operation"), col("cnt"))
+      .as[(java.sql.Timestamp, String, String, Long)].collect().toSet
+    assert(streamSet == batchSet)
   }
 
   test("late router reproduces --percent-late: late records hit the dead letter") {
