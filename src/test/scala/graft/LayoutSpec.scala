@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.{Layout, Tables}
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Storage-layout effects, asserted on physical plans: bucketed joins
+  * drop the shuffle; date-partitioned reads prune directories. */
+class LayoutSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without an exchange") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "orderkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "orderkey")
+    Layout.writeBucketed(li, "li_b", "orderkey", 8)
+    Layout.writeBucketed(o, "o_b", "orderkey", 8)
+
+    val joined = Layout.bucketedJoin(spark, "li_b", "o_b", "orderkey")
+    val p = joined.queryExecution.executedPlan.treeString
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    if (p.contains("SortMergeJoin")) {
+      // the whole point: no shuffle on either side
+      assert(!p.contains("Exchange hashpartitioning"))
+      assert(p.contains("SelectedBucketsCount"))
+    }
+    // and it computes the right thing
+    assert(joined.count() ==
+      Tables.lineitem(spark, dir).join(
+        Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("date-partitioned writes give PartitionFilters on range reads") {
+    val out = Files.createTempDirectory("part").toString + "/events_by_date"
+    Layout.writeDatePartitioned(Tables.events(spark, dir), "ts", out)
+    val read = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-03")
+    val p = read.queryExecution.executedPlan.treeString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("event_date"))
+    // pruned read matches a full-scan filter
+    val full = spark.read.parquet(out)
+    assert(read.count() == full.filter(col("event_date") === "2024-01-03").count())
+    assert(read.count() > 0)
+  }
+}

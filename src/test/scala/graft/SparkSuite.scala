@@ -22,6 +22,10 @@ object SparkSuite {
       // PlanSpec reads FileScan metadata (PushedFilters/ReadSchema) from
       // plan strings; the 100-char default truncates them mid-list
       .config("spark.sql.maxMetadataStringLength", "2000")
+      // bucketed-table tests write managed tables; keep the warehouse
+      // out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
