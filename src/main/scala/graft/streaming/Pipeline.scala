@@ -77,6 +77,20 @@ object Pipeline {
         col("cnt"), col("min_latency"), col("max_latency"), col("avg_latency")
       )
 
+  /** Built-in session-window aggregation (gap-based), the declarative
+    * counterpart of [[Stateful.sessionize]]: Spark manages the merging
+    * session state; append mode emits a session once the watermark passes
+    * its close. */
+  def sessionStats(parsedDf: DataFrame, gap: String): DataFrame =
+    parsedDf
+      .groupBy(session_window(col("event_time"), gap), col("awsaccountid"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("awsaccountid"), col("n_events")
+      )
+
   /** Late-data side output (O7/O8). Tracks the max event time seen across
     * micro-batches — Flink's `forMonotonousTimestamps` watermark (max seen
     * − ε, StreamingJob.java:132-144) advanced at BATCH boundaries: rows are

@@ -96,17 +96,55 @@ class StreamingSpec extends SparkSuite {
     assert(late.filter(col("time") >= cutoff).count() == 0)
   }
 
-  test("file source + checkpoint: end-to-end through a real directory") {
+  test("file source + checkpoint: end-to-end, restart processes ONLY new files") {
     val srcDir = tmp("src")
     LogGen.records(n = 10, seed = 3L).zipWithIndex.foreach { case (r, i) =>
       Files.writeString(java.nio.file.Path.of(srcDir, s"rec_$i.log"), r)
     }
     val sinkDir = tmp("fsink")
+    val ckpt = tmp("ckpt-file")
     val router = new Pipeline.LateRouter(5000L,
       new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"))
     val q = Pipeline.start(spark, new Pipeline.FileLogSource(srcDir),
-      AppConfig(), router, tmp("ckpt-file"), availableNow = true)
+      AppConfig(), router, ckpt, availableNow = true)
     q.awaitTermination(120000)
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
+
+    // recovery (O11): drop 5 more files, restart from the SAME checkpoint
+    // — the already-processed 10 must NOT be re-sent to the sink
+    LogGen.records(n = 5, seed = 21L, baseTimeMs = 1700000020000L)
+      .zipWithIndex.foreach { case (r, i) =>
+        Files.writeString(java.nio.file.Path.of(srcDir, s"more_$i.log"), r)
+      }
+    val q2 = Pipeline.start(spark, new Pipeline.FileLogSource(srcDir),
+      AppConfig(), router, ckpt, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$sinkDir/main/data").count() == 15L)
+  }
+
+  test("built-in session_window aggregation over a memory stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val base = 1700000000000L
+    // account 1: burst of 3 within 5s, then 10 min silence, then 1 more
+    val recs =
+      Seq(0L, 2000L, 4000L, 600000L).map(off =>
+        LogGen.record("GetTable", 1L, "GLUE", "1.0", base + off)) ++
+      Seq(LogGen.record("GetTable", 2L, "S3", "2.0", base + 1000L))
+    ms.addData(recs: _*)
+    val agg = Pipeline.sessionStats(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), AppConfig()),
+      gap = "30 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("sess_win").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-sw"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_win")
+      .select("awsaccountid", "n_events")
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got("1") == Seq(1L, 3L)) // two sessions: the burst and the straggler
+    assert(got("2") == Seq(1L))
   }
 }
