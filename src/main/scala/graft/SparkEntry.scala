@@ -38,6 +38,8 @@ object SparkEntry {
     "salted_agg" -> (TextQueries.saltedAgg _),
     "fingerprint" -> (TextQueries.fingerprint _),
     "simhash" -> (TextQueries.simhash _),
+    "simhash_neardup" -> (TextQueries.simhashNearDup _),
+    "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
@@ -65,6 +67,24 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform(range(1, 9),
        |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
        |       * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)""".stripMargin
+
+  /** DuckDB CTE chain computing the per-doc 32-bit SimHash; terminal CTE
+    * is `sfinal(doc_id, simhash)` — shared by the `simhash` and
+    * `simhash_neardup` oracles. */
+  private lazy val oracleSimhashBody: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+       |    i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
+       |         * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (SELECT doc_id, j,
+       |    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+       |  FROM h, (SELECT unnest(range(0, 32)) AS j) js),
+       |s AS (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j),
+       |sfinal AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM s GROUP BY doc_id)""".stripMargin
 
   /** DuckDB fragment: dot product of two list<float> columns in index-order
     * double accumulation — the same fold order as VectorOps.dotD, so
@@ -200,20 +220,25 @@ object SparkEntry {
          |SELECT doc_id, md5($NormSql) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS bag_fp
          |FROM t""".stripMargin,
-    "simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct($WordToksSql)) AS tok FROM documents),
-         |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
-         |    i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
-         |         * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) AS h
-         |  FROM toks),
-         |bits AS (SELECT doc_id, j,
-         |    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
-         |  FROM h, (SELECT unnest(range(0, 32)) AS j) js),
-         |s AS (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM s GROUP BY doc_id""".stripMargin,
+    "simhash" -> s"WITH $oracleSimhashBody\nSELECT doc_id, simhash FROM sfinal",
+    "simhash_neardup" -> {
+      // reuse the simhash oracle as a CTE, then band + exact hamming
+      val simhashCte = oracleSimhashBody
+      s"""WITH $simhashCte,
+         |sh AS (SELECT doc_id, simhash FROM sfinal),
+         |banded AS (SELECT doc_id, simhash, b.b AS b, (simhash >> (8 * b.b)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.simhash AS sa, c.simhash AS sb
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+    },
+    "doc_embedding_join" ->
+      s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
+         |  sqrt($dotSelfSql) AS vec_norm
+         |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
     "knn_cosine" ->
       s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),

@@ -103,6 +103,20 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Multimodal join: documents ⋈ embeddings (doc_id = vec_id) — the
+    * text+vector row a training pipeline feeds downstream, with the
+    * vector's norm surfaced through the native dot expression. */
+  def docEmbeddingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        col("label").cast("long").as("label"),
+        normD(col("embedding")).as("vec_norm")
+      )
+  }
+
   /** Word 3-gram shingles from a MATERIALIZED token-array column (docs
     * shorter than 3 tokens contribute none).
     *

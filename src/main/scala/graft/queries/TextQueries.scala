@@ -137,16 +137,46 @@ object TextQueries {
       buckets = 16
     )
 
-  /** 32-bit SimHash per document: each distinct token votes ±1 on every
+  /** 32-bit SimHash per document: each token occurrence votes ±1 on every
     * bit of its 32-bit md5-derived hash; the sign vector is the signature.
     * Shaped as explode → two keyed aggregations — all shuffles are on
     * (doc_id) or (doc_id, bit), both compact and well-distributed; no
     * per-row state, scales linearly in corpus size. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame = simhashDf(spark, dir)
+
+  /** SimHash near-duplicate pairs: band the 32-bit signature into 4
+    * bytes; docs sharing any band byte become candidates (the LSH
+    * equijoin — pairs whose ≤`maxHamming` differing bits straddle all 4
+    * bytes are missed, the standard recall trade-off); exact Hamming
+    * distance filters candidates. Completes the dedup family:
+    * signature + banded pairing, no all-pairs join. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDf(spark, dir)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("b")
+    ).withColumn("band_val", expr("(simhash >> (8 * b)) & 255"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("b"), col("band_val"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("b").as("b2"), col("band_val").as("band_val2"))
+    a.join(bb, col("b") === col("b2") && col("band_val") === col("band_val2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    // every OCCURRENCE votes (standard frequency-weighted SimHash) — on a
+    // small shared vocabulary, distinct-token signatures degenerate to
+    // near-identical; term frequencies are what separate documents
     val toks = Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        explode(array_distinct(wordTokens(col("text")))).as("tok")
+        explode(wordTokens(col("text"))).as("tok")
       )
       .withColumn("h", md5Hash32(col("tok")))
     val bits = toks
