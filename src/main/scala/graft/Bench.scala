@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup so the alphabetically-first query doesn't absorb
+    // one-time init (parquet reader, codegen infra, broadcast machinery —
+    // ~6s measured): touch each fixture table once, untimed.
+    try {
+      Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+    } catch { case _: Throwable => () }
     // A failed query must NOT look like a fast query: report -1.0 seconds
     // as an explicit error marker instead of its (tiny) elapsed time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -98,15 +98,21 @@ object Pipeline {
     * judges each record against the watermark at its arrival. In-order
     * data inside one batch is therefore never flagged (Flink parity);
     * a record 600 s behind the established watermark goes to the late
-    * sink. Driver-side watermark state is rebuilt from data on restart
-    * (at-least-once, same guarantee as the reference's checkpointed
-    * buffer). */
+    * sink.
+    *
+    * Restart semantics: the in-memory watermark starts at
+    * `initialWatermarkMs` (use [[LateRouter.bootstrapWatermark]] to
+    * recover it from the main sink's own data) — without it, the first
+    * batch after a restart is judged leniently (nothing late), which
+    * loses no data (at-least-once into the MAIN sink) but lapses late
+    * detection for one batch. */
   final class LateRouter(
       latenessMs: Long,
       onTime: RecordSink,
-      late: RecordSink
+      late: RecordSink,
+      initialWatermarkMs: Option[Long] = None
   ) extends Serializable {
-    private val maxSeenMs = new AtomicLong(Long.MinValue)
+    private val maxSeenMs = new AtomicLong(initialWatermarkMs.getOrElse(Long.MinValue))
 
     def process(batch: DataFrame, batchId: Long): Unit = {
       // watermark as of batch start — rows in this batch are judged
@@ -130,6 +136,17 @@ object Pipeline {
         maxSeenMs.updateAndGet(prev => math.max(prev, m))
       }
     }
+  }
+
+  object LateRouter {
+    /** Recover the event-time watermark from an existing parquet sink
+      * (max `time` already delivered) so a restarted router resumes late
+      * detection immediately instead of lapsing for one batch. */
+    def bootstrapWatermark(spark: SparkSession, parquetDataPath: String): Option[Long] =
+      try {
+        val r = spark.read.parquet(parquetDataPath).agg(max(col("time"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } catch { case _: Throwable => None }
   }
 
   /** Wire the full job: parse → late router (dead-letter + main point

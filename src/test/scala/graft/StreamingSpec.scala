@@ -122,6 +122,35 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 15L)
   }
 
+  test("restarted router with bootstrapped watermark flags late records immediately") {
+    val srcDir = tmp("bsrc")
+    val base = 1700000000000L
+    LogGen.records(n = 10, seed = 31L, baseTimeMs = base).zipWithIndex.foreach {
+      case (r, i) => Files.writeString(java.nio.file.Path.of(srcDir, s"a_$i.log"), r)
+    }
+    val sinkDir = tmp("bsink")
+    val ckpt = tmp("bckpt")
+    val r1 = new Pipeline.LateRouter(5000L,
+      new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"))
+    Pipeline.start(spark, new Pipeline.FileLogSource(srcDir), AppConfig(), r1, ckpt,
+      availableNow = true).awaitTermination(120000)
+
+    // simulate a crash: NEW router instance; one very-late file arrives.
+    // Without bootstrap the late record would slip into main (watermark
+    // reset); with bootstrap it must hit the dead letter.
+    Files.writeString(java.nio.file.Path.of(srcDir, "late_0.log"),
+      LogGen.record("GetTable", 9L, "S3", "1.0", base - 600000L))
+    val wm = Pipeline.LateRouter.bootstrapWatermark(spark, s"$sinkDir/main/data")
+    assert(wm.contains(base + 9000L))
+    val r2 = new Pipeline.LateRouter(5000L,
+      new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"),
+      initialWatermarkMs = wm)
+    Pipeline.start(spark, new Pipeline.FileLogSource(srcDir), AppConfig(), r2, ckpt,
+      availableNow = true).awaitTermination(120000)
+    assert(spark.read.parquet(s"$sinkDir/late/data").count() == 1L)
+    assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
+  }
+
   test("built-in session_window aggregation over a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
