@@ -64,6 +64,50 @@ object Multimodal {
       i => substring(payload, i * (16 * stride) + 1, lit(16))
     )
 
+  /** Decoded image record: the fixed schema the batched decoder fills. */
+  final case class DecodedImage(
+      doc_id: Long, width: Int, height: Int, channels: Int, ok: Boolean)
+
+  /** Partition-batched decode — the REAL plumbing a codec plugs into.
+    * One decoder instance per partition (that's where a JNI codec or an
+    * Arrow batch handle would be initialized once, not per row), rows
+    * streamed through it, failures surfaced as `ok=false` rather than
+    * task death. The default decoder is the deterministic stub; swap
+    * `decode` for libjpeg/ffmpeg bindings and NOTHING else changes —
+    * schema, partitioning, and batch shape are fixed here.
+    *
+    * This is the `mapPartitions` escape hatch used deliberately (SURVEY
+    * §7.3: last resort) — decoding is genuinely imperative per-bytes work
+    * no Catalyst expression expresses. */
+  def decodeBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decode: Array[Byte] => Option[(Int, Int, Int)] = stubDecoder
+  ): org.apache.spark.sql.Dataset[DecodedImage] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // per-partition init site (codec handles, arena buffers, ...)
+      it.map { case (id, bytes) =>
+        decode(bytes) match {
+          case Some((w, h, c)) => DecodedImage(id, w, h, c, ok = true)
+          case None => DecodedImage(id, 0, 0, 0, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Deterministic stand-in for a real image decoder: derives dims from
+    * the byte content; rejects empty payloads (exercises the failure
+    * path). */
+  val stubDecoder: Array[Byte] => Option[(Int, Int, Int)] = { bytes =>
+    if (bytes.isEmpty) None
+    else {
+      var h = 2166136261L
+      bytes.foreach(b => h = (h ^ (b & 0xffL)) * 16777619L)
+      val v = (h & 0x7fffffffL)
+      Some(((v % 1920).toInt + 1, ((v >> 8) % 1080).toInt + 1, 3))
+    }
+  }
+
   /** The oracle-checked multimodal query: documents → payload + metadata +
     * stub decode + stub features. */
   def metaQuery(docs: DataFrame): DataFrame = {

@@ -64,6 +64,21 @@ class SimilarityTextSpec extends SparkSuite {
     assert(salted == direct)
   }
 
+  test("batched decode: injectable decoder, failure path, schema fixed") {
+    val payloads = Seq(
+      (1L, "real image bytes".getBytes("UTF-8")),
+      (2L, Array.empty[Byte])
+    ).toDS()
+    val out = graft.operators.Multimodal.decodeBatch(payloads)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).width >= 1 && out(0).width <= 1920 && out(0).channels == 3)
+    assert(!out(1).ok) // empty payload -> rejected, not a task failure
+    // decoder injection: a "codec" that always reports 640x480
+    val fixed = graft.operators.Multimodal.decodeBatch(
+      payloads, _ => Some((640, 480, 1))).collect()
+    assert(fixed.forall(d => d.width == 640 && d.height == 480))
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)
