@@ -1,0 +1,62 @@
+package graft
+
+import graft.config.AppConfig
+import graft.sink.Sinks.{DdlInitializer, ParquetTableSink}
+import graft.streaming.Pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing job entry point — the counterpart of the reference's
+  * `StreamingJob.main` (StreamingJob.java:112-186), same lifecycle:
+  *
+  *   1. config from CLI args merged over properties (O13);
+  *   2. idempotent DDL before the dataflow launches (O12,
+  *      StreamingJob.java:176-178 runs the Timestream initializer
+  *      synchronously on the client);
+  *   3. source → parse → watermark → late router → checkpointed sink.
+  *
+  * Offline wiring: a text-file drop directory stands in for the Kinesis
+  * stream, a parquet table sink for Timestream. With connectors on the
+  * classpath both edges swap behind [[Pipeline.LogSource]] /
+  * [[graft.sink.Sinks.RecordSink]] without touching the dataflow.
+  *
+  * Usage: graft.Main --sourceDir /path/in --sinkDir /path/out
+  *                   [--checkpointDir /path/ckpt] [--once true]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cli = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val cfg = AppConfig.load(args)
+    val sourceDir = cli.getOrElse("sourceDir", sys.error("--sourceDir required"))
+    val sinkDir = cli.getOrElse("sinkDir", sys.error("--sinkDir required"))
+    val checkpointDir = cli.getOrElse("checkpointDir", s"$sinkDir/_checkpoint")
+    val once = cli.getOrElse("once", "true").toBoolean
+
+    val spark = SparkSession.builder()
+      .appName("graft-streaming-job")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // DDL before launch, like the reference (idempotent)
+    DdlInitializer.ensureTableDir(s"$sinkDir/main")
+    DdlInitializer.ensureTableDir(s"$sinkDir/late")
+
+    val router = new Pipeline.LateRouter(
+      cfg.latenessSeconds * 1000L,
+      new ParquetTableSink(s"$sinkDir/main"),
+      new ParquetTableSink(s"$sinkDir/late"),
+      initialWatermarkMs =
+        Pipeline.LateRouter.bootstrapWatermark(spark, s"$sinkDir/main/data")
+    )
+    val query = Pipeline.start(
+      spark, new Pipeline.FileLogSource(sourceDir), cfg, router,
+      checkpointDir, availableNow = once)
+    query.awaitTermination()
+    spark.stop()
+  }
+}

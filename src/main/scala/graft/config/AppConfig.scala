@@ -16,6 +16,9 @@ final case class AppConfig(
     pollIntervalMs: Long = 1000L,
     /** Max records per GetRecords (SHARD_GETRECORDS_MAX). */
     maxRecordsPerPoll: Int = 10000,
+    /** Adaptive reads toggle (SHARD_USE_ADAPTIVE_READS,
+      * StreamingJob.java:84-88). */
+    useAdaptiveReads: Boolean = false,
     /** Sink batch size (TimestreamIngestBatchSize, default 50). */
     sinkBatchSize: Int = 50,
     windowSeconds: Int = 10,
@@ -44,6 +47,7 @@ object AppConfig {
       streamName = s("InputStreamName", s("streamName", "TimestreamTestStream")),
       pollIntervalMs = s("SHARD_GETRECORDS_INTERVAL_MILLIS", "1000").toLong,
       maxRecordsPerPoll = s("SHARD_GETRECORDS_MAX", "10000").toInt,
+      useAdaptiveReads = s("SHARD_USE_ADAPTIVE_READS", "false").toBoolean,
       sinkBatchSize = s("TimestreamIngestBatchSize", "50").toInt,
       windowSeconds = s("windowSeconds", "10").toInt,
       latenessSeconds = s("latenessSeconds", "5").toInt,
