@@ -44,7 +44,8 @@ class PlanSpec extends SparkSuite {
       SimilarityQueries.annIvf(spark, dir),
       SimilarityQueries.embeddingNearDup(spark, dir),
       SimilarityQueries.minhashLsh(spark, dir),
-      SimilarityQueries.ngramJaccard(spark, dir)
+      SimilarityQueries.ngramJaccard(spark, dir),
+      graft.queries.TextQueries.simhashNearDup(spark, dir)
     ).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"))
     }

@@ -44,6 +44,16 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("property: jaccard is bounded, reflexive-max, symmetric on sampled docs") {
+    val j = graft.queries.SimilarityQueries.ngramJaccard(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(j.nonEmpty)
+    assert(j.forall { case (_, _, v) => v >= 0.0 && v <= 1.0 })
+    // pair ordering canonical (a<b): no (b,a) duplicates
+    assert(j.map(t => (t._1, t._2)).distinct.length == j.length)
+  }
+
   test("vec_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
