@@ -56,6 +56,8 @@ object SparkEntry {
     "join_5way" -> (AnalyticsQueries.join5Way _),
     "sliding_agg" -> (AnalyticsQueries.slidingAgg _),
     "session_agg" -> (AnalyticsQueries.sessionAgg _),
+    "stats_agg" -> (AnalyticsQueries.statsAgg _),
+    "pivot_agg" -> (AnalyticsQueries.pivotAgg _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -375,6 +377,29 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY window_start, event_type""".stripMargin,
+    "stats_agg" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sx2, sum(y) AS sy, sum(y*y) AS sy2, sum(x*y) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sx AS DOUBLE) / n AS mean_value,
+        |  sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_value,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (sqrt(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |     sqrt(CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_value_k
+        |FROM s""".stripMargin,
+    "pivot_agg" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY user_id % 10""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -117,6 +117,55 @@ object AnalyticsQueries {
       )
   }
 
+  /** Order-stable second-moment statistics: sample stddev and Pearson
+    * correlation computed from EXACT decimal sums (Σx, Σx², Σy, Σxy) with
+    * the final formula in fixed-order double arithmetic. Spark's native
+    * `stddev`/`corr` accumulate doubles in partition order — not
+    * reproducible across runs/cluster sizes; this form is, and the oracle
+    * matches it bitwise. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("x", col("value").cast(Dec))
+      .withColumn("y", get_json_object(col("props"), "$.k").cast("long").cast(Dec))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("_sx"),
+        sum(col("x") * col("x")).as("_sx2"),
+        sum(col("y")).as("_sy"),
+        sum(col("y") * col("y")).as("_sy2"),
+        sum(col("x") * col("y")).as("_sxy")
+      )
+      .select(
+        col("event_type"), col("n"),
+        (col("_sx").cast("double") / col("n")).as("mean_value"),
+        sqrt((col("_sx2").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double") / col("n")) /
+          (col("n") - 1)).as("stddev_value"),
+        ((col("_sxy").cast("double") -
+          col("_sx").cast("double") * col("_sy").cast("double") / col("n")) /
+          (sqrt(col("_sx2").cast("double") -
+            col("_sx").cast("double") * col("_sx").cast("double") / col("n")) *
+           sqrt(col("_sy2").cast("double") -
+            col("_sy").cast("double") * col("_sy").cast("double") / col("n"))))
+          .as("corr_value_k")
+      )
+  }
+
+  /** Pivot: per user bucket, one count column per event type. Spark's
+    * `pivot()` emits null for absent combinations; coalesced to 0 to
+    * match the oracle's conditional-count form. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
   /** Sketch-based approximate aggregates — HyperLogLog++ distinct counts
     * and approximate quantiles per event type. No DuckDB oracle (sketch
     * algorithms are engine-specific; the driver records a rows-only
