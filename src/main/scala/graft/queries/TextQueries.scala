@@ -139,9 +139,10 @@ object TextQueries {
 
   /** 32-bit SimHash per document: each token occurrence votes ±1 on every
     * bit of its 32-bit md5-derived hash; the sign vector is the signature.
-    * Shaped as explode → two keyed aggregations — all shuffles are on
-    * (doc_id) or (doc_id, bit), both compact and well-distributed; no
-    * per-row state, scales linearly in corpus size. */
+    * Shaped as ONE keyed aggregation with 32 conditional-sum columns —
+    * an earlier version exploded a (doc, bit) row per token×bit, a 32×
+    * row blow-up through the shuffle for identical math (the oracle kept
+    * matching bitwise across the rewrite). */
   def simhash(spark: SparkSession, dir: String): DataFrame = simhashDf(spark, dir)
 
   /** SimHash near-duplicate pairs: band the 32-bit signature into 4
@@ -179,25 +180,17 @@ object TextQueries {
         explode(wordTokens(col("text"))).as("tok")
       )
       .withColumn("h", md5Hash32(col("tok")))
-    val bits = toks
-      .select(
-        col("doc_id"),
-        col("h"),
-        explode(sequence(lit(0), lit(31))).as("j")
-      )
-      .withColumn(
-        "vote",
-        expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
-      )
-    bits
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("s"))
+    val voteSums = (0 until 32).map { j =>
+      sum(
+        expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+      ).as(s"s$j")
+    }
+    val sig = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks
       .groupBy(col("doc_id"))
-      .agg(
-        sum(
-          when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-            .otherwise(lit(0L))
-        ).as("simhash")
-      )
+      .agg(voteSums.head, voteSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 }
