@@ -103,6 +103,28 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Edit-distance near-dup (the fifth dedup family: exact / MinHash /
+    * SimHash / embedding-cosine / Levenshtein). Candidate pairs pruned to
+    * the same (lang, source) bucket with |Δ n_chars| ≤ 10 — a LENGTH
+    * lower-bound on edit distance, so the prune is admissible for the
+    * threshold, not just a heuristic — then exact Levenshtein on a fixed
+    * 40-char prefix (bounding the O(m·n) DP at scale). */
+  def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        substring(col("text"), 1, 40).as("prefix"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("n_chars").as("nc_a"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("n_chars").as("nc_b"), col("prefix").as("pb"))
+    a.join(b,
+        col("lang") === col("lang_b") && col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 10)
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("edit_dist") <= 25)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
   /** Multimodal join: documents ⋈ embeddings (doc_id = vec_id) — the
     * text+vector row a training pipeline feeds downstream, with the
     * vector's norm surfaced through the native dot expression. */
