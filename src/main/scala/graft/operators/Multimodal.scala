@@ -57,12 +57,19 @@ object Multimodal {
 
   /** Frame sampling for a "video" payload: every `stride`-th 16-byte block
     * as one frame (binary slices — the partition-local, codec-free shape
-    * real frame extraction follows). */
-  def sampleFrames(payload: Column, stride: Int): Column =
-    transform(
-      sequence(lit(0), (length(payload) / lit(16 * stride)).cast("int") - 1),
-      i => substring(payload, i * (16 * stride) + 1, lit(16))
-    )
+    * real frame extraction follows). Guarded for payloads shorter than one
+    * block: Spark's `sequence(0, -1)` yields a DESCENDING [0, -1], not an
+    * empty array. */
+  def sampleFrames(payload: Column, stride: Int): Column = {
+    val nFrames = (length(payload) / lit(16 * stride)).cast("int")
+    when(nFrames <= 0, array().cast("array<binary>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), nFrames - 1),
+          i => substring(payload, i * (16 * stride) + 1, lit(16))
+        )
+      )
+  }
 
   /** Decoded image record: the fixed schema the batched decoder fills. */
   final case class DecodedImage(

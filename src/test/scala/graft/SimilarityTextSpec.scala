@@ -101,5 +101,10 @@ class SimilarityTextSpec extends SparkSuite {
     val frames = df.select(Multimodal.sampleFrames(Multimodal.asPayload(col("text")), 1).as("fr"))
       .select(size(col("fr"))).as[Int].collect()(0)
     assert(frames == 2)
+    // payload shorter than one block: EMPTY, not sequence(0,-1)'s [0,-1]
+    val short = Seq("tiny").toDF("text")
+      .select(Multimodal.sampleFrames(Multimodal.asPayload(col("text")), 1).as("fr"))
+      .select(size(col("fr"))).as[Int].collect()(0)
+    assert(short == 0)
   }
 }
