@@ -48,6 +48,8 @@ object SparkEntry {
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
+    "dims_exploded" -> (CoreQueries.dimsExploded _),
+    "hourly_rollup" -> (CoreQueries.hourlyRollup _),
     "filter_pushdown" -> (CoreQueries.filterPushdown _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
@@ -314,6 +316,18 @@ object SparkEntry {
          |  CAST(${hash32Sql("'0:' || ph")} AS DOUBLE) / 4294967296.0 AS f0,
          |  CAST(${hash32Sql("'7:' || ph")} AS DOUBLE) / 4294967296.0 AS f7
          |FROM h""".stripMargin,
+    "dims_exploded" ->
+      """SELECT event_id, 'awsaccountid' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+        |UNION ALL
+        |SELECT event_id, 'callerservice' AS key, 'svc' || CAST(user_id % 3 AS VARCHAR) AS value FROM events
+        |UNION ALL
+        |SELECT event_id, 'operation' AS key, lower(event_type) AS value FROM events""".stripMargin,
+    "hourly_rollup" ->
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS hour_start,
+        |  'svc' || CAST(user_id % 3 AS VARCHAR) AS callerservice,
+        |  count(*) AS cnt, min(value) AS min_latency, max(value) AS max_latency,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_latency
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "top_terms" ->
       s"""WITH t AS (SELECT lang, unnest($WordToksSql) AS tok FROM documents),
          |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok),

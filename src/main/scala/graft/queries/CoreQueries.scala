@@ -91,6 +91,48 @@ object CoreQueries {
       )
   }
 
+  /** The open-ended `dimensions` MapType column, proven end-to-end:
+    * parse → explode the map → (record, key, value) rows the oracle
+    * reconstructs per dimension key. */
+  def dimsExploded(spark: SparkSession, dir: String): DataFrame = {
+    val raw = LogGen.eventsAsServiceLogs(Tables.events(spark, dir))
+    LogParse.parse(raw, "raw")
+      .select(col("event_id"), explode(col("dimensions")).as(Seq("key", "value")))
+  }
+
+  /** Hierarchical windowed rollup: hourly stats REAGGREGATED from the 10s
+    * partial aggregates instead of rescanning the source — the pattern
+    * that makes multi-granularity dashboards affordable at 100 TB. Exact
+    * because the partials keep DECIMAL sums (double partial sums would
+    * drift); the oracle computes the hourly rollup directly from raw
+    * events, so the gate proves partials-reagg ≡ direct. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = LogParse.parse(
+      LogGen.eventsAsServiceLogs(Tables.events(spark, dir)), "raw")
+    val partials = parsed
+      .groupBy(
+        Windowing.tumble(col("event_time"), 10000L).as("w10"),
+        col("callerservice")
+      )
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("latency")).as("mn"),
+        max(col("latency")).as("mx"),
+        sum(col("latency").cast(Dec)).as("sdec")
+      )
+    partials
+      .groupBy(
+        Windowing.tumble(col("w10"), 3600000L).as("hour_start"),
+        col("callerservice")
+      )
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        min(col("mn")).as("min_latency"),
+        max(col("mx")).as("max_latency"),
+        sum(col("sdec")).cast("double").as("sum_latency")
+      )
+  }
+
   /** O7/O8 batch semantics: flag rows later than (max event time − 5s).
     * Deterministic — cutoff derives from the data, never wall clock. */
   def lateSplit(spark: SparkSession, dir: String): DataFrame =
