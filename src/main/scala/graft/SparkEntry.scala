@@ -241,13 +241,13 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
     },
     "edit_distance_neardup" ->
-      """WITH d AS (SELECT doc_id, lang, source, n_chars, substr(text, 1, 40) AS prefix FROM documents)
+      """WITH d AS (SELECT doc_id, lang, source, n_chars, substr(text, 1, 24) AS prefix FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |  AND abs(a.n_chars - b.n_chars) <= 10
-        |WHERE levenshtein(a.prefix, b.prefix) <= 25""".stripMargin,
+        |WHERE levenshtein(a.prefix, b.prefix) <= 15""".stripMargin,
     "doc_embedding_join" ->
       s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
          |  sqrt($dotSelfSql) AS vec_norm

@@ -108,11 +108,11 @@ object SimilarityQueries {
     * the same (lang, source) bucket with |Δ n_chars| ≤ 10 — a LENGTH
     * lower-bound on edit distance, so the prune is admissible for the
     * threshold, not just a heuristic — then exact Levenshtein on a fixed
-    * 40-char prefix (bounding the O(m·n) DP at scale). */
+    * 24-char prefix (bounding the O(m·n) DP at scale; prefix length is the knob that keeps per-pair cost constant as documents grow). */
   def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        substring(col("text"), 1, 40).as("prefix"))
+        substring(col("text"), 1, 24).as("prefix"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("n_chars").as("nc_a"), col("prefix").as("pa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
@@ -121,7 +121,7 @@ object SimilarityQueries {
         col("lang") === col("lang_b") && col("source") === col("source_b") &&
           col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 10)
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("edit_dist") <= 25)
+      .filter(col("edit_dist") <= 15)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }
 
