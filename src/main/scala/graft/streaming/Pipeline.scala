@@ -77,6 +77,21 @@ object Pipeline {
         col("cnt"), col("min_latency"), col("max_latency"), col("avg_latency")
       )
 
+  /** Sliding-window flavor (the reference imports sliding windows but
+    * never wires them, StreamingJob.java:39): overlapping windows of
+    * `winDur` every `slide`, keyed like [[windowedStats]]. */
+  def slidingStats(parsedDf: DataFrame, winDur: String, slide: String): DataFrame =
+    parsedDf
+      .groupBy(
+        window(col("event_time"), winDur, slide),
+        col("callerservice"), col("operation")
+      )
+      .agg(count(lit(1)).as("cnt"), avg(col("latency")).as("avg_latency"))
+      .select(
+        col("window.start").as("window_start"),
+        col("callerservice"), col("operation"), col("cnt"), col("avg_latency")
+      )
+
   /** Built-in session-window aggregation (gap-based), the declarative
     * counterpart of [[Stateful.sessionize]]: Spark manages the merging
     * session state; append mode emits a session once the watermark passes

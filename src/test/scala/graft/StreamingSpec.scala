@@ -151,6 +151,23 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
   }
 
+  test("sliding windows: every record lands in window/slide = 2 windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(LogGen.records(n = 40, seed = 17L): _*)
+    val agg = Pipeline.slidingStats(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), AppConfig()),
+      winDur = "10 seconds", slide = "5 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("slide_agg").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-slide"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val total = spark.table("slide_agg").agg(sum("cnt")).as[Long].collect()(0)
+    assert(total == 80L) // 40 records x 2 overlapping windows each
+  }
+
   test("built-in session_window aggregation over a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
