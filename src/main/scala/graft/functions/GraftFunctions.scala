@@ -1,8 +1,9 @@
 package graft.functions
 
-import graft.expressions.FloatVecDot
+import graft.expressions.{FloatVecDot, GunzipText}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,9 +28,18 @@ object GraftFunctions {
   private val vecDotInfo =
     new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("gunzip_text"),
+      new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
+      (exprs: Seq[Expression]) => GunzipText(exprs.head))
+  }
+
+  /** Column-API surface for the source-edge decompression. */
+  def gunzipText(c: Column): Column =
+    ColumnBridge.column(GunzipText(ColumnBridge.expression(c)))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -48,6 +48,25 @@ object Pipeline {
         .withColumnRenamed("value", "raw")
   }
 
+  /** Gzipped-payload flavor — the reference's ACTUAL wire format (its
+    * generator gzips every record, timestream_kinesis_data_gen.py:75;
+    * the Flink job's plain-string read was a latent bug). binaryFile
+    * source → gunzip projection → same parse. Corrupt payloads null out
+    * and are dropped here, not crash the job. */
+  final class GzipFileLogSource(dir: String) extends LogSource {
+    override def stream(spark: SparkSession): DataFrame =
+      spark.readStream.format("binaryFile")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+        .option("pathGlobFilter", "*.gz")
+        .load(dir)
+        .select(graft.functions.GraftFunctions.gunzipText(col("content")).as("raw"))
+        .filter(col("raw").isNotNull)
+  }
+
   /** Parse + event-time + watermark (O3+O4+O6): the batch parser reused
     * verbatim — one relational core for both modes. */
   def parsed(raw: DataFrame, cfg: AppConfig): DataFrame =

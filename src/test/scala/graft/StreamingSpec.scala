@@ -151,6 +151,30 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
   }
 
+  test("gzipped wire format: binaryFile source -> gunzip -> parse; corrupt payload dropped") {
+    val srcDir = tmp("gzsrc")
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    LogGen.records(n = 6, seed = 29L).zipWithIndex.foreach { case (r, i) =>
+      Files.write(java.nio.file.Path.of(srcDir, s"rec_$i.gz"), gz(r))
+    }
+    // a corrupt gz payload must null out, not kill the query
+    Files.write(java.nio.file.Path.of(srcDir, "corrupt.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3))
+    val sinkDir = tmp("gzsink")
+    val router = new Pipeline.LateRouter(5000L,
+      new ParquetTableSink(s"$sinkDir/main"), new ParquetTableSink(s"$sinkDir/late"))
+    val q = Pipeline.start(spark, new Pipeline.GzipFileLogSource(srcDir),
+      AppConfig(), router, tmp("gzckpt"), availableNow = true)
+    q.awaitTermination(120000)
+    val main = spark.read.parquet(s"$sinkDir/main/data")
+    assert(main.count() == 6L)
+    assert(main.filter(col("latency").isNotNull).count() == 6L) // real parse happened
+  }
+
   test("sliding windows: every record lands in window/slide = 2 windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
