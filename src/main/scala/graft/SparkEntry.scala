@@ -59,6 +59,9 @@ object SparkEntry {
     "join_5way" -> (AnalyticsQueries.join5Way _),
     "sliding_agg" -> (AnalyticsQueries.slidingAgg _),
     "session_agg" -> (AnalyticsQueries.sessionAgg _),
+    "asof_join" -> (AnalyticsQueries.asofJoin _),
+    "null_profile" -> (AnalyticsQueries.nullProfile _),
+    "value_histogram" -> (AnalyticsQueries.valueHistogram _),
     "stats_agg" -> (AnalyticsQueries.statsAgg _),
     "pivot_agg" -> (AnalyticsQueries.pivotAgg _),
     // no oracle entry (sketches are engine-specific): driver records a
@@ -400,6 +403,31 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY window_start, event_type""".stripMargin,
+    "asof_join" ->
+      """SELECT event_id, user_id, ts, event_type, signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        |  FROM events)
+        |WHERE event_type != 'signup'""".stripMargin,
+    "null_profile" ->
+      """SELECT
+        |  count(*) - count(l_orderkey) AS l_orderkey_nulls,
+        |  count(DISTINCT l_orderkey) AS l_orderkey_distinct,
+        |  count(*) - count(l_partkey) AS l_partkey_nulls,
+        |  count(DISTINCT l_partkey) AS l_partkey_distinct,
+        |  count(*) - count(l_quantity) AS l_quantity_nulls,
+        |  count(DISTINCT l_quantity) AS l_quantity_distinct,
+        |  count(*) - count(l_returnflag) AS l_returnflag_nulls,
+        |  count(DISTINCT l_returnflag) AS l_returnflag_distinct,
+        |  count(*) - count(l_shipdate) AS l_shipdate_nulls,
+        |  count(DISTINCT l_shipdate) AS l_shipdate_distinct
+        |FROM lineitem""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS cnt,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
     "stats_agg" ->
       """WITH e AS (SELECT event_type,
         |    CAST(value AS DECIMAL(18,2)) AS x,

@@ -166,6 +166,52 @@ object AnalyticsQueries {
       df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** AS-OF join via composition (SURVEY §7.3 preference (a): compose
+    * existing ops before building a custom operator): for every
+    * non-signup event, the timestamp of the same user's most recent
+    * signup at-or-before it. Carry-forward `last(..., ignoreNulls)` over
+    * a (user, time) window — one shuffle on the user key, linear state,
+    * no range join explosion. The general recipe for enrich-with-
+    * latest-dimension at 100 TB. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn(
+        "signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w)
+      )
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("signup_ts"))
+  }
+
+  /** Data-quality profiling: per-column null counts + distinct counts on
+    * lineitem — the profile every ingest pipeline runs before training. */
+  def nullProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct")
+      )
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-width histogram of event values (50-unit buckets): the value-
+    * distribution profile, one scan + one tiny-key shuffle. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(col("value") / 50.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value")
+      )
+
   /** Sketch-based approximate aggregates — HyperLogLog++ distinct counts
     * and approximate quantiles per event type. No DuckDB oracle (sketch
     * algorithms are engine-specific; the driver records a rows-only
