@@ -19,10 +19,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // A failed query must NOT look like a fast query: report -1.0 seconds
     // as an explicit error marker instead of its (tiny) elapsed time.
+    // noop sink, not count(): count() lets Catalyst prune every projected
+    // column, so pure-projection queries (e.g. the parse pipeline) would
+    // measure a near-empty plan; the noop write materializes every row.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
