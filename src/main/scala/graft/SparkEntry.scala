@@ -35,6 +35,9 @@ object SparkEntry {
     "lang_id" -> (TextQueries.langIdQuery _),
     "quality_score" -> (TextQueries.qualityScore _),
     "top_terms" -> (TextQueries.topTerms _),
+    "chunk_text" -> (TextQueries.chunkText _),
+    "shard_assign" -> (TextQueries.shardAssign _),
+    "contamination" -> (TextQueries.contamination _),
     "salted_agg" -> (TextQueries.saltedAgg _),
     "fingerprint" -> (TextQueries.fingerprint _),
     "simhash" -> (TextQueries.simhash _),
@@ -331,6 +334,32 @@ object SparkEntry {
         |  count(*) AS cnt, min(value) AS min_latency, max(value) AS max_latency,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_latency
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "chunk_text" ->
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(greatest(ceil((n - 50) / 40.0), 0) AS INT) + 1)) AS chunk_id
+         |      FROM n),
+         |s AS (SELECT doc_id, chunk_id,
+         |        toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)] AS ck FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(ck) AS BIGINT) AS n_tokens,
+         |  array_to_string(ck, ' ') AS chunk_text
+         |FROM s WHERE len(ck) > 0""".stripMargin,
+    "shard_assign" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${hash32Sql("text")} % 8 AS shard,
+         |    len($WordToksSql) AS n_tok
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM d GROUP BY shard""".stripMargin,
+    "contamination" ->
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
+         |test AS (SELECT DISTINCT sh FROM shx WHERE doc_id < 50)
+         |SELECT DISTINCT s.doc_id FROM shx s JOIN test t ON s.sh = t.sh
+         |WHERE s.doc_id >= 50""".stripMargin,
     "top_terms" ->
       s"""WITH t AS (SELECT lang, unnest($WordToksSql) AS tok FROM documents),
          |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok),

@@ -149,6 +149,10 @@ object SimilarityQueries {
     * (measured 18×: 17.1s → 0.95s at sf0.1). Callers `withColumn("ws", …)`
     * first; multi-referenced non-cheap aliases survive CollapseProject, so
     * the tokenizer runs once per row. */
+  /** Public alias for cross-module reuse (contamination sweep). */
+  def shingleColPublic(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shingleCol(ws)
+
   private def shingleCol(ws: org.apache.spark.sql.Column) =
     when(size(ws) >= 3,
       transform(

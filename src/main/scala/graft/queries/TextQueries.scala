@@ -111,6 +111,61 @@ object TextQueries {
         bagFingerprint(col("tokens")).as("bag_fp")
       )
 
+  /** Document chunking: fixed 50-token windows with 10-token overlap —
+    * the operator that turns documents into training samples. Chunk
+    * starts step by (size − overlap); the tail chunk may be short but is
+    * never empty. Explode factor ≈ tokens/40 per doc — bounded, linear. */
+  def chunkText(spark: SparkSession, dir: String): DataFrame = {
+    val size = 50
+    val step = 40 // size - overlap(10)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", wordTokens(col("text")))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+    docs
+      .withColumn(
+        "chunk_id",
+        explode(sequence(lit(0), greatest(ceil((col("n") - size) / lit(step.toDouble)), lit(0)).cast("int")))
+      )
+      .withColumn("chunk_toks", slice(col("toks"), col("chunk_id") * step + 1, lit(size)))
+      .filter(org.apache.spark.sql.functions.size(col("chunk_toks")) > 0)
+      .select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        org.apache.spark.sql.functions.size(col("chunk_toks")).cast("long").as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text")
+      )
+  }
+
+  /** Deterministic training-shard assignment: shard = md5-hash mod N
+    * (portable across engines, unlike Spark's murmur3 `hash()`), with
+    * per-shard doc counts and token budgets — the layout step before
+    * writing training shards. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("shard", pmod(md5Hash32(col("text")), lit(8L)))
+      .withColumn("n_tok", org.apache.spark.sql.functions.size(wordTokens(col("text"))).cast("long"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc")
+      )
+
+  /** Train/test contamination: training docs (doc_id ≥ 50) sharing any
+    * word 3-gram shingle with the held-out set (doc_id < 50) — an
+    * equijoin on exploded shingles + distinct, the scalable shape for
+    * decontamination sweeps (never pairwise text comparison). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(graft.queries.SimilarityQueries.shingleColPublic(col("ws"))).as("sh"))
+    val test = sh.filter(col("doc_id") < 50).select(col("sh")).distinct()
+    sh.filter(col("doc_id") >= 50)
+      .join(test, "sh")
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   /** Top terms per language: explode → count → rank ≤ 10 with a
     * deterministic tiebreak. The corpus-vocabulary profile every
     * training-data pipeline reports. */
