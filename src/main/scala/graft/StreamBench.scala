@@ -1,0 +1,82 @@
+package graft
+
+import graft.config.AppConfig
+import graft.fixtures.LogGen
+import graft.streaming.Pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming throughput benchmark: wire-format records through the full
+  * pipeline (parse → watermark → keyed windowed aggregation), measured as
+  * records/second end to end.
+  *
+  * Context (BASELINE.md): the reference's Kinesis consumer config caps at
+  * ~10 000 records/s/shard (1000 ms poll × 10 000 records,
+  * StreamingJob.java:90-94), and its `windowAll` forces the whole window
+  * stage through ONE task. This measures our single-node ceiling on the
+  * same record format for comparison.
+  *
+  *   java -cp ... graft.StreamBench [nRecords] [partitions]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val parts = args.lift(1).map(_.toInt).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$parts]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // dense burst: 100 records per event-time second (n records span
+    // n/100 s of stream time — a realistic hot-shard shape; the 1 rec/s
+    // default would spread n records over n seconds of event time and
+    // benchmark the state store's window count instead of the engine)
+    val recs = LogGen.records(n = n, seed = 1L, stepMs = 10L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](
+      0, spark, Some(parts))(implicitly[org.apache.spark.sql.Encoder[String]])
+    // stage the data before the clock starts — we measure the ENGINE,
+    // not the generator; one staged block → AvailableNow drains it in a
+    // single micro-batch (state-store commit rounds otherwise dominate)
+    ms.addData(recs: _*)
+
+    val cfg = AppConfig()
+    def pipeline(raw: org.apache.spark.sql.DataFrame) =
+      Pipeline.windowedStats(Pipeline.parsed(raw, cfg), cfg)
+
+    def runOnce(data: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String],
+                build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+      val df = build(data.toDF().withColumnRenamed("value", "raw"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sb-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def freshStream(data: Seq[String]) = {
+      val s = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](
+        0, spark, Some(parts))(implicitly[org.apache.spark.sql.Encoder[String]])
+      s.addData(data: _*)
+      s
+    }
+
+    // warmup: first streaming query of a session pays one-time codegen /
+    // state-store / infra init (measured 3-4x) — burn it untimed
+    runOnce(freshStream(recs.take(2000)), pipeline)
+
+    val parseSec = runOnce(freshStream(recs),
+      raw => Pipeline.parsed(raw, cfg))
+    val fullSec = runOnce(freshStream(recs), pipeline)
+    println(
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"reference_ceiling_rps":10000}""")
+    spark.stop()
+  }
+}

@@ -97,21 +97,23 @@ object LogGen {
 
   /** Seeded record stream with late-arrival injection: with probability
     * `percentLate`/100 a record's event time is `lateSeconds` in the past
-    * (timestream_kinesis_data_gen.py:50-59). `baseTimeMs` advances 1s per
-    * record — no wall clock, fully deterministic. */
+    * (timestream_kinesis_data_gen.py:50-59). `baseTimeMs` advances
+    * `stepMs` per record (default 1 s, like the generator's pacing) — no
+    * wall clock, fully deterministic. */
   def records(
       n: Int,
       seed: Long,
       baseTimeMs: Long = 1700000000000L,
       percentLate: Int = 0,
-      lateSeconds: Int = 0
+      lateSeconds: Int = 0,
+      stepMs: Long = 1000L
   ): Seq[String] = {
     val rng = new Random(seed)
     (0 until n).map { i =>
       val endTime =
         if (percentLate > 0 && rng.nextInt(100) < percentLate)
-          baseTimeMs + i * 1000L - lateSeconds * 1000L
-        else baseTimeMs + i * 1000L
+          baseTimeMs + i * stepMs - lateSeconds * 1000L
+        else baseTimeMs + i * stepMs
       record(
         operation = Operations(rng.nextInt(Operations.size)),
         awsAccountId = 100000000000L + rng.nextInt(1000000),
