@@ -45,7 +45,9 @@ class PlanSpec extends SparkSuite {
       SimilarityQueries.embeddingNearDup(spark, dir),
       SimilarityQueries.minhashLsh(spark, dir),
       SimilarityQueries.ngramJaccard(spark, dir),
-      graft.queries.TextQueries.simhashNearDup(spark, dir)
+      graft.queries.TextQueries.simhashNearDup(spark, dir),
+      SimilarityQueries.editDistanceNearDup(spark, dir),
+      graft.queries.TextQueries.contamination(spark, dir)
     ).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"))
     }

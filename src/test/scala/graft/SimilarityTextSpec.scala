@@ -44,6 +44,24 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("chunking boundaries: exact cover at 50/90, short tail at 91, single short chunk") {
+    // build a fake documents table through the same query path via a temp view? —
+    // simpler: exercise the arithmetic directly with crafted token counts
+    def chunksFor(nTokens: Int): Seq[(Long, Long)] = {
+      val text = (1 to nTokens).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text, "en", "src0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("chunkspec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.queries.TextQueries.chunkText(spark, tmp)
+        .select("chunk_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(chunksFor(50) == Seq((0L, 50L)))                      // exact single
+    assert(chunksFor(90) == Seq((0L, 50L), (1L, 50L)))           // exact double
+    assert(chunksFor(91) == Seq((0L, 50L), (1L, 50L), (2L, 11L))) // short tail
+    assert(chunksFor(7) == Seq((0L, 7L)))                        // short single
+  }
+
   test("property: jaccard is bounded, reflexive-max, symmetric on sampled docs") {
     val j = graft.queries.SimilarityQueries.ngramJaccard(spark, "/root/testdata/sf0.001")
       .select("doc_a", "doc_b", "jaccard")
