@@ -62,6 +62,8 @@ object SparkEntry {
     "join_5way" -> (AnalyticsQueries.join5Way _),
     "sliding_agg" -> (AnalyticsQueries.slidingAgg _),
     "session_agg" -> (AnalyticsQueries.sessionAgg _),
+    "grouping_sets" -> (AnalyticsQueries.groupingSets _),
+    "typed_agg" -> (AnalyticsQueries.typedAgg _),
     "asof_join" -> (AnalyticsQueries.asofJoin _),
     "null_profile" -> (AnalyticsQueries.nullProfile _),
     "value_histogram" -> (AnalyticsQueries.valueHistogram _),
@@ -432,6 +434,16 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY window_start, event_type""".stripMargin,
+    "grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin,
+    "typed_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "asof_join" ->
       """SELECT event_id, user_id, ts, event_type, signup_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,

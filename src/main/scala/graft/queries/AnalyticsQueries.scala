@@ -166,6 +166,48 @@ object AnalyticsQueries {
       df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** GROUPING SETS through the SQL entry path (`spark.sql` over a
+    * registered view) — the one query surface the DataFrame API queries
+    * don't exercise; semantics identical in DuckDB. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type
+        |FROM events_v
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+  }
+
+  /** Typed `Aggregator[IN, BUF, OUT]` surface: exact-decimal mean via a
+    * (count, BigDecimal) buffer on a typed Dataset — the compile-time-
+    * checked path for custom aggregation logic, same numeric discipline
+    * as the relational queries (exact sum, double at the edge). */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statsAggr = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Double), (Long, BigDecimal), (Long, Double)] {
+      def zero: (Long, BigDecimal) = (0L, BigDecimal(0))
+      def reduce(b: (Long, BigDecimal), a: (String, Double)): (Long, BigDecimal) =
+        (b._1 + 1, b._2 + BigDecimal(a._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      def merge(x: (Long, BigDecimal), y: (Long, BigDecimal)): (Long, BigDecimal) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Long, BigDecimal)): (Long, Double) = (r._1, r._2.toDouble)
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, BigDecimal)]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Double)]]
+    }
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(statsAggr.toColumn.name("stats"))
+      .select(
+        col("key").as("event_type"),
+        col("stats._1").as("cnt"),
+        col("stats._2").as("sum_value")
+      )
+  }
+
   /** AS-OF join via composition (SURVEY §7.3 preference (a): compose
     * existing ops before building a custom operator): for every
     * non-signup event, the timestamp of the same user's most recent
