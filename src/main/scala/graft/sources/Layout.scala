@@ -49,4 +49,15 @@ object Layout {
       .partitionBy("event_date")
       .mode("overwrite")
       .parquet(path)
+
+  /** Range-partitioned, within-file-sorted write: each output file covers
+    * a disjoint key range (repartitionByRange samples split points), so
+    * min/max footer stats make range scans skip whole files — the sorted
+    * layout a time-series table wants at rest. */
+  def writeRangeSorted(df: DataFrame, keyCol: String, partitions: Int, path: String): Unit =
+    df.repartitionByRange(partitions, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -35,6 +35,25 @@ class LayoutSpec extends SparkSuite {
         col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("range-sorted writes produce disjoint per-file key ranges") {
+    val out = Files.createTempDirectory("range").toString + "/events_ranged"
+    Layout.writeRangeSorted(Tables.events(spark, dir), "ts", 4, out)
+    // per-file min/max must not overlap across files
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("ts")), max(col("ts"))).collect()(0)
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(out).count() == Tables.events(spark, dir).count())
+  }
+
   test("date-partitioned writes give PartitionFilters on range reads") {
     val out = Files.createTempDirectory("part").toString + "/events_by_date"
     Layout.writeDatePartitioned(Tables.events(spark, dir), "ts", out)
