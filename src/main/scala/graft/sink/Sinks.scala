@@ -71,15 +71,29 @@ object Sinks {
     require(cfg.jdbcUrl.nonEmpty, "JdbcBatchSink needs jdbcUrl")
     private val props = new java.util.Properties()
 
+    /** String columns as VARCHAR, not the dialect's LOB default — Spark
+      * maps StringType to CLOB on Derby-family databases, and LOB columns
+      * can't be compared/indexed (breaks downstream dedup/lookups). */
+    private def varcharTypes(batch: DataFrame): Option[String] = {
+      val strCols = batch.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => s"${f.name} VARCHAR(1024)")
+      if (strCols.isEmpty) None else Some(strCols.mkString(", "))
+    }
+
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
       val flagged = isValidPoint(batch).cache()
       try {
         val ok = flagged.filter(col("_valid")).drop("_valid")
         val bad = flagged.filter(!col("_valid")).drop("_valid")
         val (nOk, nBad) = (ok.count(), bad.count())
-        ok.write.mode("append").jdbc(cfg.jdbcUrl.get, cfg.tableName, props)
+        def writer(df: DataFrame) = {
+          val w = df.write.mode("append")
+          varcharTypes(df).fold(w)(t => w.option("createTableColumnTypes", t))
+        }
+        writer(ok).jdbc(cfg.jdbcUrl.get, cfg.tableName, props)
         if (nBad > 0)
-          bad.write.mode("append").jdbc(cfg.jdbcUrl.get, s"${cfg.tableName}_dead_letter", props)
+          writer(bad).jdbc(cfg.jdbcUrl.get, s"${cfg.tableName}_dead_letter", props)
         (nOk, nBad)
       } finally flagged.unpersist()
     }
