@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.AppConfig
-import graft.sink.Sinks.{DdlInitializer, ParquetTableSink}
+import graft.sink.Sinks.{DdlInitializer, JdbcBatchSink, ParquetTableSink, RecordSink}
 import graft.streaming.Pipeline
 
 import org.apache.spark.sql.SparkSession
@@ -46,9 +46,16 @@ object Main {
     DdlInitializer.ensureTableDir(s"$sinkDir/main")
     DdlInitializer.ensureTableDir(s"$sinkDir/late")
 
+    // --jdbcUrl switches the main point sink to the JDBC edge (the
+    // BASELINE.json-designated production target); the late dead letter
+    // stays file-backed either way
+    val mainSink: RecordSink = cfg.jdbcUrl match {
+      case Some(_) => new JdbcBatchSink(cfg)
+      case None => new ParquetTableSink(s"$sinkDir/main")
+    }
     val router = new Pipeline.LateRouter(
       cfg.latenessSeconds * 1000L,
-      new ParquetTableSink(s"$sinkDir/main"),
+      mainSink,
       new ParquetTableSink(s"$sinkDir/late"),
       initialWatermarkMs =
         Pipeline.LateRouter.bootstrapWatermark(spark, s"$sinkDir/main/data")

@@ -71,6 +71,22 @@ object Sinks {
     require(cfg.jdbcUrl.nonEmpty, "JdbcBatchSink needs jdbcUrl")
     private val props = new java.util.Properties()
 
+    /** JDBC has no map/array/struct types — serialize complex columns to
+      * JSON text (the `dimensions` map of the point model travels as its
+      * JSON form, exactly how Timestream's own write API flattens
+      * dimensions). Without this the first parsed micro-batch kills the
+      * query with "Can't get JDBC type for map<string,string>". */
+    private def jdbcCompatible(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.StructType =>
+            acc.withColumn(f.name, to_json(col(f.name)))
+          case _ => acc
+        }
+      }
+
     /** String columns as VARCHAR, not the dialect's LOB default — Spark
       * maps StringType to CLOB on Derby-family databases, and LOB columns
       * can't be compared/indexed (breaks downstream dedup/lookups). */
@@ -82,7 +98,7 @@ object Sinks {
     }
 
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
-      val flagged = isValidPoint(batch).cache()
+      val flagged = isValidPoint(jdbcCompatible(batch)).cache()
       try {
         val ok = flagged.filter(col("_valid")).drop("_valid")
         val bad = flagged.filter(!col("_valid")).drop("_valid")
