@@ -77,6 +77,49 @@ class LogParseSpec extends SparkSuite {
       pts(1).measureValueType == "DOUBLE" && pts(1).timeUnit == "MILLISECONDS")
   }
 
+  test("differential: engine parser matches an independent plain-Scala parser") {
+    // obviously-correct reference implementation of the documented
+    // semantics: lowercase, split lines, first-= split, last-write-wins,
+    // whitelist, " ms" strip, null on non-numeric (no per-line trim —
+    // matching the Flink original, which never trimmed either)
+    def refParse(raw: String): (Option[Long], Option[Double], Map[String, String]) = {
+      val kv = raw.toLowerCase.split("\n", -1).toSeq
+        .filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap // toMap keeps the LAST occurrence per key
+      val time = kv.get("endtime").flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      val lat = kv.get("time")
+        .map(_.replaceAll("[^0-9.]", ""))
+        .filter(_.nonEmpty)
+        .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      val dims = kv.view.filterKeys(Set("callerservice", "operation", "awsaccountid")).toMap
+      (time, lat, dims)
+    }
+    val rng = new scala.util.Random(99L)
+    val base = LogGen.records(n = 200, seed = 5L, percentLate = 10, lateSeconds = 60)
+    // mutate: drop a random line / duplicate a line / inject junk
+    val mutated = base.map { r =>
+      val lines = r.split("\n").toBuffer
+      rng.nextInt(4) match {
+        case 0 => lines.remove(rng.nextInt(lines.size))
+        case 1 => lines.insert(rng.nextInt(lines.size), lines(rng.nextInt(lines.size)))
+        case 2 => lines.insert(rng.nextInt(lines.size), "garbage = = weird == text")
+        case _ =>
+      }
+      lines.mkString("\n")
+    }
+    val all = base ++ mutated
+    val got = LogParse.parse(all.toDF("raw"), "raw")
+      .select("raw", "time", "latency", "dimensions").collect()
+      .map(r => (r.getString(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         r.getMap[String, String](3).toMap))).toMap
+    all.foreach { raw =>
+      assert(got(raw) == refParse(raw), s"mismatch on record:\n$raw")
+    }
+  }
+
   test("property: parser is total on arbitrary line soup (100 seeded samples)") {
     val lineGen = Gen.oneOf(
       Gen.alphaNumStr,
