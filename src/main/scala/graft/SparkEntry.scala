@@ -29,6 +29,7 @@ object SparkEntry {
     "join_3way" -> (CoreQueries.join3Way _),
     "topk" -> (CoreQueries.topK _),
     "json_extract" -> (CoreQueries.jsonExtract _),
+    "json_typed" -> (CoreQueries.jsonTyped _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "text_stats" -> (TextQueries.textStats _),
     "token_count" -> (TextQueries.tokenCount _),
@@ -181,6 +182,10 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "json_typed" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
     "dedup_exact" ->
       s"""WITH d AS (SELECT doc_id, md5($NormSql) AS fp FROM documents)
          |SELECT doc_id,

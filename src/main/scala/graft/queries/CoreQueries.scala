@@ -201,6 +201,19 @@ object CoreQueries {
         countDistinct(col("o_custkey")).as("n_custs")
       )
 
+  /** Schema-full JSON parsing (`from_json` with an explicit struct
+    * schema — the typed counterpart of `get_json_object`): the parsed
+    * field is a real typed column downstream, and invalid JSON nulls the
+    * FIELDS (Spark 4 returns a struct of nulls, not a null struct; DuckDB
+    * errors instead — which is why no cross-engine "malformed" flag is
+    * exposed here). */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("p",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .select(col("event_id"), col("p.k").as("k"))
+
   /** JSON extraction from the events `props` payload (`{"k": 87}`) +
     * grouped aggregation — exact integer sums, no float hazard. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
