@@ -53,10 +53,15 @@ object Main {
       case Some(_) => new JdbcBatchSink(cfg)
       case None => new ParquetTableSink(s"$sinkDir/main")
     }
+    // --lateToConsole mirrors the reference's side-output print()
+    // (StreamingJob.java:168); default keeps the dead-letter durable
+    val lateSink: RecordSink =
+      if (cli.get("lateToConsole").contains("true")) new graft.sink.Sinks.ConsoleSink
+      else new ParquetTableSink(s"$sinkDir/late")
     val router = new Pipeline.LateRouter(
       cfg.latenessSeconds * 1000L,
       mainSink,
-      new ParquetTableSink(s"$sinkDir/late"),
+      lateSink,
       initialWatermarkMs =
         Pipeline.LateRouter.bootstrapWatermark(spark, s"$sinkDir/main/data")
     )

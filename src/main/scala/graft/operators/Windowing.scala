@@ -101,9 +101,4 @@ object Windowing {
     (flagged.filter(!col("is_late")), flagged.filter(col("is_late")))
   }
 
-  /** Streaming flavor of the event-time boundary: timestamp column +
-    * watermark with the reference's 5s lateness folded in (O4+O6). */
-  def withEventTime(df: DataFrame, epochMsCol: String, delay: String): DataFrame =
-    df.withColumn("event_time", timestamp_millis(col(epochMsCol)))
-      .withWatermark("event_time", delay)
 }

@@ -39,7 +39,8 @@ object Sinks {
     df.withColumn(
       "_valid",
       col("time").isNotNull &&
-        col("measure_value_type").isin("DOUBLE", "BIGINT", "VARCHAR", "BOOLEAN") &&
+        col("measure_value_type")
+          .isin(graft.model.TimestreamPoint.MeasureValueTypes.toSeq: _*) &&
         (col("measure_value_type") =!= "DOUBLE" || col("measure_value").try_cast("double").isNotNull) &&
         (col("measure_value_type") =!= "BIGINT" || col("measure_value").try_cast("long").isNotNull)
     )

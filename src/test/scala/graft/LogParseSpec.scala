@@ -66,6 +66,14 @@ class LogParseSpec extends SparkSuite {
     assert(r2.isNullAt(1) && r2.getLong(0) == 9L)
   }
 
+  test("model schema constant matches the typed Dataset's encoder schema") {
+    val encoded = org.apache.spark.sql.Encoders.product[graft.model.TimestreamPoint]
+      .schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val declared = graft.model.TimestreamPoint.schema
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(encoded == declared)
+  }
+
   test("typed path: parse to Dataset[TimestreamPoint] with POJO-default time") {
     val ds = LogParse.parseTyped(Seq(
       LogGen.record("GetTable", 42L, "S3", "1.5", 777L),
