@@ -45,8 +45,17 @@ object Stateful {
             var cur = state.getOption
             times.foreach { t =>
               cur match {
-                case Some(s) if t <= s.end + gapMs =>
+                // merge iff the event's gap-interval overlaps the open
+                // session's: t within [start - gap, end + gap]. Checking
+                // only the upper bound would let an ancient out-of-order
+                // event (t << start - gap) stretch the session backwards
+                // arbitrarily far.
+                case Some(s) if t <= s.end + gapMs && t >= s.start - gapMs =>
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case Some(s) if t < s.start - gapMs =>
+                  // ancient straggler: its own already-closed session;
+                  // the open session stays open
+                  closed ::= Session(user, t, t, 1)
                 case Some(s) =>
                   closed ::= Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(t, t, 1))

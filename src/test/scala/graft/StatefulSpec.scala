@@ -47,6 +47,34 @@ class StatefulSpec extends SparkSuite {
     assert(got.contains((2L, base + 610000, base + 610000, 1L)))
   }
 
+  test("ancient out-of-order event becomes its own session, not a backwards stretch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Stateful.Evt]
+    val base = 1700000000000L
+    // tolerant watermark so the ancient event reaches the function at all
+    // (with a tight watermark Spark drops it at the stateful operator's
+    // input - that's LateRouter territory); this test exercises the MERGE
+    // logic
+    val q = Stateful.sessionize(ms.toDS(), gapMs = 60000L, watermarkDelay = "3600 seconds")
+      .writeStream.format("memory").queryName("anc").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-anc")).start()
+    ms.addData(Stateful.Evt(4L, base))
+    q.processAllAvailable()
+    // 10 minutes OLDER than the open session minus gap
+    ms.addData(Stateful.Evt(4L, base - 600000L))
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(99L, base + 7200000L)) // advance watermark
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(98L, base + 9000000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anc")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Long, Long)].collect().filter(_._1 == 4L).toSet
+    // two separate sessions; the open one was NOT stretched back
+    assert(got == Set((4L, base - 600000L, 1L), (4L, base, 1L)))
+  }
+
   test("streaming dedup drops re-sent records at the state store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
