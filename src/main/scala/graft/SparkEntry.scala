@@ -128,6 +128,27 @@ object SparkEntry {
       | THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
       | ELSE [] END""".stripMargin
 
+  /** DuckDB CTE chain computing the MinHash-LSH candidate pairs; terminal
+    * CTE is `cand(doc_a, doc_b)` — shared by the `minhash_lsh`,
+    * `ngram_jaccard`, and `edit_distance_neardup` oracles (the latter two
+    * re-rank LSH candidates, mirroring the Spark side's scale design). */
+  private lazy val LshCandBody: String = {
+    val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { bd =>
+      val cat = (0 until 3).map(j => s"mh${bd * 3 + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, md5($cat) AS sig FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+       |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
+       |hh AS (SELECT doc_id, ${hash32Sql("sh")} AS h FROM shx),
+       |m AS (SELECT doc_id, $minExprs FROM hh GROUP BY doc_id),
+       |b AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
   /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
     * note DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */
@@ -239,28 +260,40 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS bag_fp
          |FROM t""".stripMargin,
     "simhash" -> s"WITH $oracleSimhashBody\nSELECT doc_id, simhash FROM sfinal",
-    "simhash_neardup" -> {
-      // reuse the simhash oracle as a CTE, then band + exact hamming
-      val simhashCte = oracleSimhashBody
-      s"""WITH $simhashCte,
-         |sh AS (SELECT doc_id, simhash FROM sfinal),
-         |banded AS (SELECT doc_id, simhash, b.b AS b, (simhash >> (8 * b.b)) & 255 AS band_val
-         |  FROM sh, (SELECT unnest(range(0, 4)) AS b) b),
+    "simhash_neardup" ->
+      // 64-bit signature as two independent 32-bit halves (lo: md5(tok),
+      // hi: md5('hi:'||tok)), banded 4×16 — mirrors TextQueries.simhash64Df
+      s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${hash32Sql("tok")} AS hlo,
+         |    ${hash32Sql("'hi:' || tok")} AS hhi FROM toks),
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN (hlo >> j) & 1 = 1 THEN 1 ELSE -1 END AS vlo,
+         |    CASE WHEN (hhi >> j) & 1 = 1 THEN 1 ELSE -1 END AS vhi
+         |  FROM h, (SELECT unnest(range(0, 32)) AS j) js),
+         |s AS (SELECT doc_id, j, sum(vlo) AS slo, sum(vhi) AS shi FROM bits GROUP BY doc_id, j),
+         |sfin AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN slo > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_lo,
+         |    CAST(sum(CASE WHEN shi > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_hi
+         |  FROM s GROUP BY doc_id),
+         |banded AS (SELECT doc_id, sh_lo, sh_hi, b.b AS b,
+         |    CASE WHEN b.b < 2 THEN (sh_lo >> (16 * b.b)) & 65535
+         |         ELSE (sh_hi >> (16 * (b.b - 2))) & 65535 END AS band_val
+         |  FROM sfin, (SELECT unnest(range(0, 4)) AS b) b),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-         |    a.simhash AS sa, c.simhash AS sb
+         |    a.sh_lo AS la, a.sh_hi AS ha, c.sh_lo AS lb, c.sh_hi AS hb
          |  FROM banded a JOIN banded c
          |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
-    },
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6""".stripMargin,
     "edit_distance_neardup" ->
-      """WITH d AS (SELECT doc_id, lang, source, n_chars, substr(text, 1, 24) AS prefix FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  AND abs(a.n_chars - b.n_chars) <= 10
-        |WHERE levenshtein(a.prefix, b.prefix) <= 15""".stripMargin,
+      s"""WITH $LshCandBody,
+         |d AS (SELECT doc_id, n_chars, substr(text, 1, 24) AS prefix FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+         |FROM cand c JOIN d a ON c.doc_a = a.doc_id JOIN d b ON c.doc_b = b.doc_id
+         |WHERE abs(a.n_chars - b.n_chars) <= 10
+         |  AND levenshtein(a.prefix, b.prefix) <= 15""".stripMargin,
     "doc_embedding_join" ->
       s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
          |  sqrt($dotSelfSql) AS vec_norm
@@ -289,29 +322,16 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
-    "minhash_lsh" -> {
-      val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
-        case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until 4).map { bd =>
-        val cat = (0 until 3).map(j => s"mh${bd * 3 + j}").mkString(" || ',' || ")
-        s"SELECT doc_id, $bd AS band, md5($cat) AS sig FROM m"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
-         |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
-         |hh AS (SELECT doc_id, ${hash32Sql("sh")} AS h FROM shx),
-         |m AS (SELECT doc_id, $minExprs FROM hh GROUP BY doc_id),
-         |b AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin
-    },
+    "minhash_lsh" ->
+      s"""WITH $LshCandBody
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
     "ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, list_distinct($ShingleSql) AS shs
-         |  FROM (SELECT doc_id, lang, source, n_chars, $WordToksSql AS ws FROM documents)),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.shs, b.shs)) AS inter, len(a.shs) AS na, len(b.shs) AS nb
-         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
-         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50)
+      s"""WITH $LshCandBody,
+         |d AS (SELECT doc_id, list_distinct($ShingleSql) AS shs
+         |  FROM (SELECT doc_id, $WordToksSql AS ws FROM documents)),
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS na, len(db.shs) AS nb
+         |  FROM cand c JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
          |FROM p""".stripMargin,

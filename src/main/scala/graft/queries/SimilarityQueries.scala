@@ -104,22 +104,23 @@ object SimilarityQueries {
   }
 
   /** Edit-distance near-dup (the fifth dedup family: exact / MinHash /
-    * SimHash / embedding-cosine / Levenshtein). Candidate pairs pruned to
-    * the same (lang, source) bucket with |Δ n_chars| ≤ 10 — a LENGTH
-    * lower-bound on edit distance, so the prune is admissible for the
-    * threshold, not just a heuristic — then exact Levenshtein on a fixed
-    * 24-char prefix (bounding the O(m·n) DP at scale; prefix length is the knob that keeps per-pair cost constant as documents grow). */
+    * SimHash / embedding-cosine / Levenshtein). Candidate pairs come from
+    * the MinHash-LSH band-signature equijoin (`minhashLsh`), keeping the
+    * pair space linear-ish at corpus scale; candidates are further pruned
+    * by |Δ n_chars| ≤ 10 — a LENGTH lower-bound on edit distance, so the
+    * prune is admissible for the threshold — then exact Levenshtein on a
+    * fixed 24-char prefix (bounding the O(m·n) DP; prefix length is the
+    * knob that keeps per-pair cost constant as documents grow). */
   def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(spark, dir)
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        substring(col("text"), 1, 24).as("prefix"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("n_chars").as("nc_a"), col("prefix").as("pa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("n_chars").as("nc_b"), col("prefix").as("pb"))
-    a.join(b,
-        col("lang") === col("lang_b") && col("source") === col("source_b") &&
-          col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 10)
+      .select(col("doc_id"), col("n_chars"), substring(col("text"), 1, 24).as("prefix"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("n_chars").as("nc_a"),
+        col("prefix").as("pa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("n_chars").as("nc_b"),
+        col("prefix").as("pb")), "doc_b")
+      .filter(abs(col("nc_a") - col("nc_b")) <= 10)
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
       .filter(col("edit_dist") <= 15)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
@@ -201,27 +202,22 @@ object SimilarityQueries {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard over pruned candidate pairs: same (lang, source)
-    * bucket and |Δ n_chars| ≤ 50 — a similarity-preserving prune that
-    * keeps the pair space linear-ish. Jaccard is |∩|/|∪| of distinct
-    * shingle sets, exact integer counts through double division. */
+  /** Exact n-gram Jaccard over MinHash-LSH candidate pairs: the candidate
+    * set comes from the band-signature equijoin (`minhashLsh`), so the
+    * pair space is bounded by LSH bucket collisions — never a
+    * (lang, source) self-join, whose buckets cover nearly the whole
+    * corpus on real data ("en" × "common_crawl" ≈ everything) and go
+    * quadratic. Exact |∩|/|∪| of distinct shingle sets then re-ranks the
+    * candidates; per-pair cost is two doc_id equijoins plus one
+    * set-intersection, linear in the candidate count. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(spark, dir)
     val docs = Tables.documents(spark, dir)
       .withColumn("ws", wordTokens(col("text")))
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        array_distinct(shingleCol(col("ws"))).as("shs")
-      )
-    val a = docs.select(
-      col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("n_chars").as("nc_a"), col("shs").as("shs_a"))
-    val b = docs.select(
-      col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("source").as("source_b"),
-      col("n_chars").as("nc_b"), col("shs").as("shs_b"))
-    a.join(b,
-        col("lang") === col("lang_b") && col("source") === col("source_b") &&
-          col("doc_a") < col("doc_b") &&
-          abs(col("nc_a") - col("nc_b")) <= 50)
+      .select(col("doc_id"), array_distinct(shingleCol(col("ws"))).as("shs"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("na", size(col("shs_a")).cast("long"))
       .withColumn("nb", size(col("shs_b")).cast("long"))

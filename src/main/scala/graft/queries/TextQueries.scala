@@ -200,29 +200,66 @@ object TextQueries {
     * matching bitwise across the rewrite). */
   def simhash(spark: SparkSession, dir: String): DataFrame = simhashDf(spark, dir)
 
-  /** SimHash near-duplicate pairs: band the 32-bit signature into 4
-    * bytes; docs sharing any band byte become candidates (the LSH
-    * equijoin — pairs whose ≤`maxHamming` differing bits straddle all 4
-    * bytes are missed, the standard recall trade-off); exact Hamming
-    * distance filters candidates. Completes the dedup family:
-    * signature + banded pairing, no all-pairs join. */
+  /** SimHash near-duplicate pairs over a 64-BIT signature banded 4×16:
+    * docs sharing any 16-bit band become candidates (the LSH equijoin);
+    * exact Hamming distance on the full 64 bits filters candidates.
+    *
+    * Why 64/16 and not 32/8: with 8-bit bands each band has only 256
+    * values, so expected bucket size is N/256 and candidate pairs grow
+    * ~N²/2⁹ — a quadratic blow-up at corpus scale that small fixtures
+    * hide. 16-bit bands give 65 536 buckets per band; expected candidates
+    * per band are ~N²/2¹⁷ of a *random* corpus but concentrate on true
+    * near-dups, which is the LSH contract. Pairs whose ≤`maxHamming`
+    * differing bits straddle all 4 bands are missed — the standard recall
+    * trade-off. The signature is stored as two 32-bit halves (`sh_lo`,
+    * `sh_hi`) so every value stays positive in a signed 64-bit BIGINT on
+    * both engines. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDf(spark, dir)
+    val sh = simhash64Df(spark, dir)
     val banded = sh.select(
-      col("doc_id"), col("simhash"),
+      col("doc_id"), col("sh_lo"), col("sh_hi"),
       explode(sequence(lit(0), lit(3))).as("b")
-    ).withColumn("band_val", expr("(simhash >> (8 * b)) & 255"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
-      col("b"), col("band_val"))
-    val bb = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
-      col("b").as("b2"), col("band_val").as("band_val2"))
+    ).withColumn(
+      "band_val",
+      expr("CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535 ELSE (sh_hi >> (16 * (b - 2))) & 65535 END")
+    )
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh_lo").as("la"),
+      col("sh_hi").as("ha"), col("b"), col("band_val"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col("sh_lo").as("lb"),
+      col("sh_hi").as("hb"), col("b").as("b2"), col("band_val").as("band_val2"))
     a.join(bb, col("b") === col("b2") && col("band_val") === col("band_val2") &&
         col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .select(col("doc_a"), col("doc_b"), col("la"), col("ha"), col("lb"), col("hb"))
       .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 6)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** 64-bit SimHash as two independent 32-bit halves: the low half votes
+    * with md5Hash32(tok), the high half with md5Hash32("hi:" ⊕ tok) — two
+    * draws from the same md5 family, exactly reproducible in the oracle.
+    * One token explode feeds ONE keyed aggregation with 64
+    * conditional-sum columns (no (doc, bit) row blow-up through the
+    * shuffle). */
+  private def simhash64Df(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+      .withColumn("hlo", md5Hash32(col("tok")))
+      .withColumn("hhi", md5Hash32(concat(lit("hi:"), col("tok"))))
+    def votes(h: String, p: String) = (0 until 32).map { j =>
+      sum(
+        expr(s"CASE WHEN (shiftright($h, $j) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+      ).as(s"$p$j")
+    }
+    def sig(p: String) = (0 until 32)
+      .map(j => when(col(s"$p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val allVotes = votes("hlo", "s") ++ votes("hhi", "t")
+    toks
+      .groupBy(col("doc_id"))
+      .agg(allVotes.head, allVotes.tail: _*)
+      .select(col("doc_id"), sig("s").as("sh_lo"), sig("t").as("sh_hi"))
   }
 
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {

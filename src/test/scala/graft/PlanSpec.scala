@@ -57,4 +57,25 @@ class PlanSpec extends SparkSuite {
     val p = plan(CoreQueries.topK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("near-dup candidate joins are keyed on LSH signatures, not (lang, source)") {
+    // The quadratic anti-pattern is a self-join keyed on low-cardinality
+    // document attributes: on a real corpus one (lang, source) bucket covers
+    // nearly everything. All three near-dup queries must derive candidates
+    // from a band-signature equijoin instead.
+    Seq(
+      SimilarityQueries.ngramJaccard(spark, dir),
+      SimilarityQueries.editDistanceNearDup(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("sig"), "candidate pairs must come from the LSH band-signature join")
+      assert(!p.contains("lang#") || !p.contains("(lang"),
+        "no join keyed on lang/source")
+      assert(!p.contains("CartesianProduct"))
+    }
+    val sp = plan(graft.queries.TextQueries.simhashNearDup(spark, dir))
+    assert(sp.contains("band_val"), "simhash candidates must join on a band value")
+    assert(sp.contains("65535"), "simhash bands must be 16-bit (4×16 over a 64-bit signature)")
+    assert(!sp.contains("CartesianProduct"))
+  }
 }
