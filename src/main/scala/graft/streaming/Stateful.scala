@@ -75,8 +75,15 @@ object Stateful {
   /** Streaming dedup on the point identity (time × dimensions) — the
     * exactly-once story SURVEY §3.3 sketches for the at-least-once sink:
     * re-sent records drop at the state store. The input must already
-    * carry a watermark (e.g. from [[Pipeline.parsed]]) — it bounds the
-    * dedup state; re-defining one here is disallowed by Spark. */
+    * carry a watermark (e.g. from [[Pipeline.parsed]]) — `dropDuplicates`
+    * only evicts state when the event-time column is among the dedup
+    * keys, which these keys (a raw epoch-ms long, not the watermarked
+    * timestamp) are not, so the plain variant would grow state without
+    * bound on a long-running stream. `dropDuplicatesWithinWatermark`
+    * evicts each key once the watermark passes its event time + delay:
+    * bounded state, and exactly the replay window the at-least-once sink
+    * needs (re-sends happen within the restart/replay horizon, not days
+    * later). */
   def dedupPoints(parsed: DataFrame): DataFrame =
-    parsed.dropDuplicates("time", "awsaccountid", "operation", "callerservice")
+    parsed.dropDuplicatesWithinWatermark("time", "awsaccountid", "operation", "callerservice")
 }

@@ -75,6 +75,34 @@ class StatefulSpec extends SparkSuite {
     assert(got == Set((4L, base - 600000L, 1L), (4L, base, 1L)))
   }
 
+  test("sessionize state stays O(users), not O(events), at 10k-user cardinality") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Stateful.Evt]
+    val base = 1700000000000L
+    val q = Stateful.sessionize(ms.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess10k").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-sess10k")).start()
+    val nUsers = 10000
+    // 3 events per user, all within one open session per user
+    val evts = (0 until nUsers).flatMap { u =>
+      Seq(Stateful.Evt(u.toLong, base + u), Stateful.Evt(u.toLong, base + u + 1000),
+        Stateful.Evt(u.toLong, base + u + 2000))
+    }
+    ms.addData(evts: _*)
+    q.processAllAvailable()
+    // one open-session state row per user — 10k rows for 30k events
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= nUsers.toLong,
+      s"state must be O(users): $stateRows rows for $nUsers users")
+    // close everything via a far-future watermark and check the output
+    ms.addData(Stateful.Evt(-1L, base + 7200000L))
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(-2L, base + 9000000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sess10k").where(col("user_id") >= 0).count() == nUsers.toLong)
+  }
+
   test("streaming dedup drops re-sent records at the state store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
@@ -91,7 +119,19 @@ class StatefulSpec extends SparkSuite {
     q.processAllAvailable()
     ms.addData(rec)                  // re-sent across batches
     q.processAllAvailable()
+    // advance the watermark far past both records' event times: the
+    // within-watermark dedup state for them must be EVICTED (the plain
+    // dropDuplicates variant would keep it forever — unbounded state on a
+    // long-running stream)
+    val recFar = LogGen.record("GetTable", 333L, "GLUE", "3.5", 1700009000000L)
+    ms.addData(recFar)
+    q.processAllAvailable()
+    ms.addData(LogGen.record("GetTable", 444L, "S3", "4.5", 1700009100000L))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     q.stop()
-    assert(spark.table("dedup").count() == 2L)
+    assert(spark.table("dedup").count() == 4L)
+    // only the keys still inside the watermark horizon remain in state
+    assert(stateRows <= 2L, s"dedup state not evicted: $stateRows rows")
   }
 }
