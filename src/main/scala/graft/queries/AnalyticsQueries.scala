@@ -74,8 +74,10 @@ object AnalyticsQueries {
   }
 
   /** 5-way star join (TPC-H Q5 shape): revenue per nation. Every
-    * dimension (region, nation, customer) broadcast; the only shuffle
-    * join is orders⋈lineitem on the natural key. */
+    * dimension (region, nation, customer) broadcast while it fits the
+    * broadcast threshold (size-guarded — customer outgrows it at large
+    * SF and then falls back to AQE); the only shuffle join is
+    * orders⋈lineitem on the natural key. */
   def join5Way(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -83,9 +85,9 @@ object AnalyticsQueries {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.broadcastIfSmall(n), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.broadcastIfSmall(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("cnt"),

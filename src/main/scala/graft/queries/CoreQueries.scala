@@ -143,14 +143,16 @@ object CoreQueries {
       .select(col("event_id"), col("ts"), col("is_late"))
 
   /** lineitem ⋈ orders ⋈ customer revenue rollup. orders⋈lineitem is the
-    * big shuffle join on the natural key; customer is small at every SF and
-    * explicitly broadcast — no second shuffle. */
+    * big shuffle join on the natural key; customer broadcasts when its
+    * size estimate fits the threshold (it does at fixture scale — no
+    * second shuffle) and falls back to AQE's choice when it doesn't
+    * (customer at sf100 is over the broadcast limit). */
   def join3Way(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),

@@ -27,6 +27,23 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Broadcast hint guarded by the session's broadcast threshold: an
+    * unconditional `broadcast(dim)` is right at fixture scale but fights
+    * AQE when the dimension outgrows the limit (customer at sf100 is
+    * ~1.5 GB — forcing that broadcast OOMs executors or falls over the
+    * 8 GB hard cap). Hint only when the optimizer's own size estimate
+    * fits the configured threshold; otherwise leave the join strategy to
+    * Catalyst/AQE. */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+      catch { case _: Exception => conf.toLong }
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && size <= threshold) broadcast(df) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
