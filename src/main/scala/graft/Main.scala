@@ -25,9 +25,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val cli = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val cli = AppConfig.parseArgs(args)
     val cfg = AppConfig.load(args)
     val sourceDir = cli.getOrElse("sourceDir", sys.error("--sourceDir required"))
     val sinkDir = cli.getOrElse("sinkDir", sys.error("--sinkDir required"))

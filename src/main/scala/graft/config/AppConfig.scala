@@ -34,12 +34,29 @@ final case class AppConfig(
 
 object AppConfig {
 
+  /** `--key value` argument scanner. Every flag must be `--`-prefixed and
+    * carry a value; a valueless flag or a stray positional token is an
+    * ERROR, not silently skipped — the fixed 2-by-2 pairing this replaces
+    * shifted the pairing after one bad token and silently mis-bound every
+    * subsequent `--key value`. */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected positional argument '$a' (expected --key value)")
+      require(i + 1 < args.length, s"missing value for '$a'")
+      require(!args(i + 1).startsWith("--"), s"missing value for '$a' (next token is a flag)")
+      out += a.drop(2) -> args(i + 1)
+      i += 2
+    }
+    out.result()
+  }
+
   /** `--key value` CLI args over a properties map over defaults. Unknown
     * keys are ignored (the reference's ParameterTool does the same). */
   def load(args: Array[String], props: Map[String, String] = Map.empty): AppConfig = {
-    val cli = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val cli = parseArgs(args)
     val m = props ++ cli
     def s(k: String, d: String) = m.getOrElse(k, d)
     AppConfig(

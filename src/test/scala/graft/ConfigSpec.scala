@@ -25,8 +25,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.sinkBatchSize == 75)
   }
 
-  test("unknown keys are ignored; malformed arg tail is ignored") {
-    val c = AppConfig.load(Array("--nonsense", "x", "dangling"))
-    assert(c == AppConfig())
+  test("unknown keys are ignored; malformed args are rejected loudly") {
+    // unknown --key value pairs are tolerated (reference ParameterTool
+    // semantics) ...
+    assert(AppConfig.load(Array("--nonsense", "x")) == AppConfig())
+    // ... but a stray positional token or a valueless flag is an error —
+    // the old 2-by-2 pairing silently mis-bound everything after one
+    intercept[IllegalArgumentException] {
+      AppConfig.load(Array("--nonsense", "x", "dangling"))
+    }
+    intercept[IllegalArgumentException] {
+      AppConfig.load(Array("--flagOnly", "--Region", "eu-west-1"))
+    }
+    intercept[IllegalArgumentException] {
+      AppConfig.load(Array("positional", "--Region", "eu-west-1"))
+    }
   }
 }
