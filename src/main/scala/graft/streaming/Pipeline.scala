@@ -67,6 +67,65 @@ object Pipeline {
         .filter(col("raw").isNotNull)
   }
 
+  /** Live Kinesis edge (O1): maps [[AppConfig]] onto the option map of
+    * the public AWS Labs Structured Streaming Kinesis connector
+    * (`spark-sql-kinesis-connector`, source format `aws-kinesis`) — the
+    * 1:1 translation of the reference consumer's tuning
+    * (StreamingJob.java:77-95: region, stream, poll interval, max
+    * records per GetRecords, adaptive-reads toggle; AUTO credentials =
+    * the connector's DefaultCredentialsProvider default, so no key
+    * options are set).
+    *
+    * The connector jar is not in this sandbox, so construction is
+    * guarded: a missing data source surfaces as a clear "add the
+    * connector jar" error instead of a raw lookup failure. The option
+    * TRANSLATION — the part that can be wrong — is a pure function,
+    * unit-tested offline. */
+  final class KinesisLogSource(cfg: AppConfig) extends LogSource {
+    override def stream(spark: SparkSession): DataFrame = {
+      val df =
+        try spark.readStream
+          .format(KinesisLogSource.Format)
+          .options(KinesisLogSource.options(cfg))
+          .load()
+        catch {
+          case e: Exception =>
+            throw new IllegalStateException(
+              s"Kinesis source '${KinesisLogSource.Format}' unavailable — put the " +
+                "spark-sql-kinesis-connector jar on the classpath (offline edges: " +
+                "FileLogSource / GzipFileLogSource / MemoryStream)", e)
+        }
+      // record payload → one string column `raw`, the LogSource contract
+      // (SimpleStringSchema parity, StreamingJob.java:102)
+      df.select(col("data").cast("string").as("raw"))
+    }
+  }
+
+  object KinesisLogSource {
+    val Format = "aws-kinesis"
+
+    /** Connector options from config — reference parity key by key. */
+    def options(cfg: AppConfig): Map[String, String] = Map(
+      "kinesis.streamName" -> cfg.streamName,
+      "kinesis.region" -> cfg.region,
+      "kinesis.endpointUrl" -> s"https://kinesis.${cfg.region}.amazonaws.com",
+      // the reference reads from LATEST (FlinkKinesisConsumer default
+      // STREAM_INITIAL_POSITION, StreamingJob.java:80-82)
+      "kinesis.startingPosition" -> "LATEST",
+      // SHARD_GETRECORDS_INTERVAL_MILLIS (StreamingJob.java:90-91);
+      // adaptive reads (StreamingJob.java:84-88) let the consumer adapt
+      // its fetch cadence to throughput — the connector's minimum
+      // interval is the floor it adapts against, so the same knob maps
+      // either way
+      "kinesis.getRecords.fetchIntervalMs" -> cfg.pollIntervalMs.toString,
+      // SHARD_GETRECORDS_MAX (StreamingJob.java:93-94)
+      "kinesis.getRecords.maxRecordsPerFetch" -> cfg.maxRecordsPerPoll.toString,
+      // GetRecords polling vs SubscribeToShard push: adaptive reads are
+      // the polling consumer's self-tuning; EFO push replaces the need
+      "kinesis.consumerType" -> (if (cfg.useAdaptiveReads) "SubscribeToShard" else "GetRecords")
+    )
+  }
+
   /** Parse + event-time + watermark (O3+O4+O6): the batch parser reused
     * verbatim — one relational core for both modes. */
   def parsed(raw: DataFrame, cfg: AppConfig): DataFrame =
@@ -76,7 +135,11 @@ object Pipeline {
   /** Streaming flagship aggregation (O5): keyed tumbling window stats.
     * Uses `functions.window` here — the streaming state store keys on the
     * window struct (unlike the batch path, where arithmetic bucketing
-    * avoids a filter-pushdown double-parse; see Windowing.tumble). */
+    * avoids a filter-pushdown double-parse; see Windowing.tumble). The
+    * average is exact-decimal sum ÷ count cast through double, the same
+    * arithmetic as the batch `Windowing.tumblingStats` — a bare float
+    * `avg()` depends on partial-aggregation order and would break the
+    * streaming-vs-batch parity the tests assert. */
   def windowedStats(parsedDf: DataFrame, cfg: AppConfig): DataFrame =
     parsedDf
       .groupBy(
@@ -88,12 +151,13 @@ object Pipeline {
         count(lit(1)).as("cnt"),
         min(col("latency")).as("min_latency"),
         max(col("latency")).as("max_latency"),
-        avg(col("latency")).as("avg_latency")
+        sum(col("latency").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("_sum_dec")
       )
       .select(
         col("window.start").as("window_start"),
         col("callerservice"), col("operation"),
-        col("cnt"), col("min_latency"), col("max_latency"), col("avg_latency")
+        col("cnt"), col("min_latency"), col("max_latency"),
+        (col("_sum_dec").cast("double") / col("cnt")).as("avg_latency")
       )
 
   /** Sliding-window flavor (the reference imports sliding windows but
@@ -105,10 +169,14 @@ object Pipeline {
         window(col("event_time"), winDur, slide),
         col("callerservice"), col("operation")
       )
-      .agg(count(lit(1)).as("cnt"), avg(col("latency")).as("avg_latency"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("latency").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("_sum_dec")
+      )
       .select(
         col("window.start").as("window_start"),
-        col("callerservice"), col("operation"), col("cnt"), col("avg_latency")
+        col("callerservice"), col("operation"), col("cnt"),
+        (col("_sum_dec").cast("double") / col("cnt")).as("avg_latency")
       )
 
   /** Built-in session-window aggregation (gap-based), the declarative

@@ -44,17 +44,59 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("window_start").distinct().count() == 10L)
 
     // streaming ↔ batch parity: the same records through the BATCH
-    // windowing core must produce identical (window, key, count) triples
+    // windowing core must produce identical rows INCLUDING the float
+    // aggregates — both paths compute avg as exact-decimal sum ÷ count
+    // through double, so equality is exact, not approximate
     val batch = graft.operators.Windowing.tumblingStats(
       graft.functions.LogParse.parse(recs.toDF("raw"), "raw"),
       "event_time", Seq("callerservice", "operation"), 10000L, "latency")
     val batchSet = batch
-      .select(col("window_start"), col("callerservice"), col("operation"), col("cnt"))
-      .as[(java.sql.Timestamp, String, String, Long)].collect().toSet
+      .select(col("window_start"), col("callerservice"), col("operation"),
+        col("cnt"), col("min_value"), col("max_value"), col("avg_value"))
+      .as[(java.sql.Timestamp, String, String, Long, Double, Double, Double)]
+      .collect().toSet
     val streamSet = got
-      .select(col("window_start"), col("callerservice"), col("operation"), col("cnt"))
-      .as[(java.sql.Timestamp, String, String, Long)].collect().toSet
+      .select(col("window_start"), col("callerservice"), col("operation"),
+        col("cnt"), col("min_latency"), col("max_latency"), col("avg_latency"))
+      .as[(java.sql.Timestamp, String, String, Long, Double, Double, Double)]
+      .collect().toSet
     assert(streamSet == batchSet)
+  }
+
+  test("update mode re-emits a window for an in-grace late record (Flink allowedLateness analog)") {
+    // Flink's allowedLateness(5s) RE-FIRES a closed window when a record
+    // arrives within the grace period (StreamingJob.java:149). Spark's
+    // closest analog is Update output mode: a window whose state is still
+    // live (window end > watermark) re-emits its updated row. This test
+    // pins that substitution down: the window fires with cnt=2, then an
+    // out-of-order record 4s behind the watermark lands in the still-open
+    // window and the window re-fires with cnt=3.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val base = 1700000000000L // epoch-aligned 10s boundary
+    val cfg = AppConfig() // 10s window, 5s lateness
+    def rec(offMs: Long) = LogGen.record("GetTable", 1L, "GLUE", "1.0", base + offMs)
+    val agg = Pipeline.windowedStats(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), cfg), cfg)
+    val q = agg.writeStream
+      .format("memory").queryName("refire").outputMode("update")
+      .option("checkpointLocation", tmp("ckpt-refire"))
+      .start()
+    // batch 1: two records in window [base, base+10s) plus one at +11s
+    // that drags the watermark to +6s — past the first two, window open
+    ms.addData(rec(0), rec(1000), rec(11000))
+    q.processAllAvailable()
+    // batch 2: +2s record is 4s behind the watermark (late!) but its
+    // window end (+10s) is still ahead of it — accepted, window re-fires
+    ms.addData(rec(2000))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = new java.sql.Timestamp(base)
+    val emissions = spark.table("refire")
+      .filter(col("window_start") === lit(w0))
+      .select("cnt").as[Long].collect().sorted.toSeq
+    assert(emissions == Seq(2L, 3L),
+      s"expected first fire cnt=2 then re-fire cnt=3, got $emissions")
   }
 
   test("late router reproduces --percent-late: late records hit the dead letter") {
@@ -190,6 +232,27 @@ class StreamingSpec extends SparkSuite {
     q.awaitTermination(120000)
     val total = spark.table("slide_agg").agg(sum("cnt")).as[Long].collect()(0)
     assert(total == 80L) // 40 records x 2 overlapping windows each
+  }
+
+  test("KinesisLogSource: reference-parity option translation; missing connector guarded") {
+    val cfg = AppConfig(region = "eu-west-1", streamName = "mystream",
+      pollIntervalMs = 250L, maxRecordsPerPoll = 5000, useAdaptiveReads = false)
+    val opts = Pipeline.KinesisLogSource.options(cfg)
+    assert(opts("kinesis.streamName") == "mystream")
+    assert(opts("kinesis.region") == "eu-west-1")
+    assert(opts("kinesis.endpointUrl") == "https://kinesis.eu-west-1.amazonaws.com")
+    assert(opts("kinesis.startingPosition") == "LATEST")
+    assert(opts("kinesis.getRecords.fetchIntervalMs") == "250")   // StreamingJob.java:90-91
+    assert(opts("kinesis.getRecords.maxRecordsPerFetch") == "5000") // StreamingJob.java:93-94
+    assert(opts("kinesis.consumerType") == "GetRecords")
+    assert(Pipeline.KinesisLogSource.options(cfg.copy(useAdaptiveReads = true))
+      .apply("kinesis.consumerType") == "SubscribeToShard")      // StreamingJob.java:84-88
+    // no connector jar in this sandbox: construction must fail with the
+    // actionable guard, not a raw data-source lookup stack
+    val e = intercept[IllegalStateException] {
+      new Pipeline.KinesisLogSource(cfg).stream(spark)
+    }
+    assert(e.getMessage.contains("connector"))
   }
 
   test("built-in session_window aggregation over a memory stream") {
