@@ -115,6 +115,29 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode using the JDK's own codecs (`javax.imageio`: PNG,
+    * GIF, BMP, JPEG — no external libraries). Returns the actual pixel
+    * dimensions and color-component count; `None` when no installed
+    * reader recognises the bytes. Plugged into [[decodeBatch]] this
+    * upgrades the multimodal path from "plumbing proven" to "decode
+    * proven" for the formats the JDK ships. */
+  val imageIoDecoder: Array[Byte] => Option[(Int, Int, Int)] = { bytes =>
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+      } catch { case _: Exception => None }
+  }
+
+  /** Default production decoder: real JDK decode first, deterministic
+    * stub for payloads no reader recognises (e.g. the text-derived
+    * fixture payloads), so a mixed-format corpus still decodes every
+    * row. */
+  val imageIoWithStubFallback: Array[Byte] => Option[(Int, Int, Int)] =
+    bytes => imageIoDecoder(bytes).orElse(stubDecoder(bytes))
+
   /** The oracle-checked multimodal query: documents → payload + metadata +
     * stub decode + stub features. */
   def metaQuery(docs: DataFrame): DataFrame = {

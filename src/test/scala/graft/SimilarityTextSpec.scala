@@ -107,6 +107,38 @@ class SimilarityTextSpec extends SparkSuite {
     assert(fixed.forall(d => d.width == 640 && d.height == 480))
   }
 
+  test("real PNG/BMP decode through decodeBatch via the JDK's imageio") {
+    // generate real image bytes in-test — no external fixtures or codecs
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, imageBytes(17, 9, "png")),
+      (2L, imageBytes(64, 48, "bmp")),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, Array.empty[Byte])
+    ).toDS()
+    val out = graft.operators.Multimodal
+      .decodeBatch(payloads, graft.operators.Multimodal.imageIoDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).width == 17 && out(0).height == 9 && out(0).channels == 3)
+    assert(out(1).ok && out(1).width == 64 && out(1).height == 48 && out(1).channels == 3)
+    assert(!out(2).ok) // unrecognised bytes -> rejected, not mis-decoded
+    assert(!out(3).ok)
+    // the mixed-corpus default: real decode when possible, stub otherwise
+    val mixed = graft.operators.Multimodal
+      .decodeBatch(payloads, graft.operators.Multimodal.imageIoWithStubFallback)
+      .collect().sortBy(_.doc_id)
+    assert(mixed(0).width == 17)   // real decode won
+    assert(mixed(2).ok)            // text payload fell back to the stub
+    assert(!mixed(3).ok)           // empty still rejected by both
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)
