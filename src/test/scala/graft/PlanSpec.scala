@@ -58,6 +58,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("window_agg scans its input exactly once (no filter-pushdown double-parse)") {
+    // the TimeWindowing rule's isnotnull filter can get the whole parse
+    // expression substituted into the scan, parsing every row twice; the
+    // arithmetic-bucket batch path exists to avoid that — one scan, one
+    // parse (PLANS.md "window_agg")
+    val p = plan(CoreQueries.windowAgg(spark, dir))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1)
+    assert(p.contains("HashAggregate")) // partial+final, map-side combine
+  }
+
+  test("salted_agg: first exchange is keyed on (keys, salt), second on keys alone") {
+    val p = plan(graft.queries.TextQueries.saltedAgg(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.exists(_.contains("_salt")),
+      "pre-aggregation shuffle must spread the hot key over salt buckets")
+    assert(exchanges.exists(e => e.contains("event_type") && !e.contains("_salt")),
+      "final combine shuffles on the bare keys")
+  }
+
+  test("top-k windows prune with WindowGroupLimit (knn_cosine, ann_ivf)") {
+    // rank-filter top-k must push the per-partition limit into the window
+    // operator, not materialize every scored pair then filter
+    Seq(
+      SimilarityQueries.knnCosine(spark, dir),
+      SimilarityQueries.annIvf(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), "rank<=k must prune inside the window op")
+    }
+  }
+
   test("near-dup candidate joins are keyed on LSH signatures, not (lang, source)") {
     // The quadratic anti-pattern is a self-join keyed on low-cardinality
     // document attributes: on a real corpus one (lang, source) bucket covers
