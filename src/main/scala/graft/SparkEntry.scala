@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.queries.{AnalyticsQueries, CoreQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, SimilarityQueries, TextQueries}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -70,8 +70,14 @@ object SparkEntry {
     "value_histogram" -> (AnalyticsQueries.valueHistogram _),
     "stats_agg" -> (AnalyticsQueries.statsAgg _),
     "pivot_agg" -> (AnalyticsQueries.pivotAgg _),
+    "dedup_clusters" -> (CurationQueries.dedupClusters _),
+    "tfidf_top" -> (CurationQueries.tfidfTop _),
+    "sample_stratified" -> (CurationQueries.sampleStratified _),
+    "pii_redact" -> (CurationQueries.piiRedact _),
+    "repetition_score" -> (CurationQueries.repetitionScore _),
+    "embed_quantize" -> (CurationQueries.embedQuantize _),
     // no oracle entry (sketches are engine-specific): driver records a
-    // rows-only check, by design
+    // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
   )
 
@@ -517,6 +523,64 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
         |FROM events GROUP BY user_id % 10""".stripMargin,
+    "dedup_clusters" ->
+      // connected components over the LSH candidate pairs: transitive
+      // closure via recursive CTE, then min anchor per doc — mirrors the
+      // Spark side's iterative min-label propagation exactly
+      s"""WITH RECURSIVE $LshCandBody,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, anchor) AS (
+         |  SELECT doc_id, doc_id AS anchor FROM documents
+         |  UNION
+         |  SELECT e.dst, r.anchor FROM reach r JOIN edges e ON r.doc_id = e.src
+         |)
+         |SELECT doc_id, min(anchor) AS cluster FROM reach GROUP BY doc_id""".stripMargin,
+    "tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |s AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+         |    CAST(t.tf AS DOUBLE) / CAST(d.df + 1 AS DOUBLE) AS score
+         |  FROM tf t JOIN dfreq d ON t.tok = d.tok),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    ${hash32Sql("lang || ':' || text")} % 100 AS bucket FROM documents)
+         |SELECT doc_id, lang, bucket FROM d WHERE bucket < 10""".stripMargin,
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  length(regexp_replace(regexp_replace(text, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g')) AS redacted_len
+         |FROM documents""".stripMargin,
+    "repetition_score" ->
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
+         |c AS (SELECT doc_id, sh, count(*) AS cnt FROM shx GROUP BY doc_id, sh)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+         |  CAST(max(cnt) AS BIGINT) AS max_rep,
+         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_ratio
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH x AS (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd FROM embeddings),
+         |s AS (SELECT vec_id, xd, list_min(xd) AS mn,
+         |    (list_max(xd) - list_min(xd)) / 255.0 AS scale FROM x),
+         |q AS (SELECT vec_id, xd, mn, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(xd, v -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(xd, v -> least(CAST(255 AS BIGINT),
+         |             CAST(floor((v - mn) / scale) AS BIGINT))) END AS qv
+         |  FROM s)
+         |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  CASE WHEN scale = 0 THEN 0.0
+         |       ELSE list_max(list_transform(range(1, len(xd) + 1),
+         |           i -> abs(xd[i] - (mn + (qv[i] + 0.5) * scale)))) END AS max_err
+         |FROM q""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -73,4 +73,17 @@ object TextFunctions {
     * portable per-token hash both engines reproduce bit-for-bit. */
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** PII patterns, written in the regex subset Java and RE2 share (no
+    * backrefs, no lookaround) so the DuckDB oracle runs the identical
+    * automaton. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Phone-shaped runs: optional +, then ≥8 digits allowing separators —
+    * deliberately conservative (a bare 4-digit number is NOT a phone). */
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Replace emails then phone-shaped runs with placeholder tags. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators a training-data pipeline runs after the
+  * similarity/dedup passes: near-dup CLUSTERING (the step that turns LSH
+  * candidate pairs into keep/drop decisions), TF-IDF term weighting,
+  * deterministic stratified sampling, PII redaction, repetition scoring,
+  * and int8 embedding quantization.
+  *
+  * Scale notes (100 TB): everything here is scans + narrow maps + compact
+  * key shuffles, except [[dedupClusters]], which is the standard iterative
+  * min-label propagation (Pregel-style): one equijoin shuffle per round,
+  * rounds ≤ component diameter (LSH near-dup components are shallow —
+  * a handful of rounds in practice). Nothing collects rows to the driver;
+  * the driver loop only counts convergence.
+  */
+object CurationQueries {
+
+  /** Near-duplicate CLUSTERS from MinHash-LSH candidate pairs: connected
+    * components by iterative min-label propagation. Every doc starts as
+    * its own cluster id; each round every node adopts the min id among
+    * itself and its neighbors; converged when no label changes. The
+    * result assigns every document (singletons included) the minimal
+    * doc_id of its component — the "keeper" a dedup pass would retain.
+    *
+    * Each round is one distributed equijoin + keyed min — the shape that
+    * scales to 10⁹ edges (GraphX/Pregel does exactly this; large-star /
+    * small-star halves the rounds if diameter ever matters). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SimilarityQueries.minhashLsh(spark, dir)
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = adj.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")
+        )
+        .cache()
+      changed = next.as("n")
+        .join(labels.select(col("doc_id").as("o_id"), col("cluster").as("old")),
+          col("doc_id") === col("o_id"))
+        .filter(col("cluster") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** TF-IDF-style term weighting, top 3 terms per document. The score is
+    * tf/(df+1) — a document-frequency-damped term frequency. Rational
+    * arithmetic by construction (integer ÷ integer through double), so
+    * the oracle reproduces it bit-for-bit; a log-based idf would hang the
+    * comparison on libm ULP differences between engines. The df side is
+    * vocabulary-sized (≪ corpus) — broadcast-able at any scale. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .withColumn("score", col("tf").cast("double") / (col("df") + 1L).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic stratified Bernoulli sample: keep a doc iff its md5
+    * bucket (over lang ⊕ text) falls under the per-stratum rate — the
+    * portable, seedless sampling every reproducible pipeline needs (same
+    * rows selected on any engine, any partitioning, any day). 10% here. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(md5Hash32(concat(col("lang"), lit(":"), col("text"))), lit(100L)))
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  /** PII redaction profile: emails and phone-shaped digit runs replaced
+    * by placeholder tags; per-doc counts plus the redacted length. The
+    * patterns live in [[graft.functions.TextFunctions]] and are written
+    * in the regex subset Java and RE2 share, so the oracle applies the
+    * identical automaton. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        length(redactPii(col("text"))).cast("long").as("redacted_len")
+      )
+
+  /** Repetition score: share of the document's word 3-grams taken by its
+    * single most repeated 3-gram — the boilerplate/spam signal (near-1 ⇒
+    * the doc is one phrase repeated). Docs under 3 tokens have no
+    * shingles and drop out. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(SimilarityQueries.shingleColPublic(col("ws"))).as("sh"))
+    sh.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_shingles"), max(col("cnt")).as("max_rep"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("max_rep"),
+        (col("max_rep").cast("double") / col("n_shingles").cast("double")).as("rep_ratio")
+      )
+  }
+
+  /** Int8 embedding quantization: per-vector min/max affine scale to
+    * [0, 255] (floor, clamped), plus the max reconstruction error at
+    * midpoint dequantization — the storage-shrinking step before an ANN
+    * index is built (4 bytes → 1 byte per dim). All arithmetic is
+    * fixed-order IEEE double (widening float casts, min/max, one
+    * division, floor), so the oracle matches exactly; constant vectors
+    * (scale 0) quantize to all-zeros with zero error. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xd: Column = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .withColumn("xd", xd)
+      .withColumn("mn", array_min(col("xd")))
+      .withColumn("scale", (array_max(col("xd")) - col("mn")) / lit(255.0))
+      .withColumn(
+        "qv",
+        when(col("scale") === 0.0, transform(col("xd"), _ => lit(0L)))
+          .otherwise(transform(col("xd"),
+            x => least(lit(255L), floor((x - col("mn")) / col("scale")).cast("long"))))
+      )
+      .select(
+        col("vec_id"),
+        size(col("qv")).cast("long").as("n_dims"),
+        aggregate(col("qv"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(array_max(zip_with(col("xd"), col("qv"),
+            (x, q) => abs(x - (col("mn") + (q.cast("double") + lit(0.5)) * col("scale"))))))
+          .as("max_err")
+      )
+  }
+}

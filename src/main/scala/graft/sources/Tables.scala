@@ -24,7 +24,26 @@ object Tables {
     * a no-op — never an unconditional reshuffle of a big input. */
   def distribute(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // estimate the scan's split count from file metadata instead of
+    // df.rdd.getNumPartitions — materializing the RDD lineage just to
+    // count partitions forces physical planning twice per call. Any real
+    // multi-file table short-circuits on file count; few-but-huge files
+    // estimate their maxPartitionBytes splits (driver-side metadata
+    // lookups only, and only when fewer files than cores).
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: Exception => 0L }
+      }.sum
+      val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      if (math.max(1L, (bytes + maxPart - 1) / maxPart) < target) df.repartition(target)
+      else df
+    }
   }
 
   /** Broadcast hint guarded by the session's broadcast threshold: an

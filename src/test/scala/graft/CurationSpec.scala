@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.queries.{CurationQueries, SimilarityQueries}
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pii redaction replaces emails and phone runs, leaves prose alone") {
+    val df = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or +1 (555) 123-4567 now"),
+      (2L, "no pii here, just 42 words and the year 2024")
+    ).toDF("doc_id", "text")
+    val red = df.select(
+      col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("r"),
+      size(regexp_extract_all(col("text"), lit(TextFunctions.EmailRe), lit(0))).as("ne"),
+      size(regexp_extract_all(col("text"), lit(TextFunctions.PhoneRe), lit(0))).as("np")
+    ).collect().sortBy(_.getLong(0))
+    assert(red(0).getAs[String]("r") == "contact <EMAIL> or <PHONE> now")
+    assert(red(0).getAs[Int]("ne") == 1 && red(0).getAs[Int]("np") == 1)
+    // short numbers and years must NOT be flagged as phones
+    assert(red(1).getAs[String]("r") == "no pii here, just 42 words and the year 2024")
+    assert(red(1).getAs[Int]("ne") == 0 && red(1).getAs[Int]("np") == 0)
+  }
+
+  test("dedup clusters: LSH pairs co-clustered, labels are component minima") {
+    val pairs = SimilarityQueries.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = CurationQueries.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 500) // every document labeled, singletons included
+    // both ends of every candidate edge share a cluster (transitivity is
+    // what the iterative propagation adds over the raw pair list)
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"($a,$b) split") }
+    // the label IS the minimal member of its cluster
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(cl == members.keys.min)
+    }
+    // docs touching no edge keep their own id
+    val inEdges = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => inEdges(kv._1)).foreach { case (d, c) => assert(d == c) }
+  }
+
+  test("stratified sample is deterministic and near the 10% rate") {
+    val d01 = "/root/testdata/sf0.01"
+    val s1 = CurationQueries.sampleStratified(spark, d01).collect().map(_.getLong(0)).toSet
+    val s2 = CurationQueries.sampleStratified(spark, d01).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // seedless determinism — same rows on every run/engine
+    assert(s1.size > 20 && s1.size < 90, s"10% of 500 expected, got ${s1.size}")
+  }
+
+  test("embedding quantization: midpoint dequantization error is bounded by scale/2") {
+    val q = CurationQueries.embedQuantize(spark, dir)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("xd", transform(col("embedding"), x => x.cast("double")))
+      .select(col("vec_id"),
+        ((array_max(col("xd")) - array_min(col("xd"))) / lit(255.0)).as("scale"))
+    val joined = q.join(e, "vec_id")
+      .select(col("vec_id"), col("max_err"), col("scale"), col("n_dims"), col("q_sum"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (err, scale) = (r.getAs[Double]("max_err"), r.getAs[Double]("scale"))
+      assert(err <= scale * 0.5 * 1.0000001, s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+      assert(r.getAs[Long]("q_sum") >= 0 && r.getAs[Long]("q_sum") <= 255L * r.getAs[Long]("n_dims"))
+    }
+  }
+
+  test("tfidf: at most 3 terms per doc, scores are tf/(df+1)") {
+    val rows = CurationQueries.tfidfTop(spark, dir).collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        r.getAs[Long]("tf").toDouble / (r.getAs[Long]("df") + 1L).toDouble)
+    }
+  }
+}
