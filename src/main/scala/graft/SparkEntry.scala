@@ -76,6 +76,8 @@ object SparkEntry {
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
+    "pack_sequences" -> (CurationQueries.packSequences _),
+    "incremental_dedup" -> (CurationQueries.incrementalDedup _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -581,6 +583,21 @@ object SparkEntry {
          |       ELSE list_max(list_transform(range(1, len(xd) + 1),
          |           i -> abs(xd[i] - (mn + (qv[i] + 0.5) * scale)))) END AS max_err
          |FROM q""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${hash32Sql("text")} % 8 AS shard,
+         |    CAST(len($WordToksSql) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT doc_id, shard, n_tok,
+         |    COALESCE(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
+         |standing AS (SELECT DISTINCT fp FROM d WHERE doc_id % 4 <> 0),
+         |fresh AS (SELECT doc_id, fp FROM d WHERE doc_id % 4 = 0)
+         |SELECT doc_id, fp FROM fresh f
+         |WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.fp = f.fp)""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

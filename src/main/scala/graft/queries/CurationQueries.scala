@@ -45,19 +45,27 @@ object CurationQueries {
     while (changed > 0 && rounds < 20) {
       val nbrMin = adj.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(
+      // one join per round: the change count is derivable from the same
+      // joined frame (a label changes iff nbr_min < cluster), so cache it
+      // and take both the count and the next labels from the cache instead
+      // of re-joining old vs new labels
+      val joined = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("cluster"), col("nbr_min"))
+        .cache()
+      changed = joined.filter(col("nbr_min") < col("cluster")).count()
+      if (changed == 0) {
+        // converged: current labels are already final, keep them
+        joined.unpersist()
+      } else {
+        val next = joined.select(
           col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")
-        )
-        .cache()
-      changed = next.as("n")
-        .join(labels.select(col("doc_id").as("o_id"), col("cluster").as("old")),
-          col("doc_id") === col("o_id"))
-        .filter(col("cluster") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+        ).cache()
+        next.count() // materialize off the joined cache before dropping it
+        labels.unpersist()
+        joined.unpersist()
+        labels = next
+      }
       rounds += 1
     }
     adj.unpersist()
@@ -123,6 +131,48 @@ object CurationQueries {
         col("doc_id"), col("n_shingles"), col("max_rep"),
         (col("max_rep").cast("double") / col("n_shingles").cast("double")).as("rep_ratio")
       )
+  }
+
+  /** Sequence packing: lay documents end-to-end inside each training
+    * shard and cut fixed token-budget bins (512 tokens here) — the step
+    * that turns a deduped corpus into dense fixed-length training
+    * sequences. Each doc's start offset is the running token count of its
+    * predecessors in (shard, doc_id) order; its bin is `start DIV budget`
+    * (a doc crossing the boundary belongs to the bin where it starts).
+    *
+    * Deterministic by construction — same shard hash, same order, same
+    * bins on any engine/partitioning. Scale: one window-sort per shard;
+    * shard count is the parallelism knob (real runs use O(cluster)
+    * shards, so no shard's token stream outgrows one task). Integer
+    * division throughout — a double cumsum would silently lose precision
+    * past 2^53 total tokens. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("shard", pmod(md5Hash32(col("text")), lit(8L)))
+      .withColumn("n_tok", size(wordTokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tok"))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr("start_tok DIV 512"))
+  }
+
+  /** Incremental (cross-snapshot) dedup: of a fresh ingest batch, keep
+    * only documents whose content fingerprint does NOT already exist in
+    * the standing corpus — the anti-join every rolling crawl pipeline
+    * runs before appending. The snapshot split here is deterministic
+    * (doc_id % 4 == 0 plays the fresh batch). Scale: both sides reduce
+    * to 32-hex fingerprints before the shuffle (32 bytes/doc, never text
+    * bodies), and the anti-join is a plain equijoin Spark can also
+    * runtime-bloom-filter; the standing-corpus side is `distinct`-ed
+    * fingerprints only. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    val standing = d.filter(col("doc_id") % 4 =!= 0).select(col("fp")).distinct()
+    d.filter(col("doc_id") % 4 === 0)
+      .join(standing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
   }
 
   /** Int8 embedding quantization: per-vector min/max affine scale to

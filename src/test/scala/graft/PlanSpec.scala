@@ -109,4 +109,48 @@ class PlanSpec extends SparkSuite {
     assert(sp.contains("65535"), "simhash bands must be 16-bit (4×16 over a 64-bit signature)")
     assert(!sp.contains("CartesianProduct"))
   }
+
+  test("tfidf_top: per-doc top-k prunes with WindowGroupLimit; df side shuffles compact keys") {
+    val p = plan(graft.queries.CurationQueries.tfidfTop(spark, dir))
+    assert(p.contains("WindowGroupLimit"), "rk<=3 must prune inside the window op")
+    assert(!p.contains("CartesianProduct"))
+    // the scan feeding tokenization reads only (doc_id, text)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
+  test("dedup_clusters: label propagation rounds are equijoins, never cartesian") {
+    val p = plan(graft.queries.CurationQueries.dedupClusters(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join") || p.contains("InMemoryTableScan"))
+  }
+
+  test("incremental_dedup: anti-join shuffles 32-hex fingerprints, never text bodies") {
+    val p = plan(graft.queries.CurationQueries.incrementalDedup(spark, dir))
+    assert(p.contains("LeftAnti"), "must plan an anti-join")
+    assert(!p.contains("CartesianProduct"))
+    // the join operates on derived fingerprints: text must not survive
+    // past the scan's projection into any exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text#")), "no exchange may carry the text column")
+  }
+
+  test("pack_sequences: one window-sort per shard, shard is the partition key") {
+    val p = plan(graft.queries.CurationQueries.packSequences(spark, dir))
+    assert(p.contains("Window"), "running offset must be a window aggregate")
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") && l.contains("shard")),
+      "window exchange must partition by shard")
+  }
+
+  test("embed_quantize / pii_redact: narrow scans, no shuffle at all") {
+    // pure per-row transforms: the plan must be scan → project, zero exchanges
+    Seq(
+      graft.queries.CurationQueries.embedQuantize(spark, dir),
+      graft.queries.CurationQueries.piiRedact(spark, dir),
+      graft.queries.CurationQueries.sampleStratified(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row transform must not shuffle:\n$p")
+    }
+  }
 }
