@@ -37,7 +37,12 @@ object CurationQueries {
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = Tables.documents(spark, dir)
+    // Iterate ONLY over nodes that touch an edge: a doc with no LSH
+    // candidate can never change labels, and on a real corpus the
+    // near-dup subgraph is a sliver of the whole (the full label table
+    // would pay |corpus| shuffle rows per round for nothing). Singletons
+    // rejoin at the end with cluster = own id.
+    var labels = adj.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()
     var changed = 1L
@@ -69,7 +74,10 @@ object CurationQueries {
       rounds += 1
     }
     adj.unpersist()
-    labels
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "prop_cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("prop_cluster"), col("doc_id")).as("cluster"))
   }
 
   /** TF-IDF-style term weighting, top 3 terms per document. The score is
