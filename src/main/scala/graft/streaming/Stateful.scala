@@ -86,4 +86,41 @@ object Stateful {
     * later). */
   def dedupPoints(parsed: DataFrame): DataFrame =
     parsed.dropDuplicatesWithinWatermark("time", "awsaccountid", "operation", "callerservice")
+
+  /** Stream-static enrichment: join each streaming point against a
+    * batch dimension table (operation → metadata). The static side plans
+    * as a broadcast per micro-batch — no streaming state at all, the
+    * cheapest join a streaming pipeline can run, and the right shape for
+    * any dimension that fits the broadcast threshold (re-read on restart;
+    * slowly-changing dims become a new broadcast on redeploy). */
+  def enrich(parsed: DataFrame, dim: DataFrame, key: String): DataFrame =
+    parsed.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream interval join: correlate each point on
+    * stream A with points on stream B for the same key within
+    * [0, horizonSec] AFTER it — request/follow-up correlation. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, so Spark derives a state-eviction horizon for each
+    * side instead of buffering streams forever (state is O(rows within
+    * the watermark window), the only scalable shape for stream-stream
+    * joins). Inner join: unmatched rows age out of state silently. */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      horizonSec: Int,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    val l = left.withWatermark("event_time", watermarkDelay)
+      .select(col(key).as("l_key"), col("event_time").as("l_time"))
+    val r = right.withWatermark("event_time", watermarkDelay)
+      .select(col(key).as("r_key"), col("event_time").as("r_time"))
+    l.join(
+      r,
+      col("l_key") === col("r_key") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $horizonSec SECONDS"),
+      "inner"
+    )
+  }
 }

@@ -47,6 +47,64 @@ class StatefulSpec extends SparkSuite {
     assert(got.contains((2L, base + 610000, base + 610000, 1L)))
   }
 
+  test("stream-static enrich: broadcast dimension join, no streaming state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val dim = Seq(("GetItem", "read"), ("PutItem", "write")).toDF("operation", "kind")
+    val stream = ms.toDS().toDF("operation", "latency")
+    val q = Stateful.enrich(stream, dim, "operation")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-enr")).start()
+    ms.addData(("GetItem", 5L), ("PutItem", 9L), ("Unknown", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("operation", "latency", "kind")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("GetItem", 5L, Some("read")),
+      ("PutItem", 9L, Some("write")),
+      ("Unknown", 1L, None) // left join: unmatched streaming rows survive
+    ))
+    // no stateful operator: a stream-static join keeps zero streaming state
+    assert(q.lastProgress.stateOperators.isEmpty)
+  }
+
+  test("stream-stream interval join correlates within horizon and bounds state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reqs = MemoryStream[(Long, Long)]
+    val acks = MemoryStream[(Long, Long)]
+    val base = 1700000000000L
+    def withTime(ms: MemoryStream[(Long, Long)]) =
+      ms.toDS().toDF("key", "t").withColumn("event_time", timestamp_millis(col("t")))
+    val joined = Stateful.correlate(
+      withTime(reqs), withTime(acks), "key", horizonSec = 30, watermarkDelay = "0 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("corr").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-corr")).start()
+    reqs.addData((1L, base), (2L, base))
+    // key 1 acks inside the 30s horizon; key 2 acks outside it; key 3
+    // never had a request
+    acks.addData((1L, base + 10000), (2L, base + 40000), (3L, base + 5000))
+    q.processAllAvailable()
+    // advance both watermarks past every buffered row so inner-join state
+    // for unmatched rows is evicted, then emit
+    reqs.addData((99L, base + 600000)); acks.addData((99L, base + 600000))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corr").select("l_key", "l_time", "r_time")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toSet
+    assert(got.contains((1L, base, base + 10000)), "in-horizon ack must correlate")
+    assert(!got.exists(_._1 == 2L), "ack beyond the 30s horizon must not match")
+    assert(!got.exists(_._1 == 3L), "ack without a request must not match")
+    assert(got.contains((99L, base + 600000, base + 600000)))
+    // the join IS stateful — but the watermark must cap its state: after
+    // the far-future batch, buffered rows from the first batch are gone
+    val state = q.recentProgress.flatMap(_.stateOperators).lastOption
+    assert(state.exists(_.numRowsTotal <= 4), s"state must be watermark-bounded: $state")
+  }
+
   test("ancient out-of-order event becomes its own session, not a backwards stretch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Stateful.Evt]
