@@ -41,6 +41,7 @@ object SparkEntry {
     "contamination" -> (TextQueries.contamination _),
     "salted_agg" -> (TextQueries.saltedAgg _),
     "fingerprint" -> (TextQueries.fingerprint _),
+    "winnow_fingerprint" -> (TextQueries.winnowFingerprint _),
     "simhash" -> (TextQueries.simhash _),
     "simhash_neardup" -> (TextQueries.simhashNearDup _),
     "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
@@ -583,6 +584,25 @@ object SparkEntry {
          |       ELSE list_max(list_transform(range(1, len(xd) + 1),
          |           i -> abs(xd[i] - (mn + (qv[i] + 0.5) * scale)))) END AS max_err
          |FROM q""".stripMargin,
+    "winnow_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN length(norm) < 5 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(norm) - 3),
+         |           p -> ${hash32Sql("substr(norm, CAST(p AS BIGINT), 5)")}) END AS hashes
+         |  FROM d),
+         |m AS (SELECT doc_id, hashes, len(hashes) AS m FROM g),
+         |w AS (SELECT doc_id, m,
+         |    CASE WHEN m = 0 THEN hashes
+         |         WHEN m < 4 THEN [list_min(hashes)]
+         |         ELSE list_transform(range(1, m - 2),
+         |           j -> list_min(hashes[j:j+3])) END AS mins
+         |  FROM m),
+         |f AS (SELECT doc_id, m, list_sort(list_distinct(mins)) AS fps FROM w)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_kgrams,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+         |FROM f""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,
          |    ${hash32Sql("text")} % 8 AS shard,

@@ -111,6 +111,48 @@ object TextQueries {
         bagFingerprint(col("tokens")).as("bag_fp")
       )
 
+  /** Winnowing fingerprint (the Schleimer–Wilkerson–Aiken scheme MOSS
+    * uses): hash every char 5-gram of the normalized text, take the min
+    * hash of each window of 4 consecutive 5-grams, deduplicate. Any
+    * substring two documents share of length ≥ k+w−1 = 8 chars is
+    * guaranteed to contribute a common fingerprint — the local-substring
+    * dedup signal the whole-doc md5 fingerprints can't give.
+    *
+    * Entirely array-native per row (nested `transform`/`slice`, no
+    * explode, no shuffle): linear CPU, embarrassingly parallel at any
+    * scale. The per-position hash is md5-derived for cross-engine
+    * determinism; a production build would swap in a codegen'd
+    * polynomial rolling-hash `Expression` (O(1) per position instead of
+    * a fresh digest) — same plan shape, same output schema. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = 4
+    Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("n", length(col("norm")))
+      .withColumn(
+        "hashes",
+        when(col("n") < k, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(1), col("n") - (k - 1)),
+            i => md5Hash32(col("norm").substr(i, lit(k)))))
+      )
+      .withColumn("m", org.apache.spark.sql.functions.size(col("hashes")))
+      .withColumn(
+        "mins",
+        when(col("m") === 0, col("hashes"))
+          .when(col("m") < w, array(array_min(col("hashes"))))
+          .otherwise(transform(sequence(lit(1), col("m") - (w - 1)),
+            j => array_min(slice(col("hashes"), j, lit(w)))))
+      )
+      .withColumn("fps", array_sort(array_distinct(col("mins"))))
+      .select(
+        col("doc_id"),
+        col("m").cast("long").as("n_kgrams"),
+        org.apache.spark.sql.functions.size(col("fps")).cast("long").as("n_fp"),
+        md5(array_join(transform(col("fps"), x => x.cast("string")), ",")).as("fp_md5")
+      )
+  }
+
   /** Document chunking: fixed 50-token windows with 10-token overlap —
     * the operator that turns documents into training samples. Chunk
     * starts step by (size − overlap); the tail chunk may be short but is

@@ -147,7 +147,8 @@ class PlanSpec extends SparkSuite {
     Seq(
       graft.queries.CurationQueries.embedQuantize(spark, dir),
       graft.queries.CurationQueries.piiRedact(spark, dir),
-      graft.queries.CurationQueries.sampleStratified(spark, dir)
+      graft.queries.CurationQueries.sampleStratified(spark, dir),
+      graft.queries.TextQueries.winnowFingerprint(spark, dir)
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"per-row transform must not shuffle:\n$p")

@@ -62,6 +62,50 @@ class SimilarityTextSpec extends SparkSuite {
     assert(chunksFor(7) == Seq((0L, 7L)))                        // short single
   }
 
+  test("winnowing: shared substring >= k+w-1 chars forces a shared fingerprint") {
+    // two docs overlapping in a 20-char run, one doc with no overlap;
+    // recompute fingerprint SETS independently in plain Scala to check
+    // the query's md5 summary against first principles
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "aaaa the shared common run here bbbb", "en", "t", 36L),
+      (2L, "cccc the shared common run here dddd", "en", "t", 36L),
+      (3L, "totally different content with zero overlap", "en", "t", 43L)
+    )
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reference implementation (k=5, w=4) with the same md5-derived hash
+    def fps(text: String): Set[Long] = {
+      val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h32(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16)
+      }
+      val hashes = norm.sliding(5).toVector.map(h32)
+      val mins =
+        if (hashes.isEmpty) Vector.empty
+        else if (hashes.size < 4) Vector(hashes.min)
+        else hashes.sliding(4).toVector.map(_.min)
+      mins.distinct.toSet
+    }
+    val expect = texts.map { case (id, t, _, _, _) => id -> fps(t) }.toMap
+    val got = graft.queries.TextQueries.winnowFingerprint(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_fp"), r.getAs[String]("fp_md5"))).toList
+    got.foreach { case (id, nFp, fpMd5) =>
+      val ref = expect(id)
+      assert(nFp == ref.size, s"doc $id: n_fp $nFp != ${ref.size}")
+      val refMd5Src = ref.toVector.sorted.mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val refMd5 = md.digest(refMd5Src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fpMd5 == refMd5, s"doc $id fingerprint digest mismatch")
+    }
+    // the winnowing guarantee itself
+    assert((expect(1L) & expect(2L)).nonEmpty, "20-char shared run must share a fingerprint")
+    assert((expect(1L) & expect(3L)).isEmpty, "unrelated docs should share nothing here")
+  }
+
   test("property: jaccard is bounded, reflexive-max, symmetric on sampled docs") {
     val j = graft.queries.SimilarityQueries.ngramJaccard(spark, "/root/testdata/sf0.001")
       .select("doc_a", "doc_b", "jaccard")
