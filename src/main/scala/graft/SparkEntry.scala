@@ -585,11 +585,17 @@ object SparkEntry {
          |           i -> abs(xd[i] - (mn + (qv[i] + 0.5) * scale)))) END AS max_err
          |FROM q""".stripMargin,
     "winnow_fingerprint" ->
+      // non-rolling restatement of WinnowFps's polynomial hash: per
+      // position, sum code-point × 257^(4-j) over the 5-gram, mod 2^32 —
+      // integer arithmetic both engines reproduce exactly
       s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
-         |g AS (SELECT doc_id,
+         |g AS (SELECT doc_id, length(norm) AS n,
          |    CASE WHEN length(norm) < 5 THEN CAST([] AS BIGINT[])
          |         ELSE list_transform(range(1, length(norm) - 3),
-         |           p -> ${hash32Sql("substr(norm, CAST(p AS BIGINT), 5)")}) END AS hashes
+         |           p -> CAST(list_sum(list_transform(range(0, 5),
+         |             j -> ord(substr(norm, CAST(p + j AS INT), 1))
+         |                  * list_extract([CAST(4362470401 AS BIGINT), 16974593, 66049, 257, 1],
+         |                      CAST(j + 1 AS INT)))) % 4294967296 AS BIGINT)) END AS hashes
          |  FROM d),
          |m AS (SELECT doc_id, hashes, len(hashes) AS m FROM g),
          |w AS (SELECT doc_id, m,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{FloatVecDot, GunzipText}
+import graft.expressions.{FloatVecDot, GunzipText, WinnowFps}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -35,7 +35,25 @@ object GraftFunctions {
       FunctionIdentifier("gunzip_text"),
       new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
       (exprs: Seq[Expression]) => GunzipText(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fps"), winnowInfo, winnowBuilder)
   }
+
+  private[functions] val winnowBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"winnow_fps expects (str, k, w), got ${exprs.length} args")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"winnow_fps $name must be an int literal, got $other")
+    }
+    WinnowFps(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+  }
+
+  private val winnowInfo =
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps")
+
+  /** Column-API surface for winnowing fingerprints. */
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
 
   /** Column-API surface for the source-edge decompression. */
   def gunzipText(c: Column): Column =
@@ -44,10 +62,16 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      GraftFunctions.winnowBuilder
+    ))
+  }
 }

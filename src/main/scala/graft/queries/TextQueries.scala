@@ -118,36 +118,21 @@ object TextQueries {
     * guaranteed to contribute a common fingerprint — the local-substring
     * dedup signal the whole-doc md5 fingerprints can't give.
     *
-    * Entirely array-native per row (nested `transform`/`slice`, no
-    * explode, no shuffle): linear CPU, embarrassingly parallel at any
-    * scale. The per-position hash is md5-derived for cross-engine
-    * determinism; a production build would swap in a codegen'd
-    * polynomial rolling-hash `Expression` (O(1) per position instead of
-    * a fresh digest) — same plan shape, same output schema. */
+    * The per-position hash is a polynomial rolling hash (B=257 over code
+    * points, mod 2³²) computed by the native codegen'd
+    * [[graft.expressions.WinnowFps]] expression — O(1) per position in
+    * one pass, no per-element boxing, no shuffle: linear CPU,
+    * embarrassingly parallel at any scale. The oracle recomputes the
+    * identical integer arithmetic from the non-rolling definition. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val w = 4
     Tables.documents(spark, dir)
       .withColumn("norm", normText(col("text")))
-      .withColumn("n", length(col("norm")))
-      .withColumn(
-        "hashes",
-        when(col("n") < k, array().cast("array<long>"))
-          .otherwise(transform(sequence(lit(1), col("n") - (k - 1)),
-            i => md5Hash32(col("norm").substr(i, lit(k)))))
-      )
-      .withColumn("m", org.apache.spark.sql.functions.size(col("hashes")))
-      .withColumn(
-        "mins",
-        when(col("m") === 0, col("hashes"))
-          .when(col("m") < w, array(array_min(col("hashes"))))
-          .otherwise(transform(sequence(lit(1), col("m") - (w - 1)),
-            j => array_min(slice(col("hashes"), j, lit(w)))))
-      )
-      .withColumn("fps", array_sort(array_distinct(col("mins"))))
+      .withColumn("fps", graft.functions.GraftFunctions.winnowFps(col("norm"), k, w))
       .select(
         col("doc_id"),
-        col("m").cast("long").as("n_kgrams"),
+        greatest(length(col("norm")) - (k - 1), lit(0)).cast("long").as("n_kgrams"),
         org.apache.spark.sql.functions.size(col("fps")).cast("long").as("n_fp"),
         md5(array_join(transform(col("fps"), x => x.cast("string")), ",")).as("fp_md5")
       )

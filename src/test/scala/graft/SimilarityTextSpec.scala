@@ -75,14 +75,12 @@ class SimilarityTextSpec extends SparkSuite {
     )
     texts.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    // reference implementation (k=5, w=4) with the same md5-derived hash
+    // reference implementation (k=5, w=4): the same polynomial hash,
+    // restated non-rolling — B=257 over code points, mod 2^32
     def fps(text: String): Set[Long] = {
       val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def h32(s: String): Long = {
-        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex.take(8), 16)
-      }
+      def h32(s: String): Long =
+        s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 257L + cp) & 0xFFFFFFFFL)
       val hashes = norm.sliding(5).toVector.map(h32)
       val mins =
         if (hashes.isEmpty) Vector.empty
