@@ -47,30 +47,25 @@ object CurationQueries {
       .cache()
     var changed = 1L
     var rounds = 0
+    var prevCache: DataFrame = labels
     while (changed > 0 && rounds < 20) {
       val nbrMin = adj.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      // one join per round: the change count is derivable from the same
-      // joined frame (a label changes iff nbr_min < cluster), so cache it
-      // and take both the count and the next labels from the cache instead
-      // of re-joining old vs new labels
-      val joined = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), col("cluster"), col("nbr_min"))
-        .cache()
-      changed = joined.filter(col("nbr_min") < col("cluster")).count()
-      if (changed == 0) {
-        // converged: current labels are already final, keep them
-        joined.unpersist()
-      } else {
-        val next = joined.select(
+      // ONE job per round: the next labels and the convergence signal
+      // come out of the same cached frame — the filter-count both fills
+      // the cache and returns how many labels improved (both `cluster`
+      // references below bind to the INPUT column, pre-alias)
+      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(
           col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")
-        ).cache()
-        next.count() // materialize off the joined cache before dropping it
-        labels.unpersist()
-        joined.unpersist()
-        labels = next
-      }
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (col("nbr_min") < col("cluster")).as("chg")
+        )
+        .cache()
+      changed = next.filter(col("chg")).count()
+      prevCache.unpersist()
+      prevCache = next
+      labels = next.select(col("doc_id"), col("cluster"))
       rounds += 1
     }
     adj.unpersist()
