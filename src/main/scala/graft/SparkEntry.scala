@@ -79,6 +79,7 @@ object SparkEntry {
     "embed_quantize" -> (CurationQueries.embedQuantize _),
     "pack_sequences" -> (CurationQueries.packSequences _),
     "incremental_dedup" -> (CurationQueries.incrementalDedup _),
+    "interval_join" -> (AnalyticsQueries.intervalJoin _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -618,6 +619,19 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
          |  FROM d)
          |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "interval_join" ->
+      // stated as a direct range-overlap join (the semantic definition);
+      // the Spark side executes the bucketized-equijoin rewrite
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(ts) AS s, max(ts) AS e FROM events GROUP BY 1, 2),
+        |inc AS (SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_ev
+        |  FROM events GROUP BY 1 ORDER BY n_ev DESC, hour ASC LIMIT 3)
+        |SELECT sp.user_id, sp.day,
+        |  epoch_ms(sp.s) AS span_start_ms, epoch_ms(sp.e) AS span_end_ms,
+        |  i.hour, i.n_ev
+        |FROM spans sp JOIN inc i
+        |  ON epoch_ms(sp.s) < (i.hour + 1) * 3600000
+        | AND epoch_ms(sp.e) >= i.hour * 3600000""".stripMargin,
     "incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
          |standing AS (SELECT DISTINCT fp FROM d WHERE doc_id % 4 <> 0),

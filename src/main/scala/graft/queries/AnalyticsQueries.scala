@@ -230,6 +230,36 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("signup_ts"))
   }
 
+  /** Interval (range-overlap) join in the bucketized equijoin shape:
+    * per-user daily activity spans joined to the 3 busiest hours by
+    * span∩hour overlap. A naive range join plans as a nested-loop over
+    * every (span, window) pair; instead each span explodes into the hour
+    * buckets it covers (bounded: ≤ 24/day) and overlap becomes a plain
+    * equijoin on the bucket — broadcast here since the window side is
+    * tiny, shuffle-equijoin when it isn't. The exact-overlap re-check
+    * after the bucket match keeps semantics right for windows that don't
+    * align to bucket edges. The oracle states the same join as a direct
+    * range predicate — the definition, not the execution shape. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    def hourOf(c: org.apache.spark.sql.Column) = floor(unix_millis(c) / lit(3600000L))
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val incidents = ev.groupBy(hourOf(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_ev"))
+      .orderBy(col("n_ev").desc, col("hour").asc)
+      .limit(3)
+    spans
+      .withColumn("hour", explode(sequence(hourOf(col("s")), hourOf(col("e")))))
+      .join(broadcast(incidents), "hour")
+      .filter(unix_millis(col("s")) < (col("hour") + 1) * 3600000L &&
+        unix_millis(col("e")) >= col("hour") * 3600000L)
+      .select(col("user_id"), col("day"),
+        unix_millis(col("s")).as("span_start_ms"),
+        unix_millis(col("e")).as("span_end_ms"),
+        col("hour"), col("n_ev"))
+  }
+
   /** Data-quality profiling: per-column null counts + distinct counts on
     * lineitem — the profile every ingest pipeline runs before training. */
   def nullProfile(spark: SparkSession, dir: String): DataFrame = {

@@ -125,6 +125,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("InMemoryTableScan"))
   }
 
+  test("interval_join: bucketized equijoin, never a nested-loop range join") {
+    val p = plan(AnalyticsQueries.intervalJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "bucket equijoin must hash-join the broadcast windows")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range predicate must not plan a nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("incremental_dedup: anti-join shuffles 32-hex fingerprints, never text bodies") {
     val p = plan(graft.queries.CurationQueries.incrementalDedup(spark, dir))
     assert(p.contains("LeftAnti"), "must plan an anti-join")
