@@ -80,6 +80,7 @@ object SparkEntry {
     "pack_sequences" -> (CurationQueries.packSequences _),
     "incremental_dedup" -> (CurationQueries.incrementalDedup _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
+    "salted_join" -> (AnalyticsQueries.saltedJoin _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -619,6 +620,13 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
          |  FROM d)
          |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "salted_join" ->
+      // the direct formulation — salting must not change the result
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "interval_join" ->
       // stated as a direct range-overlap join (the semantic definition);
       // the Spark side executes the bucketized-equijoin rewrite

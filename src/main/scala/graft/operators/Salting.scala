@@ -43,4 +43,31 @@ object Salting {
         sum(col("_sum")).cast("double").as("sum_value")
       )
   }
+
+  /** Skew-aware equijoin: the big (skewed) side salts each row into one
+    * of `buckets` sub-keys; the small-but-not-broadcastable side is
+    * replicated once per bucket, so the join key becomes
+    * (key, salt) and the hottest key's rows spread over `buckets` tasks.
+    * Same rows out as a plain equijoin. This is the manual fallback
+    * when the dim outgrows the broadcast threshold AND a key is hot
+    * enough that AQE's split-by-size skew handling still leaves one
+    * straggler partition (size-based splitting can't separate rows that
+    * share one key's hash). Replication cost: |right| × buckets rows
+    * shuffled — pick `buckets` ≈ the skew factor, not the cluster size. */
+  def saltedJoin(
+      big: DataFrame,
+      right: DataFrame,
+      key: String,
+      spreadCol: String,
+      buckets: Int = 16
+  ): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val saltedBig = big.withColumn("_salt", salt(col(spreadCol), buckets))
+    val replicated = right.crossJoin(broadcast((0 until buckets).toDF("_salt")))
+    // shuffle_hash pins the shuffled-join path: the whole point of
+    // salting is the regime where `right` does NOT fit the broadcast
+    // threshold, which the fixture can't reproduce by size
+    saltedBig.join(replicated.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -230,6 +230,31 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("signup_ts"))
   }
 
+  /** Skew-aware salted equijoin ([[graft.operators.Salting.saltedJoin]]):
+    * lineitem (pretend l_orderkey is hot) ⋈ orders with the orders side
+    * replicated over 16 salt buckets and lineitem salted by a
+    * high-cardinality spread column — the hottest orderkey's rows land
+    * on 16 tasks instead of one. Same rows as the plain join (oracle is
+    * the direct formulation); the plan's first exchange must carry
+    * (l_orderkey, _salt). The manual fallback for the case AQE skew
+    * handling can't split: one key too hot for a single task, dim too
+    * big to broadcast. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Salting.saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(
+          col("l_extendedprice").cast(Dec) *
+            (lit(BigDecimal(1)).cast(Dec) - col("l_discount").cast(Dec))
+        ).cast("double").as("revenue")
+      )
+  }
+
   /** Interval (range-overlap) join in the bucketized equijoin shape:
     * per-user daily activity spans joined to the 3 busiest hours by
     * span∩hour overlap. A naive range join plans as a nested-loop over

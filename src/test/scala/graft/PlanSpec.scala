@@ -125,6 +125,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("InMemoryTableScan"))
   }
 
+  test("salted_join: join exchange is keyed on (key, salt); join is shuffled, not broadcast") {
+    val p = plan(AnalyticsQueries.saltedJoin(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), "salting targets the no-broadcast regime")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("l_orderkey") && l.contains("_salt")),
+      "big side must shuffle on (l_orderkey, _salt), spreading the hot key")
+  }
+
   test("interval_join: bucketized equijoin, never a nested-loop range join") {
     val p = plan(AnalyticsQueries.intervalJoin(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "bucket equijoin must hash-join the broadcast windows")
