@@ -117,6 +117,30 @@ object Sinks {
   }
 
   /** Console sink (O9 — the reference's side-output `print()`). */
+  /** Exactly-once upgrade for `foreachBatch` replays: after recovery
+    * Structured Streaming re-delivers a micro-batch under the SAME
+    * batchId, so recording completed batchIds makes the at-least-once
+    * write idempotent — a replayed batch whose marker exists is skipped
+    * outright. The marker commits only AFTER the inner write, so the
+    * remaining window is a crash between write and marker (replayed,
+    * possibly duplicating that one batch into an append-only target);
+    * a transactional endpoint (JDBC staging-table swap, an overwrite of
+    * a per-batch partition) closes that last gap — the dedup here is the
+    * part the reference's checkpointed buffer never had
+    * (TimestreamSink.java:150-172 restores and RE-SENDS the buffer). */
+  final class IdempotentSink(inner: RecordSink, markerDir: String) extends RecordSink {
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
+      val marker = Paths.get(markerDir, f"batch-$batchId%09d.done")
+      if (Files.exists(marker)) (0L, 0L)
+      else {
+        val r = inner.write(batch, batchId)
+        Files.createDirectories(marker.getParent)
+        Files.writeString(marker, s"${r._1},${r._2}")
+        r
+      }
+    }
+  }
+
   final class ConsoleSink extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
       batch.show(20, truncate = false)

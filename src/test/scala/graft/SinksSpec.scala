@@ -40,6 +40,24 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/data").count() == 4)
   }
 
+  test("idempotent sink: a replayed batchId writes nothing twice") {
+    val dir = Files.createTempDirectory("sink-idem").toString
+    val sink = new graft.sink.Sinks.IdempotentSink(
+      new ParquetTableSink(s"$dir/t"), s"$dir/markers")
+    val batch = points
+    val first = sink.write(batch, 7L)
+    assert(first == (2L, 3L))
+    // recovery replay: same batchId re-delivered — must be a no-op
+    val replay = sink.write(batch, 7L)
+    assert(replay == (0L, 0L))
+    assert(spark.read.parquet(s"$dir/t/data").count() == 2L)
+    assert(spark.read.parquet(s"$dir/t/_dead_letter").count() == 3L)
+    // a NEW batchId still writes
+    val next = sink.write(batch.filter(col("time").isNotNull), 8L)
+    assert(next == (2L, 2L))
+    assert(spark.read.parquet(s"$dir/t/data").count() == 4L)
+  }
+
   test("DDL initializer is idempotent and emits IF NOT EXISTS with retention") {
     val dir = Files.createTempDirectory("ddl").toString + "/table"
     assert(DdlInitializer.ensureTableDir(dir))
