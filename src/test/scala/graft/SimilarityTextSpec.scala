@@ -122,6 +122,21 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == 32.0)
   }
 
+  test("salted join equals the plain join on heavily skewed data") {
+    // 20k rows, 90% sharing one hot key — the regime saltedJoin exists for
+    val big = spark.range(20000).select(
+      when(col("id") % 10 < 9, lit(42L)).otherwise(col("id") % 500).as("k"),
+      col("id").as("row_id"),
+      (col("id") % 97).as("payload")
+    )
+    val dim = spark.range(500).select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
+    val salted = graft.operators.Salting.saltedJoin(big, dim, "k", "row_id", buckets = 8)
+      .select(col("k"), col("row_id"), col("payload"), col("attr"))
+    val plain = big.join(dim, "k").select(col("k"), col("row_id"), col("payload"), col("attr"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("salted aggregation equals the direct groupBy bit-for-bit") {
     val direct = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(col("event_type"))
