@@ -87,6 +87,56 @@ object Stateful {
   def dedupPoints(parsed: DataFrame): DataFrame =
     parsed.dropDuplicatesWithinWatermark("time", "awsaccountid", "operation", "callerservice")
 
+  final case class KeyedTotal(key: String, batch_count: Long, total_count: Long)
+
+  /** Per-key running totals on the `transformWithState` arbitrary-state
+    * API (Spark 4's successor to `mapGroupsWithState`): one TTL-managed
+    * `ValueState[Long]` per key, each micro-batch emits (batch delta,
+    * running total). The TTL is the operational state bound — keys idle
+    * past it are evicted by the store itself, no timer bookkeeping —
+    * and the API requires the RocksDB state store provider, the
+    * disk-backed store that holds state bigger than executor heap at
+    * production key cardinalities. */
+  class RunningTotalProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), KeyedTotal] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var total: ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+      total = getHandle.getValueState[Long](
+        "total", org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyedTotal] = {
+      var n = 0L
+      while (rows.hasNext) { rows.next(); n += 1 }
+      val t = (if (total.exists()) total.get() else 0L) + n
+      total.update(t)
+      Iterator.single(KeyedTotal(key, n, t))
+    }
+  }
+
+  /** Running per-key totals over a keyed stream; see
+    * [[RunningTotalProcessor]]. `ttl = null` keeps state forever (tests);
+    * production passes the retention the key universe needs. */
+  def runningTotals(
+      ds: Dataset[(String, Long)],
+      ttl: java.time.Duration = null
+  ): Dataset[KeyedTotal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Stream-static enrichment: join each streaming point against a
     * batch dimension table (operation → metadata). The static side plans
     * as a broadcast per micro-batch — no streaming state at all, the

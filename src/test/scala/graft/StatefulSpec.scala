@@ -47,6 +47,34 @@ class StatefulSpec extends SparkSuite {
     assert(got.contains((2L, base + 610000, base + 610000, 1L)))
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, Long)]
+      val q = Stateful.runningTotals(ms.toDS())
+        .writeStream.format("memory").queryName("totals").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-tws")).start()
+      ms.addData(("get", 1L), ("get", 2L), ("put", 3L))
+      q.processAllAvailable()
+      ms.addData(("get", 4L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("totals")
+        .select("key", "batch_count", "total_count")
+        .as[(String, Long, Long)].collect().toSet
+      // batch 1: get=2, put=1; batch 2: get delta 1, running total 3
+      assert(got == Set(("get", 2L, 2L), ("put", 1L, 1L), ("get", 1L, 3L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrich: broadcast dimension join, no streaming state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, Long)]
