@@ -81,6 +81,7 @@ object SparkEntry {
     "incremental_dedup" -> (CurationQueries.incrementalDedup _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
+    "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -620,6 +621,19 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
          |  FROM d)
          |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "cheapest_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |u AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum_price AS DOUBLE) / CAST(sum_qty AS DOUBLE) AS unit_price FROM ps),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY unit_price ASC, l_suppkey ASC) AS rk FROM u)
+        |SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, r.unit_price
+        |FROM r JOIN part p ON r.l_partkey = p.p_partkey
+        |       JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rk = 1""".stripMargin,
     "salted_join" ->
       // the direct formulation — salting must not change the result
       """SELECT o_orderpriority, count(*) AS cnt,

@@ -230,6 +230,39 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("signup_ts"))
   }
 
+  /** Cheapest supplier per part (argmin by group): per (part, supplier)
+    * exact-decimal volume sums from lineitem, ranked inside each part by
+    * double unit price with a deterministic supplier tiebreak, rank 1
+    * kept (WindowGroupLimit prunes per-partition), then the part and
+    * supplier dimensions broadcast-join back. The argmin-by-window shape
+    * is the deterministic alternative to `min_by` (whose tie behavior is
+    * engine-defined) — the pattern every "best per group" query needs at
+    * scale: one shuffle on the group key, no self-join. */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+    val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(col("l_extendedprice").cast(Dec)).as("sum_price"),
+        sum(col("l_quantity").cast(Dec)).as("sum_qty")
+      )
+      .withColumn("unit_price",
+        col("sum_price").cast("double") / col("sum_qty").cast("double"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_price").asc, col("l_suppkey").asc)
+    perSupp
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(Tables.broadcastIfSmall(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.broadcastIfSmall(
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("unit_price"))
+  }
+
   /** Skew-aware salted equijoin ([[graft.operators.Salting.saltedJoin]]):
     * lineitem (pretend l_orderkey is hot) ⋈ orders with the orders side
     * replicated over 16 salt buckets and lineitem salted by a

@@ -125,6 +125,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("InMemoryTableScan"))
   }
 
+  test("cheapest_supplier: rank-1 prunes via WindowGroupLimit, dims broadcast") {
+    val p = plan(AnalyticsQueries.cheapestSupplier(spark, dir))
+    assert(p.contains("WindowGroupLimit"), "rk=1 must prune inside the window op")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted_join: join exchange is keyed on (key, salt); join is shuffled, not broadcast") {
     val p = plan(AnalyticsQueries.saltedJoin(spark, dir))
     assert(p.contains("ShuffledHashJoin"), "salting targets the no-broadcast regime")
