@@ -34,6 +34,7 @@ object SparkEntry {
     "text_stats" -> (TextQueries.textStats _),
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langIdQuery _),
+    "lang_confusion" -> (TextQueries.langConfusion _),
     "quality_score" -> (TextQueries.qualityScore _),
     "top_terms" -> (TextQueries.topTerms _),
     "chunk_text" -> (TextQueries.chunkText _),
@@ -238,6 +239,22 @@ object SparkEntry {
         |SELECT doc_id, len(toks) AS n_bpe_tokens,
         |  len(list_distinct(toks)) AS n_distinct_bpe
         |FROM t""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT lang, $WordToksSql AS tokens FROM documents),
+         |s AS (SELECT lang,
+         |  len(list_filter(tokens, x -> x IN ${inList("en")})) AS en_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("es")})) AS es_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("fr")})) AS fr_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("de")})) AS de_hits
+         |FROM t),
+         |pr AS (SELECT lang,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN de_hits > 0 THEN 'de'
+         |       ELSE 'und' END AS lang_pred
+         |FROM s)
+         |SELECT lang, lang_pred, count(*) AS cnt FROM pr GROUP BY 1, 2""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $WordToksSql AS tokens FROM documents),
          |s AS (SELECT doc_id,

@@ -76,6 +76,16 @@ object TextQueries {
         langId(col("tokens")).as("lang_pred")
       )
 
+  /** Language-ID confusion matrix: labeled lang × predicted lang with
+    * counts — the evaluation query that tells a curation pipeline
+    * whether to trust its classifier before filtering a corpus by it.
+    * Pure map + compact-key aggregation (≤ |langs|² groups). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lang_pred", langId(wordTokens(col("text"))))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Composite quality score in [0,1]: length, alphabetic ratio, stopword
     * ratio, token-length sanity. The formula is written in the exact same
     * operation order as the oracle SQL — IEEE-identical doubles. */
