@@ -104,6 +104,45 @@ class SimilarityTextSpec extends SparkSuite {
     assert((expect(1L) & expect(3L)).isEmpty, "unrelated docs should share nothing here")
   }
 
+  test("property: WinnowFps rolling hash equals the non-rolling definition, incl. non-ASCII") {
+    import org.scalacheck.Gen
+    // naive restatement: hash every k-gram from scratch, window minima,
+    // distinct sorted — no rolling update to share a bug with
+    def naive(s: String, k: Int, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      def h(gram: Array[Int]): Long =
+        gram.foldLeft(0L)((acc, cp) => (acc * 257L + cp) & 0xFFFFFFFFL)
+      val hashes = cps.sliding(k).filter(_.length == k).map(h).toVector
+      val mins =
+        if (hashes.isEmpty) Vector.empty
+        else if (hashes.size < w) Vector(hashes.min)
+        else hashes.sliding(w).map(_.min).toVector
+      mins.distinct.sorted
+    }
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', 'b', ' ', 'é', 'ß', '中', '')).map(_.mkString),
+      Gen.const(""), Gen.const("abcd"), Gen.const("aaaaaaaaaaaa")
+    )
+    val params = for {
+      s <- strGen
+      k <- Gen.choose(1, 6)
+      w <- Gen.choose(1, 5)
+    } yield (s, k, w)
+    val samples = (0 until 300).flatMap { i =>
+      params.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(1234L + i))
+    }
+    assert(samples.length > 250, "generator must produce most samples")
+    samples.foreach { case (s, k, w) =>
+      assert(graft.expressions.WinnowFps.compute(s, k, w).toSeq == naive(s, k, w),
+        s"rolling != naive for k=$k w=$w on ${s.take(40)}")
+    }
+    // supplementary-plane code points (surrogate pairs) count as ONE position
+    val emoji = "a😀b😀c" // a😀b😀c = 5 code points
+    assert(graft.expressions.WinnowFps.compute(emoji, 5, 4).length == 1)
+    assert(graft.expressions.WinnowFps.compute(emoji, 5, 4).toSeq == naive(emoji, 5, 4))
+  }
+
   test("property: jaccard is bounded, reflexive-max, symmetric on sampled docs") {
     val j = graft.queries.SimilarityQueries.ngramJaccard(spark, "/root/testdata/sf0.001")
       .select("doc_a", "doc_b", "jaccard")
