@@ -70,9 +70,15 @@ object TextFunctions {
     md5(array_join(array_sort(array_distinct(tokens)), " "))
 
   /** First 8 hex chars of md5 parsed as an unsigned 32-bit int — the
-    * portable per-token hash both engines reproduce bit-for-bit. */
+    * portable per-token hash both engines reproduce bit-for-bit. Backed
+    * by the native [[graft.expressions.Md5Hash32]] (digest bytes → long,
+    * no hex-string round-trip); value-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`, which is what the DuckDB
+    * oracle computes. */
   def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Md5Hash32(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** PII patterns, written in the regex subset Java and RE2 share (no
     * backrefs, no lookaround) so the DuckDB oracle runs the identical

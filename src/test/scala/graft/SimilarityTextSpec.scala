@@ -104,6 +104,15 @@ class SimilarityTextSpec extends SparkSuite {
     assert((expect(1L) & expect(3L)).isEmpty, "unrelated docs should share nothing here")
   }
 
+  test("Md5Hash32 equals the conv(substring(md5)) formulation on arbitrary strings") {
+    val df = Seq("", "a", "the quick brown fox", "é中😀", "x" * 500).toDF("s")
+    val rows = df.select(
+      graft.functions.TextFunctions.md5Hash32(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ref")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("property: WinnowFps rolling hash equals the non-rolling definition, incl. non-ASCII") {
     import org.scalacheck.Gen
     // naive restatement: hash every k-gram from scratch, window minima,
