@@ -49,6 +49,7 @@ object SparkEntry {
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
+    "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
@@ -345,6 +346,28 @@ object SparkEntry {
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "ann_recall" ->
+      s"""$IvfAssignSql,
+         |kq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |kp AS (SELECT kq.qid, e.vec_id AS vid,
+         |        ${dotSql("kq.qemb", "e.embedding")} / (kq.qnrm * e.nrm) AS cos
+         |      FROM en e, kq WHERE e.vec_id != kq.qid),
+         |kr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM kp),
+         |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
+         |aq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM asn WHERE vec_id < 10),
+         |ap AS (SELECT aq.qid, a.vec_id AS vid,
+         |        ${dotSql("aq.qemb", "a.embedding")} / (aq.qnrm * a.nrm) AS cos
+         |      FROM aq JOIN asn a ON aq.bucket = a.bucket AND a.vec_id != aq.qid),
+         |ar AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM ap),
+         |approx3 AS (SELECT qid, vid FROM ar WHERE rn <= 3),
+         |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
+         |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
+         |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
+         |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
     "embedding_neardup" ->
       s"""$IvfAssignSql,
          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -210,6 +210,30 @@ object SimilarityQueries {
     * quadratic. Exact |∩|/|∪| of distinct shingle sets then re-ranks the
     * candidates; per-pair cost is two doc_id equijoins plus one
     * set-intersection, linear in the candidate count. */
+  /** Recall@3 of the IVF approximate path against the exact brute-force
+    * top-3, per query vector — the accuracy price of the ANN shortcut,
+    * measured inside the engine. The eval every production ANN rollout
+    * gates on: exact kNN on a sample (affordable at any scale because
+    * the sample is small), IVF over the same sample, set intersection
+    * per query. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    val exact3 = knnCosine(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"))
+    val approx3 = annIvf(spark, dir).select(col("qid"), col("vid"))
+    val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("k"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall")
+      )
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(spark, dir)
     val docs = Tables.documents(spark, dir)
