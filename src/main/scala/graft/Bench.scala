@@ -39,11 +39,13 @@ object Bench {
       .mkString("{", ",", "}")
     // A failure must never IMPROVE the total (excluding a broken expensive
     // query would make the perf gate easier): each failed query contributes
-    // a penalty of the whole remaining suite's time, and the explicit
-    // failure count is part of the JSON line.
+    // a penalty of at least the healthy suite's whole wall-clock, floored
+    // at 120s so a run where EVERYTHING fails fast (okSum ~ 0 — e.g. a
+    // missing SF dir) still reports a total far beyond any healthy
+    // baseline instead of a spuriously small okSum-scaled number.
     val okSum = results.map(_._2).filter(_ >= 0).sum
     val failures = results.count(_._2 < 0)
-    val total = okSum + failures * math.max(okSum, 1.0)
+    val total = okSum + failures * math.max(okSum, 120.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -597,12 +597,15 @@ object SparkEntry {
          |    ${hash32Sql("lang || ':' || text")} % 100 AS bucket FROM documents)
          |SELECT doc_id, lang, bucket FROM d WHERE bucket < 10""".stripMargin,
     "pii_redact" ->
-      s"""SELECT doc_id,
+      // n_phones on the email-redacted text, matching the redaction order
+      s"""WITH e AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${TextFunctions.EmailRe}', '<EMAIL>', 'g') AS er
+         |  FROM documents)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
-         |  length(regexp_replace(regexp_replace(text, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
-         |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g')) AS redacted_len
-         |FROM documents""".stripMargin,
+         |  CAST(len(regexp_extract_all(er, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  length(regexp_replace(er, '${TextFunctions.PhoneRe}', '<PHONE>', 'g')) AS redacted_len
+         |FROM e""".stripMargin,
     "repetition_score" ->
       s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
          |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),

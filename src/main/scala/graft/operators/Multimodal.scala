@@ -106,7 +106,7 @@ object Multimodal {
     * the byte content; rejects empty payloads (exercises the failure
     * path). */
   val stubDecoder: Array[Byte] => Option[(Int, Int, Int)] = { bytes =>
-    if (bytes.isEmpty) None
+    if (bytes == null || bytes.isEmpty) None
     else {
       var h = 2166136261L
       bytes.foreach(b => h = (h ^ (b & 0xffL)) * 16777619L)

@@ -48,6 +48,10 @@ object Salting {
     * of `buckets` sub-keys; the small-but-not-broadcastable side is
     * replicated once per bucket, so the join key becomes
     * (key, salt) and the hottest key's rows spread over `buckets` tasks.
+    * `spread` must be a HIGH-CARDINALITY expression (ideally row-unique,
+    * e.g. a composite of the row's natural key) — a low-cardinality
+    * spread column caps the fan-out at its distinct count while the
+    * replication still pays the full `buckets` factor.
     * Same rows out as a plain equijoin. This is the manual fallback
     * when the dim outgrows the broadcast threshold AND a key is hot
     * enough that AQE's split-by-size skew handling still leaves one
@@ -58,12 +62,12 @@ object Salting {
       big: DataFrame,
       right: DataFrame,
       key: String,
-      spreadCol: String,
+      spread: Column,
       buckets: Int = 16
   ): DataFrame = {
     val spark = big.sparkSession
     import spark.implicits._
-    val saltedBig = big.withColumn("_salt", salt(col(spreadCol), buckets))
+    val saltedBig = big.withColumn("_salt", salt(spread, buckets))
     val replicated = right.crossJoin(broadcast((0 until buckets).toDF("_salt")))
     // shuffle_hash pins the shuffled-join path: the whole point of
     // salting is the regime where `right` does NOT fit the broadcast

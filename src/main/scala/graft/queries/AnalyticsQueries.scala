@@ -265,9 +265,9 @@ object AnalyticsQueries {
 
   /** Skew-aware salted equijoin ([[graft.operators.Salting.saltedJoin]]):
     * lineitem (pretend l_orderkey is hot) ⋈ orders with the orders side
-    * replicated over 16 salt buckets and lineitem salted by a
-    * high-cardinality spread column — the hottest orderkey's rows land
-    * on 16 tasks instead of one. Same rows as the plain join (oracle is
+    * replicated over 16 salt buckets and lineitem salted by its
+    * row-unique (orderkey, linenumber) composite — the hottest
+    * orderkey's rows land on all 16 buckets instead of one task. Same rows as the plain join (oracle is
     * the direct formulation); the plan's first exchange must carry
     * (l_orderkey, _salt). The manual fallback for the case AQE skew
     * handling can't split: one key too hot for a single task, dim too
@@ -277,7 +277,11 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.Salting.saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+    graft.operators.Salting.saltedJoin(li, ord, "l_orderkey",
+      // row-unique spread: (orderkey, linenumber) is lineitem's PK —
+      // l_linenumber alone has only 7 distinct values, which would cap
+      // the hot key's fan-out at 7 of the 16 buckets
+      concat_ws("#", col("l_orderkey"), col("l_linenumber")))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),

@@ -48,7 +48,12 @@ object CurationQueries {
     var changed = 1L
     var rounds = 0
     var prevCache: DataFrame = labels
-    while (changed > 0 && rounds < 20) {
+    // cap >> any real near-dup component diameter — purely a runaway
+    // backstop. Exceeding it must be LOUD (an unconverged exit would
+    // silently split one component into several "clusters", corrupting
+    // keep/drop decisions downstream), hence the throw below.
+    val maxRounds = 1000
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = adj.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       // ONE job per round: the next labels and the convergence signal
@@ -68,6 +73,9 @@ object CurationQueries {
       labels = next.select(col("doc_id"), col("cluster"))
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
     adj.unpersist()
     Tables.documents(spark, dir)
       .select(col("doc_id"))
@@ -110,14 +118,20 @@ object CurationQueries {
     * patterns live in [[graft.functions.TextFunctions]] and are written
     * in the regex subset Java and RE2 share, so the oracle applies the
     * identical automaton. */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // n_phones counts on the EMAIL-REDACTED text — the same order
+    // redactPii applies — so the counts reconcile with the output (a
+    // digit run inside an email address is part of the <EMAIL>
+    // replacement, not a phantom phone)
+    val emailRedacted = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(emailRedacted, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
         length(redactPii(col("text"))).cast("long").as("redacted_len")
       )
+  }
 
   /** Repetition score: share of the document's word 3-grams taken by its
     * single most repeated 3-gram — the boilerplate/spam signal (near-1 ⇒

@@ -127,7 +127,14 @@ object Sinks {
     * a transactional endpoint (JDBC staging-table swap, an overwrite of
     * a per-batch partition) closes that last gap — the dedup here is the
     * part the reference's checkpointed buffer never had
-    * (TimestreamSink.java:150-172 restores and RE-SENDS the buffer). */
+    * (TimestreamSink.java:150-172 restores and RE-SENDS the buffer).
+    *
+    * `markerDir` MUST live under the query's `checkpointLocation` (or
+    * share its lifecycle): batchIds restart from 0 when the checkpoint
+    * is reset, and stale markers from a previous incarnation would make
+    * the fresh batchIds look already-written — silently dropping data.
+    * Tying the two directories together makes a checkpoint reset clear
+    * the markers with it. */
   final class IdempotentSink(inner: RecordSink, markerDir: String) extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
       val marker = Paths.get(markerDir, f"batch-$batchId%09d.done")

@@ -112,17 +112,20 @@ object Pipeline {
       // the reference reads from LATEST (FlinkKinesisConsumer default
       // STREAM_INITIAL_POSITION, StreamingJob.java:80-82)
       "kinesis.startingPosition" -> "LATEST",
-      // SHARD_GETRECORDS_INTERVAL_MILLIS (StreamingJob.java:90-91);
-      // adaptive reads (StreamingJob.java:84-88) let the consumer adapt
-      // its fetch cadence to throughput — the connector's minimum
-      // interval is the floor it adapts against, so the same knob maps
-      // either way
+      // SHARD_GETRECORDS_INTERVAL_MILLIS (StreamingJob.java:90-91)
       "kinesis.getRecords.fetchIntervalMs" -> cfg.pollIntervalMs.toString,
       // SHARD_GETRECORDS_MAX (StreamingJob.java:93-94)
       "kinesis.getRecords.maxRecordsPerFetch" -> cfg.maxRecordsPerPoll.toString,
-      // GetRecords polling vs SubscribeToShard push: adaptive reads are
-      // the polling consumer's self-tuning; EFO push replaces the need
-      "kinesis.consumerType" -> (if (cfg.useAdaptiveReads) "SubscribeToShard" else "GetRecords")
+      // Always the GetRecords polling consumer. Flink's
+      // SHARD_USE_ADAPTIVE_READS (StreamingJob.java:84-88) self-tunes the
+      // polling batch size to throughput; the Spark connector has no
+      // adaptive-polling knob and SubscribeToShard (EFO push) would be a
+      // DIFFERENT consumer model (separate AWS cost + registered-consumer
+      // limits, GetRecords options silently ignored) — not a faithful
+      // mapping. Adaptive reads therefore translate to plain polling with
+      // the configured interval/max as the static bounds; documented as a
+      // semantic substitution, not silently rewired.
+      "kinesis.consumerType" -> "GetRecords"
     )
   }
 

@@ -124,16 +124,22 @@ object Stateful {
 
   /** Running per-key totals over a keyed stream; see
     * [[RunningTotalProcessor]]. `ttl = null` keeps state forever (tests);
-    * production passes the retention the key universe needs. */
+    * production passes the retention the key universe needs. Spark only
+    * permits state TTL in ProcessingTime mode
+    * (`StatefulProcessorHandleImpl.validateTTLConfig` throws otherwise),
+    * so the time mode follows the ttl argument. */
   def runningTotals(
       ds: Dataset[(String, Long)],
       ttl: java.time.Duration = null
   ): Dataset[KeyedTotal] = {
     import ds.sparkSession.implicits._
+    val timeMode =
+      if (ttl == null) org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     ds.groupByKey(_._1)
       .transformWithState(
         new RunningTotalProcessor(ttl),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        timeMode,
         OutputMode.Append())
   }
 

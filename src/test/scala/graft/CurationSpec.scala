@@ -28,6 +28,18 @@ class CurationSpec extends SparkSuite {
     assert(red(1).getAs[Int]("ne") == 0 && red(1).getAs[Int]("np") == 0)
   }
 
+  test("pii counts reconcile with redaction: digit run inside an email is not a phantom phone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq((1L, "reach me: 123456789@example.com", "en", "t", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = CurationQueries.piiRedact(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    // the 9-digit run is part of the <EMAIL> replacement — counting it as
+    // a phone would contradict the redacted output, which has no <PHONE>
+    assert(r.getAs[Long]("n_phones") == 0L)
+  }
+
   test("dedup clusters: LSH pairs co-clustered, labels are component minima") {
     val pairs = SimilarityQueries.minhashLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

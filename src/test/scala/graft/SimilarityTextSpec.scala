@@ -178,7 +178,7 @@ class SimilarityTextSpec extends SparkSuite {
       (col("id") % 97).as("payload")
     )
     val dim = spark.range(500).select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
-    val salted = graft.operators.Salting.saltedJoin(big, dim, "k", "row_id", buckets = 8)
+    val salted = graft.operators.Salting.saltedJoin(big, dim, "k", col("row_id"), buckets = 8)
       .select(col("k"), col("row_id"), col("payload"), col("attr"))
     val plain = big.join(dim, "k").select(col("k"), col("row_id"), col("payload"), col("attr"))
     assert(salted.count() == plain.count())
@@ -200,12 +200,14 @@ class SimilarityTextSpec extends SparkSuite {
   test("batched decode: injectable decoder, failure path, schema fixed") {
     val payloads = Seq(
       (1L, "real image bytes".getBytes("UTF-8")),
-      (2L, Array.empty[Byte])
+      (2L, Array.empty[Byte]),
+      (3L, null: Array[Byte])
     ).toDS()
     val out = graft.operators.Multimodal.decodeBatch(payloads)
       .collect().sortBy(_.doc_id)
     assert(out(0).ok && out(0).width >= 1 && out(0).width <= 1920 && out(0).channels == 3)
     assert(!out(1).ok) // empty payload -> rejected, not a task failure
+    assert(!out(2).ok) // NULL payload column -> rejected, not an NPE
     // decoder injection: a "codec" that always reports 640x480
     val fixed = graft.operators.Multimodal.decodeBatch(
       payloads, _ => Some((640, 480, 1))).collect()

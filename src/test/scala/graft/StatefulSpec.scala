@@ -67,6 +67,23 @@ class StatefulSpec extends SparkSuite {
         .as[(String, Long, Long)].collect().toSet
       // batch 1: get=2, put=1; batch 2: get delta 1, running total 3
       assert(got == Set(("get", 2L, 2L), ("put", 1L, 1L), ("get", 1L, 3L)))
+      // the TTL'd production path must also start (TTL requires
+      // ProcessingTime mode — a TTL under TimeMode.None throws at init).
+      // A processing-time-TTL query never idles (the store keeps
+      // scheduling eviction batches), so neither processAllAvailable nor
+      // AvailableNow terminates on its own: poll for the output, stop.
+      val ms2 = MemoryStream[(String, Long)]
+      ms2.addData(("get", 1L), ("get", 2L))
+      val q2 = Stateful.runningTotals(ms2.toDS(), java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("totals_ttl").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-tws2")).start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("totals_ttl").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(spark.table("totals_ttl").select("key", "total_count")
+          .as[(String, Long)].collect().toSet == Set(("get", 2L)))
+      } finally q2.stop()
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -245,8 +245,11 @@ class StreamingSpec extends SparkSuite {
     assert(opts("kinesis.getRecords.fetchIntervalMs") == "250")   // StreamingJob.java:90-91
     assert(opts("kinesis.getRecords.maxRecordsPerFetch") == "5000") // StreamingJob.java:93-94
     assert(opts("kinesis.consumerType") == "GetRecords")
+    // adaptive reads stay on the polling consumer (the connector has no
+    // adaptive-polling knob; EFO push would be a different consumer model,
+    // voiding the GetRecords options) — documented semantic substitution
     assert(Pipeline.KinesisLogSource.options(cfg.copy(useAdaptiveReads = true))
-      .apply("kinesis.consumerType") == "SubscribeToShard")      // StreamingJob.java:84-88
+      .apply("kinesis.consumerType") == "GetRecords")             // StreamingJob.java:84-88
     // no connector jar in this sandbox: construction must fail with the
     // actionable guard, not a raw data-source lookup stack
     val e = intercept[IllegalStateException] {
