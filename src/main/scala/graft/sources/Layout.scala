@@ -60,4 +60,49 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** 2-D Z-order (Morton) value over two 16-bit bucket columns: bit i of
+    * each input lands at bits 2i / 2i+1 of the z-value, so rows close in
+    * z are close in BOTH dimensions. Pure integer column arithmetic —
+    * codegen'd, no UDF. */
+  def zValue16(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // interleave in LONG arithmetic: bit 31 of an int z-value would be
+    // the sign bit, breaking sort monotonicity
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered write: min-max scale two numeric dimensions to 16-bit
+    * buckets, sort by the interleaved Morton value, write range-split
+    * files. Unlike a single-axis sort (which leaves the second column's
+    * per-file min/max spanning the whole domain), z-clustered files are
+    * narrow in BOTH dimensions — parquet footer stats then skip files
+    * for predicates on either column. The min/max pre-pass is one tiny
+    * distributed aggregate. */
+  def writeZOrdered(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      partitions: Int,
+      path: String
+  ): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val (loA, hiA, loB, hiB) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+        .cast("int")
+    df.withColumn("_z", zValue16(bucket(colA, loA, hiA), bucket(colB, loB, hiB)))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -54,6 +54,38 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == Tables.events(spark, dir).count())
   }
 
+  test("z-ordered writes are narrow in BOTH dimensions; single-axis sort is not") {
+    val base = Files.createTempDirectory("zorder").toString
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    Layout.writeZOrdered(ev, "user_id", "value", 8, s"$base/z")
+    Layout.writeRangeSorted(ev, "user_id", 8, s"$base/single")
+    def meanSpread(path: String, c: String, globalSpread: Double): Double = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 4)
+      files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect()(0)
+        (r.getDouble(1) - r.getDouble(0)) / globalSpread
+      }.sum / files.length
+    }
+    val g = ev.agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double"),
+      (max(col("value")) - min(col("value"))).cast("double")).collect()(0)
+    // z-order: per-file spread well below the full domain on BOTH columns
+    val zU = meanSpread(s"$base/z", "user_id", g.getDouble(0))
+    val zV = meanSpread(s"$base/z", "value", g.getDouble(1))
+    assert(zU < 0.7 && zV < 0.7, f"z files must be 2-D narrow: user=$zU%.2f value=$zV%.2f")
+    // single-axis sort leaves the second column unclustered: its per-file
+    // spread must be materially wider than the z-ordered layout's (an
+    // absolute ~domain-width bound is too flaky — the global spread is
+    // set by rare extremes a 1/8th-size file often misses)
+    val sV = meanSpread(s"$base/single", "value", g.getDouble(1))
+    assert(zV + 0.1 < sV,
+      f"z-order must beat single-axis sort on the second dimension: z=$zV%.2f single=$sV%.2f")
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(s"$base/z").count() == ev.count())
+  }
+
   test("date-partitioned writes give PartitionFilters on range reads") {
     val out = Files.createTempDirectory("part").toString + "/events_by_date"
     Layout.writeDatePartitioned(Tables.events(spark, dir), "ts", out)
