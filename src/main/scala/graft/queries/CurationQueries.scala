@@ -76,10 +76,16 @@ object CurationQueries {
     if (changed > 0)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
+    // Materialize the converged labels ONCE (served from the cache being
+    // released) into ContextCleaner-managed blocks: truncates the
+    // rounds-deep join lineage and lets the last round's cache be
+    // unpersisted here instead of leaking into the session per call.
+    val finalLabels = labels.localCheckpoint(true)
+    prevCache.unpersist()
     adj.unpersist()
     Tables.documents(spark, dir)
       .select(col("doc_id"))
-      .join(labels.withColumnRenamed("cluster", "prop_cluster"), Seq("doc_id"), "left")
+      .join(finalLabels.withColumnRenamed("cluster", "prop_cluster"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("prop_cluster"), col("doc_id")).as("cluster"))
   }
 

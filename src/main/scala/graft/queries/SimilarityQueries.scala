@@ -202,14 +202,6 @@ object SimilarityQueries {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard over MinHash-LSH candidate pairs: the candidate
-    * set comes from the band-signature equijoin (`minhashLsh`), so the
-    * pair space is bounded by LSH bucket collisions — never a
-    * (lang, source) self-join, whose buckets cover nearly the whole
-    * corpus on real data ("en" × "common_crawl" ≈ everything) and go
-    * quadratic. Exact |∩|/|∪| of distinct shingle sets then re-ranks the
-    * candidates; per-pair cost is two doc_id equijoins plus one
-    * set-intersection, linear in the candidate count. */
   /** Recall@3 of the IVF approximate path against the exact brute-force
     * top-3, per query vector — the accuracy price of the ANN shortcut,
     * measured inside the engine. The eval every production ANN rollout
@@ -234,6 +226,14 @@ object SimilarityQueries {
       )
   }
 
+  /** Exact n-gram Jaccard over MinHash-LSH candidate pairs: the candidate
+    * set comes from the band-signature equijoin (`minhashLsh`), so the
+    * pair space is bounded by LSH bucket collisions — never a
+    * (lang, source) self-join, whose buckets cover nearly the whole
+    * corpus on real data ("en" × "common_crawl" ≈ everything) and go
+    * quadratic. Exact |∩|/|∪| of distinct shingle sets then re-ranks the
+    * candidates; per-pair cost is two doc_id equijoins plus one
+    * set-intersection, linear in the candidate count. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(spark, dir)
     val docs = Tables.documents(spark, dir)

@@ -116,7 +116,6 @@ object Sinks {
     }
   }
 
-  /** Console sink (O9 — the reference's side-output `print()`). */
   /** Exactly-once upgrade for `foreachBatch` replays: after recovery
     * Structured Streaming re-delivers a micro-batch under the SAME
     * batchId, so recording completed batchIds makes the at-least-once
@@ -148,6 +147,7 @@ object Sinks {
     }
   }
 
+  /** Console sink (O9 — the reference's side-output `print()`). */
   final class ConsoleSink extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
       batch.show(20, truncate = false)

@@ -92,6 +92,10 @@ object Layout {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0)) { // empty input: min/max agg yields one all-null row
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def bucket(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0)
