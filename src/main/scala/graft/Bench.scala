@@ -26,14 +26,26 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so pure-projection queries (e.g. the parse pipeline) would
     // measure a near-empty plan; the noop write materializes every row.
+    //
+    // MIN OF 2 RUNS per query: this box shows transient multi-second CPU
+    // spikes (noisy neighbor — the same suite measures 72s..254s on
+    // identical code minutes apart). The min of two back-to-back runs
+    // discards one-off spikes and first-run codegen/classload cost, so the
+    // number reported is the query's steady-state cost, which is the
+    // quantity comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val (a, b) = (once(), once())
+      // either run failing marks the query failed — a flaky query must not
+      // hide behind its lucky run
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
