@@ -84,6 +84,10 @@ object SparkEntry {
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
+    "boilerplate_ngrams" -> (TextQueries.boilerplateNgrams _),
+    "funnel_steps" -> (AnalyticsQueries.funnelSteps _),
+    "quantile_bins" -> (AnalyticsQueries.quantileBins _),
+    "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     "approx_stats" -> (AnalyticsQueries.approxStats _)
@@ -162,6 +166,21 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id)""".stripMargin
   }
+
+  /** Connected-components CTE chain over the LSH candidate pairs;
+    * terminal CTE is `cl(doc_id, cluster)` — shared by the
+    * `dedup_clusters` and `dedup_keep_best` oracles. Must follow a
+    * `WITH RECURSIVE`. */
+  private lazy val ClusterBody: String =
+    s"""$LshCandBody,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach(doc_id, anchor) AS (
+       |  SELECT doc_id, doc_id AS anchor FROM documents
+       |  UNION
+       |  SELECT e.dst, r.anchor FROM reach r JOIN edges e ON r.doc_id = e.src
+       |),
+       |cl AS (SELECT doc_id, min(anchor) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
 
   /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
     * note DuckDB regexp_replace needs the 'g' flag to match Spark's
@@ -573,15 +592,53 @@ object SparkEntry {
       // connected components over the LSH candidate pairs: transitive
       // closure via recursive CTE, then min anchor per doc — mirrors the
       // Spark side's iterative min-label propagation exactly
-      s"""WITH RECURSIVE $LshCandBody,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |          UNION SELECT doc_b, doc_a FROM cand),
-         |reach(doc_id, anchor) AS (
-         |  SELECT doc_id, doc_id AS anchor FROM documents
-         |  UNION
-         |  SELECT e.dst, r.anchor FROM reach r JOIN edges e ON r.doc_id = e.src
-         |)
-         |SELECT doc_id, min(anchor) AS cluster FROM reach GROUP BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ClusterBody
+         |SELECT doc_id, cluster FROM cl""".stripMargin,
+    "dedup_keep_best" ->
+      // keeper per cluster: longest text, doc_id tie-break; n_docs is the
+      // component size the keep decision covered
+      s"""WITH RECURSIVE $ClusterBody,
+         |j AS (SELECT c.cluster, c.doc_id, d.n_chars
+         |      FROM cl c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_docs
+         |  FROM j)
+         |SELECT cluster, doc_id AS keeper, n_docs, n_chars AS keeper_chars
+         |FROM r WHERE rn = 1""".stripMargin,
+    "boilerplate_ngrams" ->
+      // a 3-gram is boilerplate when it appears in >= 5 distinct docs;
+      // per-doc share of its DISTINCT shingle set that is boilerplate
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM
+         |  (SELECT doc_id, unnest($ShingleSql) AS sh FROM w)),
+         |dfq AS (SELECT sh, count(*) AS dfc FROM shd GROUP BY sh),
+         |j AS (SELECT s.doc_id, CASE WHEN d.dfc >= 5 THEN 1 ELSE 0 END AS is_b
+         |      FROM shd s JOIN dfq d ON s.sh = d.sh)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(is_b) AS BIGINT) AS n_boiler,
+         |  CAST(sum(is_b) AS DOUBLE) / count(*) AS boiler_ratio
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "funnel_steps" ->
+      // strict temporal funnel; times compared in integer microseconds
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |v AS (SELECT user_id, min(tus) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.tus) AS t_click FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.tus > v.t_view GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.tus) AS t_purchase FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.tus > c.t_click GROUP BY e.user_id)
+         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
+         |UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
+         |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p""".stripMargin,
+    "quantile_bins" ->
+      s"""WITH b AS (SELECT value, event_id, CAST(ntile(10) OVER
+         |    (ORDER BY value, event_id) AS BIGINT) AS bin FROM events)
+         |SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM b GROUP BY bin""".stripMargin,
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),

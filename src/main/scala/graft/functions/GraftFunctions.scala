@@ -73,5 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       GraftFunctions.winnowBuilder
     ))
+    ext.injectFunction((
+      FunctionIdentifier("gunzip_text"),
+      new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
+      (exprs: Seq[Expression]) => GunzipText(exprs.head)
+    ))
   }
 }

@@ -388,4 +388,56 @@ object AnalyticsQueries {
         max(col("ts")).as("session_end")
       )
   }
+
+  /** Three-step behavioral funnel (view → click → purchase) with strict
+    * temporal ordering: a user converts at step N only with an event
+    * strictly AFTER their step-N−1 time. Timestamps compare in exact
+    * integer microseconds on both engines (same rationale as
+    * [[sessionAgg]]).
+    *
+    * Scale (100 TB): each step is one user-keyed equijoin + keyed min —
+    * the event-type filters push to the scan, the step tables shrink
+    * monotonically (step N ⊆ step N−1 users), and nothing ever pairs
+    * events with events. The classic window-per-user alternative (sort
+    * every user's full history) shuffles the whole event log; this
+    * formulation shuffles only per-type projections. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tus") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tus") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
+    def stage(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step.toLong).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click_after_view"))
+      .unionAll(stage(p, 3, "purchase_after_click"))
+  }
+
+  /** Exact decile binning of event values: ntile(10) over a total order
+    * (value, event_id tie-break), per-bin count/min/max/sum. Exact
+    * quantile assignment inherently requires a global order — Spark plans
+    * the empty-partition Window as a single-partition sort, which is the
+    * correct tool at eval scale (bin audits, threshold calibration). At
+    * 100 TB the corpus-scale variant is `approx_percentile` cutpoints
+    * (see [[approxStats]]) followed by a broadcast range-bucket join; the
+    * exact form stays for the sample-sized audits that gate it. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")
+      )
+  }
 }

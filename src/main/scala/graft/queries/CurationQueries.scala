@@ -89,6 +89,29 @@ object CurationQueries {
       .select(col("doc_id"), coalesce(col("prop_cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Keeper election per near-dup cluster: the curation decision that
+    * follows [[dedupClusters]] — keep exactly one document per connected
+    * component, chosen by a deterministic quality rule (longest text,
+    * doc_id tie-break), and record the cluster size the decision covered.
+    *
+    * Scale (100 TB): one doc_id equijoin onto the cluster labels, then a
+    * cluster-keyed window. Cluster sizes are bounded by LSH component
+    * sizes (shallow, small), so no window partition is skewed; the output
+    * is one row per cluster — the keep-list a downstream filter
+    * broadcast-joins against. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    val pick = byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"),
+        col("n_docs"), col("n_chars").as("keeper_chars"))
+  }
+
   /** TF-IDF-style term weighting, top 3 terms per document. The score is
     * tf/(df+1) — a document-frequency-damped term frequency. Rational
     * arithmetic by construction (integer ÷ integer through double), so

@@ -299,6 +299,38 @@ object TextQueries {
       .select(col("doc_id"), sig("s").as("sh_lo"), sig("t").as("sh_hi"))
   }
 
+  /** Boilerplate n-gram profile (the C4/RefinedWeb boilerplate-removal
+    * signal): a word 3-gram is "boilerplate" when it appears in ≥ 5
+    * distinct documents; each doc reports how much of its distinct
+    * shingle set is boilerplate. Near-1 ratios mark template/chrome text
+    * a curation pass strips before training.
+    *
+    * Scale (100 TB): distinct (doc, shingle) pairs → one compact-key
+    * shuffle to count document frequency, then an equijoin of the pairs
+    * back onto the df table keyed by shingle — never doc×doc. The df
+    * side is vocabulary-sized (≪ corpus); AQE broadcasts it when small.
+    * Docs with < 3 tokens have no shingles and drop out (same contract
+    * as [[repetitionScore]]). */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val shd = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(SimilarityQueries.shingleColPublic(col("ws")))).as("sh"))
+    // shd is distinct per (doc_id, sh) by construction, so count(*) per
+    // shingle IS its document frequency
+    val dfq = shd.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    shd.join(dfq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("dfc") >= 5, 1L).otherwise(0L)).as("n_boiler")
+      )
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double")).as("boiler_ratio")
+      )
+  }
+
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     // every OCCURRENCE votes (standard frequency-weighted SimHash) — on a
     // small shared vocabulary, distinct-token signatures degenerate to

@@ -1,0 +1,104 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, CurationQueries, SimilarityQueries, TextQueries}
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 pipeline queries: boilerplate n-grams, the
+  * strict-order funnel, exact decile binning, and keeper election. */
+class PipelineQueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("boilerplate ngrams: shared template scores 1.0, unique text 0.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    // five docs are the same 3-token template (df of their one shingle = 5
+    // = the boilerplate threshold); the sixth is unique 4-token text whose
+    // two shingles have df 1
+    val docs = (1L to 5L).map(i => (i, "alpha beta gamma", "en", "t", 16L)) :+
+      ((6L, "delta epsilon zeta eta", "en", "t", 22L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextQueries.boilerplateNgrams(spark, tmp)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 6)
+    (1L to 5L).foreach { i =>
+      assert(r(i).getAs[Long]("n_shingles") == 1L)
+      assert(r(i).getAs[Double]("boiler_ratio") == 1.0)
+    }
+    assert(r(6L).getAs[Long]("n_shingles") == 2L)
+    assert(r(6L).getAs[Double]("boiler_ratio") == 0.0)
+  }
+
+  test("funnel: strict after-ordering gates each step") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    def ns(sec: Long): Long = sec * 1000000000L
+    // u1 converts fully in order; u2's only click PRECEDES its first view
+    // (and its purchase precedes everything); u3 views only
+    Seq(
+      (1L, ns(1), 1L, "view", 1.0, "{}"),
+      (2L, ns(2), 1L, "click", 1.0, "{}"),
+      (3L, ns(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ns(1), 2L, "click", 1.0, "{}"),
+      (5L, ns(2), 2L, "view", 1.0, "{}"),
+      (6L, ns(0), 2L, "purchase", 1.0, "{}"),
+      (7L, ns(9), 3L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val steps = AnalyticsQueries.funnelSteps(spark, tmp)
+      .collect().map(x => x.getAs[String]("stage") -> x.getAs[Long]("n_users")).toMap
+    assert(steps("view") == 3L)
+    assert(steps("click_after_view") == 1L)
+    assert(steps("purchase_after_click") == 1L)
+  }
+
+  test("quantile bins: 10 near-equal bins, value-monotonic boundaries") {
+    val total = Tables.events(spark, dir).count()
+    val bins = AnalyticsQueries.quantileBins(spark, dir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == (1L to 10L))
+    assert(bins.map(_.getAs[Long]("n")).sum == total)
+    // ntile spreads rows within 1 of each other
+    val ns = bins.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1)
+    // deciles tile the value axis in order
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("max_value") <= hi.getAs[Double]("min_value"))
+    }
+  }
+
+  test("keeper election: longest doc wins its cluster, sizes cover the corpus") {
+    val keepers = CurationQueries.dedupKeepBest(spark, dir).collect()
+    val labels = CurationQueries.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // one row per cluster; sizes sum to the full corpus
+    assert(keepers.map(_.getAs[Long]("cluster")).distinct.length == keepers.length)
+    assert(keepers.map(_.getAs[Long]("n_docs")).sum == labels.length)
+    val byCluster = labels.groupBy(_._2)
+    keepers.foreach { k =>
+      val members = byCluster(k.getAs[Long]("cluster")).map(_._1)
+      val best = members.maxBy(d => (chars(d), -d))
+      assert(k.getAs[Long]("keeper") == best)
+      assert(k.getAs[Long]("n_docs") == members.length)
+      assert(k.getAs[Long]("keeper_chars") == chars(best))
+    }
+  }
+
+  test("boilerplate join never plans doc x doc (candidate key is the shingle)") {
+    val plan = TextQueries.boilerplateNgrams(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "boilerplate must not cross-join")
+  }
+
+  test("funnel filters push to the events scan") {
+    val plan = AnalyticsQueries.funnelSteps(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      "per-type funnel projections should push the type filter into the scan")
+  }
+}
