@@ -176,4 +176,37 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("Exchange"), s"per-row transform must not shuffle:\n$p")
     }
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB semi-join-reduction lever: when a selective dimension
+    // filter survives into a shuffle join, Spark's InjectRuntimeFilter
+    // builds a bloom filter on the small (creation) side and applies it
+    // at the big (application) side's scan — rows that cannot join are
+    // dropped BEFORE the exchange. Defaults gate it on a ≥10 GB probe
+    // scan, so fixture-scale plans never show it; pin the behavior here
+    // with the thresholds lowered and broadcast disabled (a broadcast
+    // join needs no bloom — the runtime filter matters exactly when the
+    // join must shuffle).
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val ord = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum(col("l_quantity")).as("qty"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter on the probe side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
