@@ -87,6 +87,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> (TextQueries.boilerplateNgrams _),
     "funnel_steps" -> (AnalyticsQueries.funnelSteps _),
     "quantile_bins" -> (AnalyticsQueries.quantileBins _),
+    "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
@@ -633,6 +634,14 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
          |UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
          |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p""".stripMargin,
+    "retention_cohort" ->
+      // week = integer epoch-days DIV 7 on both engines (no calendar math)
+      s"""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+         |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+         |SELECT c.cohort_week, e.week - c.cohort_week AS weeks_since,
+         |  count(*) AS n_active_users
+         |FROM e JOIN cohort c ON e.user_id = c.user_id
+         |GROUP BY 1, 2""".stripMargin,
     "quantile_bins" ->
       s"""WITH b AS (SELECT value, event_id, CAST(ntile(10) OVER
          |    (ORDER BY value, event_id) AS BIGINT) AS bin FROM events)

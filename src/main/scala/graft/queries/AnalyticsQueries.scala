@@ -420,6 +420,29 @@ object AnalyticsQueries {
       .unionAll(stage(p, 3, "purchase_after_click"))
   }
 
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; for each (cohort_week, weeks_since) cell, how many of the
+    * cohort's users were active that week. The `week` is integer
+    * epoch-days ÷ 7 (no calendar/timezone dependence — identical
+    * arithmetic on every engine).
+    *
+    * Scale (100 TB): one user-keyed min to anchor cohorts, one equijoin
+    * back onto the (user, week) distinct activity set, one count per
+    * cohort cell — all compact-key shuffles; the cohort anchor table is
+    * |users|-sized, broadcast-able for any realistic user count. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      // integer DIV, not `/` (double division) — epoch-µs magnitudes sit
+      // near the edge of exact double representation
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   /** Exact decile binning of event values: ntile(10) over a total order
     * (value, event_id tie-break), per-bin count/min/max/sum. Exact
     * quantile assignment inherently requires a global order — Spark plans

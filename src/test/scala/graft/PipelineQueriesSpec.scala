@@ -89,6 +89,28 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("retention cohorts: users anchor to their first week, offsets count actives") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    def day(d: Long): Long = d * 86400000000000L // ns
+    // u1 cohort week0, active weeks 0+1; u2 week0 only; u3 cohort week1,
+    // active weeks 1+3 (u3's second event also tests the (user, week)
+    // distinct: two events in week 3 count once)
+    Seq(
+      (1L, day(0), 1L, "view", 1.0, "{}"),
+      (2L, day(8), 1L, "view", 1.0, "{}"),
+      (3L, day(1), 2L, "view", 1.0, "{}"),
+      (4L, day(7), 3L, "view", 1.0, "{}"),
+      (5L, day(22), 3L, "view", 1.0, "{}"),
+      (6L, day(23), 3L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val cells = AnalyticsQueries.retentionCohort(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("weeks_since")) -> r.getAs[Long]("n_active_users"))
+      .toMap
+    assert(cells == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("boilerplate join never plans doc x doc (candidate key is the shingle)") {
     val plan = TextQueries.boilerplateNgrams(spark, dir)
       .queryExecution.executedPlan.toString
