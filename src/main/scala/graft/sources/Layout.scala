@@ -75,6 +75,30 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Compact a small-files directory into ~`targetFileBytes` parquet
+    * files. The chronic 100 TB operational problem: streaming sinks and
+    * over-parallel writers leave thousands of KB-sized files, and every
+    * downstream scan then pays one task + one footer-read per file. The
+    * file count comes from the ACTUAL byte size of the input (summed from
+    * the file listing, not optimizer estimates), and the rewrite is one
+    * coalesce-free `repartition(n)` so output files are near-uniform.
+    * Returns the file count written. */
+  def compactFiles(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    val df = spark.read.parquet(inPath)
+    val inputBytes = df.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getFileStatus(
+        new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val n = math.max(1, math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Z-ordered write: min-max scale two numeric dimensions to 16-bit
     * buckets, sort by the interleaved Morton value, write range-split
     * files. Unlike a single-axis sort (which leaves the second column's

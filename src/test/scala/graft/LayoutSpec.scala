@@ -99,4 +99,26 @@ class LayoutSpec extends SparkSuite {
     assert(read.count() == full.filter(col("event_date") === "2024-01-03").count())
     assert(read.count() > 0)
   }
+
+  test("compaction rewrites a small-files mess into the computed file count, losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // 64 tiny files
+    spark.range(0, 6400).toDF("id").repartition(64)
+      .write.mode("overwrite").parquet(in)
+    val nIn = spark.read.parquet(in).inputFiles.length
+    assert(nIn == 64)
+    val sumBytes = spark.read.parquet(in).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length).sum
+    val target = math.max(1L, sumBytes / 4) // expect ~4-5 output files
+    val n = sources.Layout.compactFiles(spark, in, out, target)
+    val outFiles = spark.read.parquet(out).inputFiles.length
+    assert(outFiles == n && n < nIn,
+      s"expected $n compacted files (from $nIn), found $outFiles")
+    // lossless: same ids in, same ids out
+    assert(spark.read.parquet(out).agg(sum(col("id"))).head.getLong(0)
+      == 6400L * 6399 / 2)
+    assert(spark.read.parquet(out).count() == 6400)
+  }
 }
