@@ -88,6 +88,7 @@ object SparkEntry {
     "funnel_steps" -> (AnalyticsQueries.funnelSteps _),
     "quantile_bins" -> (AnalyticsQueries.quantileBins _),
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
+    "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
@@ -634,6 +635,14 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
          |UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
          |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p""".stripMargin,
+    "group_percentiles" ->
+      // quantile_cont shares Spark percentile's rank = p*(n-1) linear
+      // interpolation - verified bit-identical on this data
+      s"""SELECT event_type, count(*) AS n,
+         |  quantile_cont(value, 0.5) AS p50,
+         |  quantile_cont(value, 0.9) AS p90,
+         |  quantile_cont(value, 0.99) AS p99
+         |FROM events GROUP BY event_type""".stripMargin,
     "retention_cohort" ->
       // week = integer epoch-days DIV 7 on both engines (no calendar math)
       s"""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events),

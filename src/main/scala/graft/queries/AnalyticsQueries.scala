@@ -420,6 +420,26 @@ object AnalyticsQueries {
       .unionAll(stage(p, 3, "purchase_after_click"))
   }
 
+  /** Exact interpolated percentiles per group (p50/p90/p99 of the value
+    * distribution by event type) — the latency-SLO shape the reference's
+    * Timestream pipeline existed to serve. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the rank = p·(n−1) linear
+    * interpolation, verified bit-identical on this data.
+    *
+    * Scale: exact percentile buffers each group's values (O(group) per
+    * key) — right for bounded group counts like per-type SLO panels. For
+    * unbounded/corpus-scale groups use the mergeable-sketch path
+    * (`approx_stats`); same split as [[quantileBins]]. */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99")
+      )
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST
     * event; for each (cohort_week, weeks_since) cell, how many of the
     * cohort's users were active that week. The `week` is integer
