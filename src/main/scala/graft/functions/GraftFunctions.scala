@@ -28,13 +28,18 @@ object GraftFunctions {
   private val vecDotInfo =
     new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot")
 
+  private[functions] val gunzipBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"gunzip_text expects 1 argument, got ${exprs.length}")
+    GunzipText(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("gunzip_text"),
       new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
-      (exprs: Seq[Expression]) => GunzipText(exprs.head))
+      gunzipBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo, winnowBuilder)
   }
@@ -76,7 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("gunzip_text"),
       new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
-      (exprs: Seq[Expression]) => GunzipText(exprs.head)
+      GraftFunctions.gunzipBuilder
     ))
   }
 }

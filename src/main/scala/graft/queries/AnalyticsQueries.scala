@@ -472,7 +472,10 @@ object AnalyticsQueries {
     * (see [[approxStats]]) followed by a broadcast range-bucket join; the
     * exact form stays for the sample-sized audits that gate it. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("value").asc, col("event_id").asc)
+    // asc_nulls_last pins Spark to DuckDB's ASC default (NULLS LAST) —
+    // Spark's bare asc is NULLS FIRST, which would silently shift every
+    // bin boundary the day `value` becomes nullable
+    val w = Window.orderBy(col("value").asc_nulls_last, col("event_id").asc)
     Tables.events(spark, dir)
       .withColumn("bin", ntile(10).over(w).cast("long"))
       .groupBy(col("bin"))
@@ -480,7 +483,7 @@ object AnalyticsQueries {
         count(lit(1)).as("n"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")
+        sum(col("value").cast(Dec)).cast("double").as("sum_value")
       )
   }
 }

@@ -90,13 +90,19 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024
   ): Int = {
     val df = spark.read.parquet(inPath)
-    val inputBytes = df.inputFiles.map(f =>
-      new org.apache.hadoop.fs.Path(f).getFileSystem(
-        spark.sparkContext.hadoopConfiguration).getFileStatus(
-        new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val files = df.inputFiles
+    // one FileSystem for the whole listing — resolving per file would pay
+    // the config lookup thousands of times on exactly the small-files
+    // input this exists for
+    val fs = new org.apache.hadoop.fs.Path(files.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val n = math.max(1, math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
     df.repartition(n).write.mode("overwrite").parquet(outPath)
-    n
+    // report what landed, not the partition count: empty partitions (row
+    // count < n) write no file
+    spark.read.parquet(outPath).inputFiles.length
   }
 
   /** Z-ordered write: min-max scale two numeric dimensions to 16-bit
@@ -116,7 +122,10 @@ object Layout {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    if (r.isNullAt(0)) { // empty input: min/max agg yields one all-null row
+    // empty input yields one all-null row; an all-NULL dimension column
+    // nulls only its own min/max — either way there is no z-range to
+    // cluster on, so fall back to a plain write
+    if (r.isNullAt(0) || r.isNullAt(2)) {
       df.write.mode("overwrite").parquet(path)
       return
     }
