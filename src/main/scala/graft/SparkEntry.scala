@@ -89,6 +89,8 @@ object SparkEntry {
     "quantile_bins" -> (AnalyticsQueries.quantileBins _),
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
+    "snapshot_diff" -> (CurationQueries.snapshotDiff _),
+    "event_transitions" -> (AnalyticsQueries.eventTransitions _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
@@ -635,6 +637,23 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
          |UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
          |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p""".stripMargin,
+    "snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
+         |v1 AS (SELECT doc_id AS id_a, fp AS fp_a FROM d WHERE doc_id % 5 <> 0),
+         |v2 AS (SELECT doc_id AS id_b,
+         |    CASE WHEN doc_id % 3 = 0 THEN md5(fp || 'x') ELSE fp END AS fp_b
+         |  FROM d WHERE doc_id % 7 <> 0)
+         |SELECT coalesce(id_a, id_b) AS doc_id,
+         |  CASE WHEN id_a IS NULL THEN 'added'
+         |       WHEN id_b IS NULL THEN 'removed'
+         |       WHEN fp_a <> fp_b THEN 'changed'
+         |       ELSE 'same' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON id_a = id_b""".stripMargin,
+    "event_transitions" ->
+      s"""WITH t AS (SELECT user_id, event_type, lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
+         |SELECT prev_type, event_type AS next_type, count(*) AS n
+         |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "group_percentiles" ->
       // quantile_cont shares Spark percentile's rank = p*(n-1) linear
       // interpolation - verified bit-identical on this data

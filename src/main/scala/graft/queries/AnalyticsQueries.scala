@@ -420,6 +420,23 @@ object AnalyticsQueries {
       .unionAll(stage(p, 3, "purchase_after_click"))
   }
 
+  /** Event-type transition matrix: per user, consecutive event pairs in
+    * (ts, event_id) order, counted per (prev → next) cell — first-order
+    * Markov structure of the event stream (the path-analysis primitive
+    * behind "what do users do after an error?").
+    *
+    * Scale: one user-keyed window (each user's history sorts within its
+    * partition; no global order) and one 2-string-key count. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact interpolated percentiles per group (p50/p90/p99 of the value
     * distribution by event type) — the latency-SLO shape the reference's
     * Timestream pipeline existed to serve. Spark's `percentile` and

@@ -221,6 +221,36 @@ object CurationQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Snapshot diff: classify every doc across two corpus versions as
+    * added / removed / changed / same by full-outer-joining content
+    * fingerprints on doc_id — the audit every rolling-crawl pipeline
+    * runs between ingests (and the engine's full-outer-join surface).
+    * The two versions are derived deterministically here: v1 lacks the
+    * doc_id%5==0 docs (they read as "added"), v2 drops doc_id%7==0
+    * ("removed") and rewrites the fingerprint of doc_id%3==0 ("changed").
+    *
+    * Scale (100 TB): both sides reduce to (doc_id, 32-hex fp) before the
+    * join — the shuffle carries 40-byte rows, never text; the full-outer
+    * join is a plain co-partitioned equijoin on doc_id. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    val v1 = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val v2 = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("fp",
+        when(col("doc_id") % 3 === 0, md5(concat(col("fp"), lit("x")))).otherwise(col("fp")))
+      .select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    v1.join(v2, col("id_a") === col("id_b"), "full_outer")
+      .select(
+        coalesce(col("id_a"), col("id_b")).as("doc_id"),
+        when(col("id_a").isNull, "added")
+          .when(col("id_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("same").as("status")
+      )
+  }
+
   /** Int8 embedding quantization: per-vector min/max affine scale to
     * [0, 255] (floor, clamped), plus the max reconstruction error at
     * midpoint dequantization — the storage-shrinking step before an ANN

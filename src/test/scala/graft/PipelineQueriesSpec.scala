@@ -111,6 +111,34 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(cells == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("snapshot diff: status follows the derivation arithmetic exactly") {
+    val rows = CurationQueries.snapshotDiff(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    all.foreach { id =>
+      val inV1 = id % 5 != 0
+      val inV2 = id % 7 != 0
+      val expected =
+        if (!inV1 && !inV2) None // in neither snapshot → not in the diff
+        else if (!inV1) Some("added")
+        else if (!inV2) Some("removed")
+        else if (id % 3 == 0) Some("changed")
+        else Some("same")
+      assert(rows.get(id) == expected, s"doc $id")
+    }
+    assert(rows.size == all.count(id => id % 5 != 0 || id % 7 != 0))
+  }
+
+  test("event transitions: every non-first event contributes exactly one pair") {
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    val n = AnalyticsQueries.eventTransitions(spark, dir)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(n == total - users)
+  }
+
   test("boilerplate join never plans doc x doc (candidate key is the shingle)") {
     val plan = TextQueries.boilerplateNgrams(spark, dir)
       .queryExecution.executedPlan.toString
