@@ -91,6 +91,7 @@ object SparkEntry {
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
     "event_transitions" -> (AnalyticsQueries.eventTransitions _),
+    "above_avg_docs" -> (AnalyticsQueries.aboveAvgDocs _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
@@ -649,6 +650,11 @@ object SparkEntry {
          |       WHEN fp_a <> fp_b THEN 'changed'
          |       ELSE 'same' END AS status
          |FROM v1 FULL OUTER JOIN v2 ON id_a = id_b""".stripMargin,
+    "above_avg_docs" ->
+      s"""SELECT doc_id, n_chars,
+         |  n_chars - (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents) AS above_by
+         |FROM documents
+         |WHERE n_chars > (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents)""".stripMargin,
     "event_transitions" ->
       s"""WITH t AS (SELECT user_id, event_type, lag(event_type) OVER
          |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)

@@ -420,6 +420,22 @@ object AnalyticsQueries {
       .unionAll(stage(p, 3, "purchase_after_click"))
   }
 
+  /** Corpus-relative filter via scalar subqueries: docs longer than the
+    * corpus mean length, reported with their distance from it — the
+    * "compare each row to a global statistic" shape. Catalyst plans each
+    * scalar subquery as a one-row broadcast (Subquery → ReusedSubquery),
+    * NOT a join — the statistic computes once and rides the task
+    * closure; the mean (exact long sum ÷ count, one double division) is
+    * engine-deterministic. */
+  def aboveAvgDocs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT doc_id, n_chars,
+        |  n_chars - (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents_v) AS above_by
+        |FROM documents_v
+        |WHERE n_chars > (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents_v)""".stripMargin)
+  }
+
   /** Event-type transition matrix: per user, consecutive event pairs in
     * (ts, event_id) order, counted per (prev → next) cell — first-order
     * Markov structure of the event stream (the path-analysis primitive
