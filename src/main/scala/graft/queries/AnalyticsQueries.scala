@@ -422,10 +422,11 @@ object AnalyticsQueries {
 
   /** Corpus-relative filter via scalar subqueries: docs longer than the
     * corpus mean length, reported with their distance from it — the
-    * "compare each row to a global statistic" shape. Catalyst plans each
-    * scalar subquery as a one-row broadcast (Subquery → ReusedSubquery),
-    * NOT a join — the statistic computes once and rides the task
-    * closure; the mean (exact long sum ÷ count, one double division) is
+    * "compare each row to a global statistic" shape. Catalyst evaluates
+    * each scalar subquery up front as a one-row result that rides the
+    * task closure — no join in the plan; each instance is a
+    * column-pruned partial-agg scan of the single n_chars column. The
+    * mean (exact long sum ÷ count, one double division) is
     * engine-deterministic. */
   def aboveAvgDocs(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("documents_v")

@@ -177,6 +177,50 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE skew join splits the hot partition (the automatic path beside salted_join)") {
+    // salted_join is the manual fallback; the FIRST line of defense at
+    // scale is AQE's skew split, which subdivides an oversized shuffle
+    // partition into parallel sub-joins at runtime. Thresholds are
+    // production-sized (256 MB), so pin the behavior at test scale by
+    // lowering them; the marker is `skew=true` on the join node of the
+    // adaptively re-planned (executed) query.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the fact side lands on key 7
+      val fact = (1 to 100000)
+        .map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong)).toDF("k", "v")
+      val dim = (1L to 100000L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS Dataset's queryExecution, which is what
+      // AQE re-plans in place — a count() would execute a different one
+      val rows = joined.collect().length
+      assert(rows == 100000, s"join result wrong: $rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The 100 TB semi-join-reduction lever: when a selective dimension
     // filter survives into a shuffle join, Spark's InjectRuntimeFilter
