@@ -63,6 +63,32 @@ class StreamingSpec extends SparkSuite {
     assert(streamSet == batchSet)
   }
 
+  test("observed metrics report per-batch row count and max event time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val recs = LogGen.records(n = 50, seed = 11L)
+    ms.addData(recs: _*)
+    val cfg = AppConfig()
+    val observed = Pipeline.withMetrics(
+      Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), cfg))
+    val q = Pipeline.windowedStats(observed, cfg).writeStream
+      .format("memory").queryName("obs_agg").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-obs"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val m = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("pipeline"))).lastOption
+      .getOrElse(fail("no 'pipeline' observed metrics in any progress"))
+    assert(m.getAs[Long]("n_rows") == 50L)
+    assert(m.getAs[Long]("n_null_time") == 0L)
+    // the observed max must equal the actual max of the parsed batch
+    val batchMax = graft.functions.LogParse
+      .parse(recs.toDF("raw"), "raw")
+      .agg(max(col("time"))).head.getLong(0)
+    assert(m.getAs[Long]("max_event_ms") == batchMax)
+  }
+
   test("update mode re-emits a window for an in-grace late record (Flink allowedLateness analog)") {
     // Flink's allowedLateness(5s) RE-FIRES a closed window when a record
     // arrives within the grace period (StreamingJob.java:149). Spark's
