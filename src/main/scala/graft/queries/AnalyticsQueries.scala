@@ -445,8 +445,10 @@ object AnalyticsQueries {
     * Scale: one user-keyed window (each user's history sorts within its
     * partition; no global order) and one 2-string-key count. */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    // asc_nulls_last pins Spark to DuckDB's ASC default — same latent
+    // nulls-ordering trap as quantileBins
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     Tables.events(spark, dir)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)

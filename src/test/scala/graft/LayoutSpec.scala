@@ -113,9 +113,13 @@ class LayoutSpec extends SparkSuite {
       new java.io.File(new java.net.URI(f)).length).sum
     val target = math.max(1L, sumBytes / 4) // expect ~4-5 output files
     val n = sources.Layout.compactFiles(spark, in, out, target)
+    // recompute the sizing math INDEPENDENTLY — compactFiles returns a
+    // re-listing of its own output, so comparing only against n would be
+    // a tautology
+    val expected = math.max(1, math.ceil(sumBytes.toDouble / target).toInt)
     val outFiles = spark.read.parquet(out).inputFiles.length
-    assert(outFiles == n && n < nIn,
-      s"expected $n compacted files (from $nIn), found $outFiles")
+    assert(n == expected && outFiles == expected && n < nIn,
+      s"expected $expected compacted files (from $nIn), got n=$n, listed $outFiles")
     // lossless: same ids in, same ids out
     assert(spark.read.parquet(out).agg(sum(col("id"))).head.getLong(0)
       == 6400L * 6399 / 2)
