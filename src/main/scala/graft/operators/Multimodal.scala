@@ -138,6 +138,51 @@ object Multimodal {
   val imageIoWithStubFallback: Array[Byte] => Option[(Int, Int, Int)] =
     bytes => imageIoDecoder(bytes).orElse(stubDecoder(bytes))
 
+  /** Decoded audio record: the fixed schema the batched audio decoder
+    * fills. */
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, ok: Boolean)
+
+  /** REAL audio decode using the JDK's own parsers
+    * (`javax.sound.sampled`: WAV/AU/AIFF — no external libraries).
+    * Returns (sampleRate, channels, bitsPerSample, frameCount); `None`
+    * when no installed reader recognises the bytes. The audio analog of
+    * [[imageIoDecoder]] — video remains the one genuinely stubbed
+    * modality (the JDK ships no video codec). */
+  val audioDecoder: Array[Byte] => Option[(Int, Int, Int, Long)] = { bytes =>
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          Some((f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, in.getFrameLength))
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Partition-batched audio decode — same contract as [[decodeBatch]]:
+    * per-partition decoder init, failures as `ok=false` rows, fixed
+    * output schema. */
+  def decodeAudioBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decode: Array[Byte] => Option[(Int, Int, Int, Long)] = audioDecoder
+  ): org.apache.spark.sql.Dataset[DecodedAudio] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decode(bytes) match {
+          case Some((sr, ch, bits, frames)) =>
+            DecodedAudio(id, sr, ch, bits, frames, ok = true)
+          case None => DecodedAudio(id, 0, 0, 0, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** The oracle-checked multimodal query: documents → payload + metadata +
     * stub decode + stub features. */
   def metaQuery(docs: DataFrame): DataFrame = {

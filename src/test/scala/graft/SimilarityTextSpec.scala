@@ -246,6 +246,34 @@ class SimilarityTextSpec extends SparkSuite {
     assert(!mixed(3).ok)           // empty still rejected by both
   }
 
+  test("real WAV decode through decodeAudioBatch via the JDK's sound API") {
+    // generate a real 16-bit mono PCM WAV in-test: 400 frames at 8 kHz
+    def wavBytes(nFrames: Int, sampleRate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = Array.tabulate[Byte](nFrames * 2 * channels)(i => (i * 7 % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, wavBytes(400, 8000f, 1)),
+      (2L, wavBytes(250, 44100f, 2)),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, Array.empty[Byte])
+    ).toDS()
+    val out = graft.operators.Multimodal.decodeAudioBatch(payloads)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).sample_rate == 8000 && out(0).channels == 1 &&
+      out(0).bits == 16 && out(0).n_frames == 400L)
+    assert(out(1).ok && out(1).sample_rate == 44100 && out(1).channels == 2 &&
+      out(1).n_frames == 250L)
+    assert(!out(2).ok) // unrecognised bytes -> rejected, not mis-decoded
+    assert(!out(3).ok)
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)
