@@ -145,6 +145,25 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), "boilerplate must not cross-join")
   }
 
+  test("retention / transitions / snapshot diff: keyed shuffles only, no cartesian") {
+    Seq(
+      AnalyticsQueries.retentionCohort(spark, dir),
+      AnalyticsQueries.eventTransitions(spark, dir),
+      CurationQueries.snapshotDiff(spark, dir)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"unexpected NLJ:\n${p.take(1500)}")
+    }
+  }
+
+  test("above_avg_docs: the corpus statistic is a subquery, not a join") {
+    val p = AnalyticsQueries.aboveAvgDocs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Subquery"), "expected scalar subqueries in the plan")
+    assert(!p.toLowerCase.contains("join"), s"statistic must not plan as a join:\n${p.take(1500)}")
+  }
+
   test("funnel filters push to the events scan") {
     val plan = AnalyticsQueries.funnelSteps(spark, dir)
       .queryExecution.executedPlan.toString
