@@ -511,7 +511,7 @@ object AnalyticsQueries {
     // asc_nulls_last pins Spark to DuckDB's ASC default (NULLS LAST) —
     // Spark's bare asc is NULLS FIRST, which would silently shift every
     // bin boundary the day `value` becomes nullable
-    val w = Window.orderBy(col("value").asc_nulls_last, col("event_id").asc)
+    val w = Window.orderBy(col("value").asc_nulls_last, col("event_id").asc_nulls_last)
     Tables.events(spark, dir)
       .withColumn("bin", ntile(10).over(w).cast("long"))
       .groupBy(col("bin"))
