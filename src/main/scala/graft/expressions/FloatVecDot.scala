@@ -20,13 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (SURVEY §7.3) once the profile showed the fold hot.
   *
   * Null semantics: null input array → null (BinaryExpression default);
-  * element nulls are not expected from the parquet float vectors and read
-  * as 0.0f, matching neither-engine-has-null fixtures.
+  * UNEQUAL lengths → null, matching the zip_with formulation (null
+  * padding poisons its fold) — a silently truncated partial dot would be
+  * a plausible-looking wrong number on schema drift. Element nulls are
+  * not expected from the parquet float vectors and read as 0.0f,
+  * matching neither-engine-has-null fixtures.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null is produced for length-mismatched inputs even when both child
+  // arrays are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(t: DataType) = t match {
@@ -44,7 +51,8 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -60,12 +68,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

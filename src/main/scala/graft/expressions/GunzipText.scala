@@ -27,6 +27,12 @@ case class GunzipText(child: Expression)
 
   override def dataType: DataType = StringType
 
+  // corrupt payloads evaluate to null even when the child column is
+  // non-nullable — without this override the derived nullable=false lets
+  // a null UTF8String reach the row writer (NPE) and lets the optimizer
+  // fold away IsNotNull filters on the result
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -85,13 +85,19 @@ object WinnowFps {
         while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
         Array(mn)
       } else {
+        // monotonic-deque sliding minimum: O(m) total instead of O(m·w)
+        // rescans — each index enters and leaves the deque once
         val out = new Array[Long](m - w + 1)
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0 // live window indices in dq(head until tail), values ascending
         i = 0
-        while (i <= m - w) {
-          var mn = hashes(i)
-          var t = i + 1
-          while (t < i + w) { if (hashes(t) < mn) mn = hashes(t); t += 1 }
-          out(i) = mn
+        while (i < m) {
+          while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+          dq(tail) = i
+          tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) out(i - w + 1) = hashes(dq(head))
           i += 1
         }
         out

@@ -33,35 +33,63 @@ object Sinks {
   }
 
   /** Validity predicate mirroring Timestream's per-record rejection
-    * rules: a record needs a time, a measure value parseable as its
-    * declared type, and a known measure-value type. */
+    * rules: a record needs a time, a present measure value parseable as
+    * its declared type, and a known measure-value type. The flag is
+    * null-SAFE (`coalesce` to false): a NULL measure_value_type makes
+    * `isin` three-valued-NULL, and a NULL `_valid` would be dropped by
+    * BOTH the accepted filter and the negated dead-letter filter — the
+    * malformed row this split exists for would silently vanish. */
   def isValidPoint(df: DataFrame): DataFrame =
     df.withColumn(
       "_valid",
-      col("time").isNotNull &&
-        col("measure_value_type")
-          .isin(graft.model.TimestreamPoint.MeasureValueTypes.toSeq: _*) &&
-        (col("measure_value_type") =!= "DOUBLE" || col("measure_value").try_cast("double").isNotNull) &&
-        (col("measure_value_type") =!= "BIGINT" || col("measure_value").try_cast("long").isNotNull)
+      coalesce(
+        col("time").isNotNull &&
+          col("measure_value_type")
+            .isin(graft.model.TimestreamPoint.MeasureValueTypes.toSeq: _*) &&
+          col("measure_value").isNotNull &&
+          (col("measure_value_type") =!= "DOUBLE" || col("measure_value").try_cast("double").isNotNull) &&
+          (col("measure_value_type") =!= "BIGINT" || col("measure_value").try_cast("long").isNotNull),
+        lit(false)
+      )
     )
+
+  /** Validation split + write shared by the record sinks: one cached
+    * flagged frame feeds both counts and both writes. `extraValid`
+    * lets a sink add endpoint-specific rejection rules (e.g. JDBC
+    * column-width limits); `writeEmptyOk` forces the accepted-side write
+    * even for an empty batch (the JDBC sink creates its table through
+    * it). */
+  private def splitAndWrite(
+      batch: DataFrame,
+      writeOk: DataFrame => Unit,
+      writeBad: DataFrame => Unit,
+      extraValid: DataFrame => org.apache.spark.sql.Column = _ => lit(true),
+      writeEmptyOk: Boolean = false
+  ): (Long, Long) = {
+    val flagged = isValidPoint(batch)
+      .withColumn("_valid", col("_valid") && coalesce(extraValid(batch), lit(false)))
+      .cache()
+    try {
+      val ok = flagged.filter(col("_valid")).drop("_valid")
+      val bad = flagged.filter(!col("_valid")).drop("_valid")
+      val (nOk, nBad) = (ok.count(), bad.count())
+      if (nOk > 0 || writeEmptyOk) writeOk(ok)
+      if (nBad > 0) writeBad(bad)
+      (nOk, nBad)
+    } finally flagged.unpersist()
+  }
 
   /** Offline-runnable table sink: appends accepted rows as parquet under
     * `path`, rejected rows under `path`/_dead_letter. Stands in for the
     * Timestream/JDBC endpoint in this sandbox; the split logic is the
     * production logic. */
   final class ParquetTableSink(path: String) extends RecordSink {
-    override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
-      val flagged = isValidPoint(batch).cache()
-      try {
-        val ok = flagged.filter(col("_valid")).drop("_valid")
-        val bad = flagged.filter(!col("_valid")).drop("_valid")
-        val nOk = ok.count()
-        val nBad = bad.count()
-        if (nOk > 0) ok.write.mode("append").parquet(s"$path/data")
-        if (nBad > 0) bad.write.mode("append").parquet(s"$path/_dead_letter")
-        (nOk, nBad)
-      } finally flagged.unpersist()
-    }
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) =
+      splitAndWrite(
+        batch,
+        ok => ok.write.mode("append").parquet(s"$path/data"),
+        bad => bad.write.mode("append").parquet(s"$path/_dead_letter")
+      )
   }
 
   /** JDBC sink (the BASELINE.json-designated production edge). Code path
@@ -94,26 +122,47 @@ object Sinks {
     private def varcharTypes(batch: DataFrame): Option[String] = {
       val strCols = batch.schema.fields
         .filter(_.dataType == org.apache.spark.sql.types.StringType)
-        .map(f => s"${f.name} VARCHAR(1024)")
+        .map(f => s"${f.name} VARCHAR(${JdbcBatchSink.VarcharWidth})")
       if (strCols.isEmpty) None else Some(strCols.mkString(", "))
     }
 
+    private def stringCols(df: DataFrame): Seq[String] =
+      df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name).toSeq
+
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
-      val flagged = isValidPoint(jdbcCompatible(batch)).cache()
-      try {
-        val ok = flagged.filter(col("_valid")).drop("_valid")
-        val bad = flagged.filter(!col("_valid")).drop("_valid")
-        val (nOk, nBad) = (ok.count(), bad.count())
-        def writer(df: DataFrame) = {
-          val w = df.write.mode("append")
-          varcharTypes(df).fold(w)(t => w.option("createTableColumnTypes", t))
-        }
-        writer(ok).jdbc(cfg.jdbcUrl.get, cfg.tableName, props)
-        if (nBad > 0)
-          writer(bad).jdbc(cfg.jdbcUrl.get, s"${cfg.tableName}_dead_letter", props)
-        (nOk, nBad)
-      } finally flagged.unpersist()
+      val compat = jdbcCompatible(batch)
+      def writer(df: DataFrame) = {
+        val w = df.write.mode("append")
+        varcharTypes(df).fold(w)(t => w.option("createTableColumnTypes", t))
+      }
+      splitAndWrite(
+        compat,
+        ok => writer(ok).jdbc(cfg.jdbcUrl.get, cfg.tableName, props),
+        bad => {
+          // the dead-letter table shares the VARCHAR widths, so oversized
+          // rejects are truncated to fit — a too-long value must not kill
+          // the dead-letter write either
+          val truncated = stringCols(bad).foldLeft(bad)((acc, c) =>
+            acc.withColumn(c, substring(col(c), 1, JdbcBatchSink.VarcharWidth)))
+          writer(truncated).jdbc(cfg.jdbcUrl.get, s"${cfg.tableName}_dead_letter", props)
+        },
+        // endpoint rule: a string longer than the declared VARCHAR width
+        // cannot INSERT — reject the row instead of letting one oversized
+        // record abort the whole micro-batch (NULL strings fit trivially)
+        extraValid = df => stringCols(df)
+          .map(c => coalesce(length(col(c)) <= JdbcBatchSink.VarcharWidth, lit(true)))
+          .foldLeft(lit(true))(_ && _),
+        writeEmptyOk = true
+      )
     }
+  }
+
+  object JdbcBatchSink {
+    /** Declared width of every JDBC string column (shared by the main and
+      * dead-letter tables). */
+    val VarcharWidth = 4096
   }
 
   /** Exactly-once upgrade for `foreachBatch` replays: after recovery
@@ -147,11 +196,18 @@ object Sinks {
     }
   }
 
-  /** Console sink (O9 — the reference's side-output `print()`). */
+  /** Console sink (O9 — the reference's side-output `print()`). The
+    * batch is cached across the two actions (show + count) so its lineage
+    * — the whole source scan on the late-data path — runs once per
+    * trigger, not twice. */
   final class ConsoleSink extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) = {
-      batch.show(20, truncate = false)
-      (batch.count(), 0L)
+      val cached = batch.cache()
+      try {
+        val n = cached.count()
+        cached.show(20, truncate = false)
+        (n, 0L)
+      } finally cached.unpersist()
     }
   }
 

@@ -40,34 +40,34 @@ object Stateful {
             state.remove()
             Iterator(Session(user, s.start, s.end, s.n))
           } else {
-            val times = rows.map(_._2).toSeq.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                // merge iff the event's gap-interval overlaps the open
-                // session's: t within [start - gap, end + gap]. Checking
-                // only the upper bound would let an ancient out-of-order
-                // event (t << start - gap) stretch the session backwards
-                // arbitrarily far.
-                case Some(s) if t <= s.end + gapMs && t >= s.start - gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-                case Some(s) if t < s.start - gapMs =>
-                  // ancient straggler: its own already-closed session;
-                  // the open session stays open
-                  closed ::= Session(user, t, t, 1)
-                case Some(s) =>
-                  closed ::= Session(user, s.start, s.end, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            // Classic interval merge over {open session} ∪ {batch events},
+            // sorted by start: any two pieces within gapMs chain into one
+            // session — EXACTLY the batch lag+cumsum `session_agg`
+            // semantics on the same events. (A per-event fold against only
+            // the open session would emit each ancient straggler as its
+            // own singleton, never merging two stragglers that sit within
+            // gapMs of each other.) The latest merged interval stays open;
+            // everything earlier is closed output.
+            val pieces =
+              (rows.map(t => SessionState(t._2, t._2, 1)) ++ state.getOption.iterator)
+                .toArray.sortBy(_.start)
+            if (pieces.isEmpty) Iterator.empty
+            else {
+            var merged = List.empty[SessionState]
+            pieces.foreach { p =>
+              merged = merged match {
+                case h :: rest if p.start <= h.end + gapMs =>
+                  SessionState(h.start, math.max(h.end, p.end), h.n + p.n) :: rest
+                case _ => p :: merged
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+            // merged is newest-first; head stays open, the rest close now
+            val open = merged.head
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            merged.tail.reverseIterator
+              .map(s => Session(user, s.start, s.end, s.n))
             }
-            closed.reverseIterator
           }
       }
   }
@@ -89,10 +89,13 @@ object Stateful {
 
   final case class KeyedTotal(key: String, batch_count: Long, total_count: Long)
 
-  /** Per-key running totals on the `transformWithState` arbitrary-state
-    * API (Spark 4's successor to `mapGroupsWithState`): one TTL-managed
-    * `ValueState[Long]` per key, each micro-batch emits (batch delta,
-    * running total). The TTL is the operational state bound — keys idle
+  /** Per-key running EVENT totals on the `transformWithState`
+    * arbitrary-state API (Spark 4's successor to `mapGroupsWithState`):
+    * one TTL-managed `ValueState[Long]` per key, each micro-batch emits
+    * (batch delta, running total). The counted quantity is rows per key —
+    * the tuple's value component is payload this counter deliberately
+    * ignores (swap `n += 1` for `n += rows.next()._2` for value sums).
+    * The TTL is the operational state bound — keys idle
     * past it are evicted by the store itself, no timer bookkeeping —
     * and the API requires the RocksDB state store provider, the
     * disk-backed store that holds state bigger than executor heap at

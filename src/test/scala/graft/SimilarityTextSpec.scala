@@ -170,6 +170,16 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == 32.0)
   }
 
+  test("vec_dot: unequal-length vectors yield NULL, matching the zip_with formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    // a truncated partial dot would be a plausible-looking WRONG number
+    // on schema drift; the HOF equivalent nulls out, and so must this
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), CAST(array(1.0, 1.0) AS ARRAY<FLOAT>)) AS d"
+    ).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("salted join equals the plain join on heavily skewed data") {
     // 20k rows, 90% sharing one hot key — the regime saltedJoin exists for
     val big = spark.range(20000).select(

@@ -32,6 +32,21 @@ class SinksSpec extends SparkSuite {
     assert(dead.filter(col("measure_value") === "not-a-number").count() == 1)
   }
 
+  test("NULL measure_value_type / measure_value rows land in the dead letter, not limbo") {
+    // a NULL type makes isin() three-valued NULL: without the null-safe
+    // _valid flag these rows failed BOTH filters and vanished from the
+    // batch entirely (counted in neither output)
+    val dir = Files.createTempDirectory("sinkspec_null").toString
+    val withNulls = Seq(
+      (Some(1000L), Some("1.5"), Some("DOUBLE")),
+      (Some(2000L), Some("7"), None: Option[String]), // NULL type
+      (Some(3000L), None: Option[String], Some("VARCHAR")) // NULL value
+    ).toDF("time", "measure_value", "measure_value_type")
+    val (ok, bad) = new ParquetTableSink(dir).write(withNulls, 0L)
+    assert(ok == 1 && bad == 2, s"got ($ok, $bad) — every row must land somewhere")
+    assert(spark.read.parquet(s"$dir/_dead_letter").count() == 2)
+  }
+
   test("sink append across batches (micro-batch = buffer, no flush-boundary bug)") {
     val dir = Files.createTempDirectory("sinkspec2").toString
     val sink = new ParquetTableSink(dir)

@@ -178,6 +178,34 @@ class StatefulSpec extends SparkSuite {
     assert(got == Set((4L, base - 600000L, 1L), (4L, base, 1L)))
   }
 
+  test("two ancient stragglers within the gap merge into ONE closed session (batch parity)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Stateful.Evt]
+    val base = 1700000000000L
+    val q = Stateful.sessionize(ms.toDS(), gapMs = 60000L, watermarkDelay = "3600 seconds")
+      .writeStream.format("memory").queryName("anc2").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-anc2")).start()
+    ms.addData(Stateful.Evt(5L, base))
+    q.processAllAvailable()
+    // one batch delivers TWO stragglers 10s apart, both far older than
+    // the open session minus gap — the batch session_agg equivalent is a
+    // single [t, t+10s] session of 2 events, and so is this
+    ms.addData(Stateful.Evt(5L, base - 600000L), Stateful.Evt(5L, base - 590000L))
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(99L, base + 7200000L)) // advance watermark
+    q.processAllAvailable()
+    ms.addData(Stateful.Evt(98L, base + 9000000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anc2")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 5L).toSet
+    assert(got == Set(
+      (5L, base - 600000L, base - 590000L, 2L), // merged straggler pair
+      (5L, base, base, 1L) // the open session, closed by timeout later
+    ))
+  }
+
   test("sessionize state stays O(users), not O(events), at 10k-user cardinality") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Stateful.Evt]
