@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val vecDotBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val vecDotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
     FloatVecDot(exprs(0), exprs(1))
   }
@@ -71,7 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))
+      GraftFunctions.vecDotBuilder
     ))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),

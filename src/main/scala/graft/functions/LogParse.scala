@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *   - positional `lineSplit[1]` bug (LogsToTimestreamPayloadFn.java:27-46):
   *     we split on the FIRST `=` only, so values containing `=` survive;
   *   - duplicate keys follow last-write-wins like the reference's map-put
-  *     semantics, implemented locally (not via the session-wide
-  *     `spark.sql.mapKeyDedupPolicy`, which defaults to EXCEPTION).
+  *     semantics via `spark.sql.mapKeyDedupPolicy=LAST_WIN`, which
+  *     [[parse]] sets on the session (session-wide by necessity —
+  *     `str_to_map` has no per-call policy; callers using [[kvMap]]
+  *     directly in a fresh session must set it themselves or duplicate
+  *     keys throw under the default EXCEPTION policy).
   */
 object LogParse {
 
@@ -56,7 +59,7 @@ object LogParse {
     * residue like `"1.2.3"` would fail the whole job instead of nulling the
     * row. The parser must be total. */
   def latencyFrom(kv: Column): Column =
-    regexp_replace(element_at(kv, "time"), "[^0-9.]", "").try_cast("double")
+    regexp_replace(try_element_at(kv, lit("time")), "[^0-9.]", "").try_cast("double")
 
   /** Full parse: input DataFrame with a raw-text column → typed point
     * columns. Promotes the three dimensions to top-level columns (better
@@ -67,13 +70,17 @@ object LogParse {
     // Duplicate keys overwrite like the reference's map-put (LAST_WIN);
     // runtime-settable session conf, idempotent.
     df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // try_element_at, not element_at: under Spark 4 ANSI (the default,
+    // never disabled here) element_at on a MISSING map key throws
+    // MAP_KEY_DOES_NOT_EXIST and kills the job — a record lacking a
+    // whitelisted line must null the column instead (the parser is total)
     val parsed = df.withColumn("_kv", kvMap(col(rawCol)))
     val withFields = parsed
-      .withColumn("time", element_at(col("_kv"), "endtime").try_cast("long"))
+      .withColumn("time", try_element_at(col("_kv"), lit("endtime")).try_cast("long"))
       .withColumn("latency", latencyFrom(col("_kv")))
-      .withColumn("operation", element_at(col("_kv"), "operation"))
-      .withColumn("callerservice", element_at(col("_kv"), "callerservice"))
-      .withColumn("awsaccountid", element_at(col("_kv"), "awsaccountid"))
+      .withColumn("operation", try_element_at(col("_kv"), lit("operation")))
+      .withColumn("callerservice", try_element_at(col("_kv"), lit("callerservice")))
+      .withColumn("awsaccountid", try_element_at(col("_kv"), lit("awsaccountid")))
       .withColumn(
         "dimensions",
         map_filter(col("_kv"), (k, _) => k.isin(DimensionKeys: _*))
@@ -103,6 +110,10 @@ object LogParse {
         col("measure_value_type").as("measureValueType"),
         col("dimensions")
       )
+      // the typed model's `time` is a primitive Long: records whose
+      // endtime is missing/unparseable carry the 0 sentinel (epoch 0) —
+      // callers that window on time should pre-filter time > 0, or use
+      // the untyped parse() whose nullable column keeps the signal
       .na.fill(0L, Seq("time"))
       .as[graft.model.TimestreamPoint]
   }

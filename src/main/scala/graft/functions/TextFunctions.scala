@@ -85,9 +85,11 @@ object TextFunctions {
     * automaton. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 
-  /** Phone-shaped runs: optional +, then ≥8 digits allowing separators —
-    * deliberately conservative (a bare 4-digit number is NOT a phone). */
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  /** Phone-shaped runs: optional +, then ≥8 DIGITS allowing ()/-/space
+    * separators between them — deliberately conservative (a bare 4-digit
+    * number is NOT a phone, and neither is "1 2 3 4 5": the count that
+    * matters is digits, not characters). */
+  val PhoneRe = "\\+?(?:[0-9][()\\- ]*){7,}[0-9]"
 
   /** Replace emails then phone-shaped runs with placeholder tags. */
   def redactPii(c: Column): Column =

@@ -158,7 +158,11 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val f = in.getFormat
-          Some((f.getSampleRate.toInt, f.getChannels,
+          // getFrameLength can be AudioSystem.NOT_SPECIFIED (-1) for
+          // headers that omit it — incomplete metadata is a reject, not
+          // an ok=true row carrying a -1 sentinel into duration math
+          if (in.getFrameLength < 0) None
+          else Some((f.getSampleRate.toInt, f.getChannels,
             f.getSampleSizeInBits, in.getFrameLength))
         } finally in.close()
       } catch { case _: Exception => None }

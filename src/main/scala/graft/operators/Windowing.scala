@@ -72,6 +72,11 @@ object Windowing {
         sum(col(valueCol).cast(DecimalType(18, 2))).as("_sum_dec")
       )
       .withColumn("sum_value", col("_sum_dec").cast("double"))
+      // avg divides by the WINDOW row count (cnt), not count(valueCol):
+      // deliberately "mean over all records in the window" — rows whose
+      // value nulled out still belong to the window. The oracle divides
+      // by count(*) identically; switching either side alone to SQL AVG
+      // semantics (null-skipping denominator) would break the hash gate.
       .withColumn("avg_value", col("_sum_dec").cast("double") / col("cnt"))
       .drop("_sum_dec")
 
@@ -85,7 +90,11 @@ object Windowing {
     df.crossJoin(broadcast(cutoff))
       .withColumn(
         "is_late",
-        col(tsCol) < col("_max_ts") - expr(s"INTERVAL $lateness")
+        // null-safe: a null event time makes the comparison three-valued
+        // NULL, which both splitLate filters would drop — the row would
+        // vanish from BOTH outputs. Null-time rows are not-late (same
+        // ruling as LateRouter's `time.isNotNull && time < cutoff`).
+        coalesce(col(tsCol) < col("_max_ts") - expr(s"INTERVAL $lateness"), lit(false))
       )
       .drop("_max_ts")
   }
