@@ -24,8 +24,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()

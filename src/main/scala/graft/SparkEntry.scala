@@ -132,17 +132,24 @@ object SparkEntry {
   /** Self-dot of `embedding` (for the norm CTE). */
   private val dotSelfSql = dotSql("embedding", "embedding")
 
-  /** Shared IVF-assignment CTE prefix: per-vector norm + nearest-centroid
-    * bucket (mirrors SimilarityQueries.ivfAssign). */
+  /** Shared IVF-assignment CTE prefix (mirrors SimilarityQueries.ivfAssign):
+    * bounded-k centroids = the IvfK vectors with smallest md5(vec_id)
+    * (both engines emit lowercase hex over the same decimal rendering, so
+    * the lexicographic order agrees), per-vector rank over them; `asn` is
+    * the top-1 bucket (candidate side), `probes` the top-nprobe buckets
+    * (query side). The argmax tie-break (ccos DESC, cid) matches the Spark
+    * comparator exactly, and ccos is the same fixed-order double fold. */
   private lazy val IvfAssignSql: String =
     s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM en WHERE vec_id % 50 = 0),
-       |scored AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-       |    ${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) AS ccos
-       |  FROM en e, cent c),
-       |asn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-       |    FROM scored) WHERE rn = 1)""".stripMargin
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM en
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.IvfK}),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |      ${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) AS ccos
+       |    FROM en e, cent c)),
+       |asn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked
+       |           WHERE rn <= ${SimilarityQueries.IvfNprobe})""".stripMargin
 
   /** DuckDB fragment: word 3-gram shingle list of normalized text from a
     * token-list column `ws` (empty below 3 tokens). */
@@ -363,7 +370,7 @@ object SparkEntry {
          |SELECT qid, vid, cos FROM r WHERE rn <= 5""".stripMargin,
     "ann_ivf" ->
       s"""$IvfAssignSql,
-         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM asn WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
          |p AS (SELECT q.qid, a.vec_id AS vid,
          |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
          |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
@@ -379,7 +386,7 @@ object SparkEntry {
          |kr AS (SELECT qid, vid,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM kp),
          |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
-         |aq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM asn WHERE vec_id < 10),
+         |aq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
          |ap AS (SELECT aq.qid, a.vec_id AS vid,
          |        ${dotSql("aq.qemb", "a.embedding")} / (aq.qnrm * a.nrm) AS cos
          |      FROM aq JOIN asn a ON aq.bucket = a.bucket AND a.vec_id != aq.qid),

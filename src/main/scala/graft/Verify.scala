@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // tolerate extra args — a strict Array(a, b) match would MatchError
     // and silently zero the round's correctness
-    require(args.length >= 2, "usage: graft.Verify <sfDir> <outDir>")
+    require(args.length >= 2, "usage: graft.Verify <sfDir> <outDir> [onlyQ1,onlyQ2,…]")
     val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (local iteration
+    // only — the driver always passes exactly two args, running everything)
+    val only: Option[Set[String]] =
+      if (args.length >= 3 && args(2).nonEmpty) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

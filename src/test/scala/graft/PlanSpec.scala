@@ -53,6 +53,37 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("IVF centroid side is bounded: every broadcast NLJ builds from a LIMIT-k subtree") {
+    // The round-4 scale-killer was k = N/50 centroids: an unconditioned
+    // broadcast NLJ against a corpus-fraction set (O(N²/50) assignment,
+    // unboundedly growing broadcast). The fixed-k design must show up in
+    // the plan: the only nested-loop join allowed is against the one-row
+    // collect_list of the TakeOrderedAndProject(k)-sampled centroids —
+    // bounded at ANY corpus size. Assignment itself must add no Window
+    // and no Exchange (in-row argmax over the broadcast array).
+    // string-level check: executedPlan.collect does not descend into the
+    // AdaptiveSparkPlan wrapper's inner plan, but treeString prints it all
+    Seq(
+      SimilarityQueries.annIvf(spark, dir),
+      SimilarityQueries.embeddingNearDup(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      val boundedFold = p.linesIterator.count(
+        _.contains(s"TakeOrderedAndProject(limit=${SimilarityQueries.IvfK}"))
+      val arrayFold = p.linesIterator.count(l =>
+        l.contains("functions=[collect_list"))
+      assert(nlj >= 1, s"centroid fold should broadcast-join the one-row array:\n$p")
+      assert(boundedFold == nlj && arrayFold == nlj,
+        s"every NLJ must build from the bounded LIMIT-k centroid fold " +
+          s"(nlj=$nlj, limit-k=$boundedFold, collect_list=$arrayFold):\n$p")
+    }
+    // embedding_neardup has no top-k window, so the assignment's shape is
+    // directly visible: no Window operator anywhere in its plan.
+    val nd = plan(SimilarityQueries.embeddingNearDup(spark, dir))
+    assert(!nd.contains("Window"), "IVF assignment must not plan a per-vector window")
+  }
+
   test("topk compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan(CoreQueries.topK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
