@@ -87,6 +87,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> (TextQueries.boilerplateNgrams _),
     "funnel_steps" -> (AnalyticsQueries.funnelSteps _),
     "quantile_bins" -> (AnalyticsQueries.quantileBins _),
+    "quantile_bins_scalable" -> (AnalyticsQueries.quantileBinsScalable _),
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
@@ -686,6 +687,19 @@ object SparkEntry {
     "quantile_bins" ->
       s"""WITH b AS (SELECT value, event_id, CAST(ntile(10) OVER
          |    (ORDER BY value, event_id) AS BIGINT) AS bin FROM events)
+         |SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM b GROUP BY bin""".stripMargin,
+    "quantile_bins_scalable" ->
+      // quantile_cont's rank = p*(n-1) linear interpolation matches Spark
+      // percentile bit-for-bit (proven on group_percentiles), so the
+      // cutpoint comparisons below are identical across engines. Lambda
+      // var `qc` deliberately avoids hash32Sql's internal `i`.
+      s"""WITH cuts AS (SELECT quantile_cont(value,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM events),
+         |b AS (SELECT value,
+         |    CAST(1 + len(list_filter(cuts.cuts, qc -> value > qc)) AS BIGINT) AS bin
+         |  FROM events, cuts)
          |SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM b GROUP BY bin""".stripMargin,

@@ -522,4 +522,31 @@ object AnalyticsQueries {
         sum(col("value").cast(Dec)).cast("double").as("sum_value")
       )
   }
+
+  /** The 100 TB form of [[quantileBins]]: decile CUTPOINTS from one
+    * distributed `percentile` aggregate (a 9-double row), then bin
+    * assignment as a one-row broadcast against the corpus — a narrow map,
+    * no global sort, no window, no single-task stage. Swap `percentile`
+    * for `approx_percentile` when the value domain is too wide for the
+    * exact aggregate's per-partition value→count map; the join shape is
+    * unchanged. Bin semantics deliberately differ from ntile: bin k is
+    * the VALUE RANGE (c_{k-1}, c_k] (bin = 1 + #cutpoints below value),
+    * so equal values always share a bin — what a threshold-calibration
+    * consumer wants, where ntile splits ties across bins to equalize
+    * counts. Counts are therefore near-equal, not exactly equal. */
+  def quantileBinsScalable(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val cuts = ev.agg(expr(
+      "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+    ev.crossJoin(broadcast(cuts)) // 1-row build side: broadcast is free
+      .withColumn("bin",
+        (size(filter(col("cuts"), qc => col("value") > qc)) + 1).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value")
+      )
+  }
 }

@@ -84,6 +84,24 @@ class PlanSpec extends SparkSuite {
     assert(!nd.contains("Window"), "IVF assignment must not plan a per-vector window")
   }
 
+  test("quantile_bins_scalable plans no window and no sort anywhere") {
+    // quantile_bins (exact ntile) is the acknowledged audit-scale form:
+    // Window.orderBy with no partition key = one task sorts the world.
+    // The scalable variant must show the 100 TB shape instead — a
+    // distributed percentile aggregate folded to one broadcast row, then
+    // a narrow map + hash aggregate. No Window, no Sort of ANY kind (the
+    // percentile aggregate is ObjectHashAggregate, not SortAggregate).
+    val p = plan(AnalyticsQueries.quantileBinsScalable(spark, dir))
+    assert(!p.contains("Window"), s"scalable binning must not plan a window:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Sort [")),
+      s"scalable binning must not plan any sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutpoint row should reach the corpus via broadcast:\n$p")
+    // and the exact form really is the contrast case (keeps this test
+    // honest if quantileBins is ever reworked)
+    assert(plan(AnalyticsQueries.quantileBins(spark, dir)).contains("Window"))
+  }
+
   test("topk compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan(CoreQueries.topK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
