@@ -89,8 +89,20 @@ object Layout {
       outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024
   ): Int = {
-    val df = spark.read.parquet(inPath)
+    // a directory with no data files is an operator error (wrong path, or
+    // a sink that never committed) — name the path instead of leaking
+    // Spark's schema-inference error or a bare NoSuchElementException
+    // from files.head below
+    val df =
+      try spark.read.parquet(inPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          throw new IllegalArgumentException(
+            s"compactFiles: no input files under $inPath", e)
+      }
     val files = df.inputFiles
+    require(files.nonEmpty, s"compactFiles: no input files under $inPath")
     // one FileSystem for the whole listing — resolving per file would pay
     // the config lookup thousands of times on exactly the small-files
     // input this exists for

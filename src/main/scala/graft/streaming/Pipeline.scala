@@ -247,13 +247,16 @@ object Pipeline {
       try {
         late.write(flagged.filter(col("_late")).drop("_late"), batchId)
         onTime.write(flagged.filter(!col("_late")).drop("_late"), batchId)
+        // advance the watermark for subsequent batches — computed from the
+        // CACHED frame (already materialized by the two writes above) so
+        // the source lineage runs exactly once per micro-batch; reading it
+        // from `batch` here would trigger a third source scan
+        val batchMax = flagged.agg(max(col("time"))).collect()(0)
+        if (!batchMax.isNullAt(0)) {
+          val m = batchMax.getLong(0)
+          maxSeenMs.updateAndGet(prev => math.max(prev, m))
+        }
       } finally flagged.unpersist()
-      // advance the watermark for subsequent batches
-      val batchMax = batch.agg(max(col("time"))).collect()(0)
-      if (!batchMax.isNullAt(0)) {
-        val m = batchMax.getLong(0)
-        maxSeenMs.updateAndGet(prev => math.max(prev, m))
-      }
     }
   }
 

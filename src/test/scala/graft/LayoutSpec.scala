@@ -125,4 +125,31 @@ class LayoutSpec extends SparkSuite {
       == 6400L * 6399 / 2)
     assert(spark.read.parquet(out).count() == 6400)
   }
+
+  test("compaction of a no-data-files directory fails loudly, naming the path") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_empty").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // what a sink directory looks like before its first commit: markers
+    // but no data files — previously surfaced as Spark's bare
+    // UNABLE_TO_INFER_SCHEMA (or files.head's NoSuchElementException)
+    spark.range(0, 10).toDF("id").filter(lit(false))
+      .write.mode("overwrite").parquet(in)
+    new java.io.File(in).listFiles.filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    val e = intercept[IllegalArgumentException] {
+      sources.Layout.compactFiles(spark, in, out)
+    }
+    assert(e.getMessage.contains(in))
+  }
+
+  test("compaction of a zero-row (schema-only) table is a no-op that still writes a table") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_zero").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    spark.range(0, 10).toDF("id").filter(lit(false))
+      .write.mode("overwrite").parquet(in) // one schema-only part file
+    val n = sources.Layout.compactFiles(spark, in, out)
+    assert(n == 1 && spark.read.parquet(out).count() == 0)
+  }
 }

@@ -164,6 +164,25 @@ class StreamingSpec extends SparkSuite {
     assert(late.filter(col("time") >= cutoff).count() == 0)
   }
 
+  test("LateRouter runs the source lineage exactly once per batch") {
+    // the cache() in process() exists so the two sink writes and the
+    // watermark-advance max all read one materialization; an accumulator
+    // in the lineage counts how many times each source row is computed
+    val acc = spark.sparkContext.longAccumulator("source-computes")
+    val tick = udf { (t: Long) => acc.add(1L); t }
+    val batch = spark.range(100)
+      .select(tick(col("id") * 1000L).as("time"), col("id").as("v"))
+    val counting = new graft.sink.Sinks.RecordSink {
+      override def write(b: org.apache.spark.sql.DataFrame, id: Long): (Long, Long) =
+        (b.count(), 0L)
+    }
+    val router = new Pipeline.LateRouter(5000L, counting, counting,
+      initialWatermarkMs = Some(50000L)) // cutoff 45s: batch splits both ways
+    router.process(batch, 0L)
+    assert(acc.value == 100L,
+      s"each source row must be computed exactly once, got ${acc.value} computes")
+  }
+
   test("file source + checkpoint: end-to-end, restart processes ONLY new files") {
     val srcDir = tmp("src")
     LogGen.records(n = 10, seed = 3L).zipWithIndex.foreach { case (r, i) =>
