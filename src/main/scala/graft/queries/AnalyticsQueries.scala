@@ -362,6 +362,21 @@ object AnalyticsQueries {
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value")
       )
 
+  /** Exact per-group distinct users — the cross-engine anchor for
+    * [[approxStats]]'s HLL++ sketch, which is engine-specific and can
+    * only get a rows-only check from the oracle. This companion is
+    * hash-gated in DuckDB at verify scale; ApproxStatsSpec then bounds
+    * the sketch against it. Scale: exact distinct is the expensive form
+    * (two shuffles: expand on (group, user), then re-aggregate) — that
+    * cost is exactly why approxStats exists; this stays for audits. */
+  def exactDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")
+      )
+
   /** Session windows per user (1 h inactivity gap) via lag + running
     * session counter — linear per-partition state, the batch equivalent
     * of `session_window`. */
