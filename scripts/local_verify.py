@@ -25,6 +25,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
+    if only is not None:
+        unknown = only - set(oracle)
+        if unknown:
+            # a typo'd filter must not exit 0 as "0 pass / 0 fail"
+            print(f"ERROR: unknown query name(s) in filter: {sorted(unknown)}")
+            return 2
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:

@@ -96,7 +96,9 @@ object SparkEntry {
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
-    "approx_stats" -> (AnalyticsQueries.approxStats _)
+    // against exact_distinct below, which IS oracle-checked
+    "approx_stats" -> (AnalyticsQueries.approxStats _),
+    "exact_distinct" -> (AnalyticsQueries.exactDistinct _)
   )
 
   /** DuckDB fragment: first 8 hex chars of md5(s) parsed as uint32 —
@@ -593,6 +595,10 @@ object SparkEntry {
         |    (sqrt(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
         |     sqrt(CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_value_k
         |FROM s""".stripMargin,
+    "exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "pivot_agg" ->
       """SELECT user_id % 10 AS bucket,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

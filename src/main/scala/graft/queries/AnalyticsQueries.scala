@@ -364,11 +364,12 @@ object AnalyticsQueries {
 
   /** Exact per-group distinct users — the cross-engine anchor for
     * [[approxStats]]'s HLL++ sketch, which is engine-specific and can
-    * only get a rows-only check from the oracle. This companion is
-    * hash-gated in DuckDB at verify scale; ApproxStatsSpec then bounds
-    * the sketch against it. Scale: exact distinct is the expensive form
-    * (two shuffles: expand on (group, user), then re-aggregate) — that
-    * cost is exactly why approxStats exists; this stays for audits. */
+    * only get a rows-only check from the oracle. Registered as the
+    * `exact_distinct` query, hash-gated in DuckDB at verify scale;
+    * ApproxStatsSpec then bounds the sketch against this method's
+    * output. Scale: exact distinct is the expensive form (two shuffles:
+    * expand on (group, user), then re-aggregate) — that cost is exactly
+    * why approxStats exists; this stays for audits. */
   def exactDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
@@ -548,7 +549,15 @@ object AnalyticsQueries {
     * the VALUE RANGE (c_{k-1}, c_k] (bin = 1 + #cutpoints below value),
     * so equal values always share a bin — what a threshold-calibration
     * consumer wants, where ntile splits ties across bins to equalize
-    * counts. Counts are therefore near-equal, not exactly equal. */
+    * counts. Counts are therefore near-equal, not exactly equal.
+    *
+    * NULL values diverge between the variants: here a NULL `value`
+    * lands in bin 1 (every cutpoint comparison is NULL, `filter` drops
+    * it, size = 0), while [[quantileBins]]'s asc_nulls_last sorts NULLs
+    * into bin 10. Latent while events.value is non-nullable (it is, by
+    * the generator's schema); a consumer binning a nullable column
+    * should pre-filter NULLs explicitly rather than rely on either
+    * placement. */
   def quantileBinsScalable(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
     val cuts = ev.agg(expr(

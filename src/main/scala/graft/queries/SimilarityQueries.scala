@@ -85,14 +85,21 @@ object SimilarityQueries {
         col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm")
       )).as("cents"))
     // Per-row scores over the centroid array; argmax is order-independent
-    // (strict total order: ccos desc, cid asc — cids are unique), so the
-    // nondeterministic collect_list order cannot leak into the result.
+    // (strict total order: ccos desc NULLS LAST, cid asc — cids are
+    // unique), so the nondeterministic collect_list order cannot leak
+    // into the result. The explicit NULL branches keep the order total
+    // even for a NULL cosine (e.g. a NULL embedding element), matching
+    // DuckDB's ORDER BY ... DESC default of NULLS LAST; without them
+    // every ccos comparison on a NULL is false and the sort would fall
+    // through to cid — a different bucket per engine.
     val scored = transform(col("cents"), c =>
       struct(
         (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
         c("cid").as("cid")))
     val byCosDescCidAsc = (a: Column, b: Column) =>
-      when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
+      when(a("ccos").isNull && b("ccos").isNotNull, 1)
+        .when(a("ccos").isNotNull && b("ccos").isNull, -1)
+        .when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
         .when(a("cid") < b("cid"), -1).when(a("cid") > b("cid"), 1)
         .otherwise(0)
     e.join(broadcast(cent))

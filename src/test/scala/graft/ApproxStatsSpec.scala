@@ -28,9 +28,10 @@ class ApproxStatsSpec extends SparkSuite {
     val approx = AnalyticsQueries.approxStats(spark, dir)
       .select(col("event_type"), col("approx_users"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // the exact side is the oracle-checked `exact_distinct` query — the
+    // same anchor the driver hash-gates in DuckDB at verify scale
+    val exact = AnalyticsQueries.exactDistinct(spark, dir)
+      .select(col("event_type"), col("n_users"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, ex) =>
