@@ -52,7 +52,9 @@ object SparkEntry {
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
+    "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "bm25_top" -> (CurationQueries.bm25Top _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
     "dims_exploded" -> (CoreQueries.dimsExploded _),
@@ -421,6 +423,34 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
          |FROM p""".stripMargin,
+    "minhash_estimate" ->
+      s"""WITH $LshCandBody,
+         |d AS (SELECT doc_id, list_distinct($ShingleSql) AS shs
+         |  FROM (SELECT doc_id, $WordToksSql AS ws FROM documents)),
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(${(0 until 12).map(i => s"(CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match,
+         |    len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS na, len(db.shs) AS nb
+         |  FROM cand c JOIN m ma ON c.doc_a = ma.doc_id JOIN m mb ON c.doc_b = mb.doc_id
+         |       JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, n_match,
+         |  CAST(n_match AS DOUBLE) / 12.0 AS est_jaccard,
+         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS exact_jaccard
+         |FROM p""".stripMargin,
+    "bm25_top" ->
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |  WHERE tok IN ('join','vector','stream','window','spark') GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |s AS (SELECT f.tok, f.doc_id, f.tf, d.df, l.dl,
+         |    ((CAST(g.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |      * (CAST(f.tf AS DOUBLE) * 2.2)
+         |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))) AS score
+         |  FROM tf f JOIN dfq d ON f.tok = d.tok JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN g),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM s)
+         |SELECT tok, doc_id, tf, df, dl, score, rk FROM r WHERE rk <= 10""".stripMargin,
     // documents.text is pure ASCII (verified: length == octet_length for
     // every row), so first-8-BYTES == first-8-CHARS; DuckDB has no blob
     // substring, Spark side slices the real binary payload.
@@ -683,7 +713,12 @@ object SparkEntry {
          |  quantile_cont(value, 0.99) AS p99
          |FROM events GROUP BY event_type""".stripMargin,
     "retention_cohort" ->
-      // week = integer epoch-days DIV 7 on both engines (no calendar math)
+      // week = integer epoch-days DIV 7 on both engines (no calendar math).
+      // INVARIANT: ts >= 1970-01-01. DuckDB `//` floors while Spark `DIV`
+      // truncates toward zero, so the two agree only on non-negative
+      // epochs; a pre-1970 ts would bucket into different weeks per
+      // engine. The generator's events all satisfy this; a consumer with
+      // historical timestamps must switch both sides to floor division.
       s"""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events),
          |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
          |SELECT c.cohort_week, e.week - c.cohort_week AS weeks_since,

@@ -17,19 +17,41 @@ import org.apache.spark.sql.streaming.Trigger
   * stage through ONE task. This measures our single-node ceiling on the
   * same record format for comparison.
   *
-  *   java -cp ... graft.StreamBench [nRecords] [partitions]
+  *   java -cp ... graft.StreamBench [nRecords] [partitions] [store]
+  *
+  * `store` (or env SPARK_GRAFT_STATE_STORE) selects the state store:
+  * `hdfs` (default — Spark's in-memory HDFSBackedStateStore) or
+  * `rocksdb` (RocksDBStateStoreProvider — the store a production
+  * cluster runs, state off-heap and spillable; changelog checkpointing
+  * on, bounded memory). The provider is echoed in the JSON so recorded
+  * numbers are pinned to their config.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val parts = args.lift(1).map(_.toInt).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val spark = SparkSession.builder()
+    val store = args.lift(2)
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")).getOrElse("hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$parts]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (store == "rocksdb") {
+      builder
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing ships per-batch deltas instead of full
+        // SST snapshots — the production setting for frequent commits
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+        // bound native memory so 32 parallel store instances on one box
+        // can't balloon: one shared block cache across all partitions
+        .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -76,7 +98,7 @@ object StreamBench {
       raw => Pipeline.parsed(raw, cfg))
     val fullSec = runOnce(freshStream(recs), pipeline)
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -53,6 +53,25 @@ object WinnowFps {
   private val B = 257L
   private val Mask = 0xFFFFFFFFL
 
+  // Per-thread scratch deque, reused across rows (grown geometrically,
+  // never shrunk): the monotonic-deque minimum needs an m-slot index
+  // array per row, and a fresh allocation per document is the dominant
+  // garbage source on long-text corpora. Spark evaluates an expression
+  // on one task thread at a time, so ThreadLocal is exactly the right
+  // ownership scope.
+  private val dqScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
+  private def dqBuffer(m: Int): Array[Int] = {
+    var a = dqScratch.get()
+    if (a.length < m) {
+      a = new Array[Int](java.lang.Integer.highestOneBit(m - 1) << 1 max m)
+      dqScratch.set(a)
+    }
+    a
+  }
+
   /** Static entry for generated code. */
   def computeArray(s: String, k: Int, w: Int): ArrayData =
     new GenericArrayData(compute(s, k, w))
@@ -88,7 +107,7 @@ object WinnowFps {
         // monotonic-deque sliding minimum: O(m) total instead of O(m·w)
         // rescans — each index enters and leaves the deque once
         val out = new Array[Long](m - w + 1)
-        val dq = new Array[Int](m)
+        val dq = dqBuffer(m)
         var head = 0
         var tail = 0 // live window indices in dq(head until tail), values ascending
         i = 0

@@ -171,14 +171,25 @@ object AnalyticsQueries {
   /** GROUPING SETS through the SQL entry path (`spark.sql` over a
     * registered view) — the one query surface the DataFrame API queries
     * don't exercise; semantics identical in DuckDB. */
-  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).createOrReplaceTempView("events_v")
-    spark.sql(
-      """SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  CAST(grouping(event_type) AS BIGINT) AS g_type
-        |FROM events_v
-        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    withUniqueView(spark, Tables.events(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  CAST(grouping(event_type) AS BIGINT) AS g_type
+           |FROM $v
+           |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+    }
+
+  /** Registers `df` under a per-call unique temp-view name, analyzes the
+    * SQL against it (Spark analysis is eager — the resolved plan holds
+    * the relation itself), then drops the view so concurrent queries in
+    * one session never race on a shared fixed name. */
+  private def withUniqueView(spark: SparkSession, df: DataFrame)(
+      sql: String => DataFrame): DataFrame = {
+    val v = s"graft_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(v)
+    try sql(v) finally spark.catalog.dropTempView(v)
   }
 
   /** Typed `Aggregator[IN, BUF, OUT]` surface: exact-decimal mean via a
@@ -444,14 +455,14 @@ object AnalyticsQueries {
     * column-pruned partial-agg scan of the single n_chars column. The
     * mean (exact long sum ÷ count, one double division) is
     * engine-deterministic. */
-  def aboveAvgDocs(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
-    spark.sql(
-      """SELECT doc_id, n_chars,
-        |  n_chars - (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents_v) AS above_by
-        |FROM documents_v
-        |WHERE n_chars > (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents_v)""".stripMargin)
-  }
+  def aboveAvgDocs(spark: SparkSession, dir: String): DataFrame =
+    withUniqueView(spark, Tables.documents(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT doc_id, n_chars,
+           |  n_chars - (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM $v) AS above_by
+           |FROM $v
+           |WHERE n_chars > (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM $v)""".stripMargin)
+    }
 
   /** Event-type transition matrix: per user, consecutive event pairs in
     * (ts, event_id) order, counted per (prev → next) cell — first-order
@@ -496,7 +507,10 @@ object AnalyticsQueries {
     * event; for each (cohort_week, weeks_since) cell, how many of the
     * cohort's users were active that week. The `week` is integer
     * epoch-days ÷ 7 (no calendar/timezone dependence — identical
-    * arithmetic on every engine).
+    * arithmetic on every engine, PROVIDED ts >= 1970-01-01: Spark's DIV
+    * truncates toward zero while DuckDB's `//` floors, and the two only
+    * agree on non-negative epochs; see the oracle-side note in
+    * SparkEntry.oracleSql).
     *
     * Scale (100 TB): one user-keyed min to anchor cohorts, one equijoin
     * back onto the (user, week) distinct activity set, one count per

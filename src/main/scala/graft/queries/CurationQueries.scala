@@ -132,6 +132,51 @@ object CurationQueries {
         col("score"), col("rk").cast("long").as("rk"))
   }
 
+  /** BM25 retrieval scoring for a fixed query-term set, top 10 docs per
+    * term — the relevance ranking a curation pipeline uses to mine
+    * topic-targeted training data from a corpus. Standard Okapi shape
+    * (k1 = 1.2, b = 0.75) with one deliberate change: the idf factor is
+    * the RAW odds ratio (N − df + 0.5)/(df + 0.5), not its log. The log
+    * is monotonic, so per-term rankings are identical, and dropping it
+    * keeps every operation rational-or-IEEE-exact (+, −, ×, ÷ only) —
+    * the oracle reproduces scores bit-for-bit where ln() would hang the
+    * comparison on libm ULP differences (same rule as [[tfidfTop]]).
+    *
+    * Scale: tf is one (doc, term)-keyed aggregate over the exploded
+    * token stream pre-filtered to the query terms (the filter prunes
+    * the explode's output to |terms| × docs rows before any shuffle);
+    * df and the corpus stats are term-count-sized and one-row —
+    * both broadcast. Top-k per term prunes via WindowGroupLimit. */
+  def bm25Top(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "stream", "window", "spark")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordTokens(col("text")).as("ws"))
+    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // the operation tree below must match the oracle SQL shape exactly:
+    // every intermediate is a single IEEE op on deterministic inputs
+    val w = Window.partitionBy(col("tok")).orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a doc iff its md5
     * bucket (over lang ⊕ text) falls under the per-stratum rate — the
     * portable, seedless sampling every reproducible pipeline needs (same

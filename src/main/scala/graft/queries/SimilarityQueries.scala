@@ -272,6 +272,50 @@ object SimilarityQueries {
       )
   }
 
+  /** MinHash accuracy audit: for every LSH candidate pair, the sketch's
+    * Jaccard ESTIMATE (matching components / 12) against the exact
+    * shingle-set Jaccard — the per-pair companion of [[annRecall]]: it
+    * measures what the near-dup pipeline's threshold actually means
+    * before anyone tunes it. All arithmetic is integer counts and single
+    * IEEE divisions, so the DuckDB oracle reproduces it exactly.
+    *
+    * Scale: the signature frame is 12 longs + id per doc; the pair join
+    * is two id equijoins against the LSH candidates (bounded by bucket
+    * collisions), and the exact-Jaccard side reuses the same
+    * shingle-set join shape as [[ngramJaccard]]. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(shingleCol(col("ws"))).as("sh"))
+      .withColumn("h", md5Hash32(col("sh")))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    val mins = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val nMatch = (0 until 12).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = minhashLsh(spark, dir)
+      .join(mins.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mins.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), array_distinct(shingleCol(col("ws"))).as("shs"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("na", size(col("shs_a")).cast("long"))
+      .withColumn("nb", size(col("shs_b")).cast("long"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / lit(12.0)).as("est_jaccard"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("exact_jaccard")
+      )
+  }
+
   /** Exact n-gram Jaccard over MinHash-LSH candidate pairs: the candidate
     * set comes from the band-signature equijoin (`minhashLsh`), so the
     * pair space is bounded by LSH bucket collisions — never a

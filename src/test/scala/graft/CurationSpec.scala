@@ -136,4 +136,39 @@ class CurationSpec extends SparkSuite {
         r.getAs[Long]("tf").toDouble / (r.getAs[Long]("df") + 1L).toDouble)
     }
   }
+
+  test("bm25: top-10 per term, ranks dense and score-ordered, formula exact") {
+    val rows = CurationQueries.bm25Top(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("tok"))
+    byTerm.foreach { case (term, rs) =>
+      assert(rs.length <= 10, s"$term returned ${rs.length} docs")
+      val ranked = rs.sortBy(_.getAs[Long]("rk"))
+      assert(ranked.map(_.getAs[Long]("rk")).toSeq == (1L to rs.length).toSeq,
+        s"$term ranks must be dense from 1")
+      // rk order is score-descending (doc_id tiebreak never inverts score)
+      ranked.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("score") >= lo.getAs[Double]("score"))
+        case _ => ()
+      }
+    }
+    // recompute the exact Okapi expression on every row — same IEEE tree
+    val dlDf = graft.sources.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.wordTokens(
+          org.apache.spark.sql.functions.col("text"))).cast("long").as("dl"))
+    val nDocs = dlDf.count()
+    val sumDl = dlDf.agg(org.apache.spark.sql.functions.sum("dl")).collect()(0).getLong(0)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf").toDouble
+      val df = r.getAs[Long]("df").toDouble
+      val dl = r.getAs[Long]("dl").toDouble
+      val expected = (nDocs.toDouble - df + 0.5) / (df + 0.5) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      assert(r.getAs[Double]("score") == expected,
+        s"score mismatch for ${r.getAs[String]("tok")}/${r.getAs[Long]("doc_id")}")
+    }
+  }
 }

@@ -226,6 +226,66 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("snapshot_diff: full-outer exchanges carry fp-only rows, never text bodies") {
+    // The 100 TB contract is that both corpus versions reduce to
+    // (doc_id, 32-hex fp) BEFORE the full-outer join — the shuffle moves
+    // 40-byte rows. Structural check on the prepared physical plan: no
+    // shuffle exchange's row schema may include the text column. AQE is
+    // disabled for the check because exchanges are inserted by
+    // EnsureRequirements at preparation time (sparkPlan has none yet)
+    // and AdaptiveSparkPlanExec hides its inner tree from collect().
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.CurationQueries.snapshotDiff(spark, dir)
+        .queryExecution.executedPlan
+      assert(sp.toString.contains("FullOuter"), s"must plan a full-outer join:\n$sp")
+      assert(!sp.toString.contains("CartesianProduct"))
+      val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "the version diff is a co-partitioned shuffle join")
+      shuffles.foreach { e =>
+        val cols = e.output.map(_.name)
+        assert(!cols.contains("text"),
+          s"exchange must carry fingerprints, not text bodies: $cols")
+      }
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("retention_cohort: the corpus-sized (user, week) activity set never broadcasts") {
+    // The cohort anchor (one row per user, min(week)) is the legitimate
+    // broadcast side; the distinct (user, week) activity set is
+    // corpus-cardinality and must stay on the streamed/shuffled side. The
+    // distinct shows up as a HashAggregate with grouping keys and ZERO
+    // aggregate functions — assert no broadcast subtree contains one.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val isDistinctAgg: PartialFunction[org.apache.spark.sql.execution.SparkPlan,
+        BaseAggregateExec] = {
+      case h: BaseAggregateExec
+          if h.aggregateExpressions.isEmpty && h.groupingExpressions.size >= 2 => h
+    }
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = AnalyticsQueries.retentionCohort(spark, dir)
+        .queryExecution.executedPlan
+      // the pattern must match SOMETHING in the full plan, or the
+      // broadcast check below is vacuous
+      assert(sp.collect(isDistinctAgg).nonEmpty,
+        s"expected the (user, week) distinct aggregate in the plan:\n$sp")
+      sp.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+        assert(b.collect(isDistinctAgg).isEmpty,
+          s"corpus-sized (user, week) distinct must not sit under a broadcast:\n$b")
+      }
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("AQE skew join splits the hot partition (the automatic path beside salted_join)") {
     // salted_join is the manual fallback; the FIRST line of defense at
     // scale is AQE's skew split, which subdivides an oversized shuffle

@@ -162,6 +162,27 @@ class SimilarityTextSpec extends SparkSuite {
     assert(j.map(t => (t._1, t._2)).distinct.length == j.length)
   }
 
+  test("minhash_estimate: estimate bounded, exact duplicates score 12/12, pairs = LSH candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val est = graft.queries.SimilarityQueries.minhashEstimate(spark, dir)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard", "exact_jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, m, e, x) =>
+      assert(a < b, "pair ordering canonical")
+      assert(m >= 0 && m <= 12, s"component matches out of range: $m")
+      assert(e == m / 12.0, "estimate must be n_match/12")
+      assert(x >= 0.0 && x <= 1.0)
+      // identical shingle sets minimize to identical signatures — a
+      // sketch that disagrees on an exact duplicate is broken
+      if (x == 1.0) assert(m == 12L, s"exact dup ($a,$b) must match all components")
+    }
+    // the audited pair set IS the LSH candidate set, nothing more or less
+    val cands = graft.queries.SimilarityQueries.minhashLsh(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(est.map(t => (t._1, t._2)).toSet == cands)
+  }
+
   test("vec_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
