@@ -144,24 +144,30 @@ object CurationQueries {
     *
     * Scale: tf is one (doc, term)-keyed aggregate over the exploded
     * token stream pre-filtered to the query terms (the filter prunes
-    * the explode's output to |terms| × docs rows before any shuffle);
-    * df and the corpus stats are term-count-sized and one-row —
-    * both broadcast. Top-k per term prunes via WindowGroupLimit. */
+    * the explode's output to |terms| × docs rows before any shuffle).
+    * The doc length rides the tf grouping key (constant per doc —
+    * cardinality unchanged), so no per-doc length join is needed;
+    * `explode_outer` keeps Catalyst from inferring a `size(ws) > 0`
+    * filter that would push the whole tokenizer into the scan as a
+    * second evaluation (the term filter drops the empty-array NULL row
+    * anyway). df and the corpus stats are term-count-sized and one-row
+    * — both broadcast. Top-k per term prunes via WindowGroupLimit. */
   def bm25Top(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("join", "vector", "stream", "window", "spark")
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), wordTokens(col("text")).as("ws"))
-    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = toks.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val stats = toks.select(size(col("ws")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode_outer(col("ws")).as("tok"))
       .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // the operation tree below must match the oracle SQL shape exactly:
     // every intermediate is a single IEEE op on deterministic inputs
     val w = Window.partitionBy(col("tok")).orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(dfreq), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf",

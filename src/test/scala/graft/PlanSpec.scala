@@ -226,6 +226,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bm25_top: no tokenizer re-evaluation in scan filters, top-k prunes in the window") {
+    // explode's inferred size(ws) > 0 filter must not push the whole
+    // regex tokenizer into the scan as a second per-row evaluation
+    // (the explode_outer formulation exists exactly to prevent that),
+    // and the per-term top-10 must prune via WindowGroupLimit.
+    val p = plan(graft.queries.CurationQueries.bm25Top(spark, dir))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("regexp_extract_all")),
+      s"tokenizer must not run inside a pushed filter:\n$p")
+    assert(p.contains("WindowGroupLimit"), "rk<=10 must prune inside the window op")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 3,
+      "tf, df-via-tf, and corpus stats should need at most 3 corpus scans")
+  }
+
   test("snapshot_diff: full-outer exchanges carry fp-only rows, never text bodies") {
     // The 100 TB contract is that both corpus versions reduce to
     // (doc_id, 32-hex fp) BEFORE the full-outer join — the shuffle moves
