@@ -63,6 +63,48 @@ class StreamingSpec extends SparkSuite {
     assert(streamSet == batchSet)
   }
 
+  test("windowed pipeline on RocksDB state store (StreamBench's production config)") {
+    // the exact config StreamBench pins for its rocksdb rows: provider +
+    // changelog checkpointing + one bounded shared block cache — prove it
+    // FUNCTIONS on the full pipeline, not just transformWithState
+    // (StatefulSpec), so the recorded throughput numbers describe a
+    // config this suite keeps working
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+    )
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0),
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      conf.set(keys(1), "true")
+      conf.set(keys(2), "true")
+      conf.set(keys(3), "512")
+      val ms = MemoryStream[String]
+      val recs = LogGen.records(n = 100, seed = 7L)
+      ms.addData(recs: _*)
+      val cfg = AppConfig()
+      val agg = Pipeline.windowedStats(
+        Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), cfg), cfg)
+      val q = agg.writeStream
+        .format("memory").queryName("win_agg_rocks").outputMode("complete")
+        .option("checkpointLocation", tmp("ckpt-agg-rocks"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.table("win_agg_rocks")
+      // same data as the hdfs-store test above: identical totals
+      assert(got.agg(sum("cnt")).as[Long].collect()(0) == 100L)
+      assert(got.select("window_start").distinct().count() == 10L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("observed metrics report per-batch row count and max event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
