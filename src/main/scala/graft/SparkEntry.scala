@@ -51,6 +51,7 @@ object SparkEntry {
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
+    "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
@@ -83,6 +84,8 @@ object SparkEntry {
     "embed_quantize" -> (CurationQueries.embedQuantize _),
     "pack_sequences" -> (CurationQueries.packSequences _),
     "incremental_dedup" -> (CurationQueries.incrementalDedup _),
+    "source_cap" -> (CurationQueries.sourceCap _),
+    "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -410,6 +413,21 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "kmeans_step" ->
+      // Lloyd's update over the IVF assignment: element-wise bucket means
+      // from fixed-point floor(v*1e6) long sums (order-independent exact
+      // integer arithmetic), one IEEE division at the end — mirrors
+      // SimilarityQueries.kmeansStep bit-for-bit
+      s"""$IvfAssignSql,
+         |ex AS (SELECT bucket, generate_subscripts(embedding, 1) AS pos,
+         |         unnest(embedding) AS v FROM asn),
+         |ag AS (SELECT bucket, CAST(pos AS BIGINT) AS pos,
+         |         CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+         |       FROM ex GROUP BY bucket, pos)
+         |SELECT bucket, pos, n_members,
+         |  CAST(qsum AS DOUBLE) / (CAST(n_members AS DOUBLE) * 1000000.0) AS centroid
+         |FROM ag""".stripMargin,
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
@@ -865,6 +883,38 @@ object SparkEntry {
          |fresh AS (SELECT doc_id, fp FROM d WHERE doc_id % 4 = 0)
          |SELECT doc_id, fp FROM fresh f
          |WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.fp = f.fp)""".stripMargin,
+    "source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 15""".stripMargin,
+    "token_budget_select" ->
+      // greedy prefix under a token budget, stated as the naive global
+      // running sum (the semantic definition); the Spark side executes
+      // the banded distributed-cumsum rewrite, whose output is invariant
+      // to where the band cutpoints fall. Quality CTE copies the
+      // quality_score oracle verbatim (same IEEE operation order).
+      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
+         |q0 AS (SELECT doc_id,
+         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS text_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
+         |  CAST(len(tokens) AS BIGINT) AS n_tok_l
+         |FROM t),
+         |q AS (SELECT doc_id, n_tok_l AS n_tok,
+         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
+         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
+         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
+         |FROM q0),
+         |b AS (SELECT CAST(floor(CAST(sum(n_tok) AS DOUBLE) * 0.4) AS BIGINT) AS budget FROM q),
+         |c AS (SELECT doc_id, quality, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality, n_tok, cum_tokens FROM c, b
+         |WHERE cum_tokens <= budget""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -331,4 +331,81 @@ object CurationQueries {
           .as("max_err")
       )
   }
+
+  /** Per-source document cap: keep at most `cap` documents per source,
+    * ranked by a deterministic quality proxy (longest text first, doc_id
+    * tie-break) — the standard domain-cap pass that stops one crawl
+    * domain from dominating a training mix.
+    *
+    * Scale (100 TB): one shuffle keyed on `source`; Spark 3.5+'s
+    * WindowGroupLimit rewrites the rank-filter into a per-partition
+    * top-`cap` BEFORE the exchange, so each map task forwards at most
+    * `cap` rows per source it sees — the shuffle carries ~(sources ×
+    * cap × parallelism) rows, not the corpus (PlanSpec pins the
+    * WindowGroupLimit node). A skewed mega-source therefore bounds its
+    * own shuffle contribution. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+  }
+
+  /** Greedy token-budget selection: walk the corpus in quality order
+    * (quality desc, doc_id tie-break) and keep documents until a global
+    * token budget — 40% of corpus tokens — is spent. The canonical
+    * "best N tokens" curation pass before training.
+    *
+    * The naive formulation is a running sum over ONE global sort — the
+    * same single-task scale-killer [[AnalyticsQueries.quantileBins]]
+    * documents. This is the distributed form: quality cutpoints from one
+    * `percentile` aggregate split the corpus into ~32 quality bands
+    * (broadcast, narrow-map assignment — no sort); per-band token totals
+    * (a 32-row frame) turn into exclusive prefix offsets with a 32-row
+    * window; each document's global cumulative count is then its
+    * WITHIN-band running sum plus its band's offset, so every sort is a
+    * band-local window partition, never a global order. The selected set
+    * is identical to the naive greedy by construction: band index is
+    * monotone in quality (equal qualities share a band), so
+    * (band, quality desc, doc_id) IS the global order. Swap `percentile`
+    * for `approx_percentile` and widen to ~10k bands at real corpus
+    * scale; the output is invariant to where the cutpoints fall. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = 32
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        TextQueries.qualityCol(col("text"), col("tokens")).as("quality"))
+    // one distributed pass: the (nBands-1)-double cutpoint row AND the
+    // token budget (corpus token sum fits a double exactly — < 2^53)
+    val probs = (1 until nBands).map(i => i.toDouble / nBands)
+      .mkString("array(", ",", ")")
+    val cutsBudget = docs.agg(
+      expr(s"percentile(quality, $probs)").as("cuts"),
+      floor(sum(col("n_tok")).cast("double") * lit(0.4)).as("budget"))
+    // band = #cutpoints strictly above my quality: 0 = best band; a
+    // narrow map over the scan (1-row broadcast build side — free)
+    val banded = docs.crossJoin(broadcast(cutsBudget))
+      .withColumn("band", size(filter(col("cuts"), c => c > col("quality"))))
+      .drop("cuts")
+    // exclusive prefix offsets over the ≤ nBands band totals — the only
+    // unpartitioned window runs on a nBands-row frame, never the corpus
+    val prefixW = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("band")).agg(sum(col("n_tok")).as("band_tok"))
+      .withColumn("offset", coalesce(sum(col("band_tok")).over(prefixW), lit(0L)))
+      .select(col("band").as("oband"), col("offset"))
+    val runW = Window.partitionBy(col("band"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), col("band") === col("oband"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(runW) + col("offset"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tokens"))
+  }
 }

@@ -76,7 +76,7 @@ object SimilarityQueries {
     * Not cached: with bounded k the assignment is a cheap narrow map, so
     * consumers that use it twice recompute rather than leak a
     * session-lifetime cache entry (round-4 verdict finding #3). */
-  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val cent = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -134,6 +134,36 @@ object SimilarityQueries {
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("cos"))
   }
+
+  /** One distributed Lloyd's (k-means) iteration over the IVF
+    * assignment: re-center each of the k buckets on the element-wise
+    * mean of its members — the refinement step that turns the hash-
+    * sampled seed centroids ([[ivfAssign]]'s stand-in) into real k-means
+    * centroids; run it to a fixed point and the IVF index is trained
+    * in-engine. Output: one row per (bucket, dimension) with the member
+    * count and the new centroid coordinate.
+    *
+    * Scale (100 TB): assignment is the proven zero-shuffle narrow map;
+    * the update is posexplode to (bucket, pos, v) — compact 20-byte
+    * rows — then ONE hash shuffle on (bucket, pos), k·dim groups, fully
+    * map-side-combinable. No iteration state lives on the driver.
+    *
+    * Exactness: float sums are order-dependent, so the mean is computed
+    * from fixed-point quantized components — floor(v·10⁶) summed as
+    * longs (exact, order-independent; |v|·10⁶ ≪ 2⁵³) with ONE IEEE
+    * division at the end — the same exact-moments trick as
+    * `stats_agg`, so the DuckDB oracle matches bit-for-bit. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir)
+      .select(col("bucket"), posexplode(col("embedding")))
+      .groupBy(col("bucket"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("col").cast("double") * lit(1000000.0))).as("qsum"))
+      .select(
+        col("bucket"), col("pos"), col("n_members"),
+        (col("qsum").cast("double") / (col("n_members").cast("double") * lit(1000000.0)))
+          .as("centroid"))
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.3 within an IVF bucket,
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */

@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,29 +86,31 @@ object TextQueries {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The composite quality expression over (text, tokens) columns — the
+    * single definition [[qualityScore]] and
+    * [[CurationQueries.tokenBudgetSelect]] share, so every consumer ranks
+    * documents by the identical IEEE arithmetic (same operation order as
+    * the oracle SQL). */
+  private[queries] def qualityCol(text: Column, tokens: Column): Column = {
+    val nTok = size(tokens).cast("double")
+    val textLen = length(text).cast("double")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val stopHits = stopwordHits(tokens, Stopwords("en")).cast("double")
+    least(lit(1.0), nTok / lit(50.0)) * lit(0.3) +
+      (nAlpha / textLen) * lit(0.4) +
+      least(lit(0.3), stopHits / nTok)
+  }
+
   /** Composite quality score in [0,1]: length, alphabetic ratio, stopword
     * ratio, token-length sanity. The formula is written in the exact same
     * operation order as the oracle SQL — IEEE-identical doubles. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("tokens", wordTokens(col("text")))
-      .withColumn("n_tok", size(col("tokens")).cast("double"))
-      .withColumn("text_len", length(col("text")).cast("double"))
-      .withColumn(
-        "n_alpha",
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+      .select(
+        col("doc_id"),
+        qualityCol(col("text"), col("tokens")).as("quality")
       )
-      .withColumn(
-        "stop_hits",
-        stopwordHits(col("tokens"), Stopwords("en")).cast("double")
-      )
-    docs.select(
-      col("doc_id"),
-      (least(lit(1.0), col("n_tok") / lit(50.0)) * lit(0.3) +
-        (col("n_alpha") / col("text_len")) * lit(0.4) +
-        least(lit(0.3), col("stop_hits") / col("n_tok"))).as("quality")
-    )
-  }
 
   /** Content + bag-of-words fingerprints (md5; order-sensitive and
     * order-insensitive). */

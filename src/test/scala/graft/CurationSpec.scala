@@ -128,6 +128,48 @@ class CurationSpec extends SparkSuite {
     assert(small == Set(8L), s"doc 4 must drop (dup of 1), doc 8 must survive; got $small")
   }
 
+  test("source_cap keeps exactly the top-15 per source by (n_chars desc, doc_id)") {
+    val got = CurationQueries.sourceCap(spark, dir).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 15))
+    bySource.foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$s ranks must be dense from 1")
+    }
+    // brute-force expectation straight off the raw table
+    val want = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars").collect()
+      .groupBy(_.getAs[String]("source")).toSeq.flatMap { case (s, rs) =>
+        rs.sortBy(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+          .take(15).map(r => (r.getAs[Long]("doc_id"), s))
+      }.toSet
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet == want)
+  }
+
+  test("token_budget_select equals the naive global greedy and never overspends") {
+    val got = CurationQueries.tokenBudgetSelect(spark, dir).collect()
+    // naive greedy, recomputed independently: walk (quality desc, doc_id)
+    // and take docs while the running token total stays within budget
+    val nTok = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.wordTokens(col("text"))).cast("long").as("n_tok"))
+    val joined = graft.queries.TextQueries.qualityScore(spark, dir)
+      .join(nTok, "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"), r.getAs[Long]("n_tok")))
+    val budget = math.floor(joined.map(_._3).sum.toDouble * 0.4).toLong
+    // cum is monotone, so "keep while cum <= budget" IS the greedy prefix
+    var cum = 0L
+    val want = scala.collection.mutable.Map[Long, Long]()
+    joined.sortBy { case (id, q, _) => (-q, id) }.foreach { case (id, _, t) =>
+      cum += t
+      if (cum <= budget) want(id) = cum
+    }
+    assert(got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+      == want.toMap)
+    assert(got.forall(_.getAs[Long]("cum_tokens") <= budget))
+  }
+
   test("tfidf: at most 3 terms per doc, scores are tf/(df+1)") {
     val rows = CurationQueries.tfidfTop(spark, dir).collect()
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))

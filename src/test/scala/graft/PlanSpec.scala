@@ -301,6 +301,45 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("source_cap: per-source cap prunes with WindowGroupLimit") {
+    val p = plan(graft.queries.CurationQueries.sourceCap(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=cap must prune inside the window op, bounding a skewed source's shuffle rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("token_budget_select: no unpartitioned window ever consumes corpus rows") {
+    // The naive greedy is a running sum over ONE global sort — the
+    // single-task shape quantile_bins documents as its own scale-killer.
+    // The shipped rewrite may use an unpartitioned window ONLY on the
+    // ≤32-row band-totals frame: assert every empty-partition WindowExec
+    // sits above a grouping aggregate, and that the per-document running
+    // sum is a partitioned window. AQE off so the prepared plan exposes
+    // the full operator tree to collect().
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.CurationQueries.tokenBudgetSelect(spark, dir)
+        .queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.nonEmpty, s"the prefix-offset window is unpartitioned by design:\n$sp")
+      global.foreach { w =>
+        assert(w.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+        }.isDefined,
+          s"unpartitioned window must consume the band-totals aggregate, never corpus rows:\n$w")
+      }
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        "per-document running sum must be a band-partitioned window")
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("AQE skew join splits the hot partition (the automatic path beside salted_join)") {
     // salted_join is the manual fallback; the FIRST line of defense at
     // scale is AQE's skew split, which subdivides an oversized shuffle

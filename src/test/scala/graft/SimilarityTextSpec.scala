@@ -305,6 +305,34 @@ class SimilarityTextSpec extends SparkSuite {
     assert(!out(3).ok)
   }
 
+  test("kmeans_step: full dim coverage, membership totals, means exact within quantization") {
+    val dir = "/root/testdata/sf0.001"
+    val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
+    // every non-empty bucket emits all 64 dimensions
+    step.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 64L).toSeq,
+        s"bucket $b must cover every dimension")
+    }
+    // memberships partition the corpus (check at one fixed dimension)
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(step.filter(_.getAs[Long]("pos") == 1L).map(_.getAs[Long]("n_members")).sum == n)
+    // the quantized mean is within the floor-error bound of the true
+    // mean: each element under-counts by < 1/1e6, so the bucket mean
+    // deviates by strictly less than 1e-6 (plus double-avg noise)
+    val truth = graft.queries.SimilarityQueries.ivfAssign(spark, dir)
+      .select(col("bucket"), posexplode(col("embedding")))
+      .groupBy(col("bucket"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(avg(col("col").cast("double")).as("true_mean"))
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("pos")) -> r.getAs[Double]("true_mean"))
+      .toMap
+    step.foreach { r =>
+      val key = (r.getAs[Long]("bucket"), r.getAs[Long]("pos"))
+      assert(math.abs(r.getAs[Double]("centroid") - truth(key)) < 1.1e-6,
+        s"centroid drifted past the quantization bound at $key")
+    }
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)
