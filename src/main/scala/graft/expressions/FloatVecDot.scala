@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `array<float>` columns, in index-order
-  * double accumulation: Σ double(aᵢ)·double(bᵢ), i ascending.
+/** Native dot product over two `array<float>`/`array<double>` columns
+  * (each side independently), in index-order double accumulation:
+  * Σ double(aᵢ)·double(bᵢ), i ascending.
   *
   * Semantically identical to the higher-order-function formulation
   * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)` —
@@ -19,11 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * tight unboxed loop with full codegen — the designed upgrade path
   * (SURVEY §7.3) once the profile showed the fold hot.
   *
+  * Double-element support exists for DERIVED vectors — k-means update
+  * steps emit exact-double centroids (`SimilarityQueries.kmeansTrain`)
+  * that the next assignment round dots against raw float embeddings;
+  * float→double widening is exact, so a float side reads identically
+  * whether it was widened before or inside the fold.
+  *
   * Null semantics: null input array → null (BinaryExpression default);
   * UNEQUAL lengths → null, matching the zip_with formulation (null
   * padding poisons its fold) — a silently truncated partial dot would be
   * a plausible-looking wrong number on schema drift. Element nulls are
-  * not expected from the parquet float vectors and read as 0.0f,
+  * not expected from the parquet float vectors and read as 0.0f/0.0,
   * matching neither-engine-has-null fixtures.
   */
 case class FloatVecDot(left: Expression, right: Expression)
@@ -35,28 +42,37 @@ case class FloatVecDot(left: Expression, right: Expression)
   // arrays are non-nullable
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def isFloatArray(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+  private def isVecArray(t: DataType) = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isDoubleArray(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVecArray(left.dataType) && isVecArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"vec_dot expects (array<float>, array<float>), got " +
+        s"vec_dot expects each side array<float> or array<double>, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val lD = isDoubleArray(left.dataType)
+    val rD = isDoubleArray(right.dataType)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lD) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rD) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -67,6 +83,12 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element getters are resolved at codegen time from the static
+      // child types — the fold itself stays a branch-free unboxed loop
+      def get(v: String, isDouble: Boolean) =
+        if (isDouble) s"$v.getDouble($i)" else s"((double) $v.getFloat($i))"
+      val xe = get(x, isDoubleArray(left.dataType))
+      val ye = get(y, isDoubleArray(right.dataType))
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -74,7 +96,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    $acc += $xe * $ye;
          |  }
          |  ${ev.value} = $acc;
          |}

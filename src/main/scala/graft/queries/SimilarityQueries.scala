@@ -87,23 +87,18 @@ object SimilarityQueries {
     // Per-row scores over the centroid array; argmax is order-independent
     // (strict total order: ccos desc NULLS LAST, cid asc — cids are
     // unique), so the nondeterministic collect_list order cannot leak
-    // into the result. The explicit NULL branches keep the order total
-    // even for a NULL cosine (e.g. a NULL embedding element), matching
-    // DuckDB's ORDER BY ... DESC default of NULLS LAST; without them
-    // every ccos comparison on a NULL is false and the sort would fall
-    // through to cid — a different bucket per engine.
+    // into the result. The explicit NULL branches in the shared
+    // comparator keep the order total even for a NULL cosine (e.g. a
+    // NULL embedding element), matching DuckDB's ORDER BY ... DESC
+    // default of NULLS LAST; without them every ccos comparison on a
+    // NULL is false and the sort would fall through to cid — a
+    // different bucket per engine.
     val scored = transform(col("cents"), c =>
       struct(
         (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
         c("cid").as("cid")))
-    val byCosDescCidAsc = (a: Column, b: Column) =>
-      when(a("ccos").isNull && b("ccos").isNotNull, 1)
-        .when(a("ccos").isNotNull && b("ccos").isNull, -1)
-        .when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
-        .when(a("cid") < b("cid"), -1).when(a("cid") > b("cid"), 1)
-        .otherwise(0)
     e.join(broadcast(cent))
-      .withColumn("probes", slice(array_sort(scored, byCosDescCidAsc), 1, IvfNprobe))
+      .withColumn("probes", slice(array_sort(scored, byCosDescCidAscCmp), 1, IvfNprobe))
       .select(
         col("vec_id"), col("embedding"), col("nrm"),
         element_at(col("probes"), 1)("cid").as("bucket"),
@@ -164,6 +159,97 @@ object SimilarityQueries {
         col("bucket"), col("pos"), col("n_members"),
         (col("qsum").cast("double") / (col("n_members").cast("double") * lit(1000000.0)))
           .as("centroid"))
+
+  /** Strict total order for the in-row centroid argmax: cosine desc with
+    * NULLS LAST (DuckDB's ORDER BY ... DESC default), centroid id asc.
+    * Shared by [[ivfAssign]] and the [[kmeansTrain]] assignment rounds. */
+  private val byCosDescCidAscCmp: (Column, Column) => Column = (a, b) =>
+    when(a("ccos").isNull && b("ccos").isNotNull, 1)
+      .when(a("ccos").isNotNull && b("ccos").isNull, -1)
+      .when(a("ccos") > b("ccos"), -1).when(a("ccos") < b("ccos"), 1)
+      .when(a("cid") < b("cid"), -1).when(a("cid") > b("cid"), 1)
+      .otherwise(0)
+
+  /** Full iterative k-means training in-engine: `rounds` assignment
+    * passes with a Lloyd's centroid update between each — the loop that
+    * turns [[ivfAssign]]'s hash-sampled seed centroids into trained IVF
+    * centroids. Returns the final per-vector assignment (vec_id, bucket,
+    * cos — cosine to the assigned trained centroid).
+    *
+    * Each round is the proven IVF shape: centroids fold to ONE row,
+    * broadcast, in-row argmax (narrow map, no shuffle); the update is
+    * [[kmeansStep]]'s exact fixed-point mean (one compact
+    * (bucket, pos) shuffle) reassembled into ordered double arrays with
+    * an in-group array_sort. Nothing iterates on the driver except the
+    * loop counter; state between rounds is a ≤k-row centroid frame. At
+    * many rounds, localCheckpoint the centroid frame every few
+    * iterations to truncate plan growth — at 2–3 rounds (the common
+    * IVF-training budget) the raw chain is fine.
+    *
+    * Exactness across engines: seed centroids widen float→double
+    * (exact); updated centroids are exact by the fixed-point-sum
+    * construction; every cosine is the same index-order double fold both
+    * sides; argmax ties break on centroid id. Empty buckets drop out of
+    * the update (k can only shrink), matching the SQL restatement. */
+  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"kmeansTrain needs at least one round, got $rounds")
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val seed = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfK)
+      .select(
+        col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cemb"),
+        col("nrm").as("cnrm"))
+
+    // centroid frame (cid, cemb: array<double>, cnrm) → per-vector top-1
+    // bucket via the one-row-broadcast in-row argmax
+    def assign(cents: DataFrame): DataFrame = {
+      val row = cents.agg(collect_list(struct(
+        col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+      val scored = transform(col("cents"), c =>
+        struct(
+          (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
+          c("cid").as("cid")))
+      e.join(broadcast(row))
+        .withColumn("best", element_at(array_sort(scored, byCosDescCidAscCmp), 1))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("best")("cid").as("bucket"), col("best")("ccos").as("cos"))
+    }
+
+    // Lloyd's update: exact fixed-point means (kmeansStep's arithmetic),
+    // reassembled into pos-ordered double arrays
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("bucket"), posexplode(col("embedding")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("col").cast("double") * lit(1000000.0))).as("qsum"))
+        .withColumn("m",
+          col("qsum").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(
+          col("bucket").as("cid"),
+          transform(col("pm"), p => p("m")).as("cemb"))
+        .withColumn("cnrm", normD(col("cemb")))
+
+    var cents = seed
+    var assigned = assign(cents)
+    (2 to rounds).foreach { _ =>
+      cents = update(assigned)
+      assigned = assign(cents)
+    }
+    assigned.select(col("vec_id"), col("bucket"), col("cos"))
+  }
+
+  /** Two-round k-means (assign → update → re-assign) — the
+    * oracle-checked pin of [[kmeansTrain]]: DuckDB restates both rounds
+    * and the exact centroid update as CTEs and must agree bit-for-bit
+    * on every vector's final bucket and cosine. */
+  def kmeansTrain2(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrain(spark, dir, rounds = 2)
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.3 within an IVF bucket,
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */

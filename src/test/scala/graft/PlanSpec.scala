@@ -301,6 +301,18 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("kmeans_train2: two in-row assignment rounds, no window, no cartesian") {
+    // each training round must keep the proven IVF-assignment shape: the
+    // centroid set folds to one broadcast row and the argmax happens
+    // in-row — never a per-(vector, centroid) window or rank shuffle
+    val p = plan(SimilarityQueries.kmeansTrain2(spark, dir))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
+      s"expected exactly the two one-row centroid broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "assignment argmax must stay in-row; the update is a hash aggregate")
+  }
+
   test("source_cap: per-source cap prunes with WindowGroupLimit") {
     val p = plan(graft.queries.CurationQueries.sourceCap(spark, dir))
     assert(p.contains("WindowGroupLimit"),

@@ -333,6 +333,50 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("kmeans_train2: every vector assigned once, argmax matches a driver recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.kmeansTrain2(spark, dir).collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(out.length == n)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    // trained centroids from the oracle-green kmeans_step output
+    val cents = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
+      .groupBy(_.getAs[Long]("bucket"))
+      .map { case (b, rs) =>
+        b -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[Double]("centroid"))
+      }
+    // recompute round-2 argmax per vector with the same index-order fold
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cnorm = cents.map { case (b, c) => b -> math.sqrt(dot(c, c)) }
+    val vecs = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    out.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val vn = math.sqrt(dot(v, v))
+      val best = cents.keys.toSeq.map { b =>
+        (dot(v, cents(b)) / (vn * cnorm(b)), b)
+      }.minBy { case (c, b) => (-c, b) }
+      assert(r.getAs[Long]("bucket") == best._2 && r.getAs[Double]("cos") == best._1,
+        s"vec ${r.getAs[Long]("vec_id")}: engine says (${r.getAs[Long]("bucket")}, " +
+          s"${r.getAs[Double]("cos")}), driver says $best")
+    }
+  }
+
+  test("vec_dot accepts double arrays and mixed float/double sides exactly") {
+    val d = spark.sql(
+      """SELECT
+        |  vec_dot(CAST(array(0.5, 2.0) AS ARRAY<DOUBLE>), CAST(array(4.0, 0.25) AS ARRAY<DOUBLE>)) AS dd,
+        |  vec_dot(CAST(array(0.5, 2.0) AS ARRAY<FLOAT>),  CAST(array(4.0, 0.25) AS ARRAY<DOUBLE>)) AS fd
+        |""".stripMargin).collect()(0)
+    assert(d.getAs[Double]("dd") == 2.5 && d.getAs[Double]("fd") == 2.5)
+  }
+
   test("multimodal stubs are deterministic and correctly shaped") {
     val df = Seq((1L, "hello world this is binary payload stand-in")).toDF("doc_id", "text")
     val a = Multimodal.metaQuery(df).collect()(0)
