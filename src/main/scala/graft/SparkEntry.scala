@@ -86,6 +86,7 @@ object SparkEntry {
     "pack_sequences" -> (CurationQueries.packSequences _),
     "incremental_dedup" -> (CurationQueries.incrementalDedup _),
     "source_cap" -> (CurationQueries.sourceCap _),
+    "corpus_profile" -> (CurationQueries.corpusProfile _),
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
@@ -907,6 +908,34 @@ object SparkEntry {
          |fresh AS (SELECT doc_id, fp FROM d WHERE doc_id % 4 = 0)
          |SELECT doc_id, fp FROM fresh f
          |WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.fp = f.fp)""".stripMargin,
+    "corpus_profile" ->
+      // fixed-point quality mean (floor(q*1e6) long sums) + dedup_exact's
+      // fingerprint window + one rollup — every mean is a single IEEE
+      // division over order-independent integer sums
+      s"""WITH t AS (SELECT doc_id, lang, source, text, $WordToksSql AS tokens FROM documents),
+         |q0 AS (SELECT doc_id, lang, source,
+         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS text_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
+         |  CAST(len(tokens) AS BIGINT) AS n_tok_l,
+         |  md5($NormSql) AS fp
+         |FROM t),
+         |q AS (SELECT doc_id, lang, source, n_tok_l AS n_tok, fp,
+         |  CAST(floor((
+         |    least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
+         |    (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
+         |    least(CAST(0.3 AS DOUBLE), stop_hits / n_tok)) * 1000000.0) AS BIGINT) AS qq
+         |FROM q0),
+         |d AS (SELECT *, CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+         |                     THEN 1 ELSE 0 END AS is_dup FROM q)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+         |  CAST(sum(qq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |  CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM d GROUP BY lang, source""".stripMargin,
     "source_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -332,6 +332,45 @@ object CurationQueries {
       )
   }
 
+  /** Corpus health profile per (lang, source) — the dashboard query a
+    * curation run gates on before training: document and token volumes,
+    * mean document quality, and the exact-duplicate rate, in one pass.
+    *
+    * Exactness: mean quality is a fixed-point mean (floor(q·10⁶) long
+    * sums — order-independent, same trick as `kmeans_step`; q ∈ [0,1]
+    * leaves 2³³ docs of headroom per group), duplicate counts are
+    * integers off the same fingerprint window as `dedup_exact`, and each
+    * mean is ONE IEEE division — so the DuckDB oracle matches exactly
+    * where a naive double sum would flake on aggregation order.
+    *
+    * Scale (100 TB): two shuffles, both on compact keys — the
+    * fingerprint window moves (fp, ids, two longs), the rollup moves
+    * (lang, source)-keyed partial aggregates. Text never leaves the
+    * scan projection. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        floor(TextQueries.qualityCol(col("text"), col("tokens")) * lit(1000000.0)).as("qq"),
+        md5(normText(col("text"))).as("fp"))
+      .withColumn("is_dup",
+        when(col("doc_id") =!= min(col("doc_id")).over(byFp), 1L).otherwise(0L))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"),
+        (sum(col("qq")).cast("double") / (count(lit(1)).cast("double") * lit(1000000.0)))
+          .as("mean_quality"),
+        sum(col("is_dup")).as("n_dups"),
+        (sum(col("is_dup")).cast("double") / count(lit(1)).cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * ranked by a deterministic quality proxy (longest text first, doc_id
     * tie-break) — the standard domain-cap pass that stops one crawl

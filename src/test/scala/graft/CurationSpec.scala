@@ -170,6 +170,28 @@ class CurationSpec extends SparkSuite {
     assert(got.forall(_.getAs[Long]("cum_tokens") <= budget))
   }
 
+  test("corpus_profile reconciles with its member queries") {
+    val prof = CurationQueries.corpusProfile(spark, dir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(prof.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // duplicate counts must agree with dedup_exact's verdicts
+    val nDups = graft.queries.TextQueries.dedupExact(spark, dir)
+      .filter(col("is_dup")).count()
+    assert(prof.map(_.getAs[Long]("n_dups")).sum == nDups)
+    // fixed-point mean quality within quantization of the true mean
+    val qByDoc = graft.queries.TextQueries.qualityScore(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+        "doc_id")
+      .collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    prof.foreach { r =>
+      val qs = qByDoc((r.getAs[String]("lang"), r.getAs[String]("source")))
+        .map(_.getAs[Double]("quality"))
+      assert(math.abs(r.getAs[Double]("mean_quality") - qs.sum / qs.length) < 1.1e-6)
+      assert(r.getAs[Double]("dup_rate") >= 0.0 && r.getAs[Double]("dup_rate") <= 1.0)
+    }
+  }
+
   test("tfidf: at most 3 terms per doc, scores are tf/(df+1)") {
     val rows = CurationQueries.tfidfTop(spark, dir).collect()
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))

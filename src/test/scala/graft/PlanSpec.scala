@@ -313,6 +313,26 @@ class PlanSpec extends SparkSuite {
       "assignment argmax must stay in-row; the update is a hash aggregate")
   }
 
+  test("corpus_profile: exchanges carry compact derived columns, never text") {
+    // both shuffles (fingerprint window, (lang, source) rollup) must move
+    // fixed-width derived rows; the text body dies at the scan projection
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.CurationQueries.corpusProfile(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"exchange must not carry text bodies: ${e.output.map(_.name)}")
+      }
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("source_cap: per-source cap prunes with WindowGroupLimit") {
     val p = plan(graft.queries.CurationQueries.sourceCap(spark, dir))
     assert(p.contains("WindowGroupLimit"),
