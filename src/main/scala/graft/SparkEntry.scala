@@ -96,6 +96,8 @@ object SparkEntry {
     "quantile_bins" -> (AnalyticsQueries.quantileBins _),
     "quantile_bins_scalable" -> (AnalyticsQueries.quantileBinsScalable _),
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
+    "time_split" -> (AnalyticsQueries.timeSplit _),
+    "token_rarity" -> (TextQueries.tokenRarity _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
     "event_transitions" -> (AnalyticsQueries.eventTransitions _),
@@ -768,6 +770,31 @@ object SparkEntry {
          |  count(*) AS n_active_users
          |FROM e JOIN cohort c ON e.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "time_split" ->
+      // quantile_cont shares Spark percentile's interpolation (proven on
+      // group_percentiles); epoch-us magnitudes are exact in double
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT quantile_cont(tus, 0.8) AS cut FROM e),
+        |t AS (SELECT user_id,
+        |        CASE WHEN tus <= cut THEN 'train' ELSE 'eval' END AS split
+        |      FROM e, c),
+        |o AS (SELECT count(*) AS n_overlap_users FROM
+        |        (SELECT DISTINCT user_id FROM t WHERE split = 'train') a
+        |        JOIN (SELECT DISTINCT user_id FROM t WHERE split = 'eval') b
+        |          USING (user_id))
+        |SELECT split, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, o.n_overlap_users
+        |FROM t, o GROUP BY split, o.n_overlap_users""".stripMargin,
+    "token_rarity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |j AS (SELECT t.doc_id, v.c FROM toks t JOIN vc v ON t.tok = v.tok)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(c) AS BIGINT) AS sum_freq,
+         |  CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq,
+         |  CAST(min(c) AS BIGINT) AS min_freq,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |FROM j GROUP BY doc_id""".stripMargin,
     "quantile_bins" ->
       s"""WITH b AS (SELECT value, event_id, CAST(ntile(10) OVER
          |    (ORDER BY value, event_id) AS BIGINT) AS bin FROM events)

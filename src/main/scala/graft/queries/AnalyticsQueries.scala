@@ -516,6 +516,37 @@ object AnalyticsQueries {
     * back onto the (user, week) distinct activity set, one count per
     * cohort cell — all compact-key shuffles; the cohort anchor table is
     * |users|-sized, broadcast-able for any realistic user count. */
+  /** Temporal train/eval split with a leakage audit: cut at the 0.8
+    * quantile of event time (the eval window is the most recent 20%),
+    * report per-split volumes and how many users appear on BOTH sides —
+    * the overlap an eval-contamination review signs off on before a
+    * model trains on the past and is scored on the future.
+    *
+    * Exactness: the cutpoint is the same rank = p·(n−1) interpolation
+    * both engines share (proven bit-identical on `group_percentiles`);
+    * epoch-microsecond magnitudes (~2⁵¹) stay exactly representable in
+    * the double comparison. Scale: one distributed percentile folded to
+    * a broadcast row, two distinct aggregations keyed on user_id, and a
+    * semi-join-shaped overlap count — no window, no global sort. */
+  def timeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"))
+    val cut = ev.agg(expr("percentile(tus, 0.8)").as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut)) // 1-row build side: free
+      .select(col("user_id"),
+        when(col("tus") <= col("cut"), "train").otherwise("eval").as("split"))
+    val overlap = tagged.filter(col("split") === "train").select(col("user_id")).distinct()
+      .join(tagged.filter(col("split") === "eval")
+        .select(col("user_id").as("u2")).distinct(),
+        col("user_id") === col("u2"))
+      .agg(count(lit(1)).as("n_overlap_users"))
+    tagged.groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(overlap))
+  }
+
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       // integer DIV, not `/` (double division) — epoch-µs magnitudes sit

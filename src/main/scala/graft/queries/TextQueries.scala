@@ -112,6 +112,34 @@ object TextQueries {
         qualityCol(col("text"), col("tokens")).as("quality")
       )
 
+  /** Token-rarity profile — the corpus-frequency quality signal (the
+    * "word frequency filter" of C4-style cleaning): per document, the
+    * mean and minimum corpus frequency of its token occurrences and the
+    * count of hapax tokens (corpus frequency 1). A document whose tokens
+    * are mostly hapaxes is usually noise (OCR garbage, base64, boiler
+    * IDs); one whose min frequency is high is pure template text. All
+    * arithmetic is integer counts and one IEEE division — oracle-exact.
+    *
+    * Scale (100 TB): the frequency table is vocabulary-sized (≪ corpus,
+    * Zipf) — one token-keyed aggregation, then a token equijoin back
+    * against the exploded occurrences and a doc-keyed rollup. Every
+    * shuffle key is a single token or doc_id. Docs with zero tokens
+    * contribute no row (nothing to rate). */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("c")).as("sum_freq"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double")).as("mean_freq"),
+        min(col("c")).as("min_freq"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   /** Content + bag-of-words fingerprints (md5; order-sensitive and
     * order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -12,6 +12,55 @@ class PipelineQueriesSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("time_split: 80/20 event partition, leakage count matches a brute-force overlap") {
+    val out = AnalyticsQueries.timeSplit(spark, dir).collect()
+    assert(out.length == 2)
+    val byName = out.map(r => r.getAs[String]("split") -> r).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tus")))
+    val n = ev.length
+    assert(byName("train").getAs[Long]("n_events") +
+      byName("eval").getAs[Long]("n_events") == n)
+    // the 0.8-quantile cut puts ~80% of events in train (interpolated
+    // cutpoint: at least floor(0.8(n-1))+1 events are <= it)
+    val trainN = byName("train").getAs[Long]("n_events")
+    assert(trainN >= (0.8 * (n - 1)).floor.toLong + 1 && trainN < n)
+    // brute-force leakage: users present on both sides of the same cut
+    val sorted = ev.map(_._2).sorted
+    val rank = 0.8 * (n - 1)
+    val lo = sorted(rank.floor.toInt).toDouble
+    val hi = sorted(rank.ceil.toInt).toDouble
+    val cut = lo + (rank - rank.floor) * (hi - lo)
+    val train = ev.filter(_._2 <= cut).map(_._1).toSet
+    val eval = ev.filter(_._2 > cut).map(_._1).toSet
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_overlap_users") == (train & eval).size.toLong)
+    }
+    assert(byName("train").getAs[Long]("n_users") == train.size.toLong)
+    assert(byName("eval").getAs[Long]("n_users") == eval.size.toLong)
+  }
+
+  test("token_rarity: frequencies reconcile with a driver-side vocabulary") {
+    val out = TextQueries.tokenRarity(spark, dir).collect()
+    val docToks = Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), col("ws")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("ws").toSeq)
+      .toMap
+    val vocab = docToks.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    assert(out.length == docToks.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val toks = docToks(r.getAs[Long]("doc_id"))
+      val freqs = toks.map(vocab)
+      assert(r.getAs[Long]("n_tok") == toks.length.toLong)
+      assert(r.getAs[Long]("sum_freq") == freqs.sum)
+      assert(r.getAs[Long]("min_freq") == freqs.min)
+      assert(r.getAs[Long]("n_hapax") == freqs.count(_ == 1L).toLong)
+    }
+  }
+
   test("boilerplate ngrams: shared template scores 1.0, unique text 0.0") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
     // five docs are the same 3-token template (df of their one shingle = 5
