@@ -53,6 +53,7 @@ object SparkEntry {
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
+    "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
@@ -162,6 +163,33 @@ object SparkEntry {
        |asn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked WHERE rn = 1),
        |probes AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked
        |           WHERE rn <= ${SimilarityQueries.IvfNprobe})""".stripMargin
+
+  /** Two-round k-means CTE chain (extends [[IvfAssignSql]] — whose `asn`
+    * IS the round-1 assignment): the exact fixed-point Lloyd's update
+    * (`list(... ORDER BY pos)` rebuilds the coordinate order Spark's
+    * array_sort pins), then round 2 re-ranks every vector against the
+    * trained centroids with the same index-order double fold and
+    * (ccos DESC, cid) tie-break. Terminal CTE is
+    * `asn2(vec_id, embedding, nrm, bucket, ccos)` — shared by the
+    * `kmeans_train2` and `semantic_neardup` oracles. */
+  private lazy val KmeansTrain2Body: String =
+    s"""$IvfAssignSql,
+       |ex AS (SELECT bucket, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding) AS v FROM asn),
+       |ag AS (SELECT bucket, pos, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+       |       FROM ex GROUP BY bucket, pos),
+       |nc AS (SELECT bucket AS cid2,
+       |         list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cemb2
+       |       FROM ag GROUP BY bucket),
+       |nc2 AS (SELECT cid2, cemb2, sqrt(${dotSql("cemb2", "cemb2")}) AS cnrm2 FROM nc),
+       |p2 AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid2,
+       |         ${dotSql("e.embedding", "c.cemb2")} / (e.nrm * c.cnrm2) AS ccos
+       |       FROM en e, nc2 c),
+       |r2 AS (SELECT vec_id, embedding, nrm, cid2, ccos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
+       |       FROM p2),
+       |asn2 AS (SELECT vec_id, embedding, nrm, cid2 AS bucket, ccos FROM r2 WHERE rn = 1)""".stripMargin
 
   /** DuckDB fragment: word 3-gram shingle list of normalized text from a
     * token-list column `ws` (empty below 3 tokens). */
@@ -433,28 +461,15 @@ object SparkEntry {
          |  CAST(qsum AS DOUBLE) / (CAST(n_members AS DOUBLE) * 1000000.0) AS centroid
          |FROM ag""".stripMargin,
     "kmeans_train2" ->
-      // two Lloyd's rounds: IvfAssignSql's asn IS round-1 assignment;
-      // nc restates the exact fixed-point centroid update (list ORDER BY
-      // pos rebuilds the coordinate order Spark's array_sort pins);
-      // round 2 re-ranks every vector against the trained centroids with
-      // the same index-order double fold and (ccos DESC, cid) tie-break
-      s"""$IvfAssignSql,
-         |ex AS (SELECT bucket, generate_subscripts(embedding, 1) AS pos,
-         |         unnest(embedding) AS v FROM asn),
-         |ag AS (SELECT bucket, pos, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
-         |       FROM ex GROUP BY bucket, pos),
-         |nc AS (SELECT bucket AS cid2,
-         |         list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cemb2
-         |       FROM ag GROUP BY bucket),
-         |nc2 AS (SELECT cid2, cemb2, sqrt(${dotSql("cemb2", "cemb2")}) AS cnrm2 FROM nc),
-         |p2 AS (SELECT e.vec_id, c.cid2,
-         |         ${dotSql("e.embedding", "c.cemb2")} / (e.nrm * c.cnrm2) AS ccos
-         |       FROM en e, nc2 c),
-         |r2 AS (SELECT vec_id, cid2, ccos,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
-         |       FROM p2)
-         |SELECT vec_id, cid2 AS bucket, ccos AS cos FROM r2 WHERE rn = 1""".stripMargin,
+      s"""$KmeansTrain2Body
+         |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "semantic_neardup" ->
+      // embedding_neardup's pair pattern over the TRAINED round-2 buckets
+      s"""$KmeansTrain2Body,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM asn2 a JOIN asn2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,

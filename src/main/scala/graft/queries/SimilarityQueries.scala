@@ -173,8 +173,8 @@ object SimilarityQueries {
   /** Full iterative k-means training in-engine: `rounds` assignment
     * passes with a Lloyd's centroid update between each — the loop that
     * turns [[ivfAssign]]'s hash-sampled seed centroids into trained IVF
-    * centroids. Returns the final per-vector assignment (vec_id, bucket,
-    * cos — cosine to the assigned trained centroid).
+    * centroids — each vector's final bucket plus its cosine to the
+    * assigned trained centroid.
     *
     * Each round is the proven IVF shape: centroids fold to ONE row,
     * broadcast, in-row argmax (narrow map, no shuffle); the update is
@@ -184,7 +184,10 @@ object SimilarityQueries {
     * loop counter; state between rounds is a ≤k-row centroid frame. At
     * many rounds, localCheckpoint the centroid frame every few
     * iterations to truncate plan growth — at 2–3 rounds (the common
-    * IVF-training budget) the raw chain is fine.
+    * IVF-training budget) the raw chain is fine. Returns the full final
+    * assignment frame (vec_id, embedding, nrm, bucket, cos) for
+    * downstream consumers ([[semanticNearDup]]); [[kmeansTrainAssign]]
+    * is the narrow public projection.
     *
     * Exactness across engines: seed centroids widen float→double
     * (exact); updated centroids are exact by the fixed-point-sum
@@ -241,15 +244,40 @@ object SimilarityQueries {
       cents = update(assigned)
       assigned = assign(cents)
     }
-    assigned.select(col("vec_id"), col("bucket"), col("cos"))
+    assigned
   }
+
+  /** [[kmeansTrain]]'s public projection: final per-vector assignment. */
+  def kmeansTrainAssign(spark: SparkSession, dir: String, rounds: Int): DataFrame =
+    kmeansTrain(spark, dir, rounds)
+      .select(col("vec_id"), col("bucket"), col("cos"))
 
   /** Two-round k-means (assign → update → re-assign) — the
     * oracle-checked pin of [[kmeansTrain]]: DuckDB restates both rounds
     * and the exact centroid update as CTEs and must agree bit-for-bit
     * on every vector's final bucket and cosine. */
   def kmeansTrain2(spark: SparkSession, dir: String): DataFrame =
-    kmeansTrain(spark, dir, rounds = 2)
+    kmeansTrainAssign(spark, dir, rounds = 2)
+
+  /** Semantic near-duplicate pairs over the TRAINED index: cosine ≥ 0.3
+    * within a round-2 k-means bucket, a<b — [[embeddingNearDup]]'s pair
+    * pattern consuming [[kmeansTrain]] instead of the raw hash-sampled
+    * seed buckets. Trained centroids track the data's actual density, so
+    * buckets are tighter around real clusters: more true near-dup pairs
+    * land in the same bucket (higher recall) without the pair space
+    * growing past Σ bucket² — the production SemDeDup shape: train,
+    * assign, pair within cell. */
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansTrain(spark, dir, rounds = 2)
+    val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
+      .withColumn("cos", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("va"), col("vb"), col("cos"))
+  }
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.3 within an IVF bucket,
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */

@@ -47,6 +47,7 @@ class PlanSpec extends SparkSuite {
       SimilarityQueries.ngramJaccard(spark, dir),
       graft.queries.TextQueries.simhashNearDup(spark, dir),
       SimilarityQueries.editDistanceNearDup(spark, dir),
+      SimilarityQueries.semanticNearDup(spark, dir),
       graft.queries.TextQueries.contamination(spark, dir)
     ).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"))

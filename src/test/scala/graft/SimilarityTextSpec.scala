@@ -368,6 +368,20 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("semantic_neardup: pairs live inside one trained bucket, threshold respected") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.SimilarityQueries.semanticNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.3))
+    val bucketOf = graft.queries.SimilarityQueries.kmeansTrain2(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    pairs.foreach { r =>
+      assert(bucketOf(r.getAs[Long]("va")) == bucketOf(r.getAs[Long]("vb")),
+        s"pair (${r.getAs[Long]("va")}, ${r.getAs[Long]("vb")}) spans buckets")
+    }
+  }
+
   test("vec_dot accepts double arrays and mixed float/double sides exactly") {
     val d = spark.sql(
       """SELECT
