@@ -488,12 +488,12 @@ object SparkEntry {
          |d AS (SELECT doc_id, list_distinct($ShingleSql) AS shs
          |  FROM (SELECT doc_id, $WordToksSql AS ws FROM documents)),
          |p AS (SELECT c.doc_a, c.doc_b,
-         |    CAST(${(0 until 12).map(i => s"(CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match,
+         |    CAST(${SimilarityQueries.MinhashSeeds.indices.map(i => s"(CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match,
          |    len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS na, len(db.shs) AS nb
          |  FROM cand c JOIN m ma ON c.doc_a = ma.doc_id JOIN m mb ON c.doc_b = mb.doc_id
          |       JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id)
          |SELECT doc_a, doc_b, n_match,
-         |  CAST(n_match AS DOUBLE) / 12.0 AS est_jaccard,
+         |  CAST(n_match AS DOUBLE) / ${SimilarityQueries.MinhashSeeds.size}.0 AS est_jaccard,
          |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS exact_jaccard
          |FROM p""".stripMargin,
     "bm25_top" ->

@@ -33,6 +33,11 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val store = args.lift(2)
       .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")).getOrElse("hdfs")
+    // a typo'd store name must not silently run the default provider
+    // while the JSON line labels the row with the raw string — that
+    // would record HDFS throughput as "rocksDB" in BASELINE.md
+    require(store == "hdfs" || store == "rocksdb",
+      s"unknown state store '$store' (expected 'hdfs' or 'rocksdb')")
     val builder = SparkSession.builder()
       .master(s"local[$parts]")
       .config("spark.sql.shuffle.partitions", parts)

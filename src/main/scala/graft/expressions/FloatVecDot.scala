@@ -52,6 +52,11 @@ case class FloatVecDot(left: Expression, right: Expression)
     case _ => false
   }
 
+  // child types are fixed after analysis — resolve the getters once, not
+  // per evaluated row in the interpreted path
+  private lazy val leftIsDouble = isDoubleArray(left.dataType)
+  private lazy val rightIsDouble = isDoubleArray(right.dataType)
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (isVecArray(left.dataType) && isVecArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
@@ -65,13 +70,11 @@ case class FloatVecDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lD = isDoubleArray(left.dataType)
-    val rD = isDoubleArray(right.dataType)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lD) x.getDouble(i) else x.getFloat(i).toDouble
-      val yv = if (rD) y.getDouble(i) else y.getFloat(i).toDouble
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
       acc += xv * yv
       i += 1
     }
@@ -87,8 +90,8 @@ case class FloatVecDot(left: Expression, right: Expression)
       // child types — the fold itself stays a branch-free unboxed loop
       def get(v: String, isDouble: Boolean) =
         if (isDouble) s"$v.getDouble($i)" else s"((double) $v.getFloat($i))"
-      val xe = get(x, isDoubleArray(left.dataType))
-      val ye = get(y, isDoubleArray(right.dataType))
+      val xe = get(x, leftIsDouble)
+      val ye = get(y, rightIsDouble)
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {

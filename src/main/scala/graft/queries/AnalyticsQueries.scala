@@ -503,19 +503,6 @@ object AnalyticsQueries {
         expr("percentile(value, 0.99)").as("p99")
       )
 
-  /** Weekly retention cohorts: users grouped by the week of their FIRST
-    * event; for each (cohort_week, weeks_since) cell, how many of the
-    * cohort's users were active that week. The `week` is integer
-    * epoch-days ÷ 7 (no calendar/timezone dependence — identical
-    * arithmetic on every engine, PROVIDED ts >= 1970-01-01: Spark's DIV
-    * truncates toward zero while DuckDB's `//` floors, and the two only
-    * agree on non-negative epochs; see the oracle-side note in
-    * SparkEntry.oracleSql).
-    *
-    * Scale (100 TB): one user-keyed min to anchor cohorts, one equijoin
-    * back onto the (user, week) distinct activity set, one count per
-    * cohort cell — all compact-key shuffles; the cohort anchor table is
-    * |users|-sized, broadcast-able for any realistic user count. */
   /** Temporal train/eval split with a leakage audit: cut at the 0.8
     * quantile of event time (the eval window is the most recent 20%),
     * report per-split volumes and how many users appear on BOTH sides —
@@ -547,6 +534,19 @@ object AnalyticsQueries {
       .crossJoin(broadcast(overlap))
   }
 
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; for each (cohort_week, weeks_since) cell, how many of the
+    * cohort's users were active that week. The `week` is integer
+    * epoch-days ÷ 7 (no calendar/timezone dependence — identical
+    * arithmetic on every engine, PROVIDED ts >= 1970-01-01: Spark's DIV
+    * truncates toward zero while DuckDB's `//` floors, and the two only
+    * agree on non-negative epochs; see the oracle-side note in
+    * SparkEntry.oracleSql).
+    *
+    * Scale (100 TB): one user-keyed min to anchor cohorts, one equijoin
+    * back onto the (user, week) distinct activity set, one count per
+    * cohort cell — all compact-key shuffles; the cohort anchor table is
+    * |users|-sized, broadcast-able for any realistic user count. */
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       // integer DIV, not `/` (double division) — epoch-µs magnitudes sit

@@ -362,11 +362,11 @@ object SimilarityQueries {
     (0 until 12).map(i => (100003L + 911L * i, 30011L * i + 7L))
   val MinhashP: Long = 2147483647L
 
-  /** MinHash-LSH near-dup candidates: 12 universal-hash minhashes per doc
-    * over word 3-gram shingles, banded 4×3; docs sharing any band
-    * signature pair up. The only join is the band-signature equijoin —
-    * LSH's whole point at scale. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc MinHash signature frame: doc_id + one `mh$i` column per
+    * seed — the single construction [[minhashLsh]] and
+    * [[minhashEstimate]] share (shingle → md5Hash32 → grouped min per
+    * universal hash). */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .withColumn("ws", wordTokens(col("text")))
       .select(col("doc_id"), explode(shingleCol(col("ws"))).as("sh"))
@@ -374,7 +374,15 @@ object SimilarityQueries {
     val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"mh$i")
     }
-    val mins = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidates: 12 universal-hash minhashes per doc
+    * over word 3-gram shingles, banded 4×3; docs sharing any band
+    * signature pair up. The only join is the band-signature equijoin —
+    * LSH's whole point at scale. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val mins = minhashSigs(spark, dir)
     val bandStructs = (0 until 4).map { bd =>
       struct(
         lit(bd).as("band"),
@@ -428,15 +436,9 @@ object SimilarityQueries {
     * collisions), and the exact-Jaccard side reuses the same
     * shingle-set join shape as [[ngramJaccard]]. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .withColumn("ws", wordTokens(col("text")))
-      .select(col("doc_id"), explode(shingleCol(col("ws"))).as("sh"))
-      .withColumn("h", md5Hash32(col("sh")))
-    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MinhashP).as(s"mh$i")
-    }
-    val mins = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val nMatch = (0 until 12).map(i =>
+    val mins = minhashSigs(spark, dir)
+    val nSeeds = MinhashSeeds.size
+    val nMatch = MinhashSeeds.indices.map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val pairs = minhashLsh(spark, dir)
@@ -454,7 +456,7 @@ object SimilarityQueries {
       .withColumn("nb", size(col("shs_b")).cast("long"))
       .select(
         col("doc_a"), col("doc_b"), col("n_match"),
-        (col("n_match").cast("double") / lit(12.0)).as("est_jaccard"),
+        (col("n_match").cast("double") / lit(nSeeds.toDouble)).as("est_jaccard"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
           .as("exact_jaccard")
       )
