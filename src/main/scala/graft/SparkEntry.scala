@@ -54,6 +54,7 @@ object SparkEntry {
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
+    "kmeans_shift" -> (SimilarityQueries.kmeansShift _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
@@ -463,6 +464,16 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "kmeans_shift" ->
+      // Chebyshev centroid movement per bucket: max over coordinates of
+      // |updated - seed| (max is aggregation-order-independent); ag/nc/
+      // cent come from the shared two-round chain
+      s"""$KmeansTrain2Body,
+         |mem AS (SELECT bucket, CAST(min(n) AS BIGINT) AS n_members FROM ag GROUP BY bucket)
+         |SELECT n.cid2 AS bucket, m.n_members,
+         |  list_max(list_transform(range(1, len(n.cemb2) + 1),
+         |    i -> abs(n.cemb2[i] - CAST(c.cemb[i] AS DOUBLE)))) AS max_shift
+         |FROM nc n JOIN cent c ON n.cid2 = c.cid JOIN mem m ON n.cid2 = m.bucket""".stripMargin,
     "semantic_neardup" ->
       // embedding_neardup's pair pattern over the TRAINED round-2 buckets
       s"""$KmeansTrain2Body,

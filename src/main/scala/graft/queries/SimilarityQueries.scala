@@ -252,6 +252,32 @@ object SimilarityQueries {
     kmeansTrain(spark, dir, rounds)
       .select(col("vec_id"), col("bucket"), col("cos"))
 
+  /** Convergence signal for [[kmeansTrain]]: per bucket, the Chebyshev
+    * (max-coordinate) distance between the seed centroid and its
+    * round-1 Lloyd's update — the number a training loop thresholds to
+    * decide "converged, stop". Chebyshev rather than L2 because MAX is
+    * aggregation-order-independent (an L2 sum of squared diffs would
+    * flake on double summation order across engines); each |Δ| is one
+    * deterministic subtraction of exact inputs.
+    *
+    * Scale: [[kmeansStep]]'s one compact shuffle plus a ≤k-row
+    * broadcast-able join against the seed centroids and a k-group max. */
+  def kmeansShift(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val seed = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cemb"))
+    kmeansStep(spark, dir)
+      .join(broadcast(seed), col("bucket") === col("cid"))
+      .withColumn("seed_v", element_at(col("cemb"), col("pos").cast("int")))
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("n_members")).as("n_members"),
+        max(abs(col("centroid") - col("seed_v"))).as("max_shift"))
+  }
+
   /** Two-round k-means (assign → update → re-assign) — the
     * oracle-checked pin of [[kmeansTrain]]: DuckDB restates both rounds
     * and the exact centroid update as CTEs and must agree bit-for-bit

@@ -368,6 +368,23 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("kmeans_shift: one row per non-empty bucket, memberships total, shifts sane") {
+    val dir = "/root/testdata/sf0.001"
+    val shifts = graft.queries.SimilarityQueries.kmeansShift(spark, dir).collect()
+    val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
+    val buckets = step.map(_.getAs[Long]("bucket")).distinct
+    assert(shifts.map(_.getAs[Long]("bucket")).sorted.toSeq == buckets.sorted.toSeq)
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(shifts.map(_.getAs[Long]("n_members")).sum == n)
+    // a seed centroid that is its bucket's only member barely moves
+    // (only quantization); every shift is finite and non-negative
+    shifts.foreach { r =>
+      val s = r.getAs[Double]("max_shift")
+      assert(s >= 0.0 && !s.isNaN && !s.isInfinite)
+      if (r.getAs[Long]("n_members") == 1L) assert(s < 1e-6)
+    }
+  }
+
   test("semantic_neardup: pairs live inside one trained bucket, threshold respected") {
     val dir = "/root/testdata/sf0.001"
     val pairs = graft.queries.SimilarityQueries.semanticNearDup(spark, dir).collect()
