@@ -100,6 +100,7 @@ object SparkEntry {
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "time_split" -> (AnalyticsQueries.timeSplit _),
     "token_rarity" -> (TextQueries.tokenRarity _),
+    "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
     "event_transitions" -> (AnalyticsQueries.eventTransitions _),
@@ -811,6 +812,27 @@ object SparkEntry {
         |SELECT split, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users, o.n_overlap_users
         |FROM t, o GROUP BY split, o.n_overlap_users""".stripMargin,
+    "quality_threshold_sweep" ->
+      // i/10.0 is the identical IEEE double on both engines; the quality
+      // CTE copies the quality_score oracle verbatim
+      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
+         |q0 AS (SELECT doc_id,
+         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS text_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
+         |  CAST(len(tokens) AS BIGINT) AS n_tok_l
+         |FROM t),
+         |q AS (SELECT n_tok_l AS n_tok,
+         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
+         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
+         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
+         |FROM q0),
+         |th AS (SELECT unnest(range(0, 10)) AS i)
+         |SELECT CAST(th.i AS DOUBLE) / 10.0 AS threshold,
+         |  CAST(sum(CASE WHEN q.quality >= CAST(th.i AS DOUBLE) / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q.quality >= CAST(th.i AS DOUBLE) / 10.0 THEN q.n_tok ELSE 0 END) AS BIGINT) AS n_tokens
+         |FROM q, th GROUP BY th.i""".stripMargin,
     "token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
          |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),

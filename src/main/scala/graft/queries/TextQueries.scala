@@ -112,6 +112,40 @@ object TextQueries {
         qualityCol(col("text"), col("tokens")).as("quality")
       )
 
+  /** Quality-filter calibration curve: for each candidate threshold
+    * 0.0, 0.1, …, 0.9, how many documents and tokens survive
+    * `quality >= t` — the sweep a curation run reads before picking its
+    * cutoff (every threshold's yield in one query, instead of ten
+    * trial filters).
+    *
+    * Scale (100 TB): ONE corpus scan and ZERO pre-aggregation fan-out —
+    * all ten thresholds are conditional aggregates of the same pass,
+    * folded to a single row, then exploded to (threshold, n_docs,
+    * n_tokens) rows driver-side-free. Thresholds are i/10.0 doubles
+    * computed identically on both engines. */
+  def qualityThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(
+        size(col("tokens")).cast("long").as("n_tok"),
+        qualityCol(col("text"), col("tokens")).as("quality"))
+    val aggs = (0 to 9).flatMap { i =>
+      val t = i.toDouble / 10.0
+      Seq(
+        sum(when(col("quality") >= t, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(col("quality") >= t, col("n_tok")).otherwise(0L)).as(s"t$i"))
+    }
+    val rows = (0 to 9).map { i =>
+      struct(
+        lit(i.toDouble / 10.0).as("threshold"),
+        col(s"d$i").as("n_docs"),
+        col(s"t$i").as("n_tokens"))
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold"), col("r.n_docs"), col("r.n_tokens"))
+  }
+
   /** Token-rarity profile — the corpus-frequency quality signal (the
     * "word frequency filter" of C4-style cleaning): per document, the
     * mean and minimum corpus frequency of its token occurrences and the

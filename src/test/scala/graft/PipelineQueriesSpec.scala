@@ -41,6 +41,21 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(byName("eval").getAs[Long]("n_users") == eval.size.toLong)
   }
 
+  test("quality_threshold_sweep: monotone yields, t=0 covers the corpus") {
+    val rows = TextQueries.qualityThresholdSweep(spark, dir).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 10)
+    // quality components are all non-negative, so t=0 keeps everything
+    assert(rows.head.getAs[Long]("n_docs") ==
+      Tables.documents(spark, dir).count())
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_docs") >= hi.getAs[Long]("n_docs"))
+        assert(lo.getAs[Long]("n_tokens") >= hi.getAs[Long]("n_tokens"))
+      case _ => ()
+    }
+  }
+
   test("token_rarity: frequencies reconcile with a driver-side vocabulary") {
     val out = TextQueries.tokenRarity(spark, dir).collect()
     val docToks = Tables.documents(spark, dir)

@@ -385,6 +385,16 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("kmeansTrain generalizes past two rounds (assignment stays total)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.kmeansTrainAssign(spark, dir, rounds = 3)
+      .collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(out.length == n)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    assert(out.forall(r => !r.getAs[Double]("cos").isNaN))
+  }
+
   test("semantic_neardup: pairs live inside one trained bucket, threshold respected") {
     val dir = "/root/testdata/sf0.001"
     val pairs = graft.queries.SimilarityQueries.semanticNearDup(spark, dir).collect()
