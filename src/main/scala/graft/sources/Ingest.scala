@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** File-based corpus ingestion: schema-pinned JSONL / CSV readers with a
+  * corrupt-record dead letter — the batch ingest edge an LLM-data
+  * pipeline runs before anything in `queries/` touches the corpus
+  * (real corpora arrive as `.jsonl` / `.jsonl.gz` / `.csv.gz` dumps,
+  * not parquet).
+  *
+  * Contract, mirroring the streaming sinks' validation split
+  * (`sink/Sinks.scala`): every input line lands in exactly ONE of the
+  * two returned frames — `good` (parsed, schema-typed; includes rows a
+  * drifting producer retyped mid-corpus ONLY in the dead letter, never
+  * silently nulled) or `bad` (the raw offending line, for quarantine/
+  * repair) — so a malformed record can neither kill the job (FAILFAST)
+  * nor vanish (DROPMALFORMED). Schema is REQUIRED, never inferred:
+  * inference costs an extra full pass at 100 TB.
+  *
+  * Design note: this deliberately reads via `spark.read.text` + a
+  * `from_json`/`from_csv` parse EXPRESSION with its own in-struct
+  * corrupt-record field, not the DataFrameReader's PERMISSIVE mode.
+  * The reader-level corrupt column cannot be split into two frames
+  * without caching the whole scan (Spark disallows queries that
+  * reference only the corrupt column of a raw file scan —
+  * UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — and caching
+  * is not a 100 TB option); the expression form has no such
+  * restriction, parses each line exactly once per branch, and keeps
+  * both branches narrow maps over a splittable text scan. Gzip is
+  * transparent and parallelizes at file granularity — shard corpora
+  * into many `.gz` members (the standard layout) and the scan scales
+  * out.
+  */
+object Ingest {
+
+  /** In-struct field the parse expression routes the raw line of any
+    * malformed or type-drifted record into. */
+  private val Corrupt = "_corrupt_record"
+
+  private val ParseOpts =
+    Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+
+  private def split(spark: SparkSession, path: String, schema: StructType,
+                    parse: (Column, StructType) => Column)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add(Corrupt, StringType)
+    val parsed = spark.read.textFile(path).toDF("raw_line")
+      .select(col("raw_line"), parse(col("raw_line"), withCorrupt).as("p"))
+    val good = parsed.filter(col(s"p.$Corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"p.$f")).toIndexedSeq: _*)
+    val bad = parsed.filter(col(s"p.$Corrupt").isNotNull).select(col("raw_line"))
+    (good, bad)
+  }
+
+  /** JSONL (one JSON object per line, `.gz` transparent). Returns
+    * (good, dead-letter). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) =
+    split(spark, path, schema, (c, s) => from_json(c, s, ParseOpts))
+
+  /** Headerless CSV with the given schema (`.gz` transparent). Returns
+    * (good, dead-letter). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) =
+    split(spark, path, schema, (c, s) => from_csv(c, s, ParseOpts))
+}
