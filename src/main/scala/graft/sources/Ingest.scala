@@ -42,11 +42,11 @@ object Ingest {
   private val ParseOpts =
     Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
 
-  private def split(spark: SparkSession, path: String, schema: StructType,
+  private def split(raw: DataFrame, schema: StructType,
                     parse: (Column, StructType) => Column)
       : (DataFrame, DataFrame) = {
     val withCorrupt = schema.add(Corrupt, StringType)
-    val parsed = spark.read.textFile(path).toDF("raw_line")
+    val parsed = raw
       .select(col("raw_line"), parse(col("raw_line"), withCorrupt).as("p"))
     val good = parsed.filter(col(s"p.$Corrupt").isNull)
       .select(schema.fieldNames.map(f => col(s"p.$f")).toIndexedSeq: _*)
@@ -54,15 +54,29 @@ object Ingest {
     (good, bad)
   }
 
+  private def batchText(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("raw_line")
+
   /** JSONL (one JSON object per line, `.gz` transparent). Returns
     * (good, dead-letter). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType)
       : (DataFrame, DataFrame) =
-    split(spark, path, schema, (c, s) => from_json(c, s, ParseOpts))
+    split(batchText(spark, path), schema, (c, s) => from_json(c, s, ParseOpts))
 
   /** Headerless CSV with the given schema (`.gz` transparent). Returns
     * (good, dead-letter). */
   def readCsv(spark: SparkSession, path: String, schema: StructType)
       : (DataFrame, DataFrame) =
-    split(spark, path, schema, (c, s) => from_csv(c, s, ParseOpts))
+    split(batchText(spark, path), schema, (c, s) => from_csv(c, s, ParseOpts))
+
+  /** Streaming twin of [[readJsonl]]: watch a directory for landed JSONL
+    * shards (the continuous-crawl ingest shape — producers drop
+    * `.jsonl(.gz)` files, the pipeline picks each up exactly once via
+    * the file source's checkpointed log). Same split contract; each
+    * returned frame starts its own streaming query (good → the corpus
+    * sink, bad → the quarantine sink). */
+  def streamJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) =
+    split(spark.readStream.text(path).withColumnRenamed("value", "raw_line"),
+      schema, (c, s) => from_json(c, s, ParseOpts))
 }

@@ -55,6 +55,28 @@ class IngestSpec extends SparkSuite {
     assert(bad.count() == 1L)
   }
 
+  test("streaming jsonl: landed shards split into corpus and quarantine sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    writeLines(s"$dir/landed-0.jsonl", Seq(
+      """{"doc_id": 1, "text": "streamed", "lang": "en"}""",
+      """half a json {""",
+      """{"doc_id": 2, "text": "more", "lang": "fr"}"""
+    ), gzip = false)
+    val (good, bad) = Ingest.streamJsonl(spark, dir, docSchema)
+    assert(good.isStreaming && bad.isStreaming)
+    def drain(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(good, "ingest_good")
+    drain(bad, "ingest_bad")
+    val g = spark.table("ingest_good").collect()
+    assert(g.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    val b = spark.table("ingest_bad").collect().map(_.getAs[String]("raw_line"))
+    assert(b.toSeq == Seq("half a json {"))
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
