@@ -244,6 +244,30 @@ object SparkEntry {
   private def inList(lang: String): String =
     TextFunctions.Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The composite-quality CTE chain — ONE restatement of
+    * TextFunctions-side `qualityCol` shared by every oracle that rates
+    * documents (`quality_score`, `token_budget_select`,
+    * `quality_threshold_sweep`, `corpus_profile`), so the formula the
+    * cross-engine bit-exactness contract hangs on lives in exactly one
+    * place per engine. Terminal CTE is
+    * `qq(doc_id, lang, source, fp, text_len, n_tok, quality)`. */
+  private lazy val QualityBody: String =
+    s"""qt AS (SELECT doc_id, lang, source, text, $WordToksSql AS tokens FROM documents),
+       |q0 AS (SELECT doc_id, lang, source,
+       |  CAST(len(tokens) AS DOUBLE) AS n_tok,
+       |  CAST(length(text) AS DOUBLE) AS text_len,
+       |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
+       |  CAST(len(tokens) AS BIGINT) AS n_tok_l,
+       |  CAST(length(text) AS BIGINT) AS text_len_l,
+       |  md5($NormSql) AS fp
+       |FROM qt),
+       |qq AS (SELECT doc_id, lang, source, fp, text_len_l AS text_len, n_tok_l AS n_tok,
+       |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
+       |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
+       |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
+       |FROM q0)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -345,18 +369,8 @@ object SparkEntry {
          |       ELSE 'und' END AS lang_pred
          |FROM s""".stripMargin,
     "quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
-         |q AS (SELECT doc_id,
-         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
-         |  CAST(length(text) AS DOUBLE) AS text_len,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits
-         |FROM t)
-         |SELECT doc_id,
-         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
-         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
-         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
-         |FROM q""".stripMargin,
+      s"""WITH $QualityBody
+         |SELECT doc_id, quality FROM qq""".stripMargin,
     "fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents)
          |SELECT doc_id, md5($NormSql) AS content_fp,
@@ -813,26 +827,21 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users, o.n_overlap_users
         |FROM t, o GROUP BY split, o.n_overlap_users""".stripMargin,
     "quality_threshold_sweep" ->
-      // i/10.0 is the identical IEEE double on both engines; the quality
-      // CTE copies the quality_score oracle verbatim
-      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
-         |q0 AS (SELECT doc_id,
-         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
-         |  CAST(length(text) AS DOUBLE) AS text_len,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
-         |  CAST(len(tokens) AS BIGINT) AS n_tok_l
-         |FROM t),
-         |q AS (SELECT n_tok_l AS n_tok,
-         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
-         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
-         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
-         |FROM q0),
+      // i/10.0 is the identical IEEE double on both engines. The
+      // correlated form (not a cross-join GROUP BY) yields ten zero
+      // rows on an empty corpus, matching the Spark side's coalesced
+      // one-row aggregate; the qf filter pins "unratable (empty/
+      // zero-token) docs are in no bucket" — without it a 0/0-NaN
+      // quality sorts differently per engine.
+      s"""WITH $QualityBody,
+         |qf AS (SELECT n_tok, quality FROM qq WHERE text_len > 0 AND n_tok > 0),
          |th AS (SELECT unnest(range(0, 10)) AS i)
          |SELECT CAST(th.i AS DOUBLE) / 10.0 AS threshold,
-         |  CAST(sum(CASE WHEN q.quality >= CAST(th.i AS DOUBLE) / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN q.quality >= CAST(th.i AS DOUBLE) / 10.0 THEN q.n_tok ELSE 0 END) AS BIGINT) AS n_tokens
-         |FROM q, th GROUP BY th.i""".stripMargin,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM qf
+         |     WHERE quality >= CAST(th.i AS DOUBLE) / 10.0) AS n_docs,
+         |  (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM qf
+         |     WHERE quality >= CAST(th.i AS DOUBLE) / 10.0) AS n_tokens
+         |FROM th""".stripMargin,
     "token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
          |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
@@ -987,27 +996,15 @@ object SparkEntry {
       // fixed-point quality mean (floor(q*1e6) long sums) + dedup_exact's
       // fingerprint window + one rollup — every mean is a single IEEE
       // division over order-independent integer sums
-      s"""WITH t AS (SELECT doc_id, lang, source, text, $WordToksSql AS tokens FROM documents),
-         |q0 AS (SELECT doc_id, lang, source,
-         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
-         |  CAST(length(text) AS DOUBLE) AS text_len,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
-         |  CAST(len(tokens) AS BIGINT) AS n_tok_l,
-         |  md5($NormSql) AS fp
-         |FROM t),
-         |q AS (SELECT doc_id, lang, source, n_tok_l AS n_tok, fp,
-         |  CAST(floor((
-         |    least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
-         |    (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
-         |    least(CAST(0.3 AS DOUBLE), stop_hits / n_tok)) * 1000000.0) AS BIGINT) AS qq
-         |FROM q0),
+      s"""WITH $QualityBody,
+         |cp AS (SELECT doc_id, lang, source, n_tok, fp,
+         |  CAST(floor(quality * 1000000.0) AS BIGINT) AS qfix FROM qq),
          |d AS (SELECT *, CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
-         |                     THEN 1 ELSE 0 END AS is_dup FROM q)
+         |                     THEN 1 ELSE 0 END AS is_dup FROM cp)
          |SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
-         |  CAST(sum(qq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality,
+         |  CAST(sum(qfix) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality,
          |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
          |  CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
          |FROM d GROUP BY lang, source""".stripMargin,
@@ -1021,26 +1018,13 @@ object SparkEntry {
       // greedy prefix under a token budget, stated as the naive global
       // running sum (the semantic definition); the Spark side executes
       // the banded distributed-cumsum rewrite, whose output is invariant
-      // to where the band cutpoints fall. Quality CTE copies the
-      // quality_score oracle verbatim (same IEEE operation order).
-      s"""WITH t AS (SELECT doc_id, text, $WordToksSql AS tokens FROM documents),
-         |q0 AS (SELECT doc_id,
-         |  CAST(len(tokens) AS DOUBLE) AS n_tok,
-         |  CAST(length(text) AS DOUBLE) AS text_len,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |  CAST(len(list_filter(tokens, x -> x IN ${inList("en")})) AS DOUBLE) AS stop_hits,
-         |  CAST(len(tokens) AS BIGINT) AS n_tok_l
-         |FROM t),
-         |q AS (SELECT doc_id, n_tok_l AS n_tok,
-         |  least(CAST(1.0 AS DOUBLE), n_tok / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) +
-         |  (n_alpha / text_len) * CAST(0.4 AS DOUBLE) +
-         |  least(CAST(0.3 AS DOUBLE), stop_hits / n_tok) AS quality
-         |FROM q0),
-         |b AS (SELECT CAST(floor(CAST(sum(n_tok) AS DOUBLE) * 0.4) AS BIGINT) AS budget FROM q),
+      // to where the band cutpoints fall
+      s"""WITH $QualityBody,
+         |b AS (SELECT CAST(floor(CAST(sum(n_tok) AS DOUBLE) * 0.4) AS BIGINT) AS budget FROM qq),
          |c AS (SELECT doc_id, quality, n_tok,
          |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |  FROM q)
+         |  FROM qq)
          |SELECT doc_id, quality, n_tok, cum_tokens FROM c, b
          |WHERE cum_tokens <= budget""".stripMargin,
     "session_agg" ->

@@ -194,16 +194,24 @@ object SimilarityQueries {
     * construction; every cosine is the same index-order double fold both
     * sides; argmax ties break on centroid id. Empty buckets drop out of
     * the update (k can only shrink), matching the SQL restatement. */
-  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"kmeansTrain needs at least one round, got $rounds")
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val seed = e
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+  /** The k seed centroids (smallest md5(vec_id) — the same
+    * deterministic pseudo-random sample as [[ivfAssign]]) as
+    * exact-double arrays with norms. ONE definition shared by
+    * [[kmeansTrain]] and [[kmeansShift]], so the convergence signal
+    * always measures movement against the same seeds training used.
+    * `e` must be a [[withNorm]] frame. */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(IvfK)
       .select(
         col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("cemb"),
         col("nrm").as("cnrm"))
+
+  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"kmeansTrain needs at least one round, got $rounds")
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val seed = seedCentroids(e)
 
     // centroid frame (cid, cemb: array<double>, cnrm) → per-vector top-1
     // bucket via the one-row-broadcast in-row argmax
@@ -263,12 +271,8 @@ object SimilarityQueries {
     * Scale: [[kmeansStep]]'s one compact shuffle plus a ≤k-row
     * broadcast-able join against the seed centroids and a k-group max. */
   def kmeansShift(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val seed = e
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(IvfK)
-      .select(col("vec_id").as("cid"),
-        transform(col("embedding"), x => x.cast("double")).as("cemb"))
+    val seed = seedCentroids(withNorm(Tables.embeddings(spark, dir)))
+      .select(col("cid"), col("cemb"))
     kmeansStep(spark, dir)
       .join(broadcast(seed), col("bucket") === col("cid"))
       .withColumn("seed_v", element_at(col("cemb"), col("pos").cast("int")))

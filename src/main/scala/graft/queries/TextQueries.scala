@@ -90,7 +90,15 @@ object TextQueries {
     * single definition [[qualityScore]] and
     * [[CurationQueries.tokenBudgetSelect]] share, so every consumer ranks
     * documents by the identical IEEE arithmetic (same operation order as
-    * the oracle SQL). */
+    * the oracle SQL).
+    *
+    * INVARIANT: documents have ≥1 char and ≥1 token (the fixtures
+    * guarantee it). An empty/zero-token doc makes this a 0/0 NaN, and
+    * NaN ORDERS DIFFERENTLY per engine (Spark comparisons with NaN are
+    * false; DuckDB sorts NaN above everything) — a consumer comparing
+    * quality against thresholds over a corpus that may contain empty
+    * docs must pre-filter them explicitly, as
+    * [[qualityThresholdSweep]] does. */
   private[queries] def qualityCol(text: Column, tokens: Column): Column = {
     val nTok = size(tokens).cast("double")
     val textLen = length(text).cast("double")
@@ -122,18 +130,27 @@ object TextQueries {
     * all ten thresholds are conditional aggregates of the same pass,
     * folded to a single row, then exploded to (threshold, n_docs,
     * n_tokens) rows driver-side-free. Thresholds are i/10.0 doubles
-    * computed identically on both engines. */
+    * computed identically on both engines.
+    *
+    * Empty/zero-token documents are excluded EXPLICITLY: their quality
+    * is a 0/0 NaN, and the engines order NaN differently (Spark
+    * comparisons with NaN are false, DuckDB sorts NaN above all) — the
+    * filter makes "unratable docs are in no bucket" the pinned
+    * cross-engine semantics. The sums are coalesced so an empty corpus
+    * yields ten zero rows, matching the oracle's correlated form. */
   def qualityThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("tokens", wordTokens(col("text")))
       .select(
+        length(col("text")).cast("long").as("text_len"),
         size(col("tokens")).cast("long").as("n_tok"),
         qualityCol(col("text"), col("tokens")).as("quality"))
+      .filter(col("text_len") > 0 && col("n_tok") > 0)
     val aggs = (0 to 9).flatMap { i =>
       val t = i.toDouble / 10.0
       Seq(
-        sum(when(col("quality") >= t, 1L).otherwise(0L)).as(s"d$i"),
-        sum(when(col("quality") >= t, col("n_tok")).otherwise(0L)).as(s"t$i"))
+        coalesce(sum(when(col("quality") >= t, 1L).otherwise(0L)), lit(0L)).as(s"d$i"),
+        coalesce(sum(when(col("quality") >= t, col("n_tok")).otherwise(0L)), lit(0L)).as(s"t$i"))
     }
     val rows = (0 to 9).map { i =>
       struct(

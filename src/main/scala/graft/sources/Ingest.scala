@@ -48,9 +48,17 @@ object Ingest {
     val withCorrupt = schema.add(Corrupt, StringType)
     val parsed = raw
       .select(col("raw_line"), parse(col("raw_line"), withCorrupt).as("p"))
-    val good = parsed.filter(col(s"p.$Corrupt").isNull)
-      .select(schema.fieldNames.map(f => col(s"p.$f")).toIndexedSeq: _*)
-    val bad = parsed.filter(col(s"p.$Corrupt").isNotNull).select(col("raw_line"))
+    // blank / whitespace-only lines parse to a NULL struct with NO
+    // corrupt record set (verified against Spark 4.1.2) — without the
+    // isNotNull guard they'd land in `good` as phantom all-null rows,
+    // violating the never-silently-nulled contract
+    val corrupt = col("p").getField(Corrupt)
+    val good = parsed.filter(col("p").isNotNull && corrupt.isNull)
+      // getField, not col("p.name"): a schema field containing dots
+      // must resolve as a literal name, not a nested path
+      .select(schema.fieldNames.map(f => col("p").getField(f).as(f)).toIndexedSeq: _*)
+    val bad = parsed.filter(col("p").isNull || corrupt.isNotNull)
+      .select(col("raw_line"))
     (good, bad)
   }
 
@@ -64,7 +72,14 @@ object Ingest {
     split(batchText(spark, path), schema, (c, s) => from_json(c, s, ParseOpts))
 
   /** Headerless CSV with the given schema (`.gz` transparent). Returns
-    * (good, dead-letter). */
+    * (good, dead-letter).
+    *
+    * RESTRICTION: records must not contain quoted embedded newlines —
+    * the line-based text scan would fragment such an RFC-4180 record
+    * into two malformed lines and dead-letter both halves. Corpora with
+    * multi-line fields need the DataFrameReader's `multiLine` CSV mode
+    * (which gives up both input splitting and this dead-letter split)
+    * or, better, JSONL. */
   def readCsv(spark: SparkSession, path: String, schema: StructType)
       : (DataFrame, DataFrame) =
     split(batchText(spark, path), schema, (c, s) => from_csv(c, s, ParseOpts))

@@ -30,18 +30,21 @@ class IngestSpec extends SparkSuite {
       """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
       """{"doc_id": 2, "text": "hola", "lang": "es"}""",
       """{"doc_id": broken not json""",
-      """{"doc_id": "not-a-number", "text": "x", "lang": "en"}"""
+      """{"doc_id": "not-a-number", "text": "x", "lang": "en"}""",
+      "", // blank separator line: must quarantine, not become an all-null doc
+      "   "
     ), gzip = false)
     val (good, bad) = Ingest.readJsonl(spark, dir, docSchema)
     val g = good.collect()
     assert(g.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
     assert(g.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text") == "hello world")
     val b = bad.collect().map(_.getAs[String]("raw_line"))
-    assert(b.length == 2)
+    assert(b.length == 4)
     assert(b.exists(_.contains("broken not json")))
     assert(b.exists(_.contains("not-a-number"))) // type drift is quarantined, not nulled
+    assert(b.contains("") && b.contains("   ")) // phantom null rows never reach good
     // conservation: every input line is in exactly one frame
-    assert(g.length + b.length == 4)
+    assert(g.length + b.length == 6)
   }
 
   test("gzipped jsonl reads transparently (the standard corpus dump layout)") {
