@@ -80,6 +80,45 @@ class IngestSpec extends SparkSuite {
     assert(b.toSeq == Seq("half a json {"))
   }
 
+  test("corpus ingest end-to-end: landed shards dedup against the standing corpus across restarts") {
+    import graft.streaming.CorpusIngest
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val watch = s"$base/landing"; val corpus = s"$base/corpus"
+    val quarantine = s"$base/quarantine"; val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+
+    def runOnce(): Unit = {
+      val (gq, bq) = CorpusIngest.start(spark, watch, docSchema, corpus,
+        quarantine, ckpt, availableNow = true)
+      gq.awaitTermination(); bq.awaitTermination()
+    }
+
+    // shard 1: two docs, one internal duplicate pair (doc 3 dups doc 1
+    // modulo normalization) and a malformed line
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quick brown fox", "lang": "en"}""",
+      """{"doc_id": 2, "text": "something else", "lang": "en"}""",
+      """{"doc_id": 3, "text": "The  QUICK brown fox", "lang": "en"}""",
+      """corrupt {{{"""
+    ), gzip = false)
+    runOnce()
+    val after1 = spark.read.parquet(corpus).collect()
+    assert(after1.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L),
+      "batch-local keeper election must drop doc 3 (dup of 1)")
+    assert(spark.read.parquet(quarantine).count() == 1L)
+
+    // shard 2 lands later: one dup of the STANDING corpus, one new doc;
+    // the restarted query must only process the new file (checkpoint)
+    writeLines(s"$watch/shard-2.jsonl", Seq(
+      """{"doc_id": 10, "text": "the quick BROWN fox", "lang": "en"}""",
+      """{"doc_id": 11, "text": "genuinely new content", "lang": "en"}"""
+    ), gzip = false)
+    runOnce()
+    val after2 = spark.read.parquet(corpus).collect()
+    assert(after2.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 11L),
+      "standing-corpus anti-join must drop doc 10, keep doc 11")
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
