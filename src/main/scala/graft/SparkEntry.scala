@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_clusters" -> (CurationQueries.dedupClusters _),
     "tfidf_top" -> (CurationQueries.tfidfTop _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
+    "mix_sample" -> (CurationQueries.mixSample _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
@@ -881,6 +882,23 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk FROM s)
          |SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "mix_sample" ->
+      // rate = min(1, (total/n_sources)/src_tok), all three IEEE ops in
+      // the same order as the Spark side; u = h/2^32 is exact
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($WordToksSql) AS BIGINT) AS n_tok,
+         |    CAST(${hash32Sql("source || ':' || text")} AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM d GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok,
+         |             CAST(count(*) AS BIGINT) AS n_src FROM s),
+         |r AS (SELECT source,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      (CAST(total_tok AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(src_tok AS DOUBLE)) AS rate
+         |  FROM s, t)
+         |SELECT d.doc_id, d.source, d.n_tok, r.rate
+         |FROM d JOIN r ON d.source = r.source
+         |WHERE d.u < r.rate""".stripMargin,
     "sample_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    ${hash32Sql("lang || ':' || text")} % 100 AS bucket FROM documents)

@@ -371,6 +371,43 @@ object CurationQueries {
           .as("dup_rate"))
   }
 
+  /** Deterministic mixture sampling — the data-mixing pass: down-sample
+    * every over-represented source toward a UNIFORM per-source token
+    * share. Each source's keep rate is
+    * min(1, (total_tokens / n_sources) / source_tokens); a document
+    * survives when its seedless md5-derived uniform in [0,1) falls
+    * below its source's rate — the same portable hash rule as
+    * [[sampleStratified]], so reruns and engines agree exactly (h/2³²
+    * is an exact power-of-two division; the rate arithmetic is the
+    * same three IEEE operations both sides).
+    *
+    * Scale (100 TB): per-source token sums are one compact-key
+    * aggregation; rates are a |sources|-row frame broadcast back; the
+    * keep decision is a narrow map. Under-represented sources pass
+    * through whole (rate clamps at 1) — true up-weighting is the
+    * trainer's epoch arithmetic, not a data-duplication job. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        size(wordTokens(col("text"))).cast("long").as("n_tok"),
+        (md5Hash32(concat(col("source"), lit(":"), col("text"))).cast("double") /
+          lit(4294967296.0)).as("u"))
+    val bySource = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    val totals = bySource.agg(
+      sum(col("src_tok")).as("total_tok"),
+      count(lit(1)).as("n_src"))
+    val rates = bySource.crossJoin(broadcast(totals)) // 1-row build side: free
+      .select(
+        col("source").as("rsource"),
+        least(lit(1.0),
+          (col("total_tok").cast("double") / col("n_src").cast("double")) /
+            col("src_tok").cast("double")).as("rate"))
+    docs.join(broadcast(rates), col("source") === col("rsource"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("rate"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * ranked by a deterministic quality proxy (longest text first, doc_id
     * tie-break) — the standard domain-cap pass that stops one crawl

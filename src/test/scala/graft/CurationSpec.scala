@@ -170,6 +170,35 @@ class CurationSpec extends SparkSuite {
     assert(got.forall(_.getAs[Long]("cum_tokens") <= budget))
   }
 
+  test("mix_sample: over-represented sources down-sample, small sources pass whole") {
+    // skewed synthetic corpus: "big" holds ~9x the token mass of "tiny"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val docs = (1L to 90L).map(i =>
+      (i, s"alpha beta gamma delta epsilon token$i filler words here now", "en", "big", 50L)) ++
+      (91L to 100L).map(i => (i, s"short doc $i", "en", "tiny", 12L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = CurationQueries.mixSample(spark, tmp).collect()
+    val bySource = kept.groupBy(_.getAs[String]("source"))
+    // tiny is under-represented: rate clamps at 1, every doc survives
+    assert(bySource("tiny").length == 10)
+    assert(bySource("tiny").forall(_.getAs[Double]("rate") == 1.0))
+    // big is over-represented: rate < 1 and the sample is a strict subset
+    val bigKept = bySource.getOrElse("big", Array.empty)
+    assert(bigKept.length < 90 && bigKept.nonEmpty)
+    val bigRate = bigKept.head.getAs[Double]("rate")
+    assert(bigRate > 0.0 && bigRate < 1.0)
+    // the rate is exactly the uniform-share formula
+    val bigTok = 90L * 10L // 10 tokens per big doc
+    val tinyTok = 10L * 3L // "short doc N" = 3 word tokens
+    val expected = math.min(1.0, ((bigTok + tinyTok).toDouble / 2.0) / bigTok.toDouble)
+    assert(bigRate == expected, s"rate $bigRate != $expected")
+    // determinism: the same corpus yields the identical sample
+    val again = CurationQueries.mixSample(spark, tmp).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again == kept.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
   test("corpus_profile reconciles with its member queries") {
     val prof = CurationQueries.corpusProfile(spark, dir).collect()
     val nDocs = graft.sources.Tables.documents(spark, dir).count()
