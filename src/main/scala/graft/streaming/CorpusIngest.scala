@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.normText
+import graft.functions.TextFunctions.contentFingerprint
 import graft.sources.Ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,13 +32,30 @@ import org.apache.spark.sql.types.StructType
   */
 object CorpusIngest {
 
-  /** One micro-batch: batch-local keeper election, then the standing
-    * anti-join, then append. Exposed for direct batch testing. */
+  /** One micro-batch: structural completeness gate, batch-local keeper
+    * election, the standing anti-join, then append. Exposed for direct
+    * batch testing.
+    *
+    * A line can be valid JSON yet structurally incomplete — doc_id or
+    * text absent → null after the schema-pinned parse. Such rows can
+    * neither be deduped (a null fp collapses unrelated docs inside a
+    * batch AND never matches the standing anti-join across batches)
+    * nor elected (null === null keeper comparisons filter to nothing,
+    * silently dropping the row), so they are QUARANTINED to
+    * `incompleteDir`, preserving the every-line-lands-somewhere
+    * contract. The fp key is [[contentFingerprint]] — the same rule as
+    * the batch `incremental_dedup`/`dedup_exact` queries, so streaming
+    * and batch agree on what counts as a duplicate. */
   private[streaming] def appendDeduped(
-      spark: SparkSession, batch: DataFrame, corpusDir: String): Unit = {
+      spark: SparkSession, batch: DataFrame,
+      corpusDir: String, incompleteDir: String): Unit = {
+    val complete = col("doc_id").isNotNull && col("text").isNotNull
+    val incomplete = batch.filter(!complete)
+    if (!incomplete.isEmpty)
+      incomplete.write.mode("append").parquet(incompleteDir)
     val byFp = Window.partitionBy(col("fp"))
-    val local = batch
-      .withColumn("fp", md5(normText(col("text"))))
+    val local = batch.filter(complete)
+      .withColumn("fp", contentFingerprint(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
@@ -62,7 +79,9 @@ object CorpusIngest {
   }
 
   /** Start both halves: the deduped corpus appender and the quarantine
-    * writer. Returns (corpus query, quarantine query) — await both. */
+    * writer. Quarantine layout: `malformed/` holds raw unparseable
+    * lines, `incomplete/` holds parsed-but-null-keyed rows. Returns
+    * (corpus query, quarantine query) — await both. */
   def start(
       spark: SparkSession,
       watchDir: String,
@@ -77,13 +96,13 @@ object CorpusIngest {
       val w = good.writeStream
         .option("checkpointLocation", s"$checkpointDir/corpus")
         .foreachBatch((df: DataFrame, _: Long) =>
-          appendDeduped(df.sparkSession, df, corpusDir))
+          appendDeduped(df.sparkSession, df, corpusDir, s"$quarantineDir/incomplete"))
       (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
     }
     val badQ = {
       val w = bad.writeStream
         .format("parquet")
-        .option("path", quarantineDir)
+        .option("path", s"$quarantineDir/malformed")
         .option("checkpointLocation", s"$checkpointDir/quarantine")
       (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
     }

@@ -94,18 +94,23 @@ class IngestSpec extends SparkSuite {
     }
 
     // shard 1: two docs, one internal duplicate pair (doc 3 dups doc 1
-    // modulo normalization) and a malformed line
+    // modulo normalization), a malformed line, and a structurally
+    // incomplete line (valid JSON, text absent) — the last must land in
+    // the incomplete quarantine, not vanish and not "dedup" anything
     writeLines(s"$watch/shard-1.jsonl", Seq(
       """{"doc_id": 1, "text": "the quick brown fox", "lang": "en"}""",
       """{"doc_id": 2, "text": "something else", "lang": "en"}""",
       """{"doc_id": 3, "text": "The  QUICK brown fox", "lang": "en"}""",
+      """{"doc_id": 4, "lang": "en"}""",
       """corrupt {{{"""
     ), gzip = false)
     runOnce()
     val after1 = spark.read.parquet(corpus).collect()
     assert(after1.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L),
       "batch-local keeper election must drop doc 3 (dup of 1)")
-    assert(spark.read.parquet(quarantine).count() == 1L)
+    assert(spark.read.parquet(s"$quarantine/malformed").count() == 1L)
+    val inc = spark.read.parquet(s"$quarantine/incomplete").collect()
+    assert(inc.length == 1 && inc.head.getAs[Long]("doc_id") == 4L)
 
     // shard 2 lands later: one dup of the STANDING corpus, one new doc;
     // the restarted query must only process the new file (checkpoint)
