@@ -58,6 +58,7 @@ object SparkEntry {
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
@@ -236,6 +237,32 @@ object SparkEntry {
        |  SELECT e.dst, r.anchor FROM reach r JOIN edges e ON r.doc_id = e.src
        |),
        |cl AS (SELECT doc_id, min(anchor) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
+
+  /** Winnowing-fingerprint CTE chain — the non-rolling restatement of
+    * WinnowFps's polynomial hash (per position, sum code-point ×
+    * 257^(4−j) over the 5-gram, mod 2³² — integer arithmetic both
+    * engines reproduce exactly), windowed minima, distinct-sort.
+    * Terminal CTE is `wf(doc_id, m, fps)` — shared by the
+    * `winnow_fingerprint` and `winnow_overlap` oracles (CTE names are
+    * w-prefixed to avoid colliding with LshCandBody's `w`/`m`). */
+  private lazy val WinnowBody: String =
+    s"""wd AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |wg AS (SELECT doc_id, length(norm) AS n,
+       |    CASE WHEN length(norm) < 5 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, length(norm) - 3),
+       |           p -> CAST(list_sum(list_transform(range(0, 5),
+       |             j -> ord(substr(norm, CAST(p + j AS INT), 1))
+       |                  * list_extract([CAST(4362470401 AS BIGINT), 16974593, 66049, 257, 1],
+       |                      CAST(j + 1 AS INT)))) % 4294967296 AS BIGINT)) END AS hashes
+       |  FROM wd),
+       |wm AS (SELECT doc_id, hashes, len(hashes) AS m FROM wg),
+       |ww AS (SELECT doc_id, m,
+       |    CASE WHEN m = 0 THEN hashes
+       |         WHEN m < 4 THEN [list_min(hashes)]
+       |         ELSE list_transform(range(1, m - 2),
+       |           j -> list_min(hashes[j:j+3])) END AS mins
+       |  FROM wm),
+       |wf AS (SELECT doc_id, m, list_sort(list_distinct(mins)) AS fps FROM ww)""".stripMargin
 
   /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
     * note DuckDB regexp_replace needs the 'g' flag to match Spark's
@@ -938,30 +965,24 @@ object SparkEntry {
          |           i -> abs(xd[i] - (mn + (qv[i] + 0.5) * scale)))) END AS max_err
          |FROM q""".stripMargin,
     "winnow_fingerprint" ->
-      // non-rolling restatement of WinnowFps's polynomial hash: per
-      // position, sum code-point × 257^(4-j) over the 5-gram, mod 2^32 —
-      // integer arithmetic both engines reproduce exactly
-      s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
-         |g AS (SELECT doc_id, length(norm) AS n,
-         |    CASE WHEN length(norm) < 5 THEN CAST([] AS BIGINT[])
-         |         ELSE list_transform(range(1, length(norm) - 3),
-         |           p -> CAST(list_sum(list_transform(range(0, 5),
-         |             j -> ord(substr(norm, CAST(p + j AS INT), 1))
-         |                  * list_extract([CAST(4362470401 AS BIGINT), 16974593, 66049, 257, 1],
-         |                      CAST(j + 1 AS INT)))) % 4294967296 AS BIGINT)) END AS hashes
-         |  FROM d),
-         |m AS (SELECT doc_id, hashes, len(hashes) AS m FROM g),
-         |w AS (SELECT doc_id, m,
-         |    CASE WHEN m = 0 THEN hashes
-         |         WHEN m < 4 THEN [list_min(hashes)]
-         |         ELSE list_transform(range(1, m - 2),
-         |           j -> list_min(hashes[j:j+3])) END AS mins
-         |  FROM m),
-         |f AS (SELECT doc_id, m, list_sort(list_distinct(mins)) AS fps FROM w)
+      s"""WITH $WinnowBody
          |SELECT doc_id, CAST(m AS BIGINT) AS n_kgrams,
          |  CAST(len(fps) AS BIGINT) AS n_fp,
          |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
-         |FROM f""".stripMargin,
+         |FROM wf""".stripMargin,
+    "winnow_overlap" ->
+      // copied-span detection between LSH candidate pairs: shared
+      // winnowing fingerprints guarantee any common substring of
+      // length >= k+w-1 = 8 chars contributes overlap, char-level
+      // signal shingle Jaccard dilutes
+      s"""WITH $LshCandBody,
+         |$WinnowBody
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_common,
+         |  CASE WHEN least(len(a.fps), len(b.fps)) = 0 THEN NULL
+         |       ELSE CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE)
+         |            / CAST(least(len(a.fps), len(b.fps)) AS DOUBLE) END AS overlap
+         |FROM cand c JOIN wf a ON c.doc_a = a.doc_id JOIN wf b ON c.doc_b = b.doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,
          |    ${hash32Sql("text")} % 8 AS shard,

@@ -346,6 +346,35 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }
 
+  /** MOSS-style copied-span score over LSH candidate pairs: the share
+    * of the smaller document's winnowing fingerprints the pair shares.
+    * The winnowing guarantee makes this a LOCAL-substring-copy signal —
+    * any common run of ≥ k+w−1 = 8 chars contributes a shared
+    * fingerprint — catching verbatim spans embedded in otherwise
+    * different documents, which whole-set shingle Jaccard dilutes
+    * toward zero. The sixth near-dup family (exact / MinHash / SimHash /
+    * embedding / edit-distance / copied-span).
+    *
+    * Scale: fingerprints come from the zero-shuffle native [[WinnowFps]]
+    * pass; the pair space is the LSH candidate set; per-pair cost is
+    * two doc_id equijoins + one sorted-array intersection. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(spark, dir)
+    val fps = Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFps(col("norm"), 5, 4).as("fps"))
+    cands
+      .join(fps.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("fps_a"), col("fps_b"))).cast("long"))
+      .withColumn("min_fp", least(size(col("fps_a")), size(col("fps_b"))))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        when(col("min_fp") === 0, lit(null).cast("double"))
+          .otherwise(col("n_common").cast("double") / col("min_fp").cast("double"))
+          .as("overlap"))
+  }
+
   /** Multimodal join: documents ⋈ embeddings (doc_id = vec_id) — the
     * text+vector row a training pipeline feeds downstream, with the
     * vector's norm surfaced through the native dot expression. */

@@ -409,6 +409,41 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("winnow_overlap: pair scores reconcile with per-doc fingerprints; copied span detected") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.winnowOverlap(spark, dir).collect()
+    assert(out.nonEmpty)
+    val cands = graft.queries.SimilarityQueries.minhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == cands)
+    // per-pair driver recomputation straight from the native expression
+    val fps = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFps(
+          graft.functions.TextFunctions.normText(col("text")), 5, 4).as("fps"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (fps(r.getAs[Long]("doc_a")), fps(r.getAs[Long]("doc_b")))
+      val common = (a & b).size.toLong
+      assert(r.getAs[Long]("n_common") == common)
+      assert(r.getAs[Double]("overlap") ==
+        common.toDouble / math.min(a.size, b.size).toDouble)
+    }
+    // the winnowing guarantee: a shared 8+ char run yields shared prints
+    // even when the surrounding documents differ
+    import spark.implicits._
+    val pair = Seq(
+      "completely different opening then THE COPIED SENTENCE IS RIGHT HERE and a unique tail one",
+      "another document entirely with THE COPIED SENTENCE IS RIGHT HERE plus other words"
+    ).toDF("text")
+      .select(graft.functions.GraftFunctions.winnowFps(
+        graft.functions.TextFunctions.normText(col("text")), 5, 4).as("fps"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("fps").toSet)
+    assert((pair(0) & pair(1)).nonEmpty, "verbatim span must contribute shared fingerprints")
+  }
+
   test("vec_dot accepts double arrays and mixed float/double sides exactly") {
     val d = spark.sql(
       """SELECT
