@@ -81,6 +81,7 @@ object SparkEntry {
     "stats_agg" -> (AnalyticsQueries.statsAgg _),
     "pivot_agg" -> (AnalyticsQueries.pivotAgg _),
     "dedup_clusters" -> (CurationQueries.dedupClusters _),
+    "dedup_stats" -> (CurationQueries.dedupStats _),
     "tfidf_top" -> (CurationQueries.tfidfTop _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
     "mix_sample" -> (CurationQueries.mixSample _),
@@ -757,6 +758,14 @@ object SparkEntry {
       // Spark side's iterative min-label propagation exactly
       s"""WITH RECURSIVE $ClusterBody
          |SELECT doc_id, cluster FROM cl""".stripMargin,
+    "dedup_stats" ->
+      // cluster-size histogram over the same connected components
+      s"""WITH RECURSIVE $ClusterBody,
+         |cs AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY cluster)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_droppable
+         |FROM cs GROUP BY sz""".stripMargin,
     "dedup_keep_best" ->
       // keeper per cluster: longest text, doc_id tie-break; n_docs is the
       // component size the keep decision covered

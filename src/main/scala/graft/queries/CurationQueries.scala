@@ -112,6 +112,26 @@ object CurationQueries {
         col("n_docs"), col("n_chars").as("keeper_chars"))
   }
 
+  /** Dedup run report: the cluster-SIZE histogram over the connected
+    * components — how many singletons, pairs, triples … the near-dup
+    * pass found, plus the documents covered and droppable at each size.
+    * The one-page summary a curation run logs before anyone trusts its
+    * keep/drop decisions (a sudden mass at high sizes means the LSH
+    * threshold collapsed; all-singletons means it found nothing).
+    *
+    * Scale: two keyed aggregations after [[dedupClusters]] — cluster →
+    * size (compact ids), then size → counts (≤ max-component-size
+    * groups). */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1L).as("n_droppable"))
+
   /** TF-IDF-style term weighting, top 3 terms per document. The score is
     * tf/(df+1) — a document-frequency-damped term frequency. Rational
     * arithmetic by construction (integer ÷ integer through double), so

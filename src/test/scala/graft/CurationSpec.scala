@@ -199,6 +199,19 @@ class CurationSpec extends SparkSuite {
     assert(again == kept.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("dedup_stats histogram reconciles with the cluster assignment") {
+    val hist = CurationQueries.dedupStats(spark, dir).collect()
+    val clusters = CurationQueries.dedupClusters(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == clusters.length.toLong)
+    val sizes = clusters.groupBy(_.getAs[Long]("cluster")).values.map(_.length.toLong)
+    hist.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_clusters") == sizes.count(_ == sz).toLong)
+      assert(r.getAs[Long]("n_droppable") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("corpus_profile reconciles with its member queries") {
     val prof = CurationQueries.corpusProfile(spark, dir).collect()
     val nDocs = graft.sources.Tables.documents(spark, dir).count()
