@@ -124,6 +124,69 @@ class IngestSpec extends SparkSuite {
       "standing-corpus anti-join must drop doc 10, keep doc 11")
   }
 
+  test("bucketed corpus ingest: dedups across restarts; standing anti-join side reads bucketed") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_b").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_bucketed_test", buckets = 4)
+
+    def runOnce(): Unit = {
+      val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+        quarantine, ckpt, availableNow = true)
+      gq.awaitTermination(); bq.awaitTermination()
+    }
+
+    // shard 1: all-fresh (the Bloom fast path — no standing table yet),
+    // with an internal dup pair and a same-doc_id double (the ADVICE
+    // row_number case: min(doc_id) election would keep both copies)
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quick brown fox", "lang": "en"}""",
+      """{"doc_id": 1, "text": "THE QUICK  brown fox", "lang": "en"}""",
+      """{"doc_id": 2, "text": "something else", "lang": "en"}"""
+    ), gzip = false)
+    runOnce()
+    val after1 = spark.table(corpus.table).collect()
+    assert(after1.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L),
+      "keeper election must keep exactly one row per fp even on doc_id ties")
+
+    // shard 2 lands after a RESTART (fresh BloomGate seeded from the
+    // standing table): one dup of the standing corpus — forces the
+    // Bloom-hit exact anti-join branch — and one genuinely new doc
+    writeLines(s"$watch/shard-2.jsonl", Seq(
+      """{"doc_id": 10, "text": "the quick BROWN fox", "lang": "en"}""",
+      """{"doc_id": 11, "text": "genuinely new content", "lang": "en"}"""
+    ), gzip = false)
+    runOnce()
+    // the append ran in the stream's cloned session; this session's
+    // relation cache still lists shard-1's files only (standard Spark
+    // cross-session table semantics)
+    spark.catalog.refreshTable(corpus.table)
+    val after2 = spark.table(corpus.table).collect()
+    assert(after2.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 11L),
+      "standing-corpus anti-join must drop doc 10, keep doc 11")
+
+    // THE layout point: the standing side of the per-batch anti-join
+    // comes out of the bucketed scan already partitioned on fp — the
+    // only Exchange in the plan is on the (small) incoming batch side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(after2.toIndexedSeq),
+        spark.table(corpus.table).schema)
+      val plan = CorpusIngest.freshAgainst(local, spark.table(corpus.table))
+        .queryExecution.executedPlan.treeString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      val nExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(nExchanges == 1,
+        s"expected exactly one Exchange (batch side only), got $nExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
