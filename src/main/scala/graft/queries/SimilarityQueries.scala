@@ -208,51 +208,81 @@ object SimilarityQueries {
         transform(col("embedding"), x => x.cast("double")).as("cemb"),
         col("nrm").as("cnrm"))
 
+  /** Score any frame carrying (`embedding`, `nrm`) columns against a
+    * centroid frame (cid, cemb: array<double>, cnrm): the centroids fold
+    * to ONE row, broadcast to every scan partition, and each input row
+    * ranks them with an in-row array_sort — a narrow map, no shuffle.
+    * Adds `cluster` (argmax centroid id) and `ccos` (cosine to it),
+    * keeping every input column. The assignment primitive
+    * [[kmeansTrain]]'s rounds AND the streaming ingest's semantic gate
+    * ([[graft.streaming.CorpusIngest]]) share — batch and streaming
+    * agree on cluster membership by construction. */
+  private[graft] def assignToCentroids(df: DataFrame, cents: DataFrame): DataFrame = {
+    val row = cents.agg(collect_list(struct(
+      col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    val scored = transform(col("cents"), c =>
+      struct(
+        (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
+        c("cid").as("cid")))
+    df.join(broadcast(row))
+      .withColumn("best", element_at(array_sort(scored, byCosDescCidAscCmp), 1))
+      .withColumn("cluster", col("best")("cid"))
+      .withColumn("ccos", col("best")("ccos"))
+      .drop("cents", "best")
+  }
+
+  /** [[kmeansTrain]]'s assignment round over the embeddings table:
+    * the narrow (vec_id, embedding, nrm, bucket, cos) projection. */
+  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroids(e, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cluster").as("bucket"), col("ccos").as("cos"))
+
+  /** Lloyd's update: exact fixed-point means ([[kmeansStep]]'s
+    * arithmetic), reassembled into pos-ordered double arrays. */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("bucket"), posexplode(col("embedding")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * lit(1000000.0))).as("qsum"))
+      .withColumn("m",
+        col("qsum").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(
+        col("bucket").as("cid"),
+        transform(col("pm"), p => p("m")).as("cemb"))
+      .withColumn("cnrm", normD(col("cemb")))
+
   def kmeansTrain(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"kmeansTrain needs at least one round, got $rounds")
     val e = withNorm(Tables.embeddings(spark, dir))
-    val seed = seedCentroids(e)
-
-    // centroid frame (cid, cemb: array<double>, cnrm) → per-vector top-1
-    // bucket via the one-row-broadcast in-row argmax
-    def assign(cents: DataFrame): DataFrame = {
-      val row = cents.agg(collect_list(struct(
-        col("cid"), col("cemb"), col("cnrm"))).as("cents"))
-      val scored = transform(col("cents"), c =>
-        struct(
-          (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
-          c("cid").as("cid")))
-      e.join(broadcast(row))
-        .withColumn("best", element_at(array_sort(scored, byCosDescCidAscCmp), 1))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("best")("cid").as("bucket"), col("best")("ccos").as("cos"))
-    }
-
-    // Lloyd's update: exact fixed-point means (kmeansStep's arithmetic),
-    // reassembled into pos-ordered double arrays
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("bucket"), posexplode(col("embedding")))
-        .groupBy(col("bucket"), col("pos"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(floor(col("col").cast("double") * lit(1000000.0))).as("qsum"))
-        .withColumn("m",
-          col("qsum").cast("double") / (col("n").cast("double") * lit(1000000.0)))
-        .groupBy(col("bucket"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(
-          col("bucket").as("cid"),
-          transform(col("pm"), p => p("m")).as("cemb"))
-        .withColumn("cnrm", normD(col("cemb")))
-
-    var cents = seed
-    var assigned = assign(cents)
+    var cents = seedCentroids(e)
+    var assigned = lloydAssign(e, cents)
     (2 to rounds).foreach { _ =>
-      cents = update(assigned)
-      assigned = assign(cents)
+      cents = lloydUpdate(assigned)
+      assigned = lloydAssign(e, cents)
     }
     assigned
+  }
+
+  /** The TRAINED centroid frame (cid, cemb, cnrm) that produced
+    * [[kmeansTrain]]'s final assignment — i.e. the state a consumer
+    * FREEZES to score new data later without retraining:
+    * `assignToCentroids(newRows, kmeansCentroids(...))` reproduces
+    * training-time cluster membership exactly (same comparator, same
+    * broadcast-argmax arithmetic). The streaming semantic-dedup gate
+    * collects this (≤ k rows) and re-broadcasts it per micro-batch. */
+  def kmeansCentroids(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"kmeansCentroids needs at least one round, got $rounds")
+    val e = withNorm(Tables.embeddings(spark, dir))
+    var cents = seedCentroids(e)
+    (2 to rounds).foreach { _ =>
+      cents = lloydUpdate(lloydAssign(e, cents))
+    }
+    cents
   }
 
   /** [[kmeansTrain]]'s public projection: final per-vector assignment. */

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import graft.functions.TextFunctions.contentFingerprint
+import graft.functions.VectorOps.{dotD, normD}
+import graft.queries.SimilarityQueries
 import graft.sources.Ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,6 +76,61 @@ object CorpusIngest {
       bloomExpectedItems: Long = 4L * 1024 * 1024,
       bloomFpp: Double = 0.01)
 
+  /** Frozen trained centroids + cosine threshold for SEMANTIC dedup at
+    * ingest time — the SemDeDup composition: an incoming document whose
+    * embedding sits within `threshold` cosine of ANY standing document
+    * in its assigned cluster is a paraphrase-duplicate and is
+    * quarantined instead of appended, even though its exact fingerprint
+    * is fresh.
+    *
+    * The centroids are driver-held rows (≤ k = [[SimilarityQueries.IvfK]]
+    * of them) collected ONCE from [[SimilarityQueries.kmeansCentroids]]
+    * (or any frame shaped (cid, cemb: array<double>, cnrm)) and
+    * re-broadcast per micro-batch through the same one-row in-row-argmax
+    * assignment the batch queries use — batch `semantic_neardup` and
+    * streaming ingest agree on cluster membership by construction.
+    *
+    * Scale: assignment is a narrow map over the batch; the standing
+    * side of the pair check is pruned to the ≤ k clusters actually
+    * present in the batch (a PARTITION filter — the corpus table is
+    * partitioned by cluster when a gate is configured), and the pair
+    * space is batch_rows × standing_cluster_rows, the same
+    * Σ-bucket-bounded shape as the batch query. */
+  final case class SemanticGate(
+      centroids: Seq[(Long, Seq[Double], Double)],
+      threshold: Double) {
+    require(centroids.nonEmpty, "SemanticGate needs at least one centroid")
+  }
+
+  object SemanticGate {
+    /** Collect a (cid, cemb, cnrm) centroid frame into a frozen gate. */
+    def fromFrame(cents: DataFrame, threshold: Double): SemanticGate =
+      SemanticGate(
+        cents.collect().toIndexedSeq.map(r =>
+          (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))),
+        threshold)
+
+    /** Train on an embeddings table and freeze — the offline step a
+      * deployment runs before starting the ingest stream. */
+    def train(spark: SparkSession, embeddingsDir: String, rounds: Int,
+              threshold: Double): SemanticGate =
+      fromFrame(SimilarityQueries.kmeansCentroids(spark, embeddingsDir, rounds), threshold)
+  }
+
+  /** Split incoming rows against same-cluster standing rows by cosine:
+    * (fresh, semantic-dup). `incoming` carries (cluster, embedding,
+    * nrm); `standing` must be pre-renamed to (s_cluster, s_emb, s_nrm).
+    * Shared verbatim by the streaming gate and the batch agreement
+    * test, so the two paths cannot diverge. */
+  private[graft] def semanticSplit(
+      incoming: DataFrame, standing: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val cond = col("cluster") === col("s_cluster") &&
+      (dotD(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm"))) >= threshold
+    (incoming.join(standing, cond, "left_anti"),
+      incoming.join(standing, cond, "left_semi"))
+  }
+
   /** Driver-held over-approximation of the standing corpus's fp set.
     * Purely an optimization gate (see the object scaladoc's contract);
     * rebuilt from the corpus on every stream start. */
@@ -104,7 +161,7 @@ object CorpusIngest {
     * [[contentFingerprint]] — the same rule as the batch
     * `incremental_dedup`/`dedup_exact` queries, so streaming and batch
     * agree on what counts as a duplicate. */
-  private[streaming] def electKeepers(completeRows: DataFrame): DataFrame = {
+  private[graft] def electKeepers(completeRows: DataFrame): DataFrame = {
     val pick = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     completeRows
       .withColumn("fp", contentFingerprint(col("text")))
@@ -149,42 +206,77 @@ object CorpusIngest {
     } finally batch.unpersist()
   }
 
-  /** One micro-batch against the BUCKETED corpus table, Bloom-gated:
+  /** One micro-batch against the BUCKETED corpus table, Bloom-gated,
+    * with an optional semantic gate:
     *
-    *   1. quarantine incomplete rows; elect batch-local keepers
-    *   2. collect the batch's fps to the driver (bounded by micro-batch
-    *      size — these are 32-hex strings, one per surviving row)
-    *   3. if NO fp might be standing (Bloom), append directly — zero
-    *      standing-corpus I/O for an all-fresh batch
-    *   4. else exact anti-join; the standing side reads bucketed on fp,
-    *      so only the batch side shuffles
-    *   5. extend the Bloom with what actually landed
+    *   1. quarantine incomplete rows (with a gate, a missing embedding
+    *      is incomplete too — the row can't be semantically checked);
+    *      elect batch-local keepers
+    *   2. with a gate: assign each keeper its cluster (one-row centroid
+    *      broadcast, narrow map — no shuffle)
+    *   3. collect the batch's (fp, cluster) pairs to the driver
+    *      (bounded by micro-batch size — 32-hex strings + longs)
+    *   4. EXACT pass: if no fp might be standing (Bloom), skip the
+    *      standing fp scan entirely; else anti-join — the standing side
+    *      reads bucketed on fp, so only the batch side shuffles
+    *   5. SEMANTIC pass: anti/semi-join the exact-fresh rows against
+    *      standing rows of the SAME clusters only (a partition filter —
+    *      the table is partitioned by cluster); cosine ≥ threshold →
+    *      quarantined to `semdupDir` as a paraphrase-duplicate
+    *   6. append the survivors; extend the Bloom with what landed
     */
   private[streaming] def appendDedupedBucketed(
       spark: SparkSession, batch: DataFrame,
-      corpus: BucketedCorpus, incompleteDir: String, gate: BloomGate): Unit = {
+      corpus: BucketedCorpus, incompleteDir: String, gate: BloomGate,
+      semantic: Option[SemanticGate] = None, semdupDir: String = ""): Unit = {
+    val completeCond =
+      if (semantic.isDefined) complete && col("embedding").isNotNull else complete
     batch.persist()
     try {
-      batch.filter(!complete).write.mode("append").parquet(incompleteDir)
-      val local = electKeepers(batch.filter(complete)).persist()
+      batch.filter(!completeCond).write.mode("append").parquet(incompleteDir)
+      val keepers = electKeepers(batch.filter(completeCond))
+      val local = (semantic match {
+        case Some(g) =>
+          import spark.implicits._
+          val centDf = g.centroids.toDF("cid", "cemb", "cnrm")
+          SimilarityQueries
+            .assignToCentroids(keepers.withColumn("nrm", normD(col("embedding"))), centDf)
+            .drop("ccos")
+        case None => keepers
+      }).persist()
       try {
-        val fps = local.select(col("fp")).collect().map(_.getString(0)).toSeq
-        def appendToTable(df: DataFrame): Unit =
-          df.write
+        val keyCols = col("fp") +: semantic.map(_ => col("cluster")).toSeq
+        val keys = local.select(keyCols: _*).collect().toIndexedSeq
+        val fps = keys.map(_.getString(0))
+        val exists = spark.catalog.tableExists(corpus.table)
+        val exactFresh =
+          if (!exists || !gate.anyMightContain(fps)) local
+          else freshAgainst(local, spark.table(corpus.table))
+        val fresh = semantic match {
+          case Some(g) if exists =>
+            val clusters = keys.map(_.getLong(1)).distinct
+            val standing = spark.table(corpus.table)
+              .filter(col("cluster").isin(clusters: _*))
+              .select(col("cluster").as("s_cluster"),
+                col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+            val (f, dup) = semanticSplit(exactFresh, standing, g.threshold)
+            dup.write.mode("append").parquet(semdupDir)
+            f
+          case _ => exactFresh
+        }
+        val isLocal = fresh eq local
+        if (!isLocal) fresh.persist()
+        try {
+          val w = fresh.write
+          (if (semantic.isDefined) w.partitionBy("cluster") else w)
             .bucketBy(corpus.buckets, "fp")
             .sortBy("fp")
             .mode("append")
             .saveAsTable(corpus.table)
-        if (!spark.catalog.tableExists(corpus.table) || !gate.anyMightContain(fps)) {
-          appendToTable(local)
-          gate.add(fps)
-        } else {
-          val fresh = freshAgainst(local, spark.table(corpus.table)).persist()
-          try {
-            appendToTable(fresh)
-            gate.add(fresh.select(col("fp")).collect().map(_.getString(0)).toSeq)
-          } finally fresh.unpersist()
-        }
+          gate.add(
+            if (isLocal) fps
+            else fresh.select(col("fp")).collect().map(_.getString(0)).toSeq)
+        } finally if (!isLocal) fresh.unpersist()
       } finally local.unpersist()
     } finally batch.unpersist()
   }
@@ -220,7 +312,14 @@ object CorpusIngest {
   /** [[start]] against the fp-bucketed corpus table with the Bloom
     * gate — the layout that holds at 100 TB (see object scaladoc). The
     * Bloom filter is seeded from the standing corpus HERE, once per
-    * stream start, then maintained incrementally per batch. */
+    * stream start, then maintained incrementally per batch.
+    *
+    * With a [[SemanticGate]], incoming documents are ALSO checked
+    * against same-cluster standing documents by embedding cosine:
+    * paraphrase-duplicates (fresh fp, near-identical meaning) land in
+    * `quarantine/semdup` instead of the corpus, and the corpus table is
+    * additionally partitioned by cluster so the per-batch check reads
+    * only the touched clusters' partitions. */
   def startBucketed(
       spark: SparkSession,
       watchDir: String,
@@ -228,14 +327,16 @@ object CorpusIngest {
       corpus: BucketedCorpus,
       quarantineDir: String,
       checkpointDir: String,
-      availableNow: Boolean = false
+      availableNow: Boolean = false,
+      semantic: Option[SemanticGate] = None
   ): (StreamingQuery, StreamingQuery) = {
     val gate = new BloomGate(corpus.bloomExpectedItems, corpus.bloomFpp)
     if (spark.catalog.tableExists(corpus.table))
       gate.seed(spark.table(corpus.table), "fp")
     startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow)(
       (df, _) => appendDedupedBucketed(
-        df.sparkSession, df, corpus, s"$quarantineDir/incomplete", gate))
+        df.sparkSession, df, corpus, s"$quarantineDir/incomplete", gate,
+        semantic, s"$quarantineDir/semdup"))
   }
 
   /** Shared wiring: JSONL split → (corpus foreachBatch, malformed

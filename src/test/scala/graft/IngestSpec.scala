@@ -187,6 +187,88 @@ class IngestSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semantic ingest: a paraphrased duplicate (fresh fp) is quarantined, not appended") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.{BucketedCorpus, SemanticGate}
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_sem").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+    val embSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val corpus = BucketedCorpus(table = "corpus_semantic_test", buckets = 4)
+    // two frozen unit centroids; anything within cos >= 0.95 of a
+    // standing same-cluster doc is a paraphrase-duplicate
+    val gate = SemanticGate(Seq(
+      (100L, Seq(1.0, 0.0), 1.0),
+      (200L, Seq(0.0, 1.0), 1.0)), threshold = 0.95)
+
+    def runOnce(): Unit = {
+      val (gq, bq) = CorpusIngest.startBucketed(spark, watch, embSchema, corpus,
+        quarantine, ckpt, availableNow = true, semantic = Some(gate))
+      gq.awaitTermination(); bq.awaitTermination()
+    }
+
+    // shard 1: two semantically distinct docs (one per cluster) and one
+    // row with NO embedding — unscoreable, must land in incomplete
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha one", "embedding": [1.0, 0.05]}""",
+      """{"doc_id": 2, "text": "totally different words", "embedding": [0.05, 1.0]}""",
+      """{"doc_id": 3, "text": "no embedding here"}"""
+    ), gzip = false)
+    runOnce()
+    assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 2L))
+    val inc = spark.read.parquet(s"$quarantine/incomplete").collect()
+    assert(inc.length == 1 && inc.head.getAs[Long]("doc_id") == 3L,
+      "a row the gate cannot score must quarantine, not append unchecked")
+
+    // shard 2 after restart: doc 10 paraphrases doc 1 (different text,
+    // near-identical embedding) -> semdup quarantine; doc 11 shares
+    // cluster 100 but is far in cosine -> appends; doc 12 is an EXACT
+    // dup of doc 1's text -> the fp anti-join drops it
+    writeLines(s"$watch/shard-2.jsonl", Seq(
+      """{"doc_id": 10, "text": "alpha won here", "embedding": [0.99, 0.04]}""",
+      """{"doc_id": 11, "text": "unrelated new content", "embedding": [0.6, -0.8]}""",
+      """{"doc_id": 12, "text": "ALPHA  one", "embedding": [0.5, 0.5]}"""
+    ), gzip = false)
+    runOnce()
+    spark.catalog.refreshTable(corpus.table)
+    assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 2L, 11L),
+      "paraphrase 10 and exact dup 12 must both be dropped; 11 must append")
+    val sem = spark.read.parquet(s"$quarantine/semdup").collect()
+    assert(sem.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L),
+      "the paraphrase must be quarantined as a semantic duplicate")
+    // corpus rows carry their cluster (partition column) and norm
+    assert(spark.table(corpus.table).filter(col("doc_id") === 11L)
+      .head.getAs[Long]("cluster") == 100L)
+
+    // batch/streaming agreement: the SAME incoming rows through the
+    // batch-side helpers (shared code: electKeepers -> assignToCentroids
+    // -> semanticSplit) must make identical keep/quarantine decisions
+    import spark.implicits._
+    val incoming = Seq(
+      (10L, "alpha won here", Seq(0.99, 0.04)),
+      (11L, "unrelated new content", Seq(0.6, -0.8))
+    ).toDF("doc_id", "text", "embedding")
+    val centDf = gate.centroids.toDF("cid", "cemb", "cnrm")
+    val enriched = graft.queries.SimilarityQueries.assignToCentroids(
+      CorpusIngest.electKeepers(incoming)
+        .withColumn("nrm", graft.functions.VectorOps.normD(col("embedding"))),
+      centDf).drop("ccos")
+    val standing = spark.table(corpus.table)
+      .filter(col("doc_id").isin(1L, 2L)) // the standing set shard 2 saw
+      .select(col("cluster").as("s_cluster"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+    val (fresh, dup) = CorpusIngest.semanticSplit(enriched, standing, gate.threshold)
+    assert(fresh.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(11L))
+    assert(dup.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
