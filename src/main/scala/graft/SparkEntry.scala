@@ -890,8 +890,13 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
          |FROM j GROUP BY doc_id""".stripMargin,
     "quantile_bins" ->
-      s"""WITH b AS (SELECT value, event_id, CAST(ntile(10) OVER
-         |    (ORDER BY value, event_id) AS BIGINT) AS bin FROM events)
+      // NULLs route to a dedicated bin 0, excluded from the tiling
+      // (PARTITION BY value IS NULL keeps them out of the non-null
+      // partition's ntile slots) — matching quantileBins exactly
+      s"""WITH b AS (SELECT value, event_id,
+         |    CASE WHEN value IS NULL THEN 0 ELSE CAST(ntile(10) OVER
+         |      (PARTITION BY value IS NULL ORDER BY value, event_id) AS BIGINT)
+         |    END AS bin FROM events)
          |SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM b GROUP BY bin""".stripMargin,
@@ -903,7 +908,9 @@ object SparkEntry {
       s"""WITH cuts AS (SELECT quantile_cont(value,
          |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM events),
          |b AS (SELECT value,
-         |    CAST(1 + len(list_filter(cuts.cuts, qc -> value > qc)) AS BIGINT) AS bin
+         |    CASE WHEN value IS NULL THEN 0
+         |    ELSE CAST(1 + len(list_filter(cuts.cuts, qc -> value > qc)) AS BIGINT)
+         |    END AS bin
          |  FROM events, cuts)
          |SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -563,18 +563,25 @@ object AnalyticsQueries {
   /** Exact decile binning of event values: ntile(10) over a total order
     * (value, event_id tie-break), per-bin count/min/max/sum. Exact
     * quantile assignment inherently requires a global order — Spark plans
-    * the empty-partition Window as a single-partition sort, which is the
-    * correct tool at eval scale (bin audits, threshold calibration). At
-    * 100 TB the corpus-scale variant is `approx_percentile` cutpoints
-    * (see [[approxStats]]) followed by a broadcast range-bucket join; the
-    * exact form stays for the sample-sized audits that gate it. */
+    * the near-constant-partition Window as a single-partition sort, which
+    * is the correct tool at eval scale (bin audits, threshold
+    * calibration). At 100 TB the corpus-scale variant is
+    * `approx_percentile` cutpoints (see [[approxStats]]) followed by a
+    * broadcast range-bucket join; the exact form stays for the
+    * sample-sized audits that gate it.
+    *
+    * NULL routing: NULL values land in a dedicated bin 0, excluded from
+    * the decile tiling (the window partitions on `value IS NULL`, so
+    * NULLs never consume ntile slots) — the SAME rule as
+    * [[quantileBinsScalable]], so the two variants agree the day `value`
+    * becomes nullable instead of silently shifting boundaries. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
-    // asc_nulls_last pins Spark to DuckDB's ASC default (NULLS LAST) —
-    // Spark's bare asc is NULLS FIRST, which would silently shift every
-    // bin boundary the day `value` becomes nullable
-    val w = Window.orderBy(col("value").asc_nulls_last, col("event_id").asc_nulls_last)
+    val w = Window.partitionBy(col("value").isNull)
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc_nulls_last)
     Tables.events(spark, dir)
-      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .withColumn("bin",
+        when(col("value").isNull, lit(0L))
+          .otherwise(ntile(10).over(w).cast("long")))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
@@ -596,20 +603,18 @@ object AnalyticsQueries {
     * consumer wants, where ntile splits ties across bins to equalize
     * counts. Counts are therefore near-equal, not exactly equal.
     *
-    * NULL values diverge between the variants: here a NULL `value`
-    * lands in bin 1 (every cutpoint comparison is NULL, `filter` drops
-    * it, size = 0), while [[quantileBins]]'s asc_nulls_last sorts NULLs
-    * into bin 10. Latent while events.value is non-nullable (it is, by
-    * the generator's schema); a consumer binning a nullable column
-    * should pre-filter NULLs explicitly rather than rely on either
-    * placement. */
+    * NULL routing: NULL values land in a dedicated bin 0 (`percentile`
+    * already ignores NULLs when computing cutpoints on both engines) —
+    * the SAME rule as [[quantileBins]], so the two variants agree on
+    * nullable columns by construction. */
   def quantileBinsScalable(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
     val cuts = ev.agg(expr(
       "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
     ev.crossJoin(broadcast(cuts)) // 1-row build side: broadcast is free
       .withColumn("bin",
-        (size(filter(col("cuts"), qc => col("value") > qc)) + 1).cast("long"))
+        when(col("value").isNull, lit(0L))
+          .otherwise((size(filter(col("cuts"), qc => col("value") > qc)) + 1).cast("long")))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

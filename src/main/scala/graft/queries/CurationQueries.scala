@@ -32,7 +32,16 @@ object CurationQueries {
     * Each round is one distributed equijoin + keyed min — the shape that
     * scales to 10⁹ edges (GraphX/Pregel does exactly this; large-star /
     * small-star halves the rounds if diameter ever matters). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersWithRounds(spark, dir)._1
+
+  /** [[dedupClusters]] plus the propagation round count it took — the
+    * observable a skew stress test bounds: rounds track component
+    * DIAMETER, not size, so a pathological mega-cluster (the shape a
+    * collapsed LSH threshold produces) must still converge in a handful
+    * of rounds, nowhere near the `maxRounds` backstop. */
+  private[graft] def dedupClustersWithRounds(
+      spark: SparkSession, dir: String): (DataFrame, Int) = {
     val edges = SimilarityQueries.minhashLsh(spark, dir)
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -83,10 +92,11 @@ object CurationQueries {
     val finalLabels = labels.localCheckpoint(true)
     prevCache.unpersist()
     adj.unpersist()
-    Tables.documents(spark, dir)
+    val result = Tables.documents(spark, dir)
       .select(col("doc_id"))
       .join(finalLabels.withColumnRenamed("cluster", "prop_cluster"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("prop_cluster"), col("doc_id")).as("cluster"))
+    (result, rounds)
   }
 
   /** Keeper election per near-dup cluster: the curation decision that

@@ -466,12 +466,11 @@ object SimilarityQueries {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup candidates: 12 universal-hash minhashes per doc
-    * over word 3-gram shingles, banded 4×3; docs sharing any band
-    * signature pair up. The only join is the band-signature equijoin —
-    * LSH's whole point at scale. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val mins = minhashSigs(spark, dir)
+  /** Band the signature frame 4×3 and equijoin on band signatures —
+    * [[minhashLsh]]'s candidate generation split out so consumers that
+    * ALSO need the signatures ([[minhashEstimate]]) band the SAME
+    * frame instead of recomputing the shingle+hash pass. */
+  private def lshCandidates(mins: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bd =>
       struct(
         lit(bd).as("band"),
@@ -488,6 +487,13 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** MinHash-LSH near-dup candidates: 12 universal-hash minhashes per doc
+    * over word 3-gram shingles, banded 4×3; docs sharing any band
+    * signature pair up. The only join is the band-signature equijoin —
+    * LSH's whole point at scale. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshCandidates(minhashSigs(spark, dir))
 
   /** Recall@3 of the IVF approximate path against the exact brute-force
     * top-3, per query vector — the accuracy price of the ANN shortcut,
@@ -530,7 +536,10 @@ object SimilarityQueries {
     val nMatch = MinhashSeeds.indices.map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val pairs = minhashLsh(spark, dir)
+    // candidates banded from the SAME signature frame joined below —
+    // the shingle+hash pass appears once in the plan (identical
+    // exchange subtrees also dedupe via ReuseExchange)
+    val pairs = lshCandidates(mins)
       .join(mins.as("a"), col("doc_a") === col("a.doc_id"))
       .join(mins.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))

@@ -45,6 +45,11 @@ object Ingest {
   private def split(raw: DataFrame, schema: StructType,
                     parse: (Column, StructType) => Column)
       : (DataFrame, DataFrame) = {
+    // a caller schema already containing the corrupt-record name would
+    // produce a duplicate-named struct field and make the good/bad
+    // split's getField resolution ambiguous — reject it loudly
+    require(!schema.fieldNames.contains(Corrupt),
+      s"ingest schema must not contain a '$Corrupt' field — it is reserved for the dead-letter split")
     val withCorrupt = schema.add(Corrupt, StringType)
     val parsed = raw
       .select(col("raw_line"), parse(col("raw_line"), withCorrupt).as("p"))

@@ -58,6 +58,33 @@ class CurationSpec extends SparkSuite {
     labels.filterNot(kv => inEdges(kv._1)).foreach { case (d, c) => assert(d == c) }
   }
 
+  test("dedup skew stress: one pathological mega-cluster converges in rounds ~ diameter, not size") {
+    // the shape a collapsed LSH threshold produces: 200 byte-identical
+    // docs (a full candidate CLIQUE — every band buckets them together)
+    // plus 100 genuine singletons. Label propagation rounds track
+    // component DIAMETER (1 for a clique), so the maxRounds backstop
+    // must never be approached no matter how large the cluster is.
+    val mega = (0L until 200L).map(i =>
+      (i, "the exact same boilerplate sentence repeated across mirror sites again and again"))
+    // fully token-disjoint texts: no shared shingles, so no candidate
+    // pairs among the singletons by construction
+    val singles = (1000L until 1100L).map(i =>
+      (i, (1 to 8).map(j => s"d${i}w$j").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    (mega ++ singles).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (labels, rounds) = CurationQueries.dedupClustersWithRounds(spark, tmp)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 300)
+    // the whole mega-cluster collapses onto doc 0
+    (0L until 200L).foreach(i => assert(got(i) == 0L, s"doc $i not in mega-cluster"))
+    // singletons keep their own id
+    (1000L until 1100L).foreach(i => assert(got(i) == i, s"doc $i wrongly clustered"))
+    // the point: a 200-doc clique is ONE round of propagation plus the
+    // convergence-check round — nowhere near the 1000-round backstop
+    assert(rounds <= 3, s"mega-cluster took $rounds rounds; propagation must scale with diameter")
+  }
+
   test("stratified sample is deterministic and near the 10% rate") {
     val d01 = "/root/testdata/sf0.01"
     val s1 = CurationQueries.sampleStratified(spark, d01).collect().map(_.getLong(0)).toSet
