@@ -1,0 +1,162 @@
+package graft
+
+import graft.streaming.CorpusIngest
+import graft.streaming.CorpusIngest.BucketedCorpus
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+
+/** End-to-end throughput of the continuous corpus-ingest composition
+  * (JSONL landing → quarantine split → keeper election → standing-corpus
+  * dedup → append), measured as records/second for BOTH corpus layouts:
+  *
+  *   - `plain`: parquet directory; every wave's anti-join re-scans and
+  *     re-shuffles the standing fp set
+  *   - `bucketed`: fp-bucketed table + driver Bloom gate; the standing
+  *     side never shuffles, and all-fresh waves skip standing I/O
+  *     entirely
+  *
+  * Three phases per layout (see `scenario`):
+  *
+  *   - `fresh`: one wave of n all-new documents into an empty corpus —
+  *     the bootstrap cost
+  *   - `standing-fresh`: small all-new waves against the standing
+  *     corpus — the Bloom skip path, the common case of a long-running
+  *     ingest
+  *   - `standing-dup`: small dup-bearing waves — the exact anti-join
+  *     path, where the bucketed layout avoids the standing-side shuffle
+  *
+  *   java -cp ... graft.IngestBench [nRecords] [partitions]
+  *
+  * Prints one JSON line; BASELINE.md records the numbers.
+  */
+object IngestBench {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Deterministic ~30-word document; `key` controls dedup identity. */
+  private def textOf(key: Long): String = {
+    val r = new scala.util.Random(key)
+    val words = Array("data", "model", "token", "layer", "graph", "query",
+      "stream", "batch", "shard", "merge", "index", "score", "route", "cache")
+    (0 until 28).map(_ => words(r.nextInt(words.length)))
+      .mkString(s"doc $key ", " ", "")
+  }
+
+  private def writeShard(path: String, ids: Seq[Long], keyOf: Long => Long): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(path), "UTF-8"))
+    ids.foreach { i =>
+      w.write(s"""{"doc_id": $i, "text": "${textOf(keyOf(i))}"}"""); w.newLine()
+    }
+    w.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val parts = args.lift(1).map(_.toInt).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$parts]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("ib-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    /** One layout's full scenario; returns (freshSec, standingFreshSec,
+      * standingDupSec). `runStream(watch, quarantine, ckpt,
+      * sourceOptions)` drains the landing dir with AvailableNow and
+      * blocks until done. Three phases:
+      *   fresh          — n docs into an empty corpus, one micro-batch
+      *   standing-fresh — 2 micro-batches of n/40 ALL-NEW docs against
+      *                    the standing corpus (the Bloom skip path)
+      *   standing-dup   — 2 micro-batches of n/40 docs, half duplicating
+      *                    the corpus (the exact anti-join path)
+      * Waves are deliberately SMALL relative to the corpus (1:40 — still
+      * generous; a real continuous ingest is 1:10000+): the recurring
+      * per-batch cost a layout is judged on is standing-side work, which
+      * a batch-sized wave would mask.
+      */
+    // per-batch processing time (triggerExecution over non-empty
+    // batches) from the query's progress log: excludes stream startup
+    // and the bucketed layout's once-per-stream-LIFETIME Bloom seed —
+    // the recurring per-batch cost is what a layout is judged on (the
+    // wall clock of these short phases is dominated by per-run fixed
+    // costs this bench pays once per phase but a real ingest pays once
+    // per deploy)
+    def batchSeconds(q: org.apache.spark.sql.streaming.StreamingQuery): Double =
+      q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble).sum / 1e3
+
+    def scenario(runStream: (String, String, String, Map[String, String]) =>
+          org.apache.spark.sql.streaming.StreamingQuery)
+        : (Double, Double, Double) = {
+      val watch = java.nio.file.Files.createTempDirectory("ib-land").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ib-ckpt").toString
+      val quarantine = java.nio.file.Files.createTempDirectory("ib-q").toString
+      (0 until 4).foreach { s =>
+        writeShard(s"$watch/w0-$s.jsonl",
+          (s * n / 4) until ((s + 1) * n / 4) map (_.toLong), identity)
+      }
+      val freshSec = batchSeconds(runStream(watch, quarantine, ckpt, Map.empty))
+
+      (1 to 2).foreach { wave =>
+        val ids = (0 until n / 40).map(i => (n + wave.toLong * n + i))
+        writeShard(s"$watch/wf$wave.jsonl", ids, identity) // all-new keys
+      }
+      val standingFreshSec = batchSeconds(
+        runStream(watch, quarantine, ckpt, Map("maxFilesPerTrigger" -> "1")))
+
+      (1 to 2).foreach { wave =>
+        val ids = (0 until n / 40).map(i => (10L * n + wave.toLong * n + i))
+        writeShard(s"$watch/wd$wave.jsonl", ids,
+          // even rows re-key to an original doc's text -> standing dup
+          id => if (id % 2 == 0) (id % n) else id)
+      }
+      val standingDupSec = batchSeconds(
+        runStream(watch, quarantine, ckpt, Map("maxFilesPerTrigger" -> "1")))
+      (freshSec, standingFreshSec, standingDupSec)
+    }
+
+    def awaitBoth(qs: (org.apache.spark.sql.streaming.StreamingQuery,
+                       org.apache.spark.sql.streaming.StreamingQuery))
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      qs._1.awaitTermination(); qs._2.awaitTermination(); qs._1
+    }
+
+    // warmup: burn one-time streaming/codegen init untimed
+    locally {
+      val w = java.nio.file.Files.createTempDirectory("ib-warm").toString
+      writeShard(s"$w/s.jsonl", (0L until 2000L), identity)
+      val c = java.nio.file.Files.createTempDirectory("ib-warmout").toString
+      awaitBoth(CorpusIngest.start(spark, w, schema, s"$c/corpus", s"$c/q",
+        s"$c/ckpt", availableNow = true))
+    }
+
+    val plainCorpus = java.nio.file.Files.createTempDirectory("ib-plain").toString + "/corpus"
+    val (plainFresh, plainSF, plainSD) = scenario { (watch, q, ckpt, opts) =>
+      awaitBoth(CorpusIngest.start(spark, watch, schema, plainCorpus, q, ckpt,
+        availableNow = true, sourceOptions = opts))
+    }
+
+    spark.sql("DROP TABLE IF EXISTS ingest_bench_corpus")
+    val bc = BucketedCorpus("ingest_bench_corpus", buckets = parts,
+      bloomExpectedItems = math.max(n * 4L, 1L << 20))
+    val (buckFresh, buckSF, buckSD) = scenario { (watch, q, ckpt, opts) =>
+      awaitBoth(CorpusIngest.startBucketed(spark, watch, schema, bc, q, ckpt,
+        availableNow = true, sourceOptions = opts))
+    }
+
+    val sr = 2 * (n / 40) // records per standing phase
+    println(
+      f"""{"metric":"ingest_throughput","records":$n,"plain":{"fresh_rps":${n / plainFresh}%.0f,"standing_fresh_rps":${sr / plainSF}%.0f,"standing_dup_rps":${sr / plainSD}%.0f,"seconds":[$plainFresh%.2f,$plainSF%.2f,$plainSD%.2f]},"bucketed":{"fresh_rps":${n / buckFresh}%.0f,"standing_fresh_rps":${sr / buckSF}%.0f,"standing_dup_rps":${sr / buckSD}%.0f,"seconds":[$buckFresh%.2f,$buckSF%.2f,$buckSD%.2f]}}""")
+    spark.stop()
+  }
+}

@@ -94,9 +94,14 @@ object Ingest {
     * `.jsonl(.gz)` files, the pipeline picks each up exactly once via
     * the file source's checkpointed log). Same split contract; each
     * returned frame starts its own streaming query (good → the corpus
-    * sink, bad → the quarantine sink). */
-  def streamJsonl(spark: SparkSession, path: String, schema: StructType)
+    * sink, bad → the quarantine sink). `sourceOptions` passes file-source
+    * knobs through (e.g. `maxFilesPerTrigger` to bound micro-batch
+    * size — the admission control a high-volume landing zone needs). */
+  def streamJsonl(spark: SparkSession, path: String, schema: StructType,
+                  sourceOptions: Map[String, String] = Map.empty)
       : (DataFrame, DataFrame) =
-    split(spark.readStream.text(path).withColumnRenamed("value", "raw_line"),
+    split(
+      spark.readStream.options(sourceOptions).text(path)
+        .withColumnRenamed("value", "raw_line"),
       schema, (c, s) => from_json(c, s, ParseOpts))
 }

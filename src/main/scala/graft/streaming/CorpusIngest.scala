@@ -28,20 +28,22 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Two layouts:
   *
-  *   - [[start]]: plain parquet directory. Simple, fine while the
-  *     standing fp scan is cheap; the per-batch anti-join shuffles the
-  *     standing side every batch.
-  *   - [[startBucketed]]: the 100 TB form. The corpus is a table
-  *     BUCKETED BY fp ([[graft.sources.Layout.writeBucketed]]'s
-  *     layout), so the standing side of the per-batch anti-join reads
-  *     already-hash-partitioned on the join key — NO Exchange on the
-  *     standing set, ever; only the (small) incoming batch shuffles, to
-  *     the bucket count (LayoutSpec/IngestSpec pin this on the physical
-  *     plan). In front of the join sits a driver-held Bloom filter over
-  *     every standing fp: a batch whose fps all miss the filter is
-  *     provably all-fresh and appends WITHOUT touching the standing
-  *     corpus at all — the common case in continuous ingestion, where
-  *     the recurring cost would otherwise grow with the corpus forever.
+  *   - [[start]]: plain parquet directory, naive dedup — the per-batch
+  *     anti-join re-scans AND re-shuffles the standing fp set every
+  *     batch. Kept as the simple variant and the bench baseline; its
+  *     recurring cost grows with the corpus.
+  *   - [[startBucketed]]: the 100 TB form, two layers:
+  *     (1) a driver-held Bloom filter over every standing fp screens
+  *     each batch — an all-fresh batch (the common case in continuous
+  *     ingestion) appends WITHOUT touching the standing corpus at all;
+  *     (2) fps the Bloom cannot rule out probe the corpus through
+  *     [[standingDups]], a broadcast-probe semi-join: ONE standing
+  *     column scan, zero shuffle, zero sort, regardless of corpus size
+  *     (IngestSpec pins the shuffle-free plan). The corpus itself is a
+  *     table BUCKETED BY fp with one file per bucket per append
+  *     (bounded file count), which keeps every downstream batch
+  *     equijoin on fp exchange-free (LayoutSpec) and gives the
+  *     compaction path a stable layout to rewrite into.
   *
   * Bloom correctness contract: the filter is a pure over-approximation
   * of the standing fp set (seeded from a one-off distributed
@@ -135,16 +137,31 @@ object CorpusIngest {
     * Purely an optimization gate (see the object scaladoc's contract);
     * rebuilt from the corpus on every stream start. */
   private[streaming] final class BloomGate(expected: Long, fpp: Double) {
-    private val bloom: BloomFilter = BloomFilter.create(expected, fpp)
-    /** One distributed scan of the standing fps; merged in because
-      * `stat.bloomFilter` with identical (expected, fpp) yields a
-      * bit-compatible filter. */
+    private var bloom: BloomFilter = BloomFilter.create(expected, fpp)
+    /** One distributed scan of the standing fps. REPLACES the filter
+      * rather than merging: the aggregate may size its bit array
+      * differently from a driver-side create (Spark caps aggregate
+      * bloom bits), and a bit-size mismatch makes merge throw. A capped
+      * seed just raises the false-positive rate — extra probes, never
+      * wrong answers. */
     def seed(standingFps: DataFrame, colName: String): Unit =
-      bloom.mergeInPlace(standingFps.stat.bloomFilter(colName, expected, fpp))
-    def anyMightContain(fps: Iterable[String]): Boolean =
-      fps.exists(bloom.mightContain)
+      bloom = standingFps.stat.bloomFilter(colName, expected, fpp)
+    def mightContain(fp: String): Boolean = bloom.mightContain(fp)
     def add(fps: Iterable[String]): Unit = fps.foreach(bloom.put)
   }
+
+  /** Which probe fps already stand in the corpus — ONE standing column
+    * scan, ZERO shuffle, ZERO sort, at any corpus size: the probe side
+    * (the batch fps the Bloom could not rule out) is broadcast and the
+    * standing set streams past it as a semi-join. This replaces the
+    * standing-side anti-join in the per-batch path — a sort-merge
+    * anti-join would re-SORT the whole standing fp set every batch,
+    * which is the cost that grows without bound as the corpus grows.
+    * The output is at most probe-sized (micro-batch-bounded), so
+    * collecting it back to the driver is safe. Exposed for the
+    * IngestSpec plan assertion. */
+  private[graft] def standingDups(standing: DataFrame, probe: DataFrame): DataFrame =
+    standing.select(col("fp")).join(broadcast(probe), Seq("fp"), "left_semi")
 
   /** Structural completeness: a line can be valid JSON yet unusable —
     * doc_id or text absent → null after the schema-pinned parse. Such
@@ -216,9 +233,10 @@ object CorpusIngest {
     *      broadcast, narrow map — no shuffle)
     *   3. collect the batch's (fp, cluster) pairs to the driver
     *      (bounded by micro-batch size — 32-hex strings + longs)
-    *   4. EXACT pass: if no fp might be standing (Bloom), skip the
-    *      standing fp scan entirely; else anti-join — the standing side
-    *      reads bucketed on fp, so only the batch side shuffles
+    *   4. EXACT pass: fps the Bloom rules out are fresh with no I/O at
+    *      all; the rest probe the corpus via [[standingDups]] (one
+    *      scan, no shuffle), and confirmed dups drop out of the batch
+    *      through a broadcast anti-join — batch-sized, also shuffle-free
     *   5. SEMANTIC pass: anti/semi-join the exact-fresh rows against
     *      standing rows of the SAME clusters only (a partition filter —
     *      the table is partitioned by cluster); cosine ≥ threshold →
@@ -249,9 +267,23 @@ object CorpusIngest {
         val keys = local.select(keyCols: _*).collect().toIndexedSeq
         val fps = keys.map(_.getString(0))
         val exists = spark.catalog.tableExists(corpus.table)
+        // exact pass: Bloom screens the batch fps on the driver; only
+        // the survivors ("maybe standing" — false positives included)
+        // probe the corpus, via the shuffle-free broadcast semi-join
+        val maybe = fps.filter(gate.mightContain)
+        val dupSet: Set[String] =
+          if (!exists || maybe.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            standingDups(spark.table(corpus.table), maybe.toDF("fp"))
+              .as[String].collect().toSet
+          }
         val exactFresh =
-          if (!exists || !gate.anyMightContain(fps)) local
-          else freshAgainst(local, spark.table(corpus.table))
+          if (dupSet.isEmpty) local
+          else {
+            import spark.implicits._
+            local.join(broadcast(dupSet.toSeq.toDF("fp")), Seq("fp"), "left_anti")
+          }
         val fresh = semantic match {
           case Some(g) if exists =>
             val clusters = keys.map(_.getLong(1)).distinct
@@ -264,19 +296,25 @@ object CorpusIngest {
             f
           case _ => exactFresh
         }
-        val isLocal = fresh eq local
-        if (!isLocal) fresh.persist()
-        try {
-          val w = fresh.write
-          (if (semantic.isDefined) w.partitionBy("cluster") else w)
-            .bucketBy(corpus.buckets, "fp")
-            .sortBy("fp")
-            .mode("append")
-            .saveAsTable(corpus.table)
-          gate.add(
-            if (isLocal) fps
-            else fresh.select(col("fp")).collect().map(_.getString(0)).toSeq)
-        } finally if (!isLocal) fresh.unpersist()
+        // pre-shuffle to exactly the bucket layout: repartition hash
+        // (Murmur3 pmod n) IS the bucketing hash, so each task holds
+        // one bucket's rows and writes ONE file — without this the
+        // Bloom fast path (arbitrary input partitioning) writes up to
+        // tasks × buckets files per append, and the standing scan
+        // then pays a footer-read per file forever (the small-files
+        // problem Layout.compactFiles exists to undo). One
+        // batch-sized shuffle per append buys a bounded file count.
+        val w = fresh.repartition(corpus.buckets, col("fp")).write
+        (if (semantic.isDefined) w.partitionBy("cluster") else w)
+          .bucketBy(corpus.buckets, "fp")
+          .sortBy("fp")
+          .mode("append")
+          .saveAsTable(corpus.table)
+        // appended fps are driver-computable — batch fps minus the
+        // confirmed standing dups — so no extra collect job runs. The
+        // semantic pass may have dropped more rows; adding their fps
+        // anyway is a safe over-approximation per the Bloom contract.
+        gate.add(fps.filterNot(dupSet))
       } finally local.unpersist()
     } finally batch.unpersist()
   }
@@ -304,9 +342,11 @@ object CorpusIngest {
       corpusDir: String,
       quarantineDir: String,
       checkpointDir: String,
-      availableNow: Boolean = false
+      availableNow: Boolean = false,
+      sourceOptions: Map[String, String] = Map.empty
   ): (StreamingQuery, StreamingQuery) =
-    startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow)(
+    startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow,
+      sourceOptions)(
       (df, _) => appendDeduped(df.sparkSession, df, corpusDir, s"$quarantineDir/incomplete"))
 
   /** [[start]] against the fp-bucketed corpus table with the Bloom
@@ -328,12 +368,14 @@ object CorpusIngest {
       quarantineDir: String,
       checkpointDir: String,
       availableNow: Boolean = false,
-      semantic: Option[SemanticGate] = None
+      semantic: Option[SemanticGate] = None,
+      sourceOptions: Map[String, String] = Map.empty
   ): (StreamingQuery, StreamingQuery) = {
     val gate = new BloomGate(corpus.bloomExpectedItems, corpus.bloomFpp)
     if (spark.catalog.tableExists(corpus.table))
       gate.seed(spark.table(corpus.table), "fp")
-    startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow)(
+    startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow,
+      sourceOptions)(
       (df, _) => appendDedupedBucketed(
         df.sparkSession, df, corpus, s"$quarantineDir/incomplete", gate,
         semantic, s"$quarantineDir/semdup"))
@@ -347,9 +389,10 @@ object CorpusIngest {
       schema: StructType,
       quarantineDir: String,
       checkpointDir: String,
-      availableNow: Boolean
+      availableNow: Boolean,
+      sourceOptions: Map[String, String] = Map.empty
   )(perBatch: (DataFrame, Long) => Unit): (StreamingQuery, StreamingQuery) = {
-    val (good, bad) = Ingest.streamJsonl(spark, watchDir, schema)
+    val (good, bad) = Ingest.streamJsonl(spark, watchDir, schema, sourceOptions)
     val goodQ = {
       val w = good.writeStream
         .option("checkpointLocation", s"$checkpointDir/corpus")

@@ -168,9 +168,25 @@ class IngestSpec extends SparkSuite {
     assert(after2.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 11L),
       "standing-corpus anti-join must drop doc 10, keep doc 11")
 
-    // THE layout point: the standing side of the per-batch anti-join
-    // comes out of the bucketed scan already partitioned on fp — the
-    // only Exchange in the plan is on the (small) incoming batch side
+    // THE scale point: the per-batch standing probe is a broadcast-probe
+    // semi-join — ONE standing scan, ZERO shuffle, ZERO sort of the
+    // standing set, at any corpus size (an SMJ anti-join would re-sort
+    // the whole standing fp set every batch)
+    locally {
+      import spark.implicits._
+      val probe = Seq("00000000000000000000000000000000").toDF("fp")
+      val plan = CorpusIngest.standingDups(spark.table(corpus.table), probe)
+        .queryExecution.executedPlan.treeString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"standing probe must not shuffle anything:\n$plan")
+      assert(!plan.linesIterator.exists(l => l.contains("Sort ") && !l.contains("SortBy")),
+        s"standing probe must not sort anything:\n$plan")
+    }
+
+    // and the bucketed layout still serves downstream batch work: a
+    // same-bucket-count fp equijoin against the corpus needs no
+    // Exchange on the corpus side
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
