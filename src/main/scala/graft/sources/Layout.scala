@@ -117,6 +117,62 @@ object Layout {
     spark.read.parquet(outPath).inputFiles.length
   }
 
+  /** Compact a bucketed table back to ONE sorted file per bucket — the
+    * maintenance pass a continuously-appended bucketed corpus
+    * ([[graft.streaming.CorpusIngest.startBucketed]]) runs
+    * periodically. Every append adds a file per bucket, and every
+    * downstream scan then pays a task-setup + footer read per file —
+    * the chronic small-files tax. The rewrite restores the one-file-
+    * per-bucket invariant while keeping joins on the key exchange-free
+    * (LayoutSpec pins both), and — because each bucket file is fully
+    * sorted — a scan under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * additionally reports its ordering, eliding the per-side Sort in
+    * sort-merge joins (modern Spark drops that derivation by default,
+    * SPARK-28595; LayoutSpec demonstrates it under the conf). The
+    * sorted files earn their keep either way via parquet min/max
+    * skipping on key-range predicates.
+    *
+    * The rewrite lands in a temp table first and swaps via RENAME:
+    * Spark (correctly) refuses to overwrite a table it is reading. */
+  def rewriteBucketed(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      buckets: Int,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    val tmp = s"${table}_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // force a genuinely BUCKETED read: the optimizer elides the
+    // repartition below (the table's bucket metadata already satisfies
+    // it), but the planner would then ALSO auto-disable the bucketed
+    // scan as "unused" — leaving file-split partitions that are not
+    // bucket-pure, so every write task would open a file per bucket it
+    // sees (verified on Spark 4.1: a 3-append 4-bucket table compacted
+    // to 10 misaligned files without this). Pinning autoBucketedScan
+    // off makes the scan emit one bucket-pure partition per bucket and
+    // the rewrite lands exactly one file per bucket.
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(abs, "true")
+    spark.conf.set(abs, "false")
+    try {
+      val w = spark.table(table)
+        .repartition(buckets, col(key)) // load-bearing when re-bucketing to a NEW count
+        .write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    } finally spark.conf.set(abs, prev)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // a partitioned table's per-partition catalog locations still point
+    // at the pre-rename directory; recover them from the moved layout
+    if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
   /** Z-ordered write: min-max scale two numeric dimensions to 16-bit
     * buckets, sort by the interleaved Morton value, write range-split
     * files. Unlike a single-axis sort (which leaves the second column's

@@ -319,6 +319,20 @@ object CorpusIngest {
     } finally batch.unpersist()
   }
 
+  /** Periodic maintenance for the bucketed corpus: rewrite to one
+    * sorted file per bucket ([[graft.sources.Layout.rewriteBucketed]]).
+    * Continuous appends add a file per bucket per batch; run this
+    * between ingest sessions (it swaps the table out from under a
+    * running stream's scan otherwise) on whatever cadence keeps the
+    * per-bucket file count acceptable. `semantic` must match how the
+    * stream was started — a cluster-partitioned corpus keeps its
+    * partitioning through the rewrite. */
+  def compact(spark: SparkSession, corpus: BucketedCorpus,
+              semantic: Boolean = false): Unit =
+    graft.sources.Layout.rewriteBucketed(
+      spark, corpus.table, "fp", corpus.buckets,
+      if (semantic) Seq("cluster") else Nil)
+
   /** A corpus exists when its directory already holds parquet data —
     * a bare/nonexistent dir is the first-batch bootstrap case, not an
     * error (same idempotent-init stance as `Sinks.DdlInitializer`). */

@@ -283,6 +283,13 @@ class IngestSpec extends SparkSuite {
     val (fresh, dup) = CorpusIngest.semanticSplit(enriched, standing, gate.threshold)
     assert(fresh.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(11L))
     assert(dup.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+
+    // maintenance: compaction keeps the cluster partitioning and loses
+    // nothing (the corpus here is partitioned by cluster AND bucketed)
+    CorpusIngest.compact(spark, corpus, semantic = true)
+    val compacted = spark.table(corpus.table).collect()
+    assert(compacted.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 11L))
+    assert(compacted.map(_.getAs[Long]("cluster")).sorted.toSeq == Seq(100L, 100L, 200L))
   }
 
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {

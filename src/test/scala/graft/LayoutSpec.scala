@@ -35,6 +35,52 @@ class LayoutSpec extends SparkSuite {
         col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("bucketed compaction restores one file per bucket and elides the join Sort") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a continuously-appended bucketed table: 3 appends -> 3 files/bucket
+      def appendWave(table: String, offset: Int): Unit =
+        spark.range(offset, offset + 3000).toDF("k")
+          .repartition(4, col("k"))
+          .write.bucketBy(4, "k").sortBy("k").mode("append").saveAsTable(table)
+      Seq("comp_a", "comp_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        (0 until 3).foreach(w => appendWave(t, w * 3000))
+      }
+      assert(spark.table("comp_a").inputFiles.length > 4, "appends must accumulate files")
+
+      // multi-file buckets: the scan yields no ordering, so the SMJ sorts
+      val before = spark.table("comp_a").join(spark.table("comp_b"), "k")
+        .queryExecution.executedPlan.treeString
+      assert(before.contains("SortMergeJoin") && before.contains("Sort "), before)
+
+      Seq("comp_a", "comp_b").foreach(t => Layout.rewriteBucketed(spark, t, "k", 4))
+
+      assert(spark.table("comp_a").inputFiles.length == 4,
+        "compaction must restore one file per bucket")
+      val after = spark.table("comp_a").join(spark.table("comp_b"), "k")
+        .queryExecution.executedPlan.treeString
+      assert(after.contains("SortMergeJoin"), after)
+      assert(!after.contains("Exchange hashpartitioning"),
+        s"compacted bucketed join must not shuffle:\n$after")
+      // single-file sorted buckets report their ordering (and so elide
+      // the join Sort) under the legacy derivation conf — proving the
+      // rewrite really produced fully-sorted bucket files
+      val ord = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      spark.conf.set(ord, "true")
+      try {
+        val sorted = spark.table("comp_a").join(spark.table("comp_b"), "k")
+          .queryExecution.executedPlan.treeString
+        assert(sorted.contains("SortMergeJoin") && !sorted.contains("Sort "),
+          s"one sorted file per bucket must elide the join Sort:\n$sorted")
+      } finally spark.conf.set(ord, "false")
+      // and nothing was lost in the rewrite
+      assert(spark.table("comp_a").count() == 9000)
+      assert(spark.table("comp_a").join(spark.table("comp_b"), "k").count() == 9000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range-sorted writes produce disjoint per-file key ranges") {
     val out = Files.createTempDirectory("range").toString + "/events_ranged"
     Layout.writeRangeSorted(Tables.events(spark, dir), "ts", 4, out)
