@@ -133,6 +133,27 @@ object CorpusIngest {
       incoming.join(standing, cond, "left_semi"))
   }
 
+  /** Batch-LOCAL semantic keeper election: a row is dropped when a
+    * same-cluster row with a SMALLER doc_id sits within the cosine
+    * threshold — the semantic twin of [[electKeepers]]' min-doc_id
+    * rule, so two paraphrases landing in ONE shard can't both append
+    * (the standing check alone only sees earlier batches). Greedy, not
+    * transitive: in a chain a~b~c (a<b<c) where a,c are NOT themselves
+    * within threshold, b drops and c survives next to a — the standard
+    * single-pass near-dup semantics; a curation pass wanting full
+    * components runs the batch `dedup_clusters` instead. Cost: one
+    * self-join of the (micro-batch-sized) frame on cluster. Returns
+    * (keepers, dropped). */
+  private[graft] def semanticKeepers(batch: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val other = batch.select(
+      col("doc_id").as("o_id"), col("cluster").as("o_cluster"),
+      col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
+    val cond = col("cluster") === col("o_cluster") && col("o_id") < col("doc_id") &&
+      (dotD(col("embedding"), col("o_emb")) / (col("nrm") * col("o_nrm"))) >= threshold
+    (batch.join(other, cond, "left_anti"), batch.join(other, cond, "left_semi"))
+  }
+
   /** Driver-held over-approximation of the standing corpus's fp set.
     * Purely an optimization gate (see the object scaladoc's contract);
     * rebuilt from the corpus on every stream start. */
@@ -237,10 +258,12 @@ object CorpusIngest {
     *      all; the rest probe the corpus via [[standingDups]] (one
     *      scan, no shuffle), and confirmed dups drop out of the batch
     *      through a broadcast anti-join — batch-sized, also shuffle-free
-    *   5. SEMANTIC pass: anti/semi-join the exact-fresh rows against
-    *      standing rows of the SAME clusters only (a partition filter —
-    *      the table is partitioned by cluster); cosine ≥ threshold →
-    *      quarantined to `semdupDir` as a paraphrase-duplicate
+    *   5. SEMANTIC pass: batch-local keeper election first
+    *      ([[semanticKeepers]] — paraphrase pairs inside one shard),
+    *      then anti/semi-join the survivors against standing rows of
+    *      the SAME clusters only (a partition filter — the table is
+    *      partitioned by cluster); cosine ≥ threshold → quarantined to
+    *      `semdupDir` as a paraphrase-duplicate
     *   6. append the survivors; extend the Bloom with what landed
     */
   private[streaming] def appendDedupedBucketed(
@@ -285,16 +308,24 @@ object CorpusIngest {
             local.join(broadcast(dupSet.toSeq.toDF("fp")), Seq("fp"), "left_anti")
           }
         val fresh = semantic match {
-          case Some(g) if exists =>
-            val clusters = keys.map(_.getLong(1)).distinct
-            val standing = spark.table(corpus.table)
-              .filter(col("cluster").isin(clusters: _*))
-              .select(col("cluster").as("s_cluster"),
-                col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
-            val (f, dup) = semanticSplit(exactFresh, standing, g.threshold)
-            dup.write.mode("append").parquet(semdupDir)
-            f
-          case _ => exactFresh
+          case Some(g) =>
+            // within-batch first (two paraphrases in one shard must not
+            // both append), then against the standing corpus
+            val (localKeep, localDup) = semanticKeepers(exactFresh, g.threshold)
+            if (exists) {
+              val clusters = keys.map(_.getLong(1)).distinct
+              val standing = spark.table(corpus.table)
+                .filter(col("cluster").isin(clusters: _*))
+                .select(col("cluster").as("s_cluster"),
+                  col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+              val (f, standDup) = semanticSplit(localKeep, standing, g.threshold)
+              localDup.unionByName(standDup).write.mode("append").parquet(semdupDir)
+              f
+            } else {
+              localDup.write.mode("append").parquet(semdupDir)
+              localKeep
+            }
+          case None => exactFresh
         }
         // pre-shuffle to exactly the bucket layout: repartition hash
         // (Murmur3 pmod n) IS the bucketing hash, so each task holds

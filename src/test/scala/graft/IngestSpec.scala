@@ -228,19 +228,26 @@ class IngestSpec extends SparkSuite {
       gq.awaitTermination(); bq.awaitTermination()
     }
 
-    // shard 1: two semantically distinct docs (one per cluster) and one
-    // row with NO embedding — unscoreable, must land in incomplete
+    // shard 1: two semantically distinct docs (one per cluster), one
+    // row with NO embedding — unscoreable, must land in incomplete —
+    // and a WITHIN-BATCH paraphrase of doc 1 (different text, near
+    // cosine): the standing check can't see it (nothing stands yet),
+    // so the batch-local semantic election must catch it
     writeLines(s"$watch/shard-1.jsonl", Seq(
       """{"doc_id": 1, "text": "alpha one", "embedding": [1.0, 0.05]}""",
       """{"doc_id": 2, "text": "totally different words", "embedding": [0.05, 1.0]}""",
-      """{"doc_id": 3, "text": "no embedding here"}"""
+      """{"doc_id": 3, "text": "no embedding here"}""",
+      """{"doc_id": 4, "text": "alpha uno", "embedding": [0.995, 0.06]}"""
     ), gzip = false)
     runOnce()
     assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
-      == Seq(1L, 2L))
+      == Seq(1L, 2L),
+      "the within-batch paraphrase (doc 4) must not append alongside doc 1")
     val inc = spark.read.parquet(s"$quarantine/incomplete").collect()
     assert(inc.length == 1 && inc.head.getAs[Long]("doc_id") == 3L,
       "a row the gate cannot score must quarantine, not append unchecked")
+    assert(spark.read.parquet(s"$quarantine/semdup").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
 
     // shard 2 after restart: doc 10 paraphrases doc 1 (different text,
     // near-identical embedding) -> semdup quarantine; doc 11 shares
@@ -257,8 +264,8 @@ class IngestSpec extends SparkSuite {
       == Seq(1L, 2L, 11L),
       "paraphrase 10 and exact dup 12 must both be dropped; 11 must append")
     val sem = spark.read.parquet(s"$quarantine/semdup").collect()
-    assert(sem.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L),
-      "the paraphrase must be quarantined as a semantic duplicate")
+    assert(sem.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(4L, 10L),
+      "both paraphrases (within-batch 4, cross-batch 10) must be quarantined")
     // corpus rows carry their cluster (partition column) and norm
     assert(spark.table(corpus.table).filter(col("doc_id") === 11L)
       .head.getAs[Long]("cluster") == 100L)
