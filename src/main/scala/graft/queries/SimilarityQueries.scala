@@ -451,12 +451,14 @@ object SimilarityQueries {
     (0 until 12).map(i => (100003L + 911L * i, 30011L * i + 7L))
   val MinhashP: Long = 2147483647L
 
-  /** Per-doc MinHash signature frame: doc_id + one `mh$i` column per
-    * seed — the single construction [[minhashLsh]] and
-    * [[minhashEstimate]] share (shingle → md5Hash32 → grouped min per
-    * universal hash). */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  /** Per-doc MinHash signature frame over ANY (doc_id, text) frame:
+    * doc_id + one `mh$i` column per seed (shingle → md5Hash32 →
+    * grouped min per universal hash). Shared by the batch queries and
+    * the streaming ingest's near-dup gate, so both agree on what a
+    * signature is. Docs with fewer than 3 tokens produce no shingles
+    * and drop out (they cannot near-dup by this definition). */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("ws", wordTokens(col("text")))
       .select(col("doc_id"), explode(shingleCol(col("ws"))).as("sh"))
       .withColumn("h", md5Hash32(col("sh")))
@@ -466,11 +468,9 @@ object SimilarityQueries {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band the signature frame 4×3 and equijoin on band signatures —
-    * [[minhashLsh]]'s candidate generation split out so consumers that
-    * ALSO need the signatures ([[minhashEstimate]]) band the SAME
-    * frame instead of recomputing the shingle+hash pass. */
-  private def lshCandidates(mins: DataFrame): DataFrame = {
+  /** The banded signature rows (doc_id, band, sig) of a [[minhashSigsOf]]
+    * frame — 4 rows per doc, md5 over each band's 3 components. */
+  private[graft] def bandSigs(mins: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bd =>
       struct(
         lit(bd).as("band"),
@@ -478,9 +478,20 @@ object SimilarityQueries {
           (0 until 3).map(j => col(s"mh${bd * 3 + j}").cast("string")): _*)).as("sig")
       )
     }
-    val bands = mins
+    mins
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(spark, dir))
+
+  /** Band the signature frame 4×3 and equijoin on band signatures —
+    * [[minhashLsh]]'s candidate generation split out so consumers that
+    * ALSO need the signatures ([[minhashEstimate]]) band the SAME
+    * frame instead of recomputing the shingle+hash pass. */
+  private def lshCandidates(mins: DataFrame): DataFrame = {
+    val bands = bandSigs(mins)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))

@@ -119,6 +119,39 @@ object CorpusIngest {
       fromFrame(SimilarityQueries.kmeansCentroids(spark, embeddingsDir, rounds), threshold)
   }
 
+  /** Streaming TEXT near-dup gate — MinHash over word 3-gram shingles,
+    * for corpora WITHOUT embeddings (the [[SemanticGate]] twin). An
+    * incoming document sharing an LSH band signature with a standing
+    * (or smaller-doc_id same-batch) document AND agreeing on at least
+    * `minMatches` of the 12 MinHash components is a near-duplicate and
+    * is quarantined to `neardup/`. matches/12 estimates shingle-set
+    * Jaccard (the batch `minhash_estimate` query audits exactly this
+    * estimator against exact Jaccard), so minMatches = 9 ≈ "Jaccard
+    * ≳ 0.75". Signatures are the SAME construction as the batch
+    * `minhash_lsh` pipeline ([[SimilarityQueries.minhashSigsOf]] /
+    * `bandSigs`), so batch and streaming agree on what a signature is.
+    *
+    * State is a side table `<corpus>_sigs` (doc_id, band, sig,
+    * mh0..mh11 — 4 rows per doc, bucketed by sig) maintained per batch
+    * for appended survivors, probed with the same Bloom + broadcast-
+    * probe pattern as the exact pass: one sigs-table scan, zero
+    * shuffle, at any corpus size; all-fresh batches (no Bloom hit on
+    * any band signature) skip the scan entirely. Sig rows append AFTER
+    * the corpus append: a crash between the two loses only future
+    * near-dup coverage for that batch's docs (benign), where the
+    * reverse order would let a replayed batch near-dup-match its own
+    * signatures and silently drop its rows.
+    *
+    * Docs with fewer than 3 tokens have no shingles, hence no
+    * signature: they always pass (and add no index rows). */
+  final case class MinHashGate(minMatches: Int = 9) {
+    require(minMatches >= 1 && minMatches <= SimilarityQueries.MinhashSeeds.size,
+      s"minMatches must be in [1, ${SimilarityQueries.MinhashSeeds.size}]")
+  }
+
+  /** The signature side table backing [[MinHashGate]]. */
+  private[graft] def sigsTable(corpus: BucketedCorpus): String = s"${corpus.table}_sigs"
+
   /** Split incoming rows against same-cluster standing rows by cosine:
     * (fresh, semantic-dup). `incoming` carries (cluster, embedding,
     * nrm); `standing` must be pre-renamed to (s_cluster, s_emb, s_nrm).
@@ -269,7 +302,9 @@ object CorpusIngest {
   private[streaming] def appendDedupedBucketed(
       spark: SparkSession, batch: DataFrame,
       corpus: BucketedCorpus, incompleteDir: String, gate: BloomGate,
-      semantic: Option[SemanticGate] = None, semdupDir: String = ""): Unit = {
+      semantic: Option[SemanticGate] = None, semdupDir: String = "",
+      minhash: Option[MinHashGate] = None, sigBloom: Option[BloomGate] = None,
+      neardupDir: String = ""): Unit = {
     val completeCond =
       if (semantic.isDefined) complete && col("embedding").isNotNull else complete
     batch.persist()
@@ -327,25 +362,98 @@ object CorpusIngest {
             }
           case None => exactFresh
         }
-        // pre-shuffle to exactly the bucket layout: repartition hash
-        // (Murmur3 pmod n) IS the bucketing hash, so each task holds
-        // one bucket's rows and writes ONE file — without this the
-        // Bloom fast path (arbitrary input partitioning) writes up to
-        // tasks × buckets files per append, and the standing scan
-        // then pays a footer-read per file forever (the small-files
-        // problem Layout.compactFiles exists to undo). One
-        // batch-sized shuffle per append buys a bounded file count.
-        val w = fresh.repartition(corpus.buckets, col("fp")).write
-        (if (semantic.isDefined) w.partitionBy("cluster") else w)
-          .bucketBy(corpus.buckets, "fp")
-          .sortBy("fp")
-          .mode("append")
-          .saveAsTable(corpus.table)
-        // appended fps are driver-computable — batch fps minus the
-        // confirmed standing dups — so no extra collect job runs. The
-        // semantic pass may have dropped more rows; adding their fps
-        // anyway is a safe over-approximation per the Bloom contract.
-        gate.add(fps.filterNot(dupSet))
+        // MINHASH pass (text near-dup, see MinHashGate): within-batch
+        // greedy election + Bloom-screened standing probe, both on the
+        // shared batch/streaming signature construction
+        val nSeeds = SimilarityQueries.MinhashSeeds.size
+        val withSig = minhash.map { _ =>
+          val mins = SimilarityQueries.minhashSigsOf(
+            fresh.select(col("doc_id"), col("text")))
+          SimilarityQueries.bandSigs(mins).join(mins, "doc_id").persist()
+        }
+        try {
+          val (finalFresh, survivorSigs) = (minhash, withSig, sigBloom) match {
+            case (Some(g), Some(ws), Some(sb)) =>
+              import spark.implicits._
+              val sigPairs = ws.select(col("doc_id"), col("sig")).collect().toIndexedSeq
+              // within-batch: band collision against a SMALLER doc_id
+              // with >= minMatches agreeing components (the greedy
+              // min-keeper rule, same as the semantic gate's)
+              val o = ws.select(
+                Seq(col("doc_id").as("o_id"), col("band").as("o_band"),
+                  col("sig").as("o_sig")) ++
+                  (0 until nSeeds).map(i => col(s"mh$i").as(s"o_mh$i")): _*)
+              val nMatchLocal = (0 until nSeeds).map(i =>
+                when(col(s"mh$i") === col(s"o_mh$i"), 1).otherwise(0)).reduce(_ + _)
+              val localDupIds = ws.join(o,
+                  col("band") === col("o_band") && col("sig") === col("o_sig") &&
+                    col("o_id") < col("doc_id"))
+                .filter(nMatchLocal >= g.minMatches)
+                .select(col("doc_id")).distinct().as[Long].collect().toSet
+              // standing: Bloom-screened broadcast probe of the sigs
+              // table — one scan, no shuffle; skipped when no incoming
+              // band signature can possibly collide
+              val sigT = sigsTable(corpus)
+              val anyMaybe = sigPairs.exists(r => sb.mightContain(r.getString(1)))
+              val standingDupIds: Set[Long] =
+                if (!anyMaybe || !spark.catalog.tableExists(sigT)) Set.empty
+                else {
+                  val probe = ws.select(
+                    Seq(col("doc_id").as("in_id"), col("band").as("in_band"),
+                      col("sig").as("in_sig")) ++
+                      (0 until nSeeds).map(i => col(s"mh$i").as(s"in_mh$i")): _*)
+                  val nMatchStanding = (0 until nSeeds).map(i =>
+                    when(col(s"mh$i") === col(s"in_mh$i"), 1).otherwise(0)).reduce(_ + _)
+                  spark.table(sigT)
+                    .join(broadcast(probe),
+                      col("band") === col("in_band") && col("sig") === col("in_sig"))
+                    .filter(nMatchStanding >= g.minMatches)
+                    .select(col("in_id")).distinct().as[Long].collect().toSet
+                }
+              val dropIds = localDupIds ++ standingDupIds
+              if (dropIds.isEmpty) (fresh, sigPairs.map(_.getString(1)))
+              else {
+                val dropDf = broadcast(dropIds.toSeq.toDF("doc_id"))
+                fresh.join(dropDf, Seq("doc_id"), "left_semi")
+                  .write.mode("append").parquet(neardupDir)
+                (fresh.join(dropDf, Seq("doc_id"), "left_anti"),
+                  sigPairs.filterNot(r => dropIds(r.getLong(0))).map(_.getString(1)))
+              }
+            case _ => (fresh, Seq.empty[String])
+          }
+          // pre-shuffle to exactly the bucket layout: repartition hash
+          // (Murmur3 pmod n) IS the bucketing hash, so each task holds
+          // one bucket's rows and writes ONE file — without this the
+          // Bloom fast path (arbitrary input partitioning) writes up to
+          // tasks × buckets files per append, and the standing scan
+          // then pays a footer-read per file forever (the small-files
+          // problem Layout.compactFiles exists to undo). One
+          // batch-sized shuffle per append buys a bounded file count.
+          val w = finalFresh.repartition(corpus.buckets, col("fp")).write
+          (if (semantic.isDefined) w.partitionBy("cluster") else w)
+            .bucketBy(corpus.buckets, "fp")
+            .sortBy("fp")
+            .mode("append")
+            .saveAsTable(corpus.table)
+          // sig rows for what ACTUALLY landed, appended AFTER the corpus
+          // (crash between the two loses only future near-dup coverage
+          // for this batch — see MinHashGate's ordering note)
+          (minhash, withSig, sigBloom) match {
+            case (Some(_), Some(ws), Some(sb)) =>
+              ws.join(broadcast(finalFresh.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+                .repartition(corpus.buckets, col("sig"))
+                .write.bucketBy(corpus.buckets, "sig").sortBy("sig")
+                .mode("append").saveAsTable(sigsTable(corpus))
+              sb.add(survivorSigs)
+            case _ =>
+          }
+          // appended fps are driver-computable — batch fps minus the
+          // confirmed standing dups — so no extra collect job runs. The
+          // semantic/minhash passes may have dropped more rows; adding
+          // their fps anyway is a safe over-approximation per the Bloom
+          // contract.
+          gate.add(fps.filterNot(dupSet))
+        } finally withSig.foreach(_.unpersist())
       } finally local.unpersist()
     } finally batch.unpersist()
   }
@@ -359,10 +467,14 @@ object CorpusIngest {
     * stream was started — a cluster-partitioned corpus keeps its
     * partitioning through the rewrite. */
   def compact(spark: SparkSession, corpus: BucketedCorpus,
-              semantic: Boolean = false): Unit =
+              semantic: Boolean = false): Unit = {
     graft.sources.Layout.rewriteBucketed(
       spark, corpus.table, "fp", corpus.buckets,
       if (semantic) Seq("cluster") else Nil)
+    if (spark.catalog.tableExists(sigsTable(corpus)))
+      graft.sources.Layout.rewriteBucketed(
+        spark, sigsTable(corpus), "sig", corpus.buckets)
+  }
 
   /** A corpus exists when its directory already holds parquet data —
     * a bare/nonexistent dir is the first-batch bootstrap case, not an
@@ -414,16 +526,25 @@ object CorpusIngest {
       checkpointDir: String,
       availableNow: Boolean = false,
       semantic: Option[SemanticGate] = None,
+      minhash: Option[MinHashGate] = None,
       sourceOptions: Map[String, String] = Map.empty
   ): (StreamingQuery, StreamingQuery) = {
     val gate = new BloomGate(corpus.bloomExpectedItems, corpus.bloomFpp)
     if (spark.catalog.tableExists(corpus.table))
       gate.seed(spark.table(corpus.table), "fp")
+    val sigBloom = minhash.map { _ =>
+      // 4 band-signature rows per doc, hence 4x the fp sizing
+      val b = new BloomGate(4 * corpus.bloomExpectedItems, corpus.bloomFpp)
+      if (spark.catalog.tableExists(sigsTable(corpus)))
+        b.seed(spark.table(sigsTable(corpus)), "sig")
+      b
+    }
     startWith(spark, watchDir, schema, quarantineDir, checkpointDir, availableNow,
       sourceOptions)(
       (df, _) => appendDedupedBucketed(
         df.sparkSession, df, corpus, s"$quarantineDir/incomplete", gate,
-        semantic, s"$quarantineDir/semdup"))
+        semantic, s"$quarantineDir/semdup",
+        minhash, sigBloom, s"$quarantineDir/neardup"))
   }
 
   /** Shared wiring: JSONL split → (corpus foreachBatch, malformed

@@ -299,6 +299,64 @@ class IngestSpec extends SparkSuite {
     assert(compacted.map(_.getAs[Long]("cluster")).sorted.toSeq == Seq(100L, 100L, 200L))
   }
 
+  test("minhash ingest: reworded near-duplicates are quarantined by the text gate") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.{BucketedCorpus, MinHashGate}
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_mh").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_minhash_test", buckets = 4)
+    val gate = MinHashGate(minMatches = 8)
+
+    // a 40-word document; variants swap ONE word (3 of 38 shingles
+    // change, so ~11 of 12 MinHash components still agree — all
+    // md5-deterministic, no flake)
+    def doc(sub: Map[Int, String]): String =
+      (1 to 40).map(i => sub.getOrElse(i, s"word$i")).mkString(" ")
+    def line(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+
+    def runOnce(): Unit = {
+      val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+        quarantine, ckpt, availableNow = true, minhash = Some(gate))
+      gq.awaitTermination(); bq.awaitTermination()
+    }
+
+    // shard 1: the original, an unrelated doc, and a WITHIN-BATCH
+    // near-dup (one word swapped — fresh fp, the exact gate passes it)
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      line(1, doc(Map.empty)),
+      line(2, (1 to 12).map(i => s"unrelated$i").mkString(" ")),
+      line(3, doc(Map(20 -> "swapped")))
+    ), gzip = false)
+    runOnce()
+    assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 2L),
+      "the within-batch reworded near-dup (doc 3) must not append")
+    assert(spark.read.parquet(s"$quarantine/neardup").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+
+    // shard 2 after a restart (sig Bloom reseeded from the sigs table):
+    // another reword of the STANDING doc 1, plus a genuinely new doc
+    writeLines(s"$watch/shard-2.jsonl", Seq(
+      line(10, doc(Map(30 -> "different"))),
+      line(11, (1 to 12).map(i => s"brandnew$i").mkString(" "))
+    ), gzip = false)
+    runOnce()
+    spark.catalog.refreshTable(corpus.table)
+    assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 2L, 11L),
+      "the cross-batch reword (doc 10) must be dropped; doc 11 must append")
+    assert(spark.read.parquet(s"$quarantine/neardup").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(3L, 10L))
+    // the signature index tracks exactly the corpus survivors (4 band
+    // rows per doc; doc 2 and 11 are 12 tokens -> 10 shingles, signed)
+    spark.catalog.refreshTable(CorpusIngest.sigsTable(corpus))
+    assert(spark.table(CorpusIngest.sigsTable(corpus))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 11L))
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
