@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.CorpusIngest
-import graft.streaming.CorpusIngest.BucketedCorpus
+import graft.streaming.CorpusIngest.{BucketedCorpus, MinHashGate}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -154,9 +154,20 @@ object IngestBench {
         availableNow = true, sourceOptions = opts))
     }
 
+    // bucketed + the streaming MinHash near-dup gate: same waves, plus
+    // per-batch signature computation and the sig-table probe
+    spark.sql("DROP TABLE IF EXISTS ingest_bench_mh")
+    spark.sql("DROP TABLE IF EXISTS ingest_bench_mh_sigs")
+    val mhCorpus = BucketedCorpus("ingest_bench_mh", buckets = parts,
+      bloomExpectedItems = math.max(n * 4L, 1L << 20))
+    val (mhFresh, mhSF, mhSD) = scenario { (watch, q, ckpt, opts) =>
+      awaitBoth(CorpusIngest.startBucketed(spark, watch, schema, mhCorpus, q, ckpt,
+        availableNow = true, minhash = Some(MinHashGate()), sourceOptions = opts))
+    }
+
     val sr = 2 * (n / 40) // records per standing phase
     println(
-      f"""{"metric":"ingest_throughput","records":$n,"plain":{"fresh_rps":${n / plainFresh}%.0f,"standing_fresh_rps":${sr / plainSF}%.0f,"standing_dup_rps":${sr / plainSD}%.0f,"seconds":[$plainFresh%.2f,$plainSF%.2f,$plainSD%.2f]},"bucketed":{"fresh_rps":${n / buckFresh}%.0f,"standing_fresh_rps":${sr / buckSF}%.0f,"standing_dup_rps":${sr / buckSD}%.0f,"seconds":[$buckFresh%.2f,$buckSF%.2f,$buckSD%.2f]}}""")
+      f"""{"metric":"ingest_throughput","records":$n,"plain":{"fresh_rps":${n / plainFresh}%.0f,"standing_fresh_rps":${sr / plainSF}%.0f,"standing_dup_rps":${sr / plainSD}%.0f,"seconds":[$plainFresh%.2f,$plainSF%.2f,$plainSD%.2f]},"bucketed":{"fresh_rps":${n / buckFresh}%.0f,"standing_fresh_rps":${sr / buckSF}%.0f,"standing_dup_rps":${sr / buckSD}%.0f,"seconds":[$buckFresh%.2f,$buckSF%.2f,$buckSD%.2f]},"bucketed_minhash":{"fresh_rps":${n / mhFresh}%.0f,"standing_fresh_rps":${sr / mhSF}%.0f,"standing_dup_rps":${sr / mhSD}%.0f,"seconds":[$mhFresh%.2f,$mhSF%.2f,$mhSD%.2f]}}""")
     spark.stop()
   }
 }

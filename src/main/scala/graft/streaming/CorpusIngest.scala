@@ -143,7 +143,16 @@ object CorpusIngest {
     * signatures and silently drop its rows.
     *
     * Docs with fewer than 3 tokens have no shingles, hence no
-    * signature: they always pass (and add no index rows). */
+    * signature: they always pass (and add no index rows).
+    *
+    * Cost model (IngestBench records it): the gate's work — shingle +
+    * 12-hash signatures and the within-batch band self-join — is
+    * BATCH-proportional, so it prices each incremental wave, not the
+    * corpus. Corollary: bootstrap a large EXISTING corpus with the
+    * batch dedup pipeline (`minhash_lsh`/`dedup_clusters`) and start
+    * the gated stream from its output; pushing the whole history
+    * through the gate in one giant micro-batch does the batch
+    * pipeline's job at streaming prices. */
   final case class MinHashGate(minMatches: Int = 9) {
     require(minMatches >= 1 && minMatches <= SimilarityQueries.MinhashSeeds.size,
       s"minMatches must be in [1, ${SimilarityQueries.MinhashSeeds.size}]")
