@@ -165,14 +165,24 @@ object CorpusIngest {
     * (fresh, semantic-dup). `incoming` carries (cluster, embedding,
     * nrm); `standing` must be pre-renamed to (s_cluster, s_emb, s_nrm).
     * Shared verbatim by the streaming gate and the batch agreement
-    * test, so the two paths cannot diverge. */
+    * test, so the two paths cannot diverge.
+    *
+    * Join shape, same discipline as [[standingDups]]: the STANDING side
+    * only ever streams past a broadcast of the (micro-batch-sized)
+    * incoming frame — a direct left-anti against standing would make
+    * Spark shuffle the standing cluster rows on every batch (an anti
+    * join can only broadcast its right side). The matched incoming ids
+    * are batch-bounded, so the id-distinct and the final broadcast
+    * anti/semi are all batch-priced. */
   private[graft] def semanticSplit(
       incoming: DataFrame, standing: DataFrame, threshold: Double)
       : (DataFrame, DataFrame) = {
     val cond = col("cluster") === col("s_cluster") &&
       (dotD(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm"))) >= threshold
-    (incoming.join(standing, cond, "left_anti"),
-      incoming.join(standing, cond, "left_semi"))
+    val dupIds = standing.join(broadcast(incoming), cond)
+      .select(col("doc_id")).distinct()
+    (incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti"),
+      incoming.join(broadcast(dupIds), Seq("doc_id"), "left_semi"))
   }
 
   /** Batch-LOCAL semantic keeper election: a row is dropped when a
@@ -193,7 +203,10 @@ object CorpusIngest {
       col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
     val cond = col("cluster") === col("o_cluster") && col("o_id") < col("doc_id") &&
       (dotD(col("embedding"), col("o_emb")) / (col("nrm") * col("o_nrm"))) >= threshold
-    (batch.join(other, cond, "left_anti"), batch.join(other, cond, "left_semi"))
+    // both sides are the micro-batch; broadcasting the comparison side
+    // keeps the self-join shuffle-free
+    (batch.join(broadcast(other), cond, "left_anti"),
+      batch.join(broadcast(other), cond, "left_semi"))
   }
 
   /** Driver-held over-approximation of the standing corpus's fp set.
