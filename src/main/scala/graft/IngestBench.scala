@@ -58,6 +58,9 @@ object IngestBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
+    // standing waves are n/40 docs each; below 40 they'd be empty and
+    // the printed rps would be NaN/Infinity — a silent garbage record
+    require(n >= 40, s"nRecords must be >= 40, got $n")
     val parts = args.lift(1).map(_.toInt).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val spark = SparkSession.builder()
@@ -131,14 +134,27 @@ object IngestBench {
       qs._1.awaitTermination(); qs._2.awaitTermination(); qs._1
     }
 
-    // warmup: burn one-time streaming/codegen init untimed
-    locally {
+    // warmup: burn one-time streaming/codegen/write-path init untimed —
+    // PER COMPOSITION, against throwaway corpora, or the first timed
+    // batch of each layout pays setup the others don't (the comparison
+    // is the whole point of this bench)
+    def warm(run: (String, String, String) => Unit): Unit = {
       val w = java.nio.file.Files.createTempDirectory("ib-warm").toString
       writeShard(s"$w/s.jsonl", (0L until 2000L), identity)
       val c = java.nio.file.Files.createTempDirectory("ib-warmout").toString
-      awaitBoth(CorpusIngest.start(spark, w, schema, s"$c/corpus", s"$c/q",
-        s"$c/ckpt", availableNow = true))
+      run(w, c, s"$c/ckpt")
     }
+    warm((w, c, k) => awaitBoth(CorpusIngest.start(
+      spark, w, schema, s"$c/corpus", s"$c/q", k, availableNow = true)))
+    spark.sql("DROP TABLE IF EXISTS ingest_warm")
+    warm((w, c, k) => awaitBoth(CorpusIngest.startBucketed(
+      spark, w, schema, BucketedCorpus("ingest_warm", buckets = parts),
+      s"$c/q", k, availableNow = true)))
+    spark.sql("DROP TABLE IF EXISTS ingest_warm_mh")
+    spark.sql("DROP TABLE IF EXISTS ingest_warm_mh_sigs")
+    warm((w, c, k) => awaitBoth(CorpusIngest.startBucketed(
+      spark, w, schema, BucketedCorpus("ingest_warm_mh", buckets = parts),
+      s"$c/q", k, availableNow = true, minhash = Some(MinHashGate()))))
 
     val plainCorpus = java.nio.file.Files.createTempDirectory("ib-plain").toString + "/corpus"
     val (plainFresh, plainSF, plainSD) = scenario { (watch, q, ckpt, opts) =>

@@ -143,6 +143,14 @@ object Layout {
       partitionCols: Seq[String] = Nil
   ): Unit = {
     val tmp = s"${table}_compact_tmp"
+    // crash recovery: a previous run that died between its DROP and
+    // RENAME left the ONLY copy of the data in tmp — blindly dropping
+    // tmp here would destroy it. Complete the interrupted swap instead,
+    // then compact normally.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // force a genuinely BUCKETED read: the optimizer elides the
     // repartition below (the table's bucket metadata already satisfies

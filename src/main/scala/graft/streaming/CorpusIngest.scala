@@ -161,6 +161,23 @@ object CorpusIngest {
   /** The signature side table backing [[MinHashGate]]. */
   private[graft] def sigsTable(corpus: BucketedCorpus): String = s"${corpus.table}_sigs"
 
+  /** A signature frame's columns renamed under `prefix`, plus the
+    * component-match count between the UNPREFIXED mh columns (of
+    * whatever frame this joins against) and the prefixed ones — the one
+    * construction both MinHash probes (within-batch and standing)
+    * share, so the match rule cannot diverge between them. */
+  private def prefixedSigs(ws: DataFrame, prefix: String)
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    val n = SimilarityQueries.MinhashSeeds.size
+    val renamed = ws.select(
+      Seq(col("doc_id").as(s"${prefix}id"), col("band").as(s"${prefix}band"),
+        col("sig").as(s"${prefix}sig")) ++
+        (0 until n).map(i => col(s"mh$i").as(s"${prefix}mh$i")): _*)
+    val nMatch = (0 until n).map(i =>
+      when(col(s"mh$i") === col(s"${prefix}mh$i"), 1).otherwise(0)).reduce(_ + _)
+    (renamed, nMatch)
+  }
+
   /** Split incoming rows against same-cluster standing rows by cosine:
     * (fresh, semantic-dup). `incoming` carries (cluster, embedding,
     * nrm); `standing` must be pre-renamed to (s_cluster, s_emb, s_nrm).
@@ -185,16 +202,19 @@ object CorpusIngest {
       incoming.join(broadcast(dupIds), Seq("doc_id"), "left_semi"))
   }
 
-  /** Batch-LOCAL semantic keeper election: a row is dropped when a
-    * same-cluster row with a SMALLER doc_id sits within the cosine
-    * threshold — the semantic twin of [[electKeepers]]' min-doc_id
-    * rule, so two paraphrases landing in ONE shard can't both append
-    * (the standing check alone only sees earlier batches). Greedy, not
-    * transitive: in a chain a~b~c (a<b<c) where a,c are NOT themselves
-    * within threshold, b drops and c survives next to a — the standard
-    * single-pass near-dup semantics; a curation pass wanting full
-    * components runs the batch `dedup_clusters` instead. Cost: one
-    * self-join of the (micro-batch-sized) frame on cluster. Returns
+  /** Batch-LOCAL semantic keeper election: a row is dropped iff SOME
+    * same-cluster batch row with a SMALLER doc_id sits within the
+    * cosine threshold — the semantic twin of [[electKeepers]]'
+    * min-doc_id rule, so two paraphrases landing in ONE shard can't
+    * both append (the standing check alone only sees earlier batches).
+    * The smaller-id neighbor may itself have been dropped: in a chain
+    * a~b~c (a<b<c, a NOT~ c), both b AND c drop — chains collapse
+    * toward their minimum, the same keep-set a connected-components
+    * pass would elect for min-anchored chains, WITHOUT the iterative
+    * closure (a row whose only smaller-id links are outside threshold
+    * survives even if components would merge it). A curation pass
+    * wanting exact components runs the batch `dedup_clusters`. Cost:
+    * one broadcast self-join of the (micro-batch-sized) frame. Returns
     * (keepers, dropped). */
   private[graft] def semanticKeepers(batch: DataFrame, threshold: Double)
       : (DataFrame, DataFrame) = {
@@ -203,10 +223,11 @@ object CorpusIngest {
       col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
     val cond = col("cluster") === col("o_cluster") && col("o_id") < col("doc_id") &&
       (dotD(col("embedding"), col("o_emb")) / (col("nrm") * col("o_nrm"))) >= threshold
-    // both sides are the micro-batch; broadcasting the comparison side
-    // keeps the self-join shuffle-free
-    (batch.join(broadcast(other), cond, "left_anti"),
-      batch.join(broadcast(other), cond, "left_semi"))
+    // no broadcast hint: both sides are the micro-batch, so a shuffle
+    // here is batch-priced (fine), while a FORCED broadcast would OOM
+    // on an oversized batch; Catalyst broadcasts small batches on its
+    // own size estimate
+    (batch.join(other, cond, "left_anti"), batch.join(other, cond, "left_semi"))
   }
 
   /** Driver-held over-approximation of the standing corpus's fp set.
@@ -384,10 +405,15 @@ object CorpusIngest {
             }
           case None => exactFresh
         }
+        // with gates active, `fresh` feeds several actions (signature
+        // build, quarantine writes, the corpus append, the sig-table
+        // semi-join) — pin it so the gate joins and the standing
+        // cluster scan run once, not once per action
+        val gated = semantic.isDefined || minhash.isDefined
+        if (gated) fresh.persist()
         // MINHASH pass (text near-dup, see MinHashGate): within-batch
-        // greedy election + Bloom-screened standing probe, both on the
-        // shared batch/streaming signature construction
-        val nSeeds = SimilarityQueries.MinhashSeeds.size
+        // election + Bloom-screened standing probe, both on the shared
+        // batch/streaming signature construction
         val withSig = minhash.map { _ =>
           val mins = SimilarityQueries.minhashSigsOf(
             fresh.select(col("doc_id"), col("text")))
@@ -399,14 +425,12 @@ object CorpusIngest {
               import spark.implicits._
               val sigPairs = ws.select(col("doc_id"), col("sig")).collect().toIndexedSeq
               // within-batch: band collision against a SMALLER doc_id
-              // with >= minMatches agreeing components (the greedy
-              // min-keeper rule, same as the semantic gate's)
-              val o = ws.select(
-                Seq(col("doc_id").as("o_id"), col("band").as("o_band"),
-                  col("sig").as("o_sig")) ++
-                  (0 until nSeeds).map(i => col(s"mh$i").as(s"o_mh$i")): _*)
-              val nMatchLocal = (0 until nSeeds).map(i =>
-                when(col(s"mh$i") === col(s"o_mh$i"), 1).otherwise(0)).reduce(_ + _)
+              // with >= minMatches agreeing components — drop iff such
+              // a neighbor EXISTS, dropped or not (chains collapse
+              // toward the min; same rule as semanticKeepers)
+              // no broadcast hint on the self-join: both sides are the
+              // batch (see semanticKeepers' note)
+              val (o, nMatchLocal) = prefixedSigs(ws, "o_")
               val localDupIds = ws.join(o,
                   col("band") === col("o_band") && col("sig") === col("o_sig") &&
                     col("o_id") < col("doc_id"))
@@ -420,12 +444,7 @@ object CorpusIngest {
               val standingDupIds: Set[Long] =
                 if (!anyMaybe || !spark.catalog.tableExists(sigT)) Set.empty
                 else {
-                  val probe = ws.select(
-                    Seq(col("doc_id").as("in_id"), col("band").as("in_band"),
-                      col("sig").as("in_sig")) ++
-                      (0 until nSeeds).map(i => col(s"mh$i").as(s"in_mh$i")): _*)
-                  val nMatchStanding = (0 until nSeeds).map(i =>
-                    when(col(s"mh$i") === col(s"in_mh$i"), 1).otherwise(0)).reduce(_ + _)
+                  val (probe, nMatchStanding) = prefixedSigs(ws, "in_")
                   spark.table(sigT)
                     .join(broadcast(probe),
                       col("band") === col("in_band") && col("sig") === col("in_sig"))
@@ -475,7 +494,10 @@ object CorpusIngest {
           // their fps anyway is a safe over-approximation per the Bloom
           // contract.
           gate.add(fps.filterNot(dupSet))
-        } finally withSig.foreach(_.unpersist())
+        } finally {
+          withSig.foreach(_.unpersist())
+          if (gated) fresh.unpersist()
+        }
       } finally local.unpersist()
     } finally batch.unpersist()
   }

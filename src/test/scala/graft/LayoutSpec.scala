@@ -81,6 +81,21 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction re-run after a crash between DROP and RENAME recovers the data") {
+    spark.sql("DROP TABLE IF EXISTS crash_t")
+    spark.sql("DROP TABLE IF EXISTS crash_t_compact_tmp")
+    spark.range(0, 1000).toDF("k").repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("crash_t")
+    // simulate a compaction that died between its DROP TABLE and RENAME:
+    // the sole copy of the data sits in the tmp table
+    spark.sql("ALTER TABLE crash_t RENAME TO crash_t_compact_tmp")
+    // the operator re-runs compaction to recover — this must complete
+    // the interrupted swap, NOT drop the only copy
+    Layout.rewriteBucketed(spark, "crash_t", "k", 2)
+    assert(spark.table("crash_t").count() == 1000)
+    assert(spark.table("crash_t").agg(sum(col("k"))).head.getLong(0) == 1000L * 999 / 2)
+  }
+
   test("range-sorted writes produce disjoint per-file key ranges") {
     val out = Files.createTempDirectory("range").toString + "/events_ranged"
     Layout.writeRangeSorted(Tables.events(spark, dir), "ts", 4, out)
