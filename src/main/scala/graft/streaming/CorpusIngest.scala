@@ -321,7 +321,7 @@ object CorpusIngest {
   }
 
   /** One micro-batch against the BUCKETED corpus table, Bloom-gated,
-    * with an optional semantic gate:
+    * with optional semantic (embedding) and MinHash (text) gates:
     *
     *   1. quarantine incomplete rows (with a gate, a missing embedding
     *      is incomplete too — the row can't be semantically checked);
@@ -340,7 +340,11 @@ object CorpusIngest {
     *      the SAME clusters only (a partition filter — the table is
     *      partitioned by cluster); cosine ≥ threshold → quarantined to
     *      `semdupDir` as a paraphrase-duplicate
-    *   6. append the survivors; extend the Bloom with what landed
+    *   6. MINHASH pass ([[MinHashGate]]): within-batch band election,
+    *      then a Bloom-screened broadcast probe of the `<corpus>_sigs`
+    *      table; near-dups → `neardupDir`
+    *   7. append the survivors (one file per bucket); append their
+    *      signature rows; extend both Blooms with what landed
     */
   private[streaming] def appendDedupedBucketed(
       spark: SparkSession, batch: DataFrame,
