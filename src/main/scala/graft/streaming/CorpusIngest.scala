@@ -191,13 +191,25 @@ object CorpusIngest {
     * join can only broadcast its right side). The matched incoming ids
     * are batch-bounded, so the id-distinct and the final broadcast
     * anti/semi are all batch-priced. */
+  /** The ids of incoming rows with a same-cluster standing row within
+    * `threshold` — [[semanticSplit]]'s verdict, exposed so the
+    * streaming path can MATERIALIZE it (collect) before the corpus
+    * append: a lazy frame that reads the standing table must never be
+    * evaluated after the batch lands, or the appended rows match
+    * THEMSELVES (Spark's recacheByPath recomputes persisted plans
+    * whose lineage touches the written path — observed dropping a
+    * fresh doc's signature rows before this was materialized). */
+  private[graft] def semanticDupIds(
+      incoming: DataFrame, standing: DataFrame, threshold: Double): DataFrame = {
+    val cond = col("cluster") === col("s_cluster") &&
+      (dotD(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm"))) >= threshold
+    standing.join(broadcast(incoming), cond).select(col("doc_id")).distinct()
+  }
+
   private[graft] def semanticSplit(
       incoming: DataFrame, standing: DataFrame, threshold: Double)
       : (DataFrame, DataFrame) = {
-    val cond = col("cluster") === col("s_cluster") &&
-      (dotD(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm"))) >= threshold
-    val dupIds = standing.join(broadcast(incoming), cond)
-      .select(col("doc_id")).distinct()
+    val dupIds = semanticDupIds(incoming, standing, threshold)
     (incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti"),
       incoming.join(broadcast(dupIds), Seq("doc_id"), "left_semi"))
   }
@@ -392,21 +404,32 @@ object CorpusIngest {
         val fresh = semantic match {
           case Some(g) =>
             // within-batch first (two paraphrases in one shard must not
-            // both append), then against the standing corpus
+            // both append), then against the standing corpus. The
+            // standing verdict is COLLECTED here, before the append:
+            // everything evaluated after the batch lands (quarantine
+            // writes, the sig-table semi-join) must carry batch-only
+            // lineage — see semanticDupIds' hazard note
             val (localKeep, localDup) = semanticKeepers(exactFresh, g.threshold)
-            if (exists) {
-              val clusters = keys.map(_.getLong(1)).distinct
-              val standing = spark.table(corpus.table)
-                .filter(col("cluster").isin(clusters: _*))
-                .select(col("cluster").as("s_cluster"),
-                  col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
-              val (f, standDup) = semanticSplit(localKeep, standing, g.threshold)
-              localDup.unionByName(standDup).write.mode("append").parquet(semdupDir)
-              f
-            } else {
-              localDup.write.mode("append").parquet(semdupDir)
-              localKeep
-            }
+            val standIdsDf: Option[DataFrame] =
+              if (!exists) None
+              else {
+                import spark.implicits._
+                val clusters = keys.map(_.getLong(1)).distinct
+                val standing = spark.table(corpus.table)
+                  .filter(col("cluster").isin(clusters: _*))
+                  .select(col("cluster").as("s_cluster"),
+                    col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+                val semIds = semanticDupIds(localKeep, standing, g.threshold)
+                  .as[Long].collect().toIndexedSeq
+                if (semIds.isEmpty) None else Some(broadcast(semIds.toDF("doc_id")))
+              }
+            val dupAll = standIdsDf
+              .map(ids => localDup.unionByName(localKeep.join(ids, Seq("doc_id"), "left_semi")))
+              .getOrElse(localDup)
+            dupAll.write.mode("append").parquet(semdupDir)
+            standIdsDf
+              .map(ids => localKeep.join(ids, Seq("doc_id"), "left_anti"))
+              .getOrElse(localKeep)
           case None => exactFresh
         }
         // with gates active, `fresh` feeds several actions (signature

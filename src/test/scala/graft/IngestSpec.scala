@@ -357,6 +357,81 @@ class IngestSpec extends SparkSuite {
       == Seq(1L, 2L, 11L))
   }
 
+  test("combined gates: semantic and minhash compose, each quarantining its own modality") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.{BucketedCorpus, MinHashGate, SemanticGate}
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_both").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+    val embSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val corpus = BucketedCorpus(table = "corpus_both_test", buckets = 4)
+    val sem = SemanticGate(Seq(
+      (100L, Seq(1.0, 0.0), 1.0),
+      (200L, Seq(0.0, 1.0), 1.0)), threshold = 0.95)
+    val mh = MinHashGate(minMatches = 8)
+
+    def doc(sub: Map[Int, String]): String =
+      (1 to 40).map(i => sub.getOrElse(i, s"word$i")).mkString(" ")
+    def uniq(prefix: String): String = (1 to 12).map(i => s"$prefix$i").mkString(" ")
+    def line(id: Long, text: String, emb: (Double, Double)) =
+      s"""{"doc_id": $id, "text": "$text", "embedding": [${emb._1}, ${emb._2}]}"""
+
+    def runOnce(): Unit = {
+      val (gq, bq) = CorpusIngest.startBucketed(spark, watch, embSchema, corpus,
+        quarantine, ckpt, availableNow = true,
+        semantic = Some(sem), minhash = Some(mh))
+      gq.awaitTermination(); bq.awaitTermination()
+    }
+
+    // one shard exercising both gates at once:
+    //   1  — the original (cluster 100)
+    //   5  — DIFFERENT text, near-identical embedding  -> semantic dup
+    //   7  — reworded text, FAR embedding (cluster 200) -> minhash dup
+    //   9  — unrelated text and far embedding           -> appends
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      line(1, doc(Map.empty), (1.0, 0.05)),
+      line(5, uniq("othertok"), (0.99, 0.04)),
+      line(7, doc(Map(20 -> "swapped")), (0.05, 1.0)),
+      line(9, uniq("elsewords"), (-0.7, 0.7))
+    ), gzip = false)
+    runOnce()
+    assert(spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 9L))
+    assert(spark.read.parquet(s"$quarantine/semdup").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
+    assert(spark.read.parquet(s"$quarantine/neardup").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(7L))
+
+    // cross-batch after a restart: each gate again catches its modality
+    writeLines(s"$watch/shard-2.jsonl", Seq(
+      line(20, uniq("freshtok"), (-0.72, 0.69)),      // emb-paraphrase of 9
+      line(21, doc(Map(30 -> "different")), (0.9, -0.4)), // text-reword of 1
+      line(22, uniq("brandnewt"), (0.5, -0.85))       // genuinely new
+    ), gzip = false)
+    runOnce()
+    // read through a FRESH session (shared catalog, fresh metadata
+    // caches): this long-lived test session's cached listing for the
+    // partitioned table can stay stale even after refreshTable when the
+    // appends happen in the stream's cloned session — a fresh session
+    // is also how a real downstream consumer reads an actively-appended
+    // table
+    val reader = spark.newSession()
+    assert(reader.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      == Seq(1L, 9L, 22L))
+    assert(spark.read.parquet(s"$quarantine/semdup").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(5L, 20L))
+    assert(spark.read.parquet(s"$quarantine/neardup").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(7L, 21L))
+    // the signature index tracks exactly the corpus survivors
+    assert(reader.table(CorpusIngest.sigsTable(corpus))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 9L, 22L))
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
