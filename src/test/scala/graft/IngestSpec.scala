@@ -432,6 +432,51 @@ class IngestSpec extends SparkSuite {
       == Seq(1L, 9L, 22L))
   }
 
+  test("semantic gate agrees with batch semantic_neardup on the real embeddings fixture") {
+    import graft.queries.SimilarityQueries
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.{BucketedCorpus, SemanticGate}
+    val dir = "/root/testdata/sf0.001"
+    // freeze the SAME trained index the oracle-green batch query uses
+    val gate = SemanticGate.fromFrame(
+      SimilarityQueries.kmeansCentroids(spark, dir, rounds = 2), threshold = 0.3)
+    // batch ground truth: a doc is a within-corpus near-dup iff it is
+    // the LARGER id of some semantic_neardup pair (the gate's
+    // smaller-id-keeper rule over one batch is exactly that set)
+    val expectedDrops = SimilarityQueries.semanticNearDup(spark, dir)
+      .collect().map(_.getAs[Long]("vb")).toSet
+    val allIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(expectedDrops.nonEmpty && expectedDrops.size < allIds.size,
+      "fixture must exercise both outcomes")
+
+    // stream the SAME 500 vectors (exact float->double widening) as one
+    // JSONL shard through the gated ingest
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_agree").toString
+    val watch = s"$base/landing"; new java.io.File(watch).mkdirs()
+    val lines = spark.read.parquet(s"$dir/embeddings.parquet").collect().map { r =>
+      val id = r.getAs[Long]("vec_id")
+      val emb = r.getSeq[Float](1).map(_.toDouble.toString).mkString(",")
+      s"""{"doc_id": $id, "text": "vector number $id", "embedding": [$emb]}"""
+    }
+    writeLines(s"$watch/shard.jsonl", lines.toIndexedSeq, gzip = false)
+    val embSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val corpus = BucketedCorpus(table = "corpus_agree_test", buckets = 4)
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, embSchema, corpus,
+      s"$base/quarantine", s"$base/ckpt", availableNow = true, semantic = Some(gate))
+    gq.awaitTermination(); bq.awaitTermination()
+
+    val appended = spark.table(corpus.table).collect().map(_.getAs[Long]("doc_id")).toSet
+    val quarantined = spark.read.parquet(s"$base/quarantine/semdup")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(quarantined == expectedDrops,
+      s"gate drops must equal the batch pairs' larger ids; extra=${quarantined -- expectedDrops} missing=${expectedDrops -- quarantined}")
+    assert(appended == allIds -- expectedDrops)
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(
