@@ -48,7 +48,10 @@ object Plans {
     "source_cap" -> "per-source cap: WindowGroupLimit prunes to ≤cap rows per source before the exchange",
     "token_budget_select" -> "banded distributed cumsum: unpartitioned window only on the 32-row band-totals frame",
     "corpus_profile" -> "two compact-key shuffles (fp window, rollup); text dies at the scan projection",
-    "mix_sample" -> "per-source rates from one compact aggregation, broadcast back; keep decision is a narrow map"
+    "mix_sample" -> "per-source rates from one compact aggregation, broadcast back; keep decision is a narrow map",
+    "rank_fusion" -> "both arms prune to top-50 via TakeOrderedAndProject before the fuse; final rank on ≤100 rows",
+    "lm_score" -> "vocabulary-sized model tables; model joins keyed on compact bigram/token strings",
+    "cluster_eval" -> "assignment is the zero-shuffle narrow map; centroids broadcast; (bucket)/(bucket,label) rollups only"
   )
 
   def main(args: Array[String]): Unit = {

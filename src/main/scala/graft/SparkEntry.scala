@@ -55,11 +55,13 @@ object SparkEntry {
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
     "kmeans_shift" -> (SimilarityQueries.kmeansShift _),
+    "cluster_eval" -> (SimilarityQueries.clusterEval _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
+    "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
     "dims_exploded" -> (CoreQueries.dimsExploded _),
@@ -103,6 +105,7 @@ object SparkEntry {
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "time_split" -> (AnalyticsQueries.timeSplit _),
     "token_rarity" -> (TextQueries.tokenRarity _),
+    "lm_score" -> (TextQueries.lmScore _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
@@ -508,6 +511,29 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "cluster_eval" ->
+      // inertia as exact fixed-point sums (floor((d·d)·10⁶) per
+      // coordinate, summed as BIGINTs — order-independent), majority
+      // label per trained bucket; asn2/nc2 from the shared chain
+      s"""$KmeansTrain2Body,
+         |se AS (SELECT a.bucket,
+         |    CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(floor((CAST(a.embedding[i] AS DOUBLE) - c.cemb2[i])
+         |                      * (CAST(a.embedding[i] AS DOUBLE) - c.cemb2[i])
+         |                      * 1000000.0) AS BIGINT))) AS BIGINT) AS sse_row
+         |  FROM asn2 a JOIN nc2 c ON a.bucket = c.cid2),
+         |ss AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(sse_row) AS BIGINT) AS sse_fp FROM se GROUP BY bucket),
+         |lb AS (SELECT a.bucket, e.label, CAST(count(*) AS BIGINT) AS cl
+         |       FROM asn2 a JOIN embeddings e ON a.vec_id = e.vec_id
+         |       GROUP BY a.bucket, e.label),
+         |mj AS (SELECT bucket, label, cl,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY cl DESC, label) AS rn
+         |       FROM lb)
+         |SELECT s.bucket, s.n_members, s.sse_fp,
+         |  CAST(m.label AS BIGINT) AS majority_label, m.cl AS n_majority,
+         |  CAST(m.cl AS DOUBLE) / CAST(s.n_members AS DOUBLE) AS purity
+         |FROM ss s JOIN mj m ON s.bucket = m.bucket AND m.rn = 1""".stripMargin,
     "kmeans_shift" ->
       // Chebyshev centroid movement per bucket: max over coordinates of
       // |updated - seed| (max is aggregation-order-independent); ag/nc/
@@ -566,6 +592,56 @@ object SparkEntry {
          |  FROM tf f JOIN dfq d ON f.tok = d.tok JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN g),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM s)
          |SELECT tok, doc_id, tf, df, dl, score, rk FROM r WHERE rk <= 10""".stripMargin,
+    "rank_fusion" ->
+      // lexical arm = bm25_top's chain for the single term 'vector'
+      // (per-term scores are independent of the term set); semantic arm
+      // = cosine to query vector 0; RRF k=60, each fused score ONE
+      // fixed-order addition of two deterministic divisions
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+         |tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |  WHERE tok = 'vector' GROUP BY doc_id),
+         |dfq AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf),
+         |s AS (SELECT f.doc_id,
+         |    ((CAST(g.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |      * (CAST(f.tf AS DOUBLE) * 2.2)
+         |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))) AS score
+         |  FROM tf f CROSS JOIN dfq d JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN g),
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rk FROM s),
+         |lex AS (SELECT doc_id, bm_rk FROM lexr WHERE bm_rk <= 50),
+         |en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
+         |q AS (SELECT embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id = 0),
+         |cs AS (SELECT e.vec_id, ${dotSql("q.qemb", "e.embedding")} / (q.qnrm * e.nrm) AS cos
+         |       FROM en e CROSS JOIN q WHERE e.vec_id <> 0),
+         |csr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS cos_rk FROM cs),
+         |sem AS (SELECT vec_id, cos_rk FROM csr WHERE cos_rk <= 50),
+         |fused AS (SELECT coalesce(l.doc_id, m.vec_id) AS doc_id, l.bm_rk, m.cos_rk,
+         |    coalesce(1.0 / (60.0 + CAST(l.bm_rk AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(m.cos_rk AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.vec_id),
+         |fr AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+         |SELECT doc_id, bm_rk, cos_rk, rrf, rk FROM fr WHERE rk <= 20""".stripMargin,
+    "lm_score" ->
+      // bigram MLE scoring: per-bigram conditional probability
+      // c(u w)/c(u) quantized to floor(p·10⁹) BIGINTs (exact,
+      // order-independent sum), one IEEE division at the end
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM t GROUP BY tok),
+         |bx AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM w),
+         |bu AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS u FROM bx),
+         |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bu GROUP BY bg),
+         |sc AS (SELECT b.doc_id,
+         |    CAST(floor((CAST(i.cb AS DOUBLE) / CAST(n.cu AS DOUBLE)) * 1000000000.0) AS BIGINT) AS p_fp
+         |  FROM bu b JOIN bi i ON b.bg = i.bg JOIN uni n ON b.u = n.tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p_fp) AS BIGINT) AS lp_fp,
+         |  CAST(sum(p_fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS avg_p
+         |FROM sc GROUP BY doc_id""".stripMargin,
     // documents.text is pure ASCII (verified: length == octet_length for
     // every row), so first-8-BYTES == first-8-CHARS; DuckDB has no blob
     // substring, Spark side slices the real binary payload.

@@ -183,7 +183,20 @@ object CurationQueries {
     * anyway). df and the corpus stats are term-count-sized and one-row
     * — both broadcast. Top-k per term prunes via WindowGroupLimit. */
   def bm25Top(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("join", "vector", "stream", "window", "spark")
+    val w = Window.partitionBy(col("tok")).orderBy(col("score").desc, col("doc_id").asc)
+    bm25Scored(spark, dir, Seq("join", "vector", "stream", "window", "spark"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** [[bm25Top]]'s scoring pass without the top-k: every (term, doc)
+    * pair with a non-zero tf, BM25-scored. The per-term df and corpus
+    * stats are computed over exactly the supplied `terms` — scores for
+    * a term are identical whatever other terms ride along, so
+    * [[rankFusion]]'s single-term arm reuses this unchanged. */
+  private def bm25Scored(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), wordTokens(col("text")).as("ws"))
     val stats = toks.select(size(col("ws")).cast("long").as("dl"))
@@ -196,7 +209,6 @@ object CurationQueries {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // the operation tree below must match the oracle SQL shape exactly:
     // every intermediate is a single IEEE op on deterministic inputs
-    val w = Window.partitionBy(col("tok")).orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
@@ -207,10 +219,43 @@ object CurationQueries {
         col("idf") * (col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") +
             lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"),
-        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval ranking that merges a
+    * lexical arm (BM25 for the term "vector", [[bm25Scored]]) with a
+    * semantic arm (cosine to query vector 0,
+    * [[SimilarityQueries.cosineToQuery]]): each arm contributes
+    * 1/(60 + rank) for its top 50, a doc absent from an arm contributes
+    * 0, and the fused top 20 is the answer set a RAG pipeline would
+    * retrieve. RRF (k = 60) needs no score normalization across arms —
+    * exactly why production hybrid search uses it. Every fused score is
+    * one-or-two divisions plus ONE fixed-order addition of two doubles —
+    * oracle-exact; ranks tie-break on id.
+    *
+    * Scale (100 TB): each arm prunes to its top 50 BEFORE the fuse via
+    * TakeOrderedAndProject (distributed top-k, no global sort, no
+    * corpus-sized window); the full-outer fuse joins two ≤50-row frames
+    * and the final rank runs on ≤100 rows — nothing corpus-sized crosses
+    * the fusion boundary. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = Seq(col("score").desc, col("doc_id").asc)
+    val lex = bm25Scored(spark, dir, Seq("vector"))
+      .orderBy(byScore: _*).limit(50)
+      .withColumn("bm_rk", row_number().over(Window.orderBy(byScore: _*)).cast("long"))
+      .select(col("doc_id"), col("bm_rk"))
+    val byCos = Seq(col("cos").desc, col("vec_id").asc)
+    val sem = SimilarityQueries.cosineToQuery(spark, dir, qid = 0L)
+      .orderBy(byCos: _*).limit(50)
+      .withColumn("cos_rk", row_number().over(Window.orderBy(byCos: _*)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("cos_rk"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("bm_rk").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("cos_rk").cast("double")), lit(0.0)))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("bm_rk"), col("cos_rk"), col("rrf"), col("rk"))
   }
 
   /** Deterministic stratified Bernoulli sample: keep a doc iff its md5

@@ -339,6 +339,66 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Clustering-quality report over the round-2 trained index: per
+    * cluster, the member count, the exact fixed-point sum of squared
+    * L2 distances to the trained centroid (inertia — the number a
+    * training loop plots to pick k / decide convergence), and the
+    * majority `label` with its purity share (how well the unsupervised
+    * buckets recover the labelled classes). Per-coordinate terms
+    * floor((d·d)·10⁶) sum as longs — exact and order-independent, so
+    * the L2 sums that [[kmeansShift]] had to avoid (double summation
+    * order) are safe here; purity is one IEEE division of two counts.
+    *
+    * Scale (100 TB): the assignment pass is [[kmeansTrain]]'s proven
+    * zero-shuffle narrow map; the SSE rollup joins the ≤k-row trained
+    * centroid frame by broadcast and shuffles only (bucket)-keyed
+    * 16-byte partial rows; the label histogram joins labels back on
+    * vec_id (co-partitioned when the table is vec_id-bucketed) and
+    * shuffles (bucket, label) — both keys compact. The majority pick
+    * prunes per bucket via WindowGroupLimit. */
+  def clusterEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    // the exact kmeansTrain(rounds = 2) chain, restated locally so the
+    // assignment and its centroid frame share one lineage
+    val cents = lloydUpdate(lloydAssign(e, seedCentroids(e)))
+    val assigned = lloydAssign(e, cents)
+    val sse = assigned
+      .join(broadcast(cents.select(col("cid"), col("cemb"))), col("bucket") === col("cid"))
+      .withColumn("sse_row",
+        aggregate(
+          zip_with(col("embedding"), col("cemb"), (x, c) => {
+            val d = x.cast("double") - c
+            floor(d * d * lit(1000000.0))
+          }),
+          lit(0L), (acc, t) => acc + t))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"), sum(col("sse_row")).as("sse_fp"))
+    val lab = assigned.select(col("vec_id"), col("bucket"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("cl"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("cl").desc, col("label").asc)
+    val maj = lab.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bucket"), col("label").as("majority_label"), col("cl").as("n_majority"))
+    sse.join(maj, "bucket")
+      .withColumn("purity", col("n_majority").cast("double") / col("n_members").cast("double"))
+      .select(col("bucket"), col("n_members"), col("sse_fp"),
+        col("majority_label").cast("long").as("majority_label"),
+        col("n_majority"), col("purity"))
+  }
+
+  /** Cosine of every corpus vector to ONE query vector (`qid`),
+    * broadcast-scored — the semantic arm [[CurationQueries.rankFusion]]
+    * fuses with BM25. Same fold order as [[knnCosine]]. */
+  private[queries] def cosineToQuery(spark: SparkSession, dir: String, qid: Long): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    e.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.3 within an IVF bucket,
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -191,6 +191,51 @@ object TextQueries {
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
   }
 
+  /** Bigram language-model scoring — the fluency signal of CCNet-style
+    * filtering: train unigram/bigram counts on the corpus itself, then
+    * score each document by its mean bigram conditional probability
+    * P(w | u) = c(u w) / c(u). Disfluent text (shuffled words, OCR
+    * noise, keyword stuffing) strings together rare transitions and
+    * scores low; templated text scores high. The mean stays out of
+    * log-space (libm ULP divergence would break the cross-engine hash —
+    * same rule as the BM25 idf): each conditional probability is ONE
+    * integer-ratio division quantized to fixed point (floor(p·10⁹)
+    * summed as longs — exact, order-independent), with a single IEEE
+    * division at the end. Docs with < 2 tokens have no bigrams → no row.
+    *
+    * Scale (100 TB): both model tables are vocabulary-sized (Zipf ≪
+    * corpus) — one bigram-keyed and one token-keyed aggregation, then
+    * two equijoins of the exploded bigram stream on those compact
+    * string keys and a doc-keyed rollup. No broadcast assumed: a
+    * corpus-scale bigram vocabulary can exceed broadcast limits, so the
+    * model joins shuffle on the model keys instead. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordTokens(col("text")).as("ws"))
+    val uni = docs.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    // sequence(1, 0) yields a DESCENDING range in Spark — guard short docs
+    val big = docs
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(
+              concat(element_at(col("ws"), i), lit(" "),
+                element_at(col("ws"), i + 1)).as("bg"),
+              element_at(col("ws"), i).as("u"))))
+          .otherwise(array().cast("array<struct<bg:string,u:string>>"))).as("b"))
+      .select(col("doc_id"), col("b")("bg").as("bg"), col("b")("u").as("u"))
+    val bi = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    big.join(bi, "bg")
+      .join(uni, col("u") === col("tok"))
+      .withColumn("p_fp",
+        floor((col("cb").cast("double") / col("cu").cast("double")) * lit(1000000000.0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("lp_fp"))
+      .withColumn("avg_p",
+        col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
+  }
+
   /** Content + bag-of-words fingerprints (md5; order-sensitive and
     * order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -270,6 +270,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("rank_fusion: rrf recomputes from arm ranks; top-20 dense and score-ordered") {
+    val rows = CurationQueries.rankFusion(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    rows.foreach { r =>
+      val bm = Option(r.getAs[java.lang.Long]("bm_rk")).map(_.toLong)
+      val cs = Option(r.getAs[java.lang.Long]("cos_rk")).map(_.toLong)
+      assert(bm.nonEmpty || cs.nonEmpty, "a fused row must come from some arm")
+      bm.foreach(k => assert(k >= 1L && k <= 50L))
+      cs.foreach(k => assert(k >= 1L && k <= 50L))
+      // the exact RRF tree: per-arm division, fixed-order addition
+      val exp = bm.map(k => 1.0 / (60.0 + k.toDouble)).getOrElse(0.0) +
+        cs.map(k => 1.0 / (60.0 + k.toDouble)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == exp)
+    }
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Double]("rrf") >= lo.getAs[Double]("rrf"))
+      case _ => ()
+    }
+  }
+
   test("bm25: top-10 per term, ranks dense and score-ordered, formula exact") {
     val rows = CurationQueries.bm25Top(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -76,6 +76,37 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("lm_score: bigram conditional probabilities reconcile with a driver-side model") {
+    val out = TextQueries.lmScore(spark, dir).collect()
+    val docToks = Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), col("ws")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("ws").toSeq)
+      .toMap
+    val uni = docToks.values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val docBigrams = docToks.view.mapValues(ts =>
+      ts.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq).toMap
+    val bi = docBigrams.values.flatten.groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    assert(out.length == docBigrams.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val bgs = docBigrams(r.getAs[Long]("doc_id"))
+      // the exact fixed-point tree the query computes: one ratio
+      // division, one scale, floor, long sum
+      val expFp = bgs.map { case (u, v) =>
+        math.floor((bi((u, v)).toDouble / uni(u).toDouble) * 1000000000.0).toLong
+      }.sum
+      assert(r.getAs[Long]("n_bigrams") == bgs.length.toLong)
+      assert(r.getAs[Long]("lp_fp") == expFp)
+      assert(r.getAs[Double]("avg_p") ==
+        expFp.toDouble / (bgs.length.toDouble * 1000000000.0))
+      // c(u w) <= c(u) always, so each probability (and the mean) is in (0, 1]
+      assert(r.getAs[Double]("avg_p") > 0.0 && r.getAs[Double]("avg_p") <= 1.0)
+    }
+  }
+
   test("boilerplate ngrams: shared template scores 1.0, unique text 0.0") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
     // five docs are the same 3-token template (df of their one shingle = 5

@@ -373,6 +373,73 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("rank_fusion: every rank window consumes a TakeOrderedAndProject-pruned frame") {
+    // both arms and the fused ranking are top-k: the distributed limit
+    // must run BEFORE each unpartitioned row_number, so no window ever
+    // sees more than the pruned ≤50/≤100 rows
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.CurationQueries.rankFusion(spark, dir)
+        .queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+          s"a rank window without an upstream top-k would sort an unbounded frame:\n$w")
+      }
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("lm_score: exchanges carry compact model keys, never text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.TextQueries.lmScore(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text") && !names.contains("ws"),
+          s"exchange must not carry document bodies or token arrays: $names")
+      }
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("cluster_eval: no cartesian; every window is partitioned over aggregated rows") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.SimilarityQueries.clusterEval(spark, dir)
+        .queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"cluster_eval must never plan an unpartitioned window:\n$w")
+        assert(w.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+        }.isDefined,
+          "the majority window consumes the (bucket, label) aggregate, never corpus rows")
+      }
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("AQE skew join splits the hot partition (the automatic path beside salted_join)") {
     // salted_join is the manual fallback; the FIRST line of defense at
     // scale is AQE's skew split, which subdivides an oversized shuffle

@@ -409,6 +409,45 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("cluster_eval: members total, majority is the label mode, inertia exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.clusterEval(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_members")).sum == 500L)
+    val assign = graft.queries.SimilarityQueries.kmeansTrain2(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val cents = graft.queries.SimilarityQueries.kmeansCentroids(spark, dir, rounds = 2)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("cemb").toArray).toMap
+    assert(out.map(_.getAs[Long]("bucket")).toSet == assign.values.toSet)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val members = assign.collect { case (v, bk) if bk == b => v }.toSeq
+      assert(r.getAs[Long]("n_members") == members.size.toLong)
+      val hist = members.map(labels).groupBy(identity)
+        .map { case (l, o) => l -> o.size.toLong }
+      val (mLab, mCnt) = hist.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Long]("majority_label") == mLab)
+      assert(r.getAs[Long]("n_majority") == mCnt)
+      assert(r.getAs[Double]("purity") == mCnt.toDouble / members.size.toDouble)
+      // inertia: the same per-coordinate fixed-point tree, long-summed
+      val expSse = members.map { v =>
+        val x = embs(v); val c = cents(b)
+        x.indices.map { i =>
+          val d = x(i).toDouble - c(i)
+          math.floor(d * d * 1000000.0).toLong
+        }.sum
+      }.sum
+      assert(r.getAs[Long]("sse_fp") == expSse)
+    }
+  }
+
   test("winnow_overlap: pair scores reconcile with per-doc fingerprints; copied span detected") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.SimilarityQueries.winnowOverlap(spark, dir).collect()
