@@ -112,6 +112,10 @@ object SparkEntry {
     "event_transitions" -> (AnalyticsQueries.eventTransitions _),
     "above_avg_docs" -> (AnalyticsQueries.aboveAvgDocs _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
+    "pq_codebook" -> (SimilarityQueries.pqCodebook _),
+    "pq_encode" -> (SimilarityQueries.pqEncode _),
+    "pq_ann" -> (SimilarityQueries.pqAnn _),
+    "pq_recall" -> (SimilarityQueries.pqRecall _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     // against exact_distinct below, which IS oracle-checked
@@ -198,6 +202,67 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
        |       FROM p2),
        |asn2 AS (SELECT vec_id, embedding, nrm, cid2 AS bucket, ccos FROM r2 WHERE rn = 1)""".stripMargin
+
+  /** Product-quantization CTE chain (mirrors SimilarityQueries.pqTrain/
+    * pqAssignCodes): per-subspace slices with precomputed self-dots, the
+    * md5-sampled seed codebook, seed assignment with the pinned
+    * `(sself + cself) − 2·dot` expression order and (dist ASC, cid) tie
+    * break, the exact fixed-point Lloyd's update, and the re-encode
+    * against trained codebooks. Terminal CTEs: `agg0(cm, cid, pos, n,
+    * qsum)` (the trained-codebook coordinates), `cb2(cm, cid, cv,
+    * cself)`, `asn1(vec_id, m, sv, sself, code, dist)` — shared by the
+    * four `pq_*` oracles. DuckDB list slicing is 1-based inclusive, so
+    * `[(m−1)·d+1 : m·d]` is exactly Spark's `slice(emb, (m−1)·d+1, d)`. */
+  private lazy val PqBodySql: String = {
+    val d = SimilarityQueries.PqSubDim
+    s"""WITH subs AS (
+       |  SELECT vec_id, m, embedding[((m - 1) * $d + 1):(m * $d)] AS sv
+       |  FROM embeddings, (SELECT unnest(range(1, ${SimilarityQueries.PqM + 1})) AS m) ms),
+       |subs2 AS (SELECT vec_id, m, sv, ${dotSql("sv", "sv")} AS sself FROM subs),
+       |seeds AS (SELECT vec_id AS scid FROM embeddings
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.PqCodes}),
+       |cb0 AS (SELECT s.m AS cm, s.vec_id AS cid, s.sv AS cv, s.sself AS cself
+       |        FROM subs2 s JOIN seeds ON s.vec_id = scid),
+       |a0 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+       |         (s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")} AS dist
+       |       FROM subs2 s JOIN cb0 c ON s.m = c.cm),
+       |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid) AS rn
+       |       FROM a0),
+       |asn0 AS (SELECT vec_id, m, sv, cid AS code FROM r0 WHERE rn = 1),
+       |upd AS (SELECT m AS cm, code AS cid, CAST(generate_subscripts(sv, 1) AS BIGINT) AS pos,
+       |          unnest(sv) AS v FROM asn0),
+       |agg0 AS (SELECT cm, cid, pos, CAST(count(*) AS BIGINT) AS n,
+       |           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+       |         FROM upd GROUP BY cm, cid, pos),
+       |cb AS (SELECT cm, cid,
+       |         list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cv
+       |       FROM agg0 GROUP BY cm, cid),
+       |cb2 AS (SELECT cm, cid, cv, ${dotSql("cv", "cv")} AS cself FROM cb),
+       |a1 AS (SELECT s.vec_id, s.m, s.sv, s.sself, c.cid,
+       |         (s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")} AS dist
+       |       FROM subs2 s JOIN cb2 c ON s.m = c.cm),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid) AS rn
+       |       FROM a1),
+       |asn1 AS (SELECT vec_id, m, sv, sself, cid AS code, dist FROM r1 WHERE rn = 1)""".stripMargin
+  }
+
+  /** PQ/ADC query arm (extends [[PqBodySql]]): per-query code distance
+    * tables from the trained codebooks (Q×M×K rows), fixed-point floor
+    * BEFORE the (qid, vid) sum so the total is an order-independent
+    * BIGINT sum; terminal CTE `rr(qid, vid, adist_fp, rn)` — shared by
+    * `pq_ann` and `pq_recall`. */
+  private lazy val PqAnnBody: String =
+    s"""$PqBodySql,
+       |dt AS (SELECT s.vec_id AS qid, s.m AS qm, c.cid,
+       |         CAST(floor(((s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")})
+       |                    * 1000000.0) AS BIGINT) AS d_fp
+       |       FROM subs2 s JOIN cb2 c ON s.m = c.cm WHERE s.vec_id < 10),
+       |pp AS (SELECT d.qid, e.vec_id AS vid, CAST(sum(d.d_fp) AS BIGINT) AS adist_fp
+       |       FROM asn1 e JOIN dt d ON e.m = d.qm AND e.code = d.cid
+       |       WHERE e.vec_id != d.qid GROUP BY d.qid, e.vec_id),
+       |rr AS (SELECT qid, vid, adist_fp,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_fp ASC, vid) AS BIGINT) AS rn
+       |       FROM pp)""".stripMargin
 
   /** DuckDB fragment: word 3-gram shingle list of normalized text from a
     * token-list column `ws` (empty below 3 tokens). */
@@ -551,6 +616,39 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn2 a JOIN asn2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "pq_codebook" ->
+      // trained PQ codebook coordinates: exact fixed-point means over the
+      // seed assignment (mirrors pqUpdateAgg; one IEEE division at the end)
+      s"""$PqBodySql
+         |SELECT cm AS subspace, cid AS code, pos, n AS n_members,
+         |  CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS centroid
+         |FROM agg0""".stripMargin,
+    "pq_encode" ->
+      // every vector's per-subspace code + quantization error against the
+      // trained codebooks; dist is the same pinned-order double fold
+      s"""$PqBodySql
+         |SELECT vec_id, m AS subspace, code, dist FROM asn1""".stripMargin,
+    "pq_ann" ->
+      s"""$PqAnnBody
+         |SELECT qid, vid, adist_fp, rn FROM rr WHERE rn <= 3""".stripMargin,
+    "pq_recall" ->
+      // recall@3 of the PQ/ADC arm vs exact full-vector squared-L2 top-3
+      s"""$PqAnnBody,
+         |en AS (SELECT vec_id, embedding, $dotSelfSql AS self FROM embeddings),
+         |kq AS (SELECT vec_id AS qid, embedding AS qemb, self AS qself FROM en WHERE vec_id < 10),
+         |kp AS (SELECT kq.qid, e.vec_id AS vid,
+         |         (kq.qself + e.self) - 2.0 * ${dotSql("kq.qemb", "e.embedding")} AS d
+         |       FROM en e, kq WHERE e.vec_id != kq.qid),
+         |kr AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, vid) AS rn
+         |       FROM kp),
+         |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
+         |approx3 AS (SELECT qid, vid FROM rr WHERE rn <= 3),
+         |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
+         |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
+         |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
+         |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,

@@ -516,4 +516,26 @@ class PlanSpec extends SparkSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("pq_encode: both code assignments are in-row broadcast argmins, no window") {
+    // seed assign + trained re-encode must each fold the codebook to one
+    // broadcast row and argmin in-row (the kmeans_train2 contract, per
+    // subspace) — never a per-(subvector, code) rank shuffle
+    val p = plan(SimilarityQueries.pqEncode(spark, dir))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
+      s"expected exactly the two one-row codebook broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "code argmin must stay in-row; the Lloyd's update is a hash aggregate")
+  }
+
+  test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
+    val p = plan(SimilarityQueries.pqAnn(spark, dir))
+    // the Q×M×K distance table must broadcast-hash-join the encoded
+    // corpus on (subspace, code) — the corpus side never shuffles for it
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC lookup must be a broadcast equijoin on (subspace, code):\n$p")
+    assert(p.contains("WindowGroupLimit"), "rn<=3 must prune inside the window op")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

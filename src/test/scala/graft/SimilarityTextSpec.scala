@@ -510,4 +510,70 @@ class SimilarityTextSpec extends SparkSuite {
       .select(size(col("fr"))).as[Int].collect()(0)
     assert(short == 0)
   }
+
+  test("pq_codebook: full (subspace, code, pos) coverage, members partition per subspace") {
+    val dir = "/root/testdata/sf0.001"
+    val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir).collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val bySub = cb.groupBy(_.getAs[Long]("subspace"))
+    assert(bySub.keySet == (1L to 4L).toSet)
+    bySub.foreach { case (m, rs) =>
+      // every surviving code carries all subdim coordinates
+      rs.groupBy(_.getAs[Long]("code")).foreach { case (c, crs) =>
+        assert(crs.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 16L).toSeq,
+          s"code ($m, $c) must cover every coordinate")
+        // n_members is a per-code constant, not per-coordinate
+        assert(crs.map(_.getAs[Long]("n_members")).distinct.length == 1)
+      }
+      // each subspace's memberships partition the corpus
+      assert(rs.filter(_.getAs[Long]("pos") == 1L).map(_.getAs[Long]("n_members")).sum == n,
+        s"subspace $m memberships must total the corpus")
+    }
+  }
+
+  test("pq_encode: one code per (vector, subspace), codes from the trained book, dist ≥ 0") {
+    val dir = "/root/testdata/sf0.001"
+    val enc = graft.queries.SimilarityQueries.pqEncode(spark, dir).collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(enc.length == n * 4)
+    assert(enc.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("subspace")))
+      .distinct.length == enc.length)
+    val bookCodes = graft.queries.SimilarityQueries.pqCodebook(spark, dir).collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code"))).toSet
+    enc.foreach { r =>
+      assert(bookCodes((r.getAs[Long]("subspace"), r.getAs[Long]("code"))),
+        "assigned code must exist in the trained codebook")
+      // squared-L2 to the chosen code: non-negative up to float rounding
+      assert(r.getAs[Double]("dist") > -1e-9)
+    }
+  }
+
+  test("pq_ann: top-3 per query via ADC, no self-match, ranks dense in fixed-point order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.pqAnn(spark, dir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rs.forall(_.getAs[Long]("vid") != q))
+      // rank order agrees with the fixed-point ADC distance (vid tie-break)
+      val sorted = rs.sortBy(r => (r.getAs[Long]("adist_fp"), r.getAs[Long]("vid")))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("pq_recall: k pinned at 3, recall = n_hit/k, compression finds some true neighbours") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.pqRecall(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (hit, k) = (r.getAs[Long]("n_hit"), r.getAs[Long]("k"))
+      assert(k == 3L && hit >= 0L && hit <= k)
+      assert(r.getAs[Double]("recall") == hit.toDouble / k.toDouble)
+    }
+    // 64× compression on near-orthogonal synthetic vectors loses most
+    // signal (that's what this audit measures) but must stay far above
+    // chance (3/499 per query) on the fixed fixture
+    assert(out.map(_.getAs[Long]("n_hit")).sum >= 1L)
+  }
 }
