@@ -87,6 +87,7 @@ object SparkEntry {
     "tfidf_top" -> (CurationQueries.tfidfTop _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
     "mix_sample" -> (CurationQueries.mixSample _),
+    "mix_temperature" -> (CurationQueries.mixTemperature _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "retention_cohort" -> (AnalyticsQueries.retentionCohort _),
     "time_split" -> (AnalyticsQueries.timeSplit _),
     "token_rarity" -> (TextQueries.tokenRarity _),
+    "importance_weight" -> (TextQueries.importanceWeight _),
     "lm_score" -> (TextQueries.lmScore _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "event_transitions" -> (AnalyticsQueries.eventTransitions _),
     "above_avg_docs" -> (AnalyticsQueries.aboveAvgDocs _),
     "dedup_keep_best" -> (CurationQueries.dedupKeepBest _),
+    "dup_pagerank" -> (CurationQueries.dupPagerank _),
     "pq_codebook" -> (SimilarityQueries.pqCodebook _),
     "pq_encode" -> (SimilarityQueries.pqEncode _),
     "pq_ann" -> (SimilarityQueries.pqAnn _),
@@ -616,6 +619,28 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn2 a JOIN asn2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "dup_pagerank" ->
+      // three unrolled power-iteration rounds in pure integer arithmetic:
+      // DuckDB's `//` and Spark's `div` are the same floor division on the
+      // non-negative fixed-point ranks, so every round is bit-exact
+      s"""WITH $LshCandBody,
+         |adj AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY src),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |r0 AS (SELECT doc_id, 1000000 // n AS r FROM documents CROSS JOIN tot),
+         |${(1 to 3).map { i =>
+           s"""c$i AS (SELECT a.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+              |       FROM adj a JOIN dg d ON a.src = d.src
+              |            JOIN r${i - 1} r ON a.src = r.doc_id
+              |       GROUP BY a.dst),
+              |r$i AS (SELECT doc_id, (150000 // t.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+              |       FROM documents CROSS JOIN tot t LEFT JOIN c$i c ON doc_id = c.dst)""".stripMargin
+         }.mkString(",\n")}
+         |SELECT d.doc_id, COALESCE(g.deg, 0) AS deg, r3.r AS rank_fp,
+         |  CAST(r3.r AS DOUBLE) / 1000000.0 AS rank
+         |FROM documents d LEFT JOIN dg g ON d.doc_id = g.src
+         |     JOIN r3 ON d.doc_id = r3.doc_id""".stripMargin,
     "pq_codebook" ->
       // trained PQ codebook coordinates: exact fixed-point means over the
       // seed assignment (mirrors pqUpdateAgg; one IEEE division at the end)
@@ -1063,6 +1088,20 @@ object SparkEntry {
          |  CAST(min(c) AS BIGINT) AS min_freq,
          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
          |FROM j GROUP BY doc_id""".stripMargin,
+    "importance_weight" ->
+      // DSIR-shape target-likeness: per-token target/raw ratio as an
+      // integer floor division (DuckDB // ≡ Spark div on non-negatives),
+      // doc mean the same way — bit-exact, no log space
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($WordToksSql) AS tok FROM documents),
+         |fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |       FROM tk GROUP BY tok),
+         |ds AS (SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum((f.ct * 1000000) // f.cr) AS BIGINT) AS score_fp
+         |       FROM tk k JOIN fr f ON k.tok = f.tok GROUP BY k.doc_id)
+         |SELECT doc_id, n_toks, score_fp, score_fp // n_toks AS mean_fp,
+         |  CAST(score_fp // n_toks AS DOUBLE) / 1000000.0 AS importance
+         |FROM ds""".stripMargin,
     "quantile_bins" ->
       // NULLs route to a dedicated bin 0, excluded from the tiling
       // (PARTITION BY value IS NULL keeps them out of the non-null
@@ -1114,6 +1153,30 @@ object SparkEntry {
          |      (CAST(total_tok AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(src_tok AS DOUBLE)) AS rate
          |  FROM s, t)
          |SELECT d.doc_id, d.source, d.n_tok, r.rate
+         |FROM d JOIN r ON d.source = r.source
+         |WHERE d.u < r.rate""".stripMargin,
+    "mix_temperature" ->
+      // target share ∝ √raw_share; the normalizer Σ√share sums exact
+      // fixed-point BIGINTs (floor(√p·1e12)); sqrt/divisions are single
+      // correctly-rounded IEEE ops in the same order as the Spark side
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($WordToksSql) AS BIGINT) AS n_tok,
+         |    CAST(${hash32Sql("'t:' || source || ':' || text")} AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM d GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok FROM s),
+         |w AS (SELECT source, src_tok,
+         |    CAST(src_tok AS DOUBLE) / CAST(total_tok AS DOUBLE) AS raw_share,
+         |    CAST(floor(sqrt(CAST(src_tok AS DOUBLE) / CAST(total_tok AS DOUBLE))
+         |               * 1000000000000.0) AS BIGINT) AS wfp
+         |  FROM s, t),
+         |z AS (SELECT CAST(sum(wfp) AS BIGINT) AS zfp FROM w),
+         |r AS (SELECT source, raw_share,
+         |    CAST(wfp AS DOUBLE) / CAST(zfp AS DOUBLE) AS temp_share,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      (CAST(wfp AS DOUBLE) / CAST(zfp AS DOUBLE)) / raw_share) AS rate
+         |  FROM w, z)
+         |SELECT d.doc_id, d.source, d.n_tok, r.raw_share, r.temp_share, r.rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE d.u < r.rate""".stripMargin,
     "sample_stratified" ->

@@ -483,6 +483,47 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("rate"))
   }
 
+  /** Temperature-scaled mixture sampling — [[mixSample]]'s softer
+    * sibling (the multilingual up/down-sampling rule of XLM-R-style
+    * training: sample source i ∝ share^α, α = 1/2): instead of forcing
+    * a uniform token share per source, the target share is
+    * √share / Σ√share — over-represented sources still shrink and tiny
+    * sources grow, but proportionality is preserved. The normalizer
+    * Σ√share is summed in fixed point (floor(√p · 10¹²) as BIGINT) so
+    * the total is order-independent; every other step is a single IEEE
+    * op (sqrt is correctly rounded by spec) — cross-engine exact.
+    *
+    * Scale (100 TB): identical shape to [[mixSample]] — one compact
+    * source-keyed aggregation, two 1-row broadcasts, rates broadcast
+    * back, narrow keep decision; the independent md5 draw is salted
+    * `t:` so composing both samplers never correlates. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        size(wordTokens(col("text"))).cast("long").as("n_tok"),
+        (md5Hash32(concat(lit("t:"), col("source"), lit(":"), col("text"))).cast("double") /
+          lit(4294967296.0)).as("u"))
+    val bySource = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    val tot = bySource.agg(sum(col("src_tok")).as("total_tok"))
+    val weights = bySource.crossJoin(broadcast(tot)) // 1-row build side: free
+      .select(
+        col("source"), col("src_tok"),
+        (col("src_tok").cast("double") / col("total_tok").cast("double")).as("raw_share"),
+        floor(sqrt(col("src_tok").cast("double") / col("total_tok").cast("double")) *
+          lit(1000000000000.0)).cast("long").as("wfp"))
+    val z = weights.agg(sum(col("wfp")).as("zfp"))
+    val rates = weights.crossJoin(broadcast(z)) // 1-row build side: free
+      .select(
+        col("source").as("rsource"), col("raw_share"),
+        (col("wfp").cast("double") / col("zfp").cast("double")).as("temp_share"))
+      .withColumn("rate", least(lit(1.0), col("temp_share") / col("raw_share")))
+    docs.join(broadcast(rates), col("source") === col("rsource"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("raw_share"), col("temp_share"), col("rate"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * ranked by a deterministic quality proxy (longest text first, doc_id
     * tie-break) — the standard domain-cap pass that stops one crawl
@@ -558,5 +599,54 @@ object CurationQueries {
       .withColumn("cum_tokens", sum(col("n_tok")).over(runW) + col("offset"))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tokens"))
+  }
+
+  /** PageRank over the near-dup candidate graph: three power-iteration
+    * rounds (damping 0.85) ranking each document's centrality among its
+    * LSH neighbours — high-rank nodes are template/boilerplate HUBS (the
+    * doc many others near-duplicate), the ones to inspect before a bulk
+    * keep/drop. Complements [[dedupClusters]]: components say WHICH docs
+    * group; rank says which doc anchors the group.
+    *
+    * All arithmetic is integer fixed point (rank mass in 1e-6 units,
+    * integer floor division for both the per-edge donation `r div deg`
+    * and the damped update) — bit-exact across engines and partitionings,
+    * no float summation order anywhere. Dangling mass (docs with no
+    * near-dup edge donate to nobody) is dropped, not redistributed: at a
+    * fixed round count that only uniformly shrinks totals, and isolated
+    * docs sit at exactly the teleport floor `150000 div N`.
+    *
+    * Scale (100 TB): the classic iterative sparse mat-vec — per round ONE
+    * equijoin of the adjacency with the rank vector plus one
+    * map-side-combinable keyed sum, everything keyed on doc ids, rounds
+    * fixed at 3. The adjacency (LSH-bounded, NOT corpus²) materializes
+    * once via localCheckpoint so the MinHash chain doesn't re-run per
+    * round; a production run would persist it as a table instead. */
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.minhashLsh(spark, dir)
+    val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, "src")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val r0 = docs.crossJoin(broadcast(tot)) // 1-row build side: free
+      .select(col("doc_id"), expr("1000000 div n").as("r"))
+    val ranks = (1 to 3).foldLeft(r0) { (prev, _) =>
+      val contrib = adjDeg
+        .join(prev.withColumnRenamed("doc_id", "src_id"), col("src") === col("src_id"))
+        .groupBy(col("dst")).agg(sum(expr("r div deg")).as("s"))
+      docs.crossJoin(broadcast(tot))
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          expr("(150000 div n) + ((85 * coalesce(s, 0)) div 100)").as("r"))
+    }
+    ranks.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(1000000.0)).as("rank"))
   }
 }

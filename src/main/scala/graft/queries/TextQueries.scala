@@ -191,6 +191,42 @@ object TextQueries {
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
   }
 
+  /** Importance weighting against a target distribution — the DSIR-shape
+    * data-selection signal (Xie et al. 2023: select pretraining data
+    * whose token distribution resembles a trusted target set). The
+    * target here is the `lang = 'en'` slice; each token's target share
+    * `cnt_target / cnt_raw` is an exact fixed-point integer ratio, and a
+    * document's importance is the mean of its tokens' ratios — high
+    * means "looks like the target corpus", the ranking a data-mixture
+    * pass selects by. Stays out of log space entirely (same libm-ULP
+    * rule as lm_score): per-token ratios are integer floor divisions,
+    * the doc rollup is a BIGINT sum, one integer division for the mean,
+    * one IEEE division for the display double.
+    *
+    * Scale (100 TB): both count tables are vocabulary-sized (Zipf ≪
+    * corpus) — the [[tokenRarity]] shape with a target column beside the
+    * raw column. The `cnt_target * 10⁶` product needs headroom only for
+    * stopword-grade counts (>9·10¹² occurrences of ONE token before
+    * BIGINT overflow, which ANSI mode makes loud, not wrong — rescale to
+    * 10³ units if a corpus ever gets there). */
+  def importanceWeight(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    toks.join(freqs, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(expr("(ct * 1000000) div cr")).as("score_fp"))
+      .select(
+        col("doc_id"), col("n_toks"), col("score_fp"),
+        expr("score_fp div n_toks").as("mean_fp"),
+        (expr("score_fp div n_toks").cast("double") / lit(1000000.0)).as("importance"))
+  }
+
   /** Bigram language-model scoring — the fluency signal of CCNet-style
     * filtering: train unigram/bigram counts on the corpus itself, then
     * score each document by its mean bigram conditional probability

@@ -327,4 +327,27 @@ class CurationSpec extends SparkSuite {
         s"score mismatch for ${r.getAs[String]("tok")}/${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("dup_pagerank: every doc ranked once, isolated docs at the teleport floor, hubs above it") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.CurationQueries.dupPagerank(spark, dir).collect()
+    val n = out.length.toLong
+    assert(n == 500L)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length.toLong == n)
+    val floorRank = 150000L / n
+    out.foreach { r =>
+      val (deg, fp) = (r.getAs[Long]("deg"), r.getAs[Long]("rank_fp"))
+      assert(fp >= floorRank, s"rank below the teleport floor at doc ${r.getAs[Long]("doc_id")}")
+      // a doc with no near-dup edge receives teleport mass only
+      if (deg == 0L) assert(fp == floorRank)
+      assert(r.getAs[Double]("rank") == fp.toDouble / 1e6)
+    }
+    // total mass: bounded by the initial 1.0 (floor truncation and
+    // dangling-mass drop only ever shrink it)
+    assert(out.map(_.getAs[Long]("rank_fp")).sum <= 1000000L)
+    // the graph is non-trivial on the fixture and rank separates hubs:
+    // some connected doc must sit strictly above the floor
+    val connected = out.filter(_.getAs[Long]("deg") > 0L)
+    assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
+  }
 }

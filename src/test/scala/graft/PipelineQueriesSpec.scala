@@ -265,4 +265,70 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("event_type"),
       "per-type funnel projections should push the type filter into the scan")
   }
+
+  test("importance_weight: pure-target docs score 1.0-ish, scores reconcile with a driver model") {
+    val out = TextQueries.importanceWeight(spark, dir).collect()
+    // driver-side recomputation of the exact integer arithmetic
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("text")))
+    def toks(t: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val cr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, lang, text) =>
+      toks(text).foreach { w =>
+        cr(w) += 1L; if (lang == "en") ct(w) += 1L
+      }
+    }
+    val expected = docs.flatMap { case (id, _, text) =>
+      val ws = toks(text)
+      if (ws.isEmpty) None
+      else {
+        val score = ws.map(w => (ct(w) * 1000000L) / cr(w)).sum
+        Some(id -> (ws.length.toLong, score, score / ws.length))
+      }
+    }.toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, s, m) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_toks") == n && r.getAs[Long]("score_fp") == s &&
+        r.getAs[Long]("mean_fp") == m,
+        s"mismatch at doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the signal separates: mean importance of en docs exceeds non-en
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    val (en, rest) = out.partition(r => byLang(r.getAs[Long]("doc_id")) == "en")
+    def mean(a: Array[org.apache.spark.sql.Row]): Double =
+      a.map(_.getAs[Double]("importance")).sum / a.length
+    assert(mean(en) > mean(rest),
+      "en documents must rank as more target-like than the rest")
+  }
+
+  test("mix_temperature: big sources down-sample but keep MORE than uniform; tiny pass whole") {
+    val out = CurationQueries.mixTemperature(spark, dir).collect()
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // per-source invariants: shares consistent, rate = min(1, temp/raw)
+    bySrc.foreach { case (_, rs) =>
+      val r = rs.head
+      val (raw, temp, rate) =
+        (r.getAs[Double]("raw_share"), r.getAs[Double]("temp_share"), r.getAs[Double]("rate"))
+      assert(rate == math.min(1.0, temp / raw))
+      assert(rs.forall(x => x.getAs[Double]("rate") == rate))
+      // α=1/2 compresses toward uniform: a source above the uniform
+      // share shrinks (rate < 1) but less aggressively than mix_sample's
+      // forced-uniform rate; one below it is capped at 1
+      if (temp < raw) assert(rate < 1.0) else assert(rate == 1.0)
+    }
+    // temperature rates dominate the uniform-mixture rates source-wise
+    val uni = CurationQueries.mixSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("source")).map { case (s, rs) =>
+        s -> rs.head.getAs[Double]("rate")
+      }
+    bySrc.foreach { case (s, rs) =>
+      assert(rs.head.getAs[Double]("rate") >= uni(s) - 1e-12,
+        s"temperature sampling must be softer than uniform for $s")
+    }
+  }
 }
