@@ -108,6 +108,9 @@ object SparkEntry {
     "token_rarity" -> (TextQueries.tokenRarity _),
     "importance_weight" -> (TextQueries.importanceWeight _),
     "lm_score" -> (TextQueries.lmScore _),
+    "token_diversity" -> (TextQueries.tokenDiversity _),
+    "vocab_coverage" -> (TextQueries.vocabCoverage _),
+    "bpe_pairs" -> (TextQueries.bpePairs _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
@@ -1102,6 +1105,47 @@ object SparkEntry {
          |SELECT doc_id, n_toks, score_fp, score_fp // n_toks AS mean_fp,
          |  CAST(score_fp // n_toks AS DOUBLE) / 1000000.0 AS importance
          |FROM ds""".stripMargin,
+    "token_diversity" ->
+      // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
+      // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)
+      s"""WITH t AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |        CAST(count(*) AS BIGINT) AS n_distinct,
+         |        CAST(sum(c * c) AS BIGINT) AS sum_sq
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_distinct, sum_sq,
+         |  CAST(((n_tok * n_tok - sum_sq) * 1000000) // (n_tok * n_tok) AS BIGINT) AS simpson_fp,
+         |  CAST(((n_tok * n_tok - sum_sq) * 1000000) // (n_tok * n_tok) AS DOUBLE) / 1000000.0 AS simpson
+         |FROM d""".stripMargin,
+    "vocab_coverage" ->
+      // top-100 vocab by (count DESC, token ASC); coverage as the exact
+      // fixed-point ratio n_in_vocab·10⁶ // n_tok
+      s"""WITH t AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |vc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+         |vr AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM vc),
+         |v AS (SELECT tok FROM vr WHERE rk <= 100),
+         |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |        CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+         |      FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id)
+         |SELECT doc_id, n_tok, n_in_vocab,
+         |  CAST((n_in_vocab * 1000000) // n_tok AS BIGINT) AS coverage_fp,
+         |  CAST((n_in_vocab * 1000000) // n_tok AS DOUBLE) / 1000000.0 AS coverage
+         |FROM d""".stripMargin,
+    "bpe_pairs" ->
+      // one BPE merge iteration: char-pair counts over the DISTINCT-word
+      // table weighted by word frequency; DuckDB range(1,n) is
+      // end-exclusive and s[i:i+1] is a 1-based inclusive 2-char slice —
+      // both match Spark's sequence(1, len-1) + substr(i, 2)
+      s"""WITH t AS (SELECT unnest($WordToksSql) AS tok FROM documents),
+         |wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+         |p AS (SELECT unnest(list_transform(range(1, length(tok)), i -> tok[i:i+1])) AS pair, c
+         |      FROM wf WHERE length(tok) >= 2),
+         |a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY pair),
+         |r AS (SELECT pair, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rk
+         |      FROM a)
+         |SELECT pair, cnt, rk FROM r WHERE rk <= 50""".stripMargin,
     "quantile_bins" ->
       // NULLs route to a dedicated bin 0, excluded from the tiling
       // (PARTITION BY value IS NULL keeps them out of the non-null

@@ -493,6 +493,106 @@ object TextQueries {
       )
   }
 
+  /** Simpson diversity of each document's token distribution — the
+    * concentration signal a curation pass reads next to
+    * [[CurationQueries.repetitionScore]]: 1 − Σ pᵢ² over the doc's token
+    * frequencies. Near 0 ⇒ one token dominates (spam/keyword stuffing);
+    * near 1 ⇒ tokens spread evenly. Chosen over Shannon entropy
+    * deliberately: Simpson is a pure rational function of the counts, so
+    * the whole derivation stays in exact BIGINT arithmetic (the libm-ULP
+    * rule of [[lmScore]] — no cross-engine `ln`), quantized as
+    * `(n² − Σcᵢ²)·10⁶ div n²` with one IEEE division for display.
+    *
+    * Scale (100 TB): one scan, two compact-key aggregations (per
+    * (doc_id, tok), then per doc_id) — the [[tokenRarity]] shuffle shape.
+    * Headroom: Σcᵢ²·10⁶ ≤ n²·10⁶ overflows BIGINT only past n ≈ 3·10⁶
+    * tokens in ONE document — ANSI mode makes that loud, not wrong.
+    * Zero-token docs have no rows to group and drop out, matching the
+    * oracle. */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_distinct"), col("sum_sq"),
+        expr("((n_tok * n_tok - sum_sq) * 1000000) div (n_tok * n_tok)")
+          .as("simpson_fp"),
+        (expr("((n_tok * n_tok - sum_sq) * 1000000) div (n_tok * n_tok)")
+          .cast("double") / lit(1000000.0)).as("simpson"))
+  }
+
+  /** Vocabulary coverage: the share of each document's tokens that a
+    * fixed top-K corpus vocabulary (K = 100 here) covers — the
+    * out-of-vocabulary audit run before committing to a tokenizer or a
+    * vocab-pruned model. Vocabulary membership is deterministic: rank by
+    * (count DESC, token ASC), keep ranks ≤ K. Coverage is the exact
+    * fixed-point ratio `n_in_vocab·10⁶ div n_tok`.
+    *
+    * Scale (100 TB): the vocabulary is K rows by construction —
+    * broadcast it (the hint is explicit); the doc-side pass is then one
+    * scan + broadcast-probe + doc-keyed rollup, no shuffle of the
+    * exploded token stream on the vocab key. The vocab build itself is
+    * a vocabulary-sized aggregation and a K-row top-k
+    * (TakeOrderedAndProject, not a global sort). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(100)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("vtok").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_in_vocab"),
+        expr("(n_in_vocab * 1000000) div n_tok").as("coverage_fp"),
+        (expr("(n_in_vocab * 1000000) div n_tok").cast("double") /
+          lit(1000000.0)).as("coverage"))
+  }
+
+  /** One BPE training iteration: the corpus-wide adjacent-character-pair
+    * counts whose argmax is the first merge a byte-pair-encoding
+    * tokenizer would learn (Sennrich et al. 2016's inner loop as one
+    * query). Pairs are counted per DISTINCT word weighted by the word's
+    * corpus frequency — the standard BPE formulation — and the top 50
+    * are returned with a deterministic (cnt DESC, pair ASC) rank.
+    *
+    * Scale (100 TB): the pair generation runs over the VOCABULARY (Zipf
+    * ≪ corpus), not the token stream — the corpus-sized work is exactly
+    * one word-count aggregation; everything after operates on
+    * vocabulary-sized frames, and the final top-k plans as
+    * TakeOrderedAndProject. Subsequent merge iterations are this same
+    * query re-run over a re-segmented vocab table, never the corpus. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = wf
+      .where(length(col("tok")) >= 2)
+      // sequence(1, 0) yields a DESCENDING range in Spark — the length
+      // guard above keeps the upper bound ≥ 1
+      .select(
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"),
+        col("c"))
+    // top-k FIRST (plans as TakeOrderedAndProject), THEN the rank
+    // window — the only unpartitioned window runs on the 50-row frame
+    pairs.groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(50)
+      .select(col("pair"), col("cnt"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc))
+          .cast("long").as("rk"))
+  }
+
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     // every OCCURRENCE votes (standard frequency-weighted SimHash) — on a
     // small shared vocabulary, distinct-token signatures degenerate to

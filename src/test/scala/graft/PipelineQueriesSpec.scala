@@ -331,4 +331,69 @@ class PipelineQueriesSpec extends SparkSuite {
         s"temperature sampling must be softer than uniform for $s")
     }
   }
+
+  private def docTokens(): Map[Long, Seq[String]] =
+    Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), col("ws")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("ws").toSeq)
+      .toMap
+
+  test("token_diversity: Simpson index reconciles with driver-side counts and bounds") {
+    val out = TextQueries.tokenDiversity(spark, dir).collect()
+    val docToks = docTokens()
+    assert(out.length == docToks.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val toks = docToks(r.getAs[Long]("doc_id"))
+      val counts = toks.groupBy(identity).map(_._2.size.toLong)
+      val n = toks.length.toLong
+      val sumSq = counts.map(c => c * c).sum
+      assert(r.getAs[Long]("n_tok") == n)
+      assert(r.getAs[Long]("n_distinct") == counts.size.toLong)
+      assert(r.getAs[Long]("sum_sq") == sumSq)
+      val fp = ((n * n - sumSq) * 1000000L) / (n * n)
+      assert(r.getAs[Long]("simpson_fp") == fp)
+      assert(r.getAs[Double]("simpson") == fp.toDouble / 1000000.0)
+      // 0 ≤ simpson < 1 always; single-token docs pin exactly 0
+      assert(fp >= 0L && fp < 1000000L)
+      if (counts.size == 1) assert(fp == 0L)
+    }
+  }
+
+  test("vocab_coverage: top-100 membership and the exact coverage ratio") {
+    val out = TextQueries.vocabCoverage(spark, dir).collect()
+    val docToks = docTokens()
+    val vocab = docToks.values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(100).map(_._1).toSet
+    assert(out.length == docToks.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val toks = docToks(r.getAs[Long]("doc_id"))
+      val inV = toks.count(vocab.contains).toLong
+      assert(r.getAs[Long]("n_tok") == toks.length.toLong)
+      assert(r.getAs[Long]("n_in_vocab") == inV)
+      assert(r.getAs[Long]("coverage_fp") == inV * 1000000L / toks.length)
+    }
+    // the fixture's shared vocabulary is under 100 words, so every token
+    // is covered — the interesting case (partial coverage) is pinned by
+    // the ratio reconciliation above on EVERY doc
+    assert(out.exists(_.getAs[Long]("coverage_fp") == 1000000L))
+  }
+
+  test("bpe_pairs: the merge-candidate ranking matches a brute-force BPE count") {
+    val out = TextQueries.bpePairs(spark, dir).collect()
+    val wordFreq = docTokens().values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val pairCnt = wordFreq.toSeq.flatMap { case (w, c) =>
+      if (w.length < 2) Seq.empty
+      else (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val expect = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+    assert(out.length == math.min(50, pairCnt.size))
+    out.sortBy(_.getAs[Long]("rk")).zip(expect).foreach { case (r, (p, c)) =>
+      assert(r.getAs[String]("pair") == p)
+      assert(r.getAs[Long]("cnt") == c)
+    }
+  }
 }
