@@ -53,6 +53,7 @@ object SparkEntry {
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
+    "pca_power" -> (SimilarityQueries.pcaPower _),
     "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
     "kmeans_shift" -> (SimilarityQueries.kmeansShift _),
     "cluster_eval" -> (SimilarityQueries.clusterEval _),
@@ -582,6 +583,33 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "pca_power" ->
+      // three unrolled power-iteration rounds over the mean-centered
+      // embeddings: the row-order-dependent matvec reduction is quantized
+      // per (row, dim) to floor(s·cxⱼ·10⁶) BIGINTs (exact,
+      // order-independent); per-row dots and norms are the same
+      // index-order folds as every cosine oracle
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
+         |me AS (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS xv FROM e),
+         |mg AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS qs
+         |       FROM me GROUP BY pos),
+         |mu AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS mu FROM mg),
+         |cx AS (SELECT vec_id, list_transform(range(1, len(x) + 1), i -> x[i] - mu.mu[i]) AS cx FROM e, mu),
+         |v0 AS (SELECT list_transform(mu, m -> 1.0) AS v FROM mu),
+         |${(1 to 3).map { i =>
+           s"""s$i AS (SELECT ${dotSql("c.cx", "v.v")} AS s,
+              |        generate_subscripts(c.cx, 1) AS pos, unnest(c.cx) AS cxj
+              |      FROM cx c, v${i - 1} v),
+              |q$i AS (SELECT pos, CAST(sum(CAST(floor(s * cxj * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+              |      FROM s$i GROUP BY pos),
+              |w$i AS (SELECT list(CAST(q AS DOUBLE) ORDER BY pos) AS w FROM q$i),
+              |v$i AS (SELECT list_transform(w, x -> x / sqrt(${dotSql("w", "w")})) AS v FROM w$i)""".stripMargin
+         }.mkString(",\n")},
+         |nw AS (SELECT sqrt(${dotSql("w", "w")}) AS nw FROM w3)
+         |SELECT CAST(q3.pos AS BIGINT) AS pos, q3.q AS w_fp,
+         |  CAST(q3.q AS DOUBLE) / nw.nw AS loading
+         |FROM q3, nw""".stripMargin,
     "cluster_eval" ->
       // inertia as exact fixed-point sums (floor((d·d)·10⁶) per
       // coordinate, summed as BIGINTs — order-independent), majority

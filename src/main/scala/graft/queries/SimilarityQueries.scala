@@ -319,6 +319,70 @@ object SimilarityQueries {
   def kmeansTrain2(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainAssign(spark, dir, rounds = 2)
 
+  /** Top principal component of the embedding table by THREE in-engine
+    * power-iteration rounds over the mean-centered data — the
+    * dimensionality/drift probe a curation pass runs on its embedding
+    * space (and the vector the ABC/PCA-whitening preprocessors freeze).
+    * Returns one row per dimension: the final un-normalized matvec
+    * coordinate as an exact fixed-point BIGINT (`w_fp`, the cross-engine
+    * anchor) and the unit-norm `loading`.
+    *
+    * Exactness across engines (the [[kmeansTrain]] rulebook): the mean is
+    * an exact fixed-point long-sum ratio; each centered coordinate is one
+    * deterministic subtraction; each row's projection `s = cx·v` is the
+    * same index-order double fold both sides; the matvec accumulation
+    * over ROWS — the only order-dependent reduction — is quantized
+    * per (row, dim) to `floor(s·cxⱼ·10⁶)` BIGINTs and summed as longs
+    * (order-independent exact); norms divide through IEEE sqrt (correctly
+    * rounded, engine-identical). v₀ is the all-ones direction.
+    *
+    * Scale (100 TB): each round broadcasts ONE d-vector, streams the
+    * corpus with narrow per-row work, and shuffles only d·partitions
+    * pre-aggregated (pos, partial-sum) rows — the [[kmeansStep]] shuffle
+    * shape; nothing lives on the driver. Headroom: per-row quantized
+    * contributions are ~10⁸ at unit-scale embeddings, so the per-dim
+    * BIGINT sum has room past 10⁹ rows; ANSI mode makes overflow loud,
+    * not wrong. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 3
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("x"))
+    val mu = e.select(posexplode(col("x")))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("col") * lit(1000000.0))).as("qs"))
+      .withColumn("m",
+        col("qs").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(transform(col("pm"), p => p("m")).as("mu"))
+    val cx = e.join(broadcast(mu))
+      .select(col("vec_id"), zip_with(col("x"), col("mu"), (a, b) => a - b).as("cx"))
+    var v = mu.select(transform(col("mu"), _ => lit(1.0)).as("v"))
+    var pq: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      pq = cx.join(broadcast(v))
+        .withColumn("s", dotD(col("cx"), col("v")))
+        .select(col("s"), posexplode(col("cx")))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("s") * col("col") * lit(1000000.0))).as("q"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("q")))).as("pq"))
+        .select(transform(col("pq"), p => p("q")).as("wq"))
+      v = pq
+        .select(transform(col("wq"), q => q.cast("double")).as("w"))
+        .select(transform(col("w"), x => x / normD(col("w"))).as("v"))
+    }
+    pq
+      .withColumn("nw", normD(transform(col("wq"), q => q.cast("double"))))
+      .select(col("nw"), posexplode(col("wq")))
+      .select(
+        (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("w_fp"),
+        (col("col").cast("double") / col("nw")).as("loading"))
+  }
+
   /** Semantic near-duplicate pairs over the TRAINED index: cosine ≥ 0.3
     * within a round-2 k-means bucket, a<b — [[embeddingNearDup]]'s pair
     * pattern consuming [[kmeansTrain]] instead of the raw hash-sampled

@@ -576,4 +576,54 @@ class SimilarityTextSpec extends SparkSuite {
     // chance (3/499 per query) on the fixed fixture
     assert(out.map(_.getAs[Long]("n_hit")).sum >= 1L)
   }
+
+  test("pca_power: fixed-point matvec matches a driver-side power iteration exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.pcaPower(spark, dir).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    val xs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val d = xs.head.length
+    assert(out.length == d)
+    // the exact arithmetic the query commits to: fixed-point means,
+    // centered doubles, per-(row,dim) quantized matvec, IEEE-sqrt norms
+    val mu = (0 until d).map { j =>
+      xs.map(x => math.floor(x(j) * 1e6).toLong).sum.toDouble / (xs.length * 1e6)
+    }.toArray
+    val cx = xs.map(x => (0 until d).map(j => x(j) - mu(j)).toArray)
+    var v = Array.fill(d)(1.0)
+    var wq: Array[Long] = null
+    (1 to 3).foreach { _ =>
+      val q = Array.fill(d)(0L)
+      cx.foreach { r =>
+        var s = 0.0
+        (0 until d).foreach(j => s += r(j) * v(j))
+        (0 until d).foreach(j => q(j) += math.floor(s * r(j) * 1e6).toLong)
+      }
+      val nrm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      v = q.map(_.toDouble / nrm)
+      wq = q
+    }
+    val nw = math.sqrt(wq.map(x => x.toDouble * x.toDouble).sum)
+    out.zipWithIndex.foreach { case (r, j) =>
+      assert(r.getAs[Long]("w_fp") == wq(j))
+      assert(r.getAs[Double]("loading") == wq(j).toDouble / nw)
+    }
+    // the loading is unit-norm, and the direction is a genuine variance
+    // maximizer: its Rayleigh quotient beats the average per-dimension
+    // variance (what a random direction would get in expectation)
+    val norm = math.sqrt(out.map(r => {
+      val l = r.getAs[Double]("loading"); l * l
+    }).sum)
+    assert(math.abs(norm - 1.0) < 1e-12)
+    val load = out.map(_.getAs[Double]("loading"))
+    val rayleigh = cx.map(r => {
+      var s = 0.0; (0 until d).foreach(j => s += r(j) * load(j)); s * s
+    }).sum / cx.length
+    val avgVar = cx.map(r => r.map(x => x * x).sum).sum / (cx.length * d)
+    assert(rayleigh > avgVar,
+      s"principal direction ($rayleigh) must beat the mean per-dim variance ($avgVar)")
+  }
 }
