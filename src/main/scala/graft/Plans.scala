@@ -51,7 +51,10 @@ object Plans {
     "mix_sample" -> "per-source rates from one compact aggregation, broadcast back; keep decision is a narrow map",
     "rank_fusion" -> "both arms prune to top-50 via TakeOrderedAndProject before the fuse; final rank on ≤100 rows",
     "lm_score" -> "vocabulary-sized model tables; model joins keyed on compact bigram/token strings",
-    "cluster_eval" -> "assignment is the zero-shuffle narrow map; centroids broadcast; (bucket)/(bucket,label) rollups only"
+    "cluster_eval" -> "assignment is the zero-shuffle narrow map; centroids broadcast; (bucket)/(bucket,label) rollups only",
+    "pca_power" -> "each matvec round: one-row vector broadcast, narrow per-row quantization, map-combinable (pos) shuffle",
+    "vocab_coverage" -> "100-row vocabulary broadcast onto the token stream; doc-keyed rollup is the only corpus shuffle",
+    "bpe_pairs" -> "pair explode over the VOCABULARY (never the corpus); top-50 via TakeOrderedAndProject"
   )
 
   def main(args: Array[String]): Unit = {

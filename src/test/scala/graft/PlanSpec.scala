@@ -529,6 +529,32 @@ class PlanSpec extends SparkSuite {
       "code argmin must stay in-row; the Lloyd's update is a hash aggregate")
   }
 
+  test("pca_power: matvec rounds are one-row broadcasts, no cartesian, no window") {
+    // each power-iteration round: the current direction folds to ONE
+    // broadcast row (BroadcastNestedLoopJoin, free by construction), the
+    // per-(row, dim) quantization is a narrow map, and the only corpus
+    // shuffle is the map-combinable (pos) hash aggregate
+    val p = plan(SimilarityQueries.pcaPower(spark, dir))
+    // each of the 3 rounds re-derives the centered frame (one mean
+    // broadcast) and broadcasts its direction: 3 × 2 one-row joins
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 6,
+      s"expected a mean + direction one-row broadcast per round:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "the matvec must be a hash aggregate, never a rank/window shuffle")
+  }
+
+  test("vocab_coverage: the vocabulary broadcasts; bpe_pairs: top-k prunes, no corpus window") {
+    val pv = plan(graft.queries.TextQueries.vocabCoverage(spark, dir))
+    assert(pv.contains("BroadcastHashJoin"),
+      s"the 100-row vocabulary must broadcast onto the token stream:\n$pv")
+    assert(!pv.contains("CartesianProduct"))
+    val pb = plan(graft.queries.TextQueries.bpePairs(spark, dir))
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"the pair ranking must prune to 50 rows via top-k, not a global sort:\n$pb")
+    assert(!pb.contains("CartesianProduct"))
+  }
+
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
     val p = plan(SimilarityQueries.pqAnn(spark, dir))
     // the Q×M×K distance table must broadcast-hash-join the encoded
