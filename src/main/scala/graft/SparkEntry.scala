@@ -110,6 +110,8 @@ object SparkEntry {
     "importance_weight" -> (TextQueries.importanceWeight _),
     "lm_score" -> (TextQueries.lmScore _),
     "token_diversity" -> (TextQueries.tokenDiversity _),
+    "ohlc_agg" -> (AnalyticsQueries.ohlcAgg _),
+    "gap_fill" -> (AnalyticsQueries.gapFill _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -1133,6 +1135,53 @@ object SparkEntry {
          |SELECT doc_id, n_toks, score_fp, score_fp // n_toks AS mean_fp,
          |  CAST(score_fp // n_toks AS DOUBLE) / 1000000.0 AS importance
          |FROM ds""".stripMargin,
+    "ohlc_agg" ->
+      // open/close via deterministic (ts, event_id, value) extreme —
+      // restated as rank-1 conditional aggregates; volume as exact
+      // DECIMAL sum cast to double (hourly_rollup's rule)
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |            ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type, hour
+        |          ORDER BY ts, event_id, value) AS ra,
+        |        row_number() OVER (PARTITION BY event_type, hour
+        |          ORDER BY ts DESC, event_id DESC, value DESC) AS rd
+        |      FROM b)
+        |SELECT event_type, hour,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY event_type, hour""".stripMargin,
+    "gap_fill" ->
+      // Timestream INTERPOLATE_LINEAR/FILL: dense 10-min grid per series,
+      // exact decimal means on filled buckets, linear interpolation
+      // between nearest filled neighbours (edges clamp); neighbour search
+      // restated as correlated extremes over the mean table
+      """WITH m AS (SELECT event_type AS mt, epoch_us(ts) // 600000000 AS mb,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT mt, mb, CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv FROM m),
+        |sp AS (SELECT mt, min(mb) AS b0, max(mb) AS b1 FROM mm GROUP BY mt),
+        |g AS (SELECT mt AS event_type, unnest(range(b0, b1 + 1)) AS bucket FROM sp),
+        |j AS (SELECT g.event_type, g.bucket, mm.mv
+        |      FROM g LEFT JOIN mm ON g.event_type = mm.mt AND g.bucket = mm.mb),
+        |pn AS (SELECT event_type, bucket, mv,
+        |        (SELECT max(x.mb) FROM mm x WHERE x.mt = j.event_type AND x.mb <= j.bucket) AS pb,
+        |        (SELECT min(x.mb) FROM mm x WHERE x.mt = j.event_type AND x.mb >= j.bucket) AS nb
+        |      FROM j),
+        |f AS (SELECT p.event_type, p.bucket, p.mv, p.pb, p.nb, pv.mv AS pv, nv.mv AS nv
+        |      FROM pn p LEFT JOIN mm pv ON p.event_type = pv.mt AND p.pb = pv.mb
+        |                LEFT JOIN mm nv ON p.event_type = nv.mt AND p.nb = nv.mb)
+        |SELECT event_type, bucket, mv IS NOT NULL AS filled,
+        |  CASE WHEN mv IS NOT NULL THEN mv
+        |       WHEN pb IS NULL THEN nv
+        |       WHEN nb IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |  END AS value
+        |FROM f""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

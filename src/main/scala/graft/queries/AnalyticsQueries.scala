@@ -623,4 +623,90 @@ object AnalyticsQueries {
         sum(col("value").cast(Dec)).cast("double").as("sum_value")
       )
   }
+
+  /** OHLC downsampling: per (event_type, hour) — open (value at the
+    * earliest event), high, low, close (value at the latest), count, and
+    * the exact decimal volume — the candlestick/decimation query every
+    * time-series store ships (Timestream's bin() + first/last shape;
+    * reference emits raw points it later rolls up, SURVEY §2 O5).
+    *
+    * Open/close are deterministic under timestamp ties: the aggregation
+    * minimizes/maximizes the lexicographic (ts, event_id, value) struct —
+    * ONE hash aggregate, no window, no self-join, so ties break on
+    * event_id identically in both engines.
+    *
+    * Scale (100 TB): a single map-combinable aggregation keyed on the
+    * compact (event_type, hour) pair — the [[CoreQueries.hourlyRollup]]
+    * shuffle shape; series count × span bounds the output, not the row
+    * count. */
+  def ohlcAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(Dec)).cast("double").as("volume"))
+      .select(
+        col("event_type"), col("hour"),
+        col("o")("value").as("open"), col("high"), col("low"),
+        col("c")("value").as("close"), col("cnt"), col("volume"))
+
+  /** Gap-filled series with linear interpolation — Timestream's
+    * INTERPOLATE_LINEAR / FILL over a regular grid, in-engine: per
+    * event_type, a dense 10-minute grid from the series' first to last
+    * bucket; buckets with data carry their exact mean; empty buckets
+    * linearly interpolate between the nearest filled neighbours (edges
+    * clamp to the nearest value — Timestream's boundary fill). `filled`
+    * marks real vs synthesized points.
+    *
+    * Exactness: bucket means are DECIMAL sums ÷ counts (one IEEE
+    * division); the interpolation weight is an integer-bucket ratio
+    * through double — every engine-side double op is written in the
+    * same order as the oracle. The neighbour search is two
+    * running-extreme windows (last/first IGNORE NULLS), not a self-join.
+    *
+    * Scale (100 TB): the raw scan folds to (type, bucket) partials
+    * map-side; everything after — grid explode, neighbour windows,
+    * interpolation — runs on the GRID frame, whose size is
+    * series × span (time-bounded), independent of event count. Windows
+    * partition by event_type, so no global sort; a series' grid sorts
+    * within one task (span ~10⁵ buckets/series at 2 years of 10-min
+    * bins — trivially in-memory). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val means = Tables.events(spark, dir)
+      .withColumn("b", expr("unix_micros(ts) div 600000000"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(Dec)).as("sdec"))
+      .withColumn("mv", col("sdec").cast("double") / col("cnt").cast("double"))
+      .select(col("event_type").as("mt"), col("b").as("mb"), col("cnt"), col("mv"))
+    val grid = means.groupBy(col("mt"))
+      .agg(min(col("mb")).as("b0"), max(col("mb")).as("b1"))
+      .select(col("mt").as("event_type"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val wAsc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(means, col("event_type") === col("mt") && col("bucket") === col("mb"), "left")
+      .select(col("event_type"), col("bucket"), col("mv"))
+      .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wAsc))
+      .withColumn("pb", last(when(col("mv").isNotNull, col("bucket")), ignoreNulls = true).over(wAsc))
+      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(wDesc))
+      .withColumn("nb", first(when(col("mv").isNotNull, col("bucket")), ignoreNulls = true).over(wDesc))
+      .withColumn("value",
+        when(col("mv").isNotNull, col("mv"))
+          .when(col("pb").isNull, col("nv"))
+          .when(col("nb").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("bucket") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))))
+      .select(col("event_type"), col("bucket"),
+        col("mv").isNotNull.as("filled"), col("value"))
+  }
 }

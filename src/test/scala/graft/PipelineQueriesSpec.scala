@@ -381,6 +381,59 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(out.exists(_.getAs[Long]("coverage_fp") == 1000000L))
   }
 
+  test("ohlc_agg: open/close reconcile with driver-side extremes; invariants hold") {
+    val out = AnalyticsQueries.ohlcAgg(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("tus"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val byBucket = ev.groupBy { case (t, us, _, _) => (t, us / 3600000000L) }
+    assert(out.length == byBucket.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("hour"))
+      val rows = byBucket(key)
+      val open = rows.minBy { case (_, us, id, v) => (us, id, v) }._4
+      val close = rows.maxBy { case (_, us, id, v) => (us, id, v) }._4
+      assert(r.getAs[Double]("open") == open)
+      assert(r.getAs[Double]("close") == close)
+      assert(r.getAs[Double]("high") == rows.map(_._4).max)
+      assert(r.getAs[Double]("low") == rows.map(_._4).min)
+      assert(r.getAs[Long]("cnt") == rows.length.toLong)
+      // candlestick sanity: body inside the wick
+      assert(r.getAs[Double]("high") >= math.max(open, close))
+      assert(r.getAs[Double]("low") <= math.min(open, close))
+    }
+  }
+
+  test("gap_fill: dense grid, real buckets exact, synthesized points between neighbours") {
+    val out = AnalyticsQueries.gapFill(spark, dir).collect()
+    val bySeries = out.groupBy(_.getAs[String]("event_type"))
+    assert(bySeries.nonEmpty)
+    bySeries.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+      val (b0, b1) = (sorted.head.getAs[Long]("bucket"), sorted.last.getAs[Long]("bucket"))
+      // the grid is DENSE: one row per bucket in the series' span
+      assert(sorted.length.toLong == b1 - b0 + 1)
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq == (b0 to b1).toSeq)
+      // edges are real data points by construction (span is min..max of data)
+      assert(sorted.head.getAs[Boolean]("filled") && sorted.last.getAs[Boolean]("filled"))
+      assert(sorted.exists(!_.getAs[Boolean]("filled")), "fixture must exercise gaps")
+      // every synthesized value lies within its nearest-neighbour bracket
+      val filled = sorted.filter(_.getAs[Boolean]("filled"))
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("value"))
+      sorted.filter(!_.getAs[Boolean]("filled")).foreach { r =>
+        val b = r.getAs[Long]("bucket")
+        val (pb, pv) = filled.filter(_._1 < b).maxBy(_._1)
+        val (nb, nv) = filled.filter(_._1 > b).minBy(_._1)
+        val expect = pv + (nv - pv) * ((b - pb).toDouble / (nb - pb).toDouble)
+        assert(r.getAs[Double]("value") == expect)
+        assert(r.getAs[Double]("value") >= math.min(pv, nv) - 1e-12 &&
+          r.getAs[Double]("value") <= math.max(pv, nv) + 1e-12)
+      }
+    }
+  }
+
   test("bpe_pairs: the merge-candidate ranking matches a brute-force BPE count") {
     val out = TextQueries.bpePairs(spark, dir).collect()
     val wordFreq = docTokens().values.flatten.groupBy(identity)
