@@ -112,6 +112,7 @@ object SparkEntry {
     "token_diversity" -> (TextQueries.tokenDiversity _),
     "ohlc_agg" -> (AnalyticsQueries.ohlcAgg _),
     "gap_fill" -> (AnalyticsQueries.gapFill _),
+    "anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -1182,6 +1183,30 @@ object SparkEntry {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS value
         |FROM f""".stripMargin,
+    "anomaly_zscore" ->
+      // rolling z over the trailing 24 observed buckets; the window sums
+      // run on floor(mean·10³) BIGINTs (exact, order-independent — double
+      // frame-sum order differs between engines), then
+      // z = (x·n − Σx)/√(n·Σx² − (Σx)²) in two final IEEE ops
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |       FROM m),
+        |w AS (SELECT event_type, b, mv, fp,
+        |        CAST(count(fp) OVER win AS BIGINT) AS n,
+        |        CAST(sum(fp) OVER win AS BIGINT) AS s,
+        |        CAST(sum(fp * fp) OVER win AS BIGINT) AS ss
+        |      FROM mm
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY b
+        |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, b AS bucket, mv, n AS n_window,
+        |  CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z,
+        |  abs(CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
+        |FROM w WHERE n >= 12 AND n * ss - s * s > 0""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

@@ -676,13 +676,19 @@ object AnalyticsQueries {
     * partition by event_type, so no global sort; a series' grid sorts
     * within one task (span ~10⁵ buckets/series at 2 years of 10-min
     * bins — trivially in-memory). */
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val means = Tables.events(spark, dir)
+  /** Exact per-(series, 10-min bucket) means: DECIMAL sums ÷ counts, one
+    * IEEE division — the base frame [[gapFill]] and [[anomalyZscore]]
+    * share. One map-combinable compact-key aggregation of the raw scan. */
+  private def bucketMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .withColumn("b", expr("unix_micros(ts) div 600000000"))
       .groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(Dec)).as("sdec"))
       .withColumn("mv", col("sdec").cast("double") / col("cnt").cast("double"))
+
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val means = bucketMeans(spark, dir)
       .select(col("event_type").as("mt"), col("b").as("mb"), col("cnt"), col("mv"))
     val grid = means.groupBy(col("mt"))
       .agg(min(col("mb")).as("b0"), max(col("mb")).as("b1"))
@@ -708,5 +714,46 @@ object AnalyticsQueries {
               (col("nb") - col("pb")).cast("double"))))
       .select(col("event_type"), col("bucket"),
         col("mv").isNotNull.as("filled"), col("value"))
+  }
+
+  /** Rolling z-score anomaly detection — the observability alarm query
+    * of the reference's domain: each 10-minute bucket mean scored
+    * against the trailing 24 OBSERVED buckets of its own series
+    * (`z = (x−μ)/σ`), with a 12-bucket warmup and a flat-window guard.
+    * Emits every scored bucket with its z and the `is_anomaly` flag
+    * (|z| > 3), so consumers see the score distribution, not just the
+    * alarms.
+    *
+    * Exactness: window sums are the ONE cross-engine hazard here —
+    * engines disagree on double summation order inside a frame (segment
+    * trees vs running sums) — so the bucket mean is quantized ONCE to
+    * `floor(mv·10³)` and the rolling count/sum/sum-of-squares all run on
+    * exact BIGINTs. The z formula is restated to keep everything
+    * integral until two final IEEE ops:
+    * `z = (x·n − Σx) / √(n·Σx² − (Σx)²)` — numerator and radicand are
+    * exact BIGINTs, then one division and one correctly-rounded sqrt.
+    * Headroom: values ≤ ~500 ⇒ fp ≤ 5·10⁵, n·Σx² ≤ 24²·2.5·10¹¹ ≈
+    * 1.4·10¹⁴ — four orders under BIGINT, and ANSI overflow is loud.
+    *
+    * Scale (100 TB): the raw scan folds map-side to the compact
+    * (series, bucket) mean frame; the rolling window partitions by
+    * series over that BOUNDED frame (span × series, independent of
+    * event count) — never over raw events. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-24, -1)
+    bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .withColumn("n", count(col("fp")).over(w))
+      .withColumn("s", sum(col("fp")).over(w))
+      .withColumn("ss", sum(col("fp") * col("fp")).over(w))
+      .where(col("n") >= 12 && (col("n") * col("ss") - col("s") * col("s")) > 0)
+      .withColumn("z",
+        (col("fp") * col("n") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+      .select(
+        col("event_type"), col("b").as("bucket"), col("mv"),
+        col("n").as("n_window"), col("z"),
+        (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
 }

@@ -434,6 +434,48 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("anomaly_zscore: z reconciles with a driver-side rolling window; flags at |z|>3") {
+    val out = AnalyticsQueries.anomalyZscore(spark, dir).collect()
+    assert(out.nonEmpty)
+    // driver-side rebuild of the exact pipeline: decimal bucket means,
+    // floor(mv·10³) quantization, trailing-24 integer window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("tus") / 600000000L,
+        BigDecimal(r.getAs[Double]("value")).setScale(2)))
+    val means = ev.groupBy { case (t, b, _) => (t, b) }
+      .map { case ((t, b), rows) =>
+        (t, b, rows.map(_._3).sum.toDouble / rows.length.toDouble)
+      }.toSeq
+    val expect = means.groupBy(_._1).flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2).map { case (_, b, mv) =>
+        (b, mv, math.floor(mv * 1000.0).toLong)
+      }
+      sorted.zipWithIndex.flatMap { case ((b, mv, fp), i) =>
+        val win = sorted.slice(math.max(0, i - 24), i).map(_._3)
+        val n = win.length.toLong
+        val s = win.sum
+        val ss = win.map(x => x * x).sum
+        if (n >= 12 && n * ss - s * s > 0) {
+          val z = (fp * n - s).toDouble / math.sqrt((n * ss - s * s).toDouble)
+          Some((t, b) -> (mv, n, z))
+        } else None
+      }
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (mv, n, z) = expect((r.getAs[String]("event_type"), r.getAs[Long]("bucket")))
+      assert(r.getAs[Double]("mv") == mv)
+      assert(r.getAs[Long]("n_window") == n)
+      assert(r.getAs[Double]("z") == z)
+      assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 3.0))
+    }
+    // the detector must actually fire somewhere on the fixture, and not
+    // everywhere (a threshold that flags everything detects nothing)
+    val flagged = out.count(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged > 0 && flagged < out.length / 10)
+  }
+
   test("bpe_pairs: the merge-candidate ranking matches a brute-force BPE count") {
     val out = TextQueries.bpePairs(spark, dir).collect()
     val wordFreq = docTokens().values.flatten.groupBy(identity)
