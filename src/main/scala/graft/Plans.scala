@@ -54,7 +54,10 @@ object Plans {
     "cluster_eval" -> "assignment is the zero-shuffle narrow map; centroids broadcast; (bucket)/(bucket,label) rollups only",
     "pca_power" -> "each matvec round: one-row vector broadcast, narrow per-row quantization, map-combinable (pos) shuffle",
     "vocab_coverage" -> "100-row vocabulary broadcast onto the token stream; doc-keyed rollup is the only corpus shuffle",
-    "bpe_pairs" -> "pair explode over the VOCABULARY (never the corpus); top-50 via TakeOrderedAndProject"
+    "bpe_pairs" -> "pair explode over the VOCABULARY (never the corpus); top-50 via TakeOrderedAndProject",
+    "ohlc_agg" -> "one map-combinable hash aggregate on (event_type, hour); struct extremes, no window, no self-join",
+    "gap_fill" -> "raw scan folds to (series, bucket) partials map-side; windows partition by series over the bounded grid",
+    "anomaly_zscore" -> "rolling-24 window per series over the compact mean frame, never over raw events"
   )
 
   def main(args: Array[String]): Unit = {

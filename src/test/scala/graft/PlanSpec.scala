@@ -555,6 +555,31 @@ class PlanSpec extends SparkSuite {
     assert(!pb.contains("CartesianProduct"))
   }
 
+  test("ohlc_agg: one aggregate, no window; gap_fill/anomaly_zscore: windows keyed by series") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val po = plan(AnalyticsQueries.ohlcAgg(spark, dir))
+    assert(!po.contains("Window"),
+      s"open/close must resolve in the aggregate via struct extremes, not a rank window:\n$po")
+    assert(!po.contains("CartesianProduct"))
+    // every window in the gap-fill and anomaly paths must be partitioned
+    // (by event_type) — an unpartitioned window would serialize the grid.
+    // AQE off so the prepared plan exposes the operator tree to collect()
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      Seq(AnalyticsQueries.gapFill(spark, dir), AnalyticsQueries.anomalyZscore(spark, dir))
+        .foreach { df =>
+          val sp = df.queryExecution.executedPlan
+          val wins = sp.collect { case w: WindowExec => w }
+          assert(wins.nonEmpty)
+          assert(wins.forall(_.partitionSpec.nonEmpty),
+            s"all time-series windows must partition by series:\n$sp")
+          assert(!sp.treeString.contains("CartesianProduct"))
+        }
+    } finally saved.foreach(conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
     val p = plan(SimilarityQueries.pqAnn(spark, dir))
     // the Q×M×K distance table must broadcast-hash-join the encoded
