@@ -115,6 +115,8 @@ object SparkEntry {
     "anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
+    "token_lift" -> (TextQueries.tokenLift _),
+    "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
     "group_percentiles" -> (AnalyticsQueries.groupPercentiles _),
     "snapshot_diff" -> (CurationQueries.snapshotDiff _),
@@ -586,6 +588,38 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "embedding_outliers" ->
+      // bottom-20 assignment cosines over the shared two-round chain:
+      // the vectors farthest from every trained density center
+      s"""$KmeansTrain2Body,
+         |o AS (SELECT vec_id, bucket, ccos AS cos,
+         |        CAST(row_number() OVER (ORDER BY ccos ASC, vec_id ASC) AS BIGINT) AS rk
+         |      FROM asn2)
+         |SELECT vec_id, bucket, cos, rk FROM o WHERE rk <= 20""".stripMargin,
+    "token_lift" ->
+      // PMI's monotone rational form: c(ab)·N·10⁶ // (c(a)·c(b)),
+      // support ≥ 5, top-50 by (lift, pair) — no log space
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM t GROUP BY tok),
+         |bx AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> struct_pack(a := ws[i], b := ws[i+1]))) AS p
+         |       FROM w),
+         |bg AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cb
+         |       FROM bx GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM bg),
+         |lf AS (SELECT g.a, g.b, g.cb,
+         |         CAST((g.cb * nn.n * 1000000) // (ua.cu * ub.cu) AS BIGINT) AS lift_fp
+         |       FROM bg g
+         |       JOIN uni ua ON g.a = ua.tok
+         |       JOIN uni ub ON g.b = ub.tok
+         |       CROSS JOIN nn
+         |       WHERE g.cb >= 5),
+         |r AS (SELECT a, b, cb, lift_fp,
+         |        CAST(lift_fp AS DOUBLE) / 1000000.0 AS lift,
+         |        CAST(row_number() OVER (ORDER BY lift_fp DESC, a ASC, b ASC) AS BIGINT) AS rk
+         |      FROM lf)
+         |SELECT a, b, cb, lift_fp, lift, rk FROM r WHERE rk <= 50""".stripMargin,
     "pca_power" ->
       // three unrolled power-iteration rounds over the mean-centered
       // embeddings: the row-order-dependent matvec reduction is quantized

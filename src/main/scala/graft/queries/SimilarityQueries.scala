@@ -383,6 +383,26 @@ object SimilarityQueries {
         (col("col").cast("double") / col("nw")).as("loading"))
   }
 
+  /** Embedding outliers: the 20 vectors FARTHEST from their own trained
+    * cluster centroid (lowest assignment cosine after two k-means
+    * rounds) — the out-of-distribution screen a curation pass runs on an
+    * embedding space: junk, mojibake, and modality mistakes don't sit
+    * near any density center, so they surface here first (the flip side
+    * of [[semanticNearDup]], which reads the SAME assignment frame for
+    * its densest regions).
+    *
+    * Scale (100 TB): the assignment is [[kmeansTrain]]'s zero-shuffle
+    * narrow map; the bottom-k is a TakeOrderedAndProject (never a global
+    * sort), and the rank window runs on the 20-row result. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = kmeansTrain(spark, dir, rounds = 2)
+      .select(col("vec_id"), col("bucket"), col("cos"))
+      .orderBy(col("cos").asc, col("vec_id").asc).limit(20)
+    scored.select(col("vec_id"), col("bucket"), col("cos"),
+      row_number().over(Window.orderBy(col("cos").asc, col("vec_id").asc))
+        .cast("long").as("rk"))
+  }
+
   /** Semantic near-duplicate pairs over the TRAINED index: cosine ≥ 0.3
     * within a round-2 k-means bucket, a<b — [[embeddingNearDup]]'s pair
     * pattern consuming [[kmeansTrain]] instead of the raw hash-sampled

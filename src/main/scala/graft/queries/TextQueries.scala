@@ -272,6 +272,51 @@ object TextQueries {
         col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
   }
 
+  /** Collocation strength — PMI's ratio without its logarithm: for each
+    * adjacent token pair, `lift = c(ab)·N / (c(a)·c(b))` (how much more
+    * often the pair co-occurs than independence predicts), in exact
+    * fixed point with a ≥5 support floor, top 50 by (lift, pair). High
+    * lift finds multiword expressions and boilerplate collocations —
+    * the phrase-mining signal a tokenizer or n-gram blocklist builder
+    * reads. Staying out of log space is the [[lmScore]] libm rule: the
+    * ORDERING of lift is the ordering of PMI (log is monotone), so
+    * nothing is lost by ranking on the rational form.
+    *
+    * Scale (100 TB): both count tables are vocabulary-sized; the join
+    * keys are compact token strings; the final top-k plans as
+    * TakeOrderedAndProject with the rank window on 50 rows. Headroom:
+    * `c(ab)·N·10⁶` overflows BIGINT once c(ab)·N exceeds ~9·10¹² — at
+    * web scale, rescale to 10³ units or pre-divide N; ANSI mode makes
+    * the overflow loud, not wrong. */
+  def tokenLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordTokens(col("text")).as("ws"))
+    val uni = docs.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val bg = docs
+      .select(
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(
+              element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p")("a").as("a"), col("p")("b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val n = bg.agg(sum(col("cb")).as("n"))
+    bg.where(col("cb") >= 5)
+      .join(uni.select(col("tok").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("tok").as("b"), col("cu").as("cbb")), "b")
+      .join(broadcast(n))
+      .withColumn("lift_fp", expr("(cb * n * 1000000) div (ca * cbb)"))
+      .orderBy(col("lift_fp").desc, col("a").asc, col("b").asc).limit(50)
+      .select(col("a"), col("b"), col("cb"), col("lift_fp"),
+        (col("lift_fp").cast("double") / lit(1000000.0)).as("lift"),
+        row_number().over(
+          Window.orderBy(col("lift_fp").desc, col("a").asc, col("b").asc))
+          .cast("long").as("rk"))
+  }
+
   /** Content + bag-of-words fingerprints (md5; order-sensitive and
     * order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

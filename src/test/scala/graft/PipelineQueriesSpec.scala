@@ -476,6 +476,50 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(flagged > 0 && flagged < out.length / 10)
   }
 
+  test("token_lift: lift ranking matches a brute-force PMI-ratio computation") {
+    val out = TextQueries.tokenLift(spark, dir).collect().sortBy(_.getAs[Long]("rk"))
+    val docToks = docTokens()
+    val uni = docToks.values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val bg = docToks.values.toSeq
+      .flatMap(ts => ts.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val n = bg.values.sum
+    val lifts = bg.toSeq.collect { case ((a, b), cb) if cb >= 5 =>
+      (a, b, cb, (cb * n * 1000000L) / (uni(a) * uni(b)))
+    }
+    val expect = lifts.sortBy { case (a, b, _, fp) => (-fp, a, b) }.take(50)
+    assert(out.length == math.min(50, lifts.size))
+    out.zip(expect).foreach { case (r, (a, b, cb, fp)) =>
+      assert(r.getAs[String]("a") == a && r.getAs[String]("b") == b)
+      assert(r.getAs[Long]("cb") == cb)
+      assert(r.getAs[Long]("lift_fp") == fp)
+      // lift > 1 means the pair beats independence — the top of the
+      // ranking must, or the corpus has no collocations at all
+      assert(r.getAs[Double]("lift") == fp.toDouble / 1000000.0)
+    }
+    assert(out.head.getAs[Long]("lift_fp") > 1000000L,
+      "the strongest collocation must beat independence")
+  }
+
+  test("embedding_outliers: bottom-20 assignment cosines of the trained index") {
+    val out = SimilarityQueries.embeddingOutliers(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rk"))
+    val all = SimilarityQueries.kmeansTrain(spark, dir, rounds = 2)
+      .select(col("vec_id"), col("bucket"), col("cos")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"), r.getAs[Double]("cos")))
+    val expect = all.sortBy { case (vid, _, cos) => (cos, vid) }.take(20)
+    assert(out.length == 20)
+    out.zip(expect).foreach { case (r, (vid, bkt, cos)) =>
+      assert(r.getAs[Long]("vec_id") == vid)
+      assert(r.getAs[Long]("bucket") == bkt)
+      assert(r.getAs[Double]("cos") == cos)
+    }
+    // outliers sit strictly below the corpus median assignment cosine
+    val med = all.map(_._3).sorted.apply(all.length / 2)
+    assert(out.forall(_.getAs[Double]("cos") < med))
+  }
+
   test("bpe_pairs: the merge-candidate ranking matches a brute-force BPE count") {
     val out = TextQueries.bpePairs(spark, dir).collect()
     val wordFreq = docTokens().values.flatten.groupBy(identity)
