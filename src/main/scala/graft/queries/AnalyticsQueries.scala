@@ -694,17 +694,23 @@ object AnalyticsQueries {
       .agg(min(col("mb")).as("b0"), max(col("mb")).as("b1"))
       .select(col("mt").as("event_type"),
         explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    // BOTH neighbour searches are RUNNING frames (unbounded-preceding →
+    // current): Spark evaluates growing frames incrementally but
+    // recomputes shrinking (current → unbounded-following) frames from
+    // scratch per row — O(span²) per series (measured 3.5 s vs 0.9 s at
+    // sf0.1). The "next filled" search therefore runs the same growing
+    // frame over the REVERSED bucket order instead.
     val wAsc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(means, col("event_type") === col("mt") && col("bucket") === col("mb"), "left")
       .select(col("event_type"), col("bucket"), col("mv"))
       .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wAsc))
       .withColumn("pb", last(when(col("mv").isNotNull, col("bucket")), ignoreNulls = true).over(wAsc))
-      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(wDesc))
-      .withColumn("nb", first(when(col("mv").isNotNull, col("bucket")), ignoreNulls = true).over(wDesc))
+      .withColumn("nv", last(col("mv"), ignoreNulls = true).over(wDesc))
+      .withColumn("nb", last(when(col("mv").isNotNull, col("bucket")), ignoreNulls = true).over(wDesc))
       .withColumn("value",
         when(col("mv").isNotNull, col("mv"))
           .when(col("pb").isNull, col("nv"))
