@@ -57,7 +57,9 @@ object Plans {
     "bpe_pairs" -> "pair explode over the VOCABULARY (never the corpus); top-50 via TakeOrderedAndProject",
     "ohlc_agg" -> "one map-combinable hash aggregate on (event_type, hour); struct extremes, no window, no self-join",
     "gap_fill" -> "raw scan folds to (series, bucket) partials map-side; windows partition by series over the bounded grid",
-    "anomaly_zscore" -> "rolling-24 window per series over the compact mean frame, never over raw events"
+    "anomaly_zscore" -> "rolling-24 window per series over the compact mean frame, never over raw events",
+    "token_lift" -> "vocabulary-sized count joins on compact token keys; top-50 via TakeOrderedAndProject",
+    "embedding_outliers" -> "zero-shuffle trained assignment; bottom-k via TakeOrderedAndProject, rank window on 20 rows"
   )
 
   def main(args: Array[String]): Unit = {

@@ -80,6 +80,38 @@ object Windowing {
       .withColumn("avg_value", col("_sum_dec").cast("double") / col("cnt"))
       .drop("_sum_dec")
 
+  /** OHLC bars over tumbling windows — the streaming-capable form of
+    * [[graft.queries.AnalyticsQueries.ohlcAgg]]: per (window, key),
+    * open/close as lexicographic (ts, id, value) struct extremes
+    * (deterministic under timestamp ties), high/low, count, and the
+    * exact decimal volume. Uses `window()` structs so a STREAMING caller
+    * can watermark `timeCol` and run it as a stateful windowed
+    * aggregation (struct min/max and decimal sums are all
+    * streaming-supported); the batch query keeps its arithmetic hour
+    * bucketing for pushdown-safety — StreamingSpec asserts the two
+    * agree bar-for-bar on a shared fixture. */
+  def ohlcBars(
+      df: DataFrame,
+      timeCol: String,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      dur: String
+  ): DataFrame =
+    df.groupBy(window(col(timeCol), dur).as("w"), col(keyCol))
+      .agg(
+        min(struct(col(timeCol), col(idCol), col(valueCol))).as("o"),
+        max(struct(col(timeCol), col(idCol), col(valueCol))).as("c"),
+        min(col(valueCol)).as("low"),
+        max(col(valueCol)).as("high"),
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("volume")
+      )
+      .select(
+        col("w")("start").as("bar_start"), col(keyCol),
+        col("o")(valueCol).as("open"), col("high"), col("low"),
+        col("c")(valueCol).as("close"), col("cnt"), col("volume"))
+
   /** Batch late-flagging: a row is late iff its event time trails the
     * dataset's max event time by more than `lateness`. Two passes — a
     * single-row aggregate, broadcast back — instead of a global sort or a

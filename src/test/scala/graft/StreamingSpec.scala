@@ -370,4 +370,43 @@ class StreamingSpec extends SparkSuite {
     assert(got("1") == Seq(1L, 3L)) // two sessions: the burst and the straggler
     assert(got("2") == Seq(1L))
   }
+
+  test("ohlc bars: streaming agrees with batch bar-for-bar, and with the oracle-checked query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    def bars(df: org.apache.spark.sql.DataFrame)
+        : Set[(java.sql.Timestamp, String, Double, Double, Double, Double, Long, Double)] = df
+      .select(col("bar_start"), col("event_type"), col("open"), col("high"),
+        col("low"), col("close"), col("cnt"), col("volume"))
+      .as[(java.sql.Timestamp, String, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    val evDf = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+    val ev = evDf.as[(java.sql.Timestamp, Long, String, Double)].collect().toSeq
+
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    ms.addData(ev: _*)
+    val sdf = ms.toDF().toDF("ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+    val q = graft.operators.Windowing
+      .ohlcBars(sdf, "ts", "event_type", "event_id", "value", "1 hour")
+      .writeStream.format("memory").queryName("ohlc_stream").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-ohlc"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamSet = bars(spark.table("ohlc_stream"))
+    val batchSet = bars(graft.operators.Windowing
+      .ohlcBars(evDf, "ts", "event_type", "event_id", "value", "1 hour"))
+    assert(streamSet == batchSet, "streaming OHLC must equal batch OHLC exactly")
+    // the oracle-checked query uses arithmetic hour bucketing for
+    // pushdown-safety; window("1 hour") is epoch-aligned, so the two
+    // bucketings name the same bars
+    val fromQuery = graft.queries.AnalyticsQueries.ohlcAgg(spark, dir)
+      .select(timestamp_micros(col("hour") * 3600000000L).as("bar_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("cnt"), col("volume"))
+    assert(bars(fromQuery) == batchSet,
+      "the oracle-checked arithmetic bucketing must name the same bars")
+  }
 }
