@@ -678,8 +678,10 @@ object AnalyticsQueries {
     * bins — trivially in-memory). */
   /** Exact per-(series, 10-min bucket) means: DECIMAL sums ÷ counts, one
     * IEEE division — the base frame [[gapFill]] and [[anomalyZscore]]
-    * share. One map-combinable compact-key aggregation of the raw scan. */
-  private def bucketMeans(spark: SparkSession, dir: String): DataFrame =
+    * share. One map-combinable compact-key aggregation of the raw scan.
+    * `private[graft]` so the streaming parity test feeds
+    * [[graft.streaming.AnomalyDetect]] the identical frame. */
+  private[graft] def bucketMeans(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("b", expr("unix_micros(ts) div 600000000"))
       .groupBy(col("event_type"), col("b"))

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues}
+
+/** Streaming rolling z-score anomaly detection — the alerting form of the
+  * batch [[graft.queries.AnalyticsQueries.anomalyZscore]] query, and the
+  * observability alarm the reference's Timestream consumers build on top
+  * of the stored points (SURVEY §1: the pipeline's stated purpose is
+  * operational monitoring; the reference itself stops at storage and
+  * leaves scoring to Timestream dashboards — this operator closes that
+  * loop in-engine, on the stream).
+  *
+  * Input is the finalized per-(series, 10-min bucket) mean frame — in
+  * production the Append-mode output of the watermarked tumbling-window
+  * mean (the [[graft.operators.Windowing]] family), which finalizes
+  * windows as the watermark passes their end, i.e. in non-decreasing
+  * bucket order per series (the one ordering this operator assumes;
+  * within a micro-batch it sorts, so only CROSS-batch regressions — a
+  * window finalizing after a later one, which Append-mode watermarking
+  * rules out — would diverge from batch).
+  *
+  * Exactness is inherited from the batch query's integral restatement:
+  * each mean is quantized ONCE to `floor(mv·10³)` and the trailing-24
+  * count/sum/sum-of-squares stay exact BIGINTs, so
+  * `z = (x·n − Σx) / √(n·Σx² − (Σx)²)` performs the same two IEEE ops
+  * (one divide, one correctly-rounded sqrt) on identical integers —
+  * StatefulSpec asserts stream == batch EXACTLY, z doubles included.
+  *
+  * Scale (100 TB): state is one ≤24-long ring per series — O(series),
+  * never O(events) — on the RocksDB store `transformWithState` requires,
+  * so state bigger than heap spills to disk, and series hash-partition
+  * across executors exactly like the batch window's partitionBy. */
+object AnomalyDetect {
+
+  final case class Score(
+      event_type: String, bucket: Long, mv: Double,
+      n_window: Long, z: Double, is_anomaly: Boolean)
+
+  /** Keyed state: the trailing ≤24 quantized bucket means, oldest first.
+    * Each incoming bucket is scored against the ring BEFORE it is pushed
+    * (the batch frame is `rowsBetween(-24, -1)` — the current row is
+    * excluded from its own window), with the batch query's warmup
+    * (n ≥ 12) and flat-window (radicand > 0) guards. */
+  class ZScoreProcessor
+      extends StatefulProcessor[String, (String, Long, Double), Score] {
+    @transient private var ring: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getListState[Long](
+        "ring", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[Score] = {
+      var win: Array[Long] = ring.get().toArray
+      val out = Array.newBuilder[Score]
+      rows.toArray.sortBy(_._2).foreach { case (_, bucket, mv) =>
+        val fp = math.floor(mv * 1000.0).toLong
+        val n = win.length.toLong
+        if (n >= 12) {
+          var s = 0L; var ss = 0L
+          win.foreach { v => s += v; ss += v * v }
+          val rad = n * ss - s * s
+          if (rad > 0) {
+            val z = (fp * n - s).toDouble / math.sqrt(rad.toDouble)
+            out += Score(key, bucket, mv, n, z, math.abs(z) > 3.0)
+          }
+        }
+        win = if (win.length >= 24) win.drop(win.length - 23) :+ fp
+              else win :+ fp
+      }
+      ring.put(win)
+      out.result().iterator
+    }
+  }
+
+  /** Score a finalized bucket-mean stream `(series, bucket, mean)`.
+    * TimeMode.None: the ring advances on arrival order (see ordering
+    * contract above), no timers — an idle series simply stops being
+    * scored, holding its last 24 buckets until traffic resumes. */
+  def scoreBuckets(ds: Dataset[(String, Long, Double)]): Dataset[Score] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new ZScoreProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -265,4 +265,46 @@ class StatefulSpec extends SparkSuite {
     // only the keys still inside the watermark horizon remain in state
     assert(stateRows <= 2L, s"dedup state not evicted: $stateRows rows")
   }
+
+  test("streaming z-score anomaly detection agrees with the batch query exactly (RocksDB store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // the identical finalized bucket-mean frame the batch query scores,
+      // delivered in TWO micro-batches split at the median bucket so the
+      // ring provably carries across batches (the global bucket sort
+      // keeps each series' arrival order non-decreasing — the operator's
+      // ordering contract)
+      val means = graft.queries.AnalyticsQueries.bucketMeans(spark, dir)
+        .select(col("event_type"), col("b"), col("mv"))
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      val (first, second) = means.splitAt(means.length / 2)
+      val ms = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.AnomalyDetect.scoreBuckets(ms.toDS())
+        .writeStream.format("memory").queryName("zscores").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-zscore")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "bucket", "mv", "n_window", "z", "is_anomaly")
+        .as[(String, Long, Double, Long, Double, Boolean)].collect().toSet
+      val streamed = rows(spark.table("zscores"))
+      val batch = rows(graft.queries.AnalyticsQueries.anomalyZscore(spark, dir))
+      assert(streamed == batch,
+        s"stream(${streamed.size}) != batch(${batch.size}); " +
+          s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty && batch.exists(_._6), "fixture should produce at least one anomaly")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
