@@ -113,6 +113,8 @@ object SparkEntry {
     "ohlc_agg" -> (AnalyticsQueries.ohlcAgg _),
     "gap_fill" -> (AnalyticsQueries.gapFill _),
     "anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
+    "series_rate" -> (AnalyticsQueries.seriesRate _),
+    "seasonal_anomaly" -> (AnalyticsQueries.seasonalAnomaly _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1241,6 +1243,43 @@ object SparkEntry {
         |  CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z,
         |  abs(CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
         |FROM w WHERE n >= 12 AND n * ss - s * s > 0""".stripMargin,
+    "series_rate" ->
+      // adjacent bucket-mean deltas / true elapsed seconds; one lag per
+      // value — no frame sums, so plain doubles are cross-engine exact
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv
+        |       FROM m),
+        |l AS (SELECT event_type, b, mv,
+        |        lag(mv) OVER win AS pm, lag(b) OVER win AS pb
+        |      FROM mm WINDOW win AS (PARTITION BY event_type ORDER BY b))
+        |SELECT event_type, b AS bucket, mv,
+        |  (mv - pm) / (CAST(b - pb AS DOUBLE) * 600.0) AS rate_per_sec
+        |FROM l WHERE pm IS NOT NULL""".stripMargin,
+    "seasonal_anomaly" ->
+      // hour-of-day profile z: BIGINT count/sum/sum-of-squares per
+      // (series, hod) cell (group-sum order differs between engines),
+      // population form, then the same two final IEEE ops
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp,
+        |         (b % 144) // 6 AS hod
+        |       FROM m),
+        |p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(fp) AS BIGINT) AS s, CAST(sum(fp * fp) AS BIGINT) AS ss
+        |      FROM mm GROUP BY 1, 2)
+        |SELECT mm.event_type, mm.b AS bucket, mm.hod, mm.mv,
+        |  CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z,
+        |  abs(CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
+        |FROM mm JOIN p ON mm.event_type = p.event_type AND mm.hod = p.hod
+        |WHERE n >= 8 AND n * ss - s * s > 0""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

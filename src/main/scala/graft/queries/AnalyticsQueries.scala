@@ -764,4 +764,64 @@ object AnalyticsQueries {
         col("n").as("n_window"), col("z"),
         (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
+
+  /** Per-series rate of change — Timestream's `DERIVATIVE`/`RATE` family
+    * (the PromQL-rate shape its dashboards chart): adjacent bucket-mean
+    * deltas divided by their time gap in seconds, so a sparse series
+    * (missing buckets) divides by the TRUE elapsed time, not the nominal
+    * bucket width. First bucket of each series has no predecessor and is
+    * dropped, as in every rate() implementation.
+    *
+    * Exactness: both engines compute the identical IEEE sequence —
+    * (mv − prev_mv) is one subtraction of identical doubles, the divisor
+    * `(Δb)·600` is exact in double far below 2⁵³ — no quantization
+    * needed (unlike the windowed SUMS in [[anomalyZscore]], where
+    * frame-sum ORDER differs between engines; a lag touches one value,
+    * order never enters).
+    *
+    * Scale: the lag window partitions by series over the compact bounded
+    * mean frame — never raw events. */
+  def seriesRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    bucketMeans(spark, dir)
+      .withColumn("pm", lag(col("mv"), 1).over(w))
+      .withColumn("pb", lag(col("b"), 1).over(w))
+      .where(col("pm").isNotNull)
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        ((col("mv") - col("pm")) /
+          ((col("b") - col("pb")).cast("double") * lit(600.0))).as("rate_per_sec"))
+  }
+
+  /** Seasonal (hour-of-day) anomaly detection — the profile complement to
+    * [[anomalyZscore]]'s trailing window: each bucket mean is scored
+    * against ALL observations of its own (series, hour-of-day) cell, so
+    * a 3 a.m. burst that would hide inside a trailing-4-hour window
+    * stands out against every other 3 a.m. The reference's Timestream
+    * consumers express exactly this as scheduled dashboard queries.
+    *
+    * Same integral restatement as [[anomalyZscore]] (quantize once,
+    * BIGINT count/sum/sum-of-squares — group-sum order differs between
+    * engines — two final IEEE ops), with the population form including
+    * the scored bucket in its own profile: `z = (x·n − Σx)/√(n·Σx² −
+    * (Σx)²)`, warmup n ≥ 8, flat-profile guard.
+    *
+    * Scale: the profile is series × 24 rows — broadcast back over the
+    * compact mean frame, so beyond [[bucketMeans]]' own map-side fold
+    * the only shuffle is the profile's (series, hod) aggregation of the
+    * bounded frame. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val m = bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .withColumn("hod", expr("(b % 144) div 6"))
+    val prof = m.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("s"),
+        sum(col("fp") * col("fp")).as("ss"))
+    m.join(broadcast(prof), Seq("event_type", "hod"))
+      .where(col("n") >= 8 && (col("n") * col("ss") - col("s") * col("s")) > 0)
+      .withColumn("z",
+        (col("fp") * col("n") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+      .select(col("event_type"), col("b").as("bucket"), col("hod"), col("mv"),
+        col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+  }
 }
