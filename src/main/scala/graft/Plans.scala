@@ -59,7 +59,10 @@ object Plans {
     "gap_fill" -> "raw scan folds to (series, bucket) partials map-side; windows partition by series over the bounded grid",
     "anomaly_zscore" -> "rolling-24 window per series over the compact mean frame, never over raw events",
     "token_lift" -> "vocabulary-sized count joins on compact token keys; top-50 via TakeOrderedAndProject",
-    "embedding_outliers" -> "zero-shuffle trained assignment; bottom-k via TakeOrderedAndProject, rank window on 20 rows"
+    "embedding_outliers" -> "zero-shuffle trained assignment; bottom-k via TakeOrderedAndProject, rank window on 20 rows",
+    "series_rate" -> "per-series lag over the compact mean frame; raw events fold map-side before any window",
+    "seasonal_anomaly" -> "(series, hod) profile folded to 120 rows, broadcast back; no window anywhere",
+    "series_correlation" -> "pair alignment joins two compact mean frames on bucket id (one broadcasts); moments are one hash aggregate"
   )
 
   def main(args: Array[String]): Unit = {

@@ -115,6 +115,7 @@ object SparkEntry {
     "anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "series_rate" -> (AnalyticsQueries.seriesRate _),
     "seasonal_anomaly" -> (AnalyticsQueries.seasonalAnomaly _),
+    "series_correlation" -> (AnalyticsQueries.seriesCorrelation _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1280,6 +1281,28 @@ object SparkEntry {
         |  abs(CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
         |FROM mm JOIN p ON mm.event_type = p.event_type AND mm.hod = p.hod
         |WHERE n >= 8 AND n * ss - s * s > 0""".stripMargin,
+    "series_correlation" ->
+      // centi-quantized bucket means; all six moments BIGINT; Pearson
+      // as three exact integer terms + three final IEEE ops
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 100.0) AS BIGINT) AS fp
+        |       FROM m),
+        |g AS (SELECT x.event_type AS et_a, y.event_type AS et_b,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x.fp) AS BIGINT) AS sx, CAST(sum(y.fp) AS BIGINT) AS sy,
+        |        CAST(sum(x.fp * y.fp) AS BIGINT) AS sxy,
+        |        CAST(sum(x.fp * x.fp) AS BIGINT) AS sxx,
+        |        CAST(sum(y.fp * y.fp) AS BIGINT) AS syy
+        |      FROM mm x JOIN mm y ON x.b = y.b AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT et_a, et_b, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        |FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

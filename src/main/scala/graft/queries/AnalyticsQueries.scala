@@ -824,4 +824,47 @@ object AnalyticsQueries {
       .select(col("event_type"), col("b").as("bucket"), col("hod"), col("mv"),
         col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
+
+  /** Pairwise Pearson correlation between event series over aligned
+    * bucket means — the "which metrics move together" dashboard staple
+    * (Timestream's CORR over interpolated series; cf.
+    * StreamingJob.java:39's per-type windowing, which this cross-series
+    * view complements). Buckets where both series observed data align
+    * on the bucket id; each unordered pair reports once (et_a < et_b).
+    *
+    * Exactness: means quantize once to centi-units (`floor(mv·100)`),
+    * then every moment (n, Σx, Σy, Σxy, Σx², Σy²) is a BIGINT — group
+    * order can't perturb integer sums — and the Pearson form
+    * `(n·Σxy − ΣxΣy)/√((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))` runs as three
+    * exact BIGINT terms and three final IEEE ops (two casts-products,
+    * one sqrt), identical in both engines. Centi-quantization keeps
+    * `n·Σx²` under 2⁶³ out to ~10⁸ aligned buckets per pair (values
+    * ≤ ~500): two years of 1-second buckets.
+    *
+    * Scale: the mean frame is series × buckets — already folded
+    * map-side from raw events. One side broadcasts (series count is
+    * bounded); the pair space is (series choose 2) rows out. With an
+    * unbounded series dimension this becomes a shuffle equijoin on the
+    * bucket id; nothing else changes. */
+  def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val m = bucketMeans(spark, dir)
+      .select(col("event_type"), col("b"),
+        floor(col("mv") * lit(100.0)).as("fp"))
+    val right = m.select(col("event_type").as("et_b"), col("b").as("rb"),
+      col("fp").as("xb"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type").as("et_a"), col("b"), col("fp").as("xa"))
+      .join(broadcast(right), col("b") === col("rb") && col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .where(col("n") >= 2 && vx > 0 && vy > 0)
+      .select(col("et_a"), col("et_b"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double"))).as("corr"))
+  }
 }

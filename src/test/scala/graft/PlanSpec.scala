@@ -580,6 +580,37 @@ class PlanSpec extends SparkSuite {
     } finally saved.foreach(conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("series_rate: lag window keyed by series; seasonal_anomaly: profile broadcasts, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the rate query's only window is the per-series lag over the compact
+    // mean frame — an unpartitioned window would serialize the series grid
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = AnalyticsQueries.seriesRate(spark, dir).queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"the lag window must partition by series:\n$sp")
+      assert(!sp.treeString.contains("CartesianProduct"))
+    } finally saved.foreach(conf.set("spark.sql.adaptive.enabled", _))
+    // the seasonal profile is series × 24 rows: it must come back as a
+    // broadcast join over the mean frame, and the z-score needs no window
+    val ps = plan(AnalyticsQueries.seasonalAnomaly(spark, dir))
+    assert(ps.contains("BroadcastHashJoin"),
+      s"the (series, hod) profile must broadcast onto the mean frame:\n$ps")
+    assert(!ps.contains("Window"),
+      s"profile z is a join + arithmetic — a window here would re-sort the frame:\n$ps")
+    assert(!ps.contains("CartesianProduct"))
+    // the pair alignment joins two compact mean frames on the bucket id —
+    // one side broadcasts, and the moments need no window either
+    val pc = plan(AnalyticsQueries.seriesCorrelation(spark, dir))
+    assert(pc.contains("BroadcastHashJoin"),
+      s"the bucket-aligned pair join must broadcast one mean frame:\n$pc")
+    assert(!pc.contains("Window") && !pc.contains("CartesianProduct"))
+  }
+
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
     val p = plan(SimilarityQueries.pqAnn(spark, dir))
     // the Q×M×K distance table must broadcast-hash-join the encoded
