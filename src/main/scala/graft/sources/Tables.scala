@@ -70,17 +70,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanos Long (`nanosAsLong`, a runtime-settable session conf) and rebuild
-    * a TimestampType column by integer division — `DIV 1000` truncates
-    * toward zero exactly like DuckDB's ns→µs read path, keeping the oracle
-    * bit-identical. Never divide the Long through Double (2^63 ns ≫ 2^53
-    * mantissa — silent precision loss). */
+  /** `events.ts` has shipped in two physical forms across fixture
+    * generations, so the read is schema-adaptive:
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]), so it arrives as a raw nanos Long
+    *     (`nanosAsLong`, a runtime-settable session conf) and a
+    *     TimestampType column is rebuilt by integer division — `DIV 1000`
+    *     truncates toward zero exactly like DuckDB's ns→µs read path,
+    *     keeping the oracle bit-identical. Never divide the Long through
+    *     Double (2^63 ns ≫ 2^53 mantissa — silent precision loss).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): infers as
+    *     TIMESTAMP_NTZ; cast to TimestampType under the session's pinned
+    *     UTC zone — the micros value is unchanged, matching DuckDB's
+    *     naive-timestamp `epoch_us` exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
