@@ -62,7 +62,11 @@ object Plans {
     "embedding_outliers" -> "zero-shuffle trained assignment; bottom-k via TakeOrderedAndProject, rank window on 20 rows",
     "series_rate" -> "per-series lag over the compact mean frame; raw events fold map-side before any window",
     "seasonal_anomaly" -> "(series, hod) profile folded to 120 rows, broadcast back; no window anywhere",
-    "series_correlation" -> "pair alignment joins two compact mean frames on bucket id (one broadcasts); moments are one hash aggregate"
+    "series_correlation" -> "pair alignment joins two compact mean frames on bucket id (one broadcasts); moments are one hash aggregate",
+    "rolling_median" -> "collect+sort window touches ≤24 BIGINTs per row of the bounded mean frame, partitioned by series",
+    "series_autocorr" -> "per-series lag window over the compact mean frame; six BIGINT moments in one hash aggregate",
+    "series_cusum" -> "per-series totals broadcast back; prefix + argmax windows partition by series over the bounded frame",
+    "dup_matrix" -> "LSH-bounded candidate pairs; two compact doc_id→source equijoins; rollup keys on source pairs"
   )
 
   def main(args: Array[String]): Unit = {

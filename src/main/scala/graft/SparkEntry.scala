@@ -116,6 +116,10 @@ object SparkEntry {
     "series_rate" -> (AnalyticsQueries.seriesRate _),
     "seasonal_anomaly" -> (AnalyticsQueries.seasonalAnomaly _),
     "series_correlation" -> (AnalyticsQueries.seriesCorrelation _),
+    "rolling_median" -> (AnalyticsQueries.rollingMedian _),
+    "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
+    "series_cusum" -> (AnalyticsQueries.seriesCusum _),
+    "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1303,6 +1307,90 @@ object SparkEntry {
         |  CAST(n * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
         |FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+    "rolling_median" ->
+      // exact trailing-24 median: never an engine percentile (interpolation
+      // order differs) — sort the frame's milli-quantized BIGINTs, pick the
+      // two middles by integer index, one final IEEE division by 2000
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |       FROM m),
+        |w AS (SELECT event_type, b, mv,
+        |        list_sort(list(fp) OVER win) AS arr,
+        |        CAST(count(*) OVER win AS BIGINT) AS n
+        |      FROM mm
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY b
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, b AS bucket, mv, n AS n_window,
+        |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
+        |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
+        |FROM w WHERE n >= 12""".stripMargin,
+    "series_autocorr" ->
+      // lag-1 Pearson per series: centi-quantized means, six BIGINT
+      // moments, three final IEEE ops — series_correlation's discipline
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 100.0) AS BIGINT) AS fp
+        |       FROM m),
+        |l AS (SELECT event_type, fp,
+        |        lag(fp) OVER (PARTITION BY event_type ORDER BY b) AS pf
+        |      FROM mm),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(fp) AS BIGINT) AS sx, CAST(sum(pf) AS BIGINT) AS sy,
+        |        CAST(sum(fp * pf) AS BIGINT) AS sxy,
+        |        CAST(sum(fp * fp) AS BIGINT) AS sxx,
+        |        CAST(sum(pf * pf) AS BIGINT) AS syy
+        |      FROM l WHERE pf IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr_lag1
+        |FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+    "series_cusum" ->
+      // CUSUM argmax restated scale-free: S·n = n·prefixΣ − i·totalΣ, all
+      // BIGINT; earliest-bucket tie-break via explicit row_number; one
+      // final IEEE division for the normalized shift
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |       FROM m),
+        |t AS (SELECT event_type AS tet, CAST(count(*) AS BIGINT) AS ntot,
+        |        CAST(sum(fp) AS BIGINT) AS stot
+        |      FROM mm GROUP BY 1),
+        |r AS (SELECT mm.event_type, b, ntot, stot,
+        |        CAST(row_number() OVER wo AS BIGINT) AS i,
+        |        CAST(sum(fp) OVER wr AS BIGINT) AS ps
+        |      FROM mm JOIN t ON mm.event_type = t.tet
+        |      WINDOW wo AS (PARTITION BY mm.event_type ORDER BY b),
+        |             wr AS (PARTITION BY mm.event_type ORDER BY b
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, b, ntot, ntot * ps - i * stot AS s FROM r),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(s) DESC, b) AS rn FROM s)
+        |SELECT event_type, b AS change_bucket, ntot AS n_buckets, s AS cusum_xn,
+        |  CAST(abs(s) AS DOUBLE) / (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE) * 1000.0) AS cusum_norm
+        |FROM p WHERE rn = 1""".stripMargin,
+    "dup_matrix" ->
+      // LSH candidates rolled up by unordered source pair — integer
+      // counts over the shared cand CTE
+      s"""WITH $LshCandBody,
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS src_a,
+         |  greatest(sa.source, sb.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM cand c
+         |JOIN s sa ON c.doc_a = sa.doc_id
+         |JOIN s sb ON c.doc_b = sb.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

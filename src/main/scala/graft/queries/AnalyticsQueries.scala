@@ -846,6 +846,112 @@ object AnalyticsQueries {
     * bounded); the pair space is (series choose 2) rows out. With an
     * unbounded series dimension this becomes a shuffle equijoin on the
     * bucket id; nothing else changes. */
+  /** Rolling exact median smoother — Timestream's robust-smoothing
+    * counterpart to [[anomalyZscore]]'s mean/σ window: each bucket mean
+    * against the trailing 24 OBSERVED buckets (current inclusive) of its
+    * own series, 12-bucket warmup. The median is the robust location
+    * estimate dashboards overlay when spikes make the mean useless.
+    *
+    * Exactness: engines disagree on percentile INTERPOLATION order, so
+    * the median is never computed by an engine aggregate. The frame's
+    * quantized means (`floor(mv·10³)` BIGINTs) are collected, sorted,
+    * and the two middle elements picked by integer index — `med_x2 =
+    * arr[(n+1) div 2] + arr[(n+2) div 2]` is an exact BIGINT in both
+    * engines (odd n: twice the middle; even n: sum of the two middles),
+    * and the reported `median` is one final IEEE division by 2000.
+    *
+    * Scale (100 TB): the raw scan folds map-side to the compact
+    * (series, bucket) mean frame; the collect+sort window touches ≤ 24
+    * BIGINTs per row of that BOUNDED frame (span × series, independent
+    * of event count) — never raw events. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-23, Window.currentRow)
+    bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .withColumn("arr", array_sort(collect_list(col("fp")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .where(col("n") >= 12)
+      .withColumn("med_x2",
+        expr("element_at(arr, cast((n + 1) div 2 as int)) + element_at(arr, cast((n + 2) div 2 as int))"))
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        col("n").cast("long").as("n_window"), col("med_x2"),
+        (col("med_x2").cast("double") / lit(2000.0)).as("median"))
+  }
+
+  /** Lag-1 autocorrelation per series — the "is this metric trending or
+    * noise" dashboard statistic (Timestream models it as CORR of a
+    * series against its own LAG): Pearson r between each bucket mean
+    * and its predecessor, per event_type.
+    *
+    * Exactness: identical discipline to [[seriesCorrelation]] — means
+    * centi-quantize once, all six moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are BIGINTs (group-sum order can't perturb integer sums), then
+    * three final IEEE ops. Same 2⁶³ headroom: ~10⁸ buckets per series.
+    *
+    * Scale: one lag window partitioned by series over the compact
+    * bounded mean frame, one map-combinable aggregation keyed on the
+    * series id — never raw events. */
+  def seriesAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(100.0)))
+      .withColumn("pf", lag(col("fp"), 1).over(w))
+      .where(col("pf").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("fp")).as("sx"), sum(col("pf")).as("sy"),
+        sum(col("fp") * col("pf")).as("sxy"),
+        sum(col("fp") * col("fp")).as("sxx"),
+        sum(col("pf") * col("pf")).as("syy"))
+      .where(col("n") >= 2 && vx > 0 && vy > 0)
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double"))).as("autocorr_lag1"))
+  }
+
+  /** CUSUM change-point detection per series — "when did this metric's
+    * level shift": the classic cumulative-sum statistic Sᵢ = Σ₁..ᵢ(xⱼ−x̄)
+    * maximized in absolute value over the series; the reported bucket is
+    * the maximum-likelihood single change point.
+    *
+    * Exactness: the statistic is restated scale-free as
+    * `S·n = n·prefixΣ(fp) − i·totalΣ(fp)` — every term a BIGINT (means
+    * quantized once to milli-units), so prefix-sum order can't perturb
+    * it; ties on |S·n| break on the earliest bucket via an explicit
+    * row_number. `cusum_norm = |S·n|/(n²·10³)` (the mean absolute level
+    * shift in value units) is one final IEEE division. Headroom:
+    * n·prefixΣ ≤ n²·5·10⁵ ⇒ exact to ~4·10⁶ buckets/series; ANSI
+    * overflow is loud beyond.
+    *
+    * Scale: per-series totals fold to one row per series and broadcast
+    * back; the prefix window partitions by series over the compact
+    * bounded mean frame; the argmax is a WindowGroupLimit-prunable
+    * rank-1 pick. Never raw events. */
+  def seriesCusum(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+    val tot = m.groupBy(col("event_type").as("tet"))
+      .agg(count(lit(1)).as("ntot"), sum(col("fp")).as("stot"))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("b").asc)
+    m.join(broadcast(tot), col("event_type") === col("tet"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("ps", sum(col("fp")).over(wRun))
+      .withColumn("s", col("ntot") * col("ps") - col("i") * col("stot"))
+      .withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("b").as("change_bucket"),
+        col("ntot").as("n_buckets"), col("s").as("cusum_xn"),
+        (abs(col("s")).cast("double") /
+          (col("ntot").cast("double") * col("ntot").cast("double") * lit(1000.0)))
+          .as("cusum_norm"))
+  }
+
   def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val m = bucketMeans(spark, dir)
       .select(col("event_type"), col("b"),

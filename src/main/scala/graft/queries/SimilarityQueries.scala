@@ -650,6 +650,28 @@ object SimilarityQueries {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshCandidates(minhashSigs(spark, dir))
 
+  /** Source-pair duplication matrix: the LSH near-dup candidates rolled
+    * up by unordered (source, source) pair — the "which crawls copy
+    * which" diagnostic every corpus-mixing decision starts from (a high
+    * cross-source cell means two feeds share an upstream; a high
+    * diagonal means a feed re-serves its own content). Pure integer
+    * counts — cross-engine exact by construction.
+    *
+    * Scale: the candidate pairs are LSH-bounded; the two doc_id→source
+    * lookups are compact-key equijoins (2 narrow columns of the corpus),
+    * and the rollup keys on source pairs — output is (sources choose 2)
+    * + sources rows. */
+  def dupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Recall@3 of the IVF approximate path against the exact brute-force
     * top-3, per query vector — the accuracy price of the ANN shortcut,
     * measured inside the engine. The eval every production ANN rollout

@@ -476,6 +476,116 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(flagged > 0 && flagged < out.length / 10)
   }
 
+  test("rolling_median: median reconciles with a driver-side sorted window; robust to the mean") {
+    val out = AnalyticsQueries.rollingMedian(spark, dir).collect()
+    assert(out.nonEmpty)
+    // driver-side rebuild: decimal bucket means, floor(mv·10³), trailing-24
+    // (current inclusive) sorted pick of the two middles
+    val means = driverBucketMeans()
+    val expect = means.groupBy(_._1).flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2).map { case (_, b, mv) =>
+        (b, mv, math.floor(mv * 1000.0).toLong)
+      }
+      sorted.zipWithIndex.flatMap { case ((b, mv, _), i) =>
+        val win = sorted.slice(math.max(0, i - 23), i + 1).map(_._3).sorted
+        val n = win.length
+        if (n >= 12) {
+          val med2 = win((n + 1) / 2 - 1) + win((n + 2) / 2 - 1)
+          Some((t, b) -> (mv, n.toLong, med2))
+        } else None
+      }
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (mv, n, med2) = expect((r.getAs[String]("event_type"), r.getAs[Long]("bucket")))
+      assert(r.getAs[Double]("mv") == mv)
+      assert(r.getAs[Long]("n_window") == n)
+      assert(r.getAs[Long]("med_x2") == med2)
+      assert(r.getAs[Double]("median") == med2.toDouble / 2000.0)
+    }
+  }
+
+  test("series_cusum: change point matches a driver-side argmax; detects an injected shift") {
+    val out = AnalyticsQueries.seriesCusum(spark, dir).collect()
+    val means = driverBucketMeans()
+    // one row per series
+    assert(out.length == means.map(_._1).distinct.length)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val sorted = means.filter(_._1 == t).sortBy(_._2)
+        .map { case (_, b, mv) => (b, math.floor(mv * 1000.0).toLong) }
+      val ntot = sorted.length.toLong
+      val stot = sorted.map(_._2).sum
+      var ps = 0L
+      val stats = sorted.zipWithIndex.map { case ((b, fp), i) =>
+        ps += fp
+        (b, ntot * ps - (i + 1).toLong * stot)
+      }
+      val (eb, es) = stats.maxBy { case (b, s) => (math.abs(s), -b) }
+      assert(r.getAs[Long]("change_bucket") == eb)
+      assert(r.getAs[Long]("n_buckets") == ntot)
+      assert(r.getAs[Long]("cusum_xn") == es)
+      assert(r.getAs[Double]("cusum_norm") ==
+        math.abs(es).toDouble / (ntot.toDouble * ntot.toDouble * 1000.0))
+    }
+    // synthetic shift: a series that steps from level 10 to 20 at its
+    // midpoint must localize the change at the step boundary
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    val rows = (0 until 200).map { i =>
+      val v = if (i < 100) 10.0 else 20.0
+      org.apache.spark.sql.Row(i.toLong, java.time.Instant.ofEpochSecond(i * 600L), 1L, "s", v, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val shifted = AnalyticsQueries.seriesCusum(spark, tmp).collect()
+    assert(shifted.length == 1)
+    // CUSUM of a clean step maximizes |S| at the last pre-shift bucket;
+    // for a mid-series step of height Δ, max|S|/n = Δ/4 = 2.5
+    assert(shifted.head.getAs[Long]("change_bucket") == 99L)
+    assert(math.abs(shifted.head.getAs[Double]("cusum_norm") - 2.5) < 0.1)
+  }
+
+  test("series_autocorr: r within [-1,1], n = buckets - 1 per series") {
+    val out = AnalyticsQueries.seriesAutocorr(spark, dir).collect()
+    assert(out.nonEmpty)
+    val counts = driverBucketMeans().groupBy(_._1).map { case (t, r) => t -> r.size.toLong }
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") == counts(t) - 1)
+      val ac = r.getAs[Double]("autocorr_lag1")
+      assert(ac >= -1.0 && ac <= 1.0)
+    }
+  }
+
+  test("dup_matrix: pair counts cover the LSH candidate set, sources ordered") {
+    val matrix = SimilarityQueries.dupMatrix(spark, dir).collect()
+    val total = SimilarityQueries.minhashLsh(spark, dir).count()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum == total)
+    matrix.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  /** Exact decimal bucket means of the events fixture, driver-side:
+    * (event_type, bucket, mean) with DECIMAL(18,2) sums ÷ counts —
+    * the shared base frame of the time-series reconciliation tests. */
+  private def driverBucketMeans(): Seq[(String, Long, Double)] = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("tus") / 600000000L,
+        BigDecimal(r.getAs[Double]("value")).setScale(2)))
+    ev.groupBy { case (t, b, _) => (t, b) }
+      .map { case ((t, b), rows) =>
+        (t, b, rows.map(_._3).sum.toDouble / rows.length.toDouble)
+      }.toSeq
+  }
+
   test("token_lift: lift ranking matches a brute-force PMI-ratio computation") {
     val out = TextQueries.tokenLift(spark, dir).collect().sortBy(_.getAs[Long]("rk"))
     val docToks = docTokens()

@@ -611,6 +611,39 @@ class PlanSpec extends SparkSuite {
     assert(!pc.contains("Window") && !pc.contains("CartesianProduct"))
   }
 
+  test("rolling_median / series_autocorr / series_cusum: windows partition by series; dup_matrix joins stay equi") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // every window in the three time-series queries must partition by
+      // the series key — an unpartitioned window would serialize the
+      // bounded mean frame through one task
+      Seq(
+        AnalyticsQueries.rollingMedian(spark, dir),
+        AnalyticsQueries.seriesAutocorr(spark, dir),
+        AnalyticsQueries.seriesCusum(spark, dir)
+      ).foreach { df =>
+        val sp = df.queryExecution.executedPlan
+        val wins = sp.collect { case w: WindowExec => w }
+        assert(wins.nonEmpty)
+        assert(wins.forall(_.partitionSpec.nonEmpty),
+          s"all time-series windows must partition by series:\n$sp")
+        assert(!sp.treeString.contains("CartesianProduct"))
+      }
+    } finally saved.foreach(conf.set("spark.sql.adaptive.enabled", _))
+    // the per-series totals frame is one row per series — it must come
+    // back as a broadcast join, not a shuffle of the mean frame
+    val pc = plan(AnalyticsQueries.seriesCusum(spark, dir))
+    assert(pc.contains("BroadcastHashJoin"),
+      s"per-series totals must broadcast onto the mean frame:\n$pc")
+    // the source rollup joins candidates to (doc_id, source) by id —
+    // LSH-bounded equijoins, never a cartesian
+    val pd = plan(SimilarityQueries.dupMatrix(spark, dir))
+    assert(!pd.contains("CartesianProduct"))
+  }
+
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
     val p = plan(SimilarityQueries.pqAnn(spark, dir))
     // the Q×M×K distance table must broadcast-hash-join the encoded
