@@ -120,6 +120,7 @@ object SparkEntry {
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
+    "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1391,6 +1392,36 @@ object SparkEntry {
          |JOIN s sa ON c.doc_a = sa.doc_id
          |JOIN s sb ON c.doc_b = sb.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "source_similarity" -> {
+      // per-source mergeable MinHash (min per seed over the source's
+      // shingles) beside the exact shingle-set Jaccard — integer counts,
+      // two final IEEE divisions
+      val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
+        case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
+      }.mkString(",\n  ")
+      val matchSum = SimilarityQueries.MinhashSeeds.indices
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val nSeeds = SimilarityQueries.MinhashSeeds.size
+      s"""WITH w AS (SELECT source, $WordToksSql AS ws FROM documents),
+         |shx AS (SELECT source, unnest($ShingleSql) AS sh FROM w),
+         |hh AS (SELECT source, ${hash32Sql("sh")} AS h FROM shx),
+         |sig AS (SELECT source, $minExprs FROM hh GROUP BY source),
+         |sets AS (SELECT DISTINCT source, h FROM hh),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sets GROUP BY source),
+         |it AS (SELECT x.source AS src_a, y.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |       FROM sets x JOIN sets y ON x.h = y.h AND x.source < y.source
+         |       GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, sa.sz AS sz_a, sb.sz AS sz_b, i.inter,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard,
+         |  CAST($matchSum AS BIGINT) AS n_match,
+         |  CAST($matchSum AS DOUBLE) / $nSeeds.0 AS est_sim
+         |FROM it i
+         |JOIN sz sa ON i.src_a = sa.source
+         |JOIN sz sb ON i.src_b = sb.source
+         |JOIN sig a ON i.src_a = a.source
+         |JOIN sig b ON i.src_b = b.source""".stripMargin
+    },
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

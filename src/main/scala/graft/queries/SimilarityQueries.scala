@@ -672,6 +672,56 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Source-level content overlap, sketched AND exact: each source's
+    * shingle SET is summarized by a mergeable MinHash signature (per-seed
+    * `min` over every shingle the source emits — associative and
+    * commutative, so it folds map-side like any min and merges across
+    * shards/days without re-reading text: the sketch a 100 TB ingest
+    * keeps as standing per-source state). Pairs of sources sharing at
+    * least one shingle report the sketch's similarity ESTIMATE
+    * (matching components / 12) beside the exact shingle-set Jaccard —
+    * [[minhashEstimate]]'s audit discipline lifted from documents to
+    * sources, quantifying wholesale feed overlap where [[dupMatrix]]
+    * counts per-document near-dup pairs.
+    *
+    * Exactness: min-sketches, set sizes, and intersections are integer;
+    * the two similarity columns are single IEEE divisions.
+    *
+    * Scale: the signature frame is sources × 12 longs; the exact side is
+    * a distinct on compact (source, hash32) pairs and a hash-keyed
+    * equijoin — never text, never all-pairs over docs. The estimate
+    * attaches via source-keyed equijoins onto the (sources choose 2)
+    * result frame. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("source"), explode(shingleCol(col("ws"))).as("sh"))
+      .withColumn("h", md5Hash32(col("sh")))
+      .select(col("source"), col("h"))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    val sigs = sh.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val sets = sh.distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sets.select(col("source").as("src_a"), col("h"))
+      .join(sets.select(col("source").as("src_b"), col("h").as("hb")),
+        col("h") === col("hb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    val nMatch = MinhashSeeds.indices.map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), "src_b")
+      .join(sigs.as("a"), col("src_a") === col("a.source"))
+      .join(sigs.as("b"), col("src_b") === col("b.source"))
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"),
+        nMatch.as("n_match"),
+        (nMatch.cast("double") / lit(MinhashSeeds.size.toDouble)).as("est_sim"))
+  }
+
   /** Recall@3 of the IVF approximate path against the exact brute-force
     * top-3, per query vector — the accuracy price of the ANN shortcut,
     * measured inside the engine. The eval every production ANN rollout

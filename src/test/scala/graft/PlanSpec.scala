@@ -642,6 +642,12 @@ class PlanSpec extends SparkSuite {
     // LSH-bounded equijoins, never a cartesian
     val pd = plan(SimilarityQueries.dupMatrix(spark, dir))
     assert(!pd.contains("CartesianProduct"))
+    // source_similarity: the exact side must pair sources via the
+    // hash-keyed equijoin (plus the < filter), never a cartesian; the
+    // sketch/size attachments are source-keyed equijoins
+    val ps = plan(SimilarityQueries.sourceSimilarity(spark, dir))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+      s"source pairing must stay an equijoin:\n$ps")
   }
 
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {

@@ -162,6 +162,38 @@ class SimilarityTextSpec extends SparkSuite {
     assert(j.map(t => (t._1, t._2)).distinct.length == j.length)
   }
 
+  test("source_similarity: bounds hold; the source sketch equals the merge of its docs' sketches") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.sourceSimilarity(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val (szA, szB, inter) = (r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b"), r.getAs[Long]("inter"))
+      assert(inter >= 1 && inter <= math.min(szA, szB))
+      assert(r.getAs[Double]("jaccard") == inter.toDouble / (szA + szB - inter).toDouble)
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= 12 && r.getAs[Double]("est_sim") == m / 12.0)
+    }
+    // mergeability — the property the 100 TB standing-state design hangs
+    // on: min-folding DOC-level signatures per source must reproduce the
+    // source-level sketch, so per-shard sketches can merge without text.
+    // Rebuild n_match from doc-sketch merges and compare per pair.
+    val docSrc = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val docSigs = graft.queries.SimilarityQueries
+      .minhashSigsOf(graft.sources.Tables.documents(spark, dir)).collect()
+    val merged = docSigs.groupBy(r => docSrc(r.getAs[Long]("doc_id"))).map {
+      case (src, rows) =>
+        src -> (0 until 12).map(i => rows.map(_.getAs[Long](s"mh$i")).min)
+    }
+    out.foreach { r =>
+      val (sa, sb) = (merged(r.getAs[String]("src_a")), merged(r.getAs[String]("src_b")))
+      val expect = (0 until 12).count(i => sa(i) == sb(i)).toLong
+      assert(r.getAs[Long]("n_match") == expect,
+        s"${r.getAs[String]("src_a")}/${r.getAs[String]("src_b")}: sketch not mergeable")
+    }
+  }
+
   test("minhash_estimate: estimate bounded, exact duplicates score 12/12, pairs = LSH candidates") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.SimilarityQueries.minhashEstimate(spark, dir)
