@@ -266,6 +266,45 @@ class StatefulSpec extends SparkSuite {
     assert(stateRows <= 2L, s"dedup state not evicted: $stateRows rows")
   }
 
+  test("streaming rate monitor agrees with the batch series_rate exactly (RocksDB store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // same two-micro-batch split as the z-score parity test: the
+      // (bucket, mean) value state provably carries across batches
+      val means = graft.queries.AnalyticsQueries.bucketMeans(spark, dir)
+        .select(col("event_type"), col("b"), col("mv"))
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      val (first, second) = means.splitAt(means.length / 2)
+      val ms = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.RateMonitor.rateBuckets(ms.toDS())
+        .writeStream.format("memory").queryName("rates").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-rate")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "bucket", "mv", "rate_per_sec")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val streamed = rows(spark.table("rates"))
+      val batch = rows(graft.queries.AnalyticsQueries.seriesRate(spark, dir))
+      assert(streamed == batch,
+        s"stream(${streamed.size}) != batch(${batch.size}); " +
+          s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming z-score anomaly detection agrees with the batch query exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
