@@ -67,7 +67,8 @@ object Plans {
     "series_autocorr" -> "per-series lag window over the compact mean frame; six BIGINT moments in one hash aggregate",
     "series_cusum" -> "per-series totals broadcast back; prefix + argmax windows partition by series over the bounded frame",
     "dup_matrix" -> "LSH-bounded candidate pairs; two compact doc_id→source equijoins; rollup keys on source pairs",
-    "source_similarity" -> "mergeable per-source min-sketch folds map-side; exact side distincts compact (source, hash32) and equijoins on hash"
+    "source_similarity" -> "mergeable per-source min-sketch folds map-side; exact side distincts compact (source, hash32) and equijoins on hash",
+    "series_decompose" -> "centered rolling window per series over the bounded mean frame; 120-row detrended profile broadcasts back"
   )
 
   def main(args: Array[String]): Unit = {

@@ -121,6 +121,7 @@ object SparkEntry {
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
+    "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1422,6 +1423,39 @@ object SparkEntry {
          |JOIN sig a ON i.src_a = a.source
          |JOIN sig b ON i.src_b = b.source""".stripMargin
     },
+    "series_decompose" ->
+      // trend: centered ±12 frame sums on milli-quantized BIGINTs, one
+      // division; detrended re-quantizes once (identical doubles floor
+      // identically); profile sums BIGINT again; residual ops in the
+      // same IEEE order as the engine side
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, b,
+        |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
+        |         CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |       FROM m),
+        |t AS (SELECT event_type, b, mv, fp,
+        |        CAST(count(fp) OVER win AS BIGINT) AS nt,
+        |        CAST(sum(fp) OVER win AS BIGINT) AS st
+        |      FROM mm
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY b
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT event_type, b, mv,
+        |        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS trend_fp,
+        |        CAST(fp AS DOUBLE) - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS detr,
+        |        CAST(floor((CAST(fp AS DOUBLE) - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000.0) AS BIGINT) AS dq,
+        |        (b % 144) // 6 AS hod
+        |      FROM t WHERE nt >= 13),
+        |p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS np,
+        |        CAST(sum(dq) AS BIGINT) AS sp
+        |      FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.b AS bucket, d.mv,
+        |  d.trend_fp / 1000.0 AS trend,
+        |  (CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE)) / 1000.0 AS seasonal,
+        |  (d.detr - CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE)) / 1000.0 AS residual
+        |FROM d JOIN p ON d.event_type = p.event_type AND d.hod = p.hod""".stripMargin,
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

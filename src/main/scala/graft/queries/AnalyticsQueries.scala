@@ -825,6 +825,46 @@ object AnalyticsQueries {
         col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
 
+  /** Additive seasonal decomposition per series — the classic
+    * trend + seasonal + residual split (what Timestream consumers chart
+    * before picking an anomaly detector): trend is a centered ±12-bucket
+    * rolling mean, the seasonal component is the hour-of-day profile of
+    * the DETRENDED series, and the residual is what's left. Edge buckets
+    * without a full-enough window (n < 13) drop out.
+    *
+    * Exactness: the trend frame sums run on `floor(mv·10³)` BIGINTs
+    * (frame-sum order differs between engines on doubles), then ONE
+    * division; the detrended value re-quantizes ONCE — `floor(detr·10³)`
+    * of bit-identical doubles is bit-identical — so the profile's group
+    * sums are again exact BIGINTs. Every residual double op is written
+    * in the same order as the oracle.
+    *
+    * Scale: two windows and one (series, hod) profile aggregation, all
+    * over the compact bounded mean frame; the 120-row profile broadcasts
+    * back — [[seasonalAnomaly]]'s shuffle shape plus one rolling
+    * window. Never raw events. */
+  def seriesDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-12, 12)
+    val m = bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .withColumn("nt", count(col("fp")).over(wT))
+      .withColumn("st", sum(col("fp")).over(wT))
+      .where(col("nt") >= 13)
+      .withColumn("trend_fp", col("st").cast("double") / col("nt").cast("double"))
+      .withColumn("detr", col("fp").cast("double") - col("trend_fp"))
+      .withColumn("dq", floor(col("detr") * lit(1000.0)))
+      .withColumn("hod", expr("(b % 144) div 6"))
+    val prof = m.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("np"), sum(col("dq")).as("sp"))
+    m.join(broadcast(prof), Seq("event_type", "hod"))
+      .withColumn("seasonal_fp", col("sp").cast("double") / col("np").cast("double"))
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        (col("trend_fp") / lit(1000.0)).as("trend"),
+        (col("seasonal_fp") / lit(1000.0)).as("seasonal"),
+        ((col("detr") - col("seasonal_fp")) / lit(1000.0)).as("residual"))
+  }
+
   /** Pairwise Pearson correlation between event series over aligned
     * bucket means — the "which metrics move together" dashboard staple
     * (Timestream's CORR over interpolated series; cf.

@@ -550,6 +550,24 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(math.abs(shifted.head.getAs[Double]("cusum_norm") - 2.5) < 0.1)
   }
 
+  test("series_decompose: reconstruction identity holds to quantization precision") {
+    val out = AnalyticsQueries.seriesDecompose(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // trend + seasonal + residual = floor(mv·10³)/10³ — the quantized
+      // mean, so reconstruction matches mv to within one milli-unit
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      val mv = r.getAs[Double]("mv")
+      assert(math.abs(recon - mv) <= 0.001 + 1e-9,
+        s"reconstruction $recon vs mv $mv")
+    }
+    // the decomposition must drop only window-warmup edges: interior
+    // coverage stays above 90% of the full mean frame
+    val total = AnalyticsQueries.bucketMeans(spark, dir).count()
+    assert(out.length >= (total * 9) / 10)
+  }
+
   test("series_autocorr: r within [-1,1], n = buckets - 1 per series") {
     val out = AnalyticsQueries.seriesAutocorr(spark, dir).collect()
     assert(out.nonEmpty)

@@ -623,7 +623,8 @@ class PlanSpec extends SparkSuite {
       Seq(
         AnalyticsQueries.rollingMedian(spark, dir),
         AnalyticsQueries.seriesAutocorr(spark, dir),
-        AnalyticsQueries.seriesCusum(spark, dir)
+        AnalyticsQueries.seriesCusum(spark, dir),
+        AnalyticsQueries.seriesDecompose(spark, dir)
       ).foreach { df =>
         val sp = df.queryExecution.executedPlan
         val wins = sp.collect { case w: WindowExec => w }
