@@ -68,7 +68,9 @@ object Plans {
     "series_cusum" -> "per-series totals broadcast back; prefix + argmax windows partition by series over the bounded frame",
     "dup_matrix" -> "LSH-bounded candidate pairs; two compact doc_id→source equijoins; rollup keys on source pairs",
     "source_similarity" -> "mergeable per-source min-sketch folds map-side; exact side distincts compact (source, hash32) and equijoins on hash",
-    "series_decompose" -> "centered rolling window per series over the bounded mean frame; 120-row detrended profile broadcasts back"
+    "series_decompose" -> "centered rolling window per series over the bounded mean frame; 120-row detrended profile broadcasts back",
+    "unpivot_stats" -> "one map-combinable series-keyed aggregation, then a single Expand — no join, no union re-scan",
+    "cms_topk" -> "4096-key counter aggregation folds map-side; top-50 probe via TakeOrderedAndProject joins the broadcast counter table"
   )
 
   def main(args: Array[String]): Unit = {

@@ -122,6 +122,8 @@ object SparkEntry {
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
     "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
+    "unpivot_stats" -> (AnalyticsQueries.unpivotStats _),
+    "cms_topk" -> (TextQueries.cmsTopk _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -1456,6 +1458,41 @@ object SparkEntry {
         |  (CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE)) / 1000.0 AS seasonal,
         |  (d.detr - CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE)) / 1000.0 AS residual
         |FROM d JOIN p ON d.event_type = p.event_type AND d.hod = p.hod""".stripMargin,
+    "unpivot_stats" ->
+      // wide→narrow melt restated as UNION ALL of one select per
+      // measure — value arithmetic identical to the engine side
+      """WITH w AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n_events,
+        |    min(value) AS min_value, max(value) AS max_value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, 'n_events' AS metric, n_events AS value FROM w
+        |UNION ALL SELECT event_type, 'min_value', min_value FROM w
+        |UNION ALL SELECT event_type, 'max_value', max_value FROM w
+        |UNION ALL SELECT event_type, 'sum_value', sum_value FROM w""".stripMargin,
+    "cms_topk" -> {
+      // CMS audit: 4×1024 counters from one token pass, probed with the
+      // exact top-50 — pure BIGINT arithmetic end to end
+      val P = SimilarityQueries.MinhashP
+      val w = TextQueries.CmsW
+      val rowSelects = TextQueries.CmsSeeds.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT CAST($i AS BIGINT) AS d, (h * $a + $b) % $P % $w AS bkt FROM th"
+      }.mkString("\n  UNION ALL ")
+      val probeSelects = TextQueries.CmsSeeds.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT tok, exact_c, CAST($i AS BIGINT) AS d, (h * $a + $b) % $P % $w AS bkt FROM ex"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tk AS (SELECT unnest($WordToksSql) AS tok FROM documents),
+         |th AS (SELECT tok, ${hash32Sql("tok")} AS h FROM tk),
+         |bk AS ($rowSelects),
+         |counters AS (SELECT d, bkt, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+         |ex AS (SELECT tok, h, CAST(count(*) AS BIGINT) AS exact_c FROM th
+         |       GROUP BY 1, 2 ORDER BY exact_c DESC, tok LIMIT 50),
+         |pr AS ($probeSelects)
+         |SELECT p.tok, p.exact_c, min(c.c) AS est_c,
+         |  min(c.c) - p.exact_c AS overcount
+         |FROM pr p JOIN counters c ON p.d = c.d AND p.bkt = c.bkt
+         |GROUP BY p.tok, p.exact_c""".stripMargin
+    },
     "token_diversity" ->
       // Simpson diversity 1 − Σpᵢ² as a pure BIGINT rational —
       // (n² − Σc²)·10⁶ // n² — no log space (libm-ULP rule)

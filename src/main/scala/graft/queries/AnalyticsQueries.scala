@@ -825,6 +825,35 @@ object AnalyticsQueries {
         col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
 
+  /** Wide→narrow unpivot (melt) of a per-series stats frame — the
+    * relational surface Timestream's data model is BUILT on: the
+    * reference stores one narrow (measure_name, measure_value) row per
+    * metric (TimestreamPoint, SURVEY §2 O2), and converting a wide
+    * aggregate into that shape is `Dataset.unpivot` — Spark's native
+    * melt, planned as a single Expand over the aggregate (no join, no
+    * union re-scan).
+    *
+    * Exactness: the four measures are count (exact), min/max (exact
+    * picks), and the decimal-sum-cast-double rule; the unpivot itself
+    * moves values without arithmetic.
+    *
+    * Scale: one map-combinable aggregation on the series key, then an
+    * Expand over the series-count-sized frame — 4 rows out per series,
+    * independent of event count. */
+  def unpivotStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("min_value"), col("max_value"), col("sum_value")),
+        "metric", "value")
+  }
+
   /** Additive seasonal decomposition per series — the classic
     * trend + seasonal + residual split (what Timestream consumers chart
     * before picking an anomaly detector): trend is a centered ±12-bucket

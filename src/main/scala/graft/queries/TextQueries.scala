@@ -410,6 +410,57 @@ object TextQueries {
       .distinct()
   }
 
+  /** Count-min-sketch seeds (4 universal-hash rows) and width. The
+    * sketch is 4 × 1024 BIGINT counters — constant size, mergeable by
+    * addition — the heavy-hitter primitive a 100 TB sharded/streaming
+    * pipeline keeps where an exact vocabulary count would shuffle the
+    * full token space. */
+  private[graft] val CmsSeeds: Seq[(Long, Long)] =
+    Seq((100003L, 7L), (100913L, 30011L), (101833L, 60029L), (102761L, 90019L))
+  private[graft] val CmsW = 1024L
+
+  /** Count-min-sketch accuracy audit over the corpus vocabulary: build
+    * the 4×1024 CMS in ONE pass (per-token md5 hash + 4 affine maps →
+    * a 4096-key aggregation), then probe it with the exact top-50
+    * tokens and report the sketch ESTIMATE (min over the 4 rows) beside
+    * the exact count — [[graft.queries.SimilarityQueries.minhashEstimate]]'s
+    * audit discipline for the frequency sketch. CMS never
+    * underestimates, so `overcount = est − exact ≥ 0` is a hard
+    * invariant the oracle checks by construction.
+    *
+    * Exactness: hashes, counters, and counts are all BIGINT integer
+    * arithmetic — bit-exact across engines, no IEEE ops at all.
+    *
+    * Scale: the counter aggregation keys on (row, bucket) — 4096 keys
+    * regardless of corpus size — and folds map-side; the probe side is
+    * a top-50 TakeOrderedAndProject joined to the broadcast 4096-row
+    * counter table. Sketches from shards/days merge by adding
+    * counters — no re-scan. */
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("tok"))
+      .withColumn("h", md5Hash32(col("tok")))
+    val P = SimilarityQueries.MinhashP
+    val rowStructs = CmsSeeds.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("d"), (((col("h") * a + b) % P) % CmsW).as("bkt"))
+    }
+    val counters = toks
+      .select(explode(array(rowStructs: _*)).as("db"))
+      .select(col("db.d").as("d"), col("db.bkt").as("bkt"))
+      .groupBy(col("d"), col("bkt")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("tok").asc).limit(50)
+    exact
+      .select(col("tok"), col("exact_c"), explode(array(rowStructs: _*)).as("db"))
+      .select(col("tok"), col("exact_c"), col("db.d").as("d"), col("db.bkt").as("bkt"))
+      .join(broadcast(counters), Seq("d", "bkt"))
+      .groupBy(col("tok"), col("exact_c"))
+      .agg(min(col("c")).as("est_c"))
+      .select(col("tok"), col("exact_c"), col("est_c"),
+        (col("est_c") - col("exact_c")).as("overcount"))
+  }
+
   /** Top terms per language: explode → count → rank ≤ 10 with a
     * deterministic tiebreak. The corpus-vocabulary profile every
     * training-data pipeline reports. */

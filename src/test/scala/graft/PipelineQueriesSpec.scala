@@ -580,6 +580,35 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("cms_topk: sketch never underestimates; exact counts reconcile with a driver count") {
+    val out = TextQueries.cmsTopk(spark, dir).collect()
+    assert(out.nonEmpty)
+    val exact = docTokens().values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    out.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      assert(r.getAs[Long]("exact_c") == exact(tok))
+      // the CMS invariant: estimates only ever overcount
+      assert(r.getAs[Long]("overcount") >= 0L)
+      assert(r.getAs[Long]("est_c") == r.getAs[Long]("exact_c") + r.getAs[Long]("overcount"))
+    }
+    // the probe set is the exact top-k (all of a small vocabulary, or 50)
+    assert(out.length == math.min(exact.size, 50))
+  }
+
+  test("unpivot_stats: 4 narrow rows per series, values equal the wide aggregate") {
+    val out = AnalyticsQueries.unpivotStats(spark, dir).collect()
+    val series = out.map(_.getAs[String]("event_type")).distinct
+    assert(out.length == series.length * 4)
+    val byKey = out.map(r => (r.getAs[String]("event_type"), r.getAs[String]("metric")) ->
+      r.getAs[Double]("value")).toMap
+    series.foreach { t =>
+      assert(byKey((t, "n_events")) > 0)
+      assert(byKey((t, "min_value")) <= byKey((t, "max_value")))
+      assert(byKey((t, "sum_value")) >= byKey((t, "min_value")) * byKey((t, "n_events")))
+    }
+  }
+
   test("dup_matrix: pair counts cover the LSH candidate set, sources ordered") {
     val matrix = SimilarityQueries.dupMatrix(spark, dir).collect()
     val total = SimilarityQueries.minhashLsh(spark, dir).count()

@@ -649,6 +649,19 @@ class PlanSpec extends SparkSuite {
     val ps = plan(SimilarityQueries.sourceSimilarity(spark, dir))
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
       s"source pairing must stay an equijoin:\n$ps")
+    // unpivot is a single Expand over the aggregated frame — a union
+    // re-scan would read the corpus once per measure
+    val pu = plan(AnalyticsQueries.unpivotStats(spark, dir))
+    assert(pu.contains("Expand"), s"unpivot must plan as Expand:\n$pu")
+    assert(pu.linesIterator.count(_.contains("FileScan")) == 1,
+      s"unpivot must not re-scan per measure:\n$pu")
+    // cms_topk: the 4096-row counter table broadcasts onto the probe
+    // side; the top-50 probe is a TakeOrderedAndProject, not a sort
+    val pm = plan(graft.queries.TextQueries.cmsTopk(spark, dir))
+    assert(pm.contains("BroadcastHashJoin"),
+      s"counter table must broadcast:\n$pm")
+    assert(pm.contains("TakeOrderedAndProject"),
+      s"top-50 probe must be a top-k, not a global sort:\n$pm")
   }
 
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
