@@ -266,6 +266,41 @@ class StatefulSpec extends SparkSuite {
     assert(stateRows <= 2L, s"dedup state not evicted: $stateRows rows")
   }
 
+  test("gap detect: a silent series alarms once via event-time timer; live series stays quiet") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.GapDetect.detectGaps(ms.toDS(), thresholdBuckets = 3)
+        .writeStream.format("memory").queryName("gaps").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-gap")).start()
+      // batch 1: both series alive through bucket 2 / bucket 0
+      ms.addData(Seq(("a", 0L, 1.0), ("a", 1L, 1.0), ("a", 2L, 1.0), ("b", 0L, 5.0)))
+      q.processAllAvailable()
+      assert(spark.table("gaps").count() == 0L, "no gap while the watermark trails both series")
+      // batch 2: only a advances — far past b's bucket 0 + 3 threshold.
+      // Timers fire against the PREVIOUS batch's watermark, so b's alarm
+      // needs one more batch after the watermark jump.
+      ms.addData(Seq(("a", 10L, 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(("a", 11L, 1.0)))
+      q.processAllAvailable()
+      val gaps = spark.table("gaps")
+        .as[(String, Long, Long)].collect()
+      q.stop()
+      // exactly one alarm: series b, last seen bucket 0, silent since
+      // bucket 3 (= 0 + threshold); series a re-armed on every arrival
+      assert(gaps.toSeq == Seq(("b", 0L, 3L)), s"got ${gaps.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming rate monitor agrees with the batch series_rate exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
