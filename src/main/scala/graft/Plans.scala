@@ -70,7 +70,8 @@ object Plans {
     "source_similarity" -> "mergeable per-source min-sketch folds map-side; exact side distincts compact (source, hash32) and equijoins on hash",
     "series_decompose" -> "centered rolling window per series over the bounded mean frame; 120-row detrended profile broadcasts back",
     "unpivot_stats" -> "one map-combinable series-keyed aggregation, then a single Expand — no join, no union re-scan",
-    "cms_topk" -> "4096-key counter aggregation folds map-side; top-50 probe via TakeOrderedAndProject joins the broadcast counter table"
+    "cms_topk" -> "4096-key counter aggregation folds map-side; top-50 probe via TakeOrderedAndProject joins the broadcast counter table",
+    "semantic_threshold_sweep" -> "IVF-bounded pair space; 13-way explode multiplies scalar cosines (embeddings dropped first), folds map-side to 13 rows"
   )
 
   def main(args: Array[String]): Unit = {

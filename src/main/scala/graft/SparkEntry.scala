@@ -124,6 +124,7 @@ object SparkEntry {
     "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
     "unpivot_stats" -> (AnalyticsQueries.unpivotStats _),
     "cms_topk" -> (TextQueries.cmsTopk _),
+    "semantic_threshold_sweep" -> (SimilarityQueries.semanticThresholdSweep _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -581,6 +582,16 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "semantic_threshold_sweep" ->
+      // 13 candidate thresholds i/20.0 over the same IVF pair space —
+      // identical cos doubles, integer counts
+      s"""$IvfAssignSql,
+         |p AS (SELECT ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |th AS (SELECT unnest(range(6, 19)) AS i)
+         |SELECT CAST(i AS DOUBLE) / 20.0 AS threshold,
+         |  CAST(sum(CASE WHEN cos >= CAST(i AS DOUBLE) / 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM p, th GROUP BY 1""".stripMargin,
     "kmeans_step" ->
       // Lloyd's update over the IVF assignment: element-wise bucket means
       // from fixed-point floor(v*1e6) long sums (order-independent exact

@@ -497,6 +497,37 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Cosine-threshold sweep over the embedding near-dup pair space —
+    * the tuning query BEFORE anyone picks [[embeddingNearDup]]'s 0.3:
+    * for each candidate threshold t ∈ {0.30, 0.35, …, 0.90}, how many
+    * IVF-bucket pairs would the semantic gate flag? One pass over the
+    * bounded pair frame; the de-dup rate-vs-threshold curve every
+    * corpus-curation rollout reads first ([[graft.queries.TextQueries]]'
+    * `quality_threshold_sweep`, lifted to the vector side).
+    *
+    * Exactness: thresholds are computed in-engine as `i/20.0` (one IEEE
+    * division of identical integers) and compared against the same
+    * `cos` doubles the oracle reproduces bit-for-bit; counts are
+    * integers.
+    *
+    * Scale: the pair space is IVF-bounded (Σ bucket²); the 13-way
+    * threshold explode multiplies COUNTS, not vectors (the projection
+    * drops embeddings before the explode), and folds map-side to 13
+    * rows per partition. */
+  def semanticThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(spark, dir)
+    val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
+      .select((dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .select(col("cos"), explode(sequence(lit(6), lit(18))).as("i"))
+      .withColumn("threshold", col("i").cast("double") / lit(20.0))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
+  }
+
   /** Edit-distance near-dup (the fifth dedup family: exact / MinHash /
     * SimHash / embedding-cosine / Levenshtein). Candidate pairs come from
     * the MinHash-LSH band-signature equijoin (`minhashLsh`), keeping the

@@ -609,6 +609,16 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("semantic_threshold_sweep: monotone non-increasing; t=0.3 equals embedding_neardup") {
+    val sweep = SimilarityQueries.semanticThresholdSweep(spark, dir).collect()
+      .map(r => r.getAs[Double]("threshold") -> r.getAs[Long]("n_pairs")).sortBy(_._1)
+    assert(sweep.length == 13)
+    assert(sweep.head._1 == 0.3 && sweep.last._1 == 0.9)
+    sweep.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a >= b) }
+    // the sweep's first point IS the shipped near-dup threshold
+    assert(sweep.head._2 == SimilarityQueries.embeddingNearDup(spark, dir).count())
+  }
+
   test("dup_matrix: pair counts cover the LSH candidate set, sources ordered") {
     val matrix = SimilarityQueries.dupMatrix(spark, dir).collect()
     val total = SimilarityQueries.minhashLsh(spark, dir).count()

@@ -662,6 +662,15 @@ class PlanSpec extends SparkSuite {
       s"counter table must broadcast:\n$pm")
     assert(pm.contains("TakeOrderedAndProject"),
       s"top-50 probe must be a top-k, not a global sort:\n$pm")
+    // semantic_threshold_sweep: pair space bucket-bounded (never
+    // cartesian), and the Generate (explode) must see only the scalar
+    // cosine — exploding rows that still carry embeddings would 13×
+    // the vector bytes in flight
+    val pw = plan(SimilarityQueries.semanticThresholdSweep(spark, dir))
+    assert(!pw.contains("CartesianProduct"))
+    val genLines = pw.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(genLines.nonEmpty && genLines.forall(l => !l.contains("embedding")),
+      s"the threshold explode must not carry embedding columns:\n$pw")
   }
 
   test("pq_ann: distance tables broadcast onto the codes table, top-k prunes in the window") {
