@@ -71,6 +71,7 @@ object SparkEntry {
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
+    "cube_agg" -> (AnalyticsQueries.cubeAgg _),
     "semi_anti" -> (AnalyticsQueries.semiAnti _),
     "setops" -> (AnalyticsQueries.setOps _),
     "join_5way" -> (AnalyticsQueries.join5Way _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "unpivot_stats" -> (AnalyticsQueries.unpivotStats _),
     "cms_topk" -> (TextQueries.cmsTopk _),
     "semantic_threshold_sweep" -> (SimilarityQueries.semanticThresholdSweep _),
+    "dup_triangles" -> (SimilarityQueries.dupTriangles _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "token_lift" -> (TextQueries.tokenLift _),
@@ -582,6 +584,23 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "dup_triangles" ->
+      // canonical a<b<c triangle join over the shared cand CTE; wedge
+      // sum integer-exact (deg*(deg-1) even), one final IEEE division
+      s"""WITH $LshCandBody,
+         |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS d FROM cand UNION ALL SELECT doc_b FROM cand)
+         |  GROUP BY d),
+         |wg AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cand),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM cand e1 JOIN cand e2 ON e1.doc_b = e2.doc_a
+         |    JOIN cand e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b)
+         |SELECT ne.n_edges, wg.n_wedges, tr.n_triangles,
+         |  CASE WHEN wg.n_wedges > 0
+         |    THEN 3.0 * CAST(tr.n_triangles AS DOUBLE) / CAST(wg.n_wedges AS DOUBLE)
+         |    ELSE 0.0 END AS clustering_coeff
+         |FROM ne, wg, tr""".stripMargin,
     "semantic_threshold_sweep" ->
       // 13 candidate thresholds i/20.0 over the same IVF pair space —
       // identical cos doubles, integer counts
@@ -946,6 +965,12 @@ object SparkEntry {
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "semi_anti" ->
       """SELECT 'with_orders' AS tag, count(*) AS cnt FROM customer
         |  WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -48,6 +48,22 @@ object AnalyticsQueries {
         grouping(col("l_linestatus")).cast("long").as("g_ls")
       )
 
+  /** CUBE over (returnflag, linestatus) — the remaining GROUPING SETS
+    * shorthand beside [[rollupAgg]] and the explicit `grouping_sets`
+    * query: all four subset combinations in one Expand-based pass, with
+    * `grouping()` markers disambiguating real NULLs from subtotal rows.
+    * Same Expand + single-aggregation plan shape as rollup — the
+    * multiplier is the grouping-set count, not the data. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls")
+      )
+
   /** Left semi + anti join counts: customers with vs without orders. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

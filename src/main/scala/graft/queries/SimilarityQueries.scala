@@ -497,6 +497,40 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Triangle census of the near-dup graph — the graph-density
+    * diagnostic beside the component map (`dedup_clusters`) and hub
+    * ranking (`dup_pagerank`): many triangles relative to wedges means
+    * tight template cliques (mass boilerplate); a low global clustering
+    * coefficient means chains of weak pairwise matches (borderline
+    * threshold). One row out: edges, wedges (Σ deg·(deg−1)/2),
+    * triangles, and the global clustering coefficient 3·T/W.
+    *
+    * Exactness: counts and the wedge sum are BIGINTs (deg·(deg−1) is
+    * even, so the `div 2` is exact); the coefficient is one final IEEE
+    * division.
+    *
+    * Scale: the canonical a<b<c triangle join is two id equijoins over
+    * the LSH-bounded edge list — the standard distributed triangle
+    * count; degrees fold map-side from the edge list. */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = minhashLsh(spark, dir)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.select(col("doc_a").as("b2"), col("doc_b").as("c2")).as("e2"),
+        col("e1.doc_b") === col("b2"))
+      .join(e.select(col("doc_a").as("a3"), col("doc_b").as("c3")).as("e3"),
+        col("e1.doc_a") === col("a3") && col("c2") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri)) // 1-row sides
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   /** Cosine-threshold sweep over the embedding near-dup pair space —
     * the tuning query BEFORE anyone picks [[embeddingNearDup]]'s 0.3:
     * for each candidate threshold t ∈ {0.30, 0.35, …, 0.90}, how many

@@ -619,6 +619,30 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(sweep.head._2 == SimilarityQueries.embeddingNearDup(spark, dir).count())
   }
 
+  test("dup_triangles: census reconciles with a driver-side count on the same edge list") {
+    val out = SimilarityQueries.dupTriangles(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val edges = SimilarityQueries.minhashLsh(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (_, o) => o.size.toLong }
+    assert(r.getAs[Long]("n_wedges") == deg.map(d => d * (d - 1) / 2).sum)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val has = (a: Long, b: Long) => edges.contains((a min b, a max b))
+    var tri = 0L
+    for {
+      (a, i) <- nodes.zipWithIndex
+      b <- nodes.drop(i + 1) if has(a, b)
+      c <- nodes.dropWhile(_ <= b) if has(b, c) && has(a, c)
+    } tri += 1
+    assert(r.getAs[Long]("n_triangles") == tri)
+    val w = r.getAs[Long]("n_wedges")
+    val expectCc = if (w > 0) 3.0 * tri.toDouble / w.toDouble else 0.0
+    assert(r.getAs[Double]("clustering_coeff") == expectCc)
+  }
+
   test("dup_matrix: pair counts cover the LSH candidate set, sources ordered") {
     val matrix = SimilarityQueries.dupMatrix(spark, dir).collect()
     val total = SimilarityQueries.minhashLsh(spark, dir).count()
