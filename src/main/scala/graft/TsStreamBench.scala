@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Throughput bench for the streaming time-series operators
+  * ([[graft.streaming.AnomalyDetect]], [[graft.streaming.RateMonitor]],
+  * [[graft.streaming.GapDetect]]): synthetic finalized bucket-mean rows
+  * through each transformWithState processor, one AvailableNow drain,
+  * records/second end to end. All three require the RocksDB store
+  * (transformWithState's contract), so that provider is unconditional
+  * here — config mirrors StreamBench's pinned settings.
+  *
+  *   java -cp ... graft.TsStreamBench [nRecords] [nSeries] [partitions]
+  *
+  * The input shape is nSeries interleaved series × (n/nSeries) buckets
+  * each — state stays O(series) in every processor, so throughput
+  * measures per-row processor cost, not state growth.
+  */
+object TsStreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nSeries = args.lift(1).map(_.toInt).getOrElse(256)
+    val parts = args.lift(2).map(_.toInt).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$parts]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // interleaved arrival: bucket-major, so every micro-batch touches
+    // every series — the worst realistic state-access pattern
+    def rows(count: Int): Seq[(String, Long, Double)] =
+      (0 until count).map { i =>
+        val b = i / nSeries
+        val s = i % nSeries
+        (s"series_$s", b.toLong, 100.0 + (i % 97) * 0.5)
+      }
+
+    def freshStream(data: Seq[(String, Long, Double)]) = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Double)](0, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(String, Long, Double)]])
+      ms.addData(data: _*)
+      ms
+    }
+
+    def runOnce(data: Seq[(String, Long, Double)],
+                build: org.apache.spark.sql.Dataset[(String, Long, Double)] =>
+                  org.apache.spark.sql.Dataset[_]): Double = {
+      val df = build(freshStream(data).toDS())
+      val ckpt = java.nio.file.Files.createTempDirectory("tsb-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val data = rows(n)
+    // warmup: one-time codegen + store init, untimed
+    runOnce(rows(2000), ds => graft.streaming.AnomalyDetect.scoreBuckets(ds))
+
+    val zSec = runOnce(data, ds => graft.streaming.AnomalyDetect.scoreBuckets(ds))
+    val rSec = runOnce(data, ds => graft.streaming.RateMonitor.rateBuckets(ds))
+    val gSec = runOnce(data, ds => graft.streaming.GapDetect.detectGaps(ds, 3))
+    println(
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"state_store":"rocksdb"}""")
+    spark.stop()
+  }
+}
