@@ -72,6 +72,7 @@ object SparkEntry {
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
     "cube_agg" -> (AnalyticsQueries.cubeAgg _),
+    "key_skew" -> (AnalyticsQueries.keySkew _),
     "semi_anti" -> (AnalyticsQueries.semiAnti _),
     "setops" -> (AnalyticsQueries.setOps _),
     "join_5way" -> (AnalyticsQueries.join5Way _),
@@ -971,6 +972,20 @@ object SparkEntry {
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "key_skew" ->
+      // per-key counts then HHI: BIGINT sums, shares divided in double
+      // space with n**2 as double*double, same order as the engine
+      """WITH kc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_key_count,
+        |    CAST(sum(c * c) AS BIGINT) AS ssq
+        |  FROM kc GROUP BY 1)
+        |SELECT event_type, n_events, n_keys, max_key_count,
+        |  CAST(max_key_count AS DOUBLE) / CAST(n_events AS DOUBLE) AS top_share,
+        |  CAST(ssq AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS hhi
+        |FROM ag""".stripMargin,
     "semi_anti" ->
       """SELECT 'with_orders' AS tag, count(*) AS cnt FROM customer
         |  WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -48,6 +48,39 @@ object AnalyticsQueries {
         grouping(col("l_linestatus")).cast("long").as("g_ls")
       )
 
+  /** Hot-key concentration per series — the diagnostic that DECIDES when
+    * the salting operators ([[graft.operators.Salting]], `salted_agg` /
+    * `salted_join`) are worth their two-stage cost: per event_type, the
+    * key count, the heaviest key's share, and the
+    * Herfindahl–Hirschman index Σ(cᵢ/n)² — HHI → 1/n_keys means uniform
+    * (don't salt), HHI → 1 means one dominant key (salt or die at
+    * scale).
+    *
+    * Exactness: counts and Σc² are BIGINTs (Σc² is exact while every
+    * single key stays under ~3·10⁹ rows — ANSI overflow is loud past
+    * that); the two shares divide in DOUBLE space with n² computed as
+    * double·double, in the same order as the oracle.
+    *
+    * Scale: two map-combinable aggregations on compact keys —
+    * (series, user) then series. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_count"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("event_type"), col("n_events"), col("n_keys"),
+        col("max_key_count"),
+        (col("max_key_count").cast("double") / col("n_events").cast("double"))
+          .as("top_share"),
+        (col("ssq").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")))
+          .as("hhi"))
+
   /** CUBE over (returnflag, linestatus) — the remaining GROUPING SETS
     * shorthand beside [[rollupAgg]] and the explicit `grouping_sets`
     * query: all four subset combinations in one Expand-based pass, with

@@ -619,6 +619,21 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(sweep.head._2 == SimilarityQueries.embeddingNearDup(spark, dir).count())
   }
 
+  test("key_skew: HHI within [1/n_keys, 1], dominated below by top share squared") {
+    val out = AnalyticsQueries.keySkew(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_keys"))
+      val (ts, hhi) = (r.getAs[Double]("top_share"), r.getAs[Double]("hhi"))
+      assert(k >= 1 && n >= k)
+      assert(ts > 0.0 && ts <= 1.0)
+      // uniform keys floor the index at 1/k; one dominant key drives it
+      // toward 1; the heaviest key alone contributes top_share²
+      assert(hhi >= 1.0 / k.toDouble - 1e-12 && hhi <= 1.0)
+      assert(hhi >= ts * ts - 1e-12)
+    }
+  }
+
   test("dup_triangles: census reconciles with a driver-side count on the same edge list") {
     val out = SimilarityQueries.dupTriangles(spark, dir).collect()
     assert(out.length == 1)
