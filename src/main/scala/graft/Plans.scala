@@ -73,7 +73,7 @@ object Plans {
     "cms_topk" -> "4096-key counter aggregation folds map-side; top-50 probe via TakeOrderedAndProject joins the broadcast counter table",
     "semantic_threshold_sweep" -> "IVF-bounded pair space; 13-way explode multiplies scalar cosines (embeddings dropped first), folds map-side to 13 rows",
     "cube_agg" -> "all four grouping sets in one Expand + single aggregation — the multiplier is the set count, not the data",
-    "dup_triangles" -> "canonical a<b<c triangle join: two id equijoins over the LSH-bounded edge list; degrees fold map-side",
+    "dup_triangles" -> "degree-oriented triangle join (wedges O(m^1.5) even on mega-cliques); two equijoins over the LSH-bounded edge list",
     "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup"
   )
 

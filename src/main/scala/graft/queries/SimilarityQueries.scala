@@ -509,20 +509,37 @@ object SimilarityQueries {
     * even, so the `div 2` is exact); the coefficient is one final IEEE
     * division.
     *
-    * Scale: the canonical a<b<c triangle join is two id equijoins over
-    * the LSH-bounded edge list — the standard distributed triangle
-    * count; degrees fold map-side from the edge list. */
+    * Scale: the triangle join runs on DEGREE-ORIENTED edges — each edge
+    * points from its lower-(degree, id) endpoint to the higher — the
+    * standard distributed-triangle-count trick: wedge intermediates are
+    * Σ outdeg², bounded O(m^1.5) REGARDLESS of clique structure, where
+    * the naive id-ordered join is Σ deg² — fatal on the template
+    * mega-cliques real corpora contain (the dedup skew fixture builds a
+    * 200-clique; at 100 TB a 10⁶-doc clique makes id-ordering 10¹⁸
+    * intermediates). Orientation permutes which edge of a triangle is
+    * which, never the COUNT, so the id-ordered DuckDB oracle restates
+    * the same number. Degrees fold map-side from the edge list. */
   def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
     val e = minhashLsh(spark, dir)
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val wedges = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+    val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("deg"))
-      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val tri = e.as("e1")
-      .join(e.select(col("doc_a").as("b2"), col("doc_b").as("c2")).as("e2"),
-        col("e1.doc_b") === col("b2"))
-      .join(e.select(col("doc_a").as("a3"), col("doc_b").as("c3")).as("e3"),
-        col("e1.doc_a") === col("a3") && col("c2") === col("c3"))
+    val wedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    // orient: (u, v) with (deg_u, u) <lex (deg_v, v); rank structs carry
+    // the order so the triple join needs no further degree lookups
+    val oe = e
+      .join(deg.select(col("d").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("d").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("doc_a").as("u"), col("doc_b").as("v")))
+          .otherwise(struct(col("doc_b").as("u"), col("doc_a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val tri = oe.as("e1")
+      .join(oe.select(col("u").as("u2"), col("v").as("c2")).as("e2"),
+        col("e1.v") === col("u2"))
+      .join(oe.select(col("u").as("a3"), col("v").as("c3")).as("e3"),
+        col("e1.u") === col("a3") && col("c2") === col("c3"))
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri)) // 1-row sides
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),

@@ -658,6 +658,22 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(r.getAs[Double]("clustering_coeff") == expectCc)
   }
 
+  test("dup_triangles: a 200-doc clique counts exactly C(200,3) under degree orientation") {
+    // the dedup skew shape: 200 byte-identical docs form a complete
+    // near-dup graph; the oriented join must count every triangle once
+    val tmp = java.nio.file.Files.createTempDirectory("tri_clique").toString
+    val docs = (0L until 200L).map(i =>
+      (i, "the same template text repeated for every document in the clique", "en", "s", 60L)) ++
+      Seq((900L, "an entirely different document about unrelated matters here", "en", "s", 59L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SimilarityQueries.dupTriangles(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_edges") == 200L * 199L / 2)
+    assert(r.getAs[Long]("n_triangles") == 200L * 199L * 198L / 6)
+    // complete graph: every wedge closes, clustering coefficient is 1
+    assert(r.getAs[Double]("clustering_coeff") == 1.0)
+  }
+
   test("dup_matrix: pair counts cover the LSH candidate set, sources ordered") {
     val matrix = SimilarityQueries.dupMatrix(spark, dir).collect()
     val total = SimilarityQueries.minhashLsh(spark, dir).count()
