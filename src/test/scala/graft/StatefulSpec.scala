@@ -301,6 +301,60 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("seasonal profile: stream matches a driver-side prequential rebuild exactly (RocksDB)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val means = graft.queries.AnalyticsQueries.bucketMeans(spark, dir)
+        .select(col("event_type"), col("b"), col("mv"))
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      val (first, second) = means.splitAt(means.length / 2)
+      val ms = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.SeasonalProfile.scoreSeasonal(ms.toDS())
+        .writeStream.format("memory").queryName("seasonal").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-seasonal")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      // prequential rebuild: per series in bucket order, score against
+      // the cell-so-far then fold the row in — the operator's contract
+      val expect = scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]()
+      means.groupBy(_._1).foreach { case (t, rows) =>
+        val prof = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+        rows.sortBy(_._2).foreach { case (_, b, mv) =>
+          val fp = math.floor(mv * 1000.0).toLong
+          val hod = (b % 144) / 6
+          val (n, s, ss) = prof.getOrElse(hod, (0L, 0L, 0L))
+          if (n >= 8 && n * ss - s * s > 0) {
+            val z = (fp * n - s).toDouble / math.sqrt((n * ss - s * s).toDouble)
+            expect((t, b)) = (mv, n, z)
+          }
+          prof(hod) = (n + 1, s + fp, ss + fp * fp)
+        }
+      }
+      val streamed = spark.table("seasonal")
+        .select("event_type", "bucket", "mv", "n_profile", "z")
+        .as[(String, Long, Double, Long, Double)].collect()
+      assert(streamed.length == expect.size,
+        s"stream(${streamed.length}) != prequential(${expect.size})")
+      streamed.foreach { case (t, b, mv, n, z) =>
+        val (emv, en, ez) = expect((t, b))
+        assert(mv == emv && n == en && z == ez, s"mismatch at ($t, $b)")
+      }
+      assert(streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming rate monitor agrees with the batch series_rate exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
