@@ -75,8 +75,9 @@ object TsStreamBench {
     val zSec = runOnce(data, ds => graft.streaming.AnomalyDetect.scoreBuckets(ds))
     val rSec = runOnce(data, ds => graft.streaming.RateMonitor.rateBuckets(ds))
     val gSec = runOnce(data, ds => graft.streaming.GapDetect.detectGaps(ds, 3))
+    val sSec = runOnce(data, ds => graft.streaming.SeasonalProfile.scoreSeasonal(ds))
     println(
-      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"state_store":"rocksdb"}""")
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"state_store":"rocksdb"}""")
     spark.stop()
   }
 }
