@@ -74,7 +74,8 @@ object Plans {
     "semantic_threshold_sweep" -> "IVF-bounded pair space; 13-way explode multiplies scalar cosines (embeddings dropped first), folds map-side to 13 rows",
     "cube_agg" -> "all four grouping sets in one Expand + single aggregation — the multiplier is the set count, not the data",
     "dup_triangles" -> "degree-oriented triangle join (wedges O(m^1.5) even on mega-cliques); two equijoins over the LSH-bounded edge list",
-    "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup"
+    "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup",
+    "ngram_containment" -> "same LSH-bounded candidate shape as ngram_jaccard: two doc_id equijoins + per-pair set intersect"
   )
 
   def main(args: Array[String]): Unit = {

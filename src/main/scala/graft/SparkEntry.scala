@@ -60,6 +60,7 @@ object SparkEntry {
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "ngram_containment" -> (SimilarityQueries.ngramContainment _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
@@ -796,6 +797,21 @@ object SparkEntry {
          |  FROM cand c JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM p""".stripMargin,
+    "ngram_containment" ->
+      // Broder containment per direction + max over the same candidate
+      // pair frame — integer sizes, three single divisions
+      s"""WITH $LshCandBody,
+         |d AS (SELECT doc_id, list_distinct($ShingleSql) AS shs
+         |  FROM (SELECT doc_id, $WordToksSql AS ws FROM documents)),
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS na, len(db.shs) AS nb
+         |  FROM cand c JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment_a,
+         |  CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE) AS containment_b,
+         |  CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS max_containment
          |FROM p""".stripMargin,
     "minhash_estimate" ->
       s"""WITH $LshCandBody,

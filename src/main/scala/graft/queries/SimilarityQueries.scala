@@ -895,6 +895,40 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Asymmetric containment over the LSH candidates — the dedup signal
+    * symmetric Jaccard structurally MISSES: a 50-shingle doc quoted
+    * whole inside a 5000-shingle doc scores Jaccard ≈ 0.01 (union-
+    * dominated) but containment 1.0 on the small side. Broder's
+    * containment |A∩B|/|A| per direction, plus the max — the quote /
+    * excerpt / wrapper-page detector every curation pipeline runs beside
+    * near-dup.
+    *
+    * Exactness: integer set sizes and intersections; the three ratios
+    * are single IEEE divisions.
+    *
+    * Scale: identical shape to [[ngramJaccard]] — two doc_id equijoins
+    * over the LSH-bounded candidates, per-pair set intersect. (LSH
+    * recall on asymmetric pairs is inherited: a wholly-contained small
+    * doc shares its minhashes with probability ≈ containment, so
+    * high-containment pairs are exactly the ones LSH keeps.) */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), array_distinct(shingleCol(col("ws"))).as("shs"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("na", size(col("shs_a")).cast("long"))
+      .withColumn("nb", size(col("shs_b")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / col("na").cast("double")).as("containment_a"),
+        (col("inter").cast("double") / col("nb").cast("double")).as("containment_b"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("max_containment"))
+  }
+
   // ——— Product quantization (the FAISS IVF-PQ compression path) ———
 
   /** PQ geometry: the 64-dim embeddings split into [[PqM]] contiguous

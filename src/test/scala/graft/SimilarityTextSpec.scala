@@ -194,6 +194,26 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("ngram_containment: directional bounds, max is the larger direction, dominates jaccard") {
+    val dir = "/root/testdata/sf0.001"
+    val cont = graft.queries.SimilarityQueries.ngramContainment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"),
+          r.getAs[Double]("max_containment"))).toMap
+    assert(cont.nonEmpty)
+    val jac = graft.queries.SimilarityQueries.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // same candidate pair set as the jaccard re-rank
+    assert(cont.keySet == jac.keySet)
+    cont.foreach { case (k, (ca, cb, mx)) =>
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(mx == math.max(ca, cb), "max containment is inter/min(na,nb)")
+      // containment can only exceed jaccard (union ≥ either set)
+      assert(mx >= jac(k) - 1e-12)
+    }
+  }
+
   test("minhash_estimate: estimate bounded, exact duplicates score 12/12, pairs = LSH candidates") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.SimilarityQueries.minhashEstimate(spark, dir)
