@@ -61,6 +61,7 @@ object SparkEntry {
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "ngram_containment" -> (SimilarityQueries.ngramContainment _),
+    "score_agreement" -> (TextQueries.scoreAgreement _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
@@ -891,6 +892,35 @@ object SparkEntry {
          |  CAST(sum(p_fp) AS BIGINT) AS lp_fp,
          |  CAST(sum(p_fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS avg_p
          |FROM sc GROUP BY doc_id""".stripMargin,
+    "score_agreement" ->
+      // Spearman over distinct row_number ranks: exact BIGINT sum of
+      // squared rank deltas, the rho expression in the same IEEE order
+      s"""WITH $QualityBody,
+         |w2 AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |t2 AS (SELECT doc_id, unnest(ws) AS tok FROM w2),
+         |uni2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM t2 GROUP BY tok),
+         |bx2 AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM w2),
+         |bu2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS u FROM bx2),
+         |bi2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bu2 GROUP BY bg),
+         |sc2 AS (SELECT b.doc_id,
+         |    CAST(floor((CAST(i.cb AS DOUBLE) / CAST(n.cu AS DOUBLE)) * 1000000000.0) AS BIGINT) AS p_fp
+         |  FROM bu2 b JOIN bi2 i ON b.bg = i.bg JOIN uni2 n ON b.u = n.tok),
+         |lm AS (SELECT doc_id,
+         |    CAST(sum(p_fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS avg_p
+         |  FROM sc2 GROUP BY doc_id),
+         |j AS (SELECT qq.doc_id, qq.quality, lm.avg_p
+         |  FROM qq JOIN lm ON qq.doc_id = lm.doc_id),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS ra,
+         |    CAST(row_number() OVER (ORDER BY avg_p, doc_id) AS BIGINT) AS rb
+         |  FROM j)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+         |  1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)) AS spearman
+         |FROM r""".stripMargin,
     // documents.text is pure ASCII (verified: length == octet_length for
     // every row), so first-8-BYTES == first-8-CHARS; DuckDB has no blob
     // substring, Spark side slices the real binary payload.

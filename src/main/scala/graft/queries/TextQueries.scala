@@ -272,6 +272,45 @@ object TextQueries {
         col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
   }
 
+  /** Rank agreement between the two quality signals — Spearman's ρ
+    * between the heuristic [[qualityScore]] and the bigram-MLE
+    * [[lmScore]] fluency, over docs that have both (≥ 2 tokens). The
+    * eval every pipeline with two scorers runs before trusting either:
+    * ρ near 1 means the cheap heuristic can gate for the expensive
+    * model; ρ near 0 means they measure different things.
+    *
+    * Exactness: ranks are `row_number` with a doc_id tie-break —
+    * DISTINCT integers, so Spearman's exact form
+    * `ρ = 1 − 6Σd²/(n(n²−1))` applies with Σd² an exact BIGINT
+    * (headroom to n ≈ 2M docs — the audit-sample scale this runs at;
+    * ANSI overflow is loud beyond); the final ρ is computed in double
+    * with the identical expression order as the oracle.
+    *
+    * Scale: the two rank windows are global total orders — like
+    * [[graft.queries.AnalyticsQueries.quantileBins]], this exact form
+    * is AUDIT-SCOPED (score-agreement checks run on samples); at
+    * corpus scale the banded prefix-sum pattern of
+    * `token_budget_select` (percentile cutpoints → band-local windows
+    * → exact global positions) replaces each global window without
+    * changing a single output bit. */
+  def scoreAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir)
+    val l = lmScore(spark, dir).select(col("doc_id"), col("avg_p"))
+    val joined = q.join(l, "doc_id")
+    val wq = Window.orderBy(col("quality").asc, col("doc_id").asc)
+    val wl = Window.orderBy(col("avg_p").asc, col("doc_id").asc)
+    joined
+      .withColumn("ra", row_number().over(wq).cast("long"))
+      .withColumn("rb", row_number().over(wl).cast("long"))
+      .withColumn("d", col("ra") - col("rb"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+          .as("spearman"))
+  }
+
   /** Collocation strength — PMI's ratio without its logarithm: for each
     * adjacent token pair, `lift = c(ab)·N / (c(a)·c(b))` (how much more
     * often the pair co-occurs than independence predicts), in exact

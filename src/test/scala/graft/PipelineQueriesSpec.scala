@@ -580,6 +580,25 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("score_agreement: rho reconciles with a driver-side rank rebuild, bounded") {
+    val r = TextQueries.scoreAgreement(spark, dir).collect().head
+    val rho = r.getAs[Double]("spearman")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // rebuild from the engine's own (oracle-validated) component scores
+    val q = TextQueries.qualityScore(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("quality")).toMap
+    val l = TextQueries.lmScore(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_p")).toMap
+    val ids = q.keySet.intersect(l.keySet).toSeq
+    val ra = ids.sortBy(id => (q(id), id)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rb = ids.sortBy(id => (l(id), id)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val n = ids.length.toLong
+    val d2 = ids.map(id => { val d = ra(id) - rb(id); d * d }).sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("sum_d2") == d2)
+    assert(rho == 1.0 - 6.0 * d2.toDouble / (n.toDouble * (n.toDouble * n.toDouble - 1.0)))
+  }
+
   test("cms_topk: sketch never underestimates; exact counts reconcile with a driver count") {
     val out = TextQueries.cmsTopk(spark, dir).collect()
     assert(out.nonEmpty)
