@@ -76,7 +76,8 @@ object Plans {
     "dup_triangles" -> "degree-oriented triangle join (wedges O(m^1.5) even on mega-cliques); two equijoins over the LSH-bounded edge list",
     "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup",
     "ngram_containment" -> "same LSH-bounded candidate shape as ngram_jaccard: two doc_id equijoins + per-pair set intersect",
-    "score_agreement" -> "audit-scoped global rank windows (quantile_bins precedent; token_budget_select's banded pattern is the scale path)"
+    "score_agreement" -> "audit-scoped global rank windows (quantile_bins precedent; token_budget_select's banded pattern is the scale path)",
+    "volume_anomaly" -> "rolling-24 count window per series over the compact bucket frame — anomaly_zscore's shape on BIGINT counts"
   )
 
   def main(args: Array[String]): Unit = {

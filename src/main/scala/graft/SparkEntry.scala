@@ -62,6 +62,7 @@ object SparkEntry {
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "ngram_containment" -> (SimilarityQueries.ngramContainment _),
     "score_agreement" -> (TextQueries.scoreAgreement _),
+    "volume_anomaly" -> (AnalyticsQueries.volumeAnomaly _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
@@ -1348,6 +1349,23 @@ object SparkEntry {
         |SELECT event_type, b AS bucket, mv, n AS n_window,
         |  CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z,
         |  abs(CAST(fp * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
+        |FROM w WHERE n >= 12 AND n * ss - s * s > 0""".stripMargin,
+    "volume_anomaly" ->
+      // rolling z on bucket COUNTS — BIGINTs from the start, no
+      // quantization; same window shape as anomaly_zscore
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt
+        |          FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, b, cnt,
+        |        CAST(count(cnt) OVER win AS BIGINT) AS n,
+        |        CAST(sum(cnt) OVER win AS BIGINT) AS s,
+        |        CAST(sum(cnt * cnt) OVER win AS BIGINT) AS ss
+        |      FROM m
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY b
+        |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, b AS bucket, cnt, n AS n_window,
+        |  CAST(cnt * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z,
+        |  abs(CAST(cnt * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0 AS is_anomaly
         |FROM w WHERE n >= 12 AND n * ss - s * s > 0""".stripMargin,
     "series_rate" ->
       // adjacent bucket-mean deltas / true elapsed seconds; one lag per

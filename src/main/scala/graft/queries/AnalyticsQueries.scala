@@ -814,6 +814,37 @@ object AnalyticsQueries {
         (abs(col("z")) > lit(3.0)).as("is_anomaly"))
   }
 
+  /** Rolling volume anomaly — [[anomalyZscore]]'s sibling on the bucket
+    * COUNT instead of the bucket mean: a series whose values look
+    * normal but whose event VOLUME spikes (retry storm, replay,
+    * upstream fan-out bug) alarms here and nowhere else. Same trailing
+    * 24-observed-bucket window, warmup, and flat guard.
+    *
+    * Exactness: counts are already BIGINTs — no quantization step at
+    * all; the z formula is the same two final IEEE ops on exact
+    * integers. Headroom: n·Σc² stays under 2⁶³ while per-bucket counts
+    * stay under ~6·10⁸ (ANSI loud beyond).
+    *
+    * Scale: identical to [[anomalyZscore]] — the raw scan folds
+    * map-side to the bounded (series, bucket) frame; the window
+    * partitions by series. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-24, -1)
+    bucketMeans(spark, dir)
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n") >= 12 && (col("n") * col("ss") - col("s") * col("s")) > 0)
+      .withColumn("z",
+        (col("cnt") * col("n") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+      .select(
+        col("event_type"), col("b").as("bucket"), col("cnt"),
+        col("n").as("n_window"), col("z"),
+        (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+  }
+
   /** Per-series rate of change — Timestream's `DERIVATIVE`/`RATE` family
     * (the PromQL-rate shape its dashboards chart): adjacent bucket-mean
     * deltas divided by their time gap in seconds, so a sparse series

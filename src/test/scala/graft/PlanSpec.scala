@@ -624,7 +624,8 @@ class PlanSpec extends SparkSuite {
         AnalyticsQueries.rollingMedian(spark, dir),
         AnalyticsQueries.seriesAutocorr(spark, dir),
         AnalyticsQueries.seriesCusum(spark, dir),
-        AnalyticsQueries.seriesDecompose(spark, dir)
+        AnalyticsQueries.seriesDecompose(spark, dir),
+        AnalyticsQueries.volumeAnomaly(spark, dir)
       ).foreach { df =>
         val sp = df.queryExecution.executedPlan
         val wins = sp.collect { case w: WindowExec => w }
