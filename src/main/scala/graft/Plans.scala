@@ -77,7 +77,8 @@ object Plans {
     "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup",
     "ngram_containment" -> "same LSH-bounded candidate shape as ngram_jaccard: two doc_id equijoins + per-pair set intersect",
     "score_agreement" -> "audit-scoped global rank windows (quantile_bins precedent; token_budget_select's banded pattern is the scale path)",
-    "volume_anomaly" -> "rolling-24 count window per series over the compact bucket frame — anomaly_zscore's shape on BIGINT counts"
+    "volume_anomaly" -> "rolling-24 count window per series over the compact bucket frame — anomaly_zscore's shape on BIGINT counts",
+    "minhash_threshold_sweep" -> "LSH-bounded signature self-join; 12-way explode over a scalar frame folds map-side to 12 rows"
   )
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,7 @@ object SparkEntry {
     "ngram_containment" -> (SimilarityQueries.ngramContainment _),
     "score_agreement" -> (TextQueries.scoreAgreement _),
     "volume_anomaly" -> (AnalyticsQueries.volumeAnomaly _),
+    "minhash_threshold_sweep" -> (SimilarityQueries.minhashThresholdSweep _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
@@ -588,6 +589,19 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "minhash_threshold_sweep" -> {
+      // candidate pairs surviving each sketch-match threshold 1..12 —
+      // pure integer counts over the shared cand + signature CTEs
+      val matchSum = SimilarityQueries.MinhashSeeds.indices
+        .map(i => s"(CASE WHEN a.mh$i = b2.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $LshCandBody,
+         |pm AS (SELECT $matchSum AS n_match
+         |  FROM cand c JOIN m a ON c.doc_a = a.doc_id JOIN m b2 ON c.doc_b = b2.doc_id),
+         |th AS (SELECT unnest(range(1, 13)) AS i)
+         |SELECT CAST(i AS BIGINT) AS threshold,
+         |  CAST(sum(CASE WHEN n_match >= i THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM pm, th GROUP BY 1""".stripMargin
+    },
     "dup_triangles" ->
       // canonical a<b<c triangle join over the shared cand CTE; wedge
       // sum integer-exact (deg*(deg-1) even), one final IEEE division

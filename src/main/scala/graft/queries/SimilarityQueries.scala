@@ -497,6 +497,30 @@ object SimilarityQueries {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Sketch-match threshold sweep over the LSH candidates — the MinHash
+    * twin of [[semanticThresholdSweep]]: for every candidate threshold
+    * t ∈ 1..12 matching signature components (estimated Jaccard t/12),
+    * how many candidate pairs survive? The curve that tunes the
+    * near-dup gate's strictness before anyone commits to one number.
+    * Pure integer counts — bit-exact by construction.
+    *
+    * Scale: one signature self-join bounded by the LSH candidate set
+    * (the [[minhashEstimate]] shape without its exact-Jaccard arm); the
+    * 12-way explode multiplies a 3-column scalar frame and folds
+    * map-side to 12 rows. */
+  def minhashThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val mins = minhashSigs(spark, dir)
+    val nMatch = MinhashSeeds.indices.map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+    lshCandidates(mins)
+      .join(mins.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mins.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(nMatch.as("n_match"))
+      .select(col("n_match"), explode(sequence(lit(1), lit(12))).as("threshold"))
+      .groupBy(col("threshold").cast("long").as("threshold"))
+      .agg(sum(when(col("n_match") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
+  }
+
   /** Triangle census of the near-dup graph — the graph-density
     * diagnostic beside the component map (`dedup_clusters`) and hub
     * ranking (`dup_pagerank`): many triangles relative to wedges means

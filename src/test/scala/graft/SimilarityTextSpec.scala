@@ -194,6 +194,21 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("minhash_threshold_sweep: monotone, t=1 covers all candidates, reconciles with estimate") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = graft.queries.SimilarityQueries.minhashThresholdSweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("threshold") -> r.getAs[Long]("n_pairs")).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == (1L to 12L).toSeq)
+    sweep.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a >= b) }
+    // reconcile every point against minhash_estimate's per-pair n_match
+    val matches = graft.queries.SimilarityQueries.minhashEstimate(spark, dir)
+      .select("n_match").as[Long].collect()
+    sweep.foreach { case (t, n) => assert(n == matches.count(_ >= t).toLong) }
+    // every LSH candidate shares at least one full band (3 components)
+    assert(sweep.head._2 == matches.length.toLong)
+    assert(sweep(2)._2 == matches.length.toLong, "band survivors match >= 3 components")
+  }
+
   test("ngram_containment: directional bounds, max is the larger direction, dominates jaccard") {
     val dir = "/root/testdata/sf0.001"
     val cont = graft.queries.SimilarityQueries.ngramContainment(spark, dir).collect()
