@@ -76,7 +76,7 @@ object Plans {
     "dup_triangles" -> "degree-oriented triangle join (wedges O(m^1.5) even on mega-cliques); two equijoins over the LSH-bounded edge list",
     "key_skew" -> "two map-combinable aggregations on compact keys: (series, user) partials then the series rollup",
     "ngram_containment" -> "same LSH-bounded candidate shape as ngram_jaccard: two doc_id equijoins + per-pair set intersect",
-    "score_agreement" -> "audit-scoped global rank windows (quantile_bins precedent; token_budget_select's banded pattern is the scale path)",
+    "score_agreement" -> "both Spearman ranks via banded prefix-sum rank (token_budget_select's pattern) — band-local windows only, no corpus-global sort",
     "volume_anomaly" -> "rolling-24 count window per series over the compact bucket frame — anomaly_zscore's shape on BIGINT counts",
     "minhash_threshold_sweep" -> "LSH-bounded signature self-join; 12-way explode over a scalar frame folds map-side to 12 rows"
   )

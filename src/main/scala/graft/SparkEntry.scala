@@ -933,8 +933,10 @@ object SparkEntry {
          |  FROM j)
          |SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
-         |  1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE) /
-         |    (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)) AS spearman
+         |  CASE WHEN count(*) >= 2 THEN
+         |    1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE) /
+         |      (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0))
+         |  ELSE NULL END AS spearman
          |FROM r""".stripMargin,
     // documents.text is pure ASCII (verified: length == octet_length for
     // every row), so first-8-BYTES == first-8-CHARS; DuckDB has no blob
@@ -1556,9 +1558,9 @@ object SparkEntry {
     },
     "series_decompose" ->
       // trend: centered ±12 frame sums on milli-quantized BIGINTs, one
-      // division; detrended re-quantizes once (identical doubles floor
-      // identically); profile sums BIGINT again; residual ops in the
-      // same IEEE order as the engine side
+      // division; detrended re-quantizes once, staying in milli-units
+      // (identical doubles floor identically); profile sums BIGINT
+      // again; residual ops in the same IEEE order as the engine side
       """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
         |            CAST(count(*) AS BIGINT) AS cnt,
         |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
@@ -1576,7 +1578,7 @@ object SparkEntry {
         |d AS (SELECT event_type, b, mv,
         |        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS trend_fp,
         |        CAST(fp AS DOUBLE) - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS detr,
-        |        CAST(floor((CAST(fp AS DOUBLE) - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000.0) AS BIGINT) AS dq,
+        |        CAST(floor(CAST(fp AS DOUBLE) - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT) AS dq,
         |        (b % 144) // 6 AS hod
         |      FROM t WHERE nt >= 13),
         |p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS np,

@@ -943,8 +943,11 @@ object AnalyticsQueries {
     *
     * Exactness: the trend frame sums run on `floor(mv·10³)` BIGINTs
     * (frame-sum order differs between engines on doubles), then ONE
-    * division; the detrended value re-quantizes ONCE — `floor(detr·10³)`
-    * of bit-identical doubles is bit-identical — so the profile's group
+    * division; the detrended value re-quantizes ONCE — `floor(detr)`
+    * keeps the same milli-unit scale as `fp` (detr is already
+    * milli-units; a second ·10³ here would leave the profile in
+    * micro-units and report seasonal 1000× too large), and flooring
+    * bit-identical doubles is bit-identical — so the profile's group
     * sums are again exact BIGINTs. Every residual double op is written
     * in the same order as the oracle.
     *
@@ -962,7 +965,7 @@ object AnalyticsQueries {
       .where(col("nt") >= 13)
       .withColumn("trend_fp", col("st").cast("double") / col("nt").cast("double"))
       .withColumn("detr", col("fp").cast("double") - col("trend_fp"))
-      .withColumn("dq", floor(col("detr") * lit(1000.0)))
+      .withColumn("dq", floor(col("detr")))
       .withColumn("hod", expr("(b % 144) div 6"))
     val prof = m.groupBy(col("event_type"), col("hod"))
       .agg(count(lit(1)).as("np"), sum(col("dq")).as("sp"))

@@ -279,36 +279,71 @@ object TextQueries {
     * ρ near 1 means the cheap heuristic can gate for the expensive
     * model; ρ near 0 means they measure different things.
     *
-    * Exactness: ranks are `row_number` with a doc_id tie-break —
-    * DISTINCT integers, so Spearman's exact form
-    * `ρ = 1 − 6Σd²/(n(n²−1))` applies with Σd² an exact BIGINT
-    * (headroom to n ≈ 2M docs — the audit-sample scale this runs at;
-    * ANSI overflow is loud beyond); the final ρ is computed in double
-    * with the identical expression order as the oracle.
+    * Exactness: ranks are distinct global positions with a doc_id
+    * tie-break (note: row_number tie-breaking, not average ranks — with
+    * heavy ties this deflates ρ versus the tie-corrected form; the
+    * doc_id break is deterministic, so both engines agree bit-for-bit),
+    * so Spearman's exact form `ρ = 1 − 6Σd²/(n(n²−1))` applies with Σd²
+    * an exact BIGINT (headroom to n ≈ 2M docs; ANSI overflow is loud
+    * beyond); the final ρ is computed in double with the identical
+    * expression order as the oracle, and is NULL when n < 2 (the
+    * formula divides by n(n²−1) = 0).
     *
-    * Scale: the two rank windows are global total orders — like
-    * [[graft.queries.AnalyticsQueries.quantileBins]], this exact form
-    * is AUDIT-SCOPED (score-agreement checks run on samples); at
-    * corpus scale the banded prefix-sum pattern of
-    * `token_budget_select` (percentile cutpoints → band-local windows
-    * → exact global positions) replaces each global window without
-    * changing a single output bit. */
+    * Scale (100 TB): each rank is the banded prefix-sum pattern of
+    * `token_budget_select` ([[graft.queries.CurationQueries.tokenBudgetSelect]]):
+    * percentile cutpoints split the corpus into ~32 value bands
+    * (broadcast, narrow map — no sort); the only unpartitioned window
+    * runs on the ≤32-row band-counts frame; each document's global rank
+    * is its band-local `row_number` plus the band's exclusive prefix
+    * count. Band index is monotone in the score and equal scores share
+    * a band, so (band, score, doc_id) IS the global order — bit-identical
+    * to a global `row_number`, with every corpus-sized sort band-local.
+    * Widen to ~10k `approx_percentile` bands at real corpus scale. */
   def scoreAgreement(spark: SparkSession, dir: String): DataFrame = {
     val q = qualityScore(spark, dir)
     val l = lmScore(spark, dir).select(col("doc_id"), col("avg_p"))
     val joined = q.join(l, "doc_id")
-    val wq = Window.orderBy(col("quality").asc, col("doc_id").asc)
-    val wl = Window.orderBy(col("avg_p").asc, col("doc_id").asc)
-    joined
-      .withColumn("ra", row_number().over(wq).cast("long"))
-      .withColumn("rb", row_number().over(wl).cast("long"))
+    bandedRank(bandedRank(joined, "quality", "ra"), "avg_p", "rb")
       .withColumn("d", col("ra") - col("rb"))
       .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
-        (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
-          (col("n").cast("double") *
-            (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+        when(col("n") >= 2,
+          lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+          .otherwise(lit(null).cast("double"))
           .as("spearman"))
+  }
+
+  /** Distributed global `row_number` over (`scoreCol` asc, doc_id asc)
+    * without a global sort — the banded prefix-sum rewrite proven by
+    * [[graft.queries.CurationQueries.tokenBudgetSelect]]. Bit-identical
+    * to `row_number() OVER (ORDER BY score, doc_id)`: band = #cutpoints
+    * strictly below the score is nondecreasing in score and constant on
+    * ties, so band-local position + exclusive prefix count of earlier
+    * bands reproduces the exact global position. */
+  private def bandedRank(df: DataFrame, scoreCol: String, rankCol: String): DataFrame = {
+    val nBands = 32
+    val oband = s"__oband_$rankCol"
+    val off = s"__off_$rankCol"
+    val probs = (1 until nBands).map(i => i.toDouble / nBands)
+      .mkString("array(", ",", ")")
+    val cuts = df.agg(expr(s"percentile($scoreCol, $probs)").as("__cuts"))
+    val banded = df.crossJoin(broadcast(cuts))
+      .withColumn("__band", size(filter(col("__cuts"), c => c < col(scoreCol))))
+      .drop("__cuts")
+    // the only unpartitioned window: exclusive prefix counts over the
+    // ≤ nBands band-counts frame, never corpus rows
+    val prefixW = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("__band")).agg(count(lit(1)).as("__bn"))
+      .withColumn(off, coalesce(sum(col("__bn")).over(prefixW), lit(0L)))
+      .select(col("__band").as(oband), col(off))
+    val runW = Window.partitionBy(col("__band"))
+      .orderBy(col(scoreCol).asc, col("doc_id").asc)
+    banded.join(broadcast(offsets), col("__band") === col(oband))
+      .withColumn(rankCol, row_number().over(runW).cast("long") + col(off))
+      .drop("__band", oband, off)
   }
 
   /** Collocation strength — PMI's ratio without its logarithm: for each

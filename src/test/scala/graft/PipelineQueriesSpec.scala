@@ -566,6 +566,16 @@ class PipelineQueriesSpec extends SparkSuite {
     // coverage stays above 90% of the full mean frame
     val total = AnalyticsQueries.bucketMeans(spark, dir).count()
     assert(out.length >= (total * 9) / 10)
+    // seasonal is a per-(series, hod) MEAN of detrended values, so its
+    // magnitude can never exceed the largest detrended magnitude — a
+    // unit-scale error (e.g. micro-unit profile divided as milli) blows
+    // this bound by 1000×, which the additive identity alone can't see
+    val maxDetr = out.iterator.map(r =>
+      math.abs(r.getAs[Double]("mv") - r.getAs[Double]("trend"))).max
+    val maxSeasonal = out.iterator.map(r =>
+      math.abs(r.getAs[Double]("seasonal"))).max
+    assert(maxSeasonal <= maxDetr + 2e-3,
+      s"seasonal amplitude $maxSeasonal exceeds max detrended $maxDetr")
   }
 
   test("series_autocorr: r within [-1,1], n = buckets - 1 per series") {

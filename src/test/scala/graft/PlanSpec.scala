@@ -373,6 +373,36 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("score_agreement: both Spearman ranks are banded — no corpus-global sort") {
+    // Each rank used to be row_number over a corpus-global Window.orderBy
+    // — a single-task total sort of the whole joined frame, twice. The
+    // banded rewrite may use an unpartitioned window ONLY on the ≤32-row
+    // band-counts frames: assert every empty-partition WindowExec sits
+    // above a grouping aggregate, and the per-document rank windows are
+    // band-partitioned.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.TextQueries.scoreAgreement(spark, dir)
+        .queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      global.foreach { w =>
+        assert(w.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+        }.isDefined,
+          s"unpartitioned window must consume a band-counts aggregate, never corpus rows:\n$w")
+      }
+      assert(wins.count(_.partitionSpec.nonEmpty) >= 2,
+        "both per-document rank windows must be band-partitioned")
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("rank_fusion: every rank window consumes a TakeOrderedAndProject-pruned frame") {
     // both arms and the fused ranking are top-k: the distributed limit
     // must run BEFORE each unpartitioned row_number, so no window ever
