@@ -58,7 +58,18 @@ object Bench {
     val okSum = results.map(_._2).filter(_ >= 0).sum
     val failures = results.count(_._2 < 0)
     val total = okSum + failures * math.max(okSum, 120.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's stdout capture has truncated the front of this (long)
+    // line in past rounds, losing the per-query map. Persist the full JSON
+    // to a stable path the driver (or a human) can lift verbatim.
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -82,12 +82,27 @@ object Sinks {
   /** Offline-runnable table sink: appends accepted rows as parquet under
     * `path`, rejected rows under `path`/_dead_letter. Stands in for the
     * Timestream/JDBC endpoint in this sandbox; the split logic is the
-    * production logic. */
-  final class ParquetTableSink(path: String) extends RecordSink {
+    * production logic.
+    *
+    * `datePartitioned = true` writes accepted rows under
+    * `data/event_date=YYYY-MM-DD/` (derived from the point's epoch-ms
+    * `time`) — the layout that makes time-range scans directory-pruned
+    * AND makes the magnetic-store TTL enforceable as one directory
+    * delete per expired day
+    * ([[graft.sources.Layout.expirePartitions]]); this is how the
+    * reference's MagneticStoreRetentionPeriodInDays
+    * (TimestreamInitializer.java:47-50) becomes a real expiry here
+    * rather than a recorded comment. */
+  final class ParquetTableSink(path: String, datePartitioned: Boolean = false)
+      extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) =
       splitAndWrite(
         batch,
-        ok => ok.write.mode("append").parquet(s"$path/data"),
+        ok =>
+          if (datePartitioned)
+            ok.withColumn("event_date", to_date(timestamp_millis(col("time"))))
+              .write.partitionBy("event_date").mode("append").parquet(s"$path/data")
+          else ok.write.mode("append").parquet(s"$path/data"),
         bad => bad.write.mode("append").parquet(s"$path/_dead_letter")
       )
   }
@@ -242,5 +257,23 @@ object Sinks {
       Files.createDirectories(Paths.get(s"$path/_dead_letter"))
       !existed
     }
+
+    /** ENFORCE the configured magnetic-store retention on a
+      * date-partitioned table sink — the reference sets a real TTL
+      * (TimestreamInitializer.java:47-50) and Timestream expires past
+      * it; `createTableSql` only RECORDS the numbers. Run on the same
+      * maintenance cadence as compaction
+      * ([[graft.streaming.CorpusIngest.compact]] takes a
+      * [[graft.sources.Layout.RetentionPolicy]] for exactly this).
+      * Returns the dropped partition dates. */
+    def enforceRetention(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        cfg: AppConfig,
+        today: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] =
+      graft.sources.Layout.applyRetention(
+        spark,
+        graft.sources.Layout.RetentionPolicy(
+          s"$path/data", cfg.magneticStoreRetentionDays, today))
   }
 }

@@ -181,6 +181,65 @@ object Layout {
     if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
+  /** Retention policy for a date-partitioned table: keep `keepDays` days
+    * of partitions as of `today` — the magnetic-store TTL the reference
+    * actually enforces (TimestreamInitializer.java:47-50 sets
+    * MagneticStoreRetentionPeriodInDays; Timestream then EXPIRES data
+    * past it). `today` is injectable so sweeps are testable and
+    * re-runnable for a fixed day. */
+  final case class RetentionPolicy(
+      dataPath: String,
+      keepDays: Long,
+      today: java.time.LocalDate = java.time.LocalDate.now())
+
+  /** Drop date partitions strictly older than `olderThan` — the expiry
+    * sweep that turns `writeDatePartitioned`'s layout into a real TTL
+    * (partition pruning's storage twin: retention is one directory
+    * delete per expired day, NEVER a rewrite of in-retention data, so
+    * surviving files are byte-identical afterwards).
+    *
+    * Semantics: only directories named `partitionCol=<ISO date>` are
+    * candidates; a value that does not parse as a date is KEPT (never
+    * delete what can't be dated). Missing root is a no-op (bootstrap
+    * stance of [[graft.sink.Sinks.DdlInitializer]]). Idempotent: a
+    * re-run with the same cutoff finds nothing to drop. Returns the
+    * dropped partition values, sorted.
+    *
+    * Scale: the whole sweep is a driver-side directory listing — one
+    * NameNode/S3 LIST of day-level entries (bounded by retention span,
+    * not data size) and one recursive delete per expired day. */
+  def expirePartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      olderThan: java.time.LocalDate): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = s"$partitionCol="
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        val v = s.getPath.getName.stripPrefix(prefix)
+        scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
+          case Some(d) if d.isBefore(olderThan) =>
+            require(fs.delete(s.getPath, true),
+              s"expirePartitions: failed to delete ${s.getPath}")
+            Some(v)
+          case _ => None
+        }
+      }
+    dropped.sorted
+  }
+
+  /** Apply a [[RetentionPolicy]]: expire `event_date` partitions older
+    * than `today - keepDays`. The cutoff keeps exactly the last
+    * `keepDays` days INCLUDING today, matching Timestream's
+    * day-granular magnetic retention. */
+  def applyRetention(spark: SparkSession, policy: RetentionPolicy): Seq[String] =
+    expirePartitions(spark, policy.dataPath, "event_date",
+      policy.today.minusDays(policy.keepDays - 1))
+
   /** Z-ordered write: min-max scale two numeric dimensions to 16-bit
     * buckets, sort by the interleaved Morton value, write range-split
     * files. Unlike a single-axis sort (which leaves the second column's

@@ -76,7 +76,16 @@ object CorpusIngest {
       table: String,
       buckets: Int = 32,
       bloomExpectedItems: Long = 4L * 1024 * 1024,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      /** Driver-side screening budget per micro-batch: the ingest design
+        * collects each batch's (fp[, cluster]) keys and band signatures
+        * to the driver for Bloom screening — bounded by source ADMISSION
+        * (`maxFilesPerTrigger`/`maxBytesPerTrigger`), not by corpus
+        * size. This caps that collect so a misconfigured trigger fails
+        * loudly instead of OOMing the driver. 1M keys ≈ 100 MB of
+        * 32-hex strings — far above any sane micro-batch, far below
+        * driver heap. */
+      maxBatchKeys: Int = 1 << 20)
 
   /** Frozen trained centroids + cosine threshold for SEMANTIC dedup at
     * ingest time — the SemDeDup composition: an incoming document whose
@@ -160,6 +169,24 @@ object CorpusIngest {
 
   /** The signature side table backing [[MinHashGate]]. */
   private[graft] def sigsTable(corpus: BucketedCorpus): String = s"${corpus.table}_sigs"
+
+  /** Collect a driver-bound frame, failing LOUDLY past `maxRows` — the
+    * guard that keeps the design's driver-side screening honest: batch
+    * keys/signatures are collected per micro-batch (sized by source
+    * admission control, never by the corpus), and a misconfigured
+    * trigger must fail with the knob named, not OOM the driver. The
+    * `limit(maxRows + 1)` bounds the TRANSFER itself, so even the
+    * failing path materializes at most one row past the budget. */
+  private[streaming] def collectBounded(
+      df: DataFrame, maxRows: Int, what: String): IndexedSeq[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect().toIndexedSeq
+    require(rows.length <= maxRows,
+      s"CorpusIngest: $what exceeded maxBatchKeys=$maxRows for one micro-batch. " +
+        "The driver-side Bloom screen is sized for admission-controlled batches: " +
+        "tighten the source trigger (maxFilesPerTrigger / maxBytesPerTrigger) or " +
+        "raise BucketedCorpus.maxBatchKeys.")
+    rows
+  }
 
   /** A signature frame's columns renamed under `prefix`, plus the
     * component-match count between the UNPREFIXED mh columns (of
@@ -381,7 +408,8 @@ object CorpusIngest {
       }).persist()
       try {
         val keyCols = col("fp") +: semantic.map(_ => col("cluster")).toSeq
-        val keys = local.select(keyCols: _*).collect().toIndexedSeq
+        val keys = collectBounded(local.select(keyCols: _*),
+          corpus.maxBatchKeys, "batch (fp[, cluster]) keys")
         val fps = keys.map(_.getString(0))
         val exists = spark.catalog.tableExists(corpus.table)
         // exact pass: Bloom screens the batch fps on the driver; only
@@ -450,7 +478,11 @@ object CorpusIngest {
           val (finalFresh, survivorSigs) = (minhash, withSig, sigBloom) match {
             case (Some(g), Some(ws), Some(sb)) =>
               import spark.implicits._
-              val sigPairs = ws.select(col("doc_id"), col("sig")).collect().toIndexedSeq
+              // 4 band rows per doc, hence 4× the key budget (long math:
+              // a near-MaxValue configured budget must saturate, not wrap)
+              val sigBudget = math.min(4L * corpus.maxBatchKeys, Int.MaxValue - 1L).toInt
+              val sigPairs = collectBounded(ws.select(col("doc_id"), col("sig")),
+                sigBudget, "batch band signatures")
               // within-batch: band collision against a SMALLER doc_id
               // with >= minMatches agreeing components — drop iff such
               // a neighbor EXISTS, dropped or not (chains collapse
@@ -536,15 +568,24 @@ object CorpusIngest {
     * running stream's scan otherwise) on whatever cadence keeps the
     * per-bucket file count acceptable. `semantic` must match how the
     * stream was started — a cluster-partitioned corpus keeps its
-    * partitioning through the rewrite. */
+    * partitioning through the rewrite. Passing a `retention` policy
+    * additionally expires date partitions of the companion
+    * time-series sink past the magnetic TTL on the same cadence. */
   def compact(spark: SparkSession, corpus: BucketedCorpus,
-              semantic: Boolean = false): Unit = {
+              semantic: Boolean = false,
+              retention: Option[graft.sources.Layout.RetentionPolicy] = None): Unit = {
     graft.sources.Layout.rewriteBucketed(
       spark, corpus.table, "fp", corpus.buckets,
       if (semantic) Seq("cluster") else Nil)
     if (spark.catalog.tableExists(sigsTable(corpus)))
       graft.sources.Layout.rewriteBucketed(
         spark, sigsTable(corpus), "sig", corpus.buckets)
+    // retention rides the same maintenance cadence: expire date
+    // partitions of the companion time-series sink past the magnetic
+    // TTL (the reference's MagneticStoreRetentionPeriodInDays,
+    // TimestreamInitializer.java:47-50). One directory delete per
+    // expired day; in-retention files untouched.
+    retention.foreach(p => graft.sources.Layout.applyRetention(spark, p))
   }
 
   /** A corpus exists when its directory already holds parquet data —

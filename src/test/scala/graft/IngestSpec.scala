@@ -477,6 +477,51 @@ class IngestSpec extends SparkSuite {
     assert(appended == allIds -- expectedDrops)
   }
 
+  test("oversized micro-batch fails loudly at the driver-collect guard, naming the knob") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_guard").toString
+    val watch = s"$base/landing"
+    new java.io.File(watch).mkdirs()
+    // budget of 2 keys; a 3-doc shard (all distinct texts) must trip it
+    val corpus = BucketedCorpus(table = "corpus_guard_test", buckets = 4,
+      maxBatchKeys = 2)
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "first document body", "lang": "en"}""",
+      """{"doc_id": 2, "text": "second document body", "lang": "en"}""",
+      """{"doc_id": 3, "text": "third document body", "lang": "en"}"""
+    ), gzip = false)
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      s"$base/quarantine", s"$base/ckpt", availableNow = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gq.awaitTermination()
+    }
+    bq.awaitTermination()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("maxBatchKeys=2") && all.contains("maxFilesPerTrigger"),
+      s"guard must fail loudly naming the admission knob, got:\n$all")
+    // nothing appended: the guard fires BEFORE any corpus write
+    assert(!spark.catalog.tableExists(corpus.table) ||
+      spark.table(corpus.table).count() == 0)
+
+    // the normal path is unchanged: a within-budget batch still ingests
+    val base2 = java.nio.file.Files.createTempDirectory("graft_corpus_guard_ok").toString
+    val watch2 = s"$base2/landing"
+    new java.io.File(watch2).mkdirs()
+    val corpus2 = BucketedCorpus(table = "corpus_guard_ok_test", buckets = 4,
+      maxBatchKeys = 2)
+    writeLines(s"$watch2/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "first document body", "lang": "en"}""",
+      """{"doc_id": 2, "text": "second document body", "lang": "en"}"""
+    ), gzip = false)
+    val (gq2, bq2) = CorpusIngest.startBucketed(spark, watch2, docSchema, corpus2,
+      s"$base2/quarantine", s"$base2/ckpt", availableNow = true)
+    gq2.awaitTermination(); bq2.awaitTermination()
+    assert(spark.table(corpus2.table).count() == 2)
+  }
+
   test("csv: malformed rows dead-letter instead of killing the job or vanishing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     writeLines(s"$dir/part-0.csv", Seq(

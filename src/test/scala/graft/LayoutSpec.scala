@@ -213,4 +213,54 @@ class LayoutSpec extends SparkSuite {
     val n = sources.Layout.compactFiles(spark, in, out)
     assert(n == 1 && spark.read.parquet(out).count() == 0)
   }
+
+  test("retention sweep expires only out-of-TTL partitions; survivors byte-identical; idempotent") {
+    import graft.config.AppConfig
+    import graft.sink.Sinks
+    val base = Files.createTempDirectory("graft_retention").toString
+    val today = java.time.LocalDate.of(2026, 8, 14)
+    def ms(off: Long): Long = today.plusDays(off)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    // four days of points: -9 and -7 are past a 7-day TTL (keep window is
+    // today-6 .. today inclusive), -2 and 0 are in retention
+    import spark.implicits._
+    val pts = Seq(-9L, -7L, -2L, 0L).flatMap(off =>
+      Seq((ms(off), "DOUBLE", "1.5"), (ms(off) + 1000, "BIGINT", "7")))
+      .toDF("time", "measure_value_type", "measure_value")
+    new Sinks.ParquetTableSink(base, datePartitioned = true).write(pts, 0L)
+    val dataDir = new java.io.File(s"$base/data")
+    def partDirs(): Set[String] = dataDir.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName).toSet
+    assert(partDirs().size == 4)
+    // a partition value that does not parse as a date must be KEPT
+    val odd = new java.io.File(dataDir, "event_date=notadate")
+    assert(odd.mkdir())
+    // fingerprint every surviving file before the sweep
+    def fileBytes(d: java.io.File): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(d).map(f => f.getPath -> Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val keepDirs = Seq(-2L, 0L).map(o => s"event_date=${today.plusDays(o)}")
+    val before = keepDirs.map(n => n -> fileBytes(new java.io.File(dataDir, n))).toMap
+    val dropped = Sinks.DdlInitializer.enforceRetention(
+      spark, base, AppConfig(magneticStoreRetentionDays = 7L), today)
+    assert(dropped == Seq(-9L, -7L).map(o => today.plusDays(o).toString),
+      s"expected the two out-of-TTL days dropped, got $dropped")
+    assert(partDirs() == keepDirs.toSet + "event_date=notadate")
+    // expiry is a directory delete, never a rewrite: surviving files are
+    // byte-identical
+    keepDirs.foreach { n =>
+      assert(fileBytes(new java.io.File(dataDir, n)) == before(n),
+        s"in-retention partition $n was modified by the sweep")
+    }
+    // re-run finds nothing — idempotent
+    assert(Sinks.DdlInitializer.enforceRetention(
+      spark, base, AppConfig(magneticStoreRetentionDays = 7L), today).isEmpty)
+    // and the table still reads: 4 in-retention rows across 2 days
+    val left = spark.read.parquet(s"$base/data")
+    assert(left.count() == 4)
+    assert(left.select("event_date").distinct().count() == 2)
+  }
 }
