@@ -85,4 +85,58 @@ object AnomalyDetect {
     ds.groupByKey(_._1)
       .transformWithState(new ZScoreProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  final case class VolumeScore(
+      event_type: String, bucket: Long, cnt: Long,
+      n_window: Long, z: Double, is_anomaly: Boolean)
+
+  /** [[ZScoreProcessor]]'s twin on bucket COUNTS — the streaming form of
+    * the batch `volume_anomaly` query
+    * ([[graft.queries.AnalyticsQueries.volumeAnomaly]]): a series whose
+    * values look normal but whose event VOLUME spikes (retry storm,
+    * replay, upstream fan-out bug) alarms here and nowhere else. Counts
+    * are already exact BIGINTs, so there is no quantization step at all;
+    * ring discipline, warmup (n ≥ 12), flat guard, and the two final
+    * IEEE ops are identical to the mean scorer — StatefulSpec asserts
+    * stream == batch exactly, z doubles included. */
+  class VolumeProcessor
+      extends StatefulProcessor[String, (String, Long, Long), VolumeScore] {
+    @transient private var ring: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getListState[Long](
+        "ring", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[VolumeScore] = {
+      var win: Array[Long] = ring.get().toArray
+      val out = Array.newBuilder[VolumeScore]
+      rows.toArray.sortBy(_._2).foreach { case (_, bucket, cnt) =>
+        val n = win.length.toLong
+        if (n >= 12) {
+          var s = 0L; var ss = 0L
+          win.foreach { v => s += v; ss += v * v }
+          val rad = n * ss - s * s
+          if (rad > 0) {
+            val z = (cnt * n - s).toDouble / math.sqrt(rad.toDouble)
+            out += VolumeScore(key, bucket, cnt, n, z, math.abs(z) > 3.0)
+          }
+        }
+        win = if (win.length >= 24) win.drop(win.length - 23) :+ cnt
+              else win :+ cnt
+      }
+      ring.put(win)
+      out.result().iterator
+    }
+  }
+
+  /** Score a finalized bucket-count stream `(series, bucket, count)` —
+    * the volume alarm. Same arrival-order contract as [[scoreBuckets]]. */
+  def scoreVolumes(ds: Dataset[(String, Long, Long)]): Dataset[VolumeScore] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new VolumeProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

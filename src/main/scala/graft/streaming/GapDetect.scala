@@ -17,10 +17,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   *
   * Alarm semantics: one alarm per silence — the timer is not re-armed
   * on expiry, so a dead series alarms once and stays quiet until
-  * traffic resumes (which re-arms it). `silent_since_bucket` derives
-  * from the timer's own expiry timestamp, so the emitted row is
-  * deterministic regardless of where the watermark exactly stands when
-  * the timer fires.
+  * traffic resumes (which re-arms it). `threshold_crossed_bucket` is
+  * the bucket at which the silence CROSSED the threshold
+  * (`last_bucket + threshold`; the first silent bucket is
+  * `last_bucket + 1`), derived from the timer's own expiry timestamp,
+  * so the emitted row is deterministic regardless of where the
+  * watermark exactly stands when the timer fires.
   *
   * Scale (100 TB): state is ONE Long plus ONE registered timer per
   * series — O(series) — on the RocksDB store `transformWithState`
@@ -31,7 +33,7 @@ object GapDetect {
   /** 10-minute buckets, as everywhere in the time-series family. */
   val BucketMs = 600000L
 
-  final case class Gap(event_type: String, last_bucket: Long, silent_since_bucket: Long)
+  final case class Gap(event_type: String, last_bucket: Long, threshold_crossed_bucket: Long)
 
   /** Timer expiry for a series whose latest bucket is `b`: the end of
     * bucket `b + threshold` in event-time ms. */
@@ -65,10 +67,10 @@ object GapDetect {
         key: String,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Gap] = {
-      // derive the silence boundary from the timer itself — watermark
+      // derive the crossing bucket from the timer itself — watermark
       // position at fire time does not enter the emitted row
-      val silentSince = expiredTimerInfo.getExpiryTimeInMs() / BucketMs - 1
-      Iterator.single(Gap(key, last.get(), silentSince))
+      val crossed = expiredTimerInfo.getExpiryTimeInMs() / BucketMs - 1
+      Iterator.single(Gap(key, last.get(), crossed))
     }
   }
 

@@ -290,8 +290,9 @@ class StatefulSpec extends SparkSuite {
       val gaps = spark.table("gaps")
         .as[(String, Long, Long)].collect()
       q.stop()
-      // exactly one alarm: series b, last seen bucket 0, silent since
-      // bucket 3 (= 0 + threshold); series a re-armed on every arrival
+      // exactly one alarm: series b, last seen bucket 0, threshold
+      // crossed at bucket 3 (= 0 + threshold); series a re-armed on
+      // every arrival
       assert(gaps.toSeq == Seq(("b", 0L, 3L)), s"got ${gaps.toSeq}")
     } finally {
       prev match {
@@ -428,6 +429,46 @@ class StatefulSpec extends SparkSuite {
         s"stream(${streamed.size}) != batch(${batch.size}); " +
           s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
       assert(batch.nonEmpty && batch.exists(_._6), "fixture should produce at least one anomaly")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming volume anomaly agrees with the batch query exactly (RocksDB store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // same fixture discipline as the mean scorer: the batch query's own
+      // (series, bucket, count) frame, two micro-batches split at the
+      // median bucket so the ring provably carries across batches
+      val counts = graft.queries.AnalyticsQueries.bucketMeans(spark, dir)
+        .select(col("event_type"), col("b"), col("cnt"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+      val (first, second) = counts.splitAt(counts.length / 2)
+      val ms = MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.AnomalyDetect.scoreVolumes(ms.toDS())
+        .writeStream.format("memory").queryName("volscores").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-volscore")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "bucket", "cnt", "n_window", "z", "is_anomaly")
+        .as[(String, Long, Long, Long, Double, Boolean)].collect().toSet
+      val streamed = rows(spark.table("volscores"))
+      val batch = rows(graft.queries.AnalyticsQueries.volumeAnomaly(spark, dir))
+      assert(streamed == batch,
+        s"stream(${streamed.size}) != batch(${batch.size}); " +
+          s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty, "fixture should produce scored buckets")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
