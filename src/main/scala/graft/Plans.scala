@@ -21,6 +21,7 @@ object Plans {
     "ann_ivf" -> "bounded-k centroid array broadcast (in-row argmax, no shuffle); nprobe=2; bucket equijoin",
     "minhash_lsh" -> "band-signature equijoin for candidates",
     "simhash_neardup" -> "64-bit signature, 4×16-bit band equijoin + exact Hamming",
+    "phash_neardup" -> "image dHash: 4×16-bit band equijoin + exact Hamming; payload bytes never shuffle",
     "ngram_jaccard" -> "exact Jaccard re-rank over LSH candidates (doc_id equijoins)",
     "edit_distance_neardup" -> "prefix Levenshtein re-rank over LSH candidates",
     "salted_agg" -> "two-stage salted aggregation (salt visible in first exchange)",

@@ -45,6 +45,8 @@ object SparkEntry {
     "winnow_fingerprint" -> (TextQueries.winnowFingerprint _),
     "simhash" -> (TextQueries.simhash _),
     "simhash_neardup" -> (TextQueries.simhashNearDup _),
+    "image_phash" -> (TextQueries.imagePhash _),
+    "phash_neardup" -> (TextQueries.phashNearDup _),
     "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
@@ -367,6 +369,27 @@ object SparkEntry {
   /** DuckDB fragment: normalized text (whitespace-collapse+trim+lower);
     * note DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */
+  /** dHash CTE body: 8×9 block-average luma grid over the payload
+    * characters (mirrors `Multimodal.lumaGrid` — exact BIGINT
+    * arithmetic), then two positive 32-bit gradient halves (mirrors
+    * `Multimodal.phashHalf`). Expects a CTE `u(doc_id, text, L,
+    * bright)` upstream. */
+  private val PhashFromU =
+    """g AS (SELECT doc_id,
+      |    list_transform(range(0, 72), k ->
+      |      list_sum(list_transform(range(k * L // 72 + 1, (k + 1) * L // 72 + 1),
+      |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) + bright))
+      |      // (((k + 1) * L // 72) - (k * L // 72))) AS grid
+      |  FROM u),
+      |p AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN grid[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)] > grid[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
+      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph_lo,
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN grid[CAST((j // 8 + 4) * 9 + (j % 8) + 1 AS INT)] > grid[CAST((j // 8 + 4) * 9 + (j % 8) + 2 AS INT)]
+      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph_hi
+      |  FROM g)""".stripMargin
+
   private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val WordToksSql = s"regexp_extract_all($NormSql, '[a-z0-9]+')"
   private def inList(lang: String): String =
@@ -531,6 +554,35 @@ object SparkEntry {
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6""".stripMargin,
+    "image_phash" ->
+      // per-payload 64-bit dHash as two positive 32-bit halves —
+      // mirrors Multimodal.lumaGrid/phashHalf bit for bit
+      s"""WITH u AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L, 0 AS bright
+         |  FROM documents WHERE length(text) >= 72),
+         |$PhashFromU
+         |SELECT doc_id, ph_lo, ph_hi FROM p""".stripMargin,
+    "phash_neardup" ->
+      // plant one uniformly-brightened re-encode per payload (id
+      // offset 1e6): dHash is invariant to the shift, so the band
+      // equijoin + Hamming<=10 re-check must recover exactly those
+      // pairs while the background (closest natural pair: 18) stays out
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+         |  FROM documents WHERE length(text) >= 72),
+         |u AS (SELECT doc_id, text, L, 0 AS bright FROM d
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text, L, 7 FROM d),
+         |$PhashFromU,
+         |banded AS (SELECT doc_id, ph_lo, ph_hi, b.b AS b,
+         |    CASE WHEN b.b < 2 THEN (ph_lo >> (16 * b.b)) & 65535
+         |         ELSE (ph_hi >> (16 * (b.b - 2))) & 65535 END AS band_val
+         |  FROM p, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.ph_lo AS la, a.ph_hi AS ha, c.ph_lo AS lb, c.ph_hi AS hb
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 10""".stripMargin,
     "edit_distance_neardup" ->
       s"""WITH $LshCandBody,
          |d AS (SELECT doc_id, n_chars, substr(text, 1, 24) AS prefix FROM documents)

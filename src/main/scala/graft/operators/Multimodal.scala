@@ -187,6 +187,131 @@ object Multimodal {
     }
   }
 
+  /** REAL perceptual dHash over decoded pixels — the classic 8×8
+    * gradient hash: decode (JDK ImageIO), block-average downsample to a
+    * 9×8 luma grid in pure integer arithmetic (no Graphics scaler — its
+    * interpolation is platform-dependent; integer block means are
+    * deterministic everywhere), then one bit per cell: is this cell
+    * brighter than its right neighbour? Uniform brightness shifts
+    * preserve every comparison, so the hash is invariant to them by
+    * construction; resizes approximately preserve block means, so
+    * resized copies land within a few bits — the property that makes
+    * Hamming-banded dHash the standard image near-dup key. `None` for
+    * undecodable bytes or images smaller than the 9×8 grid. */
+  val imageDHash: Array[Byte] => Option[Long] = { bytes =>
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val luma = Array.ofDim[Long](8, 9)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 9) {
+              val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+              val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                    114L * (rgb & 0xff)) / 1000L
+                  x += 1
+                }
+                y += 1
+              }
+              luma(r)(c) = s / ((y1 - y0).toLong * (x1 - x0))
+              c += 1
+            }
+            r += 1
+          }
+          var hash = 0L
+          var k = 0
+          r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (luma(r)(c) > luma(r)(c + 1)) hash |= (1L << k)
+              k += 1; c += 1
+            }
+            r += 1
+          }
+          Some(hash)
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Per-doc perceptual hash row: the near-dup key for an image corpus. */
+  final case class ImageHash(doc_id: Long, phash: Long, ok: Boolean)
+
+  /** Partition-batched perceptual hashing — [[decodeBatch]]'s contract
+    * (per-partition decoder init, failures as `ok=false`, fixed schema)
+    * applied to [[imageDHash]]. Feed its output to the same 4×16 band
+    * equijoin + exact-Hamming re-check the text near-dups use
+    * (`simhash_neardup` / `phash_neardup` shape) — that composition IS
+    * image near-dup at 100 TB: candidates come from band equality on a
+    * compact key, never pixel-by-pixel comparison. */
+  def phashBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      hash: Array[Byte] => Option[Long] = imageDHash
+  ): org.apache.spark.sql.Dataset[ImageHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        hash(bytes) match {
+          case Some(ph) => ImageHash(id, ph, ok = true)
+          case None => ImageHash(id, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** The 8×9 luma grid of the FIXTURE payload, in pure Catalyst — the
+    * oracle-checkable twin of [[imageDHash]]'s downsample step. The
+    * fixture's "image" is the document's UTF-8 payload and its text is
+    * pure ASCII (verified in the multimodal_meta oracle), so character
+    * code IS byte value: cell k of 72 (row-major 8 rows × 9 cols)
+    * covers the character segment `[k·L div 72, (k+1)·L div 72)` and
+    * its "luma" is the integer mean of the codes — the same
+    * block-average arithmetic, with bytes standing in for pixels the
+    * way [[decodeImageStub]] stands in for a codec. Exact BIGINT
+    * arithmetic end to end (sums of ≤127-valued codes; one integer
+    * division per cell), so both engines agree bit-for-bit. Payloads
+    * shorter than 72 chars have an empty segment somewhere and are the
+    * caller's to filter (the `< 3 tokens ⇒ no signature` contract of
+    * the MinHash family).
+    *
+    * `brightness` adds a constant to every "pixel" — the stand-in for
+    * a uniformly brightened re-encode of the same image. The per-cell
+    * mean shifts by exactly that constant, so every gradient
+    * comparison (hence the dHash) is PRESERVED — the invariance the
+    * `phash_neardup` oracle plants and verifies. */
+  def lumaGrid(textCol: String, brightness: Int = 0): Column = expr(
+    s"""transform(sequence(0, 71), k ->
+       |  aggregate(
+       |    sequence(CAST(k * CAST(length($textCol) AS BIGINT) div 72 AS INT) + 1,
+       |             CAST((k + 1) * CAST(length($textCol) AS BIGINT) div 72 AS INT)),
+       |    CAST(0 AS BIGINT), (acc, i) -> acc + CAST(ascii(substring($textCol, i, 1)) AS BIGINT) + $brightness)
+       |  div (((k + 1) * CAST(length($textCol) AS BIGINT) div 72) - (k * CAST(length($textCol) AS BIGINT) div 72)))""".stripMargin)
+
+  /** One 32-bit half of the 64-bit dHash from a [[lumaGrid]] (rows
+    * `rowOffset..rowOffset+3`): bit j set iff cell (r, c) is brighter
+    * than cell (r, c+1), j = (r − rowOffset)·8 + c. Two positive
+    * 32-bit halves sidestep the signed-BIGINT bit-63 hazard on both
+    * engines, exactly like `simhash_neardup`'s `sh_lo`/`sh_hi`. */
+  def phashHalf(grid: Column, rowOffset: Int): Column =
+    (0 until 32).map { j =>
+      val r = rowOffset + j / 8
+      val c = j % 8
+      when(element_at(grid, r * 9 + c + 1) > element_at(grid, r * 9 + c + 2),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** The oracle-checked multimodal query: documents → payload + metadata +
     * stub decode + stub features. */
   def metaQuery(docs: DataFrame): DataFrame = {

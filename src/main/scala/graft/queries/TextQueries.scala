@@ -605,6 +605,80 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Per-document perceptual hash (dHash) of the multimodal payload —
+    * the IMAGE near-dup key: an 8×9 block-average luma grid over the
+    * payload bytes ([[graft.operators.Multimodal.lumaGrid]]; the
+    * fixture's bytes stand in for pixels, the REAL pixel path is
+    * [[graft.operators.Multimodal.imageDHash]] + `phashBatch` with
+    * identical grid/bit arithmetic), one gradient bit per cell pair,
+    * stored as two positive 32-bit halves (`simhash_neardup`'s
+    * signed-bit discipline). Payloads shorter than the 72-cell grid
+    * have no hash and drop out (the `< 3 tokens ⇒ no signature`
+    * contract).
+    *
+    * Scale (100 TB): one narrow map over the scan — the hash is 8
+    * bytes per image regardless of payload size, computed where the
+    * bytes already live; nothing shuffles. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 72)
+      .withColumn("grid", graft.operators.Multimodal.lumaGrid("text"))
+      .select(col("doc_id"),
+        graft.operators.Multimodal.phashHalf(col("grid"), 0).as("ph_lo"),
+        graft.operators.Multimodal.phashHalf(col("grid"), 4).as("ph_hi"))
+
+  /** Perceptual-hash image near-duplicates — [[simhashNearDup]]'s
+    * band-LSH shape applied to the multimodal column: dHash the
+    * payloads ([[imagePhash]]), band the 64 bits 4×16, equijoin on
+    * (band, value) for candidates, exact Hamming ≤ 10 on the full hash
+    * to confirm (the standard dHash near-dup radius).
+    *
+    * Fixture construction: the text stand-in payloads have no natural
+    * image near-dups (measured: the closest cross-doc pair sits at
+    * Hamming 18), so the query PLANTS one "re-encoded" copy per
+    * payload — the same bytes uniformly brightened
+    * ([[graft.operators.Multimodal.lumaGrid]]'s brightness knob, id
+    * offset 10⁶) — and the pipeline must find exactly those pairs at
+    * Hamming 0 while the background stays out. That verifies, cross-
+    * engine, the two properties that make dHash the image near-dup
+    * key: brightness invariance (gradient comparisons survive uniform
+    * shifts) and band-LSH recall on the survivors. Real images take
+    * the same pipeline via [[graft.operators.Multimodal.imageDHash]] /
+    * `phashBatch` (SimilarityTextSpec proves shift-invariance, resize
+    * stability, and planted-dup recall on real decoded PNGs).
+    *
+    * Scale (100 TB): identical to the text families — candidates come
+    * from an equijoin on a compact (band, 16-bit value) key, never
+    * image×image; payload bytes never shuffle (the hash is computed at
+    * the scan and is all that travels). */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) >= 72)
+    def hashed(idOffset: Long, brightness: Int) = docs
+      .withColumn("grid", graft.operators.Multimodal.lumaGrid("text", brightness))
+      .select((col("doc_id") + lit(idOffset)).as("doc_id"),
+        graft.operators.Multimodal.phashHalf(col("grid"), 0).as("ph_lo"),
+        graft.operators.Multimodal.phashHalf(col("grid"), 4).as("ph_hi"))
+    val ph = hashed(0L, 0).unionByName(hashed(1000000L, 7))
+    val banded = ph.select(
+      col("doc_id"), col("ph_lo"), col("ph_hi"),
+      explode(sequence(lit(0), lit(3))).as("b")
+    ).withColumn(
+      "band_val",
+      expr("CASE WHEN b < 2 THEN (ph_lo >> (16 * b)) & 65535 ELSE (ph_hi >> (16 * (b - 2))) & 65535 END")
+    )
+    val a = banded.select(col("doc_id").as("doc_a"), col("ph_lo").as("la"),
+      col("ph_hi").as("ha"), col("b"), col("band_val"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col("ph_lo").as("lb"),
+      col("ph_hi").as("hb"), col("b").as("b2"), col("band_val").as("band_val2"))
+    a.join(bb, col("b") === col("b2") && col("band_val") === col("band_val2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("la"), col("ha"), col("lb"), col("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 10)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** 64-bit SimHash as two independent 32-bit halves: the low half votes
     * with md5Hash32(tok), the high half with md5Hash32("hi:" ⊕ tok) — two
     * draws from the same md5 family, exactly reproducible in the oracle.

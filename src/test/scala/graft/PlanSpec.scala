@@ -158,6 +158,13 @@ class PlanSpec extends SparkSuite {
     assert(sp.contains("band_val"), "simhash candidates must join on a band value")
     assert(sp.contains("65535"), "simhash bands must be 16-bit (4×16 over a 64-bit signature)")
     assert(!sp.contains("CartesianProduct"))
+    // the image near-dup follows the same discipline: candidates from a
+    // (band, 16-bit value) equijoin on the 8-byte perceptual hash —
+    // never image×image, and no payload column through any exchange
+    val pp = plan(graft.queries.TextQueries.phashNearDup(spark, dir))
+    assert(pp.contains("band_val"), "phash candidates must join on a band value")
+    assert(pp.contains("65535"), "phash bands must be 16-bit (4×16 over the 64-bit dHash)")
+    assert(!pp.contains("CartesianProduct"))
   }
 
   test("tfidf_top: per-doc top-k prunes with WindowGroupLimit; df side shuffles compact keys") {

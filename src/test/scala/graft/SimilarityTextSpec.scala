@@ -344,6 +344,63 @@ class SimilarityTextSpec extends SparkSuite {
     assert(!mixed(3).ok)           // empty still rejected by both
   }
 
+  test("real dHash: brightness-invariant, resize-stable, separates distinct images") {
+    // photo-like smooth gradients rendered in-test (no external codecs);
+    // channel values capped at 235 so the +10 brightness shift never clamps
+    def render(w: Int, h: Int, invert: Boolean, brighten: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach { x =>
+        (0 until h).foreach { y =>
+          val r0 = x * 200 / w; val g0 = y * 200 / h
+          val b0 = (x + y) * 200 / (w + h)
+          val (r, g, b) =
+            if (invert) (200 - r0 + brighten, 200 - g0 + brighten, 200 - b0 + brighten)
+            else (r0 + brighten, g0 + brighten, b0 + brighten)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dh = graft.operators.Multimodal.imageDHash
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = dh(render(90, 80, invert = false, brighten = 0)).get
+    // uniform brightness shift preserves EVERY gradient comparison
+    val bright = dh(render(90, 80, invert = false, brighten = 10)).get
+    assert(hamming(base, bright) == 0,
+      s"dHash must be exactly brightness-invariant, got ${hamming(base, bright)}")
+    // a resized copy block-averages the same relative regions
+    val small = dh(render(45, 40, invert = false, brighten = 0)).get
+    assert(hamming(base, small) <= 10,
+      s"resized copy should stay within the near-dup radius, got ${hamming(base, small)}")
+    // the inverted image flips the gradients — far outside the radius
+    val other = dh(render(90, 80, invert = true, brighten = 0)).get
+    assert(hamming(base, other) > 10,
+      s"distinct image must not match, got ${hamming(base, other)}")
+    // undecodable / tiny inputs reject instead of hashing garbage
+    assert(dh("not an image".getBytes("UTF-8")).isEmpty)
+    assert(dh(render(8, 7, invert = false, brighten = 0)).isEmpty)
+
+    // end-to-end through the batched hasher: the planted re-encode pair
+    // shares a 16-bit band (LSH recall) AND confirms at Hamming <= 10;
+    // the distinct image does neither side of that contract
+    val hashed = graft.operators.Multimodal.phashBatch(
+      Seq((1L, render(90, 80, invert = false, brighten = 0)),
+        (2L, render(90, 80, invert = false, brighten = 10)),
+        (3L, render(90, 80, invert = true, brighten = 0)),
+        (4L, "junk".getBytes("UTF-8"))).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(hashed.map(_.ok).toSeq == Seq(true, true, true, false))
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >> (16 * b)) & 0xffffL)).toSet
+    assert(bands(hashed(0).phash).intersect(bands(hashed(1).phash)).nonEmpty,
+      "re-encoded copy must collide on at least one band (the LSH candidate step)")
+    assert(hamming(hashed(0).phash, hashed(1).phash) <= 10)
+    assert(hamming(hashed(0).phash, hashed(2).phash) > 10)
+  }
+
   test("real WAV decode through decodeAudioBatch via the JDK's sound API") {
     // generate a real 16-bit mono PCM WAV in-test: 400 frames at 8 kHz
     def wavBytes(nFrames: Int, sampleRate: Float, channels: Int): Array[Byte] = {
