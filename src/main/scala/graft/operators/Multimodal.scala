@@ -290,14 +290,18 @@ object Multimodal {
     * a uniformly brightened re-encode of the same image. The per-cell
     * mean shifts by exactly that constant, so every gradient
     * comparison (hence the dHash) is PRESERVED — the invariance the
-    * `phash_neardup` oracle plants and verifies. */
-  def lumaGrid(textCol: String, brightness: Int = 0): Column = expr(
-    s"""transform(sequence(0, 71), k ->
-       |  aggregate(
-       |    sequence(CAST(k * CAST(length($textCol) AS BIGINT) div 72 AS INT) + 1,
-       |             CAST((k + 1) * CAST(length($textCol) AS BIGINT) div 72 AS INT)),
-       |    CAST(0 AS BIGINT), (acc, i) -> acc + CAST(ascii(substring($textCol, i, 1)) AS BIGINT) + $brightness)
-       |  div (((k + 1) * CAST(length($textCol) AS BIGINT) div 72) - (k * CAST(length($textCol) AS BIGINT) div 72)))""".stripMargin)
+    * `phash_neardup` oracle plants and verifies.
+    *
+    * Backed by the native [[graft.expressions.LumaGrid]] kernel (one
+    * code-point sweep in compiled Scala); the equivalent Catalyst HOF
+    * form it replaced paid an interpreted lambda plus a per-character
+    * substring allocation — measured ~4 s/query at sf0.1 against
+    * sub-second for the kernel. */
+  def lumaGrid(textCol: String, brightness: Int = 0): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LumaGrid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+        brightness))
 
   /** One 32-bit half of the 64-bit dHash from a [[lumaGrid]] (rows
     * `rowOffset..rowOffset+3`): bit j set iff cell (r, c) is brighter

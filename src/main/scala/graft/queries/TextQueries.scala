@@ -291,19 +291,72 @@ object TextQueries {
     *
     * Scale (100 TB): each rank is the banded prefix-sum pattern of
     * `token_budget_select` ([[graft.queries.CurationQueries.tokenBudgetSelect]]):
-    * percentile cutpoints split the corpus into ~32 value bands
-    * (broadcast, narrow map — no sort); the only unpartitioned window
-    * runs on the ≤32-row band-counts frame; each document's global rank
-    * is its band-local `row_number` plus the band's exclusive prefix
-    * count. Band index is monotone in the score and equal scores share
-    * a band, so (band, score, doc_id) IS the global order — bit-identical
-    * to a global `row_number`, with every corpus-sized sort band-local.
-    * Widen to ~10k `approx_percentile` bands at real corpus scale. */
+    * percentile cutpoints split the corpus into ~32 value bands (a
+    * literal array, narrow map — no sort); the per-(band, band) counts
+    * fold to ≤32² rows collected once to the driver, whose exclusive
+    * prefix offsets come back as literal map lookups; each document's
+    * global rank is its band-local `row_number` plus its band's
+    * offset. Band index is monotone in the score and equal scores
+    * share a band, so (band, score, doc_id) IS the global order —
+    * bit-identical to a global `row_number`, with every corpus-sized
+    * sort band-local and NO unpartitioned window anywhere. Widen to
+    * ~10k `approx_percentile` bands at real corpus scale. */
   def scoreAgreement(spark: SparkSession, dir: String): DataFrame = {
     val q = qualityScore(spark, dir)
     val l = lmScore(spark, dir).select(col("doc_id"), col("avg_p"))
+    // materialize the narrow (doc_id, quality, avg_p) frame ONCE: the
+    // banded passes below (cutpoints, band counts, final ranks) each
+    // read it, and without the checkpoint every read would re-run the
+    // full quality + bigram-LM scorer chains — measured 4.6× the
+    // pre-banding cost. Same dup_pagerank discipline: checkpoint a
+    // compact per-doc frame, never corpus text.
     val joined = q.join(l, "doc_id")
-    bandedRank(bandedRank(joined, "quality", "ra"), "avg_p", "rb")
+      .select(col("doc_id"), col("quality"), col("avg_p"))
+      .localCheckpoint(true)
+    // BOTH ranks from one banded pass: one percentile aggregate carries
+    // both cutpoint arrays, both band assignments ride one narrow map
+    // over the checkpointed frame, and the ≤ nBands² band counts come
+    // back to the driver ONCE, turning each rank's exclusive prefix
+    // offsets into a literal map lookup — no offset joins, no
+    // unpartitioned window anywhere, four small jobs total (an earlier
+    // in-plan offsets-join formulation paid ~10 job launches, 2.6× the
+    // pre-banding wall time at sf0.1 on pure scheduling overhead)
+    val nBands = 32
+    val probs = (1 until nBands).map(i => i.toDouble / nBands)
+      .mkString("array(", ",", ")")
+    val cutsRow = joined.agg(
+      expr(s"percentile(quality, $probs)").as("qcuts"),
+      expr(s"percentile(avg_p, $probs)").as("pcuts")).head()
+    val ranked =
+      if (cutsRow.isNullAt(0)) // empty corpus: no bands, ranks never read
+        joined.withColumn("ra", lit(0L)).withColumn("rb", lit(0L))
+      else {
+        def bandOf(cuts: Seq[Double], scoreCol: String): Column =
+          size(filter(lit(cuts.toArray), c => c < col(scoreCol)))
+        val banded = joined
+          .withColumn("qband", bandOf(cutsRow.getSeq[Double](0), "quality"))
+          .withColumn("pband", bandOf(cutsRow.getSeq[Double](1), "avg_p"))
+        val counts = banded.groupBy(col("qband"), col("pband"))
+          .agg(count(lit(1)).as("n")).collect()
+        def offsetsOf(byBand: Map[Int, Long]): Map[Int, Long] = {
+          var run = 0L
+          (0 until nBands).map { b =>
+            val o = b -> run; run += byBand.getOrElse(b, 0L); o
+          }.toMap
+        }
+        def offCol(m: Map[Int, Long], band: String): Column =
+          element_at(typedLit(m), col(band))
+        val qoff = offsetsOf(counts.groupMapReduce(_.getInt(0))(_.getLong(2))(_ + _))
+        val poff = offsetsOf(counts.groupMapReduce(_.getInt(1))(_.getLong(2))(_ + _))
+        val wq = Window.partitionBy(col("qband"))
+          .orderBy(col("quality").asc, col("doc_id").asc)
+        val wp = Window.partitionBy(col("pband"))
+          .orderBy(col("avg_p").asc, col("doc_id").asc)
+        banded
+          .withColumn("ra", row_number().over(wq).cast("long") + offCol(qoff, "qband"))
+          .withColumn("rb", row_number().over(wp).cast("long") + offCol(poff, "pband"))
+      }
+    ranked
       .withColumn("d", col("ra") - col("rb"))
       .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
@@ -315,36 +368,6 @@ object TextQueries {
           .as("spearman"))
   }
 
-  /** Distributed global `row_number` over (`scoreCol` asc, doc_id asc)
-    * without a global sort — the banded prefix-sum rewrite proven by
-    * [[graft.queries.CurationQueries.tokenBudgetSelect]]. Bit-identical
-    * to `row_number() OVER (ORDER BY score, doc_id)`: band = #cutpoints
-    * strictly below the score is nondecreasing in score and constant on
-    * ties, so band-local position + exclusive prefix count of earlier
-    * bands reproduces the exact global position. */
-  private def bandedRank(df: DataFrame, scoreCol: String, rankCol: String): DataFrame = {
-    val nBands = 32
-    val oband = s"__oband_$rankCol"
-    val off = s"__off_$rankCol"
-    val probs = (1 until nBands).map(i => i.toDouble / nBands)
-      .mkString("array(", ",", ")")
-    val cuts = df.agg(expr(s"percentile($scoreCol, $probs)").as("__cuts"))
-    val banded = df.crossJoin(broadcast(cuts))
-      .withColumn("__band", size(filter(col("__cuts"), c => c < col(scoreCol))))
-      .drop("__cuts")
-    // the only unpartitioned window: exclusive prefix counts over the
-    // ≤ nBands band-counts frame, never corpus rows
-    val prefixW = Window.orderBy(col("__band"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = banded.groupBy(col("__band")).agg(count(lit(1)).as("__bn"))
-      .withColumn(off, coalesce(sum(col("__bn")).over(prefixW), lit(0L)))
-      .select(col("__band").as(oband), col(off))
-    val runW = Window.partitionBy(col("__band"))
-      .orderBy(col(scoreCol).asc, col("doc_id").asc)
-    banded.join(broadcast(offsets), col("__band") === col(oband))
-      .withColumn(rankCol, row_number().over(runW).cast("long") + col(off))
-      .drop("__band", oband, off)
-  }
 
   /** Collocation strength — PMI's ratio without its logarithm: for each
     * adjacent token pair, `lift = c(ab)·N / (c(a)·c(b))` (how much more
@@ -658,7 +681,11 @@ object TextQueries {
       .select((col("doc_id") + lit(idOffset)).as("doc_id"),
         graft.operators.Multimodal.phashHalf(col("grid"), 0).as("ph_lo"),
         graft.operators.Multimodal.phashHalf(col("grid"), 4).as("ph_hi"))
-    val ph = hashed(0L, 0).unionByName(hashed(1000000L, 7))
+    // materialize the compact (doc_id, 2×32-bit) hash frame once: both
+    // sides of the band self-join read it, and the checkpoint keeps the
+    // decode+grid pass from running twice (the dup_pagerank discipline —
+    // 8-byte hashes checkpoint; payload bytes never do)
+    val ph = hashed(0L, 0).unionByName(hashed(1000000L, 7)).localCheckpoint(true)
     val banded = ph.select(
       col("doc_id"), col("ph_lo"), col("ph_hi"),
       explode(sequence(lit(0), lit(3))).as("b")

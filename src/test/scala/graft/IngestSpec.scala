@@ -477,6 +477,38 @@ class IngestSpec extends SparkSuite {
     assert(appended == allIds -- expectedDrops)
   }
 
+  test("compact runs the retention sweep on the maintenance cadence") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    import graft.sources.Layout
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_retention").toString
+    val watch = s"$base/landing"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_retention_test", buckets = 4)
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "retained corpus content", "lang": "en"}"""
+    ), gzip = false)
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      s"$base/quarantine", s"$base/ckpt", availableNow = true)
+    gq.awaitTermination(); bq.awaitTermination()
+    // a companion date-partitioned time-series sink with one stale day
+    val today = java.time.LocalDate.of(2026, 8, 14)
+    val sinkData = s"$base/sink/data"
+    Seq(today.minusDays(30), today).foreach { d =>
+      new java.io.File(s"$sinkData/event_date=$d").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$sinkData/event_date=$d/part-0.parquet"), "x")
+    }
+    CorpusIngest.compact(spark, corpus,
+      retention = Some(Layout.RetentionPolicy(sinkData, keepDays = 7, today = today)))
+    // the corpus survived compaction AND the stale partition is gone
+    spark.catalog.refreshTable(corpus.table)
+    assert(spark.table(corpus.table).count() == 1)
+    val dirs = new java.io.File(sinkData).listFiles.map(_.getName).toSet
+    assert(dirs == Set(s"event_date=$today"),
+      s"compact must expire the out-of-TTL day, got $dirs")
+  }
+
   test("oversized micro-batch fails loudly at the driver-collect guard, naming the knob") {
     import graft.streaming.CorpusIngest
     import graft.streaming.CorpusIngest.BucketedCorpus

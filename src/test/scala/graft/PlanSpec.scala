@@ -383,10 +383,11 @@ class PlanSpec extends SparkSuite {
   test("score_agreement: both Spearman ranks are banded — no corpus-global sort") {
     // Each rank used to be row_number over a corpus-global Window.orderBy
     // — a single-task total sort of the whole joined frame, twice. The
-    // banded rewrite may use an unpartitioned window ONLY on the ≤32-row
-    // band-counts frames: assert every empty-partition WindowExec sits
-    // above a grouping aggregate, and the per-document rank windows are
-    // band-partitioned.
+    // banded rewrite computes prefix offsets driver-side from the ≤32²
+    // band-counts collect, so NO unpartitioned window should exist at
+    // all (any that appears must at least sit above a grouping
+    // aggregate, never corpus rows), and the per-document rank windows
+    // are band-partitioned.
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     val conf = spark.conf
