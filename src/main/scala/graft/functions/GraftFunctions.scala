@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{FloatVecDot, GunzipText, WinnowFps}
+import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, WinnowFps}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -42,7 +42,22 @@ object GraftFunctions {
       gunzipBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo, winnowBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("luma_grid"), lumaGridInfo, lumaGridBuilder)
   }
+
+  private[functions] val lumaGridBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"luma_grid expects (str, brightness), got ${exprs.length} args")
+    val brightness = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"luma_grid brightness must be an int literal, got $other")
+    }
+    LumaGrid(exprs(0), brightness)
+  }
+
+  private val lumaGridInfo =
+    new ExpressionInfo(classOf[LumaGrid].getName, "luma_grid")
 
   private[functions] val winnowBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 3, s"winnow_fps expects (str, k, w), got ${exprs.length} args")
@@ -82,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("gunzip_text"),
       new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
       GraftFunctions.gunzipBuilder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("luma_grid"),
+      new ExpressionInfo(classOf[LumaGrid].getName, "luma_grid"),
+      GraftFunctions.lumaGridBuilder
     ))
   }
 }

@@ -258,6 +258,29 @@ class SimilarityTextSpec extends SparkSuite {
     assert(got == 32.0)
   }
 
+  test("luma_grid is callable from SQL; kernel matches the interpreted definition") {
+    graft.functions.GraftFunctions.register(spark)
+    val text = ("a" * 40) + ("z" * 40) // 80 chars: cells split the a/z ramp
+    val got = spark.sql(s"SELECT luma_grid('$text', 0) AS g")
+      .collect()(0).getSeq[Long](0)
+    // independent reference: same segmentation arithmetic in plain Scala
+    val cps = text.map(_.toLong)
+    val expect = (0 until 72).map { k =>
+      val s = k * 80 / 72; val e = (k + 1) * 80 / 72
+      cps.slice(s, e).sum / (e - s)
+    }
+    assert(got == expect)
+    // brightness shifts every cell by exactly the constant
+    val shifted = spark.sql(s"SELECT luma_grid('$text', 7) AS g")
+      .collect()(0).getSeq[Long](0)
+    assert(shifted == expect.map(_ + 7))
+    // short input is a loud reject, not a wrong grid
+    val e = intercept[Exception] {
+      spark.sql("SELECT luma_grid('tiny', 0)").collect()
+    }
+    assert(e.getMessage.contains("72") || Option(e.getCause).exists(_.getMessage.contains("72")))
+  }
+
   test("vec_dot: unequal-length vectors yield NULL, matching the zip_with formulation") {
     graft.functions.GraftFunctions.register(spark)
     // a truncated partial dot would be a plausible-looking WRONG number
