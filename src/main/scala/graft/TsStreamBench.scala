@@ -47,17 +47,17 @@ object TsStreamBench {
         (s"series_$s", b.toLong, 100.0 + (i % 97) * 0.5)
       }
 
-    def freshStream(data: Seq[(String, Long, Double)]) = {
+    def freshStream[T](data: Seq[T])(implicit enc: org.apache.spark.sql.Encoder[T]) = {
       val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long, Double)](0, spark, Some(parts))(
-          implicitly[org.apache.spark.sql.Encoder[(String, Long, Double)]])
+        .MemoryStream[T](0, spark, Some(parts))(enc)
       ms.addData(data: _*)
       ms
     }
 
-    def runOnce(data: Seq[(String, Long, Double)],
-                build: org.apache.spark.sql.Dataset[(String, Long, Double)] =>
-                  org.apache.spark.sql.Dataset[_]): Double = {
+    def runOnce[T](data: Seq[T],
+                   build: org.apache.spark.sql.Dataset[T] =>
+                     org.apache.spark.sql.Dataset[_])(
+        implicit enc: org.apache.spark.sql.Encoder[T]): Double = {
       val df = build(freshStream(data).toDS())
       val ckpt = java.nio.file.Files.createTempDirectory("tsb-ckpt").toString
       val t0 = System.nanoTime()
@@ -69,15 +69,28 @@ object TsStreamBench {
     }
 
     val data = rows(n)
+    // bucket COUNTS for the volume scorer — same interleaved shape
+    val volData = (0 until n).map { i =>
+      val b = i / nSeries
+      val s = i % nSeries
+      (s"series_$s", b.toLong, 50L + (i % 97))
+    }
     // warmup: one-time codegen + store init, untimed
-    runOnce(rows(2000), ds => graft.streaming.AnomalyDetect.scoreBuckets(ds))
+    runOnce(rows(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.AnomalyDetect.scoreBuckets(ds))
 
-    val zSec = runOnce(data, ds => graft.streaming.AnomalyDetect.scoreBuckets(ds))
-    val rSec = runOnce(data, ds => graft.streaming.RateMonitor.rateBuckets(ds))
-    val gSec = runOnce(data, ds => graft.streaming.GapDetect.detectGaps(ds, 3))
-    val sSec = runOnce(data, ds => graft.streaming.SeasonalProfile.scoreSeasonal(ds))
+    val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.AnomalyDetect.scoreBuckets(ds))
+    val rSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.RateMonitor.rateBuckets(ds))
+    val gSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.GapDetect.detectGaps(ds, 3))
+    val sSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.SeasonalProfile.scoreSeasonal(ds))
+    val vSec = runOnce(volData, (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
+      graft.streaming.AnomalyDetect.scoreVolumes(ds))
     println(
-      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"state_store":"rocksdb"}""")
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"state_store":"rocksdb"}""")
     spark.stop()
   }
 }
