@@ -75,9 +75,13 @@ object TsStreamBench {
       val s = i % nSeries
       (s"series_$s", b.toLong, 50L + (i % 97))
     }
-    // warmup: one-time codegen + store init, untimed
+    // warmup: one-time codegen + store init, untimed — the volume
+    // scorer warms separately (different input type/encoder/processor,
+    // so its plan would otherwise compile inside the timed run)
     runOnce(rows(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))
+    runOnce(volData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
+      graft.streaming.AnomalyDetect.scoreVolumes(ds))
 
     val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))

@@ -606,25 +606,37 @@ object TextQueries {
     * trade-off. The signature is stored as two 32-bit halves (`sh_lo`,
     * `sh_hi`) so every value stays positive in a signed 64-bit BIGINT on
     * both engines. */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash64Df(spark, dir)
-    val banded = sh.select(
-      col("doc_id"), col("sh_lo"), col("sh_hi"),
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingJoin(simhash64Df(spark, dir), "sh_lo", "sh_hi", maxHamming = 6)
+
+  /** The 4×16 band-LSH + exact-Hamming discipline BOTH 64-bit near-dup
+    * families share ([[simhashNearDup]] over text SimHash,
+    * [[phashNearDup]] over the image dHash): explode 4 bands, 16-bit
+    * band value from the right half (two positive 32-bit halves — the
+    * signed-BIGINT bit-63 hazard never arises), candidate pairs from
+    * the (band, value) equijoin with a doc_a < doc_b canonical order,
+    * distinct (a pair colliding on several bands reports once), exact
+    * Hamming on the full 64 bits to confirm. One definition so the two
+    * families cannot diverge on banding, dedup, or shift handling. */
+  private def bandedHammingJoin(
+      hashes: DataFrame, lo: String, hi: String, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(
+      col("doc_id"), col(lo), col(hi),
       explode(sequence(lit(0), lit(3))).as("b")
     ).withColumn(
       "band_val",
-      expr("CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535 ELSE (sh_hi >> (16 * (b - 2))) & 65535 END")
+      expr(s"CASE WHEN b < 2 THEN ($lo >> (16 * b)) & 65535 ELSE ($hi >> (16 * (b - 2))) & 65535 END")
     )
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh_lo").as("la"),
-      col("sh_hi").as("ha"), col("b"), col("band_val"))
-    val bb = banded.select(col("doc_id").as("doc_b"), col("sh_lo").as("lb"),
-      col("sh_hi").as("hb"), col("b").as("b2"), col("band_val").as("band_val2"))
+    val a = banded.select(col("doc_id").as("doc_a"), col(lo).as("la"),
+      col(hi).as("ha"), col("b"), col("band_val"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col(lo).as("lb"),
+      col(hi).as("hb"), col("b").as("b2"), col("band_val").as("band_val2"))
     a.join(bb, col("b") === col("b2") && col("band_val") === col("band_val2") &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("la"), col("ha"), col("lb"), col("hb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
@@ -686,24 +698,7 @@ object TextQueries {
     // decode+grid pass from running twice (the dup_pagerank discipline —
     // 8-byte hashes checkpoint; payload bytes never do)
     val ph = hashed(0L, 0).unionByName(hashed(1000000L, 7)).localCheckpoint(true)
-    val banded = ph.select(
-      col("doc_id"), col("ph_lo"), col("ph_hi"),
-      explode(sequence(lit(0), lit(3))).as("b")
-    ).withColumn(
-      "band_val",
-      expr("CASE WHEN b < 2 THEN (ph_lo >> (16 * b)) & 65535 ELSE (ph_hi >> (16 * (b - 2))) & 65535 END")
-    )
-    val a = banded.select(col("doc_id").as("doc_a"), col("ph_lo").as("la"),
-      col("ph_hi").as("ha"), col("b"), col("band_val"))
-    val bb = banded.select(col("doc_id").as("doc_b"), col("ph_lo").as("lb"),
-      col("ph_hi").as("hb"), col("b").as("b2"), col("band_val").as("band_val2"))
-    a.join(bb, col("b") === col("b2") && col("band_val") === col("band_val2") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("la"), col("ha"), col("lb"), col("hb"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-      .filter(col("hamming") <= 10)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    bandedHammingJoin(ph, "ph_lo", "ph_hi", maxHamming = 10)
   }
 
   /** 64-bit SimHash as two independent 32-bit halves: the low half votes

@@ -270,7 +270,8 @@ object Sinks {
         spark: org.apache.spark.sql.SparkSession,
         path: String,
         cfg: AppConfig,
-        today: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] =
+        // UTC to match the partition naming — see RetentionPolicy's note
+        today: java.time.LocalDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC)): Seq[String] =
       graft.sources.Layout.applyRetention(
         spark,
         graft.sources.Layout.RetentionPolicy(

@@ -190,7 +190,13 @@ object Layout {
   final case class RetentionPolicy(
       dataPath: String,
       keepDays: Long,
-      today: java.time.LocalDate = java.time.LocalDate.now())
+      // UTC, not the JVM default zone: event_date partitions are named
+      // by the UTC day (every entry point pins
+      // spark.sql.session.timeZone=UTC, so to_date(timestamp_millis(t))
+      // buckets by UTC) — a local-zone "today" on a UTC+13 driver sits
+      // one day AHEAD of the newest possible partition and the cutoff
+      // would expire the oldest still-in-retention day
+      today: java.time.LocalDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC))
 
   /** Drop date partitions strictly older than `olderThan` — the expiry
     * sweep that turns `writeDatePartitioned`'s layout into a real TTL

@@ -37,11 +37,35 @@ object AnomalyDetect {
       event_type: String, bucket: Long, mv: Double,
       n_window: Long, z: Double, is_anomaly: Boolean)
 
-  /** Keyed state: the trailing ≤24 quantized bucket means, oldest first.
-    * Each incoming bucket is scored against the ring BEFORE it is pushed
-    * (the batch frame is `rowsBetween(-24, -1)` — the current row is
-    * excluded from its own window), with the batch query's warmup
-    * (n ≥ 12) and flat-window (radicand > 0) guards. */
+  /** The ONE trailing-24 integral ring discipline both scorers share
+    * (means quantized to milli-units, counts raw): score each incoming
+    * exact integer against the ring BEFORE pushing it (the batch frame
+    * is `rowsBetween(-24, -1)` — the current row is excluded from its
+    * own window), with the batch queries' warmup (n ≥ 12) and
+    * flat-window (radicand > 0) guards, then advance the ring. A change
+    * to the shared discipline lands in both scorers by construction.
+    * `P` carries the scorer's original payload (the un-quantized mean)
+    * through to `emit(bucket, v, payload, n, z)`. */
+  private def scoreRing[P](win0: Array[Long], sorted: Array[(Long, Long, P)])(
+      emit: (Long, Long, P, Long, Double) => Unit): Array[Long] = {
+    var win = win0
+    sorted.foreach { case (bucket, v, payload) =>
+      val n = win.length.toLong
+      if (n >= 12) {
+        var s = 0L; var ss = 0L
+        win.foreach { x => s += x; ss += x * x }
+        val rad = n * ss - s * s
+        if (rad > 0)
+          emit(bucket, v, payload, n, (v * n - s).toDouble / math.sqrt(rad.toDouble))
+      }
+      win = if (win.length >= 24) win.drop(win.length - 23) :+ v
+            else win :+ v
+    }
+    win
+  }
+
+  /** Keyed state: the trailing ≤24 quantized bucket means, oldest first
+    * ([[scoreRing]] holds the shared scoring discipline). */
   class ZScoreProcessor
       extends StatefulProcessor[String, (String, Long, Double), Score] {
     @transient private var ring: ListState[Long] = _
@@ -54,22 +78,11 @@ object AnomalyDetect {
         key: String,
         rows: Iterator[(String, Long, Double)],
         timerValues: TimerValues): Iterator[Score] = {
-      var win: Array[Long] = ring.get().toArray
       val out = Array.newBuilder[Score]
-      rows.toArray.sortBy(_._2).foreach { case (_, bucket, mv) =>
-        val fp = math.floor(mv * 1000.0).toLong
-        val n = win.length.toLong
-        if (n >= 12) {
-          var s = 0L; var ss = 0L
-          win.foreach { v => s += v; ss += v * v }
-          val rad = n * ss - s * s
-          if (rad > 0) {
-            val z = (fp * n - s).toDouble / math.sqrt(rad.toDouble)
-            out += Score(key, bucket, mv, n, z, math.abs(z) > 3.0)
-          }
-        }
-        win = if (win.length >= 24) win.drop(win.length - 23) :+ fp
-              else win :+ fp
+      val sorted = rows.toArray.sortBy(_._2)
+        .map { case (_, b, mv) => (b, math.floor(mv * 1000.0).toLong, mv) }
+      val win = scoreRing(ring.get().toArray, sorted) { (bucket, _, mv, n, z) =>
+        out += Score(key, bucket, mv, n, z, math.abs(z) > 3.0)
       }
       ring.put(win)
       out.result().iterator
@@ -96,9 +109,8 @@ object AnomalyDetect {
     * values look normal but whose event VOLUME spikes (retry storm,
     * replay, upstream fan-out bug) alarms here and nowhere else. Counts
     * are already exact BIGINTs, so there is no quantization step at all;
-    * ring discipline, warmup (n ≥ 12), flat guard, and the two final
-    * IEEE ops are identical to the mean scorer — StatefulSpec asserts
-    * stream == batch exactly, z doubles included. */
+    * everything else IS the shared [[scoreRing]] discipline —
+    * StatefulSpec asserts stream == batch exactly, z doubles included. */
   class VolumeProcessor
       extends StatefulProcessor[String, (String, Long, Long), VolumeScore] {
     @transient private var ring: ListState[Long] = _
@@ -111,21 +123,11 @@ object AnomalyDetect {
         key: String,
         rows: Iterator[(String, Long, Long)],
         timerValues: TimerValues): Iterator[VolumeScore] = {
-      var win: Array[Long] = ring.get().toArray
       val out = Array.newBuilder[VolumeScore]
-      rows.toArray.sortBy(_._2).foreach { case (_, bucket, cnt) =>
-        val n = win.length.toLong
-        if (n >= 12) {
-          var s = 0L; var ss = 0L
-          win.foreach { v => s += v; ss += v * v }
-          val rad = n * ss - s * s
-          if (rad > 0) {
-            val z = (cnt * n - s).toDouble / math.sqrt(rad.toDouble)
-            out += VolumeScore(key, bucket, cnt, n, z, math.abs(z) > 3.0)
-          }
-        }
-        win = if (win.length >= 24) win.drop(win.length - 23) :+ cnt
-              else win :+ cnt
+      val sorted = rows.toArray.sortBy(_._2)
+        .map { case (_, b, cnt) => (b, cnt, ()) }
+      val win = scoreRing(ring.get().toArray, sorted) { (bucket, cnt, _, n, z) =>
+        out += VolumeScore(key, bucket, cnt, n, z, math.abs(z) > 3.0)
       }
       ring.put(win)
       out.result().iterator

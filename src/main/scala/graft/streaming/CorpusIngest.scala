@@ -179,7 +179,11 @@ object CorpusIngest {
     * failing path materializes at most one row past the budget. */
   private[streaming] def collectBounded(
       df: DataFrame, maxRows: Int, what: String): IndexedSeq[org.apache.spark.sql.Row] = {
-    val rows = df.limit(maxRows + 1).collect().toIndexedSeq
+    // saturate, don't wrap: maxRows = Int.MaxValue (the natural way to
+    // disable the guard) must not become limit(-2^31), which Spark
+    // rejects and which would kill the stream on its first batch
+    val probe = math.min(maxRows.toLong + 1L, Int.MaxValue.toLong).toInt
+    val rows = df.limit(probe).collect().toIndexedSeq
     require(rows.length <= maxRows,
       s"CorpusIngest: $what exceeded maxBatchKeys=$maxRows for one micro-batch. " +
         "The driver-side Bloom screen is sized for admission-controlled batches: " +
