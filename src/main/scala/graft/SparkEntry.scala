@@ -31,6 +31,7 @@ object SparkEntry {
     "json_extract" -> (CoreQueries.jsonExtract _),
     "json_typed" -> (CoreQueries.jsonTyped _),
     "dedup_exact" -> (TextQueries.dedupExact _),
+    "substring_dedup" -> (TextQueries.substringDedup _),
     "text_stats" -> (TextQueries.textStats _),
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langIdQuery _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "dedup_stats" -> (CurationQueries.dedupStats _),
     "tfidf_top" -> (CurationQueries.tfidfTop _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
+    "weighted_sample" -> (CurationQueries.weightedSample _),
     "mix_sample" -> (CurationQueries.mixSample _),
     "mix_temperature" -> (CurationQueries.mixTemperature _),
     "pii_redact" -> (CurationQueries.piiRedact _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
+    "series_ewma" -> (AnalyticsQueries.seriesEwma _),
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
     "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
@@ -475,6 +478,43 @@ object SparkEntry {
          |  min(doc_id) OVER (PARTITION BY fp) AS keeper,
          |  doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
          |FROM d""".stripMargin,
+    "substring_dedup" ->
+      // 5-token shingle positions, hashed occurrence counts (> 1 = dup),
+      // gaps-and-islands span merge per doc — BIGINTs throughout, one
+      // final integer division for dup_frac
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM w),
+         |sx AS (SELECT doc_id,
+         |         unnest(range(1, len(ws) - 3)) AS pos,
+         |         unnest(list_transform(range(1, len(ws) - 3), i ->
+         |           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sg
+         |       FROM n WHERE len(ws) >= 5),
+         |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash32Sql("sg")} AS h FROM sx),
+         |cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
+         |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),
+         |ix AS (SELECT doc_id, pos,
+         |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM dx),
+         |jx AS (SELECT doc_id, pos,
+         |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+         |       FROM ix),
+         |kx AS (SELECT doc_id, pos,
+         |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |       FROM jx),
+         |sp AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 4 AS en
+         |       FROM kx GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |         CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+         |       FROM sp GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens,
+         |  COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+         |  COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+         |  CASE WHEN n.n_tokens > 0
+         |       THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM n LEFT JOIN pd ON n.doc_id = pd.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $WordToksSql AS tokens FROM documents)
          |SELECT doc_id, lang, length(text) AS text_len, len(tokens) AS n_tokens,
@@ -1566,6 +1606,42 @@ object SparkEntry {
         |SELECT event_type, b AS change_bucket, ntot AS n_buckets, s AS cusum_xn,
         |  CAST(abs(s) AS DOUBLE) / (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE) * 1000.0) AS cusum_norm
         |FROM p WHERE rn = 1""".stripMargin,
+    "series_ewma" -> {
+      // truncated α=1/4 EWMA: exact-rational weights 3^j·4^(7−j) over
+      // milli-quantized means, termwise BIGINT lag sums (no frame
+      // aggregation), two fixed-order IEEE divisions; forecast_err is
+      // one subtraction of identical doubles
+      val ws = (0 until 8).map(j =>
+        BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+      val lagDefs = (1 until 8)
+        .map(j => s"lag(fp, $j) OVER win AS l$j").mkString(",\n  ")
+      val num = (s"fp * ${ws(0)}" +:
+        (1 until 8).map(j =>
+          s"CASE WHEN l$j IS NOT NULL THEN l$j * ${ws(j)} ELSE 0 END"))
+        .mkString(" + ")
+      val den = (s"${ws(0)}" +:
+        (1 until 8).map(j =>
+          s"CASE WHEN l$j IS NOT NULL THEN ${ws(j)} ELSE 0 END"))
+        .mkString(" + ")
+      s"""WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+         |            CAST(count(*) AS BIGINT) AS cnt,
+         |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+         |          FROM events GROUP BY 1, 2),
+         |mm AS (SELECT event_type, b,
+         |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv
+         |       FROM m),
+         |f AS (SELECT event_type, b, mv,
+         |        CAST(floor(mv * 1000.0) AS BIGINT) AS fp FROM mm),
+         |l AS (SELECT event_type, b, mv, fp,
+         |  $lagDefs
+         |  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY b)),
+         |e AS (SELECT event_type, b, mv,
+         |        CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 1000.0 AS ewma
+         |      FROM l)
+         |SELECT event_type, b AS bucket, mv, ewma,
+         |  mv - lag(ewma) OVER (PARTITION BY event_type ORDER BY b) AS forecast_err
+         |FROM e""".stripMargin
+    },
     "dup_matrix" ->
       // LSH candidates rolled up by unordered source pair — integer
       // counts over the shared cand CTE
@@ -1798,6 +1874,23 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, lang,
          |    ${hash32Sql("lang || ':' || text")} % 100 AS bucket FROM documents)
          |SELECT doc_id, lang, bucket FROM d WHERE bucket < 10""".stripMargin,
+    "weighted_sample" ->
+      // DLT priority sampling: q = floor(w·2³²/(h+1)) in pure BIGINTs;
+      // τ = min priority of the top-(k+1), 0 when the population ≤ k
+      s"""WITH p AS (SELECT doc_id, greatest(n_chars, 1) AS weight,
+         |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} + 1 AS u
+         |  FROM documents),
+         |pr AS (SELECT doc_id, weight,
+         |    (weight * 4294967296) // u AS priority FROM p),
+         |top AS (SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT 101),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |    min(priority) AS minp FROM top),
+         |r AS (SELECT doc_id, weight, priority,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM top)
+         |SELECT doc_id, weight, priority,
+         |  greatest(weight,
+         |    CASE WHEN st.cnt <= 100 THEN 0 ELSE st.minp END) AS est_weight
+         |FROM r, st WHERE rn <= 100""".stripMargin,
     "pii_redact" ->
       // n_phones on the email-redacted text, matching the redaction order
       s"""WITH e AS (SELECT doc_id, text,

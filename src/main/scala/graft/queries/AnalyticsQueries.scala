@@ -1104,6 +1104,49 @@ object AnalyticsQueries {
           .as("cusum_norm"))
   }
 
+  /** Truncated exponentially-weighted moving average + one-step forecast
+    * error per series — the smoothing/forecast primitive Timestream
+    * consumers chart next to the raw series (EWMA is also the basis of
+    * the classic EWMA control chart). α = 1/4 over the last 8 observed
+    * buckets: weights α(1−α)^j, j = 0..7, are exact rationals with
+    * common denominator 4⁸ — w_j = 3^j·4^(7−j) as BIGINTs — and are
+    * renormalized over the lags actually present, so series heads (< 8
+    * buckets of history) use a properly-normalized truncated kernel
+    * instead of leaking weight to nothing.
+    *
+    * Exactness: bucket means quantize ONCE to milli-unit BIGINTs
+    * (`floor(mv·10³)`); the weighted numerator/denominator are pure
+    * BIGINT lag sums written termwise (no frame aggregation — lag order
+    * cannot differ between engines); then exactly two IEEE divisions in
+    * fixed order. `forecast_err = mv − lag(ewma)` subtracts bitwise
+    * identical doubles.
+    *
+    * Scale: one row-lag window over the compact bounded mean frame,
+    * partitioned by series — the [[seriesRate]] shuffle shape. Lags are
+    * by OBSERVED row, not nominal bucket (a sparse series smooths over
+    * its observations; [[gapFill]] is the densify step if nominal-bucket
+    * smoothing is wanted). */
+  def seriesEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val weights = (0 until 8).map(j =>
+      BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+    val lags = weights.indices.map(j =>
+      if (j == 0) col("fp") else lag(col("fp"), j).over(w))
+    val num = weights.zip(lags).map { case (wj, l) =>
+      when(l.isNotNull, l * lit(wj)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = weights.zip(lags).map { case (wj, l) =>
+      when(l.isNotNull, lit(wj)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .withColumn("ewma",
+        num.cast("double") / den.cast("double") / lit(1000.0))
+      .withColumn("forecast_err", col("mv") - lag(col("ewma"), 1).over(w))
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        col("ewma"), col("forecast_err"))
+  }
+
   def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val m = bucketMeans(spark, dir)
       .select(col("event_type"), col("b"),

@@ -258,6 +258,54 @@ object CurationQueries {
       .select(col("doc_id"), col("bm_rk"), col("cos_rk"), col("rrf"), col("rk"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): item i gets priority
+    * qᵢ = wᵢ/uᵢ with uᵢ uniform on (0,1]; the k highest-priority items
+    * form the sample, and τ = the (k+1)-th priority makes
+    * ŵᵢ = max(wᵢ, τ) an unbiased subset-sum estimator. The curation
+    * use: draw a fixed-size training subset where long documents are
+    * proportionally more likely, with weights recoverable for unbiased
+    * corpus statistics.
+    *
+    * Exactness: uᵢ is the md5-derived 32-bit uniform (uᵢ = (h+1)/2³²),
+    * so qᵢ restates as the pure-BIGINT `floor(w·2³²/(h+1))` — integer
+    * arithmetic both engines reproduce bit-for-bit; no pow/ln, no float
+    * anywhere. τ handling: with ≤ k population rows there is no (k+1)-th
+    * priority and τ = 0 (every item kept, ŵ = w).
+    *
+    * Scale (100 TB): priorities are a narrow map over the scan;
+    * `orderBy.limit(k+1)` plans as TakeOrderedAndProject — per-partition
+    * top-(k+1) heaps merged on the driver, NO global sort (PlanSpec
+    * asserts it); the only window runs on the ≤ k+1 row frame. The
+    * k+1-row frame is tiny — localCheckpoint stops the corpus scan
+    * from re-running for the τ aggregate. */
+  /** The distributed top-(k+1) priority frame — split out so PlanSpec can
+    * assert the TakeOrderedAndProject shape (the checkpoint in
+    * [[weightedSample]] hides it behind an RDD scan). */
+  private[graft] def weightedSampleTop(
+      spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("u", md5Hash32(col("doc_id").cast("string")) + lit(1L))
+      .withColumn("priority", expr("(weight * 4294967296) div u"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k + 1)
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = weightedSampleTop(spark, dir, k).localCheckpoint(true)
+    val stats = top.agg(count(lit(1)).as("cnt"), min(col("priority")).as("minp"))
+    // bounded frame: ≤ k+1 rows — the unpartitioned window is safe here
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+      .crossJoin(broadcast(stats)) // 1-row build side: free
+      .withColumn("tau", when(col("cnt") <= k, lit(0L)).otherwise(col("minp")))
+      .select(col("doc_id"), col("weight"), col("priority"),
+        greatest(col("weight"), col("tau")).as("est_weight"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a doc iff its md5
     * bucket (over lang ⊕ text) falls under the per-stratum rate — the
     * portable, seedless sampling every reproducible pipeline needs (same

@@ -36,6 +36,75 @@ object TextQueries {
 
   /** Per-document token statistics: counts, distinct counts, exact mean
     * token length (integer sum ÷ count through double — deterministic). */
+  /** Duplicated-SUBSTRING span profile — the exact-substring complement
+    * to document-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated spans inside
+    * otherwise-unique documents are the dominant leak once whole-doc
+    * dups are gone). Every 5-token shingle occurring more than once in
+    * the corpus (across OR within documents — internal boilerplate
+    * repeats are duplication too) marks its 5 tokens as duplicated;
+    * overlapping/adjacent duplicated shingles merge into maximal spans
+    * per document. Output: per-doc span count, duplicated-token count,
+    * and duplicated fraction — the frame a span-excision pass consumes.
+    *
+    * Exactness: positions and counts are pure BIGINTs; shingles compare
+    * by the md5-derived 32-bit hash in BOTH engines (a cross-shingle
+    * hash collision merges the same pair on both sides); `dup_frac` is
+    * one division of exact integers.
+    *
+    * Scale (100 TB): the shingle TEXT never leaves the map — only
+    * (doc_id, pos, h) rows shuffle, keyed by the compact hash. The
+    * occurrence count is a map-side-combinable groupBy (NOT a window
+    * over the h partition: a boilerplate mega-shingle would funnel its
+    * whole postings list through one task; partial aggregation absorbs
+    * it, and the join back is AQE-skew-splittable). Island merging runs
+    * in per-document windows. This is the distributed restatement of the
+    * suffix-array pass: O(tokens) rows, equijoins on 8-byte keys, no
+    * doc×doc anywhere. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"))
+    // 1-based shingle starts; the hash is computed inside the projection
+    // so only compact keys reach any exchange
+    val sh = docs
+      .where(size(col("ws")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
+          i => md5Hash32(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val dupCounts = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("h"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = sh.join(dupCounts, "h")
+      .withColumn("prev_end",
+        max(col("pos") + (K - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + (K - 1)).as("en"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("en") - col("st") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("tokens", wordTokens(col("text")))

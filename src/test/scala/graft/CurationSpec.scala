@@ -93,6 +93,33 @@ class CurationSpec extends SparkSuite {
     assert(s1.size > 20 && s1.size < 90, s"10% of 500 expected, got ${s1.size}")
   }
 
+  test("weighted_sample: matches driver-side DLT priority sampling exactly") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    val pri = docs.map { case (id, w) =>
+      (id, w, (w * 4294967296L) / (h32(id.toString) + 1L))
+    }
+    val sorted = pri.sortBy { case (id, _, p) => (-p, id) }
+    val k = 100
+    val tau = if (sorted.length <= k) 0L else sorted(k)._3
+    val expect = sorted.take(k)
+      .map { case (id, w, p) => (id, w, p, math.max(w, tau)) }.toSet
+    val got = CurationQueries.weightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.size == math.min(k, docs.length))
+    // DLT invariants: every kept priority clears τ; ŵ ≥ w always
+    got.foreach { case (_, w, p, ew) =>
+      assert(p >= tau); assert(ew >= w)
+    }
+  }
+
   test("embedding quantization: midpoint dequantization error is bounded by scale/2") {
     val q = CurationQueries.embedQuantize(spark, dir)
     val e = graft.sources.Tables.embeddings(spark, dir)

@@ -550,6 +550,59 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(math.abs(shifted.head.getAs[Double]("cusum_norm") - 2.5) < 0.1)
   }
 
+  test("series_ewma: matches a driver-side truncated-kernel recompute; constant series is a fixed point") {
+    val out = AnalyticsQueries.seriesEwma(spark, dir).collect()
+    val weights = (0 until 8).map(j =>
+      BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+    val expect = driverBucketMeans().groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val fps = sorted.map { case (_, _, mv) => math.floor(mv * 1000.0).toLong }
+      val ewmas = sorted.indices.map { i =>
+        val lags = (0 until 8).filter(j => i - j >= 0)
+          .map(j => (weights(j), fps(i - j)))
+        lags.map { case (w, f) => w * f }.sum.toDouble /
+          lags.map(_._1).sum.toDouble / 1000.0
+      }
+      sorted.indices.map { i =>
+        val (t, b, mv) = sorted(i)
+        ((t, b), (mv, ewmas(i),
+          if (i == 0) None else Some(mv - ewmas(i - 1))))
+      }
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (mv, ew, fe) =
+        expect((r.getAs[String]("event_type"), r.getAs[Long]("bucket")))
+      assert(r.getAs[Double]("mv") == mv)
+      assert(r.getAs[Double]("ewma") == ew)
+      fe match {
+        case None => assert(r.isNullAt(r.fieldIndex("forecast_err")))
+        case Some(v) => assert(r.getAs[Double]("forecast_err") == v)
+      }
+    }
+    // constant series: any truncated-kernel renormalization must return
+    // the level itself at EVERY history depth, with zero forecast error
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    val rows = (0 until 50).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        java.time.Instant.ofEpochSecond(i * 600L), 1L, "s", 10.0, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val flat = AnalyticsQueries.seriesEwma(spark, tmp).collect()
+    assert(flat.length == 50)
+    flat.foreach { r =>
+      assert(r.getAs[Double]("ewma") == 10.0)
+      if (!r.isNullAt(r.fieldIndex("forecast_err")))
+        assert(r.getAs[Double]("forecast_err") == 0.0)
+    }
+  }
+
   test("series_decompose: reconstruction identity holds to quantization precision") {
     val out = AnalyticsQueries.seriesDecompose(spark, dir).collect()
     assert(out.nonEmpty)

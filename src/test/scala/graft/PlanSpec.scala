@@ -434,6 +434,56 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("weighted_sample: priority top-k is TakeOrderedAndProject; windows see only the pruned frame") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // the corpus-wide selection must be the per-partition-heap limit,
+      // never a global sort of all priorities
+      val spTop = graft.queries.CurationQueries.weightedSampleTop(spark, dir, 100)
+        .queryExecution.executedPlan
+      assert(spTop.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"priority top-k must plan as TakeOrderedAndProject:\n$spTop")
+      // downstream, the only window runs on the checkpointed ≤101-row frame
+      val sp = graft.queries.CurationQueries.weightedSample(spark, dir)
+        .queryExecution.executedPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        assert(!w.treeString.contains("FileScan"),
+          s"rank window must consume the bounded checkpointed frame, not a corpus scan:\n$w")
+      }
+      assert(!sp.treeString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("substring_dedup: exchanges carry only (doc_id, pos, h) — never shingle text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val sp = graft.queries.TextQueries.substringDedup(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text") && !names.contains("ws") && !names.contains("sg"),
+          s"exchange must not carry document bodies, token arrays, or shingle text: $names")
+        e.output.foreach(a =>
+          assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+            s"exchange must not carry arrays: ${a.name}"))
+      }
+      assert(!sp.toString.contains("CartesianProduct"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("lm_score: exchanges carry compact model keys, never text or token arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val conf = spark.conf
@@ -663,6 +713,7 @@ class PlanSpec extends SparkSuite {
         AnalyticsQueries.seriesAutocorr(spark, dir),
         AnalyticsQueries.seriesCusum(spark, dir),
         AnalyticsQueries.seriesDecompose(spark, dir),
+        AnalyticsQueries.seriesEwma(spark, dir),
         AnalyticsQueries.volumeAnomaly(spark, dir)
       ).foreach { df =>
         val sp = df.queryExecution.executedPlan

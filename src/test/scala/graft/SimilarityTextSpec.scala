@@ -62,6 +62,36 @@ class SimilarityTextSpec extends SparkSuite {
     assert(chunksFor(7) == Seq((0L, 7L)))                        // short single
   }
 
+  test("substring_dedup: planted shared and self-repeated runs yield exact maximal spans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssdedup").toString
+    import spark.implicits._
+    // doc 1 and doc 2 share tokens 3..10 (an 8-token run → starts 3..6
+    // duplicated → ONE span covering tokens 3..10); doc 3 is unique;
+    // doc 4 repeats its own 5-gram (positions 1 and 6 → starts 1 and 6
+    // merge via adjacency into one span 1..10)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val texts = Seq(
+      (1L, s"one two $shared iota kappa", "en", "t", 0L),
+      (2L, s"uno dos $shared lambda mu", "en", "t", 0L),
+      (3L, "completely unrelated words nothing matches here at all", "en", "t", 0L),
+      (4L, "rep one rep two rep rep one rep two rep", "en", "t", 0L)
+    )
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.substringDedup(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Double]("dup_frac")))).toMap
+    // docs 1/2: 12 tokens, shared run at positions 3..10 → 1 span, 8 tokens
+    assert(got(1L) == ((12L, 1L, 8L, 8.0 / 12.0)))
+    assert(got(2L) == ((12L, 1L, 8L, 8.0 / 12.0)))
+    assert(got(3L) == ((8L, 0L, 0L, 0.0)))
+    // doc 4: "rep one rep two rep" at starts 1 and 6 → all 10 tokens
+    // covered by one merged span
+    assert(got(4L) == ((10L, 1L, 10L, 1.0)))
+  }
+
   test("winnowing: shared substring >= k+w-1 chars forces a shared fingerprint") {
     // two docs overlapping in a 20-char run, one doc with no overlap;
     // recompute fingerprint SETS independently in plain Scala to check
