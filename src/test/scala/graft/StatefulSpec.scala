@@ -437,6 +437,73 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming SpaceSaving heavy hitters match a driver-side fold exactly; sketch guarantees hold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val m = 8
+      // item stream: per-series user ids in event_id (arrival) order,
+      // TWO micro-batches split at the median seq so counters and the
+      // n_seen tally provably carry across batches
+      val items = graft.sources.Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("user_id").cast("string"))
+        .as[(String, Long, String)].collect().sortBy(_._2)
+      val (first, second) = items.splitAt(items.length / 2)
+      val ms = MemoryStream[(String, Long, String)]
+      val q = graft.streaming.HeavyHitters.topK(ms.toDS(), m)
+        .writeStream.format("memory").queryName("hitters").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-hitters")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val emitted = spark.table("hitters")
+        .as[(String, String, Long, Long, Long)].collect()
+      // final snapshot per key = the rows stamped with the maximal n_seen
+      val finalSnap = emitted.groupBy(_._1).map { case (k, rows) =>
+        val nMax = rows.map(_._5).max
+        k -> rows.filter(_._5 == nMax)
+          .map(r => r._2 -> ((r._3, r._4))).toMap
+      }
+      val byKey = items.groupBy(_._1)
+      byKey.foreach { case (k, rows) =>
+        val seq = rows.sortBy(_._2).map(_._3)
+        val expect = graft.streaming.HeavyHitters.spaceSavingFold(
+          Map.empty, seq.iterator, m)
+        assert(finalSnap(k) == expect,
+          s"key $k: stream snapshot != driver fold")
+        // SpaceSaving guarantees against TRUE frequencies:
+        val truth = seq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val n = seq.length.toLong
+        finalSnap(k).foreach { case (it, (est, err)) =>
+          val t = truth(it)
+          assert(est - err <= t && t <= est,
+            s"key $k item $it: est=$est err=$err true=$t")
+        }
+        truth.filter(_._2 > n / m).keys.foreach { hot =>
+          assert(finalSnap(k).contains(hot),
+            s"key $k: item $hot with freq > n/m must be tracked")
+        }
+        // per-batch snapshots stamped with running n_seen (cross-batch tally)
+        assert(emitted.filter(_._1 == k).map(_._5).toSet.contains(n),
+          s"key $k: final n_seen $n must be stamped")
+      }
+      // the sketch respects the budget
+      finalSnap.foreach { case (k, snap) =>
+        assert(snap.size <= m, s"key $k: ${snap.size} counters > budget $m")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming volume anomaly agrees with the batch query exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
