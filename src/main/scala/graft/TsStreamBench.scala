@@ -75,13 +75,23 @@ object TsStreamBench {
       val s = i % nSeries
       (s"series_$s", b.toLong, 50L + (i % 97))
     }
-    // warmup: one-time codegen + store init, untimed — the volume
-    // scorer warms separately (different input type/encoder/processor,
-    // so its plan would otherwise compile inside the timed run)
+    // item stream for the SpaceSaving sketch: Zipf-ish item draws (the
+    // workload heavy hitters exist for), seq = arrival index per key
+    val hhData = (0 until n).map { i =>
+      val s = i % nSeries
+      val item = (i * 2654435761L % 1000) % ((i % 7) + 1) // skewed ids
+      (s"series_$s", (i / nSeries).toLong, s"item_$item")
+    }
+    // warmup: one-time codegen + store init, untimed — the volume and
+    // heavy-hitter paths warm separately (different input types /
+    // encoders / processors, so their plans would otherwise compile
+    // inside the timed run)
     runOnce(rows(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))
     runOnce(volData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
       graft.streaming.AnomalyDetect.scoreVolumes(ds))
+    runOnce(hhData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, String)]) =>
+      graft.streaming.HeavyHitters.topK(ds, 8))
 
     val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))
@@ -93,8 +103,12 @@ object TsStreamBench {
       graft.streaming.SeasonalProfile.scoreSeasonal(ds))
     val vSec = runOnce(volData, (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
       graft.streaming.AnomalyDetect.scoreVolumes(ds))
+    val hSec = runOnce(hhData, (ds: org.apache.spark.sql.Dataset[(String, Long, String)]) =>
+      graft.streaming.HeavyHitters.topK(ds, 8))
+    val eSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.EwmaSmooth.smooth(ds))
     println(
-      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"state_store":"rocksdb"}""")
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"hitters_rps":${n / hSec}%.0f,"ewma_rps":${n / eSec}%.0f,"state_store":"rocksdb"}""")
     spark.stop()
   }
 }

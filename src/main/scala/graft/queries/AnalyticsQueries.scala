@@ -1126,10 +1126,16 @@ object AnalyticsQueries {
     * by OBSERVED row, not nominal bucket (a sparse series smooths over
     * its observations; [[gapFill]] is the densify step if nominal-bucket
     * smoothing is wanted). */
+  /** The truncated α=1/4 EWMA kernel: exact-rational weights
+    * α(1−α)^j·4⁸ = 3^j·4^(7−j) for j = 0..7 — shared with the streaming
+    * twin ([[graft.streaming.EwmaSmooth]]) so both engines fold the
+    * identical integers. */
+  private[graft] val EwmaWeights: IndexedSeq[Long] = (0 until 8).map(j =>
+    BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+
   def seriesEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
-    val weights = (0 until 8).map(j =>
-      BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+    val weights = EwmaWeights
     val lags = weights.indices.map(j =>
       if (j == 0) col("fp") else lag(col("fp"), j).over(w))
     val num = weights.zip(lags).map { case (wj, l) =>

@@ -76,6 +76,16 @@ object TextQueries {
           i => md5Hash32(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
+    // two passes over the shingle stream by design: the count branch
+    // folds map-side to (h, cnt) partials (pruned to the h column alone
+    // at the scan), the probe branch shuffles (doc_id, pos, h) once for
+    // the join — same exchange bytes as any count-filter-join, and the
+    // hot-shingle key is absorbed by partial aggregation on one side and
+    // AQE skew-split on the other. (A single-pass restatement would
+    // either window over the h partition — funneling a boilerplate
+    // mega-shingle's whole postings list through one task — or persist
+    // the tokens-sized frame; a production pipeline materializes the
+    // shingle table once and runs both passes from it.)
     val dupCounts = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)

@@ -437,6 +437,44 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming EWMA smoothing agrees with the batch series_ewma exactly (RocksDB store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val means = graft.queries.AnalyticsQueries.bucketMeans(spark, dir)
+        .select(col("event_type"), col("b"), col("mv"))
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      val (first, second) = means.splitAt(means.length / 2)
+      val ms = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.EwmaSmooth.smooth(ms.toDS())
+        .writeStream.format("memory").queryName("ewmas").outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-ewma")).start()
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "bucket", "mv", "ewma", "forecast_err")
+        .as[(String, Long, Double, Double, Option[Double])].collect().toSet
+      val streamed = rows(spark.table("ewmas"))
+      val batch = rows(graft.queries.AnalyticsQueries.seriesEwma(spark, dir))
+      assert(streamed == batch,
+        s"stream(${streamed.size}) != batch(${batch.size}); " +
+          s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty && batch.exists(_._5.isEmpty),
+        "each series' first bucket must carry a null forecast error")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming SpaceSaving heavy hitters match a driver-side fold exactly; sketch guarantees hold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
