@@ -80,9 +80,10 @@ object Plans {
     "score_agreement" -> "both Spearman ranks via banded prefix-sum rank (token_budget_select's pattern) — band-local windows only, no corpus-global sort",
     "volume_anomaly" -> "rolling-24 count window per series over the compact bucket frame — anomaly_zscore's shape on BIGINT counts",
     "minhash_threshold_sweep" -> "LSH-bounded signature self-join; 12-way explode over a scalar frame folds map-side to 12 rows",
-    "substring_dedup" -> "shingle hashes computed map-side (text never shuffles); occurrence count folds to (h, cnt) partials; h equijoin AQE-skew-splittable; islands in per-doc windows",
+    "substring_dedup" -> "ONE tokenize (checkpointed token frame); 60-bit shingle hashes computed map-side, text never shuffles; count folds to (h, cnt) partials; h equijoin AQE-skew-splittable; islands in per-doc windows",
     "weighted_sample" -> "DLT priorities as a narrow map; top-(k+1) via TakeOrderedAndProject (per-partition heaps, no global sort); rank window on the checkpointed ≤101-row frame",
-    "series_ewma" -> "termwise lag window per series over the compact mean frame — no frame aggregation, no corpus window"
+    "series_ewma" -> "termwise lag window per series over the compact mean frame — no frame aggregation, no corpus window",
+    "winsorize" -> "per-series percentile cutpoints fold map-side to a series-count frame, broadcast back; clamp is a narrow map — no window, no sort"
   )
 
   def main(args: Array[String]): Unit = {

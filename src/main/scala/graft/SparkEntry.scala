@@ -130,6 +130,7 @@ object SparkEntry {
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
     "series_ewma" -> (AnalyticsQueries.seriesEwma _),
+    "winsorize" -> (AnalyticsQueries.winsorize _),
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
     "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
@@ -165,6 +166,14 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform(range(1, 9),
        |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
        |       * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)""".stripMargin
+
+  /** DuckDB fragment: first 15 hex chars of md5(s) parsed as a 60-bit
+    * non-negative BIGINT — mirrors TextFunctions.md5Hash60 (the wide
+    * key for corpus-global hashing where 32 bits birthday-saturate). */
+  private def hash60Sql(s: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 16),
+       |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
+       |       * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)""".stripMargin
 
   /** DuckDB CTE chain computing the per-doc 32-bit SimHash; terminal CTE
     * is `sfinal(doc_id, simhash)` — shared by the `simhash` and
@@ -489,7 +498,7 @@ object SparkEntry {
          |         unnest(list_transform(range(1, len(ws) - 3), i ->
          |           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sg
          |       FROM n WHERE len(ws) >= 5),
-         |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash32Sql("sg")} AS h FROM sx),
+         |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash60Sql("sg")} AS h FROM sx),
          |cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
          |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),
          |ix AS (SELECT doc_id, pos,
@@ -1611,8 +1620,7 @@ object SparkEntry {
       // milli-quantized means, termwise BIGINT lag sums (no frame
       // aggregation), two fixed-order IEEE divisions; forecast_err is
       // one subtraction of identical doubles
-      val ws = (0 until 8).map(j =>
-        BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+      val ws = AnalyticsQueries.EwmaWeights
       val lagDefs = (1 until 8)
         .map(j => s"lag(fp, $j) OVER win AS l$j").mkString(",\n  ")
       val num = (s"fp * ${ws(0)}" +:
@@ -1642,6 +1650,19 @@ object SparkEntry {
          |  mv - lag(ewma) OVER (PARTITION BY event_type ORDER BY b) AS forecast_err
          |FROM e""".stripMargin
     },
+    "winsorize" ->
+      // per-series p05/p95 clamp: quantile_cont matches Spark's exact
+      // percentile bit-for-bit (proven on group_percentiles); NULL
+      // values pass through with NULL flags in both engines
+      """WITH c AS (SELECT event_type AS ct,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+        |       ELSE value END AS winsorized,
+        |  value < lo AS clipped_low, value > hi AS clipped_high
+        |FROM events JOIN c ON event_type = ct""".stripMargin,
     "dup_matrix" ->
       // LSH candidates rolled up by unordered source pair — integer
       // counts over the shared cand CTE

@@ -75,11 +75,15 @@ object TsStreamBench {
       val s = i % nSeries
       (s"series_$s", b.toLong, 50L + (i % 97))
     }
-    // item stream for the SpaceSaving sketch: Zipf-ish item draws (the
-    // workload heavy hitters exist for), seq = arrival index per key
+    // item stream for the SpaceSaving sketch: skewed draws — half the
+    // mass on 5 hot ids, the rest spread over ~1000 cold ids, so with
+    // m = 8 the budget fills fast and the EVICTION path (the O(m)
+    // per-row cost the sketch pays on real streams) dominates the run;
+    // seq = arrival index per key
     val hhData = (0 until n).map { i =>
       val s = i % nSeries
-      val item = (i * 2654435761L % 1000) % ((i % 7) + 1) // skewed ids
+      val r = i * 2654435761L % 1000
+      val item = if (r < 500) r % 5 else r
       (s"series_$s", (i / nSeries).toLong, s"item_$item")
     }
     // warmup: one-time codegen + store init, untimed — the volume and
@@ -92,6 +96,8 @@ object TsStreamBench {
       graft.streaming.AnomalyDetect.scoreVolumes(ds))
     runOnce(hhData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, String)]) =>
       graft.streaming.HeavyHitters.topK(ds, 8))
+    runOnce(rows(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.EwmaSmooth.smooth(ds))
 
     val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, WinnowFps}
+import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, Md5Hash32, Md5Hash60, WinnowFps}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -44,7 +44,27 @@ object GraftFunctions {
       FunctionIdentifier("winnow_fps"), winnowInfo, winnowBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("luma_grid"), lumaGridInfo, lumaGridBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("md5_hash32"), md5Hash32Info, md5Hash32Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("md5_hash60"), md5Hash60Info, md5Hash60Builder)
   }
+
+  private[functions] val md5Hash32Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"md5_hash32 expects 1 argument, got ${exprs.length}")
+    Md5Hash32(exprs.head)
+  }
+
+  private val md5Hash32Info =
+    new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32")
+
+  private[functions] val md5Hash60Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"md5_hash60 expects 1 argument, got ${exprs.length}")
+    Md5Hash60(exprs.head)
+  }
+
+  private val md5Hash60Info =
+    new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60")
 
   private[functions] val lumaGridBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"luma_grid expects (str, brightness), got ${exprs.length} args")
@@ -102,6 +122,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("luma_grid"),
       new ExpressionInfo(classOf[LumaGrid].getName, "luma_grid"),
       GraftFunctions.lumaGridBuilder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash32"),
+      new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
+      GraftFunctions.md5Hash32Builder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
+      GraftFunctions.md5Hash60Builder
     ))
   }
 }

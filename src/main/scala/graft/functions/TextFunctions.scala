@@ -80,6 +80,15 @@ object TextFunctions {
       graft.expressions.Md5Hash32(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** First 60 bits of md5 as a non-negative long — the wide variant for
+    * corpus-global keys where 32-bit birthday collisions would saturate
+    * (see [[graft.expressions.Md5Hash60]]). Value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)`. */
+  def md5Hash60(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Md5Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** PII patterns, written in the regex subset Java and RE2 share (no
     * backrefs, no lookaround) so the DuckDB oracle runs the identical
     * automaton. */

@@ -1104,6 +1104,13 @@ object AnalyticsQueries {
           .as("cusum_norm"))
   }
 
+  /** The truncated α=1/4 EWMA kernel: exact-rational weights
+    * α(1−α)^j·4⁸ = 3^j·4^(7−j) for j = 0..7 — shared with the streaming
+    * twin ([[graft.streaming.EwmaSmooth]]) and the DuckDB oracle
+    * generator so every consumer folds the identical integers. */
+  private[graft] val EwmaWeights: IndexedSeq[Long] = (0 until 8).map(j =>
+    BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
+
   /** Truncated exponentially-weighted moving average + one-step forecast
     * error per series — the smoothing/forecast primitive Timestream
     * consumers chart next to the raw series (EWMA is also the basis of
@@ -1126,13 +1133,6 @@ object AnalyticsQueries {
     * by OBSERVED row, not nominal bucket (a sparse series smooths over
     * its observations; [[gapFill]] is the densify step if nominal-bucket
     * smoothing is wanted). */
-  /** The truncated α=1/4 EWMA kernel: exact-rational weights
-    * α(1−α)^j·4⁸ = 3^j·4^(7−j) for j = 0..7 — shared with the streaming
-    * twin ([[graft.streaming.EwmaSmooth]]) so both engines fold the
-    * identical integers. */
-  private[graft] val EwmaWeights: IndexedSeq[Long] = (0 until 8).map(j =>
-    BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong)
-
   def seriesEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
     val weights = EwmaWeights
@@ -1151,6 +1151,40 @@ object AnalyticsQueries {
       .withColumn("forecast_err", col("mv") - lag(col("ewma"), 1).over(w))
       .select(col("event_type"), col("b").as("bucket"), col("mv"),
         col("ewma"), col("forecast_err"))
+  }
+
+  /** Per-series winsorization — clamp each event's value into its own
+    * series' [p05, p95] band, flagging what was clipped on either side.
+    * The robust-cleaning pass a metrics/training pipeline runs before
+    * any mean-based aggregate (a single stuck sensor or retry storm
+    * otherwise drags every downstream average); the flags feed the
+    * data-quality report, the clamped column feeds the aggregates.
+    *
+    * Exactness: the cutpoints come from Spark's exact `percentile`
+    * (rank = p·(n−1) linear interpolation — proven bit-identical to
+    * DuckDB's `quantile_cont` on `group_percentiles`); the clamp and
+    * flags are comparisons/copies of identical doubles, and NULL values
+    * pass through as NULL with NULL flags in both engines.
+    *
+    * Scale (100 TB): one map-combinable per-series percentile aggregate
+    * (series-count-sized frame) broadcast back onto the scan; the clamp
+    * is a narrow map — no window, no sort, no corpus shuffle. Swap
+    * `percentile` for `approx_percentile` when the per-partition
+    * value→count map outgrows memory; the join shape is unchanged. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.05, 0.95))").as("cuts"))
+      .select(col("event_type").as("ct"),
+        col("cuts")(0).as("lo"), col("cuts")(1).as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(cuts), col("event_type") === col("ct"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).as("winsorized"),
+        (col("value") < col("lo")).as("clipped_low"),
+        (col("value") > col("hi")).as("clipped_high"))
   }
 
   def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {

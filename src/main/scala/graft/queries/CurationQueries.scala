@@ -258,6 +258,18 @@ object CurationQueries {
       .select(col("doc_id"), col("bm_rk"), col("cos_rk"), col("rrf"), col("rk"))
   }
 
+  /** The distributed top-(k+1) priority frame — split out so PlanSpec can
+    * assert the TakeOrderedAndProject shape (the checkpoint in
+    * [[weightedSample]] hides it behind an RDD scan). */
+  private[graft] def weightedSampleTop(
+      spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("u", md5Hash32(col("doc_id").cast("string")) + lit(1L))
+      .withColumn("priority", expr("(weight * 4294967296) div u"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k + 1)
+
   /** Deterministic weighted sampling WITHOUT replacement — priority
     * sampling (Duffield–Lund–Thorup, JACM 2007): item i gets priority
     * qᵢ = wᵢ/uᵢ with uᵢ uniform on (0,1]; the k highest-priority items
@@ -279,18 +291,6 @@ object CurationQueries {
     * asserts it); the only window runs on the ≤ k+1 row frame. The
     * k+1-row frame is tiny — localCheckpoint stops the corpus scan
     * from re-running for the τ aggregate. */
-  /** The distributed top-(k+1) priority frame — split out so PlanSpec can
-    * assert the TakeOrderedAndProject shape (the checkpoint in
-    * [[weightedSample]] hides it behind an RDD scan). */
-  private[graft] def weightedSampleTop(
-      spark: SparkSession, dir: String, k: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("weight"))
-      .withColumn("u", md5Hash32(col("doc_id").cast("string")) + lit(1L))
-      .withColumn("priority", expr("(weight * 4294967296) div u"))
-      .orderBy(col("priority").desc, col("doc_id").asc)
-      .limit(k + 1)
-
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
     val top = weightedSampleTop(spark, dir, k).localCheckpoint(true)

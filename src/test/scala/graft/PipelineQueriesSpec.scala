@@ -603,6 +603,44 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("winsorize: clamp band matches driver-side p05/p95 interpolation; ~10% clipped per series") {
+    val out = AnalyticsQueries.winsorize(spark, dir).collect()
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(xs: Array[Double], p: Double): Double = {
+      // rank = p·(n−1) linear interpolation — Spark percentile's rule
+      val rank = p * (xs.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= xs.length) xs(lo)
+      else xs(lo) + (rank - lo) * (xs(lo + 1) - xs(lo))
+    }
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val xs = vals(t)
+      val (lo, hi) = (q(xs, 0.05), q(xs, 0.95))
+      var nLo = 0; var nHi = 0
+      rows.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("value"))) {
+          val v = r.getAs[Double]("value")
+          val w = r.getAs[Double]("winsorized")
+          assert(w == math.min(math.max(v, lo), hi), s"$t: $v -> $w not clamped to [$lo,$hi]")
+          assert(r.getAs[Boolean]("clipped_low") == (v < lo))
+          assert(r.getAs[Boolean]("clipped_high") == (v > hi))
+          if (v < lo) nLo += 1
+          if (v > hi) nHi += 1
+        } else {
+          assert(r.isNullAt(r.fieldIndex("winsorized")))
+        }
+      }
+      // ≈5% clipped each side (ties/interpolation move the exact count)
+      assert(nLo > 0 && nLo <= math.ceil(xs.length * 0.06).toInt, s"$t: $nLo clipped low of ${xs.length}")
+      assert(nHi > 0 && nHi <= math.ceil(xs.length * 0.06).toInt, s"$t: $nHi clipped high of ${xs.length}")
+    }
+  }
+
   test("series_decompose: reconstruction identity holds to quantization precision") {
     val out = AnalyticsQueries.seriesDecompose(spark, dir).collect()
     assert(out.nonEmpty)

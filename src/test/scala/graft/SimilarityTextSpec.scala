@@ -143,6 +143,18 @@ class SimilarityTextSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("Md5Hash60 equals the conv(substring(md5, 1, 15)) formulation and stays non-negative") {
+    val df = Seq("", "a", "the quick brown fox", "é中😀", "x" * 500).toDF("s")
+    val rows = df.select(
+      graft.functions.TextFunctions.md5Hash60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0L)
+    }
+  }
+
   test("property: WinnowFps rolling hash equals the non-rolling definition, incl. non-ASCII") {
     import org.scalacheck.Gen
     // naive restatement: hash every k-gram from scratch, window minima,
