@@ -83,7 +83,8 @@ object Plans {
     "substring_dedup" -> "ONE tokenize (checkpointed token frame); 60-bit shingle hashes computed map-side, text never shuffles; count folds to (h, cnt) partials; h equijoin AQE-skew-splittable; islands in per-doc windows",
     "weighted_sample" -> "DLT priorities as a narrow map; top-(k+1) via TakeOrderedAndProject (per-partition heaps, no global sort); rank window on the checkpointed ≤101-row frame",
     "series_ewma" -> "termwise lag window per series over the compact mean frame — no frame aggregation, no corpus window",
-    "winsorize" -> "per-series percentile cutpoints fold map-side to a series-count frame, broadcast back; clamp is a narrow map — no window, no sort"
+    "winsorize" -> "per-series percentile cutpoints fold map-side to a series-count frame, broadcast back; clamp is a narrow map — no window, no sort",
+    "robust_zscore" -> "median/MAD picks fold to two series-count frames, broadcast back; score is a narrow map — no window, no sort"
   )
 
   def main(args: Array[String]): Unit = {

@@ -131,6 +131,7 @@ object SparkEntry {
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
     "series_ewma" -> (AnalyticsQueries.seriesEwma _),
     "winsorize" -> (AnalyticsQueries.winsorize _),
+    "robust_zscore" -> (AnalyticsQueries.robustZscore _),
     "dup_matrix" -> (SimilarityQueries.dupMatrix _),
     "source_similarity" -> (SimilarityQueries.sourceSimilarity _),
     "series_decompose" -> (AnalyticsQueries.seriesDecompose _),
@@ -1650,6 +1651,40 @@ object SparkEntry {
          |  mv - lag(ewma) OVER (PARTITION BY event_type ORDER BY b) AS forecast_err
          |FROM e""".stripMargin
     },
+    "robust_zscore" ->
+      // Iglewicz–Hoaglin modified z: sorted-array double-middle picks on
+      // milli-quantized BIGINTs (med ×2 units, MAD ×4 units — no
+      // half-integers anywhere), one fixed-order IEEE expression
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, b,
+        |        CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
+        |        CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |      FROM m),
+        |md AS (SELECT event_type AS mt, list_sort(list(fp)) AS arr,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM f GROUP BY 1),
+        |md2 AS (SELECT mt, n,
+        |          arr[CAST((n + 1) // 2 AS INT)] + arr[CAST((n + 2) // 2 AS INT)] AS med_x2
+        |        FROM md),
+        |dv AS (SELECT f.event_type, f.b, f.mv, f.fp, md2.n, md2.med_x2,
+        |         abs(2 * fp - med_x2) AS dev_x2
+        |       FROM f JOIN md2 ON f.event_type = md2.mt),
+        |ma AS (SELECT event_type AS dt, list_sort(list(dev_x2)) AS darr,
+        |         CAST(count(*) AS BIGINT) AS dn
+        |       FROM dv GROUP BY 1),
+        |ma2 AS (SELECT dt,
+        |          darr[CAST((dn + 1) // 2 AS INT)] + darr[CAST((dn + 2) // 2 AS INT)] AS mad_x4
+        |        FROM ma),
+        |z AS (SELECT event_type, b, mv, med_x2, mad_x4,
+        |        0.6745 * CAST(2 * fp - med_x2 AS DOUBLE) * 2.0 / CAST(mad_x4 AS DOUBLE) AS robust_z
+        |      FROM dv JOIN ma2 ON dv.event_type = ma2.dt
+        |      WHERE mad_x4 > 0 AND n >= 12)
+        |SELECT event_type, b AS bucket, mv, med_x2, mad_x4, robust_z,
+        |  abs(robust_z) > 3.5 AS is_anomaly
+        |FROM z""".stripMargin,
     "winsorize" ->
       // per-series p05/p95 clamp: quantile_cont matches Spark's exact
       // percentile bit-for-bit (proven on group_percentiles); NULL

@@ -1153,6 +1153,56 @@ object AnalyticsQueries {
         col("ewma"), col("forecast_err"))
   }
 
+  /** Robust (median/MAD) outlier scoring per series — the
+    * Iglewicz–Hoaglin modified z-score `0.6745·(x − med)/MAD` with the
+    * standard |z| > 3.5 cutoff, over the bucket-mean frame. The robust
+    * complement to [[anomalyZscore]]'s mean/σ: one wild bucket inflates
+    * a trailing σ and can mask ITSELF (masking); the median and MAD
+    * barely move, so the same bucket stands out. The pair
+    * (anomaly_zscore, robust_zscore) is the classic
+    * detection-cross-check before alerting on either.
+    *
+    * Exactness: medians are sorted-array middle picks on milli-quantized
+    * BIGINTs — never an engine percentile (interpolation order differs,
+    * see [[rollingMedian]]) — kept in ×2 units (sum of the two middles)
+    * so no half-integer ever exists: `med_x2 = arr[(n+1)/2]+arr[(n+2)/2]`,
+    * per-bucket deviation `|2·fp − med_x2|` (exact), `mad_x4` the same
+    * double-middle pick over the deviations (×4 units). The final score
+    * performs IEEE ops in one fixed order:
+    * `z = 0.6745 · (2·(2·fp − med_x2)) / mad_x4` — both engines divide
+    * identical integers. Flat series (mad_x4 = 0) emit no score rows.
+    *
+    * Scale (100 TB): the per-series collect+sort touches the COMPACT
+    * bounded mean frame (buckets per series, not events), same as
+    * [[seriesCusum]]'s totals; the two series-level picks broadcast
+    * back. Raw events fold map-side to (series, bucket) partials before
+    * anything else. */
+  def robustZscore(spark: SparkSession, dir: String): DataFrame = {
+    val m = bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)))
+    val med = m.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(col("fp"))).as("arr"),
+        count(lit(1)).as("n"))
+      .select(col("event_type").as("mt"),
+        expr("element_at(arr, cast((n + 1) div 2 as int)) + element_at(arr, cast((n + 2) div 2 as int))").as("med_x2"),
+        col("n"))
+    val dev = m.join(broadcast(med), col("event_type") === col("mt"))
+      .withColumn("dev_x2", abs(col("fp") * 2 - col("med_x2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(col("dev_x2"))).as("darr"),
+        count(lit(1)).as("dn"))
+      .select(col("event_type").as("dt"),
+        expr("element_at(darr, cast((dn + 1) div 2 as int)) + element_at(darr, cast((dn + 2) div 2 as int))").as("mad_x4"))
+    dev.join(broadcast(mad), col("event_type") === col("dt"))
+      .where(col("mad_x4") > 0 && col("n") >= 12)
+      .withColumn("robust_z",
+        lit(0.6745) * (col("fp") * 2 - col("med_x2")).cast("double") * lit(2.0) /
+          col("mad_x4").cast("double"))
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        col("med_x2"), col("mad_x4"), col("robust_z"),
+        (abs(col("robust_z")) > lit(3.5)).as("is_anomaly"))
+  }
+
   /** Per-series winsorization — clamp each event's value into its own
     * series' [p05, p95] band, flagging what was clipped on either side.
     * The robust-cleaning pass a metrics/training pipeline runs before

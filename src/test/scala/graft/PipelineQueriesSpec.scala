@@ -641,6 +641,49 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("robust_zscore: matches driver-side median/MAD picks; flags a spike the trailing sigma would mask") {
+    val out = AnalyticsQueries.robustZscore(spark, dir).collect()
+    val means = driverBucketMeans()
+    val bySeries = means.groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val fps = bySeries(t).map { case (_, _, mv) => math.floor(mv * 1000.0).toLong }.sorted
+      val n = fps.length
+      val medX2 = fps((n + 1) / 2 - 1) + fps((n + 2) / 2 - 1)
+      val devs = bySeries(t).map { case (_, _, mv) =>
+        math.abs(2 * math.floor(mv * 1000.0).toLong - medX2) }.sorted
+      val madX4 = devs((n + 1) / 2 - 1) + devs((n + 2) / 2 - 1)
+      assert(r.getAs[Long]("med_x2") == medX2)
+      assert(r.getAs[Long]("mad_x4") == madX4)
+      val fp = math.floor(r.getAs[Double]("mv") * 1000.0).toLong
+      assert(r.getAs[Double]("robust_z") ==
+        0.6745 * (2 * fp - medX2).toDouble * 2.0 / madX4.toDouble)
+    }
+    // masking test: 99 mildly-varying buckets + one 10× spike — the
+    // robust score must flag the spike (a trailing mean/σ window that
+    // CONTAINS the spike inflates σ and can mask it)
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("robustz").toString
+    val rows = (0 until 100).map { i =>
+      val v = if (i == 50) 100.0 else 10.0 + (i % 5) * 0.1
+      org.apache.spark.sql.Row(i.toLong,
+        java.time.Instant.ofEpochSecond(i * 600L), 1L, "s", v, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val scored = AnalyticsQueries.robustZscore(spark, tmp).collect()
+    assert(scored.length == 100)
+    val spike = scored.find(_.getAs[Long]("bucket") == 50L).get
+    assert(spike.getAs[Boolean]("is_anomaly"), "10x spike must be flagged")
+    assert(scored.count(_.getAs[Boolean]("is_anomaly")) == 1,
+      "only the spike should clear |z| > 3.5")
+  }
+
   test("series_decompose: reconstruction identity holds to quantization precision") {
     val out = AnalyticsQueries.seriesDecompose(spark, dir).collect()
     assert(out.nonEmpty)

@@ -461,6 +461,27 @@ class PlanSpec extends SparkSuite {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("winsorize / robust_zscore: series-level stats broadcast back; no corpus window, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      Seq(
+        AnalyticsQueries.winsorize(spark, dir),
+        AnalyticsQueries.robustZscore(spark, dir)
+      ).foreach { df =>
+        val sp = df.queryExecution.executedPlan
+        assert(sp.toString.contains("BroadcastHashJoin"),
+          s"series-level stats must broadcast onto the scan:\n$sp")
+        assert(sp.collect { case w: WindowExec => w }.isEmpty,
+          s"clamp/score must be a narrow map, not a window:\n$sp")
+        assert(!sp.toString.contains("CartesianProduct"))
+      }
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("substring_dedup: exchanges carry only (doc_id, pos, h) — never shingle text or token arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val conf = spark.conf
