@@ -163,18 +163,18 @@ object SparkEntry {
 
   /** DuckDB fragment: first 8 hex chars of md5(s) parsed as uint32 —
     * mirrors TextFunctions.md5Hash32. */
-  private def hash32Sql(s: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 9),
+  /** DuckDB fragment: first `nHex` hex chars of md5(s) as a BIGINT
+    * nibble-sum — the shared body behind [[hash32Sql]]/[[hash60Sql]]. */
+  private def hashSql(s: String, nHex: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${nHex + 1}),
        |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
-       |       * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)""".stripMargin
+       |       * (CAST(1 AS BIGINT) << CAST(4 * ($nHex - i) AS INT)))) AS BIGINT)""".stripMargin
 
-  /** DuckDB fragment: first 15 hex chars of md5(s) parsed as a 60-bit
-    * non-negative BIGINT — mirrors TextFunctions.md5Hash60 (the wide
-    * key for corpus-global hashing where 32 bits birthday-saturate). */
-  private def hash60Sql(s: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 16),
-       |  i -> (strpos('0123456789abcdef', substr(md5($s), CAST(i AS INT), 1)) - 1)
-       |       * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)""".stripMargin
+  private def hash32Sql(s: String): String = hashSql(s, 8)
+
+  /** First 15 hex chars — the 60-bit wide key for corpus-global hashing
+    * where 32 bits birthday-saturate (mirrors TextFunctions.md5Hash60). */
+  private def hash60Sql(s: String): String = hashSql(s, 15)
 
   /** DuckDB CTE chain computing the per-doc 32-bit SimHash; terminal CTE
     * is `sfinal(doc_id, simhash)` — shared by the `simhash` and
@@ -1662,7 +1662,8 @@ object SparkEntry {
         |f AS (SELECT event_type, b,
         |        CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv,
         |        CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
-        |      FROM m),
+        |      FROM m
+        |      WHERE sdec IS NOT NULL),
         |md AS (SELECT event_type AS mt, list_sort(list(fp)) AS arr,
         |         CAST(count(*) AS BIGINT) AS n
         |       FROM f GROUP BY 1),

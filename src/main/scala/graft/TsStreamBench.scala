@@ -76,7 +76,7 @@ object TsStreamBench {
       (s"series_$s", b.toLong, 50L + (i % 97))
     }
     // item stream for the SpaceSaving sketch: skewed draws — half the
-    // mass on 5 hot ids, the rest spread over ~1000 cold ids, so with
+    // mass on 5 hot ids, the rest spread over 500 cold ids, so with
     // m = 8 the budget fills fast and the EVICTION path (the O(m)
     // per-row cost the sketch pays on real streams) dominates the run;
     // seq = arrival index per key

@@ -1178,19 +1178,25 @@ object AnalyticsQueries {
     * back. Raw events fold map-side to (series, bucket) partials before
     * anything else. */
   def robustZscore(spark: SparkSession, dir: String): DataFrame = {
+    // all-NULL buckets (mv = NULL → fp = NULL) are unscoreable and are
+    // excluded EXPLICITLY on both engines — relying on collect_list's
+    // silent NULL drop would desync n from the array and shift (or,
+    // under ANSI, overrun) the middle picks; n = size(arr) is the
+    // rollingMedian discipline
     val m = bucketMeans(spark, dir)
       .withColumn("fp", floor(col("mv") * lit(1000.0)))
+      .where(col("fp").isNotNull)
     val med = m.groupBy(col("event_type"))
-      .agg(array_sort(collect_list(col("fp"))).as("arr"),
-        count(lit(1)).as("n"))
+      .agg(array_sort(collect_list(col("fp"))).as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
       .select(col("event_type").as("mt"),
         expr("element_at(arr, cast((n + 1) div 2 as int)) + element_at(arr, cast((n + 2) div 2 as int))").as("med_x2"),
         col("n"))
     val dev = m.join(broadcast(med), col("event_type") === col("mt"))
       .withColumn("dev_x2", abs(col("fp") * 2 - col("med_x2")))
     val mad = dev.groupBy(col("event_type"))
-      .agg(array_sort(collect_list(col("dev_x2"))).as("darr"),
-        count(lit(1)).as("dn"))
+      .agg(array_sort(collect_list(col("dev_x2"))).as("darr"))
+      .withColumn("dn", size(col("darr")).cast("long"))
       .select(col("event_type").as("dt"),
         expr("element_at(darr, cast((dn + 1) div 2 as int)) + element_at(darr, cast((dn + 2) div 2 as int))").as("mad_x4"))
     dev.join(broadcast(mad), col("event_type") === col("dt"))

@@ -611,11 +611,15 @@ class PipelineQueriesSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     def q(xs: Array[Double], p: Double): Double = {
-      // rank = p·(n−1) linear interpolation — Spark percentile's rule
+      // rank = p·(n−1), interpolated in Spark Percentile's EXACT IEEE
+      // order — lower·(1−d) + higher·d — not the algebraically-equal
+      // a + d·(b−a), which can differ by 1 ulp and flake the exact
+      // clamp/flag asserts below
       val rank = p * (xs.length - 1)
       val lo = rank.toInt
+      val d = rank - lo
       if (lo + 1 >= xs.length) xs(lo)
-      else xs(lo) + (rank - lo) * (xs(lo + 1) - xs(lo))
+      else xs(lo) * (1.0 - d) + xs(lo + 1) * d
     }
     assert(out.nonEmpty)
     out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
@@ -682,6 +686,20 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(spike.getAs[Boolean]("is_anomaly"), "10x spike must be flagged")
     assert(scored.count(_.getAs[Boolean]("is_anomaly")) == 1,
       "only the spike should clear |z| > 3.5")
+    // all-NULL buckets (mv = NULL) must be EXCLUDED, not crash the ANSI
+    // array pick or shift the medians: majority-NULL series with the
+    // same scoreable rows must reproduce the same med/mad picks
+    val rows2 = rows ++ (100 until 400).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        java.time.Instant.ofEpochSecond(i * 600L), 1L, "s", null, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val scored2 = AnalyticsQueries.robustZscore(spark, tmp).collect()
+    assert(scored2.length == 100, "NULL buckets must drop out, not be scored")
+    assert(scored2.map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("robust_z"))).toSet ==
+      scored.map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("robust_z"))).toSet,
+      "NULL buckets must not shift the median/MAD picks")
   }
 
   test("series_decompose: reconstruction identity holds to quantization precision") {
