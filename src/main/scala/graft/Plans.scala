@@ -84,7 +84,8 @@ object Plans {
     "weighted_sample" -> "DLT priorities as a narrow map; top-(k+1) via TakeOrderedAndProject (per-partition heaps, no global sort); rank window on the checkpointed ≤101-row frame",
     "series_ewma" -> "termwise lag window per series over the compact mean frame — no frame aggregation, no corpus window",
     "winsorize" -> "per-series percentile cutpoints fold map-side to a series-count frame, broadcast back; clamp is a narrow map — no window, no sort",
-    "robust_zscore" -> "median/MAD picks fold to two series-count frames, broadcast back; score is a narrow map — no window, no sort"
+    "robust_zscore" -> "median/MAD picks fold to two series-count frames, broadcast back; score is a narrow map — no window, no sort",
+    "cluster_terms" -> "trained assignment broadcast-argmax (kmeans chain); (bucket, tok)/(tok) vocabulary-scale counts; WindowGroupLimit top-3 per cluster"
   )
 
   def main(args: Array[String]): Unit = {

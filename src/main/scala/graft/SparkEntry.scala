@@ -60,6 +60,7 @@ object SparkEntry {
     "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
     "kmeans_shift" -> (SimilarityQueries.kmeansShift _),
     "cluster_eval" -> (SimilarityQueries.clusterEval _),
+    "cluster_terms" -> (SimilarityQueries.clusterTerms _),
     "minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "minhash_estimate" -> (SimilarityQueries.minhashEstimate _),
     "ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
@@ -749,6 +750,23 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "cluster_terms" ->
+      // df-damped cluster containment over the shared two-round Lloyd's
+      // chain: BIGINT counts, one integer floor-division, term tie-break
+      s"""$KmeansTrain2Body,
+         |dt AS (SELECT doc_id, unnest(list_distinct($WordToksSql)) AS tok
+         |       FROM documents),
+         |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |ctf AS (SELECT a.bucket, dt.tok, CAST(count(*) AS BIGINT) AS ctf
+         |        FROM dt JOIN asn2 a ON dt.doc_id = a.vec_id
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT bucket, c.tok, ctf, df,
+         |         (ctf * 1000000) // (df + 1) AS score_fp
+         |       FROM ctf c JOIN dfr ON c.tok = dfr.tok),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+         |         ORDER BY score_fp DESC, tok) AS BIGINT) AS rk
+         |       FROM sc)
+         |SELECT bucket, rk, tok, ctf, df, score_fp FROM rk WHERE rk <= 3""".stripMargin,
     "embedding_outliers" ->
       // bottom-20 assignment cosines over the shared two-round chain:
       // the vectors farthest from every trained density center

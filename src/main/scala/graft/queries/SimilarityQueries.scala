@@ -470,6 +470,48 @@ object SimilarityQueries {
         col("n_majority"), col("purity"))
   }
 
+  /** Cluster NAMING — top-3 distinctive terms per trained embedding
+    * cluster: the "what is each cluster about" report every corpus
+    * exploration runs right after [[kmeansTrain]], and the composition
+    * showcase the engine exists for (similarity family supplies the
+    * clusters, text family supplies the vocabulary). A term's
+    * distinctiveness is the df-damped cluster containment `ctf/(df+1)`
+    * — [[CurationQueries.tfidfTop]]'s rational score lifted from
+    * documents to clusters, so common corpus words (high df) cannot
+    * name a cluster.
+    *
+    * Exactness: counts are BIGINTs (docs-in-cluster-containing-term,
+    * corpus doc frequency over DISTINCT per-doc tokens), the score is
+    * one integer floor-division in 10⁶ fixed point, ties break on the
+    * term string — no floats anywhere. The cluster assignment is the
+    * oracle-pinned two-round Lloyd's chain (`kmeans_train2`), restated
+    * by the oracle's shared CTE body bit-for-bit.
+    *
+    * Scale (100 TB): the assignment is [[kmeansTrain]]'s audited shape
+    * (broadcast centroids, in-row argmax, compact shuffles); the term
+    * side shuffles (bucket, tok) and (tok) counts — vocabulary-scale
+    * keys, text dies at the scan; the df join is vocabulary-sized; the
+    * top-3 window partitions by cluster and prunes via
+    * WindowGroupLimit before the final exchange. */
+  def clusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansTrainAssign(spark, dir, rounds = 2)
+      .select(col("vec_id"), col("bucket"))
+    val dt = Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ctf = dt.join(assign, col("doc_id") === col("vec_id"))
+      .groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("ctf"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("score_fp").desc, col("tok").asc)
+    ctf.join(dfreq, "tok")
+      .withColumn("score_fp", expr("(ctf * 1000000) div (df + 1)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("bucket"), col("rk"), col("tok"), col("ctf"),
+        col("df"), col("score_fp"))
+  }
+
   /** Cosine of every corpus vector to ONE query vector (`qid`),
     * broadcast-scored — the semantic arm [[CurationQueries.rankFusion]]
     * fuses with BM25. Same fold order as [[knnCosine]]. */

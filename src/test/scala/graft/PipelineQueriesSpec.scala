@@ -645,6 +645,33 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("cluster_terms: top-3 per cluster, df-damped ordering, counts bounded by cluster size") {
+    val out = SimilarityQueries.clusterTerms(spark, dir).collect()
+    assert(out.nonEmpty)
+    val sizes = SimilarityQueries.kmeansTrainAssign(spark, dir, rounds = 2)
+      .groupBy(col("bucket")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.length <= 3)
+      // scores non-increasing down the ranks; term tie-break ascending
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (sh, sl) = (hi.getAs[Long]("score_fp"), lo.getAs[Long]("score_fp"))
+          assert(sh > sl || (sh == sl &&
+            hi.getAs[String]("tok") < lo.getAs[String]("tok")))
+        case _ =>
+      }
+      rows.foreach { r =>
+        assert(r.getAs[Long]("ctf") <= sizes(b), "containment cannot exceed cluster size")
+        assert(r.getAs[Long]("df") >= r.getAs[Long]("ctf"), "corpus df bounds cluster containment")
+        assert(r.getAs[Long]("score_fp") ==
+          r.getAs[Long]("ctf") * 1000000L / (r.getAs[Long]("df") + 1L))
+      }
+    }
+  }
+
   test("robust_zscore: matches driver-side median/MAD picks; flags a spike the trailing sigma would mask") {
     val out = AnalyticsQueries.robustZscore(spark, dir).collect()
     val means = driverBucketMeans()
