@@ -54,6 +54,7 @@ object SparkEntry {
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
+    "srp_neardup" -> (SimilarityQueries.srpNearDup _),
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "pca_power" -> (SimilarityQueries.pcaPower _),
@@ -692,6 +693,38 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "srp_neardup" -> {
+      // the 64 hyperplane bitmasks as shared literals (MinhashSeeds
+      // discipline); quantize → ±BIGINT sum → sign chain mirrors
+      // graft.expressions.SrpSign64 exactly; (p >> k) & 1 reads the
+      // same bit whether the shift is arithmetic (DuckDB) or logical
+      // (the kernel's >>>)
+      val planes = SimilarityQueries.SrpPlanes
+        .map(p => s"CAST($p AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, b,
+         |    list_sum(list_transform(range(1, len(q) + 1),
+         |      d -> q[d] * (CASE WHEN ($planes[CAST(b + 1 AS INT)] >> CAST((d - 1) % 64 AS INT)) & 1 = 1
+         |                        THEN 1 ELSE -1 END))) AS sv
+         |  FROM qv, (SELECT unnest(range(0, 64)) AS b) bs),
+         |sig AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN sv > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sp_lo,
+         |    CAST(sum(CASE WHEN sv > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sp_hi
+         |  FROM s GROUP BY vec_id),
+         |bands AS (SELECT vec_id, b,
+         |    CASE WHEN b < 4 THEN (sp_lo >> CAST(8 * b AS INT)) & 255
+         |         ELSE (sp_hi >> CAST(8 * (b - 4) AS INT)) & 255 END AS bv
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS b) b8),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+         |en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
+         |p AS (SELECT cand.va, cand.vb,
+         |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+         |  FROM cand JOIN en ea ON cand.va = ea.vec_id JOIN en eb ON cand.vb = eb.vec_id)
+         |SELECT va, vb, cos FROM p WHERE cos >= ${SimilarityQueries.SrpCosThreshold}""".stripMargin
+    },
     "minhash_threshold_sweep" -> {
       // candidate pairs surviving each sketch-match threshold 1..12 —
       // pure integer counts over the shared cand + signature CTEs

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, Md5Hash32, Md5Hash60, WinnowFps}
+import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, Md5Hash32, Md5Hash60, SrpSign64, WinnowFps}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -48,7 +48,17 @@ object GraftFunctions {
       FunctionIdentifier("md5_hash32"), md5Hash32Info, md5Hash32Builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("md5_hash60"), md5Hash60Info, md5Hash60Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("srp_sign64"), srpSign64Info, srpSign64Builder)
   }
+
+  private[functions] val srpSign64Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"srp_sign64 expects 1 argument, got ${exprs.length}")
+    SrpSign64(exprs.head, SrpSign64.DefaultPlanes)
+  }
+
+  private val srpSign64Info =
+    new ExpressionInfo(classOf[SrpSign64].getName, "srp_sign64")
 
   private[functions] val md5Hash32Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"md5_hash32 expects 1 argument, got ${exprs.length}")
@@ -132,6 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_hash60"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
       GraftFunctions.md5Hash60Builder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sign64"),
+      new ExpressionInfo(classOf[SrpSign64].getName, "srp_sign64"),
+      GraftFunctions.srpSign64Builder
     ))
   }
 }

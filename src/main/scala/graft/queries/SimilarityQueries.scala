@@ -1204,4 +1204,81 @@ object SimilarityQueries {
         col("k"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall"))
   }
+
+  // ── Signed-random-projection (hyperplane) LSH ─────────────────────────
+
+  /** The shared hyperplane constants — see
+    * [[graft.expressions.SrpSign64.DefaultPlanes]] (they live with the
+    * kernel so the SQL function registry can reuse them without a
+    * package cycle). */
+  private[graft] val SrpPlanes: Seq[Long] = graft.expressions.SrpSign64.DefaultPlanes
+
+  /** Exact-cosine confirmation threshold for [[srpNearDup]] — 0.3, the
+    * same radius [[embeddingNearDup]]/[[semanticNearDup]] confirm at, so
+    * the three family members are comparable on the same fixture (whose
+    * max pairwise cosine is ≈ 0.51 — no tighter radius has support).
+    * Band math: at cos 0.3 (θ ≈ 72.5°) one 8-bit band agrees with
+    * probability (1 − θ/π)⁸ ≈ 0.016, so 8 bands alone recover only ~12%
+    * of θ-boundary pairs — SRP's sweet spot is the HIGH-cosine regime
+    * (at cos 0.9 the same bands give ~97% recall), which is exactly the
+    * near-duplicate radius it screens for in an ingest gate; the
+    * fixture's loose radius exercises the plumbing, not the S-curve. */
+  private[graft] val SrpCosThreshold = 0.3
+
+  private def srpSign64(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SrpSign64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), SrpPlanes))
+
+  /** Hyperplane-LSH cosine near-duplicates — the INDEX-FREE member of the
+    * embedding near-dup family: where [[embeddingNearDup]]/[[semanticNearDup]]
+    * need a trained coarse quantizer (IVF seed or k-means rounds) before
+    * any pair forms, SRP needs only 64 fixed hyperplanes: each vector's
+    * signature bit b is sign⟨v, r_b⟩ (Charikar 2002), agreeing bits
+    * estimate the angle, and an 8×8-bit band equijoin proposes candidates
+    * that one exact cosine pass confirms at ≥ [[SrpCosThreshold]]. The
+    * one-pass/streaming-friendly shape: a NEW vector's signature needs no
+    * index state at all, so the same kernel gates a continuous ingest
+    * (where k-means centroids would lag the stream).
+    *
+    * Exactness: signatures are exact-BIGINT sign sums of 10⁻⁶-quantized
+    * coordinates (native [[graft.expressions.SrpSign64]] kernel, oracle
+    * recomputes the identical chain from the same plane literals); the
+    * confirming cosine is the pinned index-order double fold shared by
+    * every embedding query.
+    *
+    * Scale (100 TB): the signature is a narrow map at the scan (8 bytes
+    * out per vector, embeddings never shuffle for banding); candidates
+    * come from an equijoin on the compact (band, 8-bit value) key — never
+    * vector×vector; the confirm pass joins embeddings back by vec_id, so
+    * only LSH-surviving pairs ever pay a dot product. Band width is the
+    * bucket-size dial: 8-bit bands give 256 buckets/band (fine at fixture
+    * N; at 10⁹+ vectors widen to 16-bit bands exactly as
+    * `simhash_neardup` argues, same plumbing). */
+  def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val sig = e
+      .select(col("vec_id"), srpSign64(col("embedding")).as("srp"))
+      .select(col("vec_id"),
+        element_at(col("srp"), 1).as("sp_lo"),
+        element_at(col("srp"), 2).as("sp_hi"))
+    val banded = sig
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("b"),
+        col("sp_lo"), col("sp_hi"))
+      .withColumn("bv",
+        expr("CASE WHEN b < 4 THEN (sp_lo >> (8 * b)) & 255 ELSE (sp_hi >> (8 * (b - 4))) & 255 END"))
+      .select(col("vec_id"), col("b"), col("bv"))
+    val a = banded.select(col("vec_id").as("va"), col("b"), col("bv"))
+    val c = banded.select(col("vec_id").as("vb"), col("b").as("b2"), col("bv").as("bv2"))
+    val cand = a
+      .join(c, col("b") === col("b2") && col("bv") === col("bv2") && col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("cos", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= SrpCosThreshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
 }

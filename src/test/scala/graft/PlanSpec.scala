@@ -48,6 +48,7 @@ class PlanSpec extends SparkSuite {
       graft.queries.TextQueries.simhashNearDup(spark, dir),
       SimilarityQueries.editDistanceNearDup(spark, dir),
       SimilarityQueries.semanticNearDup(spark, dir),
+      SimilarityQueries.srpNearDup(spark, dir),
       graft.queries.TextQueries.contamination(spark, dir)
     ).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"))

@@ -323,6 +323,61 @@ class SimilarityTextSpec extends SparkSuite {
     assert(e.getMessage.contains("72") || Option(e.getCause).exists(_.getMessage.contains("72")))
   }
 
+  test("srp_sign64: kernel matches the interpreted definition; opposite vectors never share a set bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = Array.tabulate(64)(i => (math.sin(i * 1.7) * 0.5).toFloat)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(expr("srp_sign64(v)").as("s")).collect()(0).getSeq[Long](0)
+    // independent reference: the quantize → ±sum → sign chain in plain Scala
+    val planes = graft.expressions.SrpSign64.DefaultPlanes
+    val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    var lo = 0L; var hi = 0L
+    for (b <- 0 until 64) {
+      val s = q.indices.map(d =>
+        if (((planes(b) >>> (d & 63)) & 1L) == 1L) q(d) else -q(d)).sum
+      if (s > 0) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+    }
+    assert(got == Seq(lo, hi))
+    // the two halves are positive 32-bit values (the signed-BIGINT band
+    // discipline) and the signature is non-trivial
+    assert(got.forall(h => h >= 0L && h <= 0xFFFFFFFFL))
+    assert(java.lang.Long.bitCount(got(0)) + java.lang.Long.bitCount(got(1)) > 10)
+    // sign(⟨-v, r⟩) = -sign(⟨v, r⟩): a bit strictly set for v can never
+    // be set for -v (s = 0 leaves both clear — still disjoint)
+    val gotNeg = Seq(Tuple1(v.map(x => -x))).toDF("v")
+      .select(expr("srp_sign64(v)").as("s")).collect()(0).getSeq[Long](0)
+    assert((got(0) & gotNeg(0)) == 0L && (got(1) & gotNeg(1)) == 0L)
+    // identical input ⇒ identical signature (the LSH determinism contract)
+    val got2 = Seq(Tuple1(v)).toDF("v")
+      .select(expr("srp_sign64(v)").as("s")).collect()(0).getSeq[Long](0)
+    assert(got2 == got)
+  }
+
+  test("srp_neardup: canonical pairs above threshold, each genuinely colliding on a band") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.srpNearDup(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+    // recompute signatures and confirm every reported pair shares at
+    // least one of the 8 bands — pairs must come FROM the LSH, not from
+    // any wider join
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("srp_sign64(embedding)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bands(s: Seq[Long]): Seq[Long] =
+      (0 until 4).map(b => (s(0) >> (8 * b)) & 255L) ++
+        (0 until 4).map(b => (s(1) >> (8 * b)) & 255L)
+    out.foreach { r =>
+      val (ba, bb) = (bands(sigs(r.getLong(0))), bands(sigs(r.getLong(1))))
+      assert(ba.zip(bb).exists { case (x, y) => x == y },
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) shares no band")
+    }
+  }
+
   test("vec_dot: unequal-length vectors yield NULL, matching the zip_with formulation") {
     graft.functions.GraftFunctions.register(spark)
     // a truncated partial dot would be a plausible-looking WRONG number
