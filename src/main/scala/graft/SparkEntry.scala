@@ -55,6 +55,8 @@ object SparkEntry {
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
+    "lsh_recall" -> (SimilarityQueries.lshRecall _),
+    "dist_drift" -> (AnalyticsQueries.distDrift _),
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "pca_power" -> (SimilarityQueries.pcaPower _),
@@ -725,6 +727,33 @@ object SparkEntry {
          |  FROM cand JOIN en ea ON cand.va = ea.vec_id JOIN en eb ON cand.vb = eb.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= ${SimilarityQueries.SrpCosThreshold}""".stripMargin
     },
+    "lsh_recall" -> {
+      // truth = exact hashed-shingle Jaccard via the co-occurrence
+      // equijoin (r-prefixed CTEs so they don't collide with
+      // LshCandBody's w/shx/m/b/cand); i·10 >= u·t keeps every
+      // threshold test in exact BIGINTs
+      s"""WITH $LshCandBody,
+         |rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
+         |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
+         |rsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),
+         |rit AS (SELECT a.doc_id AS da, b2.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+         |  FROM rs a JOIN rs b2 ON a.h = b2.h AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |rpj AS (SELECT da, db, i, sa.n + sb.n - i AS u
+         |  FROM rit JOIN rsz sa ON da = sa.doc_id JOIN rsz sb ON db = sb.doc_id),
+         |rpc AS (SELECT rpj.i, rpj.u,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS caught
+         |  FROM rpj LEFT JOIN cand c ON rpj.da = c.doc_a AND rpj.db = c.doc_b),
+         |th AS (SELECT unnest(range(1, 10)) AS t)
+         |SELECT CAST(t AS BIGINT) AS threshold_x10,
+         |  CAST(sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN i * 10 >= u * t THEN caught ELSE 0 END) AS BIGINT) AS n_caught,
+         |  CASE WHEN sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) > 0
+         |       THEN CAST(sum(CASE WHEN i * 10 >= u * t THEN caught ELSE 0 END) AS DOUBLE)
+         |            / CAST(sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) AS DOUBLE)
+         |       ELSE NULL END AS recall
+         |FROM rpc, th GROUP BY t""".stripMargin
+    },
     "minhash_threshold_sweep" -> {
       // candidate pairs surviving each sketch-match threshold 1..12 —
       // pure integer counts over the shared cand + signature CTEs
@@ -1393,6 +1422,28 @@ object SparkEntry {
          |  count(*) AS n_active_users
          |FROM e JOIN cohort c ON e.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "dist_drift" ->
+      // non-negative numerators make DuckDB's flooring // and Spark's
+      // truncating DIV agree; the L1 fold is the exact rational form
+      // with one terminal IEEE division
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
+        |b AS (SELECT min(tus) AS t0, max(tus) AS t1 FROM ev),
+        |vb AS (SELECT event_type, min(q) AS q0, max(q) AS q1 FROM ev GROUP BY 1),
+        |cells AS (SELECT e.event_type,
+        |    ((e.q - vb.q0) * 10) // (vb.q1 - vb.q0 + 1) AS bin,
+        |    CAST(sum(CASE WHEN e.tus * 2 <= b.t0 + b.t1 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+        |    CAST(sum(CASE WHEN e.tus * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END) AS BIGINT) AS cl
+        |  FROM ev e, b JOIN vb ON e.event_type = vb.event_type GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(ce) AS BIGINT) AS n_early,
+        |    CAST(sum(cl) AS BIGINT) AS n_late FROM cells GROUP BY 1)
+        |SELECT c.event_type, t.n_early, t.n_late,
+        |  CASE WHEN t.n_early > 0 AND t.n_late > 0
+        |       THEN CAST(sum(abs(c.ce * t.n_late - c.cl * t.n_early)) AS DOUBLE)
+        |            / CAST(t.n_early * t.n_late AS DOUBLE)
+        |       ELSE NULL END AS l1_drift
+        |FROM cells c JOIN tot t ON c.event_type = t.event_type
+        |GROUP BY c.event_type, t.n_early, t.n_late""".stripMargin,
     "time_split" ->
       // quantile_cont shares Spark percentile's interpolation (proven on
       // group_percentiles); epoch-us magnitudes are exact in double

@@ -408,6 +408,60 @@ object AnalyticsQueries {
         max(col("value")).as("max_value")
       )
 
+  /** Distribution-drift monitor: per event type, the L1 (total-variation
+    * ×2) distance between the value histograms of the stream's EARLY and
+    * LATE time halves — the data-quality alarm that catches a feed
+    * silently changing shape (new client version, schema shift, upstream
+    * bug) even when volumes stay flat. Both halves share one fixed
+    * 10-bin grid over the type's full value range, so the comparison is
+    * apples-to-apples.
+    *
+    * Exactness: values quantize to `floor(value·10³)` BIGINTs; the time
+    * midpoint test `tus·2 ≤ t0+t1` and the bin index
+    * `((q−q0)·10) div (q1−q0+1)` stay in exact integers (non-negative
+    * numerator, so Spark's truncating DIV and DuckDB's flooring `//`
+    * agree); the L1 distance folds the exact rational form
+    * `Σ|cₑ·n_l − c_l·nₑ|` and pays ONE IEEE division by `nₑ·n_l`
+    * (≤ 10¹⁰ — exact in double). NULL when either half of a type is
+    * empty (drift against nothing is undefined, not zero).
+    *
+    * Scale (100 TB): one scan; the time bounds and per-type value bounds
+    * are two tiny broadcast aggregates; the cell counts shuffle on
+    * compact (type, bin) keys with full map-side combine — types × 10
+    * cells of state, no window, no sort anywhere. A production monitor
+    * would slide this per day against a reference window; the shape is
+    * identical. */
+  def distDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        expr("CAST(floor(value * 1000.0) AS BIGINT)").as("q"))
+    val bounds = ev.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+    val vb = ev.groupBy(col("event_type"))
+      .agg(min(col("q")).as("q0"), max(col("q")).as("q1"))
+    val cells = ev
+      .crossJoin(broadcast(bounds)) // 1-row build side: free
+      .join(broadcast(vb), "event_type")
+      .select(col("event_type"),
+        when(col("tus") * 2 <= col("t0") + col("t1"), 0L).otherwise(1L).as("half"),
+        expr("((q - q0) * 10) DIV (q1 - q0 + 1)").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("cl"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("ce")).as("n_early"), sum(col("cl")).as("n_late"))
+    cells.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
+        sum(abs(col("ce") * col("n_late") - col("cl") * col("n_early"))).as("l1_num"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        when(col("n_early") > 0 && col("n_late") > 0,
+          col("l1_num").cast("double") /
+            (col("n_early") * col("n_late")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("l1_drift"))
+  }
+
   /** Sketch-based approximate aggregates — HyperLogLog++ distinct counts
     * and approximate quantiles per event type. No DuckDB oracle (sketch
     * algorithms are engine-specific; the driver records a rows-only

@@ -1205,6 +1205,61 @@ object SimilarityQueries {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall"))
   }
 
+  /** MinHash-LSH recall audit — the near-dup counterpart of [[annRecall]]:
+    * for each Jaccard threshold t ∈ {0.1 … 0.9}, how many TRUE pairs
+    * (exact hashed-shingle Jaccard ≥ t) exist, and how many of them the
+    * production LSH ([[minhashLsh]] — 12 minhashes, 4×3 bands) actually
+    * proposes as candidates. This is the empirical S-curve every banding
+    * choice (b, r) is justified by: recall should be ≈ 1 above the
+    * design threshold and fall off below it — measured, not assumed.
+    *
+    * Truth is Jaccard over each doc's DISTINCT 32-bit shingle-hash set
+    * (both engines hash identically, so a cross-shingle collision merges
+    * the same pair on both sides); `i·10 ≥ u·t` keeps every threshold
+    * test in exact BIGINTs, and recall is one IEEE division (NULL when a
+    * threshold has no true pairs).
+    *
+    * Scale (100 TB): the truth side is NOT all-pairs — pairs materialize
+    * only via the shingle-hash equijoin (co-occurrence-bounded, the
+    * [[ngramJaccard]] shape minus the LSH pre-filter), which is exactly
+    * why this is an AUDIT query: a boilerplate mega-shingle makes the
+    * intersection join quadratic in its posting list, so at corpus scale
+    * the audit runs over a deterministic doc sample (hash-of-id, the
+    * [[annRecall]] discipline) and/or df-caps hot shingles — estimating
+    * a recall curve needs a sample, never the corpus. The candidate
+    * membership check is an equijoin on canonical (a, b) pair keys. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val shx = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(shingleCol(col("ws")))).as("sh"))
+      .select(col("doc_id"), md5Hash32(col("sh")).as("h"))
+      .distinct()
+    val sz = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shx.as("a")
+      .join(shx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("i"), (col("na") + col("nb") - col("i")).as("u"))
+    val cand = minhashLsh(spark, dir)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"), lit(1L).as("caught"))
+    val flagged = pairs.join(cand, Seq("da", "db"), "left")
+      .select(col("i"), col("u"), coalesce(col("caught"), lit(0L)).as("caught"))
+    val thr = spark.range(1, 10).select(col("id").as("t"))
+    flagged.crossJoin(broadcast(thr))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("i") * 10 >= col("u") * col("t"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("i") * 10 >= col("u") * col("t"), col("caught")).otherwise(0L)).as("n_caught"))
+      .select(col("t").as("threshold_x10"), col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   // ── Signed-random-projection (hyperplane) LSH ─────────────────────────
 
   /** The shared hyperplane constants — see

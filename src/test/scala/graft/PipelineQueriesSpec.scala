@@ -965,4 +965,31 @@ class PipelineQueriesSpec extends SparkSuite {
       assert(r.getAs[Long]("cnt") == c)
     }
   }
+
+  test("dist_drift: identical halves score exactly 0, disjoint halves exactly 2") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    def ev(id: Long, sec: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000L), 1L, typ, v, "{}")
+    // stable: the same value multiset in both time halves; shifted: the
+    // two halves occupy disjoint ends of the value range
+    val rows =
+      (0 until 100).map(i => ev(i.toLong, 1000L + i, "stable", (i % 10).toDouble)) ++
+        (0 until 100).map(i => ev(200L + i, 100000L + i, "stable", (i % 10).toDouble)) ++
+        (0 until 100).map(i => ev(400L + i, 1000L + i, "shifted", 1.0)) ++
+        (0 until 100).map(i => ev(600L + i, 100000L + i, "shifted", 1000.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = AnalyticsQueries.distDrift(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("stable", "shifted"))
+    out.values.foreach { r =>
+      assert(r.getLong(1) == 100L && r.getLong(2) == 100L)
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && d <= 2.0)
+    }
+    // equal per-bin counts cancel exactly in the rational fold — 0.0, not epsilon
+    assert(out("stable").getDouble(3) == 0.0)
+    // fully disjoint histograms hit the L1 ceiling exactly
+    assert(out("shifted").getDouble(3) == 2.0)
+  }
 }

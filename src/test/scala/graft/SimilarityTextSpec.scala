@@ -378,6 +378,28 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("lsh_recall: 9 thresholds, monotone truth counts, caught bounded by truth and by LSH pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.lshRecall(spark, dir)
+      .orderBy("threshold_x10").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    // raising the threshold can only shrink the true-pair set
+    rows.sliding(2).foreach { w =>
+      assert(w(0).getLong(1) >= w(1).getLong(1))
+    }
+    val lshPairs = graft.queries.SimilarityQueries.minhashLsh(spark, dir).count()
+    rows.foreach { r =>
+      val (nTrue, nCaught) = (r.getLong(1), r.getLong(2))
+      assert(nCaught <= nTrue, "caught pairs must be true pairs")
+      assert(nCaught <= lshPairs, "caught pairs must be LSH candidates")
+      if (nTrue > 0) {
+        val rec = r.getDouble(3)
+        assert(rec >= 0.0 && rec <= 1.0)
+        assert(rec == nCaught.toDouble / nTrue.toDouble)
+      } else assert(r.isNullAt(3))
+    }
+  }
+
   test("vec_dot: unequal-length vectors yield NULL, matching the zip_with formulation") {
     graft.functions.GraftFunctions.register(spark)
     // a truncated partial dot would be a plausible-looking WRONG number
