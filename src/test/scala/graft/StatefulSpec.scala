@@ -542,6 +542,88 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming HLL cardinality agrees with the batch sketch exactly; estimates sane") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts)").as("event_ms"), col("user_id"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    // a far-future sentinel advances the watermark past every real
+    // window so append mode finalizes them all; its own window stays
+    // open and is excluded from both sides
+    val sentinel = ("zz_flush", ev.map(_._2).max + 86400000L, 0L)
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.CardinalityMonitor.distinctUsers(ms.toDS())
+      .writeStream.format("memory").queryName("cardmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-cardmon")).start()
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") =!= "zz_flush")
+      .select("event_type", "bucket", "approx_users")
+      .as[(String, Long, Long)].collect().toSet
+    val streamed = rows(spark.table("cardmon"))
+    val batch = rows(graft.streaming.CardinalityMonitor.distinctUsersBatch(
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_type"), expr("unix_millis(ts)").as("event_ms"), col("user_id"))))
+    // register-max merging is order-independent: same rows ⇒ same sketch
+    // ⇒ same estimate, split across micro-batches or not
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+    // sketch sanity: every estimate within 5% of the exact distinct count
+    val exact = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts) DIV 600000").as("bucket"), col("user_id"))
+      .groupBy("event_type", "bucket").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    streamed.foreach { case (t, b, est) =>
+      val n = exact((t, b))
+      assert(math.abs(est - n) <= math.max(1L, n / 20),
+        s"($t, $b): estimate $est vs exact $n")
+    }
+  }
+
+  test("streaming drift vs frozen reference: replayed window scores exactly 0, shifted regime exactly 1.8") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference: 100 events uniform over values 0..9 → 10 bins × 10
+    val reference = graft.streaming.DriftMonitor.referenceHistogram(
+      (0 until 100).map(i => ("s", (i % 10).toDouble)).toDF("event_type", "value"))
+    // window 0 replays the reference distribution exactly; window 1 is a
+    // new constant regime far outside the reference grid (clamps to the
+    // top bin); the off-reference sentinel advances the watermark only
+    val w0 = (0 until 100).map(i => ("s", i * 1000L, (i % 10).toDouble))
+    val w1 = (0 until 50).map(i => ("s", 600000L + i * 1000L, 1000.0))
+    val sentinel = ("zz", 86400000L, 0.0)
+    val ms = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.DriftMonitor.scoreDrift(ms.toDS(), reference)
+      .writeStream.format("memory").queryName("driftmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-driftmon")).start()
+    ms.addData(w0.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(w1.toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "bucket", "n_window", "n_ref", "l1_drift")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("driftmon"))
+    // an identical distribution cancels exactly in the rational fold;
+    // the shifted window is 50 events in bin 9 vs uniform reference:
+    // (9·|0−10·50| + |50·100−10·50|) / (50·100) = 9000/5000 = 1.8
+    assert(streamed == Set(("s", 0L, 100L, 100L, 0.0), ("s", 1L, 50L, 100L, 1.8)))
+    // the off-reference series never scores (no reference to drift from)
+    assert(!spark.table("driftmon").select("event_type").as[String].collect().contains("zz"))
+    // batch twin parity on the same rows — exact, doubles included
+    val batch = rows(graft.streaming.DriftMonitor.scoreDriftBatch(
+      (w0 ++ w1).toDF("event_type", "event_ms", "value"), reference))
+    assert(batch == streamed)
+  }
+
   test("streaming volume anomaly agrees with the batch query exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
