@@ -85,7 +85,11 @@ object Plans {
     "series_ewma" -> "termwise lag window per series over the compact mean frame — no frame aggregation, no corpus window",
     "winsorize" -> "per-series percentile cutpoints fold map-side to a series-count frame, broadcast back; clamp is a narrow map — no window, no sort",
     "robust_zscore" -> "median/MAD picks fold to two series-count frames, broadcast back; score is a narrow map — no window, no sort",
-    "cluster_terms" -> "trained assignment broadcast-argmax (kmeans chain); (bucket, tok)/(tok) vocabulary-scale counts; WindowGroupLimit top-3 per cluster"
+    "cluster_terms" -> "trained assignment broadcast-argmax (kmeans chain); (bucket, tok)/(tok) vocabulary-scale counts; WindowGroupLimit top-3 per cluster",
+    "srp_neardup" -> "hyperplane signature at the scan (native kernel, 8 bytes out per vector); 8×8-bit band equijoin; exact-cosine confirm joins embeddings back by vec_id",
+    "lsh_recall" -> "truth pairs via shingle-hash co-occurrence equijoin (audit-scoped, never all-pairs); candidate membership by canonical pair-key equijoin; 9 thresholds fold from one pair frame",
+    "dist_drift" -> "time bounds + per-type value grids broadcast; ONE map-combinable (type, bin) aggregation; L1 folds exact rationals, one terminal division",
+    "ivfpq_ann" -> "coarse route is the zero-shuffle broadcast-argmax; corpus query payload is 4 residual-PQ code ints per vector; per-(query, probed-bucket) ADC tables broadcast; candidates from the bucket equijoin"
   )
 
   def main(args: Array[String]): Unit = {

@@ -158,6 +158,8 @@ object SparkEntry {
     "pq_encode" -> (SimilarityQueries.pqEncode _),
     "pq_ann" -> (SimilarityQueries.pqAnn _),
     "pq_recall" -> (SimilarityQueries.pqRecall _),
+    "ivfpq_ann" -> (SimilarityQueries.ivfPqAnn _),
+    "ivfpq_recall" -> (SimilarityQueries.ivfPqRecall _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
     // against exact_distinct below, which IS oracle-checked
@@ -313,6 +315,67 @@ object SparkEntry {
        |rr AS (SELECT qid, vid, adist_fp,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_fp ASC, vid) AS BIGINT) AS rn
        |       FROM pp)""".stripMargin
+
+  /** IVF+PQ composite CTE chain (extends [[IvfAssignSql]], mirrors
+    * SimilarityQueries.ivfPqAnn): per-vector residuals against the OWN
+    * coarse centroid, the PQ train/encode chain verbatim on the residual
+    * frame (p-prefixed CTEs — [[PqBodySql]]'s shapes, renamed to coexist
+    * with IvfAssignSql's en/cent/asn/probes), per-(query, probed bucket)
+    * residual ADC tables, candidates from the bucket equijoin. Terminal
+    * CTE: `prr(qid, vid, adist_fp, rn)`. */
+  private lazy val IvfPqBody: String = {
+    val d = SimilarityQueries.PqSubDim
+    s"""$IvfAssignSql,
+       |res AS (SELECT a.vec_id, a.bucket,
+       |    list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) AS r
+       |  FROM asn a JOIN cent c ON a.bucket = c.cid),
+       |rsub AS (SELECT vec_id, bucket, m, r[((m - 1) * $d + 1):(m * $d)] AS sv
+       |  FROM res, (SELECT unnest(range(1, ${SimilarityQueries.PqM + 1})) AS m) ms),
+       |rsub2 AS (SELECT vec_id, bucket, m, sv, ${dotSql("sv", "sv")} AS sself FROM rsub),
+       |pseeds AS (SELECT vec_id AS scid FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.PqCodes}),
+       |pcb0 AS (SELECT s.m AS cm, s.vec_id AS cid, s.sv AS cv, s.sself AS cself
+       |         FROM rsub2 s JOIN pseeds ON s.vec_id = scid),
+       |pa0 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+       |          (s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")} AS dist
+       |        FROM rsub2 s JOIN pcb0 c ON s.m = c.cm),
+       |pr0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid) AS rn
+       |        FROM pa0),
+       |pasn0 AS (SELECT vec_id, m, sv, cid AS code FROM pr0 WHERE rn = 1),
+       |pupd AS (SELECT m AS cm, code AS cid, CAST(generate_subscripts(sv, 1) AS BIGINT) AS pos,
+       |           unnest(sv) AS v FROM pasn0),
+       |pagg AS (SELECT cm, cid, pos, CAST(count(*) AS BIGINT) AS n,
+       |           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+       |         FROM pupd GROUP BY cm, cid, pos),
+       |pcb AS (SELECT cm, cid,
+       |          list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cv
+       |        FROM pagg GROUP BY cm, cid),
+       |pcb2 AS (SELECT cm, cid, cv, ${dotSql("cv", "cv")} AS cself FROM pcb),
+       |pa1 AS (SELECT s.vec_id, s.bucket, s.m, s.sv, s.sself, c.cid,
+       |          (s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")} AS dist
+       |        FROM rsub2 s JOIN pcb2 c ON s.m = c.cm),
+       |pr1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid) AS rn
+       |        FROM pa1),
+       |penc AS (SELECT vec_id AS vid, bucket, m, cid AS code FROM pr1 WHERE rn = 1),
+       |qres AS (SELECT p.vec_id AS qid, p.bucket AS pb,
+       |    list_transform(range(1, len(p.embedding) + 1),
+       |      i -> CAST(p.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) AS qr
+       |  FROM probes p JOIN cent c ON p.bucket = c.cid WHERE p.vec_id < 10),
+       |qsub AS (SELECT qid, pb, m, qr[((m - 1) * $d + 1):(m * $d)] AS qsv
+       |  FROM qres, (SELECT unnest(range(1, ${SimilarityQueries.PqM + 1})) AS m) ms),
+       |qsub2 AS (SELECT qid, pb, m AS qm, qsv, ${dotSql("qsv", "qsv")} AS qself FROM qsub),
+       |pdt AS (SELECT q.qid, q.pb, q.qm, c.cid,
+       |          CAST(floor(((q.qself + c.cself) - 2.0 * ${dotSql("q.qsv", "c.cv")})
+       |                     * 1000000.0) AS BIGINT) AS d_fp
+       |        FROM qsub2 q JOIN pcb2 c ON q.qm = c.cm),
+       |ppp AS (SELECT d.qid, e.vid, CAST(sum(d.d_fp) AS BIGINT) AS adist_fp
+       |        FROM penc e JOIN pdt d ON e.bucket = d.pb AND e.m = d.qm AND e.code = d.cid
+       |        WHERE e.vid != d.qid GROUP BY 1, 2),
+       |prr AS (SELECT qid, vid, adist_fp,
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_fp ASC, vid) AS BIGINT) AS rn
+       |        FROM ppp)""".stripMargin
+  }
 
   /** DuckDB fragment: word 3-gram shingle list of normalized text from a
     * token-list column `ws` (empty below 3 tokens). */
@@ -977,6 +1040,28 @@ object SparkEntry {
          |       FROM kp),
          |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
          |approx3 AS (SELECT qid, vid FROM rr WHERE rn <= 3),
+         |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
+         |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
+         |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
+         |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
+    "ivfpq_ann" ->
+      s"""$IvfPqBody
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    "ivfpq_recall" ->
+      // recall@3 of the composite vs exact full-vector squared-L2 top-3
+      // (x-prefixed exact CTEs — IvfAssignSql already owns `en`)
+      s"""$IvfPqBody,
+         |xen AS (SELECT vec_id, embedding, $dotSelfSql AS self FROM embeddings),
+         |xq AS (SELECT vec_id AS qid, embedding AS qemb, self AS qself FROM xen WHERE vec_id < 10),
+         |xp AS (SELECT xq.qid, e.vec_id AS vid,
+         |         (xq.qself + e.self) - 2.0 * ${dotSql("xq.qemb", "e.embedding")} AS d
+         |       FROM xen e, xq WHERE e.vec_id != xq.qid),
+         |xr AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY d ASC, vid) AS rn
+         |       FROM xp),
+         |exact3 AS (SELECT qid, vid FROM xr WHERE rn <= 3),
+         |approx3 AS (SELECT qid, vid FROM prr WHERE rn <= 3),
          |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
          |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
          |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)

@@ -76,13 +76,20 @@ object SimilarityQueries {
     * Not cached: with bounded k the assignment is a cheap narrow map, so
     * consumers that use it twice recompute rather than leak a
     * session-lifetime cache entry (round-4 verdict finding #3). */
+  /** The k coarse centroids as a ≤k-row frame (cid, cemb, cnrm) — the
+    * deterministic md5-ordered sample shared by [[ivfAssign]] and the
+    * IVF+PQ composite's residual computation ([[ivfPqAnn]]). */
+  private def ivfCentFrame(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
-    val cent = e
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(IvfK)
+    val cent = ivfCentFrame(e)
       .agg(collect_list(struct(
-        col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm")
+        col("cid"), col("cemb"), col("cnrm")
       )).as("cents"))
     // Per-row scores over the centroid array; argmax is order-independent
     // (strict total order: ccos desc NULLS LAST, cid asc — cids are
@@ -1180,20 +1187,28 @@ object SimilarityQueries {
     * before anyone ships it. Same exact-distance formula shape
     * ((qself + self) − 2·dot) as the PQ arms, so the comparison is
     * apples-to-apples L2. */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact full-vector squared-L2 top-3 for the `vec_id < 10` query set —
+    * the ground truth shared by [[pqRecall]] and [[ivfPqRecall]]. */
+  private def exactL2Top3(spark: SparkSession, dir: String): DataFrame = {
     val en = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("self", dotD(col("embedding"), col("embedding")))
     val q = en.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("self").as("qself"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vid").asc)
-    val exact3 = en.join(broadcast(q), col("vec_id") =!= col("qid"))
+    en.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         ((col("qself") + col("self")) - lit(2.0) * dotD(col("qemb"), col("embedding"))).as("d"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"))
-    val approx3 = pqAnn(spark, dir).select(col("qid"), col("vid"))
+  }
+
+  /** Recall@3 of an approximate (qid, vid) top-3 frame against
+    * [[exactL2Top3]] — one row per query with hit count and recall. */
+  private def recallAgainstExact(
+      spark: SparkSession, dir: String, approx3: DataFrame): DataFrame = {
+    val exact3 = exactL2Top3(spark, dir)
     val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
@@ -1204,6 +1219,91 @@ object SimilarityQueries {
         col("k"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall"))
   }
+
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, pqAnn(spark, dir).select(col("qid"), col("vid")))
+
+  // ── IVF+PQ composite (residual-encoded coarse+fine index) ─────────────
+
+  /** Per-vector residual against its OWN coarse centroid, as a
+    * (vec_id, bucket, embedding: array<double>) frame ready for the PQ
+    * chain. Residual subtraction is element-wise IEEE double — exact and
+    * identical on both engines. */
+  private def residualFrame(e: DataFrame, asn: DataFrame): DataFrame = {
+    val cent = ivfCentFrame(e).select(col("cid"), col("cemb"))
+    asn.join(broadcast(cent), col("bucket") === col("cid"))
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("embedding"), col("cemb"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+  }
+
+  /** IVF+PQ composite top-3 — the production billion-vector index shape
+    * (Jégou et al. 2011; FAISS `IVFPQ`): the coarse quantizer
+    * ([[ivfAssign]]'s k sampled centroids) routes each vector to a
+    * bucket, PQ encodes the RESIDUAL v − c(bucket) (residuals are
+    * centered near 0, so the same K codes spend their resolution on the
+    * local neighborhood instead of the whole space — the whole reason
+    * the composite beats flat PQ), and a query scans only its
+    * top-nprobe buckets with a per-(query, bucket) ADC table over the
+    * residual codebooks.
+    *
+    * Exactness: residuals are exact double subtractions; the PQ chain is
+    * the [[pqAnn]] chain verbatim on the residual frame (pinned
+    * `(sself + cself) − 2·dot` order, (dist, cid) tie-breaks, exact
+    * fixed-point Lloyd update); ADC entries floor to BIGINT BEFORE the
+    * per-pair sum, so ranking is order-independent.
+    *
+    * Scale (100 TB): everything the two parents prove, composed — the
+    * corpus side of the search carries (vid, bucket, m, code): 4 small
+    * ints per vector, no raw vectors anywhere in the query path; the ADC
+    * table is Q×nprobe×M×K rows, broadcast; candidates come from the
+    * bucket equijoin (a vector pairs with a query ONLY under its own
+    * bucket, so no dedup is needed); the one shuffle is the
+    * (qid, vid)-keyed 8-byte partial-sum aggregation, map-side
+    * combinable; top-k prunes via WindowGroupLimit. */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val asn = ivfAssign(spark, dir)
+    val res = residualFrame(e, asn)
+    val subsR = pqSubvectors(res)
+    val cb = pqTrain(res)
+    val enc = pqAssignCodes(subsR, cb)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asn.select(col("vec_id").as("vid"), col("bucket").as("vbucket")), "vid")
+    val cent = ivfCentFrame(e).select(col("cid").as("pcid"), col("cemb"))
+    val q = asn.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        explode(col("probe_buckets")).as("pb"))
+      .join(broadcast(cent), col("pb") === col("pcid"))
+      .withColumn("qr", zip_with(col("qemb"), col("cemb"),
+        (x, c) => x.cast("double") - c.cast("double")))
+      .withColumn("m", explode(sequence(lit(1L), lit(PqM.toLong))))
+      .withColumn("qsv",
+        slice(col("qr"), ((col("m") - 1) * PqSubDim + 1).cast("int"), lit(PqSubDim)))
+      .withColumn("qself", dotD(col("qsv"), col("qsv")))
+      .select(col("qid"), col("pb"), col("m").as("qm"), col("qsv"), col("qself"))
+    val dt = q.join(broadcast(cb), col("qm") === col("cm"))
+      .select(col("qid"), col("pb"), col("qm"), col("cid"),
+        floor(((col("qself") + col("cself")) - lit(2.0) * dotD(col("qsv"), col("cv")))
+          * lit(1000000.0)).cast("long").as("d_fp"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_fp").asc, col("vid").asc)
+    enc.join(broadcast(dt),
+        col("vbucket") === col("pb") && col("m") === col("qm") && col("code") === col("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("d_fp")).as("adist_fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), col("adist_fp"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Recall@3 of the IVF+PQ composite against exact full-vector L2 —
+    * [[pqRecall]]'s companion for the composite index: what nprobe-bounded
+    * bucket search PLUS residual quantization together cost in accuracy.
+    * Compare with `pq_recall` (flat PQ, full corpus scanned) and
+    * `ann_recall` (IVF, raw vectors) to attribute the loss. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, ivfPqAnn(spark, dir).select(col("qid"), col("vid")))
 
   /** MinHash-LSH recall audit — the near-dup counterpart of [[annRecall]]:
     * for each Jaccard threshold t ∈ {0.1 … 0.9}, how many TRUE pairs

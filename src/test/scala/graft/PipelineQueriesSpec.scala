@@ -966,6 +966,33 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("ivfpq_ann: dense top-3 per query, candidates only from probed buckets; recall well-formed") {
+    val out = SimilarityQueries.ivfPqAnn(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      rs.foreach(r => assert(r.getLong(1) != r.getLong(0), "no self-match"))
+    }
+    // the composite must search ONLY the query's top-nprobe buckets:
+    // every returned candidate's own bucket is among its query's probes
+    val asn = SimilarityQueries.ivfAssign(spark, dir)
+      .select(col("vec_id"), col("bucket"), col("probe_buckets")).collect()
+    val probes = asn.filter(_.getLong(0) < 10)
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    val bucketOf = asn.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(probes(r.getLong(0)).contains(bucketOf(r.getLong(1))),
+        s"candidate ${r.getLong(1)} outside query ${r.getLong(0)}'s probed buckets")
+    }
+    val rec = SimilarityQueries.ivfPqRecall(spark, dir).collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      assert(r.getLong(2) == 3L && r.getLong(1) <= 3L)
+      assert(r.getDouble(3) == r.getLong(1).toDouble / 3.0)
+    }
+  }
+
   test("dist_drift: identical halves score exactly 0, disjoint halves exactly 2") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     def ev(id: Long, sec: Long, typ: String, v: Double) =

@@ -49,6 +49,7 @@ class PlanSpec extends SparkSuite {
       SimilarityQueries.editDistanceNearDup(spark, dir),
       SimilarityQueries.semanticNearDup(spark, dir),
       SimilarityQueries.srpNearDup(spark, dir),
+      SimilarityQueries.ivfPqAnn(spark, dir),
       graft.queries.TextQueries.contamination(spark, dir)
     ).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"))
