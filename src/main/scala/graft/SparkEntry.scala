@@ -57,6 +57,8 @@ object SparkEntry {
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
     "lsh_recall" -> (SimilarityQueries.lshRecall _),
     "dist_drift" -> (AnalyticsQueries.distDrift _),
+    "semantic_clusters" -> (CurationQueries.semanticClusters _),
+    "semantic_keep" -> (CurationQueries.semanticKeep _),
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "pca_power" -> (SimilarityQueries.pcaPower _),
@@ -254,6 +256,26 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
        |       FROM p2),
        |asn2 AS (SELECT vec_id, embedding, nrm, cid2 AS bucket, ccos FROM r2 WHERE rn = 1)""".stripMargin
+
+  /** Semantic-component CTE chain (extends [[KmeansTrain2Body]], its own
+    * `WITH` stripped so the caller's `WITH RECURSIVE` owns the clause):
+    * the trained-bucket cosine-≥0.3 pairs, undirected edges, recursive
+    * transitive closure from EVERY vector, min-anchor labels. Terminal
+    * CTE: `scl(vec_id, cluster)` — shared by the `semantic_clusters`
+    * and `semantic_keep` oracles. */
+  private lazy val SemClusterBody: String =
+    s"""${KmeansTrain2Body.stripPrefix("WITH ")},
+       |sp AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM asn2 a JOIN asn2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3),
+       |sedges AS (SELECT va AS src, vb AS dst FROM sp
+       |           UNION SELECT vb, va FROM sp),
+       |sreach(vec_id, anchor) AS (
+       |  SELECT vec_id, vec_id AS anchor FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.anchor FROM sreach r JOIN sedges e ON r.vec_id = e.src
+       |),
+       |scl AS (SELECT vec_id, min(anchor) AS cluster FROM sreach GROUP BY vec_id)""".stripMargin
 
   /** Product-quantization CTE chain (mirrors SimilarityQueries.pqTrain/
     * pqAssignCodes): per-subspace slices with precomputed self-dots, the
@@ -984,6 +1006,25 @@ object SparkEntry {
          |  list_max(list_transform(range(1, len(n.cemb2) + 1),
          |    i -> abs(n.cemb2[i] - CAST(c.cemb[i] AS DOUBLE)))) AS max_shift
          |FROM nc n JOIN cent c ON n.cid2 = c.cid JOIN mem m ON n.cid2 = m.bucket""".stripMargin,
+    "semantic_clusters" ->
+      // SemDeDup clustering: transitive closure over the trained-bucket
+      // cosine pairs via recursive CTE (the dedup_clusters discipline on
+      // the embedding graph); KmeansTrain2Body's own WITH is stripped so
+      // RECURSIVE can take the single WITH slot
+      s"""WITH RECURSIVE $SemClusterBody
+         |SELECT vec_id, cluster FROM scl""".stripMargin,
+    "semantic_keep" ->
+      // keeper = farthest-from-centroid member (ccos asc, vec_id) —
+      // SemDeDup's keep-the-outlier heuristic; ccos is the bit-exact
+      // round-2 assignment cosine kmeans_train2 already pins
+      s"""WITH RECURSIVE $SemClusterBody,
+         |kk AS (SELECT s.cluster, a.vec_id, a.ccos,
+         |    row_number() OVER (PARTITION BY s.cluster ORDER BY a.ccos ASC, a.vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY s.cluster) AS n_vecs
+         |  FROM scl s JOIN asn2 a ON s.vec_id = a.vec_id)
+         |SELECT cluster, vec_id AS keeper, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  ccos AS keeper_cos
+         |FROM kk WHERE rn = 1""".stripMargin,
     "semantic_neardup" ->
       // embedding_neardup's pair pattern over the TRAINED round-2 buckets
       s"""$KmeansTrain2Body,

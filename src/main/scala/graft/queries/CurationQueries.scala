@@ -43,16 +43,31 @@ object CurationQueries {
   private[graft] def dedupClustersWithRounds(
       spark: SparkSession, dir: String): (DataFrame, Int) = {
     val edges = SimilarityQueries.minhashLsh(spark, dir)
-    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("node_id"))
+    val (labels, rounds) = minLabelComponents(edges, nodes)
+    (labels.withColumnRenamed("node_id", "doc_id"), rounds)
+  }
+
+  /** Connected components by iterative min-label propagation over an
+    * arbitrary undirected edge list `(a, b)` — the shared core behind
+    * [[dedupClusters]] (MinHash near-dup graph) and [[semanticClusters]]
+    * (embedding near-dup graph). Every node in `nodes(node_id)` comes
+    * back labeled with its component's minimal node id (edge-free
+    * singletons label themselves); the Int is the round count, which
+    * tracks component DIAMETER, not size. */
+  private[graft] def minLabelComponents(
+      edges: DataFrame, nodes: DataFrame): (DataFrame, Int) = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    // Iterate ONLY over nodes that touch an edge: a doc with no LSH
+    // Iterate ONLY over nodes that touch an edge: a node with no
     // candidate can never change labels, and on a real corpus the
     // near-dup subgraph is a sliver of the whole (the full label table
     // would pay |corpus| shuffle rows per round for nothing). Singletons
     // rejoin at the end with cluster = own id.
-    var labels = adj.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
+    var labels = adj.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), col("node_id").as("cluster"))
       .cache()
     var changed = 1L
     var rounds = 0
@@ -63,15 +78,15 @@ object CurationQueries {
     // keep/drop decisions downstream), hence the throw below.
     val maxRounds = 1000
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = adj.join(labels, col("src") === col("doc_id"))
+      val nbrMin = adj.join(labels, col("src") === col("node_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       // ONE job per round: the next labels and the convergence signal
       // come out of the same cached frame — the filter-count both fills
       // the cache and returns how many labels improved (both `cluster`
       // references below bind to the INPUT column, pre-alias)
-      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+      val next = labels.join(nbrMin, col("node_id") === col("dst"), "left")
         .select(
-          col("doc_id"),
+          col("node_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           (col("nbr_min") < col("cluster")).as("chg")
         )
@@ -79,12 +94,12 @@ object CurationQueries {
       changed = next.filter(col("chg")).count()
       prevCache.unpersist()
       prevCache = next
-      labels = next.select(col("doc_id"), col("cluster"))
+      labels = next.select(col("node_id"), col("cluster"))
       rounds += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
+        s"minLabelComponents did not converge in $maxRounds rounds ($changed labels still moving)")
     // Materialize the converged labels ONCE (served from the cache being
     // released) into ContextCleaner-managed blocks: truncates the
     // rounds-deep join lineage and lets the last round's cache be
@@ -92,11 +107,57 @@ object CurationQueries {
     val finalLabels = labels.localCheckpoint(true)
     prevCache.unpersist()
     adj.unpersist()
-    val result = Tables.documents(spark, dir)
-      .select(col("doc_id"))
-      .join(finalLabels.withColumnRenamed("cluster", "prop_cluster"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("prop_cluster"), col("doc_id")).as("cluster"))
+    val result = nodes
+      .join(finalLabels.withColumnRenamed("cluster", "prop_cluster"), Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("prop_cluster"), col("node_id")).as("cluster"))
     (result, rounds)
+  }
+
+  /** SemDeDup's clustering step: connected components over the
+    * [[SimilarityQueries.semanticNearDup]] edge set (cosine ≥ 0.3 inside
+    * a trained k-means bucket) — the embedding-side twin of
+    * [[dedupClusters]], sharing [[minLabelComponents]] verbatim. Every
+    * vector (singletons included) maps to its component's minimal
+    * vec_id.
+    *
+    * Scale (100 TB): edges are bucket-bounded (never vector×vector);
+    * each propagation round is one equijoin + keyed min restricted to
+    * the edge-touched subgraph; rounds ≈ component diameter. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SimilarityQueries.semanticNearDup(spark, dir)
+      .select(col("va").as("a"), col("vb").as("b"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node_id"))
+    minLabelComponents(edges, nodes)._1
+      .withColumnRenamed("node_id", "vec_id")
+  }
+
+  /** SemDeDup's keeper election: one representative per semantic
+    * component — the vector FARTHEST from its trained centroid (lowest
+    * assignment cosine, vec_id tie-break), which is SemDeDup's own
+    * heuristic (Abbas et al. 2023: keeping the outlier of a duplicate
+    * cluster preserves the most information; keeping the medoid keeps
+    * the most redundant point). Emits the keep-list with component size
+    * and the keeper's centroid cosine.
+    *
+    * Exactness: the assignment cosine is the round-2 trained `ccos`
+    * already proven bit-exact by `kmeans_train2`; the pick is a
+    * deterministic (cos asc, vec_id) window.
+    *
+    * Scale: one vec_id equijoin of labels onto the assignment frame,
+    * then a component-keyed window over LSH-bounded components — the
+    * [[dedupKeepBest]] shape on the embedding side. */
+  def semanticKeep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = semanticClusters(spark, dir)
+    val scored = SimilarityQueries.kmeansTrain(spark, dir, rounds = 2)
+      .select(col("vec_id"), col("cos"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    val pick = byCluster.orderBy(col("cos").asc, col("vec_id").asc)
+    clusters.join(scored, "vec_id")
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_vecs", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("keeper"),
+        col("n_vecs"), col("cos").as("keeper_cos"))
   }
 
   /** Keeper election per near-dup cluster: the curation decision that

@@ -966,6 +966,39 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("semantic_clusters matches a driver union-find; semantic_keep picks the farthest member") {
+    val edges = SimilarityQueries.semanticNearDup(spark, dir)
+      .select("va", "vb").as[(Long, Long)].collect()
+    val nodes = Tables.embeddings(spark, dir).select("vec_id").as[Long].collect()
+    // independent reference: plain union-find over the same edge set
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = nodes.map(n => n -> find(n)).toMap
+    // min-anchor labels: normalize the reference to min-id per component
+    val byRoot = want.groupBy(_._2).map { case (_, m) => (m.keys.min, m.keys.toSet) }
+    val wantMin = byRoot.flatMap { case (minId, members) => members.map(_ -> minId) }
+    val got = graft.queries.CurationQueries.semanticClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == wantMin)
+    // keeper election: lowest assignment cosine in its component, vec_id
+    // tie-break; exactly one keeper per component; sizes cover all vectors
+    val cos = SimilarityQueries.kmeansTrain2(spark, dir)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val keep = graft.queries.CurationQueries.semanticKeep(spark, dir).collect()
+    assert(keep.map(_.getLong(0)).toSet == got.values.toSet)
+    assert(keep.map(_.getLong(2)).sum == nodes.length.toLong)
+    keep.foreach { r =>
+      val members = got.collect { case (v, c) if c == r.getLong(0) => v }
+      val expect = members.minBy(v => (cos(v), v))
+      assert(r.getLong(1) == expect)
+      assert(r.getDouble(3) == cos(expect))
+    }
+  }
+
   test("ivfpq_ann: dense top-3 per query, candidates only from probed buckets; recall well-formed") {
     val out = SimilarityQueries.ivfPqAnn(spark, dir).collect()
     val byQ = out.groupBy(_.getLong(0))
