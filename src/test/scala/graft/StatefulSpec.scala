@@ -588,6 +588,84 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel agrees with a driver recompute and the batch funnel counts exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    // horizon wider than the fixture's whole time range: each user's
+    // funnel must span ALL their events (the batch query's scope) and
+    // emit exactly once; the sentinel then advances the watermark past
+    // every last-event + horizon to fire every timeout
+    val horizonMs = 60L * 86400000L
+    val sentinel = graft.streaming.FunnelMonitor.FunnelEvt(
+      999999999L, ev.map(_._2).max + (horizonMs + 86400000L) * 1000L, "view")
+    def toEvt(t: (Long, Long, String)) =
+      graft.streaming.FunnelMonitor.FunnelEvt(t._1, t._2, t._3)
+    val ms = MemoryStream[graft.streaming.FunnelMonitor.FunnelEvt]
+    val q = graft.streaming.FunnelMonitor.track(ms.toDS(), horizonMs = horizonMs)
+      .writeStream.format("memory").queryName("funnelmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-funnelmon")).start()
+    ms.addData(first.map(toEvt).toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.map(toEvt).toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnelmon")
+      .filter(col("user_id") =!= 999999999L)
+      .as[graft.streaming.FunnelMonitor.Conversion].collect()
+      .map(c => c.user_id -> ((c.t_view, c.t_click, c.t_purchase))).toMap
+    // independent reference: the batch chain per user in plain Scala
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val tv = rows.filter(_._3 == "view").map(_._2).minOption
+      val tc = tv.flatMap(v => rows.filter(r => r._3 == "click" && r._2 > v).map(_._2).minOption)
+      val tp = tc.flatMap(c => rows.filter(r => r._3 == "purchase" && r._2 > c).map(_._2).minOption)
+      u -> ((tv, tc, tp))
+    }
+    assert(streamed == want)
+    assert(streamed.nonEmpty && streamed.values.exists(_._3.isDefined),
+      "fixture should contain full conversions")
+    // aggregate parity with the batch query's per-step user counts
+    val batchCounts = graft.queries.AnalyticsQueries.funnelSteps(spark, dir)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(batchCounts(1L) == streamed.values.count(_._1.isDefined))
+    assert(batchCounts(2L) == streamed.values.count(_._2.isDefined))
+    assert(batchCounts(3L) == streamed.values.count(_._3.isDefined))
+  }
+
+  test("funnel horizon: an activity gap beyond the horizon splits a user into separate funnels") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.FunnelMonitor.FunnelEvt
+    val ms = MemoryStream[FunnelEvt]
+    val q = graft.streaming.FunnelMonitor.track(ms.toDS(), horizonMs = 60000L)
+      .writeStream.format("memory").queryName("funnelsplit").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-funnelsplit")).start()
+    // burst 1: view + click at ~1000 s
+    ms.addData(FunnelEvt(1L, 1000000000L, "view"), FunnelEvt(1L, 1001000000L, "click"))
+    q.processAllAvailable()
+    // an unrelated user's event pushes the watermark past burst 1's
+    // timeout while user 1 is silent — the first funnel closes WITHOUT
+    // a purchase
+    ms.addData(FunnelEvt(2L, 5000000000L, "view"))
+    q.processAllAvailable()
+    // burst 2: a fresh funnel for user 1, fully converting; sentinel
+    // flushes everything
+    ms.addData(
+      FunnelEvt(1L, 6000000000L, "view"), FunnelEvt(1L, 6001000000L, "click"),
+      FunnelEvt(1L, 6002000000L, "purchase"), FunnelEvt(3L, 10000000000000L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("funnelsplit")
+      .filter(col("user_id") === 1L)
+      .as[graft.streaming.FunnelMonitor.Conversion].collect()
+      .map(c => (c.t_view, c.t_click, c.t_purchase)).sortBy(_._1)
+    assert(u1.toSeq == Seq(
+      (Some(1000000000L), Some(1001000000L), None),
+      (Some(6000000000L), Some(6001000000L), Some(6002000000L))))
+  }
+
   test("streaming drift vs frozen reference: replayed window scores exactly 0, shifted regime exactly 1.8") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // reference: 100 events uniform over values 0..9 → 10 bins × 10
