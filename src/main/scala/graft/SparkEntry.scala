@@ -55,6 +55,8 @@ object SparkEntry {
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
+    "srp_estimate" -> (SimilarityQueries.srpEstimate _),
+    "span_excise" -> (TextQueries.spanExcise _),
     "lsh_recall" -> (SimilarityQueries.lshRecall _),
     "dist_drift" -> (AnalyticsQueries.distDrift _),
     "semantic_clusters" -> (CurationQueries.semanticClusters _),
@@ -256,6 +258,70 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
        |       FROM p2),
        |asn2 AS (SELECT vec_id, embedding, nrm, cid2 AS bucket, ccos FROM r2 WHERE rn = 1)""".stripMargin
+
+  /** Duplicated-substring span CTE chain (mirrors
+    * TextQueries.dupSpanFrame): 5-token shingle positions with 60-bit
+    * hashes, occurrence counts (> 1 = duplicated), per-doc
+    * gaps-and-islands merge. Terminal CTEs: `n(doc_id, n_tokens, ws)`
+    * and `sp(doc_id, island, st, en)` — shared by the `substring_dedup`
+    * and `span_excise` oracles. */
+  private lazy val SubstringSpanBody: String =
+    s"""w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+       |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM w),
+       |sx AS (SELECT doc_id,
+       |         unnest(range(1, len(ws) - 3)) AS pos,
+       |         unnest(list_transform(range(1, len(ws) - 3), i ->
+       |           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sg
+       |       FROM n WHERE len(ws) >= 5),
+       |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash60Sql("sg")} AS h FROM sx),
+       |cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
+       |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),
+       |ix AS (SELECT doc_id, pos,
+       |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |       FROM dx),
+       |jx AS (SELECT doc_id, pos,
+       |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+       |       FROM ix),
+       |kx AS (SELECT doc_id, pos,
+       |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |       FROM jx),
+       |sp AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 4 AS en
+       |       FROM kx GROUP BY 1, 2)""".stripMargin
+
+  /** SRP signature + band-candidate CTE chain (mirrors
+    * SimilarityQueries.srpSigFrame/srpBandCands): the 64 hyperplane
+    * bitmasks as shared literals (MinhashSeeds discipline); the
+    * quantize → ±BIGINT sum → sign chain mirrors
+    * graft.expressions.SrpSign64 exactly; (p >> k) & 1 reads the same
+    * bit whether the shift is arithmetic (DuckDB) or logical (the
+    * kernel's >>>). Terminal CTEs: `sig(vec_id, sp_lo, sp_hi)`,
+    * `cand(va, vb)`, `sen(vec_id, embedding, nrm)` — shared by the
+    * `srp_neardup` and `srp_estimate` oracles. */
+  private lazy val SrpCandBody: String = {
+    val planes = SimilarityQueries.SrpPlanes
+      .map(p => s"CAST($p AS BIGINT)").mkString("[", ", ", "]")
+    s"""qv AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, b,
+       |    list_sum(list_transform(range(1, len(q) + 1),
+       |      d -> q[d] * (CASE WHEN ($planes[CAST(b + 1 AS INT)] >> CAST((d - 1) % 64 AS INT)) & 1 = 1
+       |                        THEN 1 ELSE -1 END))) AS sv
+       |  FROM qv, (SELECT unnest(range(0, 64)) AS b) bs),
+       |sig AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN sv > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sp_lo,
+       |    CAST(sum(CASE WHEN sv > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sp_hi
+       |  FROM s GROUP BY vec_id),
+       |bands AS (SELECT vec_id, b,
+       |    CASE WHEN b < 4 THEN (sp_lo >> CAST(8 * b AS INT)) & 255
+       |         ELSE (sp_hi >> CAST(8 * (b - 4) AS INT)) & 255 END AS bv
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b) b8),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+       |sen AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings)""".stripMargin
+  }
 
   /** Semantic-component CTE chain (extends [[KmeansTrain2Body]], its own
     * `WITH` stripped so the caller's `WITH RECURSIVE` owns the clause):
@@ -581,29 +647,7 @@ object SparkEntry {
       // 5-token shingle positions, hashed occurrence counts (> 1 = dup),
       // gaps-and-islands span merge per doc — BIGINTs throughout, one
       // final integer division for dup_frac
-      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
-         |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM w),
-         |sx AS (SELECT doc_id,
-         |         unnest(range(1, len(ws) - 3)) AS pos,
-         |         unnest(list_transform(range(1, len(ws) - 3), i ->
-         |           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sg
-         |       FROM n WHERE len(ws) >= 5),
-         |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash60Sql("sg")} AS h FROM sx),
-         |cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
-         |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),
-         |ix AS (SELECT doc_id, pos,
-         |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |       FROM dx),
-         |jx AS (SELECT doc_id, pos,
-         |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
-         |       FROM ix),
-         |kx AS (SELECT doc_id, pos,
-         |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |       FROM jx),
-         |sp AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 4 AS en
-         |       FROM kx GROUP BY 1, 2),
+      s"""WITH $SubstringSpanBody,
          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
          |         CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
          |       FROM sp GROUP BY 1)
@@ -614,6 +658,23 @@ object SparkEntry {
          |       THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE)
          |       ELSE 0.0 END AS dup_frac
          |FROM n LEFT JOIN pd ON n.doc_id = pd.doc_id""".stripMargin,
+    "span_excise" ->
+      // the rewrite over the shared span chain: tokens outside every
+      // duplicated span, rebuilt in position order — the md5 of the
+      // kept stream pins the whole rewrite byte-for-byte
+      s"""WITH $SubstringSpanBody,
+         |tk AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+         |         unnest(ws) AS tok FROM n),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.st AND sp.en)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+         |       FROM kept GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens,
+         |  COALESCE(ag.kept_tokens, 0) AS kept_tokens,
+         |  COALESCE(ag.clean_fp, md5('')) AS clean_fp
+         |FROM n LEFT JOIN ag ON n.doc_id = ag.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $WordToksSql AS tokens FROM documents)
          |SELECT doc_id, lang, length(text) AS text_len, len(tokens) AS n_tokens,
@@ -780,38 +841,21 @@ object SparkEntry {
          |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin,
-    "srp_neardup" -> {
-      // the 64 hyperplane bitmasks as shared literals (MinhashSeeds
-      // discipline); quantize → ±BIGINT sum → sign chain mirrors
-      // graft.expressions.SrpSign64 exactly; (p >> k) & 1 reads the
-      // same bit whether the shift is arithmetic (DuckDB) or logical
-      // (the kernel's >>>)
-      val planes = SimilarityQueries.SrpPlanes
-        .map(p => s"CAST($p AS BIGINT)").mkString("[", ", ", "]")
-      s"""WITH qv AS (SELECT vec_id,
-         |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |s AS (SELECT vec_id, b,
-         |    list_sum(list_transform(range(1, len(q) + 1),
-         |      d -> q[d] * (CASE WHEN ($planes[CAST(b + 1 AS INT)] >> CAST((d - 1) % 64 AS INT)) & 1 = 1
-         |                        THEN 1 ELSE -1 END))) AS sv
-         |  FROM qv, (SELECT unnest(range(0, 64)) AS b) bs),
-         |sig AS (SELECT vec_id,
-         |    CAST(sum(CASE WHEN sv > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sp_lo,
-         |    CAST(sum(CASE WHEN sv > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sp_hi
-         |  FROM s GROUP BY vec_id),
-         |bands AS (SELECT vec_id, b,
-         |    CASE WHEN b < 4 THEN (sp_lo >> CAST(8 * b AS INT)) & 255
-         |         ELSE (sp_hi >> CAST(8 * (b - 4) AS INT)) & 255 END AS bv
-         |  FROM sig, (SELECT unnest(range(0, 8)) AS b) b8),
-         |cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
-         |en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
+    "srp_neardup" ->
+      s"""WITH $SrpCandBody,
          |p AS (SELECT cand.va, cand.vb,
          |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
-         |  FROM cand JOIN en ea ON cand.va = ea.vec_id JOIN en eb ON cand.vb = eb.vec_id)
-         |SELECT va, vb, cos FROM p WHERE cos >= ${SimilarityQueries.SrpCosThreshold}""".stripMargin
-    },
+         |  FROM cand JOIN sen ea ON cand.va = ea.vec_id JOIN sen eb ON cand.vb = eb.vec_id)
+         |SELECT va, vb, cos FROM p WHERE cos >= ${SimilarityQueries.SrpCosThreshold}""".stripMargin,
+    "srp_estimate" ->
+      // every band candidate: 64-bit signature Hamming (the sketch's
+      // angle estimate) beside the exact pinned-fold cosine
+      s"""WITH $SrpCandBody
+         |SELECT cand.va, cand.vb,
+         |  CAST(bit_count(xor(a.sp_lo, b2.sp_lo)) + bit_count(xor(a.sp_hi, b2.sp_hi)) AS BIGINT) AS hamming,
+         |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+         |FROM cand JOIN sig a ON cand.va = a.vec_id JOIN sig b2 ON cand.vb = b2.vec_id
+         |  JOIN sen ea ON cand.va = ea.vec_id JOIN sen eb ON cand.vb = eb.vec_id""".stripMargin,
     "lsh_recall" -> {
       // truth = exact hashed-shingle Jaccard via the co-occurrence
       // equijoin (r-prefixed CTEs so they don't collide with

@@ -1410,13 +1410,17 @@ object SimilarityQueries {
     * bucket-size dial: 8-bit bands give 256 buckets/band (fine at fixture
     * N; at 10⁹+ vectors widen to 16-bit bands exactly as
     * `simhash_neardup` argues, same plumbing). */
-  def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val sig = e
-      .select(col("vec_id"), srpSign64(col("embedding")).as("srp"))
+  /** The (vec_id, sp_lo, sp_hi) SRP signature frame — the two positive
+    * 32-bit halves from the native kernel. */
+  private def srpSigFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), srpSign64(col("embedding")).as("srp"))
       .select(col("vec_id"),
         element_at(col("srp"), 1).as("sp_lo"),
         element_at(col("srp"), 2).as("sp_hi"))
+
+  /** Distinct canonical candidate pairs from the 8×8-bit band equijoin
+    * over a signature frame. */
+  private def srpBandCands(sig: DataFrame): DataFrame = {
     val banded = sig
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("b"),
         col("sp_lo"), col("sp_hi"))
@@ -1425,15 +1429,44 @@ object SimilarityQueries {
       .select(col("vec_id"), col("b"), col("bv"))
     val a = banded.select(col("vec_id").as("va"), col("b"), col("bv"))
     val c = banded.select(col("vec_id").as("vb"), col("b").as("b2"), col("bv").as("bv2"))
-    val cand = a
-      .join(c, col("b") === col("b2") && col("bv") === col("bv2") && col("va") < col("vb"))
+    a.join(c, col("b") === col("b2") && col("bv") === col("bv2") && col("va") < col("vb"))
       .select(col("va"), col("vb"))
       .distinct()
+  }
+
+  def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cand = srpBandCands(srpSigFrame(e))
     val ea = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
     cand.join(ea, "va").join(eb, "vb")
       .withColumn("cos", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= SrpCosThreshold)
       .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** SRP estimator audit — [[minhashEstimate]]'s discipline for the
+    * hyperplane family: every band-candidate pair reports its full
+    * 64-bit signature Hamming distance (the SKETCH's angle estimate:
+    * E[hamming]/64 = θ/π, Charikar 2002) beside the EXACT cosine, so a
+    * banding/threshold choice is justified by measured estimator error,
+    * not the asymptotic formula. Hamming is exact integer XOR popcount
+    * on the two positive halves; cosine is the pinned index-order fold.
+    *
+    * Scale: the candidate set is band-bounded; signatures re-join by
+    * vec_id (8 bytes each), embeddings only for the surviving pairs —
+    * the [[srpNearDup]] plan plus one popcount projection. */
+  def srpEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val sig = srpSigFrame(e)
+    val cand = srpBandCands(sig)
+    val sa = sig.select(col("vec_id").as("va"), col("sp_lo").as("la"), col("sp_hi").as("ha"))
+    val sb = sig.select(col("vec_id").as("vb"), col("sp_lo").as("lb"), col("sp_hi").as("hb"))
+    val ea = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(sa, "va").join(sb, "vb").join(ea, "va").join(eb, "vb")
+      .select(col("va"), col("vb"),
+        expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)").as("hamming"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
   }
 }

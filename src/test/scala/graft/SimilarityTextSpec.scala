@@ -90,6 +90,25 @@ class SimilarityTextSpec extends SparkSuite {
     // doc 4: "rep one rep two rep" at starts 1 and 6 → all 10 tokens
     // covered by one merged span
     assert(got(4L) == ((10L, 1L, 10L, 1.0)))
+
+    // the excision rewrite over the same spans: kept = tokens outside
+    // every span, fingerprint = md5 of the kept stream in order
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cleaned = graft.queries.TextQueries.spanExcise(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_fp")))).toMap
+    assert(cleaned(1L) == ((12L, 4L, md5Hex("one two iota kappa"))))
+    assert(cleaned(2L) == ((12L, 4L, md5Hex("uno dos lambda mu"))))
+    assert(cleaned(3L) == ((8L, 8L,
+      md5Hex("completely unrelated words nothing matches here at all"))))
+    // doc 4 is excised entirely: zero kept tokens, empty-stream hash
+    assert(cleaned(4L) == ((10L, 0L, md5Hex(""))))
+    // reconciliation with the profile on every doc: kept = n − dup
+    cleaned.foreach { case (id, (n, kept, _)) =>
+      assert(kept == n - got(id)._3)
+    }
   }
 
   test("winnowing: shared substring >= k+w-1 chars forces a shared fingerprint") {
@@ -376,6 +395,22 @@ class SimilarityTextSpec extends SparkSuite {
       assert(ba.zip(bb).exists { case (x, y) => x == y },
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) shares no band")
     }
+  }
+
+  test("srp_estimate: hamming bounded; srp_neardup is exactly its cos-filtered subset") {
+    val dir = "/root/testdata/sf0.001"
+    val est = graft.queries.SimilarityQueries.srpEstimate(spark, dir).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val h = r.getLong(2)
+      assert(h >= 0L && h <= 64L)
+    }
+    val nd = graft.queries.SimilarityQueries.srpNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromEst = est.filter(_.getDouble(3) >= 0.3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(nd == fromEst, "neardup must be the estimate frame filtered at the threshold")
   }
 
   test("lsh_recall: 9 thresholds, monotone truth counts, caught bounded by truth and by LSH pairs") {
