@@ -57,6 +57,7 @@ object SparkEntry {
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
     "srp_estimate" -> (SimilarityQueries.srpEstimate _),
     "span_excise" -> (TextQueries.spanExcise _),
+    "span_excise_keep_one" -> (TextQueries.spanExciseKeepOne _),
     "lsh_recall" -> (SimilarityQueries.lshRecall _),
     "dist_drift" -> (AnalyticsQueries.distDrift _),
     "semantic_clusters" -> (CurationQueries.semanticClusters _),
@@ -265,7 +266,24 @@ object SparkEntry {
     * gaps-and-islands merge. Terminal CTEs: `n(doc_id, n_tokens, ws)`
     * and `sp(doc_id, island, st, en)` — shared by the `substring_dedup`
     * and `span_excise` oracles. */
-  private lazy val SubstringSpanBody: String =
+  private lazy val SubstringSpanBody: String = substringSpanBody(keepOne = false)
+
+  /** The keep-one variant: each duplicated shingle's lexicographically
+    * first occurrence is NOT a duplication mark (mirrors
+    * TextQueries.dupSpanFrameKeepOne's struct-min election via a
+    * (doc_id, pos)-ordered row_number). */
+  private lazy val SubstringSpanKeepOneBody: String = substringSpanBody(keepOne = true)
+
+  private def substringSpanBody(keepOne: Boolean): String = {
+    val cx =
+      if (keepOne)
+        """cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt,
+          |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          |       FROM hx),
+          |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1 AND rn > 1),""".stripMargin
+      else
+        """cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
+          |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),""".stripMargin
     s"""w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
        |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM w),
        |sx AS (SELECT doc_id,
@@ -274,8 +292,7 @@ object SparkEntry {
        |           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sg
        |       FROM n WHERE len(ws) >= 5),
        |hx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${hash60Sql("sg")} AS h FROM sx),
-       |cx AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM hx),
-       |dx AS (SELECT doc_id, pos FROM cx WHERE cnt > 1),
+       |$cx
        |ix AS (SELECT doc_id, pos,
        |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -289,6 +306,7 @@ object SparkEntry {
        |       FROM jx),
        |sp AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 4 AS en
        |       FROM kx GROUP BY 1, 2)""".stripMargin
+  }
 
   /** SRP signature + band-candidate CTE chain (mirrors
     * SimilarityQueries.srpSigFrame/srpBandCands): the 64 hyperplane
@@ -663,6 +681,23 @@ object SparkEntry {
       // duplicated span, rebuilt in position order — the md5 of the
       // kept stream pins the whole rewrite byte-for-byte
       s"""WITH $SubstringSpanBody,
+         |tk AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+         |         unnest(ws) AS tok FROM n),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.st AND sp.en)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+         |       FROM kept GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens,
+         |  COALESCE(ag.kept_tokens, 0) AS kept_tokens,
+         |  COALESCE(ag.clean_fp, md5('')) AS clean_fp
+         |FROM n LEFT JOIN ag ON n.doc_id = ag.doc_id""".stripMargin,
+    "span_excise_keep_one" ->
+      // keep-one policy: the (doc_id, pos)-first occurrence of each
+      // duplicated shingle is not a mark (rn = 1 elected), so one copy
+      // of every duplicated run survives corpus-wide
+      s"""WITH $SubstringSpanKeepOneBody,
          |tk AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
          |         unnest(ws) AS tok FROM n),
          |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t

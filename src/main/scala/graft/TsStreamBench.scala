@@ -86,6 +86,31 @@ object TsStreamBench {
       val item = if (r < 500) r % 5 else r
       (s"series_$s", (i / nSeries).toLong, s"item_$item")
     }
+    // event-shaped inputs for the windowed monitors: event time advances
+    // one minute per bucket row, so the run spans n/nSeries windows of
+    // the 10-min aggregations (state = series × open-window, the shape
+    // the monitors claim)
+    val cardData = (0 until n).map { i =>
+      val b = i / nSeries
+      val s = i % nSeries
+      (s"series_$s", b.toLong * 60000L, (i % 997).toLong)
+    }
+    val driftRef = graft.streaming.DriftMonitor.referenceHistogram(
+      (0 until 10000).map(i => (s"series_${i % nSeries}", (i % 97).toDouble))
+        .toDF("event_type", "value"))
+      .localCheckpoint(true)
+    val driftData = (0 until n).map { i =>
+      val b = i / nSeries
+      val s = i % nSeries
+      (s"series_$s", b.toLong * 60000L, (i % 97).toDouble)
+    }
+    val funnelData = (0 until n).map { i =>
+      val step = i % 3 match {
+        case 0 => "view"; case 1 => "click"; case _ => "purchase"
+      }
+      graft.streaming.FunnelMonitor.FunnelEvt(
+        (i % (nSeries * 16)).toLong, (i / nSeries).toLong * 60000000L, step)
+    }
     // warmup: one-time codegen + store init, untimed — the volume and
     // heavy-hitter paths warm separately (different input types /
     // encoders / processors, so their plans would otherwise compile
@@ -98,6 +123,14 @@ object TsStreamBench {
       graft.streaming.HeavyHitters.topK(ds, 8))
     runOnce(rows(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.EwmaSmooth.smooth(ds))
+    runOnce(cardData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
+      graft.streaming.CardinalityMonitor.distinctUsers(ds).as[(String, Long, Long)])
+    runOnce(driftData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.DriftMonitor.scoreDrift(ds, driftRef)
+        .as[(String, Long, Long, Long, Double)])
+    runOnce(funnelData.take(2000),
+      (ds: org.apache.spark.sql.Dataset[graft.streaming.FunnelMonitor.FunnelEvt]) =>
+        graft.streaming.FunnelMonitor.track(ds, horizonMs = 3600000L))
 
     val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))
@@ -113,8 +146,16 @@ object TsStreamBench {
       graft.streaming.HeavyHitters.topK(ds, 8))
     val eSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.EwmaSmooth.smooth(ds))
+    val cSec = runOnce(cardData, (ds: org.apache.spark.sql.Dataset[(String, Long, Long)]) =>
+      graft.streaming.CardinalityMonitor.distinctUsers(ds).as[(String, Long, Long)])
+    val dSec = runOnce(driftData, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.DriftMonitor.scoreDrift(ds, driftRef)
+        .as[(String, Long, Long, Long, Double)])
+    val fSec = runOnce(funnelData,
+      (ds: org.apache.spark.sql.Dataset[graft.streaming.FunnelMonitor.FunnelEvt]) =>
+        graft.streaming.FunnelMonitor.track(ds, horizonMs = 3600000L))
     println(
-      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"hitters_rps":${n / hSec}%.0f,"ewma_rps":${n / eSec}%.0f,"state_store":"rocksdb"}""")
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"hitters_rps":${n / hSec}%.0f,"ewma_rps":${n / eSec}%.0f,"cardinality_rps":${n / cSec}%.0f,"drift_rps":${n / dSec}%.0f,"funnel_rps":${n / fSec}%.0f,"state_store":"rocksdb"}""")
     spark.stop()
   }
 }

@@ -114,21 +114,26 @@ object TextQueries {
     * boilerplate mega-shingle would funnel its postings through one
     * task; partial aggregation absorbs it, and the join back is
     * AQE-skew-splittable). */
-  private def dupSpanFrame(docs: DataFrame): DataFrame = {
+  /** The 1-based shingle-start frame (doc_id, pos, 60-bit h) — hashes
+    * computed inside the projection so only compact keys reach any
+    * exchange. */
+  private def shingleStarts(docs: DataFrame): DataFrame = {
     val K = SpanK
-    val sh = docs
+    docs
       .where(size(col("ws")) >= K)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
           i => md5Hash60(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
-    val dupCounts = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1)
-      .select(col("h"))
+  }
+
+  /** Merge duplicated shingle-start marks (doc_id, pos) into maximal
+    * spans via per-doc gaps-and-islands. */
+  private def islandsOf(marks: DataFrame): DataFrame = {
+    val K = SpanK
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    sh.join(dupCounts, "h")
+    marks
       .withColumn("prev_end",
         max(col("pos") + (K - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",
@@ -138,6 +143,38 @@ object TextQueries {
         sum(col("ni")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("st"), (max(col("pos")) + (K - 1)).as("en"))
+  }
+
+  private def dupSpanFrame(docs: DataFrame): DataFrame = {
+    val sh = shingleStarts(docs)
+    val dupCounts = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("h"))
+    islandsOf(sh.join(dupCounts, "h"))
+  }
+
+  /** The keep-ONE-occurrence span frame: each duplicated shingle elects
+    * its lexicographically-first occurrence (min (doc_id, pos) — a
+    * map-side-combinable struct min, no window over the hot h
+    * partition); only NON-elected occurrences mark their tokens. The
+    * elected copy survives, so excising these spans deduplicates the
+    * corpus without losing content entirely — Lee et al. 2022's actual
+    * policy, where [[dupSpanFrame]]'s drop-all form is the conservative
+    * profile. */
+  private def dupSpanFrameKeepOne(docs: DataFrame): DataFrame = {
+    val sh = shingleStarts(docs)
+    val elected = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("cnt") > 1)
+      .select(col("h"),
+        col("first").getField("doc_id").as("e_doc"),
+        col("first").getField("pos").as("e_pos"))
+    val marks = sh.join(elected, "h")
+      .where(!(col("doc_id") === col("e_doc") && col("pos") === col("e_pos")))
+      .select(col("doc_id"), col("pos"))
+    islandsOf(marks)
   }
 
   /** Span EXCISION — the rewrite step [[substringDedup]]'s profile
@@ -160,8 +197,26 @@ object TextQueries {
     * global sort exists anywhere. */
   def spanExcise(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenizedDocs(spark, dir)
-    val spans = dupSpanFrame(docs)
-      .select(col("doc_id").as("s_doc"), col("st"), col("en"))
+    exciseSpans(docs, dupSpanFrame(docs))
+  }
+
+  /** [[spanExcise]] under the keep-one-occurrence policy
+    * ([[dupSpanFrameKeepOne]]): a duplicated run's FIRST occurrence
+    * (min (doc_id, pos) per shingle) keeps its tokens; all later copies
+    * excise. Corpus-wide, each duplicated substring survives exactly
+    * where it first appeared — the rewrite that deduplicates without
+    * deleting content outright. Same plan shape as [[spanExcise]] plus
+    * one struct-min aggregation. */
+  def spanExciseKeepOne(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenizedDocs(spark, dir)
+    exciseSpans(docs, dupSpanFrameKeepOne(docs))
+  }
+
+  /** Rebuild each doc's kept token stream outside `spans` and emit
+    * (doc_id, n_tokens, kept_tokens, clean_fp) — shared by both
+    * excision policies. */
+  private def exciseSpans(docs: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame.select(col("doc_id").as("s_doc"), col("st"), col("en"))
     val toks = docs
       .select(col("doc_id"), posexplode(col("ws")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),

@@ -109,6 +109,19 @@ class SimilarityTextSpec extends SparkSuite {
     cleaned.foreach { case (id, (n, kept, _)) =>
       assert(kept == n - got(id)._3)
     }
+
+    // keep-one policy: each duplicated shingle's (doc_id, pos)-first
+    // occurrence survives — doc 1 (the first copy of the shared run)
+    // keeps everything, doc 2 still excises; doc 4's self-repeat keeps
+    // its first occurrence (tokens 1..5) and excises the second
+    val keepOne = graft.queries.TextQueries.spanExciseKeepOne(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_fp")))).toMap
+    assert(keepOne(1L) == ((12L, 12L, md5Hex(s"one two $shared iota kappa"))))
+    assert(keepOne(2L) == ((12L, 4L, md5Hex("uno dos lambda mu"))))
+    assert(keepOne(3L) == cleaned(3L))
+    assert(keepOne(4L) == ((10L, 5L, md5Hex("rep one rep two rep"))))
   }
 
   test("winnowing: shared substring >= k+w-1 chars forces a shared fingerprint") {
