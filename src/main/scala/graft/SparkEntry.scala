@@ -58,6 +58,9 @@ object SparkEntry {
     "srp_estimate" -> (SimilarityQueries.srpEstimate _),
     "span_excise" -> (TextQueries.spanExcise _),
     "span_excise_keep_one" -> (TextQueries.spanExciseKeepOne _),
+    "token_zipf" -> (TextQueries.tokenZipf _),
+    "dup_degree_hist" -> (SimilarityQueries.dupDegreeHist _),
+    "neardup_families" -> (SimilarityQueries.neardupFamilies _),
     "lsh_recall" -> (SimilarityQueries.lshRecall _),
     "dist_drift" -> (AnalyticsQueries.distDrift _),
     "semantic_clusters" -> (CurationQueries.semanticClusters _),
@@ -259,6 +262,34 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS rn
        |       FROM p2),
        |asn2 AS (SELECT vec_id, embedding, nrm, cid2 AS bucket, ccos FROM r2 WHERE rn = 1)""".stripMargin
+
+  /** The 64-bit SimHash band-candidate CTE chain (mirrors
+    * TextQueries.simhash64Df + bandedHammingJoin's candidate stage),
+    * with every CTE name under `p` so it composes with other bodies
+    * (LshCandBody also terminates in an unprefixed `cand`). Terminal:
+    * `${p}cand(doc_a, doc_b, la, ha, lb, hb)` — the Hamming filter is
+    * the caller's. */
+  private def simhash64Body(p: String): String =
+    s"""${p}toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+       |${p}h AS (SELECT doc_id, ${hash32Sql("tok")} AS hlo,
+       |    ${hash32Sql("'hi:' || tok")} AS hhi FROM ${p}toks),
+       |${p}bits AS (SELECT doc_id, j,
+       |    CASE WHEN (hlo >> j) & 1 = 1 THEN 1 ELSE -1 END AS vlo,
+       |    CASE WHEN (hhi >> j) & 1 = 1 THEN 1 ELSE -1 END AS vhi
+       |  FROM ${p}h, (SELECT unnest(range(0, 32)) AS j) js),
+       |${p}s AS (SELECT doc_id, j, sum(vlo) AS slo, sum(vhi) AS shi FROM ${p}bits GROUP BY doc_id, j),
+       |${p}sfin AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN slo > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_lo,
+       |    CAST(sum(CASE WHEN shi > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_hi
+       |  FROM ${p}s GROUP BY doc_id),
+       |${p}banded AS (SELECT doc_id, sh_lo, sh_hi, b.b AS b,
+       |    CASE WHEN b.b < 2 THEN (sh_lo >> (16 * b.b)) & 65535
+       |         ELSE (sh_hi >> (16 * (b.b - 2))) & 65535 END AS band_val
+       |  FROM ${p}sfin, (SELECT unnest(range(0, 4)) AS b) b),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.sh_lo AS la, a.sh_hi AS ha, c.sh_lo AS lb, c.sh_hi AS hb
+       |  FROM ${p}banded a JOIN ${p}banded c
+       |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)""".stripMargin
 
   /** Duplicated-substring span CTE chain (mirrors
     * TextQueries.dupSpanFrame): 5-token shingle positions with 60-bit
@@ -766,26 +797,7 @@ object SparkEntry {
     "simhash_neardup" ->
       // 64-bit signature as two independent 32-bit halves (lo: md5(tok),
       // hi: md5('hi:'||tok)), banded 4×16 — mirrors TextQueries.simhash64Df
-      s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${hash32Sql("tok")} AS hlo,
-         |    ${hash32Sql("'hi:' || tok")} AS hhi FROM toks),
-         |bits AS (SELECT doc_id, j,
-         |    CASE WHEN (hlo >> j) & 1 = 1 THEN 1 ELSE -1 END AS vlo,
-         |    CASE WHEN (hhi >> j) & 1 = 1 THEN 1 ELSE -1 END AS vhi
-         |  FROM h, (SELECT unnest(range(0, 32)) AS j) js),
-         |s AS (SELECT doc_id, j, sum(vlo) AS slo, sum(vhi) AS shi FROM bits GROUP BY doc_id, j),
-         |sfin AS (SELECT doc_id,
-         |    CAST(sum(CASE WHEN slo > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_lo,
-         |    CAST(sum(CASE WHEN shi > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh_hi
-         |  FROM s GROUP BY doc_id),
-         |banded AS (SELECT doc_id, sh_lo, sh_hi, b.b AS b,
-         |    CASE WHEN b.b < 2 THEN (sh_lo >> (16 * b.b)) & 65535
-         |         ELSE (sh_hi >> (16 * (b.b - 2))) & 65535 END AS band_val
-         |  FROM sfin, (SELECT unnest(range(0, 4)) AS b) b),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-         |    a.sh_lo AS la, a.sh_hi AS ha, c.sh_lo AS lb, c.sh_hi AS hb
-         |  FROM banded a JOIN banded c
-         |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+      s"""WITH ${simhash64Body("")}
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6""".stripMargin,
@@ -1191,6 +1203,61 @@ object SparkEntry {
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "token_zipf" ->
+      // top-100 head with the Zipf cnt·rank diagnostic; (cnt desc, tok)
+      // is a strict total order so both engines agree on the cut
+      s"""WITH tz AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($WordToksSql) AS tok FROM documents)
+         |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
+         |  tok, cnt,
+         |  CAST(cnt * row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS cnt_x_rank
+         |FROM tz""".stripMargin,
+    "neardup_families" ->
+      // three pair sets (LSH cand, sm-prefixed simhash chain, exact-fp
+      // self-join), pairwise set sizes/overlap/Jaccard — the CTE names
+      // are disjoint by the sm prefix
+      s"""WITH $LshCandBody,
+         |${simhash64Body("sm")},
+         |smf AS (SELECT doc_a, doc_b FROM smcand
+         |        WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6),
+         |xd AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
+         |xp AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |       FROM xd a JOIN xd b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id),
+         |st AS (
+         |  SELECT 'minhash' AS fam_a, 'simhash' AS fam_b,
+         |    (SELECT count(*) FROM cand) AS n_a, (SELECT count(*) FROM smf) AS n_b,
+         |    (SELECT count(*) FROM cand c JOIN smf s2
+         |       ON c.doc_a = s2.doc_a AND c.doc_b = s2.doc_b) AS n_common
+         |  UNION ALL
+         |  SELECT 'minhash', 'exact',
+         |    (SELECT count(*) FROM cand), (SELECT count(*) FROM xp),
+         |    (SELECT count(*) FROM cand c JOIN xp x
+         |       ON c.doc_a = x.doc_a AND c.doc_b = x.doc_b)
+         |  UNION ALL
+         |  SELECT 'simhash', 'exact',
+         |    (SELECT count(*) FROM smf), (SELECT count(*) FROM xp),
+         |    (SELECT count(*) FROM smf s2 JOIN xp x
+         |       ON s2.doc_a = x.doc_a AND s2.doc_b = x.doc_b))
+         |SELECT fam_a, fam_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  CASE WHEN n_a + n_b - n_common > 0
+         |       THEN CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+         |       ELSE NULL END AS agreement
+         |FROM st""".stripMargin,
+    "dup_degree_hist" ->
+      // per-doc incident-edge counts over the shared cand CTE, rolled
+      // into a degree histogram; degree-0 docs counted by difference
+      s"""WITH $LshCandBody,
+         |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT doc_a AS d FROM cand UNION ALL SELECT doc_b FROM cand)
+         |  GROUP BY d),
+         |hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY 1),
+         |z AS (SELECT CAST(0 AS BIGINT) AS degree,
+         |    CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM deg) AS BIGINT) AS n_docs)
+         |SELECT degree, n_docs FROM hist
+         |UNION ALL SELECT degree, n_docs FROM z WHERE n_docs > 0""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $LshCandBody,
          |d AS (SELECT doc_id, list_distinct($ShingleSql) AS shs

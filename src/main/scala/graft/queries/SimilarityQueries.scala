@@ -827,6 +827,72 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Degree distribution of the near-dup graph: how many documents have
+    * 0, 1, 2, … LSH candidate partners — the graph-shape report read
+    * BEFORE trusting cluster/keeper decisions (next to [[dupTriangles]]'
+    * closure and `dedup_stats`' component sizes): a healthy corpus is
+    * almost all degree-0 with a thin dup tail; mass at high degree means
+    * template content or a collapsed LSH threshold. Pure integer counts.
+    *
+    * Scale: degrees are one map-combinable count over the LSH-bounded
+    * edge list (each edge contributes both endpoints); the histogram is
+    * a ≤max-degree-row rollup; degree-0 docs come from one compact
+    * doc_id anti-join. */
+  def dupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(spark, dir)
+    val deg = edges.select(col("doc_a").as("d"))
+      .unionAll(edges.select(col("doc_b").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+    val nZero = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(deg.select(col("d").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(0L).as("degree"), col("n_docs"))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .unionByName(nZero.filter(col("n_docs") > 0))
+  }
+
+  /** Cross-family near-dup agreement matrix — do the engine's dedup
+    * families agree on what a duplicate IS? For each pair of families
+    * (MinHash-LSH candidates, SimHash Hamming ≤ 6 pairs, exact
+    * normalized-fingerprint pairs), the pair-set sizes, the overlap, and
+    * pair-set Jaccard. The calibration read: exact pairs SHOULD be a
+    * subset of both sketch families (n_common(X, exact) = n_exact is a
+    * recall-of-exact-dups check on X), while minhash↔simhash agreement
+    * quantifies how differently shingle-Jaccard and token-frequency
+    * geometry carve the near-dup space — the number that justifies
+    * running both in a production pass.
+    *
+    * Scale: each family's pair set is LSH/band-bounded (never doc×doc;
+    * the exact-fp self-join groups are exact-dup clusters — tiny); the
+    * overlaps are pair-key equijoins; every aggregate folds to one row
+    * before the broadcast cross-joins assemble the 3-row report. */
+  def neardupFamilies(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashLsh(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val sh = TextQueries.simhashNearDup(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+    val ex = d.select(col("doc_id").as("a"), col("fp"))
+      .join(d.select(col("doc_id").as("b"), col("fp").as("fp2")),
+        col("fp") === col("fp2") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    def stats(na: String, fa: DataFrame, nb: String, fb: DataFrame): DataFrame =
+      fa.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(fb.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(
+          fa.join(fb, Seq("a", "b"), "left_semi").agg(count(lit(1)).as("n_common"))))
+        .select(lit(na).as("fam_a"), lit(nb).as("fam_b"),
+          col("n_a"), col("n_b"), col("n_common"),
+          when(col("n_a") + col("n_b") - col("n_common") > 0,
+            col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .otherwise(lit(null).cast("double")).as("agreement"))
+    stats("minhash", mh, "simhash", sh)
+      .unionByName(stats("minhash", mh, "exact", ex))
+      .unionByName(stats("simhash", sh, "exact", ex))
+  }
+
   /** Source-level content overlap, sketched AND exact: each source's
     * shingle SET is summarized by a mergeable MinHash signature (per-seed
     * `min` over every shingle the source emits — associative and

@@ -238,6 +238,30 @@ object TextQueries {
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
   }
 
+  /** Zipf rank-frequency profile: the top-100 corpus vocabulary by
+    * frequency with each term's `cnt·rank` product — Zipf's law predicts
+    * the product is roughly constant, and a corpus whose head deviates
+    * hard (product collapsing with rank) is template/boilerplate-heavy
+    * rather than natural text; the one-page distribution sanity check
+    * beside [[topTerms]]' per-language heads. Pure integer counts; the
+    * rank window runs AFTER the top-100 TakeOrderedAndProject prune
+    * (the `rank_fusion` discipline — bounded frame, no corpus window).
+    *
+    * Scale: one map-combinable vocabulary count, a per-partition-heap
+    * top-k, a 100-row window. */
+  def tokenZipf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(100)
+    counts
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(col("rk"), col("tok"), col("cnt"),
+        (col("cnt") * col("rk")).as("cnt_x_rank"))
+  }
+
   /** Per-document token statistics: counts, distinct counts, exact mean
     * token length (integer sum ÷ count through double — deterministic). */
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -410,6 +410,43 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("neardup_families: 3 family pairs, overlaps bounded, agreement is the pair-set Jaccard") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.neardupFamilies(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("minhash", "simhash"), ("minhash", "exact"), ("simhash", "exact")))
+    rows.foreach { r =>
+      val (na, nb, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common <= math.min(na, nb))
+      val union = na + nb - common
+      if (union > 0) assert(r.getDouble(5) == common.toDouble / union)
+      else assert(r.isNullAt(5))
+    }
+    // consistency with the family queries themselves
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair(("minhash", "simhash")).getLong(2) ==
+      graft.queries.SimilarityQueries.minhashLsh(spark, dir).count())
+    assert(byPair(("minhash", "simhash")).getLong(3) ==
+      graft.queries.TextQueries.simhashNearDup(spark, dir).count())
+  }
+
+  test("token_zipf: dense ranks, non-increasing counts, exact products; degree hist covers all docs") {
+    val dir = "/root/testdata/sf0.001"
+    val z = graft.queries.TextQueries.tokenZipf(spark, dir).orderBy("rk").collect()
+    assert(z.nonEmpty && z.length <= 100)
+    assert(z.map(_.getLong(0)).toSeq == (1L to z.length.toLong))
+    z.sliding(2).foreach(w => assert(w(0).getLong(2) >= w(1).getLong(2)))
+    z.foreach(r => assert(r.getLong(3) == r.getLong(2) * r.getLong(0)))
+    val hist = graft.queries.SimilarityQueries.dupDegreeHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(hist.values.sum == nDocs, "histogram must cover every document")
+    // handshake identity: Σ degree·count over the non-zero bins equals
+    // twice the edge count
+    val edges = graft.queries.SimilarityQueries.minhashLsh(spark, dir).count()
+    assert(hist.collect { case (d, n) if d > 0 => d * n }.sum == 2 * edges)
+  }
+
   test("srp_estimate: hamming bounded; srp_neardup is exactly its cos-filtered subset") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.SimilarityQueries.srpEstimate(spark, dir).collect()
