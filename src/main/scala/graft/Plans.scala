@@ -90,7 +90,9 @@ object Plans {
     "lsh_recall" -> "truth pairs via shingle-hash co-occurrence equijoin (audit-scoped, never all-pairs); candidate membership by canonical pair-key equijoin; 9 thresholds fold from one pair frame",
     "dist_drift" -> "time bounds + per-type value grids broadcast; ONE map-combinable (type, bin) aggregation; L1 folds exact rationals, one terminal division",
     "ivfpq_ann" -> "coarse route is the zero-shuffle broadcast-argmax; corpus query payload is 4 residual-PQ code ints per vector; per-(query, probed-bucket) ADC tables broadcast; candidates from the bucket equijoin",
-    "semantic_keep" -> "SemDeDup keeper election: labels equijoin onto the trained assignment, component-keyed WindowGroupLimit pick — dedup_keep_best's shape on the embedding graph"
+    "semantic_keep" -> "SemDeDup keeper election: labels equijoin onto the trained assignment, component-keyed WindowGroupLimit pick — dedup_keep_best's shape on the embedding graph",
+    "span_excise" -> "the substring-dedup REWRITE: tokens anti-join spans on (doc_id, range); kept stream rebuilt in one per-doc aggregation — text never a shuffle key, no global sort",
+    "neardup_families" -> "three LSH/band-bounded pair sets, pair-key semi-join overlaps, one-row aggregates assembled by broadcast cross-joins — the 3-row agreement report"
   )
 
   def main(args: Array[String]): Unit = {

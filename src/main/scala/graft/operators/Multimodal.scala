@@ -246,6 +246,102 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** REAL audio fingerprint over decoded PCM — the audio analog of
+    * [[imageDHash]]: decode (javax.sound, 16-bit signed PCM), fold
+    * channels to their per-frame sum, split the clip into 65 equal
+    * segments, per-segment mean ABSOLUTE amplitude (energy) in exact
+    * integer arithmetic, then one bit per adjacent segment pair: is
+    * this segment louder than the next? Uniform GAIN changes preserve
+    * every strict comparison (all energies scale together), so the
+    * fingerprint is volume-invariant by construction — the property
+    * that makes energy-delta hashing the audio near-dup key (the same
+    * role brightness-invariance plays for dHash); re-encodes and mild
+    * resampling approximately preserve segment energies, landing
+    * within a few Hamming bits. `None` for undecodable bytes,
+    * non-16-bit encodings, or clips shorter than 65 samples. The
+    * resulting 64-bit key feeds the identical band-equijoin + exact
+    * Hamming pipeline as the text/image families. */
+  val audioFingerprint: Array[Byte] => Option[Long] = { bytes =>
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val pcmOk =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16
+          if (!pcmOk || in.getFrameLength < 65) None
+          else {
+            val raw = in.readAllBytes()
+            val ch = f.getChannels
+            val be = f.isBigEndian
+            val nFrames = raw.length / (2 * ch)
+            // per-frame channel-sum amplitude, exact integers
+            val amp = new Array[Long](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var c = 0
+              var s = 0L
+              while (c < ch) {
+                val o = (i * ch + c) * 2
+                val v =
+                  if (be) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+                  else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+                s += math.abs(v.toLong)
+                c += 1
+              }
+              amp(i) = s
+              i += 1
+            }
+            if (nFrames < 65) None
+            else {
+              val energy = new Array[Long](65)
+              var k = 0
+              while (k < 65) {
+                val st = (k.toLong * nFrames / 65).toInt
+                val en = ((k + 1).toLong * nFrames / 65).toInt
+                var s = 0L
+                var j = st
+                while (j < en) { s += amp(j); j += 1 }
+                energy(k) = s / (en - st)
+                k += 1
+              }
+              var hash = 0L
+              k = 0
+              while (k < 64) {
+                if (energy(k) > energy(k + 1)) hash |= (1L << k)
+                k += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Per-doc audio fingerprint row. */
+  final case class AudioHash(doc_id: Long, afp: Long, ok: Boolean)
+
+  /** Partition-batched audio fingerprinting — [[phashBatch]]'s contract
+    * for the audio modality: per-partition decoder, failures as
+    * `ok=false` rows. */
+  def audioFpBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      fp: Array[Byte] => Option[Long] = audioFingerprint
+  ): org.apache.spark.sql.Dataset[AudioHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        fp(bytes) match {
+          case Some(h) => AudioHash(id, h, ok = true)
+          case None => AudioHash(id, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** Per-doc perceptual hash row: the near-dup key for an image corpus. */
   final case class ImageHash(doc_id: Long, phash: Long, ok: Boolean)
 

@@ -58,9 +58,19 @@ object CurationQueries {
     * tracks component DIAMETER, not size. */
   private[graft] def minLabelComponents(
       edges: DataFrame, nodes: DataFrame): (DataFrame, Int) = {
+    // localCheckpoint, not cache: each round's plan references `labels`
+    // TWICE (nbrMin and the keep side), so a cache-only loop DOUBLES the
+    // logical plan per round — the cached data is reused but the
+    // analyzer/optimizer walk the whole 2^rounds tree, which took the
+    // driver heap down on the semantic graph (deep kmeans lineage under
+    // every leaf) before any executor did real work. The eager
+    // checkpoint truncates lineage, so every round's plan is
+    // constant-sized: checkpointed-adj ⋈ checkpointed-labels. The
+    // edge-frame checkpoint also cuts the (possibly expensive) edge
+    // lineage once instead of re-optimizing it into every round.
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .localCheckpoint(true)
     // Iterate ONLY over nodes that touch an edge: a node with no
     // candidate can never change labels, and on a real corpus the
     // near-dup subgraph is a sliver of the whole (the full label table
@@ -68,10 +78,9 @@ object CurationQueries {
     // rejoin at the end with cluster = own id.
     var labels = adj.select(col("src").as("node_id")).distinct()
       .select(col("node_id"), col("node_id").as("cluster"))
-      .cache()
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    var prevCache: DataFrame = labels
     // cap >> any real near-dup component diameter — purely a runaway
     // backstop. Exceeding it must be LOUD (an unconverged exit would
     // silently split one component into several "clusters", corrupting
@@ -80,35 +89,28 @@ object CurationQueries {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = adj.join(labels, col("src") === col("node_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      // ONE job per round: the next labels and the convergence signal
-      // come out of the same cached frame — the filter-count both fills
-      // the cache and returns how many labels improved (both `cluster`
-      // references below bind to the INPUT column, pre-alias)
+      // two small jobs per round: the checkpoint materializes the next
+      // labels (truncating lineage), the count reads the convergence
+      // signal from the checkpointed blocks (both `cluster` references
+      // below bind to the INPUT column, pre-alias)
       val next = labels.join(nbrMin, col("node_id") === col("dst"), "left")
         .select(
           col("node_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           (col("nbr_min") < col("cluster")).as("chg")
         )
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
-      prevCache.unpersist()
-      prevCache = next
       labels = next.select(col("node_id"), col("cluster"))
       rounds += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"minLabelComponents did not converge in $maxRounds rounds ($changed labels still moving)")
-    // Materialize the converged labels ONCE (served from the cache being
-    // released) into ContextCleaner-managed blocks: truncates the
-    // rounds-deep join lineage and lets the last round's cache be
-    // unpersisted here instead of leaking into the session per call.
-    val finalLabels = labels.localCheckpoint(true)
-    prevCache.unpersist()
-    adj.unpersist()
+    // superseded rounds' checkpoint blocks are ContextCleaner-managed:
+    // they free as their frames go unreferenced, nothing leaks per call
     val result = nodes
-      .join(finalLabels.withColumnRenamed("cluster", "prop_cluster"), Seq("node_id"), "left")
+      .join(labels.withColumnRenamed("cluster", "prop_cluster"), Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("prop_cluster"), col("node_id")).as("cluster"))
     (result, rounds)
   }

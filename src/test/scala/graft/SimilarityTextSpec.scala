@@ -656,6 +656,41 @@ class SimilarityTextSpec extends SparkSuite {
     assert(!out(3).ok)
   }
 
+  test("audio fingerprint: gain-invariant, separates distinct clips, rejects non-audio/short") {
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val a = Array.tabulate[Short](4000)(i => (((i * 37) % 2001) - 1000).toShort)
+    val gained = a.map(s => (s * 2).toShort) // exact doubling, no clipping
+    val b = Array.tabulate[Short](4000)(i => (((i * i) % 1777) - 888).toShort)
+    val payloads = Seq(
+      (1L, wavOf(a)), (2L, wavOf(gained)), (3L, wavOf(b)),
+      (4L, "definitely not audio".getBytes("UTF-8")),
+      (5L, wavOf(Array.tabulate[Short](32)(_.toShort)))
+    ).toDS()
+    val out = graft.operators.Multimodal.audioFpBatch(payloads)
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(out(1L).ok && out(2L).ok && out(3L).ok)
+    // uniform gain preserves every energy comparison — identical hash
+    assert(out(1L).afp == out(2L).afp)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(out(1L).afp, out(3L).afp) > 10,
+      s"distinct clips too close: hamming ${ham(out(1L).afp, out(3L).afp)}")
+    assert(!out(4L).ok, "non-audio bytes must reject")
+    assert(!out(5L).ok, "sub-65-sample clip must reject")
+  }
+
   test("kmeans_step: full dim coverage, membership totals, means exact within quantization") {
     val dir = "/root/testdata/sf0.001"
     val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
