@@ -119,6 +119,7 @@ object SparkEntry {
     "source_cap" -> (CurationQueries.sourceCap _),
     "corpus_profile" -> (CurationQueries.corpusProfile _),
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
+    "filter_cascade" -> (CurationQueries.filterCascade _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2458,6 +2459,34 @@ object SparkEntry {
          |  FROM qq)
          |SELECT doc_id, quality, n_tok, cum_tokens FROM c, b
          |WHERE cum_tokens <= budget""".stripMargin,
+    "filter_cascade" ->
+      // 2^4 pass/fail grid over the shared quality body + the lang_id
+      // CASE + dedup_exact's fingerprint window; counts/sums are exact
+      // BIGINTs, the only doubles are the shared IEEE quality formula
+      s"""WITH $QualityBody,
+         |fl AS (SELECT doc_id, $WordToksSql AS tokens FROM documents),
+         |fh AS (SELECT doc_id,
+         |  len(list_filter(tokens, x -> x IN ${inList("en")})) AS en_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("es")})) AS es_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("fr")})) AS fr_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("de")})) AS de_hits
+         |FROM fl),
+         |fpp AS (SELECT doc_id,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN de_hits > 0 THEN 'de'
+         |       ELSE 'und' END AS lang_pred
+         |FROM fh),
+         |fk AS (SELECT q.doc_id, q.lang, q.n_tok, q.text_len, q.quality,
+         |    min(q.doc_id) OVER (PARTITION BY q.fp) AS keeper, p.lang_pred
+         |  FROM qq q JOIN fpp p ON q.doc_id = p.doc_id)
+         |SELECT (n_tok >= 30 AND text_len <= 20000) AS pass_len,
+         |  (lang_pred = lang) AS pass_lang,
+         |  (quality >= 0.6) AS pass_quality,
+         |  (doc_id = keeper) AS pass_dedup,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -760,4 +760,46 @@ object CurationQueries {
         col("r").as("rank_fp"),
         (col("r").cast("double") / lit(1000000.0)).as("rank"))
   }
+
+  /** Filter-cascade yield audit: the 2⁴ grid of (length, language,
+    * quality, exact-dedup) pass/fail flags with document and token counts
+    * per cell — everything a curation run needs to understand its funnel
+    * in ONE corpus pass (each stage's survivor count, every pairwise
+    * filter overlap, and the final yield are all marginals of this grid;
+    * running four trial filters to learn the same numbers scans the
+    * corpus four times).
+    *
+    * Flags (each independently computed so the grid exposes overlap, not
+    * just the cascade order):
+    *  - `pass_len`:     ≥ 30 word tokens and ≤ 20 000 chars;
+    *  - `pass_lang`:    the stopword-argmax classifier agrees with the
+    *                    labeled `lang` (docs the classifier cannot
+    *                    confirm — e.g. zh, outside its repertoire — fail,
+    *                    exactly as they would under a filter trusting the
+    *                    classifier);
+    *  - `pass_quality`: composite [[TextQueries.qualityCol]] ≥ 0.6 (the
+    *                    IEEE-identical formula both engines share; the
+    *                    fixture invariant ≥1 char/token keeps NaN out);
+    *  - `pass_dedup`:   the doc is its exact-fingerprint group's keeper
+    *                    (min doc_id over the md5(norm text) partition).
+    *
+    * Scale (100 TB): one scan; per-doc map work; the only shuffle is the
+    * compact-key fp exchange the dedup flag needs plus a 16-group hash
+    * aggregate. Text never shuffles (the window key is the 32-hex md5). */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .withColumn("fp", contentFingerprint(col("text")))
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .select(
+        size(col("tokens")).cast("long").as("n_tok"),
+        (size(col("tokens")) >= 30 && length(col("text")) <= 20000).as("pass_len"),
+        (langId(col("tokens")) === col("lang")).as("pass_lang"),
+        (TextQueries.qualityCol(col("text"), col("tokens")) >= 0.6).as("pass_quality"),
+        (col("doc_id") === col("keeper")).as("pass_dedup"))
+      .groupBy(col("pass_len"), col("pass_lang"), col("pass_quality"), col("pass_dedup"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
 }

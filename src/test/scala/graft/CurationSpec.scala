@@ -377,4 +377,29 @@ class CurationSpec extends SparkSuite {
     val connected = out.filter(_.getAs[Long]("deg") > 0L)
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
+
+  test("filter_cascade: grid partitions the corpus and marginals reconcile with the member filters") {
+    val grid = CurationQueries.filterCascade(spark, dir).collect()
+    // the 2^4 grid is a partition of the corpus: doc counts sum to |docs|
+    assert(grid.map(_.getAs[Long]("n_docs")).sum == 500L)
+    // no flag combination appears twice
+    val keys = grid.map(r => (r.getAs[Boolean]("pass_len"), r.getAs[Boolean]("pass_lang"),
+      r.getAs[Boolean]("pass_quality"), r.getAs[Boolean]("pass_dedup")))
+    assert(keys.distinct.length == keys.length)
+    // marginal reconciliation against the standalone filters
+    val dedupKeepers = graft.queries.TextQueries.dedupExact(spark, dir)
+      .filter(!col("is_dup")).count()
+    assert(grid.filter(_.getAs[Boolean]("pass_dedup")).map(_.getAs[Long]("n_docs")).sum == dedupKeepers)
+    val langAgree = graft.queries.TextQueries.langConfusion(spark, dir)
+      .filter(col("lang") === col("lang_pred"))
+      .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(grid.filter(_.getAs[Boolean]("pass_lang")).map(_.getAs[Long]("n_docs")).sum == langAgree)
+    val qualityPass = graft.queries.TextQueries.qualityScore(spark, dir)
+      .filter(col("quality") >= 0.6).count()
+    assert(grid.filter(_.getAs[Boolean]("pass_quality")).map(_.getAs[Long]("n_docs")).sum == qualityPass)
+    // tokens are conserved too
+    val totalTok = graft.queries.TextQueries.textStats(spark, dir)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(grid.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+  }
 }
