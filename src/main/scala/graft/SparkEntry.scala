@@ -120,6 +120,7 @@ object SparkEntry {
     "corpus_profile" -> (CurationQueries.corpusProfile _),
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "filter_cascade" -> (CurationQueries.filterCascade _),
+    "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2487,6 +2488,26 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "join_size_est" ->
+      // AMS/CMS self-join-size estimator: 3×4096 counter sketch, row
+      // estimate Σc², min over rows vs the exact Σf² — all BIGINTs, one
+      // final IEEE division for rel_err
+      s"""WITH jk AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |jc AS (SELECT r, ${hash32Sql("CAST(r AS VARCHAR) || ':' || k")} % 4096 AS c,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM jk CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr GROUP BY 1, 2),
+         |je AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS est FROM jc GROUP BY r),
+         |jp AS (SELECT
+         |    CAST(sum(CASE WHEN r = 0 THEN est END) AS BIGINT) AS est0,
+         |    CAST(sum(CASE WHEN r = 1 THEN est END) AS BIGINT) AS est1,
+         |    CAST(sum(CASE WHEN r = 2 THEN est END) AS BIGINT) AS est2,
+         |    min(est) AS est
+         |  FROM je),
+         |jx AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact
+         |  FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey))
+         |SELECT exact, est0, est1, est2, est,
+         |  CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE) AS rel_err
+         |FROM jp, jx""".stripMargin,
     "session_agg" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

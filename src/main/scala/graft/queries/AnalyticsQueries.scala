@@ -1318,4 +1318,52 @@ object AnalyticsQueries {
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           sqrt(vx.cast("double") * vy.cast("double"))).as("corr"))
   }
+
+  /** Join-size estimation from count-min sketches (the AMS/CMS
+    * inner-product estimator, Alon–Matias–Szegedy '96 / Cormode–
+    * Muthukrishnan '05): predict |lineitem ⋈ lineitem on l_partkey| —
+    * the skew-sensitive self-join size that decides whether a planned
+    * join is safe to run — WITHOUT executing the join. Each of d=3
+    * independent hash rows buckets key frequencies into w=4096 counters;
+    * the row estimate is the counter self-inner-product Σ c², an
+    * overestimate of the true Σ f² by exactly the colliding cross terms;
+    * the reported estimate is the min over rows. Output: one row with the
+    * exact size (for the audit), the three row estimates, the min, and
+    * the signed relative error.
+    *
+    * Scale (100 TB): the sketch is FIXED SIZE (3×4096 counters) no matter
+    * the input — counts fold map-side into (row, bucket) partials, so the
+    * shuffle is ≤ 12 288 rows per partition regardless of data volume,
+    * and sketches of disjoint partitions/tables MERGE by cell-wise
+    * addition (how a planner estimates every candidate join from
+    * one-pass per-table sketches). The exact side is a compact-key
+    * aggregate kept only to score the estimator. */
+  def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash32
+    val W = 4096L
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("string").as("k"))
+    val rows = (0 to 2).map { r =>
+      struct(lit(r.toLong).as("r"),
+        (md5Hash32(concat(lit(s"$r:"), col("k"))) % W).as("c"))
+    }
+    val cells = keys
+      .select(explode(array(rows: _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val ests = cells.groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt")).as("est"))
+      .agg(
+        sum(when(col("r") === 0, col("est"))).as("est0"),
+        sum(when(col("r") === 1, col("est"))).as("est1"),
+        sum(when(col("r") === 2, col("est"))).as("est2"),
+        min(col("est")).as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact"))
+    ests.crossJoin(broadcast(exact)) // both sides are single rows
+      .select(col("exact"), col("est0"), col("est1"), col("est2"), col("est"),
+        ((col("est") - col("exact")).cast("double") /
+          col("exact").cast("double")).as("rel_err"))
+  }
 }

@@ -1052,4 +1052,23 @@ class PipelineQueriesSpec extends SparkSuite {
     // fully disjoint histograms hit the L1 ceiling exactly
     assert(out("shifted").getDouble(3) == 2.0)
   }
+
+  test("join_size_est: every sketch row over-estimates, min is reported, excess within the AMS bound") {
+    val r = AnalyticsQueries.joinSizeEst(spark, dir).collect()(0)
+    val exact = r.getAs[Long]("exact")
+    val ests = Seq(r.getAs[Long]("est0"), r.getAs[Long]("est1"), r.getAs[Long]("est2"))
+    // Σc² counts every true pair plus colliding cross terms — never under
+    ests.foreach(e => assert(e >= exact))
+    assert(r.getAs[Long]("est") == ests.min)
+    // exact from first principles
+    val brute = Tables.lineitem(spark, dir).groupBy(col("l_partkey")).count()
+      .collect().map(x => { val f = x.getAs[Long]("count"); f * f }).sum
+    assert(exact == brute)
+    // AMS expected excess is N²/w; 4x slack covers hash variance on the
+    // pinned fixture (the min of 3 rows concentrates well below this)
+    val n = Tables.lineitem(spark, dir).count()
+    assert(r.getAs[Long]("est") - exact <= 4L * n * n / 4096L,
+      s"excess ${r.getAs[Long]("est") - exact} above the AMS slack bound")
+    assert(r.getAs[Double]("rel_err") == (ests.min - exact).toDouble / exact.toDouble)
+  }
 }
