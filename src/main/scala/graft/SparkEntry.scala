@@ -121,6 +121,7 @@ object SparkEntry {
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "filter_cascade" -> (CurationQueries.filterCascade _),
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
+    "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2488,6 +2489,27 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "forecast_eval" ->
+      // seasonal-naive backtest: milli-quantized bucket means joined to
+      // their 144-bucket (1 day) lag; MAE/WAPE/bias as integer sums with
+      // one fixed-order IEEE division each
+      """WITH fm AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+        |            CAST(count(*) AS BIGINT) AS cnt,
+        |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+        |          FROM events GROUP BY 1, 2),
+        |ff AS (SELECT event_type, b,
+        |        CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fp
+        |      FROM fm),
+        |fj AS (SELECT a.event_type, a.fp, p.fp AS pfp
+        |       FROM ff a JOIN ff p
+        |         ON a.event_type = p.event_type AND a.b = p.b + 144)
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(abs(fp - pfp)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS mae,
+        |  CASE WHEN sum(abs(fp)) > 0
+        |       THEN CAST(sum(abs(fp - pfp)) AS DOUBLE) / CAST(sum(abs(fp)) AS DOUBLE)
+        |       ELSE NULL END AS wape,
+        |  CAST(sum(fp - pfp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS bias
+        |FROM fj GROUP BY event_type""".stripMargin,
     "join_size_est" ->
       // AMS/CMS self-join-size estimator: 3×4096 counter sketch, row
       // estimate Σc², min over rows vs the exact Σf² — all BIGINTs, one

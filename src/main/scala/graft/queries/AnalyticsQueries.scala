@@ -1319,6 +1319,42 @@ object AnalyticsQueries {
           sqrt(vx.cast("double") * vy.cast("double"))).as("corr"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each 10-min bucket mean by
+    * the SAME series one season (144 buckets = 1 day) earlier, score the
+    * forecast per series with MAE, WAPE (Σ|err|/Σ|actual| — the ratio-of-
+    * integer-sums form that stays deterministic where a mean of per-row
+    * ratios would drift with fold order), and signed bias. The backtest a
+    * monitoring pipeline runs BEFORE trusting any fancier model: a model
+    * that can't beat seasonal-naive on these numbers is noise.
+    *
+    * Exactness: bucket means milli-quantize to BIGINT (the shared fp
+    * convention); every aggregate is an integer sum; the three metrics
+    * are single fixed-order IEEE divisions at the end.
+    *
+    * Scale (100 TB): grid-sized work — the self-join matches each bucket
+    * to its season-lagged twin on (event_type, bucket) compact keys, so
+    * the shuffle carries two BIGINTs per bucket regardless of event
+    * volume; scoring is a per-series hash aggregate. */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val m = bucketMeans(spark, dir)
+      .select(col("event_type"), col("b"),
+        floor(col("mv") * lit(1000.0)).cast("long").as("fp"))
+    val prev = m.select(col("event_type").as("pt"),
+      (col("b") + 144).as("pb"), col("fp").as("pfp"))
+    m.join(prev, col("event_type") === col("pt") && col("b") === col("pb"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(abs(col("fp") - col("pfp"))).as("sad"),
+        sum(abs(col("fp"))).as("sa"),
+        sum(col("fp") - col("pfp")).as("sd"))
+      .select(col("event_type"), col("n_scored"),
+        (col("sad").cast("double") / col("n_scored").cast("double") / lit(1000.0)).as("mae"),
+        when(col("sa") > 0,
+          col("sad").cast("double") / col("sa").cast("double")).as("wape"),
+        (col("sd").cast("double") / col("n_scored").cast("double") / lit(1000.0)).as("bias"))
+  }
+
   /** Join-size estimation from count-min sketches (the AMS/CMS
     * inner-product estimator, Alon–Matias–Szegedy '96 / Cormode–
     * Muthukrishnan '05): predict |lineitem ⋈ lineitem on l_partkey| —

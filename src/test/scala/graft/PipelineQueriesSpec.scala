@@ -1071,4 +1071,30 @@ class PipelineQueriesSpec extends SparkSuite {
       s"excess ${r.getAs[Long]("est") - exact} above the AMS slack bound")
     assert(r.getAs[Double]("rel_err") == (ests.min - exact).toDouble / exact.toDouble)
   }
+
+  test("forecast_eval: matches a driver-side seasonal-naive backtest exactly") {
+    val out = AnalyticsQueries.forecastEval(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // brute-force: bucket means, milli-quantize, lag-144 self-pairing
+    val fp = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 600000000").as("b"), col("value"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("b")))
+      .map { case (k, rows) =>
+        val sum = rows.map(r => BigDecimal(r.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        k -> math.floor(sum.toDouble / rows.length.toDouble * 1000.0).toLong
+      }
+    val scored = fp.toSeq.flatMap { case ((et, b), a) =>
+      fp.get((et, b - 144)).map(p => (et, a, p))
+    }
+    scored.groupBy(_._1).foreach { case (et, xs) =>
+      val r = out(et)
+      assert(r.getAs[Long]("n_scored") == xs.length.toLong)
+      val sad = xs.map(x => math.abs(x._2 - x._3)).sum
+      assert(r.getAs[Double]("mae") == sad.toDouble / xs.length.toDouble / 1000.0)
+      val sa = xs.map(x => math.abs(x._2)).sum
+      assert(r.getAs[Double]("wape") == sad.toDouble / sa.toDouble)
+    }
+    assert(out.keySet == scored.map(_._1).toSet)
+  }
 }
