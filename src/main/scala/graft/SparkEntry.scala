@@ -122,6 +122,7 @@ object SparkEntry {
     "filter_cascade" -> (CurationQueries.filterCascade _),
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
+    "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2489,6 +2490,31 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "bloom_prune" ->
+      // md5-positioned k=4/m=65536 Bloom over urgent order keys, probed
+      // by distinct lineitem keys; exact member/false-positive accounting
+      s"""WITH bk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |bb AS (SELECT DISTINCT ${hash32Sql("CAST(bi AS VARCHAR) || ':' || k")} % 65536 AS pos
+         |  FROM bk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi) ii),
+         |pk AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |ph AS (SELECT k, ${hash32Sql("CAST(bi AS VARCHAR) || ':' || k")} % 65536 AS pos
+         |  FROM pk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi) ii),
+         |hh AS (SELECT k, count(*) AS nh FROM ph
+         |  WHERE pos IN (SELECT pos FROM bb) GROUP BY k),
+         |fl AS (SELECT pk.k,
+         |    COALESCE(hh.nh = 4, FALSE) AS pass_bloom,
+         |    pk.k IN (SELECT k FROM bk) AS member
+         |  FROM pk LEFT JOIN hh ON pk.k = hh.k)
+         |SELECT count(*) AS n_probe_keys,
+         |  CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+         |  CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         |  CAST(sum(CASE WHEN pass_bloom AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CASE WHEN count(*) > sum(CASE WHEN member THEN 1 ELSE 0 END)
+         |       THEN CAST(sum(CASE WHEN pass_bloom AND NOT member THEN 1 ELSE 0 END) AS DOUBLE)
+         |            / CAST(count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END) AS DOUBLE)
+         |       ELSE NULL END AS fp_rate
+         |FROM fl""".stripMargin,
     "forecast_eval" ->
       // seasonal-naive backtest: milli-quantized bucket means joined to
       // their 144-bucket (1 day) lag; MAE/WAPE/bias as integer sums with

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1317,6 +1317,61 @@ object AnalyticsQueries {
       .select(col("et_a"), col("et_b"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           sqrt(vx.cast("double") * vy.cast("double"))).as("corr"))
+  }
+
+  /** Bloom-filter semi-join pruning audit — the declarative, exactly-
+    * checkable twin of the streaming ingest's Bloom gate
+    * ([[graft.streaming.CorpusIngest]]): build a k=4, m=65536 Bloom over
+    * the urgent orders' keys, probe every distinct lineitem order key,
+    * and account EXACTLY for what the filter passes — true members,
+    * false positives, and the realized false-positive rate. This is the
+    * pattern that makes a 100 TB join cheap: ship a kilobyte-scale bit
+    * set to the probe side and drop non-matching rows BEFORE the
+    * shuffle; this query measures what that gate would do on real keys
+    * (a Bloom has no false negatives, so `pass_bloom ⊇ members` — the
+    * spec asserts it).
+    *
+    * Determinism: bit positions are md5-derived (the shared hash32
+    * convention), so both engines build bit-identical filters — unlike
+    * an engine-native Bloom (Spark's uses Murmur3 internally), this one
+    * is oracle-reproducible.
+    *
+    * Scale (100 TB): the filter is the DISTINCT position set (≤ m
+    * compact ints, broadcast); the probe explodes each distinct key into
+    * k=4 position rows and broadcast-semi-joins — no shuffle of the
+    * probe side, one final single-row aggregate. m scales linearly with
+    * the build-side key count in practice (≈ 10 bits/key for 1% fp). */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash32
+    val M = 65536L
+    val K = 4
+    def posCols(k: Column) = (0 until K).map(i =>
+      (md5Hash32(concat(lit(s"$i:"), k)) % M).as("pos"))
+    val buildKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").cast("string").as("k")).distinct()
+    val bits = buildKeys
+      .select(explode(array(posCols(col("k")): _*)).as("pos")).distinct()
+    val probeKeys = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("string").as("k")).distinct()
+    val hits = probeKeys
+      .select(col("k"), explode(array(posCols(col("k")): _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("nh"))
+    probeKeys
+      .join(hits, Seq("k"), "left")
+      .withColumn("pass_bloom", coalesce(col("nh") === K, lit(false)))
+      .join(broadcast(buildKeys.withColumn("is_m", lit(true))), Seq("k"), "left")
+      .withColumn("member", coalesce(col("is_m"), lit(false)))
+      .agg(
+        count(lit(1)).as("n_probe_keys"),
+        sum(when(col("pass_bloom"), 1L).otherwise(0L)).as("n_pass_bloom"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("pass_bloom") && !col("member"), 1L).otherwise(0L)).as("n_false_pos"))
+      .select(col("n_probe_keys"), col("n_pass_bloom"), col("n_members"), col("n_false_pos"),
+        when(col("n_probe_keys") > col("n_members"),
+          col("n_false_pos").cast("double") /
+            (col("n_probe_keys") - col("n_members")).cast("double")).as("fp_rate"))
   }
 
   /** Seasonal-naive forecast backtest: predict each 10-min bucket mean by

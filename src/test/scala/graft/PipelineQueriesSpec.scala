@@ -1072,6 +1072,27 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(r.getAs[Double]("rel_err") == (ests.min - exact).toDouble / exact.toDouble)
   }
 
+  test("bloom_prune: no false negatives, pass set = members + false positives, fp rate near theory") {
+    val r = AnalyticsQueries.bloomPrune(spark, dir).collect()(0)
+    val (nProbe, nPass, nMem, nFp) = (r.getAs[Long]("n_probe_keys"), r.getAs[Long]("n_pass_bloom"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("n_false_pos"))
+    // a Bloom filter never drops a member: every pass is a member or a
+    // counted false positive — equality, not inequality
+    assert(nPass == nMem + nFp)
+    // membership reconciles with a direct semi-join
+    val direct = Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct()
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(nMem == direct)
+    assert(nProbe == Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct().count())
+    // realized fp rate should sit near (1 - e^(-kn/m))^4 — generous 10x cap
+    val n = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct().count()
+    val theory = math.pow(1.0 - math.exp(-4.0 * n / 65536.0), 4)
+    assert(nFp.toDouble / (nProbe - nMem).toDouble <= 10.0 * theory + 0.001)
+  }
+
   test("forecast_eval: matches a driver-side seasonal-naive backtest exactly") {
     val out = AnalyticsQueries.forecastEval(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
