@@ -123,6 +123,7 @@ object SparkEntry {
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
+    "holt_forecast" -> (AnalyticsQueries.holtForecast _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2490,6 +2491,53 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "holt_forecast" -> {
+      // Brown's double smoothing: the series_ewma termwise kernel applied
+      // twice (fp → s1q → s2q, exact floor-div requantization between
+      // passes — numerators non-negative so // == div), then fixed-order
+      // IEEE level/trend/forecast expressions
+      val ws = AnalyticsQueries.EwmaWeights
+      def lagDefs(src: String, pfx: String) = (1 until 8)
+        .map(j => s"lag($src, $j) OVER win AS $pfx$j").mkString(",\n  ")
+      def num(src: String, pfx: String) = (s"$src * ${ws(0)}" +:
+        (1 until 8).map(j =>
+          s"CASE WHEN $pfx$j IS NOT NULL THEN $pfx$j * ${ws(j)} ELSE 0 END"))
+        .mkString(" + ")
+      def den(pfx: String) = (s"${ws(0)}" +:
+        (1 until 8).map(j =>
+          s"CASE WHEN $pfx$j IS NOT NULL THEN ${ws(j)} ELSE 0 END"))
+        .mkString(" + ")
+      val lagNum = ws.zipWithIndex.map { case (wj, j) => wj * j }.sum
+      val lagDen = ws.sum
+      s"""WITH hm AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+         |            CAST(count(*) AS BIGINT) AS cnt,
+         |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+         |          FROM events GROUP BY 1, 2),
+         |hmm AS (SELECT event_type, b,
+         |         CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE) AS mv
+         |       FROM hm),
+         |hf AS (SELECT event_type, b, mv,
+         |        CAST(floor(mv * 1000.0) AS BIGINT) AS fp FROM hmm),
+         |hl AS (SELECT event_type, b, mv, fp,
+         |  ${lagDefs("fp", "l")}
+         |  FROM hf WINDOW win AS (PARTITION BY event_type ORDER BY b)),
+         |h1 AS (SELECT event_type, b, mv,
+         |        (${num("fp", "l")}) // (${den("l")}) AS s1q
+         |      FROM hl),
+         |h2l AS (SELECT event_type, b, mv, s1q,
+         |  ${lagDefs("s1q", "m")}
+         |  FROM h1 WINDOW win AS (PARTITION BY event_type ORDER BY b)),
+         |h2 AS (SELECT event_type, b, mv, s1q,
+         |        (${num("s1q", "m")}) // (${den("m")}) AS s2q
+         |      FROM h2l)
+         |SELECT event_type, b AS bucket, mv,
+         |  CAST(s1q AS DOUBLE) / 1000.0 AS s1,
+         |  CAST(s2q AS DOUBLE) / 1000.0 AS s2,
+         |  CAST(2 * s1q - s2q AS DOUBLE) / 1000.0 AS level,
+         |  CAST((s1q - s2q) * $lagDen AS DOUBLE) / ${lagNum * 1000}.0 AS trend,
+         |  CAST(2 * s1q - s2q AS DOUBLE) / 1000.0 + CAST((s1q - s2q) * $lagDen AS DOUBLE) / ${lagNum * 1000}.0 AS forecast_next
+         |FROM h2""".stripMargin
+    },
     "bloom_prune" ->
       // md5-positioned k=4/m=65536 Bloom over urgent order keys, probed
       // by distinct lineitem keys; exact member/false-positive accounting

@@ -1207,6 +1207,66 @@ object AnalyticsQueries {
         col("ewma"), col("forecast_err"))
   }
 
+  /** Brown's linear (double) exponential smoothing per series — the
+    * trend-aware upgrade of [[seriesEwma]]: smooth the milli-quantized
+    * bucket means twice with the SAME truncated α=1/4 kernel
+    * ([[EwmaWeights]]), then level = 2·S1 − S2 and trend =
+    * (S1 − S2)/D, giving the one-step-ahead forecast level + trend.
+    * D = Σⱼ j·wⱼ / Σⱼ wⱼ is the TRUNCATED kernel's exact mean lag
+    * (124437/58975 ≈ 2.11; the untruncated geometric kernel's limit is
+    * (1−α)/α = 3) — dividing by the textbook 3 instead would
+    * under-forecast every trending series by c·(1 − D/3) per step, which
+    * the linear-series spec catches. Where plain EWMA lags a trending
+    * series by D buckets, Brown's recovers the slope from the gap
+    * between the two smoothings — the standard next step before
+    * reaching for Holt-Winters.
+    *
+    * Exactness: S1 is the termwise BIGINT lag kernel divided ONCE by
+    * exact floor-division (`div` — numerators are non-negative, the
+    * fixture invariant value ≥ 0, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree) and re-quantized to milli-unit
+    * BIGINTs; S2 repeats the identical kernel over s1q. Level/trend/
+    * forecast are fixed-order IEEE expressions over those two integers.
+    *
+    * Scale: two row-lag windows over the compact per-series mean frame —
+    * the [[seriesEwma]] shuffle shape, one partition pass each. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val weights = EwmaWeights
+    def kernel(c: Column): (Column, Column) = {
+      val lags = weights.indices.map(j => if (j == 0) c else lag(c, j).over(w))
+      val num = weights.zip(lags).map { case (wj, l) =>
+        when(l.isNotNull, l * lit(wj)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val den = weights.zip(lags).map { case (wj, l) =>
+        when(l.isNotNull, lit(wj)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (num, den)
+    }
+    val base = bucketMeans(spark, dir)
+      .withColumn("fp", floor(col("mv") * lit(1000.0)).cast("long"))
+    val (n1, d1) = kernel(col("fp"))
+    val s1 = base
+      .withColumn("n1", n1).withColumn("d1", d1)
+      .withColumn("s1q", expr("n1 div d1"))
+    val (n2, d2) = kernel(col("s1q"))
+    // exact mean lag of the truncated kernel: D = lagNum/lagDen
+    val lagNum = weights.zipWithIndex.map { case (wj, j) => wj * j }.sum
+    val lagDen = weights.sum
+    val trend =
+      ((col("s1q") - col("s2q")) * lit(lagDen)).cast("double") / lit(lagNum * 1000.0)
+    val level = (lit(2L) * col("s1q") - col("s2q")).cast("double") / lit(1000.0)
+    s1
+      .withColumn("n2", n2).withColumn("d2", d2)
+      .withColumn("s2q", expr("n2 div d2"))
+      .select(col("event_type"), col("b").as("bucket"), col("mv"),
+        (col("s1q").cast("double") / lit(1000.0)).as("s1"),
+        (col("s2q").cast("double") / lit(1000.0)).as("s2"),
+        level.as("level"),
+        trend.as("trend"),
+        (level + trend).as("forecast_next"))
+  }
+
   /** Robust (median/MAD) outlier scoring per series — the
     * Iglewicz–Hoaglin modified z-score `0.6745·(x − med)/MAD` with the
     * standard |z| > 3.5 cutoff, over the bucket-mean frame. The robust

@@ -1093,6 +1093,34 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(nFp.toDouble / (nProbe - nMem).toDouble <= 10.0 * theory + 0.001)
   }
 
+  test("holt_forecast: level and forecast track a linear trend exactly where plain EWMA lags") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_holt").toString
+    // one event per 10-min bucket, value = 10 + 0.5·t — a pure linear trend
+    val rows = (0 until 60).map { t =>
+      (t.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t * 600L)),
+        1L, "lin", 10.0 + 0.5 * t, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = AnalyticsQueries.holtForecast(spark, tmp).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    val steady = (20L to 58L) // past both kernels' 8-lag warmup
+    steady.foreach { b =>
+      val r = out(b)
+      // 2·S1 − S2 cancels the smoothing lag completely on a linear series
+      assert(math.abs(r.getAs[Double]("level") - r.getAs[Double]("mv")) < 0.01)
+      // the forecast lands on the next actual (quantization noise only)
+      assert(math.abs(r.getAs[Double]("forecast_next") - out(b + 1).getAs[Double]("mv")) < 0.02)
+      // dividing (S1−S2) by the kernel's exact mean lag D recovers the
+      // true slope, not a shrunk one
+      assert(math.abs(r.getAs[Double]("trend") - 0.5) < 0.01)
+    }
+    // plain EWMA on the same series lags by c·(D+1) ≈ 1.5+ per forecast step
+    val ew = AnalyticsQueries.seriesEwma(spark, tmp).collect()
+      .filter(r => r.getAs[Long]("bucket") >= 20 && !r.isNullAt(r.fieldIndex("forecast_err")))
+    assert(ew.nonEmpty && ew.forall(_.getAs[Double]("forecast_err") > 1.0))
+  }
+
   test("forecast_eval: matches a driver-side seasonal-naive backtest exactly") {
     val out = AnalyticsQueries.forecastEval(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
