@@ -409,4 +409,53 @@ class StreamingSpec extends SparkSuite {
     assert(bars(fromQuery) == batchSet,
       "the oracle-checked arithmetic bucketing must name the same bars")
   }
+
+  test("streaming session_window parity: append-mode watermarked sessions equal the batch session_agg exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val maxTs = ev.map(_._2.getTime).max
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.SessionWindows
+      .sessionize(ms.toDS().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-sess-parity"))
+      .start()
+    // two in-order halves (the sorted split keeps every batch-2 event at
+    // or after batch-1's max, so the 10-min watermark drops nothing),
+    // then two far-future sentinels: the first advances the watermark
+    // past every real session's close, the second triggers the flush
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData((-1L, new java.sql.Timestamp(maxTs + 30L * 86400000L)))
+    q.processAllAvailable()
+    ms.addData((-1L, new java.sql.Timestamp(maxTs + 31L * 86400000L)))
+    q.processAllAvailable()
+    q.stop()
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val streamed = sessions(spark.table("sess_parity"))
+    // the hand-rolled lag/cumsum batch query (the oracle-gated one)
+    val batch = sessions(graft.queries.AnalyticsQueries.sessionAgg(spark, dir))
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // every user's sessions are disjoint and gap-separated by > 1h
+    streamed.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.toSeq.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2.getTime - a._3.getTime > 3600000L)
+        case _ =>
+      }
+    }
+  }
 }
