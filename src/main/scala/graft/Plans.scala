@@ -92,7 +92,12 @@ object Plans {
     "ivfpq_ann" -> "coarse route is the zero-shuffle broadcast-argmax; corpus query payload is 4 residual-PQ code ints per vector; per-(query, probed-bucket) ADC tables broadcast; candidates from the bucket equijoin",
     "semantic_keep" -> "SemDeDup keeper election: labels equijoin onto the trained assignment, component-keyed WindowGroupLimit pick — dedup_keep_best's shape on the embedding graph",
     "span_excise" -> "the substring-dedup REWRITE: tokens anti-join spans on (doc_id, range); kept stream rebuilt in one per-doc aggregation — text never a shuffle key, no global sort",
-    "neardup_families" -> "three LSH/band-bounded pair sets, pair-key semi-join overlaps, one-row aggregates assembled by broadcast cross-joins — the 3-row agreement report"
+    "neardup_families" -> "three LSH/band-bounded pair sets, pair-key semi-join overlaps, one-row aggregates assembled by broadcast cross-joins — the 3-row agreement report",
+    "filter_cascade" -> "one corpus scan; the fp window (32-hex key, text dropped) is the only corpus shuffle; 16-group hash aggregate out",
+    "join_size_est" -> "fixed 3×4096 sketch folds map-side (shuffle ≤ 12288 rows per partition at ANY scale); exact side is one compact-key agg; two 1-row frames crossed",
+    "bloom_prune" -> "bit-set (distinct positions) and member keys broadcast; probe explode + broadcast semi-join — the probe side never shuffles",
+    "forecast_eval" -> "season-lag alignment equijoin on (series, bucket) compact keys over the bounded mean frame; per-series integer-sum scoring",
+    "holt_forecast" -> "two termwise lag windows per series over the compact mean frame — series_ewma's shape applied twice"
   )
 
   def main(args: Array[String]): Unit = {

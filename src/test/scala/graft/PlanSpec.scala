@@ -795,4 +795,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), "rn<=3 must prune inside the window op")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("filter_cascade / join_size_est / bloom_prune / forecast & holt: scale shapes hold") {
+    // filter_cascade: the fp window is the only corpus shuffle and text
+    // never rides an exchange
+    val fc = plan(graft.queries.CurationQueries.filterCascade(spark, dir))
+    assert(!fc.contains("CartesianProduct"))
+    val fcEx = fc.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(fcEx.nonEmpty && fcEx.forall(l => !l.contains("text#")),
+      s"document text must not be a shuffle payload:\n$fc")
+
+    // join_size_est: sketch cells fold map-side (partial_count before the
+    // exchange), never a join of the raw sides
+    val js = plan(AnalyticsQueries.joinSizeEst(spark, dir))
+    assert(!js.contains("CartesianProduct"))
+    assert(js.contains("partial_count") || js.contains("partial count"),
+      s"cell counts must pre-aggregate map-side:\n$js")
+
+    // bloom_prune: the probe side passes a BROADCAST semi-join — the
+    // probe is never shuffled for the membership test
+    val bp = plan(AnalyticsQueries.bloomPrune(spark, dir))
+    assert(!bp.contains("CartesianProduct"))
+    assert(bp.contains("BroadcastHashJoin") && bp.contains("LeftSemi"),
+      s"bit-set membership must be a broadcast semi-join:\n$bp")
+
+    // time-series pair: no corpus-global window, no single-partition sort
+    Seq(AnalyticsQueries.forecastEval(spark, dir),
+      AnalyticsQueries.holtForecast(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("Exchange SinglePartition"),
+        s"per-series work must stay series-partitioned:\n$p")
+    }
+  }
 }
