@@ -120,6 +120,7 @@ object SparkEntry {
     "corpus_profile" -> (CurationQueries.corpusProfile _),
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "filter_cascade" -> (CurationQueries.filterCascade _),
+    "pack_efficiency" -> (CurationQueries.packEfficiency _),
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
@@ -2389,6 +2390,28 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
          |  FROM d)
          |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "pack_efficiency" ->
+      // the pack_sequences body rolled up twice: (shard, bin) partials
+      // then the shard totals; two fixed-order IEEE divisions at the end
+      s"""WITH d AS (SELECT doc_id,
+         |    ${hash32Sql("text")} % 8 AS shard,
+         |    CAST(len($WordToksSql) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT doc_id, shard, n_tok,
+         |    COALESCE(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+         |  FROM d),
+         |pb AS (SELECT shard, start_tok // 512 AS bin,
+         |    CAST(count(*) AS BIGINT) AS db, CAST(sum(n_tok) AS BIGINT) AS bt
+         |  FROM s GROUP BY 1, 2),
+         |pe AS (SELECT shard, CAST(sum(db) AS BIGINT) AS n_docs,
+         |    CAST(sum(bt) AS BIGINT) AS total_tokens,
+         |    max(bin) + 1 AS n_bins, max(db) AS max_docs_per_bin
+         |  FROM pb GROUP BY shard)
+         |SELECT shard, n_docs, total_tokens, n_bins,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE) AS avg_docs_per_bin,
+         |  max_docs_per_bin,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_bins * 512 AS DOUBLE) AS fill_rate
+         |FROM pe""".stripMargin,
     "cheapest_supplier" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,

@@ -440,6 +440,35 @@ object CurationQueries {
       .withColumn("bin", expr("start_tok DIV 512"))
   }
 
+  /** Packing-efficiency audit over the [[packSequences]] layout: per
+    * shard, how full the 512-token bins actually are — total tokens,
+    * bins opened (by start offset), docs per bin (mean and max), and the
+    * fill rate total/(bins·512). A fill rate far below 1 means the bin
+    * size fights the document length distribution (wasted context
+    * window); a max docs-per-bin ≫ mean flags shards whose tiny docs
+    * would be better concatenated upstream. Values can exceed 1 only
+    * because a document STARTING in the last bin may run past it —
+    * contiguous greedy packing never truncates a document.
+    *
+    * Scale: two hash aggregations over the compact (doc_id, shard,
+    * n_tok, bin) pack frame — (shard, bin) partials then the shard
+    * rollup; the only window is packSequences' own per-shard cumsum. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("db"), sum(col("n_tok")).as("bt"))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("db")).as("n_docs"),
+        sum(col("bt")).as("total_tokens"),
+        (max(col("bin")) + lit(1L)).as("n_bins"),
+        max(col("db")).as("max_docs_per_bin"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_bins"),
+        (col("n_docs").cast("double") / col("n_bins").cast("double")).as("avg_docs_per_bin"),
+        col("max_docs_per_bin"),
+        (col("total_tokens").cast("double") /
+          (col("n_bins") * lit(512L)).cast("double")).as("fill_rate"))
+
   /** Incremental (cross-snapshot) dedup: of a fresh ingest batch, keep
     * only documents whose content fingerprint does NOT already exist in
     * the standing corpus — the anti-join every rolling crawl pipeline

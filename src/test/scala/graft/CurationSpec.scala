@@ -378,6 +378,28 @@ class CurationSpec extends SparkSuite {
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
 
+  test("pack_efficiency: reconciles exactly with the pack_sequences frame") {
+    val pack = CurationQueries.packSequences(spark, dir).collect()
+    val eff = CurationQueries.packEfficiency(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    pack.groupBy(_.getAs[Long]("shard")).foreach { case (sh, docs) =>
+      val r = eff(sh)
+      assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+      val tot = docs.map(_.getAs[Long]("n_tok")).sum
+      assert(r.getAs[Long]("total_tokens") == tot)
+      val bins = docs.map(_.getAs[Long]("bin")).max + 1
+      assert(r.getAs[Long]("n_bins") == bins)
+      val perBin = docs.groupBy(_.getAs[Long]("bin")).values.map(_.length.toLong).max
+      assert(r.getAs[Long]("max_docs_per_bin") == perBin)
+      assert(r.getAs[Double]("fill_rate") == tot.toDouble / (bins * 512L).toDouble)
+      // contiguous packing: every bin index up to the last is occupied
+      // by at least one START or covered by a straddling predecessor —
+      // fill rate can exceed 1 only via the final straddler
+      assert(r.getAs[Double]("avg_docs_per_bin") > 0.0)
+    }
+    assert(eff.size == pack.map(_.getAs[Long]("shard")).distinct.length)
+  }
+
   test("filter_cascade: grid partitions the corpus and marginals reconcile with the member filters") {
     val grid = CurationQueries.filterCascade(spark, dir).collect()
     // the 2^4 grid is a partition of the corpus: doc counts sum to |docs|

@@ -410,6 +410,52 @@ class StreamingSpec extends SparkSuite {
       "the oracle-checked arithmetic bucketing must name the same bars")
   }
 
+  test("stream-stream interval join: streamed views x clicks equals the batch join of the same frames") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = side("view").as[(Long, java.sql.Timestamp, Long)]
+      .collect().sortBy(_._2.getTime)
+    val clicks = side("click").as[(Long, java.sql.Timestamp, Long)]
+      .collect().sortBy(_._2.getTime)
+    val msV = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val msC = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamJoin.viewClickJoin(
+      msV.toDS().toDF("user_id", "ts", "event_id"),
+      msC.toDS().toDF("user_id", "ts", "event_id"))
+    val q = joined.writeStream.format("memory").queryName("vc_join")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-vcjoin"))
+      .start()
+    // two in-order halves per side — inner joins emit eagerly, and the
+    // sorted feed keeps both watermarks behind every future match
+    val (v1, v2) = views.splitAt(views.length / 2)
+    val (c1, c2) = clicks.splitAt(clicks.length / 2)
+    msV.addData(v1.toIndexedSeq); msC.addData(c1.toIndexedSeq)
+    q.processAllAvailable()
+    msV.addData(v2.toIndexedSeq); msC.addData(c2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = pairs(spark.table("vc_join"))
+    val batch = pairs(graft.streaming.StreamJoin.viewClickJoin(side("view"), side("click")))
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // the range predicate really bounds every match
+    spark.table("vc_join").as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().foreach { case (_, _, _, vts, cts) =>
+        val d = cts.getTime - vts.getTime
+        assert(d > 0 && d <= 600000L)
+      }
+  }
+
   test("streaming session_window parity: append-mode watermarked sessions equal the batch session_agg exactly") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
