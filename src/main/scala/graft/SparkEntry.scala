@@ -125,6 +125,7 @@ object SparkEntry {
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
     "holt_forecast" -> (AnalyticsQueries.holtForecast _),
+    "dominant_period" -> (AnalyticsQueries.dominantPeriod _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2514,6 +2515,38 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "dominant_period" -> {
+      // lag-swept Pearson autocorr (series_autocorr's integer-moment
+      // formula per (series, lag)), argmax by the (r desc, lag) order
+      val lags = ((1 to 48) ++ Seq(72, 96, 120, 144, 168)).mkString(", ")
+      s"""WITH dm AS (SELECT event_type, epoch_us(ts) // 600000000 AS b,
+         |            CAST(count(*) AS BIGINT) AS cnt,
+         |            sum(CAST(value AS DECIMAL(18,2))) AS sdec
+         |          FROM events GROUP BY 1, 2),
+         |df2 AS (SELECT event_type, b,
+         |        CAST(floor((CAST(sdec AS DOUBLE) / CAST(cnt AS DOUBLE)) * 100.0) AS BIGINT) AS fp
+         |      FROM dm),
+         |dl AS (SELECT event_type, b, fp AS x, unnest([$lags]) AS lg FROM df2),
+         |dj AS (SELECT a.event_type, a.lg, a.x, r2.fp AS y
+         |       FROM dl a JOIN df2 r2
+         |         ON a.event_type = r2.event_type AND r2.b = a.b + a.lg),
+         |dg AS (SELECT event_type, lg, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM dj GROUP BY 1, 2),
+         |ds AS (SELECT event_type, lg, n,
+         |        CAST(n * sxy - sx * sy AS DOUBLE) /
+         |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+         |      FROM dg
+         |      WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+         |dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY r DESC, lg) AS rn FROM ds)
+         |SELECT event_type, CAST(lg AS BIGINT) AS best_lag,
+         |  n AS n_pairs, r AS autocorr
+         |FROM dr WHERE rn = 1""".stripMargin
+    },
     "holt_forecast" -> {
       // Brown's double smoothing: the series_ewma termwise kernel applied
       // twice (fp → s1q → s2q, exact floor-div requantization between

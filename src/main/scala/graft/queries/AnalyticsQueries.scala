@@ -1118,6 +1118,56 @@ object AnalyticsQueries {
           sqrt(vx.cast("double") * vy.cast("double"))).as("autocorr_lag1"))
   }
 
+  /** Dominant-period detection per series — "does this metric have a
+    * cycle, and how long is it": Pearson autocorrelation r(L) swept over
+    * candidate lags (every 10-min lag to 8 h, then 12 h/16 h/20 h/1 day/
+    * 28 h), reporting the argmax lag per series. The poor-man's
+    * periodogram: a daily-cycled series peaks at L = 144, white noise
+    * peaks nowhere in particular with r ≈ 0 — the read that tells a
+    * monitoring pipeline whether [[seasonalAnomaly]]'s hour-of-day
+    * profile is even applicable.
+    *
+    * Exactness: [[seriesAutocorr]]'s discipline per (series, lag) —
+    * centi-quantized means, six BIGINT moments, three final IEEE ops;
+    * the argmax compares identical doubles in both engines with the
+    * (r desc, lag asc) total order. Degenerate lags (n < 2 or zero
+    * variance) drop before ranking.
+    *
+    * Scale (100 TB): the lag sweep multiplies the COMPACT mean frame
+    * (|lags| × buckets-per-series rows of three BIGINTs), never raw
+    * events; alignment is an equijoin on (series, bucket+lag); moments
+    * fold map-side; the rank window sees |series| × |lags| rows. */
+  def dominantPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val lagSet = ((1 to 48) ++ Seq(72, 96, 120, 144, 168)).map(_.toLong)
+    val m = bucketMeans(spark, dir)
+      .select(col("event_type"), col("b"), floor(col("mv") * lit(100.0)).as("fp"))
+    val right = m.select(col("event_type").as("rt"), col("b").as("rb"),
+      col("fp").as("y"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val scored = m
+      .select(col("event_type"), col("b"), col("fp").as("x"),
+        explode(array(lagSet.map(lit): _*)).as("lg"))
+      .join(right, col("event_type") === col("rt") &&
+        col("rb") === col("b") + col("lg"))
+      .groupBy(col("event_type"), col("lg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= 2 && vx > 0 && vy > 0)
+      .select(col("event_type"), col("lg"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double"))).as("r"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("r").desc, col("lg").asc)
+    scored
+      .withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+      .select(col("event_type"), col("lg").as("best_lag"),
+        col("n").as("n_pairs"), col("r").as("autocorr"))
+  }
+
   /** CUSUM change-point detection per series — "when did this metric's
     * level shift": the classic cumulative-sum statistic Sᵢ = Σ₁..ᵢ(xⱼ−x̄)
     * maximized in absolute value over the series; the reported bucket is

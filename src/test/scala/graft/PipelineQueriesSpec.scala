@@ -1121,6 +1121,31 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(ew.nonEmpty && ew.forall(_.getAs[Double]("forecast_err") > 1.0))
   }
 
+  test("dominant_period: planted square wave recovered at its period, pure trend maxes at lag 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_period").toString
+    // 'wave': square wave with period 18 buckets; 'ramp': pure linear trend
+    val rows = (0 until 400).flatMap { t =>
+      val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t * 600L))
+      Seq(
+        (t.toLong * 2, ts, 1L, "wave", if (t % 18 < 9) 100.0 else 200.0, "{}"),
+        (t.toLong * 2 + 1, ts, 1L, "ramp", 10.0 + 1.0 * t, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = AnalyticsQueries.dominantPeriod(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // the wave's autocorr peaks (r ≈ 1) exactly at multiples of 18
+    val wave = out("wave")
+    assert(wave.getAs[Long]("best_lag") % 18L == 0L,
+      s"expected a multiple of the planted period, got ${wave.getAs[Long]("best_lag")}")
+    assert(wave.getAs[Double]("autocorr") > 0.99)
+    // a linear ramp correlates perfectly with every shifted self — the
+    // (r desc, lag asc) tie-break must elect the smallest lag
+    val ramp = out("ramp")
+    assert(ramp.getAs[Long]("best_lag") == 1L)
+    assert(ramp.getAs[Double]("autocorr") > 0.999)
+  }
+
   test("forecast_eval: matches a driver-side seasonal-naive backtest exactly") {
     val out = AnalyticsQueries.forecastEval(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
