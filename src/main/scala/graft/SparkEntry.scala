@@ -35,6 +35,7 @@ object SparkEntry {
     "text_stats" -> (TextQueries.textStats _),
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langIdQuery _),
+    "tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
     "lang_confusion" -> (TextQueries.langConfusion _),
     "quality_score" -> (TextQueries.qualityScore _),
     "top_terms" -> (TextQueries.topTerms _),
@@ -761,6 +762,23 @@ object SparkEntry {
         |SELECT doc_id, len(toks) AS n_bpe_tokens,
         |  len(list_distinct(toks)) AS n_distinct_bpe
         |FROM t""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len($WordToksSql) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS nb
+         |  FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(nc) AS BIGINT) AS total_chars,
+         |    CAST(sum(nw) AS BIGINT) AS total_word_tokens,
+         |    CAST(sum(nb) AS BIGINT) AS total_bpe_tokens
+         |  FROM t GROUP BY lang)
+         |SELECT lang, n_docs, total_chars, total_word_tokens, total_bpe_tokens,
+         |  CASE WHEN total_bpe_tokens > 0
+         |       THEN CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) END AS chars_per_bpe,
+         |  CASE WHEN total_word_tokens > 0
+         |       THEN CAST(total_bpe_tokens AS DOUBLE) / CAST(total_word_tokens AS DOUBLE) END AS bpe_per_word
+         |FROM g""".stripMargin,
     "lang_confusion" ->
       s"""WITH t AS (SELECT lang, $WordToksSql AS tokens FROM documents),
          |s AS (SELECT lang,

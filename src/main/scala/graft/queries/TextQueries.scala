@@ -291,6 +291,34 @@ object TextQueries {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_bpe")
       )
 
+  /** Tokenizer-fertility profile per language: characters per BPE-ish
+    * token and BPE tokens per whitespace word — the tokenizer-health
+    * read a multilingual pipeline checks before trusting token budgets
+    * (a language whose fertility is far above the corpus norm pays more
+    * context window per character; Ács' fertility metric for subword
+    * tokenizers). One scan, |langs| groups, integer sums, two final
+    * IEEE divisions. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(wordTokens(col("text"))).cast("long").as("nw"),
+        size(bpeTokens(col("text"))).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("total_chars"),
+        sum(col("nw")).as("total_word_tokens"),
+        sum(col("nb")).as("total_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_word_tokens"), col("total_bpe_tokens"),
+        when(col("total_bpe_tokens") > 0,
+          col("total_chars").cast("double") /
+            col("total_bpe_tokens").cast("double")).as("chars_per_bpe"),
+        when(col("total_word_tokens") > 0,
+          col("total_bpe_tokens").cast("double") /
+            col("total_word_tokens").cast("double")).as("bpe_per_word"))
+
   /** Stopword-argmax language ID with per-language scores exposed. */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

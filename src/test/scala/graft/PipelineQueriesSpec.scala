@@ -1121,6 +1121,27 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(ew.nonEmpty && ew.forall(_.getAs[Double]("forecast_err") > 1.0))
   }
 
+  test("tokenizer_fertility: totals reconcile with the per-doc token counters") {
+    val out = TextQueries.tokenizerFertility(spark, dir).collect()
+    val stats = TextQueries.textStats(spark, dir)
+    val bpe = TextQueries.tokenCount(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang").as("l2")), Seq("doc_id"))
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val words = stats.filter(col("lang") === lang)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      assert(r.getAs[Long]("total_word_tokens") == words)
+      val b = bpe.filter(col("l2") === lang)
+        .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+      assert(r.getAs[Long]("total_bpe_tokens") == b)
+      assert(r.getAs[Double]("chars_per_bpe") ==
+        r.getAs[Long]("total_chars").toDouble / r.getAs[Long]("total_bpe_tokens").toDouble)
+      // subword-style splitting never produces fewer tokens than words
+      assert(r.getAs[Double]("bpe_per_word") >= 1.0)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("dominant_period: planted square wave recovered at its period, pure trend maxes at lag 1") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_period").toString
     // 'wave': square wave with period 18 buckets; 'ramp': pure linear trend
