@@ -122,6 +122,7 @@ object SparkEntry {
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "filter_cascade" -> (CurationQueries.filterCascade _),
     "pack_efficiency" -> (CurationQueries.packEfficiency _),
+    "kcore_peel" -> (CurationQueries.kcorePeel _),
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
@@ -2409,6 +2410,27 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
          |  FROM d)
          |SELECT doc_id, shard, n_tok, start_tok, start_tok // 512 AS bin FROM s""".stripMargin,
+    "kcore_peel" -> {
+      // 8 unconditional peel rounds over the symmetric LSH edge list —
+      // the same function as the engine's fixpoint-or-8 loop, since
+      // post-fixpoint rounds are no-ops
+      // AS MATERIALIZED pins every round's frame: each ke/kn is referenced
+      // three times, and inlining would re-derive the whole upstream chain
+      // per reference (exponential documents re-scans — DuckDB runs out of
+      // file handles before finishing)
+      val rounds = (1 to 8).map { i =>
+        s"""kn$i AS MATERIALIZED (SELECT src FROM ke${i - 1} GROUP BY src HAVING count(*) >= 2),
+           |ke$i AS MATERIALIZED (SELECT e.src, e.dst FROM ke${i - 1} e
+           |  WHERE e.src IN (SELECT src FROM kn$i)
+           |    AND e.dst IN (SELECT src FROM kn$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LshCandBody,
+         |ke0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |$rounds
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM ke8 GROUP BY src""".stripMargin
+    },
     "pack_efficiency" ->
       // the pack_sequences body rolled up twice: (shard, bin) partials
       // then the shard totals; two fixed-order IEEE divisions at the end

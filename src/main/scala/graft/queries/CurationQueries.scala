@@ -440,6 +440,57 @@ object CurationQueries {
       .withColumn("bin", expr("start_tok DIV 512"))
   }
 
+  /** 2-core of the near-dup graph by iterative peeling (Matula–Beck):
+    * repeatedly delete nodes with fewer than 2 surviving neighbors; what
+    * remains is the graph's CYCLIC backbone — the dup families whose
+    * members corroborate each other (every survivor sits on a cycle),
+    * as opposed to the chains and stars LSH banding also proposes, which
+    * peel away entirely. PageRank finds hubs, triangles count local
+    * density; coreness is the classic third read, and the peel is the
+    * standard O(rounds·m) distributed form.
+    *
+    * Bounded-round contract: peeling runs to fixpoint OR 8 rounds,
+    * whichever first — and the DuckDB oracle unconditionally applies 8
+    * peel rounds, which is the SAME function (post-fixpoint rounds are
+    * no-ops; a capped run equals the oracle's round-8 state by
+    * construction), so the result is oracle-exact at any scale. The
+    * spec additionally proves the fixture reaches its true fixpoint
+    * inside the cap.
+    *
+    * Scale (100 TB): each round is one map-combinable degree count on
+    * compact doc ids + two semi-joins restricting the edge list — the
+    * [[dedupClusters]] shuffle shape; the edge list only ever SHRINKS,
+    * and `localCheckpoint` pins each round's frame so the plan stays
+    * flat instead of re-deriving r rounds of lineage. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val K = 2
+    val R = 8
+    val pairs = SimilarityQueries.minhashLsh(spark, dir)
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var eCount = edges.count()
+    var round = 0
+    var changed = true
+    while (round < R && changed) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K).select(col("src"))
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val c = next.count()
+      changed = c != eCount // only deletions happen: equal count = fixpoint
+      edges = next
+      eCount = c
+      round += 1
+    }
+    edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+  }
+
   /** Packing-efficiency audit over the [[packSequences]] layout: per
     * shard, how full the 512-token bins actually are — total tokens,
     * bins opened (by start offset), docs per bin (mean and max), and the

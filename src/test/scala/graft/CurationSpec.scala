@@ -378,6 +378,33 @@ class CurationSpec extends SparkSuite {
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
 
+  test("kcore_peel: equals a driver-side peel replay; members are mutually 2-supported; fixpoint inside the cap") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001's dup graph has no cycles
+    val pairs = SimilarityQueries.minhashLsh(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference replay: iterative 2-core peel to fixpoint
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      done = next == edges
+      if (!done) { edges = next; rounds += 1 }
+    }
+    assert(rounds <= 8, s"fixture peel took $rounds rounds — the bounded-round contract would clip")
+    val expect = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = CurationQueries.kcorePeel(spark, d01).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    assert(got == expect, s"engine ${got.size} members vs replay ${expect.size}")
+    assert(got.nonEmpty && got.values.forall(_ >= 2L))
+    // chains/stars must have peeled away: survivors sit on cycles, so the
+    // survivor count is strictly below the edge-touched node count
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(got.size < touched)
+  }
+
   test("pack_efficiency: reconciles exactly with the pack_sequences frame") {
     val pack = CurationQueries.packSequences(spark, dir).collect()
     val eff = CurationQueries.packEfficiency(spark, dir).collect()
