@@ -128,6 +128,8 @@ object SparkEntry {
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
     "holt_forecast" -> (AnalyticsQueries.holtForecast _),
     "dominant_period" -> (AnalyticsQueries.dominantPeriod _),
+    "path_topk" -> (AnalyticsQueries.pathTopk _),
+    "k_anonymity" -> (TextQueries.kAnonymity _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -2555,6 +2557,26 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "path_topk" ->
+      // two leads per user-ordered sequence, |types|^3 count, total-order
+      // top-10 — (ts, event_id) is a strict order so both engines agree
+      """WITH pl AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER win AS e2,
+        |    lead(event_type, 2) OVER win AS e3
+        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+        |  count(*) AS cnt
+        |FROM pl WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+    "k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*) AS gsize
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT gsize, count(*) AS n_groups,
+        |  CAST(gsize * count(*) AS BIGINT) AS n_docs,
+        |  gsize < 5 AS at_risk
+        |FROM g GROUP BY gsize""".stripMargin,
     "dominant_period" -> {
       // lag-swept Pearson autocorr (series_autocorr's integer-moment
       // formula per (series, lag)), argmax by the (r desc, lag) order

@@ -1118,6 +1118,31 @@ object AnalyticsQueries {
           sqrt(vx.cast("double") * vy.cast("double"))).as("autocorr_lag1"))
   }
 
+  /** Top-10 three-step event paths across all users — the sequence-mining
+    * read beside [[eventTransitions]]' bigram matrix: which exact
+    * view→click→purchase-style trigrams dominate user behavior. Two
+    * leads per user-keyed window (each user's event sequence in (ts,
+    * event_id) order), then a |types|³-bounded count and a
+    * TakeOrderedAndProject top-10 under the total (cnt desc, path asc)
+    * order.
+    *
+    * Scale: the window partitions by user_id (compact key, bounded
+    * per-user history); the trigram aggregate has at most |event_types|³
+    * groups, folded map-side. */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+      .limit(10)
+  }
+
   /** Dominant-period detection per series — "does this metric have a
     * cycle, and how long is it": Pearson autocorrelation r(L) swept over
     * candidate lags (every 10-min lag to 8 h, then 12 h/16 h/20 h/1 day/

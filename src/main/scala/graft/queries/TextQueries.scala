@@ -291,6 +291,25 @@ object TextQueries {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_bpe")
       )
 
+  /** k-anonymity audit over the quasi-identifier tuple (lang, source,
+    * 100-char length bucket): the size distribution of QI groups, with
+    * the under-5 groups flagged — documents in a group of size 1 are
+    * re-identifiable by their metadata alone even after [[piiRedact]]
+    * scrubs the text (Sweeney's k-anonymity, the standard release-risk
+    * read before publishing a corpus). One scan, two compact hash
+    * aggregations: (QI) group sizes, then the size histogram. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("gsize"))
+      .groupBy(col("gsize"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("gsize"), col("n_groups"),
+        (col("gsize") * col("n_groups")).as("n_docs"),
+        (col("gsize") < 5).as("at_risk"))
+
   /** Tokenizer-fertility profile per language: characters per BPE-ish
     * token and BPE tokens per whitespace word — the tokenizer-health
     * read a multilingual pipeline checks before trusting token budgets

@@ -1121,6 +1121,39 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(ew.nonEmpty && ew.forall(_.getAs[Double]("forecast_err") > 1.0))
   }
 
+  test("path_topk: equals a driver-side trigram replay under the same total order") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tus"), r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+    }
+    val expect = tri.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(10)
+    val got = AnalyticsQueries.pathTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getAs[Long]("cnt")))
+    assert(got.toSeq == expect)
+  }
+
+  test("k_anonymity: histogram partitions the corpus; at-risk flag consistent") {
+    val out = TextQueries.kAnonymity(spark, dir).collect()
+    assert(out.map(r => r.getAs[Long]("n_docs")).sum == 500L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("gsize") * r.getAs[Long]("n_groups"))
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("gsize") < 5L))
+    }
+    // group sizes reconcile with a direct QI group-by
+    val direct = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 100"))
+      .count().collect().map(_.getAs[Long]("count"))
+    val hist = direct.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach(r => assert(hist(r.getAs[Long]("gsize")) == r.getAs[Long]("n_groups")))
+    assert(out.map(_.getAs[Long]("n_groups")).sum == direct.length.toLong)
+  }
+
   test("tokenizer_fertility: totals reconcile with the per-doc token counters") {
     val out = TextQueries.tokenizerFertility(spark, dir).collect()
     val stats = TextQueries.textStats(spark, dir)
