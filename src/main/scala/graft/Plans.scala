@@ -97,7 +97,12 @@ object Plans {
     "join_size_est" -> "fixed 3×4096 sketch folds map-side (shuffle ≤ 12288 rows per partition at ANY scale); exact side is one compact-key agg; two 1-row frames crossed",
     "bloom_prune" -> "bit-set (distinct positions) and member keys broadcast; probe explode + broadcast semi-join — the probe side never shuffles",
     "forecast_eval" -> "season-lag alignment equijoin on (series, bucket) compact keys over the bounded mean frame; per-series integer-sum scoring",
-    "holt_forecast" -> "two termwise lag windows per series over the compact mean frame — series_ewma's shape applied twice"
+    "holt_forecast" -> "two termwise lag windows per series over the compact mean frame — series_ewma's shape applied twice",
+    "dominant_period" -> "lag sweep multiplies the COMPACT mean frame, alignment is a (series, bucket+lag) equijoin; rank window sees |series|×|lags| rows",
+    "kcore_peel" -> "final peel round: map-combinable degree count + two semi-joins on compact doc ids; the edge list only shrinks",
+    "pack_efficiency" -> "two hash aggregations over the compact pack frame; the only window is pack_sequences' per-shard cumsum",
+    "path_topk" -> "user-keyed lead windows; |types|^3-bounded count; top-10 via TakeOrderedAndProject",
+    "k_anonymity" -> "two compact hash aggregations — QI group sizes then the size histogram; text never read"
   )
 
   def main(args: Array[String]): Unit = {
