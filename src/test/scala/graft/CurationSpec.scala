@@ -378,6 +378,24 @@ class CurationSpec extends SparkSuite {
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
 
+  test("persisted IVF index: serving equals in-session annIvf exactly and partition-prunes the postings") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    SimilarityQueries.buildIvfIndex(spark, dir, tmp)
+    val served = SimilarityQueries.annIvfServe(spark, dir, tmp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows(served)
+    val want = rows(SimilarityQueries.annIvf(spark, dir))
+    assert(got == want, s"served ${got.size} rows vs in-session ${want.size}")
+    assert(want.nonEmpty)
+    // the scale point of the layout: the postings scan is gated by a
+    // RUNTIME partition filter seeded from the broadcast query side —
+    // serving reads the probed buckets' directories, not the corpus
+    val p = served.queryExecution.executedPlan.treeString
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scan:\n${p.take(4000)}")
+  }
+
   test("kcore_peel: equals a driver-side peel replay; members are mutually 2-supported; fixpoint inside the cap") {
     val d01 = "/root/testdata/sf0.01" // sf0.001's dup graph has no cycles
     val pairs = SimilarityQueries.minhashLsh(spark, d01)
