@@ -69,6 +69,7 @@ object SparkEntry {
     "kmeans_step" -> (SimilarityQueries.kmeansStep _),
     "kmeans_train2" -> (SimilarityQueries.kmeansTrain2 _),
     "pca_power" -> (SimilarityQueries.pcaPower _),
+    "pca_project" -> (SimilarityQueries.pcaProject _),
     "semantic_neardup" -> (SimilarityQueries.semanticNearDup _),
     "kmeans_shift" -> (SimilarityQueries.kmeansShift _),
     "cluster_eval" -> (SimilarityQueries.clusterEval _),
@@ -618,6 +619,29 @@ object SparkEntry {
       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph_hi
       |  FROM g)""".stripMargin
 
+  /** The 3-round power-iteration CTE chain (mean-centered `cx`, rounds
+    * s1..v3) shared by the `pca_power` and `pca_project` oracles —
+    * terminal CTEs are `q3(pos, q)`, `w3(w)`, and the unit vector
+    * `v3(v)`. */
+  private lazy val PcaChainBody: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
+       |me AS (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS xv FROM e),
+       |mg AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS qs
+       |       FROM me GROUP BY pos),
+       |mu AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS mu FROM mg),
+       |cx AS (SELECT vec_id, list_transform(range(1, len(x) + 1), i -> x[i] - mu.mu[i]) AS cx FROM e, mu),
+       |v0 AS (SELECT list_transform(mu, m -> 1.0) AS v FROM mu),
+       |${(1 to 3).map { i =>
+         s"""s$i AS (SELECT ${dotSql("c.cx", "v.v")} AS s,
+            |        generate_subscripts(c.cx, 1) AS pos, unnest(c.cx) AS cxj
+            |      FROM cx c, v${i - 1} v),
+            |q$i AS (SELECT pos, CAST(sum(CAST(floor(s * cxj * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+            |      FROM s$i GROUP BY pos),
+            |w$i AS (SELECT list(CAST(q AS DOUBLE) ORDER BY pos) AS w FROM q$i),
+            |v$i AS (SELECT list_transform(w, x -> x / sqrt(${dotSql("w", "w")})) AS v FROM w$i)""".stripMargin
+       }.mkString(",\n")}""".stripMargin
+
   private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val WordToksSql = s"regexp_extract_all($NormSql, '[a-z0-9]+')"
   private def inList(lang: String): String =
@@ -1071,27 +1095,21 @@ object SparkEntry {
       // per (row, dim) to floor(s·cxⱼ·10⁶) BIGINTs (exact,
       // order-independent); per-row dots and norms are the same
       // index-order folds as every cosine oracle
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
-         |me AS (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS xv FROM e),
-         |mg AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(CAST(floor(xv * 1000000.0) AS BIGINT)) AS BIGINT) AS qs
-         |       FROM me GROUP BY pos),
-         |mu AS (SELECT list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS mu FROM mg),
-         |cx AS (SELECT vec_id, list_transform(range(1, len(x) + 1), i -> x[i] - mu.mu[i]) AS cx FROM e, mu),
-         |v0 AS (SELECT list_transform(mu, m -> 1.0) AS v FROM mu),
-         |${(1 to 3).map { i =>
-           s"""s$i AS (SELECT ${dotSql("c.cx", "v.v")} AS s,
-              |        generate_subscripts(c.cx, 1) AS pos, unnest(c.cx) AS cxj
-              |      FROM cx c, v${i - 1} v),
-              |q$i AS (SELECT pos, CAST(sum(CAST(floor(s * cxj * 1000000.0) AS BIGINT)) AS BIGINT) AS q
-              |      FROM s$i GROUP BY pos),
-              |w$i AS (SELECT list(CAST(q AS DOUBLE) ORDER BY pos) AS w FROM q$i),
-              |v$i AS (SELECT list_transform(w, x -> x / sqrt(${dotSql("w", "w")})) AS v FROM w$i)""".stripMargin
-         }.mkString(",\n")},
+      s"""WITH $PcaChainBody,
          |nw AS (SELECT sqrt(${dotSql("w", "w")}) AS nw FROM w3)
          |SELECT CAST(q3.pos AS BIGINT) AS pos, q3.q AS w_fp,
          |  CAST(q3.q AS DOUBLE) / nw.nw AS loading
          |FROM q3, nw""".stripMargin,
+    "pca_project" ->
+      // every vector scored against the shared chain's unit v3 (index-
+      // order dot of identical doubles), binned at floor(s·10)
+      s"""WITH $PcaChainBody,
+         |ppr AS (SELECT c.vec_id, ${dotSql("c.cx", "v.v")} AS s FROM cx c, v3 v)
+         |SELECT CAST(floor(ppr.s * 10) AS BIGINT) AS bin,
+         |  CAST(e2.label AS BIGINT) AS label,
+         |  count(*) AS cnt, min(ppr.s) AS min_s, max(ppr.s) AS max_s
+         |FROM ppr JOIN embeddings e2 ON ppr.vec_id = e2.vec_id
+         |GROUP BY 1, 2""".stripMargin,
     "cluster_eval" ->
       // inertia as exact fixed-point sums (floor((d·d)·10⁶) per
       // coordinate, summed as BIGINTs — order-independent), majority

@@ -400,7 +400,12 @@ object SimilarityQueries {
     * contributions are ~10⁸ at unit-scale embeddings, so the per-dim
     * BIGINT sum has room past 10⁹ rows; ANSI mode makes overflow loud,
     * not wrong. */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared 3-round power-iteration chain: mean-centered embeddings
+    * `cx(vec_id, cx)`, the final unit vector `v(v)` (one row), and the
+    * final-round quantized matvec `pq(wq)` — [[pcaPower]] reports the
+    * loadings from pq, [[pcaProject]] scores every vector against v. */
+  private def pcaChain(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rounds = 3
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("x"))
@@ -431,6 +436,11 @@ object SimilarityQueries {
         .select(transform(col("wq"), q => q.cast("double")).as("w"))
         .select(transform(col("w"), x => x / normD(col("w"))).as("v"))
     }
+    (cx, v, pq)
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, pq) = pcaChain(spark, dir)
     pq
       .withColumn("nw", normD(transform(col("wq"), q => q.cast("double"))))
       .select(col("nw"), posexplode(col("wq")))
@@ -438,6 +448,30 @@ object SimilarityQueries {
         (col("pos") + 1).cast("long").as("pos"),
         col("col").as("w_fp"),
         (col("col").cast("double") / col("nw")).as("loading"))
+  }
+
+  /** PC1 projection histogram by class: every vector scored against the
+    * trained top principal component, binned at 0.1 width, counted per
+    * (bin, label) — the one-dimensional density map that answers "does
+    * the leading axis of variance separate the labels" before anyone
+    * trusts a PCA plot of the embedding space. min/max of the exact
+    * projection per cell expose the bin edges.
+    *
+    * Exactness: the unit vector is the shared fixed-point chain's
+    * output; each projection is the index-order dotD fold of identical
+    * doubles; the bin is floor(s·10) of identical doubles — both
+    * engines bin identically. Scale: scoring is a narrow map under a
+    * one-row broadcast; the histogram is a (bin, label) hash aggregate. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (cx, v, _) = pcaChain(spark, dir)
+    val lbl = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    cx.join(broadcast(v))
+      .withColumn("s", dotD(col("cx"), col("v")))
+      .select(col("vec_id"), col("s"))
+      .join(lbl, "vec_id")
+      .groupBy(floor(col("s") * lit(10)).cast("long").as("bin"), col("label"))
+      .agg(count(lit(1)).as("cnt"), min(col("s")).as("min_s"), max(col("s")).as("max_s"))
   }
 
   /** Embedding outliers: the 20 vectors FARTHEST from their own trained

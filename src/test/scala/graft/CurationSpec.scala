@@ -378,6 +378,27 @@ class CurationSpec extends SparkSuite {
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
 
+  test("pca_project: histogram partitions the vectors, bins bracket their projections") {
+    val d01 = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.pcaProject(spark, d01).collect()
+    val nVec = graft.sources.Tables.embeddings(spark, d01).count()
+    assert(out.map(_.getAs[Long]("cnt")).sum == nVec)
+    out.foreach { r =>
+      val (bin, lo, hi) = (r.getAs[Long]("bin"), r.getAs[Double]("min_s"), r.getAs[Double]("max_s"))
+      assert(lo <= hi)
+      // floor(s·10) = bin ⇔ s ∈ [bin/10, (bin+1)/10)
+      assert(lo * 10.0 >= bin.toDouble && hi * 10.0 < bin.toDouble + 1.0)
+    }
+    // label marginals reconcile
+    val byLabel = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.map(_.getAs[Long]("cnt")).sum)
+    graft.sources.Tables.embeddings(spark, d01)
+      .groupBy(col("label")).count().collect().foreach { r =>
+        assert(byLabel(r.getAs[Int]("label").toLong) == r.getAs[Long]("count"))
+      }
+    // the top PC has real spread: more than one bin occupied
+    assert(out.map(_.getAs[Long]("bin")).distinct.length > 1)
+  }
+
   test("persisted IVF index: serving equals in-session annIvf exactly and partition-prunes the postings") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
     SimilarityQueries.buildIvfIndex(spark, dir, tmp)
