@@ -36,6 +36,7 @@ object SparkEntry {
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langIdQuery _),
     "tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
+    "ngram_novelty" -> (TextQueries.ngramNovelty _),
     "lang_confusion" -> (TextQueries.langConfusion _),
     "quality_score" -> (TextQueries.qualityScore _),
     "top_terms" -> (TextQueries.topTerms _),
@@ -2575,6 +2576,18 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "ngram_novelty" ->
+      // distinct shingles per doc, 60-bit-hash first-owner attribution,
+      // one integer-ratio division per doc
+      s"""WITH nvw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |nvs AS (SELECT doc_id, unnest(list_distinct($ShingleSql)) AS sh FROM nvw),
+         |nvh AS (SELECT doc_id, ${hash60Sql("sh")} AS h FROM nvs),
+         |nvo AS (SELECT h, min(doc_id) AS owner FROM nvh GROUP BY h)
+         |SELECT a.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN o.owner = a.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN o.owner = a.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM nvh a JOIN nvo o ON a.h = o.h GROUP BY a.doc_id""".stripMargin,
     "path_topk" ->
       // two leads per user-ordered sequence, |types|^3 count, total-order
       // top-10 — (ts, event_id) is a strict order so both engines agree

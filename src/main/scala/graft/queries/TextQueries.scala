@@ -1014,6 +1014,35 @@ object TextQueries {
     * side is vocabulary-sized (≪ corpus); AQE broadcasts it when small.
     * Docs with < 3 tokens have no shingles and drop out (same contract
     * as [[repetitionScore]]). */
+  /** Novelty curve: per document, the fraction of its distinct word
+    * 3-gram shingles whose FIRST corpus occurrence (minimal doc_id over
+    * the shingle hash) is this document — the diminishing-returns read
+    * behind data-mixing decisions: as a crawl grows, per-doc novelty
+    * decays, and the marginal value of more data from the same source
+    * decays with it (the scaling-laws view of dedup). Documents below
+    * the 3-token shingle threshold have no rate and emit no row.
+    *
+    * Scale (100 TB): shingle text dies at the map — only (doc_id,
+    * 60-bit hash) rows shuffle (the [[substringDedup]] width rationale:
+    * 2³² birthday-saturates on corpus-global shingle spaces); ownership
+    * is one map-combinable min per hash; the join keys on the compact
+    * hash. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val shd = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(SimilarityQueries.shingleColPublic(col("ws")))).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+    val owner = shd.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    shd.join(owner, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+  }
+
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     val shd = Tables.documents(spark, dir)
       .withColumn("ws", wordTokens(col("text")))

@@ -1121,6 +1121,33 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(ew.nonEmpty && ew.forall(_.getAs[Double]("forecast_err") > 1.0))
   }
 
+  test("ngram_novelty: exact against a driver-side first-owner replay") {
+    val out = TextQueries.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))
+      assert(nov >= 0L && nov <= n)
+      assert(r.getAs[Double]("novelty") == nov.toDouble / n.toDouble)
+    }
+    // driver-side replay on the raw shingle strings (no hash — a 60-bit
+    // collision would be the only divergence, vanishing at fixture size)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase.trim
+          .replaceAll("\\s+", " ")).toVector)
+    val shingles = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ownerOf = shingles.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    shingles.filter(_._2.nonEmpty).foreach { case (id, ss) =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_shingles") == ss.size.toLong, s"doc $id shingle count")
+      assert(r.getAs[Long]("n_novel") == ss.count(ownerOf(_) == id).toLong, s"doc $id novelty")
+    }
+    assert(out.keySet == shingles.filter(_._2.nonEmpty).keySet)
+  }
+
   test("path_topk: equals a driver-side trigram replay under the same total order") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"), col("event_type"))
