@@ -125,6 +125,7 @@ object SparkEntry {
     "filter_cascade" -> (CurationQueries.filterCascade _),
     "pack_efficiency" -> (CurationQueries.packEfficiency _),
     "kcore_peel" -> (CurationQueries.kcorePeel _),
+    "source_divergence" -> (CurationQueries.sourceDivergence _),
     "join_size_est" -> (AnalyticsQueries.joinSizeEst _),
     "forecast_eval" -> (AnalyticsQueries.forecastEval _),
     "bloom_prune" -> (AnalyticsQueries.bloomPrune _),
@@ -2576,6 +2577,30 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "source_divergence" ->
+      // χ² over the top-100 head: zero-filled |sources|×100 grid, each
+      // IEEE term quantized to micro-units BEFORE the per-source sum
+      s"""WITH sdt AS (SELECT source, unnest($WordToksSql) AS tok FROM documents),
+         |sdh AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct
+         |  FROM sdt GROUP BY tok ORDER BY ct DESC, tok LIMIT 100),
+         |sds AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS o
+         |  FROM sdt WHERE tok IN (SELECT tok FROM sdh) GROUP BY 1, 2),
+         |sdn AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM sds GROUP BY source),
+         |sdtot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM sdh),
+         |sdg AS (SELECT n.source, n.ns, h.tok, h.ct, t.nn, s.o
+         |  FROM sdn n CROSS JOIN sdh h CROSS JOIN sdtot t
+         |  LEFT JOIN sds s ON s.source = n.source AND s.tok = h.tok),
+         |sdterm AS (SELECT source, ns,
+         |    CAST(floor((CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS term_fp
+         |  FROM sdg)
+         |SELECT source, max(ns) AS n_head_tokens,
+         |  CAST(count(*) - 1 AS BIGINT) AS df,
+         |  CAST(sum(term_fp) AS BIGINT) AS chi2_fp,
+         |  CAST(sum(term_fp) AS DOUBLE) / 1000000.0 AS chi2
+         |FROM sdterm GROUP BY source""".stripMargin,
     "ngram_novelty" ->
       // distinct shingles per doc, 60-bit-hash first-owner attribution,
       // one integer-ratio division per doc

@@ -440,6 +440,51 @@ object CurationQueries {
       .withColumn("bin", expr("start_tok DIV 512"))
   }
 
+  /** Per-source χ² divergence from the corpus unigram distribution over
+    * the top-100 vocabulary head: Σ (o − e)²/e with e the source's
+    * expected count under the corpus mix — the "is this source
+    * linguistically unlike the rest" read behind mixture weighting (the
+    * χ² alternative to KL chosen deliberately: no cross-engine `ln`,
+    * per the [[TextQueries.lmScore]] libm-ULP rule). Zero-count cells
+    * contribute their full expectation, so a source missing common
+    * words scores high, as it should.
+    *
+    * Exactness: counts are BIGINTs; each cell's IEEE term is computed
+    * in one fixed operation order and quantized floor(term·10⁶) BEFORE
+    * the per-source sum, so group fold order cannot perturb the
+    * statistic.
+    *
+    * Scale (100 TB): the head is a 100-row broadcast; per-(source,
+    * token) counts fold map-side; the zero-filled grid is
+    * |sources|×100. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(wordTokens(col("text"))).as("tok"))
+    val head = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc).limit(100)
+    val st = toks.join(broadcast(head.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("o"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+    val tot = head.agg(sum(col("ct")).as("nn"))
+    val e = (col("ns").cast("double") * col("ct").cast("double")) /
+      col("nn").cast("double")
+    val d = coalesce(col("o"), lit(0L)).cast("double") - e
+    srcTotals
+      .crossJoin(broadcast(head)) // |sources| × 100 grid
+      .crossJoin(broadcast(tot)) // one-row total
+      .join(st, Seq("source", "tok"), "left")
+      .withColumn("term_fp", floor(d * d / e * lit(1000000.0)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_head_tokens"),
+        count(lit(1)).as("n_cells"),
+        sum(col("term_fp")).as("chi2_fp"))
+      .select(col("source"), col("n_head_tokens"),
+        (col("n_cells") - 1L).as("df"),
+        col("chi2_fp"),
+        (col("chi2_fp").cast("double") / lit(1000000.0)).as("chi2"))
+  }
+
   /** 2-core of the near-dup graph by iterative peeling (Matula–Beck):
     * repeatedly delete nodes with fewer than 2 surviving neighbors; what
     * remains is the graph's CYCLIC backbone — the dup families whose

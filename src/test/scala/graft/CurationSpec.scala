@@ -378,6 +378,35 @@ class CurationSpec extends SparkSuite {
     assert(connected.nonEmpty && connected.exists(_.getAs[Long]("rank_fp") > floorRank))
   }
 
+  test("source_divergence: equals a driver-side chi-square replay term for term") {
+    val out = CurationQueries.sourceDivergence(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(
+        r.getAs[String]("text").toLowerCase.trim.replaceAll("\\s+", " "))
+        .map(t => (r.getAs[String]("source"), t)))
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+    val head = corpus.sortBy { case (t, c) => (-c, t) }.take(100)
+    val nn = head.map(_._2).sum
+    val headSet = head.map(_._1).toSet
+    val bySrcTok = toks.filter(t => headSet(t._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    toks.map(_._1).distinct.foreach { src =>
+      val ns = head.map { case (t, _) => bySrcTok.getOrElse((src, t), 0L) }.sum
+      val chi2fp = head.map { case (t, ct) =>
+        val e = ns.toDouble * ct.toDouble / nn.toDouble
+        val d = bySrcTok.getOrElse((src, t), 0L).toDouble - e
+        math.floor(d * d / e * 1000000.0).toLong
+      }.sum
+      val r = out(src)
+      assert(r.getAs[Long]("n_head_tokens") == ns, s"$src head total")
+      assert(r.getAs[Long]("chi2_fp") == chi2fp, s"$src chi2")
+      assert(r.getAs[Long]("df") == head.length.toLong - 1L)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("pca_project: histogram partitions the vectors, bins bracket their projections") {
     val d01 = "/root/testdata/sf0.001"
     val out = SimilarityQueries.pcaProject(spark, d01).collect()
