@@ -102,7 +102,10 @@ object Plans {
     "kcore_peel" -> "final peel round: map-combinable degree count + two semi-joins on compact doc ids; the edge list only shrinks",
     "pack_efficiency" -> "two hash aggregations over the compact pack frame; the only window is pack_sequences' per-shard cumsum",
     "path_topk" -> "user-keyed lead windows; |types|^3-bounded count; top-10 via TakeOrderedAndProject",
-    "k_anonymity" -> "two compact hash aggregations — QI group sizes then the size histogram; text never read"
+    "k_anonymity" -> "two compact hash aggregations — QI group sizes then the size histogram; text never read",
+    "ngram_novelty" -> "shingle text dies at the map — only (doc_id, 60-bit hash) shuffles; ownership is a map-combinable min; join keys on the hash",
+    "source_divergence" -> "100-row head broadcast; per-(source, token) counts fold map-side; zero-filled grid is |sources|×100",
+    "pca_project" -> "projection is a narrow map under a one-row unit-vector broadcast; histogram is a (bin, label) hash aggregate"
   )
 
   def main(args: Array[String]): Unit = {
