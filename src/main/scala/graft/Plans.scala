@@ -105,7 +105,8 @@ object Plans {
     "k_anonymity" -> "two compact hash aggregations — QI group sizes then the size histogram; text never read",
     "ngram_novelty" -> "shingle text dies at the map — only (doc_id, 60-bit hash) shuffles; ownership is a map-combinable min; join keys on the hash",
     "source_divergence" -> "100-row head broadcast; per-(source, token) counts fold map-side; zero-filled grid is |sources|×100",
-    "pca_project" -> "projection is a narrow map under a one-row unit-vector broadcast; histogram is a (bin, label) hash aggregate"
+    "pca_project" -> "projection is a narrow map under a one-row unit-vector broadcast; histogram is a (bin, label) hash aggregate",
+    "zorder_prune" -> "3-column scan; maxima fold to ONE broadcast row; per-(layout, file) minmax is a ≤512-group map-combined aggregate — no sort, no wide shuffle"
   )
 
   def main(args: Array[String]): Unit = {

@@ -90,6 +90,7 @@ object SparkEntry {
     "dims_exploded" -> (CoreQueries.dimsExploded _),
     "hourly_rollup" -> (CoreQueries.hourlyRollup _),
     "filter_pushdown" -> (CoreQueries.filterPushdown _),
+    "zorder_prune" -> (CoreQueries.zorderPrune _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1511,6 +1512,57 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
         |GROUP BY l_linestatus""".stripMargin,
+    // the Morton interleave is the same 16-term bit expression the engine
+    // builds in Layout.zValue16 — generated here so the two can't drift
+    "zorder_prune" -> {
+      val morton = (0 until 16).map(i =>
+        s"(((pk >> $i) & 1) << ${2 * i}) | (((sk >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+         |         CAST(l_orderkey AS BIGINT) AS ok
+         |  FROM lineitem),
+         |zt AS (SELECT pk, sk, ok, ($morton) AS z FROM b),
+         |bounds AS (SELECT max(z) AS zmax, max(ok) AS okmax,
+         |                  max(pk) AS pmax, max(sk) AS smax FROM zt),
+         |pred AS (SELECT (pmax+1)//4 AS plo, (pmax+1)//4 + (pmax+1)//16 - 1 AS phi,
+         |                (smax+1)//4 AS slo, (smax+1)//4 + (smax+1)//16 - 1 AS shi,
+         |                zmax, okmax FROM bounds),
+         |e AS (
+         |  SELECT 'zorder' AS layout, (zt.z*256)//(p.zmax+1) AS file_id, zt.pk, zt.sk,
+         |    CASE WHEN zt.pk >= p.plo AND zt.pk <= p.phi
+         |          AND zt.sk >= p.slo AND zt.sk <= p.shi THEN 1 ELSE 0 END AS hit,
+         |    p.plo, p.phi, p.slo, p.shi
+         |  FROM zt, pred p
+         |  UNION ALL
+         |  SELECT 'linear', (zt.ok*256)//(p.okmax+1), zt.pk, zt.sk,
+         |    CASE WHEN zt.pk >= p.plo AND zt.pk <= p.phi
+         |          AND zt.sk >= p.slo AND zt.sk <= p.shi THEN 1 ELSE 0 END,
+         |    p.plo, p.phi, p.slo, p.shi
+         |  FROM zt, pred p),
+         |f AS (
+         |  SELECT layout, file_id,
+         |    min(pk) AS min_pk, max(pk) AS max_pk,
+         |    min(sk) AS min_sk, max(sk) AS max_sk,
+         |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(hit) AS BIGINT) AS hits,
+         |    min(plo) AS plo, min(phi) AS phi, min(slo) AS slo, min(shi) AS shi
+         |  FROM e GROUP BY 1, 2),
+         |s AS (
+         |  SELECT layout,
+         |    CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(CASE WHEN min_pk <= phi AND max_pk >= plo
+         |                   AND min_sk <= shi AND max_sk >= slo
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |    CAST(sum(cnt) AS BIGINT) AS rows_total,
+         |    CAST(sum(CASE WHEN min_pk <= phi AND max_pk >= plo
+         |                   AND min_sk <= shi AND max_sk >= slo
+         |             THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |    CAST(sum(hits) AS BIGINT) AS rows_matched
+         |  FROM f GROUP BY 1)
+         |SELECT layout, n_files, files_scanned, rows_total, rows_scanned, rows_matched,
+         |  CAST(rows_scanned AS DOUBLE)/CAST(rows_total AS DOUBLE) AS scan_frac
+         |FROM s""".stripMargin
+    },
     "date_agg" ->
       """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
         |  count(*) AS cnt,

@@ -228,4 +228,85 @@ object CoreQueries {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k")
       )
+
+  /** Z-order layout pruning audit: how many "files" does a 2-D box
+    * predicate skip via parquet min/max footer stats under a Z-ordered
+    * layout vs the natural insertion-order layout? This quantifies the
+    * decision [[graft.sources.Layout.writeZOrdered]] implements: at
+    * 100 TB the dominant query cost is the scan, and file skipping is the
+    * only lever that removes I/O entirely rather than making it faster.
+    *
+    * Model: every row is assigned to one of ≤256 equal-width "files"
+    * under each layout — by its 2-D Morton value ([[Layout.zValue16]]
+    * over (l_partkey, l_suppkey)) and by l_orderkey (orders are generated
+    * in insertion sequence, so orderkey-order models the at-rest layout
+    * of an append-only table). Per file, the parquet-footer stats
+    * (min/max of both predicate columns) decide whether a template box
+    * predicate (the middle 1/16 × 1/16 of each key range — a selective
+    * 2-D lookup) can skip the file. The output is one row per layout:
+    * file/row scan fractions plus the true match count (identical across
+    * layouts — layout changes I/O, never answers).
+    *
+    * Everything is integer arithmetic (`div`, exact in both engines);
+    * the one double, `scan_frac`, is a single IEEE division of two
+    * longs. Shape at scale: one 3-column scan, one 6-long broadcast of
+    * the global maxima, a ≤512-group compact-key aggregate (map-side
+    * combined), then a 2-group summary — no wide shuffle, no sort. */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"),
+      col("l_orderkey").cast("long").as("ok"))
+    val keyed = base.withColumn("z", Layout.zValue16(col("pk"), col("sk")))
+    // global key maxima: one tiny aggregated row, broadcast onto the scan
+    val bounds = keyed.agg(
+      max("z").as("zmax"), max("ok").as("okmax"),
+      max("pk").as("pmax"), max("sk").as("smax"))
+    val exploded = keyed
+      .crossJoin(broadcast(bounds))
+      // box predicate: middle 1/16 of each dimension, integer-exact
+      .withColumn("plo", expr("(pmax + 1) div 4"))
+      .withColumn("phi", expr("(pmax + 1) div 4 + (pmax + 1) div 16 - 1"))
+      .withColumn("slo", expr("(smax + 1) div 4"))
+      .withColumn("shi", expr("(smax + 1) div 4 + (smax + 1) div 16 - 1"))
+      .withColumn("hit",
+        (col("pk") >= col("plo") && col("pk") <= col("phi") &&
+          col("sk") >= col("slo") && col("sk") <= col("shi")).cast("long"))
+      // the same row lands in one file per layout: equal-width file ids
+      // over the Morton value and over the insertion (orderkey) order
+      .select(col("pk"), col("sk"), col("hit"),
+        col("plo"), col("phi"), col("slo"), col("shi"),
+        explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("(z * 256) div (zmax + 1)").as("file_id")),
+          struct(lit("linear").as("layout"),
+            expr("(ok * 256) div (okmax + 1)").as("file_id")))).as("e"))
+      .select(col("pk"), col("sk"), col("hit"),
+        col("plo"), col("phi"), col("slo"), col("shi"),
+        col("e.layout").as("layout"), col("e.file_id").as("file_id"))
+    // per-file footer stats (min/max of both predicate columns) + row count
+    val files = exploded
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"),
+        count(lit(1)).as("cnt"), sum("hit").as("hits"),
+        min("plo").as("plo"), min("phi").as("phi"),
+        min("slo").as("slo"), min("shi").as("shi"))
+      .withColumn("scanned",
+        (col("min_pk") <= col("phi") && col("max_pk") >= col("plo") &&
+          col("min_sk") <= col("shi") && col("max_sk") >= col("slo")).cast("long"))
+    files
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("scanned")).as("files_scanned"),
+        sum(col("cnt")).as("rows_total"),
+        sum(col("scanned") * col("cnt")).as("rows_scanned"),
+        sum(col("hits")).as("rows_matched"))
+      .withColumn("scan_frac",
+        col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+      .orderBy(col("layout"))
+  }
 }

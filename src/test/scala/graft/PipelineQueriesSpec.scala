@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CurationQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, SimilarityQueries, TextQueries}
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
@@ -840,6 +840,25 @@ class PipelineQueriesSpec extends SparkSuite {
       assert(hhi >= 1.0 / k.toDouble - 1e-12 && hhi <= 1.0)
       assert(hhi >= ts * ts - 1e-12)
     }
+  }
+
+  test("zorder_prune: z-order layout strictly beats insertion order on the box lookup") {
+    val rows = CoreQueries.zorderPrune(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("zorder", "linear"))
+    val (zo, li) = (rows("zorder"), rows("linear"))
+    // layout changes I/O, never answers: identical true match counts
+    assert(zo.getAs[Long]("rows_matched") == li.getAs[Long]("rows_matched"))
+    assert(zo.getAs[Long]("rows_total") == li.getAs[Long]("rows_total"))
+    // a scanned superset always covers the matches
+    Seq(zo, li).foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+      assert(r.getAs[Long]("files_scanned") <= r.getAs[Long]("n_files"))
+      assert(r.getAs[Long]("n_files") <= 256)
+    }
+    // the point of the layout: min/max stats prune most z-files while the
+    // insertion-order layout spreads both keys across every file
+    assert(zo.getAs[Double]("scan_frac") < li.getAs[Double]("scan_frac") / 2)
   }
 
   test("dup_triangles: census reconciles with a driver-side count on the same edge list") {

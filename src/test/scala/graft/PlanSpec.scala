@@ -23,6 +23,18 @@ class PlanSpec extends SparkSuite {
     assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
   }
 
+  test("zorder_prune: 3-column scan, bounds broadcast, no cartesian blowup") {
+    val p = plan(CoreQueries.zorderPrune(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // the 16-column table reads only the two predicate keys + orderkey
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_suppkey") &&
+      readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+    // the global-maxima row joins as a broadcast, never a cartesian shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q1_agg: column pruning keeps the scan narrow") {
     val p = plan(CoreQueries.q1Agg(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
