@@ -91,6 +91,7 @@ object SparkEntry {
     "hourly_rollup" -> (CoreQueries.hourlyRollup _),
     "filter_pushdown" -> (CoreQueries.filterPushdown _),
     "zorder_prune" -> (CoreQueries.zorderPrune _),
+    "rolling_actives" -> (AnalyticsQueries.rollingActives _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1512,6 +1513,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
         |GROUP BY l_linestatus""".stripMargin,
+    "rolling_actives" ->
+      """WITH uh AS (SELECT DISTINCT event_type, user_id,
+         |    epoch_ms(ts) // 3600000 AS hb FROM events),
+         |hrs AS (SELECT DISTINCT hb AS wh FROM uh),
+         |w AS (SELECT u.event_type, u.user_id, u.hb + g.k AS wh
+         |      FROM uh u, (SELECT unnest(range(0, 24)) AS k) g),
+         |r AS (SELECT event_type, wh,
+         |        CAST(count(DISTINCT user_id) AS BIGINT) AS actives_24h
+         |      FROM w WHERE wh IN (SELECT wh FROM hrs) GROUP BY 1, 2),
+         |h AS (SELECT event_type, hb AS wh,
+         |        CAST(count(DISTINCT user_id) AS BIGINT) AS actives_1h
+         |      FROM uh GROUP BY 1, 2)
+         |SELECT r.event_type,
+         |  make_timestamp(r.wh * 3600000 * 1000) AS window_hour,
+         |  r.actives_24h,
+         |  COALESCE(h.actives_1h, 0) AS actives_1h,
+         |  CAST(COALESCE(h.actives_1h, 0) AS DOUBLE) / CAST(r.actives_24h AS DOUBLE)
+         |    AS stickiness
+         |FROM r LEFT JOIN h ON r.event_type = h.event_type AND r.wh = h.wh""".stripMargin,
     // the Morton interleave is the same 16-term bit expression the engine
     // builds in Layout.zValue16 — generated here so the two can't drift
     "zorder_prune" -> {

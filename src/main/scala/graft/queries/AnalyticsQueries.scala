@@ -147,6 +147,46 @@ object AnalyticsQueries {
       )
   }
 
+  /** Rolling 24 h distinct actives per event type (the DAU-style metric
+    * every telemetry pipeline reports), exact. Spark's window functions
+    * cannot express `count(DISTINCT) OVER (RANGE 24 HOURS)`, and the
+    * naive form — a time-range self-join of events against events — is
+    * quadratic in the window. The scale-safe shape: dedupe the raw
+    * stream to the compact (type, user, hour) activity frame FIRST (one
+    * map-combined distinct — the only corpus-sized shuffle), fan each
+    * activity row out to the ≤24 rolling windows it makes the user
+    * active in, and count distinct users per (type, window-end) over
+    * compact integer keys. Window ends are restricted to hours that
+    * exist in the data (a ≤|hours| broadcast semi-join), so both engines
+    * enumerate identical windows. `stickiness` = hourly actives ÷
+    * trailing-24 h actives — the DAU/WAU-style engagement ratio. */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_millis(ts) div 3600000").as("hb"))
+      .distinct()
+    val hrs = uh.select(col("hb").as("wh")).distinct()
+    val rolling = uh
+      .select(col("event_type"), col("user_id"), col("hb"),
+        explode(sequence(lit(0L), lit(23L))).as("k"))
+      .withColumn("wh", col("hb") + col("k"))
+      .join(broadcast(hrs), Seq("wh"), "left_semi")
+      .groupBy(col("event_type"), col("wh"))
+      .agg(countDistinct(col("user_id")).as("actives_24h"))
+    val hourly = uh
+      .groupBy(col("event_type"), col("hb").as("wh"))
+      .agg(countDistinct(col("user_id")).as("actives_1h"))
+    rolling
+      .join(hourly, Seq("event_type", "wh"), "left")
+      .select(
+        col("event_type"),
+        timestamp_millis(col("wh") * lit(3600000L)).as("window_hour"),
+        col("actives_24h"),
+        coalesce(col("actives_1h"), lit(0L)).as("actives_1h"))
+      .withColumn("stickiness",
+        col("actives_1h").cast("double") / col("actives_24h").cast("double"))
+  }
+
   /** Sliding event-time windows (10 s window, 5 s slide) — each event
     * belongs to exactly window/slide = 2 windows; the explode factor is
     * the overlap count, not the data size. The unused import the

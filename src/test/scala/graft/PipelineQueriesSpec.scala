@@ -842,6 +842,28 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("rolling_actives: exact parity with a brute-force trailing-24h distinct count") {
+    val out = AnalyticsQueries.rollingActives(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("window_hour").getTime / 3600000L) ->
+        (r.getAs[Long]("actives_24h"), r.getAs[Long]("actives_1h"))).toMap
+    val uh = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_millis(ts) div 3600000").as("hb"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hours = uh.map(_._3).distinct
+    val brute = (for {
+      t <- uh.map(_._1).distinct; wh <- hours
+      a24 = uh.collect { case (`t`, u, hb) if hb > wh - 24 && hb <= wh => u }.distinct.size.toLong
+      if a24 > 0
+      a1 = uh.collect { case (`t`, u, hb) if hb == wh => u }.distinct.size.toLong
+    } yield (t, wh) -> ((a24, a1))).toMap
+    assert(out == brute)
+    // the ratio is bounded and the window count is per-type plausible
+    out.values.foreach { case (a24, a1) => assert(a1 <= a24 && a24 > 0) }
+  }
+
   test("zorder_prune: z-order layout strictly beats insertion order on the box lookup") {
     val rows = CoreQueries.zorderPrune(spark, dir).collect()
       .map(r => r.getAs[String]("layout") -> r).toMap
