@@ -92,6 +92,7 @@ object SparkEntry {
     "filter_pushdown" -> (CoreQueries.filterPushdown _),
     "zorder_prune" -> (CoreQueries.zorderPrune _),
     "rolling_actives" -> (AnalyticsQueries.rollingActives _),
+    "linear_probe" -> (SimilarityQueries.linearProbe _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1513,6 +1514,49 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
         |GROUP BY l_linestatus""".stripMargin,
+    // Cramer determinants generated by the same det3Sql the engine uses
+    // (HUGEINT here, DECIMAL(38,0) there — both exact integer arithmetic)
+    "linear_probe" -> {
+      val d = SimilarityQueries.det3Sql("HUGEINT") _
+      s"""WITH q AS (SELECT
+         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x1,
+         |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x2,
+         |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+         |  FROM embeddings),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |    CAST(sum(x1*x1) AS BIGINT) AS sx11, CAST(sum(x1*x2) AS BIGINT) AS sx12,
+         |    CAST(sum(x2*x2) AS BIGINT) AS sx22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1*y) AS BIGINT) AS sx1y, CAST(sum(x2*y) AS BIGINT) AS sx2y
+         |  FROM q),
+         |c AS (SELECT *,
+         |    ${d("n", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")} AS det,
+         |    ${d("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")} AS det0,
+         |    ${d("n", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")} AS det1,
+         |    ${d("n", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")} AS det2
+         |  FROM m),
+         |co AS (SELECT n, sy, sx1y, sx2y,
+         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+         |  FROM c),
+         |s AS (SELECT co.n, co.sy, co.sx1y, co.sx2y, co.b0, co.b1, co.b2,
+         |    CAST(sum(CASE WHEN (CASE WHEN co.b0 + co.b1 * CAST(q.x1 AS DOUBLE)
+         |                                + co.b2 * CAST(q.x2 AS DOUBLE) >= 0.5
+         |                        THEN 1 ELSE 0 END) = q.y
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM q, co GROUP BY 1, 2, 3, 4, 5, 6, 7)
+         |SELECT n, b0, b1, b2,
+         |  1.0 - (CAST(sy AS DOUBLE)
+         |          - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sx1y AS DOUBLE)
+         |             + b2 * CAST(sx2y AS DOUBLE)))
+         |        / (CAST(sy AS DOUBLE)
+         |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS r2,
+         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+         |  CAST(greatest(sy, n - sy) AS DOUBLE) / CAST(n AS DOUBLE) AS base_acc
+         |FROM s""".stripMargin
+    },
     "rolling_actives" ->
       """WITH uh AS (SELECT DISTINCT event_type, user_id,
          |    epoch_ms(ts) // 3600000 AS hb FROM events),

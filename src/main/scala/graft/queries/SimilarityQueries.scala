@@ -1619,4 +1619,85 @@ object SimilarityQueries {
         expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)").as("hamming"),
         (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
   }
+
+  /** 3×3 determinant by cofactor expansion over named one-row columns,
+    * each wrapped in `castTo` — shared by the engine (DECIMAL(38,0)) and
+    * the DuckDB oracle (HUGEINT) so the Cramer arithmetic cannot drift. */
+  def det3Sql(castTo: String)(
+      a: String, b: String, c: String,
+      d: String, e: String, f: String,
+      g: String, h: String, i: String): String = {
+    def w(x: String) = s"CAST($x AS $castTo)"
+    s"(${w(a)} * (${w(e)} * ${w(i)} - ${w(f)} * ${w(h)})" +
+      s" - ${w(b)} * (${w(d)} * ${w(i)} - ${w(f)} * ${w(g)})" +
+      s" + ${w(c)} * (${w(d)} * ${w(h)} - ${w(e)} * ${w(g)}))"
+  }
+
+  /** Linear probe trained in-engine, closed form: least-squares
+    * y ≈ b0 + b1·x1 + b2·x2 where y = [label = 0] and (x1, x2) are the
+    * first two embedding components quantized to milli-units — the
+    * standard representation-quality audit ("can a linear model read the
+    * label out of the embedding?"), solved exactly instead of by
+    * gradient descent. All nine normal-equation moments are
+    * order-independent integer sums folded map-side in ONE pass; the
+    * 3×3 Cramer determinants run in DECIMAL(38,0) (HUGEINT in the
+    * oracle — both exact, identical values), and only the final
+    * coefficient divisions touch doubles. A second broadcast-coefficient
+    * pass scores the probe: R² from the moment identity, 0.5-threshold
+    * accuracy vs the majority-class floor.
+    *
+    * Scale: pass 1 is a map-combined 9-sum aggregate (one row out);
+    * pass 2 re-scans with the one-row model broadcast — no shuffle ever
+    * carries more than the coefficient row, at any corpus size.
+    *
+    * On the synthetic fixture the first two raw dims carry no label
+    * signal (per-dim |corr| ≤ 0.1 across all 64), so the probe correctly
+    * reports R² ≈ 0 and accuracy at the majority-class floor — the
+    * measurement, not a defect; [[pca_project]] is the companion audit
+    * that looks for structure along the learned PC1 instead. */
+  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(
+      floor(element_at(col("embedding"), 1).cast("double") * 1000).cast("long").as("x1"),
+      floor(element_at(col("embedding"), 2).cast("double") * 1000).cast("long").as("x2"),
+      when(col("label") === 0, 1L).otherwise(0L).as("y"))
+    val m = q.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("sx1"), sum("x2").as("sx2"),
+      sum(col("x1") * col("x1")).as("sx11"),
+      sum(col("x1") * col("x2")).as("sx12"),
+      sum(col("x2") * col("x2")).as("sx22"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("sx1y"),
+      sum(col("x2") * col("y")).as("sx2y"))
+    val d = det3Sql("DECIMAL(38,0)") _
+    val coef = m.selectExpr("*",
+      s"${d("n", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")} AS det",
+      s"${d("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")} AS det0",
+      s"${d("n", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")} AS det1",
+      s"${d("n", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")} AS det2")
+      .selectExpr("n", "sy", "sx1y", "sx2y",
+        "CASE WHEN det = 0 THEN NULL ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0",
+        "CASE WHEN det = 0 THEN NULL ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1",
+        "CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2")
+    q.crossJoin(broadcast(coef))
+      .withColumn("yhat",
+        col("b0") + col("b1") * col("x1").cast("double") +
+          col("b2") * col("x2").cast("double"))
+      .withColumn("correct",
+        ((col("yhat") >= 0.5).cast("long") === col("y")).cast("long"))
+      .groupBy(col("n"), col("sy"), col("sx1y"), col("sx2y"),
+        col("b0"), col("b1"), col("b2"))
+      .agg(sum(col("correct")).as("n_correct"))
+      .selectExpr("n", "b0", "b1", "b2",
+        // SSE via the least-squares moment identity (Σy² = Σy for 0/1 y):
+        // SSE = Sy - (b0·Sy + b1·Sx1y + b2·Sx2y); SST = Sy - Sy²/n
+        """1.0 - (CAST(sy AS DOUBLE)
+          |        - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sx1y AS DOUBLE)
+          |           + b2 * CAST(sx2y AS DOUBLE)))
+          |      / (CAST(sy AS DOUBLE)
+          |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+          |  AS r2""".stripMargin,
+        "CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy",
+        "CAST(greatest(sy, n - sy) AS DOUBLE) / CAST(n AS DOUBLE) AS base_acc")
+  }
 }

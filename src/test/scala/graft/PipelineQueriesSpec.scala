@@ -842,6 +842,41 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("linear_probe: coefficients match exact BigInt Cramer on the same quantized rows") {
+    val out = SimilarityQueries.linearProbe(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val rows = Tables.embeddings(spark, dir).select(
+      floor(element_at(col("embedding"), 1).cast("double") * 1000).cast("long"),
+      floor(element_at(col("embedding"), 2).cast("double") * 1000).cast("long"),
+      when(col("label") === 0, 1L).otherwise(0L))
+      .collect().map(x => (BigInt(x.getLong(0)), BigInt(x.getLong(1)), BigInt(x.getLong(2))))
+    val n = BigInt(rows.length)
+    val (sx1, sx2, sy) = (rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum)
+    val sx11 = rows.map(t => t._1 * t._1).sum
+    val sx12 = rows.map(t => t._1 * t._2).sum
+    val sx22 = rows.map(t => t._2 * t._2).sum
+    val sx1y = rows.map(t => t._1 * t._3).sum
+    val sx2y = rows.map(t => t._2 * t._3).sum
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt, f: BigInt,
+        g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    assert(det != BigInt(0))
+    val b0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22).toDouble / det.toDouble
+    val b1 = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22).toDouble / det.toDouble
+    val b2 = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y).toDouble / det.toDouble
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(math.abs(r.getAs[Double]("b0") - b0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("b1") - b1) < 1e-12)
+    assert(math.abs(r.getAs[Double]("b2") - b2) < 1e-12)
+    // probe scores are well-formed: R² ≤ 1, accuracy within [0, 1] and at
+    // least the majority floor here (near-zero coefficients predict the
+    // majority class on every row)
+    assert(r.getAs[Double]("r2") <= 1.0)
+    assert(r.getAs[Double]("accuracy") >= r.getAs[Double]("base_acc") - 1e-12)
+  }
+
   test("rolling_actives: exact parity with a brute-force trailing-24h distinct count") {
     val out = AnalyticsQueries.rollingActives(spark, dir).collect()
       .map(r => (r.getAs[String]("event_type"),
