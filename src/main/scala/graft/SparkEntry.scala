@@ -170,6 +170,7 @@ object SparkEntry {
     "dup_triangles" -> (SimilarityQueries.dupTriangles _),
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
+    "bpe_train" -> (TextQueries.bpeTrain _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -2374,6 +2375,41 @@ object SparkEntry {
          |  CAST((n_in_vocab * 1000000) // n_tok AS BIGINT) AS coverage_fp,
          |  CAST((n_in_vocab * 1000000) // n_tok AS DOUBLE) / 1000000.0 AS coverage
          |FROM d""".stripMargin,
+    "bpe_train" -> {
+      // unrolled 3-round merge chain; every multiply-referenced CTE is
+      // MATERIALIZED (DuckDB inlines per reference otherwise — the
+      // kcore_peel lesson). The zipped unnests enumerate adjacent symbol
+      // pairs; '|' terminators make replace() boundary-safe.
+      def census(w: String, p: String, t: String) =
+        s"""$p AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+           |    SELECT c,
+           |      unnest(list_transform(range(1, len(sy)), x -> sy[x])) AS a,
+           |      unnest(list_transform(range(1, len(sy)), x -> sy[x+1])) AS b
+           |    FROM (SELECT c, string_split(substr(seq, 1, length(seq) - 1), '|') AS sy
+           |          FROM $w)
+           |    WHERE len(sy) >= 2) GROUP BY 1, 2),
+           |$t AS MATERIALIZED (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def merge(prev: String, t: String, w: String, s: String) =
+        s"""$w AS MATERIALIZED (SELECT tok, c,
+           |    replace(seq, t.a || '|' || t.b || '|', t.a || t.b || '|') AS seq
+           |  FROM $prev, $t t),
+           |$s AS (SELECT CAST(sum(c * (length(seq) - length(replace(seq, '|', ''))))
+           |    AS BIGINT) AS total_symbols FROM $w)""".stripMargin
+      s"""WITH wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT unnest($WordToksSql) AS tok FROM documents) GROUP BY tok),
+         |w0 AS MATERIALIZED (SELECT tok, c,
+         |    array_to_string(string_split(tok, ''), '|') || '|' AS seq FROM wf),
+         |${census("w0", "p1", "t1")},
+         |${merge("w0", "t1", "w1", "s1")},
+         |${census("w1", "p2", "t2")},
+         |${merge("w1", "t2", "w2", "s2")},
+         |${census("w2", "p3", "t3")},
+         |${merge("w2", "t3", "w3", "s3")}
+         |SELECT CAST(1 AS BIGINT) AS round, t1.a AS "left", t1.b AS "right",
+         |  t1.cnt AS pair_cnt, s1.total_symbols FROM t1, s1
+         |UNION ALL SELECT CAST(2 AS BIGINT), t2.a, t2.b, t2.cnt, s2.total_symbols FROM t2, s2
+         |UNION ALL SELECT CAST(3 AS BIGINT), t3.a, t3.b, t3.cnt, s3.total_symbols FROM t3, s3""".stripMargin
+    },
     "bpe_pairs" ->
       // one BPE merge iteration: char-pair counts over the DISTINCT-word
       // table weighted by word frequency; DuckDB range(1,n) is

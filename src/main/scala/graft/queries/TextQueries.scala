@@ -1163,6 +1163,62 @@ object TextQueries {
           .cast("long").as("rk"))
   }
 
+  /** Three rounds of BPE merge TRAINING in-engine — [[bpePairs]] is one
+    * candidate census; this actually learns the merge list. State is the
+    * word-TYPE frame (vocabulary-sized, localCheckpointed once): each
+    * word as a '|'-terminated symbol string ("cat" → "c|a|t|"), so a
+    * merge is a plain `replace(seq, "a|b|", "ab|")` — the terminator
+    * makes cross-symbol false matches impossible and gives identical
+    * left-to-right non-overlapping semantics in both engines. Per round:
+    * adjacent-pair census weighted by word frequency (vocabulary-sized,
+    * map-combined), winner picked by (count desc, pair asc), merge
+    * applied under a ONE-ROW broadcast — the whole 3-round chain stays
+    * in-plan, no driver collect. Output: one row per round with the
+    * learned merge and the corpus symbol count after applying it (the
+    * quantity BPE training monotonically shrinks; spec-asserted).
+    *
+    * Scale: corpus text is touched once (word census); every round is
+    * vocabulary-sized work — the 100 TB shape, since vocabulary grows
+    * ~log(corpus), not with it. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("seq", concat(array_join(split(col("tok"), ""), "|"), lit("|")))
+      .localCheckpoint()
+    def pairCensus(w: DataFrame): DataFrame = {
+      val syms = split(expr("substring(seq, 1, length(seq) - 1)"), "\\|")
+      w.select(col("c"), syms.as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+    }
+    def top1(census: DataFrame): DataFrame =
+      census.orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+    def applyMerge(w: DataFrame, winner: DataFrame): DataFrame =
+      w.crossJoin(broadcast(winner.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("seq", expr(
+          "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|'))"))
+        .drop("ma", "mb")
+    def symTotal(w: DataFrame): DataFrame =
+      w.agg(sum(col("c") * (length(col("seq")) -
+        length(regexp_replace(col("seq"), "\\|", "")))).as("total_symbols"))
+    val rounds = (1 to 3).scanLeft((wf, Option.empty[DataFrame])) {
+      case ((w, _), _) =>
+        val winner = top1(pairCensus(w))
+        (applyMerge(w, winner), Some(winner))
+    }.collect { case (w, Some(winner)) => (w, winner) }
+    rounds.zipWithIndex.map { case ((w, winner), i) =>
+      winner.crossJoin(broadcast(symTotal(w)))
+        .select(lit((i + 1).toLong).as("round"),
+          col("a").as("left"), col("b").as("right"),
+          col("cnt").as("pair_cnt"), col("total_symbols"))
+    }.reduce(_ unionAll _)
+  }
+
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     // every OCCURRENCE votes (standard frequency-weighted SimHash) — on a
     // small shared vocabulary, distinct-token signatures degenerate to

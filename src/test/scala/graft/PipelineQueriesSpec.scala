@@ -842,6 +842,26 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("bpe_train: merge accounting holds and round 1 wins bpe_pairs' census") {
+    val out = TextQueries.bpeTrain(spark, dir).collect().sortBy(_.getAs[Long]("round"))
+    assert(out.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
+    // round 1 trains on raw characters — its winner IS bpe_pairs' rank-1
+    val best = TextQueries.bpePairs(spark, dir).collect()
+      .minBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("pair")))
+    assert(out.head.getAs[String]("left") + out.head.getAs[String]("right") ==
+      best.getAs[String]("pair"))
+    assert(out.head.getAs[Long]("pair_cnt") == best.getAs[Long]("cnt"))
+    // each applied merge removes exactly one symbol; the census counts
+    // every adjacent position (overlaps included), so the corpus shrinks
+    // by at least one and by at most pair_cnt symbols per round
+    out.sliding(2).foreach { case Array(a, b) =>
+      val d = a.getAs[Long]("total_symbols") - b.getAs[Long]("total_symbols")
+      assert(d >= 1 && d <= b.getAs[Long]("pair_cnt"))
+    }
+    // later rounds never beat the round-1 winner's count (it was maximal)
+    assert(out.tail.forall(_.getAs[Long]("pair_cnt") <= out.head.getAs[Long]("pair_cnt")))
+  }
+
   test("linear_probe: coefficients match exact BigInt Cramer on the same quantized rows") {
     val out = SimilarityQueries.linearProbe(spark, dir).collect()
     assert(out.length == 1)
