@@ -109,7 +109,8 @@ object Plans {
     "zorder_prune" -> "3-column scan; maxima fold to ONE broadcast row; per-(layout, file) minmax is a ≤512-group map-combined aggregate — no sort, no wide shuffle",
     "rolling_actives" -> "raw stream dedupes to the compact (type, user, hour) frame FIRST; ≤24× fan-out on integer keys, window hours semi-join a ≤|hours| broadcast — never a time-range self-join",
     "linear_probe" -> "closed-form training: nine integer moments fold map-side to ONE row; Cramer in exact decimal; the scoring pass re-scans under the one-row coefficient broadcast",
-    "bpe_train" -> "corpus text read ONCE (word census, checkpointed); each merge round is vocabulary-sized work under a one-row winner broadcast — no driver collect, no corpus re-scan"
+    "bpe_train" -> "corpus text read ONCE (word census, checkpointed); each merge round is vocabulary-sized work under a one-row winner broadcast — no driver collect, no corpus re-scan",
+    "theil_sen" -> "pair space is C(|hours|, 2) per series — bounded by the time span, never the corpus; rank window partitions by series; raw events fold map-side to the hour frame first"
   )
 
   def main(args: Array[String]): Unit = {

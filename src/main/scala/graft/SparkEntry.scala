@@ -155,6 +155,7 @@ object SparkEntry {
     "series_rate" -> (AnalyticsQueries.seriesRate _),
     "seasonal_anomaly" -> (AnalyticsQueries.seasonalAnomaly _),
     "series_correlation" -> (AnalyticsQueries.seriesCorrelation _),
+    "theil_sen" -> (AnalyticsQueries.theilSen _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2105,6 +2106,34 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "theil_sen" ->
+      // pairwise slopes integer-divide toward zero (Spark div and DuckDB
+      // // BOTH truncate — verified on the negative numerators a falling
+      // series produces); median = value at rank (n+1)//2
+      """WITH m AS MATERIALIZED (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hb,
+        |    CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |                 / CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    ((b.fp - a.fp) * 1000) // (b.hb - a.hb) AS slope_fp
+        |  FROM m a JOIN m b ON a.event_type = b.event_type AND b.hb > a.hb),
+        |r AS (SELECT event_type, slope_fp,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope_fp)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+        |  FROM p),
+        |med AS (SELECT event_type, n_pairs, slope_fp AS ts_slope_fp
+        |  FROM r WHERE rk = (n_pairs + 1) // 2),
+        |o AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(hb) AS BIGINT) AS sx, CAST(sum(fp) AS BIGINT) AS sy,
+        |    CAST(sum(hb * hb) AS BIGINT) AS sxx, CAST(sum(hb * fp) AS BIGINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT med.event_type, o.n_hours, med.n_pairs, med.ts_slope_fp,
+        |  CAST(med.ts_slope_fp AS DOUBLE) / 1000.0 AS ts_slope,
+        |  CAST(o.n_hours * o.sxy - o.sx * o.sy AS DOUBLE)
+        |    / CAST(o.n_hours * o.sxx - o.sx * o.sx AS DOUBLE) AS ols_slope
+        |FROM med JOIN o ON med.event_type = o.event_type""".stripMargin,
     "series_autocorr" ->
       // lag-1 Pearson per series: centi-quantized means, six BIGINT
       // moments, three final IEEE ops — series_correlation's discipline

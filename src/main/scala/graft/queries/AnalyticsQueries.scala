@@ -1472,6 +1472,59 @@ object AnalyticsQueries {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** Theil–Sen robust trend per series — the median of all pairwise
+    * slopes over the HOURLY mean frame, beside the OLS slope it
+    * robustifies (one gross outlier hour drags OLS arbitrarily; the
+    * median slope has a 29% breakdown point). Everything that must match
+    * the oracle is integer-exact: hourly means quantize to milli-units
+    * once, each pairwise slope is an integer division to micro-units/hour
+    * (both Spark `div` and DuckDB `//` truncate toward zero — verified on
+    * negative numerators, which falling series produce), and the median
+    * is the value at rank `(n+1) div 2` of the per-series sorted slope
+    * multiset. OLS comes from exact BIGINT moments with two final IEEE
+    * ops.
+    *
+    * Scale: the pair space is C(|hours|, 2) per series — bounded by the
+    * TIME SPAN, never by corpus size (100 TB of events still folds to
+    * the same series × hours frame map-side). The rank window partitions
+    * by series; nothing global. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(Dec)).as("sdec"))
+      .select(col("event_type"), col("hb"),
+        floor((col("sdec").cast("double") / col("cnt").cast("double")) *
+          lit(1000.0)).cast("long").as("fp"))
+    val a = m.select(col("event_type"), col("hb").as("ha"), col("fp").as("fa"))
+    val b = m.select(col("event_type"), col("hb").as("hbb"), col("fp").as("fb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("hbb") > col("ha"))
+      .withColumn("num", (col("fb") - col("fa")) * lit(1000L))
+      .withColumn("dt", col("hbb") - col("ha"))
+      .select(col("event_type"), expr("num div dt").as("slope_fp"))
+    val w = Window.partitionBy(col("event_type"))
+    val med = slopes
+      .withColumn("rk", row_number().over(w.orderBy(col("slope_fp"))).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .where(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope_fp").as("ts_slope_fp"))
+    val ols = m.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("hb")).as("sx"), sum(col("fp")).as("sy"),
+        sum(col("hb") * col("hb")).as("sxx"),
+        sum(col("hb") * col("fp")).as("sxy"))
+      .select(col("event_type"), col("n_hours"),
+        ((col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("ols_slope"))
+    med.join(ols, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("n_pairs"),
+        col("ts_slope_fp"),
+        (col("ts_slope_fp").cast("double") / lit(1000.0)).as("ts_slope"),
+        col("ols_slope"))
+  }
+
   def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val m = bucketMeans(spark, dir)
       .select(col("event_type"), col("b"),

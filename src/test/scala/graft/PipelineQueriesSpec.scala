@@ -842,6 +842,27 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("theil_sen: median slope matches brute force over the same quantized hour frame") {
+    val out = AnalyticsQueries.theilSen(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("ts_slope_fp"))).toMap
+    val frame = Tables.events(spark, dir)
+      .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hb"))
+      .agg((floor((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")) * 1000.0)).cast("long").as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    frame.foreach { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(j)._2 - pts(i)._2) * 1000L) / (pts(j)._1 - pts(i)._1)).sorted
+      assert(out(t)._1 == slopes.length.toLong)
+      assert(out(t)._2 == slopes(((slopes.length + 1) / 2) - 1))
+    }
+  }
+
   test("bpe_train: merge accounting holds and round 1 wins bpe_pairs' census") {
     val out = TextQueries.bpeTrain(spark, dir).collect().sortBy(_.getAs[Long]("round"))
     assert(out.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
