@@ -156,6 +156,7 @@ object SparkEntry {
     "seasonal_anomaly" -> (AnalyticsQueries.seasonalAnomaly _),
     "series_correlation" -> (AnalyticsQueries.seriesCorrelation _),
     "theil_sen" -> (AnalyticsQueries.theilSen _),
+    "pareto_front" -> (AnalyticsQueries.paretoFront _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2106,6 +2107,21 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "pareto_front" ->
+      // skyline via the same sweep construction the engine runs: min
+      // price per (segment, date), strictly-previous running min over
+      // dates, survive iff date-best AND cheaper than every earlier best
+      """WITH r AS (SELECT c.c_mktsegment AS segment, o.o_orderdate AS odate,
+        |    o.o_totalprice AS price, o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |d AS (SELECT segment, odate, min(price) AS md FROM r GROUP BY 1, 2),
+        |w AS (SELECT segment, odate, md,
+        |    min(md) OVER (PARTITION BY segment ORDER BY odate
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM d)
+        |SELECT r.segment, r.odate, r.o_orderkey, r.price
+        |FROM r JOIN w ON r.segment = w.segment AND r.odate = w.odate
+        |WHERE r.price = w.md AND (w.m1 IS NULL OR r.price < w.m1)""".stripMargin,
     "theil_sen" ->
       // pairwise slopes integer-divide toward zero (Spark div and DuckDB
       // // BOTH truncate — verified on the negative numerators a falling

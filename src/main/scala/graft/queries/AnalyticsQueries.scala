@@ -1472,6 +1472,41 @@ object AnalyticsQueries {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** Skyline (Pareto frontier) per market segment: the orders no other
+    * same-segment order beats on BOTH axes (earlier-or-equal date AND
+    * cheaper-or-equal price, strictly better on one) — the classic
+    * "best tradeoffs" operator (Börzsönyi et al., ICDE 2001) that
+    * `ORDER BY` cannot express. The naive form is an O(n²) dominance
+    * self-join; the scale shape here is the sweep restated in
+    * relational terms: fold orders map-side to the per-(segment, date)
+    * min price (a calendar-bounded compact frame), take the strictly-
+    * previous running min over dates in a segment-partitioned window,
+    * and join back — an order survives iff it is min-price on its date
+    * AND strictly cheaper than every earlier date's best. Ties on both
+    * axes don't dominate each other, so equal-cheapest orders of one
+    * date all survive.
+    *
+    * Scale: the only window runs over the segment × dates frame
+    * (calendar-bounded, never corpus-sized); the join back is a compact
+    * (segment, date, price) equijoin. */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val rows = o.join(Tables.broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderdate").as("odate"),
+        col("o_totalprice").as("price"), col("o_orderkey"))
+    val byDate = rows.groupBy(col("segment"), col("odate"))
+      .agg(min(col("price")).as("md"))
+      .withColumn("m1", min(col("md")).over(
+        Window.partitionBy(col("segment")).orderBy(col("odate"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    rows.join(byDate, Seq("segment", "odate"))
+      .where(col("price") === col("md") &&
+        (col("m1").isNull || col("price") < col("m1")))
+      .select(col("segment"), col("odate"), col("o_orderkey"), col("price"))
+  }
+
   /** Theil–Sen robust trend per series — the median of all pairwise
     * slopes over the HOURLY mean frame, beside the OLS slope it
     * robustifies (one gross outlier hour drags OLS arbitrarily; the

@@ -842,6 +842,27 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("pareto_front: sweep construction equals the quadratic dominance definition") {
+    val out = AnalyticsQueries.paretoFront(spark, dir).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("o_orderkey"))).toSet
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+        col("o_totalprice"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val brute = (for {
+      r <- rows
+      dominated = rows.exists(s => s._1 == r._1 &&
+        s._3 <= r._3 && s._2 <= r._2 && (s._3 < r._3 || s._2 < r._2))
+      if !dominated
+    } yield (r._1, r._4)).toSet
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
   test("theil_sen: median slope matches brute force over the same quantized hour frame") {
     val out = AnalyticsQueries.theilSen(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
