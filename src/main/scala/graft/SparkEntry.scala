@@ -157,6 +157,7 @@ object SparkEntry {
     "series_correlation" -> (AnalyticsQueries.seriesCorrelation _),
     "theil_sen" -> (AnalyticsQueries.theilSen _),
     "pareto_front" -> (AnalyticsQueries.paretoFront _),
+    "value_runs" -> (AnalyticsQueries.valueRuns _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2107,6 +2108,24 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "value_runs" ->
+      // SCD2 run-length intervals: islands by value change per user,
+      // then the half-open valid_until from the next run's start
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+        |                     THEN 1 ELSE 0 END AS chg FROM e),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM c),
+        |g AS (SELECT user_id, run_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts) AS valid_from, max(ts) AS valid_to
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, n_events, valid_from, valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_until
+        |FROM g""".stripMargin,
     "pareto_front" ->
       // skyline via the same sweep construction the engine runs: min
       // price per (segment, date), strictly-previous running min over

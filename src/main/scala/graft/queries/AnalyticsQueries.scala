@@ -1472,6 +1472,37 @@ object AnalyticsQueries {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** SCD2-style run-length intervals: collapse each user's time-ordered
+    * event stream into maximal runs of the SAME event type, each run a
+    * validity interval [valid_from, valid_to] plus the half-open
+    * `valid_until` (the next run's start — NULL for the user's current
+    * run), which is exactly the type-2 slowly-changing-dimension history
+    * a warehouse keeps for "what state was this entity in at time T".
+    * [[sessionAgg]] islands by TIME GAP; this islands by VALUE CHANGE —
+    * the other classic gaps-and-islands axis.
+    *
+    * Scale: both windows partition by user (lag/cumsum, then one lead
+    * over the per-user RUN frame, which is strictly smaller than the
+    * event stream); no global sort, no self-join. */
+  def valueRuns(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("valid_from"),
+        max(col("ts")).as("valid_to"))
+    runs.withColumn("valid_until",
+      lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+  }
+
   /** Skyline (Pareto frontier) per market segment: the orders no other
     * same-segment order beats on BOTH axes (earlier-or-equal date AND
     * cheaper-or-equal price, strictly better on one) — the classic

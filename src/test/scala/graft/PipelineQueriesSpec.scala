@@ -842,6 +842,29 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("value_runs: runs tile each user's stream, adjacent runs differ, intervals chain") {
+    val out = AnalyticsQueries.valueRuns(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val evCounts = Tables.events(spark, dir).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == evCounts.keySet)
+    out.foreach { case (u, rows) =>
+      val byRun = rows.sortBy(_.getAs[Long]("run_id"))
+      // run ids are 1..k and the runs tile the user's whole stream
+      assert(byRun.map(_.getAs[Long]("run_id")).toSeq == (1L to byRun.length).toSeq)
+      assert(byRun.map(_.getAs[Long]("n_events")).sum == evCounts(u))
+      byRun.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        // half-open chaining: this run ends where the next begins
+        assert(a.getAs[java.sql.Timestamp]("valid_until") ==
+          b.getAs[java.sql.Timestamp]("valid_from"))
+        assert(!a.getAs[java.sql.Timestamp]("valid_to")
+          .after(b.getAs[java.sql.Timestamp]("valid_from")))
+      }
+      assert(byRun.last.getAs[java.sql.Timestamp]("valid_until") == null)
+    }
+  }
+
   test("pareto_front: sweep construction equals the quadratic dominance definition") {
     val out = AnalyticsQueries.paretoFront(spark, dir).collect()
       .map(r => (r.getAs[String]("segment"), r.getAs[Long]("o_orderkey"))).toSet
