@@ -174,6 +174,9 @@ object SparkEntry {
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "bpe_train" -> (TextQueries.bpeTrain _),
+    // no oracleSql entry: DEFLATE has no DuckDB counterpart — the driver
+    // records a rows-only check; CompressRatioSpec is the gate
+    "compress_ratio" -> (TextQueries.compressRatio _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),

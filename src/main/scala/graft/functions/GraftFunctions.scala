@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{FloatVecDot, GunzipText, LumaGrid, Md5Hash32, Md5Hash60, SrpSign64, WinnowFps}
+import graft.expressions.{DeflateSize, FloatVecDot, GunzipText, LumaGrid, Md5Hash32, Md5Hash60, SrpSign64, WinnowFps}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -50,7 +50,17 @@ object GraftFunctions {
       FunctionIdentifier("md5_hash60"), md5Hash60Info, md5Hash60Builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("srp_sign64"), srpSign64Info, srpSign64Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_size"), deflateSizeInfo, deflateSizeBuilder)
   }
+
+  private[functions] val deflateSizeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"deflate_size expects 1 argument, got ${exprs.length}")
+    DeflateSize(exprs.head)
+  }
+
+  private val deflateSizeInfo =
+    new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size")
 
   private[functions] val srpSign64Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"srp_sign64 expects 1 argument, got ${exprs.length}")
@@ -147,6 +157,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_sign64"),
       new ExpressionInfo(classOf[SrpSign64].getName, "srp_sign64"),
       GraftFunctions.srpSign64Builder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      GraftFunctions.deflateSizeBuilder
     ))
   }
 }

@@ -80,6 +80,14 @@ object TextFunctions {
       graft.expressions.Md5Hash32(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** DEFLATE-compressed byte count of the string's UTF-8 form — the
+    * compressibility quality kernel (native
+    * [[graft.expressions.DeflateSize]], pinned level-6 settings). */
+  def deflateSize(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DeflateSize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** First 60 bits of md5 as a non-negative long — the wide variant for
     * corpus-global keys where 32-bit birthday collisions would saturate
     * (see [[graft.expressions.Md5Hash60]]). Value-identical to

@@ -1163,6 +1163,40 @@ object TextQueries {
           .cast("long").as("rk"))
   }
 
+  /** Compressibility quality profile — compressed÷raw size per document
+    * under the native [[graft.expressions.DeflateSize]] kernel (pinned
+    * DEFLATE settings, codegen'd, one pass, zero shuffle until the
+    * 16-bin histogram fold). The model-free duplication/diversity signal
+    * big-corpus curation uses beside stopword and repetition features:
+    * template/boilerplate text lands far below natural prose, random
+    * noise barely compresses. No DuckDB counterpart exists, so this is
+    * the repo's second no-oracle surface (after `approx_stats`) —
+    * spec-gated instead: separation on constructed repetitive vs noisy
+    * docs, interpreted-vs-codegen equality, and run-to-run determinism.
+    *
+    * Output: per-ratio-bin doc count + byte mass, so the corpus profile
+    * (not 500k raw rows) is the result — the shape a curation gate
+    * consumes when picking its keep thresholds. */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflateSize(col("text")).as("deflate_bytes"))
+      .where(col("n_bytes") > 0)
+      .withColumn("ratio",
+        col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
+      // 16 bins over [0, 1.6): ratios above raw size (tiny docs where the
+      // zlib header dominates) clamp into the top bin
+      .withColumn("bin", least(floor(col("ratio") * lit(10.0)).cast("long"), lit(15L)))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("raw_bytes"),
+        sum(col("deflate_bytes")).as("deflate_bytes"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+      .orderBy(col("bin"))
+  }
+
   /** Three rounds of BPE merge TRAINING in-engine — [[bpePairs]] is one
     * candidate census; this actually learns the merge list. State is the
     * word-TYPE frame (vocabulary-sized, localCheckpointed once): each
