@@ -174,9 +174,11 @@ object SparkEntry {
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "bpe_train" -> (TextQueries.bpeTrain _),
-    // no oracleSql entry: DEFLATE has no DuckDB counterpart — the driver
-    // records a rows-only check; CompressRatioSpec is the gate
+    // no oracleSql entries for the two DEFLATE-backed queries: DEFLATE
+    // has no DuckDB counterpart — the driver records rows-only checks;
+    // CompressRatioSpec and the ncd_neardup spec are the gates
     "compress_ratio" -> (TextQueries.compressRatio _),
+    "ncd_neardup" -> (TextQueries.ncdNearDup _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),

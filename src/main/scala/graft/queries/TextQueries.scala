@@ -1197,6 +1197,38 @@ object TextQueries {
       .orderBy(col("bin"))
   }
 
+  /** Normalized Compression Distance re-ranker over the LSH candidates —
+    * Cilibrasi & Vitányi's parameter-free similarity: NCD(x, y) =
+    * (C(xy) − min(C(x), C(y))) ÷ max(C(x), C(y)) under the native
+    * [[graft.expressions.DeflateSize]] kernel. The third re-rank lens
+    * beside shingle Jaccard ([[graft.queries.SimilarityQueries
+    * .ngramJaccard]]) and prefix edit distance: it needs no tokenizer,
+    * no shingle width, and no vocabulary, so it catches near-dups those
+    * representations miss (reordered paragraphs, consistent token-level
+    * rewrites) — a compressor models the SHARED INFORMATION directly.
+    * Near-identical docs land near 0; unrelated docs near 1.
+    *
+    * No oracle (DEFLATE has no DuckDB counterpart — `compress_ratio`'s
+    * boundary); spec-gated on planted duplicate vs unrelated pairs.
+    *
+    * Scale: candidates are LSH-bounded (never doc×doc); per-doc sizes
+    * C(x) compute ONCE on the doc frame before the join, so each
+    * candidate pair pays exactly one extra deflate (the concatenation) —
+    * text joins by doc_id, bodies never become shuffle keys. */
+  def ncdNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), deflateSize(col("text")).as("cx"))
+    SimilarityQueries.minhashLsh(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("cx").as("ca")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("cx").as("cb")), "doc_b")
+      .withColumn("cxy", deflateSize(concat(col("ta"), lit("\n"), col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("cxy"),
+        ((col("cxy") - least(col("ca"), col("cb"))).cast("double") /
+          greatest(col("ca"), col("cb")).cast("double")).as("ncd"))
+  }
+
   /** Three rounds of BPE merge TRAINING in-engine — [[bpePairs]] is one
     * candidate census; this actually learns the merge list. State is the
     * word-TYPE frame (vocabulary-sized, localCheckpointed once): each

@@ -50,6 +50,26 @@ class CompressRatioSpec extends SparkSuite {
       .select(deflateSize(col("t"))).collect().head.isNullAt(0))
   }
 
+  test("ncd_neardup: NCD separates true near-dups from low-overlap candidates") {
+    val ncd = TextQueries.ncdNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("ncd"))
+      .toMap
+    assert(ncd.nonEmpty)
+    ncd.values.foreach(v => assert(v >= 0.0 && v <= 1.1, s"ncd out of range: $v"))
+    val jac = graft.queries.SimilarityQueries.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(ncd.keySet == jac.keySet) // same LSH candidate set, re-ranked twice
+    val hi = jac.collect { case (k, j) if j >= 0.8 => ncd(k) }
+    val lo = jac.collect { case (k, j) if j <= 0.2 => ncd(k) }
+    if (hi.nonEmpty && lo.nonEmpty) {
+      // the compressor sees the shared information shingles see — and a
+      // true near-dup pair compresses jointly far below unrelated text
+      assert(hi.max < lo.min,
+        s"NCD failed to separate: dup max ${hi.max} vs unrelated min ${lo.min}")
+    } else assert(hi.nonEmpty || lo.nonEmpty)
+  }
+
   test("compress_ratio: bins tile the corpus and the profile is deterministic") {
     val a = TextQueries.compressRatio(spark, dir).collect()
     val b = TextQueries.compressRatio(spark, dir).collect()
