@@ -114,7 +114,8 @@ object Plans {
     "pareto_front" -> "skyline WITHOUT the O(n²) dominance self-join: per-(segment, date) min folds map-side, running-min window over the calendar-bounded frame, compact equijoin back",
     "value_runs" -> "every window partitions by user: lag/cumsum islands, then one lead over the per-user RUN frame (smaller than the stream) — no global sort, no self-join",
     "compress_ratio" -> "native codegen DeflateSize at the scan — one pass, zero shuffle until the 16-bin histogram fold; the corpus profile, not raw rows, is the result",
-    "ncd_neardup" -> "LSH-bounded candidates only (never doc×doc); per-doc C(x) computed once pre-join; each pair pays ONE extra deflate — text joins by doc_id, bodies never shuffle keys"
+    "ncd_neardup" -> "LSH-bounded candidates only (never doc×doc); per-doc C(x) computed once pre-join; each pair pays ONE extra deflate — text joins by doc_id, bodies never shuffle keys",
+    "filtered_ann" -> "predicate prunes BEFORE any distance computes (filter-first, never post-filter); queries broadcast; WindowGroupLimit top-k per query"
   )
 
   def main(args: Array[String]): Unit = {

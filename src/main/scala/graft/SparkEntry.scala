@@ -179,6 +179,7 @@ object SparkEntry {
     // CompressRatioSpec and the ncd_neardup spec are the gates
     "compress_ratio" -> (TextQueries.compressRatio _),
     "ncd_neardup" -> (TextQueries.ncdNearDup _),
+    "filtered_ann" -> (SimilarityQueries.filteredAnn _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -917,6 +918,19 @@ object SparkEntry {
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 5""".stripMargin,
+    "filtered_ann" ->
+      // filter FIRST, then rank: the window sees only qualifying rows, so
+      // every query fills its k whenever k same-label rows exist
+      s"""WITH en AS (SELECT vec_id, embedding, label, sqrt($dotSelfSql) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, label AS qlabel
+         |      FROM en WHERE vec_id < 10),
+         |p AS (SELECT q.qid, q.qlabel AS label, e.vec_id AS vid,
+         |        ${dotSql("q.qemb", "e.embedding")} / (q.qnrm * e.nrm) AS cos
+         |      FROM en e, q WHERE e.vec_id != q.qid AND e.label = q.qlabel),
+         |r AS (SELECT qid, label, vid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+         |          AS BIGINT) AS rk FROM p)
+         |SELECT qid, label, vid, cos, rk FROM r WHERE rk <= 5""".stripMargin,
     "ann_ivf" ->
       s"""$IvfAssignSql,
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),

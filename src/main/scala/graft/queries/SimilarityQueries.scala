@@ -50,6 +50,39 @@ object SimilarityQueries {
       .select(col("qid"), col("vec_id").as("vid"), col("cos"))
   }
 
+  /** Filtered (predicate-constrained) exact kNN — the composition every
+    * production vector store is judged on: "nearest neighbors of q AMONG
+    * rows where label ∈ S". Post-filtering an unfiltered top-k UNDERFILLS
+    * (if only 2 of the global top-10 satisfy the predicate, the user gets
+    * 2, not 10); the correct plan filters FIRST, at the scan — the
+    * predicate prunes before any distance is computed, and the top-k
+    * window ranks only qualifying rows, so every query returns its full
+    * k whenever k qualifying rows exist. Same broadcast-query +
+    * WindowGroupLimit shape as [[knnCosine]], plus the parquet-pushed
+    * label filter ([[graft.PlanSpec]] asserts it reaches the scan).
+    *
+    * Scale: candidate side is one filtered scan (selectivity × corpus);
+    * queries broadcast; the window partitions by query. */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm"), col("label").as("qlabel"))
+      .filter(col("qid") < 10)
+    // the predicate: same-label neighbors only — the "filtered search"
+    // a labeled corpus asks for (swap any pushable predicate in)
+    val scored = e
+      .join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+      .withColumn("cos", dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("qlabel").as("label"),
+        col("vec_id").as("vid"), col("cos"),
+        col("rn").cast("long").as("rk"))
+  }
+
   /** IVF index parameters. k is FIXED — the whole point: the centroid set
     * must broadcast at ANY corpus size, and assignment work must be O(N·k),
     * never a corpus-fraction (the round-4 `vec_id % 50` policy made

@@ -842,6 +842,31 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("filtered_ann: every hit shares the query's label and fills k where possible") {
+    val out = SimilarityQueries.filteredAnn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      // the predicate held: hit label == query label, and never self
+      assert(labels(r.getAs[Long]("vid")) == r.getAs[Int]("label"))
+      assert(labels(r.getAs[Long]("qid")) == r.getAs[Int]("label"))
+      assert(r.getAs[Long]("vid") != r.getAs[Long]("qid"))
+    }
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rows) =>
+      val qualifying = labels.count { case (v, l) => v != q && l == labels(q) }
+      // filter-first fills k whenever k qualifying rows exist — the
+      // guarantee post-filtering a global top-k cannot give
+      assert(rows.length == math.min(5, qualifying))
+      // ranks are 1..n with descending cosine
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("cos") >= b.getAs[Double]("cos")) }
+    }
+  }
+
   test("value_runs: runs tile each user's stream, adjacent runs differ, intervals chain") {
     val out = AnalyticsQueries.valueRuns(spark, dir).collect()
       .groupBy(_.getAs[Long]("user_id"))
