@@ -180,6 +180,7 @@ object SparkEntry {
     "compress_ratio" -> (TextQueries.compressRatio _),
     "ncd_neardup" -> (TextQueries.ncdNearDup _),
     "filtered_ann" -> (SimilarityQueries.filteredAnn _),
+    "prefix_join" -> (SimilarityQueries.prefixJoin _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -983,6 +984,21 @@ object SparkEntry {
          |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
          |FROM cand JOIN sig a ON cand.va = a.vec_id JOIN sig b2 ON cand.vb = b2.vec_id
          |  JOIN sen ea ON cand.va = ea.vec_id JOIN sen eb ON cand.vb = eb.vec_id""".stripMargin,
+    "prefix_join" ->
+      // the ORACLE runs the corpus-wide co-occurrence join the engine's
+      // prefix filter exists to avoid — by the prefix lemma the two
+      // produce the same thresholded pair set (2i >= u ⟺ J >= 0.5)
+      s"""WITH rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
+         |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
+         |rsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),
+         |rit AS (SELECT a.doc_id AS da, b2.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+         |  FROM rs a JOIN rs b2 ON a.h = b2.h AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |rpj AS (SELECT da, db, i, sa.n + sb.n - i AS u
+         |  FROM rit JOIN rsz sa ON da = sa.doc_id JOIN rsz sb ON db = sb.doc_id)
+         |SELECT da AS doc_a, db AS doc_b, i AS inter, u AS n_union,
+         |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+         |FROM rpj WHERE i * 2 >= u""".stripMargin,
     "lsh_recall" -> {
       // truth = exact hashed-shingle Jaccard via the co-occurrence
       // equijoin (r-prefixed CTEs so they don't collide with

@@ -1543,6 +1543,56 @@ object SimilarityQueries {
           .otherwise(lit(null).cast("double")).as("recall"))
   }
 
+  /** PPJoin-style EXACT set-similarity join (Xiao et al., WWW 2008):
+    * every pair with shingle Jaccard ≥ 0.5, with a GUARANTEE of no false
+    * negatives — the deterministic complement to [[minhashLsh]]'s
+    * probabilistic candidates (whose measured misses [[lshRecall]]
+    * reports). The prefix-filtering lemma: order each doc's shingles by
+    * global rarity (df asc, hash asc); if J(x, y) ≥ t, the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles of x and y must overlap — so indexing
+    * ONLY that prefix still finds every qualifying pair, and prefixes
+    * are built from each doc's RAREST shingles, exactly the ones with
+    * tiny document frequency.
+    *
+    * Scale: candidate volume is Σ df(h)² over PREFIX occurrences only
+    * (rarity-ordered, so boilerplate high-df shingles enter a prefix
+    * only for docs that consist of little else); verification joins the
+    * per-doc sorted hash arrays back by doc_id and intersects IN-ROW —
+    * the corpus-wide co-occurrence join the oracle runs is exactly what
+    * this plan avoids. Windows partition by doc. */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val shx = Tables.documents(spark, dir)
+      .withColumn("ws", wordTokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(shingleCol(col("ws")))).as("sh"))
+      .select(col("doc_id"), md5Hash32(col("sh")).as("h"))
+      .distinct()
+    val df = shx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sz = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // rarity order within each doc; prefix keeps n − ⌈n/2⌉ + 1 shingles
+    val prefix = shx.join(df, "h").join(sz, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
+      .where(col("rk") <= col("n") - expr("(n + 1) div 2") + lit(1))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val arrs = shx.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_union", col("na") + col("nb") - col("inter"))
+      // J ≥ 0.5 tested in exact integers: i/u ≥ 1/2 ⟺ 2i ≥ u
+      .where(col("inter") * 2 >= col("n_union"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter"), col("n_union"),
+        (col("inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+  }
+
   // ── Signed-random-projection (hyperplane) LSH ─────────────────────────
 
   /** The shared hyperplane constants — see
