@@ -987,7 +987,7 @@ object SparkEntry {
     "prefix_join" ->
       // the ORACLE runs the corpus-wide co-occurrence join the engine's
       // prefix filter exists to avoid — by the prefix lemma the two
-      // produce the same thresholded pair set (2i >= u ⟺ J >= 0.5)
+      // produce the same thresholded pair set (10i >= 7u ⟺ J >= 0.7)
       s"""WITH rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
          |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
          |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
@@ -998,7 +998,7 @@ object SparkEntry {
          |  FROM rit JOIN rsz sa ON da = sa.doc_id JOIN rsz sb ON db = sb.doc_id)
          |SELECT da AS doc_a, db AS doc_b, i AS inter, u AS n_union,
          |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
-         |FROM rpj WHERE i * 2 >= u""".stripMargin,
+         |FROM rpj WHERE i * 10 >= u * 7""".stripMargin,
     "lsh_recall" -> {
       // truth = exact hashed-shingle Jaccard via the co-occurrence
       // equijoin (r-prefixed CTEs so they don't collide with

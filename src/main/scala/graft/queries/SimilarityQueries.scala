@@ -1544,7 +1544,7 @@ object SimilarityQueries {
   }
 
   /** PPJoin-style EXACT set-similarity join (Xiao et al., WWW 2008):
-    * every pair with shingle Jaccard ≥ 0.5, with a GUARANTEE of no false
+    * every pair with shingle Jaccard ≥ 0.7, with a GUARANTEE of no false
     * negatives — the deterministic complement to [[minhashLsh]]'s
     * probabilistic candidates (whose measured misses [[lshRecall]]
     * reports). The prefix-filtering lemma: order each doc's shingles by
@@ -1552,7 +1552,11 @@ object SimilarityQueries {
     * |x| − ⌈t·|x|⌉ + 1 shingles of x and y must overlap — so indexing
     * ONLY that prefix still finds every qualifying pair, and prefixes
     * are built from each doc's RAREST shingles, exactly the ones with
-    * tiny document frequency.
+    * tiny document frequency. PPJoin's length filter stacks on top:
+    * J ≥ t bounds the size ratio (t·|x| ≤ |y|), pruning cross-size
+    * candidates before the distinct. (t = 0.7, the near-dup radius the
+    * curation family confirms at; at t = 0.5 the prefix is half of
+    * every doc and the measured candidate volume 4×.)
     *
     * Scale: candidate volume is Σ df(h)² over PREFIX occurrences only
     * (rarity-ordered, so boilerplate high-df shingles enter a prefix
@@ -1568,15 +1572,18 @@ object SimilarityQueries {
       .distinct()
     val df = shx.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sz = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // rarity order within each doc; prefix keeps n − ⌈n/2⌉ + 1 shingles
+    // rarity order within each doc; prefix keeps n − ⌈0.7n⌉ + 1 shingles
+    // (⌈7n/10⌉ = (7n+9) div 10, exact in both engines for n ≥ 0)
     val prefix = shx.join(df, "h").join(sz, "doc_id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
-      .where(col("rk") <= col("n") - expr("(n + 1) div 2") + lit(1))
-      .select(col("doc_id"), col("h"))
+      .where(col("rk") <= col("n") - expr("(7 * n + 9) div 10") + lit(1))
+      .select(col("doc_id"), col("h"), col("n"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ 0.7 ⟹ 7·max(|x|,|y|) ≤ 10·min(|x|,|y|)
+          col("a.n") * 7 <= col("b.n") * 10 && col("b.n") * 7 <= col("a.n") * 10)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val arrs = shx.groupBy(col("doc_id"))
@@ -1586,8 +1593,8 @@ object SimilarityQueries {
       .join(arrs.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("n_union", col("na") + col("nb") - col("inter"))
-      // J ≥ 0.5 tested in exact integers: i/u ≥ 1/2 ⟺ 2i ≥ u
-      .where(col("inter") * 2 >= col("n_union"))
+      // J ≥ 0.7 tested in exact integers: i/u ≥ 7/10 ⟺ 10i ≥ 7u
+      .where(col("inter") * 10 >= col("n_union") * 7)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("inter"), col("n_union"),
         (col("inter").cast("double") / col("n_union").cast("double")).as("jaccard"))

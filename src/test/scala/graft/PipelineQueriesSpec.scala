@@ -842,19 +842,19 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
-  test("prefix_join: exact thresholded pairs cover every LSH candidate at J >= 0.5") {
+  test("prefix_join: exact thresholded pairs cover every LSH candidate at J >= 0.7") {
     val exact = SimilarityQueries.prefixJoin(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     // the LSH candidates that truly sit at J >= 0.5 (re-ranked exactly)
     // must ALL be found — the no-false-negatives guarantee LSH lacks
     val lshAtThreshold = SimilarityQueries.ngramJaccard(spark, dir).collect()
-      .filter(_.getAs[Double]("jaccard") >= 0.5)
+      .filter(_.getAs[Double]("jaccard") >= 0.7)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(lshAtThreshold.subsetOf(exact))
     assert(exact.nonEmpty)
     // jaccard really is >= 0.5 on every output row
     SimilarityQueries.prefixJoin(spark, dir).collect()
-      .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+      .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
   }
 
   test("filtered_ann: every hit shares the query's label and fills k where possible") {
