@@ -158,6 +158,7 @@ object SparkEntry {
     "theil_sen" -> (AnalyticsQueries.theilSen _),
     "pareto_front" -> (AnalyticsQueries.paretoFront _),
     "value_runs" -> (AnalyticsQueries.valueRuns _),
+    "cuped_ab" -> (AnalyticsQueries.cupedAb _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2143,6 +2144,42 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "cuped_ab" ->
+      // mirrors the engine op-for-op: per-user period means quantized to
+      // centi-units, pooled theta/rho2 from exact BIGINT moments, then
+      // the variant adjustment in the same IEEE order
+      """WITH ev AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events),
+        |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid_ms FROM ev),
+        |u0 AS (SELECT user_id,
+        |    CAST(count(CASE WHEN ms < mid_ms THEN 1 END) AS BIGINT) AS nx,
+        |    sum(CASE WHEN ms < mid_ms THEN CAST(value AS DECIMAL(18,2)) END) AS sx_dec,
+        |    CAST(count(CASE WHEN ms >= mid_ms THEN 1 END) AS BIGINT) AS ny,
+        |    sum(CASE WHEN ms >= mid_ms THEN CAST(value AS DECIMAL(18,2)) END) AS sy_dec
+        |  FROM ev, mid GROUP BY user_id, mid_ms),
+        |u AS (SELECT user_id, user_id % 2 AS variant,
+        |    CAST(floor((CAST(sx_dec AS DOUBLE) / CAST(nx AS DOUBLE)) * 100) AS BIGINT) AS x,
+        |    CAST(floor((CAST(sy_dec AS DOUBLE) / CAST(ny AS DOUBLE)) * 100) AS BIGINT) AS y
+        |  FROM u0 WHERE nx > 0 AND ny > 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM u),
+        |t AS (SELECT n, sx,
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        |    END AS rho2
+        |  FROM m)
+        |SELECT u.variant, CAST(count(*) AS BIGINT) AS n_users, t.theta, t.rho2,
+        |  CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mean_post,
+        |  CAST(sum(u.x) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mean_pre,
+        |  (CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   - t.theta * (CAST(sum(u.x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |                - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))) / 100.0 AS mean_adj
+        |FROM u, t GROUP BY u.variant, t.theta, t.rho2, t.sx, t.n""".stripMargin,
     "value_runs" ->
       // SCD2 run-length intervals: islands by value change per user,
       // then the half-open valid_until from the next run's start

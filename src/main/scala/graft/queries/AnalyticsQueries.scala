@@ -1472,6 +1472,65 @@ object AnalyticsQueries {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
+    * experimentation-analytics op: adjust each variant's post-period
+    * metric by the pre-period covariate, `adj = ȳ_v − θ·(x̄_v − x̄)`,
+    * with θ = cov(x, y)/var(x) estimated pooled. Here variant =
+    * user_id % 2 (a deterministic hash split), the pre/post boundary is
+    * the corpus time midpoint, and the unit metric is the per-user MEAN
+    * value in each period (means stay bounded by the value domain, so
+    * the fixed-point moments never approach BIGINT range at any scale —
+    * per-user SUMS would). Users lacking either period drop, as a real
+    * CUPED pipeline drops covariate-less units. All moments are exact
+    * integer sums; θ, ρ² (the variance-reduction fraction), and the
+    * adjusted means are fixed-order IEEE ops mirrored in the oracle.
+    *
+    * Scale: one conditional aggregation per user under a one-row
+    * midpoint broadcast (compact user frame), one 1-row moment fold
+    * broadcast back over the 2-row variant aggregate. */
+  def cupedAb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), expr("unix_millis(ts)").as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid_ms"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("ms") < col("mid_ms"), 1)).as("nx"),
+        sum(when(col("ms") < col("mid_ms"), col("value").cast(Dec))).as("sx_dec"),
+        count(when(col("ms") >= col("mid_ms"), 1)).as("ny"),
+        sum(when(col("ms") >= col("mid_ms"), col("value").cast(Dec))).as("sy_dec"))
+      .where(col("nx") > 0 && col("ny") > 0)
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("variant"),
+        floor((col("sx_dec").cast("double") / col("nx").cast("double")) * lit(100.0))
+          .cast("long").as("x"),
+        floor((col("sy_dec").cast("double") / col("ny").cast("double")) * lit(100.0))
+          .cast("long").as("y"))
+    val m = users.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+      .selectExpr("n", "sx",
+        """CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          |ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+          |     / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta""".stripMargin,
+        """CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+          |ELSE (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+          |     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+          |END AS rho2""".stripMargin)
+    users.crossJoin(broadcast(m))
+      .groupBy(col("variant"), col("n").as("n_total"),
+        col("sx").as("sx_all"), col("theta"), col("rho2"))
+      .agg(count(lit(1)).as("n_users"), sum("x").as("svx"), sum("y").as("svy"))
+      .selectExpr("variant", "n_users", "theta", "rho2",
+        "CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_post",
+        "CAST(svx AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_pre",
+        """(CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE)
+          | - theta * (CAST(svx AS DOUBLE) / CAST(n_users AS DOUBLE)
+          |            - CAST(sx_all AS DOUBLE) / CAST(n_total AS DOUBLE))) / 100.0
+          |  AS mean_adj""".stripMargin)
+  }
+
   /** SCD2-style run-length intervals: collapse each user's time-ordered
     * event stream into maximal runs of the SAME event type, each run a
     * validity interval [valid_from, valid_to] plus the half-open

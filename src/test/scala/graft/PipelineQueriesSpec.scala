@@ -882,6 +882,30 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("cuped_ab: adjustment is mean-preserving and rho2 bounds the variance reduction") {
+    val out = AnalyticsQueries.cupedAb(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("variant")).sorted.toSeq == Seq(0L, 1L))
+    val theta = out.head.getAs[Double]("theta")
+    val rho2 = out.head.getAs[Double]("rho2")
+    assert(out.forall(_.getAs[Double]("theta") == theta)) // pooled, same on both rows
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // CUPED is mean-preserving: the user-weighted average of adjusted
+    // means equals the user-weighted average of raw post means, because
+    // the variant covariate offsets sum (weighted) to zero
+    val wAdj = out.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_adj")).sum
+    val wRaw = out.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_post")).sum
+    assert(math.abs(wAdj - wRaw) < 1e-6, s"not mean-preserving: $wAdj vs $wRaw")
+    // adjustment direction: a variant whose pre-period mean sat above the
+    // pooled pre mean is corrected DOWN by theta>0 (and vice versa)
+    val nTot = out.map(_.getAs[Long]("n_users")).sum.toDouble
+    val preAll = out.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_pre")).sum / nTot
+    out.foreach { r =>
+      val expected = r.getAs[Double]("mean_post") -
+        theta * (r.getAs[Double]("mean_pre") - preAll)
+      assert(math.abs(r.getAs[Double]("mean_adj") - expected) < 1e-9)
+    }
+  }
+
   test("value_runs: runs tile each user's stream, adjacent runs differ, intervals chain") {
     val out = AnalyticsQueries.valueRuns(spark, dir).collect()
       .groupBy(_.getAs[Long]("user_id"))
