@@ -840,4 +840,36 @@ class PlanSpec extends SparkSuite {
         s"per-series work must stay series-partitioned:\n$p")
     }
   }
+
+  test("round-9 additions: partitioned windows, broadcast semi/cross, no cartesian") {
+    // rolling_actives: the window-hour membership test is a BROADCAST
+    // semi-join and nothing runs in a single partition
+    val ra = plan(AnalyticsQueries.rollingActives(spark, dir))
+    assert(ra.contains("LeftSemi") && !ra.contains("CartesianProduct"))
+    assert(!ra.contains("Exchange SinglePartition"),
+      s"rolling_actives must stay key-partitioned:\n$ra")
+    // theil_sen / value_runs / pareto_front: per-key windows only
+    Seq(AnalyticsQueries.theilSen(spark, dir),
+      AnalyticsQueries.valueRuns(spark, dir),
+      AnalyticsQueries.paretoFront(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("Exchange SinglePartition"),
+        s"per-key work must stay partitioned:\n$p")
+    }
+    // prefix_join: candidates come from an EQUIJOIN on the prefix hash —
+    // never a cartesian — and verification joins back by doc_id
+    val pj = plan(SimilarityQueries.prefixJoin(spark, dir))
+    assert(!pj.contains("CartesianProduct") && !pj.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates must be hash-equijoined:\n$pj")
+    // linear_probe / cuped_ab: the model/moment row broadcasts; the only
+    // joins are one-row broadcast crosses
+    Seq(SimilarityQueries.linearProbe(spark, dir),
+      AnalyticsQueries.cupedAb(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"the one-row frame must broadcast:\n$p")
+    }
+  }
 }
