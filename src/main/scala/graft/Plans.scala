@@ -117,7 +117,8 @@ object Plans {
     "ncd_neardup" -> "LSH-bounded candidates only (never doc×doc); per-doc C(x) computed once pre-join; each pair pays ONE extra deflate — text joins by doc_id, bodies never shuffle keys",
     "filtered_ann" -> "predicate prunes BEFORE any distance computes (filter-first, never post-filter); queries broadcast; WindowGroupLimit top-k per query",
     "prefix_join" -> "candidates from the RAREST-shingle prefixes only (df² on prefix occurrences, never the corpus co-occurrence join the oracle runs); verification intersects per-doc arrays in-row",
-    "cuped_ab" -> "one conditional per-user aggregation under a one-row midpoint broadcast; pooled moments fold to ONE row, broadcast over the 2-row variant aggregate"
+    "cuped_ab" -> "one conditional per-user aggregation under a one-row midpoint broadcast; pooled moments fold to ONE row, broadcast over the 2-row variant aggregate",
+    "ab_ztest" -> "one per-(user, day) conditional aggregation folds to a single row — no joins at all; z and SRM are fixed-order IEEE ops on four counts"
   )
 
   def main(args: Array[String]): Unit = {

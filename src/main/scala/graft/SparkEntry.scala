@@ -159,6 +159,7 @@ object SparkEntry {
     "pareto_front" -> (AnalyticsQueries.paretoFront _),
     "value_runs" -> (AnalyticsQueries.valueRuns _),
     "cuped_ab" -> (AnalyticsQueries.cupedAb _),
+    "ab_ztest" -> (AnalyticsQueries.abZtest _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2144,6 +2145,35 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "ab_ztest" ->
+      // z reported, never a p-value: erf/Phi differ across libm builds;
+      // counts + one sqrt + fixed-order IEEE ops are exact cross-engine
+      """WITH u AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, n1, c0, c1,
+        |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |  / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z,
+        |  (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+        |    * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+        |    / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+        |  + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+        |    * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+        |    / (CAST(n0 + n1 AS DOUBLE) / 2.0) AS srm_chi2
+        |FROM a""".stripMargin,
     "cuped_ab" ->
       // mirrors the engine op-for-op: per-user period means quantized to
       // centi-units, pooled theta/rho2 from exact BIGINT moments, then

@@ -1531,6 +1531,47 @@ object AnalyticsQueries {
           |  AS mean_adj""".stripMargin)
   }
 
+  /** Two-proportion z-test + sample-ratio-mismatch check — the readout
+    * that accompanies [[cupedAb]] in any experimentation pipeline. The
+    * unit is the observed USER-DAY (every user converts eventually on
+    * this fixture — the per-user rate is degenerate at 1.0; daily
+    * conversion sits at ~0.40), conversion = "≥1 purchase that day",
+    * variant = user_id % 2. Pooled z = (p1 − p0)/√(p̂(1−p̂)(1/n0 +
+    * 1/n1)), and the SRM chi-square of the observed unit split against
+    * 50/50 (a large value means the assignment itself is broken and the
+    * z is meaningless — the first gate a trustworthy readout checks).
+    * The z is reported, not a p-value: erf/Φ differ across libm builds,
+    * while counts, one sqrt, and fixed-order IEEE ops are exact
+    * cross-engine.
+    *
+    * Scale: one per-(user, day) conditional aggregation (compact unit
+    * frame), folded to a single row — no joins at all. */
+  def abZtest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"), col("conv"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .selectExpr("n0", "n1", "c0", "c1",
+        "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1",
+        """(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          | - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |/ sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |       * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |       * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+          |  AS z""".stripMargin,
+        """(CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+          |  * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+          |  / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+          |+ (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+          |  * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+          |  / (CAST(n0 + n1 AS DOUBLE) / 2.0) AS srm_chi2""".stripMargin)
+
   /** SCD2-style run-length intervals: collapse each user's time-ordered
     * event stream into maximal runs of the SAME event type, each run a
     * validity interval [valid_from, valid_to] plus the half-open

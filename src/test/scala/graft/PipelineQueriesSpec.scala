@@ -882,6 +882,27 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("ab_ztest: z and SRM recompute from the counts; units tile the user-days") {
+    val out = AnalyticsQueries.abZtest(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    val (c0, c1) = (r.getAs[Long]("c0"), r.getAs[Long]("c1"))
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(n0 + n1 == userDays)
+    assert(c0 <= n0 && c1 <= n1 && c0 >= 0 && c1 >= 0)
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pPool = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pPool * (1.0 - pPool) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    val e = (n0 + n1).toDouble / 2.0
+    val chi2 = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+    assert(math.abs(r.getAs[Double]("srm_chi2") - chi2) < 1e-12)
+    // a user_id % 2 split of a hash-assigned id space must not trip SRM
+    assert(chi2 < 10.83, s"SRM chi2 $chi2 implies a broken split")
+  }
+
   test("cuped_ab: adjustment is mean-preserving and rho2 bounds the variance reduction") {
     val out = AnalyticsQueries.cupedAb(spark, dir).collect()
     assert(out.map(_.getAs[Long]("variant")).sorted.toSeq == Seq(0L, 1L))
