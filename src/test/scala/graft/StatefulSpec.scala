@@ -666,6 +666,45 @@ class StatefulSpec extends SparkSuite {
       (Some(6000000000L), Some(6001000000L), Some(6002000000L))))
   }
 
+  test("streaming A/B conversion z: known-count windows score exactly; degenerate window nulls z") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // window 0: variant 0 = 10 events 2 purchases, variant 1 = 10 events
+    // 5 purchases; window 1: ALL events purchases (pooled p = 1 → z NULL)
+    val w0 = (0 until 10).flatMap(i => Seq(
+      (if (i < 2) "purchase" else "view", i * 1000L, 2L * i),
+      (if (i < 5) "purchase" else "view", i * 1000L, 2L * i + 1)))
+    val w1 = (0 until 4).map(i => ("purchase", 600000L + i * 1000L, i.toLong))
+    val sentinel = ("view", 86400000L, 999L)
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.AbMonitor.conversionZ(ms.toDS())
+      .writeStream.format("memory").queryName("abmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-abmon")).start()
+    ms.addData(w0.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(w1.toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket", "n0", "n1", "c0", "c1", "z", "srm_chi2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getDouble(6))).toSet
+    val streamed = rows(spark.table("abmon"))
+    // hand-computed: p0=0.2, p1=0.5, pooled 0.35 → z = 0.3/sqrt(0.35·0.65·0.2)
+    val z0 = 0.3 / math.sqrt(0.35 * 0.65 * 0.2)
+    val got0 = streamed.find(_._1 == 0L).get
+    assert((got0._2, got0._3, got0._4, got0._5) == ((10L, 10L, 2L, 5L)))
+    assert(math.abs(got0._6.get - z0) < 1e-12 && got0._7 == 0.0)
+    // all-purchase window: zero pooled variance → NULL z, SRM still real
+    val got1 = streamed.find(_._1 == 1L).get
+    assert(got1._6.isEmpty && got1._4 == got1._2 && got1._5 == got1._3)
+    // batch twin parity on the same rows (sans the sentinel, whose own
+    // window the stream never finalizes) — exact, doubles included
+    val batch = rows(graft.streaming.AbMonitor.conversionZBatch(
+      (w0 ++ w1).toDF("event_type", "event_ms", "user_id")))
+    assert(batch == streamed)
+  }
+
   test("streaming drift vs frozen reference: replayed window scores exactly 0, shifted regime exactly 1.8") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // reference: 100 events uniform over values 0..9 → 10 bins × 10
