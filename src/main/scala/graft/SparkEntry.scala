@@ -183,6 +183,7 @@ object SparkEntry {
     "ncd_neardup" -> (TextQueries.ncdNearDup _),
     "filtered_ann" -> (SimilarityQueries.filteredAnn _),
     "prefix_join" -> (SimilarityQueries.prefixJoin _),
+    "source_centroids" -> (SimilarityQueries.sourceCentroids _),
     "token_lift" -> (TextQueries.tokenLift _),
     "embedding_outliers" -> (SimilarityQueries.embeddingOutliers _),
     "quality_threshold_sweep" -> (TextQueries.qualityThresholdSweep _),
@@ -986,6 +987,26 @@ object SparkEntry {
          |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
          |FROM cand JOIN sig a ON cand.va = a.vec_id JOIN sig b2 ON cand.vb = b2.vec_id
          |  JOIN sen ea ON cand.va = ea.vec_id JOIN sen eb ON cand.vb = eb.vec_id""".stripMargin,
+    "source_centroids" ->
+      // cosine of means = cosine of sums (scale invariance): exact
+      // integer component sums, two sqrts and one division at the end
+      """WITH q AS (SELECT d.source,
+        |    CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |s AS (SELECT source, pos, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM s GROUP BY 1),
+        |nd AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY 1),
+        |p AS (SELECT s.source, CAST(sum(s.sv * g.gv) AS BIGINT) AS dot,
+        |    CAST(sum(s.sv * s.sv) AS BIGINT) AS na
+        |  FROM s JOIN g ON s.pos = g.pos GROUP BY 1),
+        |nb AS (SELECT CAST(sum(gv * gv) AS BIGINT) AS nb FROM g)
+        |SELECT p.source, nd.n_docs,
+        |  CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(nb.nb AS DOUBLE)))
+        |    AS cos_to_corpus
+        |FROM p, nb JOIN nd ON p.source = nd.source""".stripMargin,
     "prefix_join" ->
       // the ORACLE runs the corpus-wide co-occurrence join the engine's
       // prefix filter exists to avoid — by the prefix lemma the two

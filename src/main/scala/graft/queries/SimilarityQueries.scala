@@ -1543,6 +1543,45 @@ object SimilarityQueries {
           .otherwise(lit(null).cast("double")).as("recall"))
   }
 
+  /** Per-source embedding centroid drift — the embedding-space twin of
+    * `source_divergence`'s token-space chi-square: how far each source's
+    * mean embedding sits from the corpus mean, as a cosine. A source
+    * whose centroid drifts (new upstream, template change, language
+    * shift) moves here before token statistics notice. Cosine of MEANS
+    * equals cosine of SUMS (scale invariance), so the whole measurement
+    * runs on exact integer component sums: quantize once, fold
+    * (source, pos) partials map-side, derive the corpus sums by
+    * re-aggregating the compact source frame — the corpus is scanned
+    * ONCE — and the final cosine is two sqrts and a division on exact
+    * BIGINT dot products.
+    *
+    * Scale: the only corpus-sized work is the posexplode fold to the
+    * (sources × dims) frame; everything downstream is sources × 64
+    * rows. */
+  def sourceCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir),
+        col("doc_id") === col("vec_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("source"), (col("p") + 1).as("pos"),
+        floor(col("v").cast("double") * lit(1000.0)).cast("long").as("qv"))
+    val s = q.groupBy(col("source"), col("pos")).agg(sum(col("qv")).as("sv"))
+    val g = s.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
+    val nDocs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val per = s.join(broadcast(g), "pos")
+      .groupBy(col("source"))
+      .agg(sum(col("sv") * col("gv")).as("dot"), sum(col("sv") * col("sv")).as("na"))
+    val nb = g.agg(sum(col("gv") * col("gv")).as("nb"))
+    per.crossJoin(broadcast(nb))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_to_corpus"))
+  }
+
   /** PPJoin-style EXACT set-similarity join (Xiao et al., WWW 2008):
     * every pair with shingle Jaccard ≥ 0.7, with a GUARANTEE of no false
     * negatives — the deterministic complement to [[minhashLsh]]'s

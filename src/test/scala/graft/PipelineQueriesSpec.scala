@@ -842,6 +842,31 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("source_centroids: cosine recomputes from brute quantized sums; docs tile") {
+    val out = SimilarityQueries.sourceCentroids(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("cos_to_corpus"))).toMap
+    val rows = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("source"), col("embedding"))
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    assert(out.values.map(_._1).sum == rows.length.toLong)
+    val dims = rows.head._2.length
+    def sums(vs: Seq[Array[Float]]): Array[Long] =
+      (0 until dims).map(p =>
+        vs.map(v => math.floor(v(p).toDouble * 1000.0).toLong).sum).toArray
+    val global = sums(rows.map(_._2).toSeq)
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val s = sums(grp.map(_._2).toSeq)
+      val dot = s.zip(global).map { case (a, b) => a * b }.sum.toDouble
+      val cos = dot / (math.sqrt(s.map(x => x * x).sum.toDouble) *
+        math.sqrt(global.map(x => x * x).sum.toDouble))
+      assert(math.abs(out(src)._2 - cos) < 1e-12, s"$src: ${out(src)._2} vs $cos")
+      assert(out(src)._2 >= -1.0 && out(src)._2 <= 1.0)
+      assert(out(src)._1 == grp.length.toLong)
+    }
+  }
+
   test("prefix_join: exact thresholded pairs cover every LSH candidate at J >= 0.7") {
     val exact = SimilarityQueries.prefixJoin(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
