@@ -994,27 +994,27 @@ object SparkEntry {
         |    CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS pos,
         |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-        |s AS (SELECT source, pos, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2),
-        |g AS (SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM s GROUP BY 1),
-        |nd AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY 1),
+        |s AS MATERIALIZED (SELECT source, pos, CAST(sum(qv) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1, 2),
+        |g AS MATERIALIZED (SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM s GROUP BY 1),
         |p AS (SELECT s.source, CAST(sum(s.sv * g.gv) AS BIGINT) AS dot,
-        |    CAST(sum(s.sv * s.sv) AS BIGINT) AS na
+        |    CAST(sum(s.sv * s.sv) AS BIGINT) AS na,
+        |    max(CASE WHEN s.pos = 1 THEN s.cnt END) AS n_docs
         |  FROM s JOIN g ON s.pos = g.pos GROUP BY 1),
         |nb AS (SELECT CAST(sum(gv * gv) AS BIGINT) AS nb FROM g)
-        |SELECT p.source, nd.n_docs,
+        |SELECT p.source, p.n_docs,
         |  CAST(p.dot AS DOUBLE)
         |    / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(nb.nb AS DOUBLE)))
         |    AS cos_to_corpus
-        |FROM p, nb JOIN nd ON p.source = nd.source""".stripMargin,
+        |FROM p, nb""".stripMargin,
     "prefix_join" ->
       // the ORACLE runs the corpus-wide co-occurrence join the engine's
       // prefix filter exists to avoid — by the prefix lemma the two
       // produce the same thresholded pair set (10i >= 7u ⟺ J >= 0.7)
       s"""WITH rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
          |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
-         |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
-         |rsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),
+         |rs AS MATERIALIZED (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
+         |rsz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),
          |rit AS (SELECT a.doc_id AS da, b2.doc_id AS db, CAST(count(*) AS BIGINT) AS i
          |  FROM rs a JOIN rs b2 ON a.h = b2.h AND a.doc_id < b2.doc_id GROUP BY 1, 2),
          |rpj AS (SELECT da, db, i, sa.n + sb.n - i AS u
@@ -1603,9 +1603,10 @@ object SparkEntry {
          |    CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
          |  FROM c),
          |s AS (SELECT co.n, co.sy, co.sx1y, co.sx2y, co.b0, co.b1, co.b2,
-         |    CAST(sum(CASE WHEN (CASE WHEN co.b0 + co.b1 * CAST(q.x1 AS DOUBLE)
-         |                                + co.b2 * CAST(q.x2 AS DOUBLE) >= 0.5
-         |                        THEN 1 ELSE 0 END) = q.y
+         |    CAST(sum(CASE WHEN co.b0 IS NULL THEN NULL
+         |             WHEN (CASE WHEN co.b0 + co.b1 * CAST(q.x1 AS DOUBLE)
+         |                             + co.b2 * CAST(q.x2 AS DOUBLE) >= 0.5
+         |                   THEN 1 ELSE 0 END) = q.y
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |  FROM q, co GROUP BY 1, 2, 3, 4, 5, 6, 7)
          |SELECT n, b0, b1, b2,
@@ -1620,7 +1621,7 @@ object SparkEntry {
          |FROM s""".stripMargin
     },
     "rolling_actives" ->
-      """WITH uh AS (SELECT DISTINCT event_type, user_id,
+      """WITH uh AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
          |    epoch_ms(ts) // 3600000 AS hb FROM events),
          |hrs AS (SELECT DISTINCT hb AS wh FROM uh),
          |w AS (SELECT u.event_type, u.user_id, u.hb + g.k AS wh
@@ -1639,29 +1640,34 @@ object SparkEntry {
          |    AS stickiness
          |FROM r LEFT JOIN h ON r.event_type = h.event_type AND r.wh = h.wh""".stripMargin,
     // the Morton interleave is the same 16-term bit expression the engine
-    // builds in Layout.zValue16 — generated here so the two can't drift
+    // builds in Layout.zValue16 — generated here so the two can't drift;
+    // keys scale into [0, 65535] FIRST (zValue16 interleaves bits 0–15
+    // only — raw keys would alias once they outgrow 16 bits)
     "zorder_prune" -> {
       val morton = (0 until 16).map(i =>
-        s"(((pk >> $i) & 1) << ${2 * i}) | (((sk >> $i) & 1) << ${2 * i + 1})")
+        s"(((a16 >> $i) & 1) << ${2 * i}) | (((b16 >> $i) & 1) << ${2 * i + 1})")
         .mkString(" | ")
-      s"""WITH b AS (
+      s"""WITH b AS MATERIALIZED (
          |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
          |         CAST(l_orderkey AS BIGINT) AS ok
          |  FROM lineitem),
-         |zt AS (SELECT pk, sk, ok, ($morton) AS z FROM b),
-         |bounds AS (SELECT max(z) AS zmax, max(ok) AS okmax,
-         |                  max(pk) AS pmax, max(sk) AS smax FROM zt),
+         |bounds AS MATERIALIZED (SELECT max(ok) AS okmax,
+         |                  max(pk) AS pmax, max(sk) AS smax FROM b),
+         |zt AS MATERIALIZED (SELECT pk, sk, ok, okmax, ($morton) AS z FROM
+         |  (SELECT pk, sk, ok, okmax,
+         |     (pk * 65536)//(pmax + 1) AS a16, (sk * 65536)//(smax + 1) AS b16
+         |   FROM b, bounds)),
          |pred AS (SELECT (pmax+1)//4 AS plo, (pmax+1)//4 + (pmax+1)//16 - 1 AS phi,
-         |                (smax+1)//4 AS slo, (smax+1)//4 + (smax+1)//16 - 1 AS shi,
-         |                zmax, okmax FROM bounds),
+         |                (smax+1)//4 AS slo, (smax+1)//4 + (smax+1)//16 - 1 AS shi
+         |         FROM bounds),
          |e AS (
-         |  SELECT 'zorder' AS layout, (zt.z*256)//(p.zmax+1) AS file_id, zt.pk, zt.sk,
+         |  SELECT 'zorder' AS layout, zt.z//16777216 AS file_id, zt.pk, zt.sk,
          |    CASE WHEN zt.pk >= p.plo AND zt.pk <= p.phi
          |          AND zt.sk >= p.slo AND zt.sk <= p.shi THEN 1 ELSE 0 END AS hit,
          |    p.plo, p.phi, p.slo, p.shi
          |  FROM zt, pred p
          |  UNION ALL
-         |  SELECT 'linear', (zt.ok*256)//(p.okmax+1), zt.pk, zt.sk,
+         |  SELECT 'linear', (zt.ok*256)//(zt.okmax+1), zt.pk, zt.sk,
          |    CASE WHEN zt.pk >= p.plo AND zt.pk <= p.phi
          |          AND zt.sk >= p.slo AND zt.sk <= p.shi THEN 1 ELSE 0 END,
          |    p.plo, p.phi, p.slo, p.shi
@@ -2199,7 +2205,7 @@ object SparkEntry {
       // mirrors the engine op-for-op: per-user period means quantized to
       // centi-units, pooled theta/rho2 from exact BIGINT moments, then
       // the variant adjustment in the same IEEE order
-      """WITH ev AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events),
+      """WITH ev AS MATERIALIZED (SELECT user_id, value, epoch_ms(ts) AS ms FROM events),
         |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid_ms FROM ev),
         |u0 AS (SELECT user_id,
         |    CAST(count(CASE WHEN ms < mid_ms THEN 1 END) AS BIGINT) AS nx,
@@ -2207,7 +2213,7 @@ object SparkEntry {
         |    CAST(count(CASE WHEN ms >= mid_ms THEN 1 END) AS BIGINT) AS ny,
         |    sum(CASE WHEN ms >= mid_ms THEN CAST(value AS DECIMAL(18,2)) END) AS sy_dec
         |  FROM ev, mid GROUP BY user_id, mid_ms),
-        |u AS (SELECT user_id, user_id % 2 AS variant,
+        |u AS MATERIALIZED (SELECT user_id, user_id % 2 AS variant,
         |    CAST(floor((CAST(sx_dec AS DOUBLE) / CAST(nx AS DOUBLE)) * 100) AS BIGINT) AS x,
         |    CAST(floor((CAST(sy_dec AS DOUBLE) / CAST(ny AS DOUBLE)) * 100) AS BIGINT) AS y
         |  FROM u0 WHERE nx > 0 AND ny > 0),

@@ -238,7 +238,9 @@ object CoreQueries {
     *
     * Model: every row is assigned to one of ≤256 equal-width "files"
     * under each layout — by its 2-D Morton value ([[Layout.zValue16]]
-    * over (l_partkey, l_suppkey)) and by l_orderkey (orders are generated
+    * over (l_partkey, l_suppkey) each scaled into [0, 65535] first, the
+    * same 16-bit bucketing `writeZOrdered` performs — raw keys would
+    * silently alias once they outgrow 16 bits) and by l_orderkey (orders are generated
     * in insertion sequence, so orderkey-order models the at-rest layout
     * of an append-only table). Per file, the parquet-footer stats
     * (min/max of both predicate columns) decide whether a template box
@@ -258,13 +260,19 @@ object CoreQueries {
       col("l_partkey").cast("long").as("pk"),
       col("l_suppkey").cast("long").as("sk"),
       col("l_orderkey").cast("long").as("ok"))
-    val keyed = base.withColumn("z", Layout.zValue16(col("pk"), col("sk")))
     // global key maxima: one tiny aggregated row, broadcast onto the scan
-    val bounds = keyed.agg(
-      max("z").as("zmax"), max("ok").as("okmax"),
-      max("pk").as("pmax"), max("sk").as("smax"))
-    val exploded = keyed
+    val bounds = base.agg(
+      max("ok").as("okmax"), max("pk").as("pmax"), max("sk").as("smax"))
+    // zValue16 interleaves bits 0–15 ONLY (writeZOrdered buckets to 16
+    // bits for the same reason): keys are scaled into [0, 65535] first —
+    // feeding raw keys would silently alias pk and pk+65536 to one
+    // z-value once keys outgrow 16 bits, corrupting the audit
+    val keyed = base
       .crossJoin(broadcast(bounds))
+      .withColumn("z", Layout.zValue16(
+        expr("(pk * 65536) div (pmax + 1)"),
+        expr("(sk * 65536) div (smax + 1)")))
+    val exploded = keyed
       // box predicate: middle 1/16 of each dimension, integer-exact
       .withColumn("plo", expr("(pmax + 1) div 4"))
       .withColumn("phi", expr("(pmax + 1) div 4 + (pmax + 1) div 16 - 1"))
@@ -277,9 +285,10 @@ object CoreQueries {
       // over the Morton value and over the insertion (orderkey) order
       .select(col("pk"), col("sk"), col("hit"),
         col("plo"), col("phi"), col("slo"), col("shi"),
+        // z spans [0, 2³²) by construction → fixed-width 256 files
         explode(array(
           struct(lit("zorder").as("layout"),
-            expr("(z * 256) div (zmax + 1)").as("file_id")),
+            expr("z div 16777216").as("file_id")),
           struct(lit("linear").as("layout"),
             expr("(ok * 256) div (okmax + 1)").as("file_id")))).as("e"))
       .select(col("pk"), col("sk"), col("hit"),

@@ -1565,17 +1565,18 @@ object SimilarityQueries {
       .select(col("source"), posexplode(col("embedding")).as(Seq("p", "v")))
       .select(col("source"), (col("p") + 1).as("pos"),
         floor(col("v").cast("double") * lit(1000.0)).cast("long").as("qv"))
-    val s = q.groupBy(col("source"), col("pos")).agg(sum(col("qv")).as("sv"))
+    // the fold carries the per-(source, pos) row count so n_docs reads
+    // off the pos=1 cell — no second corpus scan
+    val s = q.groupBy(col("source"), col("pos"))
+      .agg(sum(col("qv")).as("sv"), count(lit(1)).as("cnt"))
     val g = s.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
-    val nDocs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val per = s.join(broadcast(g), "pos")
       .groupBy(col("source"))
-      .agg(sum(col("sv") * col("gv")).as("dot"), sum(col("sv") * col("sv")).as("na"))
+      .agg(sum(col("sv") * col("gv")).as("dot"),
+        sum(col("sv") * col("sv")).as("na"),
+        max(when(col("pos") === 1, col("cnt"))).as("n_docs"))
     val nb = g.agg(sum(col("gv") * col("gv")).as("nb"))
     per.crossJoin(broadcast(nb))
-      .join(broadcast(nDocs), "source")
       .select(col("source"), col("n_docs"),
         (col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

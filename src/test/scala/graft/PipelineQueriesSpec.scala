@@ -870,14 +870,14 @@ class PipelineQueriesSpec extends SparkSuite {
   test("prefix_join: exact thresholded pairs cover every LSH candidate at J >= 0.7") {
     val exact = SimilarityQueries.prefixJoin(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    // the LSH candidates that truly sit at J >= 0.5 (re-ranked exactly)
+    // the LSH candidates that truly sit at J >= 0.7 (re-ranked exactly)
     // must ALL be found — the no-false-negatives guarantee LSH lacks
     val lshAtThreshold = SimilarityQueries.ngramJaccard(spark, dir).collect()
       .filter(_.getAs[Double]("jaccard") >= 0.7)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(lshAtThreshold.subsetOf(exact))
     assert(exact.nonEmpty)
-    // jaccard really is >= 0.5 on every output row
+    // jaccard really is >= 0.7 on every output row
     SimilarityQueries.prefixJoin(spark, dir).collect()
       .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
   }
