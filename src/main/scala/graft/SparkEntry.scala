@@ -160,6 +160,7 @@ object SparkEntry {
     "value_runs" -> (AnalyticsQueries.valueRuns _),
     "cuped_ab" -> (AnalyticsQueries.cupedAb _),
     "ab_ztest" -> (AnalyticsQueries.abZtest _),
+    "activity_gini" -> (AnalyticsQueries.activityGini _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2172,6 +2173,28 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "activity_gini" ->
+      // tie-grouped closed form over the distinct-count histogram: for f
+      // users sharing count c after cumulative position p, the rank sum
+      // is c*(f*p + f(f+1)/2) — exact integers, two terminal divisions
+      """WITH uc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
+        |  FROM uc GROUP BY 1, 2),
+        |w AS (SELECT event_type, c, f,
+        |    CAST(coalesce(sum(f) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+        |  FROM h),
+        |a AS (SELECT event_type,
+        |    CAST(sum(f) AS BIGINT) AS n_users,
+        |    CAST(sum(c * f) AS BIGINT) AS total_events,
+        |    CAST(sum(c * (f * p + (f * (f + 1)) // 2)) AS BIGINT) AS ranked
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |  2.0 * CAST(ranked AS DOUBLE)
+        |    / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+        |  - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "ab_ztest" ->
       // z reported, never a p-value: erf/Phi differ across libm builds;
       // counts + one sqrt + fixed-order IEEE ops are exact cross-engine

@@ -1472,6 +1472,42 @@ object AnalyticsQueries {
         (col("value") > col("hi")).as("clipped_high"))
   }
 
+  /** Activity concentration (Gini) per event type — the inequality audit
+    * that catches a feed dominated by a handful of users (bots, test
+    * rigs, one scripted tenant) before any per-user cap fires. Exact,
+    * with ties handled by construction: fold to per-(type, user) counts,
+    * then to the (type, count-value, frequency) HISTOGRAM — for a run of
+    * f users sharing count c starting after cumulative position p,
+    * Σ rank·x over the run is c·(f·p + f(f+1)/2) in closed form, so the
+    * sorted-rank sum needs only a cumulative-frequency window over the
+    * tiny distinct-count frame, never a per-user rank. G = 2Σrank·x /
+    * (n·Σx) − (n+1)/n, two IEEE divisions at the end.
+    *
+    * Scale: per-(type, user) counts fold map-side; the histogram frame
+    * is |distinct count values| rows (bounded by max per-user activity,
+    * not by users); the only window runs over that frame, partitioned by
+    * type. */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val uc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val h = uc.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("p", coalesce(sum(col("f")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    h.groupBy(col("event_type"))
+      .agg(
+        sum(col("f")).as("n_users"),
+        sum(col("c") * col("f")).as("total_events"),
+        sum(col("c") * (col("f") * col("p") +
+          expr("f * (f + 1) div 2"))).as("ranked"))
+      .selectExpr("event_type", "n_users", "total_events",
+        """2.0 * CAST(ranked AS DOUBLE)
+          |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+          |- CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS gini""".stripMargin)
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
     * experimentation-analytics op: adjust each variant's post-period
     * metric by the pre-period covariate, `adj = ȳ_v − θ·(x̄_v − x̄)`,

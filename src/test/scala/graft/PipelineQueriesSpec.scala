@@ -907,6 +907,30 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("activity_gini: matches brute-force sorted-rank Gini; all-equal degenerates to 0") {
+    val out = AnalyticsQueries.activityGini(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("total_events"),
+          r.getAs[Double]("gini"))).toMap
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id")).count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.keySet == counts.keySet)
+    counts.foreach { case (t, xs) =>
+      val n = xs.length.toLong
+      val ranked = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val brute = 2.0 * ranked / (n.toDouble * xs.sum.toDouble) - (n + 1).toDouble / n
+      assert(out(t)._1 == n && out(t)._2 == xs.sum)
+      assert(math.abs(out(t)._3 - brute) < 1e-12, s"$t: ${out(t)._3} vs $brute")
+      assert(out(t)._3 >= 0.0 && out(t)._3 < 1.0)
+    }
+    // closed-form sanity: a perfectly equal distribution scores exactly 0
+    val eq = Seq.fill(7)(5L)
+    val eqRanked = eq.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert(2.0 * eqRanked / (7.0 * eq.sum) - 8.0 / 7.0 == 0.0)
+  }
+
   test("ab_ztest: z and SRM recompute from the counts; units tile the user-days") {
     val out = AnalyticsQueries.abZtest(spark, dir).collect()
     assert(out.length == 1)
