@@ -161,6 +161,7 @@ object SparkEntry {
     "cuped_ab" -> (AnalyticsQueries.cupedAb _),
     "ab_ztest" -> (AnalyticsQueries.abZtest _),
     "activity_gini" -> (AnalyticsQueries.activityGini _),
+    "mann_whitney" -> (AnalyticsQueries.mannWhitney _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2173,6 +2174,30 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "mann_whitney" ->
+      // U via the histogram closed form (2U in BIGINTs keeps the tie
+      // halves integer); values centi-quantized so the histogram is
+      // domain-bounded; z is the tie-uncorrected normal approximation
+      """WITH q AS (SELECT event_type, user_id % 2 AS variant,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv FROM events),
+        |h AS (SELECT event_type, qv,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+        |  FROM q GROUP BY 1, 2),
+        |w AS (SELECT event_type, f0, f1,
+        |    CAST(coalesce(sum(f0) OVER (PARTITION BY event_type ORDER BY qv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |  FROM h),
+        |a AS (SELECT event_type,
+        |    CAST(sum(f0) AS BIGINT) AS n0, CAST(sum(f1) AS BIGINT) AS n1,
+        |    CAST(sum(f1 * (2 * cum0 + f0)) AS BIGINT) AS u2
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n0, n1,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |  (CAST(u2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        |  / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |         * CAST(n0 + n1 + 1 AS DOUBLE) / 12.0) AS z
+        |FROM a""".stripMargin,
     "activity_gini" ->
       // tie-grouped closed form over the distinct-count histogram: for f
       // users sharing count c after cumulative position p, the rank sum

@@ -1508,6 +1508,45 @@ object AnalyticsQueries {
           |- CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS gini""".stripMargin)
   }
 
+  /** Mann–Whitney U between the hash variants, per event type — the
+    * rank-based nonparametric complement to [[abZtest]]: it detects a
+    * distribution shift in `value` without assuming normality, and one
+    * gross outlier moves it by at most one rank. Exact via the same
+    * histogram closed form as [[activityGini]]: U = Σ_v f1(v)·(F0(<v) +
+    * f0(v)/2) over the DISTINCT-VALUE histogram (ties contribute the
+    * standard half), computed as 2U in BIGINTs so the halves stay
+    * integer. Values quantize to centi-units first, bounding the
+    * histogram by the VALUE DOMAIN rather than the corpus — the window
+    * that ranks it never sees a per-event frame. The normal
+    * approximation z (tie-uncorrected, documented) is two fixed-order
+    * IEEE ops on exact integers.
+    *
+    * Scale: per-(type, centi-value, variant) counts fold map-side; the
+    * only window runs over the domain-bounded histogram, partitioned by
+    * type. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(spark, dir).select(
+      col("event_type"),
+      pmod(col("user_id"), lit(2L)).as("variant"),
+      floor(col("value") * lit(100.0)).cast("long").as("qv"))
+    val h = q.groupBy(col("event_type"), col("qv"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("f0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("f1"))
+      .withColumn("cum0", coalesce(sum(col("f0")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("qv"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    h.groupBy(col("event_type"))
+      .agg(
+        sum(col("f0")).as("n0"), sum(col("f1")).as("n1"),
+        sum(col("f1") * (lit(2L) * col("cum0") + col("f0"))).as("u2"))
+      .selectExpr("event_type", "n0", "n1",
+        "CAST(u2 AS DOUBLE) / 2.0 AS u",
+        """(CAST(u2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+          |/ sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+          |       * CAST(n0 + n1 + 1 AS DOUBLE) / 12.0) AS z""".stripMargin)
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
     * experimentation-analytics op: adjust each variant's post-period
     * metric by the pre-period covariate, `adj = ȳ_v − θ·(x̄_v − x̄)`,

@@ -907,6 +907,29 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("mann_whitney: U matches brute-force pair counting with tie halves") {
+    val out = AnalyticsQueries.mannWhitney(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n0"), r.getAs[Long]("n1"), r.getAs[Double]("u"))).toMap
+    val rows = Tables.events(spark, dir).select(
+      col("event_type"), pmod(col("user_id"), lit(2L)),
+      floor(col("value") * lit(100.0)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet == rows.keySet)
+    rows.foreach { case (t, grp) =>
+      val v0 = grp.filter(_._2 == 0).map(_._3)
+      val v1 = grp.filter(_._2 == 1).map(_._3)
+      // U = #{(a, b) : x1_a > x0_b} + ties/2, straight over all pairs
+      val u2 = (for (a <- v1; b <- v0) yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(out(t)._1 == v0.length.toLong && out(t)._2 == v1.length.toLong)
+      assert(out(t)._3 == u2.toDouble / 2.0, s"$t: ${out(t)._3} vs ${u2 / 2.0}")
+      // U is bounded by the pair count
+      assert(out(t)._3 >= 0.0 && out(t)._3 <= v0.length.toDouble * v1.length)
+    }
+  }
+
   test("activity_gini: matches brute-force sorted-rank Gini; all-equal degenerates to 0") {
     val out = AnalyticsQueries.activityGini(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
