@@ -121,7 +121,8 @@ object Plans {
     "ab_ztest" -> "one per-(user, day) conditional aggregation folds to a single row — no joins at all; z and SRM are fixed-order IEEE ops on four counts",
     "source_centroids" -> "ONE corpus posexplode fold to the (sources × dims) frame; corpus sums re-aggregate that compact frame — the corpus is never scanned twice; cosine on exact integer sums",
     "activity_gini" -> "per-(type, user) counts fold map-side; the only window runs over the DISTINCT-COUNT histogram frame (bounded by max activity, not by users), partitioned by type",
-    "mann_whitney" -> "per-(type, centi-value, variant) counts fold map-side; the rank window runs over the DOMAIN-bounded histogram, never a per-event frame"
+    "mann_whitney" -> "per-(type, centi-value, variant) counts fold map-side; the rank window runs over the DOMAIN-bounded histogram, never a per-event frame",
+    "ks_test" -> "same domain-bounded histogram shape; CDF cross-multiplication keeps D's numerator in exact BIGINTs, one terminal division"
   )
 
   def main(args: Array[String]): Unit = {

@@ -162,6 +162,7 @@ object SparkEntry {
     "ab_ztest" -> (AnalyticsQueries.abZtest _),
     "activity_gini" -> (AnalyticsQueries.activityGini _),
     "mann_whitney" -> (AnalyticsQueries.mannWhitney _),
+    "ks_test" -> (AnalyticsQueries.ksTest _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2174,6 +2175,34 @@ object SparkEntry {
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS BIGINT) AS med_x2,
         |  CAST(arr[(n + 1) // 2] + arr[(n + 2) // 2] AS DOUBLE) / 2000.0 AS median
         |FROM w WHERE n >= 12""".stripMargin,
+    "ks_test" ->
+      // D's numerator cross-multiplies the two empirical CDFs in BIGINTs
+      // (max |C1*n0 - C0*n1|); ONE terminal division by n0*n1; argmax
+      // value tie-broken to the smallest qv
+      """WITH q AS (SELECT event_type, user_id % 2 AS variant,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv FROM events),
+        |h AS (SELECT event_type, qv,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+        |  FROM q GROUP BY 1, 2),
+        |c AS MATERIALIZED (SELECT event_type, qv,
+        |    CAST(sum(f0) OVER w AS BIGINT) AS c0,
+        |    CAST(sum(f1) OVER w AS BIGINT) AS c1
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY qv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT event_type, max(c0) AS n0, max(c1) AS n1
+        |  FROM c GROUP BY 1),
+        |s AS MATERIALIZED (SELECT c.event_type, c.qv, p.n0, p.n1,
+        |    abs(c.c1 * p.n0 - c.c0 * p.n1) AS dnum
+        |  FROM c JOIN p ON c.event_type = p.event_type),
+        |d AS (SELECT event_type, CAST(max(dnum) AS BIGINT) AS d_num
+        |  FROM s GROUP BY 1)
+        |SELECT s.event_type, s.n0, s.n1,
+        |  CAST(d.d_num AS DOUBLE)
+        |    / (CAST(s.n0 AS DOUBLE) * CAST(s.n1 AS DOUBLE)) AS ks_d,
+        |  CAST(min(s.qv) AS DOUBLE) / 100.0 AS at_value
+        |FROM s JOIN d ON s.event_type = d.event_type AND s.dnum = d.d_num
+        |GROUP BY 1, 2, 3, d.d_num""".stripMargin,
     "mann_whitney" ->
       // U via the histogram closed form (2U in BIGINTs keeps the tie
       // halves integer); values centi-quantized so the histogram is

@@ -1547,6 +1547,50 @@ object AnalyticsQueries {
           |       * CAST(n0 + n1 + 1 AS DOUBLE) / 12.0) AS z""".stripMargin)
   }
 
+  /** Two-sample Kolmogorov–Smirnov D between the hash variants, per
+    * event type — completes the distribution-test trio ([[abZtest]]
+    * parametric, [[mannWhitney]] rank, this one distributional): D =
+    * max_v |F1(v) − F0(v)| catches shape changes (variance, bimodality)
+    * that leave means and mean ranks untouched. EXACT: over the same
+    * centi-quantized domain-bounded histogram, D's numerator is
+    * max_v |C1(v)·n0 − C0(v)·n1| in BIGINTs (cross-multiplying the two
+    * empirical CDFs clears both denominators), with ONE terminal
+    * division by n0·n1 — no float CDFs to drift. The value where the
+    * max is attained rides along (ties broken to the smallest value,
+    * deterministic) — where the two distributions diverge most, which
+    * is what an investigation looks at first.
+    *
+    * Scale: same shape as [[mannWhitney]] — map-side histogram fold,
+    * one cumulative window over the domain-bounded frame per type. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(spark, dir).select(
+      col("event_type"),
+      pmod(col("user_id"), lit(2L)).as("variant"),
+      floor(col("value") * lit(100.0)).cast("long").as("qv"))
+    val h = q.groupBy(col("event_type"), col("qv"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("f0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("f1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("qv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("c0", sum(col("f0")).over(w))
+      .withColumn("c1", sum(col("f1")).over(w))
+    val per = cum.groupBy(col("event_type"))
+      .agg(max(col("c0")).as("n0"), max(col("c1")).as("n1"))
+    val scored = cum.join(per, "event_type")
+      .withColumn("dnum", abs(col("c1") * col("n0") - col("c0") * col("n1")))
+    val dmax = scored.groupBy(col("event_type")).agg(max(col("dnum")).as("d_num"))
+    scored.join(dmax, "event_type")
+      .where(col("dnum") === col("d_num"))
+      .groupBy(col("event_type"), col("n0"), col("n1"), col("d_num"))
+      .agg(min(col("qv")).as("at_qv"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        (col("d_num").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double"))).as("ks_d"),
+        (col("at_qv").cast("double") / lit(100.0)).as("at_value"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
     * experimentation-analytics op: adjust each variant's post-period
     * metric by the pre-period covariate, `adj = ȳ_v − θ·(x̄_v − x̄)`,

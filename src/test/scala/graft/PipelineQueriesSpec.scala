@@ -907,6 +907,32 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("ks_test: D matches the brute-force empirical-CDF max gap") {
+    val out = AnalyticsQueries.ksTest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+          r.getAs[Double]("ks_d"), r.getAs[Double]("at_value"))).toMap
+    val rows = Tables.events(spark, dir).select(
+      col("event_type"), pmod(col("user_id"), lit(2L)),
+      floor(col("value") * lit(100.0)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (t, grp) =>
+      val v0 = grp.filter(_._2 == 0).map(_._3).sorted
+      val v1 = grp.filter(_._2 == 1).map(_._3).sorted
+      val qs = (v0 ++ v1).distinct.sorted
+      // exact integer numerator at every step value
+      val steps = qs.map(q => (q,
+        math.abs(v1.count(_ <= q).toLong * v0.length - v0.count(_ <= q).toLong * v1.length)))
+      val dnum = steps.map(_._2).max
+      val atQ = steps.collect { case (q, d) if d == dnum => q }.min
+      assert(out(t)._1 == v0.length.toLong && out(t)._2 == v1.length.toLong)
+      assert(out(t)._3 == dnum.toDouble / (v0.length.toDouble * v1.length))
+      assert(out(t)._4 == atQ.toDouble / 100.0)
+      assert(out(t)._3 >= 0.0 && out(t)._3 <= 1.0)
+    }
+  }
+
   test("mann_whitney: U matches brute-force pair counting with tie halves") {
     val out = AnalyticsQueries.mannWhitney(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
