@@ -55,6 +55,7 @@ object SparkEntry {
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
+    "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
     "srp_estimate" -> (SimilarityQueries.srpEstimate _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "activity_gini" -> (AnalyticsQueries.activityGini _),
     "mann_whitney" -> (AnalyticsQueries.mannWhitney _),
     "ks_test" -> (AnalyticsQueries.ksTest _),
+    "benford_audit" -> (AnalyticsQueries.benfordAudit _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -965,6 +967,35 @@ object SparkEntry {
          |approx3 AS (SELECT qid, vid FROM ar WHERE rn <= 3),
          |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
          |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
+         |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
+         |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
+    "mrl_recall" ->
+      // truncated pass = cosine over the first MrlDims components only
+      // (DuckDB's 1-based inclusive slice); same sliced ascending fold
+      // order as FloatVecDot over Spark's slice()
+      s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm,
+         |        embedding[1:${SimilarityQueries.MrlDims}] AS temb,
+         |        sqrt(${dotSql(s"embedding[1:${SimilarityQueries.MrlDims}]",
+                                s"embedding[1:${SimilarityQueries.MrlDims}]")}) AS tnrm
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |        temb AS qtemb, tnrm AS qtnrm FROM en WHERE vec_id < 10),
+         |fp AS (SELECT q.qid, e.vec_id AS vid,
+         |        ${dotSql("q.qemb", "e.embedding")} / (q.qnrm * e.nrm) AS cos
+         |      FROM en e, q WHERE e.vec_id != q.qid),
+         |fr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM fp),
+         |exact3 AS (SELECT qid, vid FROM fr WHERE rn <= 3),
+         |tp AS (SELECT q.qid, e.vec_id AS vid,
+         |        ${dotSql("q.qtemb", "e.temb")} / (q.qtnrm * e.tnrm) AS cos
+         |      FROM en e, q WHERE e.vec_id != q.qid),
+         |tr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tp),
+         |trunc3 AS (SELECT qid, vid FROM tr WHERE rn <= 3),
+         |hits AS (SELECT e.qid, count(*) AS n_hit FROM trunc3 t
+         |         JOIN exact3 e ON t.qid = e.qid AND t.vid = e.vid GROUP BY 1),
          |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
          |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
@@ -2203,6 +2234,28 @@ object SparkEntry {
         |  CAST(min(s.qv) AS DOUBLE) / 100.0 AS at_value
         |FROM s JOIN d ON s.event_type = d.event_type AND s.dnum = d.d_num
         |GROUP BY 1, 2, 3, d.d_num""".stripMargin,
+    "benford_audit" ->
+      // first digit via BIGINT cents → decimal string, never log10/pow
+      // mantissa math; expected shares are the SAME decimal literals
+      // (interpolated from AnalyticsQueries.BenfordP) parsed by both
+      // engines; chi_term repeats the obs expression so the IEEE op
+      // order matches the engine's ((n*d)*d)/e exactly
+      s"""WITH d AS (SELECT o_orderpriority AS priority,
+         |    CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM orders WHERE CAST(floor(o_totalprice * 100.0) AS BIGINT) > 0),
+         |c AS (SELECT priority, digit, CAST(count(*) AS BIGINT) AS n_digit FROM d GROUP BY 1, 2),
+         |t AS (SELECT priority, CAST(sum(n_digit) AS BIGINT) AS n_total FROM c GROUP BY 1),
+         |e AS (SELECT * FROM (VALUES ${AnalyticsQueries.BenfordP
+              // string→double (strtod) — a bare decimal literal parses
+              // via DECIMAL first and can land an ulp off the Scala parse
+              .map { case (dd, p) => s"($dd, CAST('$p' AS DOUBLE))" }.mkString(", ")}) AS v(digit, exp_p))
+         |SELECT c.priority, c.digit, c.n_digit, t.n_total,
+         |  CAST(c.n_digit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS obs_p, e.exp_p,
+         |  CAST(t.n_total AS DOUBLE)
+         |    * (CAST(c.n_digit AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.exp_p)
+         |    * (CAST(c.n_digit AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.exp_p)
+         |    / e.exp_p AS chi_term
+         |FROM c JOIN t ON c.priority = t.priority JOIN e ON c.digit = e.digit""".stripMargin,
     "mann_whitney" ->
       // U via the histogram closed form (2U in BIGINTs keeps the tie
       // halves integer); values centi-quantized so the histogram is

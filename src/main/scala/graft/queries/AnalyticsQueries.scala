@@ -1970,4 +1970,61 @@ object AnalyticsQueries {
         ((col("est") - col("exact")).cast("double") /
           col("exact").cast("double")).as("rel_err"))
   }
+
+  /** Expected Benford first-digit proportions log10(1 + 1/d), d = 1..9,
+    * as FIXED decimal literals — both engines parse the same decimal
+    * string to the same IEEE double, where computing log10 in each
+    * engine's libm could differ by an ulp. Shared with the oracle's
+    * VALUES list verbatim. */
+  private[graft] val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829993", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  /** Benford first-digit audit of `o_totalprice` per order priority —
+    * the forensic data-quality check: naturally occurring monetary
+    * amounts spanning magnitudes follow log10(1+1/d) first-digit
+    * frequencies, and a segment that deviates hard (fabricated values,
+    * a capped generator, unit mix-ups) shows up as a large chi-square
+    * contribution. Per (priority, digit): observed count and share,
+    * expected share, and the chi-square term n_total·(obs−exp)²/exp —
+    * summable downstream to the per-segment statistic.
+    *
+    * The first digit is extracted INTEGER-exactly: cents =
+    * floor(price·100) as BIGINT, then the first character of its
+    * decimal rendering — identical across engines, where a
+    * log10/pow-based mantissa extraction can straddle a power of ten
+    * by an ulp and flip 999999 → 1.
+    *
+    * Scale: one map-side-foldable groupBy over the scan (45 groups),
+    * a 9-row broadcast for the expectation, a 5-row broadcast back for
+    * the per-priority totals. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .where(col("cents") > 0)
+      .select(col("priority"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy(col("priority"), col("digit"))
+      .agg(count(lit(1)).as("n_digit"))
+    val totals = counts.groupBy(col("priority")).agg(sum(col("n_digit")).as("n_total"))
+    val exp = BenfordP.map { case (d, p) =>
+      struct(lit(d).as("digit"), lit(p.toDouble).as("exp_p"))
+    }
+    val expDf = spark.range(1)
+      .select(explode(array(exp: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.exp_p").as("exp_p"))
+    counts
+      .join(broadcast(totals), "priority")
+      .join(broadcast(expDf), "digit")
+      .select(col("priority"), col("digit"), col("n_digit"), col("n_total"),
+        (col("n_digit").cast("double") / col("n_total").cast("double")).as("obs_p"),
+        col("exp_p"))
+      .withColumn("chi_term",
+        col("n_total").cast("double") *
+          (col("obs_p") - col("exp_p")) * (col("obs_p") - col("exp_p")) / col("exp_p"))
+  }
 }

@@ -1084,6 +1084,58 @@ object SimilarityQueries {
       )
   }
 
+  /** Prefix dimensions used by the truncated (Matryoshka-style) retrieval
+    * pass in [[mrlRecall]] — 16 of 64, the 4× bandwidth saving a
+    * truncated first-pass search buys. */
+  private[graft] val MrlDims = 16
+
+  /** Truncated-dimension retrieval recall (the Matryoshka/MRL eval):
+    * top-3 by cosine over only the FIRST [[MrlDims]] of 64 embedding
+    * dimensions, scored against the exact full-dimension top-3 per
+    * query. This is the eval behind every "shorten the vectors" rollout:
+    * a prefix-truncated first pass reads 4× less vector data per
+    * candidate (the dominant cost of brute-force scan at 100 TB is
+    * memory bandwidth, not FLOPs), and this query measures exactly how
+    * much recall that truncation costs on the live corpus — the number
+    * that decides whether the cheap pass can front a full-dim re-rank.
+    *
+    * Both passes share the broadcast-query + per-query WindowGroupLimit
+    * shape of [[knnCosine]]; `slice` keeps the prefix fold order
+    * identical in both engines, so the truncated cosine is the same
+    * fixed-order IEEE arithmetic as the oracle's sliced list fold.
+    *
+    * Scale: the corpus streams past a 10-row broadcast twice (once per
+    * metric); shuffles carry only (qid, vid, cos) triples, never
+    * vectors. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("temb", slice(col("embedding"), 1, MrlDims))
+      .withColumn("tnrm", normD(col("temb")))
+    val q = e.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"), col("nrm").as("qnrm"),
+      col("temb").as("qtemb"), col("tnrm").as("qtnrm"))
+      .filter(col("qid") < 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    def top3(scoreOf: Column): DataFrame = e
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", scoreOf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id").as("vid"))
+    val exact3 = top3(dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
+    val trunc3 = top3(dotD(col("qtemb"), col("temb")) / (col("qtnrm") * col("tnrm")))
+    val hits = trunc3.join(exact3, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("k"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall")
+      )
+  }
+
   /** MinHash accuracy audit: for every LSH candidate pair, the sketch's
     * Jaccard ESTIMATE (matching components / 12) against the exact
     * shingle-set Jaccard — the per-pair companion of [[annRecall]]: it

@@ -907,6 +907,66 @@ class PipelineQueriesSpec extends SparkSuite {
     }
   }
 
+  test("mrl_recall: recall matches a driver-side truncated-vs-full top-3 recompute") {
+    val out = SimilarityQueries.mrlRecall(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("k"), r.getAs[Double]("recall"))).toMap
+    assert(out.size == 10)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def top3(qid: Long, dims: Int): Set[Long] = {
+      val q = vecs(qid).take(dims).map(_.toDouble)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      vecs.toSeq.filter(_._1 != qid).map { case (vid, v) =>
+        val t = v.take(dims).map(_.toDouble)
+        val cos = q.zip(t).map { case (a, b) => a * b }.sum /
+          (qn * math.sqrt(t.map(x => x * x).sum))
+        (vid, cos)
+      }.sortBy { case (vid, cos) => (-cos, vid) }.take(3).map(_._1).toSet
+    }
+    (0L until 10L).foreach { qid =>
+      val exact = top3(qid, 64)
+      val trunc = top3(qid, SimilarityQueries.MrlDims)
+      val (nHit, k, recall) = out(qid)
+      assert(k == 3L)
+      assert(nHit == (exact & trunc).size.toLong, s"qid=$qid")
+      assert(math.abs(recall - nHit.toDouble / 3.0) < 1e-15)
+    }
+    // truncation must not be a no-op (these synthetic embeddings are
+    // near-isotropic, so dropping 48 of 64 dims genuinely scrambles
+    // neighborhoods) yet must beat chance recall@3 ≈ 3/499
+    val mean = out.values.map(_._3).sum / out.size
+    assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
+  }
+
+  test("benford_audit: digit counts match a driver recompute; chi terms sum sane") {
+    val out = AnalyticsQueries.benfordAudit(spark, dir).collect()
+    assert(out.nonEmpty)
+    val brute = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0).toLong))
+      .filter(_._2 > 0)
+      .map { case (p, cents) => (p, cents.toString.head.asDigit) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    out.foreach { r =>
+      val key = (r.getAs[String]("priority"), r.getAs[Int]("digit"))
+      assert(r.getAs[Long]("n_digit") == brute(key), s"$key")
+      // observed share and expectation are both proper probabilities
+      assert(r.getAs[Double]("obs_p") > 0 && r.getAs[Double]("obs_p") < 1)
+      assert(r.getAs[Double]("chi_term") >= 0)
+    }
+    // per-priority digit shares sum to 1 and cover all 9 digits
+    out.groupBy(_.getAs[String]("priority")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("digit")).toSet == (1 to 9).toSet)
+      assert(math.abs(rows.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-12)
+    }
+    // the synthetic uniform-ish price generator is NOT Benford: the
+    // audit must actually flag it (chi-square >> the 15.5 p=0.05 cut)
+    val chiByP = out.groupBy(_.getAs[String]("priority"))
+      .map { case (_, rows) => rows.map(_.getAs[Double]("chi_term")).sum }
+    assert(chiByP.forall(_ > 15.5))
+  }
+
   test("ks_test: D matches the brute-force empirical-CDF max gap") {
     val out = AnalyticsQueries.ksTest(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
