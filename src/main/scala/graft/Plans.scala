@@ -122,7 +122,11 @@ object Plans {
     "source_centroids" -> "ONE corpus posexplode fold to the (sources × dims) frame; corpus sums re-aggregate that compact frame — the corpus is never scanned twice; cosine on exact integer sums",
     "activity_gini" -> "per-(type, user) counts fold map-side; the only window runs over the DISTINCT-COUNT histogram frame (bounded by max activity, not by users), partitioned by type",
     "mann_whitney" -> "per-(type, centi-value, variant) counts fold map-side; the rank window runs over the DOMAIN-bounded histogram, never a per-event frame",
-    "ks_test" -> "same domain-bounded histogram shape; CDF cross-multiplication keeps D's numerator in exact BIGINTs, one terminal division"
+    "ks_test" -> "same domain-bounded histogram shape; CDF cross-multiplication keeps D's numerator in exact BIGINTs, one terminal division",
+    "mrl_recall" -> "both retrieval passes share the broadcast-query + WindowGroupLimit shape; shuffles carry (qid, vid, cos) triples, never vectors",
+    "benford_audit" -> "one map-combinable 45-group aggregation over the scan; expectation and totals are ≤9-row broadcasts",
+    "incremental_stats" -> "day-grain partial states (the IVM materialization) merge by re-aggregation — both halves map-side combine; union shuffles only types×days partial rows",
+    "upsert_merge" -> "per-key argmax via mergeable max(struct) both sides; base/delta full-outer join co-partitions on the shared grouping key"
   )
 
   def main(args: Array[String]): Unit = {

@@ -165,6 +165,8 @@ object SparkEntry {
     "mann_whitney" -> (AnalyticsQueries.mannWhitney _),
     "ks_test" -> (AnalyticsQueries.ksTest _),
     "benford_audit" -> (AnalyticsQueries.benfordAudit _),
+    "incremental_stats" -> (AnalyticsQueries.incrementalStats _),
+    "upsert_merge" -> (AnalyticsQueries.upsertMerge _),
     "rolling_median" -> (AnalyticsQueries.rollingMedian _),
     "series_autocorr" -> (AnalyticsQueries.seriesAutocorr _),
     "series_cusum" -> (AnalyticsQueries.seriesCusum _),
@@ -2234,6 +2236,52 @@ object SparkEntry {
         |  CAST(min(s.qv) AS DOUBLE) / 100.0 AS at_value
         |FROM s JOIN d ON s.event_type = d.event_type AND s.dnum = d.d_num
         |GROUP BY 1, 2, 3, d.d_num""".stripMargin,
+    "incremental_stats" ->
+      // the oracle recomputes directly from raw events — equality with
+      // the engine's day-partial merge IS the IVM losslessness proof;
+      // variance cross product in HUGEINT (engine: DECIMAL(38,0))
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(qv) AS BIGINT) AS s, min(qv) AS mn, max(qv) AS mx,
+        |    CAST(sum(qv * qv) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n_days, n_events,
+        |  CAST(s AS DOUBLE) / 100.0 AS total,
+        |  CAST(mn AS DOUBLE) / 100.0 AS vmin,
+        |  CAST(mx AS DOUBLE) / 100.0 AS vmax,
+        |  CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0 AS mean,
+        |  CAST(CAST(n_events AS HUGEINT) * CAST(sq AS HUGEINT)
+        |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |    / 10000.0 AS variance
+        |FROM a""".stripMargin,
+    "upsert_merge" ->
+      // per-key latest over the WHOLE changelog split into base/delta
+      // elections — base⊕delta ≡ full replay is the MERGE INTO invariant
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id, value FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+        |b AS (SELECT user_id, event_type, us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e, m WHERE us < mid_us),
+        |d AS (SELECT user_id, event_type, us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e, m WHERE us >= mid_us),
+        |b1 AS (SELECT * FROM b WHERE rn = 1),
+        |d1 AS (SELECT * FROM d WHERE rn = 1)
+        |SELECT COALESCE(d1.user_id, b1.user_id) AS user_id,
+        |  COALESCE(d1.event_type, b1.event_type) AS event_type,
+        |  COALESCE(d1.us, b1.us) AS last_us,
+        |  COALESCE(d1.event_id, b1.event_id) AS last_event_id,
+        |  COALESCE(d1.value, b1.value) AS last_value,
+        |  CASE WHEN d1.us IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+        |FROM b1 FULL OUTER JOIN d1
+        |  ON b1.user_id = d1.user_id AND b1.event_type = d1.event_type""".stripMargin,
     "benford_audit" ->
       // first digit via BIGINT cents → decimal string, never log10/pow
       // mantissa math; expected shares are the SAME decimal literals

@@ -1971,6 +1971,95 @@ object AnalyticsQueries {
           col("exact").cast("double")).as("rel_err"))
   }
 
+  /** Incremental (materialized-view) stats maintenance — the 100 TB
+    * aggregation pattern: per-(type, day) PARTIAL states {n, Σq, min,
+    * max, Σq²} are built separately for the historical half and the
+    * "newly arrived" half of the corpus (split at the midpoint day),
+    * then MERGED by re-aggregation — never by rescanning raw history.
+    * Every moment is mergeable (sums add, extrema fold), so the merged
+    * result is bit-identical to a full recompute — which is exactly
+    * what the oracle checks, directly from raw events: equality IS the
+    * losslessness proof for the incremental path.
+    *
+    * Values centi-quantize to BIGINT so the partials are exact
+    * integers; the variance cross product n·Σq² − (Σq)² runs in
+    * DECIMAL(38,0) (HUGEINT in the oracle) because at corpus scale it
+    * exceeds int64, with ONE terminal double conversion.
+    *
+    * Scale: day partials are what you'd persist; each day's delta folds
+    * in with work O(delta) + O(types·days) merge, not O(corpus). Both
+    * aggregations are map-side-combinable; the union merge shuffles
+    * only ~types·days partial rows. */
+  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      floor(col("value") * lit(100.0)).cast("long").as("qv"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid_day"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"),
+        min(col("qv")).as("mn"), max(col("qv")).as("mx"),
+        sum(col("qv") * col("qv")).as("sq"))
+    val history = partials(tagged.filter(col("day") < col("mid_day")))
+    val delta = partials(tagged.filter(col("day") >= col("mid_day")))
+    history.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+        sum(col("s")).as("s"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"), sum(col("sq")).as("sq"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        (col("s").cast("double") / lit(100.0)).as("total"),
+        (col("mn").cast("double") / lit(100.0)).as("vmin"),
+        (col("mx").cast("double") / lit(100.0)).as("vmax"),
+        (col("s").cast("double") / col("n_events").cast("double") / lit(100.0)).as("mean"),
+        ((col("n_events").cast(D38) * col("sq").cast(D38) -
+          col("s").cast(D38) * col("s").cast(D38)).cast("double")
+          / (col("n_events").cast("double") * col("n_events").cast("double"))
+          / lit(10000.0)).as("variance"))
+  }
+
+  /** CDC upsert merge (SCD type 1, last-writer-wins) — MERGE INTO
+    * semantics as a declarative plan: the standing per-key state (the
+    * latest row per (user, type) BEFORE the midpoint) full-outer-joined
+    * with the delta's per-key latest, delta winning every collision.
+    * Writer order is (timestamp, event_id) — event_id uniqueness makes
+    * the election deterministic under timestamp ties. The per-key
+    * latest is `max(struct(us, event_id, value))` — a mergeable argmax
+    * (struct compares lexicographically), so both sides map-side
+    * combine and never shuffle full rows.
+    *
+    * The oracle elects the overall per-key latest from the raw
+    * changelog: base⊕delta merge ≡ full recompute is exactly the
+    * invariant a MERGE INTO pipeline relies on when it applies deltas
+    * to stored state instead of replaying history.
+    *
+    * Scale: base is the state you'd keep key-bucketed on disk; the
+    * delta aggregate is O(batch); both sides shuffle on the SAME key so
+    * the join co-partitions (and a small delta broadcasts under AQE). */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"), col("value"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("st"))
+    val base = latest(tagged.filter(col("us") < col("mid_us")))
+      .withColumnRenamed("st", "b")
+    val delta = latest(tagged.filter(col("us") >= col("mid_us")))
+      .withColumnRenamed("st", "d")
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("d.us"), col("b.us")).as("last_us"),
+        coalesce(col("d.event_id"), col("b.event_id")).as("last_event_id"),
+        coalesce(col("d.value"), col("b.value")).as("last_value"),
+        when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
+  }
+
   /** Expected Benford first-digit proportions log10(1 + 1/d), d = 1..9,
     * as FIXED decimal literals — both engines parse the same decimal
     * string to the same IEEE double, where computing log10 in each

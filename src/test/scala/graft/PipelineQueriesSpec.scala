@@ -939,6 +939,57 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("incremental_stats: day-partial merge equals a direct driver recompute") {
+    val out = AnalyticsQueries.incrementalStats(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        floor(col("value") * lit(100.0)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val r = out(t)
+      val qs = rows.map(_._3)
+      assert(r.getAs[Long]("n_days") == rows.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("n_events") == rows.length.toLong)
+      assert(math.abs(r.getAs[Double]("total") - qs.sum.toDouble / 100.0) < 1e-6)
+      assert(r.getAs[Double]("vmin") == qs.min.toDouble / 100.0)
+      assert(r.getAs[Double]("vmax") == qs.max.toDouble / 100.0)
+      val n = qs.length.toDouble
+      val mean = qs.sum.toDouble / n / 100.0
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-9)
+      // population variance from exact integer moments
+      val s = BigInt(qs.sum); val sq = qs.map(q => BigInt(q) * BigInt(q)).sum
+      val v = (BigInt(qs.length) * sq - s * s).toDouble / (n * n) / 10000.0
+      assert(math.abs(r.getAs[Double]("variance") - v) < 1e-6 * (1.0 + v))
+      assert(r.getAs[Double]("variance") >= 0.0)
+    }
+  }
+
+  test("upsert_merge: base-plus-delta election equals a full changelog replay") {
+    val out = AnalyticsQueries.upsertMerge(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("last_us"), r.getAs[Long]("last_event_id"),
+          r.getAs[Double]("last_value"), r.getAs[String]("src"))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val midUs = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val byKey = ev.groupBy(e => (e._1, e._2))
+    assert(out.keySet == byKey.keySet) // merge covers every key, no extras
+    byKey.foreach { case (k, rows) =>
+      val winner = rows.maxBy(e => (e._3, e._4))
+      val (us, eid, v, src) = out(k)
+      assert((us, eid) == (winner._3, winner._4), s"$k")
+      assert(v == winner._5)
+      // src says which side the winner came from
+      assert(src == (if (winner._3 >= midUs) "delta" else "base"))
+    }
+  }
+
   test("benford_audit: digit counts match a driver recompute; chi terms sum sane") {
     val out = AnalyticsQueries.benfordAudit(spark, dir).collect()
     assert(out.nonEmpty)
