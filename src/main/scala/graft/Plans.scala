@@ -126,7 +126,8 @@ object Plans {
     "mrl_recall" -> "both retrieval passes share the broadcast-query + WindowGroupLimit shape; shuffles carry (qid, vid, cos) triples, never vectors",
     "benford_audit" -> "one map-combinable 45-group aggregation over the scan; expectation and totals are ≤9-row broadcasts",
     "incremental_stats" -> "day-grain partial states (the IVM materialization) merge by re-aggregation — both halves map-side combine; union shuffles only types×days partial rows",
-    "upsert_merge" -> "per-key argmax via mergeable max(struct) both sides; base/delta full-outer join co-partitions on the shared grouping key"
+    "upsert_merge" -> "per-key argmax via mergeable max(struct) both sides; base/delta full-outer join co-partitions on the shared grouping key",
+    "link_predict" -> "wedge equijoin over the IVF-bounded near-dup edge list (Σdeg² bucket-bounded, never corpus²); known edges anti-joined; degree joins on compact vec ids"
   )
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,7 @@ object SparkEntry {
     "span_excise_keep_one" -> (TextQueries.spanExciseKeepOne _),
     "token_zipf" -> (TextQueries.tokenZipf _),
     "dup_degree_hist" -> (SimilarityQueries.dupDegreeHist _),
+    "link_predict" -> (SimilarityQueries.linkPredict _),
     "neardup_families" -> (SimilarityQueries.neardupFamilies _),
     "lsh_recall" -> (SimilarityQueries.lshRecall _),
     "dist_drift" -> (AnalyticsQueries.distDrift _),
@@ -1395,6 +1396,31 @@ object SparkEntry {
          |       THEN CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
          |       ELSE NULL END AS agreement
          |FROM st""".stripMargin,
+    "link_predict" ->
+      // non-edge pairs with >= 1 common neighbor over the semantic
+      // (IVF-bucketed, cos >= 0.3) near-dup graph: wedge join over the
+      // symmetrized edge list, known edges anti-joined away; integer
+      // scores + one terminal Jaccard division. enp/adj/deg
+      // MATERIALIZED — each is referenced 2-3 times and would
+      // otherwise re-derive the whole IVF chain per reference
+      s"""$IvfAssignSql,
+         |pp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |enp AS MATERIALIZED (SELECT va, vb FROM pp WHERE cos >= 0.3),
+         |adj AS MATERIALIZED (SELECT va AS u, vb AS v FROM enp
+         |  UNION ALL SELECT vb, va FROM enp),
+         |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |cn AS (SELECT x.u AS a, y.v AS b, CAST(count(*) AS BIGINT) AS cn
+         |  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v GROUP BY 1, 2),
+         |ne AS (SELECT cn.a, cn.b, cn.cn FROM cn
+         |  LEFT JOIN enp ON cn.a = enp.va AND cn.b = enp.vb
+         |  WHERE enp.va IS NULL)
+         |SELECT ne.a AS va, ne.b AS vb, ne.cn,
+         |  da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST(ne.cn AS DOUBLE) / CAST(da.deg + db.deg - ne.cn AS DOUBLE) AS jaccard,
+         |  CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+         |FROM ne JOIN deg da ON ne.a = da.u JOIN deg db ON ne.b = db.u""".stripMargin,
     "dup_degree_hist" ->
       // per-doc incident-edge counts over the shared cand CTE, rolled
       // into a degree histogram; degree-0 docs counted by difference

@@ -968,6 +968,44 @@ object SimilarityQueries {
       .unionByName(nZero.filter(col("n_docs") > 0))
   }
 
+  /** Link prediction on the semantic near-dup graph (Liben-Nowell &
+    * Kleinberg 2003): for every NON-edge pair with at least one common
+    * neighbor, the common-neighbor count, neighborhood Jaccard
+    * |Γa∩Γb| / |Γa∪Γb|, and preferential attachment deg·deg. This is
+    * the recall-repair pass for bucketed candidate generation: IVF
+    * bucketing's known false-negative mode is a genuinely-similar pair
+    * split across two buckets — but such a pair usually SHARES
+    * neighbors that did co-bucket with each side, so ranking non-edges
+    * by neighborhood overlap surfaces exactly the pairs the bucketing
+    * missed, for a second (exact-cosine) verification pass. Scores
+    * stay exact: integer counts and ONE terminal division (Jaccard),
+    * which is why Adamic-Adar's Σ1/ln(deg) — an order-dependent float
+    * fold — is deliberately not offered.
+    *
+    * Scale: wedge fan-out is Σ_w deg(w)² — bounded by the IVF bucket
+    * sizes that generate the edges (the same candidate-space bound
+    * every near-dup family here relies on), never corpus². All joins
+    * key on compact vec ids; the anti-join removes known edges. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val edges = embeddingNearDup(spark, dir).select(col("va"), col("vb"))
+    val adj = edges.select(col("va").as("u"), col("vb").as("v"))
+      .unionAll(edges.select(col("vb").as("u"), col("va").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cn = adj.select(col("u").as("a"), col("v").as("w"))
+      .join(adj.select(col("v").as("b"), col("u").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    cn
+      .join(edges, col("a") === col("va") && col("b") === col("vb"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("va"), col("b").as("vb"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double")).as("jaccard"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+  }
+
   /** Cross-family near-dup agreement matrix — do the engine's dedup
     * families agree on what a duplicate IS? For each pair of families
     * (MinHash-LSH candidates, SimHash Hamming ≤ 6 pairs, exact
