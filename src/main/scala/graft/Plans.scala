@@ -127,7 +127,9 @@ object Plans {
     "benford_audit" -> "one map-combinable 45-group aggregation over the scan; expectation and totals are ≤9-row broadcasts",
     "incremental_stats" -> "day-grain partial states (the IVM materialization) merge by re-aggregation — both halves map-side combine; union shuffles only types×days partial rows",
     "upsert_merge" -> "per-key argmax via mergeable max(struct) both sides; base/delta full-outer join co-partitions on the shared grouping key",
-    "link_predict" -> "wedge equijoin over the IVF-bounded near-dup edge list (Σdeg² bucket-bounded, never corpus²); known edges anti-joined; degree joins on compact vec ids"
+    "link_predict" -> "wedge equijoin over the IVF-bounded near-dup edge list (Σdeg² bucket-bounded, never corpus²); known edges anti-joined; degree joins on compact vec ids",
+    "model_auc" -> "scoring pass under the one-row coefficient broadcast; the 2U window ranks only the DOMAIN-bounded (≤1e6-cell) score histogram",
+    "calibration_bins" -> "min/max fold to one broadcast row; binning is integer arithmetic in a narrow map; one 10-group map-combinable rollup"
   )
 
   def main(args: Array[String]): Unit = {

@@ -95,6 +95,8 @@ object SparkEntry {
     "zorder_prune" -> (CoreQueries.zorderPrune _),
     "rolling_actives" -> (AnalyticsQueries.rollingActives _),
     "linear_probe" -> (SimilarityQueries.linearProbe _),
+    "model_auc" -> (SimilarityQueries.modelAuc _),
+    "calibration_bins" -> (SimilarityQueries.calibrationBins _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -595,6 +597,48 @@ object SparkEntry {
        |  SELECT e.dst, r.anchor FROM reach r JOIN edges e ON r.doc_id = e.src
        |),
        |cl AS (SELECT doc_id, min(anchor) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
+
+  /** Probe training CTE chain (mirrors SimilarityQueries.probeFrames):
+    * per-row `q(x1, x2, y)` and the one-row closed-form coefficients
+    * `co(n, sy, sx1y, sx2y, b0, b1, b2)` — shared by the
+    * `linear_probe`, `model_auc`, and `calibration_bins` oracles.
+    * Must follow a `WITH`. */
+  private lazy val ProbeCoefBody: String = {
+    val d = SimilarityQueries.det3Sql("HUGEINT") _
+    s"""q AS (SELECT
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x1,
+       |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x2,
+       |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+       |  FROM embeddings),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+       |    CAST(sum(x1*x1) AS BIGINT) AS sx11, CAST(sum(x1*x2) AS BIGINT) AS sx12,
+       |    CAST(sum(x2*x2) AS BIGINT) AS sx22, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x1*y) AS BIGINT) AS sx1y, CAST(sum(x2*y) AS BIGINT) AS sx2y
+       |  FROM q),
+       |c AS (SELECT *,
+       |    ${d("n", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")} AS det,
+       |    ${d("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")} AS det0,
+       |    ${d("n", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")} AS det1,
+       |    ${d("n", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")} AS det2
+       |  FROM m),
+       |co AS (SELECT n, sy, sx1y, sx2y,
+       |    CASE WHEN det = 0 THEN NULL ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+       |    CASE WHEN det = 0 THEN NULL ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+       |    CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+       |  FROM c)""".stripMargin
+  }
+
+  /** Probe scoring CTE (mirrors SimilarityQueries.probeScores):
+    * `sc(y, qs)` — micro-quantized score per row, empty on a singular
+    * system. Follows `ProbeCoefBody` in the same WITH chain;
+    * MATERIALIZED because every consumer reads it 2+ times. */
+  private lazy val ProbeScoreSql: String =
+    """sc AS MATERIALIZED (SELECT q.y,
+      |    CAST(floor((co.b0 + co.b1 * CAST(q.x1 AS DOUBLE)
+      |                + co.b2 * CAST(q.x2 AS DOUBLE))
+      |               * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qs
+      |  FROM q, co WHERE co.b0 IS NOT NULL)""".stripMargin
 
   /** Winnowing-fingerprint CTE chain — the non-rolling restatement of
     * WinnowFps's polynomial hash (per position, sum code-point ×
@@ -1640,30 +1684,8 @@ object SparkEntry {
         |GROUP BY l_linestatus""".stripMargin,
     // Cramer determinants generated by the same det3Sql the engine uses
     // (HUGEINT here, DECIMAL(38,0) there — both exact integer arithmetic)
-    "linear_probe" -> {
-      val d = SimilarityQueries.det3Sql("HUGEINT") _
-      s"""WITH q AS (SELECT
-         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x1,
-         |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x2,
-         |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
-         |  FROM embeddings),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
-         |    CAST(sum(x1*x1) AS BIGINT) AS sx11, CAST(sum(x1*x2) AS BIGINT) AS sx12,
-         |    CAST(sum(x2*x2) AS BIGINT) AS sx22, CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x1*y) AS BIGINT) AS sx1y, CAST(sum(x2*y) AS BIGINT) AS sx2y
-         |  FROM q),
-         |c AS (SELECT *,
-         |    ${d("n", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")} AS det,
-         |    ${d("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")} AS det0,
-         |    ${d("n", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")} AS det1,
-         |    ${d("n", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")} AS det2
-         |  FROM m),
-         |co AS (SELECT n, sy, sx1y, sx2y,
-         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
-         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
-         |    CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
-         |  FROM c),
+    "linear_probe" ->
+      s"""WITH $ProbeCoefBody,
          |s AS (SELECT co.n, co.sy, co.sx1y, co.sx2y, co.b0, co.b1, co.b2,
          |    CAST(sum(CASE WHEN co.b0 IS NULL THEN NULL
          |             WHEN (CASE WHEN co.b0 + co.b1 * CAST(q.x1 AS DOUBLE)
@@ -1680,8 +1702,41 @@ object SparkEntry {
          |    AS r2,
          |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
          |  CAST(greatest(sy, n - sy) AS DOUBLE) / CAST(n AS DOUBLE) AS base_acc
-         |FROM s""".stripMargin
-    },
+         |FROM s""".stripMargin,
+    "model_auc" ->
+      // AUC = U/(n1·n0) via the 2U histogram closed form over the
+      // micro-quantized probe scores (ProbeScoreBody mirrors the
+      // engine's scoring pass exactly)
+      s"""WITH $ProbeCoefBody,
+         |$ProbeScoreSql,
+         |h AS (SELECT qs,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0
+         |  FROM sc GROUP BY 1),
+         |cw AS (SELECT f1, f0,
+         |    CAST(coalesce(sum(f0) OVER (ORDER BY qs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+         |  FROM h),
+         |a AS (SELECT CAST(sum(f1) AS BIGINT) AS n_pos,
+         |    CAST(sum(f0) AS BIGINT) AS n_neg,
+         |    CAST(sum(f1 * (2 * cum0 + f0)) AS BIGINT) AS u2
+         |  FROM cw)
+         |SELECT n_pos, n_neg,
+         |  CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+         |  2.0 * (CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0 AS gini
+         |FROM a""".stripMargin,
+    "calibration_bins" ->
+      // equal-width bins in INTEGER arithmetic on the quantized scores
+      // — bin membership cannot straddle an engine float difference
+      s"""WITH $ProbeCoefBody,
+         |$ProbeScoreSql,
+         |mm AS (SELECT min(qs) AS lo, max(qs) AS hi FROM sc)
+         |SELECT ((sc.qs - mm.lo) * 10) // (mm.hi - mm.lo + 1) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(sc.y) AS BIGINT) AS n_pos,
+         |  CAST(sum(sc.qs) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_pred,
+         |  CAST(sum(sc.y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+         |FROM sc, mm GROUP BY 1""".stripMargin,
     "rolling_actives" ->
       """WITH uh AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
          |    epoch_ms(ts) // 3600000 AS hb FROM events),

@@ -1853,29 +1853,12 @@ object SimilarityQueries {
       s" + ${w(c)} * (${w(d)} * ${w(h)} - ${w(e)} * ${w(g)}))"
   }
 
-  /** Linear probe trained in-engine, closed form: least-squares
-    * y ≈ b0 + b1·x1 + b2·x2 where y = [label = 0] and (x1, x2) are the
-    * first two embedding components quantized to milli-units — the
-    * standard representation-quality audit ("can a linear model read the
-    * label out of the embedding?"), solved exactly instead of by
-    * gradient descent. All nine normal-equation moments are
-    * order-independent integer sums folded map-side in ONE pass; the
-    * 3×3 Cramer determinants run in DECIMAL(38,0) (HUGEINT in the
-    * oracle — both exact, identical values), and only the final
-    * coefficient divisions touch doubles. A second broadcast-coefficient
-    * pass scores the probe: R² from the moment identity, 0.5-threshold
-    * accuracy vs the majority-class floor.
-    *
-    * Scale: pass 1 is a map-combined 9-sum aggregate (one row out);
-    * pass 2 re-scans with the one-row model broadcast — no shuffle ever
-    * carries more than the coefficient row, at any corpus size.
-    *
-    * On the synthetic fixture the first two raw dims carry no label
-    * signal (per-dim |corr| ≤ 0.1 across all 64), so the probe correctly
-    * reports R² ≈ 0 and accuracy at the majority-class floor — the
-    * measurement, not a defect; [[pca_project]] is the companion audit
-    * that looks for structure along the learned PC1 instead. */
-  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+  /** The probe's training frames, shared by [[linearProbe]] and its
+    * evaluation companions [[modelAuc]] / [[calibrationBins]]: the
+    * per-row (x1, x2, y) frame and the ONE-ROW closed-form coefficient
+    * frame (n, sy, sx1y, sx2y, b0, b1, b2; coefficients NULL on a
+    * singular system). */
+  private def probeFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(spark, dir).select(
       floor(element_at(col("embedding"), 1).cast("double") * 1000).cast("long").as("x1"),
       floor(element_at(col("embedding"), 2).cast("double") * 1000).cast("long").as("x2"),
@@ -1899,6 +1882,99 @@ object SimilarityQueries {
         "CASE WHEN det = 0 THEN NULL ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0",
         "CASE WHEN det = 0 THEN NULL ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1",
         "CASE WHEN det = 0 THEN NULL ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2")
+    (q, coef)
+  }
+
+  /** Per-row (y, qs): probe score ŷ quantized to micro-units — the
+    * shared scoring pass behind [[modelAuc]] and [[calibrationBins]].
+    * ŷ is the identical fixed-order IEEE expression in both engines,
+    * so the floor is safe; rows drop if the system was singular. */
+  private def probeScores(spark: SparkSession, dir: String): DataFrame = {
+    val (q, coef) = probeFrames(spark, dir)
+    q.crossJoin(broadcast(coef.select(col("b0"), col("b1"), col("b2"))))
+      .filter(col("b0").isNotNull)
+      .select(col("y"),
+        floor((col("b0") + col("b1") * col("x1").cast("double") +
+          col("b2") * col("x2").cast("double")) * lit(1000000.0)).cast("long").as("qs"))
+  }
+
+  /** Exact ROC AUC of the in-engine probe — the other half of "train
+    * in the engine": evaluate in the engine. AUC is the probability a
+    * random positive outscores a random negative, i.e. the
+    * Mann-Whitney U statistic normalized by n₁·n₀ — computed exactly
+    * over the score histogram by the same 2U closed form as
+    * [[graft.queries.AnalyticsQueries.mannWhitney]] (ties contribute
+    * the standard half; 2U keeps the halves integer). Output: one row
+    * with n_pos, n_neg, auc, and the Gini coefficient 2·AUC − 1.
+    *
+    * Scale: scores micro-quantize to a DOMAIN-bounded histogram (ŷ
+    * lives in ~[0,1], so ≤ ~10⁶ distinct cells at ANY corpus size —
+    * the frame the single cumulative window ranks never grows with the
+    * corpus; band it like `score_agreement` if a wider score domain
+    * ever makes it corpus-shaped). */
+  def modelAuc(spark: SparkSession, dir: String): DataFrame = {
+    val h = probeScores(spark, dir).groupBy(col("qs")).agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("f0"))
+    val w = Window.orderBy(col("qs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cum0", coalesce(sum(col("f0")).over(w), lit(0L)))
+      .agg(sum(col("f1")).as("n_pos"), sum(col("f0")).as("n_neg"),
+        sum(col("f1") * (lit(2L) * col("cum0") + col("f0"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  /** Calibration (reliability) table of the probe — 10 equal-width
+    * score bins between the observed min and max score: per bin the
+    * count, mean predicted score, and empirical positive rate. A
+    * well-calibrated scorer has mean_pred ≈ frac_pos per bin; a probe
+    * used as a quality gate needs this table before anyone picks a
+    * threshold. Binning is pure integer arithmetic on the quantized
+    * scores ((qs−lo)·10 div (hi−lo+1) — in [0,9] by construction), so
+    * bin membership cannot drift between engines.
+    *
+    * Scale: min/max fold to one broadcast row; the bin rollup is one
+    * map-combinable 10-group aggregate. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val sc = probeScores(spark, dir)
+    val mm = sc.agg(min(col("qs")).as("lo"), max(col("qs")).as("hi"))
+    sc.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr("((qs - lo) * 10) div (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("qs")).as("sq"), sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(1000000.0)).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
+
+  /** Linear probe trained in-engine, closed form: least-squares
+    * y ≈ b0 + b1·x1 + b2·x2 where y = [label = 0] and (x1, x2) are the
+    * first two embedding components quantized to milli-units — the
+    * standard representation-quality audit ("can a linear model read the
+    * label out of the embedding?"), solved exactly instead of by
+    * gradient descent. All nine normal-equation moments are
+    * order-independent integer sums folded map-side in ONE pass; the
+    * 3×3 Cramer determinants run in DECIMAL(38,0) (HUGEINT in the
+    * oracle — both exact, identical values), and only the final
+    * coefficient divisions touch doubles. A second broadcast-coefficient
+    * pass scores the probe: R² from the moment identity, 0.5-threshold
+    * accuracy vs the majority-class floor.
+    *
+    * Scale: pass 1 is a map-combined 9-sum aggregate (one row out);
+    * pass 2 re-scans with the one-row model broadcast — no shuffle ever
+    * carries more than the coefficient row, at any corpus size.
+    *
+    * On the synthetic fixture the first two raw dims carry no label
+    * signal (per-dim |corr| ≤ 0.1 across all 64), so the probe correctly
+    * reports R² ≈ 0 and accuracy at the majority-class floor — the
+    * measurement, not a defect; [[pca_project]] is the companion audit
+    * that looks for structure along the learned PC1 instead. */
+  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (q, coef) = probeFrames(spark, dir)
     q.crossJoin(broadcast(coef))
       .withColumn("yhat",
         col("b0") + col("b1") * col("x1").cast("double") +

@@ -939,6 +939,63 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("model_auc: equals the brute-force pairwise P(pos outscores neg) with half-ties") {
+    val r = SimilarityQueries.modelAuc(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // driver-side recompute of the probe scores via the same closed form
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding"), col("label")).collect()
+      .map(x => (x.getSeq[Float](0).toArray, x.getInt(1)))
+    val data = vecs.map { case (e, l) =>
+      (math.floor(e(0).toDouble * 1000).toLong,
+        math.floor(e(1).toDouble * 1000).toLong, if (l == 0) 1L else 0L)
+    }
+    val n = BigInt(data.length)
+    val (sx1, sx2, sy) = (BigInt(data.map(_._1).sum), BigInt(data.map(_._2).sum), BigInt(data.map(_._3).sum))
+    val sx11 = data.map(d => BigInt(d._1) * BigInt(d._1)).sum
+    val sx12 = data.map(d => BigInt(d._1) * BigInt(d._2)).sum
+    val sx22 = data.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    val sx1y = data.map(d => BigInt(d._1) * d._3).sum
+    val sx2y = data.map(d => BigInt(d._2) * d._3).sum
+    def det3(a: BigInt, b: BigInt, c: BigInt, d0: BigInt, e: BigInt, f: BigInt,
+        g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (d0 * i - f * g) + c * (d0 * h - e * g)
+    val det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    assert(det != 0)
+    val b0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22).toDouble / det.toDouble
+    val b1 = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22).toDouble / det.toDouble
+    val b2 = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y).toDouble / det.toDouble
+    val scored = data.map { case (x1, x2, y) =>
+      (math.floor((b0 + b1 * x1.toDouble + b2 * x2.toDouble) * 1000000.0).toLong, y) }
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    val wins2 = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val auc = wins2.toDouble / (2.0 * pos.length * neg.length)
+    assert(row.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-12, s"${row.getAs[Double]("auc")} vs $auc")
+    assert(math.abs(row.getAs[Double]("gini") - (2.0 * auc - 1.0)) < 1e-12)
+    // a no-signal probe must sit near chance — the honest readout
+    assert(row.getAs[Double]("auc") > 0.3 && row.getAs[Double]("auc") < 0.7)
+  }
+
+  test("calibration_bins: bin census matches brute force; shares are probabilities") {
+    val out = SimilarityQueries.calibrationBins(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.map(_.getAs[Long]("bin")).distinct.length == out.length)
+    out.foreach { r =>
+      val (n, np) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))
+      assert(n > 0 && np >= 0 && np <= n)
+      assert(r.getAs[Double]("frac_pos") == np.toDouble / n)
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9)
+    }
+    // bins cover every scored row exactly once
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, dir).count())
+  }
+
   test("link_predict: scores match a brute-force wedge recompute; finds a true missed pair") {
     val edges = SimilarityQueries.embeddingNearDup(spark, dir).collect()
       .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
