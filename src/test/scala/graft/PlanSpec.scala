@@ -872,4 +872,38 @@ class PlanSpec extends SparkSuite {
         s"the one-row frame must broadcast:\n$p")
     }
   }
+
+  test("round-9 continuation: retrieval/merge/eval additions keep their scale shapes") {
+    // mrl_recall: both passes prune per-query top-k in WindowGroupLimit;
+    // the only non-equi join is the broadcast of the 10-row query set
+    val mrl = plan(SimilarityQueries.mrlRecall(spark, dir))
+    assert(mrl.contains("WindowGroupLimit") && !mrl.contains("CartesianProduct"))
+    assert(mrl.contains("BroadcastExchange"), s"query set must broadcast:\n$mrl")
+    // benford_audit: expectation/totals broadcast onto the 45-group
+    // aggregate; nothing sorts globally
+    val ben = plan(AnalyticsQueries.benfordAudit(spark, dir))
+    assert(ben.contains("BroadcastHashJoin") && !ben.contains("CartesianProduct"))
+    assert(!ben.contains("Exchange SinglePartition"),
+      s"benford_audit must stay key-partitioned:\n$ben")
+    // incremental_stats: two partial day-state aggregations merge through
+    // a Union — re-aggregation, never a raw-history rescan join
+    val inc = plan(AnalyticsQueries.incrementalStats(spark, dir))
+    assert(inc.contains("Union") && inc.contains("HashAggregate") &&
+      !inc.contains("CartesianProduct"))
+    // upsert_merge: base and delta elect per-key argmax via mergeable
+    // aggregates, then a FULL OUTER equijoin on the shared grouping key
+    val up = plan(AnalyticsQueries.upsertMerge(spark, dir))
+    assert(up.contains("FullOuter") && !up.contains("CartesianProduct"))
+    // link_predict: wedges/degrees/anti-join are ALL hash equijoins on
+    // compact ids — a cartesian or nested-loop here would be corpus²
+    val lp = plan(SimilarityQueries.linkPredict(spark, dir))
+    assert(!lp.contains("CartesianProduct"), s"link_predict cartesian:\n$lp")
+    // model_auc / calibration_bins: the coefficient row broadcasts;
+    // calibration has NO window at all (its rollup is 10 groups)
+    val auc = plan(SimilarityQueries.modelAuc(spark, dir))
+    assert(auc.contains("BroadcastExchange") && !auc.contains("CartesianProduct"))
+    val cal = plan(SimilarityQueries.calibrationBins(spark, dir))
+    assert(!cal.contains("Window") && !cal.contains("CartesianProduct"),
+      s"calibration_bins must not window:\n$cal")
+  }
 }
