@@ -129,7 +129,9 @@ object Plans {
     "upsert_merge" -> "per-key argmax via mergeable max(struct) both sides; base/delta full-outer join co-partitions on the shared grouping key",
     "link_predict" -> "wedge equijoin over the IVF-bounded near-dup edge list (Σdeg² bucket-bounded, never corpus²); known edges anti-joined; degree joins on compact vec ids",
     "model_auc" -> "scoring pass under the one-row coefficient broadcast; the 2U window ranks only the DOMAIN-bounded (≤1e6-cell) score histogram",
-    "calibration_bins" -> "min/max fold to one broadcast row; binning is integer arithmetic in a narrow map; one 10-group map-combinable rollup"
+    "calibration_bins" -> "min/max fold to one broadcast row; binning is integer arithmetic in a narrow map; one 10-group map-combinable rollup",
+    "embedding_isotropy" -> "one posexplode fold to a 64-row dims frame + one squared-norm fold — both map-combinable; nothing downstream exceeds 64 rows",
+    "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join"
   )
 
   def main(args: Array[String]): Unit = {

@@ -97,6 +97,8 @@ object SparkEntry {
     "linear_probe" -> (SimilarityQueries.linearProbe _),
     "model_auc" -> (SimilarityQueries.modelAuc _),
     "calibration_bins" -> (SimilarityQueries.calibrationBins _),
+    "embedding_isotropy" -> (SimilarityQueries.embeddingIsotropy _),
+    "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1725,6 +1727,49 @@ object SparkEntry {
          |  CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
          |  2.0 * (CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0 AS gini
          |FROM a""".stripMargin,
+    "embedding_isotropy" ->
+      // anisotropy = Σs_d²/(n·S₂): per-dim sums + total squared norm in
+      // BIGINT, Σs_d² in HUGEINT (engine: DECIMAL(38,0)), terminal
+      // divisions pinned to the engine's order
+      """WITH q AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |d AS (SELECT pos, CAST(sum(qv) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |    CAST(max(CASE WHEN pos = 1 THEN cnt END) AS BIGINT) AS n,
+        |    CAST(sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS HUGEINT) AS ssd2
+        |  FROM d),
+        |s AS (SELECT CAST(sum(qv * qv) AS BIGINT) AS s2 FROM q)
+        |SELECT a.n, a.n_dims,
+        |  CAST(s.s2 AS DOUBLE) / CAST(a.n AS DOUBLE) / 1000000.0 AS mean_sq_norm,
+        |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
+        |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
+        |FROM a, s""".stripMargin,
+    "conversion_lag" ->
+      // first-view → first-subsequent-purchase lag per user, bucketed
+      // on integer microsecond band edges; share under a one-row total
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |l AS (SELECT e.user_id, min(e.tus - v.t0) AS lag_us
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > v.t0 GROUP BY 1),
+        |b AS (SELECT CASE WHEN lag_us < 60000000 THEN 0
+        |    WHEN lag_us < 600000000 THEN 1
+        |    WHEN lag_us < 3600000000 THEN 2
+        |    WHEN lag_us < 21600000000 THEN 3
+        |    WHEN lag_us < 86400000000 THEN 4
+        |    WHEN lag_us < 604800000000 THEN 5
+        |    ELSE 6 END AS bucket FROM l),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM c)
+        |SELECT CAST(c.bucket AS BIGINT) AS bucket,
+        |  (['lt_1m', 'lt_10m', 'lt_1h', 'lt_6h', 'lt_1d', 'lt_7d', 'ge_7d'])[c.bucket + 1] AS band,
+        |  c.n_users, t.n_total,
+        |  CAST(c.n_users AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+        |FROM c, t""".stripMargin,
     "calibration_bins" ->
       // equal-width bins in INTEGER arithmetic on the quantized scores
       // — bin membership cannot straddle an engine float difference

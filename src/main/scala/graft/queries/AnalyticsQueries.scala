@@ -2060,6 +2060,45 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** Conversion-latency histogram — the funnel-analytics companion of
+    * [[funnelSteps]]: for users whose first purchase follows their
+    * first view, the view→purchase lag bucketed into product-meaningful
+    * bands (<1m, <10m, <1h, <6h, <1d, <7d, ≥7d). Counts per band plus
+    * the share of converters — the "how long does conversion take"
+    * readout that decides attribution windows and retargeting delays.
+    * Band edges are integer microsecond literals, so membership cannot
+    * drift; the share is one terminal division under a one-row total
+    * broadcast.
+    *
+    * Scale: two per-user min aggregations (map-side combinable) and a
+    * 7-group rollup — no window, no self-join on the raw stream. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+    val lags = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("tus") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("tus") - col("t0")).as("lag_us"))
+    val bucket = when(col("lag_us") < 60000000L, 0)
+      .when(col("lag_us") < 600000000L, 1)
+      .when(col("lag_us") < 3600000000L, 2)
+      .when(col("lag_us") < 21600000000L, 3)
+      .when(col("lag_us") < 86400000000L, 4)
+      .when(col("lag_us") < 604800000000L, 5)
+      .otherwise(6)
+    val label = element_at(
+      typedLit(Seq("lt_1m", "lt_10m", "lt_1h", "lt_6h", "lt_1d", "lt_7d", "ge_7d")),
+      col("bucket") + 1)
+    val counts = lags.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    val total = counts.agg(sum(col("n_users")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket").cast("long").as("bucket"), label.as("band"),
+        col("n_users"), col("n_total"),
+        (col("n_users").cast("double") / col("n_total").cast("double")).as("share"))
+  }
+
   /** Expected Benford first-digit proportions log10(1 + 1/d), d = 1..9,
     * as FIXED decimal literals — both engines parse the same decimal
     * string to the same IEEE double, where computing log10 in each

@@ -1673,6 +1673,44 @@ object SimilarityQueries {
           .as("cos_to_corpus"))
   }
 
+  /** Corpus embedding-isotropy audit (Ethayarajh 2019's question asked
+    * of the whole corpus): anisotropy = ‖μ‖² / E‖x‖² — the fraction
+    * of the mean squared norm explained by the common mean direction.
+    * Near 0 the embedding cloud is centered (healthy for cosine
+    * retrieval); large values flag the "anisotropic cone" pathology where every
+    * cosine is inflated by a shared offset and retrieval contrast
+    * collapses — the audit run before trusting any cosine threshold in
+    * the near-dup family. EXACT in milli-quantized integers: per-dim
+    * component sums s_d and the total squared norm S₂ are BIGINT folds,
+    * Σs_d² runs in DECIMAL(38,0) (HUGEINT in the oracle), and the
+    * anisotropy ratio Σs_d² / (n·S₂) is ONE terminal division.
+    *
+    * Scale: one posexplode fold to a dims-sized frame plus one
+    * per-vector squared-norm fold — both map-side combinable; nothing
+    * downstream exceeds 64 rows. */
+  def embeddingIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), col("p"),
+        floor(col("v").cast("double") * lit(1000.0)).cast("long").as("qv"))
+    // per-dim component sums; the pos=0 cell carries the vector count
+    val dims = q.groupBy(col("p"))
+      .agg(sum(col("qv")).as("sd"), count(lit(1)).as("cnt"))
+    val a = dims.agg(
+      count(lit(1)).as("n_dims"),
+      max(when(col("p") === 0, col("cnt"))).as("n"),
+      sum(col("sd").cast(D38) * col("sd").cast(D38)).as("ssd2"))
+    val s2 = q.agg(sum(col("qv") * col("qv")).as("s2"))
+    a.crossJoin(broadcast(s2))
+      .select(col("n"), col("n_dims"),
+        (col("s2").cast("double") / col("n").cast("double") / lit(1000000.0)).as("mean_sq_norm"),
+        (col("ssd2").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) / lit(1000000.0)).as("mu_sq_norm"),
+        (col("ssd2").cast("double") /
+          (col("n").cast("double") * col("s2").cast("double"))).as("anisotropy"))
+  }
+
   /** PPJoin-style EXACT set-similarity join (Xiao et al., WWW 2008):
     * every pair with shingle Jaccard ≥ 0.7, with a GUARANTEE of no false
     * negatives — the deterministic complement to [[minhashLsh]]'s

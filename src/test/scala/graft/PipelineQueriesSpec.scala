@@ -939,6 +939,54 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("conversion_lag: bands match a driver replay of first-view/first-purchase lags") {
+    val rows = AnalyticsQueries.conversionLag(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val lags = ev.filter(_._2 == "purchase").flatMap { case (u, _, t) =>
+      firstView.get(u).filter(t > _).map(t0 => u -> (t - t0))
+    }.groupBy(_._1).map { case (_, ls) => ls.map(_._2).min }.toSeq
+    val edges = Seq(60000000L, 600000000L, 3600000000L, 21600000000L,
+      86400000000L, 604800000000L)
+    val brute = lags.map(l => edges.indexWhere(l < _) match {
+      case -1 => 6; case i => i
+    }).groupBy(identity).map { case (b, v) => b.toLong -> v.size.toLong }
+    assert(rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_users")).toMap == brute)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == lags.size.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") == lags.size.toLong)
+      assert(r.getAs[Double]("share") ==
+        r.getAs[Long]("n_users").toDouble / lags.size)
+      assert(r.getAs[String]("band").nonEmpty)
+    }
+  }
+
+  test("embedding_isotropy: matches the exact quantized moments; near-isotropic fixture reads ~0") {
+    val r = SimilarityQueries.embeddingIsotropy(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val vecs = Tables.embeddings(spark, dir).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(v => math.floor(v.toDouble * 1000).toLong))
+    val n = vecs.length
+    val dims = vecs.head.length
+    assert(row.getAs[Long]("n") == n.toLong && row.getAs[Long]("n_dims") == dims.toLong)
+    val s2 = vecs.map(v => v.map(q => q * q).sum).sum
+    val ssd2 = (0 until dims).map { d =>
+      val sd = BigInt(vecs.map(_(d)).sum); sd * sd
+    }.sum
+    assert(row.getAs[Double]("mean_sq_norm") == s2.toDouble / n / 1000000.0)
+    val aniso = ssd2.toDouble / (n.toDouble * s2.toDouble)
+    assert(math.abs(row.getAs[Double]("anisotropy") - aniso) < 1e-15)
+    // the synthetic cloud is near-centered: anisotropy well below the
+    // pathological regime, but nonzero (finite-sample mean)
+    assert(row.getAs[Double]("anisotropy") > 0.0 &&
+      row.getAs[Double]("anisotropy") < 0.1)
+  }
+
   test("model_auc: equals the brute-force pairwise P(pos outscores neg) with half-ties") {
     val r = SimilarityQueries.modelAuc(spark, dir).collect()
     assert(r.length == 1)
