@@ -131,7 +131,8 @@ object Plans {
     "model_auc" -> "scoring pass under the one-row coefficient broadcast; the 2U window ranks only the DOMAIN-bounded (≤1e6-cell) score histogram",
     "calibration_bins" -> "min/max fold to one broadcast row; binning is integer arithmetic in a narrow map; one 10-group map-combinable rollup",
     "embedding_isotropy" -> "one posexplode fold to a 64-row dims frame + one squared-norm fold — both map-combinable; nothing downstream exceeds 64 rows",
-    "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join"
+    "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join",
+    "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast"
   )
 
   def main(args: Array[String]): Unit = {

@@ -98,6 +98,7 @@ object SparkEntry {
     "model_auc" -> (SimilarityQueries.modelAuc _),
     "calibration_bins" -> (SimilarityQueries.calibrationBins _),
     "embedding_isotropy" -> (SimilarityQueries.embeddingIsotropy _),
+    "dup_modularity" -> (SimilarityQueries.dupModularity _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
@@ -1727,6 +1728,35 @@ object SparkEntry {
          |  CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
          |  2.0 * (CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0 AS gini
          |FROM a""".stripMargin,
+    "dup_modularity" ->
+      // per-label Newman contribution over the IVF-bounded near-dup
+      // edges: q_c's numerator 4m·W_c − D_c² in HUGEINT (engine:
+      // DECIMAL(38,0)), one division; labels with no edges emit 0
+      s"""$IvfAssignSql,
+         |pp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |enp AS MATERIALIZED (SELECT va, vb FROM pp WHERE cos >= 0.3),
+         |e2 AS MATERIALIZED (SELECT la.label AS la, lb.label AS lb
+         |  FROM enp JOIN embeddings la ON enp.va = la.vec_id
+         |           JOIN embeddings lb ON enp.vb = lb.vec_id),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+         |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+         |    SELECT la AS label FROM e2 UNION ALL SELECT lb FROM e2) GROUP BY 1),
+         |wc AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS internal_edges
+         |  FROM e2 WHERE la = lb GROUP BY 1),
+         |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM embeddings GROUP BY 1)
+         |SELECT nn.label, nn.n_nodes,
+         |  COALESCE(dc.degree_sum, 0) AS degree_sum,
+         |  COALESCE(wc.internal_edges, 0) AS internal_edges,
+         |  CAST(CAST(4 AS HUGEINT) * CAST(mm.m AS HUGEINT)
+         |         * CAST(COALESCE(wc.internal_edges, 0) AS HUGEINT)
+         |       - CAST(COALESCE(dc.degree_sum, 0) AS HUGEINT)
+         |         * CAST(COALESCE(dc.degree_sum, 0) AS HUGEINT) AS DOUBLE)
+         |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
+         |FROM nn LEFT JOIN dc ON nn.label = dc.label
+         |  LEFT JOIN wc ON nn.label = wc.label, mm""".stripMargin,
     "embedding_isotropy" ->
       // anisotropy = Σs_d²/(n·S₂): per-dim sums + total squared norm in
       // BIGINT, Σs_d² in HUGEINT (engine: DECIMAL(38,0)), terminal

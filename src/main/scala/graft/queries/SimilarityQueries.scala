@@ -1673,6 +1673,52 @@ object SimilarityQueries {
           .as("cos_to_corpus"))
   }
 
+  /** Newman modularity of the LABEL partition over the semantic
+    * near-dup graph — the homophily audit: does "semantically
+    * near-duplicate" respect the label structure? Per label c:
+    * q_c = W_c/m − (D_c/2m)² (internal-edge share minus the share
+    * expected under random wiring at the same degrees); Σq_c near 0
+    * means near-dup edges ignore labels (the sketch families measure
+    * something labels don't), strongly positive means label-aware
+    * dedup sharding would not sever near-dup pairs. Note the partition
+    * is INDEPENDENT of the graph (labels, not the components the edges
+    * define) — components would trivially score every edge internal.
+    *
+    * Exact: q_c = (4m·W_c − D_c²) / (4m²) — integer numerator in
+    * DECIMAL(38,0) (HUGEINT in the oracle), ONE division per label
+    * row; no float sum across labels is ever taken in-engine.
+    *
+    * Scale: edges come IVF-bounded from [[embeddingNearDup]]; label
+    * joins key on vec_id; everything folds to a labels-sized frame. */
+  def dupModularity(spark: SparkSession, dir: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val e2 = embeddingNearDup(spark, dir).select(col("va"), col("vb"))
+      .join(lab.select(col("vec_id").as("va"), col("label").as("la")), "va")
+      .join(lab.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
+    val m = e2.agg(count(lit(1)).as("m"))
+    // degree mass per label: every edge endpoint contributes 1
+    val dc = e2.select(col("la").as("label"))
+      .unionAll(e2.select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("degree_sum"))
+    val wc = e2.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("internal_edges"))
+    val nodes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(dc, Seq("label"), "left")
+      .join(wc, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        ((lit(4L).cast(D38) * col("m").cast(D38) *
+          coalesce(col("internal_edges"), lit(0L)).cast(D38) -
+          coalesce(col("degree_sum"), lit(0L)).cast(D38) *
+            coalesce(col("degree_sum"), lit(0L)).cast(D38)).cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+          .as("q_contrib"))
+  }
+
   /** Corpus embedding-isotropy audit (Ethayarajh 2019's question asked
     * of the whole corpus): anisotropy = ‖μ‖² / E‖x‖² — the fraction
     * of the mean squared norm explained by the common mean direction.

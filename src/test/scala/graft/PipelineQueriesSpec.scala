@@ -939,6 +939,34 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("dup_modularity: per-label contributions match brute force and sum to a valid Q") {
+    val out = SimilarityQueries.dupModularity(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("degree_sum"),
+          r.getAs[Long]("internal_edges"), r.getAs[Double]("q_contrib"))).toMap
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = SimilarityQueries.embeddingNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb")))
+    val m = edges.length.toLong
+    assert(m > 0)
+    assert(out.keySet == labels.values.toSet) // one row per label, all labels
+    out.foreach { case (c, (nn, dc, wc, q)) =>
+      assert(nn == labels.values.count(_ == c).toLong)
+      val bruteD = edges.map { case (a, b) =>
+        (if (labels(a) == c) 1L else 0L) + (if (labels(b) == c) 1L else 0L) }.sum
+      val bruteW = edges.count { case (a, b) => labels(a) == c && labels(b) == c }.toLong
+      assert(dc == bruteD && wc == bruteW, s"label $c")
+      assert(math.abs(q - (4.0 * m * bruteW - bruteD.toDouble * bruteD) /
+        (4.0 * m * m)) < 1e-12)
+    }
+    // Q = Σq_c lies in [-1/2, 1); totals are consistent
+    assert(out.values.map(_._3).sum == edges.count { case (a, b) => labels(a) == labels(b) })
+    assert(out.values.map(_._2).sum == 2 * m)
+    val qTotal = out.values.map(_._4).sum
+    assert(qTotal >= -0.5 && qTotal < 1.0)
+  }
+
   test("conversion_lag: bands match a driver replay of first-view/first-purchase lags") {
     val rows = AnalyticsQueries.conversionLag(spark, dir).collect()
     assert(rows.nonEmpty)
