@@ -163,5 +163,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
       GraftFunctions.deflateSizeBuilder
     ))
+    // planning-time guardrail: a condition-less join of two LARGE
+    // relations fails loudly instead of running an all-pairs product
+    // (graft.plans.CartesianGuard; tunable/disable-able via conf)
+    ext.injectOptimizerRule(session => graft.plans.CartesianGuard(session))
   }
 }
