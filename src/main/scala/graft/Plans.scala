@@ -132,7 +132,8 @@ object Plans {
     "calibration_bins" -> "min/max fold to one broadcast row; binning is integer arithmetic in a narrow map; one 10-group map-combinable rollup",
     "embedding_isotropy" -> "one posexplode fold to a 64-row dims frame + one squared-norm fold — both map-combinable; nothing downstream exceeds 64 rows",
     "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join",
-    "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast"
+    "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast",
+    "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus"
   )
 
   def main(args: Array[String]): Unit = {

@@ -100,6 +100,7 @@ object SparkEntry {
     "embedding_isotropy" -> (SimilarityQueries.embeddingIsotropy _),
     "dup_modularity" -> (SimilarityQueries.dupModularity _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
+    "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1777,6 +1778,35 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "sample_mean_ci" ->
+      // same deterministic md5-nibble sample; variance cross product in
+      // HUGEINT (engine: DECIMAL(38,0)); CI arithmetic order-pinned
+      """WITH ev AS (SELECT event_type, value,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' AS in_sample
+        |  FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sdec,
+        |    CAST(sum(qv) AS BIGINT) AS sq1,
+        |    CAST(sum(qv * qv) AS BIGINT) AS sq2
+        |  FROM ev WHERE in_sample GROUP BY 1),
+        |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS edec
+        |  FROM ev GROUP BY 1),
+        |j AS (SELECT s.event_type, s.n_sample, e.n_exact,
+        |    CAST(s.sdec AS DOUBLE) / CAST(s.n_sample AS DOUBLE) AS mean_sample,
+        |    CAST(e.edec AS DOUBLE) / CAST(e.n_exact AS DOUBLE) AS mean_exact,
+        |    CAST(CAST(s.n_sample AS HUGEINT) * CAST(s.sq2 AS HUGEINT)
+        |         - CAST(s.sq1 AS HUGEINT) * CAST(s.sq1 AS HUGEINT) AS DOUBLE)
+        |      / (CAST(s.n_sample AS DOUBLE) * (CAST(s.n_sample AS DOUBLE) - 1.0))
+        |      / 10000.0 AS var_sample
+        |  FROM s JOIN e ON s.event_type = e.event_type
+        |  WHERE s.n_sample >= 2)
+        |SELECT *,
+        |  1.96 * sqrt(var_sample / CAST(n_sample AS DOUBLE)) AS ci_half,
+        |  abs(mean_sample - mean_exact)
+        |    <= 1.96 * sqrt(var_sample / CAST(n_sample AS DOUBLE)) AS within_ci
+        |FROM j""".stripMargin,
     "conversion_lag" ->
       // first-view → first-subsequent-purchase lag per user, bucketed
       // on integer microsecond band edges; share under a one-row total

@@ -2060,6 +2060,51 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** Approximate query processing audit — answer "mean value per type"
+    * from a DETERMINISTIC 1/16 sample (md5 first hex nibble = '0', the
+    * engine's seedless-sampling discipline, replayable in any engine)
+    * with a 95% CI, then score it against the exact answer computed
+    * beside it. At 100 TB the sample pass reads 1/16 of the data and
+    * the exact pass is exactly what you are avoiding — this query is
+    * the calibration run that tells you whether the CI machinery can
+    * be trusted before you switch the dashboard to samples. Sample
+    * variance comes from exact centi-quantized integer moments
+    * (n·Σq² − (Σq)² in DECIMAL(38)/HUGEINT); the CI half-width
+    * 1.96·√(var/n) and the z-score are fixed-order IEEE ops mirrored
+    * in the oracle.
+    *
+    * Scale: the sample predicate is a narrow map at the scan (no
+    * shuffle grows); both passes are map-combinable per-type folds. */
+  def sampleMeanCi(spark: SparkSession, dir: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("value"),
+      floor(col("value") * lit(100.0)).cast("long").as("qv"),
+      (substring(md5(col("event_id").cast("string")), 1, 1) === "0").as("in_sample"))
+    val s = ev.filter(col("in_sample"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sample"),
+        sum(col("value").cast(Dec)).as("sdec"),
+        sum(col("qv")).as("sq1"),
+        sum(col("qv") * col("qv")).as("sq2"))
+    val e = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("value").cast(Dec)).as("edec"))
+    s.join(e, "event_type")
+      .filter(col("n_sample") >= 2)
+      .select(col("event_type"), col("n_sample"), col("n_exact"),
+        (col("sdec").cast("double") / col("n_sample").cast("double")).as("mean_sample"),
+        (col("edec").cast("double") / col("n_exact").cast("double")).as("mean_exact"),
+        ((col("n_sample").cast(D38) * col("sq2").cast(D38) -
+          col("sq1").cast(D38) * col("sq1").cast(D38)).cast("double") /
+          (col("n_sample").cast("double") * (col("n_sample").cast("double") - lit(1.0))) /
+          lit(10000.0)).as("var_sample"))
+      .withColumn("ci_half",
+        lit(1.96) * sqrt(col("var_sample") / col("n_sample").cast("double")))
+      .withColumn("within_ci",
+        abs(col("mean_sample") - col("mean_exact")) <= col("ci_half"))
+  }
+
   /** Conversion-latency histogram — the funnel-analytics companion of
     * [[funnelSteps]]: for users whose first purchase follows their
     * first view, the view→purchase lag bucketed into product-meaningful

@@ -939,6 +939,38 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("sample_mean_ci: sample stats match a driver replay; CI covers the truth") {
+    val out = AnalyticsQueries.sampleMeanCi(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        substring(md5(col("event_id").cast("string")), 1, 1))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val byType = ev.groupBy(_._1)
+    out.foreach { case (t, r) =>
+      val all = byType(t)
+      val samp = all.filter(_._3 == "0")
+      assert(r.getAs[Long]("n_sample") == samp.length.toLong)
+      assert(r.getAs[Long]("n_exact") == all.length.toLong)
+      // the 1/16 nibble sample is a real subsample, not degenerate
+      assert(samp.length > 0 && samp.length < all.length)
+      val meanS = samp.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / samp.length
+      assert(math.abs(r.getAs[Double]("mean_sample") - meanS) < 1e-9)
+      assert(r.getAs[Double]("var_sample") > 0)
+      assert(r.getAs[Double]("ci_half") > 0)
+      // CI consistency: flag equals the comparison of the output columns
+      assert(r.getAs[Boolean]("within_ci") ==
+        (math.abs(r.getAs[Double]("mean_sample") - r.getAs[Double]("mean_exact"))
+          <= r.getAs[Double]("ci_half")))
+    }
+    // the calibration read: a 95% CI occasionally misses (that is what
+    // 95% means, and sf0.001 samples are ~70 rows) — but most types
+    // must cover, or the CI math is systematically miscalibrated
+    val covered = out.values.count(_.getAs[Boolean]("within_ci"))
+    assert(covered * 2 > out.size, s"covered $covered of ${out.size}")
+  }
+
   test("dup_modularity: per-label contributions match brute force and sum to a valid Q") {
     val out = SimilarityQueries.dupModularity(spark, dir).collect()
       .map(r => r.getAs[Int]("label") ->
