@@ -133,7 +133,8 @@ object Plans {
     "embedding_isotropy" -> "one posexplode fold to a 64-row dims frame + one squared-norm fold — both map-combinable; nothing downstream exceeds 64 rows",
     "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join",
     "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast",
-    "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus"
+    "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus",
+    "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k folds per purchase id and joins back compact"
   )
 
   def main(args: Array[String]): Unit = {

@@ -101,6 +101,7 @@ object SparkEntry {
     "dup_modularity" -> (SimilarityQueries.dupModularity _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
+    "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1778,6 +1779,24 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "attribution_linear" ->
+      // user-keyed touch-purchase pairing in the trailing hour; credit
+      // shares micro-quantized by integer division so sums are exact
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |p AS (SELECT user_id, t AS tp, event_id AS pid FROM e
+        |  WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, event_type AS touch_type, t FROM e
+        |  WHERE event_type IN ('view', 'click', 'signup')),
+        |pr AS MATERIALIZED (SELECT tc.touch_type, p.pid
+        |  FROM tc JOIN p ON tc.user_id = p.user_id
+        |  WHERE tc.t < p.tp AND tc.t >= p.tp - 3600000000),
+        |k AS (SELECT pid, CAST(count(*) AS BIGINT) AS k FROM pr GROUP BY 1)
+        |SELECT pr.touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT pr.pid) AS BIGINT) AS n_purchases,
+        |  CAST(CAST(sum(1000000 // k.k) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit
+        |FROM pr JOIN k ON pr.pid = k.pid GROUP BY 1""".stripMargin,
     "sample_mean_ci" ->
       // same deterministic md5-nibble sample; variance cross product in
       // HUGEINT (engine: DECIMAL(38,0)); CI arithmetic order-pinned

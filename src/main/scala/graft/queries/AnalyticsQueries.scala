@@ -2060,6 +2060,40 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** Linear multi-touch attribution — each purchase's credit split
+    * equally across the user's touches (view/click/signup) in the
+    * trailing hour: per touch type, the touch count, the number of
+    * purchases it participated in, and the attributed credit
+    * Σ 1/k_p. The per-purchase shares are quantized to micro-credits
+    * (`1000000 div k` — integer division, documented floor loss below
+    * one-millionth per touch) so the credit totals are EXACT integer
+    * sums in any summation order — the rational-fixed-point discipline
+    * every float-sum query here follows.
+    *
+    * Scale: the touch-purchase pairing is a user-keyed equijoin (pair
+    * count bounded by per-user activity, never cross-user); k folds
+    * per purchase and joins back on the compact purchase id. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("tp"), col("event_id").as("pid"))
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("touch_type"), col("t"))
+    val pairs = touches.join(purchases, "user_id")
+      .filter(col("t") < col("tp") && col("t") >= col("tp") - lit(3600000000L))
+    val k = pairs.groupBy(col("pid")).agg(count(lit(1)).as("k"))
+    pairs.join(k, "pid")
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(expr("1000000 div k")).as("credit_fp"))
+      .select(col("touch_type"), col("n_touches"), col("n_purchases"),
+        (col("credit_fp").cast("double") / lit(1000000.0)).as("credit"))
+  }
+
   /** Approximate query processing audit — answer "mean value per type"
     * from a DETERMINISTIC 1/16 sample (md5 first hex nibble = '0', the
     * engine's seedless-sampling discipline, replayable in any engine)

@@ -939,6 +939,41 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("attribution_linear: credits match a driver replay and conserve per purchase") {
+    val out = AnalyticsQueries.attributionLinear(spark, dir).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("n_purchases"),
+          r.getAs[Double]("credit"))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val purchases = ev.filter(_._2 == "purchase")
+    val touches = ev.filter(e => Set("view", "click", "signup")(e._2))
+    val pairs = for {
+      p <- purchases
+      t <- touches
+      if t._1 == p._1 && t._3 < p._3 && t._3 >= p._3 - 3600000000L
+    } yield (t._2, p._4) // (touch_type, pid)
+    val kByPid = pairs.groupBy(_._2).map { case (pid, ps) => pid -> ps.length.toLong }
+    val brute = pairs.groupBy(_._1).map { case (tt, ps) =>
+      tt -> (ps.length.toLong, ps.map(_._2).distinct.length.toLong,
+        ps.map(p => 1000000L / kByPid(p._2)).sum)
+    }
+    assert(out.keySet == brute.keySet)
+    brute.foreach { case (tt, (n, np, creditFp)) =>
+      val (gn, gnp, gc) = out(tt)
+      assert(gn == n && gnp == np, tt)
+      assert(gc == creditFp.toDouble / 1000000.0)
+    }
+    // conservation: total credit = purchases with >= 1 touch, up to the
+    // documented micro-credit floor loss (< 1e-6 per touch)
+    val totalCredit = out.values.map(_._3).sum
+    val attributed = kByPid.size
+    assert(totalCredit <= attributed.toDouble + 1e-9)
+    assert(totalCredit > attributed - pairs.length * 1e-6 - 1e-9)
+  }
+
   test("sample_mean_ci: sample stats match a driver replay; CI covers the truth") {
     val out = AnalyticsQueries.sampleMeanCi(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
