@@ -542,6 +542,43 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming moment profile agrees with the batch twin bit-exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts)").as("event_ms"), col("value"))
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val sentinel = ("zz_flush", ev.map(_._2).max + 86400000L, 0.0)
+    val ms = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.StatsMonitor.profile(ms.toDS())
+      .writeStream.format("memory").queryName("statsmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-statsmon")).start()
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") =!= "zz_flush")
+      .select("event_type", "bucket", "n", "mean", "vmin", "vmax", "variance")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSet
+    val streamed = rows(spark.table("statsmon"))
+    val batch = rows(graft.streaming.StatsMonitor.profileBatch(
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_type"), expr("unix_millis(ts)").as("event_ms"), col("value"))))
+    // every moment is an order-independent integer fold: same rows ⇒
+    // bit-identical output, however the stream was micro-batched
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (_, _, n, mean, vmin, vmax, variance) =>
+      assert(n > 0 && vmin <= mean + 0.01 && mean <= vmax + 0.01)
+      assert(variance >= 0.0)
+    }
+  }
+
   test("streaming HLL cardinality agrees with the batch sketch exactly; estimates sane") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
