@@ -131,6 +131,9 @@ object TsStreamBench {
     runOnce(funnelData.take(2000),
       (ds: org.apache.spark.sql.Dataset[graft.streaming.FunnelMonitor.FunnelEvt]) =>
         graft.streaming.FunnelMonitor.track(ds, horizonMs = 3600000L))
+    runOnce(driftData.take(2000), (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.StatsMonitor.profile(ds)
+        .as[(String, Long, Long, Double, Double, Double, Double)])
 
     val zSec = runOnce(data, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
       graft.streaming.AnomalyDetect.scoreBuckets(ds))
@@ -154,8 +157,11 @@ object TsStreamBench {
     val fSec = runOnce(funnelData,
       (ds: org.apache.spark.sql.Dataset[graft.streaming.FunnelMonitor.FunnelEvt]) =>
         graft.streaming.FunnelMonitor.track(ds, horizonMs = 3600000L))
+    val stSec = runOnce(driftData, (ds: org.apache.spark.sql.Dataset[(String, Long, Double)]) =>
+      graft.streaming.StatsMonitor.profile(ds)
+        .as[(String, Long, Long, Double, Double, Double, Double)])
     println(
-      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"hitters_rps":${n / hSec}%.0f,"ewma_rps":${n / eSec}%.0f,"cardinality_rps":${n / cSec}%.0f,"drift_rps":${n / dSec}%.0f,"funnel_rps":${n / fSec}%.0f,"state_store":"rocksdb"}""")
+      f"""{"metric":"ts_stream_throughput","records":$n,"series":$nSeries,"zscore_rps":${n / zSec}%.0f,"rate_rps":${n / rSec}%.0f,"gap_rps":${n / gSec}%.0f,"seasonal_rps":${n / sSec}%.0f,"volume_rps":${n / vSec}%.0f,"hitters_rps":${n / hSec}%.0f,"ewma_rps":${n / eSec}%.0f,"cardinality_rps":${n / cSec}%.0f,"drift_rps":${n / dSec}%.0f,"funnel_rps":${n / fSec}%.0f,"stats_rps":${n / stSec}%.0f,"state_store":"rocksdb"}""")
     spark.stop()
   }
 }
