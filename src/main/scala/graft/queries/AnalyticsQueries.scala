@@ -2084,8 +2084,11 @@ object AnalyticsQueries {
       .select(col("user_id"), col("event_type").as("touch_type"), col("t"))
     val pairs = touches.join(purchases, "user_id")
       .filter(col("t") < col("tp") && col("t") >= col("tp") - lit(3600000000L))
-    val k = pairs.groupBy(col("pid")).agg(count(lit(1)).as("k"))
-    pairs.join(k, "pid")
+    // k via a pid-partitioned window — ONE pass over the pair frame
+    // instead of an aggregate + rejoin that would re-run the pairing
+    // join (at corpus scale the pair frame is too large to checkpoint)
+    pairs
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("pid"))))
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_touches"),
         countDistinct(col("pid")).as("n_purchases"),

@@ -987,7 +987,13 @@ object SimilarityQueries {
     * every near-dup family here relies on), never corpus². All joins
     * key on compact vec ids; the anti-join removes known edges. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the compact (va, vb) edge list ONCE: adjacency (×2),
+    // the anti-join, and the degree frame all read it, and without the
+    // checkpoint each reference would re-derive the whole IVF near-dup
+    // chain — the dup_pagerank discipline (compact ids only, never
+    // vectors)
     val edges = embeddingNearDup(spark, dir).select(col("va"), col("vb"))
+      .localCheckpoint(true)
     val adj = edges.select(col("va").as("u"), col("vb").as("v"))
       .unionAll(edges.select(col("vb").as("u"), col("va").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -1693,9 +1699,12 @@ object SimilarityQueries {
   def dupModularity(spark: SparkSession, dir: String): DataFrame = {
     val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    // materialize the labeled edge list ONCE (m, degree, and internal
+    // folds each read it; the IVF chain must not run three times)
     val e2 = embeddingNearDup(spark, dir).select(col("va"), col("vb"))
       .join(lab.select(col("vec_id").as("va"), col("label").as("la")), "va")
       .join(lab.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
+      .localCheckpoint(true)
     val m = e2.agg(count(lit(1)).as("m"))
     // degree mass per label: every edge endpoint contributes 1
     val dc = e2.select(col("la").as("label"))
