@@ -134,7 +134,8 @@ object Plans {
     "conversion_lag" -> "two per-user min aggregations (map-combinable) + a 7-group rollup; no window, no raw-stream self-join",
     "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast",
     "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus",
-    "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k folds per purchase id and joins back compact"
+    "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k via a pid-partitioned window in ONE pass over the pair frame",
+    "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid"
   )
 
   def main(args: Array[String]): Unit = {

@@ -102,6 +102,7 @@ object SparkEntry {
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
+    "cohort_value" -> (AnalyticsQueries.cohortValue _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1779,6 +1780,26 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "cohort_value" ->
+      // exact DECIMAL value sums through the cumulative window; one
+      // double conversion + division per row
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(value AS DECIMAL(18,2)) AS vdec FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM fw GROUP BY 1),
+        |c AS (SELECT fw.cohort_week, e.week - fw.cohort_week AS age_week,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |    sum(e.vdec) AS wdec
+        |  FROM e JOIN fw ON e.user_id = fw.user_id GROUP BY 1, 2),
+        |r AS (SELECT *, sum(wdec) OVER (PARTITION BY cohort_week
+        |    ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdec
+        |  FROM c)
+        |SELECT r.cohort_week, r.age_week, r.n_active, sz.cohort_size,
+        |  CAST(r.wdec AS DOUBLE) AS week_value,
+        |  CAST(r.cdec AS DOUBLE) AS cum_value,
+        |  CAST(r.cdec AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS ltv_per_user
+        |FROM r JOIN sz ON r.cohort_week = sz.cohort_week""".stripMargin,
     "attribution_linear" ->
       // user-keyed touch-purchase pairing in the trailing hour; credit
       // shares micro-quantized by integer division so sums are exact

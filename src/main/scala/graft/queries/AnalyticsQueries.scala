@@ -2060,6 +2060,41 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** Cohort LTV curves — [[retentionCohort]]'s value twin: per
+    * (first-activity-week cohort × age-in-weeks), the active users,
+    * the week's value, the RUNNING cumulative value, and LTV-per-user
+    * (cumulative value over the cohort's size). The curve every growth
+    * model is calibrated against. Value sums stay exact DECIMAL(18,2)
+    * through the cumulative window (decimal addition is associative —
+    * no float accumulation order anywhere), with one double conversion
+    * and one division per emitted row.
+    *
+    * Scale: the heavy fold is one map-combinable (user → first week)
+    * aggregation plus one (cohort, age) rollup; the cumulative window
+    * partitions by cohort over the WEEKS×WEEKS grid (calendar-bounded,
+    * never corpus-sized). */
+  def cohortValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"),
+      expr("unix_micros(ts) div 604800000000").as("week"),
+      col("value").cast(Dec).as("vdec"))
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = firstWeek.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("vdec")).as("wdec"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cdec", sum(col("wdec")).over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_active"), col("cohort_size"),
+        col("wdec").cast("double").as("week_value"),
+        col("cdec").cast("double").as("cum_value"),
+        (col("cdec").cast("double") / col("cohort_size").cast("double")).as("ltv_per_user"))
+  }
+
   /** Linear multi-touch attribution — each purchase's credit split
     * equally across the user's touches (view/click/signup) in the
     * trailing hour: per touch type, the touch count, the number of

@@ -939,6 +939,37 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("cohort_value: grid matches a driver replay; LTV curves are monotone") {
+    val out = AnalyticsQueries.cohortValue(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_week")) -> r).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val firstWeek = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val cells = ev.groupBy(e => (firstWeek(e._1), e._2 - firstWeek(e._1)))
+    assert(out.keySet == cells.keySet)
+    cells.foreach { case (key @ (cw, _), es) =>
+      val r = out(key)
+      assert(r.getAs[Long]("n_active") == es.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("cohort_size") == firstWeek.values.count(_ == cw).toLong)
+      assert(r.getAs[Double]("week_value") == es.map(_._3).sum.toDouble)
+    }
+    // cumulative value is the running sum of week values within a cohort,
+    // and LTV per user is monotone non-decreasing in age
+    out.groupBy(_._1._1).foreach { case (_, rows) =>
+      val byAge = rows.toSeq.sortBy(_._1._2).map(_._2)
+      var run = 0.0
+      byAge.foreach { r =>
+        run += r.getAs[Double]("week_value")
+        assert(math.abs(r.getAs[Double]("cum_value") - run) < 1e-6)
+      }
+      val ltvs = byAge.map(_.getAs[Double]("ltv_per_user"))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
   test("attribution_linear: credits match a driver replay and conserve per purchase") {
     val out = AnalyticsQueries.attributionLinear(spark, dir).collect()
       .map(r => r.getAs[String]("touch_type") ->
