@@ -135,7 +135,8 @@ object Plans {
     "dup_modularity" -> "IVF-bounded edge list; label joins on vec_id; degree/internal folds to a labels-sized frame under a one-row m broadcast",
     "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus",
     "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k via a pid-partitioned window in ONE pass over the pair frame",
-    "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid"
+    "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid",
+    "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort"
   )
 
   def main(args: Array[String]): Unit = {

@@ -103,6 +103,7 @@ object SparkEntry {
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
     "cohort_value" -> (AnalyticsQueries.cohortValue _),
+    "rfm_segments" -> (AnalyticsQueries.rfmSegments _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1780,6 +1781,30 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "rfm_segments" ->
+      // quantile_cont matches Spark percentile bit-for-bit (the
+      // quantile_bins_scalable precedent); decimal value totals exact
+      // until the terminal cast; lambda var `c` avoids hash32Sql's `i`
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18,2)) AS vdec FROM events),
+        |u AS (SELECT user_id, max(t) AS last_t,
+        |    CAST(count(*) AS BIGINT) AS frequency, sum(vdec) AS mdec
+        |  FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_t) AS t_max FROM u),
+        |u2 AS MATERIALIZED (SELECT u.*, mx.t_max - u.last_t AS recency,
+        |    CAST(u.mdec AS DOUBLE) AS monetary FROM u, mx),
+        |cuts AS (SELECT quantile_cont(recency, [0.25,0.5,0.75]) AS rc,
+        |    quantile_cont(frequency, [0.25,0.5,0.75]) AS fc,
+        |    quantile_cont(monetary, [0.25,0.5,0.75]) AS mc FROM u2),
+        |b AS (SELECT u2.*,
+        |    CAST(1 + len(list_filter(cuts.rc, c -> recency > c)) AS BIGINT) AS r_bin,
+        |    CAST(1 + len(list_filter(cuts.fc, c -> frequency > c)) AS BIGINT) AS f_bin,
+        |    CAST(1 + len(list_filter(cuts.mc, c -> monetary > c)) AS BIGINT) AS m_bin
+        |  FROM u2, cuts)
+        |SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(mdec) AS DOUBLE) AS total_value,
+        |  CAST(sum(frequency) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_frequency
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
     "cohort_value" ->
       // exact DECIMAL value sums through the cumulative window; one
       // double conversion + division per row

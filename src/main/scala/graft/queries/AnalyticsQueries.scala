@@ -2060,6 +2060,48 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** RFM segmentation — the classic marketing cube: per user, recency
+    * (time since last event), frequency (event count), and monetary
+    * (exact decimal value total), each quartile-binned against
+    * corpus-wide cutpoints, rolled up to the ≤64 (r, f, m) segments
+    * with user counts, total value, and mean frequency. The
+    * "who are my champions / who is churning" readout every retention
+    * program starts from. Cutpoint comparisons follow the
+    * [[quantileBinsScalable]] discipline (quantile_cont's p·(n−1)
+    * interpolation matches Spark's `percentile` bit-for-bit), and the
+    * value totals stay exact decimal until one terminal conversion.
+    *
+    * Scale: one map-combinable per-user fold; the three cutpoint
+    * arrays fold to ONE broadcast row (swap in `approx_percentile` at
+    * real corpus scale, same plan shape); binning is a narrow map and
+    * the rollup has ≤64 groups. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("t"), col("value").cast(Dec).as("vdec"))
+    val users = ev.groupBy(col("user_id")).agg(
+      max(col("t")).as("last_t"), count(lit(1)).as("frequency"),
+      sum(col("vdec")).as("mdec"))
+    val u2 = users
+      .crossJoin(broadcast(users.agg(max(col("last_t")).as("t_max"))))
+      .withColumn("recency", col("t_max") - col("last_t"))
+      .withColumn("monetary", col("mdec").cast("double"))
+    val cuts = u2.agg(
+      expr("percentile(recency, array(0.25,0.5,0.75))").as("rc"),
+      expr("percentile(frequency, array(0.25,0.5,0.75))").as("fc"),
+      expr("percentile(monetary, array(0.25,0.5,0.75))").as("mc"))
+    def binOf(cutsName: String, v: String): Column =
+      (size(filter(col(cutsName), c => col(v) > c)) + 1).cast("long")
+    u2.crossJoin(broadcast(cuts))
+      .withColumn("r_bin", binOf("rc", "recency"))
+      .withColumn("f_bin", binOf("fc", "frequency"))
+      .withColumn("m_bin", binOf("mc", "monetary"))
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mdec")).cast("double").as("total_value"),
+        (sum(col("frequency")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_frequency"))
+  }
+
   /** Cohort LTV curves — [[retentionCohort]]'s value twin: per
     * (first-activity-week cohort × age-in-weeks), the active users,
     * the week's value, the RUNNING cumulative value, and LTV-per-user

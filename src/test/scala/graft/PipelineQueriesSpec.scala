@@ -939,6 +939,51 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("rfm_segments: bins match a driver quartile replay; census covers every user") {
+    val out = AnalyticsQueries.rfmSegments(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 64)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._2).max, es.length.toLong, es.map(_._3).sum)
+    }.toSeq
+    val tMax = users.map(_._2).max
+    def quartiles(xs: Seq[Double]): Seq[Double] = {
+      val s = xs.sorted
+      Seq(0.25, 0.5, 0.75).map { p =>
+        val rank = p * (s.length - 1)
+        val lo = s(rank.floor.toInt); val hi = s(rank.ceil.toInt)
+        lo + (rank - rank.floor) * (hi - lo)
+      }
+    }
+    val rec = users.map(u => (tMax - u._2).toDouble)
+    val frq = users.map(_._3.toDouble)
+    val mon = users.map(_._4.toDouble)
+    val (rc, fc, mc) = (quartiles(rec), quartiles(frq), quartiles(mon))
+    def bin(cuts: Seq[Double], v: Double): Long = 1L + cuts.count(v > _)
+    val brute = users.map { case (_, lt, f, m) =>
+      (bin(rc, (tMax - lt).toDouble), bin(fc, f.toDouble), bin(mc, m.toDouble))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = out.map(r => (r.getAs[Long]("r_bin"), r.getAs[Long]("f_bin"),
+      r.getAs[Long]("m_bin")) -> r.getAs[Long]("n_users")).toMap
+    assert(got == brute)
+    assert(got.values.sum == users.length.toLong) // every user in one segment
+    out.foreach { r =>
+      Seq("r_bin", "f_bin", "m_bin").foreach(c =>
+        assert(r.getAs[Long](c) >= 1 && r.getAs[Long](c) <= 4))
+      assert(r.getAs[Double]("avg_frequency") >= 1.0)
+    }
+    // monetary quartiles genuinely separate: bin-4 segments carry more
+    // total value per user than bin-1 segments on average
+    def valuePerUser(mbin: Long) = {
+      val rs = out.filter(_.getAs[Long]("m_bin") == mbin)
+      rs.map(_.getAs[Double]("total_value")).sum / rs.map(_.getAs[Long]("n_users")).sum
+    }
+    assert(valuePerUser(4) > valuePerUser(1))
+  }
+
   test("cohort_value: grid matches a driver replay; LTV curves are monotone") {
     val out = AnalyticsQueries.cohortValue(spark, dir).collect()
       .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_week")) -> r).toMap
