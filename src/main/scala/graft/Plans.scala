@@ -136,7 +136,8 @@ object Plans {
     "sample_mean_ci" -> "deterministic md5-nibble sample is a narrow map at the scan; both passes map-combinable per-type folds; no shuffle grows with the corpus",
     "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k via a pid-partitioned window in ONE pass over the pair frame",
     "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid",
-    "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort"
+    "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort",
+    "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast"
   )
 
   def main(args: Array[String]): Unit = {

@@ -104,6 +104,7 @@ object SparkEntry {
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
     "cohort_value" -> (AnalyticsQueries.cohortValue _),
     "rfm_segments" -> (AnalyticsQueries.rfmSegments _),
+    "markov_eval" -> (AnalyticsQueries.markovEval _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1781,6 +1782,32 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "markov_eval" ->
+      // per-user lag pairs split at the midpoint of successor times;
+      // argmax ties to the larger successor (identical comparator);
+      // integer counts, one division per row
+      """WITH p AS (SELECT prev_type, event_type AS next_type, t FROM (
+        |    SELECT event_type, epoch_us(ts) AS t,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC) AS prev_type
+        |    FROM events) WHERE prev_type IS NOT NULL),
+        |m AS (SELECT (min(t) + max(t)) // 2 AS mid_t FROM p),
+        |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p, m WHERE t < mid_t GROUP BY 1, 2),
+        |mod AS (SELECT prev_type, next_type AS predicted_next, n AS n_top, n_train
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type DESC) AS rk,
+        |      CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_train
+        |    FROM tr) WHERE rk = 1),
+        |te AS (SELECT p.prev_type, p.next_type FROM p, m WHERE p.t >= m.mid_t)
+        |SELECT te.prev_type, mod.predicted_next, mod.n_train,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN te.next_type = mod.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN te.next_type = mod.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy,
+        |  CAST(mod.n_top AS DOUBLE) / CAST(mod.n_train AS DOUBLE) AS train_majority
+        |FROM te JOIN mod ON te.prev_type = mod.prev_type
+        |GROUP BY 1, 2, 3, mod.n_top""".stripMargin,
     "rfm_segments" ->
       // quantile_cont matches Spark percentile bit-for-bit (the
       // quantile_bins_scalable precedent); decimal value totals exact

@@ -2060,6 +2060,52 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** First-order Markov next-event prediction, trained AND evaluated
+    * in-engine — the sequence-model analog of [[graft.queries.SimilarityQueries.linearProbe]]:
+    * transition counts from the pairs whose successor lands BEFORE the
+    * corpus midpoint (the train half), a per-state argmax prediction
+    * (ties to the lexicographically larger successor — identical
+    * comparator both engines), and top-1 accuracy measured on the
+    * held-out later pairs. Per predecessor state: the prediction, its
+    * training support, held-out counts, and accuracy — beside the
+    * train-majority share so lift over the marginal is visible. All
+    * counts integer, one division per row.
+    *
+    * Scale: the pair stream is per-user lag windows ([[eventTransitions]]'
+    * shape); transition/train tables are |types|² rows, broadcast onto
+    * the test rollup. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    val pairs = Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        unix_micros(col("ts")).as("t"))
+    val mid = pairs.agg(expr("(min(t) + max(t)) div 2").as("mid_t"))
+    val tagged = pairs.crossJoin(broadcast(mid))
+    val train = tagged.filter(col("t") < col("mid_t"))
+      .groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("n"))
+    val pw = Window.partitionBy(col("prev_type"))
+      .orderBy(col("n").desc, col("next_type").desc)
+    val model = train
+      .withColumn("rk", row_number().over(pw))
+      .withColumn("n_train", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"),
+        col("n").as("n_top"), col("n_train"))
+    tagged.filter(col("t") >= col("mid_t"))
+      .join(broadcast(model), "prev_type")
+      .groupBy(col("prev_type"), col("predicted_next"), col("n_top"), col("n_train"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted_next"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("prev_type"), col("predicted_next"), col("n_train"), col("n_test"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double")).as("accuracy"),
+        (col("n_top").cast("double") / col("n_train").cast("double")).as("train_majority"))
+  }
+
   /** RFM segmentation — the classic marketing cube: per user, recency
     * (time since last event), frequency (event count), and monetary
     * (exact decimal value total), each quartile-binned against

@@ -939,6 +939,42 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("markov_eval: model and accuracy match a driver train/test replay") {
+    val out = AnalyticsQueries.markovEval(spark, dir).collect()
+      .map(r => r.getAs[String]("prev_type") -> r).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4))
+      s.zip(s.tail).map { case (a, b) => (a._2, b._2, b._3) }
+    }.toSeq
+    val mid = (pairs.map(_._3).min + pairs.map(_._3).max) / 2
+    val train = pairs.filter(_._3 < mid)
+    val test = pairs.filter(_._3 >= mid)
+    val counts = train.groupBy(p => (p._1, p._2)).map { case (k, v) => k -> v.size.toLong }
+    val model = counts.groupBy(_._1._1).map { case (prev, cs) =>
+      val best = cs.toSeq.map { case ((_, nxt), n) => (n, nxt) }.max // (n, lex) max
+      prev -> (best._2, best._1, cs.values.sum)
+    }
+    assert(out.keySet == model.keySet.filter(p => test.exists(_._1 == p)))
+    out.foreach { case (prev, r) =>
+      val (pred, nTop, nTrain) = model(prev)
+      assert(r.getAs[String]("predicted_next") == pred, prev)
+      assert(r.getAs[Long]("n_train") == nTrain)
+      val t = test.filter(_._1 == prev)
+      assert(r.getAs[Long]("n_test") == t.size.toLong)
+      val nc = t.count(_._2 == pred).toLong
+      assert(r.getAs[Long]("n_correct") == nc)
+      assert(r.getAs[Double]("accuracy") == nc.toDouble / t.size)
+      assert(r.getAs[Double]("train_majority") == nTop.toDouble / nTrain)
+      // a majority-class predictor's held-out accuracy should sit near
+      // the training majority share on this stationary fixture
+      assert(math.abs(r.getAs[Double]("accuracy") - r.getAs[Double]("train_majority")) < 0.2)
+    }
+  }
+
   test("rfm_segments: bins match a driver quartile replay; census covers every user") {
     val out = AnalyticsQueries.rfmSegments(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 64)
