@@ -137,7 +137,8 @@ object Plans {
     "attribution_linear" -> "user-keyed touch-purchase equijoin (pairs bounded by per-user activity); k via a pid-partitioned window in ONE pass over the pair frame",
     "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid",
     "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort",
-    "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast"
+    "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast",
+    "schema_integrity" -> "18 one-row checks: map-combinable distinct folds + anti-joins on the keys downstream queries already shuffle on; dims broadcast"
   )
 
   def main(args: Array[String]): Unit = {

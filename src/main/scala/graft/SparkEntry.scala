@@ -105,6 +105,7 @@ object SparkEntry {
     "cohort_value" -> (AnalyticsQueries.cohortValue _),
     "rfm_segments" -> (AnalyticsQueries.rfmSegments _),
     "markov_eval" -> (AnalyticsQueries.markovEval _),
+    "schema_integrity" -> (AnalyticsQueries.schemaIntegrity _),
     "date_agg" -> (CoreQueries.dateAgg _),
     "window_rank" -> (AnalyticsQueries.windowRank _),
     "rollup_agg" -> (AnalyticsQueries.rollupAgg _),
@@ -1782,6 +1783,43 @@ object SparkEntry {
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) / 1000000.0 AS mu_sq_norm,
         |  CAST(a.ssd2 AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)) AS anisotropy
         |FROM a, s""".stripMargin,
+    "schema_integrity" -> {
+      // PK checks: rows − distinct keys; FK checks: NOT EXISTS orphan
+      // counts (≡ Spark's left_anti — column names are globally unique
+      // across the star schema, so the correlation needs no aliases)
+      def pkSql(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS check_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
+           |  CAST((SELECT count(*) FROM $table)
+           |    - (SELECT count(*) FROM (SELECT DISTINCT $keys FROM $table)) AS BIGINT) AS n_bad""".stripMargin
+      def fkSql(name: String, child: String, key: String, parent: String, pkey: String) =
+        s"""SELECT '$name' AS check_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pkey = $key)) AS n_bad""".stripMargin
+      val checks = Seq(
+        pkSql("pk_lineitem", "lineitem", "l_orderkey, l_linenumber"),
+        pkSql("pk_orders", "orders", "o_orderkey"),
+        pkSql("pk_customer", "customer", "c_custkey"),
+        pkSql("pk_part", "part", "p_partkey"),
+        pkSql("pk_supplier", "supplier", "s_suppkey"),
+        pkSql("pk_nation", "nation", "n_nationkey"),
+        pkSql("pk_region", "region", "r_regionkey"),
+        pkSql("pk_events", "events", "event_id"),
+        pkSql("pk_documents", "documents", "doc_id"),
+        pkSql("pk_embeddings", "embeddings", "vec_id"),
+        fkSql("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkSql("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        fkSql("fk_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fkSql("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        fkSql("fk_customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fkSql("fk_supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        fkSql("fk_nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+        fkSql("fk_embeddings_documents", "embeddings", "vec_id", "documents", "doc_id"))
+      s"""SELECT check_name, n_rows, n_bad,
+         |  CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE) AS bad_rate
+         |FROM (${checks.mkString("\n UNION ALL \n")})""".stripMargin
+    },
     "markov_eval" ->
       // per-user lag pairs split at the midpoint of successor times;
       // argmax ties to the larger successor (identical comparator);

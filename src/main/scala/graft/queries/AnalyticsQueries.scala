@@ -2060,6 +2060,65 @@ object AnalyticsQueries {
         when(col("d").isNotNull, lit("delta")).otherwise(lit("base")).as("src"))
   }
 
+  /** Referential-integrity audit of the whole star schema — per
+    * constraint one row: key-uniqueness checks (n_bad = rows minus
+    * distinct keys) for every table's primary key, and orphan checks
+    * (anti-join count) for every foreign key. The dbt-style test suite
+    * run INSIDE the engine, in one query — the first thing a pipeline
+    * asserts after ingesting a new snapshot, because every join in
+    * this engine silently drops or duplicates rows if these fail.
+    * On the synthetic fixture the audit reports a REAL finding:
+    * `pk_lineitem` is violated (the generator assigns `l_linenumber`
+    * randomly rather than sequentially per order) while all 17 other
+    * constraints are clean — the spec pins both.
+    *
+    * Scale: each uniqueness check is one map-combinable fold; each
+    * orphan check is an anti-join on the join key the downstream
+    * queries already shuffle on (dimension sides broadcast). Output is
+    * constraints-sized. */
+  def schemaIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def pk(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_bad"))
+        .select(lit(name).as("chk"), col("n_rows"), col("n_bad"))
+    def fk(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      total.crossJoin(broadcast(orphans)) // two one-row frames
+        .select(lit(name).as("chk"), col("n_rows"), col("n_bad"))
+    }
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir); val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir); val e = Tables.events(spark, dir)
+    val d = Tables.documents(spark, dir); val em = Tables.embeddings(spark, dir)
+    Seq(
+      pk("pk_lineitem", li, Seq("l_orderkey", "l_linenumber")),
+      pk("pk_orders", o, Seq("o_orderkey")),
+      pk("pk_customer", c, Seq("c_custkey")),
+      pk("pk_part", p, Seq("p_partkey")),
+      pk("pk_supplier", s, Seq("s_suppkey")),
+      pk("pk_nation", n, Seq("n_nationkey")),
+      pk("pk_region", r, Seq("r_regionkey")),
+      pk("pk_events", e, Seq("event_id")),
+      pk("pk_documents", d, Seq("doc_id")),
+      pk("pk_embeddings", em, Seq("vec_id")),
+      fk("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+      fk("fk_lineitem_part", li, "l_partkey", p, "p_partkey"),
+      fk("fk_lineitem_supplier", li, "l_suppkey", s, "s_suppkey"),
+      fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+      fk("fk_customer_nation", c, "c_nationkey", n, "n_nationkey"),
+      fk("fk_supplier_nation", s, "s_nationkey", n, "n_nationkey"),
+      fk("fk_nation_region", n, "n_regionkey", r, "r_regionkey"),
+      fk("fk_embeddings_documents", em, "vec_id", d, "doc_id")
+    ).reduce(_ unionByName _)
+      .select(col("chk").as("check_name"), col("n_rows"), col("n_bad"),
+        (col("n_bad").cast("double") / col("n_rows").cast("double")).as("bad_rate"))
+  }
+
   /** First-order Markov next-event prediction, trained AND evaluated
     * in-engine — the sequence-model analog of [[graft.queries.SimilarityQueries.linearProbe]]:
     * transition counts from the pairs whose successor lands BEFORE the

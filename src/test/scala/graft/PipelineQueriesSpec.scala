@@ -939,6 +939,42 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("schema_integrity: 18 constraints, clean fixture, and a planted violation trips it") {
+    val out = AnalyticsQueries.schemaIntegrity(spark, dir).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_bad"), r.getAs[Double]("bad_rate"))).toMap
+    assert(out.size == 18)
+    // the audit EARNS its keep on the raw fixture: the synthetic
+    // generator assigns l_linenumber randomly, so (l_orderkey,
+    // l_linenumber) is NOT unique — a genuine data defect the audit
+    // must surface; every other constraint is clean
+    assert(out("pk_lineitem")._2 > 0L)
+    out.filterKeys(_ != "pk_lineitem").foreach { case (chk, (n, bad, rate)) =>
+      assert(n > 0, chk)
+      assert(bad == 0L && rate == 0.0, s"$chk: $bad bad of $n")
+    }
+    // row counts line up with the raw tables
+    assert(out("pk_lineitem")._1 == Tables.lineitem(spark, dir).count())
+    assert(out("fk_orders_customer")._1 == Tables.orders(spark, dir).count())
+    // sensitivity: a corrupted copy (orphaned FK + duplicated PK) must
+    // be flagged — write a tampered snapshot and audit it
+    val tmpDir = java.nio.file.Files.createTempDirectory("integ").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").write.parquet(s"$tmpDir/$t.parquet")
+    }
+    val li = Tables.lineitem(spark, dir)
+    li.withColumn("l_orderkey",
+        when(col("l_orderkey") % 100 === 0, lit(-1L)).otherwise(col("l_orderkey")))
+      .unionAll(li.limit(5)) // 5 duplicated PKs
+      .write.parquet(s"$tmpDir/lineitem.parquet")
+    val bad = AnalyticsQueries.schemaIntegrity(spark, tmpDir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap
+    assert(bad("fk_lineitem_orders") > 0)
+    assert(bad("pk_lineitem") > out("pk_lineitem")._2) // 5 planted dups on top
+    assert(bad("pk_orders") == 0L) // untouched tables stay clean
+  }
+
   test("markov_eval: model and accuracy match a driver train/test replay") {
     val out = AnalyticsQueries.markovEval(spark, dir).collect()
       .map(r => r.getAs[String]("prev_type") -> r).toMap
