@@ -939,6 +939,34 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(mean > 3.0 / 499.0 && mean < 1.0, s"mean=$mean")
   }
 
+  test("upsert_merge: randomized changelogs (timestamp ties, hot keys) merge ≡ replay") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // few keys + coarse timestamps force collisions and exact-tie
+      // elections, the paths a clean fixture rarely exercises
+      val n = 200 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        (i.toLong, // unique event_id
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(10) * 1000L),
+          rnd.nextInt(5).toLong, // 5 users
+          Seq("view", "click")(rnd.nextInt(2)),
+          rnd.nextInt(100) / 10.0)
+      }
+      val tmpDir = java.nio.file.Files.createTempDirectory(s"upsfuzz$trial").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$tmpDir/events.parquet")
+      val out = AnalyticsQueries.upsertMerge(spark, tmpDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("last_us"), r.getAs[Long]("last_event_id"),
+            r.getAs[Double]("last_value"))).toMap
+      val replay = rows.groupBy(r => (r._3, r._4)).map { case (k, rs) =>
+        val w = rs.maxBy(r => (r._2.getTime, r._1)) // (ts, event_id) order
+        k -> (w._2.getTime * 1000L, w._1, w._5)
+      }
+      assert(out == replay, s"trial $trial")
+    }
+  }
+
   test("schema_integrity: 18 constraints, clean fixture, and a planted violation trips it") {
     val out = AnalyticsQueries.schemaIntegrity(spark, dir).collect()
       .map(r => r.getAs[String]("check_name") ->
