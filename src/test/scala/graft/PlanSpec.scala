@@ -906,4 +906,36 @@ class PlanSpec extends SparkSuite {
     assert(!cal.contains("Window") && !cal.contains("CartesianProduct"),
       s"calibration_bins must not window:\n$cal")
   }
+
+  test("round-9 close: analytics additions keep their scale shapes") {
+    // sample_mean_ci / rfm_segments: no window at all (cutpoints and
+    // totals are one-row broadcasts; rfm's SinglePartition exchanges
+    // only merge groupless one-row aggregate partials, which is fine)
+    Seq(AnalyticsQueries.sampleMeanCi(spark, dir),
+      AnalyticsQueries.rfmSegments(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    }
+    // cohort_value: the cumulative window partitions by cohort — never
+    // an unpartitioned corpus sort
+    val cv = plan(AnalyticsQueries.cohortValue(spark, dir))
+    assert(!cv.contains("CartesianProduct"))
+    assert(!cv.contains("Exchange SinglePartition"),
+      s"cohort_value must stay key-partitioned:\n$cv")
+    // attribution_linear: single pass over the pair frame — exactly ONE
+    // user-keyed join (an aggregate+rejoin shape would show two)
+    val at = plan(AnalyticsQueries.attributionLinear(spark, dir))
+    assert(!at.contains("CartesianProduct"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(at).length == 1, s"attribution_linear must join once:\n$at")
+    // markov_eval: the transition model reaches the test rollup as a
+    // broadcast, never a shuffled join of two corpus-derived sides
+    val mk = plan(AnalyticsQueries.markovEval(spark, dir))
+    assert(mk.contains("BroadcastHashJoin") && !mk.contains("CartesianProduct"))
+    // dup_modularity: edge folds over the checkpointed compact list; the
+    // one-row m frame broadcasts
+    val dm = plan(SimilarityQueries.dupModularity(spark, dir))
+    assert(!dm.contains("CartesianProduct"))
+    assert(dm.contains("BroadcastExchange"), s"m must broadcast:\n$dm")
+  }
 }
