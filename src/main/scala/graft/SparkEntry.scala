@@ -99,6 +99,7 @@ object SparkEntry {
     "calibration_bins" -> (SimilarityQueries.calibrationBins _),
     "embedding_isotropy" -> (SimilarityQueries.embeddingIsotropy _),
     "dup_modularity" -> (SimilarityQueries.dupModularity _),
+    "ivf_balance" -> (SimilarityQueries.ivfBalance _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
@@ -1763,6 +1764,19 @@ object SparkEntry {
          |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
          |FROM nn LEFT JOIN dc ON nn.label = dc.label
          |  LEFT JOIN wc ON nn.label = wc.label, mm""".stripMargin,
+    "ivf_balance" ->
+      // per-bucket occupancy of the shared IVF assignment, folded to a
+      // one-row balance report; two pinned-order terminal divisions
+      s"""$IvfAssignSql,
+         |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM asn GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(sum(n) AS BIGINT) AS n_vecs,
+         |    min(n) AS min_bucket, max(n) AS max_bucket FROM occ)
+         |SELECT n_buckets, n_vecs, min_bucket, max_bucket,
+         |  CAST(n_vecs AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_bucket,
+         |  CAST(max_bucket AS DOUBLE)
+         |    / (CAST(n_vecs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS imbalance
+         |FROM a""".stripMargin,
     "embedding_isotropy" ->
       // anisotropy = Σs_d²/(n·S₂): per-dim sums + total squared norm in
       // BIGINT, Σs_d² in HUGEINT (engine: DECIMAL(38,0)), terminal

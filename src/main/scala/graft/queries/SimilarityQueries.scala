@@ -1728,6 +1728,29 @@ object SimilarityQueries {
           .as("q_contrib"))
   }
 
+  /** IVF bucket-balance audit — the operational health metric of the
+    * ANN serving path: per-bucket occupancy of the coarse index, folded
+    * to one row of {bucket count, corpus size, min/max/mean occupancy,
+    * imbalance = max/mean}. Query latency under IVF is driven by the
+    * LARGEST probed bucket, so imbalance is the number that decides
+    * when to retrain the centroids or split hot cells — the check a
+    * production rollout alarms on, computed from the same assignment
+    * chain the serving queries use ([[ivfAssign]], zero-shuffle).
+    *
+    * Scale: one map-combinable (bucket → count) fold over the
+    * assignment map, then a k-row rollup; nothing exceeds k rows after
+    * the first fold. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val asn = ivfAssign(spark, dir)
+    asn.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_bucket"), max(col("n")).as("max_bucket"))
+      .select(col("n_buckets"), col("n_vecs"), col("min_bucket"), col("max_bucket"),
+        (col("n_vecs").cast("double") / col("n_buckets").cast("double")).as("mean_bucket"),
+        (col("max_bucket").cast("double") /
+          (col("n_vecs").cast("double") / col("n_buckets").cast("double"))).as("imbalance"))
+  }
+
   /** Corpus embedding-isotropy audit (Ethayarajh 2019's question asked
     * of the whole corpus): anisotropy = ‖μ‖² / E‖x‖² — the fraction
     * of the mean squared norm explained by the common mean direction.

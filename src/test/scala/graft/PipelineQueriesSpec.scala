@@ -1182,6 +1182,25 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(covered * 2 > out.size, s"covered $covered of ${out.size}")
   }
 
+  test("ivf_balance: totals reconcile with the assignment; imbalance bounded") {
+    val r = SimilarityQueries.ivfBalance(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(row.getAs[Long]("n_vecs") == nVecs) // every vector in exactly one bucket
+    assert(row.getAs[Long]("n_buckets") >= 1 &&
+      row.getAs[Long]("n_buckets") <= SimilarityQueries.IvfK)
+    assert(row.getAs[Long]("min_bucket") >= 1)
+    assert(row.getAs[Long]("max_bucket") >= row.getAs[Long]("min_bucket"))
+    assert(row.getAs[Double]("mean_bucket") ==
+      nVecs.toDouble / row.getAs[Long]("n_buckets"))
+    val imb = row.getAs[Double]("imbalance")
+    assert(imb >= 1.0)
+    // hash-sampled centroids over a near-isotropic cloud must not leave
+    // a pathological hot cell (a 20x cell would break serving latency)
+    assert(imb < 20.0, s"imbalance $imb")
+  }
+
   test("dup_modularity: per-label contributions match brute force and sum to a valid Q") {
     val out = SimilarityQueries.dupModularity(spark, dir).collect()
       .map(r => r.getAs[Int]("label") ->
