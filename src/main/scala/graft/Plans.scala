@@ -139,7 +139,8 @@ object Plans {
     "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort",
     "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast",
     "schema_integrity" -> "18 one-row checks: map-combinable distinct folds + anti-joins on the keys downstream queries already shuffle on; dims broadcast",
-    "ivf_balance" -> "zero-shuffle assignment map → one (bucket → count) fold → k-row rollup; nothing exceeds k rows after the first fold"
+    "ivf_balance" -> "zero-shuffle assignment map → one (bucket → count) fold → k-row rollup; nothing exceeds k rows after the first fold",
+    "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after"
   )
 
   def main(args: Array[String]): Unit = {

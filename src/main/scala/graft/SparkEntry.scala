@@ -100,6 +100,7 @@ object SparkEntry {
     "embedding_isotropy" -> (SimilarityQueries.embeddingIsotropy _),
     "dup_modularity" -> (SimilarityQueries.dupModularity _),
     "ivf_balance" -> (SimilarityQueries.ivfBalance _),
+    "heaps_law" -> (TextQueries.heapsLaw _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
@@ -1764,6 +1765,26 @@ object SparkEntry {
          |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
          |FROM nn LEFT JOIN dc ON nn.label = dc.label
          |  LEFT JOIN wc ON nn.label = wc.label, mm""".stripMargin,
+    "heaps_law" ->
+      // cumulative distinct via first-occurrence docs: one vocab-sized
+      // (tok -> min doc) fold answers all ten prefix checkpoints; no
+      // log-log fit (libm ln ULP rule) — the exact curve is the output
+      s"""WITH toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1),
+         |fd AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+         |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         |cuts AS (SELECT CAST(d AS BIGINT) AS decile,
+         |    (mx.max_id * d) // 10 AS cutoff_id
+         |  FROM mx, (SELECT unnest(range(1, 11)) AS d)),
+         |dt AS (SELECT c.decile, c.cutoff_id,
+         |    CAST(count(*) AS BIGINT) AS docs_cum,
+         |    CAST(sum(pd.n_toks) AS BIGINT) AS tokens_cum
+         |  FROM pd JOIN cuts c ON pd.doc_id <= c.cutoff_id GROUP BY 1, 2),
+         |v AS (SELECT c.decile, CAST(count(*) AS BIGINT) AS vocab_cum
+         |  FROM fd JOIN cuts c ON fd.first_doc <= c.cutoff_id GROUP BY 1)
+         |SELECT dt.decile, dt.cutoff_id, dt.docs_cum, dt.tokens_cum, v.vocab_cum,
+         |  CAST(v.vocab_cum AS DOUBLE) / CAST(dt.tokens_cum AS DOUBLE) AS type_token_ratio
+         |FROM dt JOIN v ON dt.decile = v.decile""".stripMargin,
     "ivf_balance" ->
       // per-bucket occupancy of the shared IVF assignment, folded to a
       // one-row balance report; two pinned-order terminal divisions

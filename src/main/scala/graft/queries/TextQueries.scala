@@ -547,6 +547,43 @@ object TextQueries {
         col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
   }
 
+  /** Heaps-law vocabulary-growth curve — per decile of the corpus (by
+    * doc_id prefix, i.e. ingestion order): cumulative docs, tokens,
+    * DISTINCT vocabulary, and the type-token ratio. The corpus-health
+    * read that decides "will more of this source keep adding new
+    * vocabulary, or is it recycling itself" — a flattening curve is
+    * the first sign a crawl has saturated. Cumulative distinct needs
+    * no running set: a token is in the decile-d vocabulary iff its
+    * FIRST-occurrence doc falls in the prefix, so one vocabulary-sized
+    * (tok → min doc_id) fold answers all ten checkpoints. No log-log
+    * slope fit on purpose (libm ln drifts across engines — the ULP
+    * rule); the exact integer curve is the deliverable.
+    *
+    * Scale: token explode folds map-side to per-doc counts and the
+    * vocabulary frame; the 10-row cutoff frame broadcasts for the
+    * prefix fan-out; everything after is ≤10 groups. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val firstDoc = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
+    val cuts = mx.select(explode(sequence(lit(1), lit(10))).as("decile"), col("max_id"))
+      .select(col("decile"), expr("(max_id * decile) div 10").as("cutoff_id"))
+    val docsTok = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cutoff_id"))
+      .groupBy(col("decile"), col("cutoff_id"))
+      .agg(count(lit(1)).as("docs_cum"), sum(col("n_toks")).as("tokens_cum"))
+    val vocab = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("first_doc") <= col("cutoff_id"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab_cum"))
+    docsTok.join(vocab, "decile")
+      .select(col("decile").cast("long").as("decile"), col("cutoff_id"),
+        col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+        (col("vocab_cum").cast("double") /
+          col("tokens_cum").cast("double")).as("type_token_ratio"))
+  }
+
   /** Rank agreement between the two quality signals — Spearman's ρ
     * between the heuristic [[qualityScore]] and the bigram-MLE
     * [[lmScore]] fluency, over docs that have both (≥ 2 tokens). The

@@ -1182,6 +1182,34 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(covered * 2 > out.size, s"covered $covered of ${out.size}")
   }
 
+  test("heaps_law: curve matches a driver prefix replay and is monotone concave-ish") {
+    val out = TextQueries.heapsLaw(spark, dir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(out.length == 10)
+    def tok(s: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(
+        s.trim.replaceAll("\\s+", " ").toLowerCase).toSeq
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> tok(r.getString(1)))
+    val maxId = docs.map(_._1).max
+    out.foreach { r =>
+      val cutoff = maxId * r.getAs[Long]("decile") / 10
+      assert(r.getAs[Long]("cutoff_id") == cutoff)
+      val prefix = docs.filter(_._1 <= cutoff)
+      assert(r.getAs[Long]("docs_cum") == prefix.count(_._2.nonEmpty).toLong)
+      assert(r.getAs[Long]("tokens_cum") == prefix.map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("vocab_cum") == prefix.flatMap(_._2).distinct.length.toLong)
+    }
+    // growth curve properties: cumulative counts monotone; vocabulary
+    // grows slower than tokens (type-token ratio non-increasing-ish)
+    val v = out.map(_.getAs[Long]("vocab_cum"))
+    val t = out.map(_.getAs[Long]("tokens_cum"))
+    assert(v.zip(v.tail).forall { case (a, b) => b >= a })
+    assert(t.zip(t.tail).forall { case (a, b) => b > a })
+    assert(out.head.getAs[Double]("type_token_ratio") >=
+      out.last.getAs[Double]("type_token_ratio"))
+  }
+
   test("ivf_balance: totals reconcile with the assignment; imbalance bounded") {
     val r = SimilarityQueries.ivfBalance(spark, dir).collect()
     assert(r.length == 1)
