@@ -40,11 +40,21 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
       val maxBytes = spark.conf.getOption(CartesianGuard.MaxBytesKey)
         .map(_.toLong).getOrElse(CartesianGuard.DefaultMaxBytes)
       plan.foreach {
-        case j @ Join(left, right, _, None, _) =>
+        case j @ Join(left, right, _, cond, hint)
+            if !CartesianGuard.broadcastHinted(hint) &&
+              !cond.exists(CartesianGuard.hasEquality) =>
+          // no condition at all, OR a condition with no equality
+          // anywhere: both plan as a product (CartesianProduct /
+          // BroadcastNestedLoopJoin), i.e. |L|×|R| comparisons. An
+          // explicit broadcast() hint is the author vouching a side is
+          // small — that case is exempt (the equality test is crude in
+          // the SAFE direction: any equality anywhere passes, so the
+          // guard never blocks a plan Catalyst could hash-join).
           val (lb, rb) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
           if (lb > maxBytes && rb > maxBytes) {
             throw new IllegalStateException(
-              s"CartesianGuard: condition-less join of two large relations " +
+              s"CartesianGuard: ${if (cond.isEmpty) "condition-less" else "non-equi"} " +
+                s"join of two large relations " +
                 s"(~$lb x ~$rb bytes, threshold $maxBytes/side) would be an " +
                 s"all-pairs product at scale. Broadcast a genuinely small " +
                 s"side, add an equi-condition, or raise " +
@@ -60,6 +70,23 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
 object CartesianGuard {
   val EnabledKey = "spark.graft.crossGuard.enabled"
   val MaxBytesKey = "spark.graft.crossGuard.maxBytes"
+
+  import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, JoinHint}
+
+  /** Any equality anywhere in the condition — deliberately crude in the
+    * safe direction (a literal equality also passes), so the guard can
+    * never block a join Catalyst could execute as a hash join. */
+  private[plans] def hasEquality(cond: Expression): Boolean = cond.exists {
+    case _: EqualTo | _: EqualNullSafe => true
+    case _ => false
+  }
+
+  /** An explicit `broadcast()` hint on either side is the author
+    * vouching that side is small — exempt. */
+  private[plans] def broadcastHinted(hint: JoinHint): Boolean =
+    Seq(hint.leftHint, hint.rightHint).flatten
+      .exists(_.strategy.contains(BROADCAST))
 
   /** ~autoBroadcastJoinThreshold: a side this small would broadcast. */
   val DefaultMaxBytes: Long = 10L * 1024 * 1024

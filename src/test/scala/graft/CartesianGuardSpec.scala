@@ -66,6 +66,42 @@ class CartesianGuardSpec extends SparkSuite {
     }
   }
 
+  test("unhinted non-equi big x big fails; a broadcast hint vouches and passes") {
+    withGuard(maxBytes = 20 * 1024) {
+      // a pure range join of two large tables plans as a nested-loop
+      // product — the guard must refuse it
+      val e = intercept[Exception] {
+        Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir), col("l_orderkey") < col("o_orderkey"))
+          .queryExecution.optimizedPlan
+      }
+      assert(Option(e.getMessage).getOrElse(e.getCause.getMessage)
+        .contains("non-equi"))
+      // the engine's own non-equi shape: corpus x broadcast(query set) —
+      // the hint vouches the small side, so the guard steps aside
+      graft.queries.SimilarityQueries.knnCosine(spark, dir)
+        .queryExecution.optimizedPlan
+    }
+  }
+
+  test("the ENTIRE query surface plans clean under a tight guard") {
+    // 20 KB threshold makes every fixture fact table "large" at
+    // sf0.001 — any accidental unhinted product anywhere in the 196
+    // queries would throw here. This is the sweep that keeps the guard
+    // honest as the surface grows.
+    withGuard(maxBytes = 20 * 1024) {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).queryExecution.optimizedPlan; None }
+          catch { case e: Throwable if Option(e.getMessage).toSeq
+              .exists(_.contains("CartesianGuard")) =>
+            Some(name -> e.getMessage.take(120)) }
+      }
+      assert(failures.isEmpty,
+        s"guard-tripped queries:\n${failures.map { case (n, m) => s"  $n: $m" }.mkString("\n")}")
+    }
+  }
+
   test("install is idempotent and uninstall restores the session") {
     CartesianGuard.install(spark)
     CartesianGuard.install(spark)
