@@ -140,7 +140,8 @@ object Plans {
     "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast",
     "schema_integrity" -> "18 one-row checks: map-combinable distinct folds + anti-joins on the keys downstream queries already shuffle on; dims broadcast",
     "ivf_balance" -> "zero-shuffle assignment map → one (bucket → count) fold → k-row rollup; nothing exceeds k rows after the first fold",
-    "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after"
+    "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after",
+    "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids"
   )
 
   def main(args: Array[String]): Unit = {

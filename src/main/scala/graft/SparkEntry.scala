@@ -101,6 +101,7 @@ object SparkEntry {
     "dup_modularity" -> (SimilarityQueries.dupModularity _),
     "ivf_balance" -> (SimilarityQueries.ivfBalance _),
     "heaps_law" -> (TextQueries.heapsLaw _),
+    "cluster_split" -> (CurationQueries.clusterSplit _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
@@ -1765,6 +1766,31 @@ object SparkEntry {
          |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
          |FROM nn LEFT JOIN dc ON nn.label = dc.label
          |  LEFT JOIN wc ON nn.label = wc.label, mm""".stripMargin,
+    "cluster_split" ->
+      // both split methods over the shared connected-components CTE;
+      // clm MATERIALIZED (cl feeds both method arms); md5 split and
+      // census arithmetic all integer
+      s"""WITH RECURSIVE $ClusterBody,
+         |clm AS MATERIALIZED (SELECT doc_id, cluster FROM cl),
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, cluster, 'by_doc' AS method,
+         |    CASE WHEN ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |      THEN 'train' ELSE 'eval' END AS split
+         |  FROM clm
+         |  UNION ALL
+         |  SELECT doc_id, cluster, 'by_cluster' AS method,
+         |    CASE WHEN ${hash32Sql("CAST(cluster AS VARCHAR)")} % 100 < 80
+         |      THEN 'train' ELSE 'eval' END AS split
+         |  FROM clm),
+         |lk AS (SELECT method,
+         |    CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters
+         |  FROM (SELECT method, cluster, count(DISTINCT split) AS nsp
+         |        FROM t GROUP BY 1, 2) GROUP BY 1)
+         |SELECT t.method, t.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT t.cluster) AS BIGINT) AS n_clusters,
+         |  lk.n_leaky_clusters
+         |FROM t JOIN lk ON t.method = lk.method
+         |GROUP BY 1, 2, lk.n_leaky_clusters""".stripMargin,
     "heaps_law" ->
       // cumulative distinct via first-occurrence docs: one vocab-sized
       // (tok -> min doc) fold answers all ten prefix checkpoints; no

@@ -373,6 +373,38 @@ object CurationQueries {
     * bucket (over lang ⊕ text) falls under the per-stratum rate — the
     * portable, seedless sampling every reproducible pipeline needs (same
     * rows selected on any engine, any partitioning, any day). 10% here. */
+  /** Leakage-free train/eval splitting — assign whole DEDUP CLUSTERS,
+    * not documents, to splits: near-duplicates of a training document
+    * must never land in eval, or the eval score measures memorization
+    * of paraphrases ([[graft.queries.AnalyticsQueries.timeSplit]]
+    * measures the temporal variant of the same leak). Both methods run
+    * side by side on the same 80/20 md5 split so the report QUANTIFIES
+    * the leak the naive method ships: per (method, split) the doc and
+    * cluster census, per method the count of straddling (leaky)
+    * clusters — by construction 0 for `by_cluster`, positive for
+    * `by_doc` whenever any multi-doc cluster exists.
+    *
+    * Scale: the cluster frame is compact (doc_id, cluster) — the
+    * label-propagation output — checkpointed once; every aggregate
+    * after is a compact-key fold. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir).localCheckpoint(true)
+    def splitOf(key: Column): Column =
+      when(pmod(md5Hash32(key.cast("string")), lit(100L)) < 80, "train")
+        .otherwise("eval")
+    val tagged = cl.select(col("doc_id"), col("cluster"),
+        lit("by_doc").as("method"), splitOf(col("doc_id")).as("split"))
+      .unionByName(cl.select(col("doc_id"), col("cluster"),
+        lit("by_cluster").as("method"), splitOf(col("cluster")).as("split")))
+    val leaky = tagged.groupBy(col("method"), col("cluster"))
+      .agg(countDistinct(col("split")).as("nsp"))
+      .groupBy(col("method"))
+      .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaky_clusters"))
+    tagged.groupBy(col("method"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+      .join(broadcast(leaky), "method")
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket", pmod(md5Hash32(concat(col("lang"), lit(":"), col("text"))), lit(100L)))

@@ -1182,6 +1182,35 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(covered * 2 > out.size, s"covered $covered of ${out.size}")
   }
 
+  test("cluster_split: by_cluster never leaks; by_doc leak count matches brute force") {
+    val out = graft.queries.CurationQueries.clusterSplit(spark, dir).collect()
+    val byKey = out.map(r => (r.getAs[String]("method"), r.getAs[String]("split")) -> r).toMap
+    assert(byKey.size == 4) // 2 methods x 2 splits
+    val cl = graft.queries.CurationQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val nDocs = cl.length.toLong
+    // every doc lands in exactly one split under each method
+    Seq("by_doc", "by_cluster").foreach { m =>
+      assert(byKey((m, "train")).getAs[Long]("n_docs") +
+        byKey((m, "eval")).getAs[Long]("n_docs") == nDocs, m)
+    }
+    // the guarantee: cluster-level assignment cannot straddle
+    assert(byKey(("by_cluster", "train")).getAs[Long]("n_leaky_clusters") == 0L)
+    // the measured leak of the naive method: brute-force from the
+    // cluster map using the same md5 split the engine applies
+    val docSplit = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(graft.functions.TextFunctions.md5Hash32(col("doc_id").cast("string")),
+          lit(100L)) < 80, "train").otherwise("eval").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaky = cl.groupBy(_._2).count { case (_, ds) =>
+      ds.map(d => docSplit(d._1)).distinct.size > 1
+    }.toLong
+    assert(byKey(("by_doc", "train")).getAs[Long]("n_leaky_clusters") == leaky)
+    // multi-doc clusters exist in the fixture, so the naive method leaks
+    assert(leaky > 0)
+  }
+
   test("heaps_law: curve matches a driver prefix replay and is monotone concave-ish") {
     val out = TextQueries.heapsLaw(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
