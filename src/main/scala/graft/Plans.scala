@@ -141,7 +141,8 @@ object Plans {
     "schema_integrity" -> "18 one-row checks: map-combinable distinct folds + anti-joins on the keys downstream queries already shuffle on; dims broadcast",
     "ivf_balance" -> "zero-shuffle assignment map → one (bucket → count) fold → k-row rollup; nothing exceeds k rows after the first fold",
     "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after",
-    "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids"
+    "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids",
+    "bootstrap_ci" -> "one-pass Poisson bootstrap: 2B conditional integer sums fold map-side in ONE aggregation — zero fan-out; the sort ranks a B-element in-row array"
   )
 
   def main(args: Array[String]): Unit = {

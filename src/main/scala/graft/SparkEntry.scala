@@ -104,6 +104,7 @@ object SparkEntry {
     "cluster_split" -> (CurationQueries.clusterSplit _),
     "conversion_lag" -> (AnalyticsQueries.conversionLag _),
     "sample_mean_ci" -> (AnalyticsQueries.sampleMeanCi _),
+    "bootstrap_ci" -> (AnalyticsQueries.bootstrapCi _),
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
     "cohort_value" -> (AnalyticsQueries.cohortValue _),
     "rfm_segments" -> (AnalyticsQueries.rfmSegments _),
@@ -1969,6 +1970,39 @@ object SparkEntry {
         |  CAST(count(DISTINCT pr.pid) AS BIGINT) AS n_purchases,
         |  CAST(CAST(sum(1000000 // k.k) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit
         |FROM pr JOIN k ON pr.pid = k.pid GROUP BY 1""".stripMargin,
+    "bootstrap_ci" -> {
+      // one-pass Poisson bootstrap: 2B conditional integer sums, the
+      // SAME hash-derived multiplicities (CDF literals string-parsed),
+      // replica means sorted in-row, integer index picks
+      val b = AnalyticsQueries.BootB
+      def multSql(bb: Int): String = {
+        val u = s"CAST(${hash32Sql(s"CAST(event_id AS VARCHAR) || ':$bb'")} % 1000000 AS DOUBLE) / 1000000.0"
+        AnalyticsQueries.PoissonCdf.zipWithIndex.reverse
+          .foldLeft("CAST(5 AS BIGINT)") { case (acc, (c, k)) =>
+            s"CASE WHEN $u < CAST('$c' AS DOUBLE) THEN CAST($k AS BIGINT) ELSE $acc END"
+          }
+      }
+      val aggCols = (0 until b).map(bb =>
+        s"CAST(sum(${multSql(bb)}) AS BIGINT) AS n$bb,\n" +
+          s"    CAST(sum((${multSql(bb)}) * qv) AS BIGINT) AS s$bb").mkString(",\n    ")
+      val meanList = (0 until b).map(bb =>
+        s"CAST(s$bb AS DOUBLE) / CAST(n$bb AS DOUBLE) / 100.0").mkString("[", ", ", "]")
+      s"""WITH ev AS (SELECT event_type, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS qv,
+         |    CAST(value AS DECIMAL(18,2)) AS vdec FROM events),
+         |a AS (SELECT event_type,
+         |    $aggCols,
+         |    CAST(count(*) AS BIGINT) AS n_exact, sum(vdec) AS edec
+         |  FROM ev GROUP BY 1),
+         |r AS (SELECT event_type, n_exact,
+         |    CAST(edec AS DOUBLE) / CAST(n_exact AS DOUBLE) AS mean_exact,
+         |    list_sort($meanList) AS rm
+         |  FROM a)
+         |SELECT event_type, n_exact, mean_exact,
+         |  rm[2] AS ci_lo, rm[${b - 1}] AS ci_hi,
+         |  mean_exact >= rm[2] AND mean_exact <= rm[${b - 1}] AS within_ci
+         |FROM r""".stripMargin
+    },
     "sample_mean_ci" ->
       // same deterministic md5-nibble sample; variance cross product in
       // HUGEINT (engine: DECIMAL(38,0)); CI arithmetic order-pinned

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions.md5Hash32
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2277,6 +2278,66 @@ object AnalyticsQueries {
         sum(expr("1000000 div k")).as("credit_fp"))
       .select(col("touch_type"), col("n_touches"), col("n_purchases"),
         (col("credit_fp").cast("double") / lit(1000000.0)).as("credit"))
+  }
+
+  /** Poisson(1) CDF thresholds as FIXED decimal literals (multiplicity
+    * k ⇔ u lands in [C_{k−1}, C_k); tail capped at 5) — string-parsed
+    * to identical doubles in both engines, never computed via exp(). */
+  private[graft] val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563")
+
+  /** Bootstrap replica count. */
+  private[graft] val BootB = 32
+
+  /** One-pass Poisson bootstrap CI (the distributed bootstrap: each
+    * replica resamples every row with an independent Poisson(1)
+    * multiplicity, so B replicas need ONE scan and no per-replica
+    * shuffles — the construction that makes bootstrapping feasible at
+    * warehouse scale, vs B actual resampling passes). Multiplicities
+    * are DETERMINISTIC: u = md5(event_id : replica) mapped through
+    * fixed Poisson CDF literals, so both engines draw the identical
+    * resamples and the oracle matches bit-for-bit — the engine's
+    * seedless-sampling discipline applied to resampling. Per type: the
+    * exact mean, the [replica 2, replica B−1] band of the B sorted
+    * replica means (an ≈94% interval at B = 32, integer-indexed — no
+    * interpolation), and whether the band covers the exact mean.
+    * Complements [[sampleMeanCi]]: the bootstrap needs no normality
+    * and generalizes to any plug-in statistic.
+    *
+    * Scale: B·{n, Σ} conditional integer sums fold map-side in one
+    * aggregation — 2B columns per type, zero fan-out; the sort ranks a
+    * B-element in-row array. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("event_id"),
+      floor(col("value") * lit(100.0)).cast("long").as("qv"),
+      col("value").cast(Dec).as("vdec"))
+    // per-row multiplicity for replica b: u = hash scaled to [0,1),
+    // folded in reverse so the SMALLEST matching CDF threshold wins
+    // (when(u<C0, 0).otherwise(when(u<C1, 1)...) outermost-first)
+    def mult(b: Int): Column = {
+      val u = pmod(md5Hash32(concat(col("event_id").cast("string"),
+        lit(s":$b"))), lit(1000000L)).cast("double") / lit(1000000.0)
+      PoissonCdf.zipWithIndex.reverse.foldLeft(lit(5L): Column) {
+        case (acc, (c, k)) =>
+          when(u < lit(c.toDouble), lit(k.toLong)).otherwise(acc)
+      }
+    }
+    val aggs = (0 until BootB).flatMap { b =>
+      Seq(sum(mult(b)).as(s"n$b"), sum(mult(b) * col("qv")).as(s"s$b"))
+    } ++ Seq(count(lit(1)).as("n_exact"), sum(col("vdec")).as("edec"))
+    val perType = ev.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until BootB).map(b =>
+      col(s"s$b").cast("double") / col(s"n$b").cast("double") / lit(100.0)): _*)
+    perType
+      .withColumn("rm", array_sort(means))
+      .select(col("event_type"), col("n_exact"),
+        (col("edec").cast("double") / col("n_exact").cast("double")).as("mean_exact"),
+        element_at(col("rm"), 2).as("ci_lo"),
+        element_at(col("rm"), BootB - 1).as("ci_hi"))
+      .withColumn("within_ci",
+        col("mean_exact") >= col("ci_lo") && col("mean_exact") <= col("ci_hi"))
   }
 
   /** Approximate query processing audit — answer "mean value per type"

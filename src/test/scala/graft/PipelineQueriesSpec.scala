@@ -1150,6 +1150,48 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(totalCredit > attributed - pairs.length * 1e-6 - 1e-9)
   }
 
+  test("bootstrap_ci: replica means match a driver Poisson replay; band behaves") {
+    val out = AnalyticsQueries.bootstrapCi(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val cdf = AnalyticsQueries.PoissonCdf.map(_.toDouble)
+    def mult(id: Long, b: Int): Long = {
+      val u = (h32(s"$id:$b") % 1000000L).toDouble / 1000000.0
+      cdf.indexWhere(u < _) match { case -1 => 5L; case k => k.toLong }
+    }
+    // independently recompute ALL replica means for every type; the
+    // sorted band indices must reproduce the query's interval exactly
+    out.foreach { case (t, r) =>
+      val rows = ev.filter(_._1 == t)
+      assert(r.getAs[Long]("n_exact") == rows.length.toLong)
+      val exact = rows.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / rows.length
+      assert(math.abs(r.getAs[Double]("mean_exact") - exact) < 1e-9)
+      val means = (0 until AnalyticsQueries.BootB).map { b =>
+        val (n, s) = rows.foldLeft((0L, 0L)) { case ((n0, s0), (_, id, v)) =>
+          val m = mult(id, b)
+          (n0 + m, s0 + m * math.floor(v * 100.0).toLong)
+        }
+        s.toDouble / n.toDouble / 100.0
+      }.sorted
+      assert(r.getAs[Double]("ci_lo") == means(1), t)  // element_at(rm, 2)
+      assert(r.getAs[Double]("ci_hi") == means(AnalyticsQueries.BootB - 2))
+      assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Boolean]("within_ci") ==
+        (r.getAs[Double]("mean_exact") >= r.getAs[Double]("ci_lo") &&
+          r.getAs[Double]("mean_exact") <= r.getAs[Double]("ci_hi")))
+    }
+    // resampling is seedless-deterministic: most bands cover the truth
+    assert(out.values.count(_.getAs[Boolean]("within_ci")) * 2 > out.size)
+  }
+
   test("sample_mean_ci: sample stats match a driver replay; CI covers the truth") {
     val out = AnalyticsQueries.sampleMeanCi(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
