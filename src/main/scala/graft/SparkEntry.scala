@@ -1982,18 +1982,22 @@ object SparkEntry {
             s"CASE WHEN $u < CAST('$c' AS DOUBLE) THEN CAST($k AS BIGINT) ELSE $acc END"
           }
       }
+      val multCols = (0 until b).map(bb => s"(${multSql(bb)}) AS m$bb").mkString(",\n    ")
       val aggCols = (0 until b).map(bb =>
-        s"CAST(sum(${multSql(bb)}) AS BIGINT) AS n$bb,\n" +
-          s"    CAST(sum((${multSql(bb)}) * qv) AS BIGINT) AS s$bb").mkString(",\n    ")
+        s"CAST(sum(m$bb) AS BIGINT) AS n$bb,\n" +
+          s"    CAST(sum(m$bb * qv) AS BIGINT) AS s$bb").mkString(",\n    ")
       val meanList = (0 until b).map(bb =>
         s"CAST(s$bb AS DOUBLE) / CAST(n$bb AS DOUBLE) / 100.0").mkString("[", ", ", "]")
       s"""WITH ev AS (SELECT event_type, event_id,
          |    CAST(floor(value * 100) AS BIGINT) AS qv,
          |    CAST(value AS DECIMAL(18,2)) AS vdec FROM events),
+         |wm AS (SELECT event_type, qv, vdec,
+         |    $multCols
+         |  FROM ev),
          |a AS (SELECT event_type,
          |    $aggCols,
          |    CAST(count(*) AS BIGINT) AS n_exact, sum(vdec) AS edec
-         |  FROM ev GROUP BY 1),
+         |  FROM wm GROUP BY 1),
          |r AS (SELECT event_type, n_exact,
          |    CAST(edec AS DOUBLE) / CAST(n_exact AS DOUBLE) AS mean_exact,
          |    list_sort($meanList) AS rm

@@ -2324,6 +2324,11 @@ object AnalyticsQueries {
           when(u < lit(c.toDouble), lit(k.toLong)).otherwise(acc)
       }
     }
+    // the two identical mult(b) occurrences per replica (n_b and s_b)
+    // are deduplicated by codegen common-subexpression elimination, so
+    // the md5 kernel runs B times per row as-is; materializing the
+    // multiplicities in an explicit projection instead measured 2x
+    // SLOWER (wide intermediate row + lost fusion)
     val aggs = (0 until BootB).flatMap { b =>
       Seq(sum(mult(b)).as(s"n$b"), sum(mult(b) * col("qv")).as(s"s$b"))
     } ++ Seq(count(lit(1)).as("n_exact"), sum(col("vdec")).as("edec"))
