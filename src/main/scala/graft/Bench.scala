@@ -33,20 +33,48 @@ object Bench {
     // discards one-off spikes and first-run codegen/classload cost, so the
     // number reported is the query's steady-state cost, which is the
     // quantity comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
-        }
-      val (a, b) = (once(), once())
-      // either run failing marks the query failed — a flaky query must not
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+      }
+    // LOAD SENTINEL: three fixed, cheap, plan-stable queries co-measured at
+    // run start / middle / end (single-run each; they also appear min-of-2 in
+    // the main map). Ambient CPU load on this box inflates every query
+    // together by up to ~4x, so a single bench artifact can't otherwise
+    // distinguish "this query regressed" from "the box was loud during this
+    // stretch" — compare each sentinel sample against its baseline row to
+    // adjudicate the run's load window from the JSON alone.
+    val sentinelNames = Seq("dedup_exact", "pivot_agg", "k_anonymity")
+    def sentinelSample(): Seq[Double] =
+      sentinelNames.map(n => once(n, SparkEntry.queries(n)))
+    // one untimed warm pass so sentinel samples measure LOAD, not first-run
+    // codegen/classload (measured: a cold start sample reads 2.3 s where the
+    // steady-state cost is 0.36 s — that would read as a loud box)
+    sentinelSample()
+    // SPARK_GRAFT_RUNS: min-of-N per query (default 2). SPARK_GRAFT_ONLY:
+    // comma-separated name filter for targeted quiet-box re-records — the
+    // same measurement path as a full run, so targeted rows are comparable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def minOfN(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
+      val samples = Seq.fill(runs)(once(name, fn))
+      // any run failing marks the query failed — a flaky query must not
       // hide behind its lucky run
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
+    val sentStart = sentinelSample()
+    val resultsA = firstHalf.map((minOfN _).tupled)
+    val sentMid = sentinelSample()
+    val resultsB = secondHalf.map((minOfN _).tupled)
+    val sentEnd = sentinelSample()
+    val results = resultsA ++ resultsB
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failure must never IMPROVE the total (excluding a broken expensive
@@ -58,7 +86,11 @@ object Bench {
     val okSum = results.map(_._2).filter(_ >= 0).sum
     val failures = results.count(_._2 < 0)
     val total = okSum + failures * math.max(okSum, 120.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    def sentJson(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val sentinel =
+      s"""{"queries":${sentinelNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""start":${sentJson(sentStart)},"mid":${sentJson(sentMid)},"end":${sentJson(sentEnd)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sentinel":$sentinel,"sf":"$sfDir"}"""
     println(json)
     // The driver's stdout capture has truncated the front of this (long)
     // line in past rounds, losing the per-query map. Persist the full JSON
