@@ -221,6 +221,7 @@ object SparkEntry {
     "pq_ann" -> (SimilarityQueries.pqAnn _),
     "pq_recall" -> (SimilarityQueries.pqRecall _),
     "ivfpq_ann" -> (SimilarityQueries.ivfPqAnn _),
+    "ivfpq_ann_served" -> (SimilarityQueries.ivfPqAnnServed _),
     "ivfpq_recall" -> (SimilarityQueries.ivfPqRecall _),
     // no oracle entry (sketches are engine-specific): driver records a
     // rows-only check, by design; error-bound-tested in ApproxStatsSpec
@@ -1386,6 +1387,12 @@ object SparkEntry {
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
          |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
     "ivfpq_ann" ->
+      s"""$IvfPqBody
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    // the served twin is bit-identical to ivfpq_ann by construction
+    // (same centroids/codebooks via parquet round-trip, shared ADC and
+    // search arithmetic) -- the oracle pins exactly that
+    "ivfpq_ann_served" ->
       s"""$IvfPqBody
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     "ivfpq_recall" ->

@@ -2073,48 +2073,68 @@ object AnalyticsQueries {
     * randomly rather than sequentially per order) while all 17 other
     * constraints are clean — the spec pins both.
     *
-    * Scale: each uniqueness check is one map-combinable fold; each
-    * orphan check is an anti-join on the join key the downstream
-    * queries already shuffle on (dimension sides broadcast). Output is
-    * constraints-sized. */
+    * Scale: ONE aggregate pass per table computes that table's pk check
+    * AND all its fk orphan counts together — the table's fk columns
+    * left-join the parents' DISTINCT key frames (single-column pruned
+    * scans; dims broadcast) and the orphan counts ride the same fold as
+    * the uniqueness check, so lineitem is scanned once, not 4×, for the
+    * whole-warehouse audit. The distinct on each parent key frame is a
+    * compact map-combinable shuffle and makes the join duplicate-proof
+    * (the audit must not assume the uniqueness it is auditing). Output
+    * is constraints-sized. */
   def schemaIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    def pk(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_bad"))
-        .select(lit(name).as("chk"), col("n_rows"), col("n_bad"))
-    def fk(name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame = {
-      val total = child.agg(count(lit(1)).as("n_rows"))
-      val orphans = child.select(col(key))
-        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
-        .agg(count(lit(1)).as("n_bad"))
-      total.crossJoin(broadcast(orphans)) // two one-row frames
-        .select(lit(name).as("chk"), col("n_rows"), col("n_bad"))
+    // (check name, n_bad expression) pairs fold in ONE aggregate over the
+    // (joined) table scan, then unstack to the per-check rows
+    def checks(table: DataFrame, pkName: String, pkKeys: Seq[String],
+        fks: Seq[(String, String)]): DataFrame = {
+      val aggs =
+        (count(lit(1)) - countDistinct(pkKeys.head, pkKeys.tail: _*)).as(pkName) +:
+          fks.map { case (name, parentKey) =>
+            sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as(name)
+          }
+      val row = table.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val pairs = (pkName +: fks.map(_._1)).map(nm =>
+        struct(lit(nm).as("chk"), col(nm).as("n_bad")))
+      row.select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+        .select(col("kv.chk").as("chk"), col("n_rows"), col("kv.n_bad"))
     }
-    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir); val p = Tables.part(spark, dir)
-    val s = Tables.supplier(spark, dir); val n = Tables.nation(spark, dir)
-    val r = Tables.region(spark, dir); val e = Tables.events(spark, dir)
-    val d = Tables.documents(spark, dir); val em = Tables.embeddings(spark, dir)
+    // distinct single-column parent key frames: duplicate-proof join
+    // targets the child passes LEFT-join (null parent key == orphan)
+    def keys(df: DataFrame, k: String): DataFrame = df.select(col(k)).distinct()
+    val o = Tables.orders(spark, dir); val c = Tables.customer(spark, dir)
+    val p = Tables.part(spark, dir); val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir); val r = Tables.region(spark, dir)
+    val d = Tables.documents(spark, dir)
     Seq(
-      pk("pk_lineitem", li, Seq("l_orderkey", "l_linenumber")),
-      pk("pk_orders", o, Seq("o_orderkey")),
-      pk("pk_customer", c, Seq("c_custkey")),
-      pk("pk_part", p, Seq("p_partkey")),
-      pk("pk_supplier", s, Seq("s_suppkey")),
-      pk("pk_nation", n, Seq("n_nationkey")),
-      pk("pk_region", r, Seq("r_regionkey")),
-      pk("pk_events", e, Seq("event_id")),
-      pk("pk_documents", d, Seq("doc_id")),
-      pk("pk_embeddings", em, Seq("vec_id")),
-      fk("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
-      fk("fk_lineitem_part", li, "l_partkey", p, "p_partkey"),
-      fk("fk_lineitem_supplier", li, "l_suppkey", s, "s_suppkey"),
-      fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
-      fk("fk_customer_nation", c, "c_nationkey", n, "n_nationkey"),
-      fk("fk_supplier_nation", s, "s_nationkey", n, "n_nationkey"),
-      fk("fk_nation_region", n, "n_regionkey", r, "r_regionkey"),
-      fk("fk_embeddings_documents", em, "vec_id", d, "doc_id")
+      checks(
+        Tables.lineitem(spark, dir)
+          .join(keys(o, "o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left")
+          .join(broadcast(keys(p, "p_partkey")), col("l_partkey") === col("p_partkey"), "left")
+          .join(broadcast(keys(s, "s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left"),
+        "pk_lineitem", Seq("l_orderkey", "l_linenumber"),
+        Seq("fk_lineitem_orders" -> "o_orderkey",
+          "fk_lineitem_part" -> "p_partkey",
+          "fk_lineitem_supplier" -> "s_suppkey")),
+      checks(
+        o.join(broadcast(keys(c, "c_custkey")), col("o_custkey") === col("c_custkey"), "left"),
+        "pk_orders", Seq("o_orderkey"), Seq("fk_orders_customer" -> "c_custkey")),
+      checks(
+        c.join(broadcast(keys(n, "n_nationkey")), col("c_nationkey") === col("n_nationkey"), "left"),
+        "pk_customer", Seq("c_custkey"), Seq("fk_customer_nation" -> "n_nationkey")),
+      checks(p, "pk_part", Seq("p_partkey"), Nil),
+      checks(
+        s.join(broadcast(keys(n, "n_nationkey")), col("s_nationkey") === col("n_nationkey"), "left"),
+        "pk_supplier", Seq("s_suppkey"), Seq("fk_supplier_nation" -> "n_nationkey")),
+      checks(
+        n.join(broadcast(keys(r, "r_regionkey")), col("n_regionkey") === col("r_regionkey"), "left"),
+        "pk_nation", Seq("n_nationkey"), Seq("fk_nation_region" -> "r_regionkey")),
+      checks(r, "pk_region", Seq("r_regionkey"), Nil),
+      checks(Tables.events(spark, dir), "pk_events", Seq("event_id"), Nil),
+      checks(d, "pk_documents", Seq("doc_id"), Nil),
+      checks(
+        Tables.embeddings(spark, dir)
+          .join(broadcast(keys(d, "doc_id")), col("vec_id") === col("doc_id"), "left"),
+        "pk_embeddings", Seq("vec_id"), Seq("fk_embeddings_documents" -> "doc_id"))
     ).reduce(_ unionByName _)
       .select(col("chk").as("check_name"), col("n_rows"), col("n_bad"),
         (col("n_bad").cast("double") / col("n_rows").cast("double")).as("bad_rate"))

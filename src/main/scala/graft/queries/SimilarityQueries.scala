@@ -1550,7 +1550,18 @@ object SimilarityQueries {
       .select(col("vec_id").as("vid"), col("m"), col("code"))
       .join(asn.select(col("vec_id").as("vid"), col("bucket").as("vbucket")), "vid")
     val cent = ivfCentFrame(e).select(col("cid").as("pcid"), col("cemb"))
-    val q = asn.filter(col("vec_id") < 10)
+    ivfPqSearch(enc, ivfPqAdcTable(asn, cent, cb))
+  }
+
+  /** The per-(query, probed-bucket) ADC table of the IVF+PQ composite:
+    * queries' residuals against each probed centroid, sliced per
+    * subspace, distanced against every codebook entry, floored to
+    * BIGINT. Shared verbatim by [[ivfPqAnn]] (in-session codebooks) and
+    * [[ivfPqAnnServe]] (persisted codebooks) so the two paths cannot
+    * diverge. `qAsn` carries (vec_id, embedding, probe_buckets); `cent`
+    * is (pcid, cemb); `cb` a (cm, cid, cv, cself) codebook frame. */
+  private def ivfPqAdcTable(qAsn: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
+    val q = qAsn.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         explode(col("probe_buckets")).as("pb"))
       .join(broadcast(cent), col("pb") === col("pcid"))
@@ -1561,10 +1572,16 @@ object SimilarityQueries {
         slice(col("qr"), ((col("m") - 1) * PqSubDim + 1).cast("int"), lit(PqSubDim)))
       .withColumn("qself", dotD(col("qsv"), col("qsv")))
       .select(col("qid"), col("pb"), col("m").as("qm"), col("qsv"), col("qself"))
-    val dt = q.join(broadcast(cb), col("qm") === col("cm"))
+    q.join(broadcast(cb), col("qm") === col("cm"))
       .select(col("qid"), col("pb"), col("qm"), col("cid"),
         floor(((col("qself") + col("cself")) - lit(2.0) * dotD(col("qsv"), col("cv")))
           * lit(1000000.0)).cast("long").as("d_fp"))
+  }
+
+  /** The IVF+PQ candidate join + exact fixed-point ADC sum + top-3 —
+    * [[ivfPqAdcTable]]'s consumer, shared by the in-session and served
+    * paths. `enc` carries (vid, m, code, vbucket). */
+  private def ivfPqSearch(enc: DataFrame, dt: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_fp").asc, col("vid").asc)
     enc.join(broadcast(dt),
         col("vbucket") === col("pb") && col("m") === col("qm") && col("code") === col("cid"))
@@ -1574,6 +1591,84 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("adist_fp"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Persist the IVF+PQ composite index — [[buildIvfIndex]] extended to
+    * the residual codebooks: coarse centroids, the trained residual PQ
+    * codebooks, and the encoded postings (vid, m, code) PARTITIONED BY
+    * coarse bucket. The postings carry 3 small ints per (vector,
+    * subspace) — the ~64×-compressed representation — and the bucket
+    * partitioning makes the serving join dynamic-partition-prunable,
+    * exactly like the raw-vector IVF layout. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val asn = ivfAssign(spark, dir)
+    val res = residualFrame(e, asn)
+    val cb = pqTrain(res)
+    ivfCentFrame(e).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    cb.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    pqAssignCodes(pqSubvectors(res), cb)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asn.select(col("vec_id").as("vid"), col("bucket")), "vid")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Serve [[ivfPqAnn]] from a PERSISTED index ([[buildIvfPqIndex]]) —
+    * the train-once/serve-many twin: query vectors route against the
+    * stored coarse centroids (no training anywhere in the plan), the
+    * ADC table comes from the stored residual codebooks, and the
+    * bucket-partitioned postings join is dynamic-partition-pruned to
+    * the probed buckets. Bit-identical to [[ivfPqAnn]]: same centroids
+    * and codebooks (parquet round-trips doubles exactly), same routing
+    * argmax, the shared [[ivfPqAdcTable]]/[[ivfPqSearch]] arithmetic. */
+  def ivfPqAnnServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val centStored = spark.read.parquet(s"$indexPath/centroids")
+    val centRow = centStored
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    val qAsn = assignFromCents(e.filter(col("vec_id") < 10), centRow)
+    val cent = centStored.select(col("cid").as("pcid"), col("cemb"))
+    val cb = spark.read.parquet(s"$indexPath/codebooks")
+    val enc = spark.read.parquet(s"$indexPath/postings")
+      // the partition column reads back as INT (directory-name
+      // inference); restore the join key's LONG type explicitly
+      .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("vbucket"))
+    ivfPqSearch(enc, ivfPqAdcTable(qAsn, cent, cb))
+  }
+
+  /** [[ivfPqAnnServe]] behind a self-managing index under the JVM temp
+    * dir — the `queries`-map entry point: (re)builds the index only
+    * when the fixture's embeddings files changed (name/length/mtime
+    * stamp), then returns the pure serving plan. First run pays the
+    * one-time build; every later run is the serving cost an index
+    * exists for — which is exactly what the bench row should price. */
+  def ivfPqAnnServed(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivfpq_$safe").getPath
+    val stampFile = new java.io.File(idx, "_stamp")
+    val stamp = embeddingsStamp(spark, dir)
+    val fresh = stampFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp
+    if (!fresh) {
+      buildIvfPqIndex(spark, dir, idx)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
+    }
+    ivfPqAnnServe(spark, dir, idx)
+  }
+
+  /** Content stamp of the fixture's embeddings table (file names +
+    * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s
+    * cached index: a regenerated fixture must rebuild, a same-session
+    * re-run must not. */
+  private def embeddingsStamp(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "missing"
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
   }
 
   /** Recall@3 of the IVF+PQ composite against exact full-vector L2 —

@@ -446,6 +446,40 @@ class CurationSpec extends SparkSuite {
       s"expected dynamic partition pruning on the postings scan:\n${p.take(4000)}")
   }
 
+  test("persisted IVF+PQ index: serving equals in-session ivfPqAnn exactly; plan is training-free and partition-pruned; stamp reuses the build") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+    SimilarityQueries.buildIvfPqIndex(spark, dir, tmp)
+    val served = SimilarityQueries.ivfPqAnnServe(spark, dir, tmp)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val got = rows(served)
+    val want = rows(SimilarityQueries.ivfPqAnn(spark, dir))
+    assert(got == want, s"served ${got.size} rows vs in-session ${want.size}")
+    assert(want.nonEmpty)
+    val p = served.queryExecution.executedPlan.treeString
+    // postings scan gated by a RUNTIME partition filter (probed buckets
+    // only), and NO training anywhere in the serving plan: the corpus
+    // embeddings appear only as the pushed-down query-vector scan
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scan:\n${p.take(4000)}")
+    assert(!p.contains("collect_list(struct(cm"),
+      "serving plan must not train codebooks")
+    // the self-managing queries entry point: first call builds, second
+    // call reuses (the postings' files untouched by the re-run)
+    val dirIdx = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val first = SimilarityQueries.ivfPqAnnServed(spark, dir)
+    assert(rows(first) == want)
+    val stamps = new java.io.File(dirIdx, "postings").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val second = SimilarityQueries.ivfPqAnnServed(spark, dir)
+    assert(rows(second) == want)
+    val after = new java.io.File(dirIdx, "postings").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == stamps, "a same-fixture re-run must not rebuild the index")
+  }
+
   test("kcore_peel: equals a driver-side peel replay; members are mutually 2-supported; fixpoint inside the cap") {
     val d01 = "/root/testdata/sf0.01" // sf0.001's dup graph has no cycles
     val pairs = SimilarityQueries.minhashLsh(spark, d01)

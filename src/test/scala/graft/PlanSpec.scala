@@ -12,6 +12,42 @@ class PlanSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.treeString
 
+  test("schema_integrity: one aggregate pass per table — the fact tables are scanned exactly once") {
+    val df = AnalyticsQueries.schemaIntegrity(spark, dir)
+    val p = plan(df)
+    def scans(table: String): Int = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains(s"$table.parquet"))
+    // each table's pk check and ALL its fk orphan counts fold in ONE
+    // aggregate over one scan — the naive per-check form scanned
+    // lineitem 4 times for the same audit. Parent tables additionally
+    // serve one single-column distinct-key scan per child edge.
+    assert(scans("lineitem") == 1, s"lineitem must be scanned once:\n${p.take(3000)}")
+    assert(scans("events") == 1)
+    assert(scans("embeddings") == 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ivfpq_ann_served: serving plan is training-free and partition-pruned") {
+    // build (or reuse) the persisted index, then pin the SERVING plan:
+    // dynamic partition pruning gates the postings scan, and the only
+    // embeddings read is the pushed-down query-vector scan — no Lloyd's
+    // update, no codebook training anywhere
+    val df = SimilarityQueries.ivfPqAnnServed(spark, dir)
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"),
+      s"postings scan must be dynamic-partition-pruned:\n${p.take(4000)}")
+    // every embeddings scan in the serving plan is the pushed-down
+    // QUERY-vector scan (vec_id < 10 in DataFilters) — the corpus is
+    // never read; the DPP subquery duplicates that 10-row scan, which
+    // is why there can be more than one line
+    val embScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embedding")).toSeq
+    assert(embScans.nonEmpty && embScans.forall(_.contains("< 10")),
+      s"every embeddings scan must be the pushed-down query scan:\n${embScans.mkString("\n")}")
+    assert(!p.contains("collect_list(struct(cm"),
+      "serving plan must not train codebooks")
+  }
+
   test("filter_pushdown: predicates reach the parquet scan, schema pruned") {
     val p = plan(CoreQueries.filterPushdown(spark, dir))
     assert(p.contains("PushedFilters:") &&
