@@ -203,47 +203,55 @@ object Multimodal {
     else
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val luma = Array.ofDim[Long](8, 9)
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 9) {
-              val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
-              val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
-              var s = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val rgb = img.getRGB(x, y)
-                  s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-                    114L * (rgb & 0xff)) / 1000L
-                  x += 1
-                }
-                y += 1
-              }
-              luma(r)(c) = s / ((y1 - y0).toLong * (x1 - x0))
-              c += 1
-            }
-            r += 1
-          }
-          var hash = 0L
-          var k = 0
-          r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              if (luma(r)(c) > luma(r)(c + 1)) hash |= (1L << k)
-              k += 1; c += 1
-            }
-            r += 1
-          }
-          Some(hash)
-        }
+        if (img == null) None
+        else dHash64(img.getWidth, img.getHeight, (x, y) => {
+          val rgb = img.getRGB(x, y)
+          (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)) / 1000L
+        })
       } catch { case _: Exception => None }
+  }
+
+  /** The 8×9 block-mean gradient hash over any luma accessor — the one
+    * dHash arithmetic shared by [[imageDHash]] (decoded RGB → luma) and
+    * the Y4M video path (the Y plane IS luma). `None` below the 9×8
+    * grid. Exact integer block means; bit j of row r set iff cell
+    * (r, c) is brighter than (r, c+1). */
+  private[graft] def dHash64(w: Int, h: Int, lumaAt: (Int, Int) => Long): Option[Long] = {
+    if (w < 9 || h < 8) None
+    else {
+      val luma = Array.ofDim[Long](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+          val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += lumaAt(x, y); x += 1 }
+            y += 1
+          }
+          luma(r)(c) = s / ((y1 - y0).toLong * (x1 - x0))
+          c += 1
+        }
+        r += 1
+      }
+      var hash = 0L
+      var k = 0
+      r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (luma(r)(c) > luma(r)(c + 1)) hash |= (1L << k)
+          k += 1; c += 1
+        }
+        r += 1
+      }
+      Some(hash)
+    }
   }
 
   /** REAL audio fingerprint over decoded PCM — the audio analog of
@@ -319,6 +327,133 @@ object Multimodal {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+  }
+
+  /** Parsed Y4M clip: dimensions, frame rate, colorspace, and the byte
+    * offset of each frame's Y (luma) plane inside the payload. */
+  final case class Y4mClip(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      colorspace: String, frameOffsets: IndexedSeq[Int])
+
+  /** REAL video decode for the uncompressed YUV4MPEG2 (.y4m) container —
+    * pure JVM, no codecs needed (the format ffmpeg and every codec
+    * test-suite exchanges raw video in): parse the `YUV4MPEG2 W… H… F…
+    * C…` header, then walk the `FRAME`-delimited raw planar frames.
+    * Supported colorspaces: C420 family (Y plane + 2 quarter chroma),
+    * C422, C444, Cmono — anything else, a malformed header, or a
+    * TRUNCATED final frame rejects the clip (half a frame must not
+    * silently pass as a shorter video). Returns the per-frame Y-plane
+    * offsets: the Y plane IS the luma grid, so frame hashing needs no
+    * color conversion at all. This closes the one remaining stubbed
+    * modality (image and audio decode have been real since round 9). */
+  val y4mDecoder: Array[Byte] => Option[Y4mClip] = { bytes =>
+    try {
+      val magic = "YUV4MPEG2"
+      val nl0 = bytes.indexOf('\n'.toByte)
+      if (bytes.length < magic.length || nl0 < 0 ||
+          new String(bytes, 0, magic.length, "US-ASCII") != magic) None
+      else {
+        val header = new String(bytes, 0, nl0, "US-ASCII")
+        val params = header.split(' ').drop(1)
+        def num(tag: Char): Option[Int] =
+          params.find(_.startsWith(tag.toString)).map(_.drop(1).toInt)
+        val cs = params.find(_.startsWith("C")).map(_.drop(1)).getOrElse("420")
+        (num('W'), num('H')) match {
+          case (Some(w), Some(h)) if w > 0 && h > 0 =>
+            val fps = params.find(_.startsWith("F")).map(_.drop(1).split(':'))
+              .collect { case Array(a, b) => (a.toInt, b.toInt) }
+              .getOrElse((25, 1)) // Y4M leaves F optional; PAL default
+            val frameBytes: Option[Int] = cs match {
+              case c if c.startsWith("420") =>
+                if (w % 2 == 0 && h % 2 == 0) Some(w * h * 3 / 2) else None
+              case c if c.startsWith("422") =>
+                if (w % 2 == 0) Some(w * h * 2) else None
+              case c if c.startsWith("444") => Some(w * h * 3)
+              case c if c.startsWith("mono") => Some(w * h)
+              case _ => None
+            }
+            frameBytes.flatMap { fb =>
+              val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var pos = nl0 + 1
+              var bad = false
+              while (!bad && pos < bytes.length) {
+                // each frame: "FRAME"[ params]\n then fb raw bytes
+                var nl = pos
+                while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+                val mark = new String(bytes, pos, math.min(5, nl - pos), "US-ASCII")
+                if (nl >= bytes.length || mark != "FRAME" ||
+                    nl + 1 + fb > bytes.length) bad = true
+                else { offsets += nl + 1; pos = nl + 1 + fb }
+              }
+              if (bad || offsets.isEmpty) None
+              else Some(Y4mClip(w, h, fps._1, fps._2, cs, offsets.toIndexedSeq))
+            }
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** dHash of every `stride`-th frame of a Y4M clip — [[imageDHash]]'s
+    * arithmetic applied straight to the Y plane (no color conversion:
+    * Y IS luma). The per-keyframe 64-bit keys feed the identical
+    * band-equijoin + exact-Hamming near-dup pipeline as the image and
+    * audio families. */
+  def y4mFrameHashes(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Long)]] =
+    y4mDecoder(bytes).map { clip =>
+      clip.frameOffsets.zipWithIndex
+        .collect { case (off, idx) if idx % stride == 0 =>
+          dHash64(clip.width, clip.height,
+            (x, y) => bytes(off + y * clip.width + x) & 0xffL)
+            .map(h => idx -> h)
+        }
+        .flatten
+    }.filter(_.nonEmpty)
+
+  /** Decoded video record: the fixed schema the batched video decoder
+    * fills. */
+  final case class DecodedVideo(
+      doc_id: Long, width: Int, height: Int, fps_num: Int, fps_den: Int,
+      n_frames: Int, ok: Boolean)
+
+  /** Per-(doc, sampled frame) perceptual hash row. */
+  final case class VideoFrameHash(doc_id: Long, frame_idx: Int, phash: Long, ok: Boolean)
+
+  /** Partition-batched video metadata decode — [[decodeBatch]]'s
+    * contract for the video modality. */
+  def decodeVideoBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decode: Array[Byte] => Option[Y4mClip] = y4mDecoder
+  ): org.apache.spark.sql.Dataset[DecodedVideo] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decode(bytes) match {
+          case Some(c) => DecodedVideo(id, c.width, c.height,
+            c.fpsNum, c.fpsDen, c.frameOffsets.size, ok = true)
+          case None => DecodedVideo(id, 0, 0, 0, 0, 0, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Partition-batched per-keyframe video hashing — one
+    * [[VideoFrameHash]] row per sampled frame; an undecodable payload
+    * yields a single `ok=false` row so failures stay visible in the
+    * output (the [[phashBatch]] contract, fanned out per frame). */
+  def videoPhashBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      stride: Int = 1
+  ): org.apache.spark.sql.Dataset[VideoFrameHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        y4mFrameHashes(bytes, stride) match {
+          case Some(hs) => hs.map { case (idx, h) => VideoFrameHash(id, idx, h, ok = true) }
+          case None => Seq(VideoFrameHash(id, -1, 0L, ok = false))
+        }
+      }
+    }
   }
 
   /** Per-doc audio fingerprint row. */

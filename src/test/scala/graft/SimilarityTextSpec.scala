@@ -691,6 +691,77 @@ class SimilarityTextSpec extends SparkSuite {
     assert(!out(5L).ok, "sub-65-sample clip must reject")
   }
 
+  test("real Y4M video decode: header/frame parse, truncation reject, keyframe dHash invariances") {
+    import graft.operators.Multimodal
+    // render a Y4M clip in-test: per-frame luma function, neutral chroma
+    def y4m(w: Int, h: Int, n: Int, cs: String = "420")(
+        luma: (Int, Int, Int) => Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 C$cs\n".getBytes("US-ASCII"))
+      val chroma = cs match {
+        case "420" => w * h / 2
+        case "422" => w * h
+        case "444" => w * h * 2
+        case "mono" => 0
+      }
+      (0 until n).foreach { f =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        (0 until h).foreach(y => (0 until w).foreach(x =>
+          bos.write(luma(x, y, f) & 0xff)))
+        (0 until chroma).foreach(_ => bos.write(128))
+      }
+      bos.toByteArray
+    }
+    // smooth per-frame gradient, capped at 200 so +10 never clamps
+    def grad(invert: Boolean, brighten: Int)(x: Int, y: Int, f: Int): Int = {
+      val v = (x * 160 / 90 + y * 40 / 80 + f * 7) % 201
+      (if (invert) 200 - v else v) + brighten
+    }
+    val base = y4m(90, 80, 6)(grad(invert = false, brighten = 0))
+    val clip = Multimodal.y4mDecoder(base).get
+    assert(clip.width == 90 && clip.height == 80 &&
+      clip.fpsNum == 30 && clip.fpsDen == 1 && clip.frameOffsets.size == 6)
+    // mono and 444 frame sizes parse too
+    assert(Multimodal.y4mDecoder(y4m(16, 16, 3, cs = "mono")((x, _, _) => x * 10))
+      .exists(_.frameOffsets.size == 3))
+    assert(Multimodal.y4mDecoder(y4m(16, 16, 2, cs = "444")((x, _, _) => x * 10))
+      .exists(_.frameOffsets.size == 2))
+    // rejects: garbage, odd-dim 420, truncated final frame
+    assert(Multimodal.y4mDecoder("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.y4mDecoder(y4m(15, 16, 2)((_, _, _) => 0)).isEmpty)
+    assert(Multimodal.y4mDecoder(base.dropRight(10)).isEmpty,
+      "a torn final frame must reject the clip, not shorten it")
+    // keyframe sampling: stride 2 over 6 frames -> frames 0, 2, 4
+    val hs = Multimodal.y4mFrameHashes(base, stride = 2).get
+    assert(hs.map(_._1) == Seq(0, 2, 4))
+    // brightness invariance per frame; inverted clip separates
+    val bright = Multimodal.y4mFrameHashes(
+      y4m(90, 80, 6)(grad(invert = false, brighten = 10)), stride = 2).get
+    assert(hs == bright, "uniform brightness must preserve every frame dHash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val other = Multimodal.y4mFrameHashes(
+      y4m(90, 80, 6)(grad(invert = true, brighten = 0)), stride = 2).get
+    hs.zip(other).foreach { case ((_, a), (_, b)) =>
+      assert(ham(a, b) > 10, s"inverted frame too close: ${ham(a, b)}")
+    }
+    // end-to-end through the batched operators
+    val payloads = Seq(
+      (1L, base),
+      (2L, y4m(90, 80, 6)(grad(invert = false, brighten = 10))),
+      (3L, "junk".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.decodeVideoBatch(payloads).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(meta(1L).ok && meta(1L).n_frames == 6 && meta(1L).width == 90)
+    assert(!meta(3L).ok)
+    val frames = Multimodal.videoPhashBatch(payloads, stride = 3).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).forall(_.ok) && byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 3))
+    assert(byDoc(1L).map(f => f.frame_idx -> f.phash).toMap ==
+      byDoc(2L).map(f => f.frame_idx -> f.phash).toMap,
+      "the brightened re-encode must hash identically per frame")
+    assert(byDoc(3L).toSeq.map(f => (f.frame_idx, f.ok)) == Seq((-1, false)))
+  }
+
   test("kmeans_step: full dim coverage, membership totals, means exact within quantization") {
     val dir = "/root/testdata/sf0.001"
     val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
