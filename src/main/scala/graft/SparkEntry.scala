@@ -54,6 +54,7 @@ object SparkEntry {
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
+    "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
@@ -1002,6 +1003,17 @@ object SparkEntry {
          |          AS BIGINT) AS rk FROM p)
          |SELECT qid, label, vid, cos, rk FROM r WHERE rk <= 5""".stripMargin,
     "ann_ivf" ->
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    // the served twin is bit-identical to ann_ivf by construction (same
+    // persisted centroids, same routing argmax, same cosine/top-3)
+    "ann_ivf_served" ->
       s"""$IvfAssignSql,
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
          |p AS (SELECT q.qid, a.vec_id AS vid,

@@ -1637,26 +1637,40 @@ object SimilarityQueries {
     ivfPqSearch(enc, ivfPqAdcTable(qAsn, cent, cb))
   }
 
-  /** [[ivfPqAnnServe]] behind a self-managing index under the JVM temp
-    * dir — the `queries`-map entry point: (re)builds the index only
-    * when the fixture's embeddings files changed (name/length/mtime
-    * stamp), then returns the pure serving plan. First run pays the
-    * one-time build; every later run is the serving cost an index
-    * exists for — which is exactly what the bench row should price. */
-  def ivfPqAnnServed(spark: SparkSession, dir: String): DataFrame = {
+  /** A self-managing persisted index under the JVM temp dir: (re)builds
+    * via `build` only when the fixture's embeddings files changed
+    * (name/length/mtime stamp), returns the index path. First run pays
+    * the one-time build; every later run is the serving cost an index
+    * exists for — which is exactly what the served bench rows should
+    * price. */
+  private def servedIndex(spark: SparkSession, dir: String, family: String)(
+      build: String => Unit): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ivfpq_$safe").getPath
+      System.getProperty("java.io.tmpdir"), s"graft_${family}_$safe").getPath
     val stampFile = new java.io.File(idx, "_stamp")
     val stamp = embeddingsStamp(spark, dir)
     val fresh = stampFile.exists() &&
       new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp
     if (!fresh) {
-      buildIvfPqIndex(spark, dir, idx)
+      build(idx)
       java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
     }
-    ivfPqAnnServe(spark, dir, idx)
+    idx
   }
+
+  /** [[ivfPqAnnServe]] behind the self-managing index — the
+    * `queries`-map entry point for the composite index's serving path. */
+  def ivfPqAnnServed(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAnnServe(spark, dir,
+      servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _)))
+
+  /** [[annIvfServe]] behind the self-managing index — the raw-vector
+    * IVF serving twin of [[ivfPqAnnServed]], oracle-pinned bit-identical
+    * to [[annIvf]]. */
+  def annIvfServed(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir,
+      servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)))
 
   /** Content stamp of the fixture's embeddings table (file names +
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s

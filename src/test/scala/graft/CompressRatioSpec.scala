@@ -50,6 +50,51 @@ class CompressRatioSpec extends SparkSuite {
       .select(deflateSize(col("t"))).collect().head.isNullAt(0))
   }
 
+  test("DeflateSize equals java.util.zip.Deflater across payload classes (property sweep)") {
+    // the oracle this surface can't have: DuckDB ships no DEFLATE, so
+    // cross-implementation equality against the JDK's reference
+    // implementation (same pinned settings: level 6, zlib wrapper)
+    // stands in for the hash compare — across every payload class the
+    // corpus can contain, not one hand-picked string
+    def jdkDeflated(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.size().toLong
+    }
+    val seeded = new scala.util.Random(7)
+    val classes: Seq[(String, String)] = Seq(
+      "empty" -> "",
+      "single" -> "x",
+      "short-ascii" -> "hello, deflate",
+      "repetitive" -> ("na" * 5000),
+      "line-repetitive" -> ("the same line over and over. " * 333),
+      "random-printable" -> Seq.fill(7000)(seeded.nextPrintableChar()).mkString,
+      "random-alnum" -> seeded.alphanumeric.take(6000).mkString,
+      "cjk" -> ("深度学习语料清洗引擎" * 400),
+      "emoji-mixed" -> ("data 🚀 pipeline 🧪 " * 250),
+      "whitespace" -> (" \t\n" * 2000),
+      "json-ish" -> Seq.tabulate(300)(i => s"""{"k$i":$i,"v":"${i * 37}"}""").mkString(","),
+      "binaryish-escapes" -> Seq.tabulate(3000)(i => (i % 256).toChar).mkString
+    )
+    classes.foreach { case (name, payload) =>
+      val got = graft.expressions.DeflateSize.deflatedLength(
+        UTF8String.fromString(payload))
+      val want = jdkDeflated(payload)
+      assert(got == want, s"payload class '$name': engine $got vs JDK $want")
+    }
+    // and through the full expression path (codegen) in one frame
+    import spark.implicits._
+    val df = classes.toDF("k", "t").select(col("k"), deflateSize(col("t")).as("d"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    classes.foreach { case (name, payload) =>
+      assert(rows(name) == jdkDeflated(payload), s"codegen path diverged on '$name'")
+    }
+  }
+
   test("ncd_neardup: NCD separates true near-dups from low-overlap candidates") {
     val ncd = TextQueries.ncdNearDup(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("ncd"))
