@@ -181,9 +181,51 @@ object IngestBench {
         availableNow = true, minhash = Some(MinHashGate()), sourceOptions = opts))
     }
 
+    // CDC upsert sink ([[graft.streaming.UpsertSink]]): bootstrap n
+    // changelog rows into empty state, then the per-batch MERGE cost of
+    // update waves against the standing state — once with keys
+    // SCATTERED across every bucket (worst case: the COW model rewrites
+    // all touched buckets, here all of them) and once LOCALIZED to a
+    // single bucket (the partition-pruned best case the bucket layout
+    // exists for). The spread between those two rows IS the cost model:
+    // per-batch work = O(delta) + O(touched buckets), never O(state).
+    import spark.implicits._
     val sr = 2 * (n / 40) // records per standing phase
+    val upDir = java.nio.file.Files.createTempDirectory("ib-upsert").toString
+    val sink = new graft.streaming.UpsertSink(s"$upDir/state",
+      Seq("user_id", "event_type"), Seq("us", "event_id"), Seq("value"),
+      nBuckets = parts)
+    def changelog(ids: Seq[Long], usBase: Long) = ids.zipWithIndex.map { case (k, i) =>
+      (k % (n / 4).toLong, s"t${k % 3}", usBase + i, usBase + i, (k % 1000) / 1000.0)
+    }.toDF("user_id", "event_type", "us", "event_id", "value")
+    def changelogOf(keys: Seq[(Long, String)], usBase: Long) =
+      keys.zipWithIndex.map { case ((u, t), i) =>
+        (u, t, usBase + i, usBase + i, (u % 1000) / 1000.0)
+      }.toDF("user_id", "event_type", "us", "event_id", "value")
+    // warm the write/merge path untimed on a throwaway sink
+    locally {
+      val w = new graft.streaming.UpsertSink(s"$upDir/warm",
+        Seq("user_id", "event_type"), Seq("us", "event_id"), Seq("value"), parts)
+      w.merge(changelog(0L until 2000L, 0L), 0L); w.merge(changelog(0L until 500L, 9000L), 1L)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val upBoot = timed(sink.merge(changelog(0L until n.toLong, 0L), 0L))
+    val upScattered = timed((1 to 2).foreach { w =>
+      sink.merge(changelog((0 until sr / 2).map(i => (i * 7919L) % n), n.toLong * w), w.toLong)
+    })
+    // localized wave: update KEYS (user, type pairs — the bucket hash
+    // covers both) drawn from ONE bucket of the standing state
+    val oneBucket = spark.read.parquet(s"$upDir/state")
+      .filter(org.apache.spark.sql.functions.col("kb") === 0L)
+      .select("user_id", "event_type").limit(sr / 2)
+      .as[(Long, String)].collect().toSeq
+    val upLocal = timed((3 to 4).foreach { w =>
+      sink.merge(changelogOf(oneBucket, n.toLong * w), w.toLong)
+    })
     println(
-      f"""{"metric":"ingest_throughput","records":$n,"plain":{"fresh_rps":${n / plainFresh}%.0f,"standing_fresh_rps":${sr / plainSF}%.0f,"standing_dup_rps":${sr / plainSD}%.0f,"seconds":[$plainFresh%.2f,$plainSF%.2f,$plainSD%.2f]},"bucketed":{"fresh_rps":${n / buckFresh}%.0f,"standing_fresh_rps":${sr / buckSF}%.0f,"standing_dup_rps":${sr / buckSD}%.0f,"seconds":[$buckFresh%.2f,$buckSF%.2f,$buckSD%.2f]},"bucketed_minhash":{"fresh_rps":${n / mhFresh}%.0f,"standing_fresh_rps":${sr / mhSF}%.0f,"standing_dup_rps":${sr / mhSD}%.0f,"seconds":[$mhFresh%.2f,$mhSF%.2f,$mhSD%.2f]}}""")
+      f"""{"metric":"ingest_throughput","records":$n,"plain":{"fresh_rps":${n / plainFresh}%.0f,"standing_fresh_rps":${sr / plainSF}%.0f,"standing_dup_rps":${sr / plainSD}%.0f,"seconds":[$plainFresh%.2f,$plainSF%.2f,$plainSD%.2f]},"bucketed":{"fresh_rps":${n / buckFresh}%.0f,"standing_fresh_rps":${sr / buckSF}%.0f,"standing_dup_rps":${sr / buckSD}%.0f,"seconds":[$buckFresh%.2f,$buckSF%.2f,$buckSD%.2f]},"bucketed_minhash":{"fresh_rps":${n / mhFresh}%.0f,"standing_fresh_rps":${sr / mhSF}%.0f,"standing_dup_rps":${sr / mhSD}%.0f,"seconds":[$mhFresh%.2f,$mhSF%.2f,$mhSD%.2f]},"upsert":{"bootstrap_rps":${n / upBoot}%.0f,"scattered_update_rps":${sr / upScattered}%.0f,"localized_update_rps":${sr / upLocal}%.0f,"seconds":[$upBoot%.2f,$upScattered%.2f,$upLocal%.2f]}}""")
     spark.stop()
   }
 }
