@@ -138,7 +138,7 @@ object Plans {
     "cohort_value" -> "one (user → first week) map-combinable fold; cumulative window partitions by cohort over the calendar-bounded weeks grid",
     "rfm_segments" -> "per-user fold; three cutpoint arrays in ONE broadcast row; binning is a narrow map; ≤64-group rollup — no window, no sort",
     "markov_eval" -> "per-user lag pairs; |types|²-bounded model broadcast onto the test rollup; midpoint is a one-row broadcast",
-    "schema_integrity" -> "18 one-row checks over ONE scan per table (checkpointed key projections); map-combinable distinct folds + anti-joins on the keys downstream queries already shuffle on; dims broadcast",
+    "schema_integrity" -> "each table's pk + fk checks fold in ONE aggregate over one scan; parents join as distinct single-column key frames (dims broadcast)",
     "ivf_balance" -> "zero-shuffle assignment map → one (bucket → count) fold → k-row rollup; nothing exceeds k rows after the first fold",
     "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after",
     "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids",
