@@ -109,6 +109,7 @@ object SparkEntry {
     "attribution_linear" -> (AnalyticsQueries.attributionLinear _),
     "cohort_value" -> (AnalyticsQueries.cohortValue _),
     "rfm_segments" -> (AnalyticsQueries.rfmSegments _),
+    "decile_lift" -> (AnalyticsQueries.decileLift _),
     "markov_eval" -> (AnalyticsQueries.markovEval _),
     "schema_integrity" -> (AnalyticsQueries.schemaIntegrity _),
     "date_agg" -> (CoreQueries.dateAgg _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "dominant_period" -> (AnalyticsQueries.dominantPeriod _),
     "path_topk" -> (AnalyticsQueries.pathTopk _),
     "k_anonymity" -> (TextQueries.kAnonymity _),
+    "l_diversity" -> (TextQueries.lDiversity _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -1927,6 +1929,43 @@ object SparkEntry {
         |  CAST(mod.n_top AS DOUBLE) / CAST(mod.n_train AS DOUBLE) AS train_majority
         |FROM te JOIN mod ON te.prev_type = mod.prev_type
         |GROUP BY 1, 2, 3, mod.n_top""".stripMargin,
+    "l_diversity" ->
+      """WITH g AS (SELECT source, n_chars // 100 AS len_bucket,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS gsize
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(gsize) AS BIGINT) AS n_docs, l < 2 AS at_risk
+        |FROM g GROUP BY l""".stripMargin,
+    "decile_lift" ->
+      // quantile_cont == Spark percentile (quantile_bins_scalable
+      // precedent); strict > cutpoint binning mirrored; division order
+      // pinned: lift = (conv/users) / (t_conv/t_users)
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(n_events,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM u),
+        |b AS (SELECT CAST(1 + len(list_filter(cuts.c, x -> n_events > x)) AS BIGINT)
+        |    AS decile, conv FROM u, cuts),
+        |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS t_users,
+        |    CAST(sum(n_conv) AS BIGINT) AS t_conv FROM d),
+        |r AS (SELECT d.*, t.t_users, t.t_conv,
+        |    CAST(sum(n_users) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+        |    CAST(sum(n_conv) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+        |  FROM d, t)
+        |SELECT decile, n_users, n_conv,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+        |  (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+        |    (CAST(t_conv AS DOUBLE) / CAST(t_users AS DOUBLE)) AS lift,
+        |  cum_users, cum_conv,
+        |  (CAST(cum_conv AS DOUBLE) / CAST(cum_users AS DOUBLE)) /
+        |    (CAST(t_conv AS DOUBLE) / CAST(t_users AS DOUBLE)) AS cum_lift
+        |FROM r""".stripMargin,
     "rfm_segments" ->
       // quantile_cont matches Spark percentile bit-for-bit (the
       // quantile_bins_scalable precedent); decimal value totals exact

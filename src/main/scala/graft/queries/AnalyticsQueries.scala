@@ -2186,6 +2186,57 @@ object AnalyticsQueries {
         (col("n_top").cast("double") / col("n_train").cast("double")).as("train_majority"))
   }
 
+  /** Decile-lift table — the targeting-model evaluation every uplift /
+    * propensity readout starts from, computed on user ACTIVITY as the
+    * score: users fold to (event count, converted-ever flag), activity
+    * deciles come from corpus-wide percentile cutpoints (the
+    * [[quantileBinsScalable]] discipline — one broadcast cutpoint row,
+    * binning is a narrow map, no global sort), and per decile the
+    * conversion rate and its lift over the base rate, plus the
+    * cumulative rate/lift scanning from the most-active decile down —
+    * "target the top-k deciles" is read straight off the cumulative
+    * column. Tied counts make deciles lumpy; the strict `>` cutpoint
+    * comparison is deterministic and mirrored in the oracle.
+    *
+    * Exactness: all counts BIGINT; rate = conv/users and
+    * lift = rate/base are pinned-order IEEE divisions, identical SQL.
+    *
+    * Scale: one map-combinable per-user fold; cutpoints fold to ONE
+    * broadcast row; ≤10-group rollup; the only window orders the
+    * 10-row decile frame (bounded by construction). */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // conversion = a HIGH-VALUE purchase: the plain purchase flag
+        // saturates (every user buys eventually on this fixture), which
+        // would make every lift 1.0 — a degenerate table
+        max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+          .otherwise(0L)).as("conv"))
+    val cuts = u.agg(
+      expr("percentile(n_events, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("c"))
+    val byDecile = u.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (size(filter(col("c"), c => col("n_events") > c)) + 1).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val tot = byDecile.agg(
+      sum(col("n_users")).as("t_users"), sum(col("n_conv")).as("t_conv"))
+    // the cumulative window orders the ≤10-row decile frame — bounded
+    val cum = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum(col("n_users")).over(cum))
+      .withColumn("cum_conv", sum(col("n_conv")).over(cum))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        (col("n_conv").cast("double") / col("n_users").cast("double")).as("rate"),
+        ((col("n_conv").cast("double") / col("n_users").cast("double")) /
+          (col("t_conv").cast("double") / col("t_users").cast("double"))).as("lift"),
+        col("cum_users"), col("cum_conv"),
+        ((col("cum_conv").cast("double") / col("cum_users").cast("double")) /
+          (col("t_conv").cast("double") / col("t_users").cast("double"))).as("cum_lift"))
+  }
+
   /** RFM segmentation — the classic marketing cube: per user, recency
     * (time since last event), frequency (event count), and monetary
     * (exact decimal value total), each quartile-binned against

@@ -329,8 +329,21 @@ object SimilarityQueries {
         col("cluster").as("bucket"), col("ccos").as("cos"))
 
   /** Lloyd's update: exact fixed-point means ([[kmeansStep]]'s
-    * arithmetic), reassembled into pos-ordered double arrays. */
+    * arithmetic), reassembled into pos-ordered double arrays.
+    * localCheckpointed: the frame is ≤ k rows at ANY corpus size but
+    * its lineage is a corpus-sized assign+aggregate pass, and consumers
+    * BRANCH on it (the next round's assignment feeds both sides of the
+    * semantic pair join; `cluster_eval` consumes the trained frame
+    * twice) — without the checkpoint every branch re-trains from
+    * scratch (measured co-sentineled at sf0.1: cluster_eval
+    * 1.95 → 1.24 s, kmeans_train2 0.96 → 0.77 s; the semantic_* family
+    * is flat — its cost is the label-propagation rounds, not
+    * retraining. Identical results: the update is exact fixed-point
+    * arithmetic). */
   private def lloydUpdate(assigned: DataFrame): DataFrame =
+    lloydUpdatePlan(assigned).localCheckpoint()
+
+  private def lloydUpdatePlan(assigned: DataFrame): DataFrame =
     assigned
       .select(col("bucket"), posexplode(col("embedding")))
       .groupBy(col("bucket"), col("pos"))
@@ -1390,7 +1403,13 @@ object SimilarityQueries {
     * the same two steps). */
   private def pqTrain(e: DataFrame): DataFrame = {
     val subs = pqSubvectors(e)
+    // localCheckpoint the ≤ M·K-row codebook: its lineage is the full
+    // corpus-sized training pass (seed assign + exact Lloyd update), and
+    // every consumer (the corpus encode AND the query ADC table) would
+    // otherwise re-run that pass — measured 3.98 → 2.56 s on ivfpq_ann
+    // at sf0.1. The materialized frame is 64 rows at ANY corpus size.
     pqTrainedCodebook(pqUpdateAgg(pqAssignCodes(subs, pqSeedCodebook(subs, e))))
+      .localCheckpoint()
   }
 
   /** Trained PQ codebooks, exploded to one row per (subspace, code,

@@ -310,6 +310,25 @@ object TextQueries {
         (col("gsize") * col("n_groups")).as("n_docs"),
         (col("gsize") < 5).as("at_risk"))
 
+  /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
+    * al. 2007): a QI group can be large (k-anonymous) yet expose its
+    * members if every row shares the SAME sensitive value, so per QI
+    * group (source, 100-char length bucket) count the DISTINCT
+    * sensitive values (lang — deliberately excluded from this QI), and
+    * report the distribution of diversity levels with the l = 1 groups
+    * flagged: everyone in such a group is known to share that lang.
+    *
+    * Scale: one scan, two compact hash aggregations — (QI) distinct
+    * fold, then the ≤|langs|-row level histogram. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"), col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(countDistinct(col("lang")).as("l"), count(lit(1)).as("gsize"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("gsize")).as("n_docs"))
+      .select(col("l"), col("n_groups"), col("n_docs"), (col("l") < 2).as("at_risk"))
+
   /** Tokenizer-fertility profile per language: characters per BPE-ish
     * token and BPE tokens per whitespace word — the tokenizer-health
     * read a multilingual pipeline checks before trusting token budgets

@@ -362,10 +362,15 @@ class PlanSpec extends SparkSuite {
   test("kmeans_train2: two in-row assignment rounds, no window, no cartesian") {
     // each training round must keep the proven IVF-assignment shape: the
     // centroid set folds to one broadcast row and the argmax happens
-    // in-row — never a per-(vector, centroid) window or rank shuffle
+    // in-row — never a per-(vector, centroid) window or rank shuffle.
+    // Since lloydUpdate checkpoints its ≤k-row output, round 1 runs at
+    // checkpoint time and the FINAL plan shows exactly the round-2
+    // assignment broadcast over the checkpointed centroid frame
     val p = plan(SimilarityQueries.kmeansTrain2(spark, dir))
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
-      s"expected exactly the two one-row centroid broadcasts:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"expected exactly the final-round one-row centroid broadcast:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the trained centroids must come from the checkpointed frame:\n$p")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"),
       "assignment argmax must stay in-row; the update is a hash aggregate")
@@ -679,10 +684,15 @@ class PlanSpec extends SparkSuite {
   test("pq_encode: both code assignments are in-row broadcast argmins, no window") {
     // seed assign + trained re-encode must each fold the codebook to one
     // broadcast row and argmin in-row (the kmeans_train2 contract, per
-    // subspace) — never a per-(subvector, code) rank shuffle
+    // subspace) — never a per-(subvector, code) rank shuffle. pqTrain
+    // checkpoints the trained codebook, so the seed-assign round runs at
+    // checkpoint time and the FINAL plan shows exactly the re-encode
+    // broadcast over the checkpointed codebook
     val p = plan(SimilarityQueries.pqEncode(spark, dir))
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
-      s"expected exactly the two one-row codebook broadcasts:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"expected exactly the re-encode one-row codebook broadcast:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the trained codebook must come from the checkpointed frame:\n$p")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"),
       "code argmin must stay in-row; the Lloyd's update is a hash aggregate")
