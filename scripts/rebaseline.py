@@ -29,6 +29,9 @@ assert b.get("failures", 0) == 0, "recording run must have zero failures"
 
 old = open(md_path).read()
 
+AUTH = "## Authoritative per-query baseline"
+rewritten = AUTH in old
+
 def section(title, nxt=None):
     """Text from '## title' up to the next '## ' (or a named one)."""
     start = old.index(f"## {title}")
@@ -39,7 +42,12 @@ def section(title, nxt=None):
         end = start + 3 + m.start() if m else len(old)
     return old[start:end].rstrip() + "\n"
 
-head = old[: old.index("## Round-7 perf baseline")]
+if rewritten:
+    # idempotent re-run: replace only the authoritative section, keep
+    # everything after the streaming header (incl. the appendix) as-is
+    head = old[: old.index(AUTH)]
+else:
+    head = old[: old.index("## Round-7 perf baseline")]
 head = head.replace(
     "| Perf baseline per query | see table below (round 2 first green run) | sf0.1 | BENCH run 2026-08-12 |",
     "| Perf baseline per query | the authoritative table below (round-10 recording run) | sf0.1 | BENCH run 2026-08-14, `target/bench.json` |")
@@ -91,7 +99,8 @@ retraining twins.
 
 # appendix: everything between the rebuild contract and the streaming
 # section in the OLD file (the round-7 table + rounds 2-9 prose)
-appendix_body = old[old.index("## Round-7 perf baseline") : old.index("## Streaming throughput")].rstrip()
+appendix_body = ("" if rewritten else
+    old[old.index("## Round-7 perf baseline") : old.index("## Streaming throughput")].rstrip())
 appendix = f"""## Appendix: recording history (rounds 2–9)
 
 Pre-round-10 rows accreted across sessions (each paragraph names its
@@ -103,5 +112,8 @@ costs and what load windows looked like before the sentinel existed.
 
 """
 
-open(md_path, "w").write(head + table + streaming.rstrip() + "\n\n" + appendix)
+if rewritten:
+    open(md_path, "w").write(head + table + streaming.rstrip() + "\n")
+else:
+    open(md_path, "w").write(head + table + streaming.rstrip() + "\n\n" + appendix)
 print(f"wrote {md_path}: {len(names)} rows, total {total:.1f}s")

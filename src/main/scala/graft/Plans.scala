@@ -143,7 +143,8 @@ object Plans {
     "heaps_law" -> "cumulative distinct via (tok → first doc) vocabulary fold; 10-row cutoff broadcast fans out only compact frames; ≤10 groups after",
     "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids",
     "bootstrap_ci" -> "one-pass Poisson bootstrap: 2B conditional integer sums fold map-side in ONE aggregation — zero fan-out; the sort ranks a B-element in-row array",
-    "ivfpq_ann_served" -> "train-once serving: routing + ADC from the PERSISTED index (no training in the plan); postings scan dynamic-partition-pruned to the probed buckets"
+    "ivfpq_ann_served" -> "train-once serving: routing + ADC from the PERSISTED index (no training in the plan); postings scan dynamic-partition-pruned to the probed buckets",
+    "decile_lift" -> "activity deciles from ONE broadcast percentile-cutpoint row (no global sort); the only window orders the 10-row decile frame"
   )
 
   def main(args: Array[String]): Unit = {
