@@ -15,7 +15,6 @@ existing BASELINE.md, and emits a new BASELINE.md:
 Usage: python3 scripts/rebaseline.py [bench_json] [baseline_md]
 """
 import json
-import re
 import sys
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
@@ -26,21 +25,17 @@ queries = b["queries"]
 sentinel = b.get("sentinel", {})
 total = sum(queries.values())
 assert b.get("failures", 0) == 0, "recording run must have zero failures"
+# a targeted re-record (SPARK_GRAFT_ONLY) also writes target/bench.json;
+# rebaselining from one would silently replace the full-suite table with
+# a partial one — require a plausibly-full run
+assert len(queries) >= 150, (
+    f"bench.json holds only {len(queries)} queries — looks like a targeted "
+    "SPARK_GRAFT_ONLY run, not a full recording run")
 
 old = open(md_path).read()
 
 AUTH = "## Authoritative per-query baseline"
 rewritten = AUTH in old
-
-def section(title, nxt=None):
-    """Text from '## title' up to the next '## ' (or a named one)."""
-    start = old.index(f"## {title}")
-    if nxt:
-        end = old.index(f"## {nxt}")
-    else:
-        m = re.search(r"^## ", old[start + 3:], re.M)
-        end = start + 3 + m.start() if m else len(old)
-    return old[start:end].rstrip() + "\n"
 
 if rewritten:
     # idempotent re-run: replace only the authoritative section, keep

@@ -359,7 +359,12 @@ object Multimodal {
           params.find(_.startsWith(tag.toString)).map(_.drop(1).toInt)
         val cs = params.find(_.startsWith("C")).map(_.drop(1)).getOrElse("420")
         (num('W'), num('H')) match {
-          case (Some(w), Some(h)) if w > 0 && h > 0 =>
+          // 1 << 14 caps each dimension: keeps every frame-size product
+          // (up to 3·w·h for C444) inside Int without overflow — a
+          // hostile 'W65536 H65536' header would otherwise wrap the
+          // frame size to 0 (tiny payload "decodes" with garbage
+          // offsets) or negative (the frame walk stops advancing)
+          case (Some(w), Some(h)) if w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14) =>
             val fps = params.find(_.startsWith("F")).map(_.drop(1).split(':'))
               .collect { case Array(a, b) => (a.toInt, b.toInt) }
               .getOrElse((25, 1)) // Y4M leaves F optional; PAL default
@@ -382,7 +387,7 @@ object Multimodal {
                 while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
                 val mark = new String(bytes, pos, math.min(5, nl - pos), "US-ASCII")
                 if (nl >= bytes.length || mark != "FRAME" ||
-                    nl + 1 + fb > bytes.length) bad = true
+                    nl.toLong + 1 + fb > bytes.length) bad = true
                 else { offsets += nl + 1; pos = nl + 1 + fb }
               }
               if (bad || offsets.isEmpty) None
@@ -400,15 +405,22 @@ object Multimodal {
     * band-equijoin + exact-Hamming near-dup pipeline as the image and
     * audio families. */
   def y4mFrameHashes(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Long)]] =
-    y4mDecoder(bytes).map { clip =>
-      clip.frameOffsets.zipWithIndex
-        .collect { case (off, idx) if idx % stride == 0 =>
-          dHash64(clip.width, clip.height,
-            (x, y) => bytes(off + y * clip.width + x) & 0xffL)
-            .map(h => idx -> h)
-        }
-        .flatten
-    }.filter(_.nonEmpty)
+    try {
+      y4mDecoder(bytes).map { clip =>
+        clip.frameOffsets.zipWithIndex
+          .collect { case (off, idx) if idx % stride == 0 =>
+            dHash64(clip.width, clip.height,
+              (x, y) => bytes(off + y * clip.width + x) & 0xffL)
+              .map(h => idx -> h)
+          }
+          .flatten
+      }.filter(_.nonEmpty)
+    } catch {
+      // the decoder validates frame bounds, but hashing must honor the
+      // ok=false contract even if a payload slips past it — a corrupt
+      // clip rejects, it never kills the task
+      case _: Exception => None
+    }
 
   /** Decoded video record: the fixed schema the batched video decoder
     * fills. */

@@ -2090,7 +2090,10 @@ object AnalyticsQueries {
       val aggs =
         (count(lit(1)) - countDistinct(pkKeys.head, pkKeys.tail: _*)).as(pkName) +:
           fks.map { case (name, parentKey) =>
-            sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as(name)
+            // count(when), not sum(when): an EMPTY child table must
+            // report 0 orphans (the anti-join form's behavior), never
+            // a SQL-null n_bad
+            count(when(col(parentKey).isNull, lit(1))).as(name)
           }
       val row = table.agg(count(lit(1)).as("n_rows"), aggs: _*)
       val pairs = (pkName +: fks.map(_._1)).map(nm =>

@@ -359,6 +359,17 @@ object SimilarityQueries {
         transform(col("pm"), p => p("m")).as("cemb"))
       .withColumn("cnrm", normD(col("cemb")))
 
+  /** The round-1 Lloyd plan BEFORE the checkpoint — exposed for
+    * PlanSpec only: [[lloydUpdate]]'s eager checkpoint executes the
+    * first training round at checkpoint time, so its shape (one-row
+    * seed-centroid broadcast, in-row argmax, compact map-combinable
+    * update — never a window or cartesian) vanished from every final
+    * plan; this pins it directly. */
+  private[graft] def lloydRound1Plan(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    lloydUpdatePlan(lloydAssign(e, seedCentroids(e)))
+  }
+
   def kmeansTrain(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"kmeansTrain needs at least one round, got $rounds")
     val e = withNorm(Tables.embeddings(spark, dir))

@@ -681,6 +681,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("lloyd round 1 (the checkpoint-time job) keeps the in-row broadcast-argmax shape") {
+    // lloydUpdate's eager checkpoint removed round 1 from every final
+    // plan, so the per-round contract is pinned on the pre-checkpoint
+    // frame directly: one one-row seed-centroid broadcast, in-row
+    // argmax, a map-combinable compact update — no window, no cartesian
+    val p = plan(SimilarityQueries.lloydRound1Plan(spark, dir))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"round 1 must assign under exactly one one-row centroid broadcast:\n$p")
+    assert(p.linesIterator.exists(
+      _.contains(s"TakeOrderedAndProject(limit=${SimilarityQueries.IvfK}")),
+      s"the broadcast must build from the bounded LIMIT-k seed fold:\n$p")
+    assert(!p.contains("Window"),
+      "round-1 assignment must argmax in-row, never via a rank window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pq_encode: both code assignments are in-row broadcast argmins, no window") {
     // seed assign + trained re-encode must each fold the codebook to one
     // broadcast row and argmin in-row (the kmeans_train2 contract, per

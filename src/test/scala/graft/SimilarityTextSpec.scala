@@ -726,7 +726,14 @@ class SimilarityTextSpec extends SparkSuite {
       .exists(_.frameOffsets.size == 3))
     assert(Multimodal.y4mDecoder(y4m(16, 16, 2, cs = "444")((x, _, _) => x * 10))
       .exists(_.frameOffsets.size == 2))
-    // rejects: garbage, odd-dim 420, truncated final frame
+    // rejects: garbage, odd-dim 420, truncated final frame, and hostile
+    // headers whose frame-size product would overflow Int (a wrapped
+    // size of 0 would "decode" a tiny payload; a negative one would
+    // stall the frame walk forever)
+    assert(Multimodal.y4mDecoder(
+      "YUV4MPEG2 W65536 H65536 F30:1 Cmono\nFRAME\nxx".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.y4mDecoder(
+      "YUV4MPEG2 W2 H2147483645 F30:1 Cmono\nFRAME\nxx".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.y4mDecoder("not a video".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.y4mDecoder(y4m(15, 16, 2)((_, _, _) => 0)).isEmpty)
     assert(Multimodal.y4mDecoder(base.dropRight(10)).isEmpty,
