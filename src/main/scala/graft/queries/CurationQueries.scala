@@ -93,11 +93,32 @@ object CurationQueries {
       // labels (truncating lineage), the count reads the convergence
       // signal from the checkpointed blocks (both `cluster` references
       // below bind to the INPUT column, pre-alias)
-      val next = labels.join(nbrMin, col("node_id") === col("dst"), "left")
+      val stepped = labels.join(nbrMin, col("node_id") === col("dst"), "left")
         .select(
           col("node_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (col("nbr_min") < col("cluster")).as("chg")
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1"),
+          col("cluster").as("c0"))
+      // POINTER JUMP (the pointer-doubling half of small-star/large-star):
+      // after the neighbor-min hop, also take the label OF my label —
+      // c2(v) = min(c1(v), c1(c1(v))). Every label is the id of a node in
+      // the same component (induction: seeds label themselves; both hops
+      // only adopt labels of same-component nodes), so the jump is sound,
+      // labels stay monotone decreasing, and the remaining diameter
+      // roughly HALVES per round: convergence in O(log diameter) rounds
+      // instead of O(diameter). Measured at sf0.1: semantic graph
+      // 10 → 6 rounds, MinHash graph 3 → 2; wall-clock is FLAT there
+      // (each round pays one extra compact self-join, cancelling the
+      // saved rounds on these shallow fixtures) — the point is the
+      // round complexity at scale, where a long-chain mega-component
+      // would cost its diameter in whole-graph join rounds and now
+      // costs its log.
+      val ptr = stepped.select(col("node_id").as("p_id"), col("c1").as("p_c"))
+      val c2 = least(col("c1"), coalesce(col("p_c"), col("c1")))
+      val next = stepped.join(ptr, col("c1") === col("p_id"), "left")
+        .select(
+          col("node_id"),
+          c2.as("cluster"),
+          (c2 < col("c0")).as("chg")
         )
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
