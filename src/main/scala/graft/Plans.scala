@@ -144,7 +144,9 @@ object Plans {
     "cluster_split" -> "checkpointed compact (doc, cluster) frame; both split arms are narrow md5 maps; every fold after keys on cluster ids",
     "bootstrap_ci" -> "one-pass Poisson bootstrap: 2B conditional integer sums fold map-side in ONE aggregation — zero fan-out; the sort ranks a B-element in-row array",
     "ivfpq_ann_served" -> "train-once serving: routing + ADC from the PERSISTED index (no training in the plan); postings scan dynamic-partition-pruned to the probed buckets",
-    "decile_lift" -> "activity deciles from ONE broadcast percentile-cutpoint row (no global sort); the only window orders the 10-row decile frame"
+    "decile_lift" -> "activity deciles from ONE broadcast percentile-cutpoint row (no global sort); the only window orders the 10-row decile frame",
+    "t_closeness" -> "checkpointed (QI, lang) cell frame feeds all four consumers — corpus scanned once; global-lang and 1-row total frames broadcast; decile is ten DECIMAL(38) comparisons, no division",
+    "epoch_schedule" -> "checkpointed |sources|-row token fold — corpus tokenized once; everything after is arithmetic on that frame under two 1-row broadcasts"
   )
 
   def main(args: Array[String]): Unit = {

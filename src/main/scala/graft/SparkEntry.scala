@@ -136,6 +136,7 @@ object SparkEntry {
     "weighted_sample" -> (CurationQueries.weightedSample _),
     "mix_sample" -> (CurationQueries.mixSample _),
     "mix_temperature" -> (CurationQueries.mixTemperature _),
+    "epoch_schedule" -> (CurationQueries.epochSchedule _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "path_topk" -> (AnalyticsQueries.pathTopk _),
     "k_anonymity" -> (TextQueries.kAnonymity _),
     "l_diversity" -> (TextQueries.lDiversity _),
+    "t_closeness" -> (TextQueries.tCloseness _),
     "interval_join" -> (AnalyticsQueries.intervalJoin _),
     "salted_join" -> (AnalyticsQueries.saltedJoin _),
     "cheapest_supplier" -> (AnalyticsQueries.cheapestSupplier _),
@@ -1937,6 +1939,40 @@ object SparkEntry {
         |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
         |  CAST(sum(gsize) AS BIGINT) AS n_docs, l < 2 AS at_risk
         |FROM g GROUP BY l""".stripMargin,
+    "t_closeness" ->
+      // HUGEINT cross-products (the engine uses DECIMAL(38,0)) keep the
+      // TVD numerator exact; the decile is ten exact comparisons, never
+      // a rounded division. cell is referenced 4x -> MATERIALIZED.
+      """WITH cell AS MATERIALIZED (
+        |  SELECT source, n_chars // 100 AS len_bucket, lang,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT source, len_bucket, sum(c) AS gsize
+        |  FROM cell GROUP BY 1, 2),
+        |gl AS (SELECT lang, sum(c) AS cv FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM cell),
+        |grp AS (
+        |  SELECT cell.source, cell.len_bucket,
+        |    sum(greatest(cell.c * tot.n - gl.cv * g.gsize,
+        |                 CAST(0 AS HUGEINT))) AS s,
+        |    any_value(g.gsize) AS gsize, any_value(tot.n) AS n
+        |  FROM cell
+        |  JOIN gl USING (lang)
+        |  JOIN g ON cell.source = g.source AND cell.len_bucket = g.len_bucket
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT gsize, CAST(
+        |    (10*s >= 1*gsize*n)::int + (10*s >= 2*gsize*n)::int +
+        |    (10*s >= 3*gsize*n)::int + (10*s >= 4*gsize*n)::int +
+        |    (10*s >= 5*gsize*n)::int + (10*s >= 6*gsize*n)::int +
+        |    (10*s >= 7*gsize*n)::int + (10*s >= 8*gsize*n)::int +
+        |    (10*s >= 9*gsize*n)::int + (10*s >= 10*gsize*n)::int
+        |    AS BIGINT) AS t_decile
+        |  FROM grp)
+        |SELECT t_decile, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(gsize) AS BIGINT) AS n_docs, t_decile >= 5 AS at_risk
+        |FROM dc GROUP BY 1""".stripMargin,
     "decile_lift" ->
       // quantile_cont == Spark percentile (quantile_bins_scalable
       // precedent); strict > cutpoint binning mirrored; division order
@@ -3345,6 +3381,33 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_tok, r.raw_share, r.temp_share, r.rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE d.u < r.rate""".stripMargin,
+    "epoch_schedule" ->
+      // same fixed-point normalizer as mix_temperature; every double
+      // after zfp is a pinned chain of single IEEE ops in the same
+      // order as the Spark side (share, then B·share, then /src_tok)
+      s"""WITH d AS (SELECT source,
+         |    CAST(len($WordToksSql) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM d GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok FROM s),
+         |w AS (SELECT source, src_tok, total_tok,
+         |    CAST(floor(sqrt(CAST(src_tok AS DOUBLE) / CAST(total_tok AS DOUBLE))
+         |               * 1000000000000.0) AS BIGINT) AS wfp
+         |  FROM s, t),
+         |z AS (SELECT CAST(sum(wfp) AS BIGINT) AS zfp FROM w),
+         |e AS (SELECT source, src_tok,
+         |    CAST(wfp AS DOUBLE) / CAST(zfp AS DOUBLE) AS temp_share,
+         |    CAST(2 * total_tok AS DOUBLE)
+         |      * (CAST(wfp AS DOUBLE) / CAST(zfp AS DOUBLE)) AS target_tok
+         |  FROM w, z),
+         |e2 AS (SELECT source, src_tok, temp_share, target_tok,
+         |    target_tok / CAST(src_tok AS DOUBLE) AS epochs FROM e)
+         |SELECT source, src_tok, temp_share, target_tok, epochs,
+         |  least(epochs, CAST(4.0 AS DOUBLE)) AS epochs_capped,
+         |  epochs > 4.0 AS over_cap,
+         |  CASE WHEN epochs > 4.0
+         |    THEN target_tok - 4.0 * CAST(src_tok AS DOUBLE)
+         |    ELSE 0.0 END AS clipped_tok
+         |FROM e2""".stripMargin,
     "sample_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    ${hash32Sql("lang || ':' || text")} % 100 AS bucket FROM documents)

@@ -813,6 +813,62 @@ object CurationQueries {
         col("raw_share"), col("temp_share"), col("rate"))
   }
 
+  /** Multi-epoch mixture plan — the PLANNING table the samplers
+    * ([[mixSample]], [[mixTemperature]]) execute one epoch of: given a
+    * compute budget of B = 2× the corpus's tokens and the same
+    * temperature-½ target shares (√share / Σ√share, XLM-R rule), how
+    * many EPOCHS of each source does the schedule call for? Small
+    * sources up-sample by REPETITION (epochs > 1) rather than rate-1
+    * truncation, and any source pushed past 4 epochs is flagged with
+    * its clipped token mass: repeating data beyond ~4 epochs stops
+    * buying loss (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models"), so a flagged row means "find more of this
+    * source, don't repeat it harder".
+    *
+    * Cross-engine exactness: the normalizer reuses [[mixTemperature]]'s
+    * fixed-point trick (Σ floor(√share·10¹²) as BIGINT is
+    * order-independent); every double after it is a pinned chain of
+    * single IEEE ops mirrored verbatim in the oracle.
+    *
+    * Scale (100 TB): one scan → |sources|-row aggregate; everything
+    * after is arithmetic on that compact frame (two 1-row broadcasts,
+    * no second scan, no shuffle wider than |sources|). */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    // |sources|-row frame, corpus-sized (full tokenization) lineage,
+    // branching consumers (tot + weights) — checkpoint so the corpus is
+    // tokenized once, not once per branch
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+      .localCheckpoint(true)
+    val tot = bySource.agg(sum(col("src_tok")).as("total_tok"))
+    val weights = bySource.crossJoin(broadcast(tot)) // 1-row build side: free
+      .select(
+        col("source"), col("src_tok"), col("total_tok"),
+        floor(sqrt(col("src_tok").cast("double") / col("total_tok").cast("double")) *
+          lit(1000000000000.0)).cast("long").as("wfp"))
+    val z = weights.agg(sum(col("wfp")).as("zfp"))
+    weights.crossJoin(broadcast(z)) // 1-row build side: free
+      .select(
+        col("source"), col("src_tok"),
+        (col("wfp").cast("double") / col("zfp").cast("double")).as("temp_share"),
+        // budget = 2 epochs of the whole corpus, allocated by temp share
+        ((lit(2L) * col("total_tok")).cast("double") *
+          (col("wfp").cast("double") / col("zfp").cast("double"))).as("target_tok"))
+      .select(
+        col("source"), col("src_tok"), col("temp_share"), col("target_tok"),
+        (col("target_tok") / col("src_tok").cast("double")).as("epochs"))
+      .select(
+        col("source"), col("src_tok"), col("temp_share"), col("target_tok"),
+        col("epochs"),
+        least(col("epochs"), lit(4.0)).as("epochs_capped"),
+        (col("epochs") > 4.0).as("over_cap"),
+        // token mass the 4-epoch cap clips off this source's allocation
+        when(col("epochs") > 4.0,
+          col("target_tok") - lit(4.0) * col("src_tok").cast("double"))
+          .otherwise(lit(0.0)).as("clipped_tok"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * ranked by a deterministic quality proxy (longest text first, doc_id
     * tie-break) — the standard domain-cap pass that stops one crawl

@@ -329,6 +329,64 @@ object TextQueries {
       .agg(count(lit(1)).as("n_groups"), sum(col("gsize")).as("n_docs"))
       .select(col("l"), col("n_groups"), col("n_docs"), (col("l") < 2).as("at_risk"))
 
+  /** t-closeness audit — the third rung of the release-risk ladder
+    * after [[kAnonymity]] and [[lDiversity]] (Li, Li &
+    * Venkatasubramanian 2007): a QI group can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * diverges from the corpus-wide one (e.g. a group that is 95% one
+    * lang in a 20-lang corpus). Per QI group (source, 100-char length
+    * bucket), total-variation distance between the group's lang
+    * distribution and the global lang distribution, reported as a
+    * decile histogram with the t ≥ 0.5 groups flagged.
+    *
+    * Exactness: TVD = Σ_v max(p_g(v) − p(v), 0) — absent-in-group
+    * languages contribute max(0 − p, 0) = 0, so only the group's OWN
+    * (QI, lang) cells are needed (no category cross join). Cleared of
+    * denominators: S = Σ max(c_gv·N − c_v·g, 0), t = S / (g·N). The
+    * cross-products run in DECIMAL(38,0) so they stay exact past the
+    * BIGINT² overflow point (~3e9 docs — a 100 TB corpus clears it),
+    * and the decile is TEN EXACT COMPARISONS (10·S ≥ k·g·N), never a
+    * rounded division whose banker's/HALF_UP tail could flip a
+    * boundary group's bucket vs the oracle.
+    *
+    * Scale: one scan → compact (QI, lang) cell counts; global lang
+    * counts and QI sizes RE-AGGREGATE the cells (no second scan); the
+    * ≤|langs|-row global frame broadcasts back onto the cells. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    // compact (≤ groups×langs rows) with corpus-sized lineage and FOUR
+    // branching consumers (s-join, gsize, glob, n) — checkpoint so the
+    // corpus is scanned once, not four times
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"), col("lang"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+      .localCheckpoint(true)
+    val gsize = cells.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).cast(dec).as("gsize"))
+    val glob = cells.groupBy(col("lang")).agg(sum(col("c")).cast(dec).as("cv"))
+    val n = cells.agg(sum(col("c")).cast(dec).as("n"))
+    val s = cells
+      .join(broadcast(glob), Seq("lang"))
+      .join(gsize, Seq("source", "len_bucket"))
+      .crossJoin(broadcast(n)) // 1-row broadcast build side: corpus total
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(
+        sum(greatest(col("c") * col("n") - col("cv") * col("gsize"), lit(0).cast(dec)))
+          .cast(dec).as("s"),
+        first(col("gsize")).as("gsize"),
+        first(col("n")).as("n"))
+    val decile = (1 to 10)
+      .map(k => when(lit(10).cast(dec) * col("s") >= lit(k).cast(dec) * col("gsize") * col("n"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    s.select(col("source"), col("len_bucket"), decile.as("t_decile"),
+        col("gsize").cast("long").as("gsize"))
+      .groupBy(col("t_decile"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("gsize")).as("n_docs"))
+      .select(col("t_decile"), col("n_groups"), col("n_docs"),
+        (col("t_decile") >= 5).as("at_risk"))
+  }
+
   /** Tokenizer-fertility profile per language: characters per BPE-ish
     * token and BPE tokens per whitespace word — the tokenizer-health
     * read a multilingual pipeline checks before trusting token budgets

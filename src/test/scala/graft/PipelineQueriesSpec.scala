@@ -2173,6 +2173,69 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_groups")).sum == direct.length.toLong)
   }
 
+  test("t_closeness: decile histogram matches an exact BigInt TVD reference") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars div 100").as("lb"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val n = BigInt(docs.length)
+    val globalLang = docs.groupBy(_._3).view.mapValues(v => BigInt(v.length)).toMap
+    // exact rational TVD per QI group: S = Σ max(c_gv·N − c_v·g, 0),
+    // decile = #{k in 1..10 : 10·S ≥ k·g·N} — all BigInt, no rounding
+    val expect = docs.groupBy(d => (d._1, d._2)).values.map { rows =>
+      val g = BigInt(rows.length)
+      val s = rows.groupBy(_._3).map { case (lang, lr) =>
+        (BigInt(lr.length) * n - globalLang(lang) * g).max(BigInt(0))
+      }.sum
+      val decile = (1 to 10).count(k => BigInt(10) * s >= BigInt(k) * g * n)
+      (decile.toLong, g.toLong)
+    }.toSeq
+    val wantHist = expect.groupBy(_._1).map { case (d, v) =>
+      d -> (v.size.toLong, v.map(_._2).sum)
+    }
+    val out = TextQueries.tCloseness(spark, dir).collect()
+    assert(out.map(r => r.getAs[Long]("t_decile") ->
+      (r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"))).toMap == wantHist)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    out.foreach(r => assert(
+      r.getAs[Boolean]("at_risk") == (r.getAs[Long]("t_decile") >= 5L)))
+  }
+
+  test("epoch_schedule: pinned IEEE chain reproduced; skewed corpus trips the 4-epoch cap") {
+    // fixture: relations between the columns hold exactly (same op order)
+    val out = CurationQueries.epochSchedule(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("src_tok")).sum
+    assert(math.abs(out.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      val (src, ts, tt, ep) = (r.getAs[Long]("src_tok"), r.getAs[Double]("temp_share"),
+        r.getAs[Double]("target_tok"), r.getAs[Double]("epochs"))
+      assert(tt == (2L * total).toDouble * ts)
+      assert(ep == tt / src.toDouble)
+      assert(r.getAs[Boolean]("over_cap") == (ep > 4.0))
+      assert(r.getAs[Double]("epochs_capped") == math.min(ep, 4.0))
+      assert(r.getAs[Double]("clipped_tok") ==
+        (if (ep > 4.0) tt - 4.0 * src.toDouble else 0.0))
+    }
+    // the capped schedule never over-spends the 2-epoch corpus budget
+    val spend = out.map(r =>
+      r.getAs[Double]("epochs_capped") * r.getAs[Long]("src_tok").toDouble).sum
+    assert(spend <= 2.0 * total.toDouble + 1e-6)
+    // seeded skew: a tiny source under √-share temperature weighting gets
+    // an allocation far beyond 4 epochs of itself → flagged, mass clipped
+    val tmp = java.nio.file.Files.createTempDirectory("graft_epoch").toString
+    val rows =
+      (1 to 100).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "en", "big", 199L)) :+
+        (101L, Seq.fill(10)("w").mkString(" "), "en", "tiny", 19L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sk = CurationQueries.epochSchedule(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(sk("tiny").getAs[Boolean]("over_cap"))
+    assert(sk("tiny").getAs[Double]("epochs") > 4.0)
+    assert(sk("tiny").getAs[Double]("clipped_tok") > 0.0)
+    assert(!sk("big").getAs[Boolean]("over_cap"))
+    assert(sk("big").getAs[Double]("clipped_tok") == 0.0)
+  }
+
   test("tokenizer_fertility: totals reconcile with the per-doc token counters") {
     val out = TextQueries.tokenizerFertility(spark, dir).collect()
     val stats = TextQueries.textStats(spark, dir)
