@@ -137,6 +137,7 @@ object SparkEntry {
     "mix_sample" -> (CurationQueries.mixSample _),
     "mix_temperature" -> (CurationQueries.mixTemperature _),
     "epoch_schedule" -> (CurationQueries.epochSchedule _),
+    "domain_reweight" -> (CurationQueries.domainReweight _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
@@ -3381,6 +3382,38 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_tok, r.raw_share, r.temp_share, r.rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE d.u < r.rate""".stripMargin,
+    "domain_reweight" ->
+      // lm_score's bigram chain keyed to source; HUGEINT cross-products
+      // (DECIMAL(38,0) in the engine) keep the excess-loss numerator and
+      // unnormalized weights exact; final doubles are pinned single
+      // divisions. Multiply-referenced CTEs MATERIALIZED.
+      s"""WITH w AS MATERIALIZED (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM t GROUP BY tok),
+         |bx AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM w),
+         |bu AS MATERIALIZED (SELECT doc_id, bg, string_split(bg, ' ')[1] AS u FROM bx),
+         |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bu GROUP BY bg),
+         |sc AS (SELECT b.doc_id,
+         |    CAST(floor((CAST(i.cb AS DOUBLE) / CAST(n.cu AS DOUBLE)) * 1000000000.0) AS BIGINT) AS p_fp
+         |  FROM bu b JOIN bi i ON b.bg = i.bg JOIN uni n ON b.u = n.tok),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(p_fp) AS BIGINT) AS lp FROM sc GROUP BY doc_id),
+         |ps AS MATERIALIZED (SELECT d.source,
+         |    CAST(sum(nb) AS HUGEINT) AS ns, CAST(sum(lp) AS HUGEINT) AS ls
+         |  FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT sum(ns) AS ntot, sum(ls) AS ltot FROM ps),
+         |uu AS MATERIALIZED (SELECT source, ns, ls, ntot, ltot,
+         |    ntot*ns + greatest(ltot*ns - ls*ntot, CAST(0 AS HUGEINT)) AS u
+         |  FROM ps, tt),
+         |z AS (SELECT sum(u) AS uz FROM uu)
+         |SELECT source, CAST(ns AS BIGINT) AS n_bigrams,
+         |  CAST(ls AS DOUBLE) / (CAST(ns AS DOUBLE) * 1000000000.0) AS fluency,
+         |  CAST(ns AS DOUBLE) / CAST(ntot AS DOUBLE) AS old_share,
+         |  CAST(u AS DOUBLE) / CAST(uz AS DOUBLE) AS new_weight,
+         |  ltot*ns > ls*ntot AS upweighted
+         |FROM uu, z""".stripMargin,
     "epoch_schedule" ->
       // same fixed-point normalizer as mix_temperature; every double
       // after zfp is a pinned chain of single IEEE ops in the same

@@ -813,6 +813,61 @@ object CurationQueries {
         col("raw_share"), col("temp_share"), col("rate"))
   }
 
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    * linearized): per-source proxy-LM loss vs the corpus reference →
+    * sources that score WORSE than the corpus mean (excess loss) get
+    * their mixture weight multiplied up, then weights renormalize.
+    * The proxy is the in-engine bigram-MLE fluency of [[TextQueries
+    * .lmScore]] (shared [[TextQueries.bigramScoresFp]] stream, so the
+    * two cannot diverge); the multiplicative update is the linearized
+    * w ∝ share·(1 + excess) rather than exp(η·excess) — exp is not
+    * correctly-rounded IEEE, so the exponential form could not be
+    * oracle-matched bit-exactly, and to first order they agree.
+    *
+    * Exactness: excess = F̄ − F_s cleared of denominators is
+    * E_s = max(Ltot·Ns − Ls·Ntot, 0), and share·(1+excess) shares the
+    * common denominator Ntot² which CANCELS in normalization — so the
+    * unnormalized weight u_s = Ntot·Ns + E_s is a pure integer,
+    * carried in DECIMAL(38,0) (HUGEINT in the oracle). Bounds: with
+    * Ntot ≤ 10¹³ bigrams (a 100 TB corpus) and Ls ≤ 10⁹·Ns,
+    * Ltot·Ns ≤ 10³⁵ and Σu ≤ Ntot² + Ltot·Ntot ≤ 10³⁶ — inside both
+    * DECIMAL(38) and int128, and an overflow beyond that throws
+    * loudly under ANSI mode rather than wrapping.
+    *
+    * Scale: the model chain is [[lmScore]]'s (compact bigram-keyed
+    * shuffles); per-source fold is |sources| rows (checkpointed —
+    * corpus lineage, two consumers); everything after is arithmetic
+    * under two 1-row broadcasts. Sources whose docs are all < 2 words
+    * have no bigrams and drop out (no proxy signal, no weight). */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perDoc = TextQueries.bigramScoresFp(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("p_fp")).as("lp"))
+    val perSrc = perDoc
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("nb")).cast(dec).as("ns"), sum(col("lp")).cast(dec).as("ls"))
+      .localCheckpoint(true)
+    val tot = perSrc.agg(sum(col("ns")).cast(dec).as("ntot"),
+      sum(col("ls")).cast(dec).as("ltot"))
+    val u = perSrc.crossJoin(broadcast(tot)) // 1-row build side: free
+      .select(col("source"), col("ns"), col("ls"), col("ntot"), col("ltot"),
+        (col("ntot") * col("ns") +
+          greatest(col("ltot") * col("ns") - col("ls") * col("ntot"),
+            lit(0).cast(dec))).cast(dec).as("u"))
+    val z = u.agg(sum(col("u")).cast(dec).as("uz"))
+    u.crossJoin(broadcast(z)) // 1-row build side: free
+      .select(
+        col("source"),
+        col("ns").cast("long").as("n_bigrams"),
+        (col("ls").cast("double") /
+          (col("ns").cast("double") * lit(1000000000.0))).as("fluency"),
+        (col("ns").cast("double") / col("ntot").cast("double")).as("old_share"),
+        (col("u").cast("double") / col("uz").cast("double")).as("new_weight"),
+        (col("ltot") * col("ns") > col("ls") * col("ntot")).as("upweighted"))
+  }
+
   /** Multi-epoch mixture plan — the PLANNING table the samplers
     * ([[mixSample]], [[mixTemperature]]) execute one epoch of: given a
     * compute budget of B = 2× the corpus's tokens and the same

@@ -597,7 +597,19 @@ object TextQueries {
     * string keys and a doc-keyed rollup. No broadcast assumed: a
     * corpus-scale bigram vocabulary can exceed broadcast limits, so the
     * model joins shuffle on the model keys instead. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScoresFp(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("lp_fp"))
+      .withColumn("avg_p",
+        col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
+
+  /** The per-bigram fixed-point MLE score stream `(doc_id, p_fp)`
+    * behind [[lmScore]], shared with
+    * [[CurationQueries.domainReweight]] so the two derivations cannot
+    * diverge. p_fp = floor(10⁹ · c(u w)/c(u)) — exact BIGINTs, so any
+    * downstream sum is order-independent. */
+  private[queries] def bigramScoresFp(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), wordTokens(col("text")).as("ws"))
     val uni = docs.select(explode(col("ws")).as("tok"))
@@ -618,10 +630,7 @@ object TextQueries {
       .join(uni, col("u") === col("tok"))
       .withColumn("p_fp",
         floor((col("cb").cast("double") / col("cu").cast("double")) * lit(1000000000.0)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("lp_fp"))
-      .withColumn("avg_p",
-        col("lp_fp").cast("double") / (col("n_bigrams").cast("double") * lit(1000000000.0)))
+      .select(col("doc_id"), col("p_fp"))
   }
 
   /** Heaps-law vocabulary-growth curve — per decile of the corpus (by

@@ -2236,6 +2236,54 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(sk("big").getAs[Double]("clipped_tok") == 0.0)
   }
 
+  test("domain_reweight: BigInt reference reproduced; hard domains upweighted, weights normalize") {
+    // reference: fold lm_score's per-doc (n_bigrams, lp_fp) to sources in
+    // exact BigInt, then u = Ntot·Ns + max(Ltot·Ns − Ls·Ntot, 0)
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perSrc = TextQueries.lmScore(spark, dir)
+      .select("doc_id", "n_bigrams", "lp_fp").collect()
+      .groupBy(r => srcOf(r.getLong(0)))
+      .view.mapValues { rs =>
+        (BigInt(rs.map(_.getLong(1)).sum), BigInt(rs.map(_.getLong(2)).sum))
+      }.toMap
+    val ntot = perSrc.values.map(_._1).sum
+    val ltot = perSrc.values.map(_._2).sum
+    val us = perSrc.view.mapValues { case (ns, ls) =>
+      ntot * ns + (ltot * ns - ls * ntot).max(BigInt(0))
+    }.toMap
+    val uz = us.values.sum
+    val out = CurationQueries.domainReweight(spark, dir).collect()
+    assert(out.map(_.getAs[String]("source")).toSet == perSrc.keySet)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (ns, ls) = perSrc(src)
+      assert(r.getAs[Long]("n_bigrams") == ns.toLong)
+      assert(r.getAs[Double]("new_weight") == us(src).toDouble / uz.toDouble)
+      assert(r.getAs[Boolean]("upweighted") == (ltot * ns > ls * ntot))
+    }
+    assert(math.abs(out.map(_.getAs[Double]("new_weight")).sum - 1.0) < 1e-9)
+    // seeded direction: a source whose head token fans out to many
+    // successors (unpredictable bigrams) must gain weight against a
+    // perfectly repetitive one
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doremi").toString
+    val rows =
+      (1 to 20).map(i => (i.toLong, "x y x y x y x y", "en", "fluent", 15L)) ++
+        (1 to 20).map(i => (20L + i,
+          s"x a$i x b$i x c$i x d$i", "en", "hard", 19L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sk = CurationQueries.domainReweight(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(sk("hard").getAs[Double]("fluency") <
+      sk("fluent").getAs[Double]("fluency"))
+    assert(sk("hard").getAs[Boolean]("upweighted"))
+    assert(!sk("fluent").getAs[Boolean]("upweighted"))
+    // the update moves mass toward the hard domain relative to its share
+    assert(sk("hard").getAs[Double]("new_weight") >
+      sk("hard").getAs[Double]("old_share"))
+  }
+
   test("tokenizer_fertility: totals reconcile with the per-doc token counters") {
     val out = TextQueries.tokenizerFertility(spark, dir).collect()
     val stats = TextQueries.textStats(spark, dir)
