@@ -147,7 +147,8 @@ object Plans {
     "decile_lift" -> "activity deciles from ONE broadcast percentile-cutpoint row (no global sort); the only window orders the 10-row decile frame",
     "t_closeness" -> "checkpointed (QI, lang) cell frame feeds all four consumers — corpus scanned once; global-lang and 1-row total frames broadcast; decile is ten DECIMAL(38) comparisons, no division",
     "epoch_schedule" -> "checkpointed |sources|-row token fold — corpus tokenized once; everything after is arithmetic on that frame under two 1-row broadcasts",
-    "domain_reweight" -> "lm_score's compact bigram-keyed model shuffles; checkpointed |sources|-row loss fold; DECIMAL(38) weight update under two 1-row broadcasts"
+    "domain_reweight" -> "lm_score's compact bigram-keyed model shuffles; checkpointed |sources|-row loss fold; DECIMAL(38) weight update under two 1-row broadcasts",
+    "ann_ivf_appended" -> "serving over the incrementally-grown index: no training in the plan; postings scan dynamic-partition-pruned to probed buckets (append wrote only touched bucket dirs)"
   )
 
   def main(args: Array[String]): Unit = {

@@ -55,6 +55,7 @@ object SparkEntry {
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
+    "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
@@ -285,9 +286,9 @@ object SparkEntry {
     * the top-1 bucket (candidate side), `probes` the top-nprobe buckets
     * (query side). The argmax tie-break (ccos DESC, cid) matches the Spark
     * comparator exactly, and ccos is the same fixed-order double fold. */
-  private lazy val IvfAssignSql: String =
+  private def ivfAssignSqlWith(centFilter: String): String =
     s"""WITH en AS (SELECT vec_id, embedding, sqrt($dotSelfSql) AS nrm FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM en
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM en$centFilter
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.IvfK}),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
        |  FROM (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
@@ -296,6 +297,15 @@ object SparkEntry {
        |asn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked WHERE rn = 1),
        |probes AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM ranked
        |           WHERE rn <= ${SimilarityQueries.IvfNprobe})""".stripMargin
+
+  private lazy val IvfAssignSql: String = ivfAssignSqlWith("")
+
+  /** [[IvfAssignSql]] with centroids sampled from the BASE slice only —
+    * the `ann_ivf_appended` oracle: frozen-centroid routing means
+    * "append then serve" must equal "assign everything against the base
+    * centroids", which is exactly this chain. */
+  private lazy val IvfAssignBaseCentSql: String =
+    ivfAssignSqlWith(" WHERE vec_id % 4 != 0")
 
   /** Two-round k-means CTE chain (extends [[IvfAssignSql]] — whose `asn`
     * IS the round-1 assignment): the exact fixed-point Lloyd's update
@@ -1020,6 +1030,17 @@ object SparkEntry {
     // persisted centroids, same routing argmax, same cosine/top-3)
     "ann_ivf_served" ->
       s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "ann_ivf_appended" ->
+      // base-slice centroids; routing/serving tail identical to
+      // ann_ivf_served — frozen-centroid append ≡ one-pass assignment
+      s"""$IvfAssignBaseCentSql,
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
          |p AS (SELECT q.qid, a.vec_id AS vid,
          |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos

@@ -1702,6 +1702,65 @@ object SimilarityQueries {
     annIvfServe(spark, dir,
       servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)))
 
+  /** Incremental growth of the persisted IVF index — the lifecycle step
+    * after train-once ([[buildIvfIndex]]) and serve-many
+    * ([[annIvfServe]]): new vectors arrive and must JOIN the index
+    * without retraining it. Centroids train on the BASE slice only
+    * (vec_id % 4 != 0 — a deterministic 75% of the fixture standing in
+    * for "the corpus the index was built on"); the delta slice is then
+    * routed with the FROZEN stored centroids and appended to the
+    * bucket-partitioned postings — `mode("append")` under
+    * `partitionBy(bucket)` writes new files ONLY into the touched
+    * bucket directories, existing posting files are never rewritten
+    * (AppendSpec proves byte-identity). Routing delta against frozen
+    * centroids is exactly how a production IVF index absorbs inserts
+    * between periodic retrains: the index stays correct-as-built
+    * (assignment is centroid-deterministic, so append ≡ having indexed
+    * base+delta in one pass), while recall drifts only as the data
+    * distribution does — which [[annRecall]]-style audits monitor. */
+  def buildIvfIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    buildIvfIndexBase(spark, dir, indexPath)
+    appendIvfIndex(spark, dir, indexPath)
+  }
+
+  /** Train-and-index the BASE slice only (vec_id % 4 != 0) — the
+    * starting state of the append lifecycle. */
+  def buildIvfIndexBase(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val base = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 4 =!= 0)
+    ivfCentFrame(base).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignFromCents(base, storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** One insert batch: route the delta slice (vec_id % 4 == 0) with the
+    * STORED centroids — no training anywhere in this plan — and append
+    * per-bucket. Only the touched bucket directories gain files;
+    * existing posting files are never rewritten. */
+  def appendIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val delta = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 4 === 0)
+    assignFromCents(delta, storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** The persisted centroid table folded to the one-row broadcastable
+    * array frame [[assignFromCents]] routes against. */
+  private def storedCents(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/centroids")
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+
+  /** [[annIvfServe]] over the incrementally-grown index
+    * ([[buildIvfIndexAppend]]) — same serving plan, centroids from the
+    * base slice, postings covering base + appended delta. */
+  def annIvfAppended(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir,
+      servedIndex(spark, dir, "ivf_app")(buildIvfIndexAppend(spark, dir, _)))
+
   /** Content stamp of the fixture's embeddings table (file names +
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s
     * cached index: a regenerated fixture must rebuild, a same-session

@@ -480,6 +480,44 @@ class CurationSpec extends SparkSuite {
     assert(after == stamps, "a same-fixture re-run must not rebuild the index")
   }
 
+  test("IVF index append: base files untouched byte-for-byte; append equals one-pass frozen-centroid indexing") {
+    import java.nio.file.{Files, Paths}
+    def md5s(root: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f.toPath))
+        f.getPath.stripPrefix(root.getPath) -> d.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val tmp = Files.createTempDirectory("graft_ivfapp").toString
+    SimilarityQueries.buildIvfIndexBase(spark, dir, tmp)
+    val before = md5s(new java.io.File(tmp, "postings"))
+    SimilarityQueries.appendIvfIndex(spark, dir, tmp)
+    val after = md5s(new java.io.File(tmp, "postings"))
+    // every pre-append posting file survives byte-identical — the insert
+    // batch writes NEW files into touched buckets, never rewrites
+    before.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"base posting file rewritten: $p") }
+    assert(after.size > before.size, "append added no posting files")
+    // (append ≡ one-pass frozen-centroid assignment is pinned EXACTLY by
+    // the ann_ivf_appended oracle, whose SQL assigns base+delta in one
+    // chain against base-slice centroids)
+    val servedDf = SimilarityQueries.annIvfServe(spark, dir, tmp)
+    val served = servedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.nonEmpty)
+    // serving stays training-free and partition-pruned after the append
+    val p = servedDf.queryExecution.executedPlan.treeString
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scan:\n${p.take(4000)}")
+    // the appended delta is actually searchable: some served neighbor
+    // must come from the delta slice (vec_id % 4 == 0, and qids < 10 —
+    // ids 0,4,8 are themselves delta members, so their neighbors span both)
+    assert(served.exists(_._2 % 4 == 0), "no delta vector ever served")
+  }
+
   test("kcore_peel: equals a driver-side peel replay; members are mutually 2-supported; fixpoint inside the cap") {
     val d01 = "/root/testdata/sf0.01" // sf0.001's dup graph has no cycles
     val pairs = SimilarityQueries.minhashLsh(spark, d01)
