@@ -148,7 +148,9 @@ object Plans {
     "t_closeness" -> "checkpointed (QI, lang) cell frame feeds all four consumers — corpus scanned once; global-lang and 1-row total frames broadcast; decile is ten DECIMAL(38) comparisons, no division",
     "epoch_schedule" -> "checkpointed |sources|-row token fold — corpus tokenized once; everything after is arithmetic on that frame under two 1-row broadcasts",
     "domain_reweight" -> "lm_score's compact bigram-keyed model shuffles; checkpointed |sources|-row loss fold; DECIMAL(38) weight update under two 1-row broadcasts",
-    "ann_ivf_appended" -> "serving over the incrementally-grown index: no training in the plan; postings scan dynamic-partition-pruned to probed buckets (append wrote only touched bucket dirs)"
+    "ann_ivf_appended" -> "serving over the incrementally-grown index: no training in the plan; postings scan dynamic-partition-pruned to probed buckets (append wrote only touched bucket dirs)",
+    "cross_shard_dup" -> "LSH-bounded pairs + two compact (doc_id -> shard, fp) equijoins; <=4 rows out, no cartesian",
+    "quality_vs_dup" -> "LSH-bounded degree fold joined doc_id-keyed onto one quality scan; BIGINT micro-quantized sums, <=4 rows out"
   )
 
   def main(args: Array[String]): Unit = {

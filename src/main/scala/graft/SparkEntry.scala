@@ -139,6 +139,8 @@ object SparkEntry {
     "mix_temperature" -> (CurationQueries.mixTemperature _),
     "epoch_schedule" -> (CurationQueries.epochSchedule _),
     "domain_reweight" -> (CurationQueries.domainReweight _),
+    "cross_shard_dup" -> (CurationQueries.crossShardDup _),
+    "quality_vs_dup" -> (CurationQueries.qualityVsDup _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "repetition_score" -> (CurationQueries.repetitionScore _),
     "embed_quantize" -> (CurationQueries.embedQuantize _),
@@ -3403,6 +3405,31 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_tok, r.raw_share, r.temp_share, r.rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE d.u < r.rate""".stripMargin,
+    "cross_shard_dup" ->
+      // LSH candidates classified by shard co-location (md5-mod-8
+      // content sharding) and exact-fingerprint equality
+      s"""WITH $LshCandBody,
+         |shd AS (SELECT doc_id, ${hash32Sql("text")} % 8 AS shard,
+         |    md5($NormSql) AS fp FROM documents)
+         |SELECT a.shard = b.shard AS same_shard, a.fp = b.fp AS exact_dup,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM cand JOIN shd a ON cand.doc_a = a.doc_id
+         |          JOIN shd b ON cand.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "quality_vs_dup" ->
+      // near-dup degree buckets (0..3+) vs micro-quantized mean quality;
+      // BIGINT sums, one pinned division
+      s"""WITH $LshCandBody,
+         |$QualityBody,
+         |dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand) GROUP BY 1),
+         |qd AS (SELECT least(coalesce(d.deg, 0), 3) AS deg_bucket,
+         |    CAST(floor(q.quality * 1000000.0) AS BIGINT) AS q_fp
+         |  FROM qq q LEFT JOIN dg d ON q.doc_id = d.doc_id)
+         |SELECT deg_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(q_fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_quality
+         |FROM qd GROUP BY 1""".stripMargin,
     "domain_reweight" ->
       // lm_score's bigram chain keyed to source; HUGEINT cross-products
       // (DECIMAL(38,0) in the engine) keep the excess-loss numerator and

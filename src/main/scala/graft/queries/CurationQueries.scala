@@ -813,6 +813,72 @@ object CurationQueries {
         col("raw_share"), col("temp_share"), col("rate"))
   }
 
+  /** Shard-locality audit of the near-dup graph — the planning read
+    * behind "can dedup run shard-local, or does it need a global
+    * pass?": every MinHash-LSH candidate pair classified by whether its
+    * two docs land in the same content-hash training shard
+    * ([[TextQueries.shardAssign]]'s md5-mod-8 scheme) and whether they
+    * are EXACT duplicates (same normalized-text fingerprint). Exact
+    * dups co-locate BY CONSTRUCTION under content sharding (identical
+    * text → identical hash → same shard, so the exact ∧ cross-shard
+    * cell is structurally zero — the query proves it); NEAR-dups
+    * scatter uniformly, so ~(N−1)/N of them cross shards. The
+    * cross-shard near-dup count is exactly the mass a shard-local
+    * dedup pass can never see — the reason this engine's dedup is
+    * band-keyed (globally bucketed) rather than shard-local.
+    *
+    * Scale: LSH-bounded pairs + two compact (doc_id → shard, fp)
+    * equijoins; output is ≤4 rows. */
+  def crossShardDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.minhashLsh(spark, dir)
+    val shards = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(md5Hash32(col("text")), lit(8L)).as("shard"),
+        md5(normText(col("text"))).as("fp"))
+    pairs
+      .join(shards.select(col("doc_id").as("doc_a"),
+        col("shard").as("sa"), col("fp").as("fa")), "doc_a")
+      .join(shards.select(col("doc_id").as("doc_b"),
+        col("shard").as("sb"), col("fp").as("fb")), "doc_b")
+      .groupBy(
+        (col("sa") === col("sb")).as("same_shard"),
+        (col("fa") === col("fb")).as("exact_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Duplication–quality interaction: mean quality score per near-dup
+    * DEGREE bucket (0 = untouched by the LSH graph, 3 = degree ≥ 3) —
+    * the curation read behind "are my duplicates junk or are they the
+    * good content everyone copies?". The answer decides keep-policy:
+    * if heavy-dup docs score LOW, plain keeper election suffices; if
+    * they score HIGH, dedup must keep-best ([[dedupKeepBest]]) or the
+    * pass deletes the corpus's most-replicated quality mass.
+    *
+    * Exactness: quality is floor-quantized to micro-units and summed
+    * as BIGINT (order-independent), one pinned division at the end —
+    * a raw double mean would be summation-order-dependent and flake
+    * the oracle hash.
+    *
+    * Scale: LSH-bounded degree fold + one corpus scan for quality;
+    * the join keys on doc_id; ≤4 output rows. */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val deg = SimilarityQueries.minhashLsh(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .select(col("doc_id"), TextQueries.qualityCol(col("text"), col("tokens")).as("quality"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(
+        least(coalesce(col("deg"), lit(0L)), lit(3L)).as("deg_bucket"),
+        floor(col("quality") * lit(1000000.0)).cast("long").as("q_fp"))
+      .groupBy(col("deg_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_fp")).as("q_sum"))
+      .select(col("deg_bucket"), col("n_docs"),
+        (col("q_sum").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0))).as("mean_quality"))
+  }
+
   /** One DoReMi-style domain-reweighting step (Xie et al. 2023,
     * linearized): per-source proxy-LM loss vs the corpus reference →
     * sources that score WORSE than the corpus mean (excess loss) get

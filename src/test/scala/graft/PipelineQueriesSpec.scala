@@ -2236,6 +2236,49 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(sk("big").getAs[Double]("clipped_tok") == 0.0)
   }
 
+  test("cross_shard_dup: totals reconcile; seeded exact dups co-locate, near-dups scatter") {
+    val out = CurationQueries.crossShardDup(spark, dir).collect()
+    // exact dups share text → share the content hash → same shard: the
+    // exact ∧ cross-shard cell is structurally impossible
+    assert(!out.exists(r =>
+      !r.getAs[Boolean]("same_shard") && r.getAs[Boolean]("exact_dup")))
+    assert(out.map(_.getAs[Long]("n_pairs")).sum ==
+      SimilarityQueries.minhashLsh(spark, dir).count())
+    // seeded corpus: 4 exact copies of one text (6 pairs) plus a near-dup
+    // pair (one token swapped) — exacts must co-locate, and the pair
+    // classification must match a driver-side recount
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xshard").toString
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rows = (1 to 4).map(i => (i.toLong, body, "en", "s", 200L)) ++ Seq(
+      (5L, body.replace("tok7", "zzz"), "en", "s", 200L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sk = CurationQueries.crossShardDup(spark, tmp).collect()
+    val exact = sk.filter(_.getAs[Boolean]("exact_dup"))
+    assert(exact.map(_.getAs[Long]("n_pairs")).sum == 6L)
+    assert(exact.forall(_.getAs[Boolean]("same_shard")))
+    assert(sk.map(_.getAs[Long]("n_pairs")).sum ==
+      SimilarityQueries.minhashLsh(spark, tmp).count())
+  }
+
+  test("quality_vs_dup: bucket means match a driver-side exact recount") {
+    val deg = SimilarityQueries.minhashLsh(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val q = TextQueries.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val expect = q.groupBy { case (id, _) =>
+      math.min(deg.getOrElse(id, 0L), 3L)
+    }.view.mapValues { rs =>
+      val s = rs.map { case (_, v) => math.floor(v * 1e6).toLong }.sum
+      (rs.length.toLong, s.toDouble / (rs.length.toDouble * 1e6))
+    }.toMap
+    val out = CurationQueries.qualityVsDup(spark, dir).collect()
+    assert(out.map(r => r.getAs[Long]("deg_bucket") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_quality"))).toMap == expect)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == q.length.toLong)
+  }
+
   test("domain_reweight: BigInt reference reproduced; hard domains upweighted, weights normalize") {
     // reference: fold lm_score's per-doc (n_bigrams, lp_fp) to sources in
     // exact BigInt, then u = Ntot·Ns + max(Ltot·Ns − Ls·Ntot, 0)
