@@ -150,7 +150,8 @@ object Plans {
     "domain_reweight" -> "lm_score's compact bigram-keyed model shuffles; checkpointed |sources|-row loss fold; DECIMAL(38) weight update under two 1-row broadcasts",
     "ann_ivf_appended" -> "serving over the incrementally-grown index: no training in the plan; postings scan dynamic-partition-pruned to probed buckets (append wrote only touched bucket dirs)",
     "cross_shard_dup" -> "LSH-bounded pairs + two compact (doc_id -> shard, fp) equijoins; <=4 rows out, no cartesian",
-    "quality_vs_dup" -> "LSH-bounded degree fold joined doc_id-keyed onto one quality scan; BIGINT micro-quantized sums, <=4 rows out"
+    "quality_vs_dup" -> "LSH-bounded degree fold joined doc_id-keyed onto one quality scan; BIGINT micro-quantized sums, <=4 rows out",
+    "ann_ndcg" -> "both retrieval arms keep their bounded shapes (broadcast-query scan, bucket equijoin); (qid, vid) equijoin; 10 rows out"
   )
 
   def main(args: Array[String]): Unit = {

@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
+    "ann_ndcg" -> (SimilarityQueries.annNdcg _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
@@ -1050,6 +1051,34 @@ object SparkEntry {
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "ann_ndcg" ->
+      // gains 3/2/1 by exact cosine rank; discounts pinned as literals
+      // (log is not correctly-rounded IEEE); picounit-quantized terms
+      // sum as BIGINTs, one pinned division chain by the ideal DCG
+      s"""$IvfAssignSql,
+         |kq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |kp AS (SELECT kq.qid, e.vec_id AS vid,
+         |        ${dotSql("kq.qemb", "e.embedding")} / (kq.qnrm * e.nrm) AS cos
+         |      FROM en e, kq WHERE e.vec_id != kq.qid),
+         |kr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM kp),
+         |ex AS (SELECT qid, vid, 4 - rn AS gain FROM kr WHERE rn <= 3),
+         |aq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |ap AS (SELECT aq.qid, a.vec_id AS vid,
+         |        ${dotSql("aq.qemb", "a.embedding")} / (aq.qnrm * a.nrm) AS cos
+         |      FROM aq JOIN asn a ON aq.bucket = a.bucket AND a.vec_id != aq.qid),
+         |ar AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM ap),
+         |a3 AS (SELECT qid, vid, rn AS p FROM ar WHERE rn <= 3),
+         |tm AS (SELECT a.qid,
+         |    CAST(floor(CAST(coalesce(e.gain, 0) AS DOUBLE) *
+         |      (CASE WHEN a.p = 1 THEN 1.0 WHEN a.p = 2 THEN 0.6309297535714575 ELSE 0.5 END)
+         |      * 1000000000000.0) AS BIGINT) AS t_fp
+         |  FROM a3 a LEFT JOIN ex e ON a.qid = e.qid AND a.vid = e.vid)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_listed,
+         |  (CAST(sum(t_fp) AS DOUBLE) / 1000000000000.0) /
+         |    (3.0*1.0 + 2.0*0.6309297535714575 + 1.0*0.5) AS ndcg
+         |FROM tm GROUP BY qid""".stripMargin,
     "ann_recall" ->
       s"""$IvfAssignSql,
          |kq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),

@@ -1532,6 +1532,46 @@ object SimilarityQueries {
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     recallAgainstExact(spark, dir, pqAnn(spark, dir).select(col("qid"), col("vid")))
 
+  /** nDCG@3 of the IVF retrieval against the exact cosine top-3 — the
+    * graded companion to [[annRecall]]'s hit-rate: recall treats rank-1
+    * and rank-3 hits alike, nDCG pays position. Gains are 3/2/1 by
+    * EXACT rank; discounts are the standard 1/log₂(p+1) — but log is
+    * NOT a correctly-rounded IEEE op, so the three discount values are
+    * pinned as identical literals in both engines (1, 0.6309297535714575,
+    * 0.5) instead of computed; each gain·discount term is floor-quantized
+    * to picounits and summed as BIGINT (order-independent), with ONE
+    * pinned division chain by the ideal DCG at the end.
+    *
+    * Scale: both retrieval chains are the existing bounded shapes
+    * ([[knnCosine]]'s broadcast-query scan, [[annIvf]]'s bucket
+    * equijoin); the join keys on (qid, vid); 10 rows out. */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm")).filter(col("qid") < 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("vec_id").as("vid"), col("cos"))
+      .withColumn("er", row_number().over(w))
+      .filter(col("er") <= 3)
+      .select(col("qid"), col("vid"), (lit(4L) - col("er")).as("gain"))
+    val approx = annIvf(spark, dir)
+      .withColumn("p", row_number().over(w))
+    val disc = when(col("p") === 1, lit(1.0))
+      .when(col("p") === 2, lit(0.6309297535714575))
+      .otherwise(lit(0.5))
+    approx.join(exact, Seq("qid", "vid"), "left")
+      .select(col("qid"),
+        floor(coalesce(col("gain"), lit(0L)).cast("double") * disc *
+          lit(1000000000000.0)).cast("long").as("t_fp"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_listed"), sum(col("t_fp")).as("dcg_fp"))
+      .select(col("qid"), col("n_listed"),
+        ((col("dcg_fp").cast("double") / lit(1000000000000.0)) /
+          lit(3.0 * 1.0 + 2.0 * 0.6309297535714575 + 1.0 * 0.5)).as("ndcg"))
+  }
+
   // ── IVF+PQ composite (residual-encoded coarse+fine index) ─────────────
 
   /** Per-vector residual against its OWN coarse centroid, as a

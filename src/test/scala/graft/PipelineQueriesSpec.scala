@@ -2236,6 +2236,38 @@ class PipelineQueriesSpec extends SparkSuite {
     assert(sk("big").getAs[Double]("clipped_tok") == 0.0)
   }
 
+  test("ann_ndcg: matches a driver-side replay; perfect retrieval would score 1; bounded [0,1]") {
+    val exact = SimilarityQueries.knnCosine(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues { rs =>
+        rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+          .zipWithIndex.map { case (r, i) => r.getLong(1) -> (3L - i) }.toMap
+      }.toMap
+    val approx = SimilarityQueries.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(rs =>
+        rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1))).toMap
+    val discs = Array(1.0, 0.6309297535714575, 0.5)
+    val idcg = 3.0 * 1.0 + 2.0 * 0.6309297535714575 + 1.0 * 0.5
+    val out = SimilarityQueries.annNdcg(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet == approx.keySet)
+    out.foreach { r =>
+      val qid = r.getLong(0)
+      val want = approx(qid).zipWithIndex.map { case (vid, p) =>
+        math.floor(exact(qid).getOrElse(vid, 0L).toDouble * discs(p) * 1e12).toLong
+      }.sum
+      assert(r.getDouble(2) == (want.toDouble / 1e12) / idcg)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(1) == approx(qid).length.toLong)
+    }
+    // a list identical to the exact top-3 scores 1 (up to the picounit
+    // floor-quantization, which can only shave < 1e-9)
+    val perfect = exact.head._2.toSeq.sortBy(-_._2).map(_._1)
+    val dcg = perfect.zipWithIndex.map { case (vid, p) =>
+      math.floor(exact.head._2(vid).toDouble * discs(p) * 1e12).toLong
+    }.sum
+    val top = (dcg.toDouble / 1e12) / idcg
+    assert(top <= 1.0 && top > 1.0 - 1e-9)
+  }
+
   test("cross_shard_dup: totals reconcile; seeded exact dups co-locate, near-dups scatter") {
     val out = CurationQueries.crossShardDup(spark, dir).collect()
     // exact dups share text → share the content hash → same shard: the
