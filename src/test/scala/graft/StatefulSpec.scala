@@ -778,6 +778,54 @@ class StatefulSpec extends SparkSuite {
     assert(batch == streamed)
   }
 
+  test("streaming mixture monitor: on-target window scores a driver-replayed L1, flooded window alarms; batch parity exact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // frozen target: sources a/b with token shares 0.64/0.36
+    val target = graft.streaming.MixMonitor.targetMixture(
+      Seq(("a", 64L), ("b", 36L)).toDF("source", "n_tok"))
+    // driver replay of the fixed-point normalizer
+    val wfpA = math.floor(math.sqrt(64.0 / 100.0) * 1e6).toLong
+    val wfpB = math.floor(math.sqrt(36.0 / 100.0) * 1e6).toLong
+    val zfp = wfpA + wfpB
+    // window 0: roughly on-target blend; window 1: source b floods
+    val w0 = Seq(("a", 0L, 4000L), ("b", 1000L, 3000L))
+    val w1 = Seq(("a", 600000L, 100L), ("b", 600001L, 5000L))
+    val sentinel = ("a", 86400000L, 1L)
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.MixMonitor.scoreMix(ms.toDS(), target)
+      .writeStream.format("memory").queryName("mixmon").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-mixmon")).start()
+    ms.addData(w0.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(w1.toIndexedSeq :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket", "n_tok", "l1_mix", "off_target")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val streamed = rows(spark.table("mixmon"))
+    // driver replay of the positive-part L1 identity
+    def l1(toks: Map[String, Long]): Double = {
+      val c = toks.values.sum
+      val num = Seq("a" -> wfpA, "b" -> wfpB).map { case (s, w) =>
+        math.max(toks.getOrElse(s, 0L) * zfp - w * c, 0L)
+      }.sum
+      2.0 * num.toDouble / (c.toDouble * zfp.toDouble)
+    }
+    val exp0 = l1(Map("a" -> 4000L, "b" -> 3000L))
+    val exp1 = l1(Map("a" -> 100L, "b" -> 5000L))
+    assert(streamed == Set(
+      (0L, 7000L, exp0, exp0 >= graft.streaming.MixMonitor.AlarmL1),
+      (1L, 5100L, exp1, exp1 >= graft.streaming.MixMonitor.AlarmL1)))
+    // the blend near target stays quiet; the flooded window alarms
+    assert(exp0 < graft.streaming.MixMonitor.AlarmL1)
+    assert(exp1 >= graft.streaming.MixMonitor.AlarmL1)
+    // batch twin parity on the same rows — exact, doubles included
+    val batch = rows(graft.streaming.MixMonitor.scoreMixBatch(
+      (w0 ++ w1).toDF("source", "event_ms", "n_tok"), target))
+    assert(batch == streamed)
+  }
+
   test("streaming volume anomaly agrees with the batch query exactly (RocksDB store)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
