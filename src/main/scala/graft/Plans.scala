@@ -151,7 +151,8 @@ object Plans {
     "ann_ivf_appended" -> "serving over the incrementally-grown index: no training in the plan; postings scan dynamic-partition-pruned to probed buckets (append wrote only touched bucket dirs)",
     "cross_shard_dup" -> "LSH-bounded pairs + two compact (doc_id -> shard, fp) equijoins; <=4 rows out, no cartesian",
     "quality_vs_dup" -> "LSH-bounded degree fold joined doc_id-keyed onto one quality scan; BIGINT micro-quantized sums, <=4 rows out",
-    "ann_ndcg" -> "both retrieval arms keep their bounded shapes (broadcast-query scan, bucket equijoin); (qid, vid) equijoin; 10 rows out"
+    "ann_ndcg" -> "both retrieval arms keep their bounded shapes (broadcast-query scan, bucket equijoin); (qid, vid) equijoin; 10 rows out",
+    "ivfpq_ann_appended" -> "composite-index serving after append: no training in the plan (stored centroids + codebooks); postings scan dynamic-partition-pruned to probed buckets"
   )
 
   def main(args: Array[String]): Unit = {

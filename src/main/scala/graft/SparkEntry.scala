@@ -57,6 +57,7 @@ object SparkEntry {
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
+    "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
@@ -534,9 +535,19 @@ object SparkEntry {
     * with IvfAssignSql's en/cent/asn/probes), per-(query, probed bucket)
     * residual ADC tables, candidates from the bucket equijoin. Terminal
     * CTE: `prr(qid, vid, adist_fp, rn)`. */
-  private lazy val IvfPqBody: String = {
+  private lazy val IvfPqBody: String = ivfPqBodyWith("", "", "")
+
+  /** [[IvfPqBody]] with injectable base filters — empty strings give the
+    * full-corpus chain verbatim; the `ivfpq_ann_appended` oracle passes
+    * base-slice filters for the coarse-centroid sample (`centFilter`,
+    * on `en`), the PQ seed sample (`seedFilter`, on `embeddings`), and
+    * the codebook-training fold (`trainFilter`, on `rsub2 s`) — while
+    * assignment/encoding/serving still cover every vector, which is
+    * exactly the frozen-artifact append semantics. */
+  private def ivfPqBodyWith(
+      centFilter: String, seedFilter: String, trainFilter: String): String = {
     val d = SimilarityQueries.PqSubDim
-    s"""$IvfAssignSql,
+    s"""${ivfAssignSqlWith(centFilter)},
        |res AS (SELECT a.vec_id, a.bucket,
        |    list_transform(range(1, len(a.embedding) + 1),
        |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) AS r
@@ -544,13 +555,13 @@ object SparkEntry {
        |rsub AS (SELECT vec_id, bucket, m, r[((m - 1) * $d + 1):(m * $d)] AS sv
        |  FROM res, (SELECT unnest(range(1, ${SimilarityQueries.PqM + 1})) AS m) ms),
        |rsub2 AS (SELECT vec_id, bucket, m, sv, ${dotSql("sv", "sv")} AS sself FROM rsub),
-       |pseeds AS (SELECT vec_id AS scid FROM embeddings
+       |pseeds AS (SELECT vec_id AS scid FROM embeddings$seedFilter
        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.PqCodes}),
        |pcb0 AS (SELECT s.m AS cm, s.vec_id AS cid, s.sv AS cv, s.sself AS cself
        |         FROM rsub2 s JOIN pseeds ON s.vec_id = scid),
        |pa0 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
        |          (s.sself + c.cself) - 2.0 * ${dotSql("s.sv", "c.cv")} AS dist
-       |        FROM rsub2 s JOIN pcb0 c ON s.m = c.cm),
+       |        FROM rsub2 s JOIN pcb0 c ON s.m = c.cm$trainFilter),
        |pr0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid) AS rn
        |        FROM pa0),
        |pasn0 AS (SELECT vec_id, m, sv, cid AS code FROM pr0 WHERE rn = 1),
@@ -1463,6 +1474,13 @@ object SparkEntry {
     // search arithmetic) -- the oracle pins exactly that
     "ivfpq_ann_served" ->
       s"""$IvfPqBody
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    // the appended twin: centroids, PQ seeds, and codebook training all
+    // restricted to the base slice; assignment/encoding cover everything
+    // -- frozen-artifact append == one-pass encoding, which this chain IS
+    "ivfpq_ann_appended" ->
+      s"""${ivfPqBodyWith(" WHERE vec_id % 4 != 0", " WHERE vec_id % 4 != 0",
+             " WHERE s.vec_id % 4 != 0")}
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     "ivfpq_recall" ->
       // recall@3 of the composite vs exact full-vector squared-L2 top-3

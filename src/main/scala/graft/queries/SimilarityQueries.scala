@@ -1578,13 +1578,17 @@ object SimilarityQueries {
     * (vec_id, bucket, embedding: array<double>) frame ready for the PQ
     * chain. Residual subtraction is element-wise IEEE double — exact and
     * identical on both engines. */
-  private def residualFrame(e: DataFrame, asn: DataFrame): DataFrame = {
-    val cent = ivfCentFrame(e).select(col("cid"), col("cemb"))
+  private def residualFrame(e: DataFrame, asn: DataFrame): DataFrame =
+    residualFrameWith(asn, ivfCentFrame(e).select(col("cid"), col("cemb")))
+
+  /** [[residualFrame]] against an EXPLICIT centroid frame — the seam
+    * the persisted-index append path needs (residuals vs the STORED
+    * centroids, not re-derived ones). */
+  private def residualFrameWith(asn: DataFrame, cent: DataFrame): DataFrame =
     asn.join(broadcast(cent), col("bucket") === col("cid"))
       .select(col("vec_id"), col("bucket"),
         zip_with(col("embedding"), col("cemb"),
           (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
-  }
 
   /** IVF+PQ composite top-3 — the production billion-vector index shape
     * (Jégou et al. 2011; FAISS `IVFPQ`): the coarse quantizer
@@ -1800,6 +1804,65 @@ object SimilarityQueries {
   def annIvfAppended(spark: SparkSession, dir: String): DataFrame =
     annIvfServe(spark, dir,
       servedIndex(spark, dir, "ivf_app")(buildIvfIndexAppend(spark, dir, _)))
+
+  /** IVFPQ mirror of [[buildIvfIndexAppend]]: coarse centroids AND
+    * residual codebooks train on the base slice only; the delta slice
+    * is routed and RESIDUAL-ENCODED with the frozen stored artifacts
+    * and appended per-bucket. Since both the coarse argmax and the PQ
+    * code argmin are deterministic functions of the stored arrays,
+    * append ≡ one-pass encoding of base+delta — the
+    * `ivfpq_ann_appended` oracle pins that with base-filtered training
+    * CTEs over the single-chain SQL. */
+  def buildIvfPqIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    buildIvfPqIndexBase(spark, dir, indexPath)
+    appendIvfPqIndex(spark, dir, indexPath)
+  }
+
+  /** Train coarse centroids + residual codebooks on the BASE slice
+    * (vec_id % 4 != 0) and index its vectors — the starting state of
+    * the composite append lifecycle. */
+  def buildIvfPqIndexBase(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val base = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 4 =!= 0)
+    ivfCentFrame(base).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centStored = spark.read.parquet(s"$indexPath/centroids")
+    val asn = assignFromCents(base, storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val res = residualFrameWith(asn, centStored.select(col("cid"), col("cemb")))
+    val cb = pqTrain(res)
+    cb.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    pqAssignCodes(pqSubvectors(res), cb)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asn.select(col("vec_id").as("vid"), col("bucket")), "vid")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** One insert batch for the composite index: route AND residual-encode
+    * the delta slice (vec_id % 4 == 0) with the STORED centroids and
+    * codebooks — no training anywhere in this plan — and append
+    * per-bucket; existing posting files are never rewritten. */
+  def appendIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val delta = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 4 === 0)
+    val centStored = spark.read.parquet(s"$indexPath/centroids")
+    val asnD = assignFromCents(delta, storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val resD = residualFrameWith(asnD, centStored.select(col("cid"), col("cemb")))
+    val cbStored = spark.read.parquet(s"$indexPath/codebooks")
+    pqAssignCodes(pqSubvectors(resD), cbStored)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asnD.select(col("vec_id").as("vid"), col("bucket")), "vid")
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** [[ivfPqAnnServe]] over the incrementally-grown composite index —
+    * same serving plan, centroids/codebooks from the base slice,
+    * postings covering base + appended delta. */
+  def ivfPqAnnAppended(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAnnServe(spark, dir,
+      servedIndex(spark, dir, "ivfpq_app")(buildIvfPqIndexAppend(spark, dir, _)))
 
   /** Content stamp of the fixture's embeddings table (file names +
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s

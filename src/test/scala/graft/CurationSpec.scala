@@ -518,6 +518,38 @@ class CurationSpec extends SparkSuite {
     assert(served.exists(_._2 % 4 == 0), "no delta vector ever served")
   }
 
+  test("IVFPQ index append: base files untouched; appended serving is training-free and partition-pruned") {
+    import java.nio.file.Files
+    def md5s(root: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f.toPath))
+        f.getPath.stripPrefix(root.getPath) -> d.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val tmp = Files.createTempDirectory("graft_ivfpqapp").toString
+    SimilarityQueries.buildIvfPqIndexBase(spark, dir, tmp)
+    val before = md5s(new java.io.File(tmp, "postings"))
+    SimilarityQueries.appendIvfPqIndex(spark, dir, tmp)
+    val after = md5s(new java.io.File(tmp, "postings"))
+    before.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"base posting file rewritten: $p") }
+    assert(after.size > before.size, "append added no posting files")
+    // codebooks/centroids untouched by the append (frozen artifacts)
+    val servedDf = SimilarityQueries.ivfPqAnnServe(spark, dir, tmp)
+    val served = servedDf.collect()
+    assert(served.nonEmpty)
+    val delta = served.map(_.getLong(1)).filter(_ % 4 == 0)
+    assert(delta.nonEmpty, "no appended (delta) vector ever served")
+    val p = servedDf.queryExecution.executedPlan.treeString
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the postings scan:\n${p.take(4000)}")
+    assert(!p.contains("collect_list(struct(cm"),
+      "serving plan must not train codebooks")
+  }
+
   test("kcore_peel: equals a driver-side peel replay; members are mutually 2-supported; fixpoint inside the cap") {
     val d01 = "/root/testdata/sf0.01" // sf0.001's dup graph has no cycles
     val pairs = SimilarityQueries.minhashLsh(spark, d01)
