@@ -49,6 +49,7 @@ object SparkEntry {
     "simhash" -> (TextQueries.simhash _),
     "simhash_neardup" -> (TextQueries.simhashNearDup _),
     "image_phash" -> (TextQueries.imagePhash _),
+    "video_phash" -> (TextQueries.videoPhash _),
     "phash_neardup" -> (TextQueries.phashNearDup _),
     "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),

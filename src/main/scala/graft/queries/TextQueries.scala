@@ -1099,6 +1099,42 @@ object TextQueries {
     bandedHammingJoin(ph, "ph_lo", "ph_hi", maxHamming = 10)
   }
 
+  /** Per-keyframe video perceptual hashes over REAL Y4M decode — the
+    * video modality's `queries` surface (the decode itself is proven in
+    * MultimodalSpec; this runs it as a distributed query). Each
+    * document ≥ 384 chars synthesizes a deterministic 3-frame 16×8
+    * C420 YUV4MPEG2 clip whose three Y planes are consecutive 128-byte
+    * slices of its ASCII-pinned text (non-ASCII chars map to 'x' so
+    * chars ⇒ bytes 1:1; chroma planes are constant — dHash reads only
+    * luma); [[graft.operators.Multimodal.videoPhashBatch]] then
+    * actually PARSES the Y4M container and dHashes every 2nd keyframe
+    * through the shared 64-bit kernel.
+    *
+    * No DuckDB oracle — a binary container parse is not
+    * SQL-expressible (same boundary as `compress_ratio`); the spec
+    * pins each emitted hash against a direct-slice driver recompute
+    * that bypasses the container entirely, so a parser regression
+    * cannot hide.
+    *
+    * Scale (100 TB): decode runs where the bytes live
+    * (`mapPartitions` codec boundary); only (doc_id, frame, 8-byte
+    * hash) rows ever shuffle. */
+  def videoPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uv = "P" * 64 // constant chroma: 8×4 U + 8×4 V per C420 frame
+    val t = regexp_replace(col("text"), "[^\\x20-\\x7e]", "x")
+    val payload = concat(
+      lit("YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n"),
+      lit("FRAME\n"), substring(t, 1, 128), lit(uv),
+      lit("FRAME\n"), substring(t, 129, 128), lit(uv),
+      lit("FRAME\n"), substring(t, 257, 128), lit(uv))
+    val ds = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 384)
+      .select(col("doc_id"), payload.cast("binary").as("bytes"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.videoPhashBatch(ds, stride = 2).toDF()
+  }
+
   /** 64-bit SimHash as two independent 32-bit halves: the low half votes
     * with md5Hash32(tok), the high half with md5Hash32("hi:" ⊕ tok) — two
     * draws from the same md5 family, exactly reproducible in the oracle.

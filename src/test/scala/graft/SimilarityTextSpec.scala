@@ -769,6 +769,30 @@ class SimilarityTextSpec extends SparkSuite {
     assert(byDoc(3L).toSeq.map(f => (f.frame_idx, f.ok)) == Seq((-1, false)))
   }
 
+  test("video_phash query: every emitted hash equals a direct-slice recompute that bypasses the container") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.videoPhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty && out.forall(_._4), "every synthesized clip must decode")
+    // stride 2 over 3 frames -> keyframes 0 and 2 for every doc
+    out.groupBy(_._1).values.foreach(fs =>
+      assert(fs.map(_._2).sorted.toSeq == Seq(0, 2)))
+    // reference: dHash the 16x8 Y plane sliced STRAIGHT from the
+    // sanitized text bytes — no Y4M parsing anywhere in this path
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 384)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "x").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, fi, ph, _) =>
+      val plane = docs(id).substring(fi * 128, fi * 128 + 128).getBytes("US-ASCII")
+      val want = Multimodal.dHash64(16, 8, (x, y) => plane(y * 16 + x) & 0xffL).get
+      assert(ph == want, s"doc $id frame $fi: container path diverged from direct slice")
+    }
+    // docs shorter than 3 frames are absent, not half-decoded
+    assert(out.map(_._1).toSet == docs.keySet)
+  }
+
   test("kmeans_step: full dim coverage, membership totals, means exact within quantization") {
     val dir = "/root/testdata/sf0.001"
     val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
