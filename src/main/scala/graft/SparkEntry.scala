@@ -50,6 +50,7 @@ object SparkEntry {
     "simhash_neardup" -> (TextQueries.simhashNearDup _),
     "image_phash" -> (TextQueries.imagePhash _),
     "video_phash" -> (TextQueries.videoPhash _),
+    "audio_fingerprint" -> (TextQueries.audioFingerprintQuery _),
     "phash_neardup" -> (TextQueries.phashNearDup _),
     "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),

@@ -1135,6 +1135,41 @@ object TextQueries {
     graft.operators.Multimodal.videoPhashBatch(ds, stride = 2).toDF()
   }
 
+  /** Per-document audio fingerprints over REAL WAV decode — the audio
+    * modality's `queries` surface (the [[graft.operators.Multimodal
+    * .audioFingerprint]] energy-delta hash is proven volume-invariant
+    * in its spec; this runs it as a distributed query). Each ≥260-char
+    * doc synthesizes a deterministic fixed-length mono WAV: a constant
+    * 44-byte RIFF/PCM header (the length fields are compile-time
+    * constants because every clip is exactly 130 16-bit samples)
+    * followed by the first 260 ASCII-pinned text bytes interpreted as
+    * little-endian PCM; `audioFpBatch` then actually PARSES the
+    * container through javax.sound and fingerprints the decoded
+    * stream. No DuckDB oracle (container parse — the `video_phash`
+    * boundary); the spec pins each fingerprint against a direct-byte
+    * recompute that bypasses javax.sound entirely.
+    *
+    * Scale (100 TB): decode where the bytes live; only (doc_id,
+    * 8-byte fp) rows shuffle. */
+  def audioFingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dataBytes = 260 // 130 samples × 16-bit mono
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(dataBytes)
+    val t = regexp_replace(col("text"), "[^\\x20-\\x7e]", "x")
+    val ds = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= dataBytes)
+      .select(col("doc_id"),
+        concat(lit(header), substring(t, 1, dataBytes).cast("binary")).as("bytes"))
+      .as[(Long, Array[Byte])]
+    graft.operators.Multimodal.audioFpBatch(ds).toDF()
+  }
+
   /** 64-bit SimHash as two independent 32-bit halves: the low half votes
     * with md5Hash32(tok), the high half with md5Hash32("hi:" ⊕ tok) — two
     * draws from the same md5 family, exactly reproducible in the oracle.

@@ -793,6 +793,34 @@ class SimilarityTextSpec extends SparkSuite {
     assert(out.map(_._1).toSet == docs.keySet)
   }
 
+  test("audio_fingerprint query: every fingerprint equals a direct-byte recompute bypassing javax.sound") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.audioFingerprintQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty && out.forall(_._3), "every synthesized clip must decode")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 260)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "x").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_._1).toSet == docs.keySet)
+    // reference: the energy-delta hash straight off the 130 LE samples
+    // encoded in the text bytes — no WAV container, no javax.sound
+    out.foreach { case (id, fp, _) =>
+      val raw = docs(id).substring(0, 260).getBytes("US-ASCII")
+      val amp = (0 until 130).map { i =>
+        math.abs((((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort).toLong)
+      }
+      val energy = (0 until 65).map { k =>
+        val st = k * 130 / 65; val en = (k + 1) * 130 / 65
+        (st until en).map(amp).sum / (en - st)
+      }
+      val want = (0 until 64).map(k =>
+        if (energy(k) > energy(k + 1)) 1L << k else 0L).sum
+      assert(fp == want, s"doc $id: container path diverged from direct bytes")
+    }
+  }
+
   test("kmeans_step: full dim coverage, membership totals, means exact within quantization") {
     val dir = "/root/testdata/sf0.001"
     val step = graft.queries.SimilarityQueries.kmeansStep(spark, dir).collect()
