@@ -51,6 +51,7 @@ object SparkEntry {
     "image_phash" -> (TextQueries.imagePhash _),
     "video_phash" -> (TextQueries.videoPhash _),
     "audio_fingerprint" -> (TextQueries.audioFingerprintQuery _),
+    "video_neardup" -> (TextQueries.videoNearDup _),
     "phash_neardup" -> (TextQueries.phashNearDup _),
     "doc_embedding_join" -> (SimilarityQueries.docEmbeddingJoin _),
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),

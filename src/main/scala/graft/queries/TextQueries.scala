@@ -1119,20 +1119,67 @@ object TextQueries {
     * Scale (100 TB): decode runs where the bytes live
     * (`mapPartitions` codec boundary); only (doc_id, frame, 8-byte
     * hash) rows ever shuffle. */
-  def videoPhash(spark: SparkSession, dir: String): DataFrame = {
+  def videoPhash(spark: SparkSession, dir: String): DataFrame =
+    videoFrameHashes(spark, dir, 0L, "YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n")
+
+  /** The synthesize-decode-hash chain behind [[videoPhash]] and
+    * [[videoNearDup]], with the clip id offset and the Y4M header as
+    * seams — a different header is a RE-ENCODE of the same content
+    * (different container params, identical luma), which must hash
+    * identically per frame. */
+  private def videoFrameHashes(
+      spark: SparkSession, dir: String, idOffset: Long, header: String): DataFrame = {
     import spark.implicits._
     val uv = "P" * 64 // constant chroma: 8×4 U + 8×4 V per C420 frame
     val t = regexp_replace(col("text"), "[^\\x20-\\x7e]", "x")
     val payload = concat(
-      lit("YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n"),
+      lit(header),
       lit("FRAME\n"), substring(t, 1, 128), lit(uv),
       lit("FRAME\n"), substring(t, 129, 128), lit(uv),
       lit("FRAME\n"), substring(t, 257, 128), lit(uv))
     val ds = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 384)
-      .select(col("doc_id"), payload.cast("binary").as("bytes"))
+      .select((col("doc_id") + lit(idOffset)).as("doc_id"),
+        payload.cast("binary").as("bytes"))
       .as[(Long, Array[Byte])]
     graft.operators.Multimodal.videoPhashBatch(ds, stride = 2).toDF()
+  }
+
+  /** Clip-level video near-duplicates — [[phashNearDup]]'s band-LSH
+    * shape lifted to the video modality: per-keyframe dHashes
+    * ([[videoPhash]]'s REAL Y4M decode), banded 4×16 per (keyframe
+    * position), candidates from the (frame, band, value) equijoin,
+    * exact Hamming ≤ 10 per frame, then clip pairs rolled up with
+    * their matched-keyframe count — "two clips are near-dups when
+    * aligned keyframes match", the standard video-dedup heuristic.
+    * Planted: every clip gets a RE-ENCODED copy (different container
+    * params — frame rate, interlace tags — same luma planes, id offset
+    * 10⁶), which the pipeline must recover at Hamming 0 on every
+    * keyframe; decode-invariance across container params is exactly
+    * what makes the frame dHash the video near-dup key.
+    *
+    * Scale (100 TB): decode at the scan, 8-byte hashes checkpoint
+    * (payloads never shuffle), candidates from compact-key equijoins —
+    * never clip×clip. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val orig = videoFrameHashes(spark, dir, 0L, "YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n")
+    val reenc = videoFrameHashes(spark, dir, 1000000L, "YUV4MPEG2 W16 H8 F30:1 C420\n")
+    // fold the keyframe position into the banding key (frame_idx ∈
+    // {0, 2} — one decimal digit), so the shared band join only pairs
+    // ALIGNED keyframes; 8-byte hash rows checkpoint, the decode pass
+    // runs once per side
+    val ph = orig.unionByName(reenc)
+      .filter(col("ok"))
+      .select((col("doc_id") * 10 + col("frame_idx")).as("doc_id"),
+        col("phash").bitwiseAND(lit(0xffffffffL)).as("ph_lo"),
+        shiftrightunsigned(col("phash"), 32).as("ph_hi"))
+      .localCheckpoint(true)
+    bandedHammingJoin(ph, "ph_lo", "ph_hi", maxHamming = 10)
+      .filter(pmod(col("doc_a"), lit(10L)) === pmod(col("doc_b"), lit(10L)))
+      .groupBy(
+        expr("doc_a div 10").as("clip_a"),
+        expr("doc_b div 10").as("clip_b"))
+      .agg(count(lit(1)).as("n_matched_frames"), max(col("hamming")).as("max_hamming"))
   }
 
   /** Per-document audio fingerprints over REAL WAV decode — the audio

@@ -793,6 +793,25 @@ class SimilarityTextSpec extends SparkSuite {
     assert(out.map(_._1).toSet == docs.keySet)
   }
 
+  test("video_neardup: every planted re-encode recovered with both keyframes at Hamming 0") {
+    val dir = "/root/testdata/sf0.001"
+    val eligible = graft.sources.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 384).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val out = graft.queries.TextQueries.videoNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each clip's re-encode (id + 1e6, different container params, same
+    // luma) must pair with it on BOTH sampled keyframes at Hamming 0
+    eligible.foreach { id =>
+      val p = out.find(x => x._1 == id && x._2 == id + 1000000L)
+      assert(p.isDefined, s"planted re-encode of clip $id not recovered")
+      assert(p.get._3 == 2L, s"clip $id matched ${p.get._3} keyframes, want 2")
+      assert(p.get._4 == 0L, s"re-encode must be Hamming 0, got ${p.get._4}")
+    }
+    // confirmation bound holds for every reported pair
+    out.foreach(x => assert(x._4 <= 10L && x._3 >= 1L))
+  }
+
   test("audio_fingerprint query: every fingerprint equals a direct-byte recompute bypassing javax.sound") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.TextQueries.audioFingerprintQuery(spark, dir).collect()
