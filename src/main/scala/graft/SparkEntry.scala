@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
     "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
+    "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
@@ -1115,6 +1116,36 @@ object SparkEntry {
          |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
          |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
+    "ann_recall_nprobe" ->
+      // the sweep reuses IvfAssignSql's `ranked` CTE directly: a query's
+      // nprobe-wide probe set is exactly its centroid ranks 1..nprobe
+      // (Spark's posexplode ppos is 0-based, rn here is 1-based)
+      s"""$IvfAssignSql,
+         |lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |kq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |kp AS (SELECT kq.qid, e.vec_id AS vid,
+         |        ${dotSql("kq.qemb", "e.embedding")} / (kq.qnrm * e.nrm) AS cos
+         |      FROM en e, kq WHERE e.vec_id != kq.qid),
+         |kr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM kp),
+         |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
+         |aq AS (SELECT lv.nprobe, r.vec_id AS qid, r.embedding AS qemb,
+         |        r.nrm AS qnrm, r.cid AS bucket
+         |      FROM ranked r, lv WHERE r.vec_id < 10 AND r.rn <= lv.nprobe),
+         |ap AS (SELECT aq.nprobe, aq.qid, a.vec_id AS vid,
+         |        ${dotSql("aq.qemb", "a.embedding")} / (aq.qnrm * a.nrm) AS cos
+         |      FROM aq JOIN asn a ON aq.bucket = a.bucket AND a.vec_id != aq.qid),
+         |ar AS (SELECT nprobe, qid, vid,
+         |        row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, vid) AS rn FROM ap),
+         |approx3 AS (SELECT nprobe, qid, vid FROM ar WHERE rn <= 3),
+         |hits AS (SELECT x.nprobe, count(*) AS n_hit FROM approx3 x
+         |         JOIN exact3 e ON x.qid = e.qid AND x.vid = e.vid GROUP BY 1),
+         |base AS (SELECT count(*) AS k FROM exact3)
+         |SELECT CAST(lv.nprobe AS BIGINT) AS nprobe,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(b.k AS BIGINT) AS k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM lv CROSS JOIN base b LEFT JOIN hits h ON h.nprobe = lv.nprobe""".stripMargin,
     "mrl_recall" ->
       // truncated pass = cosine over the first MrlDims components only
       // (DuckDB's 1-based inclusive slice); same sliced ascending fold

@@ -118,13 +118,14 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
 
-  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssign(spark: SparkSession, dir: String,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val cent = ivfCentFrame(e)
       .agg(collect_list(struct(
         col("cid"), col("cemb"), col("cnrm")
       )).as("cents"))
-    assignFromCents(e, cent)
+    assignFromCents(e, cent, nprobe)
   }
 
   /** Route vectors against a one-row broadcast centroid-array frame —
@@ -139,13 +140,14 @@ object SimilarityQueries {
     * LAST; without them every ccos comparison on a NULL is false and
     * the sort would fall through to cid — a different bucket per
     * engine. */
-  private def assignFromCents(e: DataFrame, cent: DataFrame): DataFrame = {
+  private def assignFromCents(e: DataFrame, cent: DataFrame,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val scored = transform(col("cents"), c =>
       struct(
         (dotD(col("embedding"), c("cemb")) / (col("nrm") * c("cnrm"))).as("ccos"),
         c("cid").as("cid")))
     e.join(broadcast(cent))
-      .withColumn("probes", slice(array_sort(scored, byCosDescCidAscCmp), 1, IvfNprobe))
+      .withColumn("probes", slice(array_sort(scored, byCosDescCidAscCmp), 1, nprobe))
       .select(
         col("vec_id"), col("embedding"), col("nrm"),
         element_at(col("probes"), 1)("cid").as("bucket"),
@@ -175,13 +177,14 @@ object SimilarityQueries {
     * cost model an ANN index exists for: O(query × probed-bucket), not
     * O(corpus). Result is bit-identical to [[annIvf]] (same centroids,
     * same routing argmax, same cosine and top-3 window). */
-  def annIvfServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+  def annIvfServe(spark: SparkSession, dir: String, indexPath: String,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val cent = spark.read.parquet(s"$indexPath/centroids")
       .agg(collect_list(struct(
         col("cid"), col("cemb"), col("cnrm")
       )).as("cents"))
-    val q = assignFromCents(e.filter(col("vec_id") < 10), cent)
+    val q = assignFromCents(e.filter(col("vec_id") < 10), cent, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), explode(col("probe_buckets")).as("qbucket"))
     val postings = spark.read.parquet(s"$indexPath/postings")
@@ -203,8 +206,18 @@ object SimilarityQueries {
     * Candidates index under their top-1 bucket and the probed buckets are
     * distinct centroids, so each (qid, vid) pair appears at most once —
     * no dedup needed after the join. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssign(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfNprobe(spark, dir, IvfNprobe)
+
+  /** [[annIvf]] with a caller-chosen probe width — nprobe is the recall
+    * knob production IVF serves with (FAISS's `nprobe`): each query
+    * searches its nprobe nearest coarse buckets instead of only the
+    * top-1/2. The probe set stays k-bounded (≤ nprobe distinct cids per
+    * query, exploded on the SMALL broadcast side only) and the candidate
+    * join stays a bucket equijoin, so raising nprobe scales serving cost
+    * linearly in probed-bucket volume — never back toward O(corpus). */
+  def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(spark, dir, nprobe)
     val q = assigned
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -1152,6 +1165,55 @@ object SimilarityQueries {
       )
   }
 
+  /** Recall@3 as a function of probe width — the nprobe sweep every IVF
+    * deployment tunes with: run the [[annIvfNprobe]] candidate chain at
+    * nprobe ∈ {1, 2, 4} in ONE pass (assign once at the max width, keep
+    * each probe's rank, gate by a 3-row broadcast level frame) and score
+    * each level against the exact brute-force top-3. Recall must be
+    * monotone non-decreasing in nprobe (a wider probe set only ever adds
+    * candidates — AnnSweepSpec pins this); the cost side stays a bucket
+    * equijoin whose probed volume grows linearly with nprobe, which is
+    * the whole trade the sweep exists to price. */
+  def annRecallNprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probeLevels = Seq(1, 2, 4)
+    val assigned = ivfAssign(spark, dir, probeLevels.max)
+    // query side: 10 vectors × ≤4 (rank, bucket) probes — posexplode keeps
+    // the probe's rank so one max-width assignment serves every level
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), posexplode(col("probe_buckets")))
+      .withColumnRenamed("pos", "ppos")
+      .withColumnRenamed("col", "qbucket")
+    val levels = probeLevels.toDF("nprobe")
+    // 3-row broadcast fan-out on the SMALL side only (ppos is 0-based)
+    val ql = q.crossJoin(broadcast(levels)).filter(col("ppos") < col("nprobe"))
+    val cand = assigned.select(col("vec_id").as("vid"),
+      col("embedding").as("cemb2"), col("nrm").as("cnrm2"), col("bucket"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    val approx3 = cand
+      .join(broadcast(ql), col("qbucket") === col("bucket") && col("qid") =!= col("vid"))
+      .withColumn("cos", dotD(col("qemb"), col("cemb2")) / (col("qnrm") * col("cnrm2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("nprobe"), col("qid"), col("vid"))
+    val wx = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    val exact3 = knnCosine(spark, dir)
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"))
+    val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    val base = exact3.agg(count(lit(1)).as("k"))
+    levels.crossJoin(broadcast(base))
+      .join(hits, Seq("nprobe"), "left")
+      .select(
+        col("nprobe").cast("long").as("nprobe"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("k"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   /** Prefix dimensions used by the truncated (Matryoshka-style) retrieval
     * pass in [[mrlRecall]] — 16 of 64, the 4× bandwidth saving a
     * truncated first-pass search buys. */
@@ -1745,6 +1807,13 @@ object SimilarityQueries {
   def annIvfServed(spark: SparkSession, dir: String): DataFrame =
     annIvfServe(spark, dir,
       servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)))
+
+  /** [[annIvfServed]] at a caller-chosen probe width — the serving-path
+    * twin of [[annIvfNprobe]]: same persisted index, nprobe decided at
+    * query time (an index never needs rebuilding to change recall). */
+  def annIvfServeAt(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    annIvfServe(spark, dir,
+      servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)), nprobe)
 
   /** Incremental growth of the persisted IVF index — the lifecycle step
     * after train-once ([[buildIvfIndex]]) and serve-many

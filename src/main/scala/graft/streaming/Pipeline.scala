@@ -268,7 +268,12 @@ object Pipeline {
       try {
         val r = spark.read.parquet(parquetDataPath).agg(max(col("time"))).collect()(0)
         if (r.isNullAt(0)) None else Some(r.getLong(0))
-      } catch { case _: Throwable => None }
+      } catch {
+        // NonFatal only: a missing/corrupt/empty sink path legitimately means
+        // "no watermark yet", but an OOM or fatal JVM error must propagate —
+        // swallowing it here would silently disable late detection forever.
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Wire the full job: parse → late router (dead-letter + main point

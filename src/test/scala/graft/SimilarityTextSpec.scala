@@ -1161,4 +1161,41 @@ class SimilarityTextSpec extends SparkSuite {
     assert(rayleigh > avgVar,
       s"principal direction ($rayleigh) must beat the mean per-dim variance ($avgVar)")
   }
+
+  test("ann_recall_nprobe: recall monotone non-decreasing in nprobe; nprobe=2 row equals ann_recall") {
+    val sweep = graft.queries.SimilarityQueries
+      .annRecallNprobe(spark, "/root/testdata/sf0.001")
+      .orderBy("nprobe")
+      .collect()
+    assert(sweep.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = sweep.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must be monotone in nprobe, got $recalls")
+    assert(sweep.forall(r => r.getAs[Long]("k") == 30L))
+    // the nprobe=2 level IS annIvf's configured width: its aggregate
+    // hit count must equal the per-qid ann_recall query's total
+    val perQid = graft.queries.SimilarityQueries
+      .annRecall(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_hit"))).collect()(0).getLong(0)
+    assert(sweep(1).getAs[Long]("n_hit") == perQid)
+  }
+
+  test("served IVF honours nprobe: wider probe set rank-dominates the narrow one") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    def top3(nprobe: Int): Map[(Long, Long), Double] =
+      q.annIvfServeAt(spark, dir, nprobe).collect()
+        .map(r => (r.getAs[Long]("qid"),
+          r.getAs[Long]("vid")) -> r.getAs[Double]("cos")).toMap
+    val narrow = top3(1)
+    val wide = top3(4)
+    // a wider probe set only ever ADDS candidates, so per qid the wide
+    // top-3's worst cos must be >= the narrow top-3's worst cos
+    def worstPerQid(m: Map[(Long, Long), Double]): Map[Long, Double] =
+      m.groupBy(_._1._1).map { case (qid, xs) => qid -> xs.values.min }
+    val (nw, ww) = (worstPerQid(narrow), worstPerQid(wide))
+    assert(nw.keySet.subsetOf(ww.keySet))
+    assert(nw.forall { case (qid, w) => ww(qid) >= w - 1e-12 },
+      "nprobe=4 served top-3 must rank-dominate nprobe=1")
+  }
 }

@@ -280,6 +280,17 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
   }
 
+  test("bootstrapWatermark: missing/corrupt sink path yields None; fatal errors propagate") {
+    // missing path: no sink has ever been written — legitimately no watermark
+    assert(Pipeline.LateRouter.bootstrapWatermark(spark, tmp("nope") + "/does/not/exist").isEmpty)
+    // corrupt parquet: a half-written file reads as AnalysisException/IOException
+    // (NonFatal) — still None, not a crash
+    val corruptDir = tmp("corruptwm")
+    Files.write(java.nio.file.Path.of(corruptDir, "part-0.parquet"),
+      Array[Byte](1, 2, 3, 4))
+    assert(Pipeline.LateRouter.bootstrapWatermark(spark, corruptDir).isEmpty)
+  }
+
   test("gzipped wire format: binaryFile source -> gunzip -> parse; corrupt payload dropped") {
     val srcDir = tmp("gzsrc")
     def gz(s: String): Array[Byte] = {
