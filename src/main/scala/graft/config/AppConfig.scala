@@ -29,7 +29,14 @@ final case class AppConfig(
     memoryStoreRetentionHours: Long = 24L,
     magneticStoreRetentionDays: Long = 7L,
     /** JDBC endpoint for the batch sink; None ⇒ offline parquet sink. */
-    jdbcUrl: Option[String] = None
+    jdbcUrl: Option[String] = None,
+    /** Streaming state-store backend: "rocksdb" (default — the only
+      * store whose keyed state spills to disk, i.e. the one that
+      * survives 100 TB-scale window/session/join state; changelog
+      * checkpointing + bounded block cache are set with it) or "hdfs"
+      * (Spark's in-memory default, fine for tests/small state). Applied
+      * by Pipeline.start/startWindowedUpdate on the session. */
+    stateStoreProvider: String = "rocksdb"
 )
 
 object AppConfig {
@@ -72,7 +79,8 @@ object AppConfig {
       tableName = s("TimestreamTableName", s("tableName", "kdaflinkmetrics")),
       memoryStoreRetentionHours = s("memoryStoreRetentionHours", "24").toLong,
       magneticStoreRetentionDays = s("magneticStoreRetentionDays", "7").toLong,
-      jdbcUrl = m.get("jdbcUrl")
+      jdbcUrl = m.get("jdbcUrl"),
+      stateStoreProvider = s("stateStoreProvider", "rocksdb")
     )
   }
 }

@@ -276,6 +276,31 @@ object Pipeline {
       }
   }
 
+  /** Apply the configured state-store backend to the session. RocksDB is
+    * the production default: the HDFS provider keeps every key in
+    * executor heap, which is the first thing to die when windowed /
+    * session / join state reaches 100 TB-cluster volumes; RocksDB spills
+    * to local disk, changelog checkpointing ships deltas instead of full
+    * snapshots, and the bounded block cache caps its memory share.
+    * Session-wide by necessity (the state store is a session conf, not a
+    * per-query option). */
+  private[graft] def applyStateStore(spark: SparkSession, cfg: AppConfig): Unit =
+    cfg.stateStoreProvider match {
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
+      case "hdfs" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown stateStoreProvider '$other' (expected 'rocksdb' or 'hdfs')")
+    }
+
   /** Wire the full job: parse → late router (dead-letter + main point
     * sink). Checkpointed; AvailableNow trigger for deterministic tests,
     * continuous micro-batches in production. */
@@ -287,10 +312,40 @@ object Pipeline {
       checkpointDir: String,
       availableNow: Boolean = false
   ): StreamingQuery = {
+    applyStateStore(spark, cfg)
     val q = parsed(source.stream(spark), cfg)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((df: DataFrame, id: Long) => router.process(df, id))
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+
+  /** UPDATE-MODE windowed aggregation — the Flink `allowedLateness`
+    * RE-FIRE twin (StreamingJob.java:149,151-166). The append-mode path
+    * folds lateness into the watermark and emits each window exactly
+    * once, after the grace expires; Flink instead fires a window at the
+    * watermark AND RE-FIRES a revised result for every late-but-in-grace
+    * record. This start offers that second semantic natively: output
+    * mode `update` emits a window's CURRENT aggregate in every
+    * micro-batch that changed it, so a 3 s-late record inside the 5 s
+    * grace produces a revised emission for its (already emitted) window
+    * — exactly the reference's re-fire. Downstream must upsert by
+    * (window_start, callerservice, operation); pair with UpsertSink for
+    * idempotent revision application. */
+  def startWindowedUpdate(
+      spark: SparkSession,
+      source: LogSource,
+      cfg: AppConfig,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    applyStateStore(spark, cfg)
+    val q = windowedStats(parsed(source.stream(spark), cfg), cfg)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => sink(df, id))
     (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
   }
 }

@@ -280,6 +280,53 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sinkDir/main/data").count() == 10L)
   }
 
+  test("update-mode windowed stats re-fires a revised window for a late-but-in-grace record (RocksDB, restart)") {
+    val srcDir = tmp("updsrc")
+    val base = 1700000000000L // 10s-aligned
+    LogGen.records(n = 10, seed = 13L, baseTimeMs = base).zipWithIndex.foreach {
+      case (r, i) => Files.writeString(java.nio.file.Path.of(srcDir, s"a_$i.log"), r)
+    }
+    // a guaranteed-present key in window [base, base+10s) so the re-fire
+    // provably REVISES existing state rather than creating a fresh window
+    Files.writeString(java.nio.file.Path.of(srcDir, "k_0.log"),
+      LogGen.record("GetTable", 98L, "S3", "1.0", base + 2000L))
+    val outDir = tmp("updout")
+    val ckpt = tmp("updckpt")
+    val cfg = AppConfig() // stateStoreProvider defaults to rocksdb
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.withColumn("_batch", lit(id)).write.mode("append").parquet(outDir)
+    Pipeline.startWindowedUpdate(spark, new Pipeline.FileLogSource(srcDir), cfg,
+      sink _, ckpt, availableNow = true).awaitTermination(120000)
+    // snapshot run-1 emissions to the driver NOW — a lazily re-listed
+    // parquet read here would also see run 2's files
+    val first = spark.read.parquet(outDir).collect()
+    assert(first.map(_.getAs[Long]("cnt")).sum == 11L)
+    val maxB1 = first.map(_.getAs[Long]("_batch")).max
+    // Flink re-fire scenario (StreamingJob.java:149): a 3s-late record —
+    // max event time is base+9s, this lands at base+6s — inside the 5s grace
+    Files.writeString(java.nio.file.Path.of(srcDir, "late_0.log"),
+      LogGen.record("GetTable", 99L, "S3", "1.0", base + 6000L))
+    // restart from the same checkpoint: state must reload from RocksDB
+    Pipeline.startWindowedUpdate(spark, new Pipeline.FileLogSource(srcDir), cfg,
+      sink _, ckpt, availableNow = true).awaitTermination(120000)
+    val revised = spark.read.parquet(outDir).filter(col("_batch") > maxB1).collect()
+    // update mode emits ONLY the changed window — exactly one revised row
+    assert(revised.length == 1, s"expected 1 re-fired row, got ${revised.toSeq}")
+    val r = revised(0)
+    // the parser lowercases the whole record (str_to_map over lower(raw))
+    assert(r.getAs[String]("callerservice") == "s3" &&
+      r.getAs[String]("operation") == "gettable")
+    val prior = first.filter(x => x.getAs[String]("callerservice") == "s3" &&
+      x.getAs[String]("operation") == "gettable" &&
+      x.getAs[java.sql.Timestamp]("window_start") ==
+        r.getAs[java.sql.Timestamp]("window_start"))
+      .map(_.getAs[Long]("cnt")).max
+    assert(prior >= 1L)
+    // revised cnt = prior + 1: the pre-restart window state survived in
+    // RocksDB (a lost store would re-fire cnt == 1)
+    assert(r.getAs[Long]("cnt") == prior + 1L)
+  }
+
   test("bootstrapWatermark: missing/corrupt sink path yields None; fatal errors propagate") {
     // missing path: no sink has ever been written — legitimately no watermark
     assert(Pipeline.LateRouter.bootstrapWatermark(spark, tmp("nope") + "/does/not/exist").isEmpty)
