@@ -19,6 +19,8 @@ import sys
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
 md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+round_label = sys.argv[3] if len(sys.argv) > 3 else "round 11"
+runs_label = sys.argv[4] if len(sys.argv) > 4 else "THREE"
 
 b = json.load(open(bench_path))
 queries = b["queries"]
@@ -62,11 +64,11 @@ sent_q = sentinel.get("queries", [])
 def sent_fmt(k):
     return ", ".join(f"{v:.2f}" for v in sentinel.get(k, []))
 
-table = f"""## Authoritative per-query baseline (round 10: {len(names)} queries, sf0.1, local[32], min-of-2)
+table = f"""## Authoritative per-query baseline ({round_label}: {len(names)} queries, sf0.1, local[32])
 
 Method: `java -cp classes:/opt/spark/jars/* graft.Bench` — one shared
 warmed session, each query a full noop-sink materialization, reported
-seconds = MIN OF TWO back-to-back runs (discards one-off load spikes
+seconds = MIN OF {runs_label} back-to-back runs (discards one-off load spikes
 and first-run codegen cost; see the appendix for why). Recorded in one
 full run with ZERO failures; the run's co-measured load sentinel
 ({", ".join(sent_q)}; one untimed warm pass, then one sample each at
@@ -112,3 +114,9 @@ if rewritten:
 else:
     open(md_path, "w").write(head + table + streaming.rstrip() + "\n\n" + appendix)
 print(f"wrote {md_path}: {len(names)} rows, total {total:.1f}s")
+
+# machine-readable twin for graft.Bench's self-adjudication: the bench
+# loads this at run time and auto-re-measures any row >2x its entry
+bjson = "{" + ",".join(f'"{n}":{queries[n]}' for n in names) + "}"
+open("baseline.json", "w").write(bjson + "\n")
+print(f"wrote baseline.json: {len(names)} rows")
