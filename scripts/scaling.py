@@ -34,6 +34,10 @@ DRIVER = {
     "dup_pagerank": "documents", "dup_triangles": "documents",
     "knn_cosine": "embeddings", "ann_ivf": "embeddings", "ivfpq_ann": "embeddings",
     "semantic_clusters": "embeddings", "kmeans_train2": "embeddings", "pca_power": "embeddings",
+    # round-11 extension: the round-10 heavy families (VERDICT item 6)
+    "ivfpq_ann_appended": "embeddings", "video_neardup": "documents",
+    "domain_reweight": "documents", "t_closeness": "documents",
+    "upsert_merge": "events",
 }
 
 
@@ -89,7 +93,7 @@ def main():
           "in its driving table?** A query whose time grows faster than its "
           "input is the one that dies first at 100 TB, whatever its sf0.1 "
           "bench row says. Method: `graft.Bench` (min-of-3, quiet box, load "
-          "sentinel recorded) on the same 31-query headline subset at "
+          "sentinel recorded) on the same 36-query headline subset at "
           "sf0.001 / sf0.01 / sf0.1, exponents computed against each query's "
           "OWN driving-table row ratio — the fixture tables do not scale "
           "together (documents: 500 → 500 → 5 000; embeddings: 500 → 500 → "

@@ -1758,12 +1758,13 @@ object SimilarityQueries {
     * the probed buckets. Bit-identical to [[ivfPqAnn]]: same centroids
     * and codebooks (parquet round-trips doubles exactly), same routing
     * argmax, the shared [[ivfPqAdcTable]]/[[ivfPqSearch]] arithmetic. */
-  def ivfPqAnnServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+  def ivfPqAnnServe(spark: SparkSession, dir: String, indexPath: String,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val centStored = spark.read.parquet(s"$indexPath/centroids")
     val centRow = centStored
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
-    val qAsn = assignFromCents(e.filter(col("vec_id") < 10), centRow)
+    val qAsn = assignFromCents(e.filter(col("vec_id") < 10), centRow, nprobe)
     val cent = centStored.select(col("cid").as("pcid"), col("cemb"))
     val cb = spark.read.parquet(s"$indexPath/codebooks")
     val enc = spark.read.parquet(s"$indexPath/postings")
@@ -1800,6 +1801,15 @@ object SimilarityQueries {
   def ivfPqAnnServed(spark: SparkSession, dir: String): DataFrame =
     ivfPqAnnServe(spark, dir,
       servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _)))
+
+  /** [[ivfPqAnnServed]] at a caller-chosen probe width — the composite
+    * index's query-time recall knob ([[annIvfServeAt]]'s PQ twin): the
+    * ADC distance uses each PROBED bucket's centroid for the query
+    * residual, so widening nprobe composes with the quantization
+    * unchanged and never rebuilds codebooks or postings. */
+  def ivfPqAnnServeAt(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfPqAnnServe(spark, dir,
+      servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _)), nprobe)
 
   /** [[annIvfServe]] behind the self-managing index — the raw-vector
     * IVF serving twin of [[ivfPqAnnServed]], oracle-pinned bit-identical

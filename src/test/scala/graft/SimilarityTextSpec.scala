@@ -1198,4 +1198,17 @@ class SimilarityTextSpec extends SparkSuite {
     assert(nw.forall { case (qid, w) => ww(qid) >= w - 1e-12 },
       "nprobe=4 served top-3 must rank-dominate nprobe=1")
   }
+
+  test("served IVFPQ honours nprobe: wider probe never worsens the top-3 ADC distance") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    def worst(nprobe: Int): Map[Long, Long] =
+      q.ivfPqAnnServeAt(spark, dir, nprobe).collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (qid, rs) => qid -> rs.map(_.getAs[Long]("adist_fp")).max }
+    val (narrow, wide) = (worst(1), worst(4))
+    assert(narrow.keySet.subsetOf(wide.keySet))
+    assert(narrow.forall { case (qid, d) => wide(qid) <= d },
+      "nprobe=4 served top-3 ADC distance must be <= nprobe=1's per query")
+  }
 }
