@@ -76,10 +76,13 @@ run start / middle / end) reads:
 
   start [{sent_fmt("start")}] · mid [{sent_fmt("mid")}] · end [{sent_fmt("end")}]
 
-— flat and at the sentinels' steady-state cost, i.e. a quiet box
-end-to-end, so every row below is a tight bound. The 2× perf gate is
-computable by summing THIS table; no other row source is
-authoritative. Rows for queries whose scaladoc prices a deliberate
+— compare each sample against the sentinel's own table row to judge
+the run's load windows (CHARACTERIZE THE SAMPLES HONESTLY in this
+prose after regenerating: flat-at-baseline means a quiet box; inflated
+stretches mean the affected rows need targeted re-records merged in).
+The 2× perf gate is computable by summing THIS table; no other row
+source is authoritative. `baseline.json` is this table's machine twin
+— `graft.Bench` loads it at run time and self-adjudicates any >2× row. Rows for queries whose scaladoc prices a deliberate
 re-derivation (bench queries are independent: the dedup_clusters
 family, ivfpq_*, semantic_*, neardup_families re-train or re-derive
 shared chains per query) are expected suite maxima, not regressions;

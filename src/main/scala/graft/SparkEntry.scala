@@ -63,6 +63,7 @@ object SparkEntry {
     "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
+    "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
@@ -1538,6 +1539,13 @@ object SparkEntry {
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "incremental_neardup" ->
+      // the persisted-index serving path must equal the full-corpus LSH
+      // pair set restricted to pairs touching the delta slice (doc_id%4==0)
+      // — signatures are deterministic per doc, so index-served == recomputed
+      s"""WITH $LshCandBody
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""".stripMargin,
     "token_zipf" ->
       // top-100 head with the Zipf cnt·rank diagnostic; (cnt desc, tok)
       // is a strict total order so both engines agree on the cut

@@ -1781,12 +1781,18 @@ object SimilarityQueries {
     * exists for — which is exactly what the served bench rows should
     * price. */
   private def servedIndex(spark: SparkSession, dir: String, family: String)(
+      build: String => Unit): String =
+    servedIndexWith(dir, family, embeddingsStamp(spark, dir))(build)
+
+  /** [[servedIndex]] generalized over the staleness stamp so indexes
+    * over OTHER fixture tables (the documents-driven LSH index) share
+    * the build-once/serve-many cache discipline. */
+  private def servedIndexWith(dir: String, family: String, stamp: String)(
       build: String => Unit): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_${family}_$safe").getPath
     val stampFile = new java.io.File(idx, "_stamp")
-    val stamp = embeddingsStamp(spark, dir)
     val fresh = stampFile.exists() &&
       new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp
     if (!fresh) {
@@ -1947,13 +1953,78 @@ object SimilarityQueries {
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s
     * cached index: a regenerated fixture must rebuild, a same-session
     * re-run must not. */
-  private def embeddingsStamp(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private def embeddingsStamp(spark: SparkSession, dir: String): String =
+    tableStamp(spark, dir, "embeddings")
+
+  /** [[embeddingsStamp]]'s documents twin — guards the LSH index. */
+  private def documentsStamp(spark: SparkSession, dir: String): String =
+    tableStamp(spark, dir, "documents")
+
+  private def tableStamp(spark: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "missing"
     else fs.listStatus(p).map(s =>
       s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString(",")
+  }
+
+  /** Persist the MinHash-LSH near-dup index — the DEDUP family's
+    * train-once/serve-many layout, mirroring [[buildIvfIndex]]: the 4×3
+    * banded signatures (doc_id, sig, band) of the BASE corpus slice
+    * (doc_id % 4 != 0 — the same deterministic 75% standing in for
+    * "yesterday's corpus" as the IVF append lifecycle) written
+    * partitioned by band. At 100 TB the shingle + hash + 12-way minhash
+    * pass IS the dominant near-dup cost — it reads every token of every
+    * document — so persisting the 4-rows-per-doc signature table means
+    * that pass runs once per document EVER: each new crawl shard signs
+    * only itself ([[lshIndexAppend]]), and candidate generation against
+    * the full standing corpus stays the band-signature equijoin over
+    * compact (band, sig) keys, never touching document text again. */
+  def buildLshIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    bandSigs(minhashSigsOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0)))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$indexPath/postings")
+
+  /** Incremental growth of the LSH index: sign ONLY the delta slice
+    * (doc_id % 4 == 0) and append. Signatures are strictly per-document
+    * (no trained global state), so append requires no retraining and no
+    * re-reading of the standing corpus — the contrast with
+    * [[buildIvfIndexAppend]], whose frozen centroids encode a global
+    * model the delta must route through. */
+  def lshIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit =
+    bandSigs(minhashSigsOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)))
+      .write.partitionBy("band").mode("append").parquet(s"$indexPath/postings")
+
+  /** Near-dup candidates for a NEW crawl shard against the standing
+    * corpus, served ENTIRELY from the persisted LSH index — the
+    * production incremental-dedup shape (new shard vs everything seen
+    * so far, including itself): the index holds base + appended delta
+    * signatures; the query equijoins the delta's 4-rows-per-doc band
+    * signatures against the full posting table and normalizes pairs
+    * (least, greatest, distinct). ZERO document text is read in the
+    * serving plan — both sides come from the signature index; compare
+    * [[minhashLsh]], which re-signs the whole corpus per run, and
+    * `incremental_dedup` (CurationQueries), the exact-fingerprint
+    * variant of the same lifecycle. Output equals the full-corpus LSH
+    * pair set restricted to pairs touching the delta (the oracle pins
+    * exactly that). */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "lshidx", documentsStamp(spark, dir)) { p =>
+      buildLshIndex(spark, dir, p); lshIndexAppend(spark, dir, p)
+    }
+    val all = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id"), col("band"), col("sig"))
+    val delta = all.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
+        col("sig").as("sig_d"))
+    all.join(delta,
+        col("band") === col("band_d") && col("sig") === col("sig_d") &&
+          col("doc_id") =!= col("doc_d"))
+      .select(least(col("doc_id"), col("doc_d")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_d")).as("doc_b"))
+      .distinct()
   }
 
   /** Recall@3 of the IVF+PQ composite against exact full-vector L2 —

@@ -1211,4 +1211,36 @@ class SimilarityTextSpec extends SparkSuite {
     assert(narrow.forall { case (qid, d) => wide(qid) <= d },
       "nprobe=4 served top-3 ADC distance must be <= nprobe=1's per query")
   }
+
+  test("LSH index append never rewrites base postings; serving reads zero document text") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    val idx = JFiles.createTempDirectory("lshidx").toString
+    q.buildLshIndex(spark, dir, idx)
+    def dataFiles(): Map[String, (Long, String)] =
+      JFiles.walk(Paths.get(idx)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && JFiles.isRegularFile(p))
+        .map { p =>
+          val bytes = JFiles.readAllBytes(p)
+          p.toString -> (bytes.length.toLong, java.util.Arrays.hashCode(bytes).toString)
+        }.toMap
+    val before = dataFiles()
+    assert(before.nonEmpty)
+    q.lshIndexAppend(spark, dir, idx)
+    val after = dataFiles()
+    // every pre-append file survives BYTE-IDENTICAL — append adds files,
+    // never rewrites the standing index (the property that lets a 100 TB
+    // signature index grow one crawl shard at a time)
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "append must not rewrite or remove base posting files")
+    assert(after.size > before.size, "append must add new posting files")
+    // the served plan reads only the signature index: no documents.parquet
+    // scan anywhere (text is never re-read at serving time)
+    val plan = q.incrementalNearDup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serving plan must not scan the documents table")
+  }
 }
