@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
+    "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
@@ -3735,6 +3736,20 @@ object SparkEntry {
         |  epoch_ms(sp.s) AS span_start_ms, epoch_ms(sp.e) AS span_end_ms,
         |  i.hour, i.n_ev
         |FROM spans sp JOIN inc i
+        |  ON epoch_ms(sp.s) < (i.hour + 1) * 3600000
+        | AND epoch_ms(sp.e) >= i.hour * 3600000""".stripMargin,
+    "interval_join_outer" ->
+      // the semantic definition is a direct LEFT JOIN on the range
+      // predicate; the Spark side executes inner-matches UNION anti-join
+      // (nulls for spans overlapping no incident hour)
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(ts) AS s, max(ts) AS e FROM events GROUP BY 1, 2),
+        |inc AS (SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_ev
+        |  FROM events GROUP BY 1 ORDER BY n_ev DESC, hour ASC LIMIT 3)
+        |SELECT sp.user_id, sp.day,
+        |  epoch_ms(sp.s) AS span_start_ms, epoch_ms(sp.e) AS span_end_ms,
+        |  i.hour, i.n_ev
+        |FROM spans sp LEFT JOIN inc i
         |  ON epoch_ms(sp.s) < (i.hour + 1) * 3600000
         | AND epoch_ms(sp.e) >= i.hour * 3600000""".stripMargin,
     "incremental_dedup" ->

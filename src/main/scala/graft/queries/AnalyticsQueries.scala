@@ -423,6 +423,30 @@ object AnalyticsQueries {
         col("hour"), col("n_ev"))
   }
 
+  /** LEFT-OUTER interval join — [[intervalJoin]] plus the spans that
+    * overlap NO incident hour (null hour/n_ev), i.e. the "unaffected
+    * sessions" rows an incident post-mortem needs alongside the affected
+    * ones. Executed as inner-matches ∪ anti-join-unmatched so the plan
+    * stays two compact-key equijoins: a direct left-outer on the raw
+    * range predicate would be a nested loop (exactly what
+    * CartesianGuard exists to refuse), while the anti join keys on the
+    * span's (user_id, day) — the standard outer-join-over-interval
+    * rewrite at scale. */
+  def intervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val matched = intervalJoin(spark, dir)
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(col("user_id"), col("day"),
+        unix_millis(col("s")).as("span_start_ms"),
+        unix_millis(col("e")).as("span_end_ms"))
+    val unmatched = spans
+      .join(matched.select(col("user_id"), col("day")), Seq("user_id", "day"), "left_anti")
+      .withColumn("hour", lit(null).cast("long"))
+      .withColumn("n_ev", lit(null).cast("long"))
+    matched.unionByName(unmatched)
+  }
+
   /** Data-quality profiling: per-column null counts + distinct counts on
     * lineitem — the profile every ingest pipeline runs before training. */
   def nullProfile(spark: SparkSession, dir: String): DataFrame = {

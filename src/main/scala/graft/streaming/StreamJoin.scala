@@ -45,4 +45,31 @@ object StreamJoin {
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
+
+  /** LEFT-OUTER flavor of [[viewClickJoin]] — attribution's other half:
+    * the views that NEVER converted. Matched rows emit eagerly like the
+    * inner join; an unmatched view emits with null click columns only
+    * once the watermark passes view_ts + 10 min (Spark must be certain
+    * no matching click can still arrive before it may declare the view
+    * unconverted — the null-emission wait IS the correctness condition,
+    * not an implementation lag). State stays watermark-bounded exactly
+    * as in the inner case: the outer side's buffered rows are dropped at
+    * the same eviction point where the nulls are emitted. */
+  def viewClickJoinLeftOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

@@ -514,6 +514,44 @@ class StreamingSpec extends SparkSuite {
       }
   }
 
+  test("left-outer stream-stream join: unconverted views emit null clicks after the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val msV = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val msC = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamJoin.viewClickJoinLeftOuter(
+      msV.toDS().toDF("user_id", "ts", "event_id"),
+      msC.toDS().toDF("user_id", "ts", "event_id"))
+    val q = joined.writeStream.format("memory").queryName("vc_louter")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-vclouter"))
+      .start()
+    // user 1 converts (click 5 min after view); user 2 never clicks
+    msV.addData((1L, ts(base), 10L), (2L, ts(base), 20L))
+    msC.addData((1L, ts(base + 300000L), 11L))
+    q.processAllAvailable()
+    val eager = spark.table("vc_louter")
+      .select(col("view_id"), col("click_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    // the matched pair emits eagerly; the unmatched view must NOT have
+    // emitted yet (its 10-min window could still fill)
+    assert(eager.contains((10L, Some(11L))))
+    assert(!eager.exists(_._1 == 20L),
+      "unmatched view emitted before the watermark could rule out a late click")
+    // advance BOTH watermarks far past view_ts + 10 min -> null emission
+    msV.addData((9L, ts(base + 3600000L), 90L))
+    msC.addData((9L, ts(base + 3600000L), 91L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("vc_louter")
+      .select(col("view_id"), col("click_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    assert(all.contains((20L, None)),
+      s"unconverted view must emit with null click after the watermark; got $all")
+    assert(!all.contains((10L, None)), "a matched view must not also emit a null row")
+  }
+
   test("streaming session_window parity: append-mode watermarked sessions equal the batch session_agg exactly") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
