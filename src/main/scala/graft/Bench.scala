@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Parse a flat `{"name": sec, ...}` baseline file; empty on any
+    * failure (adjudication then simply disables). */
+  private[graft] def loadBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Classify a row that stayed >2× its baseline after bounded retries:
+    * if the co-measured sentinels are themselves inflated vs THEIR
+    * baseline rows (mean ratio > 1.5), the box is loud — "load_suspect";
+    * if the sentinels sit at baseline, believe the row — "regression".
+    * Pure so the decision rule is unit-testable (BenchAdjudiSpec). */
+  private[graft] def classifyStubborn(
+      sentinelSamples: Seq[Double],
+      sentinelBaselines: Seq[Option[Double]]): String = {
+    val ratios = sentinelSamples.zip(sentinelBaselines).flatMap {
+      case (sv, Some(b)) if b > 0 => Some(sv / b)
+      case _ => None
+    }
+    if (ratios.nonEmpty && ratios.sum / ratios.size > 1.5) "load_suspect"
+    else "regression"
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,14 +114,18 @@ object Bench {
     // own baseline rows -> "load_suspect" (the box, not the code);
     // sentinels quiet -> "regression" (believe it). The reported value
     // is the min over all samples — the steady-state cost.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "baseline.json")
-    val baseline: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(baselinePath)), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // resolve the baseline beside the classes dir too, so a driver that
+    // launches from another cwd still gets adjudication (classes live at
+    // <repo>/target/scala-2.13/classes -> repo root is two dirs up)
+    val repoRoot =
+      try new java.io.File(getClass.getProtectionDomain.getCodeSource
+        .getLocation.toURI).getParentFile.getParentFile.getParentFile.getPath
+      catch { case scala.util.control.NonFatal(_) => "." }
+    val baselinePath = sys.env.get("SPARK_GRAFT_BASELINE")
+      .orElse(Seq("baseline.json", s"$repoRoot/baseline.json")
+        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      .getOrElse("baseline.json")
+    val baseline: Map[String, Double] = loadBaseline(baselinePath)
     val maxRetries = 2
     case class Adjudicated(name: String, first: Double, samples: List[Double],
         base: Double, verdict: String)
@@ -119,11 +149,7 @@ object Bench {
               val sent = retrySentinel.getOrElse { // sample once per run
                 val s = sentinelSample(); retrySentinel = Some(s); s
               }
-              val ratios = sentinelNames.zip(sent).flatMap { case (sn, sv) =>
-                baseline.get(sn).filter(_ > 0).map(sv / _)
-              }
-              if (ratios.nonEmpty && ratios.sum / ratios.size > 1.5) "load_suspect"
-              else "regression"
+              classifyStubborn(sent, sentinelNames.map(baseline.get))
             }
           adjudicated += Adjudicated(name, v, tries, base, verdict)
           name -> best
