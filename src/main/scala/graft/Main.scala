@@ -40,6 +40,26 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --mode refire: the Flink allowedLateness RE-FIRE wiring
+    // (StreamingJob.java:149) — update-output windowed aggregation whose
+    // revisions MERGE into an upsert table, so the standing table always
+    // holds each window's LATEST aggregate (Timestream's own upsert
+    // semantics: identical time+dimensions, latest version wins). cnt is
+    // the version column — a window's re-fire strictly grows its count,
+    // so last-writer == highest cnt.
+    if (cli.get("mode").contains("refire")) {
+      val ups = new graft.streaming.UpsertSink(s"$sinkDir/windows",
+        keyCols = Seq("window_start", "callerservice", "operation"),
+        versionCols = Seq("cnt"),
+        valueCols = Seq("min_latency", "max_latency", "avg_latency"))
+      val q = Pipeline.startWindowedUpdate(
+        spark, new Pipeline.FileLogSource(sourceDir), cfg,
+        (df, id) => ups.merge(df, id), checkpointDir, availableNow = once)
+      q.awaitTermination()
+      spark.stop()
+      return
+    }
+
     // DDL before launch, like the reference (idempotent)
     DdlInitializer.ensureTableDir(s"$sinkDir/main")
     DdlInitializer.ensureTableDir(s"$sinkDir/late")

@@ -327,6 +327,43 @@ class StreamingSpec extends SparkSuite {
     assert(r.getAs[Long]("cnt") == prior + 1L)
   }
 
+  test("re-fire into UpsertSink: standing table holds each window's LATEST revision only") {
+    val srcDir = tmp("rfusrc")
+    val base = 1700000000000L
+    LogGen.records(n = 10, seed = 13L, baseTimeMs = base).zipWithIndex.foreach {
+      case (r, i) => Files.writeString(java.nio.file.Path.of(srcDir, s"a_$i.log"), r)
+    }
+    Files.writeString(java.nio.file.Path.of(srcDir, "k_0.log"),
+      LogGen.record("GetTable", 98L, "S3", "1.0", base + 2000L))
+    val tableDir = tmp("rfutab") + "/windows"
+    val ckpt = tmp("rfuckpt")
+    val cfg = AppConfig()
+    val ups = new graft.streaming.UpsertSink(tableDir,
+      keyCols = Seq("window_start", "callerservice", "operation"),
+      versionCols = Seq("cnt"),
+      valueCols = Seq("min_latency", "max_latency", "avg_latency"))
+    def run(): Unit = Pipeline.startWindowedUpdate(
+      spark, new Pipeline.FileLogSource(srcDir), cfg,
+      (df, id) => ups.merge(df, id), ckpt, availableNow = true)
+      .awaitTermination(120000)
+    run()
+    val t1 = spark.read.parquet(tableDir)
+    val prior = t1.filter(col("callerservice") === "s3" && col("operation") === "gettable")
+      .select(col("cnt")).as[Long].collect()
+    assert(prior.length == 1) // upsert: ONE row per key, not a changelog
+    // the in-grace late record re-fires its window; MERGE must REPLACE
+    // the standing row, not append a second revision
+    Files.writeString(java.nio.file.Path.of(srcDir, "late_0.log"),
+      LogGen.record("GetTable", 99L, "S3", "1.0", base + 6000L))
+    run()
+    val t2 = spark.read.parquet(tableDir)
+      .filter(col("callerservice") === "s3" && col("operation") === "gettable")
+      .select(col("cnt")).as[Long].collect()
+    assert(t2.length == 1, s"expected one upserted row per key, got ${t2.length}")
+    assert(t2(0) == prior(0) + 1L,
+      s"standing row must hold the revised count (${prior(0)} + 1), got ${t2(0)}")
+  }
+
   test("bootstrapWatermark: missing/corrupt sink path yields None; fatal errors propagate") {
     // missing path: no sink has ever been written — legitimately no watermark
     assert(Pipeline.LateRouter.bootstrapWatermark(spark, tmp("nope") + "/does/not/exist").isEmpty)
