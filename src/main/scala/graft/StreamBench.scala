@@ -102,8 +102,21 @@ object StreamBench {
     val parseSec = runOnce(freshStream(recs),
       raw => Pipeline.parsed(raw, cfg))
     val fullSec = runOnce(freshStream(recs), pipeline)
+    // the update-output re-fire twin (Pipeline.startWindowedUpdate's
+    // plan): same parse + window chain, update mode — prices what the
+    // Flink allowedLateness re-fire semantic costs over the append fold
+    val updSec = {
+      val df = pipeline(freshStream(recs).toDF().withColumnRenamed("value", "raw"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sb-uckpt").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }
