@@ -78,11 +78,12 @@ object StreamBench {
       Pipeline.windowedStats(Pipeline.parsed(raw, cfg), cfg)
 
     def runOnce(data: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String],
-                build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+                build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                mode: String = "append"): Double = {
       val df = build(data.toDF().withColumnRenamed("value", "raw"))
       val ckpt = java.nio.file.Files.createTempDirectory("sb-ckpt").toString
       val t0 = System.nanoTime()
-      val q = df.writeStream.format("noop").outputMode("append")
+      val q = df.writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -105,16 +106,11 @@ object StreamBench {
     // the update-output re-fire twin (Pipeline.startWindowedUpdate's
     // plan): same parse + window chain, update mode — prices what the
     // Flink allowedLateness re-fire semantic costs over the append fold
-    val updSec = {
-      val df = pipeline(freshStream(recs).toDF().withColumnRenamed("value", "raw"))
-      val ckpt = java.nio.file.Files.createTempDirectory("sb-uckpt").toString
-      val t0 = System.nanoTime()
-      val q = df.writeStream.format("noop").outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // (update re-emits every changed window per batch where append emits
+    // each window once, so expect update ≲ append throughput; any big
+    // gap in EITHER direction on one run is load/order noise — compare
+    // same-session pairs only)
+    val updSec = runOnce(freshStream(recs), pipeline, mode = "update")
     println(
       f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
     spark.stop()
