@@ -111,9 +111,13 @@ object LogParse {
         col("dimensions")
       )
       // the typed model's `time` is a primitive Long: records whose
-      // endtime is missing/unparseable carry the 0 sentinel (epoch 0) —
-      // callers that window on time should pre-filter time > 0, or use
+      // endtime is missing/unparseable carry the 0 sentinel (epoch 0).
+      // This is REFERENCE PARITY, not an accident — the Flink POJO's
+      // `private long time` (TimestreamPoint.java:13) defaults to 0 for
+      // exactly these records, and downstream Flink code sees that 0.
+      // Callers that window on time should pre-filter time > 0, or use
       // the untyped parse() whose nullable column keeps the signal
+      // (LogParseSpec's "POJO-default time" test pins both behaviors)
       .na.fill(0L, Seq("time"))
       .as[graft.model.TimestreamPoint]
   }
