@@ -69,10 +69,15 @@ table = f"""## Authoritative per-query baseline ({round_label}: {len(names)} que
 Method: `java -cp classes:/opt/spark/jars/* graft.Bench` — one shared
 warmed session, each query a full noop-sink materialization, reported
 seconds = MIN OF {runs_label} back-to-back runs (discards one-off load spikes
-and first-run codegen cost; see the appendix for why). Recorded in one
-full run with ZERO failures; the run's co-measured load sentinel
-({", ".join(sent_q)}; one untimed warm pass, then one sample each at
-run start / middle / end) reads:
+and first-run codegen cost; see the appendix for why). Each row is the
+per-query minimum over every recording artifact merged into
+target/bench.json for this round (one zero-failure full-suite run plus
+targeted SPARK_GRAFT_ONLY re-records of load-suspect rows and rows for
+same-round query additions — raw artifacts under `bench_records/`; this
+box carries bursty ambient load, so the merge, not any single run, is
+the authoritative source). The full recording run's co-measured load
+sentinel ({", ".join(sent_q)}; one untimed warm pass, then one sample
+each at run start / middle / end) reads:
 
   start [{sent_fmt("start")}] · mid [{sent_fmt("mid")}] · end [{sent_fmt("end")}]
 

@@ -57,6 +57,7 @@ object SparkEntry {
     "edit_distance_neardup" -> (SimilarityQueries.editDistanceNearDup _),
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
+    "ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
@@ -1318,6 +1319,20 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
+    "ann_ivf_trained" ->
+      // IVF search routed by the TRAINED (2-round Lloyd's) centroids:
+      // r2's rank over trained centroids doubles as the probe ranking
+      // (rn <= nprobe), asn2 (rn = 1) is the candidate-side bucket
+      s"""$KmeansTrain2Body,
+         |tq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |        cid2 AS bucket
+         |      FROM r2 WHERE vec_id < 10 AND rn <= ${SimilarityQueries.IvfNprobe}),
+         |tp AS (SELECT tq.qid, a.vec_id AS vid,
+         |        ${dotSql("tq.qemb", "a.embedding")} / (tq.qnrm * a.nrm) AS cos
+         |      FROM tq JOIN asn2 a ON tq.bucket = a.bucket AND a.vec_id != tq.qid),
+         |tr AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tp)
+         |SELECT qid, vid, cos FROM tr WHERE rn <= 3""".stripMargin,
     "cluster_terms" ->
       // df-damped cluster containment over the shared two-round Lloyd's
       // chain: BIGINT counts, one integer floor-division, term tie-break

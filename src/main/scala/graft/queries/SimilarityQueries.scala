@@ -216,8 +216,14 @@ object SimilarityQueries {
     * query, exploded on the SMALL broadcast side only) and the candidate
     * join stays a bucket equijoin, so raising nprobe scales serving cost
     * linearly in probed-bucket volume — never back toward O(corpus). */
-  def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(spark, dir, nprobe)
+  def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfSearch(ivfAssign(spark, dir, nprobe))
+
+  /** The IVF candidate join + cosine + top-3 over an assignment frame
+    * (vec_id, embedding, nrm, bucket, probe_buckets) — shared by the
+    * hash-sampled ([[annIvf]]) and k-means-trained ([[annIvfTrained]])
+    * routings so the search semantics cannot diverge between them. */
+  private def ivfSearch(assigned: DataFrame): DataFrame = {
     val q = assigned
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -231,6 +237,22 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("cos"))
+  }
+
+  /** IVF top-3 routed by TRAINED centroids — [[annIvf]] upgraded from
+    * the hash-sampled stand-in to real 2-round Lloyd's centroids
+    * ([[kmeansCentroids]], the exact fixed-point chain kmeans_train2
+    * pins bit-for-bit): the production index shape, where routing
+    * quality comes from training rather than sampling luck. Same
+    * bounded-k broadcast argmax, same bucket equijoin, same top-3
+    * window — training changes WHERE vectors land, never how the
+    * search executes; the oracle restates both Lloyd's rounds and the
+    * probe ranking as CTEs and must agree on every (qid, vid, cos). */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cent = kmeansCentroids(spark, dir, rounds = 2)
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    ivfSearch(assignFromCents(e, cent))
   }
 
   /** One distributed Lloyd's (k-means) iteration over the IVF
