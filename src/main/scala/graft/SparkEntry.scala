@@ -66,6 +66,8 @@ object SparkEntry {
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
+    "hash_embed" -> (SimilarityQueries.hashEmbed _),
+    "hash_embed_knn" -> (SimilarityQueries.hashEmbedKnn _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
@@ -617,6 +619,25 @@ object SparkEntry {
     * CTE is `cand(doc_a, doc_b)` — shared by the `minhash_lsh`,
     * `ngram_jaccard`, and `edit_distance_neardup` oracles (the latter two
     * re-rank LSH candidates, mirroring the Spark side's scale design). */
+  /** Feature-hashed embedding CTE chain (mirrors
+    * SimilarityQueries.hashEmbed): per-token bucket j = hash32 % 32 with
+    * a ±1 sign bit, signed counts per (doc, bucket), densified over the
+    * 32-cell grid for every doc with ≥ 1 token. Terminal CTE:
+    * `f(doc_id, k, v)` — consumers assemble `list(v ORDER BY k)`. */
+  private lazy val HashEmbedBody: String = {
+    val dim = SimilarityQueries.HashEmbedDim
+    s"""toks AS (SELECT doc_id, unnest($WordToksSql) AS tok FROM documents),
+       |hx AS (SELECT doc_id, ${hash32Sql("tok")} % $dim AS j,
+       |        CASE WHEN ${hash32Sql("'s:' || tok")} % 2 = 1 THEN 1 ELSE -1 END AS s
+       |      FROM toks),
+       |c AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v FROM hx GROUP BY 1, 2),
+       |g AS (SELECT t.doc_id, CAST(ks.k AS BIGINT) AS k
+       |      FROM (SELECT DISTINCT doc_id FROM toks) t,
+       |           (SELECT unnest(range(0, $dim)) AS k) ks),
+       |f AS (SELECT g.doc_id, g.k, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+       |      FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.k = c.j)""".stripMargin
+  }
+
   private lazy val LshCandBody: String = {
     val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
       case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
@@ -1562,6 +1583,29 @@ object SparkEntry {
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand
          |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""".stripMargin,
+    "hash_embed" ->
+      // signed token-count fold into 32 hash buckets — exact BIGINTs;
+      // only docs with >= 1 token embed (matches the Spark groupBy);
+      // emitted as the dense (doc_id, k, v) grid (scalar columns hash)
+      s"""WITH $HashEmbedBody
+         |SELECT doc_id, k, v FROM f""".stripMargin,
+    "hash_embed_knn" ->
+      s"""WITH $HashEmbedBody,
+         |e AS (SELECT doc_id, list(v ORDER BY k) AS emb,
+         |        CAST(sum(v * v) AS BIGINT) AS dd FROM f GROUP BY doc_id),
+         |en AS (SELECT * FROM e WHERE dd > 0),
+         |q AS (SELECT doc_id AS qid, emb AS qemb, dd AS qdd FROM en WHERE doc_id < 10),
+         |p AS (SELECT q.qid, e2.doc_id AS vid,
+         |        CAST(list_sum(list_transform(range(1, ${SimilarityQueries.HashEmbedDim + 1}),
+         |          ii -> q.qemb[ii] * e2.emb[ii])) AS BIGINT) AS dot,
+         |        e2.dd AS cdd, q.qdd AS qdd
+         |      FROM en e2, q WHERE e2.doc_id != q.qid),
+         |r AS (SELECT qid, vid, dot,
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(qdd AS DOUBLE)) * sqrt(CAST(cdd AS DOUBLE))) AS cos
+         |      FROM p),
+         |rr AS (SELECT qid, vid, dot, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM r)
+         |SELECT qid, vid, dot, cos FROM rr WHERE rn <= 3""".stripMargin,
     "token_zipf" ->
       // top-100 head with the Zipf cnt·rank diagnostic; (cnt desc, tok)
       // is a strict total order so both engines agree on the cut

@@ -239,6 +239,75 @@ object SimilarityQueries {
       .select(col("qid"), col("vid"), col("cos"))
   }
 
+  /** Feature-hashing dimensions for the in-engine text embedder. */
+  private[graft] val HashEmbedDim = 32
+
+  /** In-engine text embeddings by the hashing trick (Weinberger et al.
+    * 2009): each word token hashes to one of [[HashEmbedDim]] buckets
+    * with a ±1 sign from an independent hash bit; a document's vector is
+    * the signed token-count fold — EXACT BIGINTs, so the embedding is
+    * bit-identical across engines and partitionings (no model weights,
+    * no floats until a consumer normalizes). This closes the pipeline
+    * gap every other embedding operator here assumes away: the
+    * `embeddings` fixture stands in for a model's output, but a corpus
+    * bootstrap needs SOME vectorizer before any model exists, and the
+    * hashing trick is the standard dependency-free one.
+    *
+    * Scale (100 TB): tokenize → narrow per-token hash math → ONE
+    * map-combinable (doc, bucket) aggregation; the dense 32-cell
+    * assembly is an in-row map fold. No joins, no text shuffle — the
+    * same cost shape as token_count.
+    *
+    * The QUERY surface emits the dense grid as (doc_id, k, v) rows (the
+    * oracle harness compares scalar columns); [[hashEmbedVectors]] is
+    * the array-valued form consumers like [[hashEmbedKnn]] build on. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedVectors(spark, dir)
+      .select(col("doc_id"), posexplode(col("emb")))
+      .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("v"))
+
+  private[graft] def hashEmbedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+      .withColumn("j", pmod(md5Hash32(col("tok")), lit(HashEmbedDim.toLong)))
+      .withColumn("s",
+        when(pmod(md5Hash32(concat(lit("s:"), col("tok"))), lit(2L)) === 1L, 1L)
+          .otherwise(-1L))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("s")).as("v"))
+    cells.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(HashEmbedDim - 1L)),
+          k => coalesce(element_at(col("m"), k), lit(0L))).as("emb"))
+  }
+
+  /** Top-3 cosine retrieval over the [[hashEmbed]] vectors — proof the
+    * in-engine embedder is USABLE for search, not just a profile: query
+    * docs (doc_id < 10) broadcast against the corpus, integer dot
+    * products (exact), IEEE sqrt norms, the same per-query top-k window
+    * as [[knnCosine]]. Zero-norm documents (all buckets cancelled) are
+    * excluded on both sides — cosine is undefined there, and the
+    * exclusion is deterministic. */
+  def hashEmbedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = hashEmbedVectors(spark, dir)
+      .withColumn("dd", aggregate(col("emb"), lit(0L), (acc, x) => acc + x * x))
+      .filter(col("dd") > 0L)
+    val q = e.select(col("doc_id").as("qid"), col("emb").as("qemb"),
+      col("dd").as("qdd")).filter(col("qid") < 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    e.select(col("doc_id").as("vid"), col("emb").as("cemb"), col("dd").as("cdd"))
+      .join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qemb"), col("cemb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("qdd").cast("double")) * sqrt(col("cdd").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), col("dot"), col("cos"))
+  }
+
   /** IVF top-3 routed by TRAINED centroids — [[annIvf]] upgraded from
     * the hash-sampled stand-in to real 2-round Lloyd's centroids
     * ([[kmeansCentroids]], the exact fixed-point chain kmeans_train2
