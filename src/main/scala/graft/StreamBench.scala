@@ -102,15 +102,19 @@ object StreamBench {
 
     val parseSec = runOnce(freshStream(recs),
       raw => Pipeline.parsed(raw, cfg))
-    val fullSec = runOnce(freshStream(recs), pipeline)
-    // the update-output re-fire twin (Pipeline.startWindowedUpdate's
-    // plan): same parse + window chain, update mode — prices what the
-    // Flink allowedLateness re-fire semantic costs over the append fold
-    // (update re-emits every changed window per batch where append emits
-    // each window once, so expect update ≲ append throughput; any big
-    // gap in EITHER direction on one run is load/order noise — compare
-    // same-session pairs only)
-    val updSec = runOnce(freshStream(recs), pipeline, mode = "update")
+    // append vs update (the Pipeline.startWindowedUpdate re-fire twin):
+    // measured ALTERNATING, min-of-2 per mode — a single ordered pass
+    // hands the last-measured mode a warmer session (measured: the same
+    // mode swings 3-5x between first and last position), and this box's
+    // bursty ambient load does the rest. Alternation + min cancels both;
+    // expect update ≲ append (update re-emits every changed window per
+    // batch where append emits each window once).
+    val full1 = runOnce(freshStream(recs), pipeline)
+    val upd1 = runOnce(freshStream(recs), pipeline, mode = "update")
+    val full2 = runOnce(freshStream(recs), pipeline)
+    val upd2 = runOnce(freshStream(recs), pipeline, mode = "update")
+    val fullSec = math.min(full1, full2)
+    val updSec = math.min(upd1, upd2)
     println(
       f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
     spark.stop()
