@@ -50,7 +50,7 @@ object StreamBench {
         // changelog checkpointing ships per-batch deltas instead of full
         // SST snapshots — the production setting for frequent commits
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          "true")
+          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
         // bound native memory so 32 parallel store instances on one box
         // can't balloon: one shared block cache across all partitions
         .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
