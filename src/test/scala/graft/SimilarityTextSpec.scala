@@ -1212,6 +1212,47 @@ class SimilarityTextSpec extends SparkSuite {
       "nprobe=4 served top-3 ADC distance must be <= nprobe=1's per query")
   }
 
+  test("hash_embed differential: engine vectors equal an independent plain-Scala fold") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    // independent reference implementation of the documented semantics:
+    // lowercase [a-z0-9]+ tokens, j = first-8-hex-of-md5 % 32, sign from
+    // an independent hash's low bit, signed occurrence counts
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def refEmbed(text: String): Option[Seq[Long]] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      if (toks.isEmpty) None
+      else Some {
+        val v = Array.fill(32)(0L)
+        toks.foreach { t =>
+          val j = (md5h32(t) % 32).toInt
+          val s = if (md5h32("s:" + t) % 2 == 1) 1L else -1L
+          v(j) += s
+        }
+        v.toSeq
+      }
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val got = q.hashEmbed(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) =>
+        d -> rs.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("v")).toSeq }
+    assert(got.nonEmpty)
+    // every embedded doc matches the reference fold exactly; docs with
+    // zero tokens are absent from the engine output by design
+    docs.foreach { case (d, text) =>
+      refEmbed(text) match {
+        case Some(v) => assert(got.get(d).contains(v), s"doc $d vector mismatch")
+        case None => assert(!got.contains(d), s"tokenless doc $d must not embed")
+      }
+    }
+  }
+
   test("LSH index append never rewrites base postings; serving reads zero document text") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._
