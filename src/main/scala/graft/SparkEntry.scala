@@ -63,6 +63,7 @@ object SparkEntry {
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
     "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
+    "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
@@ -1134,6 +1135,33 @@ object SparkEntry {
          |ar AS (SELECT qid, vid,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM ap),
          |approx3 AS (SELECT qid, vid FROM ar WHERE rn <= 3),
+         |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
+         |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
+         |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)
+         |SELECT b.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, b.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits h ON b.qid = h.qid""".stripMargin,
+    "ann_recall_trained" ->
+      // recall@3 of the trained-centroid IVF (ann_ivf_trained's tq/tp/tr
+      // chain) against the exact brute-force cosine top-3 (ann_recall's
+      // kq/kp/kr chain — KmeansTrain2Body already provides `en`)
+      s"""$KmeansTrain2Body,
+         |kq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |kp AS (SELECT kq.qid, e.vec_id AS vid,
+         |        ${dotSql("kq.qemb", "e.embedding")} / (kq.qnrm * e.nrm) AS cos
+         |      FROM en e, kq WHERE e.vec_id != kq.qid),
+         |kr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM kp),
+         |exact3 AS (SELECT qid, vid FROM kr WHERE rn <= 3),
+         |tq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |        cid2 AS bucket
+         |      FROM r2 WHERE vec_id < 10 AND rn <= ${SimilarityQueries.IvfNprobe}),
+         |tp AS (SELECT tq.qid, a.vec_id AS vid,
+         |        ${dotSql("tq.qemb", "a.embedding")} / (tq.qnrm * a.nrm) AS cos
+         |      FROM tq JOIN asn2 a ON tq.bucket = a.bucket AND a.vec_id != tq.qid),
+         |tr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tp),
+         |approx3 AS (SELECT qid, vid FROM tr WHERE rn <= 3),
          |hits AS (SELECT e.qid, count(*) AS n_hit FROM exact3 e
          |         JOIN approx3 x ON e.qid = x.qid AND e.vid = x.vid GROUP BY 1),
          |base AS (SELECT qid, count(*) AS k FROM exact3 GROUP BY 1)

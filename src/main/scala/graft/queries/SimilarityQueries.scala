@@ -1238,12 +1238,25 @@ object SimilarityQueries {
     * gates on: exact kNN on a sample (affordable at any scale because
     * the sample is small), IVF over the same sample, set intersection
     * per query. */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    cosineRecallOf(spark, dir, annIvf(spark, dir).select(col("qid"), col("vid")))
+
+  /** Recall@3 of the TRAINED-centroid IVF ([[annIvfTrained]]) against
+    * the exact cosine top-3 — the audit that prices what k-means
+    * training buys over the hash-sampled routing (compare with
+    * `ann_recall`): same scoring fold, only the routing differs. */
+  def annRecallTrained(spark: SparkSession, dir: String): DataFrame =
+    cosineRecallOf(spark, dir, annIvfTrained(spark, dir).select(col("qid"), col("vid")))
+
+  /** Per-query recall@3 of `approx3 (qid, vid)` against the exact
+    * brute-force cosine top-3 — [[annRecall]]'s scoring fold shared by
+    * the sampled and trained routings. */
+  private def cosineRecallOf(spark: SparkSession, dir: String,
+      approx3: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
     val exact3 = knnCosine(spark, dir)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("qid"), col("vid"))
-    val approx3 = annIvf(spark, dir).select(col("qid"), col("vid"))
     val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
