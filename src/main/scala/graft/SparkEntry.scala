@@ -58,6 +58,7 @@ object SparkEntry {
     "knn_cosine" -> (SimilarityQueries.knnCosine _),
     "ann_ivf" -> (SimilarityQueries.annIvf _),
     "ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
+    "ann_ivf_trained_served" -> (SimilarityQueries.annIvfTrainedServed _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
@@ -620,6 +621,23 @@ object SparkEntry {
     * CTE is `cand(doc_a, doc_b)` — shared by the `minhash_lsh`,
     * `ngram_jaccard`, and `edit_distance_neardup` oracles (the latter two
     * re-rank LSH candidates, mirroring the Spark side's scale design). */
+  /** IVF search routed by the TRAINED (2-round Lloyd's) centroids:
+    * r2's rank over trained centroids doubles as the probe ranking
+    * (rn <= nprobe), asn2 (rn = 1) is the candidate-side bucket. Shared
+    * by `ann_ivf_trained` (in-session) and `ann_ivf_trained_served`
+    * (persisted index) — the serving path is bit-identical by design. */
+  private lazy val AnnIvfTrainedSql: String =
+    s"""$KmeansTrain2Body,
+       |tq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+       |        cid2 AS bucket
+       |      FROM r2 WHERE vec_id < 10 AND rn <= ${SimilarityQueries.IvfNprobe}),
+       |tp AS (SELECT tq.qid, a.vec_id AS vid,
+       |        ${dotSql("tq.qemb", "a.embedding")} / (tq.qnrm * a.nrm) AS cos
+       |      FROM tq JOIN asn2 a ON tq.bucket = a.bucket AND a.vec_id != tq.qid),
+       |tr AS (SELECT qid, vid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tp)
+       |SELECT qid, vid, cos FROM tr WHERE rn <= 3""".stripMargin
+
   /** Feature-hashed embedding CTE chain (mirrors
     * SimilarityQueries.hashEmbed): per-token bucket j = hash32 % 32 with
     * a ±1 sign bit, signed counts per (doc, bucket), densified over the
@@ -1368,20 +1386,11 @@ object SparkEntry {
     "kmeans_train2" ->
       s"""$KmeansTrain2Body
          |SELECT vec_id, bucket, ccos AS cos FROM asn2""".stripMargin,
-    "ann_ivf_trained" ->
-      // IVF search routed by the TRAINED (2-round Lloyd's) centroids:
-      // r2's rank over trained centroids doubles as the probe ranking
-      // (rn <= nprobe), asn2 (rn = 1) is the candidate-side bucket
-      s"""$KmeansTrain2Body,
-         |tq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
-         |        cid2 AS bucket
-         |      FROM r2 WHERE vec_id < 10 AND rn <= ${SimilarityQueries.IvfNprobe}),
-         |tp AS (SELECT tq.qid, a.vec_id AS vid,
-         |        ${dotSql("tq.qemb", "a.embedding")} / (tq.qnrm * a.nrm) AS cos
-         |      FROM tq JOIN asn2 a ON tq.bucket = a.bucket AND a.vec_id != tq.qid),
-         |tr AS (SELECT qid, vid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tp)
-         |SELECT qid, vid, cos FROM tr WHERE rn <= 3""".stripMargin,
+    "ann_ivf_trained" -> AnnIvfTrainedSql,
+    // the persisted-trained-index serving path is bit-identical to the
+    // in-session trained search (same centroids, same routing argmax,
+    // same cosine and top-3 window) — one oracle pins both
+    "ann_ivf_trained_served" -> AnnIvfTrainedSql,
     "cluster_terms" ->
       // df-damped cluster containment over the shared two-round Lloyd's
       // chain: BIGINT counts, one integer floor-division, term tie-break

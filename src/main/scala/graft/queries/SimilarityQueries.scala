@@ -308,6 +308,33 @@ object SimilarityQueries {
       .select(col("qid"), col("vid"), col("dot"), col("cos"))
   }
 
+  /** Persist the TRAINED IVF index — [[buildIvfIndex]] with
+    * [[kmeansCentroids]] (2-round Lloyd's) in place of the hash-sampled
+    * seeds: centroids as a ≤k-row frame, postings PARTITIONED BY the
+    * trained bucket. Completes the production lifecycle matrix: train
+    * (k-means, in-engine) → persist → serve-many / append. */
+  def buildIvfIndexTrained(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = kmeansCentroids(spark, dir, rounds = 2)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centRow = cents.agg(collect_list(struct(
+      col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    assignFromCents(e, centRow)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** [[annIvfTrained]] served from the PERSISTED trained index —
+    * training cost paid once at build, every query thereafter is
+    * routing + a dynamic-partition-pruned posting read
+    * ([[annIvfServe]] is generic over the stored centroid frame, so the
+    * trained and sampled indexes serve through the same plan);
+    * oracle-pinned bit-identical to the in-session [[annIvfTrained]]. */
+  def annIvfTrainedServed(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir,
+      servedIndex(spark, dir, "ivf_tr")(buildIvfIndexTrained(spark, dir, _)))
+
   /** IVF top-3 routed by TRAINED centroids — [[annIvf]] upgraded from
     * the hash-sampled stand-in to real 2-round Lloyd's centroids
     * ([[kmeansCentroids]], the exact fixed-point chain kmeans_train2
