@@ -124,7 +124,11 @@ else:
 print(f"wrote {md_path}: {len(names)} rows, total {total:.1f}s")
 
 # machine-readable twin for graft.Bench's self-adjudication: the bench
-# loads this at run time and auto-re-measures any row >2x its entry
+# loads this at run time and auto-re-measures any row >2x its entry.
+# Written BESIDE the BASELINE.md being rewritten (not the process cwd),
+# so running the script from elsewhere can't leave the repo's twin stale.
+import os
+bjson_path = os.path.join(os.path.dirname(os.path.abspath(md_path)), "baseline.json")
 bjson = "{" + ",".join(f'"{n}":{queries[n]}' for n in names) + "}"
-open("baseline.json", "w").write(bjson + "\n")
-print(f"wrote baseline.json: {len(names)} rows")
+open(bjson_path, "w").write(bjson + "\n")
+print(f"wrote {bjson_path}: {len(names)} rows")

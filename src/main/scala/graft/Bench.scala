@@ -115,14 +115,19 @@ object Bench {
     // sentinels quiet -> "regression" (believe it). The reported value
     // is the min over all samples — the steady-state cost.
     // resolve the baseline beside the classes dir too, so a driver that
-    // launches from another cwd still gets adjudication (classes live at
-    // <repo>/target/scala-2.13/classes -> repo root is two dirs up)
-    val repoRoot =
-      try new java.io.File(getClass.getProtectionDomain.getCodeSource
-        .getLocation.toURI).getParentFile.getParentFile.getParentFile.getPath
-      catch { case scala.util.control.NonFatal(_) => "." }
+    // launches from another cwd still gets adjudication: walk UP from
+    // the classes location until a baseline.json appears (covers both
+    // the sbt target/scala-2.13/classes layout — repo root three
+    // parents up — and a flat <repo>/classes deploy)
+    val classesAncestors: Seq[String] =
+      try {
+        val start = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        Iterator.iterate(start)(_.getParentFile).takeWhile(_ != null)
+          .take(5).map(d => s"${d.getPath}/baseline.json").toSeq
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val baselinePath = sys.env.get("SPARK_GRAFT_BASELINE")
-      .orElse(Seq("baseline.json", s"$repoRoot/baseline.json")
+      .orElse(("baseline.json" +: classesAncestors)
         .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
       .getOrElse("baseline.json")
     val baseline: Map[String, Double] = loadBaseline(baselinePath)
@@ -135,24 +140,34 @@ object Bench {
       baseline.get(name) match {
         case Some(base) if v >= 0 && base > 0 && v > 2.0 * base =>
           var best = v
+          var failed = false
           var tries = List.empty[Double]
-          while (tries.size < maxRetries && best > 2.0 * base) {
+          while (tries.size < maxRetries && best > 2.0 * base && !failed) {
             val s = Seq.fill(runs)(once(name, SparkEntry.queries(name)))
             val m = if (s.exists(_ < 0)) -1.0 else s.min
             tries = tries :+ m
-            if (m >= 0 && m < best) best = m
+            // minOfN's invariant holds through retries too: a query that
+            // CRASHES while re-measuring is a failed query, not a healthy
+            // row wearing its lucky first sample — mark it failed so the
+            // failure penalty applies
+            if (m < 0) failed = true
+            else if (m < best) best = m
           }
           val verdict =
-            if (best <= 2.0 * base) "cleared"
+            if (failed) "failed_on_retry"
+            else if (best <= 2.0 * base) "cleared"
             else {
-              // classify the stubborn row: is the box loud RIGHT NOW?
-              val sent = retrySentinel.getOrElse { // sample once per run
-                val s = sentinelSample(); retrySentinel = Some(s); s
-              }
+              // classify the stubborn row by the box's load RIGHT NOW —
+              // a fresh sentinel sample per stubborn row (a sample cached
+              // from an earlier stubborn row could be minutes stale on
+              // this bursty box and would misclassify a real regression
+              // as load_suspect)
+              val sent = sentinelSample()
+              retrySentinel = Some(sent)
               classifyStubborn(sent, sentinelNames.map(baseline.get))
             }
           adjudicated += Adjudicated(name, v, tries, base, verdict)
-          name -> best
+          name -> (if (failed) -1.0 else best)
         case _ => name -> v
       }
     }

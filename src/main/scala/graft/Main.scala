@@ -55,7 +55,36 @@ object Main {
       val q = Pipeline.startWindowedUpdate(
         spark, new Pipeline.FileLogSource(sourceDir), cfg,
         (df, id) => ups.merge(df, id), checkpointDir, availableNow = once)
+      // dead-letter parity (StreamingJob.java:150,168): the update-mode
+      // window operator silently DROPS beyond-grace records, so a second
+      // router query preserves them — late side to the durable dead
+      // letter, on-time side discarded (those rows are delivered by the
+      // upsert query above). Own checkpoint: independent source offsets.
+      DdlInitializer.ensureTableDir(s"$sinkDir/late")
+      // restart recovery: the delivered side lives in the WINDOWS table,
+      // so the router's watermark bootstraps from max(window_start) —
+      // a lower bound on the max delivered event time (bootstrapping
+      // from the late table instead would UNDERSTATE the watermark and
+      // silently discard late records on the first post-restart batch)
+      val windowsWm: Option[Long] =
+        try {
+          val r = spark.read.parquet(s"$sinkDir/windows")
+            .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.unix_millis(
+                org.apache.spark.sql.functions.col("window_start"))))
+            .collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val lateQ = Pipeline.start(
+        spark, new Pipeline.FileLogSource(sourceDir), cfg,
+        new Pipeline.LateRouter(
+          cfg.latenessSeconds * 1000L,
+          new graft.sink.Sinks.DiscardSink,
+          new ParquetTableSink(s"$sinkDir/late"),
+          initialWatermarkMs = windowsWm),
+        s"$checkpointDir-late", availableNow = once)
       q.awaitTermination()
+      lateQ.awaitTermination()
       spark.stop()
       return
     }

@@ -406,13 +406,11 @@ object AnalyticsQueries {
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     def hourOf(c: org.apache.spark.sql.Column) = floor(unix_millis(c) / lit(3600000L))
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
     val incidents = ev.groupBy(hourOf(col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_ev"))
       .orderBy(col("n_ev").desc, col("hour").asc)
       .limit(3)
-    spans
+    spanFrame(spark, dir)
       .withColumn("hour", explode(sequence(hourOf(col("s")), hourOf(col("e")))))
       .join(broadcast(incidents), "hour")
       .filter(unix_millis(col("s")) < (col("hour") + 1) * 3600000L &&
@@ -422,6 +420,15 @@ object AnalyticsQueries {
         unix_millis(col("e")).as("span_end_ms"),
         col("hour"), col("n_ev"))
   }
+
+  /** Per-user daily activity spans (user_id, day, s, e) — the single
+    * definition [[intervalJoin]] and [[intervalJoinOuter]] share, so the
+    * two sides of the outer rewrite (and the oracle) cannot diverge on
+    * what a span is. */
+  private def spanFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
 
   /** LEFT-OUTER interval join — [[intervalJoin]] plus the spans that
     * overlap NO incident hour (null hour/n_ev), i.e. the "unaffected
@@ -433,10 +440,12 @@ object AnalyticsQueries {
     * span's (user_id, day) — the standard outer-join-over-interval
     * rewrite at scale. */
   def intervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    val matched = intervalJoin(spark, dir)
-    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    // matched feeds BOTH the anti-join build side and the union —
+    // localCheckpoint so the inner-join plan (events scan + explode +
+    // broadcast) runs once, not once per consumer (matched is
+    // ≤ spans×3 compact rows at any scale)
+    val matched = intervalJoin(spark, dir).localCheckpoint()
+    val spans = spanFrame(spark, dir)
       .select(col("user_id"), col("day"),
         unix_millis(col("s")).as("span_start_ms"),
         unix_millis(col("e")).as("span_end_ms"))

@@ -226,6 +226,19 @@ object Sinks {
     }
   }
 
+  /** Deliberately drops its batch (counting it as accepted) — for
+    * routing topologies where this side of a split is DELIVERED BY A
+    * DIFFERENT QUERY and only the other side should land here: e.g.
+    * `Main --mode refire` runs the update-mode upsert as the main
+    * delivery and a LateRouter purely for the dead letter, so the
+    * router's on-time side discards. The count() still materializes the
+    * batch, keeping LateRouter's watermark bookkeeping (which reads the
+    * cached frame after both writes) exactly as with a real sink. */
+  final class DiscardSink extends RecordSink {
+    override def write(batch: DataFrame, batchId: Long): (Long, Long) =
+      (batch.count(), 0L)
+  }
+
   /** Idempotent DDL initializer (O12). The reference creates the
     * Timestream database/table and swallows ConflictException
     * (TimestreamInitializer.java:30-58); here: `CREATE TABLE IF NOT

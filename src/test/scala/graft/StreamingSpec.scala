@@ -364,6 +364,55 @@ class StreamingSpec extends SparkSuite {
       s"standing row must hold the revised count (${prior(0)} + 1), got ${t2(0)}")
   }
 
+  test("refire mode dead-letter: beyond-grace records land durable while in-grace ones revise windows") {
+    // Main --mode refire's topology: update-mode upsert as the delivery
+    // query + a LateRouter (on-time -> DiscardSink) purely for the dead
+    // letter — the update-mode window operator DROPS beyond-grace rows
+    val srcDir = tmp("rfdsrc")
+    val base = 1700000000000L
+    LogGen.records(n = 10, seed = 13L, baseTimeMs = base).zipWithIndex.foreach {
+      case (r, i) => Files.writeString(java.nio.file.Path.of(srcDir, s"a_$i.log"), r)
+    }
+    val sinkDir = tmp("rfdsink")
+    val cfg = AppConfig()
+    val ups = new graft.streaming.UpsertSink(s"$sinkDir/windows",
+      keyCols = Seq("window_start", "callerservice", "operation"),
+      versionCols = Seq("cnt"),
+      valueCols = Seq("min_latency", "max_latency", "avg_latency"))
+    def runBoth(): Unit = {
+      Pipeline.startWindowedUpdate(spark, new Pipeline.FileLogSource(srcDir), cfg,
+        (df, id) => ups.merge(df, id), s"$sinkDir/ckpt", availableNow = true)
+        .awaitTermination(120000)
+      // Main --mode refire's restart recovery: bootstrap the router's
+      // watermark from the delivered windows table (max window_start)
+      val windowsWm: Option[Long] =
+        try {
+          val r = spark.read.parquet(s"$sinkDir/windows")
+            .agg(max(expr("unix_millis(window_start)"))).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      Pipeline.start(spark, new Pipeline.FileLogSource(srcDir), cfg,
+        new Pipeline.LateRouter(cfg.latenessSeconds * 1000L,
+          new graft.sink.Sinks.DiscardSink,
+          new ParquetTableSink(s"$sinkDir/late"),
+          initialWatermarkMs = windowsWm),
+        s"$sinkDir/ckpt-late", availableNow = true)
+        .awaitTermination(120000)
+    }
+    runBoth()
+    // one BEYOND-grace record (60s < max event time - 5s grace): the
+    // update window drops it; the dead letter must keep it
+    Files.writeString(java.nio.file.Path.of(srcDir, "verylate_0.log"),
+      LogGen.record("GetTable", 99L, "S3", "1.0", base - 60000L))
+    runBoth()
+    val late = spark.read.parquet(s"$sinkDir/late/data").collect()
+    assert(late.length == 1 && late(0).getAs[Long]("time") == base - 60000L,
+      s"beyond-grace record must reach the dead letter, got ${late.toSeq}")
+    // and it must NOT have revised any window
+    val wins = spark.read.parquet(s"$sinkDir/windows")
+    assert(wins.agg(sum("cnt")).as[Long].collect()(0) == 10L)
+  }
+
   test("bootstrapWatermark: missing/corrupt sink path yields None; fatal errors propagate") {
     // missing path: no sink has ever been written — legitimately no watermark
     assert(Pipeline.LateRouter.bootstrapWatermark(spark, tmp("nope") + "/does/not/exist").isEmpty)
