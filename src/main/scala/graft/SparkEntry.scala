@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
+    "lsh_bucket_skew" -> (SimilarityQueries.lshBucketSkew _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
     "hash_embed" -> (SimilarityQueries.hashEmbed _),
     "hash_embed_knn" -> (SimilarityQueries.hashEmbedKnn _),
@@ -1620,6 +1621,13 @@ object SparkEntry {
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand
          |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""".stripMargin,
+    "lsh_bucket_skew" ->
+      // hottest (band, sig) posting lists — LshCandBody's banded `b` CTE
+      // grouped and top-10'd with a (n_docs DESC, band, sig) total order
+      s"""WITH $LshCandBody
+         |SELECT band, sig, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY band, sig
+         |ORDER BY n_docs DESC, band ASC, sig ASC LIMIT 10""".stripMargin,
     "hash_embed" ->
       // signed token-count fold into 32 hash buckets — exact BIGINTs;
       // only docs with >= 1 token embed (matches the Spark groupBy);

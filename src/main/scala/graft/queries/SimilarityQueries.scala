@@ -2128,6 +2128,21 @@ object SimilarityQueries {
       Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)))
       .write.partitionBy("band").mode("append").parquet(s"$indexPath/postings")
 
+  /** LSH bucket-skew audit — the top-10 hottest (band, sig) posting
+    * lists with their document counts: [[ivf_balance]]'s twin for the
+    * near-dup side. At 100 TB a hot band signature (usually a boilerplate
+    * cluster — shared headers, templated pages) is the key that blows up
+    * the band equijoin quadratically, and this is the number an operator
+    * thresholds before df-capping or excising the offending shingles
+    * (see `boilerplate_ngrams`). One map-combinable (band, sig) count +
+    * a TakeOrderedAndProject top-10 — no join at all. */
+  def lshBucketSkew(spark: SparkSession, dir: String): DataFrame =
+    bandSigs(minhashSigsOf(Tables.documents(spark, dir)))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("band").asc, col("sig").asc)
+      .limit(10)
+
   /** Near-dup candidates for a NEW crawl shard against the standing
     * corpus, served ENTIRELY from the persisted LSH index — the
     * production incremental-dedup shape (new shard vs everything seen
