@@ -16,6 +16,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # list/array cells (numpy.ndarray is unhashable and unsortable)
+            # -> tuples, so array-valued query results compare like scalars
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
     return df
 
