@@ -41,7 +41,8 @@ DRIVER = {
     # round-11 query additions
     "incremental_neardup": "documents", "interval_join_outer": "events",
     "ann_ivf_trained": "embeddings", "hash_embed": "documents",
-    "hash_embed_knn": "documents",
+    "hash_embed_knn": "documents", "lsh_bucket_skew": "documents",
+    "ann_ivf_trained_served": "embeddings", "ann_recall_trained": "embeddings",
 }
 
 
@@ -97,7 +98,7 @@ def main():
           "in its driving table?** A query whose time grows faster than its "
           "input is the one that dies first at 100 TB, whatever its sf0.1 "
           "bench row says. Method: `graft.Bench` (min-of-3, quiet box, load "
-          "sentinel recorded) on the same 41-query headline subset at "
+          "sentinel recorded) on the same 44-query headline subset at "
           "sf0.001 / sf0.01 / sf0.1, exponents computed against each query's "
           "OWN driving-table row ratio — the fixture tables do not scale "
           "together (documents: 500 → 500 → 5 000; embeddings: 500 → 500 → "
