@@ -93,6 +93,7 @@ object Plans {
     "ann_ivf_trained" -> "trained-centroid routing: two Lloyd's rounds of one-row broadcasts + in-row argmax, then the same bucket equijoin as ann_ivf — training never changes the search plan",
     "hash_embed" -> "tokenize -> narrow per-token hash math -> ONE map-combinable (doc, bucket) aggregation; dense 32-cell assembly is an in-row map fold, no join, no text shuffle",
     "interval_join_outer" -> "inner bucketized matches UNION compact-key anti-join — outer-over-interval without a nested loop",
+    "lsh_bucket_skew" -> "one map-combinable (band, sig) count + TakeOrderedAndProject top-10 — the posting-list heat audit costs one signature pass, no join",
     "dist_drift" -> "time bounds + per-type value grids broadcast; ONE map-combinable (type, bin) aggregation; L1 folds exact rationals, one terminal division",
     "ivfpq_ann" -> "coarse route is the zero-shuffle broadcast-argmax; corpus query payload is 4 residual-PQ code ints per vector; per-(query, probed-bucket) ADC tables broadcast; candidates from the bucket equijoin",
     "semantic_keep" -> "SemDeDup keeper election: labels equijoin onto the trained assignment, component-keyed WindowGroupLimit pick — dedup_keep_best's shape on the embedding graph",
