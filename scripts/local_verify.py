@@ -18,9 +18,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             # list/array cells (numpy.ndarray is unhashable and unsortable)
-            # -> tuples, so array-valued query results compare like scalars
+            # -> tuples, so array-valued query results compare like scalars;
+            # gate on ndim so numpy SCALARS (np.float64 in an object column,
+            # whose tolist() is a bare scalar) pass through untouched
             df[c] = df[c].map(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                lambda v: tuple(v.tolist())
+                if hasattr(v, "tolist") and getattr(v, "ndim", 0) > 0
                 else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
     return df

@@ -133,9 +133,8 @@ object Bench {
     val baseline: Map[String, Double] = loadBaseline(baselinePath)
     val maxRetries = 2
     case class Adjudicated(name: String, first: Double, samples: List[Double],
-        base: Double, verdict: String)
+        base: Double, verdict: String, sentinel: Option[Seq[Double]])
     val adjudicated = scala.collection.mutable.ListBuffer.empty[Adjudicated]
-    var retrySentinel: Option[Seq[Double]] = None
     val results = measured.map { case (name, v) =>
       baseline.get(name) match {
         case Some(base) if v >= 0 && base > 0 && v > 2.0 * base =>
@@ -153,20 +152,21 @@ object Bench {
             if (m < 0) failed = true
             else if (m < best) best = m
           }
-          val verdict =
-            if (failed) "failed_on_retry"
-            else if (best <= 2.0 * base) "cleared"
+          // classify the stubborn row by the box's load RIGHT NOW — a
+          // fresh sentinel sample per stubborn row (a sample cached from
+          // an earlier stubborn row could be minutes stale on this bursty
+          // box and would misclassify a real regression as load_suspect);
+          // kept WITH the row so every verdict is auditable from the
+          // artifact, not just the last one
+          val (verdict, rowSentinel) =
+            if (failed) ("failed_on_retry", None)
+            else if (best <= 2.0 * base) ("cleared", None)
             else {
-              // classify the stubborn row by the box's load RIGHT NOW —
-              // a fresh sentinel sample per stubborn row (a sample cached
-              // from an earlier stubborn row could be minutes stale on
-              // this bursty box and would misclassify a real regression
-              // as load_suspect)
               val sent = sentinelSample()
-              retrySentinel = Some(sent)
-              classifyStubborn(sent, sentinelNames.map(baseline.get))
+              (classifyStubborn(sent, sentinelNames.map(baseline.get)),
+                Some(sent))
             }
-          adjudicated += Adjudicated(name, v, tries, base, verdict)
+          adjudicated += Adjudicated(name, v, tries, base, verdict, rowSentinel)
           name -> (if (failed) -1.0 else best)
         case _ => name -> v
       }
@@ -176,14 +176,14 @@ object Bench {
     val adjJson = {
       val rows = adjudicated.map { a =>
         s""""${a.name}":{"first":${a.first},"retries":${a.samples.mkString("[", ",", "]")},""" +
-          s""""base":${a.base},"verdict":"${a.verdict}"}"""
+          s""""base":${a.base},"verdict":"${a.verdict}",""" +
+          s""""sentinel":${a.sentinel.map(_.mkString("[", ",", "]")).getOrElse("null")}}"""
       }.mkString("{", ",", "}")
       val suspects = adjudicated.filter(_.verdict == "load_suspect").map("\"" + _.name + "\"")
       val regressions = adjudicated.filter(_.verdict == "regression").map("\"" + _.name + "\"")
       s"""{"baseline_rows":${baseline.size},"retried":$rows,""" +
         s""""load_suspect":${suspects.mkString("[", ",", "]")},""" +
-        s""""regression":${regressions.mkString("[", ",", "]")},""" +
-        s""""retry_sentinel":${retrySentinel.map(_.mkString("[", ",", "]")).getOrElse("null")}}"""
+        s""""regression":${regressions.mkString("[", ",", "]")}}"""
     }
     // A failure must never IMPROVE the total (excluding a broken expensive
     // query would make the perf gate easier): each failed query contributes

@@ -52,20 +52,15 @@ object Main {
         keyCols = Seq("window_start", "callerservice", "operation"),
         versionCols = Seq("cnt"),
         valueCols = Seq("min_latency", "max_latency", "avg_latency"))
-      val q = Pipeline.startWindowedUpdate(
-        spark, new Pipeline.FileLogSource(sourceDir), cfg,
-        (df, id) => ups.merge(df, id), checkpointDir, availableNow = once)
-      // dead-letter parity (StreamingJob.java:150,168): the update-mode
-      // window operator silently DROPS beyond-grace records, so a second
-      // router query preserves them — late side to the durable dead
-      // letter, on-time side discarded (those rows are delivered by the
-      // upsert query above). Own checkpoint: independent source offsets.
-      DdlInitializer.ensureTableDir(s"$sinkDir/late")
       // restart recovery: the delivered side lives in the WINDOWS table,
       // so the router's watermark bootstraps from max(window_start) —
       // a lower bound on the max delivered event time (bootstrapping
       // from the late table instead would UNDERSTATE the watermark and
-      // silently discard late records on the first post-restart batch)
+      // silently discard late records on the first post-restart batch).
+      // Read BEFORE the upsert query launches: a concurrent
+      // dynamic-partition overwrite would either throw mid-read (silently
+      // disabling the bootstrap) or leak the current run's windows into
+      // the watermark, dead-lettering records the window query delivered.
       val windowsWm: Option[Long] =
         try {
           val r = spark.read.parquet(s"$sinkDir/windows")
@@ -75,6 +70,15 @@ object Main {
             .collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))
         } catch { case scala.util.control.NonFatal(_) => None }
+      val q = Pipeline.startWindowedUpdate(
+        spark, new Pipeline.FileLogSource(sourceDir), cfg,
+        (df, id) => ups.merge(df, id), checkpointDir, availableNow = once)
+      // dead-letter parity (StreamingJob.java:150,168): the update-mode
+      // window operator silently DROPS beyond-grace records, so a second
+      // router query preserves them — late side to the durable dead
+      // letter, on-time side discarded (those rows are delivered by the
+      // upsert query above). Own checkpoint: independent source offsets.
+      DdlInitializer.ensureTableDir(s"$sinkDir/late")
       val lateQ = Pipeline.start(
         spark, new Pipeline.FileLogSource(sourceDir), cfg,
         new Pipeline.LateRouter(
@@ -98,7 +102,10 @@ object Main {
     // stays file-backed either way
     val mainSink: RecordSink = cfg.jdbcUrl match {
       case Some(_) => new JdbcBatchSink(cfg)
-      case None => new ParquetTableSink(s"$sinkDir/main")
+      // date-partitioned: retention via Layout.expirePartitions and a
+      // partition-pruned restart bootstrap (one day of files, not the
+      // whole table) both key off the event_date= layout
+      case None => new ParquetTableSink(s"$sinkDir/main", datePartitioned = true)
     }
     // --lateToConsole mirrors the reference's side-output print()
     // (StreamingJob.java:168); default keeps the dead-letter durable

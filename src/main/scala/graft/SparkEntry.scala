@@ -71,6 +71,9 @@ object SparkEntry {
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
     "hash_embed" -> (SimilarityQueries.hashEmbed _),
     "hash_embed_knn" -> (SimilarityQueries.hashEmbedKnn _),
+    "hash_embed_ann" -> (SimilarityQueries.hashEmbedAnn _),
+    "hash_embed_ann_served" -> (SimilarityQueries.hashEmbedAnnServed _),
+    "hash_embed_ann_recall" -> (SimilarityQueries.hashEmbedAnnRecall _),
     "mrl_recall" -> (SimilarityQueries.mrlRecall _),
     "embedding_neardup" -> (SimilarityQueries.embeddingNearDup _),
     "srp_neardup" -> (SimilarityQueries.srpNearDup _),
@@ -657,6 +660,36 @@ object SparkEntry {
        |f AS (SELECT g.doc_id, g.k, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
        |      FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.k = c.j)""".stripMargin
   }
+
+  /** IVF chain over the hash-embedded corpus (mirrors
+    * SimilarityQueries.hashEmbedAnn): extends [[HashEmbedBody]] with the
+    * normed double-vector frame (exact BIGINT self-dot under the sqrt,
+    * zero-norm docs excluded), the md5-sampled bounded-k centroids, the
+    * (ccos DESC, cid) routing argmax, and the bucket-equijoin cosine
+    * ranking. Terminal: `hr(qid, vid, cos, rn)` — rn <= 3 is the result. */
+  private lazy val HashEmbedIvfBody: String =
+    s"""$HashEmbedBody,
+       |he AS (SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY k) AS embedding,
+       |        CAST(sum(v * v) AS BIGINT) AS dd FROM f GROUP BY doc_id),
+       |hen AS MATERIALIZED (SELECT vec_id, embedding, sqrt(CAST(dd AS DOUBLE)) AS nrm
+       |       FROM he WHERE dd > 0),
+       |hcent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM hen
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${SimilarityQueries.IvfK}),
+       |hranked AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |      ${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) AS ccos
+       |    FROM hen e, hcent c)),
+       |hasn AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM hranked WHERE rn = 1),
+       |hprobes AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM hranked
+       |            WHERE rn <= ${SimilarityQueries.IvfNprobe}),
+       |hq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
+       |       FROM hprobes WHERE vec_id < 10),
+       |hp AS (SELECT hq.qid, a.vec_id AS vid,
+       |        ${dotSql("hq.qemb", "a.embedding")} / (hq.qnrm * a.nrm) AS cos
+       |      FROM hq JOIN hasn a ON hq.bucket = a.bucket AND a.vec_id != hq.qid),
+       |hr AS (SELECT qid, vid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM hp)""".stripMargin
 
   private lazy val LshCandBody: String = {
     val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
@@ -1651,6 +1684,34 @@ object SparkEntry {
          |rr AS (SELECT qid, vid, dot, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM r)
          |SELECT qid, vid, dot, cos FROM rr WHERE rn <= 3""".stripMargin,
+    "hash_embed_ann" ->
+      s"""WITH $HashEmbedIvfBody
+         |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin,
+    // the served twin is bit-identical to hash_embed_ann by construction
+    // (same persisted centroids, routing argmax, cosine fold, window)
+    "hash_embed_ann_served" ->
+      s"""WITH $HashEmbedIvfBody
+         |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin,
+    "hash_embed_ann_recall" ->
+      // exact top-3 (hash_embed_knn's brute-force chain over the same
+      // hen frame) vs the IVF top-3; per-query hit count and recall@3
+      s"""WITH $HashEmbedIvfBody,
+         |xp AS (SELECT kq.qid, e2.vec_id AS vid,
+         |        ${dotSql("kq.qemb", "e2.embedding")} / (kq.qnrm * e2.nrm) AS cos
+         |      FROM hen e2,
+         |        (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |         FROM hen WHERE vec_id < 10) kq
+         |      WHERE e2.vec_id != kq.qid),
+         |xr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM xp),
+         |ex AS (SELECT qid, vid FROM xr WHERE rn <= 3),
+         |ap AS (SELECT qid, vid FROM hr WHERE rn <= 3),
+         |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |         FROM ap a JOIN ex e ON a.qid = e.qid AND a.vid = e.vid GROUP BY a.qid),
+         |kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k FROM ex GROUP BY qid)
+         |SELECT kk.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, kk.k,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE) AS recall
+         |FROM kk LEFT JOIN hits h ON kk.qid = h.qid""".stripMargin,
     "token_zipf" ->
       // top-100 head with the Zipf cnt·rank diagnostic; (cnt desc, tok)
       // is a strict total order so both engines agree on the cut

@@ -160,10 +160,19 @@ object SimilarityQueries {
     * Partitioning the postings by bucket makes the serving join
     * DYNAMIC-PARTITION-PRUNABLE: a query batch probing 20 buckets reads
     * 20 directories of the index, not the corpus. */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    ivfCentFrame(e).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    ivfAssign(spark, dir)
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    buildIvfIndexFrom(withNorm(Tables.embeddings(spark, dir)), indexPath)
+
+  /** [[buildIvfIndex]] generic over the vector source — the same
+    * centroid-sample + bucket-partitioned-postings layout over ANY
+    * normed (vec_id, embedding, nrm) frame (the in-engine hash-embedded
+    * corpus indexes through here too). */
+  private def buildIvfIndexFrom(e: DataFrame, indexPath: String): Unit = {
+    val cents = ivfCentFrame(e)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centRow = cents.agg(collect_list(struct(
+      col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    assignFromCents(e, centRow)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
@@ -178,8 +187,17 @@ object SimilarityQueries {
     * O(corpus). Result is bit-identical to [[annIvf]] (same centroids,
     * same routing argmax, same cosine and top-3 window). */
   def annIvfServe(spark: SparkSession, dir: String, indexPath: String,
-      nprobe: Int = IvfNprobe): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+      nprobe: Int = IvfNprobe): DataFrame =
+    ivfServeFrom(spark, withNorm(Tables.embeddings(spark, dir)), indexPath, nprobe)
+
+  /** [[annIvfServe]] generic over the query-vector source — any normed
+    * (vec_id, embedding, nrm) frame serves through the same persisted
+    * layout, so the model-embedded fixture and the in-engine
+    * [[hashEmbedVectors]] corpus share one serving plan (routing against
+    * the stored centroids, bucket equijoin against the
+    * dynamic-partition-pruned postings, top-3 window). */
+  private def ivfServeFrom(spark: SparkSession, e: DataFrame,
+      indexPath: String, nprobe: Int = IvfNprobe): DataFrame = {
     val cent = spark.read.parquet(s"$indexPath/centroids")
       .agg(collect_list(struct(
         col("cid"), col("cemb"), col("cnrm")
@@ -306,6 +324,67 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("dot"), col("cos"))
+  }
+
+  /** The hash-embedded corpus shaped for the IVF machinery: signed-count
+    * vectors cast to exact doubles (every |v| ≪ 2²⁶, so each product and
+    * partial sum in the shared double fold is EXACT and engine-portable),
+    * norm from the exact integer self-dot, zero-norm documents excluded
+    * (cosine undefined — same exclusion as [[hashEmbedKnn]]). */
+  private def hashEmbedNormed(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedVectors(spark, dir)
+      .withColumn("dd", aggregate(col("emb"), lit(0L), (acc, x) => acc + x * x))
+      .filter(col("dd") > 0L)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("emb"), x => x.cast("double")).as("embedding"),
+        sqrt(col("dd").cast("double")).as("nrm"))
+
+  /** IVF-routed retrieval over the IN-ENGINE hash embeddings — closes the
+    * embedder→index loop: [[hashEmbed]] proved in-engine vectorization
+    * and [[hashEmbedKnn]] searched it exactly (O(corpus × queries));
+    * this routes the same vectors through the bounded-k centroid argmax
+    * + bucket equijoin + top-3 window of [[annIvf]], so corpus-scale
+    * retrieval needs no external embedding model anywhere in the chain.
+    * Same 100 TB shape as annIvf: ≤[[IvfK]]-row broadcast centroids, the
+    * candidate join a bucket equijoin, never O(corpus²). */
+  def hashEmbedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = hashEmbedNormed(spark, dir)
+    val cent = ivfCentFrame(e)
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
+    ivfSearch(assignFromCents(e, cent))
+  }
+
+  /** [[hashEmbedAnn]] served from a PERSISTED index over the hash
+    * embeddings ([[buildIvfIndexFrom]] layout: centroid frame + postings
+    * partitioned by bucket) — embed-once/serve-many: re-running a query
+    * pays routing + a dynamic-partition-pruned posting read, never
+    * re-tokenizing the corpus. Bit-identical to the in-session
+    * [[hashEmbedAnn]] (same centroids, argmax, cosine fold, window). */
+  def hashEmbedAnnServed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "hashemb_ivf", documentsStamp(spark, dir)) {
+      p => buildIvfIndexFrom(hashEmbedNormed(spark, dir), p)
+    }
+    // query vectors re-embed only the 10 query documents' text — the
+    // corpus side comes entirely from the index
+    ivfServeFrom(spark, hashEmbedNormed(spark, dir), idx)
+  }
+
+  /** Recall@3 of [[hashEmbedAnn]] against the exact [[hashEmbedKnn]]
+    * top-3 — the same accuracy audit [[annRecall]] runs for the
+    * model-embedded fixture, closing the loop's eval edge: every ANN
+    * rollout over the in-engine embeddings gates on this number. */
+  def hashEmbedAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = hashEmbedKnn(spark, dir).select(col("qid"), col("vid"))
+    val approx3 = hashEmbedAnn(spark, dir).select(col("qid"), col("vid"))
+    val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("k"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double")).as("recall"))
   }
 
   /** Persist the TRAINED IVF index — [[buildIvfIndex]] with

@@ -263,10 +263,19 @@ object Pipeline {
   object LateRouter {
     /** Recover the event-time watermark from an existing parquet sink
       * (max `time` already delivered) so a restarted router resumes late
-      * detection immediately instead of lapsing for one batch. */
+      * detection immediately instead of lapsing for one batch.
+      *
+      * Partition-pruned: on a date-partitioned sink
+      * ([[graft.sink.Sinks.ParquetTableSink]] with `datePartitioned =
+      * true`, the production layout) only the latest `event_date=`
+      * partition is scanned — `event_date = to_date(time)` means the
+      * global max(time) necessarily lives in the max date partition, so
+      * a restart on a multi-year sink reads one day of files, not the
+      * whole table. Unpartitioned sinks fall back to the full scan. */
     def bootstrapWatermark(spark: SparkSession, parquetDataPath: String): Option[Long] =
       try {
-        val r = spark.read.parquet(parquetDataPath).agg(max(col("time"))).collect()(0)
+        val r = bootstrapScan(spark, parquetDataPath)
+          .agg(max(col("time"))).collect()(0)
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       } catch {
         // NonFatal only: a missing/corrupt/empty sink path legitimately means
@@ -274,6 +283,38 @@ object Pipeline {
         // swallowing it here would silently disable late detection forever.
         case scala.util.control.NonFatal(_) => None
       }
+
+    /** The frame [[bootstrapWatermark]] aggregates over — exposed so
+      * PlanSpec can pin the pruned scan shape (exactly one selected
+      * partition on a date-partitioned sink). ISO `yyyy-MM-dd` partition
+      * values sort lexicographically == chronologically, so the max dir
+      * name is the latest day without parsing. */
+    private[graft] def bootstrapScan(
+        spark: SparkSession, parquetDataPath: String): DataFrame = {
+      val df = spark.read.parquet(parquetDataPath)
+      latestEventDate(spark, parquetDataPath) match {
+        case Some(d) if df.columns.contains("event_date") =>
+          df.filter(col("event_date") === lit(d))
+        case _ => df
+      }
+    }
+
+    /** Latest `event_date=` partition directory, from one filesystem
+      * listing — no data files touched. None on an unpartitioned or
+      * missing sink. */
+    private def latestEventDate(
+        spark: SparkSession, parquetDataPath: String): Option[String] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(parquetDataPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val parts = fs.listStatus(p).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("event_date="))
+          .map(_.stripPrefix("event_date="))
+          .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+        if (parts.isEmpty) None else Some(parts.max)
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Apply the configured state-store backend to the session. RocksDB is

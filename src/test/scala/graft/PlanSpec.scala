@@ -104,6 +104,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("hash_embed_ann: bounded centroid fold, bucket equijoin — never all-pairs") {
+    val p = plan(SimilarityQueries.hashEmbedAnn(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    // routing: centroids come from the LIMIT-k md5 sample (bounded at any
+    // corpus size), folded to a one-row array and broadcast
+    assert(p.linesIterator.exists(
+      _.contains(s"TakeOrderedAndProject(limit=${SimilarityQueries.IvfK}")),
+      s"centroids must be the bounded LIMIT-k sample:\n$p")
+    // candidate stage: an EQUIJOIN on the bucket id (hash or sort-merge —
+    // never a nested loop over the corpus)
+    val equijoins = p.linesIterator.filter(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("bucket")).toSeq
+    assert(equijoins.nonEmpty, s"candidate join must equijoin on bucket:\n$p")
+  }
+
   test("IVF centroid side is bounded: every broadcast NLJ builds from a LIMIT-k subtree") {
     // The round-4 scale-killer was k = N/50 centroids: an unconditioned
     // broadcast NLJ against a corpus-fraction set (O(N²/50) assignment,
@@ -999,5 +1015,38 @@ class PlanSpec extends SparkSuite {
     val dm = plan(SimilarityQueries.dupModularity(spark, dir))
     assert(!dm.contains("CartesianProduct"))
     assert(dm.contains("BroadcastExchange"), s"m must broadcast:\n$dm")
+  }
+
+  test("bootstrap_watermark: restart scan prunes to the latest event_date partition") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bootstrap").toString
+    val day = java.time.LocalDate.of(2026, 8, 12)
+    def ms(off: Long): Long = day.plusDays(off)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val pts = Seq(0L, 1L, 2L).map(off => (ms(off) + off, "DOUBLE", "1.0"))
+      .toDF("time", "measure_value_type", "measure_value")
+    new graft.sink.Sinks.ParquetTableSink(base, datePartitioned = true).write(pts, 0L)
+    // the pruned scan carries a partition filter — no data filter on time
+    val scan = graft.streaming.Pipeline.LateRouter.bootstrapScan(spark, s"$base/data")
+    val p = scan.queryExecution.executedPlan.treeString
+    assert(p.contains("PartitionFilters") && p.contains("event_date"),
+      s"bootstrap scan must filter on the partition column:\n$p")
+    // physical proof: poison the OLDER partitions with a huge time value —
+    // a full-table scan would surface it; the pruned scan never reads them
+    Seq(0L, 1L).foreach { off =>
+      val d = s"$base/data/event_date=${day.plusDays(off)}"
+      Seq((Long.MaxValue / 2, "DOUBLE", "9.9"))
+        .toDF("time", "measure_value_type", "measure_value")
+        .write.mode("overwrite").parquet(d)
+    }
+    val wm = graft.streaming.Pipeline.LateRouter
+      .bootstrapWatermark(spark, s"$base/data")
+    assert(wm.contains(ms(2) + 2),
+      s"watermark must come from the latest partition only, got $wm")
+    // unpartitioned sinks still bootstrap via the full-scan fallback
+    val flat = java.nio.file.Files.createTempDirectory("graft_bootstrap_flat").toString
+    new graft.sink.Sinks.ParquetTableSink(flat).write(pts, 0L)
+    assert(graft.streaming.Pipeline.LateRouter
+      .bootstrapWatermark(spark, s"$flat/data").contains(ms(2) + 2))
   }
 }
