@@ -67,6 +67,9 @@ object SparkEntry {
     "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
+    "incremental_neardup_deleted" -> (SimilarityQueries.incrementalNearDupDeleted _),
+    "ann_ivf_deleted" -> (SimilarityQueries.annIvfDeleted _),
+    "ann_ivf_compacted" -> (SimilarityQueries.annIvfCompacted _),
     "lsh_bucket_skew" -> (SimilarityQueries.lshBucketSkew _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
     "hash_embed" -> (SimilarityQueries.hashEmbed _),
@@ -1654,6 +1657,42 @@ object SparkEntry {
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand
          |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""".stripMargin,
+    "incremental_neardup_deleted" ->
+      // retire contract: a tombstoned doc (id % 10 = 7) never surfaces on
+      // EITHER side of a pair — the anti-join runs before pair generation,
+      // so this is exactly the incremental set minus pairs touching a
+      // retired endpoint
+      s"""WITH $LshCandBody
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0)
+         |  AND doc_a % 10 != 7 AND doc_b % 10 != 7""".stripMargin,
+    "ann_ivf_deleted" ->
+      // tombstone-aware serving: centroids and surviving assignments are
+      // FROZEN as built (delete never retrains); only rows whose vec_id
+      // is retired (% 10 = 7) vanish from both query and candidate sides
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
+         |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+         |      WHERE a.vec_id % 10 != 7),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    // compaction changes storage (touched buckets rewritten, tombstones
+    // cleared), never results — pinned to the same SQL as ann_ivf_deleted
+    "ann_ivf_compacted" ->
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
+         |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+         |      WHERE a.vec_id % 10 != 7),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
     "lsh_bucket_skew" ->
       // hottest (band, sig) posting lists — LshCandBody's banded `b` CTE
       // grouped and top-10'd with a (n_docs DESC, band, sig) total order

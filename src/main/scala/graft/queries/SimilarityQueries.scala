@@ -197,7 +197,8 @@ object SimilarityQueries {
     * the stored centroids, bucket equijoin against the
     * dynamic-partition-pruned postings, top-3 window). */
   private def ivfServeFrom(spark: SparkSession, e: DataFrame,
-      indexPath: String, nprobe: Int = IvfNprobe): DataFrame = {
+      indexPath: String, nprobe: Int = IvfNprobe,
+      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cent = spark.read.parquet(s"$indexPath/centroids")
       .agg(collect_list(struct(
         col("cid"), col("cemb"), col("cnrm")
@@ -205,9 +206,9 @@ object SimilarityQueries {
     val q = assignFromCents(e.filter(col("vec_id") < 10), cent, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), explode(col("probe_buckets")).as("qbucket"))
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val postings = postingsFilter(spark.read.parquet(s"$indexPath/postings")
       .select(col("vec_id").as("vid"), col("embedding").as("cemb2"),
-        col("nrm").as("cnrm2"), col("bucket"))
+        col("nrm").as("cnrm2"), col("bucket")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
     postings.join(broadcast(q), col("qbucket") === col("bucket") && col("qid") =!= col("vid"))
       .withColumn("cos", dotD(col("qemb"), col("cemb2")) / (col("qnrm") * col("cnrm2")))
@@ -2241,6 +2242,150 @@ object SimilarityQueries {
     }
     val all = spark.read.parquet(s"$idx/postings")
       .select(col("doc_id"), col("band"), col("sig"))
+    val delta = all.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
+        col("sig").as("sig_d"))
+    all.join(delta,
+        col("band") === col("band_d") && col("sig") === col("sig_d") &&
+          col("doc_id") =!= col("doc_d"))
+      .select(least(col("doc_id"), col("doc_d")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_d")).as("doc_b"))
+      .distinct()
+  }
+
+  // ── Index retire lifecycle: delete (tombstone) → serve-around → compact ──
+  //
+  // Real corpora retire documents (takedowns, TTL, license revocation).
+  // The lifecycle completes build/append/serve with the missing edge:
+  // a DELETE is an O(batch) tombstone write (no posting file touched),
+  // serving anti-joins the broadcast tombstone set (tombstones between
+  // compactions are rare-event small), and COMPACTION physically removes
+  // tombstoned rows by rewriting ONLY the touched bucket partitions
+  // (dynamic partition overwrite — a vector lives in exactly one IVF
+  // bucket, so a delete batch touching b buckets rewrites b directories
+  // of a 100 TB index, never the index).
+
+  /** The fixture's deterministic takedown set — the retire lifecycle's
+    * `% 4` twin (append uses doc_id % 4 == 0 as "the new shard"; retire
+    * uses id % 10 == 7 as "the takedown batch"). */
+  private def retiredPred(idCol: Column): Column = idCol % 10 === 7
+
+  /** Tombstone a batch of vector ids in the persisted IVF index: resolve
+    * each id's bucket with ONE column-pruned postings read (vec_id + the
+    * partition value — no embedding bytes), append (vec_id, bucket)
+    * tombstones. No posting file is touched — delete is O(batch), and
+    * the recorded bucket is what lets [[ivfIndexCompact]] stay
+    * partition-scoped. */
+  def ivfIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    spark.read.parquet(s"$indexPath/postings")
+      .select(col("vec_id"), col("bucket"))
+      .join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+
+  /** Physically remove tombstoned vectors: read ONLY the touched bucket
+    * partitions (≤ [[IvfK]], partition-pruned), anti-join the broadcast
+    * tombstone ids, dynamic-partition-overwrite exactly those bucket
+    * directories — untouched buckets stay byte-identical
+    * (IndexRetireSpec pins this). A bucket whose every row was deleted
+    * gets its directory dropped explicitly (dynamic overwrite only
+    * rewrites partitions PRESENT in the new data). Clears the tombstone
+    * set afterwards; idempotent — no tombstones, no work. */
+  def ivfIndexCompact(spark: SparkSession, indexPath: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombPath)) return
+    val tomb = spark.read.parquet(tombPath.toString)
+    val touched = tomb.select(col("bucket")).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    if (touched.nonEmpty) {
+      val survivors = spark.read.parquet(s"$indexPath/postings")
+        .filter(col("bucket").isin(touched: _*))
+        .join(broadcast(tomb.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_anti")
+      val surviving = survivors.select(col("bucket")).distinct()
+        .collect().map(_.get(0)).toSet
+      survivors.write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$indexPath/postings")
+      touched.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/postings/bucket=$b"), true)
+      }
+    }
+    fs.delete(tombPath, true)
+  }
+
+  /** [[annIvfServe]] with tombstone-aware candidates: posting rows whose
+    * vec_id is tombstoned never surface — the serving contract between a
+    * delete and the next compaction. The tombstone set broadcasts (it is
+    * bounded by the delete traffic since the last compaction, never by
+    * corpus size). */
+  private def ivfServeTombstoned(spark: SparkSession, e: DataFrame,
+      indexPath: String): DataFrame = {
+    val tombIds = broadcast(spark.read.parquet(s"$indexPath/tombstones")
+      .select(col("vec_id").as("tomb_id")).distinct())
+    ivfServeFrom(spark, e, indexPath,
+      postingsFilter =
+        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti"))
+  }
+
+  /** IVF serving after a takedown batch, tombstones still live — the
+    * retired vectors are anti-joined out at query time; no index file
+    * has been rewritten. Query set: the surviving fixture queries
+    * (retired documents do not query). Oracle: [[annIvf]] with both
+    * sides restricted to survivors. */
+  def annIvfDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivf_del", embeddingsStamp(spark, dir)) { p =>
+      buildIvfIndex(spark, dir, p)
+      ivfIndexDelete(spark, p, Tables.embeddings(spark, dir)
+        .select(col("vec_id")).filter(retiredPred(col("vec_id"))))
+    }
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .filter(!retiredPred(col("vec_id")))
+    ivfServeTombstoned(spark, e, idx)
+  }
+
+  /** IVF serving after compaction — the tombstoned rows are physically
+    * gone (touched buckets rewritten, untouched buckets byte-identical),
+    * serving is the plain [[annIvfServe]] plan with zero anti-join work.
+    * MUST return exactly [[annIvfDeleted]]'s rows: compaction changes
+    * storage, never results (the oracle pins both to the same SQL). */
+  def annIvfCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivf_delc", embeddingsStamp(spark, dir)) { p =>
+      buildIvfIndex(spark, dir, p)
+      ivfIndexDelete(spark, p, Tables.embeddings(spark, dir)
+        .select(col("vec_id")).filter(retiredPred(col("vec_id"))))
+      ivfIndexCompact(spark, p)
+    }
+    ivfServeFrom(spark,
+      withNorm(Tables.embeddings(spark, dir)).filter(!retiredPred(col("vec_id"))),
+      idx)
+  }
+
+  /** Tombstone a batch of doc ids in the persisted LSH index — the
+    * near-dup family's delete edge. Signatures are per-document with no
+    * trained state, so the tombstone needs no bucket lookup at all. */
+  def lshIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+
+  /** [[incrementalNearDup]] after a takedown batch: serving anti-joins
+    * the broadcast tombstones BEFORE pair generation, so a retired
+    * document never surfaces on either side of a candidate pair — the
+    * dedup-side retire contract ([[annIvfDeleted]]'s twin). Still reads
+    * zero document text. */
+  def incrementalNearDupDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "lshidx_del", documentsStamp(spark, dir)) { p =>
+      buildLshIndex(spark, dir, p)
+      lshIndexAppend(spark, dir, p)
+      lshIndexDelete(spark, p, Tables.documents(spark, dir)
+        .select(col("doc_id")).filter(retiredPred(col("doc_id"))))
+    }
+    val tomb = broadcast(spark.read.parquet(s"$idx/tombstones")
+      .select(col("doc_id").as("tomb_id")).distinct())
+    val all = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(tomb, col("doc_id") === col("tomb_id"), "left_anti")
     val delta = all.filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
         col("sig").as("sig_d"))

@@ -1,0 +1,131 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files => JFiles, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The index retire lifecycle: delete (tombstone) → tombstone-aware
+  * serving → bucket-scoped compaction. Pins the three contracts the
+  * lifecycle exists for:
+  *   1. a retired id NEVER surfaces as a candidate (either side);
+  *   2. compaction rewrites ONLY the touched bucket partitions —
+  *      untouched posting files stay byte-identical;
+  *   3. compaction changes storage, never results (post-compact serving
+  *      equals pre-compact tombstone-aware serving), and is idempotent.
+  */
+class IndexRetireSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val q = SimilarityQueries
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  private def fileSigs(root: String): Map[String, (Long, Int)] =
+    JFiles.walk(Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && JFiles.isRegularFile(p))
+      .map { p =>
+        val bytes = JFiles.readAllBytes(p)
+        p.toString -> (bytes.length.toLong, java.util.Arrays.hashCode(bytes))
+      }.toMap
+
+  test("IVF retire: tombstoned ids never surface; compaction touches only their buckets; results invariant") {
+    val idx = JFiles.createTempDirectory("ivf_retire").toString
+    q.buildIvfIndex(spark, dir, idx)
+    val retired = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id")).filter(col("vec_id") % 10 === 7)
+    val retiredIds = retired.collect().map(r => num(r.get(0))).toSet
+    assert(retiredIds.nonEmpty)
+    q.ivfIndexDelete(spark, idx, retired)
+
+    // delete wrote tombstones only — not one posting file changed
+    val postingSigsAtBuild = fileSigs(s"$idx/postings")
+    // tombstones recorded each id's bucket (what scopes the compaction)
+    val tomb = spark.read.parquet(s"$idx/tombstones")
+    assert(tomb.select("vec_id").distinct().count() == retiredIds.size)
+    val touchedBuckets = tomb.select("bucket").distinct()
+      .collect().map(r => num(r.get(0))).toSet
+
+    // 1. tombstone-aware serving: no retired id on either side
+    val served = q.annIvfDeleted(spark, dir).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      assert(!retiredIds.contains(num(r.getAs[Any]("qid"))), s"retired qid served: $r")
+      assert(!retiredIds.contains(num(r.getAs[Any]("vid"))), s"retired vid served: $r")
+    }
+    // capture the tombstone-aware results from THIS index for the
+    // invariance check (annIvfDeleted uses its own cached index; the
+    // local one exercises the raw lifecycle calls)
+    val preCompact = spark.read.parquet(s"$idx/postings")
+      .join(spark.read.parquet(s"$idx/tombstones").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .collect().map(r => num(r.getAs[Any]("vec_id"))).toSet
+    assert(preCompact.intersect(retiredIds).isEmpty)
+
+    // 2. compaction: only touched bucket partitions rewritten
+    assert(fileSigs(s"$idx/postings") == postingSigsAtBuild,
+      "delete must not touch posting files")
+    q.ivfIndexCompact(spark, idx)
+    val after = fileSigs(s"$idx/postings")
+    def bucketOf(path: String): Long =
+      "bucket=(-?\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+    postingSigsAtBuild.foreach { case (p, sig) =>
+      if (!touchedBuckets.contains(bucketOf(p)))
+        assert(after.get(p).contains(sig),
+          s"untouched bucket file rewritten or removed: $p")
+      else
+        assert(!after.get(p).contains(sig),
+          s"touched bucket file must be rewritten: $p")
+    }
+    // tombstones cleared; retired rows physically gone
+    assert(!JFiles.exists(Paths.get(s"$idx/tombstones")))
+    val postIds = spark.read.parquet(s"$idx/postings")
+      .select("vec_id").collect().map(r => num(r.get(0))).toSet
+    assert(postIds.intersect(retiredIds).isEmpty)
+    // 3. storage changed, membership didn't
+    assert(postIds == preCompact, "compaction must not change surviving rows")
+
+    // idempotent: a second compaction with no tombstones is a no-op
+    q.ivfIndexCompact(spark, idx)
+    assert(fileSigs(s"$idx/postings") == after)
+  }
+
+  test("IVF retire: a fully-deleted bucket's directory is dropped") {
+    val idx = JFiles.createTempDirectory("ivf_retire_full").toString
+    q.buildIvfIndex(spark, dir, idx)
+    // retire EVERY member of one bucket
+    val postings = spark.read.parquet(s"$idx/postings")
+    val someBucket = postings.select("bucket").distinct()
+      .orderBy(col("bucket")).limit(1).collect()(0) match { case r => num(r.get(0)) }
+    val victims = postings.filter(col("bucket") === someBucket)
+      .select(col("vec_id"))
+    q.ivfIndexDelete(spark, idx, victims)
+    q.ivfIndexCompact(spark, idx)
+    assert(!JFiles.exists(Paths.get(s"$idx/postings/bucket=$someBucket")),
+      "an emptied bucket directory must be dropped, not left stale")
+    // and the emptied bucket really contributes nothing
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("bucket") === someBucket).count() == 0)
+  }
+
+  test("retire results: deleted == compacted == full serve minus retired (and LSH side never surfaces a tombstone)") {
+    val del = q.annIvfDeleted(spark, dir).collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    val comp = q.annIvfCompacted(spark, dir).collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    assert(del == comp, "compaction must not change serving results")
+    // LSH: tombstoned docs absent from every candidate pair
+    val pairs = q.incrementalNearDupDeleted(spark, dir).collect()
+    pairs.foreach { r =>
+      assert(num(r.getAs[Any]("doc_a")) % 10 != 7 && num(r.getAs[Any]("doc_b")) % 10 != 7,
+        s"retired doc surfaced in a pair: $r")
+    }
+    // and the deleted variant is exactly the undeleted pair set minus
+    // pairs touching a retired endpoint
+    val full = q.incrementalNearDup(spark, dir).collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    val expect = full.filter { case (a, b) => a % 10 != 7 && b % 10 != 7 }
+    assert(pairs.map(r => (num(r.get(0)), num(r.get(1)))).toSet == expect)
+  }
+}
