@@ -27,6 +27,40 @@ object Main {
   def main(args: Array[String]): Unit = {
     val cli = AppConfig.parseArgs(args)
     val cfg = AppConfig.load(args)
+
+    // --mode curate: the BATCH entry point — one corpus-in →
+    // training-shards-out curation run (quality gate → exact dedup →
+    // near-dup keeper election → mixture sampling → sequence packing),
+    // each stage the individually-oracled operator, composed
+    // sequentially. Writes the curated corpus and the per-stage
+    // manifest; prints the manifest as the run's audit log. Mirrors the
+    // reference's single-entry-point StreamingJob.main
+    // (StreamingJob.java:113-185) for the batch side.
+    // Usage: graft.Main --mode curate --sfDir /path/tables --outDir /out
+    if (cli.get("mode").contains("curate")) {
+      val sfDir = cli.getOrElse("sfDir", sys.error("--sfDir required"))
+      val outDir = cli.getOrElse("outDir", sys.error("--outDir required"))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val builder = SparkSession.builder()
+        .appName("graft-curate")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+      // spark-submit provides the master; a bare `java` launch (the
+      // sandbox path) falls back to local
+      if (!sys.props.contains("spark.master"))
+        builder.master(s"local[$cpus]")
+      val spark = builder.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.queries.CurationQueries.curatedCorpus(spark, sfDir)
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outDir/curated")
+      val manifest = graft.queries.CurationQueries.curationManifest(spark, sfDir)
+      manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+      manifest.orderBy("stage_ord").show(truncate = false)
+      spark.stop()
+      return
+    }
+
     val sourceDir = cli.getOrElse("sourceDir", sys.error("--sourceDir required"))
     val sinkDir = cli.getOrElse("sinkDir", sys.error("--sinkDir required"))
     val checkpointDir = cli.getOrElse("checkpointDir", s"$sinkDir/_checkpoint")

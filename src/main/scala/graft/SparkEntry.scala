@@ -170,6 +170,7 @@ object SparkEntry {
     "corpus_profile" -> (CurationQueries.corpusProfile _),
     "token_budget_select" -> (CurationQueries.tokenBudgetSelect _),
     "filter_cascade" -> (CurationQueries.filterCascade _),
+    "curation_manifest" -> (CurationQueries.curationManifest _),
     "pack_efficiency" -> (CurationQueries.packEfficiency _),
     "kcore_peel" -> (CurationQueries.kcorePeel _),
     "source_divergence" -> (CurationQueries.sourceDivergence _),
@@ -4025,6 +4026,76 @@ object SparkEntry {
          |  (doc_id = keeper) AS pass_dedup,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM fk GROUP BY 1, 2, 3, 4""".stripMargin,
+    "curation_manifest" ->
+      // the composed curate run, stage by stage: quality gate (filter_
+      // cascade's three predicates) → exact-fp keeper within survivors →
+      // best surviving member per near-dup cluster → mix_sample rates
+      // over the deduped corpus → 512-token packing; every count/sum is
+      // an exact BIGINT. Heavy frames MATERIALIZED — each aN is read by
+      // two manifest rows, and inlining would re-derive the recursive
+      // cluster chain per reference.
+      s"""WITH RECURSIVE $ClusterBody,
+         |$QualityBody,
+         |fl AS (SELECT doc_id, $WordToksSql AS tokens FROM documents),
+         |fh AS (SELECT doc_id,
+         |  len(list_filter(tokens, x -> x IN ${inList("en")})) AS en_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("es")})) AS es_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("fr")})) AS fr_hits,
+         |  len(list_filter(tokens, x -> x IN ${inList("de")})) AS de_hits
+         |FROM fl),
+         |fpp AS (SELECT doc_id,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN de_hits > 0 THEN 'de'
+         |       ELSE 'und' END AS lang_pred
+         |FROM fh),
+         |cm AS MATERIALIZED (SELECT q.doc_id, q.lang, q.source, q.n_tok, q.text_len,
+         |    q.quality, q.fp, p.lang_pred, d.text, d.n_chars
+         |  FROM qq q JOIN fpp p ON q.doc_id = p.doc_id
+         |  JOIN documents d ON q.doc_id = d.doc_id),
+         |c1 AS MATERIALIZED (SELECT * FROM cm
+         |  WHERE n_tok >= 30 AND text_len <= 20000 AND lang_pred = lang AND quality >= 0.6),
+         |c2 AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM c1)
+         |  WHERE doc_id = keeper),
+         |c3 AS MATERIALIZED (SELECT * FROM (
+         |    SELECT c2.*, row_number() OVER (PARTITION BY cl.cluster
+         |        ORDER BY c2.n_chars DESC, c2.doc_id) AS rn
+         |    FROM c2 JOIN cl ON c2.doc_id = cl.doc_id)
+         |  WHERE rn = 1),
+         |cus AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM c3 GROUP BY source),
+         |cut AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok,
+         |        CAST(count(*) AS BIGINT) AS n_src FROM cus),
+         |cur AS (SELECT source, least(CAST(1.0 AS DOUBLE),
+         |      (CAST(total_tok AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(src_tok AS DOUBLE)) AS rate
+         |  FROM cus, cut),
+         |c4 AS MATERIALIZED (SELECT c3.* FROM c3 JOIN cur ON c3.source = cur.source
+         |  WHERE CAST(${hash32Sql("c3.source || ':' || c3.text")} AS DOUBLE) / 4294967296.0 < cur.rate),
+         |c5 AS MATERIALIZED (SELECT doc_id, n_tok,
+         |    ${hash32Sql("text")} % 8 AS shard FROM c4),
+         |c5b AS MATERIALIZED (SELECT shard,
+         |    COALESCE(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512 AS bin
+         |  FROM c5),
+         |a0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok FROM cm),
+         |a1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok FROM c1),
+         |a2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok FROM c2),
+         |a3 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok FROM c3),
+         |a4 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok FROM c4),
+         |a5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+         |  (SELECT DISTINCT shard, bin FROM c5b))
+         |SELECT CAST(1 AS BIGINT) AS stage_ord, 'quality' AS stage,
+         |  a0.n AS n_in, a1.n AS n_out, a0.tok AS tokens_in, a1.tok AS tokens_out FROM a0, a1
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', a1.n, a2.n, a1.tok, a2.tok FROM a1, a2
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'neardup_keep', a2.n, a3.n, a2.tok, a3.tok FROM a2, a3
+         |UNION ALL SELECT CAST(4 AS BIGINT), 'mix_sample', a3.n, a4.n, a3.tok, a4.tok FROM a3, a4
+         |UNION ALL SELECT CAST(5 AS BIGINT), 'pack', a4.n, a5.n, a4.tok, a4.tok FROM a4, a5""".stripMargin,
     "source_divergence" ->
       // χ² over the top-100 head: zero-filled |sources|×100 grid, each
       // IEEE term quantized to micro-units BEFORE the per-source sum

@@ -77,6 +77,34 @@ object StreamBench {
     def pipeline(raw: org.apache.spark.sql.DataFrame) =
       Pipeline.windowedStats(Pipeline.parsed(raw, cfg), cfg)
 
+    // per-run state-operator metrics, summed over the run's micro-batches
+    // (AvailableNow usually commits one) — the attribution data for the
+    // RocksDB append-vs-update gap: where does wall-clock sit, update
+    // application, eviction removals, or the store commit?
+    def stateJson(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+      val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      if (sos.isEmpty) "null"
+      else {
+        def sum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          sos.map(f).sum
+        // RocksDB custom metrics worth attributing to (all 0 on HDFS)
+        val custom = Seq("rocksdbCommitFlushLatency", "rocksdbCommitCompactLatency",
+          "rocksdbCommitCheckpointLatency", "rocksdbCommitFileSyncLatencyMs",
+          "rocksdbWriterStallLatencyMs", "rocksdbTotalBytesWritten")
+          .map { k =>
+            val v = sos.map(s => Option(s.customMetrics.get(k))
+              .map(_.longValue).getOrElse(0L)).sum
+            s""""$k":$v"""
+          }.mkString(",")
+        s"""{"numRowsTotal":${sum(_.numRowsTotal)},""" +
+          s""""numRowsUpdated":${sum(_.numRowsUpdated)},""" +
+          s""""numRowsRemoved":${sum(_.numRowsRemoved)},""" +
+          s""""allUpdatesTimeMs":${sum(_.allUpdatesTimeMs)},""" +
+          s""""allRemovalsTimeMs":${sum(_.allRemovalsTimeMs)},""" +
+          s""""commitTimeMs":${sum(_.commitTimeMs)},$custom}"""
+      }
+    }
+    var lastState: String = "null"
     def runOnce(data: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String],
                 build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                 mode: String = "append"): Double = {
@@ -87,7 +115,9 @@ object StreamBench {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      lastState = stateJson(q)
+      sec
     }
     def freshStream(data: Seq[String]) = {
       val s = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](
@@ -110,13 +140,55 @@ object StreamBench {
     // expect update ≲ append (update re-emits every changed window per
     // batch where append emits each window once).
     val full1 = runOnce(freshStream(recs), pipeline)
+    val fullState1 = lastState
     val upd1 = runOnce(freshStream(recs), pipeline, mode = "update")
+    val updState1 = lastState
     val full2 = runOnce(freshStream(recs), pipeline)
+    val fullState2 = lastState
     val upd2 = runOnce(freshStream(recs), pipeline, mode = "update")
+    val updState2 = lastState
     val fullSec = math.min(full1, full2)
     val updSec = math.min(upd1, upd2)
+    // state metrics of the run that PRODUCED the reported (min) time
+    val fullState = if (full1 <= full2) fullState1 else fullState2
+    val updState = if (upd1 <= upd2) updState1 else updState2
+
+    // Streaming ANN serving: a query-vector stream against the persisted
+    // IVF index (graft.streaming.AnnServe) — per-batch centroid routing
+    // + bucket-pruned posting reads, measured as queries/second across
+    // real micro-batches (not one staged drain).
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (annQueries, annSec) = {
+      val idx = java.nio.file.Files.createTempDirectory("sb-ivf").toString
+      graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir, idx)
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nQ = math.min(20000, math.max(2000, n / 10))
+      // fresh ids so no query self-excludes as its own source vector
+      val queries: Seq[(Long, Seq[Float])] =
+        (0 until nQ).map(i => (1000000L + i, base(i % base.length)._2))
+      val ms2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](1, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]])
+      val q = graft.streaming.AnnServe.start(
+        spark, ms2.toDF().toDF("vec_id", "embedding"), idx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory("sb-ann-ckpt").toString)
+      // warmup batch (codegen + centroid cache), untimed
+      ms2.addData(queries.take(200): _*)
+      q.processAllAvailable()
+      val chunks = queries.drop(200).grouped(math.max(1, (nQ - 200) / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms2.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (nQ - 200, sec)
+    }
+
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"state_store":"$store","reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":${annQueries / annSec}%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -1141,6 +1141,109 @@ object CurationQueries {
     * Scale (100 TB): one scan; per-doc map work; the only shuffle is the
     * compact-key fp exchange the dedup flag needs plus a 16-group hash
     * aggregate. Text never shuffles (the window key is the 32-hex md5). */
+  // ── The composed curation pipeline (`graft.Main --mode curate`) ──
+  //
+  // Every stage below is individually oracle-gated elsewhere
+  // (filter_cascade's quality/lang/length predicates, dedup_exact's
+  // fingerprint keeper, dedup_keep_best's election, mix_sample's rates,
+  // pack_sequences' bins); this composes them SEQUENTIALLY into the one
+  // corpus-in → training-shards-out run the north star describes, with a
+  // per-stage manifest as the audit artifact. Stage semantics under
+  // composition: each stage sees only the previous stage's survivors
+  // (dedup keeps the best SURVIVING member of each near-dup cluster;
+  // mixture rates are computed over the deduped corpus — the order a
+  // real curation run uses, filters before expensive pairwise work,
+  // mixture planning over what will actually train).
+
+  /** The curated corpus: stage-5 survivors with their packing
+    * coordinates (shard, bin, start_tok) — what `--mode curate` writes
+    * as the output table. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
+    curationStages(spark, dir).last._2
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("shard"), col("start_tok"), col("bin"))
+
+  /** The per-stage audit manifest: one row per stage with documents and
+    * tokens in/out. For the pack stage, `n_out` counts the PACKED
+    * SEQUENCES (distinct (shard, bin)) — documents become training
+    * sequences there, and tokens are conserved. */
+  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+    val st = curationStages(spark, dir)
+    def cnt(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), coalesce(sum(col("n_tok")), lit(0L)).as("tok"))
+    val names = Seq("quality", "exact_dedup", "neardup_keep", "mix_sample", "pack")
+    val rows = names.zipWithIndex.map { case (name, i) =>
+      val in = cnt(st(i)._2)
+        .select(col("n").as("n_in"), col("tok").as("tokens_in"))
+      val out =
+        if (name == "pack")
+          st(i + 1)._2.select(col("shard"), col("bin")).distinct()
+            .agg(count(lit(1)).as("n_out"))
+            .crossJoin(cnt(st(i + 1)._2).select(col("tok").as("tokens_out")))
+        else cnt(st(i + 1)._2)
+          .select(col("n").as("n_out"), col("tok").as("tokens_out"))
+      in.crossJoin(out).select(
+        lit(i + 1L).as("stage_ord"), lit(name).as("stage"),
+        col("n_in"), col("n_out"), col("tokens_in"), col("tokens_out"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** The stage chain: (name, survivors) from the raw corpus (index 0)
+    * through pack (index 5). Shared by [[curatedCorpus]] and
+    * [[curationManifest]]. */
+  private def curationStages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val s0 = Tables.documents(spark, dir)
+      .withColumn("tokens", wordTokens(col("text")))
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+    // 1. quality gate — filter_cascade's three predicates, conjoined
+    val s1 = s0.filter(
+      col("n_tok") >= 30 && length(col("text")) <= 20000 &&
+        langId(col("tokens")) === col("lang") &&
+        TextQueries.qualityCol(col("text"), col("tokens")) >= 0.6)
+    // 2. exact dedup among survivors — dedup_exact's fingerprint keeper
+    val wFp = Window.partitionBy(col("fp"))
+    val s2 = s1.withColumn("fp", contentFingerprint(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("keeper", "fp")
+    // 3. near-dup keeper election — cluster labels are a property of the
+    //    corpus graph (dedup_clusters); the election keeps the best
+    //    SURVIVING member per cluster (dedup_keep_best's order)
+    val pick = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val s3 = s2.join(dedupClusters(spark, dir), "doc_id")
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .drop("rn", "cluster")
+    // 4. mixture sampling — mix_sample's uniform-token-share rule, rates
+    //    computed over the DEDUPED corpus (what will actually train)
+    val bySource = s3.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    val totals = bySource.agg(
+      sum(col("src_tok")).as("total_tok"), count(lit(1)).as("n_src"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select(col("source").as("rsource"),
+        least(lit(1.0),
+          (col("total_tok").cast("double") / col("n_src").cast("double")) /
+            col("src_tok").cast("double")).as("rate"))
+    val s4 = s3
+      .withColumn("u",
+        md5Hash32(concat(col("source"), lit(":"), col("text"))).cast("double") /
+          lit(4294967296.0))
+      .join(broadcast(rates), col("source") === col("rsource"))
+      .filter(col("u") < col("rate"))
+      .drop("rsource", "rate", "u")
+    // 5. sequence packing — pack_sequences' shard + 512-token bins
+    val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s5 = s4
+      .withColumn("shard", pmod(md5Hash32(col("text")), lit(8L)))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
+      .withColumn("bin", expr("start_tok DIV 512"))
+    Seq("raw" -> s0, "quality" -> s1, "exact_dedup" -> s2,
+      "neardup_keep" -> s3, "mix_sample" -> s4, "pack" -> s5)
+  }
+
   def filterCascade(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("tokens", wordTokens(col("text")))

@@ -198,12 +198,29 @@ object SimilarityQueries {
     * dynamic-partition-pruned postings, top-3 window). */
   private def ivfServeFrom(spark: SparkSession, e: DataFrame,
       indexPath: String, nprobe: Int = IvfNprobe,
-      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val cent = spark.read.parquet(s"$indexPath/centroids")
+      postingsFilter: DataFrame => DataFrame = identity): DataFrame =
+    serveAgainstIndex(spark, e.filter(col("vec_id") < 10),
+      loadCentRow(spark, indexPath), indexPath, nprobe, postingsFilter)
+
+  /** The stored centroid set folded to the ONE-ROW broadcastable array
+    * frame — loaded once per serving session (centroids are frozen for
+    * the life of the index; streaming serving caches this across
+    * micro-batches, see [[graft.streaming.AnnServe]]). */
+  private[graft] def loadCentRow(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/centroids")
       .agg(collect_list(struct(
         col("cid"), col("cemb"), col("cnrm")
       )).as("cents"))
-    val q = assignFromCents(e.filter(col("vec_id") < 10), cent, nprobe)
+
+  /** The serving CORE shared by every batch and streaming entry point:
+    * route the (already normed, already scoped) query frame against the
+    * pre-loaded one-row centroid array, equijoin the probed buckets'
+    * bucket-partitioned postings (dynamic partition pruning gates the
+    * read to the probed directories), per-query top-3 window. */
+  private[graft] def serveAgainstIndex(spark: SparkSession, queries: DataFrame,
+      centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
+      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val q = assignFromCents(queries, centRow, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), explode(col("probe_buckets")).as("qbucket"))
     val postings = postingsFilter(spark.read.parquet(s"$indexPath/postings")
@@ -216,6 +233,14 @@ object SimilarityQueries {
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("cos"))
   }
+
+  /** One micro-batch of STREAMING ANN serving — [[serveAgainstIndex]]
+    * over a raw (vec_id, embedding) query batch: norm the batch, route
+    * it, read only the probed buckets. Exposed for
+    * [[graft.streaming.AnnServe]]'s foreachBatch. */
+  private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
+      centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe): DataFrame =
+    serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe)
 
   /** IVF-bucketed approximate top-k: each query searches its top-nprobe
     * centroids' buckets (explode of a 2-element array — a tiny fan-out on

@@ -451,7 +451,7 @@ object TextQueries {
     * quality against thresholds over a corpus that may contain empty
     * docs must pre-filter them explicitly, as
     * [[qualityThresholdSweep]] does. */
-  private[queries] def qualityCol(text: Column, tokens: Column): Column = {
+  private[graft] def qualityCol(text: Column, tokens: Column): Column = {
     val nTok = size(tokens).cast("double")
     val textLen = length(text).cast("double")
     val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")

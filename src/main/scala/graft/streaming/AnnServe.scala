@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.queries.SimilarityQueries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN serving over a PERSISTED IVF index — the production
+  * shape the index lifecycle (build → append → serve → retire) exists
+  * for: query vectors arrive as a stream, every micro-batch is routed
+  * and answered online.
+  *
+  * Reference anchor: the reference is a *streaming* job end to end
+  * (StreamingJob.java:119-123 — consume, transform, emit per record);
+  * this gives the ANN family the same always-on edge instead of
+  * batch-only entry points.
+  *
+  * Plan per micro-batch (the exact `annIvfServe` serving plan, driven
+  * incrementally):
+  *   - the stored centroids are loaded ONCE at stream start and cached —
+  *     they are frozen for the life of the index, so no batch re-reads
+  *     them (the one-row centroid-array frame broadcasts to the batch);
+  *   - the batch's queries rank the broadcast centroid array in-row
+  *     (bounded k, no shuffle) and explode to their nprobe probe buckets;
+  *   - the posting read is gated by the probed bucket set — dynamic
+  *     partition pruning reads only those directories of the
+  *     bucket-partitioned index, never the corpus;
+  *   - per-query top-3 window, emitted through `sink(df, batchId)`.
+  *
+  * Scale (100 TB): per-batch work is O(batch × nprobe-bucket-volume).
+  * The index is never scanned whole, state is zero (every batch is
+  * independent — retrieval has no cross-batch semantics), and the
+  * centroid cache is ≤ IvfK rows. Restart safety comes from the
+  * checkpoint (source offsets) + an idempotent sink, same contract as
+  * every other foreachBatch edge here.
+  */
+object AnnServe {
+
+  /** Start serving `queries` (a STREAMING frame with columns `vec_id`,
+    * `embedding`) against the persisted index at `indexPath`. Each
+    * micro-batch's top-3 result frame (qid, vid, cos) goes to `sink`
+    * with its batch id. */
+  def start(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexPath: String,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      nprobe: Int = SimilarityQueries.IvfNprobe,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    // centroids: loaded + materialized once per stream start (frozen for
+    // the index's life); every batch broadcasts this one-row frame
+    val centRow = SimilarityQueries.loadCentRow(spark, indexPath).cache()
+    centRow.count()
+    val w = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(SimilarityQueries.serveQueryBatch(
+          batch.sparkSession, batch, centRow, indexPath, nprobe), id)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

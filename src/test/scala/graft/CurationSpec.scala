@@ -623,4 +623,75 @@ class CurationSpec extends SparkSuite {
       .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     assert(grid.map(_.getAs[Long]("n_tokens")).sum == totalTok)
   }
+
+  test("curation manifest: composed stages reconcile with a driver-side recompute from the oracled primitives") {
+    import graft.functions.TextFunctions._
+    import graft.queries.{CurationQueries, TextQueries}
+    val q = CurationQueries
+    // one per-doc frame of the oracled primitive columns; all composition
+    // logic below is plain Scala over the collected rows — independent of
+    // the engine's stage chaining
+    case class D(id: Long, source: String, lang: String, nChars: Long,
+        nTok: Long, fp: String, langPred: String, quality: Double,
+        textLen: Long, h: Long, shard: Long)
+    val per = graft.sources.Tables.documents(spark, dir).select(
+      col("doc_id").cast("long"), col("source"), col("lang"),
+      col("n_chars").cast("long"),
+      size(wordTokens(col("text"))).cast("long"),
+      contentFingerprint(col("text")),
+      langId(wordTokens(col("text"))),
+      TextQueries.qualityCol(col("text"), wordTokens(col("text"))),
+      length(col("text")).cast("long"),
+      md5Hash32(concat(col("source"), lit(":"), col("text"))),
+      pmod(md5Hash32(col("text")), lit(8L)))
+      .collect().map(r => D(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6),
+        r.getDouble(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+    val cluster = q.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    // composed stages, recomputed
+    val s1 = per.filter(d => d.nTok >= 30 && d.textLen <= 20000 &&
+      d.langPred == d.lang && d.quality >= 0.6)
+    val s2 = s1.groupBy(_.fp).values.map(_.minBy(_.id)).toSeq
+    val s3 = s2.groupBy(d => cluster(d.id)).values
+      .map(_.minBy(d => (-d.nChars, d.id))).toSeq
+    val srcTok = s3.groupBy(_.source).map { case (s, ds) => s -> ds.map(_.nTok).sum }
+    val total = srcTok.values.sum.toDouble
+    val nSrc = srcTok.size.toDouble
+    def rate(src: String) = math.min(1.0, (total / nSrc) / srcTok(src).toDouble)
+    val s4 = s3.filter(d => d.h.toDouble / 4294967296.0 < rate(d.source))
+    val bins = s4.groupBy(_.shard).values.flatMap { ds =>
+      val sorted = ds.toSeq.sortBy(_.id)
+      sorted.zip(sorted.scanLeft(0L)(_ + _.nTok)).map {
+        case (d, start) => (d.shard, start / 512)
+      }
+    }.toSet
+    // reconcile every manifest row
+    val m = q.curationManifest(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    def row(s: String) = (m(s).getAs[Long]("n_in"), m(s).getAs[Long]("n_out"),
+      m(s).getAs[Long]("tokens_in"), m(s).getAs[Long]("tokens_out"))
+    def tok(ds: Seq[D]) = ds.map(_.nTok).sum
+    assert(row("quality") == (per.length.toLong, s1.length.toLong,
+      tok(per.toSeq), tok(s1.toSeq)))
+    assert(row("exact_dedup") == (s1.length.toLong, s2.length.toLong,
+      tok(s1.toSeq), tok(s2)))
+    assert(row("neardup_keep") == (s2.length.toLong, s3.length.toLong,
+      tok(s2), tok(s3)))
+    assert(row("mix_sample") == (s3.length.toLong, s4.length.toLong,
+      tok(s3), tok(s4)))
+    assert(row("pack") == (s4.length.toLong, bins.size.toLong,
+      tok(s4), tok(s4)))
+    // the chain is a genuine cascade (monotone non-increasing survivors,
+    // quality and mixture both bite on this fixture, nothing collapses
+    // to empty)
+    assert(per.length > s1.length && s3.length > s4.length)
+    assert(s1.length >= s2.length && s2.length >= s3.length && s4.nonEmpty)
+    // the curated output table agrees with the recomputed survivor set
+    val curated = q.curatedCorpus(spark, dir).collect()
+    assert(curated.map(_.getAs[Number]("doc_id").longValue).toSet ==
+      s4.map(_.id).toSet)
+    assert(curated.map(r => (r.getAs[Number]("shard").longValue,
+      r.getAs[Number]("bin").longValue)).toSet == bins)
+  }
 }

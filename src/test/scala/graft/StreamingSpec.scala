@@ -105,6 +105,55 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("append vs update on RocksDB: eviction parity and the attribution metrics stay observable") {
+    // the round-12 BASELINE.md attribution's regression guard. Two
+    // contracts: (1) eviction SEMANTICS are mode-symmetric — both output
+    // modes remove the same state rows for the same data (append's
+    // evict-and-emit scan vs update's by-key removal differ in COST,
+    // never in what gets evicted); (2) the progress metrics the
+    // attribution reads (allRemovalsTimeMs, commitTimeMs, the RocksDB
+    // custom file-sync latency) stay present, so a Spark upgrade can't
+    // silently blind StreamBench's append_state/update_state JSON.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val conf = spark.conf
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(pk)
+    try {
+      conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cfg = AppConfig()
+      def run(mode: String): (Long, Boolean) = {
+        val ms = MemoryStream[String]
+        // two staged blocks -> two micro-batches, so the watermark from
+        // batch 1 actually evicts windows during batch 2
+        val recs = LogGen.records(n = 200, seed = 11L)
+        val agg = Pipeline.windowedStats(
+          Pipeline.parsed(ms.toDF().withColumnRenamed("value", "raw"), cfg), cfg)
+        val q = agg.writeStream.format("noop").outputMode(mode)
+          .option("checkpointLocation", tmp(s"ckpt-evict-$mode"))
+          .start()
+        ms.addData(recs.take(100): _*)
+        q.processAllAvailable()
+        ms.addData(recs.drop(100): _*)
+        q.processAllAvailable()
+        val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        q.stop()
+        val removed = sos.map(_.numRowsRemoved).sum
+        val metricsPresent = sos.nonEmpty &&
+          sos.forall(s => s.customMetrics.containsKey("rocksdbCommitFileSyncLatencyMs")) &&
+          sos.map(_.commitTimeMs).sum >= 0 && sos.map(_.allRemovalsTimeMs).sum >= 0
+        (removed, metricsPresent)
+      }
+      val (removedAppend, okAppend) = run("append")
+      val (removedUpdate, okUpdate) = run("update")
+      assert(okAppend && okUpdate,
+        "state-operator + RocksDB custom metrics must stay observable")
+      assert(removedAppend == removedUpdate,
+        s"modes must evict the same rows: append=$removedAppend update=$removedUpdate")
+      assert(removedAppend > 0, "fixture must actually trigger eviction")
+    } finally saved.fold(conf.unset(pk))(conf.set(pk, _))
+  }
+
   test("observed metrics report per-batch row count and max event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
@@ -685,5 +734,51 @@ class StreamingSpec extends SparkSuite {
         case _ =>
       }
     }
+  }
+
+  test("streaming ANN serving over the persisted trained IVF index matches the batch serving path") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    // train + persist once (the lifecycle's build step), then serve a
+    // query-vector STREAM against the frozen index
+    val idx = tmp("ann_serve_idx")
+    q.buildIvfIndexTrained(spark, dir, idx)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(queryVecs.nonEmpty)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("ann_serve_out")
+    val query = graft.streaming.AnnServe.start(
+      spark,
+      ms.toDF().toDF("vec_id", "embedding"),
+      idx,
+      (df, id) => df.write.mode("append").parquet(s"$outDir/b$id"),
+      tmp("ann_serve_ckpt"))
+    // TWO micro-batches — per-batch routing + pruned posting reads, not
+    // one staged drain
+    val (first, second) = queryVecs.splitAt(queryVecs.size / 2)
+    ms.addData(first: _*)
+    query.processAllAvailable()
+    ms.addData(second: _*)
+    query.processAllAvailable()
+    query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Double](2))
+    val streamed = spark.read.parquet(s"$outDir/*")
+      .select(col("qid"), col("vid"), col("cos"))
+      .collect().map(key).toSet
+    // parity: the union of per-batch results == the batch serving path
+    // (each query lives in exactly one micro-batch; per-query top-3 is
+    // independent of batching)
+    val batch = q.annIvfTrainedServed(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
   }
 }
