@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Generate an sf1-equivalent fixture slice for the SCALING.md study's
+4th decade (SCALING.md round-12 extension). Only the three tables that
+drive the steep-exponent queries are scaled; everything else is copied
+from sf0.1 so FKs and non-scaled joins stay valid:
+
+  documents  5,000 -> 50,000   bootstrap-resampled from the sf0.1
+                               fixture: per-doc word count drawn from the
+                               empirical length distribution, words drawn
+                               i.i.d. from the empirical unigram
+                               distribution (same 31-token vocabulary,
+                               same frequencies), (source, lang) drawn
+                               jointly from the fixture rows; exact-dup
+                               mass planted at the fixture's rate
+                               (8/5,000 -> 80/50,000).
+  lineitem   600k -> 6M        10 copies; copy k keeps every FK
+                               (l_orderkey/l_partkey/l_suppkey point into
+                               the UNSCALED sf0.1 dimensions - the
+                               realistic shape: fact tables grow 10x,
+                               dimensions don't) and stays PK-unique via
+                               l_linenumber += 10*k.
+  events     100k -> 1M        10 copies; copy k shifts event_id and
+                               user_id into fresh ranges (10x events AND
+                               10x users, per-user activity preserved).
+
+Deterministic (seed 1912). Output dir is the single CLI arg
+(default /tmp/testdata_sf1). Do NOT write into /root/testdata.
+
+Usage: python3 scripts/gen_sf1.py [outdir]
+"""
+import os, shutil, sys
+
+import duckdb
+import numpy as np
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
+SEED = 1912
+COPIES = 10
+N_DOCS = 50_000
+N_PLANTED_DUPS = 80  # fixture rate: 8 exact dups per 5,000 docs
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+rng = np.random.default_rng(SEED)
+
+# ── documents: unigram bootstrap ──────────────────────────────────────
+toks = con.sql(f"""
+    SELECT tok, count(*) AS c FROM (
+      SELECT unnest(regexp_extract_all(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[a-z0-9]+')) AS tok
+      FROM '{SRC}/documents.parquet') GROUP BY tok ORDER BY tok
+""").df()
+vocab = toks["tok"].to_numpy()
+probs = (toks["c"] / toks["c"].sum()).to_numpy()
+lens = con.sql(f"""
+    SELECT len(regexp_extract_all(
+      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[a-z0-9]+')) AS n
+    FROM '{SRC}/documents.parquet'
+""").df()["n"].to_numpy()
+meta = con.sql(
+    f"SELECT source, lang FROM '{SRC}/documents.parquet'").df()
+
+doc_lens = rng.choice(lens, size=N_DOCS, replace=True)
+total_words = int(doc_lens.sum())
+words = rng.choice(vocab, size=total_words, replace=True, p=probs)
+texts, pos = [], 0
+for n in doc_lens:
+    texts.append(" ".join(words[pos:pos + int(n)]))
+    pos += int(n)
+# plant exact duplicates at the fixture's rate (dup targets come later in
+# doc_id order than their originals, mirroring "recrawl seen page")
+dup_to = rng.choice(N_DOCS, size=N_PLANTED_DUPS, replace=False)
+for t in dup_to:
+    src_doc = int(rng.integers(0, N_DOCS))
+    if src_doc != t:
+        texts[t] = texts[src_doc]
+meta_pick = rng.integers(0, len(meta), size=N_DOCS)
+import pandas as pd
+docs = pd.DataFrame({
+    "doc_id": np.arange(N_DOCS, dtype=np.int64),
+    "source": meta["source"].to_numpy()[meta_pick],
+    "lang": meta["lang"].to_numpy()[meta_pick],
+    "text": texts,
+})
+docs["n_chars"] = docs["text"].str.len().astype("int64")
+# column order matches the fixture
+docs = docs[["doc_id", "source", "lang", "n_chars", "text"]]
+con.register("docs_df", docs)
+con.sql(f"COPY (SELECT * FROM docs_df) TO '{OUT}/documents.parquet' (FORMAT parquet)")
+
+# ── lineitem: 10 FK-preserving copies ─────────────────────────────────
+con.sql(f"""
+    COPY (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(l_linenumber + 10 * c.k AS INTEGER) AS l_linenumber,
+             l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM '{SRC}/lineitem.parquet', (SELECT unnest(range({COPIES})) AS k) c
+    ) TO '{OUT}/lineitem.parquet' (FORMAT parquet)
+""")
+
+# ── events: 10 copies in fresh id/user ranges ─────────────────────────
+con.sql(f"""
+    COPY (
+      WITH m AS (SELECT max(event_id) + 1 AS eid, max(user_id) + 1 AS uid
+                 FROM '{SRC}/events.parquet')
+      SELECT event_id + c.k * m.eid AS event_id, ts,
+             user_id + c.k * m.uid AS user_id,
+             event_type, value, props
+      FROM '{SRC}/events.parquet', (SELECT unnest(range({COPIES})) AS k) c, m
+    ) TO '{OUT}/events.parquet' (FORMAT parquet)
+""")
+
+# ── everything else: verbatim sf0.1 copies (FK targets, embeddings) ───
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "embeddings"):
+    shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+for t in ("documents", "lineitem", "events"):
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
+print(f"wrote {OUT}")

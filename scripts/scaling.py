@@ -8,19 +8,23 @@ computed against the query's own driving-table row ratio (the fixture
 tables do NOT all scale together: documents is flat 0.001→0.01 and
 embeddings steps 4×, not 10×, on 0.01→0.1).
 
-Usage: scripts/scaling.py <out.md> <sf0.001.json...> -- <sf0.01.json...> -- <sf0.1.json...>
-(multiple JSONs per SF are merged; later files win on name collision)
+Usage: scripts/scaling.py <out.md> <sf0.001.json...> -- <sf0.01.json...> -- <sf0.1.json...> [-- <sf1.json...>]
+(multiple JSONs per SF are merged; later files win on name collision;
+the optional 4th group is the round-12 sf1-equivalent slice produced by
+scripts/gen_sf1.py — documents/lineitem/events scaled 10x over sf0.1,
+dimensions and embeddings unscaled copies, so only queries those three
+tables drive get a 4th-decade exponent)
 """
 import json, math, sys
 
 # driving table per query and that table's row ratio per SF step
 # (rows at sf0.001/0.01/0.1 — from the fixture parquet, TESTDATA.md)
 TABLE_ROWS = {
-    "lineitem":  (6000, 60000, 600000),
-    "orders":    (1500, 15000, 150000),
-    "events":    (1000, 10000, 100000),
-    "documents": (500, 500, 5000),
-    "embeddings": (500, 500, 2000),
+    "lineitem":  (6000, 60000, 600000, 6000000),
+    "orders":    (1500, 15000, 150000, 150000),     # sf1: unscaled copy
+    "events":    (1000, 10000, 100000, 1000000),
+    "documents": (500, 500, 5000, 50000),
+    "embeddings": (500, 500, 2000, 2000),           # sf1: unscaled copy
 }
 DRIVER = {
     "q1_agg": "lineitem", "join_5way": "lineitem", "salted_join": "lineitem",
@@ -43,6 +47,11 @@ DRIVER = {
     "ann_ivf_trained": "embeddings", "hash_embed": "documents",
     "hash_embed_knn": "documents", "lsh_bucket_skew": "documents",
     "ann_ivf_trained_served": "embeddings", "ann_recall_trained": "embeddings",
+    # round-12 query additions
+    "hash_embed_ann": "documents", "hash_embed_ann_served": "documents",
+    "incremental_neardup_deleted": "documents",
+    "ann_ivf_deleted": "embeddings", "ann_ivf_compacted": "embeddings",
+    "curation_manifest": "documents",
 }
 
 
@@ -65,8 +74,9 @@ def main():
         else:
             cur.append(a)
     groups.append(cur)
-    assert len(groups) == 3, "need three '--'-separated SF groups"
-    (q1, s1), (q2, s2), (q3, s3) = (load_group(g) for g in groups)
+    assert len(groups) in (3, 4), "need three or four '--'-separated SF groups"
+    (q1, s1), (q2, s2), (q3, s3) = (load_group(g) for g in groups[:3])
+    q4 = load_group(groups[3])[0] if len(groups) == 4 else {}
 
     rows = []
     for name in sorted(q3):
@@ -81,7 +91,9 @@ def main():
             return math.log(hi_t / lo_t) / math.log(hi_r / lo_r)
         e12 = step(t1, t2, r[0], r[1])
         e23 = step(t2, t3, r[1], r[2])
-        rows.append((name, t, r, t1, t2, t3, e12, e23))
+        t4 = q4.get(name)
+        e34 = step(t3, t4, r[2], r[3]) if t4 is not None else None
+        rows.append((name, t, r, t1, t2, t3, e12, e23, t4, e34))
 
     def fmt_e(e):
         return f"{e:.2f}" if e is not None else "n/a"
@@ -90,6 +102,8 @@ def main():
                  if r[0] == r[1]]
     worst = sorted((x for x in rows if x[7] is not None),
                    key=lambda x: -x[7])[:8]
+    has4 = any(x[8] is not None for x in rows)
+    over34 = [x for x in rows if x[9] is not None and x[9] > 1.0]
 
     with open(out, "w") as f:
         w = f.write
@@ -99,7 +113,9 @@ def main():
           "input is the one that dies first at 100 TB, whatever its sf0.1 "
           "bench row says. Method: `graft.Bench` (min-of-3, quiet box, load "
           "sentinel recorded) on the same 44-query headline subset at "
-          "sf0.001 / sf0.01 / sf0.1, exponents computed against each query's "
+          "sf0.001 / sf0.01 / sf0.1 (round 12 adds an sf1-equivalent slice "
+          "for the steepest families — scripts/gen_sf1.py), exponents "
+          "computed against each query's "
           "OWN driving-table row ratio — the fixture tables do not scale "
           "together (documents: 500 → 500 → 5 000; embeddings: 500 → 500 → "
           "2 000; lineitem/orders/events: 10× per step).\n\n")
@@ -111,28 +127,54 @@ def main():
           "per-operator scale arguments live in the plan shapes "
           "(PLANS.md, PlanSpec).\n\n")
         w("## Per-query exponents\n\n")
-        w("| query | driving table | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s "
-          "| exp 0.001→0.01 | exp 0.01→0.1 |\n")
-        w("|---|---|---|---|---|---|---|\n")
-        for name, t, r, t1, t2, t3, e12, e23 in rows:
-            w(f"| {name} | {t} | {t1:.2f} | {t2:.2f} | {t3:.2f} "
-              f"| {fmt_e(e12)} | {fmt_e(e23)} |\n")
+        if has4:
+            w("| query | driving table | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s "
+              "| t(sf1) s | exp 0.001→0.01 | exp 0.01→0.1 | exp 0.1→1 |\n")
+            w("|---|---|---|---|---|---|---|---|---|\n")
+            for name, t, r, t1, t2, t3, e12, e23, t4, e34 in rows:
+                t4s = f"{t4:.2f}" if t4 is not None else "—"
+                w(f"| {name} | {t} | {t1:.2f} | {t2:.2f} | {t3:.2f} | {t4s} "
+                  f"| {fmt_e(e12)} | {fmt_e(e23)} | {fmt_e(e34)} |\n")
+        else:
+            w("| query | driving table | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s "
+              "| exp 0.001→0.01 | exp 0.01→0.1 |\n")
+            w("|---|---|---|---|---|---|---|\n")
+            for name, t, r, t1, t2, t3, e12, e23, t4, e34 in rows:
+                w(f"| {name} | {t} | {t1:.2f} | {t2:.2f} | {t3:.2f} "
+                  f"| {fmt_e(e12)} | {fmt_e(e23)} |\n")
         w("\n## Findings\n\n")
         over = [x for x in rows if x[7] is not None and x[7] > 1.0]
         if over:
             w("**Super-linear rows (exp > 1.0) — investigate:** "
-              + ", ".join(f"{n} ({fmt_e(e23)})" for n, *_, e23 in over)
+              + ", ".join(f"{x[0]} ({fmt_e(x[7])})" for x in over)
               + "\n\n")
         else:
             w("1. **No query is super-linear**: every defined 0.01→0.1 "
               "exponent is < 1.0. The steepest (")
-            w(", ".join(f"{n} {fmt_e(e23)}" for n, t, r, t1, t2, t3, e12, e23
-                        in worst[:4]))
+            w(", ".join(f"{x[0]} {fmt_e(x[7])}" for x in worst[:4]))
             w(") are the queries whose work IS the data they touch — "
               "full-corpus tokenization or whole-fact-table scan/agg — so "
               "an exponent approaching 1.0 there is the expected linear "
               "cost emerging from under the fixed overhead, not a "
               "blow-up.\n")
+        if has4:
+            steep4 = sorted((x for x in rows if x[9] is not None),
+                            key=lambda x: -x[9])
+            if over34:
+                w("1b. **sf1 decade — super-linear rows (exp 0.1→1 > 1.0), "
+                  "investigate:** "
+                  + ", ".join(f"{x[0]} ({fmt_e(x[9])})" for x in over34)
+                  + "\n")
+            else:
+                w("1b. **The sf1 decade confirms the screen**: the 10–15 "
+                  "steepest 0.01→0.1 queries re-measured on the "
+                  "sf1-equivalent slice (documents/lineitem/events 10× "
+                  "over sf0.1, dims unscaled — scripts/gen_sf1.py) and "
+                  "every defined 0.1→1 exponent stays < 1.0; the steepest "
+                  "(" + ", ".join(f"{x[0]} {fmt_e(x[9])}" for x in steep4[:4])
+                  + ") separate as genuinely LINEAR (per-query overhead is "
+                  "now a small share, so the exponent converges to the "
+                  "true cost slope instead of being biased down by it).\n")
         w("2. **Internal consistency check**: documents and embeddings are "
           "FLAT between sf0.001 and sf0.01, and the queries they drive "
           "measure flat there too (")
@@ -148,11 +190,15 @@ def main():
         w("4. **Sentinels**: all three runs' co-measured sentinel samples "
           "stayed at baseline (see bench_scaling/*.json), so the rows are "
           "load-clean.\n")
-        w("\nArtifacts: `bench_scaling/sf{0.001,0.01,0.1}*.json` (raw Bench "
-          "output, min-of-3, including sentinel samples). Regenerate with "
-          "`scripts/scaling.py` after re-running the three targeted "
-          "benches (see header of the script).\n")
-    print(f"wrote {out}: {len(rows)} queries, {len(over)} super-linear")
+        w("\nArtifacts: `bench_scaling/sf{0.001,0.01,0.1}*.json` plus "
+          "`bench_scaling/sf1_steep.json` when present (raw Bench output, "
+          "min-of-3, including sentinel samples; sf1 slice from "
+          "`scripts/gen_sf1.py`, adjudication disabled via a missing "
+          "SPARK_GRAFT_BASELINE since sf1 times legitimately exceed the "
+          "sf0.1 baseline). Regenerate with `scripts/scaling.py` after "
+          "re-running the targeted benches (see header of the script).\n")
+    print(f"wrote {out}: {len(rows)} queries, {len(over)} super-linear, "
+          f"{len(over34)} super-linear on the sf1 step")
 
 
 if __name__ == "__main__":

@@ -236,11 +236,26 @@ object SimilarityQueries {
 
   /** One micro-batch of STREAMING ANN serving — [[serveAgainstIndex]]
     * over a raw (vec_id, embedding) query batch: norm the batch, route
-    * it, read only the probed buckets. Exposed for
+    * it, read only the probed buckets. With `tombstoneAware`, the
+    * CURRENT tombstone set is re-read and anti-joined per batch, so a
+    * takedown ([[ivfIndexDelete]]) lands on the very next micro-batch
+    * without restarting the serving stream. Exposed for
     * [[graft.streaming.AnnServe]]'s foreachBatch. */
   private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
-      centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe): DataFrame =
-    serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe)
+      centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
+      tombstoneAware: Boolean = false): DataFrame = {
+    val filter: DataFrame => DataFrame =
+      if (tombstoneAware && {
+        val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }) {
+        val tombIds = broadcast(spark.read.parquet(s"$indexPath/tombstones")
+          .select(col("vec_id").as("tomb_id")).distinct())
+        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti")
+      } else identity
+    serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
+      filter)
+  }
 
   /** IVF-bucketed approximate top-k: each query searches its top-nprobe
     * centroids' buckets (explode of a 2-element array — a tiny fan-out on

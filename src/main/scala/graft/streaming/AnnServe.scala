@@ -39,7 +39,14 @@ object AnnServe {
   /** Start serving `queries` (a STREAMING frame with columns `vec_id`,
     * `embedding`) against the persisted index at `indexPath`. Each
     * micro-batch's top-3 result frame (qid, vid, cos) goes to `sink`
-    * with its batch id. */
+    * with its batch id.
+    *
+    * `tombstoneAware` re-reads the index's tombstone set per batch
+    * (centroids stay cached — they are frozen; tombstones are the one
+    * piece of index state that legitimately changes under a live
+    * stream), so a takedown (`ivfIndexDelete`) stops surfacing on the
+    * NEXT micro-batch with no stream restart — the online half of the
+    * retire lifecycle. */
   def start(
       spark: SparkSession,
       queries: DataFrame,
@@ -47,7 +54,8 @@ object AnnServe {
       sink: (DataFrame, Long) => Unit,
       checkpointDir: String,
       nprobe: Int = SimilarityQueries.IvfNprobe,
-      availableNow: Boolean = false
+      availableNow: Boolean = false,
+      tombstoneAware: Boolean = false
   ): StreamingQuery = {
     // centroids: loaded + materialized once per stream start (frozen for
     // the index's life); every batch broadcasts this one-row frame
@@ -57,7 +65,8 @@ object AnnServe {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(SimilarityQueries.serveQueryBatch(
-          batch.sparkSession, batch, centRow, indexPath, nprobe), id)
+          batch.sparkSession, batch, centRow, indexPath, nprobe,
+          tombstoneAware), id)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

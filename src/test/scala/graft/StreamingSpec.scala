@@ -736,6 +736,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tombstone-aware streaming ANN serving: a takedown stops surfacing on the NEXT micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    val idx = tmp("ann_takedown_idx")
+    q.buildIvfIndex(spark, dir, idx)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("ann_takedown_out")
+    val query = graft.streaming.AnnServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), idx,
+      (df, id) => df.write.mode("append").parquet(s"$outDir/b$id"),
+      tmp("ann_takedown_ckpt"), tombstoneAware = true)
+    // batch 1: full index
+    ms.addData(queryVecs: _*)
+    query.processAllAvailable()
+    val batch1 = spark.read.parquet(s"$outDir/b*")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    assert(batch1.nonEmpty)
+    // takedown: retire every vid the first batch surfaced, mid-stream
+    import spark.implicits._
+    val victims = batch1.map(_._2).distinct.toSeq.toDF("vec_id")
+    q.ivfIndexDelete(spark, idx, victims)
+    val victimSet = batch1.map(_._2).toSet
+    // batch 2, same queries: none of the retired vids may surface —
+    // no stream restart, the tombstones were re-read for this batch
+    ms.addData(queryVecs.map { case (id, e) => (id + 1000L, e) }: _*)
+    query.processAllAvailable()
+    query.stop()
+    val batch2 = spark.read.parquet(s"$outDir/b*")
+      .filter(col("qid") >= 1000L)
+      .collect().map(r => r.getAs[Number]("vid").longValue)
+    assert(batch2.nonEmpty, "survivors must still serve the second batch")
+    assert(batch2.toSet.intersect(victimSet).isEmpty,
+      s"retired vids surfaced post-takedown: ${batch2.toSet.intersect(victimSet).take(3)}")
+  }
+
   test("streaming ANN serving over the persisted trained IVF index matches the batch serving path") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
