@@ -1247,9 +1247,13 @@ object CurationQueries {
           struct((-col("n_chars")).as("neg"), col("doc_id").as("did")))).over(wCl))
       .withColumn("pass3", col("pass2") && col("doc_id") === col("best")("did"))
     // 4. mixture rates over the pass3 survivors (mix_sample's formula,
-    //    same IEEE op order)
+    //    same IEEE op order). The ≤|sources|-row fold is checkpointed:
+    //    `totals` and `rates` both read it, and without the checkpoint
+    //    each reference re-derives the whole tokenize→window chain
+    //    (union/crossJoin branches share no subexpressions)
     val bySource = d3.filter(col("pass3"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+      .localCheckpoint(true)
     val totals = bySource.agg(
       sum(col("src_tok")).as("total_tok"), count(lit(1)).as("n_src"))
     val rates = bySource.crossJoin(broadcast(totals))

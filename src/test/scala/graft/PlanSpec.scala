@@ -1017,6 +1017,19 @@ class PlanSpec extends SparkSuite {
     assert(dm.contains("BroadcastExchange"), s"m must broadcast:\n$dm")
   }
 
+  test("curated corpus: one-scan flag cascade — bounded documents scans, no cartesian") {
+    val df = graft.queries.CurationQueries.curatedCorpus(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the composed 5-stage cascade folds as conditional windows over ONE
+    // tokenize chain; the only extra corpus read is the (checkpointed)
+    // cluster chain's singleton rejoin — a regression to per-stage frames
+    // or an uncheckpointed rate fold reads documents 6+ times
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents.parquet"))
+    assert(docScans <= 2, s"flag cascade must not re-derive the corpus per stage ($docScans scans):\n${p.take(3000)}")
+  }
+
   test("bootstrap_watermark: restart scan prunes to the latest event_date partition") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_bootstrap").toString
