@@ -68,13 +68,16 @@ texts, pos = [], 0
 for n in doc_lens:
     texts.append(" ".join(words[pos:pos + int(n)]))
     pos += int(n)
-# plant exact duplicates at the fixture's rate (dup targets come later in
-# doc_id order than their originals, mirroring "recrawl seen page")
-dup_to = rng.choice(N_DOCS, size=N_PLANTED_DUPS, replace=False)
-for t in dup_to:
-    src_doc = int(rng.integers(0, N_DOCS))
-    if src_doc != t:
-        texts[t] = texts[src_doc]
+# plant exact duplicates at the fixture's rate. Targets come from the
+# SECOND half of the id space and sources from the FIRST half: src < t
+# always holds (the "recrawl of a seen page" ordering), no source is
+# itself a target (a later overwrite would silently un-duplicate an
+# earlier planted pair), so exactly N_PLANTED_DUPS duplicate pairs land.
+dup_to = rng.choice(np.arange(N_DOCS // 2, N_DOCS), size=N_PLANTED_DUPS,
+                    replace=False)
+dup_src = rng.integers(0, N_DOCS // 2, size=N_PLANTED_DUPS)
+for t, src_doc in zip(dup_to, dup_src):
+    texts[t] = texts[int(src_doc)]
 meta_pick = rng.integers(0, len(meta), size=N_DOCS)
 import pandas as pd
 docs = pd.DataFrame({

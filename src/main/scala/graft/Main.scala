@@ -51,12 +51,8 @@ object Main {
         builder.master(s"local[$cpus]")
       val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      graft.queries.CurationQueries.curatedCorpus(spark, sfDir)
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(s"$outDir/curated")
-      val manifest = graft.queries.CurationQueries.curationManifest(spark, sfDir)
-      manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
-      manifest.orderBy("stage_ord").show(truncate = false)
+      graft.queries.CurationQueries.curateRun(spark, sfDir, outDir)
+        .orderBy("stage_ord").show(truncate = false)
       spark.stop()
       return
     }
@@ -138,8 +134,19 @@ object Main {
       case Some(_) => new JdbcBatchSink(cfg)
       // date-partitioned: retention via Layout.expirePartitions and a
       // partition-pruned restart bootstrap (one day of files, not the
-      // whole table) both key off the event_date= layout
-      case None => new ParquetTableSink(s"$sinkDir/main", datePartitioned = true)
+      // whole table) both key off the event_date= layout. A sink written
+      // by the earlier UNPARTITIONED layout keeps writing flat — mixing
+      // event_date= dirs into it would break partition discovery on
+      // every future read of that table.
+      case None =>
+        val legacy = graft.sink.Sinks.ParquetTableSink
+          .isLegacyFlat(spark, s"$sinkDir/main/data")
+        if (legacy)
+          System.err.println(
+            s"[graft] $sinkDir/main/data holds a flat (pre-partitioned) " +
+              "layout - continuing unpartitioned; migrate with " +
+              "Layout.writeDatePartitioned to enable pruned restarts/retention")
+        new ParquetTableSink(s"$sinkDir/main", datePartitioned = !legacy)
     }
     // --lateToConsole mirrors the reference's side-output print()
     // (StreamingJob.java:168); default keeps the dead-letter durable

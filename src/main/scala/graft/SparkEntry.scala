@@ -695,6 +695,28 @@ object SparkEntry {
        |hr AS (SELECT qid, vid, cos,
        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM hp)""".stripMargin
 
+  /** IVF over the hash embeddings — shared verbatim by `hash_embed_ann`
+    * and its served twin (serving must be bit-identical to in-session). */
+  private lazy val HashEmbedAnnSql: String =
+    s"""WITH $HashEmbedIvfBody
+       |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin
+
+  /** Serving the retired IVF index — shared verbatim by the
+    * `ann_ivf_deleted` (tombstone-aware) and `ann_ivf_compacted`
+    * (physically compacted) oracle keys: compaction must change storage,
+    * never results. */
+  private lazy val IvfRetiredServeSql: String =
+    s"""$IvfAssignSql,
+       |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
+       |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
+       |p AS (SELECT q.qid, a.vec_id AS vid,
+       |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+       |      WHERE a.vec_id % 10 != 7),
+       |r AS (SELECT qid, vid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+       |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin
+
   private lazy val LshCandBody: String = {
     val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
       case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
@@ -1667,33 +1689,15 @@ object SparkEntry {
          |SELECT doc_a, doc_b FROM cand
          |WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0)
          |  AND doc_a % 10 != 7 AND doc_b % 10 != 7""".stripMargin,
-    "ann_ivf_deleted" ->
-      // tombstone-aware serving: centroids and surviving assignments are
-      // FROZEN as built (delete never retrains); only rows whose vec_id
-      // is retired (% 10 = 7) vanish from both query and candidate sides
-      s"""$IvfAssignSql,
-         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
-         |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
-         |p AS (SELECT q.qid, a.vec_id AS vid,
-         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
-         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
-         |      WHERE a.vec_id % 10 != 7),
-         |r AS (SELECT qid, vid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
-         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    // tombstone-aware serving: centroids and surviving assignments are
+    // FROZEN as built (delete never retrains); only rows whose vec_id is
+    // retired (% 10 = 7) vanish from both query and candidate sides
+    "ann_ivf_deleted" -> IvfRetiredServeSql,
     // compaction changes storage (touched buckets rewritten, tombstones
-    // cleared), never results — pinned to the same SQL as ann_ivf_deleted
-    "ann_ivf_compacted" ->
-      s"""$IvfAssignSql,
-         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
-         |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
-         |p AS (SELECT q.qid, a.vec_id AS vid,
-         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
-         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
-         |      WHERE a.vec_id % 10 != 7),
-         |r AS (SELECT qid, vid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
-         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    // cleared), never results — the SAME definition as ann_ivf_deleted
+    // binds both keys, so the invariance pin is structural, not a pair of
+    // string literals that must stay manually identical
+    "ann_ivf_compacted" -> IvfRetiredServeSql,
     "lsh_bucket_skew" ->
       // hottest (band, sig) posting lists — LshCandBody's banded `b` CTE
       // grouped and top-10'd with a (n_docs DESC, band, sig) total order
@@ -1724,14 +1728,11 @@ object SparkEntry {
          |rr AS (SELECT qid, vid, dot, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM r)
          |SELECT qid, vid, dot, cos FROM rr WHERE rn <= 3""".stripMargin,
-    "hash_embed_ann" ->
-      s"""WITH $HashEmbedIvfBody
-         |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin,
+    "hash_embed_ann" -> HashEmbedAnnSql,
     // the served twin is bit-identical to hash_embed_ann by construction
-    // (same persisted centroids, routing argmax, cosine fold, window)
-    "hash_embed_ann_served" ->
-      s"""WITH $HashEmbedIvfBody
-         |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin,
+    // (same persisted centroids, routing argmax, cosine fold, window) —
+    // the shared definition makes the pin structural
+    "hash_embed_ann_served" -> HashEmbedAnnSql,
     "hash_embed_ann_recall" ->
       // exact top-3 (hash_embed_knn's brute-force chain over the same
       // hen frame) vs the IVF top-3; per-query hit count and recall@3

@@ -157,8 +157,11 @@ object StreamBench {
     // IVF index (graft.streaming.AnnServe) — per-batch centroid routing
     // + bucket-pruned posting reads, measured as queries/second across
     // real micro-batches (not one staged drain).
+    // guarded: StreamBench had no fixture dependency before this stage —
+    // a missing sf dir must cost the ANN row (-1 markers), never the
+    // minutes of pipeline measurements already taken above
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val (annQueries, annSec) = {
+    val (annQueries, annSec) = try {
       val idx = java.nio.file.Files.createTempDirectory("sb-ivf").toString
       graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir, idx)
       val base = graft.sources.Tables.embeddings(spark, sfDir)
@@ -185,10 +188,14 @@ object StreamBench {
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
       (nQ - 200, sec)
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] ann serving stage failed: ${e.getMessage}")
+      (-1, -1.0)
     }
+    val annQps = if (annSec > 0) annQueries / annSec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":${annQueries / annSec}%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -1159,9 +1159,34 @@ object CurationQueries {
     * coordinates (shard, bin, start_tok) — what `--mode curate` writes
     * as the output table. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
-    curationFlags(spark, dir).filter(col("pass4"))
+    curatedFrom(curationFlags(spark, dir))
+
+  private def curatedFrom(flags: DataFrame): DataFrame =
+    flags.filter(col("pass4"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("shard"), col("start_tok"), col("bin"))
+
+  /** One curate RUN (`Main --mode curate`): compute the flag cascade
+    * ONCE, write the curated corpus from it, and return the manifest
+    * derived from the SAME persisted frame — the standalone
+    * [[curatedCorpus]]/[[curationManifest]] query entries each derive
+    * their own cascade (bench queries are independent), but a real run
+    * must not pay the tokenize→cluster chain twice. The flag frame
+    * persists spill-safely for the run's duration and is released before
+    * returning (the manifest's 1-row aggregate is checkpointed by
+    * [[curationManifest]]'s pivot, so the returned frame outlives the
+    * unpersist). */
+  def curateRun(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val flags = curationFlags(spark, dir).persist()
+    try {
+      curatedFrom(flags)
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outDir/curated")
+      val m = manifestFrom(flags)
+      m.write.mode("overwrite").parquet(s"$outDir/manifest")
+      m
+    } finally flags.unpersist()
+  }
 
   /** The per-stage audit manifest: one row per stage with documents and
     * tokens in/out. For the pack stage, `n_out` counts the PACKED
@@ -1174,7 +1199,10 @@ object CurationQueries {
     * selects over the 1-row result. The earlier per-stage-branch form
     * re-derived the tokenize→cluster chain once per manifest cell
     * (measured 5.5 s vs ~2.5 s at sf0.1). */
-  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+  def curationManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestFrom(curationFlags(spark, dir))
+
+  private def manifestFrom(flags: DataFrame): DataFrame = {
     def cntTok(p: Column): Seq[Column] = Seq(
       sum(when(p, 1L).otherwise(0L)),
       coalesce(sum(when(p, col("n_tok"))), lit(0L)))
@@ -1186,7 +1214,7 @@ object CurationQueries {
     // union's branches would otherwise each re-derive the whole
     // tokenize→cluster→window chain (union branches share no
     // subexpressions — measured 5× the single-pass cost)
-    val g = curationFlags(spark, dir)
+    val g = flags
       .agg(aggs.head, aggs.tail: _*)
       .toDF("n0", "t0", "n1", "t1", "n2", "t2", "n3", "t3", "n4", "t4", "bins")
       .localCheckpoint(true)

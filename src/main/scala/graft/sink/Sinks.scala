@@ -93,6 +93,25 @@ object Sinks {
     * reference's MagneticStoreRetentionPeriodInDays
     * (TimestreamInitializer.java:47-50) becomes a real expiry here
     * rather than a recorded comment. */
+  object ParquetTableSink {
+    /** True when `dataPath` already holds TOP-LEVEL parquet files — a
+      * sink written by the unpartitioned layout. Appending `event_date=`
+      * directories beside them would create a mixed layout whose
+      * partition discovery fails on every future read (and the write
+      * side would never notice — append never reads). Callers use this
+      * to keep writing a legacy sink flat instead of corrupting it. */
+    def isLegacyFlat(spark: org.apache.spark.sql.SparkSession,
+        dataPath: String): Boolean =
+      try {
+        val p = new org.apache.hadoop.fs.Path(dataPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists { s =>
+          s.isFile && (s.getPath.getName.endsWith(".parquet") ||
+            s.getPath.getName.startsWith("part-"))
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   final class ParquetTableSink(path: String, datePartitioned: Boolean = false)
       extends RecordSink {
     override def write(batch: DataFrame, batchId: Long): (Long, Long) =

@@ -274,9 +274,17 @@ object Pipeline {
       * whole table. Unpartitioned sinks fall back to the full scan. */
     def bootstrapWatermark(spark: SparkSession, parquetDataPath: String): Option[Long] =
       try {
-        val r = bootstrapScan(spark, parquetDataPath)
-          .agg(max(col("time"))).collect()(0)
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
+        def maxTime(df: DataFrame): Option[Long] = {
+          val r = df.agg(max(col("time"))).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+        val (scan, pruned) = bootstrapScanWith(spark, parquetDataPath)
+        // a crashed write can leave the LATEST partition directory empty
+        // (only _temporary, no committed rows) — a null pruned max must
+        // fall back to the full scan, not report "no watermark" while
+        // older partitions hold data
+        maxTime(scan).orElse(
+          if (pruned) maxTime(spark.read.parquet(parquetDataPath)) else None)
       } catch {
         // NonFatal only: a missing/corrupt/empty sink path legitimately means
         // "no watermark yet", but an OOM or fatal JVM error must propagate —
@@ -290,12 +298,18 @@ object Pipeline {
       * values sort lexicographically == chronologically, so the max dir
       * name is the latest day without parsing. */
     private[graft] def bootstrapScan(
-        spark: SparkSession, parquetDataPath: String): DataFrame = {
+        spark: SparkSession, parquetDataPath: String): DataFrame =
+      bootstrapScanWith(spark, parquetDataPath)._1
+
+    /** [[bootstrapScan]] plus whether pruning actually applied — the
+      * caller's signal that a null max warrants the full-scan fallback. */
+    private def bootstrapScanWith(
+        spark: SparkSession, parquetDataPath: String): (DataFrame, Boolean) = {
       val df = spark.read.parquet(parquetDataPath)
       latestEventDate(spark, parquetDataPath) match {
         case Some(d) if df.columns.contains("event_date") =>
-          df.filter(col("event_date") === lit(d))
-        case _ => df
+          (df.filter(col("event_date") === lit(d)), true)
+        case _ => (df, false)
       }
     }
 

@@ -73,6 +73,22 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/t/data").count() == 4L)
   }
 
+  test("legacy flat layout is detected; a date-partitioned sink is not") {
+    import org.apache.spark.sql.functions.col
+    val flat = Files.createTempDirectory("flat_sink").toString
+    val pts = Seq((1000L, "DOUBLE", "1.0"))
+      .toDF("time", "measure_value_type", "measure_value")
+    new ParquetTableSink(flat).write(pts, 0L)
+    assert(ParquetTableSink.isLegacyFlat(spark, s"$flat/data"),
+      "top-level part files must read as the legacy flat layout")
+    val part = Files.createTempDirectory("part_sink").toString
+    new ParquetTableSink(part, datePartitioned = true).write(pts, 0L)
+    assert(!ParquetTableSink.isLegacyFlat(spark, s"$part/data"),
+      "event_date= directories are the partitioned layout, not legacy")
+    // missing dir: fresh sink, not legacy
+    assert(!ParquetTableSink.isLegacyFlat(spark, s"$part/nope"))
+  }
+
   test("DDL initializer is idempotent and emits IF NOT EXISTS with retention") {
     val dir = Files.createTempDirectory("ddl").toString + "/table"
     assert(DdlInitializer.ensureTableDir(dir))
