@@ -52,6 +52,7 @@ DRIVER = {
     "hash_embed_ann_recall": "documents",
     "incremental_neardup_deleted": "documents",
     "ann_ivf_deleted": "embeddings", "ann_ivf_compacted": "embeddings",
+    "ivfpq_ann_deleted": "embeddings", "ivfpq_ann_compacted": "embeddings",
     "curation_manifest": "documents",
 }
 

@@ -70,6 +70,8 @@ object SparkEntry {
     "incremental_neardup_deleted" -> (SimilarityQueries.incrementalNearDupDeleted _),
     "ann_ivf_deleted" -> (SimilarityQueries.annIvfDeleted _),
     "ann_ivf_compacted" -> (SimilarityQueries.annIvfCompacted _),
+    "ivfpq_ann_deleted" -> (SimilarityQueries.ivfPqAnnDeleted _),
+    "ivfpq_ann_compacted" -> (SimilarityQueries.ivfPqAnnCompacted _),
     "lsh_bucket_skew" -> (SimilarityQueries.lshBucketSkew _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
     "hash_embed" -> (SimilarityQueries.hashEmbed _),
@@ -564,7 +566,8 @@ object SparkEntry {
     * assignment/encoding/serving still cover every vector, which is
     * exactly the frozen-artifact append semantics. */
   private def ivfPqBodyWith(
-      centFilter: String, seedFilter: String, trainFilter: String): String = {
+      centFilter: String, seedFilter: String, trainFilter: String,
+      qExtra: String = "", candExtra: String = ""): String = {
     val d = SimilarityQueries.PqSubDim
     s"""${ivfAssignSqlWith(centFilter)},
        |res AS (SELECT a.vec_id, a.bucket,
@@ -602,7 +605,7 @@ object SparkEntry {
        |qres AS (SELECT p.vec_id AS qid, p.bucket AS pb,
        |    list_transform(range(1, len(p.embedding) + 1),
        |      i -> CAST(p.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) AS qr
-       |  FROM probes p JOIN cent c ON p.bucket = c.cid WHERE p.vec_id < 10),
+       |  FROM probes p JOIN cent c ON p.bucket = c.cid WHERE p.vec_id < 10$qExtra),
        |qsub AS (SELECT qid, pb, m, qr[((m - 1) * $d + 1):(m * $d)] AS qsv
        |  FROM qres, (SELECT unnest(range(1, ${SimilarityQueries.PqM + 1})) AS m) ms),
        |qsub2 AS (SELECT qid, pb, m AS qm, qsv, ${dotSql("qsv", "qsv")} AS qself FROM qsub),
@@ -612,7 +615,7 @@ object SparkEntry {
        |        FROM qsub2 q JOIN pcb2 c ON q.qm = c.cm),
        |ppp AS (SELECT d.qid, e.vid, CAST(sum(d.d_fp) AS BIGINT) AS adist_fp
        |        FROM penc e JOIN pdt d ON e.bucket = d.pb AND e.m = d.qm AND e.code = d.cid
-       |        WHERE e.vid != d.qid GROUP BY 1, 2),
+       |        WHERE e.vid != d.qid$candExtra GROUP BY 1, 2),
        |prr AS (SELECT qid, vid, adist_fp,
        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_fp ASC, vid) AS BIGINT) AS rn
        |        FROM ppp)""".stripMargin
@@ -700,6 +703,17 @@ object SparkEntry {
   private lazy val HashEmbedAnnSql: String =
     s"""WITH $HashEmbedIvfBody
        |SELECT qid, vid, cos FROM hr WHERE rn <= 3""".stripMargin
+
+  /** Serving the retired IVFPQ composite — shared verbatim by
+    * `ivfpq_ann_deleted` and `ivfpq_ann_compacted` (compaction of the
+    * code postings changes storage, never results). Centroids/codebooks
+    * train on the FULL corpus (frozen as built); only retired rows
+    * (% 10 = 7) vanish from the query and candidate sides. */
+  private lazy val IvfPqRetiredServeSql: String =
+    s"""${ivfPqBodyWith("", "", "",
+           qExtra = " AND p.vec_id % 10 != 7",
+           candExtra = " AND e.vid % 10 != 7")}
+       |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin
 
   /** Serving the retired IVF index — shared verbatim by the
     * `ann_ivf_deleted` (tombstone-aware) and `ann_ivf_compacted`
@@ -1693,6 +1707,9 @@ object SparkEntry {
     // FROZEN as built (delete never retrains); only rows whose vec_id is
     // retired (% 10 = 7) vanish from both query and candidate sides
     "ann_ivf_deleted" -> IvfRetiredServeSql,
+    // the composite twin of the retire pair — one shared definition
+    "ivfpq_ann_deleted" -> IvfPqRetiredServeSql,
+    "ivfpq_ann_compacted" -> IvfPqRetiredServeSql,
     // compaction changes storage (touched buckets rewritten, tombstones
     // cleared), never results — the SAME definition as ann_ivf_deleted
     // binds both keys, so the invariance pin is structural, not a pair of

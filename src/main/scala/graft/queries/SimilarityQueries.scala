@@ -2010,18 +2010,21 @@ object SimilarityQueries {
     * and codebooks (parquet round-trips doubles exactly), same routing
     * argmax, the shared [[ivfPqAdcTable]]/[[ivfPqSearch]] arithmetic. */
   def ivfPqAnnServe(spark: SparkSession, dir: String, indexPath: String,
-      nprobe: Int = IvfNprobe): DataFrame = {
+      nprobe: Int = IvfNprobe,
+      queryFilter: Column = lit(true),
+      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val centStored = spark.read.parquet(s"$indexPath/centroids")
     val centRow = centStored
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
-    val qAsn = assignFromCents(e.filter(col("vec_id") < 10), centRow, nprobe)
+    val qAsn = assignFromCents(
+      e.filter(col("vec_id") < 10 && queryFilter), centRow, nprobe)
     val cent = centStored.select(col("cid").as("pcid"), col("cemb"))
     val cb = spark.read.parquet(s"$indexPath/codebooks")
-    val enc = spark.read.parquet(s"$indexPath/postings")
+    val enc = postingsFilter(spark.read.parquet(s"$indexPath/postings")
       // the partition column reads back as INT (directory-name
       // inference); restore the join key's LONG type explicitly
-      .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("vbucket"))
+      .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("vbucket")))
     ivfPqSearch(enc, ivfPqAdcTable(qAsn, cent, cb))
   }
 
@@ -2330,7 +2333,8 @@ object SimilarityQueries {
     * gets its directory dropped explicitly (dynamic overwrite only
     * rewrites partitions PRESENT in the new data). Clears the tombstone
     * set afterwards; idempotent — no tombstones, no work. */
-  def ivfIndexCompact(spark: SparkSession, indexPath: String): Unit = {
+  def ivfIndexCompact(spark: SparkSession, indexPath: String,
+      idCol: String = "vec_id"): Unit = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombPath)) return
@@ -2338,10 +2342,15 @@ object SimilarityQueries {
     val touched = tomb.select(col("bucket")).distinct().collect()
       .map(_.get(0)).toIndexedSeq
     if (touched.nonEmpty) {
-      val survivors = spark.read.parquet(s"$indexPath/postings")
+      // idCol: the posting table's vector-id column ("vec_id" for the
+      // raw-vector IVF layout, "vid" for the IVFPQ code layout — same
+      // compaction, M code rows per vector all drop together)
+      val tombIds = broadcast(
+        tomb.select(col("vec_id").as("_tomb_del")).distinct())
+      val pruned = spark.read.parquet(s"$indexPath/postings")
         .filter(col("bucket").isin(touched: _*))
-        .join(broadcast(tomb.select(col("vec_id")).distinct()),
-          Seq("vec_id"), "left_anti")
+      val survivors = pruned
+        .join(tombIds, pruned(idCol) === tombIds("_tomb_del"), "left_anti")
       val surviving = survivors.select(col("bucket")).distinct()
         .collect().map(_.get(0)).toSet
       survivors.write.partitionBy("bucket")
@@ -2400,6 +2409,48 @@ object SimilarityQueries {
     ivfServeFrom(spark,
       withNorm(Tables.embeddings(spark, dir)).filter(!retiredPred(col("vec_id"))),
       idx)
+  }
+
+  /** [[ivfIndexDelete]] for the COMPOSITE (IVFPQ) index: postings hold
+    * M code rows per vector, so the bucket lookup reads the (vid,
+    * bucket) pair distinct — still one column-pruned read, no code
+    * bytes touched. */
+  def ivfPqIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    spark.read.parquet(s"$indexPath/postings")
+      .select(col("vid").as("vec_id"), col("bucket")).distinct()
+      .join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+
+  /** IVFPQ serving after a takedown batch, tombstones live —
+    * [[annIvfDeleted]]'s composite twin: centroids, codebooks, and code
+    * assignments stay frozen as built; the broadcast tombstone anti-join
+    * removes retired code rows before the ADC candidate join. */
+  def ivfPqAnnDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivfpq_del", embeddingsStamp(spark, dir)) { p =>
+      buildIvfPqIndex(spark, dir, p)
+      ivfPqIndexDelete(spark, p, Tables.embeddings(spark, dir)
+        .select(col("vec_id")).filter(retiredPred(col("vec_id"))))
+    }
+    val tombIds = broadcast(spark.read.parquet(s"$idx/tombstones")
+      .select(col("vec_id").as("tomb_id")).distinct())
+    ivfPqAnnServe(spark, dir, idx,
+      queryFilter = !retiredPred(col("vec_id")),
+      postingsFilter =
+        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti"))
+  }
+
+  /** IVFPQ serving after compaction — the retired code rows are
+    * physically gone ([[ivfIndexCompact]] with the code layout's `vid`
+    * id column; only touched bucket directories rewritten); MUST return
+    * exactly [[ivfPqAnnDeleted]]'s rows (shared oracle SQL pins it). */
+  def ivfPqAnnCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivfpq_delc", embeddingsStamp(spark, dir)) { p =>
+      buildIvfPqIndex(spark, dir, p)
+      ivfPqIndexDelete(spark, p, Tables.embeddings(spark, dir)
+        .select(col("vec_id")).filter(retiredPred(col("vec_id"))))
+      ivfIndexCompact(spark, p, idCol = "vid")
+    }
+    ivfPqAnnServe(spark, dir, idx, queryFilter = !retiredPred(col("vec_id")))
   }
 
   /** Tombstone a batch of doc ids in the persisted LSH index — the

@@ -109,6 +109,40 @@ class IndexRetireSpec extends SparkSuite {
       .filter(col("bucket") === someBucket).count() == 0)
   }
 
+  test("IVFPQ retire: code postings compact bucket-scoped; deleted == compacted") {
+    val idx = JFiles.createTempDirectory("ivfpq_retire").toString
+    q.buildIvfPqIndex(spark, dir, idx)
+    val retired = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id")).filter(col("vec_id") % 10 === 7)
+    val retiredIds = retired.collect().map(r => num(r.get(0))).toSet
+    q.ivfPqIndexDelete(spark, idx, retired)
+    val before = fileSigs(s"$idx/postings")
+    val touched = spark.read.parquet(s"$idx/tombstones")
+      .select("bucket").distinct().collect().map(r => num(r.get(0))).toSet
+    q.ivfIndexCompact(spark, idx, idCol = "vid")
+    val after = fileSigs(s"$idx/postings")
+    def bucketOf(p: String): Long =
+      "bucket=(-?\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    before.foreach { case (p, sig) =>
+      if (!touched.contains(bucketOf(p)))
+        assert(after.get(p).contains(sig), s"untouched code bucket rewritten: $p")
+    }
+    // every code row of a retired vector is gone (all M subspace rows)
+    val postIds = spark.read.parquet(s"$idx/postings")
+      .select("vid").collect().map(r => num(r.get(0))).toSet
+    assert(postIds.intersect(retiredIds).isEmpty)
+    // serving parity: tombstone-aware == compacted, no retired id anywhere
+    val del = q.ivfPqAnnDeleted(spark, dir).collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    val comp = q.ivfPqAnnCompacted(spark, dir).collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    assert(del == comp, "IVFPQ compaction must not change serving results")
+    assert(del.nonEmpty)
+    del.foreach { case (qid, vid) =>
+      assert(!retiredIds.contains(qid) && !retiredIds.contains(vid))
+    }
+  }
+
   test("retire results: deleted == compacted == full serve minus retired (and LSH side never surfaces a tombstone)") {
     val del = q.annIvfDeleted(spark, dir).collect()
       .map(r => (num(r.get(0)), num(r.get(1)))).toSet
