@@ -2460,6 +2460,42 @@ object SimilarityQueries {
     ids.select(col("doc_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/tombstones")
 
+  /** Physically remove tombstoned documents from the LSH signature
+    * index. Unlike the IVF layouts — where a vector lives in exactly one
+    * bucket directory — every document contributes one signature row to
+    * EVERY band partition, so any delete batch touches all band
+    * directories and LSH compaction is a full posting rewrite by
+    * construction (amortize it across delete batches; the tombstone
+    * anti-join serves correctly in between). Still partition-granular
+    * (dynamic overwrite of the band dirs), clears the tombstone set,
+    * idempotent. */
+  def lshIndexCompact(spark: SparkSession, indexPath: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombPath)) return
+    val tombIds = broadcast(spark.read.parquet(tombPath.toString)
+      .select(col("doc_id").as("_tomb_del")).distinct())
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val survivors = postings
+      .join(tombIds, postings("doc_id") === tombIds("_tomb_del"), "left_anti")
+    // dynamic overwrite only rewrites partitions PRESENT in the new
+    // data — a band emptied entirely (corpus fully retired) must have
+    // its directory dropped explicitly, like the IVF compactor
+    val surviving = survivors.select(col("band")).distinct()
+      .collect().map(_.get(0)).toSet
+    val postRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val allBands = fs.listStatus(postRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .map(_.getPath.getName.stripPrefix("band="))
+    survivors.write.partitionBy("band")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$indexPath/postings")
+    allBands.filterNot(b => surviving.exists(_.toString == b)).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/postings/band=$b"), true)
+    }
+    fs.delete(tombPath, true)
+  }
+
   /** [[incrementalNearDup]] after a takedown batch: serving anti-joins
     * the broadcast tombstones BEFORE pair generation, so a retired
     * document never surfaces on either side of a candidate pair — the

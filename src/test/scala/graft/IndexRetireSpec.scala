@@ -143,6 +143,44 @@ class IndexRetireSpec extends SparkSuite {
     }
   }
 
+  test("LSH retire: compaction removes tombstoned signatures, serving unchanged, idempotent") {
+    val idx = JFiles.createTempDirectory("lsh_retire").toString
+    q.buildLshIndex(spark, dir, idx)
+    q.lshIndexAppend(spark, dir, idx)
+    val retired = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 10 === 7)
+    val retiredIds = retired.collect().map(r => num(r.get(0))).toSet
+    q.lshIndexDelete(spark, idx, retired)
+    def pairsFrom(postings: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val all = postings.select(col("doc_id"), col("band"), col("sig"))
+      val delta = all.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
+          col("sig").as("sig_d"))
+      all.join(delta,
+          col("band") === col("band_d") && col("sig") === col("sig_d") &&
+            col("doc_id") =!= col("doc_d"))
+        .select(least(col("doc_id"), col("doc_d")), greatest(col("doc_id"), col("doc_d")))
+        .distinct().collect().map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    }
+    val tombIds = spark.read.parquet(s"$idx/tombstones")
+      .select(col("doc_id").as("t")).distinct()
+    val pre = spark.read.parquet(s"$idx/postings")
+    val tombAware = pairsFrom(
+      pre.join(tombIds, pre("doc_id") === tombIds("t"), "left_anti"))
+    q.lshIndexCompact(spark, idx)
+    assert(!JFiles.exists(java.nio.file.Paths.get(s"$idx/tombstones")))
+    val post = spark.read.parquet(s"$idx/postings")
+    // every signature row of a retired doc is physically gone
+    assert(post.select("doc_id").collect().map(r => num(r.get(0))).toSet
+      .intersect(retiredIds).isEmpty)
+    // compaction changes storage, never candidates
+    assert(pairsFrom(post) == tombAware)
+    // idempotent: a second compaction with no tombstones is a no-op
+    val sigs = fileSigs(s"$idx/postings")
+    q.lshIndexCompact(spark, idx)
+    assert(fileSigs(s"$idx/postings") == sigs)
+  }
+
   test("retire results: deleted == compacted == full serve minus retired (and LSH side never surfaces a tombstone)") {
     val del = q.annIvfDeleted(spark, dir).collect()
       .map(r => (num(r.get(0)), num(r.get(1)))).toSet
