@@ -57,6 +57,47 @@ object Main {
       return
     }
 
+    // --mode serve: the STREAMING ANN serving entry point — query
+    // vectors dropped as parquet files into --queryDir are answered per
+    // micro-batch from the persisted IVF index at --indexDir
+    // (graft.streaming.AnnServe: centroids cached at stream start,
+    // posting reads pruned to the probed buckets; --tombstoneAware true
+    // re-reads the tombstone set per batch so takedowns land without a
+    // restart). Results land under --outDir/b<batchId>. Build an index
+    // first with SimilarityQueries.buildIvfIndex/buildIvfIndexTrained.
+    // Usage: graft.Main --mode serve --indexDir idx/ --queryDir q/
+    //                   --outDir out/ [--once true] [--tombstoneAware true]
+    if (cli.get("mode").contains("serve")) {
+      val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
+      val queryDir = cli.getOrElse("queryDir", sys.error("--queryDir required"))
+      val outDir = cli.getOrElse("outDir", sys.error("--outDir required"))
+      val ckpt = cli.getOrElse("checkpointDir", s"$outDir/_checkpoint")
+      val once = cli.getOrElse("once", "true").toBoolean
+      val tombAware = cli.getOrElse("tombstoneAware", "true").toBoolean
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val builder = SparkSession.builder()
+        .appName("graft-ann-serve")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+      if (!sys.props.contains("spark.master"))
+        builder.master(s"local[$cpus]")
+      val spark = builder.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // the query stream's schema comes from the index postings (same
+      // vector type) — a drop dir needs no schema registry
+      val qSchema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(s"$indexDir/postings")
+          .select("vec_id", "embedding").schema.fields)
+      val queries = spark.readStream.schema(qSchema).parquet(queryDir)
+      val q = graft.streaming.AnnServe.start(
+        spark, queries, indexDir,
+        (df, id) => df.write.mode("append").parquet(s"$outDir/b$id"),
+        ckpt, availableNow = once, tombstoneAware = tombAware)
+      q.awaitTermination()
+      spark.stop()
+      return
+    }
+
     val sourceDir = cli.getOrElse("sourceDir", sys.error("--sourceDir required"))
     val sinkDir = cli.getOrElse("sinkDir", sys.error("--sinkDir required"))
     val checkpointDir = cli.getOrElse("checkpointDir", s"$sinkDir/_checkpoint")
