@@ -57,6 +57,57 @@ object Main {
       return
     }
 
+    // --mode index: the index lifecycle as a CLI — build / append /
+    // delete / compact a persisted ANN or LSH index, so the
+    // build-once/serve-many/retire story is drivable end to end
+    // (--mode serve answers queries from the result).
+    //   --family ivf|ivf_trained|ivfpq|lsh   --op build|append|delete|compact
+    //   delete takes --ids 1,2,3 (vector/doc ids to tombstone)
+    // Usage: graft.Main --mode index --family ivf --op build
+    //                   --sfDir /root/testdata/sf0.01 --indexDir idx/
+    if (cli.get("mode").contains("index")) {
+      val family = cli.getOrElse("family", sys.error("--family required"))
+      val op = cli.getOrElse("op", sys.error("--op required"))
+      val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
+      val sfDir = cli.getOrElse("sfDir",
+        if (op == "compact") "" else sys.error("--sfDir required"))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val builder = SparkSession.builder()
+        .appName("graft-index")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+      if (!sys.props.contains("spark.master"))
+        builder.master(s"local[$cpus]")
+      val spark = builder.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val q = graft.queries.SimilarityQueries
+      def ids: org.apache.spark.sql.DataFrame = {
+        import spark.implicits._
+        val idCol = if (family == "lsh") "doc_id" else "vec_id"
+        cli.getOrElse("ids", sys.error("--ids required for delete"))
+          .split(",").map(_.trim.toLong).toSeq.toDF(idCol)
+      }
+      (family, op) match {
+        case ("ivf", "build") => q.buildIvfIndex(spark, sfDir, indexDir)
+        case ("ivf_trained", "build") => q.buildIvfIndexTrained(spark, sfDir, indexDir)
+        case ("ivf", "append") => q.buildIvfIndexAppend(spark, sfDir, indexDir)
+        case ("ivf" | "ivf_trained", "delete") => q.ivfIndexDelete(spark, indexDir, ids)
+        case ("ivf" | "ivf_trained", "compact") => q.ivfIndexCompact(spark, indexDir)
+        case ("ivfpq", "build") => q.buildIvfPqIndex(spark, sfDir, indexDir)
+        case ("ivfpq", "append") => q.buildIvfPqIndexAppend(spark, sfDir, indexDir)
+        case ("ivfpq", "delete") => q.ivfPqIndexDelete(spark, indexDir, ids)
+        case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
+        case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
+        case ("lsh", "append") => q.lshIndexAppend(spark, sfDir, indexDir)
+        case ("lsh", "delete") => q.lshIndexDelete(spark, indexDir, ids)
+        case ("lsh", "compact") => q.lshIndexCompact(spark, indexDir)
+        case other => sys.error(s"unknown family/op: $other")
+      }
+      println(s"[graft] index $op done: family=$family index=$indexDir")
+      spark.stop()
+      return
+    }
+
     // --mode serve: the STREAMING ANN serving entry point — query
     // vectors dropped as parquet files into --queryDir are answered per
     // micro-batch from the persisted IVF index at --indexDir
