@@ -389,6 +389,14 @@ object SimilarityQueries {
     * Same 100 TB shape as annIvf: ≤[[IvfK]]-row broadcast centroids, the
     * candidate join a bucket equijoin, never O(corpus²). */
   def hashEmbedAnn(spark: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed, deliberately: the plan shows 4 documents scans
+    // (centroid fold, query side, candidate side re-derive the embed
+    // chain — branches share no subexpressions), but the query-side
+    // branch pushes `vec_id < 10` BELOW the embed aggregate, so only 10
+    // documents tokenize there; an eager checkpoint materializes the
+    // FULL frame first and measured 15% SLOWER. The served twin
+    // ([[hashEmbedAnnServed]]) is the production path where the corpus
+    // never re-embeds at all.
     val e = hashEmbedNormed(spark, dir)
     val cent = ivfCentFrame(e)
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cnrm"))).as("cents"))
