@@ -592,6 +592,67 @@ object CorpusIngest {
     retention.foreach(p => graft.sources.Layout.applyRetention(spark, p))
   }
 
+  /** TAKEDOWN across the standing ingest corpus — remove documents by
+    * doc_id from the bucketed corpus table AND their band signatures
+    * from the sigs table (retired content must stop generating near-dup
+    * quarantines: a fresh near-duplicate of a taken-down page should
+    * LAND, not chase a ghost).
+    *
+    * The driver Bloom gate needs NO surgery: its contract is a pure
+    * over-approximation of the standing fp set, so a stale
+    * "maybe standing" for a retired fp falls through to the exact
+    * standing probe — which now finds nothing — and a retired document
+    * RE-INGESTED later lands correctly with the gate still warm
+    * (IngestSpec pins exactly that round trip, mid-stream).
+    *
+    * Rewrite discipline: bucketed tables have no per-key directories to
+    * scope to (unlike the IVF/LSH posting layouts), so retire rewrites
+    * each table through the same tmp-swap crash-recovery pattern as
+    * [[graft.sources.Layout.rewriteBucketed]] — a full rewrite by
+    * construction, amortized across takedown batches; bucket/sort/
+    * partition layout is preserved, so every downstream equijoin stays
+    * exchange-free. */
+  def retireDocs(spark: SparkSession, corpus: BucketedCorpus,
+      ids: DataFrame): Unit = {
+    retireFromTable(spark, corpus.table, corpus.buckets, "fp", ids)
+    retireFromTable(spark, sigsTable(corpus), corpus.buckets, "sig", ids)
+  }
+
+  private def retireFromTable(spark: SparkSession, table: String,
+      buckets: Int, key: String, ids: DataFrame): Unit = {
+    val tmp = s"${table}_retire_tmp"
+    // crash recovery BEFORE the existence check: a previous run that
+    // died between its DROP and RENAME left the only copy in tmp
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      if (spark.table(table).columns.contains("cluster"))
+        spark.sql(s"MSCK REPAIR TABLE $table")
+    }
+    if (!spark.catalog.tableExists(table)) return
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val survivors = spark.table(table)
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    val hasCluster = survivors.columns.contains("cluster")
+    // same autoBucketedScan pin as Layout.rewriteBucketed: without it
+    // the planner elides the repartition AND disables the bucketed
+    // scan, leaving non-bucket-pure write tasks (file explosion)
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(abs, "true")
+    spark.conf.set(abs, "false")
+    try {
+      val w = survivors.repartition(buckets, col(key)).write
+      (if (hasCluster) w.partitionBy("cluster") else w)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    } finally spark.conf.set(abs, prev)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (hasCluster) spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
   /** A corpus exists when its directory already holds parquet data —
     * a bare/nonexistent dir is the first-batch bootstrap case, not an
     * error (same idempotent-init stance as `Sinks.DdlInitializer`). */

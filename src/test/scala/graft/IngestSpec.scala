@@ -566,4 +566,56 @@ class IngestSpec extends SparkSuite {
     val b = bad.collect().map(_.getAs[String]("raw_line"))
     assert(b.length == 1 && b.head.contains("oops"))
   }
+
+  test("corpus takedown: retired doc re-ingests past a warm (stale) Bloom gate, mid-stream") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_retire_ing").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_retire_test", buckets = 4)
+    spark.sql(s"DROP TABLE IF EXISTS ${corpus.table}")
+    // ONE continuous stream session: the Bloom gate stays warm across
+    // the takedown — the exact scenario the over-approximation contract
+    // exists for
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      quarantine, s"$base/ckpt", availableNow = false)
+    try {
+      writeLines(s"$watch/shard-1.jsonl", Seq(
+        """{"doc_id": 1, "text": "taken down content", "lang": "en"}""",
+        """{"doc_id": 2, "text": "innocent bystander", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+      spark.catalog.refreshTable(corpus.table)
+      assert(spark.table(corpus.table).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+
+      // takedown doc 1 while the stream (and its Bloom, which learned
+      // doc 1's fp) keeps running
+      CorpusIngest.retireDocs(spark, corpus, Seq(1L).toDF("doc_id"))
+      spark.catalog.refreshTable(corpus.table)
+      assert(spark.table(corpus.table).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq == Seq(2L),
+        "retire must remove the doc from the standing corpus")
+
+      // the SAME text re-ingests: the stale Bloom says "maybe standing",
+      // the exact standing probe finds nothing, the doc LANDS — takedown
+      // never poisons future ingestion of re-licensed content
+      writeLines(s"$watch/shard-2.jsonl", Seq(
+        """{"doc_id": 20, "text": "taken  DOWN content", "lang": "en"}""",
+        """{"doc_id": 2, "text": "innocent bystander", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+    } finally { gq.stop(); bq.stop() }
+    spark.catalog.refreshTable(corpus.table)
+    assert(spark.table(corpus.table).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(2L, 20L),
+      "re-ingest of retired content must land; the standing dup (doc 2) must not")
+    // bucketed layout preserved through the retire rewrite
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(corpus.table))
+    assert(cat.bucketSpec.exists(b =>
+      b.numBuckets == corpus.buckets && b.bucketColumnNames == Seq("fp")))
+  }
 }
