@@ -1017,6 +1017,22 @@ class PlanSpec extends SparkSuite {
     assert(dm.contains("BroadcastExchange"), s"m must broadcast:\n$dm")
   }
 
+  test("every served-index path is dynamic-partition-pruned (raw IVF, trained IVF, hash-embed IVF)") {
+    // ivfpq_ann_served has its own dedicated pin above; these three share
+    // serveAgainstIndex, whose bucket-partitioned posting read must stay
+    // gated by the probed-bucket set at ANY index size
+    Seq(
+      "ann_ivf_served" -> SimilarityQueries.annIvfServed(spark, dir),
+      "ann_ivf_trained_served" -> SimilarityQueries.annIvfTrainedServed(spark, dir),
+      "hash_embed_ann_served" -> SimilarityQueries.hashEmbedAnnServed(spark, dir)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("dynamicpruning"),
+        s"$name postings scan must be dynamic-partition-pruned:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("curated corpus: one-scan flag cascade — bounded documents scans, no cartesian") {
     val df = graft.queries.CurationQueries.curatedCorpus(spark, dir)
     val p = plan(df)
