@@ -24,6 +24,23 @@ import org.apache.spark.sql.SparkSession
   *                   [--checkpointDir /path/ckpt] [--once true]
   */
 object Main {
+  /** One shared session recipe for every mode: pinned shuffle
+    * parallelism + UTC, and a local-master fallback so a bare `java`
+    * launch works while spark-submit's master (set via sys props) still
+    * wins. */
+  private def mkSession(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+    if (!sys.props.contains("spark.master"))
+      builder.master(s"local[$cpus]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     val cli = AppConfig.parseArgs(args)
     val cfg = AppConfig.load(args)
@@ -40,17 +57,7 @@ object Main {
     if (cli.get("mode").contains("curate")) {
       val sfDir = cli.getOrElse("sfDir", sys.error("--sfDir required"))
       val outDir = cli.getOrElse("outDir", sys.error("--outDir required"))
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val builder = SparkSession.builder()
-        .appName("graft-curate")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-      // spark-submit provides the master; a bare `java` launch (the
-      // sandbox path) falls back to local
-      if (!sys.props.contains("spark.master"))
-        builder.master(s"local[$cpus]")
-      val spark = builder.getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = mkSession("graft-curate")
       graft.queries.CurationQueries.curateRun(spark, sfDir, outDir)
         .orderBy("stage_ord").show(truncate = false)
       spark.stop()
@@ -69,17 +76,12 @@ object Main {
       val family = cli.getOrElse("family", sys.error("--family required"))
       val op = cli.getOrElse("op", sys.error("--op required"))
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
+      // compact works off the index alone; delete takes its ids from
+      // --ids — neither reads the fixture tables
       val sfDir = cli.getOrElse("sfDir",
-        if (op == "compact") "" else sys.error("--sfDir required"))
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val builder = SparkSession.builder()
-        .appName("graft-index")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-      if (!sys.props.contains("spark.master"))
-        builder.master(s"local[$cpus]")
-      val spark = builder.getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+        if (op == "compact" || op == "delete") ""
+        else sys.error("--sfDir required"))
+      val spark = mkSession("graft-index")
       val q = graft.queries.SimilarityQueries
       def ids: org.apache.spark.sql.DataFrame = {
         import spark.implicits._
@@ -90,11 +92,16 @@ object Main {
       (family, op) match {
         case ("ivf", "build") => q.buildIvfIndex(spark, sfDir, indexDir)
         case ("ivf_trained", "build") => q.buildIvfIndexTrained(spark, sfDir, indexDir)
-        case ("ivf", "append") => q.buildIvfIndexAppend(spark, sfDir, indexDir)
+        // append NEVER rebuilds: the delta routes through the STORED
+        // centroids/codebooks and lands as new posting files only — a
+        // standing index (and its live tombstones) is untouched. The
+        // base+delta demo composites (buildIvf*IndexAppend) are the
+        // fixture-lifecycle entry points, not CLI ops.
+        case ("ivf" | "ivf_trained", "append") => q.appendIvfIndex(spark, sfDir, indexDir)
         case ("ivf" | "ivf_trained", "delete") => q.ivfIndexDelete(spark, indexDir, ids)
         case ("ivf" | "ivf_trained", "compact") => q.ivfIndexCompact(spark, indexDir)
         case ("ivfpq", "build") => q.buildIvfPqIndex(spark, sfDir, indexDir)
-        case ("ivfpq", "append") => q.buildIvfPqIndexAppend(spark, sfDir, indexDir)
+        case ("ivfpq", "append") => q.appendIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "delete") => q.ivfPqIndexDelete(spark, indexDir, ids)
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
         case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
@@ -125,15 +132,7 @@ object Main {
       val ckpt = cli.getOrElse("checkpointDir", s"$outDir/_checkpoint")
       val once = cli.getOrElse("once", "true").toBoolean
       val tombAware = cli.getOrElse("tombstoneAware", "true").toBoolean
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val builder = SparkSession.builder()
-        .appName("graft-ann-serve")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-      if (!sys.props.contains("spark.master"))
-        builder.master(s"local[$cpus]")
-      val spark = builder.getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = mkSession("graft-ann-serve")
       // the query stream's schema comes from the index postings (same
       // vector type) — a drop dir needs no schema registry
       val qSchema = org.apache.spark.sql.types.StructType(
@@ -154,13 +153,7 @@ object Main {
     val checkpointDir = cli.getOrElse("checkpointDir", s"$sinkDir/_checkpoint")
     val once = cli.getOrElse("once", "true").toBoolean
 
-    val spark = SparkSession.builder()
-      .appName("graft-streaming-job")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = mkSession("graft-streaming-job")
 
     // --mode refire: the Flink allowedLateness RE-FIRE wiring
     // (StreamingJob.java:149) — update-output windowed aggregation whose

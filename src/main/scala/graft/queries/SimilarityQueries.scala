@@ -2357,17 +2357,32 @@ object SimilarityQueries {
         tomb.select(col("vec_id").as("_tomb_del")).distinct())
       val pruned = spark.read.parquet(s"$indexPath/postings")
         .filter(col("bucket").isin(touched: _*))
+      // persisted: both the surviving-bucket collect and the rewrite
+      // consume this frame (branches share no subexpressions)
       val survivors = pruned
         .join(tombIds, pruned(idCol) === tombIds("_tomb_del"), "left_anti")
-      val surviving = survivors.select(col("bucket")).distinct()
-        .collect().map(_.get(0)).toSet
-      survivors.write.partitionBy("bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$indexPath/postings")
-      touched.filterNot(surviving).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexPath/postings/bucket=$b"), true)
-      }
+        .persist()
+      try {
+        val surviving = survivors.select(col("bucket")).distinct()
+          .collect().map(_.get(0)).toSet
+        survivors.write.partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$indexPath/postings")
+        touched.filterNot(surviving).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$indexPath/postings/bucket=$b"), true)
+        }
+        // a FULLY-retired index must stay readable AND appendable: if no
+        // bucket directory remains, land the empty schema-bearing frame
+        // under one bucket dir (partition discovery then sees the same
+        // layout future appends write into)
+        val root = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+        val anyLeft = fs.exists(root) && fs.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        if (!anyLeft)
+          survivors.drop("bucket").limit(0).write.mode("overwrite")
+            .parquet(s"$indexPath/postings/bucket=${touched.head}")
+      } finally survivors.unpersist()
     }
     fs.delete(tombPath, true)
   }
@@ -2484,23 +2499,36 @@ object SimilarityQueries {
     val tombIds = broadcast(spark.read.parquet(tombPath.toString)
       .select(col("doc_id").as("_tomb_del")).distinct())
     val postings = spark.read.parquet(s"$indexPath/postings")
+    // persisted: the surviving-band collect and the rewrite both consume
+    // this full-index frame (LSH compaction is a whole-posting rewrite by
+    // construction — don't pay the anti-join twice on top)
     val survivors = postings
       .join(tombIds, postings("doc_id") === tombIds("_tomb_del"), "left_anti")
-    // dynamic overwrite only rewrites partitions PRESENT in the new
-    // data — a band emptied entirely (corpus fully retired) must have
-    // its directory dropped explicitly, like the IVF compactor
-    val surviving = survivors.select(col("band")).distinct()
-      .collect().map(_.get(0)).toSet
-    val postRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
-    val allBands = fs.listStatus(postRoot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
-      .map(_.getPath.getName.stripPrefix("band="))
-    survivors.write.partitionBy("band")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$indexPath/postings")
-    allBands.filterNot(b => surviving.exists(_.toString == b)).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/postings/band=$b"), true)
-    }
+      .persist()
+    try {
+      // dynamic overwrite only rewrites partitions PRESENT in the new
+      // data — a band emptied entirely (corpus fully retired) must have
+      // its directory dropped explicitly, like the IVF compactor
+      val surviving = survivors.select(col("band")).distinct()
+        .collect().map(_.get(0)).toSet
+      val postRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+      val allBands = fs.listStatus(postRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+        .map(_.getPath.getName.stripPrefix("band="))
+      survivors.write.partitionBy("band")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$indexPath/postings")
+      allBands.filterNot(b => surviving.exists(_.toString == b)).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/postings/band=$b"), true)
+      }
+      // a fully-retired index must stay readable and appendable — same
+      // empty-frame landing as the IVF compactor
+      val anyLeft = fs.exists(postRoot) && fs.listStatus(postRoot).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("band="))
+      if (!anyLeft && allBands.nonEmpty)
+        survivors.drop("band").limit(0).write.mode("overwrite")
+          .parquet(s"$indexPath/postings/band=${allBands.head}")
+    } finally survivors.unpersist()
     fs.delete(tombPath, true)
   }
 

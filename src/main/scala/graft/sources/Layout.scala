@@ -134,13 +134,20 @@ object Layout {
     * skipping on key-range predicates.
     *
     * The rewrite lands in a temp table first and swaps via RENAME:
-    * Spark (correctly) refuses to overwrite a table it is reading. */
+    * Spark (correctly) refuses to overwrite a table it is reading.
+    *
+    * `transform` rewrites the ROWS on the way through (default
+    * identity = pure compaction) — the hook behind
+    * [[graft.streaming.CorpusIngest.retireDocs]]'s takedown anti-join,
+    * so every tmp-swap in the repo shares ONE tmp name and ONE
+    * crash-recovery path instead of parallel copies that drift. */
   def rewriteBucketed(
       spark: SparkSession,
       table: String,
       key: String,
       buckets: Int,
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity
   ): Unit = {
     val tmp = s"${table}_compact_tmp"
     // crash recovery: a previous run that died between its DROP and
@@ -151,6 +158,10 @@ object Layout {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
       if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     }
+    // a table that STILL does not exist is the bootstrap case (e.g. a
+    // retire against a corpus whose sigs table was never created) — a
+    // no-op, never an error or a silent half-swap
+    if (!spark.catalog.tableExists(table)) return
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // force a genuinely BUCKETED read: the optimizer elides the
     // repartition below (the table's bucket metadata already satisfies
@@ -165,7 +176,7 @@ object Layout {
     val prev = spark.conf.get(abs, "true")
     spark.conf.set(abs, "false")
     try {
-      val w = spark.table(table)
+      val w = transform(spark.table(table))
         .repartition(buckets, col(key)) // load-bearing when re-bucketing to a NEW count
         .write
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

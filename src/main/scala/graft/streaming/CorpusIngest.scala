@@ -415,6 +415,17 @@ object CorpusIngest {
         val keys = collectBounded(local.select(keyCols: _*),
           corpus.maxBatchKeys, "batch (fp[, cluster]) keys")
         val fps = keys.map(_.getString(0))
+        // maintenance-swap guard: a compact/retire tmp-swap in flight
+        // means "no table" is NOT the bootstrap case — appending now
+        // would recreate the table from this batch alone and strand the
+        // whole standing corpus in the tmp name. Fail the batch LOUDLY;
+        // the stream retries after the swap completes.
+        if (!spark.catalog.tableExists(corpus.table) &&
+            spark.catalog.tableExists(s"${corpus.table}_compact_tmp"))
+          throw new IllegalStateException(
+            s"${corpus.table}: maintenance swap in progress " +
+              s"(${corpus.table}_compact_tmp exists) — retry this batch " +
+              "after compact/retire completes")
         val exists = spark.catalog.tableExists(corpus.table)
         // exact pass: Bloom screens the batch fps on the driver; only
         // the survivors ("maybe standing" — false positives included)
@@ -606,51 +617,34 @@ object CorpusIngest {
     * (IngestSpec pins exactly that round trip, mid-stream).
     *
     * Rewrite discipline: bucketed tables have no per-key directories to
-    * scope to (unlike the IVF/LSH posting layouts), so retire rewrites
-    * each table through the same tmp-swap crash-recovery pattern as
-    * [[graft.sources.Layout.rewriteBucketed]] — a full rewrite by
+    * scope to (unlike the IVF/LSH posting layouts), so retire rides
+    * [[graft.sources.Layout.rewriteBucketed]]'s tmp-swap with the
+    * takedown anti-join as its row transform — ONE shared swap/crash-
+    * recovery path with the compaction pass, a full rewrite by
     * construction, amortized across takedown batches; bucket/sort/
     * partition layout is preserved, so every downstream equijoin stays
-    * exchange-free. */
+    * exchange-free.
+    *
+    * MAINTENANCE-CADENCE op, like [[compact]]: the swap's DROP→RENAME
+    * window races a concurrently-committing ingest micro-batch (the
+    * appender would see "no table" and bootstrap a fresh one). The
+    * appender refuses to run mid-swap (loud failure, see
+    * [[appendDedupedBucketed]]'s guard), so the race costs a failed
+    * batch to retry, never the corpus; run retire between batches —
+    * the stream itself may stay up, as IngestSpec's round trip does. */
   def retireDocs(spark: SparkSession, corpus: BucketedCorpus,
       ids: DataFrame): Unit = {
-    retireFromTable(spark, corpus.table, corpus.buckets, "fp", ids)
-    retireFromTable(spark, sigsTable(corpus), corpus.buckets, "sig", ids)
-  }
-
-  private def retireFromTable(spark: SparkSession, table: String,
-      buckets: Int, key: String, ids: DataFrame): Unit = {
-    val tmp = s"${table}_retire_tmp"
-    // crash recovery BEFORE the existence check: a previous run that
-    // died between its DROP and RENAME left the only copy in tmp
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      if (spark.table(table).columns.contains("cluster"))
-        spark.sql(s"MSCK REPAIR TABLE $table")
-    }
-    if (!spark.catalog.tableExists(table)) return
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    val survivors = spark.table(table)
-      .join(broadcast(ids.select(col("doc_id")).distinct()),
+    def drop(df: DataFrame): DataFrame =
+      df.join(broadcast(ids.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
-    val hasCluster = survivors.columns.contains("cluster")
-    // same autoBucketedScan pin as Layout.rewriteBucketed: without it
-    // the planner elides the repartition AND disables the bucketed
-    // scan, leaving non-bucket-pure write tasks (file explosion)
-    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(abs, "true")
-    spark.conf.set(abs, "false")
-    try {
-      val w = survivors.repartition(buckets, col(key)).write
-      (if (hasCluster) w.partitionBy("cluster") else w)
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .mode("overwrite")
-        .saveAsTable(tmp)
-    } finally spark.conf.set(abs, prev)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    if (hasCluster) spark.sql(s"MSCK REPAIR TABLE $table")
+    val partCols =
+      if (spark.catalog.tableExists(corpus.table) &&
+          spark.table(corpus.table).columns.contains("cluster")) Seq("cluster")
+      else Nil
+    graft.sources.Layout.rewriteBucketed(
+      spark, corpus.table, "fp", corpus.buckets, partCols, drop)
+    graft.sources.Layout.rewriteBucketed(
+      spark, sigsTable(corpus), "sig", corpus.buckets, Nil, drop)
   }
 
   /** A corpus exists when its directory already holds parquet data —
