@@ -139,9 +139,13 @@ object Main {
         spark.read.parquet(s"$indexDir/postings")
           .select("vec_id", "embedding").schema.fields)
       val queries = spark.readStream.schema(qSchema).parquet(queryDir)
+      // overwrite, not append: foreachBatch redelivers a failed batch
+      // under the SAME batch id, so a per-batch-directory sink is only
+      // idempotent (AnnServe's stated restart contract) if the retry
+      // REPLACES the partial first attempt instead of doubling it
       val q = graft.streaming.AnnServe.start(
         spark, queries, indexDir,
-        (df, id) => df.write.mode("append").parquet(s"$outDir/b$id"),
+        (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
         ckpt, availableNow = once, tombstoneAware = tombAware)
       q.awaitTermination()
       spark.stop()

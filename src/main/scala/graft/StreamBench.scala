@@ -188,7 +188,7 @@ object StreamBench {
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
       (nQ - 200, sec)
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[streambench] ann serving stage failed: ${e.getMessage}")
       (-1, -1.0)
     }

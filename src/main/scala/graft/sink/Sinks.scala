@@ -99,17 +99,23 @@ object Sinks {
       * directories beside them would create a mixed layout whose
       * partition discovery fails on every future read (and the write
       * side would never notice — append never reads). Callers use this
-      * to keep writing a legacy sink flat instead of corrupting it. */
+      * to keep writing a legacy sink flat instead of corrupting it.
+      *
+      * Error stance: only "path does not exist" means "fresh sink,
+      * partitioned layout OK". A FAILED listing propagates — swallowing
+      * it would return "not legacy" for a sink we could not inspect,
+      * and a transient filesystem error on a genuinely flat sink would
+      * then start the exact mixed-layout corruption this check exists
+      * to prevent. */
     def isLegacyFlat(spark: org.apache.spark.sql.SparkSession,
-        dataPath: String): Boolean =
-      try {
-        val p = new org.apache.hadoop.fs.Path(dataPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(p) && fs.listStatus(p).exists { s =>
-          s.isFile && (s.getPath.getName.endsWith(".parquet") ||
-            s.getPath.getName.startsWith("part-"))
-        }
-      } catch { case scala.util.control.NonFatal(_) => false }
+        dataPath: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dataPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        s.isFile && (s.getPath.getName.endsWith(".parquet") ||
+          s.getPath.getName.startsWith("part-"))
+      }
+    }
   }
 
   final class ParquetTableSink(path: String, datePartitioned: Boolean = false)

@@ -138,9 +138,10 @@ object Layout {
     *
     * `transform` rewrites the ROWS on the way through (default
     * identity = pure compaction) — the hook behind
-    * [[graft.streaming.CorpusIngest.retireDocs]]'s takedown anti-join,
-    * so every tmp-swap in the repo shares ONE tmp name and ONE
-    * crash-recovery path instead of parallel copies that drift. */
+    * [[graft.streaming.CorpusIngest.compact]]'s takedown purge (the
+    * physical half of `retireDocs`' tombstones), so every tmp-swap in
+    * the repo shares ONE tmp name and ONE crash-recovery path instead
+    * of parallel copies that drift. */
   def rewriteBucketed(
       spark: SparkSession,
       table: String,
@@ -175,6 +176,18 @@ object Layout {
     val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(abs, "true")
     spark.conf.set(abs, "false")
+    // lost-append fence: snapshot the table's data files before the
+    // rewrite reads them. An appender that commits DURING the (long)
+    // read+write phase adds files the rewrite never saw — swapping
+    // would silently drop those rows with their source offsets already
+    // committed. Appends only ever ADD files, so a changed listing at
+    // swap time is exactly that race: abort the swap (drop tmp, table
+    // untouched) and let the caller re-run. The residual window is the
+    // re-listing + two catalog ops below — metadata-priced, not
+    // rewrite-priced; the appender's own tmp-table guard covers the
+    // DROP→RENAME half. Maintenance is still best run between
+    // committed batches.
+    val filesBefore = spark.table(table).inputFiles.toSet
     try {
       val w = transform(spark.table(table))
         .repartition(buckets, col(key)) // load-bearing when re-bucketing to a NEW count
@@ -185,6 +198,13 @@ object Layout {
         .mode("overwrite")
         .saveAsTable(tmp)
     } finally spark.conf.set(abs, prev)
+    if (spark.table(table).inputFiles.toSet != filesBefore) {
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      throw new IllegalStateException(
+        s"rewriteBucketed($table): concurrent append detected during the " +
+          "rewrite — swap aborted, table untouched. Re-run after the " +
+          "appender quiesces.")
+    }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     // a partitioned table's per-partition catalog locations still point

@@ -170,6 +170,57 @@ object CorpusIngest {
   /** The signature side table backing [[MinHashGate]]. */
   private[graft] def sigsTable(corpus: BucketedCorpus): String = s"${corpus.table}_sigs"
 
+  /** The corpus tombstone LEDGER backing [[retireDocs]] — an
+    * append-only table of (doc_id, ts, retire) events: [[retireDocs]]
+    * appends retire=true rows, the appender appends retire=false
+    * (un-retire) rows when a retired doc_id re-ingests. Append-only by
+    * design: both writers only ever ADD rows, so a takedown landing
+    * concurrently with an ingest batch can never lose the other's
+    * update (the lost-update hazard an overwrite-style tombstone table
+    * would have). Bounded by takedown traffic since the last
+    * [[compact]] (which drops the ledger), never by corpus size. */
+  private[graft] def retiredTable(corpus: BucketedCorpus): String =
+    s"${corpus.table}_retired"
+
+  /** Currently-pending takedown ids — each doc_id's LATEST ledger event
+    * wins (ties prefer retire: boolean true sorts above false in the
+    * (ts, retire) struct max, so a same-instant retire/un-retire pair
+    * resolves to the safe direction). None when no retire has ever run
+    * (the common case — readers then skip the serve-around join
+    * entirely). The aggregation runs over the tiny ledger, never the
+    * corpus. */
+  private[graft] def retiredIds(spark: SparkSession, corpus: BucketedCorpus): Option[DataFrame] =
+    if (spark.catalog.tableExists(retiredTable(corpus))) {
+      // refresh before reading: the ledger is written by OTHER sessions
+      // (a takedown CLI, the streaming clone's un-retire) whose inserts
+      // invalidate their own relation cache, not this session's — a
+      // stale listing here would keep hiding an un-retired doc. The
+      // table is takedown-traffic-sized, so the re-list is metadata
+      // noise.
+      spark.catalog.refreshTable(retiredTable(corpus))
+      Some(spark.table(retiredTable(corpus))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("ts"), col("retire"))).as("last"))
+        .filter(col("last.retire"))
+        .select(col("doc_id")))
+    } else None
+
+  /** `df` minus pending-takedown rows — the serve-around every standing
+    * reader applies between a [[retireDocs]] and the next [[compact]]:
+    * one broadcast anti-join on the (takedown-traffic-sized) tombstone
+    * set, zero shuffle, zero extra standing scans. */
+  private[graft] def serveAround(
+      df: DataFrame, retired: Option[DataFrame]): DataFrame =
+    retired.map(r => df.join(broadcast(r), Seq("doc_id"), "left_anti"))
+      .getOrElse(df)
+
+  /** The ACTIVE corpus view — standing rows minus pending takedowns.
+    * This is the read surface consumers (and the ingest probes) use;
+    * reading `spark.table(corpus.table)` directly sees rows that are
+    * legally retired but not yet physically compacted away. */
+  def activeCorpus(spark: SparkSession, corpus: BucketedCorpus): DataFrame =
+    serveAround(spark.table(corpus.table), retiredIds(spark, corpus))
+
   /** Collect a driver-bound frame, failing LOUDLY past `maxRows` — the
     * guard that keeps the design's driver-side screening honest: batch
     * keys/signatures are collected per micro-batch (sized by source
@@ -415,18 +466,41 @@ object CorpusIngest {
         val keys = collectBounded(local.select(keyCols: _*),
           corpus.maxBatchKeys, "batch (fp[, cluster]) keys")
         val fps = keys.map(_.getString(0))
-        // maintenance-swap guard: a compact/retire tmp-swap in flight
-        // means "no table" is NOT the bootstrap case — appending now
-        // would recreate the table from this batch alone and strand the
-        // whole standing corpus in the tmp name. Fail the batch LOUDLY;
-        // the stream retries after the swap completes.
-        if (!spark.catalog.tableExists(corpus.table) &&
-            spark.catalog.tableExists(s"${corpus.table}_compact_tmp"))
+        // maintenance-swap guard: a compact tmp table existing — for the
+        // CORPUS or for the SIGS side table — means a tmp-swap is in
+        // flight (between its saveAsTable and RENAME) or a crashed swap
+        // left its only full copy under the tmp name. Appending now
+        // would either land rows the in-flight rewrite already missed
+        // (silently dropped at swap) or — worse, on the sigs side —
+        // recreate the dropped table mid-swap, making the RENAME fail
+        // and stranding the standing data in tmp where the next
+        // rewrite's cleanup would destroy it. Fail the batch LOUDLY;
+        // the stream retries after the swap (or its crash recovery)
+        // completes. The rewrite itself additionally aborts if an
+        // append slips in during its read phase (before tmp exists) —
+        // see Layout.rewriteBucketed's lost-append check.
+        val tmpInFlight = Seq(corpus.table, sigsTable(corpus))
+          .map(t => s"${t}_compact_tmp").filter(spark.catalog.tableExists)
+        if (tmpInFlight.nonEmpty)
           throw new IllegalStateException(
             s"${corpus.table}: maintenance swap in progress " +
-              s"(${corpus.table}_compact_tmp exists) — retry this batch " +
+              s"(${tmpInFlight.mkString(", ")} exists) — retry this batch " +
               "after compact/retire completes")
         val exists = spark.catalog.tableExists(corpus.table)
+        // pending takedowns, collected ONCE per batch (bounded by
+        // takedown traffic since the last compact): every standing
+        // probe below serves around this set so a retired doc neither
+        // counts as a standing dup nor generates near-dup quarantines
+        // — the immediate-legal-effect half of the retire lifecycle
+        val retiredSet: IndexedSeq[Long] = retiredIds(spark, corpus)
+          .map { df => import spark.implicits._; df.as[Long].collect().toIndexedSeq }
+          .getOrElse(IndexedSeq.empty)
+        val retiredDf: Option[DataFrame] =
+          if (retiredSet.isEmpty) None
+          else {
+            import spark.implicits._
+            Some(broadcast(retiredSet.toDF("doc_id")))
+          }
         // exact pass: Bloom screens the batch fps on the driver; only
         // the survivors ("maybe standing" — false positives included)
         // probe the corpus, via the shuffle-free broadcast semi-join
@@ -435,7 +509,8 @@ object CorpusIngest {
           if (!exists || maybe.isEmpty) Set.empty
           else {
             import spark.implicits._
-            standingDups(spark.table(corpus.table), maybe.toDF("fp"))
+            standingDups(serveAround(spark.table(corpus.table), retiredDf),
+                maybe.toDF("fp"))
               .as[String].collect().toSet
           }
         val exactFresh =
@@ -458,8 +533,9 @@ object CorpusIngest {
               else {
                 import spark.implicits._
                 val clusters = keys.map(_.getLong(1)).distinct
-                val standing = spark.table(corpus.table)
-                  .filter(col("cluster").isin(clusters: _*))
+                val standing = serveAround(
+                    spark.table(corpus.table)
+                      .filter(col("cluster").isin(clusters: _*)), retiredDf)
                   .select(col("cluster").as("s_cluster"),
                     col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
                 val semIds = semanticDupIds(localKeep, standing, g.threshold)
@@ -519,7 +595,7 @@ object CorpusIngest {
                 if (!anyMaybe || !spark.catalog.tableExists(sigT)) Set.empty
                 else {
                   val (probe, nMatchStanding) = prefixedSigs(ws, "in_")
-                  spark.table(sigT)
+                  serveAround(spark.table(sigT), retiredDf)
                     .join(broadcast(probe),
                       col("band") === col("in_band") && col("sig") === col("in_sig"))
                     .filter(nMatchStanding >= g.minMatches)
@@ -568,6 +644,26 @@ object CorpusIngest {
           // their fps anyway is a safe over-approximation per the Bloom
           // contract.
           gate.add(fps.filterNot(dupSet))
+          // un-retire: a landed doc_id that was pending takedown just
+          // re-ingested — append retire=false ledger events so the
+          // serve-around stops hiding the fresh copy. Runs only while
+          // a retire is pending (retiredSet nonempty — the rare state);
+          // the landed∩pending intersection is one batch-priced
+          // semi-join against the broadcast pending set, and the write
+          // is an APPEND of literal rows (never reads the ledger — no
+          // self-insert, no lost-update window with a concurrent
+          // retireDocs).
+          retiredDf.foreach { pend =>
+            import spark.implicits._
+            val landedRetired = finalFresh.select(col("doc_id"))
+              .join(pend, Seq("doc_id"), "left_semi")
+              .distinct().as[Long].collect()
+            if (landedRetired.nonEmpty)
+              landedRetired.toSeq.toDF("doc_id")
+                .withColumn("ts", current_timestamp())
+                .withColumn("retire", lit(false))
+                .write.mode("append").saveAsTable(retiredTable(corpus))
+          }
         } finally {
           withSig.foreach(_.unpersist())
           if (gated) fresh.unpersist()
@@ -589,12 +685,31 @@ object CorpusIngest {
   def compact(spark: SparkSession, corpus: BucketedCorpus,
               semantic: Boolean = false,
               retention: Option[graft.sources.Layout.RetentionPolicy] = None): Unit = {
+    // pending takedowns ride the compaction rewrite — the physical half
+    // of the retire lifecycle ([[retireDocs]] wrote only tombstones).
+    // The retired set is collected once (bounded by takedown traffic)
+    // and anti-joined as the rewrite's row transform; the same pass
+    // also collapses the identical duplicate rows a same-doc_id
+    // re-ingest leaves behind (see retireDocs — dups can ONLY arise
+    // from the retire lifecycle, so the dedup runs only when a retire
+    // table exists). Crash-safe: tombstones are dropped LAST, so a
+    // crash mid-compact re-runs the purge idempotently and readers
+    // keep serving around the still-pending set.
+    val hadRetired = spark.catalog.tableExists(retiredTable(corpus))
+    val retired = retiredIds(spark, corpus).map(broadcast)
+    def purge(dedupCols: Seq[String])(df: DataFrame): DataFrame =
+      if (!hadRetired) df
+      else serveAround(df, retired).dropDuplicates(dedupCols)
     graft.sources.Layout.rewriteBucketed(
       spark, corpus.table, "fp", corpus.buckets,
-      if (semantic) Seq("cluster") else Nil)
+      if (semantic) Seq("cluster") else Nil,
+      purge(Seq("fp")))
     if (spark.catalog.tableExists(sigsTable(corpus)))
       graft.sources.Layout.rewriteBucketed(
-        spark, sigsTable(corpus), "sig", corpus.buckets)
+        spark, sigsTable(corpus), "sig", corpus.buckets, Nil,
+        purge(Seq("doc_id", "band")))
+    if (hadRetired)
+      spark.sql(s"DROP TABLE IF EXISTS ${retiredTable(corpus)}")
     // retention rides the same maintenance cadence: expire date
     // partitions of the companion time-series sink past the magnetic
     // TTL (the reference's MagneticStoreRetentionPeriodInDays,
@@ -603,49 +718,48 @@ object CorpusIngest {
     retention.foreach(p => graft.sources.Layout.applyRetention(spark, p))
   }
 
-  /** TAKEDOWN across the standing ingest corpus — remove documents by
-    * doc_id from the bucketed corpus table AND their band signatures
-    * from the sigs table (retired content must stop generating near-dup
-    * quarantines: a fresh near-duplicate of a taken-down page should
-    * LAND, not chase a ghost).
+  /** TAKEDOWN across the standing ingest corpus — O(takedown), not
+    * O(corpus): append the doc_ids to the `<corpus>_retired` tombstone
+    * table and STOP. No corpus or sigs file is touched (IngestSpec pins
+    * byte-identity of every standing file across a retire). Legal
+    * effect is immediate because every standing reader serves AROUND
+    * the tombstones ([[activeCorpus]]; the ingest probes —
+    * [[standingDups]]' scan, the semantic cluster scan, the sigs-table
+    * band probe — all anti-join the broadcast retired set), so a
+    * retired document stops surfacing and stops generating dedup /
+    * near-dup quarantines on the very next batch. The physical rewrite
+    * is DEFERRED to the next scheduled [[compact]], which folds the
+    * tombstone anti-join into the rewrite it was doing anyway — the
+    * same tombstone-then-compact split the ANN index retire lifecycle
+    * uses ([[graft.queries.SimilarityQueries.ivfIndexDelete]] /
+    * `ivfIndexCompact`).
     *
     * The driver Bloom gate needs NO surgery: its contract is a pure
     * over-approximation of the standing fp set, so a stale
     * "maybe standing" for a retired fp falls through to the exact
-    * standing probe — which now finds nothing — and a retired document
-    * RE-INGESTED later lands correctly with the gate still warm
-    * (IngestSpec pins exactly that round trip, mid-stream).
+    * standing probe — which serves around the tombstone and finds
+    * nothing — and a retired document RE-INGESTED later lands correctly
+    * with the gate still warm (IngestSpec pins exactly that round
+    * trip, mid-stream).
     *
-    * Rewrite discipline: bucketed tables have no per-key directories to
-    * scope to (unlike the IVF/LSH posting layouts), so retire rides
-    * [[graft.sources.Layout.rewriteBucketed]]'s tmp-swap with the
-    * takedown anti-join as its row transform — ONE shared swap/crash-
-    * recovery path with the compaction pass, a full rewrite by
-    * construction, amortized across takedown batches; bucket/sort/
-    * partition layout is preserved, so every downstream equijoin stays
-    * exchange-free.
+    * Re-ingest under the SAME doc_id un-retires it: the appender
+    * appends retire=false ledger events for landed doc_ids that were
+    * pending (otherwise the tombstone would hide the fresh copy too).
+    * Until the next compact the corpus then physically holds two
+    * identical rows for that fp — harmless to the semi-join probes,
+    * collapsed by [[compact]]'s dedup pass. Contract: doc_id is a
+    * stable content identity — re-using a retired doc_id for DIFFERENT
+    * content is unsupported (assign new content a new id).
     *
-    * MAINTENANCE-CADENCE op, like [[compact]]: the swap's DROP→RENAME
-    * window races a concurrently-committing ingest micro-batch (the
-    * appender would see "no table" and bootstrap a fresh one). The
-    * appender refuses to run mid-swap (loud failure, see
-    * [[appendDedupedBucketed]]'s guard), so the race costs a failed
-    * batch to retry, never the corpus; run retire between batches —
-    * the stream itself may stay up, as IngestSpec's round trip does. */
+    * Unlike the old full-rewrite design this is safe to run against a
+    * LIVE appender: both writers only append to the tiny event ledger
+    * (see [[retiredTable]]), so no interleaving can lose an update. */
   def retireDocs(spark: SparkSession, corpus: BucketedCorpus,
-      ids: DataFrame): Unit = {
-    def drop(df: DataFrame): DataFrame =
-      df.join(broadcast(ids.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_anti")
-    val partCols =
-      if (spark.catalog.tableExists(corpus.table) &&
-          spark.table(corpus.table).columns.contains("cluster")) Seq("cluster")
-      else Nil
-    graft.sources.Layout.rewriteBucketed(
-      spark, corpus.table, "fp", corpus.buckets, partCols, drop)
-    graft.sources.Layout.rewriteBucketed(
-      spark, sigsTable(corpus), "sig", corpus.buckets, Nil, drop)
-  }
+      ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .withColumn("ts", current_timestamp())
+      .withColumn("retire", lit(true))
+      .write.mode("append").saveAsTable(retiredTable(corpus))
 
   /** A corpus exists when its directory already holds parquet data —
     * a bare/nonexistent dir is the first-batch bootstrap case, not an

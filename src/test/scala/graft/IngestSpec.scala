@@ -567,7 +567,24 @@ class IngestSpec extends SparkSuite {
     assert(b.length == 1 && b.head.contains("oops"))
   }
 
-  test("corpus takedown: retired doc re-ingests past a warm (stale) Bloom gate, mid-stream") {
+  /** (name -> md5) of every data file under a managed table's location
+    * — the byte-identity probe for O(takedown) retire. */
+  private def tableFileHashes(table: String): Map[String, String] = {
+    val loc = new java.io.File(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.startsWith("part-")) Seq(f) else Nil
+    walk(loc).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      f.getName -> md.map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("corpus takedown: O(takedown) tombstone — standing files byte-identical, " +
+      "immediate serve-around, re-ingest past a warm Bloom, compact purges") {
     import graft.streaming.CorpusIngest
     import graft.streaming.CorpusIngest.BucketedCorpus
     import spark.implicits._
@@ -575,7 +592,8 @@ class IngestSpec extends SparkSuite {
     val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
     new java.io.File(watch).mkdirs()
     val corpus = BucketedCorpus(table = "corpus_retire_test", buckets = 4)
-    spark.sql(s"DROP TABLE IF EXISTS ${corpus.table}")
+    Seq(corpus.table, s"${corpus.table}_retired")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // ONE continuous stream session: the Bloom gate stays warm across
     // the takedown — the exact scenario the over-approximation contract
     // exists for
@@ -592,30 +610,90 @@ class IngestSpec extends SparkSuite {
         .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
 
       // takedown doc 1 while the stream (and its Bloom, which learned
-      // doc 1's fp) keeps running
+      // doc 1's fp) keeps running — the tombstone write must not touch
+      // ANY standing corpus file (that is the O(takedown) claim)
+      val before = tableFileHashes(corpus.table)
       CorpusIngest.retireDocs(spark, corpus, Seq(1L).toDF("doc_id"))
-      spark.catalog.refreshTable(corpus.table)
-      assert(spark.table(corpus.table).collect()
+      assert(tableFileHashes(corpus.table) == before,
+        "retire must be a pure tombstone append: corpus files byte-identical")
+      // immediate legal effect through the ACTIVE view; the physical
+      // rows await the next compact
+      assert(CorpusIngest.activeCorpus(spark, corpus).collect()
         .map(_.getAs[Long]("doc_id")).toSeq == Seq(2L),
-        "retire must remove the doc from the standing corpus")
+        "activeCorpus must hide the retired doc immediately")
+      assert(spark.table(corpus.table).count() == 2,
+        "physical rows are compact's job, not retire's")
 
-      // the SAME text re-ingests: the stale Bloom says "maybe standing",
-      // the exact standing probe finds nothing, the doc LANDS — takedown
-      // never poisons future ingestion of re-licensed content
+      // the SAME text re-ingests under a new id: the stale Bloom says
+      // "maybe standing", the exact standing probe serves around the
+      // tombstone and finds nothing, the doc LANDS — takedown never
+      // poisons future ingestion of re-licensed content
       writeLines(s"$watch/shard-2.jsonl", Seq(
         """{"doc_id": 20, "text": "taken  DOWN content", "lang": "en"}""",
         """{"doc_id": 2, "text": "innocent bystander", "lang": "en"}"""
       ), gzip = false)
       gq.processAllAvailable()
+      spark.catalog.refreshTable(corpus.table)
+      assert(CorpusIngest.activeCorpus(spark, corpus).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(2L, 20L),
+        "re-ingest of retired content must land; the standing dup (doc 2) must not")
     } finally { gq.stop(); bq.stop() }
+
+    // compact: the physical half — retired rows purged, ledger cleared,
+    // bucketed layout preserved
+    CorpusIngest.compact(spark, corpus)
     spark.catalog.refreshTable(corpus.table)
     assert(spark.table(corpus.table).collect()
       .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(2L, 20L),
-      "re-ingest of retired content must land; the standing dup (doc 2) must not")
-    // bucketed layout preserved through the retire rewrite
+      "compact must physically remove the tombstoned rows")
+    assert(!spark.catalog.tableExists(s"${corpus.table}_retired"),
+      "compact must clear the tombstone ledger")
     val cat = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(corpus.table))
     assert(cat.bucketSpec.exists(b =>
       b.numBuckets == corpus.buckets && b.bucketColumnNames == Seq("fp")))
+  }
+
+  test("corpus takedown: same-doc_id re-ingest un-retires via the event ledger; " +
+      "compact collapses the twin rows") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_unretire").toString
+    val watch = s"$base/landing"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_unretire_test", buckets = 4)
+    Seq(corpus.table, s"${corpus.table}_retired")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      s"$base/quarantine", s"$base/ckpt", availableNow = false)
+    try {
+      writeLines(s"$watch/shard-1.jsonl", Seq(
+        """{"doc_id": 1, "text": "first body", "lang": "en"}""",
+        """{"doc_id": 2, "text": "second body", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+      CorpusIngest.retireDocs(spark, corpus, Seq(1L).toDF("doc_id"))
+      assert(CorpusIngest.activeCorpus(spark, corpus).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+      // the SAME doc (same id, same text) comes back: must land AND be
+      // visible — the appender's un-retire event flips the ledger
+      writeLines(s"$watch/shard-2.jsonl", Seq(
+        """{"doc_id": 1, "text": "first body", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+      spark.catalog.refreshTable(corpus.table)
+      // twin physical rows for doc 1 until compact — visible (the doc
+      // is legally back), collapsed by the next compact
+      assert(CorpusIngest.activeCorpus(spark, corpus).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq.distinct == Seq(1L, 2L),
+        "same-id re-ingest must un-retire the doc")
+      assert(spark.table(corpus.table).count() == 3)
+    } finally { gq.stop(); bq.stop() }
+    CorpusIngest.compact(spark, corpus)
+    spark.catalog.refreshTable(corpus.table)
+    val rows = spark.table(corpus.table).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L),
+      "compact must keep exactly one copy per fp and drop nothing live")
   }
 }
