@@ -176,6 +176,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(e.sparkSession, indexPath)
   }
 
   /** Serve [[annIvf]]'s query from a PERSISTED index: route the query
@@ -451,6 +452,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath)
   }
 
   /** [[annIvfTrained]] served from the PERSISTED trained index —
@@ -2007,6 +2009,7 @@ object SimilarityQueries {
       .join(asn.select(col("vec_id").as("vid"), col("bucket")), "vid")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
   }
 
   /** Serve [[ivfPqAnn]] from a PERSISTED index ([[buildIvfPqIndex]]) —
@@ -2124,6 +2127,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath)
   }
 
   /** One insert batch: route the delta slice (vec_id % 4 == 0) with the
@@ -2133,10 +2137,11 @@ object SimilarityQueries {
   def appendIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val delta = withNorm(Tables.embeddings(spark, dir))
       .filter(col("vec_id") % 4 === 0)
-    assignFromCents(delta, storedCents(spark, indexPath))
+    val asn = assignFromCents(delta, storedCents(spark, indexPath))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-      .write.partitionBy("bucket").mode("append")
+    asn.write.partitionBy("bucket").mode("append")
       .parquet(s"$indexPath/postings")
+    appendIdMap(asn, indexPath)
   }
 
   /** The persisted centroid table folded to the one-row broadcastable
@@ -2183,6 +2188,7 @@ object SimilarityQueries {
       .join(asn.select(col("vec_id").as("vid"), col("bucket")), "vid")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
   }
 
   /** One insert batch for the composite index: route AND residual-encode
@@ -2202,6 +2208,7 @@ object SimilarityQueries {
       .join(asnD.select(col("vec_id").as("vid"), col("bucket")), "vid")
       .write.partitionBy("bucket").mode("append")
       .parquet(s"$indexPath/postings")
+    appendIdMap(asnD, indexPath)
   }
 
   /** [[ivfPqAnnServe]] over the incrementally-grown composite index —
@@ -2321,16 +2328,54 @@ object SimilarityQueries {
     * uses id % 10 == 7 as "the takedown batch"). */
   private def retiredPred(idCol: Column): Column = idCol % 10 === 7
 
-  /** Tombstone a batch of vector ids in the persisted IVF index: resolve
-    * each id's bucket with ONE column-pruned postings read (vec_id + the
-    * partition value — no embedding bytes), append (vec_id, bucket)
-    * tombstones. No posting file is touched — delete is O(batch), and
-    * the recorded bucket is what lets [[ivfIndexCompact]] stay
-    * partition-scoped. */
+  /** Maintain the (vec_id, bucket) SIDECAR every IVF-family
+    * build/append writes beside its postings: two longs per indexed
+    * vector, read back column-pruned from the just-written postings
+    * (build) or written straight from the delta assignment (append).
+    * This is what keeps [[ivfIndexDelete]] off the postings entirely —
+    * a delete batch resolves its buckets against the sidecar, never
+    * against the posting files' embedding/code bytes. `dedup` is for
+    * the IVFPQ layout, whose postings carry M code rows per vector. */
+  private def writeIdMapFromPostings(spark: SparkSession, indexPath: String,
+      idCol: String = "vec_id", dedup: Boolean = false): Unit = {
+    val pairs = spark.read.parquet(s"$indexPath/postings")
+      .select(col(idCol).as("vec_id"), col("bucket"))
+    (if (dedup) pairs.distinct() else pairs)
+      .write.mode("overwrite").parquet(s"$indexPath/idmap")
+  }
+
+  /** Append-side sidecar maintenance: the delta's (vec_id, bucket)
+    * pairs, delta-priced (the assignment frame is already in hand). */
+  private def appendIdMap(asn: DataFrame, indexPath: String): Unit =
+    asn.select(col("vec_id"), col("bucket"))
+      .write.mode("append").parquet(s"$indexPath/idmap")
+
+  /** Resolve a delete batch's (vec_id, bucket) rows — against the
+    * sidecar when present (O(two longs per indexed vector), zero
+    * posting bytes read — PlanSpec pins that the resolution touches no
+    * `postings/` file), falling back to a column-pruned postings read
+    * for indexes built before the sidecar existed. Exposed for the
+    * PlanSpec pin. */
+  private[graft] def deleteResolutionFrame(spark: SparkSession, indexPath: String,
+      ids: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val idmap = new org.apache.hadoop.fs.Path(s"$indexPath/idmap")
+    val fs = idmap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairs =
+      if (fs.exists(idmap)) spark.read.parquet(idmap.toString)
+      else spark.read.parquet(s"$indexPath/postings")
+        .select(col(idCol).as("vec_id"), col("bucket")).distinct()
+    pairs.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+  }
+
+  /** Tombstone a batch of vector ids in the persisted IVF index:
+    * resolve each id's bucket against the (vec_id, bucket) sidecar
+    * ([[deleteResolutionFrame]] — the postings are never read), append
+    * (vec_id, bucket) tombstones. No posting file is touched, no
+    * embedding byte is read — the cost is the delete batch plus one
+    * scan of the two-longs-per-vector sidecar — and the recorded
+    * bucket is what lets [[ivfIndexCompact]] stay partition-scoped. */
   def ivfIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
-    spark.read.parquet(s"$indexPath/postings")
-      .select(col("vec_id"), col("bucket"))
-      .join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+    deleteResolutionFrame(spark, indexPath, ids)
       .write.mode("append").parquet(s"$indexPath/tombstones")
 
   /** Physically remove tombstoned vectors: read ONLY the touched bucket
@@ -2382,6 +2427,21 @@ object SimilarityQueries {
         if (!anyLeft)
           survivors.drop("bucket").limit(0).write.mode("overwrite")
             .parquet(s"$indexPath/postings/bucket=${touched.head}")
+        // sidecar hygiene: drop the physically-removed ids from the
+        // (vec_id, bucket) idmap so its size keeps tracking the LIVE
+        // index across delete/compact cycles (tmp-write + rename — a
+        // crash between the delete and the rename just loses the
+        // sidecar, and future deletes fall back to the column-pruned
+        // postings scan until the next build)
+        val idmapPath = new org.apache.hadoop.fs.Path(s"$indexPath/idmap")
+        if (fs.exists(idmapPath)) {
+          val idmapTmp = new org.apache.hadoop.fs.Path(s"$indexPath/idmap_tmp")
+          val idmap = spark.read.parquet(idmapPath.toString)
+          idmap.join(tombIds, idmap("vec_id") === tombIds("_tomb_del"), "left_anti")
+            .write.mode("overwrite").parquet(idmapTmp.toString)
+          fs.delete(idmapPath, true)
+          fs.rename(idmapTmp, idmapPath)
+        }
       } finally survivors.unpersist()
     }
     fs.delete(tombPath, true)
@@ -2434,14 +2494,12 @@ object SimilarityQueries {
       idx)
   }
 
-  /** [[ivfIndexDelete]] for the COMPOSITE (IVFPQ) index: postings hold
-    * M code rows per vector, so the bucket lookup reads the (vid,
-    * bucket) pair distinct — still one column-pruned read, no code
-    * bytes touched. */
+  /** [[ivfIndexDelete]] for the COMPOSITE (IVFPQ) index — the same
+    * sidecar resolution (the sidecar holds one (vec_id, bucket) pair
+    * per vector even though postings carry M code rows); the legacy
+    * fallback reads the (vid, bucket) pair distinct. */
   def ivfPqIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
-    spark.read.parquet(s"$indexPath/postings")
-      .select(col("vid").as("vec_id"), col("bucket")).distinct()
-      .join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+    deleteResolutionFrame(spark, indexPath, ids, idCol = "vid")
       .write.mode("append").parquet(s"$indexPath/tombstones")
 
   /** IVFPQ serving after a takedown batch, tombstones live —

@@ -91,6 +91,52 @@ class IndexRetireSpec extends SparkSuite {
     assert(fileSigs(s"$idx/postings") == after)
   }
 
+  test("delete resolution: sidecar-only (zero postings files read), appended ids covered, " +
+      "compact prunes the sidecar, legacy fallback intact") {
+    import spark.implicits._
+    val idx = JFiles.createTempDirectory("ivf_sidecar").toString
+    q.buildIvfIndexBase(spark, dir, idx)
+    q.appendIvfIndex(spark, dir, idx)
+    val ids = Seq(7L, 8L, 17L).toDF("vec_id") // 8 is an appended (%4==0) id
+    // the resolution plan must touch the idmap sidecar ONLY — never a
+    // posting file (the O(two-longs-per-vector) cost claim)
+    val res = q.deleteResolutionFrame(spark, idx, ids)
+    val files = res.inputFiles
+    assert(files.nonEmpty && files.forall(f => !f.contains("/postings")),
+      s"delete resolution must not read postings, read: ${files.mkString(",")}")
+    assert(files.forall(_.contains("/idmap")))
+    // appended ids resolve too (appendIdMap keeps the sidecar complete)
+    val resolved = res.select("vec_id").collect().map(r => num(r.get(0))).toSet
+    assert(resolved == Set(7L, 8L, 17L))
+    // buckets agree with the postings' ground truth
+    val truth = spark.read.parquet(s"$idx/postings")
+      .filter(col("vec_id").isin(7L, 8L, 17L))
+      .select("vec_id", "bucket").collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet
+    assert(res.select("vec_id", "bucket").collect()
+      .map(r => (num(r.get(0)), num(r.get(1)))).toSet == truth)
+
+    // delete + compact: the sidecar is pruned alongside the postings
+    q.ivfIndexDelete(spark, idx, ids)
+    q.ivfIndexCompact(spark, idx)
+    val idmapIds = spark.read.parquet(s"$idx/idmap")
+      .select("vec_id").collect().map(r => num(r.get(0))).toSet
+    assert(idmapIds.intersect(Set(7L, 8L, 17L)).isEmpty,
+      "compact must drop removed ids from the sidecar")
+    val liveIds = spark.read.parquet(s"$idx/postings")
+      .select("vec_id").collect().map(r => num(r.get(0))).toSet
+    assert(idmapIds == liveIds, "sidecar must track the live index exactly")
+
+    // legacy fallback: an index without a sidecar still resolves, via
+    // the column-pruned postings read
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/idmap"), true)
+    val legacy = q.deleteResolutionFrame(spark, idx, Seq(27L).toDF("vec_id"))
+    assert(legacy.inputFiles.forall(_.contains("/postings")))
+    assert(legacy.select("vec_id").collect().map(r => num(r.get(0))).toSet == Set(27L))
+  }
+
   test("IVF retire: a fully-deleted bucket's directory is dropped") {
     val idx = JFiles.createTempDirectory("ivf_retire_full").toString
     q.buildIvfIndex(spark, dir, idx)
