@@ -46,7 +46,17 @@ object AnnServe {
     * piece of index state that legitimately changes under a live
     * stream), so a takedown (`ivfIndexDelete`) stops surfacing on the
     * NEXT micro-batch with no stream restart — the online half of the
-    * retire lifecycle. */
+    * retire lifecycle.
+    *
+    * Append-during-serve contract (StreamingSpec pins it): the POSTING
+    * read is per-batch, so an `ivfIndexAppend` lands on the next
+    * micro-batch with no restart, and the streamed results equal the
+    * batch served query over the appended index. The CENTROIDS are
+    * frozen for the life of the stream by design — append routes new
+    * vectors through the same stored centroids, so the cached copy is
+    * never stale with respect to routing; only a full REBUILD (new
+    * centroids) requires a stream restart, because a rebuild changes
+    * what the posting buckets MEAN. */
   def start(
       spark: SparkSession,
       queries: DataFrame,
@@ -68,6 +78,28 @@ object AnnServe {
           batch.sparkSession, batch, centRow, indexPath, nprobe,
           tombstoneAware), id)
       }
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // release the centroid cache when THIS query terminates — without
+    // it every serve stream leaks a session-lifetime cache entry. The
+    // release is guarded (idempotent) because the listener callback and
+    // the already-terminated check below can race on a fast
+    // AvailableNow stream; the post-registration isActive check covers
+    // a termination event that fired before the listener existed.
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) centRow.unpersist()
+    val qid = q.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) { release(); spark.streams.removeListener(this) }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) { release(); spark.streams.removeListener(listener) }
+    q
   }
 }
