@@ -231,9 +231,10 @@ object SparkEntry {
     "vocab_coverage" -> (TextQueries.vocabCoverage _),
     "bpe_pairs" -> (TextQueries.bpePairs _),
     "bpe_train" -> (TextQueries.bpeTrain _),
-    // no oracleSql entries for the two DEFLATE-backed queries: DEFLATE
-    // has no DuckDB counterpart — the driver records rows-only checks;
-    // CompressRatioSpec and the ncd_neardup spec are the gates
+    // DEFLATE itself has no DuckDB counterpart, but since round 13 the
+    // per-doc/per-pair sizes are OracleFixtures tables and everything
+    // downstream is hash-gated; CompressRatioSpec and the ncd_neardup
+    // spec keep gating the kernel
     "compress_ratio" -> (TextQueries.compressRatio _),
     "ncd_neardup" -> (TextQueries.ncdNearDup _),
     "filtered_ann" -> (SimilarityQueries.filteredAnn _),
@@ -255,10 +256,10 @@ object SparkEntry {
     "ivfpq_ann" -> (SimilarityQueries.ivfPqAnn _),
     "ivfpq_ann_served" -> (SimilarityQueries.ivfPqAnnServed _),
     "ivfpq_recall" -> (SimilarityQueries.ivfPqRecall _),
-    // no oracle entry (sketches are engine-specific): driver records a
-    // rows-only check, by design; error-bound-tested in ApproxStatsSpec
-    // against exact_distinct below, which IS oracle-checked
-    "approx_stats" -> (AnalyticsQueries.approxStats _),
+    // sketch VALUES are engine-specific, but their accuracy CONTRACTS
+    // are oracled invariants (booleans vs exact SQL bounds) since
+    // round 13; ApproxStatsSpec keeps the tighter raw-sketch gate
+    "approx_stats" -> (AnalyticsQueries.approxStatsChecked _),
     "exact_distinct" -> (AnalyticsQueries.exactDistinct _)
   )
 
@@ -1687,6 +1688,61 @@ object SparkEntry {
     "minhash_lsh" ->
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "approx_stats" ->
+      // the sketch values are engine-specific; the RESULT is the exact
+      // distinct count (hash-gated) plus accuracy-contract booleans the
+      // oracle pins to literal TRUE — an approximation outside its
+      // documented bound hash-mismatches
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "compress_ratio" ->
+      // per-doc DEFLATE sizes come from the engine's fixture table
+      // (OracleFixtures — the kernel is spec-gated); ratio, binning,
+      // and the per-bin aggregate are recomputed here
+      s"""WITH s AS (SELECT n_bytes, deflate_bytes,
+         |    CAST(deflate_bytes AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS ratio
+         |  FROM ${graft.queries.OracleFixtures.sqlRef("compress_sizes")}),
+         |b AS (SELECT LEAST(CAST(floor(ratio * 10.0) AS BIGINT), 15) AS bin, s.* FROM s)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bytes) AS BIGINT) AS raw_bytes,
+         |  CAST(sum(deflate_bytes) AS BIGINT) AS deflate_bytes,
+         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
+         |FROM b GROUP BY 1""".stripMargin,
+    "ncd_neardup" ->
+      // DEFLATE sizes from the engine fixture; the candidate pair set is
+      // RE-DERIVED from scratch (the shared LSH pipeline) and inner-
+      // joined to the fixture, so a pair-set disagreement surfaces as a
+      // row-count mismatch; the NCD formula is recomputed exactly
+      s"""WITH $LshCandBody,
+         |f AS (SELECT * FROM ${graft.queries.OracleFixtures.sqlRef("ncd_sizes")})
+         |SELECT f.doc_a, f.doc_b, f.ca, f.cb, f.cxy,
+         |  CAST(f.cxy - LEAST(f.ca, f.cb) AS DOUBLE)
+         |    / CAST(GREATEST(f.ca, f.cb) AS DOUBLE) AS ncd
+         |FROM cand c JOIN f ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b""".stripMargin,
+    "video_neardup" ->
+      // decoded keyframe dHashes from the engine fixture (the Y4M
+      // container parse is the spec-gated kernel); banding, the
+      // aligned-keyframe filter, the Hamming re-check, and the clip
+      // rollup are recomputed here
+      s"""WITH p AS (SELECT doc_id, ph_lo, ph_hi
+         |  FROM ${graft.queries.OracleFixtures.sqlRef("video_ph")}),
+         |banded AS (SELECT doc_id, ph_lo, ph_hi, b.b AS b,
+         |    CASE WHEN b.b < 2 THEN (ph_lo >> (16 * b.b)) & 65535
+         |         ELSE (ph_hi >> (16 * (b.b - 2))) & 65535 END AS band_val
+         |  FROM p, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.ph_lo AS la, a.ph_hi AS ha, c.ph_lo AS lb, c.ph_hi AS hb
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id),
+         |h AS (SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |  FROM cand
+         |  WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 10
+         |    AND doc_a % 10 = doc_b % 10)
+         |SELECT doc_a // 10 AS clip_a, doc_b // 10 AS clip_b,
+         |  CAST(count(*) AS BIGINT) AS n_matched_frames, max(hamming) AS max_hamming
+         |FROM h GROUP BY 1, 2""".stripMargin,
     "incremental_neardup" ->
       // the persisted-index serving path must equal the full-corpus LSH
       // pair set restricted to pairs touching the delta slice (doc_id%4==0)

@@ -43,8 +43,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle SQL may reference engine-computed fixture tables keyed by
+    // the SF tag (graft.queries.OracleFixtures) — resolve the token for
+    // THIS run so the dumped json pairs with the fixtures this run wrote
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.queries.OracleFixtures.substitute(v, sfDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -550,6 +550,37 @@ object AnalyticsQueries {
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value")
       )
 
+  /** [[approxStats]] recast as an ORACLED INVARIANT frame — the
+    * registered `approx_stats` query. The sketch VALUES are
+    * engine-specific (HLL++ registers, KLL-style quantile summaries
+    * have no DuckDB counterpart), but their ACCURACY CONTRACTS are
+    * plain SQL: per group the frame carries the exact distinct count
+    * (hash-gated) plus three booleans asserting each approximation sits
+    * inside a bound far looser than its documented error — HLL at
+    * rsd = 0.01 within ±5% of exact (5 σ), the accuracy-10000 quantile
+    * sketches (rank error ≤ 10⁻⁴) between the exact 0.45/0.55 and
+    * 0.985/0.995 quantiles. The oracle emits literal TRUE per group, so
+    * any approximation drifting outside its contract hash-mismatches.
+    * ApproxStatsSpec keeps gating the raw sketch frame tighter. */
+  def approxStatsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        expr("percentile(value, 0.45D)").as("p45"),
+        expr("percentile(value, 0.55D)").as("p55"),
+        expr("percentile(value, 0.985D)").as("p985"),
+        expr("percentile(value, 0.995D)").as("p995"))
+    approxStats(spark, dir).join(exact, "event_type")
+      .select(
+        col("event_type"),
+        col("n_users"),
+        (abs(col("approx_users") - col("n_users")) <=
+          col("n_users").cast("double") * lit(0.05)).as("hll_ok"),
+        col("p50_value").between(col("p45"), col("p55")).as("p50_ok"),
+        col("p99_value").between(col("p985"), col("p995")).as("p99_ok"))
+  }
+
   /** Exact per-group distinct users — the cross-engine anchor for
     * [[approxStats]]'s HLL++ sketch, which is engine-specific and can
     * only get a rows-only check from the oracle. Registered as the

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Engine-computed ORACLE FIXTURES — the seam that shrinks the
+  * no-oracle set to the true engine-only kernels.
+  *
+  * Some kernels (DEFLATE sizes, container decodes) have no DuckDB
+  * counterpart, so queries built on them historically had no oracle at
+  * all — even though everything DOWNSTREAM of the kernel (binning,
+  * ratio math, banding, Hamming re-checks, rollups) is ordinary
+  * relational work DuckDB can recompute exactly. The fixture mechanism
+  * splits the query at that seam: the engine materializes the kernel's
+  * per-row outputs as a parquet table under a deterministic path, the
+  * query's RESULT is then derived from the read-back fixture, and the
+  * oracle SQL recomputes the same downstream over
+  * `read_parquet('<fixture>')`. The kernel itself stays gated by its
+  * spec (interpreted-vs-codegen equality, container-bypass recomputes);
+  * the oracle now hash-gates every relational step after it.
+  *
+  * Paths are keyed by the SF directory's basename so interleaved
+  * verify runs at different scales never read each other's fixtures;
+  * oracle SQL embeds the [[SfToken]] placeholder, which
+  * [[graft.Verify]] substitutes with the run's actual tag when dumping
+  * `oracle_sql.json`. The root lives under the build's `target/`
+  * directory: stable, absolute, writable, and never committed.
+  *
+  * Scale note: a fixture write is one extra narrow-column parquet dump
+  * per query run — kernel outputs only (ids + longs), never text or
+  * payload bytes.
+  */
+object OracleFixtures {
+
+  /** Placeholder the oracle SQL uses where the per-run SF tag goes. */
+  val SfToken = "__SF__"
+
+  private val Root = "/root/repo/target/oracle_fixtures"
+
+  private def tag(dir: String): String = new java.io.File(dir).getName
+
+  /** Deterministic fixture path for (sf dir, fixture name). */
+  def path(dir: String, name: String): String = s"$Root/${tag(dir)}/$name"
+
+  /** The DuckDB-side reference to the same fixture, with the SF tag
+    * still tokenized (substituted at dump time by [[graft.Verify]]). */
+  def sqlRef(name: String): String =
+    s"read_parquet('$Root/$SfToken/$name/*.parquet')"
+
+  /** Resolve [[SfToken]] in an oracle SQL string for a concrete run. */
+  def substitute(sql: String, dir: String): String =
+    sql.replace(SfToken, tag(dir))
+
+  /** Materialize `df` as the fixture `name` and return the READ-BACK
+    * frame — the query's downstream must build on the read-back, not
+    * the original, so the Spark result and the DuckDB oracle consume
+    * byte-identical kernel outputs. */
+  def materialize(df: DataFrame, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+}

@@ -1110,11 +1110,12 @@ object TextQueries {
     * actually PARSES the Y4M container and dHashes every 2nd keyframe
     * through the shared 64-bit kernel.
     *
-    * No DuckDB oracle — a binary container parse is not
-    * SQL-expressible (same boundary as `compress_ratio`); the spec
-    * pins each emitted hash against a direct-slice driver recompute
-    * that bypasses the container entirely, so a parser regression
-    * cannot hide.
+    * No DuckDB oracle — a binary container parse is not SQL-expressible
+    * and this query's OUTPUT IS the raw hashes (no downstream to
+    * oracle, unlike `video_neardup`, whose banding/rollup is hash-gated
+    * over the fixture these same hashes feed); the spec pins each
+    * emitted hash against a direct-slice driver recompute that bypasses
+    * the container entirely, so a parser regression cannot hide.
     *
     * Scale (100 TB): decode runs where the bytes live
     * (`mapPartitions` codec boundary); only (doc_id, frame, 8-byte
@@ -1166,14 +1167,20 @@ object TextQueries {
     val reenc = videoFrameHashes(spark, dir, 1000000L, "YUV4MPEG2 W16 H8 F30:1 C420\n")
     // fold the keyframe position into the banding key (frame_idx ∈
     // {0, 2} — one decimal digit), so the shared band join only pairs
-    // ALIGNED keyframes; 8-byte hash rows checkpoint, the decode pass
-    // runs once per side
-    val ph = orig.unionByName(reenc)
-      .filter(col("ok"))
-      .select((col("doc_id") * 10 + col("frame_idx")).as("doc_id"),
-        col("phash").bitwiseAND(lit(0xffffffffL)).as("ph_lo"),
-        shiftrightunsigned(col("phash"), 32).as("ph_hi"))
-      .localCheckpoint(true)
+    // ALIGNED keyframes. The decoded frame hashes are the engine-only
+    // kernel (Y4M container parse — spec-gated by the container-bypass
+    // recompute): materialized as the oracle fixture, which ALSO serves
+    // the localCheckpoint role (decode runs once per side, union
+    // branches never re-derive it); the banding, aligned-frame filter,
+    // Hamming re-check, and clip rollup are hash-gated against DuckDB
+    // recomputing them over the fixture.
+    val ph = OracleFixtures.materialize(
+      orig.unionByName(reenc)
+        .filter(col("ok"))
+        .select((col("doc_id") * 10 + col("frame_idx")).as("doc_id"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("ph_lo"),
+          shiftrightunsigned(col("phash"), 32).as("ph_hi")),
+      dir, "video_ph")
     bandedHammingJoin(ph, "ph_lo", "ph_hi", maxHamming = 10)
       .filter(pmod(col("doc_a"), lit(10L)) === pmod(col("doc_b"), lit(10L)))
       .groupBy(
@@ -1410,20 +1417,24 @@ object TextQueries {
     * 16-bin histogram fold). The model-free duplication/diversity signal
     * big-corpus curation uses beside stopword and repetition features:
     * template/boilerplate text lands far below natural prose, random
-    * noise barely compresses. No DuckDB counterpart exists, so this is
-    * the repo's second no-oracle surface (after `approx_stats`) —
-    * spec-gated instead: separation on constructed repetitive vs noisy
-    * docs, interpreted-vs-codegen equality, and run-to-run determinism.
+    * noise barely compresses. DEFLATE itself has no DuckDB counterpart,
+    * so the per-doc sizes are split out as an [[OracleFixtures]] table
+    * (the kernel stays gated by CompressRatioSpec: separation,
+    * interpreted-vs-codegen equality, determinism) and everything
+    * downstream — ratio, binning, per-bin counts and byte masses — is
+    * hash-gated against DuckDB recomputing the same SQL over the
+    * fixture.
     *
     * Output: per-ratio-bin doc count + byte mass, so the corpus profile
     * (not 500k raw rows) is the result — the shape a curation gate
     * consumes when picking its keep thresholds. */
   def compressRatio(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
+    val sizes = Tables.documents(spark, dir)
       .select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         deflateSize(col("text")).as("deflate_bytes"))
       .where(col("n_bytes") > 0)
+    val scored = OracleFixtures.materialize(sizes, dir, "compress_sizes")
       .withColumn("ratio",
         col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
       // 16 bins over [0, 1.6): ratios above raw size (tiny docs where the
@@ -1449,8 +1460,13 @@ object TextQueries {
     * rewrites) — a compressor models the SHARED INFORMATION directly.
     * Near-identical docs land near 0; unrelated docs near 1.
     *
-    * No oracle (DEFLATE has no DuckDB counterpart — `compress_ratio`'s
-    * boundary); spec-gated on planted duplicate vs unrelated pairs.
+    * The DEFLATE sizes (per-doc C(x) and per-pair C(xy)) are the
+    * engine-only kernel — split out as an [[OracleFixtures]] table
+    * (the kernel stays spec-gated on planted duplicate vs unrelated
+    * pairs); the candidate pair set and the NCD arithmetic are
+    * hash-gated against DuckDB re-deriving the SAME LSH pairs from
+    * scratch and recomputing the NCD formula over the fixture — a pair
+    * the two engines disagree on surfaces as a row-count mismatch.
     *
     * Scale: candidates are LSH-bounded (never doc×doc); per-doc sizes
     * C(x) compute ONCE on the doc frame before the join, so each
@@ -1459,12 +1475,14 @@ object TextQueries {
   def ncdNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), deflateSize(col("text")).as("cx"))
-    SimilarityQueries.minhashLsh(spark, dir)
+    val sizes = SimilarityQueries.minhashLsh(spark, dir)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
         col("cx").as("ca")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("cx").as("cb")), "doc_b")
       .withColumn("cxy", deflateSize(concat(col("ta"), lit("\n"), col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("cxy"))
+    OracleFixtures.materialize(sizes, dir, "ncd_sizes")
       .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("cxy"),
         ((col("cxy") - least(col("ca"), col("cb"))).cast("double") /
           greatest(col("ca"), col("cb")).cast("double")).as("ncd"))
