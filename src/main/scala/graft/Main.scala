@@ -64,6 +64,29 @@ object Main {
       return
     }
 
+    // --mode curate-stream: the curation pipeline's ALWAYS-ON twin —
+    // JSONL shards landing in --watchDir run the same 5-stage cascade
+    // per micro-batch (graft.streaming.CurateStream shares the batch
+    // stage functions verbatim), appending survivors and a per-batch
+    // manifest row-set to --outDir. --sfDir supplies the document
+    // schema (the fixture documents table's shape).
+    // Usage: graft.Main --mode curate-stream --watchDir in/ --outDir out/
+    //                   --sfDir /root/testdata/sf0.01 [--once true]
+    if (cli.get("mode").contains("curate-stream")) {
+      val watchDir = cli.getOrElse("watchDir", sys.error("--watchDir required"))
+      val outDir = cli.getOrElse("outDir", sys.error("--outDir required"))
+      val sfDir = cli.getOrElse("sfDir", sys.error("--sfDir required (schema source)"))
+      val ckpt = cli.getOrElse("checkpointDir", s"$outDir/_checkpoint")
+      val once = cli.getOrElse("once", "true").toBoolean
+      val spark = mkSession("graft-curate-stream")
+      val schema = graft.sources.Tables.documents(spark, sfDir).schema
+      val (gq, bq) = graft.streaming.CurateStream.start(
+        spark, watchDir, schema, outDir, ckpt, availableNow = once)
+      gq.awaitTermination(); bq.awaitTermination()
+      spark.stop()
+      return
+    }
+
     // --mode index: the index lifecycle as a CLI — build / append /
     // delete / compact a persisted ANN or LSH index, so the
     // build-once/serve-many/retire story is drivable end to end

@@ -35,6 +35,19 @@ object CurationQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersWithRounds(spark, dir)._1
 
+  /** [[dedupClusters]] generic over the document frame — the LSH
+    * band-candidate → min-label-components chain over whatever scope
+    * the caller passes (the streaming curation twin labels each
+    * micro-batch through here, so batch and stream share the clustering
+    * verbatim). */
+  private[graft] def dedupClustersOf(docs: DataFrame): DataFrame = {
+    val edges = SimilarityQueries.lshCandidates(
+        SimilarityQueries.minhashSigsOf(docs.select(col("doc_id"), col("text"))))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = docs.select(col("doc_id").as("node_id"))
+    minLabelComponents(edges, nodes)._1.withColumnRenamed("node_id", "doc_id")
+  }
+
   /** [[dedupClusters]] plus the propagation round count it took — the
     * observable a skew stress test bounds: rounds track component
     * DIAMETER, not size, so a pathological mega-cluster (the shape a
@@ -1161,7 +1174,7 @@ object CurationQueries {
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
     curatedFrom(curationFlags(spark, dir))
 
-  private def curatedFrom(flags: DataFrame): DataFrame =
+  private[graft] def curatedFrom(flags: DataFrame): DataFrame =
     flags.filter(col("pass4"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("shard"), col("start_tok"), col("bin"))
@@ -1202,7 +1215,7 @@ object CurationQueries {
   def curationManifest(spark: SparkSession, dir: String): DataFrame =
     manifestFrom(curationFlags(spark, dir))
 
-  private def manifestFrom(flags: DataFrame): DataFrame = {
+  private[graft] def manifestFrom(flags: DataFrame): DataFrame = {
     def cntTok(p: Column): Seq[Column] = Seq(
       sum(when(p, 1L).otherwise(0L)),
       coalesce(sum(when(p, col("n_tok"))), lit(0L)))
@@ -1252,8 +1265,28 @@ object CurationQueries {
     * Scale (100 TB): the flag windows key on fp / cluster / shard —
     * never an unpartitioned sort; rates are a broadcast; cluster labels
     * come checkpointed from [[dedupClusters]]. */
-  private def curationFlags(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = Tables.documents(spark, dir)
+  private def curationFlags(spark: SparkSession, dir: String): DataFrame =
+    curationFlagsOf(Tables.documents(spark, dir),
+      dedupClusters(spark, dir), standingFps = None)
+
+  /** [[curationFlags]] generic over the document source — the seam the
+    * STREAMING curation twin ([[graft.streaming.CurateStream]]) shares
+    * with the batch pipeline, so per-batch stage semantics can never
+    * drift from the oracle-gated batch stages: same quality predicate,
+    * same fp-keeper window, same keep-best cluster election, same
+    * mixture formula, same packing prefix sum, evaluated over whatever
+    * frame the caller scopes (the whole corpus, or one micro-batch).
+    *
+    * `clusters` carries the (doc_id, cluster) labels for `docs` (the
+    * batch entry passes [[dedupClusters]]; the stream labels each
+    * micro-batch with the same LSH→components chain over the batch).
+    * `standingFps` (streaming only) marks exact fingerprints already
+    * curated by EARLIER batches: a doc whose fp is standing fails the
+    * exact-dedup stage even if it is its batch's keeper — the
+    * cross-batch half of stage 2. */
+  private[graft] def curationFlagsOf(docs: DataFrame, clusters: DataFrame,
+      standingFps: Option[DataFrame]): DataFrame = {
+    val d0 = docs
       .withColumn("tokens", wordTokens(col("text")))
       .withColumn("n_tok", size(col("tokens")).cast("long"))
       .withColumn("fp", contentFingerprint(col("text")))
@@ -1261,15 +1294,26 @@ object CurationQueries {
         col("n_tok") >= 30 && length(col("text")) <= 20000 &&
           langId(col("tokens")) === col("lang") &&
           TextQueries.qualityCol(col("text"), col("tokens")) >= 0.6)
-    // 2. exact dedup among pass1 survivors
+    // 2. exact dedup among pass1 survivors (plus, in streaming, the
+    //    standing-fp serve-around: an fp curated by an earlier batch
+    //    disqualifies the whole group)
     val wFp = Window.partitionBy(col("fp"))
-    val d2 = d0.withColumn("keeper",
-        min(when(col("pass1"), col("doc_id"))).over(wFp))
-      .withColumn("pass2", col("pass1") && col("doc_id") === col("keeper"))
+    val d2base = standingFps match {
+      case Some(sf) => d0.join(
+          broadcast(sf.select(col("fp"), lit(true).as("_standing"))),
+          Seq("fp"), "left")
+        .withColumn("pass1s", col("pass1") && col("_standing").isNull)
+        .drop("_standing")
+      case None => d0.withColumn("pass1s", col("pass1"))
+    }
+    val d2 = d2base.withColumn("keeper",
+        min(when(col("pass1s"), col("doc_id"))).over(wFp))
+      .withColumn("pass2", col("pass1s") && col("doc_id") === col("keeper"))
+      .drop("pass1s")
     // 3. best surviving member per near-dup cluster ((n_chars DESC,
     //    doc_id) == lexicographic min of (-n_chars, doc_id))
     val wCl = Window.partitionBy(col("cluster"))
-    val d3 = d2.join(dedupClusters(spark, dir), "doc_id")
+    val d3 = d2.join(clusters, "doc_id")
       .withColumn("best",
         min(when(col("pass2"),
           struct((-col("n_chars")).as("neg"), col("doc_id").as("did")))).over(wCl))

@@ -1191,7 +1191,7 @@ object SimilarityQueries {
     * [[minhashLsh]]'s candidate generation split out so consumers that
     * ALSO need the signatures ([[minhashEstimate]]) band the SAME
     * frame instead of recomputing the shingle+hash pass. */
-  private def lshCandidates(mins: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(mins: DataFrame): DataFrame = {
     val bands = bandSigs(mins)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.queries.CurationQueries
+import graft.sources.Ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The CURATION pipeline's always-on twin — `--mode curate` driven per
+  * micro-batch, with the same per-stage audit manifest the batch run
+  * writes, appended as one row-set per batch to a STANDING manifest
+  * table. The reference is a streaming job end to end
+  * (StreamingJob.java:119-185 — consume, transform, emit, audit); this
+  * closes the one surface that was batch-only.
+  *
+  * Stage semantics are the batch pipeline's OWN functions, not
+  * re-implementations: every micro-batch runs
+  * [[CurationQueries.curationFlagsOf]] (quality gate → exact-fp keeper
+  * → near-dup keep-best → mixture sampling → packing) over the batch,
+  * so a fixture dropped as ONE batch produces exactly the batch
+  * `curation_manifest` (IngestSpec pins the summed streaming manifest
+  * against it, hash-for-hash). Across batches the stages split into
+  * their natural scopes:
+  *
+  *   - quality: per-document, scope-free — identical in any batching;
+  *   - exact dedup: batch keeper election PLUS the standing-fp
+  *     serve-around (fps curated by earlier batches disqualify later
+  *     arrivals — state is the tiny fp column of the standing curated
+  *     output, not stream memory);
+  *   - near-dup keep-best: batch-scoped by design (the LSH→components
+  *     election runs within the batch; CROSS-batch near-dup policing is
+  *     [[CorpusIngest.MinHashGate]]'s job on the ingest path — a
+  *     curation stream composes downstream of a gated corpus);
+  *   - mixture + packing: epoch-level stages — rates and prefix sums
+  *     are computed over each batch (the epoch the batch represents);
+  *     shard/bin coordinates are per-batch pack units, which is how an
+  *     incremental trainer consumes them.
+  *
+  * Output layout: `outDir/curated` (appended survivor rows +
+  * batch_id), `outDir/manifest` (5 stage rows per batch + batch_id).
+  * The manifest append is at-least-once under batch replay (same
+  * dead-letter stance as the quarantine sinks); consumers aggregate by
+  * (batch_id, stage) last-write or dedup on read.
+  *
+  * Scale (100 TB): per-batch work is batch-priced (the LSH chain, the
+  * windows, the rate fold all scope to the batch); the only standing
+  * read is the curated table's fp COLUMN, Bloom-prunable the same way
+  * [[CorpusIngest.startBucketed]]'s probe is if batches are large —
+  * kept as the plain column read here because curation batches are
+  * admission-controlled like every other foreachBatch edge.
+  */
+object CurateStream {
+
+  /** One micro-batch through the full stage cascade; exposed for direct
+    * batch testing. `standingFps` is the fp column of everything
+    * curated so far (None on the first batch). Returns the manifest
+    * row-set it appended. */
+  private[graft] def curateBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      outDir: String): DataFrame = {
+    val curatedPath = s"$outDir/curated"
+    val standingFps: Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(curatedPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.parquet(curatedPath).select(col("fp")).distinct())
+      else None
+    }
+    val flags = CurationQueries.curationFlagsOf(
+      batch, CurationQueries.dedupClustersOf(batch), standingFps).persist()
+    try {
+      // survivors carry their fp so future batches' standing serve-around
+      // reads one narrow column of this very table
+      CurationQueries.curatedFrom(flags)
+        .join(flags.select(col("doc_id"), col("fp")), "doc_id")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(curatedPath)
+      val m = CurationQueries.manifestFrom(flags)
+        .withColumn("batch_id", lit(batchId))
+      m.write.mode("append").parquet(s"$outDir/manifest")
+      m
+    } finally flags.unpersist()
+  }
+
+  /** Start the streaming curation run: JSONL shards landing in
+    * `watchDir` flow through the 5-stage cascade per micro-batch;
+    * malformed lines quarantine. Returns (curate query, quarantine
+    * query) — await both. */
+  def start(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false,
+      sourceOptions: Map[String, String] = Map.empty
+  ): (StreamingQuery, StreamingQuery) = {
+    val (good, bad) = Ingest.streamJsonl(spark, watchDir, schema, sourceOptions)
+    val goodQ = {
+      val w = good.writeStream
+        .option("checkpointLocation", s"$checkpointDir/curate")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          curateBatch(df.sparkSession, df, id, outDir); ()
+        }
+      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    val badQ = {
+      val w = bad.writeStream
+        .format("parquet")
+        .option("path", s"$outDir/malformed")
+        .option("checkpointLocation", s"$checkpointDir/quarantine")
+      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    (goodQ, badQ)
+  }
+}

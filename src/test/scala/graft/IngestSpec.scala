@@ -567,6 +567,73 @@ class IngestSpec extends SparkSuite {
     assert(b.length == 1 && b.head.contains("oops"))
   }
 
+  test("streaming curation twin: single-drop manifest == batch curation_manifest; " +
+      "standing fps gate the next batch") {
+    import graft.streaming.CurateStream
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_stream").toString
+    val watch = s"$base/landing"; val out = s"$base/out"
+    new java.io.File(watch).mkdirs()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // the whole fixture as ONE JSONL shard (write.json escapes text
+    // losslessly; one part file = one micro-batch)
+    docs.coalesce(1).write.json(s"$base/jsonl")
+    val part = new java.io.File(s"$base/jsonl").listFiles
+      .find(_.getName.endsWith(".json")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$watch/shard-1.jsonl"))
+    val (gq, bq) = CurateStream.start(spark, watch, docs.schema, out,
+      s"$base/ckpt", availableNow = false)
+    try {
+      gq.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("stage_ord"), r.getAs[String]("stage"),
+          r.getAs[Long]("n_in"), r.getAs[Long]("n_out"),
+          r.getAs[Long]("tokens_in"), r.getAs[Long]("tokens_out"))
+      // summed streaming manifest == the batch pipeline's manifest,
+      // column for column — the stages are the SAME functions
+      val streamed = spark.read.parquet(s"$out/manifest")
+        .groupBy(col("stage_ord"), col("stage"))
+        .agg(sum("n_in").as("n_in"), sum("n_out").as("n_out"),
+          sum("tokens_in").as("tokens_in"), sum("tokens_out").as("tokens_out"))
+        .collect().map(key).toSet
+      val batch = graft.queries.CurationQueries.curationManifest(spark, dir)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+      // and the curated rows agree with the batch curated corpus
+      val streamedDocs = spark.read.parquet(s"$out/curated")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batchDocs = graft.queries.CurationQueries.curatedCorpus(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamedDocs == batchDocs)
+
+      // batch 2: a curated doc's TEXT re-arrives under a fresh id — the
+      // standing-fp serve-around must fail it at the exact-dedup stage
+      val dupText = docs.filter(col("doc_id").isin(streamedDocs.toSeq.map(Long.box): _*))
+        .orderBy(col("doc_id")).limit(1).collect()(0)
+      docs.filter(col("doc_id") === dupText.getAs[Long]("doc_id"))
+        .withColumn("doc_id", lit(999999L))
+        .coalesce(1).write.json(s"$base/jsonl2")
+      val part2 = new java.io.File(s"$base/jsonl2").listFiles
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.copy(part2.toPath,
+        java.nio.file.Paths.get(s"$watch/shard-2.jsonl"))
+      gq.processAllAvailable()
+      val m2 = spark.read.parquet(s"$out/manifest")
+        .filter(col("batch_id") === 1L)
+        .collect().map(r => r.getAs[String]("stage") ->
+          (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"))).toMap
+      assert(m2("quality") == ((1L, 1L)),
+        s"the re-arrived doc passes quality again, got $m2")
+      assert(m2("exact_dedup")._2 == 0L,
+        s"standing fp must fail the duplicate at exact dedup, got $m2")
+      assert(spark.read.parquet(s"$out/curated")
+        .filter(col("batch_id") === 1L).count() == 0)
+    } finally { gq.stop(); bq.stop() }
+  }
+
   /** (name -> md5) of every data file under a managed table's location
     * — the byte-identity probe for O(takedown) retire. */
   private def tableFileHashes(table: String): Map[String, String] = {
