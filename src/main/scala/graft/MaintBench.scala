@@ -1,0 +1,130 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import graft.sources.Tables
+import graft.streaming.CorpusIngest
+import graft.streaming.CorpusIngest.BucketedCorpus
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance-lifecycle bench: prices the retire surface — corpus
+  * takedown (tombstone + serve-around + deferred compact) and the
+  * IVF / LSH index delete/compact ops — at TWO fixture scales with a
+  * FIXED-SIZE takedown batch, so the printed sf0.1/sf0.01 ratio
+  * measures how each op's cost scales with the CORPUS while the input
+  * batch stays constant:
+  *
+  *   - `retire` (corpus tombstone append) and `ivf_delete` (sidecar
+  *     resolution) claim O(batch): their ratio should sit near 1;
+  *   - `active_read` (serve-around count) and `ivf_compact`
+  *     (touched-bucket rewrite) claim O(corpus-scan) / O(touched):
+  *     the read ratio tracks the scan, the compact ratio the touched
+  *     buckets (constant batch → bounded touched set);
+  *   - `corpus_compact` and `lsh_compact` are full rewrites BY DESIGN
+  *     (amortized across takedown batches) — their ratio tracks corpus
+  *     size, and printing it keeps that cost model measured, not
+  *     asserted.
+  *
+  * Each op is min-of-2 over full rebuild→delete→compact cycles (the
+  * bench-load discipline BASELINE.md documents — state-mutating ops
+  * can't re-run in place, so the cycle rebuilds between iterations).
+  *
+  *   java -cp ... graft.MaintBench [sfDirA sfDirB]
+  *
+  * Prints one JSON line; BASELINE.md records the table.
+  */
+object MaintBench {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.length >= 2) Seq(args(0), args(1))
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$parts]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("mb-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // a FIXED takedown batch (25 ids, present at every fixture scale):
+    // the maintenance ops' input is constant, only the corpus scales
+    val takedown = (0 until 25).map(i => 10L * i + 7L)
+    def ids(colName: String) = takedown.toDF(colName)
+
+    /** One full lifecycle at `dir`; returns op -> seconds. */
+    def cycle(dir: String, tag: String): Map[String, Double] = {
+      val q = SimilarityQueries
+      // IVF index: delete resolves against the sidecar, compact
+      // rewrites only the (≤ batch-sized) touched bucket set
+      val idx = java.nio.file.Files.createTempDirectory("mb-ivf").toString
+      q.buildIvfIndex(spark, dir, idx)
+      val ivfDelete = timed(q.ivfIndexDelete(spark, idx, ids("vec_id")))
+      val ivfCompact = timed(q.ivfIndexCompact(spark, idx))
+      // LSH index: delete is a bare tombstone append; compact is a full
+      // posting rewrite by construction (every doc signs every band)
+      val lsh = java.nio.file.Files.createTempDirectory("mb-lsh").toString
+      q.buildLshIndex(spark, dir, lsh)
+      val lshDelete = timed(q.lshIndexDelete(spark, lsh, ids("doc_id")))
+      val lshCompact = timed(q.lshIndexCompact(spark, lsh))
+      // bucketed ingest corpus + sigs side table (built untimed, the
+      // same layout the streaming appender maintains)
+      val corpus = BucketedCorpus(table = s"mb_corpus_$tag", buckets = parts)
+      Seq(corpus.table, s"${corpus.table}_sigs", s"${corpus.table}_retired")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      CorpusIngest.electKeepers(docs)
+        .repartition(corpus.buckets, col("fp"))
+        .write.bucketBy(corpus.buckets, "fp").sortBy("fp")
+        .mode("overwrite").saveAsTable(corpus.table)
+      val mins = q.minhashSigsOf(docs)
+      q.bandSigs(mins).join(mins, "doc_id")
+        .repartition(corpus.buckets, col("sig"))
+        .write.bucketBy(corpus.buckets, "sig").sortBy("sig")
+        .mode("overwrite").saveAsTable(s"${corpus.table}_sigs")
+      val retire = timed(CorpusIngest.retireDocs(spark, corpus, ids("doc_id")))
+      val activeRead = timed {
+        CorpusIngest.activeCorpus(spark, corpus).count(): Unit
+      }
+      val corpusCompact = timed(CorpusIngest.compact(spark, corpus))
+      Map("ivf_delete" -> ivfDelete, "ivf_compact" -> ivfCompact,
+        "lsh_delete" -> lshDelete, "lsh_compact" -> lshCompact,
+        "retire" -> retire, "active_read" -> activeRead,
+        "corpus_compact" -> corpusCompact)
+    }
+
+    // warmup: one untimed cycle at the smallest fixture burns codegen,
+    // write-path, and catalog init so scale A's first timed cycle isn't
+    // paying setup scale B doesn't
+    cycle("/root/testdata/sf0.001", "warm")
+
+    val results = dirs.map { dir =>
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val runs = (1 to 2).map(i => cycle(dir, s"${tag}_$i"))
+      dir -> runs.head.keys.map(k => k -> runs.map(_(k)).min).toMap
+    }
+    val ops = results.head._2.keys.toSeq.sorted
+    def scaleJson(m: Map[String, Double]) =
+      ops.map(k => s""""$k":${"%.3f".format(m(k))}""").mkString("{", ",", "}")
+    val ratios = ops.map { k =>
+      val a = results.head._2(k); val b = results.last._2(k)
+      s""""$k":${"%.2f".format(if (a > 0) b / a else -1.0)}"""
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"maintenance","takedown_batch":${takedown.size},""" +
+        results.map { case (d, m) =>
+          s""""${new java.io.File(d).getName}":${scaleJson(m)}"""
+        }.mkString(",") +
+        s""","ratio_large_over_small":$ratios}""")
+    spark.stop()
+  }
+}
