@@ -22,6 +22,17 @@ from sf0.1 so FKs and non-scaled joins stay valid:
   events     100k -> 1M        10 copies; copy k shifts event_id and
                                user_id into fresh ranges (10x events AND
                                10x users, per-user activity preserved).
+  embeddings 2,000 -> 20,000   (round-13 extension, for the similarity
+                               families' 4th decade) base vectors copied
+                               verbatim (vec_id 0..1999 — the fixed
+                               query set vec_id < 10 and the %4 / %10
+                               lifecycle slices keep their meaning);
+                               9 jittered copies per base vector
+                               (Gaussian noise at 5% of the per-vector
+                               scale) in fresh id ranges, labels
+                               inherited — cluster structure preserved
+                               so IVF routing/recall work stays
+                               realistic, not uniform noise.
 
 Deterministic (seed 1912). Output dir is the single CLI arg
 (default /tmp/testdata_sf1). Do NOT write into /root/testdata.
@@ -115,12 +126,38 @@ con.sql(f"""
     ) TO '{OUT}/events.parquet' (FORMAT parquet)
 """)
 
-# ── everything else: verbatim sf0.1 copies (FK targets, embeddings) ───
-for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "embeddings"):
+# ── embeddings: base copied verbatim + 9 jittered copies per vector ──
+emb = con.sql(
+    f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' "
+    "ORDER BY vec_id").df()
+base_ids = emb["vec_id"].to_numpy()
+base_vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+base_labels = emb["label"].to_numpy()
+n_base, dim = base_vecs.shape
+# per-vector jitter scale: 5% of that vector's RMS component magnitude,
+# so copies stay inside their source's cluster neighborhood
+rms = np.sqrt((base_vecs ** 2).mean(axis=1, keepdims=True))
+copies_ids, copies_vecs, copies_labels = [base_ids], [base_vecs], [base_labels]
+for k in range(1, COPIES):
+    noise = rng.standard_normal((n_base, dim)).astype(np.float32) * (0.05 * rms)
+    copies_ids.append(base_ids + k * (base_ids.max() + 1))
+    copies_vecs.append(base_vecs + noise)
+    copies_labels.append(base_labels)
+emb_out = pd.DataFrame({
+    "vec_id": np.concatenate(copies_ids).astype(np.int64),
+    "embedding": list(np.concatenate(copies_vecs)),
+    "label": np.concatenate(copies_labels).astype(np.int32),
+})
+con.register("emb_df", emb_out)
+con.sql(f"""COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding,
+                  CAST(label AS INTEGER) AS label FROM emb_df)
+            TO '{OUT}/embeddings.parquet' (FORMAT parquet)""")
+
+# ── everything else: verbatim sf0.1 copies (FK targets) ──────────────
+for t in ("region", "nation", "customer", "supplier", "part", "orders"):
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
-for t in ("documents", "lineitem", "events"):
+for t in ("documents", "lineitem", "events", "embeddings"):
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
 print(f"wrote {OUT}")

@@ -24,7 +24,7 @@ TABLE_ROWS = {
     "orders":    (1500, 15000, 150000, 150000),     # sf1: unscaled copy
     "events":    (1000, 10000, 100000, 1000000),
     "documents": (500, 500, 5000, 50000),
-    "embeddings": (500, 500, 2000, 2000),           # sf1: unscaled copy
+    "embeddings": (500, 500, 2000, 20000),          # sf1: round-13 10x slice
 }
 DRIVER = {
     "q1_agg": "lineitem", "join_5way": "lineitem", "salted_join": "lineitem",
@@ -54,6 +54,8 @@ DRIVER = {
     "ann_ivf_deleted": "embeddings", "ann_ivf_compacted": "embeddings",
     "ivfpq_ann_deleted": "embeddings", "ivfpq_ann_compacted": "embeddings",
     "curation_manifest": "documents",
+    # round-13 extension: similarity 4th decade (sf1 embeddings slice)
+    "semantic_keep": "embeddings",
 }
 
 
@@ -114,13 +116,15 @@ def main():
           "in its driving table?** A query whose time grows faster than its "
           "input is the one that dies first at 100 TB, whatever its sf0.1 "
           "bench row says. Method: `graft.Bench` (min-of-3, quiet box, load "
-          "sentinel recorded) on the same 44-query headline subset at "
+          "sentinel recorded) on the same 49-query headline subset at "
           "sf0.001 / sf0.01 / sf0.1 (round 12 adds an sf1-equivalent slice "
-          "for the steepest families — scripts/gen_sf1.py), exponents "
+          "for the steepest families; round 13 extends the slice with a "
+          "10× embeddings table and the similarity/retire/serve families — "
+          "scripts/gen_sf1.py), exponents "
           "computed against each query's "
           "OWN driving-table row ratio — the fixture tables do not scale "
-          "together (documents: 500 → 500 → 5 000; embeddings: 500 → 500 → "
-          "2 000; lineitem/orders/events: 10× per step).\n\n")
+          "together (documents: 500 → 500 → 5 000 → 50 000; embeddings: "
+          "500 → 500 → 2 000 → 20 000; lineitem/events: 10× per step).\n\n")
         w("Reading the numbers honestly: at these scales a fixed ~0.1–0.3 s "
           "of per-query job overhead (scheduling, plan, 1-row broadcasts) is "
           "a large share of every row, which biases exponents DOWN. The "
@@ -168,15 +172,30 @@ def main():
                   + ", ".join(f"{x[0]} ({fmt_e(x[9])})" for x in over34)
                   + "\n")
             else:
-                w("1b. **The sf1 decade confirms the screen**: the 10–15 "
-                  "steepest 0.01→0.1 queries re-measured on the "
-                  "sf1-equivalent slice (documents/lineitem/events 10× "
-                  "over sf0.1, dims unscaled — scripts/gen_sf1.py) and "
+                w("1b. **The sf1 decade confirms the screen**: the "
+                  "steepest queries re-measured on the "
+                  "sf1-equivalent slice (documents/lineitem/events/"
+                  "embeddings 10× over sf0.1, dims unscaled — "
+                  "scripts/gen_sf1.py) and "
                   "every defined 0.1→1 exponent stays < 1.0; the steepest "
                   "(" + ", ".join(f"{x[0]} {fmt_e(x[9])}" for x in steep4[:4])
                   + ") separate as genuinely LINEAR (per-query overhead is "
                   "now a small share, so the exponent converges to the "
                   "true cost slope instead of being biased down by it).\n")
+            flat_served = [x for x in rows
+                           if x[1] == "embeddings" and x[9] is not None
+                           and x[9] <= 0.15]
+            if flat_served:
+                w("1c. **The persisted-index serve/retire paths are FLAT "
+                  "across the 10× embeddings step** ("
+                  + ", ".join(f"{x[0]} {fmt_e(x[9])}" for x in flat_served)
+                  + "): their per-query work is routing + a dynamic-"
+                  "partition-pruned posting read + (for the retire rows) a "
+                  "broadcast tombstone anti-join — all sized by the query "
+                  "batch and probed buckets, not the corpus. The linear "
+                  "embeddings rows are the train-per-run families by "
+                  "design; their *_served twins price the production "
+                  "path.\n")
         w("2. **Internal consistency check**: documents and embeddings are "
           "FLAT between sf0.001 and sf0.01, and the queries they drive "
           "measure flat there too (")
