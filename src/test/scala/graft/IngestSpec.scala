@@ -182,6 +182,22 @@ class IngestSpec extends SparkSuite {
         s"standing probe must not shuffle anything:\n$plan")
       assert(!plan.linesIterator.exists(l => l.contains("Sort ") && !l.contains("SortBy")),
         s"standing probe must not sort anything:\n$plan")
+      // with a pending takedown, the serve-around adds ONE broadcast
+      // anti-join in front — still one standing scan, still zero
+      // shuffle/sort (the retire redesign must not cost the probe its
+      // 100 TB shape)
+      val retired = org.apache.spark.sql.functions.broadcast(Seq(999L).toDF("doc_id"))
+      val planR = CorpusIngest.standingDups(
+          CorpusIngest.serveAround(spark.table(corpus.table), Some(retired)), probe)
+        .queryExecution.executedPlan.treeString
+      assert(planR.contains("LeftAnti") && planR.contains("LeftSemi"), planR)
+      assert(!planR.contains("Exchange hashpartitioning"),
+        s"serve-around probe must not shuffle anything:\n$planR")
+      assert(!planR.linesIterator.exists(l => l.contains("Sort ") && !l.contains("SortBy")),
+        s"serve-around probe must not sort anything:\n$planR")
+      assert(planR.linesIterator.count(_.contains("Scan ")) <=
+        plan.linesIterator.count(_.contains("Scan ")) + 1,
+        s"serve-around must add at most the tiny tombstone scan:\n$planR")
     }
 
     // and the bucketed layout still serves downstream batch work: a
@@ -565,6 +581,40 @@ class IngestSpec extends SparkSuite {
     assert(good.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
     val b = bad.collect().map(_.getAs[String]("raw_line"))
     assert(b.length == 1 && b.head.contains("oops"))
+  }
+
+  test("appender refuses to run while a sigs-table maintenance swap is in flight") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    val base = java.nio.file.Files.createTempDirectory("graft_sigs_guard").toString
+    val watch = s"$base/landing"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_sigsguard_test", buckets = 4)
+    Seq(corpus.table, s"${corpus.table}_sigs", s"${corpus.table}_sigs_compact_tmp")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // a compact tmp for the SIGS side table exists (swap mid-flight or
+    // crashed): an appending batch must fail LOUDLY — committing now
+    // could recreate the dropped sigs table mid-swap and strand the
+    // standing signatures under the tmp name
+    spark.range(0, 1).toDF("doc_id").write
+      .saveAsTable(s"${corpus.table}_sigs_compact_tmp")
+    writeLines(s"$watch/shard-1.jsonl", Seq(
+      """{"doc_id": 1, "text": "some body", "lang": "en"}"""), gzip = false)
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      s"$base/quarantine", s"$base/ckpt", availableNow = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gq.awaitTermination()
+    }
+    bq.awaitTermination()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("maintenance swap in progress") &&
+      all.contains(s"${corpus.table}_sigs_compact_tmp"), s"got:\n$all")
+    // nothing appended
+    assert(!spark.catalog.tableExists(corpus.table) ||
+      spark.table(corpus.table).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS ${corpus.table}_sigs_compact_tmp")
   }
 
   test("streaming curation twin: single-drop manifest == batch curation_manifest; " +

@@ -81,6 +81,34 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("rewriteBucketed: an append landing during the rewrite aborts the swap — no rows lost") {
+    spark.sql("DROP TABLE IF EXISTS fence_t")
+    spark.sql("DROP TABLE IF EXISTS fence_t_compact_tmp")
+    spark.range(0, 1000).toDF("k").repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("fence_t")
+    // simulate a concurrently-committing appender: rows land while the
+    // rewrite is in its read phase (the transform hook runs exactly
+    // there). Without the file-listing fence the swap would silently
+    // drop these rows with their source offsets already committed.
+    val e = intercept[IllegalStateException] {
+      Layout.rewriteBucketed(spark, "fence_t", "k", 2, Nil, df => {
+        spark.range(1000, 1100).toDF("k").repartition(2, col("k"))
+          .write.mode("append").bucketBy(2, "k").sortBy("k")
+          .saveAsTable("fence_t")
+        df
+      })
+    }
+    assert(e.getMessage.contains("concurrent append"), e.getMessage)
+    // the table is untouched by the aborted swap: original AND appended
+    // rows all present, tmp cleaned up
+    assert(spark.table("fence_t").count() == 1100)
+    assert(!spark.catalog.tableExists("fence_t_compact_tmp"))
+    // a re-run with the appender quiesced completes normally
+    Layout.rewriteBucketed(spark, "fence_t", "k", 2)
+    assert(spark.table("fence_t").count() == 1100)
+    assert(spark.table("fence_t").inputFiles.length == 2)
+  }
+
   test("compaction re-run after a crash between DROP and RENAME recovers the data") {
     spark.sql("DROP TABLE IF EXISTS crash_t")
     spark.sql("DROP TABLE IF EXISTS crash_t_compact_tmp")
