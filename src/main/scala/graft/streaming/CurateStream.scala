@@ -54,9 +54,16 @@ import org.apache.spark.sql.types.StructType
 object CurateStream {
 
   /** One micro-batch through the full stage cascade; exposed for direct
-    * batch testing. `standingFps` is the fp column of everything
-    * curated so far (None on the first batch). Returns the manifest
-    * row-set it appended. */
+    * batch testing. Returns the manifest row-set it appended.
+    *
+    * Standing-fp probe shape (the 100 TB point, same discipline as
+    * [[CorpusIngest.standingDups]]): the BATCH's fingerprints broadcast
+    * and the standing curated fp column streams past them as a
+    * semi-join — one standing column scan, zero shuffle of the standing
+    * side, and the frame handed to the cascade is batch-bounded (≤ one
+    * hit per batch fp), so ITS broadcast inside `curationFlagsOf` is
+    * safe at any corpus size. Broadcasting the standing fp set directly
+    * would grow with the corpus, not the batch. */
   private[graft] def curateBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       outDir: String): DataFrame = {
@@ -64,9 +71,14 @@ object CurateStream {
     val standingFps: Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(curatedPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        Some(spark.read.parquet(curatedPath).select(col("fp")).distinct())
-      else None
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val batchFps = batch
+          .select(graft.functions.TextFunctions
+            .contentFingerprint(col("text")).as("fp"))
+          .where(col("fp").isNotNull).distinct()
+        Some(spark.read.parquet(curatedPath).select(col("fp"))
+          .join(broadcast(batchFps), Seq("fp"), "left_semi").distinct())
+      } else None
     }
     val flags = CurationQueries.curationFlagsOf(
       batch, CurationQueries.dedupClustersOf(batch), standingFps).persist()
