@@ -27,7 +27,12 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale note: a fixture write is one extra narrow-column parquet dump
   * per query run — kernel outputs only (ids + longs), never text or
-  * payload bytes.
+  * payload bytes — and it is VERIFICATION plumbing: the registered
+  * `queries()` entries pay it so every run stays oracle-able (and the
+  * bench baseline prices it honestly), while a production caller that
+  * doesn't want the dump composes the same library operators directly
+  * (the kernel expressions and the downstream relational steps are
+  * ordinary public columns/frames).
   */
 object OracleFixtures {
 

@@ -63,23 +63,44 @@ object CurateStream {
     * side, and the frame handed to the cascade is batch-bounded (≤ one
     * hit per batch fp), so ITS broadcast inside `curationFlagsOf` is
     * safe at any corpus size. Broadcasting the standing fp set directly
-    * would grow with the corpus, not the batch. */
+    * would grow with the corpus, not the batch. With a [[CorpusIngest
+    * .BloomGate]] (`start` wires one), an all-fresh batch — the common
+    * case of a long-running stream — skips even that one standing scan:
+    * the gate's over-approximation contract means "no batch fp might be
+    * standing" is always safe to act on. */
   private[graft] def curateBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,
-      outDir: String): DataFrame = {
+      outDir: String, gate: Option[CorpusIngest.BloomGate] = None,
+      maxBatchKeys: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
     val curatedPath = s"$outDir/curated"
-    val standingFps: Option[DataFrame] = {
+    val curatedExists = {
       val p = new org.apache.hadoop.fs.Path(curatedPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
-        val batchFps = batch
-          .select(graft.functions.TextFunctions
-            .contentFingerprint(col("text")).as("fp"))
-          .where(col("fp").isNotNull).distinct()
-        Some(spark.read.parquet(curatedPath).select(col("fp"))
-          .join(broadcast(batchFps), Seq("fp"), "left_semi").distinct())
-      } else None
+      fs.exists(p) && fs.listStatus(p).nonEmpty
     }
+    // batch fps collected once (admission-bounded, like every driver
+    // collect on the ingest path): they screen the standing probe AND
+    // extend the Bloom gate after the append
+    val batchFps: Seq[String] =
+      if (gate.isDefined || curatedExists)
+        CorpusIngest.collectBounded(
+          batch.select(graft.functions.TextFunctions
+              .contentFingerprint(col("text")).as("fp"))
+            .where(col("fp").isNotNull).distinct(),
+          maxBatchKeys, "curate batch fps").map(_.getString(0))
+      else Nil
+    val standingFps: Option[DataFrame] =
+      if (!curatedExists) None
+      else {
+        val maybe = gate match {
+          case Some(g) => batchFps.filter(g.mightContain)
+          case None => batchFps
+        }
+        if (maybe.isEmpty) None
+        else Some(spark.read.parquet(curatedPath).select(col("fp"))
+          .join(broadcast(maybe.toDF("fp")), Seq("fp"), "left_semi").distinct())
+      }
     val flags = CurationQueries.curationFlagsOf(
       batch, CurationQueries.dedupClustersOf(batch), standingFps).persist()
     try {
@@ -89,6 +110,10 @@ object CurateStream {
         .join(flags.select(col("doc_id"), col("fp")), "doc_id")
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(curatedPath)
+      // extend the gate with the WHOLE batch's fps — a safe
+      // over-approximation of what landed (the Bloom contract: a stale
+      // "maybe" just falls through to the exact probe)
+      gate.foreach(_.add(batchFps))
       val m = CurationQueries.manifestFrom(flags)
         .withColumn("batch_id", lit(batchId))
       m.write.mode("append").parquet(s"$outDir/manifest")
@@ -107,14 +132,26 @@ object CurateStream {
       outDir: String,
       checkpointDir: String,
       availableNow: Boolean = false,
-      sourceOptions: Map[String, String] = Map.empty
+      sourceOptions: Map[String, String] = Map.empty,
+      bloomExpectedItems: Long = 4L * 1024 * 1024,
+      bloomFpp: Double = 0.01
   ): (StreamingQuery, StreamingQuery) = {
+    // driver Bloom over the standing curated fps — seeded once per
+    // stream start, extended per batch; all-fresh batches then skip the
+    // standing probe entirely (CorpusIngest.startBucketed's fast path)
+    val gate = new CorpusIngest.BloomGate(bloomExpectedItems, bloomFpp)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/curated")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        gate.seed(spark.read.parquet(p.toString), "fp")
+    }
     val (good, bad) = Ingest.streamJsonl(spark, watchDir, schema, sourceOptions)
     val goodQ = {
       val w = good.writeStream
         .option("checkpointLocation", s"$checkpointDir/curate")
         .foreachBatch { (df: DataFrame, id: Long) =>
-          curateBatch(df.sparkSession, df, id, outDir); ()
+          curateBatch(df.sparkSession, df, id, outDir, Some(gate)); ()
         }
       (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
     }
