@@ -583,6 +583,30 @@ class IngestSpec extends SparkSuite {
     assert(b.length == 1 && b.head.contains("oops"))
   }
 
+  test("retire ledger: latest event wins; a same-instant retire/un-retire tie resolves to retire") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    import spark.implicits._
+    val corpus = BucketedCorpus(table = "corpus_ledger_test", buckets = 2)
+    spark.sql(s"DROP TABLE IF EXISTS ${corpus.table}_retired")
+    val t0 = java.sql.Timestamp.valueOf("2026-08-15 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-08-15 11:00:00")
+    Seq(
+      (1L, t0, true),  // retired at t0 ...
+      (1L, t1, false), // ... un-retired later: NOT pending
+      (2L, t0, false), // un-retire then ...
+      (2L, t1, true),  // ... retired later: pending
+      (3L, t0, true),  // same-instant pair: the tie must resolve to the
+      (3L, t0, false)  // safe direction (retire) — boolean true > false
+    ).toDF("doc_id", "ts", "retire")
+      .write.mode("overwrite").saveAsTable(s"${corpus.table}_retired")
+    val pending = CorpusIngest.retiredIds(spark, corpus).get
+      .collect().map(_.getLong(0)).toSet
+    assert(pending == Set(2L, 3L),
+      s"expected latest-event-wins with retire-on-tie, got $pending")
+    spark.sql(s"DROP TABLE IF EXISTS ${corpus.table}_retired")
+  }
+
   test("appender refuses to run while a sigs-table maintenance swap is in flight") {
     import graft.streaming.CorpusIngest
     import graft.streaming.CorpusIngest.BucketedCorpus
