@@ -28,7 +28,12 @@ object Main {
     * parallelism + UTC, and a local-master fallback so a bare `java`
     * launch works while spark-submit's master (set via sys props) still
     * wins. */
-  private def mkSession(appName: String): SparkSession = {
+  /** `hive = true` binds the session to the persistent metastore
+    * (external if configured, embedded Derby in the working directory
+    * otherwise) — required by CLI modes that must SEE managed tables
+    * another JVM created (the corpus lifecycle); the default in-memory
+    * catalog scopes managed-table metadata to this process. */
+  private def mkSession(appName: String, hive: Boolean = false): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .appName(appName)
@@ -36,7 +41,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
     if (!sys.props.contains("spark.master"))
       builder.master(s"local[$cpus]")
-    val spark = builder.getOrCreate()
+    val spark = (if (hive) builder.enableHiveSupport() else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -134,6 +139,53 @@ object Main {
         case other => sys.error(s"unknown family/op: $other")
       }
       println(s"[graft] index $op done: family=$family index=$indexDir")
+      spark.stop()
+      return
+    }
+
+    // --mode retire: the corpus takedown as a CLI — append doc_ids to
+    // the corpus's tombstone ledger (O(takedown); every standing probe
+    // and activeCorpus serve around it immediately), optionally running
+    // the physical purge (--compact true) on the spot instead of the
+    // scheduled maintenance cadence. The ingest stream may stay up for
+    // the tombstone append; run --compact only with the appender
+    // quiesced (the rewrite's fence aborts otherwise, loudly).
+    // Catalog note: the corpus is a MANAGED bucketed table, so a retire
+    // invoked as its own JVM must share the catalog that holds it —
+    // --hiveCatalog true (default) binds to the persistent metastore
+    // (external if configured, embedded Derby in the working dir
+    // otherwise; run from the same directory as the ingest job). The
+    // guard below fails loudly if the table is not visible, instead of
+    // appending a ledger no reader will consult.
+    // Usage: graft.Main --mode retire --corpusTable corpus --ids 1,2,3
+    //                   [--buckets 32] [--compact false] [--semantic false]
+    //                   [--hiveCatalog true]
+    if (cli.get("mode").contains("retire")) {
+      val table = cli.getOrElse("corpusTable", sys.error("--corpusTable required"))
+      val idsArg = cli.getOrElse("ids", sys.error("--ids required"))
+      val buckets = cli.getOrElse("buckets",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).toInt
+      val runCompact = cli.getOrElse("compact", "false").toBoolean
+      val semantic = cli.getOrElse("semantic", "false").toBoolean
+      val spark = mkSession("graft-retire",
+        hive = cli.getOrElse("hiveCatalog", "true").toBoolean)
+      import spark.implicits._
+      if (!spark.catalog.tableExists(table))
+        sys.error(s"--mode retire: corpus table '$table' is not visible in " +
+          "this session's catalog. The corpus is a managed table — run " +
+          "retire against the same metastore that holds it (same working " +
+          "directory for the embedded Derby metastore, or configure the " +
+          "shared external metastore); a tombstone written into a " +
+          "different catalog would never be served around.")
+      val corpus = graft.streaming.CorpusIngest.BucketedCorpus(table, buckets)
+      val ids = idsArg.split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
+      graft.streaming.CorpusIngest.retireDocs(spark, corpus, ids)
+      println(s"[graft] retired ${idsArg.split(",").length} ids into " +
+        s"${table}_retired (serve-around active)")
+      if (runCompact) {
+        graft.streaming.CorpusIngest.compact(spark, corpus, semantic)
+        println(s"[graft] compact done: tombstoned rows purged, ledger cleared")
+      }
       spark.stop()
       return
     }

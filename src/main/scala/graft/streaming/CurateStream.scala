@@ -38,6 +38,15 @@ import org.apache.spark.sql.types.StructType
   *     shard/bin coordinates are per-batch pack units, which is how an
   *     incremental trainer consumes them.
   *
+  * Takedown policy for CURATED output: curated shards are derived,
+  * epoch-scoped artifacts — a takedown reaches them by retiring the
+  * doc at the SOURCE corpus ([[CorpusIngest.retireDocs]], immediate
+  * serve-around there) and regenerating the affected epoch's shards
+  * (`--mode curate` over the post-retire corpus), the same
+  * derived-data story as the ANN index compaction. The standing
+  * curated table here is dedup STATE first (its fp column), training
+  * input second.
+  *
   * Output layout: `outDir/curated` (appended survivor rows +
   * batch_id), `outDir/manifest` (5 stage rows per batch + batch_id).
   * The manifest append is at-least-once under batch replay (same
