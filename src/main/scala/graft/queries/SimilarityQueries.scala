@@ -2347,16 +2347,22 @@ object SimilarityQueries {
     * the IVFPQ layout, whose postings carry M code rows per vector. */
   private def writeIdMapFromPostings(spark: SparkSession, indexPath: String,
       idCol: String = "vec_id", dedup: Boolean = false): Unit = {
+    // bucket is pinned BIGINT in every sidecar writer: read back from
+    // the postings it arrives as the partition-DISCOVERED type (int32
+    // for small values), while the append path writes the assignment's
+    // long — unpinned, a base+append sidecar would hold mixed parquet
+    // types and fail to read
     val pairs = spark.read.parquet(s"$indexPath/postings")
-      .select(col(idCol).as("vec_id"), col("bucket"))
+      .select(col(idCol).as("vec_id"), col("bucket").cast("long").as("bucket"))
     (if (dedup) pairs.distinct() else pairs)
       .write.mode("overwrite").parquet(s"$indexPath/idmap")
   }
 
   /** Append-side sidecar maintenance: the delta's (vec_id, bucket)
-    * pairs, delta-priced (the assignment frame is already in hand). */
+    * pairs, delta-priced (the assignment frame is already in hand).
+    * bucket pinned BIGINT — see [[writeIdMapFromPostings]]. */
   private def appendIdMap(asn: DataFrame, indexPath: String): Unit =
-    asn.select(col("vec_id"), col("bucket"))
+    asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
       .write.mode("append").parquet(s"$indexPath/idmap")
 
   /** Resolve a delete batch's (vec_id, bucket) rows — against the
@@ -2372,7 +2378,8 @@ object SimilarityQueries {
     val pairs =
       if (fs.exists(idmap)) spark.read.parquet(idmap.toString)
       else spark.read.parquet(s"$indexPath/postings")
-        .select(col(idCol).as("vec_id"), col("bucket")).distinct()
+        .select(col(idCol).as("vec_id"),
+          col("bucket").cast("long").as("bucket")).distinct()
     pairs.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
   }
 
