@@ -190,16 +190,21 @@ object Main {
       return
     }
 
-    // --mode serve: the STREAMING ANN serving entry point — query
-    // vectors dropped as parquet files into --queryDir are answered per
-    // micro-batch from the persisted IVF index at --indexDir
-    // (graft.streaming.AnnServe: centroids cached at stream start,
-    // posting reads pruned to the probed buckets; --tombstoneAware true
-    // re-reads the tombstone set per batch so takedowns land without a
-    // restart). Results land under --outDir/b<batchId>. Build an index
-    // first with SimilarityQueries.buildIvfIndex/buildIvfIndexTrained.
-    // Usage: graft.Main --mode serve --indexDir idx/ --queryDir q/
-    //                   --outDir out/ [--once true] [--tombstoneAware true]
+    // --mode serve: the STREAMING serving entry point — queries dropped
+    // as parquet files into --queryDir are answered per micro-batch
+    // from the persisted index at --indexDir. --family ivf (default):
+    // vector queries through graft.streaming.AnnServe (centroids cached
+    // at stream start, posting reads pruned to the probed buckets);
+    // --family lsh: (doc_id, text) document queries through
+    // graft.streaming.LshServe (batch signs itself, band-signature
+    // equijoin against the standing signature index — zero standing
+    // text read). --tombstoneAware true re-reads the tombstone set per
+    // batch so takedowns land without a restart, both families.
+    // Results land under --outDir/b<batchId>. Build an index first with
+    // --mode index (families ivf/ivf_trained/lsh).
+    // Usage: graft.Main --mode serve [--family ivf|lsh] --indexDir idx/
+    //                   --queryDir q/ --outDir out/ [--once true]
+    //                   [--tombstoneAware true]
     if (cli.get("mode").contains("serve")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       val queryDir = cli.getOrElse("queryDir", sys.error("--queryDir required"))
@@ -207,21 +212,40 @@ object Main {
       val ckpt = cli.getOrElse("checkpointDir", s"$outDir/_checkpoint")
       val once = cli.getOrElse("once", "true").toBoolean
       val tombAware = cli.getOrElse("tombstoneAware", "true").toBoolean
-      val spark = mkSession("graft-ann-serve")
-      // the query stream's schema comes from the index postings (same
-      // vector type) — a drop dir needs no schema registry
-      val qSchema = org.apache.spark.sql.types.StructType(
-        spark.read.parquet(s"$indexDir/postings")
-          .select("vec_id", "embedding").schema.fields)
-      val queries = spark.readStream.schema(qSchema).parquet(queryDir)
+      // --family ivf (default): vector queries → AnnServe top-3;
+      // --family lsh: (doc_id, text) document queries → LshServe
+      // near-dup candidates against the standing signature index
+      val family = cli.getOrElse("family", "ivf")
+      val spark = mkSession(s"graft-$family-serve")
       // overwrite, not append: foreachBatch redelivers a failed batch
       // under the SAME batch id, so a per-batch-directory sink is only
-      // idempotent (AnnServe's stated restart contract) if the retry
+      // idempotent (the serving restart contract) if the retry
       // REPLACES the partial first attempt instead of doubling it
-      val q = graft.streaming.AnnServe.start(
-        spark, queries, indexDir,
-        (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
-        ckpt, availableNow = once, tombstoneAware = tombAware)
+      val sink = (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$outDir/b$id")
+      val q = family match {
+        case "ivf" =>
+          // the query stream's schema comes from the index postings
+          // (same vector type) — a drop dir needs no schema registry
+          val qSchema = org.apache.spark.sql.types.StructType(
+            spark.read.parquet(s"$indexDir/postings")
+              .select("vec_id", "embedding").schema.fields)
+          graft.streaming.AnnServe.start(
+            spark, spark.readStream.schema(qSchema).parquet(queryDir),
+            indexDir, sink, ckpt, availableNow = once,
+            tombstoneAware = tombAware)
+        case "lsh" =>
+          val qSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          graft.streaming.LshServe.start(
+            spark, spark.readStream.schema(qSchema).parquet(queryDir),
+            indexDir, sink, ckpt, availableNow = once,
+            tombstoneAware = tombAware)
+        case other => sys.error(s"unknown serve family: $other")
+      }
       q.awaitTermination()
       spark.stop()
       return

@@ -776,6 +776,63 @@ class StreamingSpec extends SparkSuite {
       s"retired vids surfaced post-takedown: ${batch2.toSet.intersect(victimSet).take(3)}")
   }
 
+  test("streaming LSH near-dup serving: parity with the batch pair set; a takedown " +
+      "stops matching on the NEXT micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    val idx = tmp("lsh_serve_idx")
+    q.buildLshIndex(spark, dir, idx) // base slice only (doc_id % 4 != 0)
+    // the delta slice plays the query stream, split over two batches
+    val queryDocs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val outDir = tmp("lsh_serve_out")
+    val query = graft.streaming.LshServe.start(
+      spark, ms.toDF().toDF("doc_id", "text"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("lsh_serve_ckpt"), tombstoneAware = true)
+    val (first, second) = queryDocs.splitAt(queryDocs.size / 2)
+    ms.addData(first: _*)
+    query.processAllAvailable()
+    ms.addData(second: _*)
+    query.processAllAvailable()
+    def norm(r: org.apache.spark.sql.Row) = {
+      val (a, b) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      (math.min(a, b), math.max(a, b))
+    }
+    val streamed = spark.read.parquet(s"$outDir/b*").collect().map(norm).toSet
+    // parity: the union of per-batch candidates == the full-corpus LSH
+    // pair set restricted to pairs with exactly one delta side (the
+    // standing index holds only the base slice; within-batch pairs are
+    // by contract the ingest gate's job, not this edge's)
+    val expected = q.minhashLsh(spark, dir)
+      .filter((col("doc_a") % 4 === 0) =!= (col("doc_b") % 4 === 0))
+      .collect().map(norm).toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected,
+      s"stream(${streamed.size}) != batch(${expected.size}); " +
+        s"onlyStream=${(streamed -- expected).take(3)} " +
+        s"onlyBatch=${(expected -- streamed).take(3)}")
+
+    // takedown: retire every standing doc that matched, mid-stream —
+    // the SAME queries re-sent must come back empty on the next batch
+    import spark.implicits._
+    val victims = streamed.flatMap(p => Seq(p._1, p._2))
+      .filter(_ % 4 != 0).toSeq
+    q.lshIndexDelete(spark, idx, victims.toDF("doc_id"))
+    ms.addData(queryDocs: _*)
+    query.processAllAvailable()
+    query.stop()
+    val post = spark.read.parquet(s"$outDir/b2").collect().map(norm).toSet
+    assert(post.flatMap(p => Seq(p._1, p._2)).intersect(victims.toSet).isEmpty,
+      s"retired standing docs surfaced post-takedown: ${post.take(3)}")
+    assert(post.isEmpty,
+      "every batch-1/2 match was retired, so the re-sent queries must match nothing")
+  }
+
   test("append-during-serve: new postings surface on the NEXT micro-batch, centroids stay frozen") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
