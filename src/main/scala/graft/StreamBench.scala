@@ -194,8 +194,47 @@ object StreamBench {
     }
     val annQps = if (annSec > 0) annQueries / annSec else -1.0
 
+    // Streaming LSH near-dup serving (graft.streaming.LshServe —
+    // AnnServe's text-side twin): document batches sign themselves and
+    // band-equijoin the persisted signature index; measured as
+    // documents/second across real micro-batches. Same guard stance as
+    // the ANN stage.
+    val (lshDocs, lshSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-lsh").toString
+      graft.queries.SimilarityQueries.buildLshIndex(spark, sfDir, idx)
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String)].collect()
+      // fresh ids: the queries play "new crawl shard against the
+      // standing corpus" — same texts, so every query has standing work
+      val queries: Seq[(Long, String)] =
+        docs.toSeq.map { case (id, t) => (2000000L + id, t) }
+      val ms3 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](2, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]])
+      val q = graft.streaming.LshServe.start(
+        spark, ms3.toDF().toDF("doc_id", "text"), idx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory("sb-lsh-ckpt").toString)
+      val warm = math.min(200, queries.size / 10)
+      ms3.addData(queries.take(warm): _*)
+      q.processAllAvailable()
+      val rest = queries.drop(warm)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms3.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] lsh serving stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val lshDps = if (lshSec > 0) lshDocs / lshSec else -1.0
+
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }
