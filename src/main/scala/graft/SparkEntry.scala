@@ -840,21 +840,33 @@ object SparkEntry {
     * arithmetic), then two positive 32-bit gradient halves (mirrors
     * `Multimodal.phashHalf`). Expects a CTE `u(doc_id, text, L,
     * bright)` upstream. */
+  /** One 32-bit half of the dHash gradient fold over an 8×9 grid list
+    * column — 1-based list indexing, exact BIGINT bit math (the
+    * DuckDB twin of `Multimodal.phashHalf`). */
+  private def gradHalfSql(grid: String, rowOff: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CASE WHEN $grid[CAST((j // 8 + $rowOff) * 9 + (j % 8) + 1 AS INT)] > $grid[CAST((j // 8 + $rowOff) * 9 + (j % 8) + 2 AS INT)]
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
+  /** One 32-bit half of the audio energy-delta fold over a 65-long
+    * energy list — bit j set iff segment off+j is louder than the
+    * next (the DuckDB twin of `Multimodal.energyHash64`). */
+  private def energyHalfSql(e: String, off: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CASE WHEN $e[CAST(j + $off + 1 AS INT)] > $e[CAST(j + $off + 2 AS INT)]
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
   private val PhashFromU =
-    """g AS (SELECT doc_id,
-      |    list_transform(range(0, 72), k ->
-      |      list_sum(list_transform(range(k * L // 72 + 1, (k + 1) * L // 72 + 1),
-      |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) + bright))
-      |      // (((k + 1) * L // 72) - (k * L // 72))) AS grid
-      |  FROM u),
-      |p AS (SELECT doc_id,
-      |    CAST(list_sum(list_transform(range(0, 32), j ->
-      |      CASE WHEN grid[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)] > grid[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
-      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph_lo,
-      |    CAST(list_sum(list_transform(range(0, 32), j ->
-      |      CASE WHEN grid[CAST((j // 8 + 4) * 9 + (j % 8) + 1 AS INT)] > grid[CAST((j // 8 + 4) * 9 + (j % 8) + 2 AS INT)]
-      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph_hi
-      |  FROM g)""".stripMargin
+    s"""g AS (SELECT doc_id,
+       |    list_transform(range(0, 72), k ->
+       |      list_sum(list_transform(range(k * L // 72 + 1, (k + 1) * L // 72 + 1),
+       |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) + bright))
+       |      // (((k + 1) * L // 72) - (k * L // 72))) AS grid
+       |  FROM u),
+       |p AS (SELECT doc_id,
+       |    ${gradHalfSql("grid", 0)} AS ph_lo,
+       |    ${gradHalfSql("grid", 4)} AS ph_hi
+       |  FROM g)""".stripMargin
 
   /** The 3-round power-iteration CTE chain (mean-centered `cx`, rounds
     * s1..v3) shared by the `pca_power` and `pca_project` oracles —
@@ -1720,6 +1732,26 @@ object SparkEntry {
          |  CAST(f.cxy - LEAST(f.ca, f.cb) AS DOUBLE)
          |    / CAST(GREATEST(f.ca, f.cb) AS DOUBLE) AS ncd
          |FROM cand c JOIN f ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b""".stripMargin,
+    "video_phash" ->
+      // decoded per-keyframe 8×9 luma grids from the engine fixture
+      // (the Y4M container parse + exact block-mean downsample is the
+      // spec-gated kernel); the 64 gradient comparisons folding a grid
+      // into the two dHash halves are recomputed here bit-for-bit
+      s"""SELECT doc_id, frame_idx,
+         |  CASE WHEN ok THEN ${gradHalfSql("grid", 0)} ELSE CAST(0 AS BIGINT) END AS ph_lo,
+         |  CASE WHEN ok THEN ${gradHalfSql("grid", 4)} ELSE CAST(0 AS BIGINT) END AS ph_hi,
+         |  ok
+         |FROM ${graft.queries.OracleFixtures.sqlRef("video_grids")}""".stripMargin,
+    "audio_fingerprint" ->
+      // decoded 65-segment PCM energies from the engine fixture (the
+      // WAV container parse + amplitude fold is the spec-gated kernel);
+      // the 64 louder-than-next comparisons folding them into the two
+      // fingerprint halves are recomputed here bit-for-bit
+      s"""SELECT doc_id,
+         |  CASE WHEN ok THEN ${energyHalfSql("energy", 0)} ELSE CAST(0 AS BIGINT) END AS afp_lo,
+         |  CASE WHEN ok THEN ${energyHalfSql("energy", 32)} ELSE CAST(0 AS BIGINT) END AS afp_hi,
+         |  ok
+         |FROM ${graft.queries.OracleFixtures.sqlRef("audio_energy")}""".stripMargin,
     "video_neardup" ->
       // decoded keyframe dHashes from the engine fixture (the Y4M
       // container parse is the spec-gated kernel); banding, the

@@ -212,15 +212,19 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
-  /** The 8×9 block-mean gradient hash over any luma accessor — the one
-    * dHash arithmetic shared by [[imageDHash]] (decoded RGB → luma) and
-    * the Y4M video path (the Y plane IS luma). `None` below the 9×8
-    * grid. Exact integer block means; bit j of row r set iff cell
-    * (r, c) is brighter than (r, c+1). */
-  private[graft] def dHash64(w: Int, h: Int, lumaAt: (Int, Int) => Long): Option[Long] = {
+  /** The 8×9 exact-integer block-mean downsample over any luma
+    * accessor — dHash's first half, exposed on its own so the decoded
+    * grid can be materialized as an oracle fixture (the gradient fold
+    * downstream of it is plain relational math DuckDB recomputes).
+    * Row-major `Array[Long]` of 72 cells (cell r·9+c), the exact layout
+    * [[lumaGrid]]/[[phashHalf]] use for the text-payload fixture, so
+    * the SAME downstream bit math serves both. `None` below the 9×8
+    * grid. */
+  private[graft] def blockMeans72(
+      w: Int, h: Int, lumaAt: (Int, Int) => Long): Option[Array[Long]] = {
     if (w < 9 || h < 8) None
     else {
-      val luma = Array.ofDim[Long](8, 9)
+      val luma = new Array[Long](72)
       var r = 0
       while (r < 8) {
         var c = 0
@@ -234,25 +238,43 @@ object Multimodal {
             while (x < x1) { s += lumaAt(x, y); x += 1 }
             y += 1
           }
-          luma(r)(c) = s / ((y1 - y0).toLong * (x1 - x0))
+          luma(r * 9 + c) = s / ((y1 - y0).toLong * (x1 - x0))
           c += 1
         }
         r += 1
       }
-      var hash = 0L
-      var k = 0
-      r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          if (luma(r)(c) > luma(r)(c + 1)) hash |= (1L << k)
-          k += 1; c += 1
-        }
-        r += 1
-      }
-      Some(hash)
+      Some(luma)
     }
   }
+
+  /** dHash's second half: the 64 gradient comparisons over a
+    * [[blockMeans72]] grid — bit k = r·8+c set iff cell (r, c) is
+    * brighter than (r, c+1). Pure integer comparisons, recomputable
+    * bit-for-bit by the DuckDB oracle over the fixture grid. */
+  private[graft] def gradientHash64(luma: Array[Long]): Long = {
+    var hash = 0L
+    var k = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (luma(r * 9 + c) > luma(r * 9 + c + 1)) hash |= (1L << k)
+        k += 1; c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** The 8×9 block-mean gradient hash over any luma accessor — the one
+    * dHash arithmetic shared by [[imageDHash]] (decoded RGB → luma) and
+    * the Y4M video path (the Y plane IS luma). `None` below the 9×8
+    * grid. Exact integer block means; bit j of row r set iff cell
+    * (r, c) is brighter than (r, c+1). Composition of [[blockMeans72]]
+    * and [[gradientHash64]] — the seam the video oracle fixture splits
+    * at. */
+  private[graft] def dHash64(w: Int, h: Int, lumaAt: (Int, Int) => Long): Option[Long] =
+    blockMeans72(w, h, lumaAt).map(gradientHash64)
 
   /** REAL audio fingerprint over decoded PCM — the audio analog of
     * [[imageDHash]]: decode (javax.sound, 16-bit signed PCM), fold
@@ -268,8 +290,33 @@ object Multimodal {
     * within a few Hamming bits. `None` for undecodable bytes,
     * non-16-bit encodings, or clips shorter than 65 samples. The
     * resulting 64-bit key feeds the identical band-equijoin + exact
-    * Hamming pipeline as the text/image families. */
-  val audioFingerprint: Array[Byte] => Option[Long] = { bytes =>
+    * Hamming pipeline as the text/image families. Composition of
+    * [[audioEnergies]] (the decode-side kernel) and [[energyHash64]]
+    * (the relational fold the oracle recomputes over the fixture). */
+  val audioFingerprint: Array[Byte] => Option[Long] = bytes =>
+    audioEnergies(bytes).map(energyHash64)
+
+  /** The energy-delta fold downstream of [[audioEnergies]]: bit k set
+    * iff segment k is louder than segment k+1 — 64 integer comparisons
+    * over the 65 energies, recomputable bit-for-bit by the DuckDB
+    * oracle over the fixture table. */
+  private[graft] def energyHash64(energy: Array[Long]): Long = {
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k) > energy(k + 1)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** The decode-side audio kernel: container parse (javax.sound) →
+    * per-frame channel-sum amplitude → 65 exact-integer segment mean
+    * energies. This is the part with no SQL counterpart; everything
+    * after it ([[energyHash64]]) is oracle-recomputable, which is why
+    * the `audio_fingerprint` query materializes THESE values as its
+    * fixture. */
+  val audioEnergies: Array[Byte] => Option[Array[Long]] = { bytes =>
     if (bytes == null || bytes.isEmpty) None
     else
       try {
@@ -316,13 +363,7 @@ object Multimodal {
                 energy(k) = s / (en - st)
                 k += 1
               }
-              var hash = 0L
-              k = 0
-              while (k < 64) {
-                if (energy(k) > energy(k + 1)) hash |= (1L << k)
-                k += 1
-              }
-              Some(hash)
+              Some(energy)
             }
           }
         } finally in.close()
@@ -422,6 +463,24 @@ object Multimodal {
       case _: Exception => None
     }
 
+  /** [[blockMeans72]] of every `stride`-th frame of a Y4M clip — the
+    * decode-side half of [[y4mFrameHashes]], exposed so the
+    * `video_phash` query can materialize the decoded grids as its
+    * oracle fixture (the gradient fold is then recomputed by both
+    * engines over the read-back fixture). */
+  def y4mFrameGrids(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Array[Long])]] =
+    try {
+      y4mDecoder(bytes).map { clip =>
+        clip.frameOffsets.zipWithIndex
+          .collect { case (off, idx) if idx % stride == 0 =>
+            blockMeans72(clip.width, clip.height,
+              (x, y) => bytes(off + y * clip.width + x) & 0xffL)
+              .map(g => idx -> g)
+          }
+          .flatten
+      }.filter(_.nonEmpty)
+    } catch { case _: Exception => None }
+
   /** Decoded video record: the fixed schema the batched video decoder
     * fills. */
   final case class DecodedVideo(
@@ -463,6 +522,52 @@ object Multimodal {
         y4mFrameHashes(bytes, stride) match {
           case Some(hs) => hs.map { case (idx, h) => VideoFrameHash(id, idx, h, ok = true) }
           case None => Seq(VideoFrameHash(id, -1, 0L, ok = false))
+        }
+      }
+    }
+  }
+
+  /** Per-(doc, sampled frame) decoded 8×9 luma grid row — the video
+    * oracle fixture's schema (72 block means per keyframe; an
+    * undecodable payload is one `ok=false` row with an empty grid). */
+  final case class VideoFrameGrid(
+      doc_id: Long, frame_idx: Int, grid: Seq[Long], ok: Boolean)
+
+  /** Partition-batched per-keyframe grid decode — [[videoPhashBatch]]
+    * stopped at the [[blockMeans72]] seam, for fixture materialization:
+    * decode where the bytes live, ship only (doc_id, frame, 72 longs). */
+  def videoGridBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      stride: Int = 1
+  ): org.apache.spark.sql.Dataset[VideoFrameGrid] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        y4mFrameGrids(bytes, stride) match {
+          case Some(gs) =>
+            gs.map { case (idx, g) => VideoFrameGrid(id, idx, g.toSeq, ok = true) }
+          case None => Seq(VideoFrameGrid(id, -1, Seq.empty, ok = false))
+        }
+      }
+    }
+  }
+
+  /** Per-doc decoded segment-energy row — the audio oracle fixture's
+    * schema (65 exact-integer energies; undecodable → `ok=false`,
+    * empty). */
+  final case class AudioEnergyRow(doc_id: Long, energy: Seq[Long], ok: Boolean)
+
+  /** Partition-batched audio energy decode — [[audioFpBatch]] stopped
+    * at the [[audioEnergies]] seam, for fixture materialization. */
+  def audioEnergyBatch(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]
+  ): org.apache.spark.sql.Dataset[AudioEnergyRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        audioEnergies(bytes) match {
+          case Some(e) => AudioEnergyRow(id, e.toSeq, ok = true)
+          case None => AudioEnergyRow(id, Seq.empty, ok = false)
         }
       }
     }

@@ -39,7 +39,19 @@ object OracleFixtures {
   /** Placeholder the oracle SQL uses where the per-run SF tag goes. */
   val SfToken = "__SF__"
 
-  private val Root = "/root/repo/target/oracle_fixtures"
+  /** Fixture root: overridable via `-Dgraft.fixtures.dir` or
+    * `GRAFT_FIXTURES_DIR`, defaulting to the build's `target/` relative
+    * to the launch directory — absolutized HERE so the path embedded in
+    * `oracle_sql.json` stays valid for a DuckDB process with a
+    * different working directory. Single-JVM concurrency note: like
+    * `servedIndexWith`'s side tables, fixture writes assume one verify
+    * run per (query, SF) at a time — two concurrent runs of the SAME
+    * query at the SAME SF may overwrite each other's fixture
+    * mid-read (different SFs never collide: the path is SF-keyed). */
+  private val Root: String = new java.io.File(
+    sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse("target/oracle_fixtures")).getAbsolutePath
 
   private def tag(dir: String): String = new java.io.File(dir).getName
 

@@ -1110,18 +1110,34 @@ object TextQueries {
     * actually PARSES the Y4M container and dHashes every 2nd keyframe
     * through the shared 64-bit kernel.
     *
-    * No DuckDB oracle — a binary container parse is not SQL-expressible
-    * and this query's OUTPUT IS the raw hashes (no downstream to
-    * oracle, unlike `video_neardup`, whose banding/rollup is hash-gated
-    * over the fixture these same hashes feed); the spec pins each
-    * emitted hash against a direct-slice driver recompute that bypasses
-    * the container entirely, so a parser regression cannot hide.
+    * Oracle seam (the [[OracleFixtures]] split): the container parse +
+    * exact-integer block-mean downsample is the engine-only kernel —
+    * its per-keyframe 8×9 luma grids are materialized as the
+    * `video_grids` fixture (and each grid is pinned by the
+    * container-bypass spec recompute) — while the 64 gradient
+    * comparisons that fold a grid into the dHash are ordinary
+    * relational math both engines recompute over the read-back fixture.
+    * The hash is emitted as two unsigned 32-bit halves (`ph_lo`/
+    * `ph_hi`, the `simhash_neardup` convention) so neither engine
+    * touches the signed-BIGINT bit-63 hazard.
     *
     * Scale (100 TB): decode runs where the bytes live
-    * (`mapPartitions` codec boundary); only (doc_id, frame, 8-byte
-    * hash) rows ever shuffle. */
-  def videoPhash(spark: SparkSession, dir: String): DataFrame =
-    videoFrameHashes(spark, dir, 0L, "YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n")
+    * (`mapPartitions` codec boundary); only (doc_id, frame, 72 block
+    * means) rows ever shuffle — never payload bytes. */
+  def videoPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = OracleFixtures.materialize(
+      graft.operators.Multimodal.videoGridBatch(
+        videoPayloads(spark, dir, 0L, "YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n"),
+        stride = 2).toDF(),
+      dir, "video_grids")
+    g.select(col("doc_id"), col("frame_idx"),
+      when(col("ok"), graft.operators.Multimodal.phashHalf(col("grid"), 0))
+        .otherwise(lit(0L)).as("ph_lo"),
+      when(col("ok"), graft.operators.Multimodal.phashHalf(col("grid"), 4))
+        .otherwise(lit(0L)).as("ph_hi"),
+      col("ok"))
+  }
 
   /** The synthesize-decode-hash chain behind [[videoPhash]] and
     * [[videoNearDup]], with the clip id offset and the Y4M header as
@@ -1129,7 +1145,17 @@ object TextQueries {
     * (different container params, identical luma), which must hash
     * identically per frame. */
   private def videoFrameHashes(
-      spark: SparkSession, dir: String, idOffset: Long, header: String): DataFrame = {
+      spark: SparkSession, dir: String, idOffset: Long, header: String): DataFrame =
+    graft.operators.Multimodal
+      .videoPhashBatch(videoPayloads(spark, dir, idOffset, header), stride = 2).toDF()
+
+  /** The synthesized Y4M payload frame shared by the hash and grid
+    * decode paths: each ≥384-char doc becomes a 3-frame 16×8 C420 clip
+    * whose Y planes are consecutive 128-byte slices of its ASCII-pinned
+    * text. */
+  private def videoPayloads(
+      spark: SparkSession, dir: String, idOffset: Long, header: String
+  ): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     val uv = "P" * 64 // constant chroma: 8×4 U + 8×4 V per C420 frame
     val t = regexp_replace(col("text"), "[^\\x20-\\x7e]", "x")
@@ -1138,12 +1164,11 @@ object TextQueries {
       lit("FRAME\n"), substring(t, 1, 128), lit(uv),
       lit("FRAME\n"), substring(t, 129, 128), lit(uv),
       lit("FRAME\n"), substring(t, 257, 128), lit(uv))
-    val ds = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(length(col("text")) >= 384)
       .select((col("doc_id") + lit(idOffset)).as("doc_id"),
         payload.cast("binary").as("bytes"))
       .as[(Long, Array[Byte])]
-    graft.operators.Multimodal.videoPhashBatch(ds, stride = 2).toDF()
   }
 
   /** Clip-level video near-duplicates — [[phashNearDup]]'s band-LSH
@@ -1197,14 +1222,20 @@ object TextQueries {
     * 44-byte RIFF/PCM header (the length fields are compile-time
     * constants because every clip is exactly 130 16-bit samples)
     * followed by the first 260 ASCII-pinned text bytes interpreted as
-    * little-endian PCM; `audioFpBatch` then actually PARSES the
-    * container through javax.sound and fingerprints the decoded
-    * stream. No DuckDB oracle (container parse — the `video_phash`
-    * boundary); the spec pins each fingerprint against a direct-byte
-    * recompute that bypasses javax.sound entirely.
+    * little-endian PCM; `audioEnergyBatch` then actually PARSES the
+    * container through javax.sound and decodes the PCM stream.
+    *
+    * Oracle seam (the [[OracleFixtures]] split): the container parse +
+    * per-frame amplitude + 65 exact-integer segment energies is the
+    * engine-only kernel, materialized as the `audio_energy` fixture
+    * (each energy vector pinned by the container-bypass spec
+    * recompute); the 64 louder-than-next comparisons that fold the
+    * energies into the fingerprint are recomputed by both engines over
+    * the read-back fixture, emitted as two unsigned 32-bit halves
+    * (`afp_lo`/`afp_hi`).
     *
     * Scale (100 TB): decode where the bytes live; only (doc_id,
-    * 8-byte fp) rows shuffle. */
+    * 65 longs) rows shuffle. */
   def audioFingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dataBytes = 260 // 130 samples × 16-bit mono
@@ -1221,7 +1252,17 @@ object TextQueries {
       .select(col("doc_id"),
         concat(lit(header), substring(t, 1, dataBytes).cast("binary")).as("bytes"))
       .as[(Long, Array[Byte])]
-    graft.operators.Multimodal.audioFpBatch(ds).toDF()
+    val e = OracleFixtures.materialize(
+      graft.operators.Multimodal.audioEnergyBatch(ds).toDF(), dir, "audio_energy")
+    def half(off: Int): Column = (0 until 32).map { j =>
+      val k = off + j
+      when(element_at(col("energy"), k + 1) > element_at(col("energy"), k + 2),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("doc_id"),
+      when(col("ok"), half(0)).otherwise(lit(0L)).as("afp_lo"),
+      when(col("ok"), half(32)).otherwise(lit(0L)).as("afp_hi"),
+      col("ok"))
   }
 
   /** 64-bit SimHash as two independent 32-bit halves: the low half votes

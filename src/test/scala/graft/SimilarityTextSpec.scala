@@ -772,22 +772,25 @@ class SimilarityTextSpec extends SparkSuite {
   test("video_phash query: every emitted hash equals a direct-slice recompute that bypasses the container") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.TextQueries.videoPhash(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
-    assert(out.nonEmpty && out.forall(_._4), "every synthesized clip must decode")
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.nonEmpty && out.forall(_._5), "every synthesized clip must decode")
     // stride 2 over 3 frames -> keyframes 0 and 2 for every doc
     out.groupBy(_._1).values.foreach(fs =>
       assert(fs.map(_._2).sorted.toSeq == Seq(0, 2)))
     // reference: dHash the 16x8 Y plane sliced STRAIGHT from the
-    // sanitized text bytes — no Y4M parsing anywhere in this path
+    // sanitized text bytes — no Y4M parsing, no fixture grid, and no
+    // phashHalf fold anywhere in this path (the full container→grid→
+    // gradient chain is pinned end to end)
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(length(col("text")) >= 384)
       .select(col("doc_id"),
         regexp_replace(col("text"), "[^\\x20-\\x7e]", "x").as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    out.foreach { case (id, fi, ph, _) =>
+    out.foreach { case (id, fi, lo, hi, _) =>
       val plane = docs(id).substring(fi * 128, fi * 128 + 128).getBytes("US-ASCII")
       val want = Multimodal.dHash64(16, 8, (x, y) => plane(y * 16 + x) & 0xffL).get
-      assert(ph == want, s"doc $id frame $fi: container path diverged from direct slice")
+      assert(lo == (want & 0xffffffffL) && hi == (want >>> 32),
+        s"doc $id frame $fi: container path diverged from direct slice")
     }
     // docs shorter than 3 frames are absent, not half-decoded
     assert(out.map(_._1).toSet == docs.keySet)
@@ -815,8 +818,8 @@ class SimilarityTextSpec extends SparkSuite {
   test("audio_fingerprint query: every fingerprint equals a direct-byte recompute bypassing javax.sound") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.TextQueries.audioFingerprintQuery(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(out.nonEmpty && out.forall(_._3), "every synthesized clip must decode")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty && out.forall(_._4), "every synthesized clip must decode")
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(length(col("text")) >= 260)
       .select(col("doc_id"),
@@ -824,8 +827,9 @@ class SimilarityTextSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.map(_._1).toSet == docs.keySet)
     // reference: the energy-delta hash straight off the 130 LE samples
-    // encoded in the text bytes — no WAV container, no javax.sound
-    out.foreach { case (id, fp, _) =>
+    // encoded in the text bytes — no WAV container, no javax.sound, no
+    // fixture table, no energyHash fold (the full chain is pinned)
+    out.foreach { case (id, lo, hi, _) =>
       val raw = docs(id).substring(0, 260).getBytes("US-ASCII")
       val amp = (0 until 130).map { i =>
         math.abs((((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort).toLong)
@@ -836,7 +840,8 @@ class SimilarityTextSpec extends SparkSuite {
       }
       val want = (0 until 64).map(k =>
         if (energy(k) > energy(k + 1)) 1L << k else 0L).sum
-      assert(fp == want, s"doc $id: container path diverged from direct bytes")
+      assert(lo == (want & 0xffffffffL) && hi == (want >>> 32),
+        s"doc $id: container path diverged from direct bytes")
     }
   }
 
