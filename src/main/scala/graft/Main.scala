@@ -195,16 +195,19 @@ object Main {
     // from the persisted index at --indexDir. --family ivf (default):
     // vector queries through graft.streaming.AnnServe (centroids cached
     // at stream start, posting reads pruned to the probed buckets);
-    // --family lsh: (doc_id, text) document queries through
-    // graft.streaming.LshServe (batch signs itself, band-signature
-    // equijoin against the standing signature index — zero standing
-    // text read). --tombstoneAware true re-reads the tombstone set per
-    // batch so takedowns land without a restart, both families.
-    // Results land under --outDir/b<batchId>. Build an index first with
-    // --mode index (families ivf/ivf_trained/lsh).
-    // Usage: graft.Main --mode serve [--family ivf|lsh] --indexDir idx/
-    //                   --queryDir q/ --outDir out/ [--once true]
-    //                   [--tombstoneAware true]
+    // --family ivfpq: vector queries through graft.streaming.PqServe
+    // (centroids + residual codebooks cached at stream start, ADC
+    // scoring over bucket-pruned CODE postings — the compressed-index
+    // serving path); --family lsh: (doc_id, text) document queries
+    // through graft.streaming.LshServe (batch signs itself,
+    // band-signature equijoin against the standing signature index —
+    // zero standing text read). --tombstoneAware true re-reads the
+    // tombstone set per batch so takedowns land without a restart, all
+    // families. Results land under --outDir/b<batchId>. Build an index
+    // first with --mode index (families ivf/ivf_trained/ivfpq/lsh).
+    // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh]
+    //                   --indexDir idx/ --queryDir q/ --outDir out/
+    //                   [--once true] [--tombstoneAware true]
     if (cli.get("mode").contains("serve")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       val queryDir = cli.getOrElse("queryDir", sys.error("--queryDir required"))
@@ -213,6 +216,7 @@ object Main {
       val once = cli.getOrElse("once", "true").toBoolean
       val tombAware = cli.getOrElse("tombstoneAware", "true").toBoolean
       // --family ivf (default): vector queries → AnnServe top-3;
+      // --family ivfpq: vector queries → PqServe ADC top-3;
       // --family lsh: (doc_id, text) document queries → LshServe
       // near-dup candidates against the standing signature index
       val family = cli.getOrElse("family", "ivf")
@@ -231,6 +235,19 @@ object Main {
             spark.read.parquet(s"$indexDir/postings")
               .select("vec_id", "embedding").schema.fields)
           graft.streaming.AnnServe.start(
+            spark, spark.readStream.schema(qSchema).parquet(queryDir),
+            indexDir, sink, ckpt, availableNow = once,
+            tombstoneAware = tombAware)
+        case "ivfpq" =>
+          // code postings carry no raw vectors; the query vector type
+          // comes from the stored centroids instead
+          val embType = spark.read.parquet(s"$indexDir/centroids")
+            .schema("cemb").dataType
+          val qSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("embedding", embType)))
+          graft.streaming.PqServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
             tombstoneAware = tombAware)

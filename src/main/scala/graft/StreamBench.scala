@@ -194,6 +194,42 @@ object StreamBench {
     }
     val annQps = if (annSec > 0) annQueries / annSec else -1.0
 
+    // Streaming IVFPQ serving (graft.streaming.PqServe — the
+    // compressed-index twin): same query stream shape, ADC scoring over
+    // bucket-pruned CODE postings with centroids + codebooks cached at
+    // stream start. Same guard stance as the IVF stage.
+    val (pqQueries, pqSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-ivfpq").toString
+      graft.queries.SimilarityQueries.buildIvfPqIndex(spark, sfDir, idx)
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nQ = math.min(20000, math.max(2000, n / 10))
+      val queries: Seq[(Long, Seq[Float])] =
+        (0 until nQ).map(i => (3000000L + i, base(i % base.length)._2))
+      val ms4 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](3, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]])
+      val q = graft.streaming.PqServe.start(
+        spark, ms4.toDF().toDF("vec_id", "embedding"), idx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory("sb-pq-ckpt").toString)
+      // warmup batch (codegen + centroid/codebook caches), untimed
+      ms4.addData(queries.take(200): _*)
+      q.processAllAvailable()
+      val chunks = queries.drop(200).grouped(math.max(1, (nQ - 200) / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms4.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (nQ - 200, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] ivfpq serving stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val pqQps = if (pqSec > 0) pqQueries / pqSec else -1.0
+
     // Streaming LSH near-dup serving (graft.streaming.LshServe —
     // AnnServe's text-side twin): document batches sign themselves and
     // band-equijoin the persisted signature index; measured as
@@ -234,7 +270,7 @@ object StreamBench {
     val lshDps = if (lshSec > 0) lshDocs / lshSec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -244,18 +244,51 @@ object SimilarityQueries {
     * [[graft.streaming.AnnServe]]'s foreachBatch. */
   private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
-      tombstoneAware: Boolean = false): DataFrame = {
-    val filter: DataFrame => DataFrame =
-      if (tombstoneAware && {
-        val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }) {
-        val tombIds = broadcast(spark.read.parquet(s"$indexPath/tombstones")
-          .select(col("vec_id").as("tomb_id")).distinct())
-        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti")
-      } else identity
+      tombstoneAware: Boolean = false): DataFrame =
     serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
-      filter)
+      tombstonePostingsFilter(spark, indexPath, tombstoneAware))
+
+  /** The per-batch tombstone screen shared by the streaming serving
+    * paths: when enabled and tombstones exist, anti-join the posting
+    * rows (`vid`) against the CURRENT broadcast tombstone set — re-read
+    * per batch so a takedown lands on the next micro-batch with no
+    * stream restart. The set is bounded by delete traffic since the
+    * last compaction, never corpus size. */
+  private def tombstonePostingsFilter(spark: SparkSession, indexPath: String,
+      tombstoneAware: Boolean): DataFrame => DataFrame =
+    if (tombstoneAware && {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }) {
+      val tombIds = broadcast(spark.read.parquet(s"$indexPath/tombstones")
+        .select(col("vec_id").as("tomb_id")).distinct())
+      p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti")
+    } else identity
+
+  /** One micro-batch of STREAMING IVFPQ serving — [[ivfPqAnnServe]]'s
+    * plan driven incrementally over a raw (vec_id, embedding) query
+    * batch: norm + route the batch against the CACHED one-row centroid
+    * array, build its ADC table from the CACHED codebooks (both frozen
+    * for the life of the index — [[graft.streaming.PqServe]] loads them
+    * once at stream start), and candidate-join only the probed buckets'
+    * encoded postings (3 small ints per (vector, subspace) — the
+    * compressed representation a 100 TB deployment actually serves
+    * from). `cent` is the stored (pcid, cemb) centroid frame (query
+    * residuals), `cb` the (cm, cid, cv, cself) codebook frame. With
+    * `tombstoneAware`, the CURRENT tombstone set anti-joins the code
+    * rows per batch ([[ivfPqIndexDelete]] lands next micro-batch, no
+    * restart). */
+  private[graft] def servePqQueryBatch(spark: SparkSession, queryVecs: DataFrame,
+      centRow: DataFrame, cent: DataFrame, cb: DataFrame, indexPath: String,
+      nprobe: Int = IvfNprobe, tombstoneAware: Boolean = false): DataFrame = {
+    val qAsn = assignFromCents(withNorm(queryVecs), centRow, nprobe)
+    val enc = tombstonePostingsFilter(spark, indexPath, tombstoneAware)(
+      spark.read.parquet(s"$indexPath/postings")
+        // partition column reads back INT (directory-name inference);
+        // restore the join key's LONG type explicitly
+        .select(col("vid"), col("m"), col("code"),
+          col("bucket").cast("long").as("vbucket")))
+    ivfPqSearch(enc, ivfPqAdcTableFrom(qAsn, cent, cb))
   }
 
   /** IVF-bucketed approximate top-k: each query searches its top-nprobe
@@ -1957,8 +1990,15 @@ object SimilarityQueries {
     * [[ivfPqAnnServe]] (persisted codebooks) so the two paths cannot
     * diverge. `qAsn` carries (vec_id, embedding, probe_buckets); `cent`
     * is (pcid, cemb); `cb` a (cm, cid, cv, cself) codebook frame. */
-  private def ivfPqAdcTable(qAsn: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
-    val q = qAsn.filter(col("vec_id") < 10)
+  private def ivfPqAdcTable(qAsn: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame =
+    ivfPqAdcTableFrom(qAsn.filter(col("vec_id") < 10), cent, cb)
+
+  /** [[ivfPqAdcTable]] without the fixture's query-set scoping — the
+    * streaming serving path feeds an ALREADY-scoped micro-batch (the
+    * batch IS the query set), so the `vec_id < 10` fixture filter must
+    * not re-apply. */
+  private def ivfPqAdcTableFrom(qAsn: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
+    val q = qAsn
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         explode(col("probe_buckets")).as("pb"))
       .join(broadcast(cent), col("pb") === col("pcid"))

@@ -79,27 +79,9 @@ object AnnServe {
           tombstoneAware), id)
       }
     val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
-    // release the centroid cache when THIS query terminates — without
-    // it every serve stream leaks a session-lifetime cache entry. The
-    // release is guarded (idempotent) because the listener callback and
-    // the already-terminated check below can race on a fast
-    // AvailableNow stream; the post-registration isActive check covers
-    // a termination event that fired before the listener existed.
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def release(): Unit =
-      if (released.compareAndSet(false, true)) centRow.unpersist()
-    val qid = q.id
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qid) { release(); spark.streams.removeListener(this) }
-    }
-    spark.streams.addListener(listener)
-    if (!q.isActive) { release(); spark.streams.removeListener(listener) }
+    // release the centroid cache when THIS query terminates (see
+    // ServeCache for the idempotence/race contract)
+    ServeCache.releaseOnTermination(spark, q)(() => centRow.unpersist())
     q
   }
 }

@@ -888,6 +888,59 @@ class StreamingSpec extends SparkSuite {
       "an appended (delta-slice) vector must surface in some top-3")
   }
 
+  test("streaming IVFPQ serving: parity with the batch served path; a takedown " +
+      "stops surfacing on the NEXT micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    val idx = tmp("pq_serve_idx")
+    q.buildIvfPqIndex(spark, dir, idx)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(queryVecs.nonEmpty)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("pq_serve_out")
+    val query = graft.streaming.PqServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("pq_serve_ckpt"), tombstoneAware = true)
+    // TWO micro-batches — per-batch routing, ADC tables, and pruned
+    // code-posting reads, not one staged drain
+    val (first, second) = queryVecs.splitAt(queryVecs.size / 2)
+    ms.addData(first: _*)
+    query.processAllAvailable()
+    ms.addData(second: _*)
+    query.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("qid").longValue, r.getAs[Number]("vid").longValue,
+        r.getAs[Number]("adist_fp").longValue, r.getAs[Number]("rn").longValue)
+    val streamed = spark.read.parquet(s"$outDir/b*").collect().map(key).toSet
+    // parity: union of per-batch results == the batch served query over
+    // the same persisted index (each query lives in exactly one batch;
+    // per-query ADC top-3 is independent of batching)
+    val batch = q.ivfPqAnnServe(spark, dir, idx).collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream(${streamed.size}) != batch(${batch.size}); " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // takedown: tombstone every vid batch 1+2 surfaced, mid-stream —
+    // the NEXT micro-batch must not surface any of them (tombstones
+    // re-read per batch; centroids/codebooks stay cached)
+    import spark.implicits._
+    val victimSet = streamed.map(_._2)
+    q.ivfPqIndexDelete(spark, idx, victimSet.toSeq.toDF("vec_id"))
+    ms.addData(queryVecs.map { case (id, e) => (id + 1000L, e) }: _*)
+    query.processAllAvailable()
+    query.stop()
+    val batch3 = spark.read.parquet(s"$outDir/b2")
+      .collect().map(r => r.getAs[Number]("vid").longValue)
+    assert(batch3.nonEmpty, "survivors must still serve the post-takedown batch")
+    assert(batch3.toSet.intersect(victimSet).isEmpty,
+      s"retired vids surfaced post-takedown: ${batch3.toSet.intersect(victimSet).take(3)}")
+  }
+
   test("streaming ANN serving over the persisted trained IVF index matches the batch serving path") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
