@@ -157,9 +157,14 @@ object Main {
     // otherwise; run from the same directory as the ingest job). The
     // guard below fails loudly if the table is not visible, instead of
     // appending a ledger no reader will consult.
+    // Past --ledgerCompactRows ledger events (default 100k), the
+    // retire also rides a LEDGER self-compaction (one resolved
+    // latest-state row per doc_id — pending set unchanged), so
+    // sustained takedown traffic between corpus compactions cannot
+    // grow the per-batch pending broadcast without bound.
     // Usage: graft.Main --mode retire --corpusTable corpus --ids 1,2,3
     //                   [--buckets 32] [--compact false] [--semantic false]
-    //                   [--hiveCatalog true]
+    //                   [--ledgerCompactRows 100000] [--hiveCatalog true]
     if (cli.get("mode").contains("retire")) {
       val table = cli.getOrElse("corpusTable", sys.error("--corpusTable required"))
       val idsArg = cli.getOrElse("ids", sys.error("--ids required"))
@@ -182,9 +187,16 @@ object Main {
       graft.streaming.CorpusIngest.retireDocs(spark, corpus, ids)
       println(s"[graft] retired ${idsArg.split(",").length} ids into " +
         s"${table}_retired (serve-around active)")
+      val ledgerCap = cli.getOrElse("ledgerCompactRows", "100000").toLong
+      if (!runCompact &&
+          spark.table(s"${table}_retired").count() > ledgerCap) {
+        val ok = graft.streaming.CorpusIngest.compactLedger(spark, corpus)
+        println(if (ok) "[graft] ledger self-compacted to latest-state rows"
+          else "[graft] ledger self-compaction aborted (concurrent append) — unchanged")
+      }
       if (runCompact) {
         graft.streaming.CorpusIngest.compact(spark, corpus, semantic)
-        println(s"[graft] compact done: tombstoned rows purged, ledger cleared")
+        println(s"[graft] compact done: tombstoned rows purged, consumed ledger events cleared")
       }
       spark.stop()
       return

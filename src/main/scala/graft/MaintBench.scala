@@ -95,17 +95,35 @@ object MaintBench {
       val activeRead = timed {
         CorpusIngest.activeCorpus(spark, corpus).count(): Unit
       }
+      // ledger under sustained takedown traffic: resolution at 1×
+      // events, at 10× churn (repeated retires of the same fixed id
+      // set — multiple events per doc), then the self-compaction and
+      // post-compaction resolution. The flat claim: resolution cost
+      // tracks TRAFFIC, never the corpus (ratio ≈ 1 across scales),
+      // and compactLedger restores the 1× resolution cost however
+      // much churn accumulated between corpus compactions.
+      def resolvePending(): Unit =
+        CorpusIngest.retiredIds(spark, corpus).foreach(_.count(): Unit)
+      val resolve1 = timed(resolvePending())
+      (1 to 9).foreach(_ => CorpusIngest.retireDocs(spark, corpus, ids("doc_id")))
+      val resolve10 = timed(resolvePending())
+      val selfCompact = timed { CorpusIngest.compactLedger(spark, corpus): Unit }
+      val resolveC = timed(resolvePending())
       val corpusCompact = timed(CorpusIngest.compact(spark, corpus))
       Map("ivf_delete" -> ivfDelete, "ivf_compact" -> ivfCompact,
         "lsh_delete" -> lshDelete, "lsh_compact" -> lshCompact,
         "retire" -> retire, "active_read" -> activeRead,
+        "ledger_resolve_1x" -> resolve1, "ledger_resolve_10x" -> resolve10,
+        "ledger_selfcompact" -> selfCompact,
+        "ledger_resolve_compacted" -> resolveC,
         "corpus_compact" -> corpusCompact)
     }
 
-    // warmup: one untimed cycle at the smallest fixture burns codegen,
-    // write-path, and catalog init so scale A's first timed cycle isn't
-    // paying setup scale B doesn't
-    cycle("/root/testdata/sf0.001", "warm")
+    // warmup: one untimed cycle at the SMALLER passed fixture burns
+    // codegen, write-path, and catalog init so scale A's first timed
+    // cycle isn't paying setup scale B doesn't (dirs.head, not a
+    // hardcoded path — the bench must run against any fixture pair)
+    cycle(dirs.head, "warm")
 
     val results = dirs.map { dir =>
       val tag = new java.io.File(dir).getName.replace('.', '_')

@@ -178,7 +178,10 @@ object CorpusIngest {
     * concurrently with an ingest batch can never lose the other's
     * update (the lost-update hazard an overwrite-style tombstone table
     * would have). Bounded by takedown traffic since the last
-    * [[compact]] (which drops the ledger), never by corpus size. */
+    * [[compact]] (which deletes exactly the events it consumed) or
+    * [[compactLedger]] (which rewrites to one resolved latest-state
+    * row per doc_id — `--mode retire` rides it past a threshold),
+    * never by corpus size. */
   private[graft] def retiredTable(corpus: BucketedCorpus): String =
     s"${corpus.table}_retired"
 
@@ -479,8 +482,11 @@ object CorpusIngest {
         // completes. The rewrite itself additionally aborts if an
         // append slips in during its read phase (before tmp exists) —
         // see Layout.rewriteBucketed's lost-append check.
-        val tmpInFlight = Seq(corpus.table, sigsTable(corpus))
-          .map(t => s"${t}_compact_tmp").filter(spark.catalog.tableExists)
+        val tmpInFlight = (Seq(corpus.table, sigsTable(corpus))
+          .map(t => s"${t}_compact_tmp") :+
+          // the batch may append un-retire events; a ledger swap in
+          // flight must fail it the same way (see requireNoLedgerSwap)
+          s"${retiredTable(corpus)}_swap_tmp").filter(spark.catalog.tableExists)
         if (tmpInFlight.nonEmpty)
           throw new IllegalStateException(
             s"${corpus.table}: maintenance swap in progress " +
@@ -588,7 +594,17 @@ object CorpusIngest {
                 .select(col("doc_id")).distinct().as[Long].collect().toSet
               // standing: Bloom-screened broadcast probe of the sigs
               // table — one scan, no shuffle; skipped when no incoming
-              // band signature can possibly collide
+              // band signature can possibly collide.
+              // Twin standing rows (an un-retired doc's duplicate sig
+              // rows, pending compact) cannot flip any outcome here:
+              // nMatchStanding compares the 12 mh COMPONENTS of one
+              // (standing row, probe row) pair — it never counts rows —
+              // and the result folds through distinct(); a twin just
+              // re-evaluates the same per-row predicate. (A doc_id
+              // re-used for DIFFERENT content could match via its stale
+              // rows, but that id reuse is outside retireDocs'
+              // stable-identity contract, and matching stale content
+              // only over-quarantines — the safe direction.)
               val sigT = sigsTable(corpus)
               val anyMaybe = sigPairs.exists(r => sb.mightContain(r.getString(1)))
               val standingDupIds: Set[Long] =
@@ -685,18 +701,42 @@ object CorpusIngest {
   def compact(spark: SparkSession, corpus: BucketedCorpus,
               semantic: Boolean = false,
               retention: Option[graft.sources.Layout.RetentionPolicy] = None): Unit = {
+    import spark.implicits._
     // pending takedowns ride the compaction rewrite — the physical half
     // of the retire lifecycle ([[retireDocs]] wrote only tombstones).
-    // The retired set is collected once (bounded by takedown traffic)
-    // and anti-joined as the rewrite's row transform; the same pass
-    // also collapses the identical duplicate rows a same-doc_id
+    // The ledger is SNAPSHOTTED ONCE here, as literal rows (bounded by
+    // takedown traffic since the last compact): both rewrites purge
+    // from the same resolved pending set (a lazy frame would re-read
+    // the live ledger per rewrite — a retire landing between the two
+    // would leave corpus and sigs inconsistent), and at the end only
+    // the CONSUMED snapshot events are deleted from the ledger — a
+    // retire or un-retire committed while the rewrites ran survives
+    // for the next compact instead of being dropped with the table
+    // (the lost-takedown hazard of a blanket DROP). The same corpus
+    // pass also collapses the identical duplicate rows a same-doc_id
     // re-ingest leaves behind (see retireDocs — dups can ONLY arise
     // from the retire lifecycle, so the dedup runs only when a retire
-    // table exists). Crash-safe: tombstones are dropped LAST, so a
+    // table exists). Crash-safe: the ledger is truncated LAST, so a
     // crash mid-compact re-runs the purge idempotently and readers
     // keep serving around the still-pending set.
     val hadRetired = spark.catalog.tableExists(retiredTable(corpus))
-    val retired = retiredIds(spark, corpus).map(broadcast)
+    val ledgerSnap: Seq[(Long, java.sql.Timestamp, Boolean)] =
+      if (!hadRetired) Nil
+      else {
+        spark.catalog.refreshTable(retiredTable(corpus))
+        spark.table(retiredTable(corpus))
+          .select(col("doc_id"), col("ts"), col("retire"))
+          .as[(Long, java.sql.Timestamp, Boolean)].collect().toSeq
+      }
+    // latest-wins resolution over the SNAPSHOT (ties prefer retire —
+    // the same rule as retiredIds), computed driver-side on the
+    // collected rows so both rewrites see one immutable set
+    val pending: Seq[Long] = ledgerSnap
+      .groupBy(_._1)
+      .collect { case (id, evs) if evs.maxBy(e => (e._2.getTime, e._3))._3 => id }
+      .toSeq
+    val retired =
+      if (pending.isEmpty) None else Some(broadcast(pending.toDF("doc_id")))
     def purge(dedupCols: Seq[String])(df: DataFrame): DataFrame =
       if (!hadRetired) df
       else serveAround(df, retired).dropDuplicates(dedupCols)
@@ -708,8 +748,19 @@ object CorpusIngest {
       graft.sources.Layout.rewriteBucketed(
         spark, sigsTable(corpus), "sig", corpus.buckets, Nil,
         purge(Seq("doc_id", "band")))
-    if (hadRetired)
-      spark.sql(s"DROP TABLE IF EXISTS ${retiredTable(corpus)}")
+    if (hadRetired) {
+      // delete exactly the consumed events (anti-join on the full
+      // event triple); events appended during the rewrites — retires
+      // from a takedown CLI, un-retires from a live appender — stay
+      // pending for the next compact. The fenced swap aborts (ledger
+      // untouched) if an append lands mid-truncation: leftover
+      // consumed events are semantically harmless (their docs are
+      // already purged; serving around an absent id is a no-op), so
+      // an aborted truncation costs bloat, never correctness.
+      val snapDf = ledgerSnap.toDF("doc_id", "ts", "retire")
+      rewriteLedger(spark, corpus)(
+        _.join(snapDf, Seq("doc_id", "ts", "retire"), "left_anti"))
+    }
     // retention rides the same maintenance cadence: expire date
     // partitions of the companion time-series sink past the magnetic
     // TTL (the reference's MagneticStoreRetentionPeriodInDays,
@@ -755,11 +806,77 @@ object CorpusIngest {
     * LIVE appender: both writers only append to the tiny event ledger
     * (see [[retiredTable]]), so no interleaving can lose an update. */
   def retireDocs(spark: SparkSession, corpus: BucketedCorpus,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
+    requireNoLedgerSwap(spark, corpus)
     ids.select(col("doc_id")).distinct()
       .withColumn("ts", current_timestamp())
       .withColumn("retire", lit(true))
       .write.mode("append").saveAsTable(retiredTable(corpus))
+  }
+
+  /** Fail loudly when a ledger tmp-swap is in flight — an append now
+    * could recreate the dropped table mid-RENAME and strand the
+    * ledger's only copy in tmp (the same guard stance as the
+    * appender's corpus/sigs tmp check). */
+  private def requireNoLedgerSwap(spark: SparkSession, corpus: BucketedCorpus): Unit = {
+    val tmp = s"${retiredTable(corpus)}_swap_tmp"
+    if (spark.catalog.tableExists(tmp))
+      throw new IllegalStateException(
+        s"${retiredTable(corpus)}: ledger maintenance swap in progress " +
+          s"($tmp exists) — retry after compact/compactLedger completes")
+  }
+
+  /** Swap the retire ledger's contents for `transform(current)` behind
+    * the repo's lost-append fence: snapshot the table's files, write
+    * the transformed rows to a tmp table, abort (ledger untouched) if
+    * the listing changed — an append committed mid-rewrite — else
+    * DROP+RENAME. Crash between DROP and RENAME recovers on the next
+    * call (tmp holds the only copy; complete the rename first).
+    * Returns false when aborted. */
+  private def rewriteLedger(spark: SparkSession, corpus: BucketedCorpus)(
+      transform: DataFrame => DataFrame): Boolean = {
+    val t = retiredTable(corpus)
+    val tmp = s"${t}_swap_tmp"
+    if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    if (!spark.catalog.tableExists(t)) return true
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.catalog.refreshTable(t)
+    val filesBefore = spark.table(t).inputFiles.toSet
+    transform(spark.table(t)).write.mode("overwrite").saveAsTable(tmp)
+    spark.catalog.refreshTable(t)
+    if (spark.table(t).inputFiles.toSet != filesBefore) {
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      false
+    } else if (spark.table(tmp).isEmpty) {
+      // every event consumed/resolved away: retire the ledger table
+      // itself, restoring the no-ledger fast path (retiredIds = None)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"DROP TABLE $tmp")
+      true
+    } else {
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+      true
+    }
+  }
+
+  /** Ledger self-compaction — rewrite the append-only retire ledger to
+    * ONE resolved latest-state row per doc_id (same latest-wins,
+    * ties-prefer-retire rule as [[retiredIds]], so the pending set is
+    * IDENTICAL across the rewrite; IngestSpec pins it). Bounds the
+    * per-read aggregation and the per-batch pending broadcast under
+    * sustained takedown traffic between corpus compactions, which is
+    * the one regime where the ledger otherwise grows without bound —
+    * `--mode retire` rides this past a row threshold. Returns false
+    * when the fenced swap aborted on a concurrent append (ledger
+    * untouched — safe, just unshrunk). */
+  def compactLedger(spark: SparkSession, corpus: BucketedCorpus): Boolean =
+    rewriteLedger(spark, corpus)(
+      _.groupBy(col("doc_id"))
+        .agg(max(struct(col("ts"), col("retire"))).as("last"))
+        .select(col("doc_id"), col("last.ts").as("ts"),
+          col("last.retire").as("retire")))
 
   /** A corpus exists when its directory already holds parquet data —
     * a bare/nonexistent dir is the first-batch bootstrap case, not an

@@ -47,11 +47,18 @@ import org.apache.spark.sql.types.StructType
   * curated table here is dedup STATE first (its fp column), training
   * input second.
   *
-  * Output layout: `outDir/curated` (appended survivor rows +
-  * batch_id), `outDir/manifest` (5 stage rows per batch + batch_id).
-  * The manifest append is at-least-once under batch replay (same
-  * dead-letter stance as the quarantine sinks); consumers aggregate by
-  * (batch_id, stage) last-write or dedup on read.
+  * Output layout: `outDir/curated/batch_id=N` (survivor rows) and
+  * `outDir/manifest/batch_id=N` (5 stage rows), one partition
+  * directory per micro-batch, each written with OVERWRITE — the
+  * foreachBatch idempotence recipe: a batch redelivered after a crash
+  * (between the writes and the checkpoint commit) REPLACES its own
+  * partitions instead of appending a second row-set. The standing-fp
+  * probe excludes the current batch's own partition, so the replay
+  * recomputes against exactly the standing view the first attempt saw
+  * and rewrites byte-equal content — exactly-once effect with no
+  * consumer-side dedup caveat (IngestSpec pins the double-delivery).
+  * `batch_id` is a partition column (reads back INT by directory-name
+  * inference; [[readManifest]]/[[readCurated]] pin it LONG).
   *
   * Scale (100 TB): per-batch work is batch-priced (the LSH chain, the
   * windows, the rate fold all scope to the batch); the only standing
@@ -107,28 +114,46 @@ object CurateStream {
           case None => batchFps
         }
         if (maybe.isEmpty) None
-        else Some(spark.read.parquet(curatedPath).select(col("fp"))
+        else Some(spark.read.parquet(curatedPath)
+          // replay isolation: a redelivered batch must see exactly the
+          // standing view its first attempt saw, so its OWN partition
+          // (possibly written by that first attempt) never serves
+          // around itself — the partition filter prunes the directory,
+          // it never scans it
+          .filter(col("batch_id").cast("long") =!= lit(batchId))
+          .select(col("fp"))
           .join(broadcast(maybe.toDF("fp")), Seq("fp"), "left_semi").distinct())
       }
     val flags = CurationQueries.curationFlagsOf(
       batch, CurationQueries.dedupClustersOf(batch), standingFps).persist()
     try {
       // survivors carry their fp so future batches' standing serve-around
-      // reads one narrow column of this very table
+      // reads one narrow column of this very table; OVERWRITE of the
+      // batch's own partition directory = idempotent under redelivery
       CurationQueries.curatedFrom(flags)
         .join(flags.select(col("doc_id"), col("fp")), "doc_id")
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(curatedPath)
+        .write.mode("overwrite").parquet(s"$curatedPath/batch_id=$batchId")
       // extend the gate with the WHOLE batch's fps — a safe
       // over-approximation of what landed (the Bloom contract: a stale
       // "maybe" just falls through to the exact probe)
       gate.foreach(_.add(batchFps))
       val m = CurationQueries.manifestFrom(flags)
-        .withColumn("batch_id", lit(batchId))
-      m.write.mode("append").parquet(s"$outDir/manifest")
-      m
+      m.write.mode("overwrite").parquet(s"$outDir/manifest/batch_id=$batchId")
+      m.withColumn("batch_id", lit(batchId))
     } finally flags.unpersist()
   }
+
+  /** The standing manifest (all batches) with `batch_id` pinned LONG —
+    * the partition column reads back INT by directory-name inference. */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/manifest")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** The standing curated corpus (all batches) with `batch_id` pinned
+    * LONG. */
+  def readCurated(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/curated")
+      .withColumn("batch_id", col("batch_id").cast("long"))
 
   /** Start the streaming curation run: JSONL shards landing in
     * `watchDir` flow through the 5-stage cascade per micro-batch;

@@ -708,6 +708,36 @@ class IngestSpec extends SparkSuite {
     } finally { gq.stop(); bq.stop() }
   }
 
+  test("curate stream redelivery: the same batch delivered twice under the same id " +
+      "overwrites its own partitions — identical standing manifest and curated rows") {
+    import graft.streaming.CurateStream
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_replay").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    CurateStream.curateBatch(spark, b0, 0L, out)
+    CurateStream.curateBatch(spark, b1, 1L, out)
+    def manifestRows = CurateStream.readManifest(spark, out).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("stage_ord"),
+        r.getAs[String]("stage"), r.getAs[Long]("n_in"), r.getAs[Long]("n_out"),
+        r.getAs[Long]("tokens_in"), r.getAs[Long]("tokens_out"))).toSeq.sorted
+    def curatedRows = CurateStream.readCurated(spark, out).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_id"))).toSeq.sorted
+    val m1 = manifestRows
+    val c1 = curatedRows
+    assert(c1.count(_._1 == 1L) > 0, "batch 1 must have survivors before the replay")
+    // REDELIVERY: foreachBatch re-runs batch 1 after a crash between
+    // the writes and the checkpoint commit. The standing-fp probe must
+    // NOT serve batch 1 around its own first attempt (which would
+    // record a zero-survivor manifest), and the overwrite must not
+    // double any row — the standing output is byte-for-byte the same.
+    CurateStream.curateBatch(spark, b1, 1L, out)
+    assert(manifestRows == m1, "replayed batch changed the standing manifest")
+    assert(curatedRows == c1, "replayed batch changed the standing curated rows")
+  }
+
   /** (name -> md5) of every data file under a managed table's location
     * — the byte-identity probe for O(takedown) retire. */
   private def tableFileHashes(table: String): Map[String, String] = {
@@ -793,6 +823,67 @@ class IngestSpec extends SparkSuite {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(corpus.table))
     assert(cat.bucketSpec.exists(b =>
       b.numBuckets == corpus.buckets && b.bucketColumnNames == Seq("fp")))
+  }
+
+  test("ledger self-compaction: pending set identical across compactLedger; " +
+      "compact deletes only the events it consumed") {
+    import graft.streaming.CorpusIngest
+    import graft.streaming.CorpusIngest.BucketedCorpus
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ledger_sc").toString
+    val watch = s"$base/landing"; val quarantine = s"$base/quarantine"
+    new java.io.File(watch).mkdirs()
+    val corpus = BucketedCorpus(table = "corpus_ledger_sc_test", buckets = 4)
+    Seq(corpus.table, s"${corpus.table}_retired")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (gq, bq) = CorpusIngest.startBucketed(spark, watch, docSchema, corpus,
+      quarantine, s"$base/ckpt", availableNow = false)
+    try {
+      writeLines(s"$watch/shard-1.jsonl", Seq(
+        """{"doc_id": 1, "text": "ledger event subject one", "lang": "en"}""",
+        """{"doc_id": 2, "text": "ledger event subject two", "lang": "en"}""",
+        """{"doc_id": 3, "text": "ledger event subject three", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+      // a churny event history: 1 retired; 2 retired then un-retired
+      // (same-id re-ingest appends the retire=false event); 1 retired
+      // AGAIN after the churn — multiple rows per doc_id
+      CorpusIngest.retireDocs(spark, corpus, Seq(1L, 2L).toDF("doc_id"))
+      writeLines(s"$watch/shard-2.jsonl", Seq(
+        """{"doc_id": 2, "text": "ledger event subject two prime", "lang": "en"}"""
+      ), gzip = false)
+      gq.processAllAvailable()
+      CorpusIngest.retireDocs(spark, corpus, Seq(1L).toDF("doc_id"))
+      def pendingIds = CorpusIngest.activeCorpus(spark, corpus).collect()
+        .map(_.getAs[Long]("doc_id")).distinct.sorted.toSeq
+      val rowsBefore = spark.table(s"${corpus.table}_retired").count()
+      assert(rowsBefore >= 4, s"want a multi-event ledger, got $rowsBefore rows")
+      val activeBefore = pendingIds
+      // self-compaction: one resolved latest-state row per doc_id,
+      // pending set (hence the active view) IDENTICAL
+      assert(CorpusIngest.compactLedger(spark, corpus), "fenced swap must commit")
+      spark.catalog.refreshTable(s"${corpus.table}_retired")
+      val rowsAfter = spark.table(s"${corpus.table}_retired").count()
+      assert(rowsAfter == 2L, // doc 1 (retired) + doc 2 (un-retired) latest rows
+        s"latest-state rewrite: want 2 resolved rows, got $rowsAfter")
+      assert(pendingIds == activeBefore,
+        "ledger semantics must be identical across a self-compact")
+    } finally { gq.stop(); bq.stop() }
+    // compact consumes the CURRENT snapshot and deletes exactly those
+    // events; a retire landing after (simulated post-compact here, the
+    // interleaving the anti-join protects) must still be pending
+    CorpusIngest.compact(spark, corpus)
+    assert(!spark.catalog.tableExists(s"${corpus.table}_retired"),
+      "all events consumed: the ledger table retires")
+    spark.catalog.refreshTable(corpus.table)
+    assert(spark.table(corpus.table).collect()
+      .map(_.getAs[Long]("doc_id")).distinct.sorted.toSeq == Seq(2L, 3L),
+      "compact purged the pending doc and kept the un-retired/innocent docs")
+    // fresh retire AFTER the compact: nothing of it was consumed, so it
+    // must stand in a fresh ledger and serve around immediately
+    CorpusIngest.retireDocs(spark, corpus, Seq(3L).toDF("doc_id"))
+    assert(CorpusIngest.activeCorpus(spark, corpus).collect()
+      .map(_.getAs[Long]("doc_id")).distinct.sorted.toSeq == Seq(2L))
   }
 
   test("corpus takedown: same-doc_id re-ingest un-retires via the event ledger; " +
