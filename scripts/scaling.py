@@ -56,6 +56,9 @@ DRIVER = {
     "curation_manifest": "documents",
     # round-13 extension: similarity 4th decade (sf1 embeddings slice)
     "semantic_keep": "embeddings",
+    # round-14 extension: graph/curation families (VERDICT r13 item 5 —
+    # the label-propagation chains, previously unmeasured past sf0.1)
+    "cluster_split": "documents", "kcore_peel": "documents",
 }
 
 

@@ -234,11 +234,13 @@ object StreamBench {
     // AnnServe's text-side twin): document batches sign themselves and
     // band-equijoin the persisted signature index; measured as
     // documents/second across real micro-batches. Same guard stance as
-    // the ANN stage.
-    val (lshDocs, lshSec) = try {
-      val idx = java.nio.file.Files.createTempDirectory("sb-lsh").toString
-      graft.queries.SimilarityQueries.buildLshIndex(spark, sfDir, idx)
-      val docs = graft.sources.Tables.documents(spark, sfDir)
+    // the ANN stage. `indexDir` sizes the STANDING corpus independently
+    // of the query load, so a second run at a 10× index prices whether
+    // serving is signing-bound (flat) or index-bound (degrading).
+    def lshStage(indexDir: String, queryDir: String, tag: String): (Int, Double) = try {
+      val idx = java.nio.file.Files.createTempDirectory(s"sb-$tag").toString
+      graft.queries.SimilarityQueries.buildLshIndex(spark, indexDir, idx)
+      val docs = graft.sources.Tables.documents(spark, queryDir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
         .as[(Long, String)].collect()
@@ -252,7 +254,7 @@ object StreamBench {
       val q = graft.streaming.LshServe.start(
         spark, ms3.toDF().toDF("doc_id", "text"), idx,
         (df, _) => df.write.format("noop").mode("overwrite").save(),
-        java.nio.file.Files.createTempDirectory("sb-lsh-ckpt").toString)
+        java.nio.file.Files.createTempDirectory(s"sb-$tag-ckpt").toString)
       val warm = math.min(200, queries.size / 10)
       ms3.addData(queries.take(warm): _*)
       q.processAllAvailable()
@@ -264,13 +266,22 @@ object StreamBench {
       q.stop()
       (rest.size, sec)
     } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[streambench] lsh serving stage failed: ${e.getMessage}")
+      System.err.println(s"[streambench] $tag serving stage failed: ${e.getMessage}")
       (-1, -1.0)
     }
+    val (lshDocs, lshSec) = lshStage(sfDir, sfDir, "lsh")
     val lshDps = if (lshSec > 0) lshDocs / lshSec else -1.0
 
+    // Optional 10× standing-index decade (SPARK_GRAFT_SF1_DIR — the
+    // scripts/gen_sf1.py slice): SAME query batch, standing signature
+    // index built from 10× documents. dps ratio vs the base row isolates
+    // the index-size term of serving cost.
+    val (lsh10Docs, lsh10Sec) = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .map(d => lshStage(d, sfDir, "lsh10x")).getOrElse((-1, -1.0))
+    val lsh10Dps = if (lsh10Sec > 0) lsh10Docs / lsh10Sec else -1.0
+
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -79,19 +79,27 @@ object Pipeline {
     * The connector jar is not in this sandbox, so construction is
     * guarded: a missing data source surfaces as a clear "add the
     * connector jar" error instead of a raw lookup failure. The option
-    * TRANSLATION — the part that can be wrong — is a pure function,
-    * unit-tested offline. */
-  final class KinesisLogSource(cfg: AppConfig) extends LogSource {
+    * TRANSLATION is a pure function (unit-tested), and the full
+    * `readStream.format(...).options(...).load()` path — lookup, option
+    * delivery, LATEST positioning, record-schema contract, checkpoint
+    * resume — is driven end-to-end in KinesisEdgeSpec against a
+    * test-registered DataSource V2 under the same short name.
+    *
+    * @param format data-source short name; overridable ONLY so the
+    *               missing-connector guard stays testable in a JVM where
+    *               the test connector satisfies the production name. */
+  final class KinesisLogSource(cfg: AppConfig, format: String = KinesisLogSource.Format)
+      extends LogSource {
     override def stream(spark: SparkSession): DataFrame = {
       val df =
         try spark.readStream
-          .format(KinesisLogSource.Format)
+          .format(format)
           .options(KinesisLogSource.options(cfg))
           .load()
         catch {
           case e: Exception =>
             throw new IllegalStateException(
-              s"Kinesis source '${KinesisLogSource.Format}' unavailable — put the " +
+              s"Kinesis source '$format' unavailable — put the " +
                 "spark-sql-kinesis-connector jar on the classpath (offline edges: " +
                 "FileLogSource / GzipFileLogSource / MemoryStream)", e)
         }

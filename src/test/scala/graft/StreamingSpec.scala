@@ -530,10 +530,12 @@ class StreamingSpec extends SparkSuite {
     // voiding the GetRecords options) — documented semantic substitution
     assert(Pipeline.KinesisLogSource.options(cfg.copy(useAdaptiveReads = true))
       .apply("kinesis.consumerType") == "GetRecords")             // StreamingJob.java:84-88
-    // no connector jar in this sandbox: construction must fail with the
-    // actionable guard, not a raw data-source lookup stack
+    // a missing connector must fail with the actionable guard, not a raw
+    // data-source lookup stack (the production name now resolves in-test
+    // to FakeKinesisProvider — see KinesisEdgeSpec for the e2e path — so
+    // the guard is exercised against a genuinely absent short name)
     val e = intercept[IllegalStateException] {
-      new Pipeline.KinesisLogSource(cfg).stream(spark)
+      new Pipeline.KinesisLogSource(cfg, format = "aws-kinesis-absent").stream(spark)
     }
     assert(e.getMessage.contains("connector"))
   }
