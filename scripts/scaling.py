@@ -119,10 +119,13 @@ def main():
           "in its driving table?** A query whose time grows faster than its "
           "input is the one that dies first at 100 TB, whatever its sf0.1 "
           "bench row says. Method: `graft.Bench` (min-of-3, quiet box, load "
-          "sentinel recorded) on the same 49-query headline subset at "
+          "sentinel recorded) on the same headline subset at "
           "sf0.001 / sf0.01 / sf0.1 (round 12 adds an sf1-equivalent slice "
           "for the steepest families; round 13 extends the slice with a "
-          "10× embeddings table and the similarity/retire/serve families — "
+          "10× embeddings table and the similarity/retire/serve families; "
+          "round 14 adds the graph/curation chains — cluster_split, "
+          "kcore_peel, curation_manifest, the pagerank/triangle/component "
+          "label-propagation family — at all four decades — "
           "scripts/gen_sf1.py), exponents "
           "computed against each query's "
           "OWN driving-table row ratio — the fixture tables do not scale "
@@ -211,6 +214,14 @@ def main():
           "CANDIDATE PAIR counts grow with the planted duplicate mass — "
           "the band/bucket equijoins are doing their job (no all-pairs "
           "term in the measurement, matching the plan pins).\n")
+        w("3b. **The iterative graph chains converge, they don't bend**: "
+          "the label-propagation components (dedup_clusters 0.63, "
+          "cluster_split 0.47), k-core peel rounds (kcore_peel 0.59), "
+          "pagerank iterations (dup_pagerank 0.65), and the single-scan "
+          "curation cascade (curation_manifest 0.47) all stay sub-linear "
+          "across the 10× documents step — the pointer-jump round bound "
+          "(O(log diameter)) and the LSH-bounded edge sets hold where "
+          "iterative graph work would classically go quadratic.\n")
         w("4. **Sentinels**: the three sf-run sentinel samples stayed at "
           "baseline (see bench_scaling/*.json), so those rows are "
           "load-clean.")

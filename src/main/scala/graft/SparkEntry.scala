@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     "ann_ivf_trained_served" -> (SimilarityQueries.annIvfTrainedServed _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
+    "ann_ivf_merged" -> (SimilarityQueries.annIvfMerged _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
     "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
@@ -332,6 +333,13 @@ object SparkEntry {
     * centroids", which is exactly this chain. */
   private lazy val IvfAssignBaseCentSql: String =
     ivfAssignSqlWith(" WHERE vec_id % 4 != 0")
+
+  /** [[IvfAssignSql]] with centroids sampled from shard A only (odd
+    * vec_ids) — the `ann_ivf_merged` oracle: merging shard B into A
+    * re-routes B's postings against A's frozen centroids, so the merged
+    * index ≡ assigning the whole corpus against A's centroids. */
+  private lazy val IvfAssignMergedCentSql: String =
+    ivfAssignSqlWith(" WHERE vec_id % 2 = 1")
 
   /** Two-round k-means CTE chain (extends [[IvfAssignSql]] — whose `asn`
     * IS the round-1 assignment): the exact fixed-point Lloyd's update
@@ -1178,6 +1186,17 @@ object SparkEntry {
     // persisted centroids, same routing argmax, same cosine/top-3)
     "ann_ivf_served" ->
       s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "ann_ivf_merged" ->
+      // shard-A centroids; routing/serving tail identical to
+      // ann_ivf_served — frozen-centroid merge ≡ one-pass assignment
+      s"""$IvfAssignMergedCentSql,
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
          |p AS (SELECT q.qid, a.vec_id AS vid,
          |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos

@@ -2193,6 +2193,99 @@ object SimilarityQueries {
     appendIdMap(asn, indexPath)
   }
 
+  /** Absorb one shard's persisted IVF index into another WITHOUT
+    * retraining or touching either corpus — the shard-parallel build
+    * story at 100 TB: N workers each build an independent index over
+    * their slice (the [[buildIvfIndex]] layout), then merges fold them
+    * into the serving index. The destination's centroids stay FROZEN
+    * (serving plans, cached centroid arrays, and recall audits remain
+    * valid); the source's postings — which already carry
+    * (vec_id, embedding, nrm), so the source CORPUS is never read —
+    * are re-routed against the destination centroids and appended
+    * per-bucket (`mode("append")` under `partitionBy(bucket)`: only
+    * touched bucket directories gain files, existing posting files are
+    * never rewritten — MergeSpec pins byte-identity), and the sidecar
+    * gains the delta's (vec_id, bucket) pairs. Source vectors
+    * tombstoned before the merge are dropped on the way in — a free
+    * physical purge; their (vec_id, src-bucket) tombstone rows would
+    * be meaningless under destination routing. Cost:
+    * O(|src postings| routing) + O(touched buckets) write — never
+    * O(dst corpus). (The IVFPQ layout cannot merge index-to-index:
+    * its postings carry CODES, not embeddings, and re-encoding
+    * residuals against the destination's centroids/codebooks needs the
+    * shard corpus — use [[appendIvfPqIndex]]-style routing from the
+    * source vectors instead.) */
+  def ivfIndexMergeInto(spark: SparkSession, dstIndex: String, srcIndex: String): Unit = {
+    val srcTomb = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
+    val fs = srcTomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcRows = spark.read.parquet(s"$srcIndex/postings")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val live =
+      if (fs.exists(srcTomb)) {
+        val tomb = broadcast(spark.read.parquet(srcTomb.toString)
+          .select(col("vec_id").as("_tomb_del")).distinct())
+        srcRows.join(tomb, srcRows("vec_id") === tomb("_tomb_del"), "left_anti")
+      } else srcRows
+    // routed once, consumed by the postings write AND the sidecar append
+    val asn = assignFromCents(live, storedCents(spark, dstIndex))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      .persist()
+    try {
+      asn.write.partitionBy("bucket").mode("append").parquet(s"$dstIndex/postings")
+      appendIdMap(asn, dstIndex)
+    } finally { asn.unpersist(); () }
+  }
+
+  /** One shard's independent build in the shard-parallel lifecycle: the
+    * standard index layout ([[buildIvfIndex]]) over an arbitrary raw
+    * (vec_id, embedding) slice, centroids sampled from the slice. */
+  private[graft] def buildIvfIndexSlice(spark: SparkSession, slice: DataFrame,
+      indexPath: String): Unit =
+    buildIvfIndexFrom(withNorm(slice), indexPath)
+
+  /** Build over `corpus` with centroids sampled from `centSlice` — the
+    * one-pass twin MergeSpec compares the shard merge against. */
+  private[graft] def buildIvfIndexSliceCents(spark: SparkSession, corpus: DataFrame,
+      centSlice: DataFrame, indexPath: String): Unit = {
+    ivfCentFrame(withNorm(centSlice))
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignFromCents(withNorm(corpus), storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath)
+  }
+
+  /** Argmax routing of a raw (vec_id, embedding) frame against a stored
+    * index's centroids → (vec_id, bucket) — the routing-parity probe
+    * MergeSpec checks merged postings against. */
+  private[graft] def routeAgainstIndex(spark: SparkSession, vecs: DataFrame,
+      indexPath: String): DataFrame =
+    assignFromCents(withNorm(vecs), storedCents(spark, indexPath))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+
+  /** Shard-parallel build + merge lifecycle behind [[annIvfMerged]]:
+    * shard A (odd vec_ids) and shard B (even) each build an independent
+    * index from their slice alone; B is then merged into A
+    * ([[ivfIndexMergeInto]]). Because routing against frozen centroids
+    * is deterministic, "build A, build B, merge" ≡ "assign the whole
+    * corpus against shard A's centroids in one pass" — which is exactly
+    * what the `ann_ivf_merged` oracle recomputes. */
+  def buildIvfIndexMerged(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = Tables.embeddings(spark, dir)
+    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
+    val srcIdx = java.nio.file.Files.createTempDirectory("ivf_shard_b").toString
+    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), srcIdx)
+    ivfIndexMergeInto(spark, indexPath, srcIdx)
+  }
+
+  /** [[annIvfServe]] over the shard-merged index
+    * ([[buildIvfIndexMerged]]) — same serving plan, centroids from
+    * shard A, postings covering both shards. */
+  def annIvfMerged(spark: SparkSession, dir: String): DataFrame =
+    annIvfServe(spark, dir,
+      servedIndex(spark, dir, "ivf_merged")(buildIvfIndexMerged(spark, dir, _)))
+
   /** The persisted centroid table folded to the one-row broadcastable
     * array frame [[assignFromCents]] routes against. */
   private def storedCents(spark: SparkSession, indexPath: String): DataFrame =

@@ -1,0 +1,112 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files => JFiles, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Shard-parallel IVF build + merge ([[SimilarityQueries.ivfIndexMergeInto]]).
+  * Pins the contracts the merge exists for:
+  *   1. merge is append-only on the destination — every posting file
+  *      present before the merge stays byte-identical;
+  *   2. the merged index covers BOTH shards, routed by the DESTINATION's
+  *      frozen centroids (merge ≡ one-pass assignment of the union);
+  *   3. the sidecar stays consistent (one (vec_id, bucket) row per
+  *      posting row), so deletes on the merged index stay O(batch);
+  *   4. source vectors tombstoned before the merge never enter the
+  *      destination — merge doubles as their physical purge.
+  */
+class MergeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val q = SimilarityQueries
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  private def fileSigs(root: String): Map[String, (Long, Int)] =
+    JFiles.walk(Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && JFiles.isRegularFile(p))
+      .map { p =>
+        val bytes = JFiles.readAllBytes(p)
+        p.toString -> (bytes.length.toLong, java.util.Arrays.hashCode(bytes))
+      }.toMap
+
+  test("IVF shard merge: append-only, dst-centroid routing, sidecar consistent, src tombstones purged") {
+    val dstIdx = JFiles.createTempDirectory("ivf_merge_dst").toString
+    val srcIdx = JFiles.createTempDirectory("ivf_merge_src").toString
+    val e = Tables.embeddings(spark, dir)
+
+    // shard A (odd) → dst, shard B (even) → src, via the public
+    // single-shard build (buildIvfIndexMerged wraps the same calls)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    q.buildIvfIndexSlice(spark, odd, dstIdx)
+    q.buildIvfIndexSlice(spark, even, srcIdx)
+
+    // tombstone a slice of the SOURCE shard before merging
+    val retired = even.select(col("vec_id")).filter(col("vec_id") % 10 === 4)
+    val retiredIds = retired.collect().map(r => num(r.get(0))).toSet
+    assert(retiredIds.nonEmpty)
+    q.ivfIndexDelete(spark, srcIdx, retired)
+
+    val dstSigsBefore = fileSigs(s"$dstIdx/postings")
+    q.ivfIndexMergeInto(spark, dstIdx, srcIdx)
+
+    // 1. append-only: every pre-merge posting file is byte-identical
+    val dstSigsAfter = fileSigs(s"$dstIdx/postings")
+    dstSigsBefore.foreach { case (path, sig) =>
+      assert(dstSigsAfter.get(path).contains(sig), s"pre-merge file rewritten: $path")
+    }
+    assert(dstSigsAfter.size > dstSigsBefore.size, "merge added no posting files")
+
+    // 2. coverage + routing: all odd ids, all even ids EXCEPT the
+    //    tombstoned ones, each in exactly one bucket, and that bucket is
+    //    the argmax against the DESTINATION's stored centroids
+    val postings = spark.read.parquet(s"$dstIdx/postings")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+    val got = postings.collect().map(r => num(r.get(0)) -> num(r.get(1))).toMap
+    val allIds = e.select(col("vec_id")).collect().map(r => num(r.get(0))).toSet
+    val expectIds = allIds.filterNot(retiredIds)
+    assert(got.keySet == expectIds)
+    assert(postings.count() == expectIds.size.toLong, "a vec_id landed in more than one bucket")
+    // 4. (interleaved with 2) purged: no tombstoned id anywhere
+    retiredIds.foreach(id => assert(!got.contains(id), s"tombstoned $id entered the merge"))
+
+    // routing parity: re-derive the expected bucket per vector from the
+    // stored dst centroids with the SAME serving code path
+    val expected = q.routeAgainstIndex(spark, e, dstIdx)
+      .collect().map(r => num(r.get(0)) -> num(r.get(1))).toMap
+    expectIds.foreach { id =>
+      assert(got(id) == expected(id), s"vec $id routed to ${got(id)}, dst centroids say ${expected(id)}")
+    }
+
+    // 3. sidecar consistency: idmap rows == posting rows, same pairs
+    val idmap = spark.read.parquet(s"$dstIdx/idmap")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+    assert(idmap.count() == postings.count())
+    assert(idmap.except(postings).count() == 0 && postings.except(idmap).count() == 0)
+
+    // and a delete on the MERGED index still resolves through the
+    // sidecar and lands in exactly one bucket's tombstones
+    val mergedDelete = spark.range(1).select(lit(expectIds.head).as("vec_id"))
+    q.ivfIndexDelete(spark, dstIdx, mergedDelete)
+    val tomb = spark.read.parquet(s"$dstIdx/tombstones")
+    assert(tomb.count() == 1 && num(tomb.collect()(0).get(0)) == expectIds.head)
+  }
+
+  test("ann_ivf_merged equals one-pass assignment of the union against shard-A centroids") {
+    // the oracle's claim, engine-side: the merged-index serving rows must
+    // be bit-identical to serving an index built in ONE pass over the
+    // whole corpus with shard A's centroid sample
+    val merged = SparkEntry.queries("ann_ivf_merged")(spark, dir)
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), r.getDouble(2))).toSet
+    val onePassIdx = JFiles.createTempDirectory("ivf_onepass").toString
+    val e = Tables.embeddings(spark, dir)
+    q.buildIvfIndexSliceCents(spark, e, e.filter(col("vec_id") % 2 === 1), onePassIdx)
+    val onePass = q.annIvfServe(spark, dir, onePassIdx)
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), r.getDouble(2))).toSet
+    assert(merged == onePass)
+  }
+}
