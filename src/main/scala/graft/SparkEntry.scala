@@ -256,6 +256,7 @@ object SparkEntry {
     "pq_recall" -> (SimilarityQueries.pqRecall _),
     "ivfpq_ann" -> (SimilarityQueries.ivfPqAnn _),
     "ivfpq_ann_served" -> (SimilarityQueries.ivfPqAnnServed _),
+    "ivfpq_rerank" -> (SimilarityQueries.ivfPqRerank _),
     "ivfpq_recall" -> (SimilarityQueries.ivfPqRecall _),
     // sketch VALUES are engine-specific, but their accuracy CONTRACTS
     // are oracled invariants (booleans vs exact SQL bounds) since
@@ -1690,6 +1691,20 @@ object SparkEntry {
     "ivfpq_ann_served" ->
       s"""$IvfPqBody
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    // ADC shortlist (top-10 of the composite chain), then EXACT cosine
+    // re-rank over only the shortlist's raw vectors -- the FAISS refine
+    // recipe; `en` (full-vector norms) comes from the IvfAssignSql base
+    "ivfpq_rerank" ->
+      s"""$IvfPqBody,
+         |short AS (SELECT qid, vid FROM prr WHERE rn <= ${SimilarityQueries.PqRerankShortlist}),
+         |rq AS (SELECT vec_id AS rqid, embedding AS rqemb, nrm AS rqnrm FROM en WHERE vec_id < 10),
+         |rsc AS (SELECT s.qid, s.vid,
+         |          ${dotSql("q.rqemb", "d.embedding")} / (q.rqnrm * d.nrm) AS cos
+         |        FROM short s JOIN en d ON s.vid = d.vec_id JOIN rq q ON s.qid = q.rqid),
+         |rrk AS (SELECT qid, vid, cos,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |        FROM rsc)
+         |SELECT qid, vid, cos, rn FROM rrk WHERE rn <= 3""".stripMargin,
     // the appended twin: centroids, PQ seeds, and codebook training all
     // restricted to the base slice; assignment/encoding cover everything
     // -- frozen-artifact append == one-pass encoding, which this chain IS

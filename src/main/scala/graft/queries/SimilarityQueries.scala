@@ -2015,10 +2015,12 @@ object SimilarityQueries {
           * lit(1000000.0)).cast("long").as("d_fp"))
   }
 
-  /** The IVF+PQ candidate join + exact fixed-point ADC sum + top-3 —
+  /** The IVF+PQ candidate join + exact fixed-point ADC sum + top-k —
     * [[ivfPqAdcTable]]'s consumer, shared by the in-session and served
-    * paths. `enc` carries (vid, m, code, vbucket). */
-  private def ivfPqSearch(enc: DataFrame, dt: DataFrame): DataFrame = {
+    * paths (k = 3, the answer set) and by [[ivfPqRerank]]'s shortlist
+    * arm (k = [[PqRerankShortlist]]). `enc` carries
+    * (vid, m, code, vbucket). */
+  private def ivfPqSearch(enc: DataFrame, dt: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_fp").asc, col("vid").asc)
     enc.join(broadcast(dt),
         col("vbucket") === col("pb") && col("m") === col("qm") && col("code") === col("cid"))
@@ -2026,7 +2028,7 @@ object SimilarityQueries {
       .groupBy(col("qid"), col("vid"))
       .agg(sum(col("d_fp")).as("adist_fp"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("vid"), col("adist_fp"), col("rn").cast("long").as("rn"))
   }
 
@@ -2063,7 +2065,8 @@ object SimilarityQueries {
   def ivfPqAnnServe(spark: SparkSession, dir: String, indexPath: String,
       nprobe: Int = IvfNprobe,
       queryFilter: Column = lit(true),
-      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
+      postingsFilter: DataFrame => DataFrame = identity,
+      k: Int = 3): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
     val centStored = spark.read.parquet(s"$indexPath/centroids")
     val centRow = centStored
@@ -2076,7 +2079,47 @@ object SimilarityQueries {
       // the partition column reads back as INT (directory-name
       // inference); restore the join key's LONG type explicitly
       .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("vbucket")))
-    ivfPqSearch(enc, ivfPqAdcTable(qAsn, cent, cb))
+    ivfPqSearch(enc, ivfPqAdcTable(qAsn, cent, cb), k)
+  }
+
+  /** Shortlist width of the re-rank stage — candidates kept from the
+    * ADC scan per query, each paying one raw-vector fetch. */
+  private[graft] val PqRerankShortlist = 10
+
+  /** IVFPQ + exact re-rank — the FAISS `IndexRefine` recipe, and the
+    * production serving shape at 100 TB: the ~64×-compressed in-memory
+    * codes produce a per-query ADC shortlist
+    * (top-[[PqRerankShortlist]] via the shared [[ivfPqSearch]]), and
+    * only the shortlist's RAW vectors are fetched — a broadcast
+    * semi-join of the ≤ |Q|·k' id set against the vector store, never
+    * a posting-sized read — and re-scored with EXACT cosine; the
+    * answer is the exact top-3 of the shortlist. Recall recovers
+    * toward exact search while the expensive store is touched
+    * per-candidate, not per-posting. The shortlist is localCheckpointed
+    * once: both its consumers (the candidate rows and the fetch id
+    * set) read the materialized ≤ |Q|·k' frame instead of re-running
+    * the ADC scan. */
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _))
+    val short = ivfPqAnnServe(spark, dir, idx, k = PqRerankShortlist)
+      .select(col("qid"), col("vid"))
+      .localCheckpoint(true)
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("rqid"), col("embedding").as("rqemb"),
+        col("nrm").as("rqnrm"))
+    val fetched = e.join(
+        broadcast(short.select(col("vid").as("fid")).distinct()),
+        col("vec_id") === col("fid"))
+      .select(col("vec_id").as("dvid"), col("embedding").as("demb"),
+        col("nrm").as("dnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    short.join(fetched, col("vid") === col("dvid"))
+      .join(broadcast(q), col("qid") === col("rqid"))
+      .withColumn("cos", dotD(col("rqemb"), col("demb")) / (col("rqnrm") * col("dnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vid"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
   /** A self-managing persisted index under the JVM temp dir: (re)builds
