@@ -2451,6 +2451,37 @@ object SimilarityQueries {
       Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)))
       .write.partitionBy("band").mode("append").parquet(s"$indexPath/postings")
 
+  /** One shard's independent LSH build over an arbitrary document
+    * slice — the near-dup side of the shard-parallel story. */
+  private[graft] def buildLshIndexSlice(docs: DataFrame, indexPath: String): Unit =
+    bandSigs(minhashSigsOf(docs.select(col("doc_id"), col("text"))))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$indexPath/postings")
+
+  /** LSH twin of [[ivfIndexMergeInto]] — and the degenerate case that
+    * shows why the near-dup index is the EASY one to shard: signatures
+    * are strictly per-document (no centroids, no codebooks, no trained
+    * state), so absorbing one shard's signature index into another is a
+    * pure partition-wise posting union — the source's sig rows append
+    * per band with no signing, no re-routing, and no source-corpus
+    * read. Append-only on the destination (MergeSpec pins pre-merge
+    * posting files byte-identical); source docs tombstoned before the
+    * merge are dropped on the way in (tombstones are doc-keyed, so the
+    * merge is their physical purge). Merge ≡ one-pass signing of the
+    * live union corpus, exactly — MergeSpec pins the row sets equal. */
+  def lshIndexMergeInto(spark: SparkSession, dstIndex: String, srcIndex: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = spark.read.parquet(s"$srcIndex/postings")
+      .select(col("doc_id"), col("sig"), col("band"))
+    val live =
+      if (fs.exists(tombPath)) {
+        val tomb = broadcast(spark.read.parquet(tombPath.toString)
+          .select(col("doc_id").as("_tomb_del")).distinct())
+        src.join(tomb, src("doc_id") === tomb("_tomb_del"), "left_anti")
+      } else src
+    live.write.partitionBy("band").mode("append").parquet(s"$dstIndex/postings")
+  }
+
   /** LSH bucket-skew audit — the top-10 hottest (band, sig) posting
     * lists with their document counts: [[ivf_balance]]'s twin for the
     * near-dup side. At 100 TB a hot band signature (usually a boilerplate

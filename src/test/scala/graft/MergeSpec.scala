@@ -96,6 +96,45 @@ class MergeSpec extends SparkSuite {
     assert(tomb.count() == 1 && num(tomb.collect()(0).get(0)) == expectIds.head)
   }
 
+  test("LSH shard merge: append-only posting union, equals one-pass signing, src tombstones purged") {
+    val dstIdx = JFiles.createTempDirectory("lsh_merge_dst").toString
+    val srcIdx = JFiles.createTempDirectory("lsh_merge_src").toString
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    q.buildLshIndexSlice(base, dstIdx)
+    q.buildLshIndexSlice(delta, srcIdx)
+
+    // tombstone part of the source shard before merging
+    val retired = delta.select(col("doc_id")).filter(col("doc_id") % 8 === 0)
+    val retiredIds = retired.collect().map(r => num(r.get(0))).toSet
+    assert(retiredIds.nonEmpty)
+    q.lshIndexDelete(spark, srcIdx, retired)
+
+    val dstSigsBefore = fileSigs(s"$dstIdx/postings")
+    q.lshIndexMergeInto(spark, dstIdx, srcIdx)
+
+    // append-only: every pre-merge posting file is byte-identical
+    val dstSigsAfter = fileSigs(s"$dstIdx/postings")
+    dstSigsBefore.foreach { case (path, sig) =>
+      assert(dstSigsAfter.get(path).contains(sig), s"pre-merge file rewritten: $path")
+    }
+
+    // merge == one-pass signing of the live union (base + delta minus
+    // the tombstoned docs), row set exactly
+    val got = spark.read.parquet(s"$dstIdx/postings")
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), r.getString(2))).toSet
+    val onePassIdx = JFiles.createTempDirectory("lsh_onepass").toString
+    q.buildLshIndexSlice(
+      docs.filter(!col("doc_id").isin(retiredIds.toSeq: _*)), onePassIdx)
+    val want = spark.read.parquet(s"$onePassIdx/postings")
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), r.getString(2))).toSet
+    assert(got == want)
+    retiredIds.foreach(id => assert(!got.exists(_._1 == id), s"tombstoned doc $id entered the merge"))
+  }
+
   test("ann_ivf_merged equals one-pass assignment of the union against shard-A centroids") {
     // the oracle's claim, engine-side: the merged-index serving rows must
     // be bit-identical to serving an index built in ONE pass over the
