@@ -93,22 +93,26 @@ object Main {
     }
 
     // --mode index: the index lifecycle as a CLI — build / append /
-    // delete / compact a persisted ANN or LSH index, so the
+    // delete / compact / merge a persisted ANN or LSH index, so the
     // build-once/serve-many/retire story is drivable end to end
     // (--mode serve answers queries from the result).
-    //   --family ivf|ivf_trained|ivfpq|lsh   --op build|append|delete|compact
+    //   --family ivf|ivf_trained|ivfpq|lsh   --op build|append|delete|compact|merge
     //   delete takes --ids 1,2,3 (vector/doc ids to tombstone)
+    //   merge takes --srcIndexDir (the shard index absorbed into
+    //   --indexDir; src tombstones purged on the way in)
     // Usage: graft.Main --mode index --family ivf --op build
     //                   --sfDir /root/testdata/sf0.01 --indexDir idx/
     if (cli.get("mode").contains("index")) {
       val family = cli.getOrElse("family", sys.error("--family required"))
       val op = cli.getOrElse("op", sys.error("--op required"))
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
-      // compact works off the index alone; delete takes its ids from
-      // --ids — neither reads the fixture tables
+      // compact/delete work off the index alone; merge reads only the
+      // two indexes — none of the three reads the fixture tables
       val sfDir = cli.getOrElse("sfDir",
-        if (op == "compact" || op == "delete") ""
+        if (op == "compact" || op == "delete" || op == "merge") ""
         else sys.error("--sfDir required"))
+      def srcIndexDir = cli.getOrElse("srcIndexDir",
+        sys.error("--srcIndexDir required for merge"))
       val spark = mkSession("graft-index")
       val q = graft.queries.SimilarityQueries
       def ids: org.apache.spark.sql.DataFrame = {
@@ -128,14 +132,28 @@ object Main {
         case ("ivf" | "ivf_trained", "append") => q.appendIvfIndex(spark, sfDir, indexDir)
         case ("ivf" | "ivf_trained", "delete") => q.ivfIndexDelete(spark, indexDir, ids)
         case ("ivf" | "ivf_trained", "compact") => q.ivfIndexCompact(spark, indexDir)
+        // shard-parallel merge: src postings re-route against the
+        // DESTINATION's frozen centroids and append per-bucket — no
+        // retraining, no corpus read; src tombstones purge on the way in
+        case ("ivf" | "ivf_trained", "merge") =>
+          q.ivfIndexMergeInto(spark, indexDir, srcIndexDir)
         case ("ivfpq", "build") => q.buildIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "append") => q.appendIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "delete") => q.ivfPqIndexDelete(spark, indexDir, ids)
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
+        case ("ivfpq", "merge") =>
+          // honest refusal, not a silent wrong answer: PQ postings carry
+          // CODES, not embeddings — re-encoding residuals against the
+          // destination's centroids/codebooks needs the shard CORPUS;
+          // route the source vectors through `--op append` instead
+          sys.error("ivfpq merge is not index-to-index (codes are not " +
+            "routable); re-encode the shard corpus via --op append")
         case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
         case ("lsh", "append") => q.lshIndexAppend(spark, sfDir, indexDir)
         case ("lsh", "delete") => q.lshIndexDelete(spark, indexDir, ids)
         case ("lsh", "compact") => q.lshIndexCompact(spark, indexDir)
+        // per-document signatures: merge = partition-wise posting union
+        case ("lsh", "merge") => q.lshIndexMergeInto(spark, indexDir, srcIndexDir)
         case other => sys.error(s"unknown family/op: $other")
       }
       println(s"[graft] index $op done: family=$family index=$indexDir")

@@ -890,6 +890,58 @@ class StreamingSpec extends SparkSuite {
       "an appended (delta-slice) vector must surface in some top-3")
   }
 
+  test("merge-during-serve: a shard merged mid-stream surfaces on the NEXT micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.SimilarityQueries
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val dstIdx = tmp("ann_merge_dst")
+    val srcIdx = tmp("ann_merge_src")
+    // shard A (odd) serves; shard B (even) is built independently and
+    // merged in mid-stream — the shard-parallel build landing on a LIVE
+    // serving stream, the exact consistency story of append-during-serve
+    q.buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), dstIdx)
+    q.buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), srcIdx)
+    val queryVecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("ann_merge_out")
+    val query = graft.streaming.AnnServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), dstIdx,
+      (df, id) => df.write.mode("append").parquet(s"$outDir/b$id"),
+      tmp("ann_merge_ckpt"))
+    def rows(batchId: Long) = spark.read.parquet(s"$outDir/b$batchId")
+      .collect()
+      .map(r => (r.getAs[Number]("qid").longValue,
+        r.getAs[Number]("vid").longValue, r.getAs[Double]("cos")))
+      .toSet
+    ms.addData(queryVecs: _*)
+    query.processAllAvailable()
+    val served1 = rows(0L)
+    assert(served1.nonEmpty)
+    // mid-stream MERGE — no restart: merge is append-only on dst, the
+    // per-batch posting read picks it up, and the cached centroids stay
+    // valid (merge re-routes src against exactly those frozen centroids)
+    q.ivfIndexMergeInto(spark, dstIdx, srcIdx)
+    ms.addData(queryVecs: _*)
+    query.processAllAvailable()
+    query.stop()
+    val served2 = rows(1L)
+    val batchMerged = q.annIvfServe(spark, dir, dstIdx)
+      .collect()
+      .map(r => (r.getAs[Number]("qid").longValue,
+        r.getAs[Number]("vid").longValue, r.getAs[Double]("cos")))
+      .toSet
+    assert(served2 == batchMerged,
+      s"post-merge stream != batch over merged index; " +
+        s"onlyStream=${(served2 -- batchMerged).take(3)} " +
+        s"onlyBatch=${(batchMerged -- served2).take(3)}")
+    assert(served2 != served1, "merged shard must be visible next batch")
+    assert(served2.exists(_._2 % 2 == 0),
+      "a merged (shard-B) vector must surface in some top-3")
+  }
+
   test("streaming IVFPQ serving: parity with the batch served path; a takedown " +
       "stops surfacing on the NEXT micro-batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
