@@ -70,12 +70,31 @@ object MaintBench {
       q.buildIvfIndex(spark, dir, idx)
       val ivfDelete = timed(q.ivfIndexDelete(spark, idx, ids("vec_id")))
       val ivfCompact = timed(q.ivfIndexCompact(spark, idx))
+      // shard merge: a FIXED-SIZE shard index (built untimed from the
+      // smaller fixture's embeddings, ids offset into a fresh range so
+      // both scales absorb the same disjoint 125 vectors) merged into
+      // the dir-scale index AFTER its delete/compact timings — claims
+      // O(src postings + touched buckets), so ratio ≈ 1
+      val shard = java.nio.file.Files.createTempDirectory("mb-shard").toString
+      q.buildIvfIndexSlice(spark,
+        Tables.embeddings(spark, dirs.head)
+          .filter(col("vec_id") % 4 === 2)
+          .withColumn("vec_id", col("vec_id") + 1000000L), shard)
+      val ivfMerge = timed(q.ivfIndexMergeInto(spark, idx, shard))
       // LSH index: delete is a bare tombstone append; compact is a full
       // posting rewrite by construction (every doc signs every band)
       val lsh = java.nio.file.Files.createTempDirectory("mb-lsh").toString
       q.buildLshIndex(spark, dir, lsh)
       val lshDelete = timed(q.lshIndexDelete(spark, lsh, ids("doc_id")))
       val lshCompact = timed(q.lshIndexCompact(spark, lsh))
+      // LSH shard merge: same fixed-shard discipline (per-document
+      // signatures ⇒ a pure posting union; O(src) append, ratio ≈ 1)
+      val lshShard = java.nio.file.Files.createTempDirectory("mb-lshard").toString
+      q.buildLshIndexSlice(
+        Tables.documents(spark, dirs.head)
+          .filter(col("doc_id") % 4 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L), lshShard)
+      val lshMerge = timed(q.lshIndexMergeInto(spark, lsh, lshShard))
       // bucketed ingest corpus + sigs side table (built untimed, the
       // same layout the streaming appender maintains)
       val corpus = BucketedCorpus(table = s"mb_corpus_$tag", buckets = parts)
@@ -111,6 +130,7 @@ object MaintBench {
       val resolveC = timed(resolvePending())
       val corpusCompact = timed(CorpusIngest.compact(spark, corpus))
       Map("ivf_delete" -> ivfDelete, "ivf_compact" -> ivfCompact,
+        "ivf_merge" -> ivfMerge, "lsh_merge" -> lshMerge,
         "lsh_delete" -> lshDelete, "lsh_compact" -> lshCompact,
         "retire" -> retire, "active_read" -> activeRead,
         "ledger_resolve_1x" -> resolve1, "ledger_resolve_10x" -> resolve10,

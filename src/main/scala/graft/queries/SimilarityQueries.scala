@@ -2090,15 +2090,15 @@ object SimilarityQueries {
     * production serving shape at 100 TB: the ~64×-compressed in-memory
     * codes produce a per-query ADC shortlist
     * (top-[[PqRerankShortlist]] via the shared [[ivfPqSearch]]), and
-    * only the shortlist's RAW vectors are fetched — a broadcast
-    * semi-join of the ≤ |Q|·k' id set against the vector store, never
-    * a posting-sized read — and re-scored with EXACT cosine; the
-    * answer is the exact top-3 of the shortlist. Recall recovers
-    * toward exact search while the expensive store is touched
-    * per-candidate, not per-posting. The shortlist is localCheckpointed
-    * once: both its consumers (the candidate rows and the fetch id
-    * set) read the materialized ≤ |Q|·k' frame instead of re-running
-    * the ADC scan. */
+    * only the shortlist's RAW vectors are fetched — the broadcast
+    * ≤ |Q|·k' shortlist hash-joins one column-pruned scan of the
+    * vector store, never a posting-sized read — and re-scored with
+    * EXACT cosine; the answer is the exact top-3 of the shortlist.
+    * Recall recovers toward exact search while the expensive store is
+    * touched per-candidate, not per-posting. The shortlist is
+    * localCheckpointed once, so the ADC scan runs exactly once and is
+    * never re-optimized into the re-rank plan (PlanSpec pins the
+    * checkpoint-fed, broadcast-only, shuffle-free shape). */
   def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val idx = servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _))
     val short = ivfPqAnnServe(spark, dir, idx, k = PqRerankShortlist)
@@ -2108,15 +2108,14 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("rqid"), col("embedding").as("rqemb"),
         col("nrm").as("rqnrm"))
-    val fetched = e.join(
-        broadcast(short.select(col("vid").as("fid")).distinct()),
-        col("vec_id") === col("fid"))
-      .select(col("vec_id").as("dvid"), col("embedding").as("demb"),
-        col("nrm").as("dnrm"))
+    // the fetch IS a broadcast hash join: one column-pruned scan of the
+    // vector store against the broadcast ≤ |Q|·k' shortlist — no
+    // shuffle, no semi-join subquery, the store streamed exactly once
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    short.join(fetched, col("vid") === col("dvid"))
+    e.join(broadcast(short), col("vec_id") === col("vid"))
       .join(broadcast(q), col("qid") === col("rqid"))
-      .withColumn("cos", dotD(col("rqemb"), col("demb")) / (col("rqnrm") * col("dnrm")))
+      .withColumn("cos",
+        dotD(col("rqemb"), col("embedding")) / (col("rqnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vid"), col("cos"), col("rn").cast("long").as("rn"))

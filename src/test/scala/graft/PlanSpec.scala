@@ -48,6 +48,25 @@ class PlanSpec extends SparkSuite {
       "serving plan must not train codebooks")
   }
 
+  test("ivfpq_rerank: shortlist is checkpoint-fed, vector fetches broadcast, no training") {
+    val df = SimilarityQueries.ivfPqRerank(spark, dir)
+    val p = plan(df)
+    // the ADC scan ran ONCE at localCheckpoint time — the re-rank plan
+    // consumes the materialized <= |Q|*k' shortlist, never the postings
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"re-rank must read the checkpointed shortlist:\n${p.take(3000)}")
+    assert(!p.contains("dynamicpruning") && !p.contains("adist"),
+      "the ADC scan must not re-run inside the re-rank plan")
+    assert(!p.contains("collect_list(struct(cm"), "re-rank plan must not train codebooks")
+    // both raw-vector touches are broadcast-bounded: the fetch is a
+    // BroadcastHashJoin of the shortlist id set against the vector
+    // store, the query side a broadcast of the <= 10-row query frame
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"fetch and query joins must both broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle join anywhere in the re-rank")
+  }
+
   test("filter_pushdown: predicates reach the parquet scan, schema pruned") {
     val p = plan(CoreQueries.filterPushdown(spark, dir))
     assert(p.contains("PushedFilters:") &&
