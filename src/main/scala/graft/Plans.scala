@@ -158,7 +158,9 @@ object Plans {
     "cross_shard_dup" -> "LSH-bounded pairs + two compact (doc_id -> shard, fp) equijoins; <=4 rows out, no cartesian",
     "quality_vs_dup" -> "LSH-bounded degree fold joined doc_id-keyed onto one quality scan; BIGINT micro-quantized sums, <=4 rows out",
     "ann_ndcg" -> "both retrieval arms keep their bounded shapes (broadcast-query scan, bucket equijoin); (qid, vid) equijoin; 10 rows out",
-    "ivfpq_ann_appended" -> "composite-index serving after append: no training in the plan (stored centroids + codebooks); postings scan dynamic-partition-pruned to probed buckets"
+    "ivfpq_ann_appended" -> "composite-index serving after append: no training in the plan (stored centroids + codebooks); postings scan dynamic-partition-pruned to probed buckets",
+    "ann_ivf_merged" -> "serving over the shard-merged index: same pruned-serving shape (merge re-routed shard B through the stored shard-A centroids at merge time, not query time)",
+    "ivfpq_rerank" -> "checkpoint-fed <=|Q|*k' ADC shortlist broadcast onto ONE column-pruned vector-store scan; exact-cosine re-rank is broadcast-only, shuffle-free, training-free"
   )
 
   def main(args: Array[String]): Unit = {
