@@ -220,6 +220,31 @@ object Main {
       return
     }
 
+    // --mode ingest-vectors: the STREAMING write edge of the index
+    // lifecycle — embedding batches dropped as parquet files into
+    // --vecDir land in the persisted IVF index at --indexDir per
+    // micro-batch (routed against the index's frozen centroids,
+    // EXACTLY-ONCE via VecIngest's staged-promote commit), servable by
+    // a concurrent --mode serve on its next batch.
+    // Usage: graft.Main --mode ingest-vectors --indexDir idx/
+    //                   --vecDir vecs/ [--once true]
+    if (cli.get("mode").contains("ingest-vectors")) {
+      val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
+      val vecDir = cli.getOrElse("vecDir", sys.error("--vecDir required"))
+      val ckpt = cli.getOrElse("checkpointDir", s"$indexDir/_ingest_checkpoint")
+      val once = cli.getOrElse("once", "true").toBoolean
+      val spark = mkSession("graft-vec-ingest")
+      val vSchema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(s"$indexDir/postings")
+          .select("vec_id", "embedding").schema.fields)
+      val q = graft.streaming.VecIngest.start(
+        spark, spark.readStream.schema(vSchema).parquet(vecDir),
+        indexDir, ckpt, availableNow = once)
+      q.awaitTermination()
+      spark.stop()
+      return
+    }
+
     // --mode serve: the STREAMING serving entry point — queries dropped
     // as parquet files into --queryDir are answered per micro-batch
     // from the persisted index at --indexDir. --family ivf (default):

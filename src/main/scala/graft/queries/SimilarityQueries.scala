@@ -2328,6 +2328,14 @@ object SimilarityQueries {
     annIvfServe(spark, dir,
       servedIndex(spark, dir, "ivf_merged")(buildIvfIndexMerged(spark, dir, _)))
 
+  /** Route a raw (vec_id, embedding) batch against a pre-loaded one-row
+    * centroid frame — [[appendIvfIndex]]'s routing, batch-scoped, with
+    * the centroid load lifted out so a stream caches it once. Exposed
+    * for [[graft.streaming.VecIngest]]'s per-micro-batch assignment. */
+  private[graft] def routeIngestBatch(batch: DataFrame, centRow: DataFrame): DataFrame =
+    assignFromCents(withNorm(batch), centRow)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+
   /** The persisted centroid table folded to the one-row broadcastable
     * array frame [[assignFromCents]] routes against. */
   private def storedCents(spark: SparkSession, indexPath: String): DataFrame =

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.queries.SimilarityQueries
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming vector INGEST into a persisted IVF index — the write-side
+  * twin of [[AnnServe]]: an embedding firehose arrives as a stream and
+  * every micro-batch lands in the bucket-partitioned index, servable on
+  * the next serving micro-batch (the append-during-serve contract
+  * StreamingSpec pins).
+  *
+  * Plan per micro-batch ([[SimilarityQueries.appendIvfIndex]]'s routing,
+  * driven incrementally):
+  *   - the stored centroids load ONCE at stream start and stay cached
+  *     (frozen for the index's life — the same contract as serving;
+  *     only a retrain/rebuild changes what buckets MEAN, and that
+  *     requires a stream restart by design);
+  *   - the batch routes in-row against the broadcast centroid array
+  *     (bounded k, zero shuffle) and writes per-bucket posting files
+  *     plus the (vec_id, bucket) idmap sidecar rows — O(batch) work,
+  *     no standing read, append-only storage.
+  *
+  * EXACTLY-ONCE under foreachBatch redelivery, which a plain
+  * `mode("append")` cannot give (a replayed batch would duplicate
+  * posting rows, and a duplicated vector occupies two top-k slots at
+  * serve time — not a benign direction). The batch commit is a staged
+  * promote:
+  *
+  *   1. route + write the batch under `_staging/<batchId>/` (postings
+  *      partitioned by bucket, idmap rows beside them), then mark the
+  *      staging write complete (`_STAGED`). A crash mid-write leaves no
+  *      `_STAGED`: the replay deletes and rewrites the staging from
+  *      scratch — nothing standing was touched.
+  *   2. PROMOTE: every staged file moves into its standing directory
+  *      under a deterministic name derived from the batch id and the
+  *      SOURCE file name (`ingest-<id>-<srcName>`). A crash mid-promote
+  *      replays into the idempotent half: a target that already exists
+  *      IS this exact file already moved (staging is never rewritten
+  *      after `_STAGED`, so names are stable) and is skipped.
+  *   3. write the commit marker (`_ingest_commits/<id>`), then clear the
+  *      staging tree. A batch whose marker exists returns immediately.
+  *
+  * Scale (100 TB): per-batch cost is routing (in-row against ≤ IvfK
+  * centroids) + one staged write + O(files-in-batch) renames — renames
+  * are metadata ops on any hierarchical store. Nothing reads the
+  * standing postings, the corpus, or the sidecar; ingest cost tracks
+  * the FIREHOSE, never the index. */
+object VecIngest {
+
+  /** Start ingesting `vectors` (a STREAMING frame with columns `vec_id`,
+    * `embedding`) into the persisted index at `indexPath`. */
+  def start(
+      spark: SparkSession,
+      vectors: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    val centRow = SimilarityQueries.loadCentRow(spark, indexPath).cache()
+    centRow.count()
+    val w = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch.sparkSession, batch, centRow, indexPath, id)
+      }
+    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    ServeCache.releaseOnTermination(spark, q)(() => centRow.unpersist())
+    q
+  }
+
+  /** One micro-batch's staged-promote commit — idempotent per
+    * (indexPath, batchId); exposed for the replay/crash-window specs. */
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      centRow: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$indexPath/_ingest_commits/$batchId")
+    if (fs.exists(marker)) return // fully committed; a replay is a no-op
+
+    // 1. stage (rewritten from scratch unless the _STAGED fence exists —
+    //    file names must be frozen before any promote can have happened)
+    val staging = new Path(s"$indexPath/_staging/$batchId")
+    val staged = new Path(staging, "_STAGED")
+    if (!fs.exists(staged)) {
+      if (fs.exists(staging)) { fs.delete(staging, true); () }
+      val asn = SimilarityQueries.routeIngestBatch(batch, centRow)
+        .persist() // routed once; postings and idmap writes both consume it
+      try {
+        asn.write.partitionBy("bucket").mode("overwrite")
+          .parquet(new Path(staging, "postings").toString)
+        asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+          .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
+      } finally { asn.unpersist(); () }
+      fs.create(staged, true).close()
+    }
+
+    // 2. promote — idempotent per file (deterministic target names)
+    promoteTree(fs, new Path(staging, "postings"), new Path(s"$indexPath/postings"), batchId)
+    promoteTree(fs, new Path(staging, "idmap"), new Path(s"$indexPath/idmap"), batchId)
+
+    // 3. commit, then clear the staging tree (cleanup is best-effort —
+    //    a leftover staged tree under an existing marker is dead weight,
+    //    never replayed)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Move every data file under `src` (flat, or one `bucket=X/`
+    * partition level) to the same relative location under `dst` as
+    * `ingest-<batchId>-<srcFileName>`. Existing targets are skipped —
+    * under the `_STAGED` fence a name collision can only be this exact
+    * file, already promoted by an earlier attempt. */
+  private def promoteTree(fs: FileSystem, src: Path, dst: Path, batchId: Long): Unit = {
+    if (!fs.exists(src)) return
+    fs.listStatus(src).foreach { entry =>
+      val name = entry.getPath.getName
+      if (entry.isDirectory && name.contains("=")) {
+        promoteTree(fs, entry.getPath, new Path(dst, name), batchId)
+      } else if (entry.isFile && name.endsWith(".parquet")) {
+        val target = new Path(dst, s"ingest-$batchId-$name")
+        fs.mkdirs(dst)
+        if (!fs.exists(target)) { fs.rename(entry.getPath, target); () }
+        else { fs.delete(entry.getPath, false); () }
+      }
+    }
+  }
+}
