@@ -230,6 +230,41 @@ object StreamBench {
     }
     val pqQps = if (pqSec > 0) pqQueries / pqSec else -1.0
 
+    // Streaming vector INGEST (graft.streaming.VecIngest — the write
+    // edge): vectors/second through the staged-promote exactly-once
+    // commit, measured across real micro-batches against a standing
+    // index built from the fixture. Fresh ids so every batch appends.
+    val (viVecs, viSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-vi").toString
+      graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir, idx)
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nV = math.min(20000, math.max(2000, n / 10))
+      val vecs: Seq[(Long, Seq[Float])] =
+        (0 until nV).map(i => (4000000L + i, base(i % base.length)._2))
+      val ms5 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](4, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]])
+      val q = graft.streaming.VecIngest.start(
+        spark, ms5.toDF().toDF("vec_id", "embedding"), idx,
+        java.nio.file.Files.createTempDirectory("sb-vi-ckpt").toString)
+      ms5.addData(vecs.take(200): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val rest = vecs.drop(200)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms5.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] vector ingest stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val viVps = if (viSec > 0) viVecs / viSec else -1.0
+
     // Streaming LSH near-dup serving (graft.streaming.LshServe —
     // AnnServe's text-side twin): document batches sign themselves and
     // band-equijoin the persisted signature index; measured as
@@ -281,7 +316,7 @@ object StreamBench {
     val lsh10Dps = if (lsh10Sec > 0) lsh10Docs / lsh10Sec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

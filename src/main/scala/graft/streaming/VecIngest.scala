@@ -86,12 +86,19 @@ object VecIngest {
     val staged = new Path(staging, "_STAGED")
     if (!fs.exists(staged)) {
       if (fs.exists(staging)) { fs.delete(staging, true); () }
+      // repartition ON THE BUCKET before the staged write: one file per
+      // touched bucket instead of (partitions × buckets) shards — fewer
+      // renames per commit, and (the 100 TB point) a long-running ingest
+      // adds O(touched buckets) standing posting files per batch, not
+      // O(parallelism × buckets); the shuffle is batch-sized, trivial
       val asn = SimilarityQueries.routeIngestBatch(batch, centRow)
+        .repartition(col("bucket"))
         .persist() // routed once; postings and idmap writes both consume it
       try {
         asn.write.partitionBy("bucket").mode("overwrite")
           .parquet(new Path(staging, "postings").toString)
         asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+          .coalesce(1) // two longs per vector — one sidecar file per batch
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
       } finally { asn.unpersist(); () }
       fs.create(staged, true).close()
