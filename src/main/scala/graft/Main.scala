@@ -96,10 +96,15 @@ object Main {
     // delete / compact / merge a persisted ANN or LSH index, so the
     // build-once/serve-many/retire story is drivable end to end
     // (--mode serve answers queries from the result).
-    //   --family ivf|ivf_trained|ivfpq|lsh   --op build|append|delete|compact|merge
+    //   --family ivf|ivf_trained|ivfpq|lsh
+    //   --op build|append|delete|compact|merge|absorb
     //   delete takes --ids 1,2,3 (vector/doc ids to tombstone)
     //   merge takes --srcIndexDir (the shard index absorbed into
     //   --indexDir; src tombstones purged on the way in)
+    //   absorb takes --vecDir (arbitrary (vec_id, embedding) parquet
+    //   routed/encoded with the STORED artifacts — the shard-corpus
+    //   path for families whose postings aren't index-to-index
+    //   mergeable)
     // Usage: graft.Main --mode index --family ivf --op build
     //                   --sfDir /root/testdata/sf0.01 --indexDir idx/
     if (cli.get("mode").contains("index")) {
@@ -107,9 +112,9 @@ object Main {
       val op = cli.getOrElse("op", sys.error("--op required"))
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       // compact/delete work off the index alone; merge reads only the
-      // two indexes — none of the three reads the fixture tables
+      // two indexes; absorb reads --vecDir — none reads fixture tables
       val sfDir = cli.getOrElse("sfDir",
-        if (op == "compact" || op == "delete" || op == "merge") ""
+        if (op == "compact" || op == "delete" || op == "merge" || op == "absorb") ""
         else sys.error("--sfDir required"))
       def srcIndexDir = cli.getOrElse("srcIndexDir",
         sys.error("--srcIndexDir required for merge"))
@@ -121,6 +126,11 @@ object Main {
         cli.getOrElse("ids", sys.error("--ids required for delete"))
           .split(",").map(_.trim.toLong).toSeq.toDF(idCol)
       }
+      def vecFrame: org.apache.spark.sql.DataFrame =
+        spark.read.parquet(cli.getOrElse("vecDir",
+            sys.error("--vecDir required for absorb")))
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"))
       (family, op) match {
         case ("ivf", "build") => q.buildIvfIndex(spark, sfDir, indexDir)
         case ("ivf_trained", "build") => q.buildIvfIndexTrained(spark, sfDir, indexDir)
@@ -137,17 +147,19 @@ object Main {
         // retraining, no corpus read; src tombstones purge on the way in
         case ("ivf" | "ivf_trained", "merge") =>
           q.ivfIndexMergeInto(spark, indexDir, srcIndexDir)
+        case ("ivf" | "ivf_trained", "absorb") => q.ivfAbsorb(spark, indexDir, vecFrame)
         case ("ivfpq", "build") => q.buildIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "append") => q.appendIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "delete") => q.ivfPqIndexDelete(spark, indexDir, ids)
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
+        case ("ivfpq", "absorb") => q.ivfPqAbsorb(spark, indexDir, vecFrame)
         case ("ivfpq", "merge") =>
           // honest refusal, not a silent wrong answer: PQ postings carry
           // CODES, not embeddings — re-encoding residuals against the
           // destination's centroids/codebooks needs the shard CORPUS;
-          // route the source vectors through `--op append` instead
+          // route the source vectors through `--op absorb --vecDir`
           sys.error("ivfpq merge is not index-to-index (codes are not " +
-            "routable); re-encode the shard corpus via --op append")
+            "routable); re-encode the shard corpus via --op absorb --vecDir")
         case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
         case ("lsh", "append") => q.lshIndexAppend(spark, sfDir, indexDir)
         case ("lsh", "delete") => q.lshIndexDelete(spark, indexDir, ids)

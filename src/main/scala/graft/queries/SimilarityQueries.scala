@@ -2387,11 +2387,25 @@ object SimilarityQueries {
     * the delta slice (vec_id % 4 == 0) with the STORED centroids and
     * codebooks — no training anywhere in this plan — and append
     * per-bucket; existing posting files are never rewritten. */
-  def appendIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val delta = withNorm(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") % 4 === 0)
+  def appendIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    ivfPqAbsorb(spark, indexPath,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding")))
+
+  /** Absorb an ARBITRARY raw (vec_id, embedding) frame into a persisted
+    * composite index using only the STORED artifacts — the shard-corpus
+    * route the ivfpq merge refusal points at: PQ postings carry CODES,
+    * not embeddings, so cross-shard consolidation re-encodes from the
+    * shard's vectors (route against the stored coarse centroids,
+    * residual-encode with the stored codebooks, append per bucket +
+    * sidecar). No training anywhere in the plan; only touched bucket
+    * directories gain files. The fixture append lifecycle
+    * ([[appendIvfPqIndex]], oracle `ivfpq_ann_appended`) runs through
+    * this exact path, so the absorb arithmetic is hash-gated. */
+  def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+    val v = withNorm(vecs)
     val centStored = spark.read.parquet(s"$indexPath/centroids")
-    val asnD = assignFromCents(delta, storedCents(spark, indexPath))
+    val asnD = assignFromCents(v, storedCents(spark, indexPath))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     val resD = residualFrameWith(asnD, centStored.select(col("cid"), col("cemb")))
     val cbStored = spark.read.parquet(s"$indexPath/codebooks")
@@ -2401,6 +2415,18 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("append")
       .parquet(s"$indexPath/postings")
     appendIdMap(asnD, indexPath)
+  }
+
+  /** The raw-vector twin of [[ivfPqAbsorb]]: absorb an arbitrary
+    * (vec_id, embedding) frame into a persisted IVF index by routing
+    * against the stored frozen centroids and appending per bucket —
+    * [[appendIvfIndex]] generalized off the fixture slice (the
+    * streaming edge, [[graft.streaming.VecIngest]], is this same
+    * routing under an exactly-once staged-promote commit). */
+  def ivfAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+    val asn = routeIngestBatch(vecs, storedCents(spark, indexPath))
+    asn.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/postings")
+    appendIdMap(asn, indexPath)
   }
 
   /** [[ivfPqAnnServe]] over the incrementally-grown composite index —

@@ -135,6 +135,42 @@ class MergeSpec extends SparkSuite {
     retiredIds.foreach(id => assert(!got.exists(_._1 == id), s"tombstoned doc $id entered the merge"))
   }
 
+  test("ivfpq absorb: a foreign shard corpus re-encodes with stored artifacts, append-only, servable") {
+    val idx = JFiles.createTempDirectory("pq_absorb").toString
+    q.buildIvfPqIndex(spark, dir, idx)
+    val sigsBefore = fileSigs(s"$idx/postings")
+    val nBefore = spark.read.parquet(s"$idx/postings").count()
+    // a "shard corpus": the fixture's vectors under fresh disjoint ids
+    val shard = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    q.ivfPqAbsorb(spark, idx, shard)
+    // append-only on the standing postings
+    val sigsAfter = fileSigs(s"$idx/postings")
+    sigsBefore.foreach { case (p, s) =>
+      assert(sigsAfter.get(p).contains(s), s"pre-absorb file rewritten: $p")
+    }
+    // every shard vector landed: M code rows per vector, one bucket each
+    val absorbed = spark.read.parquet(s"$idx/postings")
+      .filter(col("vid") >= 1000000L)
+    assert(absorbed.count() == nBefore, "absorb must encode M rows per shard vector")
+    assert(absorbed.select(col("vid"), col("bucket")).distinct().count() * 4 == nBefore)
+    // identical vectors route identically and encode identically: the
+    // absorbed twin of every original carries the SAME codes and bucket
+    val orig = spark.read.parquet(s"$idx/postings").filter(col("vid") < 1000000L)
+      .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("bucket"))
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), num(r.get(2)), num(r.get(3)))).toSet
+    val twin = absorbed
+      .select((col("vid") - 1000000L).as("vid"), col("m"), col("code"),
+        col("bucket").cast("long").as("bucket"))
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), num(r.get(2)), num(r.get(3)))).toSet
+    assert(twin == orig, "stored-artifact re-encode must be deterministic")
+    // the sidecar resolves a delete of an absorbed id without postings reads
+    q.ivfPqIndexDelete(spark, idx, spark.range(1)
+      .select(lit(1000005L).as("vec_id")))
+    val tomb = spark.read.parquet(s"$idx/tombstones")
+    assert(tomb.count() == 1 && num(tomb.collect()(0).get(0)) == 1000005L)
+  }
+
   test("ann_ivf_merged equals one-pass assignment of the union against shard-A centroids") {
     // the oracle's claim, engine-side: the merged-index serving rows must
     // be bit-identical to serving an index built in ONE pass over the
