@@ -2226,6 +2226,8 @@ object SimilarityQueries {
     * per-bucket. Only the touched bucket directories gain files;
     * existing posting files are never rewritten. */
   def appendIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "appendIvfIndex")
     val delta = withNorm(Tables.embeddings(spark, dir))
       .filter(col("vec_id") % 4 === 0)
     val asn = assignFromCents(delta, storedCents(spark, indexPath))
@@ -2260,6 +2262,7 @@ object SimilarityQueries {
   def ivfIndexMergeInto(spark: SparkSession, dstIndex: String, srcIndex: String): Unit = {
     val srcTomb = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
     val fs = srcTomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertNoMaintenance(fs, dstIndex, "ivfIndexMergeInto")
     val srcRows = spark.read.parquet(s"$srcIndex/postings")
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val live =
@@ -2403,6 +2406,8 @@ object SimilarityQueries {
     * ([[appendIvfPqIndex]], oracle `ivfpq_ann_appended`) runs through
     * this exact path, so the absorb arithmetic is hash-gated. */
   def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfPqAbsorb")
     val v = withNorm(vecs)
     val centStored = spark.read.parquet(s"$indexPath/centroids")
     val asnD = assignFromCents(v, storedCents(spark, indexPath))
@@ -2424,6 +2429,8 @@ object SimilarityQueries {
     * streaming edge, [[graft.streaming.VecIngest]], is this same
     * routing under an exactly-once staged-promote commit). */
   def ivfAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfAbsorb")
     val asn = routeIngestBatch(vecs, storedCents(spark, indexPath))
     asn.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/postings")
     appendIdMap(asn, indexPath)
@@ -2479,10 +2486,13 @@ object SimilarityQueries {
     * re-reading of the standing corpus — the contrast with
     * [[buildIvfIndexAppend]], whose frozen centroids encode a global
     * model the delta must route through. */
-  def lshIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit =
+  def lshIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "lshIndexAppend")
     bandSigs(minhashSigsOf(
       Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)))
       .write.partitionBy("band").mode("append").parquet(s"$indexPath/postings")
+  }
 
   /** One shard's independent LSH build over an arbitrary document
     * slice — the near-dup side of the shard-parallel story. */
@@ -2504,6 +2514,7 @@ object SimilarityQueries {
   def lshIndexMergeInto(spark: SparkSession, dstIndex: String, srcIndex: String): Unit = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertNoMaintenance(fs, dstIndex, "lshIndexMergeInto")
     val src = spark.read.parquet(s"$srcIndex/postings")
       .select(col("doc_id"), col("sig"), col("band"))
     val live =
@@ -2623,6 +2634,51 @@ object SimilarityQueries {
     pairs.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
   }
 
+  /** Maintenance marker protocol — the index twin of the corpus
+    * appender's tmp-table guard: a compact REPLACES bucket directories
+    * (dynamic partition overwrite), so a posting file landed by a
+    * concurrent append/absorb/merge/ingest between the compact's read
+    * and its commit would be silently deleted — lost data whose source
+    * offsets may already be committed. Compaction therefore takes the
+    * `_maintenance` marker for its duration and every append-side
+    * writer refuses LOUDLY while it is held (and compaction refuses
+    * while an uncommitted streaming-ingest staging tree exists). The
+    * residual TOCTOU window is one marker existence check — metadata-
+    * priced, same contract as `rewriteBucketed`'s listing fence;
+    * maintenance is still best run with writers quiesced. */
+  private[graft] def maintenanceMarker(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_maintenance")
+
+  private[graft] def assertNoMaintenance(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String, op: String): Unit =
+    if (fs.exists(maintenanceMarker(indexPath)))
+      throw new IllegalStateException(
+        s"$op($indexPath): compaction in progress (_maintenance marker " +
+          "present) — a write landing mid-compact would be deleted by the " +
+          "bucket rewrite. Retry after the compact finishes.")
+
+  /** Acquire the marker for a compact: refuses if a writer's marker is
+    * already held OR an uncommitted ingest staging tree exists (a live
+    * [[graft.streaming.VecIngest]] batch could promote mid-rewrite; a
+    * CRASHED one will promote on replay — either way its files must
+    * land before buckets are rewritten). Returns the release thunk. */
+  private def acquireMaintenance(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): () => Unit = {
+    val marker = maintenanceMarker(indexPath)
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"compact($indexPath): another maintenance run holds _maintenance")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_staging")
+    if (fs.exists(staging) && fs.listStatus(staging).nonEmpty)
+      throw new IllegalStateException(
+        s"compact($indexPath): uncommitted streaming-ingest staging present " +
+          "under _staging — let the ingest stream drain (or replay its " +
+          "checkpoint to completion) before compacting, else its promote " +
+          "races the bucket rewrite.")
+    fs.create(marker, true).close()
+    () => { fs.delete(marker, false); () }
+  }
+
   /** Tombstone a batch of vector ids in the persisted IVF index:
     * resolve each id's bucket against the (vec_id, bucket) sidecar
     * ([[deleteResolutionFrame]] — the postings are never read), append
@@ -2647,6 +2703,14 @@ object SimilarityQueries {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombPath)) return
+    val release = acquireMaintenance(fs, indexPath)
+    try { ivfIndexCompactLocked(spark, indexPath, idCol, fs, tombPath) }
+    finally release()
+  }
+
+  private def ivfIndexCompactLocked(spark: SparkSession, indexPath: String,
+      idCol: String, fs: org.apache.hadoop.fs.FileSystem,
+      tombPath: org.apache.hadoop.fs.Path): Unit = {
     val tomb = spark.read.parquet(tombPath.toString)
     val touched = tomb.select(col("bucket")).distinct().collect()
       .map(_.get(0)).toIndexedSeq
@@ -2810,6 +2874,14 @@ object SimilarityQueries {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombPath)) return
+    val release = acquireMaintenance(fs, indexPath)
+    try { lshIndexCompactLocked(spark, indexPath, fs, tombPath) }
+    finally release()
+  }
+
+  private def lshIndexCompactLocked(spark: SparkSession, indexPath: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tombPath: org.apache.hadoop.fs.Path): Unit = {
     val tombIds = broadcast(spark.read.parquet(tombPath.toString)
       .select(col("doc_id").as("_tomb_del")).distinct())
     val postings = spark.read.parquet(s"$indexPath/postings")

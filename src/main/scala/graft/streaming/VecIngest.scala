@@ -79,6 +79,10 @@ object VecIngest {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$indexPath/_ingest_commits/$batchId")
     if (fs.exists(marker)) return // fully committed; a replay is a no-op
+    // a compact in flight rewrites bucket directories — promoting into
+    // one would be silently deleted; fail the batch (the stream retries
+    // it, and the staged-promote protocol makes the retry exact)
+    SimilarityQueries.assertNoMaintenance(fs, indexPath, "VecIngest.ingestBatch")
 
     // 1. stage (rewritten from scratch unless the _STAGED fence exists —
     //    file names must be frozen before any promote can have happened)

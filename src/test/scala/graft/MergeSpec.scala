@@ -171,6 +171,42 @@ class MergeSpec extends SparkSuite {
     assert(tomb.count() == 1 && num(tomb.collect()(0).get(0)) == 1000005L)
   }
 
+  test("maintenance guard: writers refuse mid-compact, compact refuses over live ingest staging") {
+    val idx = JFiles.createTempDirectory("ivf_guard").toString
+    q.buildIvfIndex(spark, dir, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shard = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+
+    // a held _maintenance marker (compact in flight) must refuse every
+    // append-side writer loudly — a file landed mid-rewrite would be
+    // silently deleted by the bucket overwrite
+    fs.create(q.maintenanceMarker(idx), true).close()
+    val eAbsorb = intercept[IllegalStateException](q.ivfAbsorb(spark, idx, shard))
+    assert(eAbsorb.getMessage.contains("compaction in progress"))
+    intercept[IllegalStateException](q.ivfPqAbsorb(spark, idx, shard))
+    intercept[IllegalStateException](q.ivfIndexMergeInto(spark, idx, idx))
+    val centRow = q.loadCentRow(spark, idx)
+    intercept[IllegalStateException](
+      graft.streaming.VecIngest.ingestBatch(spark, shard, centRow, idx, 1L))
+    fs.delete(q.maintenanceMarker(idx), false)
+
+    // compact must refuse while an uncommitted ingest staging tree
+    // exists (its promote would race the rewrite); after the staging
+    // clears, the same compact runs and releases the marker
+    q.ivfIndexDelete(spark, idx,
+      Tables.embeddings(spark, dir).select(col("vec_id")).limit(3))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/5"))
+    val eCompact = intercept[IllegalStateException](q.ivfIndexCompact(spark, idx))
+    assert(eCompact.getMessage.contains("_staging"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_staging"), true)
+    q.ivfIndexCompact(spark, idx)
+    assert(!fs.exists(q.maintenanceMarker(idx)), "compact must release the marker")
+    // and the writers work again post-compact
+    q.ivfAbsorb(spark, idx, shard)
+  }
+
   test("ann_ivf_merged equals one-pass assignment of the union against shard-A centroids") {
     // the oracle's claim, engine-side: the merged-index serving rows must
     // be bit-identical to serving an index built in ONE pass over the
