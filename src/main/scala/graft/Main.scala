@@ -96,8 +96,9 @@ object Main {
     // delete / compact / merge a persisted ANN or LSH index, so the
     // build-once/serve-many/retire story is drivable end to end
     // (--mode serve answers queries from the result).
-    //   --family ivf|ivf_trained|ivfpq|lsh
+    //   --family ivf|ivf_trained|ivfpq|lsh|lex
     //   --op build|append|delete|compact|merge|absorb
+    //   (lex append takes --docDir: arbitrary (doc_id, text) parquet)
     //   delete takes --ids 1,2,3 (vector/doc ids to tombstone)
     //   merge takes --srcIndexDir (the shard index absorbed into
     //   --indexDir; src tombstones purged on the way in)
@@ -166,6 +167,25 @@ object Main {
         case ("lsh", "compact") => q.lshIndexCompact(spark, indexDir)
         // per-document signatures: merge = partition-wise posting union
         case ("lsh", "merge") => q.lshIndexMergeInto(spark, indexDir, srcIndexDir)
+        // lexical (BM25 inverted) index: build indexes the sfDir corpus;
+        // append absorbs an ARBITRARY (doc_id, text) parquet under the
+        // frozen lexicon (--docDir, the absorb shape); delete/compact
+        // are the shared tombstone lifecycle
+        case ("lex", "build") =>
+          graft.queries.LexQueries.buildLexIndex(spark, sfDir, indexDir)
+        case ("lex", "append") =>
+          graft.queries.LexQueries.appendLexIndex(spark,
+            spark.read.parquet(cli.getOrElse("docDir",
+                sys.error("--docDir required for lex append")))
+              .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("text")),
+            indexDir)
+        case ("lex", "delete") =>
+          graft.queries.LexQueries.deleteLexDocs(spark, indexDir,
+            cli.getOrElse("ids", sys.error("--ids required for delete"))
+              .split(",").map(_.trim.toLong).toSeq)
+        case ("lex", "compact") =>
+          graft.queries.LexQueries.compactLexIndex(spark, indexDir)
         case other => sys.error(s"unknown family/op: $other")
       }
       println(s"[graft] index $op done: family=$family index=$indexDir")
@@ -272,7 +292,10 @@ object Main {
     // tombstone set per batch so takedowns land without a restart, all
     // families. Results land under --outDir/b<batchId>. Build an index
     // first with --mode index (families ivf/ivf_trained/ivfpq/lsh).
-    // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh]
+    // --family lex: (qid, text) retrieval queries through
+    // graft.streaming.LexServe (BM25 top-10 from the standing inverted
+    // index — batch tokenizes itself, lexicon/posting reads slot-pruned).
+    // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh|lex]
     //                   --indexDir idx/ --queryDir q/ --outDir out/
     //                   [--once true] [--tombstoneAware true]
     if (cli.get("mode").contains("serve")) {
@@ -325,6 +348,20 @@ object Main {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))
           graft.streaming.LshServe.start(
+            spark, spark.readStream.schema(qSchema).parquet(queryDir),
+            indexDir, sink, ckpt, availableNow = once,
+            tombstoneAware = tombAware)
+        case "lex" =>
+          // (qid, text) retrieval queries → LexServe BM25 top-10 against
+          // the standing inverted index (build with --mode index
+          // --family lex); stats cached at stream start, lexicon and
+          // postings slot-pruned per batch
+          val qSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          graft.streaming.LexServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
             tombstoneAware = tombAware)

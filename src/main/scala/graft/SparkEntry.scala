@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, LexQueries, SimilarityQueries, TextQueries}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -111,6 +111,12 @@ object SparkEntry {
     "minhash_threshold_sweep" -> (SimilarityQueries.minhashThresholdSweep _),
     "winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "bm25_top" -> (CurationQueries.bm25Top _),
+    "bm25_served" -> (LexQueries.bm25Served _),
+    "bm25_multiterm" -> (LexQueries.bm25Multiterm _),
+    "bm25_maxscore" -> (LexQueries.bm25Maxscore _),
+    "bm25_appended" -> (LexQueries.bm25Appended _),
+    "bm25_deleted" -> (LexQueries.bm25Deleted _),
+    "lex_lexicon" -> (LexQueries.lexLexicon _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
@@ -902,6 +908,59 @@ object SparkEntry {
 
   private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val WordToksSql = s"regexp_extract_all($NormSql, '[a-z0-9]+')"
+
+  /** The BM25 per-term CTE chain shared by the lexical-index oracles —
+    * `bm25_top`'s formula restated once, parameterized over the three
+    * WHERE seams the index lifecycle moves: `gWhere` scopes the corpus
+    * stats (frozen at build — the appended oracle pins them to the base
+    * slice), `dfWhere` scopes document frequency (same freeze), and
+    * `tfWhere` scopes the served posting rows (the deleted oracle
+    * excludes the tombstoned ids). Terminal CTE is
+    * `s(tok, doc_id, tf, df, dl, score)`. */
+  private def bm25ScoredBody(gWhere: String = "", dfWhere: String = "",
+      tfWhere: String = ""): String = {
+    val termsIn = LexQueries.QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl $gWhere),
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+       |tf0 AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+       |  WHERE tok IN $termsIn GROUP BY doc_id, tok),
+       |tf AS (SELECT * FROM tf0 $tfWhere),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf0 $dfWhere GROUP BY tok),
+       |s AS (SELECT f.tok, f.doc_id, f.tf, d.df, l.dl,
+       |    ((CAST(g.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * (CAST(f.tf AS DOUBLE) * 2.2)
+       |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))) AS score
+       |  FROM tf f JOIN dfq d ON f.tok = d.tok JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN g)""".stripMargin
+  }
+
+  /** Per-term top-10 tail over [[bm25ScoredBody]] — `bm25_top`'s output
+    * shape, reused by every per-term lexical-index oracle. */
+  private def bm25PerTermSql(gWhere: String = "", dfWhere: String = "",
+      tfWhere: String = ""): String =
+    s"""WITH ${bm25ScoredBody(gWhere, dfWhere, tfWhere)},
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM s)
+       |SELECT tok, doc_id, tf, df, dl, score, rk FROM r WHERE rk <= 10""".stripMargin
+
+  /** Multi-term total top-10 over [[bm25ScoredBody]]: pivot the per-term
+    * scores wide (max of a one-element group — a selection), then ONE
+    * left-associative sum in [[LexQueries.QueryTerms]] order with exact
+    * 0.0 for absent terms — addition-for-addition the engine's
+    * `multitermTotals` shape, so `bm25_multiterm` and the MaxScore-pruned
+    * `bm25_maxscore` hash-match it. */
+  private def bm25MultitermSql: String = {
+    val pivots = LexQueries.QueryTerms
+      .map(t => s"max(CASE WHEN tok = '$t' THEN score END) AS s_$t").mkString(",\n|   ")
+    val total = LexQueries.QueryTerms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+    s"""WITH ${bm25ScoredBody()},
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |   $pivots
+       |  FROM s GROUP BY doc_id),
+       |tot AS (SELECT doc_id, n_terms, $total AS score FROM p),
+       |r AS (SELECT doc_id, n_terms, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM tot)
+       |SELECT doc_id, n_terms, score, rk FROM r WHERE rk <= 10""".stripMargin
+  }
   private def inList(lang: String): String =
     TextFunctions.Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -2025,6 +2084,28 @@ object SparkEntry {
          |  FROM tf f JOIN dfq d ON f.tok = d.tok JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN g),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM s)
          |SELECT tok, doc_id, tf, df, dl, score, rk FROM r WHERE rk <= 10""".stripMargin,
+    // bm25_served answers from the PERSISTED inverted index; longs
+    // survive parquet losslessly and the expression tree is shared, so
+    // it hash-matches the compute-from-scratch oracle bit for bit
+    "bm25_served" -> bm25PerTermSql(),
+    "bm25_multiterm" -> bm25MultitermSql,
+    // bm25_maxscore prunes with the lexicon's exact per-term bounds; the
+    // UNPRUNED oracle gates that the pruning is lossless
+    "bm25_maxscore" -> bm25MultitermSql,
+    // appended index: corpus stats + df FROZEN at the base-slice build
+    // (doc_id % 4 != 0), posting rows from the grown corpus — the
+    // idf-staleness contract, pinned exactly
+    "bm25_appended" -> bm25PerTermSql(
+      gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
+    // deleted index: tombstone serve-around — posting rows exclude the
+    // fixed takedown ids, stats/df stay frozen at the full-corpus build
+    "bm25_deleted" -> bm25PerTermSql(
+      tfWhere = s"WHERE doc_id NOT IN (${LexQueries.DeletedIds.mkString(",")})"),
+    // the stored lexicon: df a count, ub a max over the shared score
+    // expression — both selections over exact inputs, no new arithmetic
+    "lex_lexicon" ->
+      s"""WITH ${bm25ScoredBody()}
+         |SELECT tok, df, max(score) AS ub FROM s GROUP BY tok, df""".stripMargin,
     "rank_fusion" ->
       // lexical arm = bm25_top's chain for the single term 'vector'
       // (per-term scores are independent of the term set); semantic arm

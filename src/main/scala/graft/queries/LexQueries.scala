@@ -1,0 +1,527 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The LEXICAL retrieval index lifecycle — the text-side twin of the
+  * IVF/IVFPQ vector-index family ([[SimilarityQueries.buildIvfIndex]]):
+  * a persisted inverted index over the corpus vocabulary with
+  * train-once/serve-many BM25 scoring, incremental append, tombstone
+  * deletes, and lossless MaxScore top-k pruning. A 100 TB curation
+  * pipeline runs lexical retrieval constantly (topic mining,
+  * decontamination lookups, hybrid RAG arms — the same workloads
+  * `bm25_top` prices compute-per-query); this family is the layout that
+  * makes those lookups O(query terms), not O(corpus).
+  *
+  * Index layout at `indexPath/`:
+  *   - `stats/` — ONE row (n_docs, sum_dl): the corpus statistics BM25
+  *     normalizes by, frozen at build time.
+  *   - `lexicon/` — one row per vocabulary term (tok, df, ub, slot):
+  *     document frequency (frozen — the idf staleness between index
+  *     refreshes is the same contract as the IVF family's frozen
+  *     centroids) and `ub`, the EXACT maximum BM25 contribution of the
+  *     term over its postings (the MaxScore bound; a selection over
+  *     per-row scores, so oracle-reproducible with no new arithmetic).
+  *   - `postings/` — (tok, doc_id, tf, dl) PARTITIONED BY
+  *     slot = pmod(hash(tok), 64). Raw-term partitioning would create a
+  *     directory per vocabulary word (millions at corpus scale); the
+  *     64-way slot hash keeps directory counts flat while the serving
+  *     join's slot equality makes the read DYNAMIC-PARTITION-PRUNABLE —
+  *     a query probing 5 terms reads ≤5 slot directories, not the
+  *     vocabulary. `dl` rides the posting row (constant per doc,
+  *     cardinality unchanged) so serving needs no per-doc length join,
+  *     same trick as [[CurationQueries.bm25Top]]'s tf grouping.
+  *   - `tombstones/` — retired doc_ids; every serving path anti-joins
+  *     the broadcast set (bounded by delete traffic, never corpus size),
+  *     so a takedown serves around immediately without a rebuild.
+  *
+  * Scoring is bit-identical to [[CurationQueries.bm25Top]]: Okapi
+  * k1 = 1.2, b = 0.75 with the idf as the RAW odds ratio (the log is
+  * monotonic, and rational-only arithmetic keeps the DuckDB oracle
+  * exact). tf/df/dl/n_docs/sum_dl are longs — persisting them through
+  * parquet is lossless, so served scores equal computed-from-scratch
+  * scores bit for bit, which is what gates `bm25_served` against the
+  * SAME oracle SQL as `bm25_top`.
+  */
+object LexQueries {
+
+  /** The fixed retrieval term set every lexical query family uses —
+    * same set as [[CurationQueries.bm25Top]]. Order matters: multi-term
+    * totals are IEEE sums in THIS order, engine and oracle alike. */
+  val QueryTerms: Seq[String] = Seq("join", "vector", "stream", "window", "spark")
+
+  /** Posting-partition fan-out. 64 directories regardless of vocabulary
+    * size; at 1000 executors each slot is still many files wide, so
+    * parallelism is unconstrained — the partitioning exists for pruning,
+    * not for balance. */
+  val NSlots: Int = 64
+
+  /** The fixed takedown batch `bm25_deleted`'s oracle excludes — literal
+    * so DuckDB can mirror it; LexIndexSpec separately retires ids taken
+    * from a LIVE result to pin that serve-around changes answers. */
+  val DeletedIds: Seq[Long] = Seq(3L, 7L, 11L, 19L, 23L)
+
+  private def slotOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(c), lit(NSlots))
+
+  /** (doc_id, dl, tok, tf) over the FULL vocabulary of `docs` — the
+    * inverted index's row set. One tokenize + one (doc, term)-keyed
+    * aggregate; `explode_outer` + null filter keeps Catalyst from
+    * double-evaluating the tokenizer in the scan (same note as
+    * [[CurationQueries.bm25Top]]). */
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordTokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode_outer(col("ws")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** Persist the lexical index over the fixture's documents table. */
+  def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    buildLexIndexFrom(spark, Tables.documents(spark, dir), indexPath)
+
+  /** [[buildLexIndex]] generic over the document source (the appended
+    * family builds on the base slice). Build cost is one tokenize pass,
+    * one (doc, term) aggregate, and one vocabulary-keyed shuffle for df
+    * — the honest one-time price; every serve after it is
+    * O(query terms). */
+  private[graft] def buildLexIndexFrom(spark: SparkSession, docs: DataFrame,
+      indexPath: String): Unit = {
+    val toks = docs.select(col("doc_id"), wordTokens(col("text")).as("ws"))
+    val stats = toks.select(size(col("ws")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    stats.write.mode("overwrite").parquet(s"$indexPath/stats")
+    val tf = tfOf(docs)
+    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        slotOf(col("tok")).as("slot"))
+      .write.partitionBy("slot").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+    // lexicon: df + the exact per-term max score (the MaxScore bound).
+    // The df join is vocabulary-keyed — a build-time shuffle, never a
+    // serving cost. The score expression is the serving expression, so
+    // ub is a max over ACTUAL IEEE scores (a selection, not new
+    // arithmetic) — the bound can never round below a served score.
+    val st = spark.read.parquet(s"$indexPath/stats")
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfq, "tok").crossJoin(broadcast(st))
+      .withColumn("score", scoreCol)
+      .groupBy(col("tok"), col("df"))
+      .agg(max(col("score")).as("ub"))
+      .select(col("tok"), col("df"), col("ub"), slotOf(col("tok")).as("slot"))
+      .write.partitionBy("slot").mode("overwrite").parquet(s"$indexPath/lexicon")
+  }
+
+  /** Incremental growth — [[SimilarityQueries.ivfIndexAppend]]'s lexical
+    * twin: tokenize ONLY the delta docs, route their posting rows through
+    * the same slot hash, `mode("append")` under `partitionBy(slot)` so
+    * new files land only in touched slot directories and existing posting
+    * files are never rewritten (LexIndexSpec pins byte-identity). The
+    * lexicon and stats stay FROZEN: served idf/avgdl go stale between
+    * refreshes exactly like frozen IVF centroids go routing-stale — the
+    * documented contract real engines (Lucene between merges) run under.
+    * A delta term absent from the frozen lexicon is unservable until the
+    * next rebuild, same as a vector outside every trained centroid's
+    * reach. */
+  def appendLexIndex(spark: SparkSession, docsDelta: DataFrame,
+      indexPath: String): Unit = {
+    SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
+      "appendLexIndex")
+    tfOf(docsDelta).select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        slotOf(col("tok")).as("slot"))
+      .write.partitionBy("slot").mode("append")
+      .parquet(s"$indexPath/postings")
+  }
+
+  private def fsOf(spark: SparkSession, indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** O(batch) takedown: append doc_ids to the tombstone side table —
+    * zero posting files read or rewritten; every serving path anti-joins
+    * the broadcast set on its next run/micro-batch. */
+  def deleteLexDocs(spark: SparkSession, indexPath: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    // fenced: a tombstone landing between a compact's read and its
+    // tombstone drop would be silently discarded — a lost takedown. The
+    // marker makes the race a loud retry instead.
+    SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
+      "deleteLexDocs")
+    ids.toDF("doc_id").write.mode("append").parquet(s"$indexPath/tombstones")
+  }
+
+  /** Physical purge — rewrite ONLY the slot directories that still hold
+    * tombstoned rows, then drop the tombstones (the IVF compact
+    * discipline: untouched slots keep their bytes, a slot whose every
+    * row was deleted gets its directory dropped explicitly — dynamic
+    * overwrite only rewrites partitions PRESENT in the new data — and
+    * the `_maintenance` marker fences concurrent appenders for the
+    * rewrite's duration). Idempotent: no tombstones, no work. */
+  def compactLexIndex(spark: SparkSession, indexPath: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombPath)) return
+    val release = SimilarityQueries.acquireMaintenance(fs, indexPath)
+    try {
+      val tombs = broadcast(spark.read.parquet(tombPath.toString)
+        .select(col("doc_id").as("tomb_id")).distinct())
+      val touched = spark.read.parquet(s"$indexPath/postings")
+        .join(tombs, col("doc_id") === col("tomb_id"))
+        .select(col("slot")).distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      if (touched.nonEmpty) {
+        val survivors = spark.read.parquet(s"$indexPath/postings")
+          .filter(col("slot").isin(touched: _*))
+          .join(tombs, col("doc_id") === col("tomb_id"), "left_anti")
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("slot"))
+          .persist()
+        try {
+          val surviving = survivors.select(col("slot")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          survivors.write.partitionBy("slot")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$indexPath/postings")
+          touched.filterNot(surviving).foreach { s =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$indexPath/postings/slot=$s"), true)
+          }
+          // a FULLY-purged index must stay readable and appendable —
+          // keep one schema-bearing empty slot dir for partition
+          // discovery (the IVF compact's same rule)
+          val root = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+          val anyLeft = fs.exists(root) && fs.listStatus(root).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("slot="))
+          if (!anyLeft)
+            survivors.drop("slot").limit(0).write.mode("overwrite")
+              .parquet(s"$indexPath/postings/slot=${touched.head}")
+        } finally survivors.unpersist()
+      }
+      fs.delete(tombPath, true)
+    } finally release()
+  }
+
+  // ---------------------------------------------------------------- serving
+
+  private[graft] def loadStats(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/stats")
+
+  /** The slot a term's postings live in, computed DRIVER-side by
+    * evaluating the same foldable expression the writers use — what
+    * makes query-time partition pruning STATIC (a `slot IN (…)` filter
+    * on the scan) instead of leaning on dynamic-partition-pruning
+    * heuristics that a constant-folded literal term frame defeats. */
+  private[graft] def slotOfLiteral(t: String): Int = {
+    // the same murmur3(seed 42) the distributed slotOf evaluates, plus a
+    // positive mod — LexIndexSpec pins driver/executor slot agreement
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+    ((h % NSlots) + NSlots) % NSlots
+  }
+
+  /** The query terms' lexicon rows. The lexicon is vocabulary-sized —
+    * too big to cache the way the IVF family caches its k centroids —
+    * so the lookup is a statically slot-pruned scan: `slot IN (…)`
+    * reaches the partition filter, `tok IN (…)` the row groups —
+    * ≤|terms| slot directories read, never the vocabulary. */
+  private[graft] def queryLexicon(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): DataFrame =
+    if (terms.isEmpty)
+      spark.range(0).select(lit("").as("tok"), lit(0L).as("df"),
+        lit(0.0).as("ub"), lit(0).as("slot"))
+    else spark.read.parquet(s"$indexPath/lexicon")
+      .filter(col("slot").isin(terms.map(slotOfLiteral).distinct: _*) &&
+        col("tok").isin(terms: _*))
+      .select(col("tok"), col("df"), col("ub"), col("slot"))
+
+  /** The served score expression — the SAME operation tree as
+    * [[CurationQueries.bm25Top]]'s oracle-matched chain (every
+    * intermediate one IEEE op on exact-long inputs), evaluated over
+    * stored posting/lexicon/stats columns. */
+  private def scoreCol: org.apache.spark.sql.Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf =
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+    idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+  }
+
+  /** The serving CORE every batch and streaming lexical entry point
+    * shares: statically slot-pruned scans of lexicon and postings
+    * (`slot IN (…)` partition filters from the driver-computed term
+    * slots), a broadcast (slot, tok) equijoin attaching each posting
+    * row's frozen df, and the shared score expression over the frozen
+    * one-row stats. With `tombstoneAware`, the current tombstone set is
+    * re-read and anti-joined per call, so takedowns land without a
+    * rebuild. */
+  private[graft] def serveTermScores(spark: SparkSession, indexPath: String,
+      terms: Seq[String], statsRow: DataFrame,
+      tombstoneAware: Boolean = false): DataFrame = {
+    if (terms.isEmpty)
+      return spark.range(0).select(lit("").as("tok"), lit(0L).as("doc_id"),
+        lit(0L).as("tf"), lit(0L).as("df"), lit(0L).as("dl"),
+        lit(0.0).as("score"))
+    val lexq = queryLexicon(spark, indexPath, terms)
+      .select(col("tok").as("qtok"), col("df"), col("slot").as("qslot"))
+    val post = tombFilter(spark, indexPath, tombstoneAware)(
+      spark.read.parquet(s"$indexPath/postings")
+        .filter(col("slot").isin(terms.map(slotOfLiteral).distinct: _*) &&
+          col("tok").isin(terms: _*)))
+    post.join(broadcast(lexq),
+        post("slot") === col("qslot") && post("tok") === col("qtok"))
+      .crossJoin(broadcast(statsRow))
+      .withColumn("score", scoreCol)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        col("score"))
+  }
+
+  /** The per-call tombstone screen ([[SimilarityQueries]]'s
+    * tombstonePostingsFilter, doc_id-keyed). */
+  private def tombFilter(spark: SparkSession, indexPath: String,
+      tombstoneAware: Boolean): DataFrame => DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    if (tombstoneAware &&
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val tombs = broadcast(spark.read.parquet(p.toString)
+        .select(col("doc_id").as("tomb_id")).distinct())
+      d => d.join(tombs, d("doc_id") === tombs("tomb_id"), "left_anti")
+    } else identity
+  }
+
+  /** Per-term top-10 from scored (tok, doc_id, …) rows — `bm25_top`'s
+    * output shape, WindowGroupLimit-pruned. */
+  private def perTermTop10(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tok")).orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Physical-layout version folded into every cached-index staleness
+    * stamp: bumping it invalidates indexes built by older code whose
+    * on-disk layout changed (the fixture stamp alone cannot see that). */
+  private val LayoutVersion = "lex-v2"
+
+  private def lexStamp(spark: SparkSession, dir: String): String =
+    s"${SimilarityQueries.documentsStamp(spark, dir)};$LayoutVersion"
+
+  /** The self-managing persisted index over the fixture's documents —
+    * build-once/serve-many under the shared cache discipline. */
+  private def servedLexIndex(spark: SparkSession, dir: String): String =
+    SimilarityQueries.servedIndexWith(dir, "lexidx",
+      lexStamp(spark, dir))(buildLexIndex(spark, dir, _))
+
+  /** `bm25_served`: [[CurationQueries.bm25Top]] answered from the
+    * PERSISTED index — no tokenize, no df pass, no corpus scan; one
+    * slot-pruned posting read per term. Bit-identical to the
+    * compute-from-scratch result (same longs through parquet, same
+    * expression tree), so it shares `bm25_top`'s oracle SQL. */
+  def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
+  /** Per-doc multi-term totals from scored rows: pivot the ≤|terms|
+    * per-term scores wide (max of a one-element group — a selection),
+    * then ONE fixed-order IEEE sum in [[QueryTerms]] order (absent terms
+    * contribute exact 0.0) — the shape the DuckDB oracle reproduces
+    * addition-for-addition. */
+  private[graft] def multitermTotals(scored: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_terms") +:
+      QueryTerms.map(t => max(when(col("tok") === t, col("score"))).as(s"s_$t"))
+    val piv = scored.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val total = QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    piv.select(col("doc_id"), col("n_terms"), total.as("score"))
+  }
+
+  /** `bm25_multiterm`: the actual retrieval query — top 10 docs by the
+    * SUM of per-term BM25 over the 5-term query, from the persisted
+    * index. Top-k prunes via TakeOrderedAndProject (distributed heap,
+    * no global sort); the rank window runs on the ≤10 survivors. */
+  def bm25Multiterm(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    rankTop10(multitermTotals(serveTermScores(spark, idx, QueryTerms,
+      loadStats(spark, idx))))
+  }
+
+  private[graft] def rankTop10(totals: DataFrame): DataFrame =
+    totals.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rk"))
+
+  /** `bm25_maxscore`: the SAME top-10 as [[bm25Multiterm]], computed
+    * with MaxScore pruning (Turtle & Flood) driven by the lexicon's
+    * exact per-term bounds:
+    *
+    *  1. θ = the 10th-best FULL score among docs containing the
+    *     champion term (the max-ub term) — a true lower bound on the
+    *     real 10th score, TakeOrderedAndProject + a 10-row collect.
+    *  2. Non-essential set: grow greedily (ub ascending) while the
+    *     [[QueryTerms]]-fixed-order IEEE sum of the set's ubs stays
+    *     STRICTLY below θ. A doc appearing only in non-essential terms
+    *     has total ≤ that bound (IEEE round-to-nearest is monotone step
+    *     by step, and the bound is summed in the same order as doc
+    *     totals with exact 0.0 for the rest) < θ ≤ the real 10th score —
+    *     so pruning it is lossless, ties included.
+    *  3. Candidates = docs in ≥1 ESSENTIAL term's postings; full-score
+    *     only those and rank.
+    *
+    * In a doc-at-a-time engine MaxScore skips posting READS; in a batch
+    * engine the matched-term posting scan is one slot-pruned columnar
+    * read either way, and the win is the candidate-bounded pivot/
+    * aggregate/top-k — the scored rows materialize once
+    * (localCheckpoint) and both phases reuse them. The oracle is the
+    * UNPRUNED multi-term SQL: correctness gates that pruning is
+    * lossless, the bench row prices the saving. */
+  def bm25Maxscore(spark: SparkSession, dir: String): DataFrame =
+    maxscoreFromIndex(spark, servedLexIndex(spark, dir)).result
+
+  /** One MaxScore execution plus its pruning decision — the seam
+    * LexIndexSpec pins losslessness AND actual pruning through. */
+  private[graft] final case class MaxscoreRun(
+    nonEssential: Seq[String], theta: Double, result: DataFrame)
+
+  private[graft] def maxscoreFromIndex(spark: SparkSession,
+      indexPath: String): MaxscoreRun = {
+    val lexq = queryLexicon(spark, indexPath, QueryTerms)
+    val scored = serveTermScores(spark, indexPath, QueryTerms,
+        loadStats(spark, indexPath))
+      .localCheckpoint(true)
+    // ≤|QueryTerms| lexicon rows drive the driver-side term partition
+    val ubs = lexq.select(col("tok"), col("ub")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (t, u) => (u, t) }
+    if (ubs.isEmpty)
+      return MaxscoreRun(Nil, Double.NegativeInfinity,
+        rankTop10(multitermTotals(scored)))
+    val champion = ubs.last._1
+    val d1 = scored.filter(col("tok") === lit(champion)).select(col("doc_id"))
+    val top10 = multitermTotals(scored.join(d1, Seq("doc_id"), "left_semi"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+    val theta = if (top10.length < 10) Double.NegativeInfinity
+      else top10.last.getAs[Double]("score")
+    val ubMap = ubs.toMap
+    var nonEss = Set.empty[String]
+    for ((t, _) <- ubs) {
+      val trial = nonEss + t
+      val bound = QueryTerms.foldLeft(0.0)((acc, q) =>
+        acc + (if (trial(q)) ubMap.getOrElse(q, 0.0) else 0.0))
+      if (bound < theta) nonEss = trial
+    }
+    val ess = ubs.map(_._1).filterNot(nonEss)
+    // ess can only be empty if the all-term bound < θ, which contradicts
+    // θ being a real doc's score — but a defensive fall-through keeps the
+    // answer correct even if a future bound change breaks that argument
+    if (ess.isEmpty)
+      return MaxscoreRun(Nil, theta, rankTop10(multitermTotals(scored)))
+    val cand = scored.filter(col("tok").isin(ess: _*))
+      .select(col("doc_id")).distinct()
+    MaxscoreRun(nonEss.toSeq.sorted, theta,
+      rankTop10(multitermTotals(scored.join(cand, Seq("doc_id"), "left_semi"))))
+  }
+
+  /** `lex_lexicon`: the stored lexicon rows for the query terms —
+    * df and the exact MaxScore bound, both DuckDB-recomputable (df is a
+    * count; ub a max over the shared score expression). Gates that the
+    * build pass froze the statistics serving depends on correctly. */
+  def lexLexicon(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    queryLexicon(spark, idx, QueryTerms).select(col("tok"), col("df"), col("ub"))
+  }
+
+  /** BM25 top-k for ONE batch of (qid, text) queries against the
+    * persisted index — the multi-query core [[graft.streaming.LexServe]]
+    * drives per micro-batch:
+    *
+    *   - the batch tokenizes ITSELF (batch-priced; term multiplicity in
+    *     a query is ignored — standard binary query term weighting);
+    *   - the batch's DISTINCT terms look up the lexicon and the
+    *     postings ONCE, shared across every query in the batch (two
+    *     broadcast equijoins, both slot-pruned);
+    *   - per-(qid, doc) totals fold `sort_array(collect_list(struct(tok,
+    *     score)))` with `aggregate` — a DETERMINISTIC-order IEEE sum
+    *     whatever the partitioning, so streamed results equal batch
+    *     results bit for bit (a plain float `sum()` merges partials in
+    *     task-completion order and would flake the parity pin);
+    *   - per-qid top-k prunes via WindowGroupLimit.
+    *
+    * `statsRow` is the frozen one-row corpus stats — the streaming edge
+    * loads it once at stream start (frozen for the index's life). */
+  /** Loud admission guard on the per-batch term dictionary: the distinct
+    * terms of a query micro-batch drive DRIVER-side slot computation and
+    * static partition pruning, so they must collect — bounded by query
+    * traffic, never by the corpus, but a pathological batch (someone
+    * streaming documents into the query edge) must fail with an
+    * actionable message instead of an driver OOM. */
+  private[graft] val MaxBatchTerms = 100000
+
+  private[graft] def queryBatch(spark: SparkSession, batch: DataFrame,
+      indexPath: String, statsRow: DataFrame, k: Int = 10,
+      tombstoneAware: Boolean = false): DataFrame = {
+    val qtok = batch.select(col("qid"),
+        explode(array_distinct(wordTokens(col("text")))).as("tok"))
+    // the term DICTIONARY collects (driver-computed slots -> static
+    // partition pruning, the same plan every batch path serves with);
+    // the qid->term mapping stays distributed
+    val termRows = qtok.select(col("tok")).distinct()
+      .limit(MaxBatchTerms + 1).collect()
+    require(termRows.length <= MaxBatchTerms,
+      s"queryBatch: > $MaxBatchTerms distinct terms in one query batch - " +
+        "this edge serves QUERIES; stream documents through CorpusIngest " +
+        "instead, or raise MaxBatchTerms")
+    val terms = termRows.map(_.getString(0)).toSeq
+    val scored = serveTermScores(spark, indexPath, terms, statsRow,
+      tombstoneAware)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(broadcast(qtok.select(col("qid"), col("tok").as("qtok2"))),
+        col("tok") === col("qtok2"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("score")))).as("parts"))
+      .select(col("qid"), col("doc_id"),
+        size(col("parts")).cast("long").as("n_terms"),
+        aggregate(col("parts"), lit(0.0), (acc, x) => acc + x("score")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"), col("n_terms"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** `bm25_appended`: per-term top-10 from an index built on the BASE
+    * slice (doc_id % 4 != 0) then grown with the delta slice under the
+    * FROZEN lexicon — the oracle recomputes df/stats over the base slice
+    * and tf over everything, pinning the staleness contract exactly. */
+  def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_app",
+        lexStamp(spark, dir)) { p =>
+      buildLexIndexFrom(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0), p)
+      appendLexIndex(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0), p)
+    }
+    perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
+  /** `bm25_deleted`: per-term top-10 serving AROUND the fixed takedown
+    * batch — tombstone anti-join, zero posting files rewritten; the
+    * oracle excludes the same literal ids with df/stats frozen at the
+    * full-corpus build. */
+  def bm25Deleted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_del",
+        lexStamp(spark, dir)) { p =>
+      buildLexIndex(spark, dir, p)
+      deleteLexDocs(spark, p, DeletedIds)
+    }
+    perTermTop10(serveTermScores(spark, idx, QueryTerms,
+      loadStats(spark, idx), tombstoneAware = true))
+  }
+}

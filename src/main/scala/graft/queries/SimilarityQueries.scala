@@ -2143,7 +2143,7 @@ object SimilarityQueries {
     * fixtures) can observe a half-built index; crash-safety is still
     * guaranteed (the stamp is written LAST, so an interrupted build
     * re-runs), only cross-JVM concurrency is out of contract. */
-  private def servedIndexWith(dir: String, family: String, stamp: String)(
+  private[queries] def servedIndexWith(dir: String, family: String, stamp: String)(
       build: String => Unit): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = new java.io.File(
@@ -2451,7 +2451,7 @@ object SimilarityQueries {
     tableStamp(spark, dir, "embeddings")
 
   /** [[embeddingsStamp]]'s documents twin — guards the LSH index. */
-  private def documentsStamp(spark: SparkSession, dir: String): String =
+  private[queries] def documentsStamp(spark: SparkSession, dir: String): String =
     tableStamp(spark, dir, "documents")
 
   private def tableStamp(spark: SparkSession, dir: String, table: String): String = {
@@ -2662,7 +2662,7 @@ object SimilarityQueries {
     * [[graft.streaming.VecIngest]] batch could promote mid-rewrite; a
     * CRASHED one will promote on replay — either way its files must
     * land before buckets are rewritten). Returns the release thunk. */
-  private def acquireMaintenance(
+  private[queries] def acquireMaintenance(
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String): () => Unit = {
     val marker = maintenanceMarker(indexPath)
     if (fs.exists(marker))
@@ -2686,9 +2686,16 @@ object SimilarityQueries {
     * embedding byte is read — the cost is the delete batch plus one
     * scan of the two-longs-per-vector sidecar — and the recorded
     * bucket is what lets [[ivfIndexCompact]] stay partition-scoped. */
-  def ivfIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+  def ivfIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    // fenced like the appenders: a tombstone landing between a compact's
+    // read and its tombstone drop would be silently discarded — a lost
+    // takedown. The marker turns the race into a loud retry.
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath,
+      "ivfIndexDelete")
     deleteResolutionFrame(spark, indexPath, ids)
       .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
 
   /** Physically remove tombstoned vectors: read ONLY the touched bucket
     * partitions (≤ [[IvfK]], partition-pruned), anti-join the broadcast
@@ -2818,9 +2825,13 @@ object SimilarityQueries {
     * sidecar resolution (the sidecar holds one (vec_id, bucket) pair
     * per vector even though postings carry M code rows); the legacy
     * fallback reads the (vid, bucket) pair distinct. */
-  def ivfPqIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+  def ivfPqIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath,
+      "ivfPqIndexDelete")
     deleteResolutionFrame(spark, indexPath, ids, idCol = "vid")
       .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
 
   /** IVFPQ serving after a takedown batch, tombstones live —
     * [[annIvfDeleted]]'s composite twin: centroids, codebooks, and code
@@ -2857,9 +2868,13 @@ object SimilarityQueries {
   /** Tombstone a batch of doc ids in the persisted LSH index — the
     * near-dup family's delete edge. Signatures are per-document with no
     * trained state, so the tombstone needs no bucket lookup at all. */
-  def lshIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+  def lshIndexDelete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath,
+      "lshIndexDelete")
     ids.select(col("doc_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
 
   /** Physically remove tombstoned documents from the LSH signature
     * index. Unlike the IVF layouts — where a vector lives in exactly one

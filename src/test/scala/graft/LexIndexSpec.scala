@@ -1,0 +1,201 @@
+package graft
+
+import graft.queries.{CurationQueries, LexQueries}
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+
+/** The lexical (BM25 inverted) index lifecycle — served-equals-computed,
+  * append byte-identity, tombstone serve-around, compact purge, and
+  * MaxScore losslessness with REAL pruning. */
+class LexIndexSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  /** (relative path → (length, first/last bytes)) of every posting file —
+    * cheap byte-identity fingerprint. */
+  private def postingFiles(idx: String): Map[String, (Long, Int)] = {
+    val root = new java.io.File(s"$idx/postings")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet")).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      f.getPath.stripPrefix(root.getPath) -> (f.length(), java.util.Arrays.hashCode(bytes))
+    }.toMap
+  }
+
+  test("driver-side slot computation agrees with the distributed writer slot") {
+    import spark.implicits._
+    val words = LexQueries.QueryTerms ++ Seq("a", "zz9", "hash", "the", "x1y2z3")
+    val dist = words.toDF("tok")
+      .select(col("tok"), pmod(hash(col("tok")), lit(LexQueries.NSlots)).as("slot"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      assert(LexQueries.slotOfLiteral(w) == dist(w),
+        s"slot mismatch for '$w': driver=${LexQueries.slotOfLiteral(w)} dist=${dist(w)}")
+    }
+  }
+
+  test("bm25_served from the persisted index is bit-identical to compute-from-scratch") {
+    val served = LexQueries.bm25Served(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    val scratch = CurationQueries.bm25Top(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(served.length == scratch.length && served.sameElements(scratch),
+      "served result must equal bm25_top row for row (scores bit-identical)")
+  }
+
+  test("serving plan never touches the documents table and statically slot-prunes every index scan") {
+    val p = LexQueries.bm25Served(spark, dir)
+      .queryExecution.executedPlan.treeString
+    assert(!p.contains("documents.parquet"),
+      s"serving must not re-tokenize the corpus:\n${p.take(3000)}")
+    // the driver-computed term slots reach BOTH index scans as STATIC
+    // partition filters (no DPP subquery needed): every postings and
+    // lexicon scan line must carry a slot IN (...) partition filter
+    val idxScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") &&
+        (l.contains("/postings") || l.contains("/lexicon"))).toSeq
+    assert(idxScans.nonEmpty, s"expected index scans in:\n${p.take(3000)}")
+    idxScans.foreach { l =>
+      assert(l.contains("PartitionFilters") && l.contains("slot") && l.contains(" IN "),
+        s"index scan must be statically slot-pruned:\n$l")
+    }
+  }
+
+  test("append writes only new files — existing posting bytes untouched, lexicon frozen") {
+    val idx = tmp("lexapp")
+    val docs = Tables.documents(spark, dir)
+    LexQueries.buildLexIndexFrom(spark, docs.filter(col("doc_id") % 4 =!= 0), idx)
+    val before = postingFiles(idx)
+    val lexBefore = spark.read.parquet(s"$idx/lexicon")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    LexQueries.appendLexIndex(spark, docs.filter(col("doc_id") % 4 === 0), idx)
+    val after = postingFiles(idx)
+    assert(before.keySet.subsetOf(after.keySet), "append must never delete files")
+    before.foreach { case (k, v) =>
+      assert(after(k) == v, s"append rewrote an existing posting file: $k")
+    }
+    assert(after.size > before.size, "append must add delta posting files")
+    val lexAfter = spark.read.parquet(s"$idx/lexicon")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(lexAfter.sameElements(lexBefore), "append must not touch the frozen lexicon")
+    // delta docs are servable: a term they contain surfaces their rows
+    val servedDocs = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms,
+        LexQueries.loadStats(spark, idx))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(servedDocs.exists(_ % 4 == 0), "appended docs must serve")
+  }
+
+  test("tombstone delete serves around a live top result without touching posting files") {
+    val idx = tmp("lexdel")
+    LexQueries.buildLexIndexFrom(spark, Tables.documents(spark, dir), idx)
+    def serveIds(aware: Boolean) = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms,
+        LexQueries.loadStats(spark, idx), tombstoneAware = aware)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val victim = serveIds(aware = false).min
+    val before = postingFiles(idx)
+    LexQueries.deleteLexDocs(spark, idx, Seq(victim))
+    assert(postingFiles(idx) == before, "delete must be O(batch): no posting rewrite")
+    val after = serveIds(aware = true)
+    assert(!after.contains(victim), "tombstoned doc must not serve")
+    assert(serveIds(aware = false).contains(victim),
+      "the rows are physically present until compact")
+  }
+
+  test("compact purges tombstoned rows physically, rewrites only touched slots") {
+    val idx = tmp("lexcomp")
+    LexQueries.buildLexIndexFrom(spark, Tables.documents(spark, dir), idx)
+    val post = spark.read.parquet(s"$idx/postings")
+    val victim = post.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val victimSlots = post.filter(col("doc_id") === victim)
+      .select(col("slot")).distinct().collect().map(_.getInt(0)).toSet
+    val before = postingFiles(idx)
+    LexQueries.deleteLexDocs(spark, idx, Seq(victim))
+    val servedAround = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms,
+        LexQueries.loadStats(spark, idx), tombstoneAware = true)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    LexQueries.compactLexIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(), "compact drops the tombstones")
+    val remaining = spark.read.parquet(s"$idx/postings")
+    assert(remaining.filter(col("doc_id") === victim).count() == 0,
+      "compact must purge the tombstoned rows")
+    // untouched slots keep their exact bytes
+    val after = postingFiles(idx)
+    before.filter { case (k, _) =>
+      !victimSlots.exists(s => k.contains(s"slot=$s/")) }
+      .foreach { case (k, v) =>
+        assert(after.get(k).contains(v), s"compact rewrote an untouched slot file: $k")
+      }
+    // post-compact serving (no tombstones) equals pre-compact serve-around
+    val servedAfter = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms,
+        LexQueries.loadStats(spark, idx))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(servedAfter.sameElements(servedAround),
+      "compacted serving must equal tombstone-aware serving")
+  }
+
+  test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
+    val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    val run = LexQueries.bm25Maxscore(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(run.sameElements(unpruned), "pruned answer must equal the unpruned top-10")
+  }
+
+  test("maxscore θ < 10 candidates edge: all terms essential, answer still exact") {
+    import spark.implicits._
+    // 4 docs only — the champion term can never yield 10 candidates, so
+    // θ = -inf and nothing may be pruned
+    val docs = Seq(
+      (1L, "join vector stream join"),
+      (2L, "window spark spark"),
+      (3L, "vector vector window"),
+      (4L, "join spark stream window vector")).toDF("doc_id", "text")
+    val idx = tmp("lexedge")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val run = LexQueries.maxscoreFromIndex(spark, idx)
+    assert(run.theta == Double.NegativeInfinity, "θ must be -inf under 10 candidates")
+    assert(run.nonEssential.isEmpty, "no term may be non-essential at θ = -inf")
+    val scored = LexQueries.serveTermScores(spark, idx,
+      LexQueries.QueryTerms,
+      LexQueries.loadStats(spark, idx))
+    val unpruned = LexQueries.rankTop10(LexQueries.multitermTotals(scored))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val got = run.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.sameElements(unpruned))
+  }
+
+  test("maxscore prunes a term whose bound cannot reach θ") {
+    import spark.implicits._
+    // 'window' rides in EVERY doc once (df = 13 → raw-odds idf ≈ 0.04 —
+    // near-zero bound), the other terms are rich in 12 docs — the
+    // champion's 12 candidates set a θ the window bound cannot reach,
+    // so 'window' must go non-essential and the answer stay exact
+    val filler = (1 to 400).map(i => s"w$i").mkString(" ")
+    val docs = ((1L to 12L).map(i =>
+        (i, s"join vector join vector stream spark join vector window d$i")) :+
+      (99L, s"window $filler")).toDF("doc_id", "text")
+    val idx = tmp("lexprune")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val run = LexQueries.maxscoreFromIndex(spark, idx)
+    assert(run.nonEssential.contains("window"),
+      s"low-bound term must be pruned; nonEss=${run.nonEssential}, θ=${run.theta}")
+    val scored = LexQueries.serveTermScores(spark, idx,
+      LexQueries.QueryTerms,
+      LexQueries.loadStats(spark, idx))
+    val unpruned = LexQueries.rankTop10(LexQueries.multitermTotals(scored))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val got = run.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.sameElements(unpruned), "pruning must stay lossless")
+  }
+}

@@ -1040,4 +1040,65 @@ class StreamingSpec extends SparkSuite {
         s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
     assert(batch.nonEmpty)
   }
+
+  test("streaming lexical retrieval: bit-parity with the batch API; takedown and " +
+      "append land on the NEXT micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val lq = graft.queries.LexQueries
+    val idx = tmp("lex_serve_idx")
+    lq.buildLexIndex(spark, dir, idx)
+    // term mixes incl. a vocabulary miss (zzz...) — unknown terms score 0
+    val queries = Seq(
+      (1L, "join vector"), (2L, "stream window spark"),
+      (3L, "vector spark"), (4L, "zzzmissing join"))
+    val ms = MemoryStream[(Long, String)]
+    val outDir = tmp("lex_serve_out")
+    val query = graft.streaming.LexServe.start(
+      spark, ms.toDF().toDF("qid", "text"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("lex_serve_ckpt"), tombstoneAware = true)
+    val (first, second) = queries.splitAt(2)
+    ms.addData(first: _*)
+    query.processAllAvailable()
+    ms.addData(second: _*)
+    query.processAllAvailable()
+    val streamed = spark.read.parquet(s"$outDir/b0").unionByName(
+        spark.read.parquet(s"$outDir/b1"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    // batch twin: the SAME queries through the batch API in ONE call —
+    // results must match BIT FOR BIT (the deterministic-order fold is
+    // what makes cross-partitioning score equality possible)
+    val batchRes = lq.queryBatch(spark, queries.toDF("qid", "text"), idx,
+        lq.loadStats(spark, idx))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(streamed.nonEmpty && streamed.sameElements(batchRes),
+      s"stream(${streamed.length}) != batch(${batchRes.length})")
+
+    // takedown mid-stream: retire qid 1's top doc; the re-sent query
+    // must serve around it on the next micro-batch, no restart
+    val victim = spark.read.parquet(s"$outDir/b0")
+      .filter(col("qid") === 1L && col("rk") === 1L)
+      .collect()(0).getAs[Number]("doc_id").longValue
+    lq.deleteLexDocs(spark, idx, Seq(victim))
+    ms.addData((11L, "join vector"))
+    query.processAllAvailable()
+    val postDel = spark.read.parquet(s"$outDir/b2")
+      .collect().map(r => r.getAs[Number]("doc_id").longValue).toSet
+    assert(postDel.nonEmpty && !postDel.contains(victim),
+      s"retired doc $victim surfaced post-takedown")
+
+    // append mid-stream: a new doc rich in the query terms must surface
+    // on the next micro-batch (frozen lexicon covers its terms)
+    lq.appendLexIndex(spark,
+      Seq((999999L, "join vector join vector join vector join vector"))
+        .toDF("doc_id", "text"), idx)
+    ms.addData((21L, "join vector"))
+    query.processAllAvailable()
+    query.stop()
+    val postApp = spark.read.parquet(s"$outDir/b3")
+      .collect().map(r => r.getAs[Number]("doc_id").longValue).toSet
+    assert(postApp.contains(999999L),
+      s"appended doc must serve on the next micro-batch; got $postApp")
+  }
 }
