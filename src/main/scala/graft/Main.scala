@@ -186,6 +186,10 @@ object Main {
               .split(",").map(_.trim.toLong).toSeq)
         case ("lex", "compact") =>
           graft.queries.LexQueries.compactLexIndex(spark, indexDir)
+        // universal slot hash ⇒ shard merge is a partition-wise posting
+        // union (src tombstones purged on the way in; dst lexicon frozen)
+        case ("lex", "merge") =>
+          graft.queries.LexQueries.lexIndexMergeInto(spark, indexDir, srcIndexDir)
         case other => sys.error(s"unknown family/op: $other")
       }
       println(s"[graft] index $op done: family=$family index=$indexDir")

@@ -117,6 +117,8 @@ object SparkEntry {
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
+    "bm25_merged" -> (LexQueries.bm25Merged _),
+    "hybrid_served" -> (LexQueries.hybridServed _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
@@ -2097,6 +2099,11 @@ object SparkEntry {
     // idf-staleness contract, pinned exactly
     "bm25_appended" -> bm25PerTermSql(
       gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
+    // merged index: the universal slot hash makes shard merge ≡ append
+    // (dst lexicon frozen at the base slice), so merge shares the
+    // appended oracle exactly
+    "bm25_merged" -> bm25PerTermSql(
+      gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
     // deleted index: tombstone serve-around — posting rows exclude the
     // fixed takedown ids, stats/df stay frozen at the full-corpus build
     "bm25_deleted" -> bm25PerTermSql(
@@ -2106,6 +2113,40 @@ object SparkEntry {
     "lex_lexicon" ->
       s"""WITH ${bm25ScoredBody()}
          |SELECT tok, df, max(score) AS ub FROM s GROUP BY tok, df""".stripMargin,
+    // hybrid_served: RRF where BOTH arms serve from persisted indexes —
+    // the lexical arm is bit-identical to the scratch chain (shared
+    // longs + expression tree), the semantic arm is the IVF-SERVED
+    // top-50 (probed-bucket candidates), re-derived via the shared
+    // routing CTEs. l-prefixed lex CTEs avoid colliding with
+    // IvfAssignSql's names.
+    "hybrid_served" ->
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id = 0),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |csr AS (SELECT vid, CAST(row_number() OVER (ORDER BY cos DESC, vid) AS BIGINT) AS cos_rk FROM p),
+         |sem AS (SELECT vid, cos_rk FROM csr WHERE cos_rk <= 50),
+         |lt AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |ldl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM lt),
+         |lg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM ldl),
+         |ltk AS (SELECT doc_id, unnest(ws) AS tok FROM lt),
+         |ltf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM ltk
+         |  WHERE tok = 'vector' GROUP BY doc_id),
+         |ldfq AS (SELECT CAST(count(*) AS BIGINT) AS df FROM ltf),
+         |ls AS (SELECT f.doc_id,
+         |    ((CAST(lg.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |      * (CAST(f.tf AS DOUBLE) * 2.2)
+         |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(lg.sum_dl AS DOUBLE) / CAST(lg.n_docs AS DOUBLE))))) AS score
+         |  FROM ltf f CROSS JOIN ldfq d JOIN ldl l ON f.doc_id = l.doc_id CROSS JOIN lg),
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rk FROM ls),
+         |lex AS (SELECT doc_id, bm_rk FROM lexr WHERE bm_rk <= 50),
+         |fused AS (SELECT coalesce(l.doc_id, m.vid) AS doc_id, l.bm_rk, m.cos_rk,
+         |    coalesce(1.0 / (60.0 + CAST(l.bm_rk AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(m.cos_rk AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.vid),
+         |fr AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+         |SELECT doc_id, bm_rk, cos_rk, rrf, rk FROM fr WHERE rk <= 20""".stripMargin,
     "rank_fusion" ->
       // lexical arm = bm25_top's chain for the single term 'vector'
       // (per-term scores are independent of the term set); semantic arm

@@ -315,8 +315,51 @@ object StreamBench {
       .map(d => lshStage(d, sfDir, "lsh10x")).getOrElse((-1, -1.0))
     val lsh10Dps = if (lsh10Sec > 0) lsh10Docs / lsh10Sec else -1.0
 
+    // Streaming LEXICAL retrieval (graft.streaming.LexServe — BM25 top-k
+    // from the persisted inverted index): queries/second across real
+    // micro-batches. Query texts rotate over the non-empty subsets of
+    // the benchmark term set, so batches mix 1–5-term lookups. As with
+    // lshStage, `indexDir` sizes the STANDING corpus independently of
+    // the query load — the optional 10× row prices whether serving is
+    // query-bound (flat) or index-bound (degrading).
+    def lexStage(indexDir: String, tag: String): (Int, Double) = try {
+      val idx = java.nio.file.Files.createTempDirectory(s"sb-$tag").toString
+      graft.queries.LexQueries.buildLexIndex(spark, indexDir, idx)
+      val terms = graft.queries.LexQueries.QueryTerms
+      val subsets = (1 until (1 << terms.size)).map(m =>
+        terms.zipWithIndex.collect { case (t, i) if ((m >> i) & 1) == 1 => t }
+          .mkString(" "))
+      val nQ = math.min(20000, math.max(2000, n / 10))
+      val queries: Seq[(Long, String)] =
+        (0 until nQ).map(i => (5000000L + i, subsets(i % subsets.size)))
+      val ms6 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](5, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]])
+      val q = graft.streaming.LexServe.start(
+        spark, ms6.toDF().toDF("qid", "text"), idx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory(s"sb-$tag-ckpt").toString)
+      ms6.addData(queries.take(200): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val rest = queries.drop(200)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms6.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] $tag serving stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val (lexQueries, lexSec) = lexStage(sfDir, "lex")
+    val lexQps = if (lexSec > 0) lexQueries / lexSec else -1.0
+    val (lex10Queries, lex10Sec) = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .map(d => lexStage(d, "lex10x")).getOrElse((-1, -1.0))
+    val lex10Qps = if (lex10Sec > 0) lex10Queries / lex10Sec else -1.0
+
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

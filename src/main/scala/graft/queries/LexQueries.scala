@@ -467,12 +467,27 @@ object LexQueries {
   private[graft] def queryBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int = 10,
       tombstoneAware: Boolean = false): DataFrame = {
-    val qtok = batch.select(col("qid"),
-        explode(array_distinct(wordTokens(col("text")))).as("tok"))
+    // RESULT SHARING across identical queries — the optimization that
+    // makes the scoring cost ∝ DISTINCT query sets, not query count: a
+    // BM25 answer depends only on the query's term SET, so queries
+    // group by their canonical signature (sorted distinct terms joined
+    // by a space — tokens never contain spaces, so the encoding is
+    // collision-free), each distinct set is scored and top-k'd ONCE,
+    // and the per-set answers fan back to qids with one broadcast join.
+    // Production query streams are heavily head-skewed; without this, a
+    // batch of 20k queries over common terms scores 20k × |postings|
+    // pairs (measured 40× slower at sf0.1). Worst case (all-distinct
+    // signatures) adds one distinct + one broadcast join — noise.
+    val qsets = batch.select(col("qid"),
+      concat_ws(" ", sort_array(array_distinct(wordTokens(col("text")))))
+        .as("qsig"))
+    val sigTok = qsets.select(col("qsig")).distinct()
+      .select(col("qsig"), explode(split(col("qsig"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
     // the term DICTIONARY collects (driver-computed slots -> static
     // partition pruning, the same plan every batch path serves with);
-    // the qid->term mapping stays distributed
-    val termRows = qtok.select(col("tok")).distinct()
+    // the qid->signature mapping stays distributed
+    val termRows = sigTok.select(col("tok")).distinct()
       .limit(MaxBatchTerms + 1).collect()
     require(termRows.length <= MaxBatchTerms,
       s"queryBatch: > $MaxBatchTerms distinct terms in one query batch - " +
@@ -481,19 +496,106 @@ object LexQueries {
     val terms = termRows.map(_.getString(0)).toSeq
     val scored = serveTermScores(spark, indexPath, terms, statsRow,
       tombstoneAware)
-    val w = Window.partitionBy(col("qid"))
+    val w = Window.partitionBy(col("qsig"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.join(broadcast(qtok.select(col("qid"), col("tok").as("qtok2"))),
+    val perSig = scored.join(broadcast(sigTok.withColumnRenamed("tok", "qtok2")),
         col("tok") === col("qtok2"))
-      .groupBy(col("qid"), col("doc_id"))
+      .groupBy(col("qsig"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tok"), col("score")))).as("parts"))
-      .select(col("qid"), col("doc_id"),
+      .select(col("qsig"), col("doc_id"),
         size(col("parts")).cast("long").as("n_terms"),
         aggregate(col("parts"), lit(0.0), (acc, x) => acc + x("score")).as("score"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("doc_id"), col("n_terms"), col("score"),
-        col("rk").cast("long").as("rk"))
+      .select(col("qsig").as("rsig"), col("doc_id"), col("n_terms"),
+        col("score"), col("rk").cast("long").as("rk"))
+    // fan the ≤ |sigs|·k answer rows back to every asking qid
+    qsets.join(broadcast(perSig), col("qsig") === col("rsig"))
+      .select(col("qid"), col("doc_id"), col("n_terms"), col("score"), col("rk"))
+  }
+
+  /** Shard-parallel index consolidation — [[SimilarityQueries.lshIndexMergeInto]]'s
+    * lexical twin: absorb one shard's persisted inverted index into
+    * another WITHOUT reading any document text. Posting rows are
+    * (tok, doc_id, tf, dl) under the UNIVERSAL slot hash, so the merge
+    * is a pure partition-wise posting union — src rows append into the
+    * destination's matching slot directories as new files (never a
+    * rewrite), with src tombstones purged on the way in. The
+    * destination's lexicon and stats stay FROZEN (its df/avgdl now
+    * understate the grown corpus — the same idf-staleness contract as
+    * [[appendLexIndex]], refreshed at the next rebuild). Cost:
+    * O(src postings); the destination corpus is never read. */
+  def lexIndexMergeInto(spark: SparkSession, dstIndex: String,
+      srcIndex: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SimilarityQueries.assertNoMaintenance(fs, dstIndex, "lexIndexMergeInto")
+    val src = spark.read.parquet(s"$srcIndex/postings")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("slot"))
+    val live =
+      if (fs.exists(tombPath)) {
+        val tomb = broadcast(spark.read.parquet(tombPath.toString)
+          .select(col("doc_id").as("_tomb_del")).distinct())
+        src.join(tomb, src("doc_id") === tomb("_tomb_del"), "left_anti")
+      } else src
+    live.write.partitionBy("slot").mode("append").parquet(s"$dstIndex/postings")
+  }
+
+  /** `bm25_merged`: per-term top-10 after merging a shard index (built
+    * from the delta slice) into the base-slice index — because the slot
+    * hash is universal and the destination lexicon stays frozen, merge
+    * ≡ append, and the oracle IS `bm25_appended`'s SQL (stats/df over
+    * the base slice, tf over everything). LexIndexSpec additionally
+    * pins merge ≡ append row-for-row engine-side and src-tombstone
+    * purge. */
+  def bm25Merged(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_mrg",
+        lexStamp(spark, dir)) { p =>
+      buildLexIndexFrom(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0), p)
+      val shard = s"${p}_srcshard"
+      buildLexIndexFrom(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0), shard)
+      lexIndexMergeInto(spark, p, shard)
+    }
+    perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
+  /** `hybrid_served`: [[CurationQueries.rankFusion]]'s production twin —
+    * reciprocal-rank fusion where BOTH arms come from PERSISTED indexes
+    * instead of corpus scans: the lexical arm is BM25 for "vector" from
+    * the inverted index (bit-identical to the scratch arm — shared
+    * longs, shared expression tree), the semantic arm is the IVF-SERVED
+    * top-50 for query vector 0 (approximate by design — the index's
+    * probed-bucket candidates, exactly what production hybrid search
+    * fuses). RRF k = 60; every fused score is two deterministic
+    * divisions and ONE fixed-order addition — oracle-exact; the oracle
+    * recomputes the IVF arm through the shared routing CTE chain.
+    *
+    * Scale: each arm prunes to 50 rows via TakeOrderedAndProject before
+    * the fuse; the lexical arm reads one slot directory, the semantic
+    * arm reads the probed bucket directories — neither scans a corpus. */
+  def hybridServed(spark: SparkSession, dir: String): DataFrame = {
+    val lexIdx = servedLexIndex(spark, dir)
+    val byScore = Seq(col("score").desc, col("doc_id").asc)
+    val lex = serveTermScores(spark, lexIdx, Seq("vector"),
+        loadStats(spark, lexIdx))
+      .orderBy(byScore: _*).limit(50)
+      .withColumn("bm_rk", row_number().over(Window.orderBy(byScore: _*)).cast("long"))
+      .select(col("doc_id"), col("bm_rk"))
+    val byCos = Seq(col("cos").desc, col("vid").asc)
+    val sem = SimilarityQueries.annIvfServedTopK(spark, dir, qid = 0L, k = 50)
+      .orderBy(byCos: _*).limit(50)
+      .withColumn("cos_rk", row_number().over(Window.orderBy(byCos: _*)).cast("long"))
+      .select(col("vid").as("doc_id"), col("cos_rk"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("bm_rk").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("cos_rk").cast("double")), lit(0.0)))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("bm_rk"), col("cos_rk"), col("rrf"), col("rk"))
   }
 
   /** `bm25_appended`: per-term top-10 from an index built on the BASE

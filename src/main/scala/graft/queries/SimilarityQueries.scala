@@ -220,7 +220,8 @@ object SimilarityQueries {
     * read to the probed directories), per-query top-3 window. */
   private[graft] def serveAgainstIndex(spark: SparkSession, queries: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
-      postingsFilter: DataFrame => DataFrame = identity): DataFrame = {
+      postingsFilter: DataFrame => DataFrame = identity,
+      k: Int = 3): DataFrame = {
     val q = assignFromCents(queries, centRow, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), explode(col("probe_buckets")).as("qbucket"))
@@ -231,8 +232,20 @@ object SimilarityQueries {
     postings.join(broadcast(q), col("qbucket") === col("bucket") && col("qid") =!= col("vid"))
       .withColumn("cos", dotD(col("qemb"), col("cemb2")) / (col("qnrm") * col("cnrm2")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("vid"), col("cos"))
+  }
+
+  /** One query vector's IVF-served top-k from the self-managing persisted
+    * index — the semantic arm of [[LexQueries.hybridServed]]: same stored
+    * centroids, routing, and cosine as [[annIvfServed]], with a
+    * caller-chosen k (hybrid fusion wants 50, not 3). */
+  private[graft] def annIvfServedTopK(spark: SparkSession, dir: String,
+      qid: Long, k: Int): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
+    serveAgainstIndex(spark,
+      withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") === qid),
+      loadCentRow(spark, idx), idx, IvfNprobe, identity, k)
   }
 
   /** One micro-batch of STREAMING ANN serving — [[serveAgainstIndex]]

@@ -144,6 +144,68 @@ class LexIndexSpec extends SparkSuite {
       "compacted serving must equal tombstone-aware serving")
   }
 
+  test("hybrid_served plan: both arms serve from indexes, never a corpus scan") {
+    val p = LexQueries.hybridServed(spark, dir)
+      .queryExecution.executedPlan.treeString
+    assert(!p.contains("documents.parquet"),
+      s"the lexical arm must serve from the inverted index:\n${p.take(3000)}")
+    // the only embeddings read is the pushed-down single-query-row scan
+    // (vec_id = 0); the semantic candidates come from the IVF postings
+    val embScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet")).toSeq
+    assert(embScans.nonEmpty && embScans.forall(l =>
+        l.contains("vec_id") && l.contains("= 0)")),
+      s"every embeddings scan must be the pushed query-row scan:\n${embScans.mkString("\n")}")
+    // the centroid array comes from the STORED k-row frame, never a
+    // corpus-driven sample (no corpus scan exists — checked above); the
+    // candidates stream from the persisted postings
+    assert(p.contains("/centroids") && p.contains("/postings"),
+      s"the semantic arm must read the persisted index:\n${p.take(3000)}")
+  }
+
+  test("shard merge: partition-wise union — merge ≡ append, dst bytes untouched, src tombstones purged") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    // appended twin: base index grown in place
+    val appIdx = tmp("lexmrg_app")
+    LexQueries.buildLexIndexFrom(spark, base, appIdx)
+    LexQueries.appendLexIndex(spark, delta, appIdx)
+    // merged twin: base index absorbs a shard-built delta index
+    val dstIdx = tmp("lexmrg_dst")
+    val srcIdx = tmp("lexmrg_src")
+    LexQueries.buildLexIndexFrom(spark, base, dstIdx)
+    LexQueries.buildLexIndexFrom(spark, delta, srcIdx)
+    val dstBefore = postingFiles(dstIdx)
+    LexQueries.lexIndexMergeInto(spark, dstIdx, srcIdx)
+    // existing dst files byte-identical (append-only merge)
+    dstBefore.foreach { case (k, v) =>
+      assert(postingFiles(dstIdx)(k) == v, s"merge rewrote a dst file: $k")
+    }
+    // merge ≡ append: identical posting ROW SETS
+    def rows(idx: String) = spark.read.parquet(s"$idx/postings")
+      .collect().map(_.toSeq.mkString("|")).sorted
+    assert(rows(dstIdx).sameElements(rows(appIdx)),
+      "merged posting rows must equal appended posting rows")
+    // ... and identical serving
+    def served(idx: String) = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms, LexQueries.loadStats(spark, idx))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(served(dstIdx).sameElements(served(appIdx)))
+
+    // src tombstones purge on the way in
+    val dst2 = tmp("lexmrg_dst2")
+    val src2 = tmp("lexmrg_src2")
+    LexQueries.buildLexIndexFrom(spark, base, dst2)
+    LexQueries.buildLexIndexFrom(spark, delta, src2)
+    val victim = delta.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    LexQueries.deleteLexDocs(spark, src2, Seq(victim))
+    LexQueries.lexIndexMergeInto(spark, dst2, src2)
+    assert(spark.read.parquet(s"$dst2/postings")
+        .filter(col("doc_id") === victim).count() == 0,
+      "src-tombstoned doc must not enter the merged index")
+  }
+
   test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
     val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
