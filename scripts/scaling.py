@@ -59,6 +59,10 @@ DRIVER = {
     # round-14 extension: graph/curation families (VERDICT r13 item 5 —
     # the label-propagation chains, previously unmeasured past sf0.1)
     "cluster_split": "documents", "kcore_peel": "documents",
+    # round-14 continuation: the lexical index family (serving cost
+    # follows matched posting rows, i.e. the documents table)
+    "bm25_served": "documents", "bm25_multiterm": "documents",
+    "bm25_maxscore": "documents", "hybrid_served": "documents",
 }
 
 
