@@ -281,6 +281,33 @@ object Main {
       return
     }
 
+    // --mode ingest-docs: the lexical index's streaming write edge —
+    // (doc_id, text) batches dropped as parquet files into --docDir
+    // land in the persisted inverted index at --indexDir per
+    // micro-batch (the batch tokenizes itself; EXACTLY-ONCE via the
+    // shared staged-promote commit), servable by a concurrent
+    // --mode serve --family lex on its next batch.
+    // Usage: graft.Main --mode ingest-docs --indexDir idx/
+    //                   --docDir docs/ [--once true]
+    if (cli.get("mode").contains("ingest-docs")) {
+      val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
+      val docDir = cli.getOrElse("docDir", sys.error("--docDir required"))
+      val ckpt = cli.getOrElse("checkpointDir", s"$indexDir/_ingest_checkpoint")
+      val once = cli.getOrElse("once", "true").toBoolean
+      val spark = mkSession("graft-doc-ingest")
+      val dSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val q = graft.streaming.LexIngest.start(
+        spark, spark.readStream.schema(dSchema).parquet(docDir),
+        indexDir, ckpt, availableNow = once)
+      q.awaitTermination()
+      spark.stop()
+      return
+    }
+
     // --mode serve: the STREAMING serving entry point — queries dropped
     // as parquet files into --queryDir are answered per micro-batch
     // from the persisted index at --indexDir. --family ivf (default):

@@ -265,6 +265,42 @@ object StreamBench {
     }
     val viVps = if (viSec > 0) viVecs / viSec else -1.0
 
+    // Streaming DOCUMENT ingest (graft.streaming.LexIngest — the lexical
+    // index's write edge): documents/second through the shared
+    // staged-promote exactly-once commit, across real micro-batches
+    // against a standing inverted index. Fresh ids so every batch
+    // appends.
+    val (diDocs, diSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-li").toString
+      graft.queries.LexQueries.buildLexIndex(spark, sfDir, idx)
+      val baseDocs = graft.sources.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String)].collect()
+      val docs: Seq[(Long, String)] =
+        baseDocs.toSeq.map { case (id, t) => (6000000L + id, t) }
+      val ms7 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](6, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]])
+      val q = graft.streaming.LexIngest.start(
+        spark, ms7.toDF().toDF("doc_id", "text"), idx,
+        java.nio.file.Files.createTempDirectory("sb-li-ckpt").toString)
+      val warm = math.min(200, docs.size / 10)
+      ms7.addData(docs.take(warm): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val rest = docs.drop(warm)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms7.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] doc ingest stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val diDps = if (diSec > 0) diDocs / diSec else -1.0
+
     // Streaming LSH near-dup serving (graft.streaming.LshServe —
     // AnnServe's text-side twin): document batches sign themselves and
     // band-equijoin the persisted signature index; measured as
@@ -359,7 +395,7 @@ object StreamBench {
     val lex10Qps = if (lex10Sec > 0) lex10Queries / lex10Sec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -130,11 +130,16 @@ object LexQueries {
       indexPath: String): Unit = {
     SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
       "appendLexIndex")
-    tfOf(docsDelta).select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        slotOf(col("tok")).as("slot"))
+    postingRows(docsDelta)
       .write.partitionBy("slot").mode("append")
       .parquet(s"$indexPath/postings")
   }
+
+  /** A document frame's slot-routed posting rows — the write-side unit
+    * shared by build, append, and the streaming ingest edge. */
+  private[graft] def postingRows(docs: DataFrame): DataFrame =
+    tfOf(docs).select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+      slotOf(col("tok")).as("slot"))
 
   private def fsOf(spark: SparkSession, indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath)

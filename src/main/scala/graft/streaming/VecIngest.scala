@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.queries.SimilarityQueries
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -75,21 +75,9 @@ object VecIngest {
   /** One micro-batch's staged-promote commit — idempotent per
     * (indexPath, batchId); exposed for the replay/crash-window specs. */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
-      centRow: DataFrame, indexPath: String, batchId: Long): Unit = {
-    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$indexPath/_ingest_commits/$batchId")
-    if (fs.exists(marker)) return // fully committed; a replay is a no-op
-    // a compact in flight rewrites bucket directories — promoting into
-    // one would be silently deleted; fail the batch (the stream retries
-    // it, and the staged-promote protocol makes the retry exact)
-    SimilarityQueries.assertNoMaintenance(fs, indexPath, "VecIngest.ingestBatch")
-
-    // 1. stage (rewritten from scratch unless the _STAGED fence exists —
-    //    file names must be frozen before any promote can have happened)
-    val staging = new Path(s"$indexPath/_staging/$batchId")
-    val staged = new Path(staging, "_STAGED")
-    if (!fs.exists(staged)) {
-      if (fs.exists(staging)) { fs.delete(staging, true); () }
+      centRow: DataFrame, indexPath: String, batchId: Long): Unit =
+    StagedCommit.run(spark, indexPath, batchId, "VecIngest.ingestBatch",
+        trees = Seq("postings", "idmap")) { staging =>
       // repartition ON THE BUCKET before the staged write: one file per
       // touched bucket instead of (partitions × buckets) shards — fewer
       // renames per commit, and (the 100 TB point) a long-running ingest
@@ -105,39 +93,5 @@ object VecIngest {
           .coalesce(1) // two longs per vector — one sidecar file per batch
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
       } finally { asn.unpersist(); () }
-      fs.create(staged, true).close()
     }
-
-    // 2. promote — idempotent per file (deterministic target names)
-    promoteTree(fs, new Path(staging, "postings"), new Path(s"$indexPath/postings"), batchId)
-    promoteTree(fs, new Path(staging, "idmap"), new Path(s"$indexPath/idmap"), batchId)
-
-    // 3. commit, then clear the staging tree (cleanup is best-effort —
-    //    a leftover staged tree under an existing marker is dead weight,
-    //    never replayed)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
-    ()
-  }
-
-  /** Move every data file under `src` (flat, or one `bucket=X/`
-    * partition level) to the same relative location under `dst` as
-    * `ingest-<batchId>-<srcFileName>`. Existing targets are skipped —
-    * under the `_STAGED` fence a name collision can only be this exact
-    * file, already promoted by an earlier attempt. */
-  private def promoteTree(fs: FileSystem, src: Path, dst: Path, batchId: Long): Unit = {
-    if (!fs.exists(src)) return
-    fs.listStatus(src).foreach { entry =>
-      val name = entry.getPath.getName
-      if (entry.isDirectory && name.contains("=")) {
-        promoteTree(fs, entry.getPath, new Path(dst, name), batchId)
-      } else if (entry.isFile && name.endsWith(".parquet")) {
-        val target = new Path(dst, s"ingest-$batchId-$name")
-        fs.mkdirs(dst)
-        if (!fs.exists(target)) { fs.rename(entry.getPath, target); () }
-        else { fs.delete(entry.getPath, false); () }
-      }
-    }
-  }
 }

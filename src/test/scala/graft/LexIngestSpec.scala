@@ -1,0 +1,125 @@
+package graft
+
+import graft.queries.LexQueries
+import graft.streaming.LexIngest
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files => JFiles, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Streaming document ingest ([[LexIngest]]): the crawl firehose →
+  * persisted inverted index edge, [[VecIngestSpec]]'s text twin. Pins:
+  *   1. two streamed micro-batches land EXACTLY the posting rows batch
+  *      [[LexQueries.appendLexIndex]] lands, and serving the streamed
+  *      index is bit-identical to serving the batch-appended one;
+  *   2. a replayed (already-committed) batch is a byte-level no-op;
+  *   3. both crash-window replays (staged-unpromoted, mid-promote)
+  *      complete to the exact one-pass row set — no duplicate tf rows
+  *      (a duplicated posting would inflate tf at serve time). */
+class LexIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) = JFiles.createTempDirectory(prefix).toString
+
+  private def postingRows(idx: String): Seq[String] =
+    spark.read.parquet(s"$idx/postings")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("slot").cast("long"))
+      .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  private def fileNames(root: String): Set[String] =
+    JFiles.walk(Paths.get(root)).iterator().asScala
+      .filter(p => JFiles.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString.stripPrefix(root)).toSet
+
+  test("streamed document ingest == batch append: postings and served answers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val idxStream = tmp("li_stream")
+    val idxBatch = tmp("li_batch")
+    LexQueries.buildLexIndexFrom(spark, base, idxStream)
+    LexQueries.buildLexIndexFrom(spark, base, idxBatch)
+    LexQueries.appendLexIndex(spark, docs.filter(col("doc_id") % 4 === 0), idxBatch)
+
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (half1, half2) = delta.splitAt(delta.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val query = LexIngest.start(
+      spark, ms.toDF().toDF("doc_id", "text"), idxStream, tmp("li_ckpt"))
+    try {
+      ms.addData(half1: _*); query.processAllAvailable()
+      ms.addData(half2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    assert(postingRows(idxStream) == postingRows(idxBatch))
+    // no staging residue; commit markers for both batches
+    assert(!JFiles.exists(Paths.get(s"$idxStream/_staging")) ||
+      JFiles.list(Paths.get(s"$idxStream/_staging")).count() == 0)
+    assert(JFiles.exists(Paths.get(s"$idxStream/_ingest_commits/0")))
+    assert(JFiles.exists(Paths.get(s"$idxStream/_ingest_commits/1")))
+
+    // serving parity, bit-identical (frozen lexicon + exact-long tf/dl)
+    def served(idx: String) = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms, LexQueries.loadStats(spark, idx))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(served(idxStream) == served(idxBatch))
+    assert(served(idxStream).exists(r => r(1).asInstanceOf[Long] % 4 == 0),
+      "ingested docs must serve")
+  }
+
+  test("replay is a no-op; both crash windows complete without duplicate postings") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+
+    val idx = tmp("li_replay")
+    LexQueries.buildLexIndexFrom(spark, base, idx)
+    LexIngest.ingestBatch(spark, delta, idx, 7L)
+    val after1 = fileNames(idx)
+    val rows1 = postingRows(idx)
+    LexIngest.ingestBatch(spark, delta, idx, 7L)
+    assert(fileNames(idx) == after1, "replaying a committed batch must change nothing")
+
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    def stage(index: String, id: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(index).getFileSystem(fsConf)
+      val staging = new org.apache.hadoop.fs.Path(s"$index/_staging/$id")
+      LexQueries.postingRows(delta)
+        .write.partitionBy("slot").mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_STAGED"), true).close()
+    }
+
+    // crash window A: staged + fenced, never promoted
+    val idxA = tmp("li_crash_a")
+    LexQueries.buildLexIndexFrom(spark, base, idxA)
+    stage(idxA, 3L)
+    LexIngest.ingestBatch(spark, delta, idxA, 3L)
+    assert(postingRows(idxA) == rows1)
+
+    // crash window B: one staged file already promoted (mid-promote)
+    val idxB = tmp("li_crash_b")
+    LexQueries.buildLexIndexFrom(spark, base, idxB)
+    stage(idxB, 4L)
+    val stagedFiles = JFiles.walk(Paths.get(s"$idxB/_staging/4/postings"))
+      .iterator().asScala
+      .filter(p => JFiles.isRegularFile(p) && p.toString.endsWith(".parquet")).toSeq
+    assert(stagedFiles.nonEmpty)
+    val first = stagedFiles.head
+    val slotDir = first.getParent.getFileName.toString // slot=X
+    val target = Paths.get(s"$idxB/postings/$slotDir/ingest-4-${first.getFileName}")
+    JFiles.createDirectories(target.getParent)
+    JFiles.move(first, target)
+    LexIngest.ingestBatch(spark, delta, idxB, 4L)
+    assert(postingRows(idxB) == rows1,
+      "mid-promote replay must complete to the exact one-pass row set")
+  }
+}
