@@ -95,6 +95,22 @@ object MaintBench {
           .filter(col("doc_id") % 4 === 2)
           .withColumn("doc_id", col("doc_id") + 1000000L), lshShard)
       val lshMerge = timed(q.lshIndexMergeInto(spark, lsh, lshShard))
+      // lexical index: delete is a bare tombstone append (O(batch));
+      // compact rewrites only the touched slot set (constant batch →
+      // bounded touched slots, though common terms touch many); merge
+      // is a pure posting union under the universal slot hash (O(src))
+      val lex = java.nio.file.Files.createTempDirectory("mb-lex").toString
+      graft.queries.LexQueries.buildLexIndex(spark, dir, lex)
+      val lexDelete = timed(
+        graft.queries.LexQueries.deleteLexDocs(spark, lex, takedown))
+      val lexCompact = timed(graft.queries.LexQueries.compactLexIndex(spark, lex))
+      val lexShard = java.nio.file.Files.createTempDirectory("mb-lexshard").toString
+      graft.queries.LexQueries.buildLexIndexFrom(spark,
+        Tables.documents(spark, dirs.head)
+          .filter(col("doc_id") % 4 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L), lexShard)
+      val lexMerge = timed(
+        graft.queries.LexQueries.lexIndexMergeInto(spark, lex, lexShard))
       // bucketed ingest corpus + sigs side table (built untimed, the
       // same layout the streaming appender maintains)
       val corpus = BucketedCorpus(table = s"mb_corpus_$tag", buckets = parts)
@@ -132,6 +148,8 @@ object MaintBench {
       Map("ivf_delete" -> ivfDelete, "ivf_compact" -> ivfCompact,
         "ivf_merge" -> ivfMerge, "lsh_merge" -> lshMerge,
         "lsh_delete" -> lshDelete, "lsh_compact" -> lshCompact,
+        "lex_delete" -> lexDelete, "lex_compact" -> lexCompact,
+        "lex_merge" -> lexMerge,
         "retire" -> retire, "active_read" -> activeRead,
         "ledger_resolve_1x" -> resolve1, "ledger_resolve_10x" -> resolve10,
         "ledger_selfcompact" -> selfCompact,

@@ -118,6 +118,7 @@ object SparkEntry {
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
     "bm25_merged" -> (LexQueries.bm25Merged _),
+    "bm25_maxp" -> (LexQueries.bm25Maxp _),
     "hybrid_served" -> (LexQueries.hybridServed _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
@@ -920,9 +921,13 @@ object SparkEntry {
     * excludes the tombstoned ids). Terminal CTE is
     * `s(tok, doc_id, tf, df, dl, score)`. */
   private def bm25ScoredBody(gWhere: String = "", dfWhere: String = "",
-      tfWhere: String = ""): String = {
+      tfWhere: String = "",
+      // the (doc_id, ws) token source — `bm25_maxp` swaps in the CHUNK
+      // corpus (chunk pseudo-ids, pre-split token arrays) so the whole
+      // scoring chain is reused verbatim over passages
+      tBody: String = s"t AS (SELECT doc_id, %TOKS% AS ws FROM documents)"): String = {
     val termsIn = LexQueries.QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
-    s"""t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+    s"""${tBody.replace("%TOKS%", WordToksSql)},
        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl $gWhere),
        |tk AS (SELECT doc_id, unnest(ws) AS tok FROM t),
@@ -951,17 +956,45 @@ object SparkEntry {
     * 0.0 for absent terms — addition-for-addition the engine's
     * `multitermTotals` shape, so `bm25_multiterm` and the MaxScore-pruned
     * `bm25_maxscore` hash-match it. */
-  private def bm25MultitermSql: String = {
-    val pivots = LexQueries.QueryTerms
-      .map(t => s"max(CASE WHEN tok = '$t' THEN score END) AS s_$t").mkString(",\n|   ")
-    val total = LexQueries.QueryTerms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+  private def bm25Pivots: String = LexQueries.QueryTerms
+    .map(t => s"max(CASE WHEN tok = '$t' THEN score END) AS s_$t").mkString(",\n|   ")
+  private def bm25Total: String =
+    LexQueries.QueryTerms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+
+  private def bm25MultitermSql: String =
     s"""WITH ${bm25ScoredBody()},
        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       |   $pivots
+       |   $bm25Pivots
        |  FROM s GROUP BY doc_id),
-       |tot AS (SELECT doc_id, n_terms, $total AS score FROM p),
+       |tot AS (SELECT doc_id, n_terms, $bm25Total AS score FROM p),
        |r AS (SELECT doc_id, n_terms, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM tot)
        |SELECT doc_id, n_terms, score, rk FROM r WHERE rk <= 10""".stripMargin
+
+  /** Max-passage retrieval over the chunk pseudo-corpus: the shared
+    * scoring chain runs on `chunk_text`'s 50/40 windows (cid =
+    * doc_id·1000 + chunk_id), then the doc rollup is a per-doc argmax
+    * over chunk totals — a selection, oracle-exact. */
+  private def bm25MaxpSql: String = {
+    val chunkT =
+      """tt AS (SELECT doc_id, %TOKS% AS toks FROM documents),
+        |tn AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+        |tc AS (SELECT doc_id, toks,
+        |        unnest(range(0, CAST(greatest(ceil((n - 50) / 40.0), 0) AS INT) + 1)) AS chunk_id
+        |      FROM tn),
+        |ts AS (SELECT doc_id, chunk_id,
+        |        toks[(chunk_id * 40 + 1):(chunk_id * 40 + 50)] AS ck FROM tc),
+        |t AS (SELECT CAST(doc_id * 1000 + chunk_id AS BIGINT) AS doc_id, ck AS ws
+        |      FROM ts WHERE len(ck) > 0)""".stripMargin
+    s"""WITH ${bm25ScoredBody(tBody = chunkT)},
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |   $bm25Pivots
+       |  FROM s GROUP BY doc_id),
+       |tot AS (SELECT doc_id, n_terms, $bm25Total AS score FROM p),
+       |ds AS (SELECT doc_id // 1000 AS ddoc, doc_id % 1000 AS chunk_id, n_terms, score FROM tot),
+       |r1 AS (SELECT *, CAST(row_number() OVER (PARTITION BY ddoc ORDER BY score DESC, chunk_id) AS BIGINT) AS crn FROM ds),
+       |best AS (SELECT CAST(ddoc AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_terms, score FROM r1 WHERE crn = 1),
+       |r AS (SELECT doc_id, chunk_id, n_terms, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM best)
+       |SELECT doc_id, chunk_id, n_terms, score, rk FROM r WHERE rk <= 10""".stripMargin
   }
   private def inList(lang: String): String =
     TextFunctions.Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
@@ -2094,6 +2127,9 @@ object SparkEntry {
     // bm25_maxscore prunes with the lexicon's exact per-term bounds; the
     // UNPRUNED oracle gates that the pruning is lossless
     "bm25_maxscore" -> bm25MultitermSql,
+    // max-passage retrieval from the persisted chunk-level index: the
+    // oracle re-derives the chunk pseudo-corpus and the argmax rollup
+    "bm25_maxp" -> bm25MaxpSql,
     // appended index: corpus stats + df FROZEN at the base-slice build
     // (doc_id % 4 != 0), posting rows from the grown corpus — the
     // idf-staleness contract, pinned exactly

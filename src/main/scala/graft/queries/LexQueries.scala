@@ -566,6 +566,45 @@ object LexQueries {
     perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
   }
 
+  /** `bm25_maxp`: max-passage retrieval over a persisted CHUNK-level
+    * index — the standard long-document recipe (score passages, a
+    * document scores as its best passage): the corpus chunks through
+    * [[TextQueries.chunkText]]'s 50-token/40-step windows, each chunk
+    * indexes as a pseudo-document (cid = doc_id·1000 + chunk_id — the
+    * fixture's docs chunk far below 1000), the 5-term query scores
+    * chunks through the SAME served multi-term chain, and the doc
+    * rollup is a per-doc argmax over chunk totals (a selection —
+    * oracle-exact, no new arithmetic). BM25 stats are CHUNK-corpus
+    * stats by construction (n_chunks, chunk lengths) — the semantics
+    * passage retrieval wants. Output: top-10 docs with their best
+    * chunk. */
+  def bm25Maxp(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_chunk",
+        lexStamp(spark, dir)) { p =>
+      buildLexIndexFrom(spark,
+        TextQueries.chunkText(spark, dir)
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+            col("chunk_text").as("text")), p)
+    }
+    val perChunk = multitermTotals(
+      serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+    val wDoc = Window.partitionBy(col("ddoc"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+    val best = perChunk
+      .select(expr("doc_id div 1000").as("ddoc"),
+        pmod(col("doc_id"), lit(1000L)).as("chunk_id"),
+        col("n_terms"), col("score"))
+      .withColumn("crn", row_number().over(wDoc))
+      .filter(col("crn") === 1)
+      .select(col("ddoc").as("doc_id"), col("chunk_id"), col("n_terms"),
+        col("score"))
+    best.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("n_terms"), col("score"),
+        col("rk"))
+  }
+
   /** `hybrid_served`: [[CurationQueries.rankFusion]]'s production twin —
     * reciprocal-rank fusion where BOTH arms come from PERSISTED indexes
     * instead of corpus scans: the lexical arm is BM25 for "vector" from
