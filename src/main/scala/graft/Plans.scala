@@ -160,7 +160,11 @@ object Plans {
     "ann_ndcg" -> "both retrieval arms keep their bounded shapes (broadcast-query scan, bucket equijoin); (qid, vid) equijoin; 10 rows out",
     "ivfpq_ann_appended" -> "composite-index serving after append: no training in the plan (stored centroids + codebooks); postings scan dynamic-partition-pruned to probed buckets",
     "ann_ivf_merged" -> "serving over the shard-merged index: same pruned-serving shape (merge re-routed shard B through the stored shard-A centroids at merge time, not query time)",
-    "ivfpq_rerank" -> "checkpoint-fed <=|Q|*k' ADC shortlist broadcast onto ONE column-pruned vector-store scan; exact-cosine re-rank is broadcast-only, shuffle-free, training-free"
+    "ivfpq_rerank" -> "checkpoint-fed <=|Q|*k' ADC shortlist broadcast onto ONE column-pruned vector-store scan; exact-cosine re-rank is broadcast-only, shuffle-free, training-free",
+    "bm25_served" -> "lexical serving: STATIC slot IN (...) partition filters on lexicon AND postings (driver-computed term slots); no documents scan, no df pass; WindowGroupLimit top-10",
+    "bm25_maxscore" -> "MaxScore pruning: checkpoint-materialized term scores consumed by candidate-bounded semi-joins; the unpruned answer's plan shape with fewer aggregated docs",
+    "hybrid_served" -> "RRF from TWO persisted indexes: slot-pruned BM25 arm + stored-centroid IVF arm; both TakeOrderedAndProject to 50 rows before the <=100-row fuse",
+    "bm25_maxp" -> "max-passage: chunk-level slot-pruned serving; per-doc argmax via WindowGroupLimit rank-1; top-10 docs via TakeOrderedAndProject"
   )
 
   def main(args: Array[String]): Unit = {
