@@ -119,6 +119,7 @@ object SparkEntry {
     "lex_lexicon" -> (LexQueries.lexLexicon _),
     "bm25_merged" -> (LexQueries.bm25Merged _),
     "bm25_maxp" -> (LexQueries.bm25Maxp _),
+    "phrase_search" -> (LexQueries.phraseSearch _),
     "hybrid_served" -> (LexQueries.hybridServed _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
@@ -2130,6 +2131,18 @@ object SparkEntry {
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,
+    // exact-phrase matching from the positional postings: the oracle
+    // re-derives 1-based positions (generate_subscripts) and the same
+    // start-position adjacency fold
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM t),
+         |pa AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tk WHERE tok = 'vector' GROUP BY doc_id),
+         |pb AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tk WHERE tok = 'stream' GROUP BY doc_id),
+         |m AS (SELECT pa.doc_id,
+         |        CAST(len(list_filter(pa.ps, p -> list_contains(pb.ps, p + 1))) AS BIGINT) AS n_occ
+         |      FROM pa JOIN pb ON pa.doc_id = pb.doc_id)
+         |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin,
     // appended index: corpus stats + df FROZEN at the base-slice build
     // (doc_id % 4 != 0), posting rows from the grown corpus — the
     // idf-staleness contract, pinned exactly

@@ -76,9 +76,17 @@ object LexQueries {
   private def tfOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), wordTokens(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode_outer(col("ws")).as("tok"))
+        posexplode_outer(col("ws")).as(Seq("pos", "tok")))
       .filter(col("tok").isNotNull)
-      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      // POSITIONAL postings: 1-based in-doc token positions, sorted —
+      // what phrase/proximity queries verify against. posns rides the
+      // posting row as one more parquet column; BM25 serving never
+      // references it, so column pruning keeps the scoring scans as
+      // narrow as before (tf is kept denormalized for the same reason:
+      // scoring must not pay size(posns) per row)
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("posns"))
 
   /** Persist the lexical index over the fixture's documents table. */
   def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
@@ -97,7 +105,7 @@ object LexQueries {
     stats.write.mode("overwrite").parquet(s"$indexPath/stats")
     val tf = tfOf(docs)
     tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        slotOf(col("tok")).as("slot"))
+        col("posns"), slotOf(col("tok")).as("slot"))
       .write.partitionBy("slot").mode("overwrite")
       .parquet(s"$indexPath/postings")
     // lexicon: df + the exact per-term max score (the MaxScore bound).
@@ -139,7 +147,7 @@ object LexQueries {
     * shared by build, append, and the streaming ingest edge. */
   private[graft] def postingRows(docs: DataFrame): DataFrame =
     tfOf(docs).select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-      slotOf(col("tok")).as("slot"))
+      col("posns"), slotOf(col("tok")).as("slot"))
 
   private def fsOf(spark: SparkSession, indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath)
@@ -182,7 +190,8 @@ object LexQueries {
         val survivors = spark.read.parquet(s"$indexPath/postings")
           .filter(col("slot").isin(touched: _*))
           .join(tombs, col("doc_id") === col("tomb_id"), "left_anti")
-          .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("slot"))
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+            col("posns"), col("slot"))
           .persist()
         try {
           val surviving = survivors.select(col("slot")).distinct()
@@ -312,7 +321,7 @@ object LexQueries {
   /** Physical-layout version folded into every cached-index staleness
     * stamp: bumping it invalidates indexes built by older code whose
     * on-disk layout changed (the fixture stamp alone cannot see that). */
-  private val LayoutVersion = "lex-v2"
+  private val LayoutVersion = "lex-v3"
 
   private def lexStamp(spark: SparkSession, dir: String): String =
     s"${SimilarityQueries.documentsStamp(spark, dir)};$LayoutVersion"
@@ -536,7 +545,8 @@ object LexQueries {
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     SimilarityQueries.assertNoMaintenance(fs, dstIndex, "lexIndexMergeInto")
     val src = spark.read.parquet(s"$srcIndex/postings")
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("slot"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("posns"), col("slot"))
     val live =
       if (fs.exists(tombPath)) {
         val tomb = broadcast(spark.read.parquet(tombPath.toString)
@@ -564,6 +574,40 @@ object LexQueries {
       lexIndexMergeInto(spark, p, shard)
     }
     perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
+  /** `phrase_search`: exact-phrase matching from the POSITIONAL
+    * postings — the query class (quoted search, boilerplate/contract
+    * clause detection, contamination phrase probes) tf-only indexes
+    * cannot answer. Candidates are docs containing EVERY phrase term
+    * (slot-pruned posting reads, doc-keyed equijoins — no text is ever
+    * scanned); verification folds start positions: position p survives
+    * step i iff term i occurs at p + i, so the surviving count after
+    * the last term is the exact phrase-occurrence count. Cost is
+    * bounded by the rarest term's posting list — the equijoin chain
+    * intersects down monotonically. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseFromIndex(spark, servedLexIndex(spark, dir), Seq("vector", "stream"))
+
+  private[graft] def phraseFromIndex(spark: SparkSession, indexPath: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val slots = phrase.map(slotOfLiteral).distinct
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("slot").isin(slots: _*) && col("tok").isin(phrase.distinct: _*))
+      .select(col("tok"), col("doc_id"), col("posns"))
+    def termRows(t: String, as: String) = post.filter(col("tok") === t)
+      .select(col("doc_id"), col("posns").as(as))
+    val start = termRows(phrase.head, "cur")
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) {
+      case (acc, (t, i)) =>
+        acc.join(termRows(t, s"p$i"), "doc_id")
+          .withColumn("cur",
+            filter(col("cur"), p => array_contains(col(s"p$i"), p + i)))
+          .select(col("doc_id"), col("cur"))
+    }
+    matched.select(col("doc_id"), size(col("cur")).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
   }
 
   /** `bm25_maxp`: max-passage retrieval over a persisted CHUNK-level

@@ -206,6 +206,33 @@ class LexIndexSpec extends SparkSuite {
       "src-tombstoned doc must not enter the merged index")
   }
 
+  test("phrase search: k-term position fold counts exact occurrences, never scans text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma x alpha beta gamma"), // 2 occurrences
+      (2L, "alpha beta x gamma alpha"),            // terms non-adjacent
+      (3L, "gamma beta alpha"),                    // wrong order
+      (4L, "x alpha beta gamma y")).toDF("doc_id", "text") // 1 occurrence
+    val idx = tmp("lexphrase")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val got = LexQueries.phraseFromIndex(spark, idx, Seq("alpha", "beta", "gamma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"3-term phrase counts wrong: $got")
+    // single-term degenerate case: n_occ == tf
+    val single = LexQueries.phraseFromIndex(spark, idx, Seq("alpha"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(single == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // fixture plan: positional verification reads ONLY the index, slot-pruned
+    val p = LexQueries.phraseSearch(spark, dir)
+      .queryExecution.executedPlan.treeString
+    assert(!p.contains("documents.parquet"),
+      "phrase search must verify against stored positions, not re-tokenize")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("/postings")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("slot") && l.contains(" IN ")))
+  }
+
   test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
     val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
