@@ -63,6 +63,7 @@ DRIVER = {
     # follows matched posting rows, i.e. the documents table)
     "bm25_served": "documents", "bm25_multiterm": "documents",
     "bm25_maxscore": "documents", "hybrid_served": "documents",
+    "bm25_maxp": "documents", "phrase_search": "documents",
 }
 
 
