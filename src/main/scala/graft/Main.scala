@@ -190,6 +190,10 @@ object Main {
         // union (src tombstones purged on the way in; dst lexicon frozen)
         case ("lex", "merge") =>
           graft.queries.LexQueries.lexIndexMergeInto(spark, indexDir, srcIndexDir)
+        // refresh: recompute lexicon + stats from the CURRENT postings
+        // (no corpus read) — exact BM25 restored after append/merge/ingest
+        case ("lex", "refresh") =>
+          graft.queries.LexQueries.refreshLexicon(spark, indexDir)
         case other => sys.error(s"unknown family/op: $other")
       }
       println(s"[graft] index $op done: family=$family index=$indexDir")

@@ -118,6 +118,7 @@ object SparkEntry {
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
     "bm25_merged" -> (LexQueries.bm25Merged _),
+    "bm25_refreshed" -> (LexQueries.bm25Refreshed _),
     "bm25_maxp" -> (LexQueries.bm25Maxp _),
     "phrase_search" -> (LexQueries.phraseSearch _),
     "hybrid_served" -> (LexQueries.hybridServed _),
@@ -2153,6 +2154,11 @@ object SparkEntry {
     // appended oracle exactly
     "bm25_merged" -> bm25PerTermSql(
       gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
+    // refreshed index: grow-then-refresh ≡ build-from-scratch — df/stats
+    // recomputed from the postings alone, so the oracle is the PLAIN
+    // full-corpus chain; g counts docs with ≥1 token (an empty doc
+    // leaves no posting row for the corpus-free recount to see)
+    "bm25_refreshed" -> bm25PerTermSql(gWhere = "WHERE dl > 0"),
     // deleted index: tombstone serve-around — posting rows exclude the
     // fixed takedown ids, stats/df stay frozen at the full-corpus build
     "bm25_deleted" -> bm25PerTermSql(

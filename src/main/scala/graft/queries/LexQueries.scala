@@ -153,6 +153,57 @@ object LexQueries {
     new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Refresh the FROZEN serving state (lexicon + stats) from the
+    * CURRENT postings — the staleness-loop closer: after any number of
+    * appends/merges/streamed ingests, `refresh` restores exact BM25
+    * (df, n_docs, avgdl, MaxScore bounds all current) WITHOUT reading a
+    * byte of document text — posting rows already carry tf and dl, so
+    * the recompute is one postings scan + one vocabulary-keyed shuffle,
+    * the same build-time cost profile as the original lexicon pass but
+    * corpus-free. Fenced like the appenders (a refresh landing
+    * mid-compact would recount rows the rewrite is deleting).
+    *
+    * Semantics note, pinned by `bm25_refreshed`'s oracle: the refreshed
+    * stats cover documents with ≥1 token (an empty document leaves no
+    * posting row to count) — versus a from-scratch build, n_docs drops
+    * by the empty-doc count and sum_dl by 0. Every downstream quantity
+    * is otherwise identical. */
+  def refreshLexicon(spark: SparkSession, indexPath: String): Unit = {
+    SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
+      "refreshLexicon")
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    // stats from the distinct per-doc lengths riding the posting rows
+    post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    val st = spark.read.parquet(s"$indexPath/stats")
+    val dfq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    post.join(dfq, "tok").crossJoin(broadcast(st))
+      .withColumn("score", scoreCol)
+      .groupBy(col("tok"), col("df"))
+      .agg(max(col("score")).as("ub"))
+      .select(col("tok"), col("df"), col("ub"), slotOf(col("tok")).as("slot"))
+      .write.partitionBy("slot").mode("overwrite").parquet(s"$indexPath/lexicon")
+  }
+
+  /** `bm25_refreshed`: serve after append + [[refreshLexicon]] — the
+    * pin that "grow then refresh ≡ build from scratch": df/stats/ub are
+    * all current again, so the oracle is the PLAIN full-corpus chain
+    * (modulo the empty-doc stats note above: g counts docs with ≥1
+    * token). */
+  def bm25Refreshed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_rf",
+        lexStamp(spark, dir)) { p =>
+      buildLexIndexFrom(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0), p)
+      appendLexIndex(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0), p)
+      refreshLexicon(spark, p)
+    }
+    perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
   /** O(batch) takedown: append doc_ids to the tombstone side table —
     * zero posting files read or rewritten; every serving path anti-joins
     * the broadcast set on its next run/micro-batch. */

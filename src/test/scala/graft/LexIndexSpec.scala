@@ -233,6 +233,28 @@ class LexIndexSpec extends SparkSuite {
       l.contains("slot") && l.contains(" IN ")))
   }
 
+  test("refresh: grow-then-refresh equals build-from-scratch; postings untouched") {
+    val docs = Tables.documents(spark, dir)
+    val grown = tmp("lexrf_grown")
+    LexQueries.buildLexIndexFrom(spark, docs.filter(col("doc_id") % 4 =!= 0), grown)
+    LexQueries.appendLexIndex(spark, docs.filter(col("doc_id") % 4 === 0), grown)
+    val postBefore = postingFiles(grown)
+    LexQueries.refreshLexicon(spark, grown)
+    assert(postingFiles(grown) == postBefore,
+      "refresh must recompute serving state only — no posting byte moves")
+    val scratch = tmp("lexrf_scratch")
+    LexQueries.buildLexIndexFrom(spark, docs, scratch)
+    def served(idx: String) = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms, LexQueries.loadStats(spark, idx))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(served(grown) == served(scratch),
+      "refreshed serving must equal a from-scratch build bit for bit")
+    def lexRows(idx: String) = spark.read.parquet(s"$idx/lexicon")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(lexRows(grown) == lexRows(scratch),
+      "refreshed lexicon (df + MaxScore bounds) must equal from-scratch")
+  }
+
   test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
     val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
