@@ -262,24 +262,44 @@ object Main {
 
     // --mode ingest-vectors: the STREAMING write edge of the index
     // lifecycle — embedding batches dropped as parquet files into
-    // --vecDir land in the persisted IVF index at --indexDir per
-    // micro-batch (routed against the index's frozen centroids,
-    // EXACTLY-ONCE via VecIngest's staged-promote commit), servable by
-    // a concurrent --mode serve on its next batch.
-    // Usage: graft.Main --mode ingest-vectors --indexDir idx/
-    //                   --vecDir vecs/ [--once true]
+    // --vecDir land in the persisted index at --indexDir per
+    // micro-batch, EXACTLY-ONCE via the shared staged-promote commit,
+    // servable by a concurrent --mode serve on its next batch.
+    // --family ivf (default): routed against the frozen centroids, raw
+    // postings appended (VecIngest); --family ivfpq: routed AND
+    // residual-encoded with the frozen codebooks — only codes land on
+    // disk (PqIngest, the compressed index's write edge).
+    // Usage: graft.Main --mode ingest-vectors [--family ivf|ivfpq]
+    //                   --indexDir idx/ --vecDir vecs/ [--once true]
     if (cli.get("mode").contains("ingest-vectors")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       val vecDir = cli.getOrElse("vecDir", sys.error("--vecDir required"))
       val ckpt = cli.getOrElse("checkpointDir", s"$indexDir/_ingest_checkpoint")
       val once = cli.getOrElse("once", "true").toBoolean
+      val family = cli.getOrElse("family", "ivf")
       val spark = mkSession("graft-vec-ingest")
-      val vSchema = org.apache.spark.sql.types.StructType(
-        spark.read.parquet(s"$indexDir/postings")
-          .select("vec_id", "embedding").schema.fields)
-      val q = graft.streaming.VecIngest.start(
-        spark, spark.readStream.schema(vSchema).parquet(vecDir),
-        indexDir, ckpt, availableNow = once)
+      // code postings carry no raw vectors; the query vector type comes
+      // from the stored centroids for the ivfpq family
+      val vSchema = family match {
+        case "ivf" => org.apache.spark.sql.types.StructType(
+          spark.read.parquet(s"$indexDir/postings")
+            .select("vec_id", "embedding").schema.fields)
+        case "ivfpq" =>
+          val embType = spark.read.parquet(s"$indexDir/centroids")
+            .schema("cemb").dataType
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("embedding", embType)))
+        case other => sys.error(s"unknown ingest family: $other")
+      }
+      val stream = spark.readStream.schema(vSchema).parquet(vecDir)
+      val q = family match {
+        case "ivf" => graft.streaming.VecIngest.start(
+          spark, stream, indexDir, ckpt, availableNow = once)
+        case _ => graft.streaming.PqIngest.start(
+          spark, stream, indexDir, ckpt, availableNow = once)
+      }
       q.awaitTermination()
       spark.stop()
       return

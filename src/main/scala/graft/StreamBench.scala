@@ -265,6 +265,40 @@ object StreamBench {
     }
     val viVps = if (viSec > 0) viVecs / viSec else -1.0
 
+    // Streaming IVFPQ ingest (graft.streaming.PqIngest — the compressed
+    // index's write edge): vectors/second through route + M-subspace
+    // residual encode + the shared staged-promote commit.
+    val (piVecs, piSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-pi").toString
+      graft.queries.SimilarityQueries.buildIvfPqIndex(spark, sfDir, idx)
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nV = math.min(20000, math.max(2000, n / 10))
+      val vecs: Seq[(Long, Seq[Float])] =
+        (0 until nV).map(i => (7000000L + i, base(i % base.length)._2))
+      val ms8 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](7, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]])
+      val q = graft.streaming.PqIngest.start(
+        spark, ms8.toDF().toDF("vec_id", "embedding"), idx,
+        java.nio.file.Files.createTempDirectory("sb-pi-ckpt").toString)
+      ms8.addData(vecs.take(200): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val rest = vecs.drop(200)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms8.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] pq ingest stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val piVps = if (piSec > 0) piVecs / piSec else -1.0
+
     // Streaming DOCUMENT ingest (graft.streaming.LexIngest — the lexical
     // index's write edge): documents/second through the shared
     // staged-promote exactly-once commit, across real micro-batches
@@ -395,7 +429,7 @@ object StreamBench {
     val lex10Qps = if (lex10Sec > 0) lex10Queries / lex10Sec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"pq_ingest_vps":$piVps%.0f,"pq_ingest_vectors":$piVecs,"pq_ingest_seconds":$piSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

@@ -2421,18 +2421,33 @@ object SimilarityQueries {
   def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfPqAbsorb")
-    val v = withNorm(vecs)
-    val centStored = spark.read.parquet(s"$indexPath/centroids")
-    val asnD = assignFromCents(v, storedCents(spark, indexPath))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-    val resD = residualFrameWith(asnD, centStored.select(col("cid"), col("cemb")))
-    val cbStored = spark.read.parquet(s"$indexPath/codebooks")
-    pqAssignCodes(pqSubvectors(resD), cbStored)
-      .select(col("vec_id").as("vid"), col("m"), col("code"))
-      .join(asnD.select(col("vec_id").as("vid"), col("bucket")), "vid")
-      .write.partitionBy("bucket").mode("append")
+    val (codes, asnD) = pqEncodeBatch(vecs, storedCents(spark, indexPath),
+      spark.read.parquet(s"$indexPath/centroids"),
+      spark.read.parquet(s"$indexPath/codebooks"))
+    codes.write.partitionBy("bucket").mode("append")
       .parquet(s"$indexPath/postings")
     appendIdMap(asnD, indexPath)
+  }
+
+  /** Route + residual-encode one raw (vec_id, embedding) frame with the
+    * STORED artifacts — [[ivfPqAbsorb]]'s arithmetic returned as frames
+    * instead of written, so the streaming write edge
+    * ([[graft.streaming.PqIngest]]) can stage them under its
+    * exactly-once commit. `centRow` is the one-row broadcast routing
+    * array, `centStored` the (cid, cemb) residual-centroid frame,
+    * `cbStored` the codebooks — all frozen for the index's life and
+    * cacheable at stream start. Returns (code rows (vid, m, code,
+    * bucket), assignment (…, vec_id, bucket)). */
+  private[graft] def pqEncodeBatch(vecs: DataFrame, centRow: DataFrame,
+      centStored: DataFrame, cbStored: DataFrame): (DataFrame, DataFrame) = {
+    val v = withNorm(vecs)
+    val asnD = assignFromCents(v, centRow)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val resD = residualFrameWith(asnD, centStored.select(col("cid"), col("cemb")))
+    val codes = pqAssignCodes(pqSubvectors(resD), cbStored)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asnD.select(col("vec_id").as("vid"), col("bucket")), "vid")
+    (codes, asnD)
   }
 
   /** The raw-vector twin of [[ivfPqAbsorb]]: absorb an arbitrary
