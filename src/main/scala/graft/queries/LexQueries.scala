@@ -167,7 +167,18 @@ object LexQueries {
     * stats cover documents with ≥1 token (an empty document leaves no
     * posting row to count) — versus a from-scratch build, n_docs drops
     * by the empty-doc count and sum_dl by 0. Every downstream quantity
-    * is otherwise identical. */
+    * is otherwise identical.
+    *
+    * Concurrency contracts: (1) a refresh CHANGES what served scores
+    * mean — a live [[graft.streaming.LexServe]] stream caches stats at
+    * start and reads the lexicon per batch, so it would mix generations;
+    * restart serving streams after a refresh, exactly as after a rebuild
+    * (batch serving paths read both per call and pick the new generation
+    * up whole under the single-JVM sequential contract). (2) The two
+    * overwrites (stats first, then lexicon) are not atomic together: a
+    * crash between them leaves a mixed generation on disk — re-running
+    * the refresh completes it (idempotent; inputs are the postings,
+    * which refresh never touches). */
   def refreshLexicon(spark: SparkSession, indexPath: String): Unit = {
     SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
       "refreshLexicon")
