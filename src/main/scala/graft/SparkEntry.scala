@@ -121,6 +121,7 @@ object SparkEntry {
     "bm25_refreshed" -> (LexQueries.bm25Refreshed _),
     "bm25_maxp" -> (LexQueries.bm25Maxp _),
     "phrase_search" -> (LexQueries.phraseSearch _),
+    "prox_search" -> (LexQueries.proxSearch _),
     "hybrid_served" -> (LexQueries.hybridServed _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
@@ -2144,6 +2145,19 @@ object SparkEntry {
          |        CAST(len(list_filter(pa.ps, p -> list_contains(pb.ps, p + 1))) AS BIGINT) AS n_occ
          |      FROM pa JOIN pb ON pa.doc_id = pb.doc_id)
          |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin,
+    // proximity ranking: min |pos_a - pos_b| over occurrence pairs —
+    // all-integer, re-derived from the same position lists
+    "prox_search" ->
+      s"""WITH t AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM t),
+         |pa AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tk WHERE tok = 'join' GROUP BY doc_id),
+         |pb AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tk WHERE tok = 'window' GROUP BY doc_id),
+         |m AS (SELECT pa.doc_id,
+         |        CAST(len(pa.ps) AS BIGINT) AS n_a, CAST(len(pb.ps) AS BIGINT) AS n_b,
+         |        CAST(list_min(flatten(list_transform(pa.ps, x -> list_transform(pb.ps, y -> abs(x - y))))) AS BIGINT) AS min_span
+         |      FROM pa JOIN pb ON pa.doc_id = pb.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY min_span, doc_id) AS BIGINT) AS rk FROM m)
+         |SELECT doc_id, n_a, n_b, min_span, rk FROM r WHERE rk <= 20""".stripMargin,
     // appended index: corpus stats + df FROZEN at the base-slice build
     // (doc_id % 4 != 0), posting rows from the grown corpus — the
     // idf-staleness contract, pinned exactly

@@ -672,6 +672,35 @@ object LexQueries {
       .filter(col("n_occ") > 0)
   }
 
+  /** `prox_search`: proximity ranking from the POSITIONAL postings —
+    * the primitive behind near-operators and proximity-boosted scoring:
+    * for every doc containing BOTH query terms, the minimum absolute
+    * position distance between any occurrence pair (plus both term
+    * counts), closest-first top-20. The span computation is per-doc
+    * tf_a × tf_b pairs — bounded by in-document term frequencies, never
+    * by the corpus — over slot-pruned posting reads; no text is
+    * scanned. All-integer arithmetic, so the oracle matches exactly. */
+  def proxSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    val terms = Seq("join", "window")
+    val slots = terms.map(slotOfLiteral).distinct
+    val post = spark.read.parquet(s"$idx/postings")
+      .filter(col("slot").isin(slots: _*) && col("tok").isin(terms: _*))
+    val a = post.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("posns").as("pa"))
+    val b = post.filter(col("tok") === terms(1))
+      .select(col("doc_id"), col("posns").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        size(col("pa")).cast("long").as("n_a"),
+        size(col("pb")).cast("long").as("n_b"),
+        array_min(flatten(transform(col("pa"), x =>
+          transform(col("pb"), y => abs(x - y))))).cast("long").as("min_span"))
+      .orderBy(col("min_span").asc, col("doc_id").asc).limit(20)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("min_span").asc, col("doc_id").asc)).cast("long"))
+  }
+
   /** `bm25_maxp`: max-passage retrieval over a persisted CHUNK-level
     * index — the standard long-document recipe (score passages, a
     * document scores as its best passage): the corpus chunks through

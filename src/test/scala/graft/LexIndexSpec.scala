@@ -255,6 +255,39 @@ class LexIndexSpec extends SparkSuite {
       "refreshed lexicon (df + MaxScore bounds) must equal from-scratch")
   }
 
+  test("property: multi-query result sharing equals independent per-query answers") {
+    import spark.implicits._
+    // seeded random corpora + query batches with heavy signature reuse
+    // (the sharing path) AND all-distinct stragglers (the fall-through):
+    // every qid's rows must equal the answer computed for that query
+    // ALONE — the dedup/fan-out machinery must be semantically invisible
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("join", "vector", "stream", "window", "spark",
+      "data", "table", "hash", "sort", "merge")
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 40L).map(i =>
+        (i, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))).toDF("doc_id", "text")
+      val idx = tmp(s"lexprop$trial")
+      LexQueries.buildLexIndexFrom(spark, docs, idx)
+      val stats = LexQueries.loadStats(spark, idx)
+      val queries = (1L to 12L).map(q =>
+        (q, Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val batch = LexQueries.queryBatch(spark, queries.toDF("qid", "text"),
+          idx, stats, k = 5)
+        .collect().map(_.toSeq).groupBy(_.head.asInstanceOf[Long])
+      queries.foreach { case (q, text) =>
+        val solo = LexQueries.queryBatch(spark,
+            Seq((q, text)).toDF("qid", "text"), idx, stats, k = 5)
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        val got = batch.getOrElse(q, Array.empty).sortBy(_.mkString("|"))
+        assert(got.sameElements(solo),
+          s"trial $trial qid $q ('$text'): batch=$got solo=$solo")
+      }
+    }
+  }
+
   test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
     val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
