@@ -122,6 +122,7 @@ object SparkEntry {
     "bm25_maxp" -> (LexQueries.bm25Maxp _),
     "phrase_search" -> (LexQueries.phraseSearch _),
     "prox_search" -> (LexQueries.proxSearch _),
+    "contamination_served" -> (LexQueries.contaminationServed _),
     "hybrid_served" -> (LexQueries.hybridServed _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
@@ -2344,6 +2345,15 @@ object SparkEntry {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM d GROUP BY shard""".stripMargin,
     "contamination" ->
+      s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
+         |test AS (SELECT DISTINCT sh FROM shx WHERE doc_id < 50)
+         |SELECT DISTINCT s.doc_id FROM shx s JOIN test t ON s.sh = t.sh
+         |WHERE s.doc_id >= 50""".stripMargin,
+    // contamination_served answers the SAME question from the
+    // positional index (3-gram presence ≡ position adjacency), so it
+    // shares the batch op's oracle verbatim
+    "contamination_served" ->
       s"""WITH w AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
          |shx AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM w),
          |test AS (SELECT DISTINCT sh FROM shx WHERE doc_id < 50)

@@ -701,6 +701,66 @@ object LexQueries {
         .over(Window.orderBy(col("min_span").asc, col("doc_id").asc)).cast("long"))
   }
 
+  /** `contamination_served`: train/test decontamination answered from
+    * the POSITIONAL index — [[TextQueries.contamination]]'s serve-many
+    * twin. The held-out docs' distinct word-3-gram probes (query-priced
+    * tokenize of the <50 slice, the SAME shingle construction as the
+    * batch op) verify against the standing index by position adjacency
+    * (w1@p, w2@p+1, w3@p+2), so the TRAINING corpus is never
+    * re-tokenized or scanned — the plan a 100 TB decontamination sweep
+    * needs, where the benchmark suite is tiny and the corpus is not.
+    * Output = the contaminated training doc_ids, identical to the batch
+    * op (they share one oracle).
+    *
+    * Cost shape: step 1 fans each matching posting row out per probe
+    * sharing its leading word — a probe-set-sized multiplier, never
+    * corpus-sized; steps 2–3 are doc-keyed equijoins whose surviving
+    * start-position intersections shrink monotonically.
+    *
+    * Honest crossover (the bench row says so): at fixture scale the
+    * batch op WINS (~0.6 s vs ~1.9 s) — re-tokenizing a 5 000-doc
+    * corpus is cheaper than the probe fan-out joins. This op exists for
+    * the opposite regime, corpus ≫ benchmark suite, where the batch op
+    * re-reads and re-shingles the whole corpus per decontamination
+    * sweep and this one reads only probe-term postings. */
+  def contaminationServed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    val probes = Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(explode(SimilarityQueries.shingleColPublic(
+        wordTokens(col("text")))).as("sh"))
+      .distinct()
+      .select(split(col("sh"), " ").as("g"))
+      .select(element_at(col("g"), 1).as("w1"),
+        element_at(col("g"), 2).as("w2"), element_at(col("g"), 3).as("w3"))
+    // ONE pass over the postings: semi-join to the probe vocabulary and
+    // materialize — the three per-word steps reuse the probe-term
+    // posting frame instead of re-scanning the posting table three
+    // times. At fixture scale this is a wash (the test slice shares the
+    // corpus vocabulary, so the semi-join filters little); at corpus ≫
+    // benchmark-suite scale the probe vocabulary is a sliver and this
+    // is the difference between one bounded read and three full ones.
+    val termFrame = probes.select(col("w1").as("t"))
+      .union(probes.select(col("w2")))
+      .union(probes.select(col("w3"))).distinct()
+    val post = spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") >= 50)
+      .join(broadcast(termFrame), col("tok") === col("t"), "left_semi")
+      .select(col("tok"), col("doc_id"), col("posns"))
+      .localCheckpoint(true)
+    val p1 = post.select(col("tok").as("t1"), col("doc_id"), col("posns").as("ps1"))
+    val p2 = post.select(col("tok").as("t2"), col("doc_id"), col("posns").as("ps2"))
+    val p3 = post.select(col("tok").as("t3"), col("doc_id"), col("posns").as("ps3"))
+    val j1 = p1.join(broadcast(probes), col("t1") === col("w1"))
+    val j2 = j1.join(p2, j1("doc_id") === p2("doc_id") && col("t2") === col("w2"))
+      .withColumn("cur",
+        array_intersect(transform(col("ps1"), x => x + 1), col("ps2")))
+      .filter(size(col("cur")) > 0)
+      .select(j1("doc_id").as("doc_id"), col("w3"), col("cur"))
+    val j3 = j2.join(p3, j2("doc_id") === p3("doc_id") && col("t3") === col("w3"))
+      .filter(arrays_overlap(transform(col("cur"), x => x + 1), col("ps3")))
+    j3.select(j2("doc_id")).distinct()
+  }
+
   /** `bm25_maxp`: max-passage retrieval over a persisted CHUNK-level
     * index — the standard long-document recipe (score passages, a
     * document scores as its best passage): the corpus chunks through
