@@ -97,8 +97,9 @@ object Main {
     // build-once/serve-many/retire story is drivable end to end
     // (--mode serve answers queries from the result).
     //   --family ivf|ivf_trained|ivfpq|lsh|lex
-    //   --op build|append|delete|compact|merge|absorb
-    //   (lex append takes --docDir: arbitrary (doc_id, text) parquet)
+    //   --op build|append|delete|compact|merge|absorb|refresh
+    //   (lex append takes --docDir: arbitrary (doc_id, text) parquet;
+    //   lex refresh recomputes lexicon+stats from the index alone)
     //   delete takes --ids 1,2,3 (vector/doc ids to tombstone)
     //   merge takes --srcIndexDir (the shard index absorbed into
     //   --indexDir; src tombstones purged on the way in)
@@ -112,10 +113,14 @@ object Main {
       val family = cli.getOrElse("family", sys.error("--family required"))
       val op = cli.getOrElse("op", sys.error("--op required"))
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
-      // compact/delete work off the index alone; merge reads only the
-      // two indexes; absorb reads --vecDir — none reads fixture tables
+      // compact/delete/refresh work off the index alone; merge reads
+      // only the two indexes; absorb reads --vecDir; lex append reads
+      // --docDir — none of these reads fixture tables
+      val family0 = cli.getOrElse("family", "")
       val sfDir = cli.getOrElse("sfDir",
-        if (op == "compact" || op == "delete" || op == "merge" || op == "absorb") ""
+        if (op == "compact" || op == "delete" || op == "merge" ||
+            op == "absorb" || op == "refresh" ||
+            (family0 == "lex" && op == "append")) ""
         else sys.error("--sfDir required"))
       def srcIndexDir = cli.getOrElse("srcIndexDir",
         sys.error("--srcIndexDir required for merge"))

@@ -103,19 +103,30 @@ object LexQueries {
     val stats = toks.select(size(col("ws")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     stats.write.mode("overwrite").parquet(s"$indexPath/stats")
-    val tf = tfOf(docs)
-    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        col("posns"), slotOf(col("tok")).as("slot"))
+    postingRows(docs)
       .write.partitionBy("slot").mode("overwrite")
       .parquet(s"$indexPath/postings")
-    // lexicon: df + the exact per-term max score (the MaxScore bound).
-    // The df join is vocabulary-keyed — a build-time shuffle, never a
-    // serving cost. The score expression is the serving expression, so
-    // ub is a max over ACTUAL IEEE scores (a selection, not new
-    // arithmetic) — the bound can never round below a served score.
+    // lexicon from the JUST-WRITTEN postings — the corpus tokenizes
+    // exactly twice (stats pass + posting pass); the df/ub derivation
+    // reads the posting rows back instead of re-running the tokenizer
+    // on both sides of its vocabulary-keyed self-join
+    writeLexiconFrom(spark, indexPath,
+      spark.read.parquet(s"$indexPath/postings")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+  }
+
+  /** The lexicon derivation shared by build and refresh: df + the exact
+    * per-term max score (the MaxScore bound) over a (tok, doc_id, tf,
+    * dl) posting frame under the CURRENT stored stats. The df join is
+    * vocabulary-keyed — a build/refresh-time shuffle, never a serving
+    * cost. The score expression is the serving expression, so ub is a
+    * max over ACTUAL IEEE scores (a selection, not new arithmetic) —
+    * the bound can never round below a served score. */
+  private def writeLexiconFrom(spark: SparkSession, indexPath: String,
+      post: DataFrame): Unit = {
     val st = spark.read.parquet(s"$indexPath/stats")
-    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(dfq, "tok").crossJoin(broadcast(st))
+    val dfq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    post.join(dfq, "tok").crossJoin(broadcast(st))
       .withColumn("score", scoreCol)
       .groupBy(col("tok"), col("df"))
       .agg(max(col("score")).as("ub"))
@@ -133,7 +144,11 @@ object LexQueries {
     * documented contract real engines (Lucene between merges) run under.
     * A delta term absent from the frozen lexicon is unservable until the
     * next rebuild, same as a vector outside every trained centroid's
-    * reach. */
+    * reach — and the frozen MaxScore bounds may UNDERESTIMATE delta
+    * postings, so MaxScore-pruned serving needs a [[refreshLexicon]]
+    * first (BM25 scoring itself stays safe: stale df/avgdl shift scores
+    * uniformly per term, they never break an inequality the way a stale
+    * bound does). */
   def appendLexIndex(spark: SparkSession, docsDelta: DataFrame,
       indexPath: String): Unit = {
     SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
@@ -163,11 +178,15 @@ object LexQueries {
     * corpus-free. Fenced like the appenders (a refresh landing
     * mid-compact would recount rows the rewrite is deleting).
     *
-    * Semantics note, pinned by `bm25_refreshed`'s oracle: the refreshed
-    * stats cover documents with ≥1 token (an empty document leaves no
-    * posting row to count) — versus a from-scratch build, n_docs drops
-    * by the empty-doc count and sum_dl by 0. Every downstream quantity
-    * is otherwise identical.
+    * Semantics, pinned by `bm25_refreshed`'s oracle: the refreshed
+    * stats cover LIVE documents with ≥1 token — tombstoned docs are
+    * anti-joined out of the recount (refresh-after-delete ≡ rebuild
+    * over the surviving corpus, the view tombstone-aware serving
+    * answers from), and an empty document leaves no posting row to
+    * count (versus a from-scratch build, n_docs drops by the empty-doc
+    * count and sum_dl by 0). Every downstream quantity is otherwise
+    * identical. Refresh also restores the MaxScore bounds' validity
+    * after growth — see the [[maxscoreFromIndex]] precondition.
     *
     * Concurrency contracts: (1) a refresh CHANGES what served scores
     * mean — a live [[graft.streaming.LexServe]] stream caches stats at
@@ -182,20 +201,18 @@ object LexQueries {
   def refreshLexicon(spark: SparkSession, indexPath: String): Unit = {
     SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
       "refreshLexicon")
-    val post = spark.read.parquet(s"$indexPath/postings")
+    // the recount covers LIVE postings only: tombstoned docs are
+    // anti-joined out, so refresh-after-delete equals a rebuild over
+    // the surviving corpus (what tombstone-aware serving answers from)
+    // rather than a state no build could produce
+    val post = tombFilter(spark, indexPath, tombstoneAware = true)(
+        spark.read.parquet(s"$indexPath/postings"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
     // stats from the distinct per-doc lengths riding the posting rows
     post.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
-    val st = spark.read.parquet(s"$indexPath/stats")
-    val dfq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    post.join(dfq, "tok").crossJoin(broadcast(st))
-      .withColumn("score", scoreCol)
-      .groupBy(col("tok"), col("df"))
-      .agg(max(col("score")).as("ub"))
-      .select(col("tok"), col("df"), col("ub"), slotOf(col("tok")).as("slot"))
-      .write.partitionBy("slot").mode("overwrite").parquet(s"$indexPath/lexicon")
+    writeLexiconFrom(spark, indexPath, post)
   }
 
   /** `bm25_refreshed`: serve after append + [[refreshLexicon]] — the
@@ -462,7 +479,15 @@ object LexQueries {
     maxscoreFromIndex(spark, servedLexIndex(spark, dir)).result
 
   /** One MaxScore execution plus its pruning decision — the seam
-    * LexIndexSpec pins losslessness AND actual pruning through. */
+    * LexIndexSpec pins losslessness AND actual pruning through.
+    *
+    * PRECONDITION: the lexicon's ub bounds must cover the postings being
+    * served — true for a freshly built or [[refreshLexicon]]ed index. On
+    * an index GROWN since its last build/refresh (append/merge/ingest),
+    * a delta posting can exceed its term's frozen bound and the pruning
+    * turns lossy — run `refresh` before MaxScore-pruned serving, the
+    * same discipline as serving current idf. (`bm25_maxscore` always
+    * meets this: it serves the fresh full-corpus index.) */
   private[graft] final case class MaxscoreRun(
     nonEssential: Seq[String], theta: Double, result: DataFrame)
 

@@ -72,8 +72,13 @@ object PqIngest {
       indexPath: String, batchId: Long): Unit =
     StagedCommit.run(spark, indexPath, batchId, "PqIngest.ingestBatch",
         trees = Seq("postings", "idmap")) { staging =>
-      val (codes0, asn) = SimilarityQueries.pqEncodeBatch(
+      val (codes0, asn0) = SimilarityQueries.pqEncodeBatch(
         batch, centRow, centStored, cbStored)
+      // persist the ROUTING once (the VecIngest discipline): the code
+      // write consumes it through the encode joins and the idmap write
+      // directly — without the cache, routing would run a second full
+      // pass over every micro-batch
+      val asn = asn0.persist()
       // one file per touched bucket, same discipline as VecIngest
       val codes = codes0.repartition(col("bucket")).persist()
       try {
@@ -82,6 +87,6 @@ object PqIngest {
         asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
           .coalesce(1)
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
-      } finally { codes.unpersist(); () }
+      } finally { codes.unpersist(); asn.unpersist(); () }
     }
 }

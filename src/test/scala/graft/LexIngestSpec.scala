@@ -28,6 +28,10 @@ class LexIngestSpec extends SparkSuite {
   private def postingRows(idx: String): Seq[String] =
     spark.read.parquet(s"$idx/postings")
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        // the POSITIONAL payload is part of the parity fingerprint —
+        // a streamed index with wrong posns would break phrase/prox
+        // queries while tf-only comparisons still passed
+        concat_ws(",", col("posns")).as("posns"),
         col("slot").cast("long"))
       .collect().map(_.toSeq.mkString("|")).toSeq.sorted
 
