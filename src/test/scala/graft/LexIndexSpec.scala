@@ -288,6 +288,23 @@ class LexIndexSpec extends SparkSuite {
     }
   }
 
+  test("contamination_served plan: the training corpus is never re-tokenized") {
+    val p = LexQueries.contaminationServed(spark, dir)
+      .queryExecution.executedPlan.treeString
+    // the ONLY documents read is the pushed-down held-out probe slice
+    // (doc_id < 50); training docs are answered from the positional
+    // postings alone
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(_.contains("< 50)")),
+      s"every documents scan must be the pushed probe-slice scan:\n${docScans.mkString("\n")}")
+    // the probe-term postings materialize ONCE at localCheckpoint time;
+    // the final plan consumes the checkpointed frame (ExistingRDD), so
+    // the posting path itself is not in this plan string
+    assert(p.contains("/postings") || p.contains("Scan ExistingRDD"),
+      "training-side candidates must come from the (checkpointed) postings")
+  }
+
   test("maxscore: lossless vs unpruned AND actually prunes on the fixture") {
     val unpruned = LexQueries.bm25Multiterm(spark, dir).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
