@@ -64,6 +64,7 @@ DRIVER = {
     "bm25_served": "documents", "bm25_multiterm": "documents",
     "bm25_maxscore": "documents", "hybrid_served": "documents",
     "bm25_maxp": "documents", "phrase_search": "documents",
+    "prox_search": "documents", "contamination_served": "documents",
 }
 
 
