@@ -113,6 +113,8 @@ object LexQueries {
     writeLexiconFrom(spark, indexPath,
       spark.read.parquet(s"$indexPath/postings")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+    // a full rebuild computes fresh bounds over exactly these postings
+    clearBoundsStale(spark, indexPath)
   }
 
   /** The lexicon derivation shared by build and refresh: df + the exact
@@ -153,6 +155,11 @@ object LexQueries {
       indexPath: String): Unit = {
     SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
       "appendLexIndex")
+    // growth can outrun the frozen MaxScore bounds: mark BEFORE the
+    // write so pruned serving falls back to the exact unpruned plan
+    // until the next refresh/rebuild (a crash after the mark but before
+    // the write leaves only spurious staleness — the safe direction)
+    markBoundsStale(spark, indexPath)
     postingRows(docsDelta)
       .write.partitionBy("slot").mode("append")
       .parquet(s"$indexPath/postings")
@@ -167,6 +174,39 @@ object LexQueries {
   private def fsOf(spark: SparkSession, indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ----------------------------------------------- MaxScore bound freshness
+  //
+  // The lexicon's ub bounds are exact maxima over the postings AT
+  // BUILD/REFRESH TIME. Growing the index (append / merge / streamed
+  // ingest) can add a posting whose score exceeds its term's frozen
+  // bound, which would make MaxScore pruning silently LOSSY — the one
+  // staleness direction that breaks an inequality rather than shifting
+  // scores uniformly. The `_bounds_stale` marker turns that prose
+  // contract into code: every grower sets it BEFORE its posting write
+  // (a crash between the two leaves only spurious staleness — safe),
+  // [[refreshLexicon]] and a full rebuild clear it AFTER their lexicon
+  // write, and every pruned serving path checks it and falls back to
+  // the always-exact unpruned plan while it stands.
+
+  private def boundsStalePath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_bounds_stale")
+
+  /** Record that the postings may have outgrown the frozen MaxScore
+    * bounds — called by every grower before it writes. */
+  private[graft] def markBoundsStale(spark: SparkSession, indexPath: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    fs.create(boundsStalePath(indexPath), true).close()
+  }
+
+  /** Are the frozen ub bounds possibly stale for the current postings? */
+  private[graft] def boundsStale(spark: SparkSession, indexPath: String): Boolean =
+    fsOf(spark, indexPath).exists(boundsStalePath(indexPath))
+
+  private def clearBoundsStale(spark: SparkSession, indexPath: String): Unit = {
+    fsOf(spark, indexPath).delete(boundsStalePath(indexPath), false)
+    ()
+  }
 
   /** Refresh the FROZEN serving state (lexicon + stats) from the
     * CURRENT postings — the staleness-loop closer: after any number of
@@ -213,6 +253,9 @@ object LexQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     writeLexiconFrom(spark, indexPath, post)
+    // bounds recomputed over the CURRENT postings — pruned serving is
+    // exact again (cleared last: a crash mid-refresh re-runs it)
+    clearBoundsStale(spark, indexPath)
   }
 
   /** `bm25_refreshed`: serve after append + [[refreshLexicon]] — the
@@ -481,22 +524,28 @@ object LexQueries {
   /** One MaxScore execution plus its pruning decision — the seam
     * LexIndexSpec pins losslessness AND actual pruning through.
     *
-    * PRECONDITION: the lexicon's ub bounds must cover the postings being
-    * served — true for a freshly built or [[refreshLexicon]]ed index. On
-    * an index GROWN since its last build/refresh (append/merge/ingest),
-    * a delta posting can exceed its term's frozen bound and the pruning
-    * turns lossy — run `refresh` before MaxScore-pruned serving, the
-    * same discipline as serving current idf. (`bm25_maxscore` always
-    * meets this: it serves the fresh full-corpus index.) */
+    * Bound freshness is ENFORCED, not assumed: the lexicon's ub bounds
+    * cover the postings only on a freshly built or [[refreshLexicon]]ed
+    * index — on an index GROWN since (append/merge/ingest), a delta
+    * posting can exceed its term's frozen bound and pruning would turn
+    * lossy. Every grower sets the `_bounds_stale` marker; while it
+    * stands this method skips the pruning and answers through the
+    * always-exact unpruned plan (`boundsStale = true` in the returned
+    * run), so a grown index can never serve a silently-lossy top-k —
+    * refresh restores the pruned path. */
   private[graft] final case class MaxscoreRun(
-    nonEssential: Seq[String], theta: Double, result: DataFrame)
+    nonEssential: Seq[String], theta: Double, result: DataFrame,
+    boundsStale: Boolean = false)
 
   private[graft] def maxscoreFromIndex(spark: SparkSession,
       indexPath: String): MaxscoreRun = {
+    val scoredOf = () => serveTermScores(spark, indexPath, QueryTerms,
+      loadStats(spark, indexPath))
+    if (boundsStale(spark, indexPath))
+      return MaxscoreRun(Nil, Double.NegativeInfinity,
+        rankTop10(multitermTotals(scoredOf())), boundsStale = true)
     val lexq = queryLexicon(spark, indexPath, QueryTerms)
-    val scored = serveTermScores(spark, indexPath, QueryTerms,
-        loadStats(spark, indexPath))
-      .localCheckpoint(true)
+    val scored = scoredOf().localCheckpoint(true)
     // ≤|QueryTerms| lexicon rows drive the driver-side term partition
     val ubs = lexq.select(col("tok"), col("ub")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
@@ -565,9 +614,45 @@ object LexQueries {
     * actionable message instead of an driver OOM. */
   private[graft] val MaxBatchTerms = 100000
 
+  /** Multi-query MaxScore: [[maxscoreFromIndex]]'s pruning applied
+    * inside [[queryBatch]], per SIGNATURE and fully distributed — the
+    * serving-edge analogue of the single-query pruned path, lossless by
+    * the same argument, adapted to the batch fold order:
+    *
+    *   - θ_sig = the k-th best SINGLE-TERM score among the signature's
+    *     champion-term (max-ub) postings — a weaker but still valid
+    *     lower bound on the true k-th best total (each of those k docs'
+    *     totals ≥ its champion score, nonnegative addends only), and
+    *     computable from a window over ONE term's postings per sig
+    *     instead of a full per-sig scoring pass;
+    *   - a term set is prunable when the IEEE fold of its ubs IN TOKEN
+    *     ORDER stays strictly below θ_sig: batch totals fold
+    *     sorted-by-token (the deterministic-order sum below), and for
+    *     nonnegative addends the token-order fl-sum over a doc's
+    *     matched subset is ≤ the token-order fl-sum of the full
+    *     non-essential set's ubs — monotone step by step — so a doc
+    *     matching ONLY non-essential terms has total < θ_sig ≤ the true
+    *     k-th score and can never displace a top-k row, ties included;
+    *   - the greedy grows the non-essential set in ub-ascending PREFIX
+    *     order (fl-sums of nonnegative values are nondecreasing in the
+    *     prefix, so the largest passing prefix is well-defined); sigs
+    *     with fewer than k champion postings get no θ and keep every
+    *     term essential — pruning degrades to a no-op, never to a wrong
+    *     answer;
+    *   - candidates = (sig, doc) pairs matching ≥1 ESSENTIAL term.
+    *     Essential terms are the HIGH-ub (rare, short-posting) ones, so
+    *     the candidate frame is small; the semi-join then drops the
+    *     bulk of the common-term rows before the expensive per-(sig,
+    *     doc) fold + per-sig top-k window — the MaxScore economics in
+    *     batch form.
+    *
+    * Gated on bound freshness exactly like the single-query path: a
+    * `_bounds_stale` index serves through the unpruned plan. The
+    * StreamingSpec parity pin holds bit-for-bit because pruning only
+    * removes rows that cannot appear in the answer. */
   private[graft] def queryBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int = 10,
-      tombstoneAware: Boolean = false): DataFrame = {
+      tombstoneAware: Boolean = false, maxscorePrune: Boolean = true): DataFrame = {
     // RESULT SHARING across identical queries — the optimization that
     // makes the scoring cost ∝ DISTINCT query sets, not query count: a
     // BM25 answer depends only on the query's term SET, so queries
@@ -595,12 +680,60 @@ object LexQueries {
         "this edge serves QUERIES; stream documents through CorpusIngest " +
         "instead, or raise MaxBatchTerms")
     val terms = termRows.map(_.getString(0)).toSeq
-    val scored = serveTermScores(spark, indexPath, terms, statsRow,
+    val prune = maxscorePrune && terms.nonEmpty && !boundsStale(spark, indexPath)
+    val scored0 = serveTermScores(spark, indexPath, terms, statsRow,
       tombstoneAware)
+    // with pruning on, three consumers (θ windows, candidate pairs, the
+    // final fold) share one materialization of the matched postings
+    val scored = if (prune) scored0.localCheckpoint(true) else scored0
+    val joined = scored.join(broadcast(sigTok.withColumnRenamed("tok", "qtok2")),
+      col("tok") === col("qtok2"))
+    val kept = if (!prune) joined else {
+      // per-sig terms sorted ub-ascending; last element is the champion
+      val ubq = queryLexicon(spark, indexPath, terms)
+        .select(col("tok").as("utok"), col("ub"))
+      val sigTerms = sigTok.join(broadcast(ubq), col("tok") === col("utok"))
+        .groupBy(col("qsig"))
+        .agg(sort_array(collect_list(struct(col("ub"), col("tok")))).as("tl"))
+        .withColumn("champ", element_at(col("tl"), -1)("tok"))
+      // θ_sig: k-th best champion single-term score — one window over
+      // ONE term's postings per sig; sigs with < k champion postings
+      // get no row here and stay unpruned
+      val wSig = Window.partitionBy(col("qsig"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val theta = scored
+        .join(broadcast(sigTerms.select(col("qsig"), col("champ"))),
+          col("tok") === col("champ"))
+        .withColumn("crk", row_number().over(wSig))
+        .filter(col("crk") === k)
+        .select(col("qsig").as("tsig"), col("score").as("theta"))
+      // largest ub-ascending prefix whose TOKEN-ORDER fl-sum of bounds
+      // stays strictly below θ — everything after it is essential
+      val essFrame = sigTerms.join(theta, sigTerms("qsig") === theta("tsig"), "left")
+        .withColumn("ncut", when(col("theta").isNull, lit(0)).otherwise(
+          aggregate(sequence(lit(1), size(col("tl"))), lit(0),
+            (best, i) => when(
+              aggregate(
+                array_sort(transform(slice(col("tl"), lit(1), i),
+                  x => struct(x("tok").as("tok"), x("ub").as("ub")))),
+                lit(0.0), (acc, x) => acc + x("ub")) < col("theta"),
+              i).otherwise(best))))
+        .select(col("qsig"),
+          explode(slice(col("tl"), col("ncut") + lit(1),
+            size(col("tl")) - col("ncut"))).as("e"))
+        .select(col("qsig").as("esig"), col("e")("tok").as("etok"))
+      // candidates: (sig, doc) pairs matching ≥1 essential (rare, high-
+      // ub) term — a small frame; the semi-join drops the common-term
+      // bulk before the per-(sig, doc) fold and per-sig top-k window
+      val cand = scored.join(broadcast(essFrame), col("tok") === col("etok"))
+        .select(col("esig").as("csig"), col("doc_id").as("cdoc")).distinct()
+      joined.join(cand,
+        joined("qsig") === cand("csig") && joined("doc_id") === cand("cdoc"),
+        "left_semi")
+    }
     val w = Window.partitionBy(col("qsig"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    val perSig = scored.join(broadcast(sigTok.withColumnRenamed("tok", "qtok2")),
-        col("tok") === col("qtok2"))
+    val perSig = kept
       .groupBy(col("qsig"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tok"), col("score")))).as("parts"))
       .select(col("qsig"), col("doc_id"),
@@ -640,6 +773,8 @@ object LexQueries {
           .select(col("doc_id").as("_tomb_del")).distinct())
         src.join(tomb, src("doc_id") === tomb("_tomb_del"), "left_anti")
       } else src
+    // the destination's frozen MaxScore bounds don't cover src postings
+    markBoundsStale(spark, dstIndex)
     live.write.partitionBy("slot").mode("append").parquet(s"$dstIndex/postings")
   }
 

@@ -78,7 +78,11 @@ object AnnServe {
           batch.sparkSession, batch, centRow, indexPath, nprobe,
           tombstoneAware), id)
       }
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // a throwing start() never registers the listener — release the
+    // centroid cache before rethrowing rather than leak it
+    val q =
+      try (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      catch { case e: Throwable => centRow.unpersist(); throw e }
     // release the centroid cache when THIS query terminates (see
     // ServeCache for the idempotence/race contract)
     ServeCache.releaseOnTermination(spark, q)(() => centRow.unpersist())

@@ -60,8 +60,16 @@ object LexIngest {
     * (indexPath, batchId); exposed for the replay/crash-window specs. */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, batchId: Long): Unit =
+    // growth can outrun the frozen MaxScore bounds — the marker is set
+    // through the beforePromote seam: on EVERY attempt that reaches the
+    // promote (including a crash-window replay after an intervening
+    // refresh), before anything lands in the standing index, and never
+    // on a replay of an already-committed batch (which returns at the
+    // commit-marker check and so cannot undo a refresh that ran since)
     StagedCommit.run(spark, indexPath, batchId, "LexIngest.ingestBatch",
-        trees = Seq("postings")) { staging =>
+        trees = Seq("postings"),
+        beforePromote = () => LexQueries.markBoundsStale(spark, indexPath)) {
+      staging =>
       // repartition ON THE SLOT before the staged write — the same
       // one-file-per-touched-partition discipline as VecIngest: a
       // long-running ingest adds O(touched slots) standing files per

@@ -77,7 +77,11 @@ object LexServe {
         sink(serveBatch(batch.sparkSession, batch, indexPath, statsRow, k,
           tombstoneAware), id)
       }
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // a throwing start() never registers the listener — release the
+    // pinned stats row before rethrowing rather than leak it
+    val q =
+      try (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      catch { case e: Throwable => statsRow.unpersist(); throw e }
     ServeCache.releaseOnTermination(spark, q)(() => statsRow.unpersist())
     q
   }

@@ -58,7 +58,16 @@ object PqIngest {
         ingestBatch(batch.sparkSession, batch, centRow, centStored, cbStored,
           indexPath, id)
       }
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // If start() itself throws (bad checkpoint dir, …) the termination
+    // listener is never registered — release the caches before rethrowing
+    // so a failed start can't leak them for the session's life.
+    val q =
+      try (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      catch {
+        case e: Throwable =>
+          centRow.unpersist(); centStored.unpersist(); cbStored.unpersist()
+          throw e
+      }
     ServeCache.releaseOnTermination(spark, q) { () =>
       centRow.unpersist(); centStored.unpersist(); cbStored.unpersist(); ()
     }

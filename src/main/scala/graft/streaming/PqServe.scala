@@ -81,7 +81,15 @@ object PqServe {
           batch.sparkSession, batch, centRow, cent, cb, indexPath, nprobe,
           tombstoneAware), id)
       }
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // a throwing start() never registers the listener — release the
+    // cached frames before rethrowing rather than leak them
+    val q =
+      try (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      catch {
+        case e: Throwable =>
+          centRow.unpersist(); cent.unpersist(); cb.unpersist()
+          throw e
+      }
     ServeCache.releaseOnTermination(spark, q) { () =>
       centRow.unpersist(); cent.unpersist(); cb.unpersist()
     }

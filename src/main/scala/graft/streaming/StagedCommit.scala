@@ -36,7 +36,8 @@ import org.apache.spark.sql.SparkSession
 private[streaming] object StagedCommit {
 
   def run(spark: SparkSession, indexPath: String, batchId: Long,
-      guardOp: String, trees: Seq[String])(stage: Path => Unit): Unit = {
+      guardOp: String, trees: Seq[String],
+      beforePromote: () => Unit = () => ())(stage: Path => Unit): Unit = {
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$indexPath/_ingest_commits/$batchId")
@@ -50,6 +51,13 @@ private[streaming] object StagedCommit {
       stage(staging)
       fs.create(staged, true).close()
     }
+
+    // runs on EVERY attempt that reaches the promote (not just the one
+    // that staged) — the seam for markers that must precede any standing
+    // change even on a crash-window replay (e.g. the lex bounds-stale
+    // marker, which a refresh between crash and replay would have
+    // cleared while the staged postings were still unpromoted)
+    beforePromote()
 
     trees.foreach { t =>
       promoteTree(fs, new Path(staging, t), new Path(s"$indexPath/$t"), batchId)
@@ -76,8 +84,14 @@ private[streaming] object StagedCommit {
       } else if (entry.isFile && name.endsWith(".parquet")) {
         val target = new Path(dst, s"ingest-$batchId-$name")
         fs.mkdirs(dst)
-        if (!fs.exists(target)) { fs.rename(entry.getPath, target); () }
-        else { fs.delete(entry.getPath, false); () }
+        if (!fs.exists(target)) {
+          // HadoopFileSystem#rename signals some failures by returning
+          // false rather than throwing; a dropped file here would still
+          // commit the batch marker — permanent silent loss. Fail the
+          // batch instead; the foreachBatch retry replays it exactly.
+          require(fs.rename(entry.getPath, target),
+            s"staged-commit promote failed: rename ${entry.getPath} -> $target")
+        } else { fs.delete(entry.getPath, false); () }
       }
     }
   }

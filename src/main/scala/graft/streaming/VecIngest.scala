@@ -67,7 +67,11 @@ object VecIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(batch.sparkSession, batch, centRow, indexPath, id)
       }
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // a throwing start() never registers the listener — release the
+    // centroid cache before rethrowing rather than leak it
+    val q =
+      try (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      catch { case e: Throwable => centRow.unpersist(); throw e }
     ServeCache.releaseOnTermination(spark, q)(() => centRow.unpersist())
     q
   }

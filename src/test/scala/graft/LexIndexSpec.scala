@@ -288,6 +288,43 @@ class LexIndexSpec extends SparkSuite {
     }
   }
 
+  test("multi-query maxscore pruning is lossless, engages on fresh indexes, and disarms on stale bounds") {
+    import spark.implicits._
+    // corpora large enough that θ exists (≥ k champion postings) and
+    // skewed so common terms dominate posting volume — the shape the
+    // pruning pays off on; parity must hold bit for bit regardless
+    val rnd = new scala.util.Random(42L)
+    val common = Vector("join", "vector", "stream")
+    val rare = Vector("window", "spark", "hash", "merge")
+    val docs = (1L to 120L).map { i =>
+      val body = Seq.fill(6 + rnd.nextInt(10))(common(rnd.nextInt(common.size))) ++
+        (if (i % 9 == 0) Seq(rare(rnd.nextInt(rare.size))) else Nil) ++
+        Seq(s"d$i")
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = tmp("lexqbms")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val stats = LexQueries.loadStats(spark, idx)
+    val queries = Seq(
+      (1L, "join window spark"), (2L, "join window spark"),
+      (3L, "vector stream"), (4L, "join vector stream window spark"),
+      (5L, "merge hash join"), (6L, "stream"), (7L, "zzz_absent")).toDF("qid", "text")
+    def run(pr: Boolean) = LexQueries.queryBatch(spark, queries, idx, stats,
+      k = 5, maxscorePrune = pr)
+    val pruned = run(true).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val unpruned = run(false).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(pruned.sameElements(unpruned),
+      "per-sig maxscore pruning must be bit-lossless")
+    // the pruned plan carries the candidate semi-join; the unpruned one
+    // must not — and a stale-bounds index must also serve unpruned
+    assert(run(true).queryExecution.executedPlan.treeString.contains("LeftSemi"),
+      "fresh index + prune=true must take the candidate semi-join path")
+    assert(!run(false).queryExecution.executedPlan.treeString.contains("LeftSemi"))
+    LexQueries.markBoundsStale(spark, idx)
+    assert(!run(true).queryExecution.executedPlan.treeString.contains("LeftSemi"),
+      "stale bounds must disarm the pruned serving path")
+  }
+
   test("contamination_served plan: the training corpus is never re-tokenized") {
     val p = LexQueries.contaminationServed(spark, dir)
       .queryExecution.executedPlan.treeString
@@ -334,6 +371,67 @@ class LexIndexSpec extends SparkSuite {
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     val got = run.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(got.sameElements(unpruned))
+  }
+
+  test("maxscore bound-staleness is enforced: a grown index serves exact via the unpruned fallback; refresh restores pruning") {
+    import spark.implicits._
+    // base corpus: rich in every query term so pruning has a real θ;
+    // the delta doc is an EXTREME posting ("vector" tf ≫ any base tf in
+    // a short doc) engineered to exceed the frozen 'vector' bound — the
+    // exact shape that made prose-guarded pruning silently lossy
+    val filler = (1 to 300).map(i => s"w$i").mkString(" ")
+    val base = ((1L to 12L).map(i =>
+        (i, s"join vector stream spark window d$i")) :+
+      (99L, s"window $filler")).toDF("doc_id", "text")
+    val delta = Seq((200L, Seq.fill(30)("vector join stream spark").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = tmp("lexstale")
+    LexQueries.buildLexIndexFrom(spark, base, idx)
+    assert(!LexQueries.boundsStale(spark, idx), "fresh build ⇒ bounds current")
+    LexQueries.appendLexIndex(spark, delta, idx)
+    assert(LexQueries.boundsStale(spark, idx), "append must mark bounds stale")
+    // the grown posting really does exceed the frozen bound — the
+    // scenario the marker exists for
+    val frozenUb = spark.read.parquet(s"$idx/lexicon")
+      .filter(col("tok") === "vector").collect().head.getAs[Double]("ub")
+    val maxScore = LexQueries.serveTermScores(spark, idx,
+        LexQueries.QueryTerms, LexQueries.loadStats(spark, idx))
+      .filter(col("tok") === "vector")
+      .agg(org.apache.spark.sql.functions.max(col("score"))).collect()
+      .head.getDouble(0)
+    assert(maxScore > frozenUb,
+      s"fixture must exceed the frozen bound ($maxScore !> $frozenUb)")
+    // pruned serving on the grown index: must take the exact fallback
+    val run = LexQueries.maxscoreFromIndex(spark, idx)
+    assert(run.boundsStale, "grown index must be served via the fallback")
+    assert(run.nonEssential.isEmpty, "fallback must not prune")
+    val unpruned = LexQueries.rankTop10(LexQueries.multitermTotals(
+        LexQueries.serveTermScores(spark, idx, LexQueries.QueryTerms,
+          LexQueries.loadStats(spark, idx))))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val got = run.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.sameElements(unpruned), "fallback answer must be the exact top-10")
+    assert(got.exists(_.head == 200L),
+      "the extreme delta doc must surface in the exact top-10 (lossy pruning would drop it)")
+    // refresh recomputes the bounds → marker cleared, pruning active
+    // again and exact against the REFRESHED stats (df/avgdl change, so
+    // the comparison target is the post-refresh unpruned top-10)
+    LexQueries.refreshLexicon(spark, idx)
+    assert(!LexQueries.boundsStale(spark, idx), "refresh must clear the marker")
+    val run2 = LexQueries.maxscoreFromIndex(spark, idx)
+    assert(!run2.boundsStale)
+    val unpruned2 = LexQueries.rankTop10(LexQueries.multitermTotals(
+        LexQueries.serveTermScores(spark, idx, LexQueries.QueryTerms,
+          LexQueries.loadStats(spark, idx))))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val got2 = run2.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got2.sameElements(unpruned2), "refreshed pruned answer must stay exact")
+    // merge must mark too
+    val shard = tmp("lexstale_shard")
+    LexQueries.buildLexIndexFrom(spark,
+      Seq((300L, "spark stream")).toDF("doc_id", "text"), shard)
+    LexQueries.lexIndexMergeInto(spark, idx, shard)
+    assert(LexQueries.boundsStale(spark, idx), "merge must mark bounds stale")
   }
 
   test("maxscore prunes a term whose bound cannot reach θ") {
