@@ -160,12 +160,12 @@ object Main {
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
         case ("ivfpq", "absorb") => q.ivfPqAbsorb(spark, indexDir, vecFrame)
         case ("ivfpq", "merge") =>
-          // honest refusal, not a silent wrong answer: PQ postings carry
-          // CODES, not embeddings — re-encoding residuals against the
-          // destination's centroids/codebooks needs the shard CORPUS;
-          // route the source vectors through `--op absorb --vecDir`
-          sys.error("ivfpq merge is not index-to-index (codes are not " +
-            "routable); re-encode the shard corpus via --op absorb --vecDir")
+          // index-to-index ONLY between artifact-identical shards (the
+          // central-training shape — codes are then routable as-is and
+          // the merge is a pure posting union); divergent artifacts
+          // refuse loudly inside and point at `--op absorb --vecDir`,
+          // the O(src corpus) re-encode
+          q.ivfPqIndexMergeInto(spark, indexDir, srcIndexDir)
         case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
         case ("lsh", "append") => q.lshIndexAppend(spark, sfDir, indexDir)
         case ("lsh", "delete") => q.lshIndexDelete(spark, indexDir, ids)

@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
     "ivfpq_ann_appended" -> (SimilarityQueries.ivfPqAnnAppended _),
+    "ivfpq_ann_merged" -> (SimilarityQueries.ivfPqAnnMerged _),
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
@@ -1809,6 +1810,14 @@ object SparkEntry {
     "ivfpq_ann_appended" ->
       s"""${ivfPqBodyWith(" WHERE vec_id % 4 != 0", " WHERE vec_id % 4 != 0",
              " WHERE s.vec_id % 4 != 0")}
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    // the shard-merged twin (central-training lifecycle): centroids, PQ
+    // seeds, and codebook training all restricted to shard A's odd
+    // slice; assignment/encoding cover everything -- artifact-identical
+    // index-to-index merge == one-pass encoding, which this chain IS
+    "ivfpq_ann_merged" ->
+      s"""${ivfPqBodyWith(" WHERE vec_id % 2 = 1", " WHERE vec_id % 2 = 1",
+             " WHERE s.vec_id % 2 = 1")}
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     "ivfpq_recall" ->
       // recall@3 of the composite vs exact full-vector squared-L2 top-3

@@ -221,15 +221,21 @@ object SimilarityQueries {
   private[graft] def serveAgainstIndex(spark: SparkSession, queries: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
       postingsFilter: DataFrame => DataFrame = identity,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val q = assignFromCents(queries, centRow, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), explode(col("probe_buckets")).as("qbucket"))
     val postings = postingsFilter(spark.read.parquet(s"$indexPath/postings")
       .select(col("vec_id").as("vid"), col("embedding").as("cemb2"),
         col("nrm").as("cnrm2"), col("bucket")))
+    // excludeSelf=false serves the raw unexcluded ranking — the shared
+    // (deduped) serving path applies each duplicate's OWN self-exclusion
+    // at fan-out time, which needs one extra candidate row per query
+    val joinCond =
+      if (excludeSelf) col("qbucket") === col("bucket") && col("qid") =!= col("vid")
+      else col("qbucket") === col("bucket")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    postings.join(broadcast(q), col("qbucket") === col("bucket") && col("qid") =!= col("vid"))
+    postings.join(broadcast(q), joinCond)
       .withColumn("cos", dotD(col("qemb"), col("cemb2")) / (col("qnrm") * col("cnrm2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -257,9 +263,62 @@ object SimilarityQueries {
     * [[graft.streaming.AnnServe]]'s foreachBatch. */
   private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
-      tombstoneAware: Boolean = false): DataFrame =
-    serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
-      tombstonePostingsFilter(spark, indexPath, tombstoneAware))
+      tombstoneAware: Boolean = false, shareResults: Boolean = true): DataFrame =
+    if (!shareResults)
+      serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
+        tombstonePostingsFilter(spark, indexPath, tombstoneAware))
+    else shareByEmbedding(queryVecs, k = 3,
+      rankCols = Seq(col("cos").desc, col("vid").asc),
+      payload = Seq("vid", "cos")) { reps =>
+      serveAgainstIndex(spark, withNorm(reps), centRow, indexPath, nprobe,
+        tombstonePostingsFilter(spark, indexPath, tombstoneAware),
+        k = 4, excludeSelf = false)
+    }
+
+  /** RESULT SHARING for the vector serving edges — the
+    * [[LexQueries.queryBatch]] signature-grouping trick ported to
+    * embedding queries: an ANN answer depends only on the query's
+    * VECTOR, so a micro-batch dedupes to its distinct embeddings
+    * (exact bytes — Spark groups float arrays element-wise, NaN-safe),
+    * each distinct vector is routed and scored ONCE against the index,
+    * and the per-vector answers fan back to every asking qid through a
+    * broadcast join. Production query streams are head-skewed; without
+    * this every duplicate re-pays routing + the probed-bucket candidate
+    * join. Worst case (all-distinct) adds one batch-sized groupBy and
+    * one broadcast join — noise against the posting read.
+    *
+    * Exactness (StreamingSpec pins shared == unshared bit for bit): the
+    * rep serves UNEXCLUDED top-(k+1); for any qid sharing the vector,
+    * dropping its own vid from that list shifts ranks by at most one,
+    * so its exact excluded top-k is a subset — scores are computed once
+    * per vector from the identical expression, hence bit-identical.
+    *
+    * `serve` must return (qid, <payload...>) rows ranked by `rankCols`
+    * semantics with AT LEAST k+1 rows kept per rep qid and NO self
+    * exclusion applied. */
+  private def shareByEmbedding(queryVecs: DataFrame, k: Int,
+      rankCols: Seq[Column], payload: Seq[String],
+      emitRank: Option[String] = None)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    val reps = queryVecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val repRes = serve(reps).withColumnRenamed("qid", "rep_qid")
+      .drop(emitRank.toSeq: _*) // the rep's rank is recomputed per qid
+    val mapping = queryVecs
+      .select(col("vec_id").as("out_qid"), col("embedding"))
+      .join(reps.select(col("vec_id").as("rep_id"), col("embedding")),
+        "embedding")
+      .select(col("out_qid"), col("rep_id"))
+    val w = Window.partitionBy(col("out_qid")).orderBy(rankCols: _*)
+    val ranked = mapping.join(broadcast(repRes), col("rep_id") === col("rep_qid"))
+      .filter(col("vid") =!= col("out_qid")) // each duplicate's OWN exclusion
+      .withColumn("_share_rn", row_number().over(w))
+      .filter(col("_share_rn") <= k)
+    val outCols = col("out_qid").as("qid") +: payload.map(col) ++:
+      emitRank.map(n => col("_share_rn").cast("long").as(n)).toSeq
+    ranked.select(outCols: _*)
+  }
 
   /** The per-batch tombstone screen shared by the streaming serving
     * paths: when enabled and tombstones exist, anti-join the posting
@@ -293,15 +352,26 @@ object SimilarityQueries {
     * restart). */
   private[graft] def servePqQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, cent: DataFrame, cb: DataFrame, indexPath: String,
-      nprobe: Int = IvfNprobe, tombstoneAware: Boolean = false): DataFrame = {
-    val qAsn = assignFromCents(withNorm(queryVecs), centRow, nprobe)
+      nprobe: Int = IvfNprobe, tombstoneAware: Boolean = false,
+      shareResults: Boolean = true): DataFrame = {
     val enc = tombstonePostingsFilter(spark, indexPath, tombstoneAware)(
       spark.read.parquet(s"$indexPath/postings")
         // partition column reads back INT (directory-name inference);
         // restore the join key's LONG type explicitly
         .select(col("vid"), col("m"), col("code"),
           col("bucket").cast("long").as("vbucket")))
-    ivfPqSearch(enc, ivfPqAdcTableFrom(qAsn, cent, cb))
+    if (!shareResults)
+      ivfPqSearch(enc,
+        ivfPqAdcTableFrom(assignFromCents(withNorm(queryVecs), centRow, nprobe),
+          cent, cb))
+    else shareByEmbedding(queryVecs, k = 3,
+      rankCols = Seq(col("adist_fp").asc, col("vid").asc),
+      payload = Seq("vid", "adist_fp"), emitRank = Some("rn")) { reps =>
+      ivfPqSearch(enc,
+        ivfPqAdcTableFrom(assignFromCents(withNorm(reps), centRow, nprobe),
+          cent, cb),
+        k = 4, excludeSelf = false)
+    }
   }
 
   /** IVF-bucketed approximate top-k: each query searches its top-nprobe
@@ -2033,11 +2103,14 @@ object SimilarityQueries {
     * paths (k = 3, the answer set) and by [[ivfPqRerank]]'s shortlist
     * arm (k = [[PqRerankShortlist]]). `enc` carries
     * (vid, m, code, vbucket). */
-  private def ivfPqSearch(enc: DataFrame, dt: DataFrame, k: Int = 3): DataFrame = {
+  private def ivfPqSearch(enc: DataFrame, dt: DataFrame, k: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_fp").asc, col("vid").asc)
     enc.join(broadcast(dt),
         col("vbucket") === col("pb") && col("m") === col("qm") && col("code") === col("cid"))
-      .filter(col("vid") =!= col("qid"))
+      // excludeSelf=false keeps the raw ranking for the shared (deduped)
+      // serving path, which applies per-duplicate exclusion at fan-out
+      .filter(if (excludeSelf) col("vid") =!= col("qid") else lit(true))
       .groupBy(col("qid"), col("vid"))
       .agg(sum(col("d_fp")).as("adist_fp"))
       .withColumn("rn", row_number().over(w))
@@ -2428,6 +2501,136 @@ object SimilarityQueries {
       .parquet(s"$indexPath/postings")
     appendIdMap(asnD, indexPath)
   }
+
+  /** Are two composite indexes' FROZEN artifacts (coarse centroids AND
+    * residual codebooks) value-identical? The precondition that makes
+    * PQ codes routable index-to-index: a code is an argmin against a
+    * specific codebook in a specific bucket's residual space, so only
+    * equality of BOTH artifact sets makes a src posting meaningful
+    * under dst semantics. Both tables are training-bounded (IvfK rows /
+    * M·Ks rows) — a driver-side exact compare, never a corpus read.
+    * Doubles compare exactly: the central-training shape produces both
+    * shards' artifacts from ONE published parquet, and parquet
+    * round-trips doubles losslessly. */
+  private[graft] def ivfPqArtifactsIdentical(spark: SparkSession,
+      dstIndex: String, srcIndex: String): Boolean = {
+    def centKey(p: String) = spark.read.parquet(s"$p/centroids")
+      .select(col("cid"), col("cemb"), col("cnrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    def cbKey(p: String) = spark.read.parquet(s"$p/codebooks")
+      .select(col("cm"), col("cid"), col("cv"), col("cself"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    centKey(dstIndex) == centKey(srcIndex) && cbKey(dstIndex) == cbKey(srcIndex)
+  }
+
+  /** Shard-parallel consolidation for the COMPOSITE index — index-to-
+    * index, possible exactly when src and dst carry bit-identical
+    * artifacts ([[ivfPqArtifactsIdentical]] — the central-training
+    * deployment shape: one training job publishes centroids+codebooks,
+    * N encode workers build shards with them,
+    * [[buildIvfPqShardWithArtifacts]]). Codes are then routable AS IS
+    * and the merge is a pure partition-wise posting union: src code
+    * rows append into dst's matching bucket directories as new files
+    * (never a rewrite), the sidecar gains src's (vec_id, bucket) pairs,
+    * and src tombstones purge on the way in — O(src postings), never
+    * O(dst corpus), the IVF/LSH/lex merge economics extended to the
+    * compressed index. Artifact-DIVERGENT shards still refuse loudly
+    * (codes are not routable across different codebooks) and point at
+    * [[ivfPqAbsorb]], the O(src corpus) re-encode. */
+  def ivfPqIndexMergeInto(spark: SparkSession, dstIndex: String,
+      srcIndex: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dstIndex)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertNoMaintenance(fs, dstIndex, "ivfPqIndexMergeInto")
+    require(ivfPqArtifactsIdentical(spark, dstIndex, srcIndex),
+      "ivfpq merge is index-to-index only between ARTIFACT-IDENTICAL shards " +
+        "(bit-equal centroids AND codebooks - the central-training shape); " +
+        "these shards' artifacts differ, so src codes are not routable under " +
+        "dst semantics: re-encode the shard corpus via ivfPqAbsorb " +
+        "(--op absorb --vecDir)")
+    val srcTomb = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
+    val tombF: DataFrame => DataFrame =
+      if (fs.exists(srcTomb)) {
+        val t = broadcast(spark.read.parquet(srcTomb.toString)
+          .select(col("vec_id").as("_tomb_del")).distinct())
+        d => d.join(t, // postings key off vid, the sidecar off vec_id
+          d(if (d.columns.contains("vid")) "vid" else "vec_id")
+            === t("_tomb_del"), "left_anti")
+      } else identity
+    tombF(spark.read.parquet(s"$srcIndex/postings")
+        .select(col("vid"), col("m"), col("code"),
+          col("bucket").cast("long").as("bucket")))
+      .write.partitionBy("bucket").mode("append").parquet(s"$dstIndex/postings")
+    tombF(spark.read.parquet(s"$srcIndex/idmap")
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
+      .write.mode("append").parquet(s"$dstIndex/idmap")
+  }
+
+  /** One encode worker's shard in the central-training lifecycle: adopt
+    * the PUBLISHED artifacts (copied verbatim from `artifactIndex` —
+    * parquet round-trips doubles losslessly, so the shards stay
+    * artifact-identical and therefore mergeable) and encode this
+    * worker's slice with them — no training anywhere in the plan. */
+  private[graft] def buildIvfPqShardWithArtifacts(spark: SparkSession,
+      artifactIndex: String, vecs: DataFrame, indexPath: String): Unit = {
+    spark.read.parquet(s"$artifactIndex/centroids")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    spark.read.parquet(s"$artifactIndex/codebooks")
+      .write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    ivfPqAbsorb(spark, indexPath, vecs)
+  }
+
+  /** Central-training shard-merge lifecycle behind [[ivfPqAnnMerged]]:
+    * artifacts train ONCE on the odd slice (shard A, which also encodes
+    * it), shard B adopts A's artifacts verbatim and encodes the even
+    * slice, then B merges into A index-to-index
+    * ([[ivfPqIndexMergeInto]] — the artifact-equality gate passes by
+    * construction). Coarse argmax and code argmin are deterministic
+    * functions of the artifacts, so the merged index ≡ one-pass
+    * encoding of the whole corpus with odd-trained artifacts — exactly
+    * what the `ivfpq_ann_merged` oracle recomputes. */
+  def buildIvfPqIndexMerged(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val e = Tables.embeddings(spark, dir)
+    buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
+    val srcIdx = java.nio.file.Files.createTempDirectory("ivfpq_shard_b").toString
+    buildIvfPqShardWithArtifacts(spark, indexPath,
+      e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+      srcIdx)
+    ivfPqIndexMergeInto(spark, indexPath, srcIdx)
+  }
+
+  /** Train coarse centroids + residual codebooks on an arbitrary raw
+    * slice and index it — [[buildIvfPqIndexBase]] generalized off the
+    * fixture filter (the central-training job of the shard-merge
+    * lifecycle). */
+  private[graft] def buildIvfPqIndexSlice(spark: SparkSession, slice: DataFrame,
+      indexPath: String): Unit = {
+    val base = withNorm(slice)
+    ivfCentFrame(base).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centStored = spark.read.parquet(s"$indexPath/centroids")
+    val asn = assignFromCents(base, storedCents(spark, indexPath))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val res = residualFrameWith(asn, centStored.select(col("cid"), col("cemb")))
+    val cb = pqTrain(res)
+    cb.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    pqAssignCodes(pqSubvectors(res), cb)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+      .join(asn.select(col("vec_id").as("vid"), col("bucket")), "vid")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+    writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
+  }
+
+  /** [[ivfPqAnnServe]] over the shard-merged composite index
+    * ([[buildIvfPqIndexMerged]]) — same serving plan, artifacts from
+    * the central training, postings covering both shards. */
+  def ivfPqAnnMerged(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAnnServe(spark, dir,
+      servedIndexWith(dir, "ivfpq_merged", embeddingsStamp(spark, dir))(
+        buildIvfPqIndexMerged(spark, dir, _)))
 
   /** Route + residual-encode one raw (vec_id, embedding) frame with the
     * STORED artifacts — [[ivfPqAbsorb]]'s arithmetic returned as frames
@@ -3237,14 +3440,50 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
       .where(col("rk") <= col("n") - expr("(7 * n + 9) div 10") + lit(1))
-      .select(col("doc_id"), col("h"), col("n"))
+      .select(col("doc_id"), col("h"), col("n"), col("rk"))
+    // PPJoin's POSITIONAL filters (the paper's second filter family)
+    // stack on the prefix match. All bounds flow from one fact: the
+    // rarity order is GLOBAL, hence consistent across docs, and
+    // J ≥ 0.7 requires overlap α = ⌈7(|x|+|y|)/17⌉ (I/(|x|+|y|−I) ≥
+    // 7/10 ⟺ 17·I ≥ 7(|x|+|y|)).
+    //
+    // (1) PAIR-ADAPTIVE PREFIX, in the join condition: the per-doc
+    //     stored prefix n − ⌈0.7n⌉ + 1 is sized for the worst partner
+    //     (|y| = 0.7|x|); for a CONCRETE pair the first common shingle
+    //     must sit within rank |x| − α + 1 of x AND |y| − α + 1 of y —
+    //     for same-size partners that is ~0.18n, not 0.3n, which cut
+    //     the surviving collision rows 15.4M → 5.6M on the sf1 slice
+    //     (boilerplate partners have near-equal sizes).
+    // (2) PER-COLLISION bound, min-aggregated: common shingles before a
+    //     collision at ranks (i, j) sit at ranks < i AND < j, after it
+    //     at > i AND > j, so overlap ≤ min(i,j) + min(|x|−i, |y|−j).
+    // (3) MATCH-COUNT bound: with c prefix collisions whose largest
+    //     ranks are (i*, j*), every unmatched common shingle sits after
+    //     (i*, j*) in BOTH docs (one before them inside x's prefix but
+    //     outside y's would contradict order consistency), so
+    //     overlap ≤ c + min(|x|−i*, |y|−j*) — tighter than (2) when the
+    //     pair's collisions are few and early.
+    // The groupBy replaces the old distinct: same shuffle, less input.
+    val alpha = expr("(7 * (a.n + b.n) + 16) div 17")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: J ≥ 0.7 ⟹ 7·max(|x|,|y|) ≤ 10·min(|x|,|y|)
-          col("a.n") * 7 <= col("b.n") * 10 && col("b.n") * 7 <= col("a.n") * 10)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+          col("a.n") * 7 <= col("b.n") * 10 && col("b.n") * 7 <= col("a.n") * 10 &&
+          col("a.rk") <= col("a.n") - alpha + 1 &&
+          col("b.rk") <= col("b.n") - alpha + 1)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("pna"), col("b.n").as("pnb"),
+        col("a.rk").as("ra"), col("b.rk").as("rb"),
+        (least(col("a.rk"), col("b.rk")) +
+          least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))).as("obound"))
+      .groupBy(col("da"), col("db"), col("pna"), col("pnb"))
+      .agg(min(col("obound")).as("obound"), count(lit(1)).as("c"),
+        max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+      .where(col("obound") * 17 >= (col("pna") + col("pnb")) * 7 &&
+        (col("c") + least(col("pna") - col("mra"), col("pnb") - col("mrb"))) * 17 >=
+          (col("pna") + col("pnb")) * 7)
+      .select(col("da"), col("db"))
     val arrs = shx.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
     cand

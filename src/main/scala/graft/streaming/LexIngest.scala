@@ -40,18 +40,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object LexIngest {
 
   /** Start ingesting `docs` (a STREAMING frame with columns `doc_id`,
-    * `text`) into the persisted lexical index at `indexPath`. */
+    * `text`) into the persisted lexical index at `indexPath`.
+    *
+    * `refreshEveryDocs` > 0 turns on the AUTO-REFRESH cadence: the edge
+    * counts ingested documents and runs [[LexQueries.refreshLexicon]]
+    * once the count passes the threshold — BETWEEN batch commits
+    * (inside foreachBatch, after the staged commit; fenced against
+    * maintenance like every refresh), bounding idf staleness and
+    * keeping MaxScore-pruned serving available under continuous ingest
+    * instead of parking the index on `_bounds_stale` forever. The
+    * counter is conservative across restarts: stale bounds at stream
+    * start count as a full threshold already pending, so the first
+    * committed batch triggers a catch-up refresh (over-refreshing is
+    * the safe direction — a refresh is an idempotent exact recompute,
+    * and its cost amortizes as one postings scan per `refreshEveryDocs`
+    * ingested documents). 0 (the default) preserves the manual
+    * refresh-on-demand contract. */
   def start(
       spark: SparkSession,
       docs: DataFrame,
       indexPath: String,
       checkpointDir: String,
-      availableNow: Boolean = false
+      availableNow: Boolean = false,
+      refreshEveryDocs: Long = 0L
   ): StreamingQuery = {
+    val pending = new java.util.concurrent.atomic.AtomicLong(
+      if (refreshEveryDocs > 0L && LexQueries.boundsStale(spark, indexPath))
+        refreshEveryDocs
+      else 0L)
     val w = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch.sparkSession, batch, indexPath, id)
+        if (refreshEveryDocs <= 0L) ingestBatch(batch.sparkSession, batch, indexPath, id)
+        else {
+          // the batch is consumed twice (posting write + doc count):
+          // pin it so the source isn't re-read per consumer
+          val b = batch.persist()
+          try {
+            ingestBatch(b.sparkSession, b, indexPath, id)
+            val n = b.select(col("doc_id")).distinct().count()
+            if (pending.addAndGet(n) >= refreshEveryDocs) {
+              LexQueries.refreshLexicon(b.sparkSession, indexPath)
+              pending.set(0L)
+            }
+          } finally { b.unpersist(); () }
+        }
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -50,7 +50,28 @@ object LshServe {
     * Output: (query_id, standing_id), distinct. */
   private[graft] def candidatesFor(
       spark: SparkSession, batch: DataFrame, indexPath: String,
-      tombstoneAware: Boolean): DataFrame = {
+      tombstoneAware: Boolean, shareResults: Boolean = true): DataFrame = {
+    if (shareResults) {
+      // RESULT SHARING: candidates depend only on the document TEXT, so
+      // a head-skewed batch (boilerplate re-crawls are exactly this)
+      // shingles + minhashes each distinct text ONCE and fans the
+      // per-text candidate sets back by a broadcast join — the
+      // LexQueries.queryBatch signature trick, text-keyed. Worst case
+      // (all-distinct) adds one batch-sized groupBy + one broadcast
+      // join, noise against the 12-hash signature pass it saves.
+      val reps = batch.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val repCand = candidatesFor(spark, reps, indexPath, tombstoneAware,
+        shareResults = false)
+        .withColumnRenamed("query_id", "rep_qid")
+      val mapping = batch.select(col("doc_id").as("out_qid"), col("text"))
+        .join(reps.select(col("doc_id").as("rep_id"), col("text")), "text")
+        .select(col("out_qid"), col("rep_id"))
+      return mapping.join(broadcast(repCand), col("rep_id") === col("rep_qid"))
+        .select(col("out_qid").as("query_id"), col("standing_id"))
+        .distinct()
+    }
     val sigs = SimilarityQueries.bandSigs(SimilarityQueries.minhashSigsOf(
         batch.select(col("doc_id"), col("text"))))
       .select(col("doc_id").as("query_id"), col("band").as("q_band"),

@@ -126,4 +126,74 @@ class LexIngestSpec extends SparkSuite {
     assert(postingRows(idxB) == rows1,
       "mid-promote replay must complete to the exact one-pass row set")
   }
+
+  test("auto-refresh cadence: grow past the threshold → bounds fresh, pruned serving exact; restart catches up") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val deltaRows = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (half1, half2) = deltaRows.splitAt(deltaRows.size / 2)
+
+    val idx = tmp("li_autorf")
+    LexQueries.buildLexIndexFrom(spark, base, idx)
+    // manual twin: batch append + manual refresh — what the cadence
+    // must reproduce bit for bit once it fires
+    val twin = tmp("li_autorf_twin")
+    LexQueries.buildLexIndexFrom(spark, base, twin)
+    LexQueries.appendLexIndex(spark,
+      docs.filter(col("doc_id") % 4 === 0), twin)
+    LexQueries.refreshLexicon(spark, twin)
+
+    val ms = MemoryStream[(Long, String)]
+    // threshold: more than half1, at most the whole delta — the first
+    // batch must leave the bounds stale, the second must refresh them
+    val query = LexIngest.start(spark, ms.toDF().toDF("doc_id", "text"),
+      idx, tmp("li_autorf_ckpt"),
+      refreshEveryDocs = half1.size + 1L)
+    try {
+      ms.addData(half1: _*); query.processAllAvailable()
+      assert(LexQueries.boundsStale(spark, idx),
+        "below the threshold the bounds must stay (honestly) stale")
+      ms.addData(half2: _*); query.processAllAvailable()
+      assert(!LexQueries.boundsStale(spark, idx),
+        "crossing the threshold must refresh the bounds")
+    } finally query.stop()
+    // refreshed state == manual append+refresh, bit for bit
+    def lexRows(p: String) = spark.read.parquet(s"$p/lexicon")
+      .select(col("tok"), col("df"), col("ub"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(lexRows(idx) == lexRows(twin))
+    val statsOf = (p: String) => LexQueries.loadStats(spark, p)
+      .collect().map(_.toSeq).toSeq
+    assert(statsOf(idx) == statsOf(twin))
+    // pruned serving is available again and exact
+    val run = LexQueries.maxscoreFromIndex(spark, idx)
+    assert(!run.boundsStale, "pruned serving must be armed post-refresh")
+    val unpruned = LexQueries.rankTop10(LexQueries.multitermTotals(
+        LexQueries.serveTermScores(spark, idx, LexQueries.QueryTerms,
+          LexQueries.loadStats(spark, idx))))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(run.result.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      .sameElements(unpruned))
+
+    // restart catch-up: an index left stale (crash before the cadence
+    // fired) seeds the counter at the threshold — the FIRST committed
+    // batch of the new stream triggers the catch-up refresh
+    val idx2 = tmp("li_autorf2")
+    LexQueries.buildLexIndexFrom(spark, base, idx2)
+    LexQueries.appendLexIndex(spark,
+      spark.createDataFrame(Seq((900001L, "join vector stream"))).toDF("doc_id", "text"),
+      idx2)
+    assert(LexQueries.boundsStale(spark, idx2))
+    val ms2 = MemoryStream[(Long, String)]
+    val query2 = LexIngest.start(spark, ms2.toDF().toDF("doc_id", "text"),
+      idx2, tmp("li_autorf2_ckpt"), refreshEveryDocs = 1000000L)
+    try {
+      ms2.addData((900002L, "window spark")); query2.processAllAvailable()
+      assert(!LexQueries.boundsStale(spark, idx2),
+        "a stale index must catch up on the new stream's first batch")
+    } finally query2.stop()
+  }
 }

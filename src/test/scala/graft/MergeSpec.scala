@@ -207,6 +207,62 @@ class MergeSpec extends SparkSuite {
     q.ivfAbsorb(spark, idx, shard)
   }
 
+  test("ivfpq merge: artifact-identical shards union index-to-index; divergent artifacts refuse") {
+    // central-training lifecycle: artifacts train on the odd slice,
+    // shard B adopts them verbatim — the merged index must equal a
+    // ONE-PASS encode of the whole corpus with those artifacts
+    val e = Tables.embeddings(spark, dir)
+    val dst = JFiles.createTempDirectory("pqm_dst").toString
+    q.buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), dst)
+    val src = JFiles.createTempDirectory("pqm_src").toString
+    q.buildIvfPqShardWithArtifacts(spark, dst,
+      e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+      src)
+    val sigsBefore = fileSigs(s"$dst/postings")
+    q.ivfPqIndexMergeInto(spark, dst, src)
+    // append-only on the destination
+    val sigsAfter = fileSigs(s"$dst/postings")
+    sigsBefore.foreach { case (p, s) =>
+      assert(sigsAfter.get(p).contains(s), s"pre-merge file rewritten: $p")
+    }
+    def codeSet(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("vid"), col("m"), col("code"), col("bucket").cast("long").as("bucket"))
+      .collect().map(r => (num(r.get(0)), num(r.get(1)), num(r.get(2)), num(r.get(3)))).toSet
+    val onePass = JFiles.createTempDirectory("pqm_onepass").toString
+    // one-pass twin: same artifacts, whole corpus encoded in one absorb
+    q.buildIvfPqShardWithArtifacts(spark, dst,
+      e.select(col("vec_id"), col("embedding")), onePass)
+    assert(codeSet(dst) == codeSet(onePass),
+      "merged codes must equal the one-pass encode under shared artifacts")
+    // sidecar covers both shards (M code rows per (vec, bucket) pair)
+    val idmap = spark.read.parquet(s"$dst/idmap").distinct().count()
+    assert(idmap * 4 == spark.read.parquet(s"$dst/postings").count())
+    // src tombstones purge on the way in
+    val dst2 = JFiles.createTempDirectory("pqm_dst2").toString
+    q.buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), dst2)
+    val src2 = JFiles.createTempDirectory("pqm_src2").toString
+    q.buildIvfPqShardWithArtifacts(spark, dst2,
+      e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+      src2)
+    val victim = spark.read.parquet(s"$src2/idmap").select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(1)
+    q.ivfPqIndexDelete(spark, src2, victim)
+    val victimId = victim.collect()(0).getLong(0)
+    q.ivfPqIndexMergeInto(spark, dst2, src2)
+    assert(spark.read.parquet(s"$dst2/postings")
+      .filter(col("vid") === victimId).count() == 0,
+      "src-tombstoned vector must not enter the merge")
+    assert(spark.read.parquet(s"$dst2/idmap")
+      .filter(col("vec_id") === victimId).count() == 0)
+    // artifact-DIVERGENT shards refuse loudly (independently trained)
+    val alien = JFiles.createTempDirectory("pqm_alien").toString
+    q.buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), alien)
+    val err = intercept[IllegalArgumentException](
+      q.ivfPqIndexMergeInto(spark, dst, alien))
+    assert(err.getMessage.contains("ivfPqAbsorb"),
+      "the refusal must point at the absorb path")
+  }
+
   test("ann_ivf_merged equals one-pass assignment of the union against shard-A centroids") {
     // the oracle's claim, engine-side: the merged-index serving rows must
     // be bit-identical to serving an index built in ONE pass over the

@@ -882,6 +882,27 @@ class PipelineQueriesSpec extends SparkSuite {
       .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("prefix_join equals the brute-force all-pairs join (positional filter is lossless)") {
+    import spark.implicits._
+    // EVERY pair at J >= 0.7, by definition — the set the prefix AND
+    // positional filters must not lose a single member of
+    val arrs = Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(SimilarityQueries.shingleColPublic(col("ws"))).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- arrs; (b, sb) <- arrs if a < b
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0 && inter * 10 >= uni * 7
+    } yield (a, b)).toSet
+    val got = SimilarityQueries.prefixJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("filtered_ann: every hit shares the query's label and fills k where possible") {
     val out = SimilarityQueries.filteredAnn(spark, dir).collect()
     assert(out.nonEmpty)
