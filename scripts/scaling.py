@@ -65,6 +65,11 @@ DRIVER = {
     "bm25_maxscore": "documents", "hybrid_served": "documents",
     "bm25_maxp": "documents", "phrase_search": "documents",
     "prox_search": "documents", "contamination_served": "documents",
+    # round-15 extension: the remaining expensive families (VERDICT r14
+    # item 7) — stats/curation ops not yet measured past sf0.1
+    "bootstrap_ci": "events", "theil_sen": "events",
+    "span_excise": "documents", "span_excise_keep_one": "documents",
+    "token_budget_select": "documents", "boilerplate_ngrams": "documents",
 }
 
 
