@@ -614,6 +614,17 @@ object LexQueries {
     * actionable message instead of an driver OOM. */
   private[graft] val MaxBatchTerms = 100000
 
+  /** Auto-engage threshold for per-signature MaxScore pruning in
+    * [[queryBatch]]: total matched posting rows (Σ df over the batch's
+    * distinct lexicon terms) above which the candidate semi-join pays
+    * for the fold/top-k it shrinks. Below it the unpruned single-pass
+    * plan wins outright (LexAb: 1.8–2.3× at the 5 k/50 k-doc fixtures,
+    * whose batches match ~10⁵–10⁶ rows). 10⁷ is ~20× the measured
+    * break-even region's upper edge — deliberately conservative, since
+    * the unpruned plan is never worse than 2× optimal in the regime
+    * between. */
+  private[graft] val PruneAutoRows: Long = 10000000L
+
   /** Multi-query MaxScore: [[maxscoreFromIndex]]'s pruning applied
     * inside [[queryBatch]], per SIGNATURE and fully distributed — the
     * serving-edge analogue of the single-query pruned path, lossless by
@@ -646,13 +657,30 @@ object LexQueries {
     *     doc) fold + per-sig top-k window — the MaxScore economics in
     *     batch form.
     *
+    * WHEN it pays — measured, not assumed: in a doc-at-a-time engine
+    * MaxScore skips posting READS; in this batch engine both plans read
+    * the same slot-pruned postings once, and pruning trades one
+    * candidate semi-join + a θ window against the smaller fold/top-k.
+    * That trade LOSES when posting lists are short (LexAb measured the
+    * pruned path 1.8–2.3× slower on the 5 k/50 k-doc fixture indexes —
+    * the semi-join shuffle is comparable to the fold it shrinks) and
+    * wins only when matched posting mass per batch is huge and
+    * candidates are few (long posting lists, selective term mixes — the
+    * true 100 TB serving regime). So the default is AUTO: engage
+    * pruning only when the batch's matched posting rows (Σ df over its
+    * distinct lexicon terms — known from the same driver-side lexicon
+    * lookup the slot pruning needs) exceed [[PruneAutoRows]]; force it
+    * either way with `maxscorePrune = Some(...)` (the parity specs pin
+    * both paths bit-identical).
+    *
     * Gated on bound freshness exactly like the single-query path: a
     * `_bounds_stale` index serves through the unpruned plan. The
     * StreamingSpec parity pin holds bit-for-bit because pruning only
     * removes rows that cannot appear in the answer. */
   private[graft] def queryBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int = 10,
-      tombstoneAware: Boolean = false, maxscorePrune: Boolean = true): DataFrame = {
+      tombstoneAware: Boolean = false,
+      maxscorePrune: Option[Boolean] = None): DataFrame = {
     // RESULT SHARING across identical queries — the optimization that
     // makes the scoring cost ∝ DISTINCT query sets, not query count: a
     // BM25 answer depends only on the query's term SET, so queries
@@ -680,7 +708,16 @@ object LexQueries {
         "this edge serves QUERIES; stream documents through CorpusIngest " +
         "instead, or raise MaxBatchTerms")
     val terms = termRows.map(_.getString(0)).toSeq
-    val prune = maxscorePrune && terms.nonEmpty && !boundsStale(spark, indexPath)
+    // ≤ |terms| lexicon rows; feeds the auto decision (Σ df = matched
+    // posting rows to be folded) and, when pruning engages, the per-sig
+    // bound lists
+    val lexRows =
+      if (terms.isEmpty) Array.empty[(String, Long, Double)]
+      else queryLexicon(spark, indexPath, terms)
+        .select(col("tok"), col("df"), col("ub")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val prune = maxscorePrune.getOrElse(lexRows.map(_._2).sum >= PruneAutoRows) &&
+      terms.nonEmpty && !boundsStale(spark, indexPath)
     val scored0 = serveTermScores(spark, indexPath, terms, statsRow,
       tombstoneAware)
     // with pruning on, three consumers (θ windows, candidate pairs, the
@@ -690,8 +727,11 @@ object LexQueries {
       col("tok") === col("qtok2"))
     val kept = if (!prune) joined else {
       // per-sig terms sorted ub-ascending; last element is the champion
-      val ubq = queryLexicon(spark, indexPath, terms)
-        .select(col("tok").as("utok"), col("ub"))
+      // (bounds come from the already-collected lexicon rows — no
+      // second lexicon read)
+      val ubq = spark.createDataFrame(
+          lexRows.toIndexedSeq.map(t => (t._1, t._3)))
+        .toDF("utok", "ub")
       val sigTerms = sigTok.join(broadcast(ubq), col("tok") === col("utok"))
         .groupBy(col("qsig"))
         .agg(sort_array(collect_list(struct(col("ub"), col("tok")))).as("tl"))

@@ -72,7 +72,15 @@ final class UpsertSink(
   def merge(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val delta = elect(batch).withColumn("kb", kb).localCheckpoint()
-    // touched buckets: bounded by nBuckets, safe to collect
+    // touched buckets: bounded by nBuckets — but nBuckets is caller
+    // config, so admit the collect LOUDLY (the lex edge's MaxBatchTerms
+    // stance) instead of trusting every deployment to keep it sane
+    require(nBuckets <= UpsertSink.MaxCollectableBuckets,
+      s"UpsertSink: nBuckets=$nBuckets exceeds " +
+        s"${UpsertSink.MaxCollectableBuckets} - the touched-bucket set " +
+        "collects to the driver per batch; use fewer, larger buckets " +
+        "(the copy-on-write unit should be sized in MBs, not rows) or " +
+        "raise MaxCollectableBuckets deliberately")
     val touched = delta.select(col("kb")).distinct().collect().map(_.getLong(0))
     if (touched.nonEmpty) {
       val merged =
@@ -105,4 +113,13 @@ final class UpsertSink(
       .foreachBatch((df: DataFrame, id: Long) => merge(df, id))
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+}
+
+object UpsertSink {
+  /** Driver-side ceiling on the per-batch touched-bucket collect —
+    * 1M longs ≈ 8 MB, far past any sane bucketing (the bucket is the
+    * COPY-ON-WRITE unit; a million of them means per-batch rewrites
+    * are already metadata-bound) but a hard stop before a pathological
+    * config turns the bookkeeping collect into a driver OOM. */
+  val MaxCollectableBuckets: Int = 1 << 20
 }

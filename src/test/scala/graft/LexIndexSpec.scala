@@ -310,7 +310,7 @@ class LexIndexSpec extends SparkSuite {
       (3L, "vector stream"), (4L, "join vector stream window spark"),
       (5L, "merge hash join"), (6L, "stream"), (7L, "zzz_absent")).toDF("qid", "text")
     def run(pr: Boolean) = LexQueries.queryBatch(spark, queries, idx, stats,
-      k = 5, maxscorePrune = pr)
+      k = 5, maxscorePrune = Some(pr))
     val pruned = run(true).collect().map(_.toSeq).sortBy(_.mkString("|"))
     val unpruned = run(false).collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(pruned.sameElements(unpruned),
