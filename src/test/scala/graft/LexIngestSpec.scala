@@ -127,6 +127,36 @@ class LexIngestSpec extends SparkSuite {
       "mid-promote replay must complete to the exact one-pass row set")
   }
 
+  test("crash-window replay re-marks bounds stale even after an intervening refresh") {
+    // the exact interleave the beforePromote seam exists for: a batch
+    // stages fully (_STAGED fence) and crashes before promoting; an
+    // operator runs refreshLexicon (marker cleared, bounds now cover
+    // the STANDING postings only); the stream restarts and replays the
+    // batch — the promote grows the postings, so the marker MUST come
+    // back, or pruned serving would silently trust stale bounds
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    val idx = tmp("li_stale_window")
+    LexQueries.buildLexIndexFrom(spark, base, idx)
+    // stage batch 9 without promoting (the crash)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$idx/_staging/9")
+    LexQueries.postingRows(delta)
+      .write.partitionBy("slot").mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_STAGED"), true).close()
+    // the intervening refresh clears any staleness
+    LexQueries.refreshLexicon(spark, idx)
+    assert(!LexQueries.boundsStale(spark, idx))
+    // replay completes the promote — and must re-mark
+    LexIngest.ingestBatch(spark, delta, idx, 9L)
+    assert(LexQueries.boundsStale(spark, idx),
+      "the crash-window replay grew the postings; bounds must be stale again")
+  }
+
   test("auto-refresh cadence: grow past the threshold → bounds fresh, pruned serving exact; restart catches up") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, dir)

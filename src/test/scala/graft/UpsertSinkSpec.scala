@@ -108,4 +108,15 @@ class UpsertSinkSpec extends SparkSuite {
       .head()
     assert(row.getAs[Long]("us") == 99999L && row.getAs[Long]("event_id") == 777L)
   }
+
+  test("pathological bucket count fails loudly before the driver-side collect") {
+    import spark.implicits._
+    val sink = new graft.streaming.UpsertSink(
+      java.nio.file.Files.createTempDirectory("upsert_guard").toString,
+      keyCols = Seq("user_id"), versionCols = Seq("us"), valueCols = Nil,
+      nBuckets = graft.streaming.UpsertSink.MaxCollectableBuckets + 1)
+    val e = intercept[IllegalArgumentException](
+      sink.merge(Seq((1L, 2L)).toDF("user_id", "us"), 0L))
+    assert(e.getMessage.contains("nBuckets"))
+  }
 }
