@@ -115,6 +115,7 @@ object SparkEntry {
     "bm25_served" -> (LexQueries.bm25Served _),
     "bm25_multiterm" -> (LexQueries.bm25Multiterm _),
     "bm25_maxscore" -> (LexQueries.bm25Maxscore _),
+    "bm25_grown_maxscore" -> (LexQueries.bm25GrownMaxscore _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -966,8 +967,14 @@ object SparkEntry {
   private def bm25Total: String =
     LexQueries.QueryTerms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
 
-  private def bm25MultitermSql: String =
-    s"""WITH ${bm25ScoredBody()},
+  private def bm25MultitermSql: String = bm25MultitermSqlWith()
+
+  /** [[bm25MultitermSql]] with the scored body's freshness filters
+    * exposed — `bm25_grown_maxscore` freezes df/stats at the base slice
+    * (the grown-index staleness contract) while tf covers everything. */
+  private def bm25MultitermSqlWith(gWhere: String = "",
+      dfWhere: String = ""): String =
+    s"""WITH ${bm25ScoredBody(gWhere, dfWhere)},
        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |   $bm25Pivots
        |  FROM s GROUP BY doc_id),
@@ -2140,6 +2147,12 @@ object SparkEntry {
     // bm25_maxscore prunes with the lexicon's exact per-term bounds; the
     // UNPRUNED oracle gates that the pruning is lossless
     "bm25_maxscore" -> bm25MultitermSql,
+    // the MaxScore entry point on a GROWN index: the _bounds_stale
+    // marker forces the exact unpruned fallback, whose answer (df/stats
+    // frozen at the base slice, tf over the grown corpus) this oracle
+    // recomputes — lossy pruning against stale bounds could not match it
+    "bm25_grown_maxscore" -> bm25MultitermSqlWith(
+      gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

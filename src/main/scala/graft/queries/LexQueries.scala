@@ -1037,20 +1037,39 @@ object LexQueries {
       .select(col("doc_id"), col("bm_rk"), col("cos_rk"), col("rrf"), col("rk"))
   }
 
-  /** `bm25_appended`: per-term top-10 from an index built on the BASE
-    * slice (doc_id % 4 != 0) then grown with the delta slice under the
-    * FROZEN lexicon — the oracle recomputes df/stats over the base slice
-    * and tf over everything, pinning the staleness contract exactly. */
-  def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
-    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_app",
+  /** The base+append grown index behind `bm25_appended` and
+    * `bm25_grown_maxscore` — built once per fixture under the shared
+    * cache discipline (both consumers serve the SAME physical index, so
+    * the bench prices serving, not a duplicate build). */
+  private def appendedLexIndex(spark: SparkSession, dir: String): String =
+    SimilarityQueries.servedIndexWith(dir, "lexidx_app",
         lexStamp(spark, dir)) { p =>
       buildLexIndexFrom(spark,
         Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0), p)
       appendLexIndex(spark,
         Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0), p)
     }
+
+  /** `bm25_appended`: per-term top-10 from an index built on the BASE
+    * slice (doc_id % 4 != 0) then grown with the delta slice under the
+    * FROZEN lexicon — the oracle recomputes df/stats over the base slice
+    * and tf over everything, pinning the staleness contract exactly. */
+  def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
+    val idx = appendedLexIndex(spark, dir)
     perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
   }
+
+  /** `bm25_grown_maxscore`: the MaxScore entry point asked to serve the
+    * GROWN index — the query that hash-gates the bound-staleness
+    * contract itself. The append left `_bounds_stale` standing, so
+    * [[maxscoreFromIndex]] must refuse the pruned plan and answer
+    * through the exact unpruned fallback; the oracle recomputes the
+    * multi-term top-10 with df/stats FROZEN at the base slice and tf
+    * over the grown corpus — the answer only the fallback produces
+    * (lossy pruning against the stale bounds would drop any delta doc
+    * whose score outgrew its term's frozen ub). */
+  def bm25GrownMaxscore(spark: SparkSession, dir: String): DataFrame =
+    maxscoreFromIndex(spark, appendedLexIndex(spark, dir)).result
 
   /** `bm25_deleted`: per-term top-10 serving AROUND the fixed takedown
     * batch — tombstone anti-join, zero posting files rewritten; the
