@@ -116,6 +116,7 @@ object SparkEntry {
     "bm25_multiterm" -> (LexQueries.bm25Multiterm _),
     "bm25_maxscore" -> (LexQueries.bm25Maxscore _),
     "bm25_grown_maxscore" -> (LexQueries.bm25GrownMaxscore _),
+    "bm25_filtered" -> (LexQueries.bm25Filtered _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -973,8 +974,8 @@ object SparkEntry {
     * exposed — `bm25_grown_maxscore` freezes df/stats at the base slice
     * (the grown-index staleness contract) while tf covers everything. */
   private def bm25MultitermSqlWith(gWhere: String = "",
-      dfWhere: String = ""): String =
-    s"""WITH ${bm25ScoredBody(gWhere, dfWhere)},
+      dfWhere: String = "", tfWhere: String = ""): String =
+    s"""WITH ${bm25ScoredBody(gWhere, dfWhere, tfWhere)},
        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |   $bm25Pivots
        |  FROM s GROUP BY doc_id),
@@ -2153,6 +2154,11 @@ object SparkEntry {
     // recomputes — lossy pruning against stale bounds could not match it
     "bm25_grown_maxscore" -> bm25MultitermSqlWith(
       gWhere = "WHERE doc_id % 4 <> 0", dfWhere = "WHERE doc_id % 4 <> 0"),
+    // faceted retrieval: the facet scopes the CANDIDATE set only —
+    // df/stats stay corpus-wide (the ranking model is unscoped), so the
+    // oracle is the multiterm chain with just the tf-rows filter added
+    "bm25_filtered" -> bm25MultitermSqlWith(
+      tfWhere = "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

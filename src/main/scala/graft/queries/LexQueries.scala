@@ -88,9 +88,19 @@ object LexQueries {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos") + 1)).as("posns"))
 
-  /** Persist the lexical index over the fixture's documents table. */
-  def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+  /** Persist the lexical index over the fixture's documents table —
+    * plus the ATTRIBUTE sidecar faceted retrieval filters on: one thin
+    * (doc_id, source) row per document PARTITIONED BY lang, so a
+    * facet's allowlist is a partition-pruned read of two narrow columns
+    * (never a text byte), and low-cardinality facets cost one directory
+    * listing at any corpus size. */
+  def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     buildLexIndexFrom(spark, Tables.documents(spark, dir), indexPath)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .write.partitionBy("lang").mode("overwrite")
+      .parquet(s"$indexPath/attrs")
+  }
 
   /** [[buildLexIndex]] generic over the document source (the appended
     * family builds on the base slice). Build cost is one tokenize pass,
@@ -443,7 +453,7 @@ object LexQueries {
   /** Physical-layout version folded into every cached-index staleness
     * stamp: bumping it invalidates indexes built by older code whose
     * on-disk layout changed (the fixture stamp alone cannot see that). */
-  private val LayoutVersion = "lex-v3"
+  private val LayoutVersion = "lex-v4" // v4: attrs/ facet sidecar
 
   private def lexStamp(spark: SparkSession, dir: String): String =
     s"${SimilarityQueries.documentsStamp(spark, dir)};$LayoutVersion"
@@ -1057,6 +1067,37 @@ object LexQueries {
   def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
     val idx = appendedLexIndex(spark, dir)
     perTermTop10(serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
+  }
+
+  /** `bm25_filtered`: FACETED retrieval from the persisted index —
+    * [[SimilarityQueries.filteredAnn]]'s lexical twin, and the
+    * production lexical query shape (retrieval is almost always scoped:
+    * a language, a source, a license class): the 5-term top-10
+    * restricted to `lang = 'en'` documents with FILTER-FIRST semantics
+    * — the predicate lands before the top-k, so k fills among
+    * qualifying docs whenever k exist (post-filtering a global top-k
+    * cannot give that). BM25 statistics stay CORPUS-wide (frozen
+    * df/stats — the standard faceted-search semantics: the facet scopes
+    * the result set, not the ranking model), so scores are bit-identical
+    * to the unfiltered serve and the oracle reuses the multiterm chain
+    * with only the candidate filter added.
+    *
+    * Plan: the facet's allowlist is a PARTITION-PRUNED read of the
+    * `attrs/` sidecar (lang=en directory only, two thin columns, zero
+    * text bytes) semi-joined into the slot-pruned scored rows —
+    * un-hinted, so AQE broadcasts the facet when small and
+    * shuffle-joins when a facet spans the corpus. For very hot
+    * low-cardinality facets the next step up is facet-partitioned
+    * postings; the sidecar keeps ONE posting layout while making every
+    * facet's allowlist read O(facet), which is the right default. */
+  def bm25Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    val allowed = spark.read.parquet(s"$idx/attrs")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("fdoc"))
+    val scored = serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx))
+      .join(allowed, col("doc_id") === col("fdoc"), "left_semi")
+    rankTop10(multitermTotals(scored))
   }
 
   /** `bm25_grown_maxscore`: the MaxScore entry point asked to serve the

@@ -325,6 +325,55 @@ class LexIndexSpec extends SparkSuite {
       "stale bounds must disarm the pruned serving path")
   }
 
+  test("auto pruning stays OFF below the posting-mass threshold (the measured break-even gate)") {
+    // fixture posting mass (Σ df over the 5 query terms) is orders of
+    // magnitude under PruneAutoRows — the auto decision must take the
+    // single-pass unpruned plan, the one LexAb measured 2× faster here
+    import spark.implicits._
+    val idx = tmp("lexauto")
+    LexQueries.buildLexIndexFrom(spark,
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")), idx)
+    val auto = LexQueries.queryBatch(spark,
+      Seq((1L, "join vector stream")).toDF("qid", "text"),
+      idx, LexQueries.loadStats(spark, idx))
+    assert(!auto.queryExecution.executedPlan.treeString.contains("LeftSemi"),
+      "below PruneAutoRows the auto path must serve unpruned")
+  }
+
+  test("bm25_filtered: filter-first facet semantics; allowlist reads the attrs sidecar, never text") {
+    val out = LexQueries.bm25Filtered(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // every hit is an en doc, and k fills among qualifying docs: the
+    // unfiltered top-10 restricted to en is a PREFIX of the filtered
+    // ranking, never the whole answer when more en docs qualify
+    val enDocs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(enDocs(r.getAs[Long]("doc_id"))))
+    val unfiltered = LexQueries.bm25Multiterm(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).filter(enDocs)
+    assert(out.length >= unfiltered.length,
+      "filter-first must fill k at least as well as post-filtering")
+    // scores are bit-identical to the unfiltered serve (corpus-wide
+    // frozen statistics — the facet scopes candidates, not the model)
+    val unfScores = LexQueries.bm25Multiterm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    out.foreach { r =>
+      unfScores.get(r.getAs[Long]("doc_id")).foreach(s =>
+        assert(s == r.getAs[Double]("score"), "facet must not change scores"))
+    }
+    // plan: the documents table is never scanned — the facet allowlist
+    // comes from the partition-pruned attrs sidecar
+    val p = LexQueries.bm25Filtered(spark, dir)
+      .queryExecution.executedPlan.treeString
+    assert(!p.contains("documents.parquet"),
+      s"faceted serving must not scan the corpus:\n$p")
+    assert(p.contains("/attrs"), "the allowlist must come from the attrs sidecar")
+    assert(p.contains("lang=en") || p.contains("PartitionFilters: [isnotnull(lang"),
+      "the facet read must be partition-pruned to its directory")
+  }
+
   test("contamination_served plan: the training corpus is never re-tokenized") {
     val p = LexQueries.contaminationServed(spark, dir)
       .queryExecution.executedPlan.treeString
