@@ -179,11 +179,12 @@ object Main {
         case ("lex", "build") =>
           graft.queries.LexQueries.buildLexIndex(spark, sfDir, indexDir)
         case ("lex", "append") =>
+          // the frame passes through whole: posting rows use doc_id +
+          // text; lang/source (when the parquet carries them) feed the
+          // facet sidecar, absent ones land in the honest `und` facet
           graft.queries.LexQueries.appendLexIndex(spark,
             spark.read.parquet(cli.getOrElse("docDir",
-                sys.error("--docDir required for lex append")))
-              .select(org.apache.spark.sql.functions.col("doc_id"),
-                org.apache.spark.sql.functions.col("text")),
+              sys.error("--docDir required for lex append"))),
             indexDir)
         case ("lex", "delete") =>
           graft.queries.LexQueries.deleteLexDocs(spark, indexDir,

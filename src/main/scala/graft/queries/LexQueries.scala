@@ -88,18 +88,29 @@ object LexQueries {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos") + 1)).as("posns"))
 
-  /** Persist the lexical index over the fixture's documents table —
-    * plus the ATTRIBUTE sidecar faceted retrieval filters on: one thin
+  /** Persist the lexical index over the fixture's documents table. */
+  def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    buildLexIndexFrom(spark, Tables.documents(spark, dir), indexPath)
+
+  /** The ATTRIBUTE sidecar rows faceted retrieval filters on: one thin
     * (doc_id, source) row per document PARTITIONED BY lang, so a
     * facet's allowlist is a partition-pruned read of two narrow columns
-    * (never a text byte), and low-cardinality facets cost one directory
-    * listing at any corpus size. */
-  def buildLexIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    buildLexIndexFrom(spark, Tables.documents(spark, dir), indexPath)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"))
-      .write.partitionBy("lang").mode("overwrite")
-      .parquet(s"$indexPath/attrs")
+    * (never a text byte) and low-cardinality facets cost one directory
+    * listing at any corpus size. Tolerant of attribute-less frames
+    * (spec fixtures, the chunk pseudo-corpus): a missing lang lands in
+    * the honest `und` (ISO undetermined) partition — visible there
+    * rather than silently absent from every facet — and a missing
+    * source rides as null. The sidecar is maintained by EVERY writer
+    * (build, append, merge, streamed ingest, compact purge), so a
+    * grown index's facets cover its delta docs — the same
+    * no-silent-staleness stance as `_bounds_stale`. */
+  private[graft] def attrsRows(docs: DataFrame): DataFrame = {
+    val src = if (docs.columns.contains("source")) col("source").cast("string")
+      else lit(null).cast("string")
+    val lang = if (docs.columns.contains("lang"))
+      coalesce(col("lang").cast("string"), lit("und"))
+    else lit("und")
+    docs.select(col("doc_id"), src.as("source"), lang.as("lang"))
   }
 
   /** [[buildLexIndex]] generic over the document source (the appended
@@ -123,6 +134,8 @@ object LexQueries {
     writeLexiconFrom(spark, indexPath,
       spark.read.parquet(s"$indexPath/postings")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+    attrsRows(docs).write.partitionBy("lang").mode("overwrite")
+      .parquet(s"$indexPath/attrs")
     // a full rebuild computes fresh bounds over exactly these postings
     clearBoundsStale(spark, indexPath)
   }
@@ -173,6 +186,9 @@ object LexQueries {
     postingRows(docsDelta)
       .write.partitionBy("slot").mode("append")
       .parquet(s"$indexPath/postings")
+    // facets must cover the delta — new files only, per-lang directories
+    attrsRows(docsDelta).write.partitionBy("lang").mode("append")
+      .parquet(s"$indexPath/attrs")
   }
 
   /** A document frame's slot-routed posting rows — the write-side unit
@@ -345,6 +361,42 @@ object LexQueries {
             survivors.drop("slot").limit(0).write.mode("overwrite")
               .parquet(s"$indexPath/postings/slot=${touched.head}")
         } finally survivors.unpersist()
+      }
+      // facet-sidecar purge: rewrite only the lang partitions that still
+      // hold tombstoned rows (the slot-compact discipline on the attrs
+      // tree); an index built before the sidecar existed has none
+      val attrsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      if (fs.exists(attrsRoot)) {
+        val tombs2 = broadcast(spark.read.parquet(tombPath.toString)
+          .select(col("doc_id").as("tomb_id")).distinct())
+        val touchedLang = spark.read.parquet(attrsRoot.toString)
+          .join(tombs2, col("doc_id") === col("tomb_id"))
+          .select(col("lang")).distinct()
+          .collect().map(_.getString(0)).toIndexedSeq
+        if (touchedLang.nonEmpty) {
+          val surv = spark.read.parquet(attrsRoot.toString)
+            .filter(col("lang").isin(touchedLang: _*))
+            .join(tombs2, col("doc_id") === col("tomb_id"), "left_anti")
+            .select(col("doc_id"), col("source"), col("lang"))
+            .persist()
+          try {
+            val survLang = surv.select(col("lang")).distinct()
+              .collect().map(_.getString(0)).toSet
+            surv.write.partitionBy("lang")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").parquet(attrsRoot.toString)
+            touchedLang.filterNot(survLang).foreach { l =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$indexPath/attrs/lang=$l"), true)
+            }
+            val anyLangLeft = fs.exists(attrsRoot) &&
+              fs.listStatus(attrsRoot).exists(st =>
+                st.isDirectory && st.getPath.getName.startsWith("lang="))
+            if (!anyLangLeft)
+              surv.drop("lang").limit(0).write.mode("overwrite")
+                .parquet(s"$indexPath/attrs/lang=${touchedLang.head}")
+          } finally surv.unpersist()
+        }
       }
       fs.delete(tombPath, true)
     } finally release()
@@ -826,6 +878,21 @@ object LexQueries {
     // the destination's frozen MaxScore bounds don't cover src postings
     markBoundsStale(spark, dstIndex)
     live.write.partitionBy("slot").mode("append").parquet(s"$dstIndex/postings")
+    // facets must cover the absorbed shard: src attrs (tombstone-purged)
+    // append into the destination's per-lang directories; a shard built
+    // before the sidecar existed simply contributes none
+    val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
+    if (fs.exists(srcAttrs)) {
+      val a = spark.read.parquet(srcAttrs.toString)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val liveA =
+        if (fs.exists(tombPath)) {
+          val tomb = broadcast(spark.read.parquet(tombPath.toString)
+            .select(col("doc_id").as("_tomb_del")).distinct())
+          a.join(tomb, a("doc_id") === tomb("_tomb_del"), "left_anti")
+        } else a
+      liveA.write.partitionBy("lang").mode("append").parquet(s"$dstIndex/attrs")
+    }
   }
 
   /** `bm25_merged`: per-term top-10 after merging a shard index (built

@@ -100,7 +100,7 @@ object LexIngest {
     // on a replay of an already-committed batch (which returns at the
     // commit-marker check and so cannot undo a refresh that ran since)
     StagedCommit.run(spark, indexPath, batchId, "LexIngest.ingestBatch",
-        trees = Seq("postings"),
+        trees = Seq("postings", "attrs"),
         beforePromote = () => LexQueries.markBoundsStale(spark, indexPath)) {
       staging =>
       // repartition ON THE SLOT before the staged write — the same
@@ -111,5 +111,12 @@ object LexIngest {
         .repartition(col("slot"))
         .write.partitionBy("slot").mode("overwrite")
         .parquet(new Path(staging, "postings").toString)
+      // facet sidecar rides the same exactly-once commit: one thin row
+      // per doc into its lang directory (streams without lang/source
+      // columns land honestly in `und`, never silently facet-less)
+      LexQueries.attrsRows(batch)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").mode("overwrite")
+        .parquet(new Path(staging, "attrs").toString)
     }
 }

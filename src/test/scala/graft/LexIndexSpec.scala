@@ -374,6 +374,45 @@ class LexIndexSpec extends SparkSuite {
       "the facet read must be partition-pruned to its directory")
   }
 
+  test("facet sidecar follows the whole lifecycle: append/merge/ingest docs facet-visible, compact purges, attribute-less docs land in und") {
+    import spark.implicits._
+    def attrs(idx: String) = spark.read.parquet(s"$idx/attrs")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val base = Seq((1L, "join vector", "en", "web"),
+      (2L, "stream window", "de", "web")).toDF("doc_id", "text", "lang", "source")
+    val idx = tmp("lexattr")
+    LexQueries.buildLexIndexFrom(spark, base, idx)
+    assert(attrs(idx) == Set((1L, "en", "web"), (2L, "de", "web")))
+    // append carries attributes; an attribute-less frame lands in und
+    LexQueries.appendLexIndex(spark,
+      Seq((3L, "spark join", "en", "crawl")).toDF("doc_id", "text", "lang", "source"), idx)
+    LexQueries.appendLexIndex(spark, Seq((4L, "vector")).toDF("doc_id", "text"), idx)
+    assert(attrs(idx).contains((3L, "en", "crawl")))
+    assert(attrs(idx).contains((4L, "und", null)))
+    // merge absorbs the shard's attrs, src tombstones purged on the way
+    val shard = tmp("lexattr_shard")
+    LexQueries.buildLexIndexFrom(spark,
+      Seq((10L, "join stream", "fr", "web"),
+        (11L, "window", "fr", "web")).toDF("doc_id", "text", "lang", "source"), shard)
+    LexQueries.deleteLexDocs(spark, shard, Seq(11L))
+    LexQueries.lexIndexMergeInto(spark, idx, shard)
+    assert(attrs(idx).contains((10L, "fr", "web")))
+    assert(!attrs(idx).exists(_._1 == 11L), "src-tombstoned attrs must not merge")
+    // streamed ingest stages attrs under the same exactly-once commit
+    graft.streaming.LexIngest.ingestBatch(spark,
+      Seq((20L, "spark stream", "es", "feed")).toDF("doc_id", "text", "lang", "source"),
+      idx, 1L)
+    assert(attrs(idx).contains((20L, "es", "feed")))
+    // compact purges tombstoned attrs rows from their lang partitions
+    LexQueries.deleteLexDocs(spark, idx, Seq(10L, 20L))
+    LexQueries.compactLexIndex(spark, idx)
+    val after = attrs(idx)
+    assert(!after.exists(r => r._1 == 10L || r._1 == 20L),
+      "compact must purge tombstoned facet rows")
+    assert(after.contains((1L, "en", "web")) && after.contains((4L, "und", null)))
+  }
+
   test("contamination_served plan: the training corpus is never re-tokenized") {
     val p = LexQueries.contaminationServed(spark, dir)
       .queryExecution.executedPlan.treeString
