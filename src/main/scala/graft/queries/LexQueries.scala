@@ -772,9 +772,11 @@ object LexQueries {
     val terms = termRows.map(_.getString(0)).toSeq
     // ≤ |terms| lexicon rows; feeds the auto decision (Σ df = matched
     // posting rows to be folded) and, when pruning engages, the per-sig
-    // bound lists
+    // bound lists — skipped entirely when the caller forced pruning OFF
+    // (no decision to make, no bounds to build)
     val lexRows =
-      if (terms.isEmpty) Array.empty[(String, Long, Double)]
+      if (terms.isEmpty || maxscorePrune.contains(false))
+        Array.empty[(String, Long, Double)]
       else queryLexicon(spark, indexPath, terms)
         .select(col("tok"), col("df"), col("ub")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -860,7 +862,16 @@ object LexQueries {
     * destination's lexicon and stats stay FROZEN (its df/avgdl now
     * understate the grown corpus — the same idf-staleness contract as
     * [[appendLexIndex]], refreshed at the next rebuild). Cost:
-    * O(src postings); the destination corpus is never read. */
+    * O(src postings); the destination corpus is never read.
+    *
+    * Atomicity contract (all merge families share it): the posting and
+    * attrs appends are separate jobs — each commits atomically via the
+    * parquet committer, but a crash BETWEEN them leaves postings merged
+    * without the shard's facet rows, and re-running the merge would
+    * duplicate postings. Merges are operator-driven maintenance: run
+    * against a quiesced destination and, on a crash, restore from the
+    * shard (still intact — the merge never mutates its source) rather
+    * than re-running blind. */
   def lexIndexMergeInto(spark: SparkSession, dstIndex: String,
       srcIndex: String): Unit = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$srcIndex/tombstones")
