@@ -416,7 +416,10 @@ object Main {
           // (qid, text) retrieval queries → LexServe BM25 top-10 against
           // the standing inverted index (build with --mode index
           // --family lex); stats cached at stream start, lexicon and
-          // postings slot-pruned per batch
+          // postings slot-pruned per batch. --facetLang xx scopes every
+          // query to that facet (filter-first; the attrs sidecar's one
+          // lang directory re-read per batch, so appended facet rows
+          // land on the next micro-batch like tombstones)
           val qSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("qid",
               org.apache.spark.sql.types.LongType),
@@ -425,7 +428,7 @@ object Main {
           graft.streaming.LexServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
-            tombstoneAware = tombAware)
+            tombstoneAware = tombAware, facetLang = cli.get("facetLang"))
         case other => sys.error(s"unknown serve family: $other")
       }
       q.awaitTermination()

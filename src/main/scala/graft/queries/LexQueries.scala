@@ -739,10 +739,17 @@ object LexQueries {
     * `_bounds_stale` index serves through the unpruned plan. The
     * StreamingSpec parity pin holds bit-for-bit because pruning only
     * removes rows that cannot appear in the answer. */
+  /** `docFilter` is the faceted-serving seam: a candidate-doc
+    * restriction (e.g. the attrs-sidecar facet allowlist) applied to
+    * the scored rows BEFORE the fold and top-k — filter-first
+    * semantics, like [[bm25Filtered]]; the MaxScore machinery then
+    * operates entirely within the filtered doc set, so pruning stays
+    * lossless relative to the filtered answer. */
   private[graft] def queryBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int = 10,
       tombstoneAware: Boolean = false,
-      maxscorePrune: Option[Boolean] = None): DataFrame = {
+      maxscorePrune: Option[Boolean] = None,
+      docFilter: DataFrame => DataFrame = identity): DataFrame = {
     // RESULT SHARING across identical queries — the optimization that
     // makes the scoring cost ∝ DISTINCT query sets, not query count: a
     // BM25 answer depends only on the query's term SET, so queries
@@ -782,8 +789,8 @@ object LexQueries {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val prune = maxscorePrune.getOrElse(lexRows.map(_._2).sum >= PruneAutoRows) &&
       terms.nonEmpty && !boundsStale(spark, indexPath)
-    val scored0 = serveTermScores(spark, indexPath, terms, statsRow,
-      tombstoneAware)
+    val scored0 = docFilter(serveTermScores(spark, indexPath, terms, statsRow,
+      tombstoneAware))
     // with pruning on, three consumers (θ windows, candidate pairs, the
     // final fold) share one materialization of the matched postings
     val scored = if (prune) scored0.localCheckpoint(true) else scored0

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.queries.LexQueries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming LEXICAL retrieval over the persisted BM25 inverted index —
@@ -47,12 +48,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object LexServe {
 
   /** One micro-batch answered from the index — exposed for direct batch
-    * parity testing. Output: (qid, doc_id, n_terms, score, rk). */
+    * parity testing. Output: (qid, doc_id, n_terms, score, rk).
+    *
+    * `facetLang` scopes every query to one facet with FILTER-FIRST
+    * semantics ([[LexQueries.bm25Filtered]]'s contract, streaming): the
+    * allowlist is a partition-pruned read of the `attrs/` sidecar's one
+    * lang directory, re-read PER BATCH — like tombstones — so facet
+    * rows landed by a concurrent append/ingest scope the very next
+    * micro-batch with no restart. */
   private[graft] def serveBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int,
-      tombstoneAware: Boolean): DataFrame =
+      tombstoneAware: Boolean, facetLang: Option[String] = None): DataFrame =
     LexQueries.queryBatch(spark, batch, indexPath, statsRow, k,
-      tombstoneAware)
+      tombstoneAware, docFilter = facetLang match {
+        case None => identity
+        case Some(l) =>
+          df => df.join(
+            spark.read.parquet(s"$indexPath/attrs")
+              .filter(col("lang") === l).select(col("doc_id").as("_facet_doc")),
+            df("doc_id") === col("_facet_doc"), "left_semi")
+      })
 
   /** Start serving `queries` (a STREAMING frame with columns `qid`,
     * `text`) against the persisted lexical index at `indexPath`; each
@@ -65,7 +80,8 @@ object LexServe {
       checkpointDir: String,
       k: Int = 10,
       availableNow: Boolean = false,
-      tombstoneAware: Boolean = false
+      tombstoneAware: Boolean = false,
+      facetLang: Option[String] = None
   ): StreamingQuery = {
     // corpus stats: one frozen row for the index's life — loaded and
     // pinned once, broadcast into every batch's scoring
@@ -75,7 +91,7 @@ object LexServe {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(serveBatch(batch.sparkSession, batch, indexPath, statsRow, k,
-          tombstoneAware), id)
+          tombstoneAware, facetLang), id)
       }
     // a throwing start() never registers the listener — release the
     // pinned stats row before rethrowing rather than leak it

@@ -413,6 +413,38 @@ class LexIndexSpec extends SparkSuite {
     assert(after.contains((1L, "en", "web")) && after.contains((4L, "und", null)))
   }
 
+  test("faceted multi-query serving: filter-first per facet, bit-parity with a manual allowlist restriction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join vector stream", "en", "web"),
+      (2L, "join vector", "de", "web"),
+      (3L, "join stream spark", "en", "crawl"),
+      (4L, "vector window spark", "de", "web"),
+      (5L, "join", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val idx = tmp("lexfacetserve")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val stats = LexQueries.loadStats(spark, idx)
+    val queries = Seq((1L, "join vector"), (2L, "spark")).toDF("qid", "text")
+    val faceted = graft.streaming.LexServe.serveBatch(spark, queries, idx,
+        stats, k = 10, tombstoneAware = false, facetLang = Some("en"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    // manual twin: the unfaceted serve restricted BEFORE top-k by the
+    // same allowlist (filter-first), via the generic docFilter seam
+    val allow = spark.read.parquet(s"$idx/attrs")
+      .filter(col("lang") === "en").select(col("doc_id").as("_d"))
+    val manual = LexQueries.queryBatch(spark, queries, idx, stats, k = 10,
+        docFilter = df => df.join(allow, df("doc_id") === col("_d"), "left_semi"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(faceted.nonEmpty && faceted.sameElements(manual))
+    val enDocs = Set(1L, 3L, 5L)
+    faceted.foreach(r => assert(enDocs(r(1).asInstanceOf[Long]),
+      s"non-facet doc served: ${r(1)}"))
+    // filter-first: qid 1 must see ALL its en matches (docs 1, 3, 5),
+    // including ones a global unfaceted top-k could have displaced
+    val q1 = faceted.filter(_.head == 1L).map(_(1).asInstanceOf[Long]).toSet
+    assert(q1 == Set(1L, 3L, 5L))
+  }
+
   test("contamination_served plan: the training corpus is never re-tokenized") {
     val p = LexQueries.contaminationServed(spark, dir)
       .queryExecution.executedPlan.treeString
