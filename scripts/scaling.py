@@ -70,6 +70,13 @@ DRIVER = {
     "bootstrap_ci": "events", "theil_sen": "events",
     "span_excise": "documents", "span_excise_keep_one": "documents",
     "token_budget_select": "documents", "boilerplate_ngrams": "documents",
+    # round-16 extension: the last unmeasured >=1 s families (VERDICT r15
+    # item 3) — lineitem-audit ops, the banded two-scorer agreement, the
+    # three-chain near-dup re-derivation, and the IVFPQ recall audit
+    "schema_integrity": "lineitem", "cheapest_supplier": "lineitem",
+    "null_profile": "lineitem", "bloom_prune": "lineitem",
+    "score_agreement": "documents", "neardup_families": "documents",
+    "ivfpq_recall": "embeddings",
 }
 
 

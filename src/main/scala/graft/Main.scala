@@ -385,10 +385,15 @@ object Main {
           val qSchema = org.apache.spark.sql.types.StructType(
             spark.read.parquet(s"$indexDir/postings")
               .select("vec_id", "embedding").schema.fields)
+          // --facetLabel N scopes every query to that facet
+          // (filter-first; the attrs sidecar's one label directory
+          // re-read per batch, so appended facet rows land on the next
+          // micro-batch like tombstones)
           graft.streaming.AnnServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
-            tombstoneAware = tombAware)
+            tombstoneAware = tombAware,
+            facetLabel = cli.get("facetLabel").map(_.toLong))
         case "ivfpq" =>
           // code postings carry no raw vectors; the query vector type
           // comes from the stored centroids instead
@@ -401,7 +406,8 @@ object Main {
           graft.streaming.PqServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
-            tombstoneAware = tombAware)
+            tombstoneAware = tombAware,
+            facetLabel = cli.get("facetLabel").map(_.toLong))
         case "lsh" =>
           val qSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
@@ -425,10 +431,14 @@ object Main {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))
+          // --facetSource src scopes to one source (the takedown/
+          // licensing shape) — attrs level-2 partition pruning; combine
+          // with --facetLang for a leaf-pruned two-axis facet
           graft.streaming.LexServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
-            tombstoneAware = tombAware, facetLang = cli.get("facetLang"))
+            tombstoneAware = tombAware, facetLang = cli.get("facetLang"),
+            facetSource = cli.get("facetSource"))
         case other => sys.error(s"unknown serve family: $other")
       }
       q.awaitTermination()

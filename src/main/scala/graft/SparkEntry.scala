@@ -60,6 +60,8 @@ object SparkEntry {
     "ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     "ann_ivf_trained_served" -> (SimilarityQueries.annIvfTrainedServed _),
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
+    "filtered_ann_served" -> (SimilarityQueries.filteredAnnServed _),
+    "ivfpq_ann_filtered" -> (SimilarityQueries.ivfPqAnnFiltered _),
     "ann_ivf_merged" -> (SimilarityQueries.annIvfMerged _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
@@ -117,6 +119,7 @@ object SparkEntry {
     "bm25_maxscore" -> (LexQueries.bm25Maxscore _),
     "bm25_grown_maxscore" -> (LexQueries.bm25GrownMaxscore _),
     "bm25_filtered" -> (LexQueries.bm25Filtered _),
+    "bm25_filtered_source" -> (LexQueries.bm25FilteredSource _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -127,6 +130,7 @@ object SparkEntry {
     "prox_search" -> (LexQueries.proxSearch _),
     "contamination_served" -> (LexQueries.contaminationServed _),
     "hybrid_served" -> (LexQueries.hybridServed _),
+    "hybrid_filtered" -> (LexQueries.hybridFiltered _),
     "rank_fusion" -> (CurationQueries.rankFusion _),
     "multimodal_meta" -> ((s: SparkSession, dir: String) =>
       graft.operators.Multimodal.metaQuery(graft.sources.Tables.documents(s, dir))),
@@ -1301,6 +1305,21 @@ object SparkEntry {
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "filtered_ann_served" ->
+      // the served chain with the facet filtered FIRST: the candidate
+      // side restricts to label = FacetLabel BEFORE the rank window, so
+      // k fills among qualifying vectors in the probed buckets and
+      // surviving scores are bit-identical to the unfiltered serve
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+         |      WHERE a.vec_id IN (SELECT vec_id FROM embeddings
+         |                         WHERE label = ${SimilarityQueries.FacetLabel})),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
     "ann_ivf_merged" ->
       // shard-A centroids; routing/serving tail identical to
       // ann_ivf_served — frozen-centroid merge ≡ one-pass assignment
@@ -1798,6 +1817,15 @@ object SparkEntry {
     "ivfpq_ann_served" ->
       s"""$IvfPqBody
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    "ivfpq_ann_filtered" ->
+      // the composite chain with the facet filtered FIRST on the
+      // candidate code rows (candExtra lands inside the ADC candidate
+      // join's WHERE) — filter-first, ADC distances bit-identical to
+      // the unfiltered serve on facet survivors
+      s"""${ivfPqBodyWith("", "", "",
+             candExtra = " AND e.vid IN (SELECT vec_id FROM embeddings" +
+               s" WHERE label = ${SimilarityQueries.FacetLabel})")}
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     // ADC shortlist (top-10 of the composite chain), then EXACT cosine
     // re-rank over only the shortlist's raw vectors -- the FAISS refine
     // recipe; `en` (full-vector norms) comes from the IvfAssignSql base
@@ -2159,6 +2187,10 @@ object SparkEntry {
     // oracle is the multiterm chain with just the tf-rows filter added
     "bm25_filtered" -> bm25MultitermSqlWith(
       tfWhere = "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+    // the source-facet twin (takedown/licensing scope): same chain, the
+    // candidate filter keyed on the attrs tree's SECOND partition level
+    "bm25_filtered_source" -> bm25MultitermSqlWith(
+      tfWhere = "WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')"),
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,
@@ -2238,6 +2270,42 @@ object SparkEntry {
          |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(lg.sum_dl AS DOUBLE) / CAST(lg.n_docs AS DOUBLE))))) AS score
          |  FROM ltf f CROSS JOIN ldfq d JOIN ldl l ON f.doc_id = l.doc_id CROSS JOIN lg),
          |lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rk FROM ls),
+         |lex AS (SELECT doc_id, bm_rk FROM lexr WHERE bm_rk <= 50),
+         |fused AS (SELECT coalesce(l.doc_id, m.vid) AS doc_id, l.bm_rk, m.cos_rk,
+         |    coalesce(1.0 / (60.0 + CAST(l.bm_rk AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(m.cos_rk AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.vid),
+         |fr AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+         |SELECT doc_id, bm_rk, cos_rk, rrf, rk FROM fr WHERE rk <= 20""".stripMargin,
+    "hybrid_filtered" ->
+      // hybrid_served's chain with the facet filtered FIRST in BOTH
+      // arms: each arm's rank window runs over facet survivors only
+      // (filter-first ranks-within-facet), while the SCORES stay the
+      // unfaceted per-pair/frozen-stat values — exactly the engine's
+      // semi-join-before-rank plan
+      s"""$IvfAssignSql,
+         |fct AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id = 0),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid),
+         |csr AS (SELECT vid, CAST(row_number() OVER (ORDER BY cos DESC, vid) AS BIGINT) AS cos_rk
+         |        FROM p WHERE vid IN (SELECT doc_id FROM fct)),
+         |sem AS (SELECT vid, cos_rk FROM csr WHERE cos_rk <= 50),
+         |lt AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |ldl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM lt),
+         |lg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM ldl),
+         |ltk AS (SELECT doc_id, unnest(ws) AS tok FROM lt),
+         |ltf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM ltk
+         |  WHERE tok = 'vector' GROUP BY doc_id),
+         |ldfq AS (SELECT CAST(count(*) AS BIGINT) AS df FROM ltf),
+         |ls AS (SELECT f.doc_id,
+         |    ((CAST(lg.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         |      * (CAST(f.tf AS DOUBLE) * 2.2)
+         |      / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(lg.sum_dl AS DOUBLE) / CAST(lg.n_docs AS DOUBLE))))) AS score
+         |  FROM ltf f CROSS JOIN ldfq d JOIN ldl l ON f.doc_id = l.doc_id CROSS JOIN lg),
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rk
+         |         FROM ls WHERE doc_id IN (SELECT doc_id FROM fct)),
          |lex AS (SELECT doc_id, bm_rk FROM lexr WHERE bm_rk <= 50),
          |fused AS (SELECT coalesce(l.doc_id, m.vid) AS doc_id, l.bm_rk, m.cos_rk,
          |    coalesce(1.0 / (60.0 + CAST(l.bm_rk AS DOUBLE)), 0.0)

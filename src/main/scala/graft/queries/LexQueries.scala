@@ -93,25 +93,32 @@ object LexQueries {
     buildLexIndexFrom(spark, Tables.documents(spark, dir), indexPath)
 
   /** The ATTRIBUTE sidecar rows faceted retrieval filters on: one thin
-    * (doc_id, source) row per document PARTITIONED BY lang, so a
-    * facet's allowlist is a partition-pruned read of two narrow columns
-    * (never a text byte) and low-cardinality facets cost one directory
-    * listing at any corpus size. Tolerant of attribute-less frames
-    * (spec fixtures, the chunk pseudo-corpus): a missing lang lands in
-    * the honest `und` (ISO undetermined) partition — visible there
-    * rather than silently absent from every facet — and a missing
-    * source rides as null. The sidecar is maintained by EVERY writer
-    * (build, append, merge, streamed ingest, compact purge), so a
-    * grown index's facets cover its delta docs — the same
-    * no-silent-staleness stance as `_bounds_stale`. */
+    * doc_id row per document PARTITIONED BY (lang, source) — BOTH
+    * production facet axes are partition levels, so a language facet
+    * prunes at level 1, a source facet (the takedown/licensing shape)
+    * at level 2, and a combined predicate at the leaf: every facet's
+    * allowlist is a partition-pruned read of one narrow column (never a
+    * text byte) and low-cardinality facets cost one directory listing
+    * at any corpus size. Tolerant of attribute-less frames (spec
+    * fixtures, the chunk pseudo-corpus): a missing lang lands in the
+    * honest `und` (ISO undetermined) partition and a missing source in
+    * `unk` — visible there rather than silently absent from every
+    * facet. The sidecar is maintained by EVERY writer (build, append,
+    * merge, streamed ingest, compact purge), so a grown index's facets
+    * cover its delta docs — the same no-silent-staleness stance as
+    * `_bounds_stale`. */
   private[graft] def attrsRows(docs: DataFrame): DataFrame = {
-    val src = if (docs.columns.contains("source")) col("source").cast("string")
-      else lit(null).cast("string")
+    val src = if (docs.columns.contains("source"))
+      coalesce(col("source").cast("string"), lit("unk"))
+    else lit("unk")
     val lang = if (docs.columns.contains("lang"))
       coalesce(col("lang").cast("string"), lit("und"))
     else lit("und")
-    docs.select(col("doc_id"), src.as("source"), lang.as("lang"))
+    docs.select(col("doc_id"), lang.as("lang"), src.as("source"))
   }
+
+  /** The attrs tree's partition spec, shared by every writer. */
+  private[graft] val AttrsPartCols: Seq[String] = Seq("lang", "source")
 
   /** [[buildLexIndex]] generic over the document source (the appended
     * family builds on the base slice). Build cost is one tokenize pass,
@@ -134,7 +141,7 @@ object LexQueries {
     writeLexiconFrom(spark, indexPath,
       spark.read.parquet(s"$indexPath/postings")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
-    attrsRows(docs).write.partitionBy("lang").mode("overwrite")
+    attrsRows(docs).write.partitionBy(AttrsPartCols: _*).mode("overwrite")
       .parquet(s"$indexPath/attrs")
     // a full rebuild computes fresh bounds over exactly these postings
     clearBoundsStale(spark, indexPath)
@@ -183,12 +190,19 @@ object LexQueries {
     // until the next refresh/rebuild (a crash after the mark but before
     // the write leaves only spurious staleness — the safe direction)
     markBoundsStale(spark, indexPath)
+    // attrs land BEFORE postings — the two writes are separate jobs and
+    // only this order crashes harmlessly: facet rows without postings
+    // are dead weight (the allowlist is a semi-join restriction, an
+    // unmatched doc_id there selects nothing), whereas postings without
+    // facet rows would serve unfiltered yet be absent from EVERY facet,
+    // contradicting the sidecar's no-silently-absent stance. Re-running
+    // the append after such a crash duplicates only attrs rows, which
+    // the semi-join dedups by construction.
+    attrsRows(docsDelta).write.partitionBy(AttrsPartCols: _*).mode("append")
+      .parquet(s"$indexPath/attrs")
     postingRows(docsDelta)
       .write.partitionBy("slot").mode("append")
       .parquet(s"$indexPath/postings")
-    // facets must cover the delta — new files only, per-lang directories
-    attrsRows(docsDelta).write.partitionBy("lang").mode("append")
-      .parquet(s"$indexPath/attrs")
   }
 
   /** A document frame's slot-routed posting rows — the write-side unit
@@ -265,23 +279,43 @@ object LexQueries {
     * the refresh completes it (idempotent; inputs are the postings,
     * which refresh never touches). */
   def refreshLexicon(spark: SparkSession, indexPath: String): Unit = {
-    SimilarityQueries.assertNoMaintenance(fsOf(spark, indexPath), indexPath,
-      "refreshLexicon")
-    // the recount covers LIVE postings only: tombstoned docs are
-    // anti-joined out, so refresh-after-delete equals a rebuild over
-    // the surviving corpus (what tombstone-aware serving answers from)
-    // rather than a state no build could produce
-    val post = tombFilter(spark, indexPath, tombstoneAware = true)(
-        spark.read.parquet(s"$indexPath/postings"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-    // stats from the distinct per-doc lengths riding the posting rows
-    post.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
-    writeLexiconFrom(spark, indexPath, post)
-    // bounds recomputed over the CURRENT postings — pruned serving is
-    // exact again (cleared last: a crash mid-refresh re-runs it)
-    clearBoundsStale(spark, indexPath)
+    // refresh HOLDS the maintenance marker for its read-to-clear span
+    // (growers assertNoMaintenance and so fail loudly while it stands):
+    // without the fence, a grower that marks-and-writes between the
+    // postings read below and the clearBoundsStale at the end would get
+    // its marker wiped while the refreshed bounds do not cover its
+    // postings — pruning silently lossy, the exact class the marker
+    // exists to prevent. The fence turns that interleaving into a loud
+    // retry on the grower's side; reachable in practice now that
+    // LexIngest's auto-refresh cadence runs refresh routinely during
+    // streaming. A crash inside the span leaves the marker standing —
+    // operator removes it or re-runs the (idempotent) refresh via
+    // compact-style recovery; the safe direction, since a standing
+    // marker only refuses writes, never corrupts. Unlike a compact,
+    // refresh does NOT refuse over uncommitted ingest staging: it never
+    // rewrites posting files, and a staged-but-unpromoted batch's
+    // replay re-marks staleness through the beforePromote seam, so a
+    // refresh inside the crash window stays safe (LexIngestSpec pins
+    // exactly that interleave).
+    val release = SimilarityQueries.acquireMaintenance(
+      fsOf(spark, indexPath), indexPath, refuseStaging = false)
+    try {
+      // the recount covers LIVE postings only: tombstoned docs are
+      // anti-joined out, so refresh-after-delete equals a rebuild over
+      // the surviving corpus (what tombstone-aware serving answers from)
+      // rather than a state no build could produce
+      val post = tombFilter(spark, indexPath, tombstoneAware = true)(
+          spark.read.parquet(s"$indexPath/postings"))
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      // stats from the distinct per-doc lengths riding the posting rows
+      post.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$indexPath/stats")
+      writeLexiconFrom(spark, indexPath, post)
+      // bounds recomputed over the CURRENT postings — pruned serving is
+      // exact again (cleared last: a crash mid-refresh re-runs it)
+      clearBoundsStale(spark, indexPath)
+    } finally release()
   }
 
   /** `bm25_refreshed`: serve after append + [[refreshLexicon]] — the
@@ -362,39 +396,56 @@ object LexQueries {
               .parquet(s"$indexPath/postings/slot=${touched.head}")
         } finally survivors.unpersist()
       }
-      // facet-sidecar purge: rewrite only the lang partitions that still
-      // hold tombstoned rows (the slot-compact discipline on the attrs
-      // tree); an index built before the sidecar existed has none
+      // facet-sidecar purge: rewrite only the (lang, source) LEAF
+      // partitions that still hold tombstoned rows (the slot-compact
+      // discipline on the attrs tree — the touched set is bounded by
+      // delete traffic, never by facet cardinality); an index built
+      // before the sidecar existed has none
       val attrsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
       if (fs.exists(attrsRoot)) {
         val tombs2 = broadcast(spark.read.parquet(tombPath.toString)
           .select(col("doc_id").as("tomb_id")).distinct())
-        val touchedLang = spark.read.parquet(attrsRoot.toString)
+        val touchedPair = spark.read.parquet(attrsRoot.toString)
           .join(tombs2, col("doc_id") === col("tomb_id"))
-          .select(col("lang")).distinct()
-          .collect().map(_.getString(0)).toIndexedSeq
-        if (touchedLang.nonEmpty) {
+          .select(col("lang"), col("source")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+        if (touchedPair.nonEmpty) {
+          // level-1 pruning gates the read; the leaf predicate below
+          // narrows to exactly the touched pairs
+          val pairPred = touchedPair.map { case (l, s) =>
+            col("lang") === l && col("source") === s
+          }.reduce(_ || _)
           val surv = spark.read.parquet(attrsRoot.toString)
-            .filter(col("lang").isin(touchedLang: _*))
+            .filter(pairPred)
             .join(tombs2, col("doc_id") === col("tomb_id"), "left_anti")
-            .select(col("doc_id"), col("source"), col("lang"))
+            .select(col("doc_id"), col("lang"), col("source"))
             .persist()
           try {
-            val survLang = surv.select(col("lang")).distinct()
-              .collect().map(_.getString(0)).toSet
-            surv.write.partitionBy("lang")
+            val survPair = surv.select(col("lang"), col("source")).distinct()
+              .collect().map(r => (r.getString(0), r.getString(1))).toSet
+            surv.write.partitionBy(AttrsPartCols: _*)
               .option("partitionOverwriteMode", "dynamic")
               .mode("overwrite").parquet(attrsRoot.toString)
-            touchedLang.filterNot(survLang).foreach { l =>
+            // dynamic overwrite only rewrites leaves PRESENT in the new
+            // data — a fully-purged leaf directory drops explicitly
+            touchedPair.filterNot(survPair).foreach { case (l, s) =>
               fs.delete(new org.apache.hadoop.fs.Path(
-                s"$indexPath/attrs/lang=$l"), true)
+                s"$indexPath/attrs/lang=$l/source=$s"), true)
+              // and its lang directory too once the last source left
+              val langDir = new org.apache.hadoop.fs.Path(
+                s"$indexPath/attrs/lang=$l")
+              if (fs.exists(langDir) && !fs.listStatus(langDir).exists(st =>
+                  st.isDirectory && st.getPath.getName.startsWith("source=")))
+                fs.delete(langDir, true)
             }
             val anyLangLeft = fs.exists(attrsRoot) &&
               fs.listStatus(attrsRoot).exists(st =>
                 st.isDirectory && st.getPath.getName.startsWith("lang="))
-            if (!anyLangLeft)
-              surv.drop("lang").limit(0).write.mode("overwrite")
-                .parquet(s"$indexPath/attrs/lang=${touchedLang.head}")
+            if (!anyLangLeft) {
+              val (l0, s0) = touchedPair.head
+              surv.drop("lang").drop("source").limit(0).write.mode("overwrite")
+                .parquet(s"$indexPath/attrs/lang=$l0/source=$s0")
+            }
           } finally surv.unpersist()
         }
       }
@@ -505,7 +556,7 @@ object LexQueries {
   /** Physical-layout version folded into every cached-index staleness
     * stamp: bumping it invalidates indexes built by older code whose
     * on-disk layout changed (the fixture stamp alone cannot see that). */
-  private val LayoutVersion = "lex-v4" // v4: attrs/ facet sidecar
+  private val LayoutVersion = "lex-v5" // v5: attrs/ partitioned (lang, source)
 
   private def lexStamp(spark: SparkSession, dir: String): String =
     s"${SimilarityQueries.documentsStamp(spark, dir)};$LayoutVersion"
@@ -676,16 +727,25 @@ object LexQueries {
     * actionable message instead of an driver OOM. */
   private[graft] val MaxBatchTerms = 100000
 
-  /** Auto-engage threshold for per-signature MaxScore pruning in
-    * [[queryBatch]]: total matched posting rows (Σ df over the batch's
-    * distinct lexicon terms) above which the candidate semi-join pays
-    * for the fold/top-k it shrinks. Below it the unpruned single-pass
-    * plan wins outright (LexAb: 1.8–2.3× at the 5 k/50 k-doc fixtures,
-    * whose batches match ~10⁵–10⁶ rows). 10⁷ is ~20× the measured
-    * break-even region's upper edge — deliberately conservative, since
-    * the unpruned plan is never worse than 2× optimal in the regime
-    * between. */
-  private[graft] val PruneAutoRows: Long = 10000000L
+  /** WHY THERE IS NO AUTO-ENGAGE for per-signature MaxScore pruning:
+    * round 15 shipped one past Σ df ≥ 10⁷ matched posting rows — a
+    * threshold calibrated only from the LOSING side (LexAb at 10⁵–10⁶
+    * rows). Round 16 measured the engaging side (LexAbXl, 200 k-doc /
+    * 10.2 M-posting engineered index, bench_records/r16_lexabxl.txt)
+    * and the auto-engage is REMOVED on the result: at Σ df = 10⁷ with
+    * tiny essential sets (the textbook-best case) the pruned plan still
+    * measured 8.2 s vs the unpruned 3.6 s — 2.3× SLOWER, the same ratio
+    * as fixture scale — and in the high-fan-out regime (5 signatures
+    * sharing every long posting list, 50 M pre-fold rows over 10 M
+    * matched) it reached only a WASH (13.2 s both plans): in this batch
+    * engine the candidate screening passes (θ windows + essential-set
+    * semi-join + the extra materialization) cost at least what the
+    * per-(sig, doc) fold they shrink saves, at every measured scale and
+    * shape. The pruned path stays available via
+    * `maxscorePrune = Some(true)` — lossless, parity-pinned both ways,
+    * disarmed by stale bounds — for layouts where posting READS
+    * themselves could be skipped (impact-ordered postings), the one
+    * economics this engine's slot-pruned columnar scan does not have. */
 
   /** Multi-query MaxScore: [[maxscoreFromIndex]]'s pruning applied
     * inside [[queryBatch]], per SIGNATURE and fully distributed — the
@@ -719,21 +779,19 @@ object LexQueries {
     *     doc) fold + per-sig top-k window — the MaxScore economics in
     *     batch form.
     *
-    * WHEN it pays — measured, not assumed: in a doc-at-a-time engine
-    * MaxScore skips posting READS; in this batch engine both plans read
-    * the same slot-pruned postings once, and pruning trades one
-    * candidate semi-join + a θ window against the smaller fold/top-k.
-    * That trade LOSES when posting lists are short (LexAb measured the
-    * pruned path 1.8–2.3× slower on the 5 k/50 k-doc fixture indexes —
-    * the semi-join shuffle is comparable to the fold it shrinks) and
-    * wins only when matched posting mass per batch is huge and
-    * candidates are few (long posting lists, selective term mixes — the
-    * true 100 TB serving regime). So the default is AUTO: engage
-    * pruning only when the batch's matched posting rows (Σ df over its
-    * distinct lexicon terms — known from the same driver-side lexicon
-    * lookup the slot pruning needs) exceed [[PruneAutoRows]]; force it
-    * either way with `maxscorePrune = Some(...)` (the parity specs pin
-    * both paths bit-identical).
+    * WHEN it pays — measured, and the answer is NEVER on this engine:
+    * in a doc-at-a-time engine MaxScore skips posting READS; in this
+    * batch engine both plans read the same slot-pruned postings once,
+    * and pruning trades screening passes (θ windows, essential-set
+    * semi-join, an extra materialization) against the smaller
+    * fold/top-k. LexAb measured the pruned path 1.8–2.3× slower at the
+    * 5 k/50 k-doc fixtures; LexAbXl (round 16) measured the engineered
+    * BEST case — Σ df = 10⁷ matched rows, tiny essential sets — still
+    * 2.3× slower, and the 5×-fan-out shared-vocabulary regime a wash
+    * (see the essay above this method). The default is therefore the
+    * UNPRUNED single-pass plan, always; `maxscorePrune = Some(true)`
+    * forces the pruned plan (lossless, parity-pinned both ways) for
+    * study or for a future impact-ordered layout.
     *
     * Gated on bound freshness exactly like the single-query path: a
     * `_bounds_stale` index serves through the unpruned plan. The
@@ -777,17 +835,16 @@ object LexQueries {
         "this edge serves QUERIES; stream documents through CorpusIngest " +
         "instead, or raise MaxBatchTerms")
     val terms = termRows.map(_.getString(0)).toSeq
-    // ≤ |terms| lexicon rows; feeds the auto decision (Σ df = matched
-    // posting rows to be folded) and, when pruning engages, the per-sig
-    // bound lists — skipped entirely when the caller forced pruning OFF
-    // (no decision to make, no bounds to build)
+    // ≤ |terms| lexicon rows — the per-sig bound lists, read only when
+    // the caller FORCED the pruned plan (there is no auto decision to
+    // feed since round 16 removed the auto-engage on measurement)
     val lexRows =
-      if (terms.isEmpty || maxscorePrune.contains(false))
+      if (terms.isEmpty || !maxscorePrune.contains(true))
         Array.empty[(String, Long, Double)]
       else queryLexicon(spark, indexPath, terms)
         .select(col("tok"), col("df"), col("ub")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    val prune = maxscorePrune.getOrElse(lexRows.map(_._2).sum >= PruneAutoRows) &&
+    val prune = maxscorePrune.contains(true) &&
       terms.nonEmpty && !boundsStale(spark, indexPath)
     val scored0 = docFilter(serveTermScores(spark, indexPath, terms, statsRow,
       tombstoneAware))
@@ -901,15 +958,21 @@ object LexQueries {
     // before the sidecar existed simply contributes none
     val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
     if (fs.exists(srcAttrs)) {
+      // coalesce on the way in: a shard written by the single-level
+      // (pre-source-facet) layout carried source as a nullable DATA
+      // column; its nulls land in the honest `unk` partition here
       val a = spark.read.parquet(srcAttrs.toString)
-        .select(col("doc_id"), col("source"), col("lang"))
+        .select(col("doc_id"),
+          coalesce(col("lang").cast("string"), lit("und")).as("lang"),
+          coalesce(col("source").cast("string"), lit("unk")).as("source"))
       val liveA =
         if (fs.exists(tombPath)) {
           val tomb = broadcast(spark.read.parquet(tombPath.toString)
             .select(col("doc_id").as("_tomb_del")).distinct())
           a.join(tomb, a("doc_id") === tomb("_tomb_del"), "left_anti")
         } else a
-      liveA.write.partitionBy("lang").mode("append").parquet(s"$dstIndex/attrs")
+      liveA.write.partitionBy(AttrsPartCols: _*).mode("append")
+        .parquet(s"$dstIndex/attrs")
     }
   }
 
@@ -1109,16 +1172,51 @@ object LexQueries {
     * Scale: each arm prunes to 50 rows via TakeOrderedAndProject before
     * the fuse; the lexical arm reads one slot directory, the semantic
     * arm reads the probed bucket directories — neither scans a corpus. */
-  def hybridServed(spark: SparkSession, dir: String): DataFrame = {
+  def hybridServed(spark: SparkSession, dir: String): DataFrame =
+    hybridServedBy(spark, dir, facetPred = None)
+
+  /** `hybrid_filtered`: the FULL production retrieval shape in one
+    * query — hybrid (RRF over the persisted lexical + IVF indexes) with
+    * the SAME facet applied to BOTH arms, filter-first: each arm's
+    * candidates screen against the facet allowlist BEFORE that arm's
+    * rank window, so both top-50s fill among qualifying documents and
+    * the fused ranks are ranks WITHIN the facet (post-filtering fused
+    * output would instead underfill and carry unfaceted ranks). The
+    * allowlist is ONE partition-pruned read of the lexical index's
+    * attrs sidecar (the doc-attribute axis; doc_id ≡ vec_id in the
+    * fixture, so the same allowlist screens the vector arm's posting
+    * rows — the vector index's own sidecar carries the label axis,
+    * which is a different facet). BM25/cosine values are bit-identical
+    * to the unfiltered arms on facet survivors — only ranks shift. */
+  def hybridFiltered(spark: SparkSession, dir: String): DataFrame =
+    hybridServedBy(spark, dir, facetPred = Some(col("lang") === "en"))
+
+  private def hybridServedBy(spark: SparkSession, dir: String,
+      facetPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val lexIdx = servedLexIndex(spark, dir)
+    // the facet allowlist: one partition-pruned attrs read, screening
+    // BOTH arms (semi-joins dedup by construction)
+    val allowed = facetPred.map { p =>
+      spark.read.parquet(s"$lexIdx/attrs").filter(p)
+        .select(col("doc_id").as("_facet_doc"))
+    }
+    val lexScreen: DataFrame => DataFrame = df => allowed match {
+      case None => df
+      case Some(a) => df.join(a, df("doc_id") === a("_facet_doc"), "left_semi")
+    }
+    val vidScreen: DataFrame => DataFrame = df => allowed match {
+      case None => df
+      case Some(a) => df.join(a, df("vid") === a("_facet_doc"), "left_semi")
+    }
     val byScore = Seq(col("score").desc, col("doc_id").asc)
-    val lex = serveTermScores(spark, lexIdx, Seq("vector"),
-        loadStats(spark, lexIdx))
+    val lex = lexScreen(serveTermScores(spark, lexIdx, Seq("vector"),
+        loadStats(spark, lexIdx)))
       .orderBy(byScore: _*).limit(50)
       .withColumn("bm_rk", row_number().over(Window.orderBy(byScore: _*)).cast("long"))
       .select(col("doc_id"), col("bm_rk"))
     val byCos = Seq(col("cos").desc, col("vid").asc)
-    val sem = SimilarityQueries.annIvfServedTopK(spark, dir, qid = 0L, k = 50)
+    val sem = SimilarityQueries.annIvfServedTopK(spark, dir, qid = 0L, k = 50,
+        docFilter = vidScreen)
       .orderBy(byCos: _*).limit(50)
       .withColumn("cos_rk", row_number().over(Window.orderBy(byCos: _*)).cast("long"))
       .select(col("vid").as("doc_id"), col("cos_rk"))
@@ -1175,14 +1273,70 @@ object LexQueries {
     * low-cardinality facets the next step up is facet-partitioned
     * postings; the sidecar keeps ONE posting layout while making every
     * facet's allowlist read O(facet), which is the right default. */
-  def bm25Filtered(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Filtered(spark: SparkSession, dir: String): DataFrame =
+    bm25FilteredBy(spark, dir, col("lang") === "en")
+
+  /** `bm25_filtered_source`: the SOURCE-scoped facet twin — the
+    * takedown/licensing retrieval shape ("answer only from source X"):
+    * same filter-first semantics and corpus-frozen ranking model, the
+    * allowlist pruned at the attrs tree's SECOND partition level
+    * (`source=` leaf directories under every lang). One query shape,
+    * two independently-pruned facet axes. */
+  def bm25FilteredSource(spark: SparkSession, dir: String): DataFrame =
+    bm25FilteredBy(spark, dir, col("source") === "src3")
+
+  /** The shared faceted-serving chain: a partition-pruned attrs read
+    * under `facetPred` (any predicate over the lang/source partition
+    * columns — both levels prune), screened into the slot-pruned scored
+    * rows BEFORE the fold and top-k via [[facetScreen]]. */
+  private def bm25FilteredBy(spark: SparkSession, dir: String,
+      facetPred: org.apache.spark.sql.Column): DataFrame = {
     val idx = servedLexIndex(spark, dir)
-    val allowed = spark.read.parquet(s"$idx/attrs")
-      .filter(col("lang") === "en")
-      .select(col("doc_id").as("fdoc"))
-    val scored = serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx))
-      .join(allowed, col("doc_id") === col("fdoc"), "left_semi")
+    val scored = facetScreen(spark, idx, facetPred)(
+      serveTermScores(spark, idx, QueryTerms, loadStats(spark, idx)))
     rankTop10(multitermTotals(scored))
+  }
+
+  /** Threshold for the facet-allowlist SCAN-PUSHDOWN experiment: at or
+    * below this many allowlisted docs, [[facetScreen]] collects the ids
+    * and pushes a literal doc_id filter into the posting scan instead
+    * of semi-joining. MEASURED OFF (0) by default: LexAbXl's 200 k-doc
+    * fixture (bench_records/r16_lexabxl.txt) shows the pushdown
+    * LOSES at both selectivities — 0.91 s vs the semi-join's 0.77 s at
+    * a 100-doc facet over a 1 M-row matched posting set (the posting
+    * rows are slot-pruned but doc_id-UNSORTED within files, so the
+    * literal filter skips no row group and just pays per-row predicate
+    * evaluation against a broadcast hash probe that was already cheap),
+    * and catastrophically at a broad facet (12.4 s vs 1.14 s: a 200 k-
+    * literal predicate bloats the plan). The MaxScore-pruning lesson
+    * again: a doc-at-a-time engine's "prune the read" instinct does not
+    * transfer to a batch engine whose read was already partition-pruned
+    * — so the default is the measured winner (semi-join, always), and
+    * the seam + threshold remain for a future doc_id-clustered posting
+    * layout where row-group skipping would have teeth. */
+  private[graft] val FacetPushdownMaxIds: Long = 0L
+
+  /** The facet screen every faceted lexical path shares: allowlist from
+    * one partition-pruned attrs read; small facets push down as literal
+    * id filters, large ones semi-join (see [[FacetPushdownMaxIds]]).
+    * Lossless either way — FacetPushSpec pins both plans bit-identical. */
+  private[graft] def facetScreen(spark: SparkSession, indexPath: String,
+      facetPred: org.apache.spark.sql.Column,
+      pushdownMaxIds: Long = FacetPushdownMaxIds): DataFrame => DataFrame = {
+    val allowed = spark.read.parquet(s"$indexPath/attrs")
+      .filter(facetPred).select(col("doc_id"))
+    // the size probe reads ONLY the pruned facet directory's doc_id
+    // column and stops counting at the threshold — bounded driver work
+    // whatever the facet's true size
+    val small = pushdownMaxIds > 0 &&
+      allowed.limit(pushdownMaxIds.toInt + 1).count() <= pushdownMaxIds
+    if (small) {
+      val ids = allowed.collect().map(_.getLong(0)).toIndexedSeq
+      df => df.filter(col("doc_id").isin(ids: _*))
+    } else {
+      val f = allowed.select(col("doc_id").as("_facet_doc"))
+      df => df.join(f, df("doc_id") === col("_facet_doc"), "left_semi")
+    }
   }
 
   /** `bm25_grown_maxscore`: the MaxScore entry point asked to serve the

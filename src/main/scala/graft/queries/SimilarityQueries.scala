@@ -177,6 +177,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(e.sparkSession, indexPath)
+    writeVecAttrs(e, indexPath, "overwrite")
   }
 
   /** Serve [[annIvf]]'s query from a PERSISTED index: route the query
@@ -246,12 +247,18 @@ object SimilarityQueries {
     * index — the semantic arm of [[LexQueries.hybridServed]]: same stored
     * centroids, routing, and cosine as [[annIvfServed]], with a
     * caller-chosen k (hybrid fusion wants 50, not 3). */
+  /** `docFilter` is the faceted-hybrid seam: a candidate allowlist
+    * screen (e.g. the lex attrs facet, doc_id ≡ vec_id in the fixture)
+    * applied to the posting rows BEFORE the cosine and top-k —
+    * filter-first, so the semantic arm's k fills among qualifying
+    * vectors in the probed buckets. */
   private[graft] def annIvfServedTopK(spark: SparkSession, dir: String,
-      qid: Long, k: Int): DataFrame = {
+      qid: Long, k: Int,
+      docFilter: DataFrame => DataFrame = identity): DataFrame = {
     val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
     serveAgainstIndex(spark,
       withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") === qid),
-      loadCentRow(spark, idx), idx, IvfNprobe, identity, k)
+      loadCentRow(spark, idx), idx, IvfNprobe, docFilter, k)
   }
 
   /** One micro-batch of STREAMING ANN serving — [[serveAgainstIndex]]
@@ -261,19 +268,28 @@ object SimilarityQueries {
     * takedown ([[ivfIndexDelete]]) lands on the very next micro-batch
     * without restarting the serving stream. Exposed for
     * [[graft.streaming.AnnServe]]'s foreachBatch. */
+  /** `docFilter` is the faceted-serving seam ([[facetPostingsFilter]] —
+    * [[graft.queries.LexQueries.queryBatch]]'s twin): a candidate
+    * restriction composed OVER the tombstone screen, applied to the
+    * posting rows before any distance or top-k — filter-first, so k
+    * fills among qualifying vectors and surviving scores are
+    * bit-identical to the unfiltered serve. */
   private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
-      tombstoneAware: Boolean = false, shareResults: Boolean = true): DataFrame =
+      tombstoneAware: Boolean = false, shareResults: Boolean = true,
+      docFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val screen: DataFrame => DataFrame =
+      p => docFilter(tombstonePostingsFilter(spark, indexPath, tombstoneAware)(p))
     if (!shareResults)
       serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
-        tombstonePostingsFilter(spark, indexPath, tombstoneAware))
+        screen)
     else shareByEmbedding(queryVecs, k = 3,
       rankCols = Seq(col("cos").desc, col("vid").asc),
       payload = Seq("vid", "cos")) { reps =>
       serveAgainstIndex(spark, withNorm(reps), centRow, indexPath, nprobe,
-        tombstonePostingsFilter(spark, indexPath, tombstoneAware),
-        k = 4, excludeSelf = false)
+        screen, k = 4, excludeSelf = false)
     }
+  }
 
   /** RESULT SHARING for the vector serving edges — the
     * [[LexQueries.queryBatch]] signature-grouping trick ported to
@@ -320,6 +336,64 @@ object SimilarityQueries {
     ranked.select(outCols: _*)
   }
 
+  /** The ATTRIBUTE sidecar rows faceted VECTOR retrieval filters on —
+    * [[graft.queries.LexQueries.attrsRows]]'s embedding twin: one thin
+    * (vec_id, label) row per indexed vector PARTITIONED BY label, so a
+    * facet's allowlist is a partition-pruned read of one narrow column
+    * (never an embedding byte or a code row) and costs one directory
+    * listing at any corpus size. Tolerant of label-less frames (raw
+    * ingest batches, the hash-embedded pseudo-corpus): a missing or
+    * null label lands in the honest `-1` partition — visible there
+    * rather than silently absent from every facet. Maintained by EVERY
+    * writer (build, append, absorb, merge, streamed ingest, compact
+    * purge), the same no-silent-staleness stance as the lexical
+    * sidecar. */
+  private[graft] def vecAttrsRows(vecs: DataFrame): DataFrame = {
+    val lab = if (vecs.columns.contains("label"))
+      coalesce(col("label").cast("long"), lit(-1L))
+    else lit(-1L)
+    vecs.select(col("vec_id"), lab.as("label"))
+  }
+
+  /** Write-side sidecar maintenance shared by the vector-index writers.
+    * Appenders write attrs BEFORE postings (the harmless crash
+    * direction: a facet row without postings selects nothing — the
+    * allowlist is a semi-join restriction — whereas postings without a
+    * facet row would serve unfiltered yet be absent from every facet). */
+  private def writeVecAttrs(vecs: DataFrame, indexPath: String,
+      mode: String): Unit =
+    vecAttrsRows(vecs).write.partitionBy("label").mode(mode)
+      .parquet(s"$indexPath/attrs")
+
+  /** The FACETED-serving candidate screen for the vector families —
+    * [[graft.queries.LexQueries.queryBatch]]'s `docFilter` seam in
+    * postings-filter form: semi-join posting rows (`vid`) against the
+    * facet's allowlist, a PARTITION-PRUNED read of the `attrs/`
+    * sidecar's one label directory (two thin columns, zero embedding or
+    * code bytes). Filter-FIRST semantics: the screen lands before any
+    * distance/top-k, so k fills among qualifying vectors whenever k
+    * exist in the probed buckets, and surviving scores are bit-identical
+    * to the unfiltered serve (cosine/ADC are per-pair — no corpus
+    * statistic shifts). Re-evaluated per call/micro-batch, so facet rows
+    * landed by a concurrent append/ingest scope the next batch like
+    * tombstones. */
+  private[graft] def facetPostingsFilter(spark: SparkSession,
+      indexPath: String, facetLabel: Option[Long]): DataFrame => DataFrame =
+    facetLabel match {
+      case None => identity
+      case Some(l) =>
+        val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+        require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(attrs),
+          s"faceted serving: no attrs/ sidecar under $indexPath - the index " +
+            "predates faceted serving; rebuild it (or append/absorb once, " +
+            "which materializes facet rows for the delta) before serving " +
+            "with a facet")
+        val allowed = spark.read.parquet(attrs.toString)
+          .filter(col("label") === l).select(col("vec_id").as("_facet_vid"))
+        p => p.join(allowed, p("vid") === col("_facet_vid"), "left_semi")
+    }
+
   /** The per-batch tombstone screen shared by the streaming serving
     * paths: when enabled and tombstones exist, anti-join the posting
     * rows (`vid`) against the CURRENT broadcast tombstone set — re-read
@@ -353,13 +427,14 @@ object SimilarityQueries {
   private[graft] def servePqQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, cent: DataFrame, cb: DataFrame, indexPath: String,
       nprobe: Int = IvfNprobe, tombstoneAware: Boolean = false,
-      shareResults: Boolean = true): DataFrame = {
-    val enc = tombstonePostingsFilter(spark, indexPath, tombstoneAware)(
+      shareResults: Boolean = true,
+      docFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val enc = docFilter(tombstonePostingsFilter(spark, indexPath, tombstoneAware)(
       spark.read.parquet(s"$indexPath/postings")
         // partition column reads back INT (directory-name inference);
         // restore the join key's LONG type explicitly
         .select(col("vid"), col("m"), col("code"),
-          col("bucket").cast("long").as("vbucket")))
+          col("bucket").cast("long").as("vbucket"))))
     if (!shareResults)
       ivfPqSearch(enc,
         ivfPqAdcTableFrom(assignFromCents(withNorm(queryVecs), centRow, nprobe),
@@ -527,7 +602,8 @@ object SimilarityQueries {
     * re-tokenizing the corpus. Bit-identical to the in-session
     * [[hashEmbedAnn]] (same centroids, argmax, cosine fold, window). */
   def hashEmbedAnnServed(spark: SparkSession, dir: String): DataFrame = {
-    val idx = servedIndexWith(dir, "hashemb_ivf", documentsStamp(spark, dir)) {
+    val idx = servedIndexWith(dir, "hashemb_ivf",
+        s"${documentsStamp(spark, dir)};$VecLayoutVersion") {
       p => buildIvfIndexFrom(hashEmbedNormed(spark, dir), p)
     }
     // query vectors re-embed only the 10 query documents' text — the
@@ -569,6 +645,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
+    writeVecAttrs(e, indexPath, "overwrite")
   }
 
   /** [[annIvfTrained]] served from the PERSISTED trained index —
@@ -2138,6 +2215,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
+    writeVecAttrs(e, indexPath, "overwrite")
   }
 
   /** Serve [[ivfPqAnn]] from a PERSISTED index ([[buildIvfPqIndex]]) —
@@ -2273,6 +2351,43 @@ object SimilarityQueries {
     annIvfServe(spark, dir,
       servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)), nprobe)
 
+  /** The fixed facet value the `filtered_ann_served`/`ivfpq_ann_filtered`
+    * rows scope to — literal so the DuckDB oracle can mirror it. */
+  private[graft] val FacetLabel = 1L
+
+  /** `filtered_ann_served`: FACETED retrieval from the persisted IVF
+    * index — [[graft.queries.LexQueries.bm25Filtered]]'s vector twin,
+    * and the production ANN query shape ("nearest neighbors within
+    * label/language/source X" is the second-most-common retrieval after
+    * plain top-k): the IVF-served top-3 restricted to
+    * label = [[FacetLabel]] candidates with FILTER-FIRST semantics —
+    * the facet allowlist (a partition-pruned read of the `attrs/`
+    * sidecar's one label directory, one thin column, zero embedding
+    * bytes) screens the probed buckets' posting rows BEFORE the cosine
+    * and the top-k window, so k fills among qualifying vectors whenever
+    * k exist in the probed buckets, and surviving scores are
+    * bit-identical to the unfiltered serve (cosine is per-pair — no
+    * corpus statistic shifts). Versus [[filteredAnn]] (exact kNN over a
+    * corpus scan), this is the INDEX-SERVED path: O(query ×
+    * probed-bucket ∩ facet), never O(corpus) — what a standing faceted
+    * retrieval service runs. */
+  def filteredAnnServed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
+    ivfServeFrom(spark, withNorm(Tables.embeddings(spark, dir)), idx,
+      postingsFilter = facetPostingsFilter(spark, idx, Some(FacetLabel)))
+  }
+
+  /** `ivfpq_ann_filtered`: [[filteredAnnServed]] for the COMPOSITE
+    * index — the same facet allowlist screens the CODE posting rows
+    * before the ADC join, so the compressed serving path gains the
+    * identical filter-first facet semantics (the 100 TB deployment
+    * serves from codes; its faceted queries must too). */
+  def ivfPqAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _))
+    ivfPqAnnServe(spark, dir, idx,
+      postingsFilter = facetPostingsFilter(spark, idx, Some(FacetLabel)))
+  }
+
   /** Incremental growth of the persisted IVF index — the lifecycle step
     * after train-once ([[buildIvfIndex]]) and serve-many
     * ([[annIvfServe]]): new vectors arrive and must JOIN the index
@@ -2305,6 +2420,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
+    writeVecAttrs(base, indexPath, "overwrite")
   }
 
   /** One insert batch: route the delta slice (vec_id % 4 == 0) with the
@@ -2316,6 +2432,9 @@ object SimilarityQueries {
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "appendIvfIndex")
     val delta = withNorm(Tables.embeddings(spark, dir))
       .filter(col("vec_id") % 4 === 0)
+    // facets must cover the delta; attrs land first (the harmless crash
+    // direction — see writeVecAttrs)
+    writeVecAttrs(delta, indexPath, "append")
     val asn = assignFromCents(delta, storedCents(spark, indexPath))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     asn.write.partitionBy("bucket").mode("append")
@@ -2357,6 +2476,22 @@ object SimilarityQueries {
           .select(col("vec_id").as("_tomb_del")).distinct())
         srcRows.join(tomb, srcRows("vec_id") === tomb("_tomb_del"), "left_anti")
       } else srcRows
+    // facets must cover the absorbed shard: src attrs (tombstone-purged)
+    // append into the destination's per-label directories BEFORE the
+    // postings land (the harmless crash direction); a shard built before
+    // the sidecar existed simply contributes none
+    val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
+    if (fs.exists(srcAttrs)) {
+      val a = spark.read.parquet(srcAttrs.toString)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val liveA =
+        if (fs.exists(srcTomb)) {
+          val tomb = broadcast(spark.read.parquet(srcTomb.toString)
+            .select(col("vec_id").as("_tomb_del")).distinct())
+          a.join(tomb, a("vec_id") === tomb("_tomb_del"), "left_anti")
+        } else a
+      liveA.write.partitionBy("label").mode("append").parquet(s"$dstIndex/attrs")
+    }
     // routed once, consumed by the postings write AND the sidecar append
     val asn = assignFromCents(live, storedCents(spark, dstIndex))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
@@ -2385,6 +2520,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
+    writeVecAttrs(corpus, indexPath, "overwrite")
   }
 
   /** Argmax routing of a raw (vec_id, embedding) frame against a stored
@@ -2405,9 +2541,18 @@ object SimilarityQueries {
   def buildIvfIndexMerged(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val e = Tables.embeddings(spark, dir)
     buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
-    val srcIdx = java.nio.file.Files.createTempDirectory("ivf_shard_b").toString
+    // shard B stages as a SIBLING of the destination (same filesystem —
+    // works beyond local mode, unlike a driver-local temp dir) and is
+    // deleted once absorbed: the merge never mutates its source, so the
+    // shard is pure scratch after ivfIndexMergeInto returns
+    val srcIdx = s"${indexPath}_shard_b"
+    val fs = new org.apache.hadoop.fs.Path(srcIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
     buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), srcIdx)
     ivfIndexMergeInto(spark, indexPath, srcIdx)
+    fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
+    ()
   }
 
   /** [[annIvfServe]] over the shard-merged index
@@ -2470,6 +2615,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
+    writeVecAttrs(base, indexPath, "overwrite")
   }
 
   /** One insert batch for the composite index: route AND residual-encode
@@ -2477,9 +2623,11 @@ object SimilarityQueries {
     * codebooks — no training anywhere in this plan — and append
     * per-bucket; existing posting files are never rewritten. */
   def appendIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    // label rides along so the delta's facet rows carry the real facet,
+    // not the label-less -1 fallback
     ivfPqAbsorb(spark, indexPath,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("label")))
 
   /** Absorb an ARBITRARY raw (vec_id, embedding) frame into a persisted
     * composite index using only the STORED artifacts — the shard-corpus
@@ -2494,6 +2642,7 @@ object SimilarityQueries {
   def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfPqAbsorb")
+    writeVecAttrs(vecs, indexPath, "append") // before postings — crash-safe order
     val (codes, asnD) = pqEncodeBatch(vecs, storedCents(spark, indexPath),
       spark.read.parquet(s"$indexPath/centroids"),
       spark.read.parquet(s"$indexPath/codebooks"))
@@ -2559,6 +2708,13 @@ object SimilarityQueries {
           d(if (d.columns.contains("vid")) "vid" else "vec_id")
             === t("_tomb_del"), "left_anti")
       } else identity
+    // facets must cover the absorbed shard — src attrs (tombstone-purged)
+    // first, the crash-safe order shared by every appender
+    val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
+    if (fs.exists(srcAttrs))
+      tombF(spark.read.parquet(srcAttrs.toString)
+          .select(col("vec_id"), col("label").cast("long").as("label")))
+        .write.partitionBy("label").mode("append").parquet(s"$dstIndex/attrs")
     tombF(spark.read.parquet(s"$srcIndex/postings")
         .select(col("vid"), col("m"), col("code"),
           col("bucket").cast("long").as("bucket")))
@@ -2595,11 +2751,21 @@ object SimilarityQueries {
       indexPath: String): Unit = {
     val e = Tables.embeddings(spark, dir)
     buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
-    val srcIdx = java.nio.file.Files.createTempDirectory("ivfpq_shard_b").toString
+    // shard B stages as a SIBLING of the destination and is deleted once
+    // absorbed (same rationale as buildIvfIndexMerged: destination-
+    // derived path works beyond local mode; the merge never mutates its
+    // source, so the shard is scratch after the merge returns)
+    val srcIdx = s"${indexPath}_shard_b"
+    val fs = new org.apache.hadoop.fs.Path(srcIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
     buildIvfPqShardWithArtifacts(spark, indexPath,
-      e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"), col("label")),
       srcIdx)
     ivfPqIndexMergeInto(spark, indexPath, srcIdx)
+    fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
+    ()
   }
 
   /** Train coarse centroids + residual codebooks on an arbitrary raw
@@ -2622,6 +2788,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
+    writeVecAttrs(base, indexPath, "overwrite")
   }
 
   /** [[ivfPqAnnServe]] over the shard-merged composite index
@@ -2662,6 +2829,7 @@ object SimilarityQueries {
   def ivfAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfAbsorb")
+    writeVecAttrs(vecs, indexPath, "append") // before postings — crash-safe order
     val asn = routeIngestBatch(vecs, storedCents(spark, indexPath))
     asn.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/postings")
     appendIdMap(asn, indexPath)
@@ -2674,12 +2842,19 @@ object SimilarityQueries {
     ivfPqAnnServe(spark, dir,
       servedIndex(spark, dir, "ivfpq_app")(buildIvfPqIndexAppend(spark, dir, _)))
 
+  /** Physical-layout version folded into every VECTOR-family cached-index
+    * staleness stamp (the [[graft.queries.LexQueries]] LayoutVersion
+    * discipline): bumping it invalidates indexes built by older code
+    * whose on-disk layout changed — the fixture stamp alone cannot see
+    * that. v2: `attrs/` facet sidecar beside postings/idmap. */
+  private val VecLayoutVersion = "vec-v2"
+
   /** Content stamp of the fixture's embeddings table (file names +
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s
     * cached index: a regenerated fixture must rebuild, a same-session
     * re-run must not. */
   private def embeddingsStamp(spark: SparkSession, dir: String): String =
-    tableStamp(spark, dir, "embeddings")
+    s"${tableStamp(spark, dir, "embeddings")};$VecLayoutVersion"
 
   /** [[embeddingsStamp]]'s documents twin — guards the LSH index. */
   private[queries] def documentsStamp(spark: SparkSession, dir: String): String =
@@ -2888,19 +3063,27 @@ object SimilarityQueries {
           "present) — a write landing mid-compact would be deleted by the " +
           "bucket rewrite. Retry after the compact finishes.")
 
-  /** Acquire the marker for a compact: refuses if a writer's marker is
-    * already held OR an uncommitted ingest staging tree exists (a live
+  /** Acquire the marker for a maintenance span: refuses if a writer's
+    * marker is already held OR (with `refuseStaging`, the compact rule)
+    * an uncommitted ingest staging tree exists (a live
     * [[graft.streaming.VecIngest]] batch could promote mid-rewrite; a
     * CRASHED one will promote on replay — either way its files must
-    * land before buckets are rewritten). Returns the release thunk. */
+    * land before buckets are rewritten). Maintenance that never rewrites
+    * posting files — [[LexQueries.refreshLexicon]] — passes
+    * `refuseStaging = false`: a staged-but-unpromoted batch's replay
+    * re-marks bound staleness through the `beforePromote` seam, so a
+    * refresh inside the crash window is safe; the marker there only
+    * serializes the refresh against concurrent growers. Returns the
+    * release thunk. */
   private[queries] def acquireMaintenance(
-      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): () => Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      refuseStaging: Boolean = true): () => Unit = {
     val marker = maintenanceMarker(indexPath)
     if (fs.exists(marker))
       throw new IllegalStateException(
         s"compact($indexPath): another maintenance run holds _maintenance")
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_staging")
-    if (fs.exists(staging) && fs.listStatus(staging).nonEmpty)
+    if (refuseStaging && fs.exists(staging) && fs.listStatus(staging).nonEmpty)
       throw new IllegalStateException(
         s"compact($indexPath): uncommitted streaming-ingest staging present " +
           "under _staging — let the ingest stream drain (or replay its " +
@@ -3001,6 +3184,44 @@ object SimilarityQueries {
           fs.rename(idmapTmp, idmapPath)
         }
       } finally survivors.unpersist()
+    }
+    // facet-sidecar purge: rewrite only the label partitions that still
+    // hold tombstoned rows (the slot-compact discipline on the attrs
+    // tree); an index built before the sidecar existed has none
+    val attrsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+    if (fs.exists(attrsRoot)) {
+      val tombIds2 = broadcast(spark.read.parquet(tombPath.toString)
+        .select(col("vec_id").as("_tomb_del")).distinct())
+      // partition column reads back INT (directory-name inference) —
+      // pin the driver-side list to LONG explicitly
+      val touchedLab = spark.read.parquet(attrsRoot.toString)
+        .join(tombIds2, col("vec_id") === col("_tomb_del"))
+        .select(col("label").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      if (touchedLab.nonEmpty) {
+        val surv = spark.read.parquet(attrsRoot.toString)
+          .filter(col("label").isin(touchedLab: _*))
+          .join(tombIds2, col("vec_id") === col("_tomb_del"), "left_anti")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .persist()
+        try {
+          val survLab = surv.select(col("label")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          surv.write.partitionBy("label")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(attrsRoot.toString)
+          touchedLab.filterNot(survLab).foreach { l =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$indexPath/attrs/label=$l"), true)
+          }
+          val anyLabLeft = fs.exists(attrsRoot) &&
+            fs.listStatus(attrsRoot).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("label="))
+          if (!anyLabLeft)
+            surv.drop("label").limit(0).write.mode("overwrite")
+              .parquet(s"$indexPath/attrs/label=${touchedLab.head}")
+        } finally surv.unpersist()
+      }
     }
     fs.delete(tombPath, true)
   }

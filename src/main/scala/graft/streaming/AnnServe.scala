@@ -57,6 +57,14 @@ object AnnServe {
     * never stale with respect to routing; only a full REBUILD (new
     * centroids) requires a stream restart, because a rebuild changes
     * what the posting buckets MEAN. */
+  /** `facetLabel` scopes every query to one facet with FILTER-FIRST
+    * semantics ([[SimilarityQueries.filteredAnnServed]]'s contract,
+    * streaming): the allowlist is a partition-pruned read of the
+    * `attrs/` sidecar's one label directory, re-built PER BATCH — like
+    * tombstones — so facet rows landed by a concurrent append/ingest
+    * scope the very next micro-batch with no restart. An index without
+    * the sidecar refuses ONCE at stream start with an actionable
+    * message instead of failing every micro-batch. */
   def start(
       spark: SparkSession,
       queries: DataFrame,
@@ -65,8 +73,18 @@ object AnnServe {
       checkpointDir: String,
       nprobe: Int = SimilarityQueries.IvfNprobe,
       availableNow: Boolean = false,
-      tombstoneAware: Boolean = false
+      tombstoneAware: Boolean = false,
+      facetLabel: Option[Long] = None
   ): StreamingQuery = {
+    if (facetLabel.isDefined) {
+      val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(attrs),
+        s"AnnServe --facetLabel: no attrs/ sidecar under $indexPath - the " +
+          "index predates faceted serving; rebuild it (or append/absorb " +
+          "once, which materializes facet rows for the delta) before " +
+          "serving with a facet")
+    }
     // centroids: loaded + materialized once per stream start (frozen for
     // the index's life); every batch broadcasts this one-row frame
     val centRow = SimilarityQueries.loadCentRow(spark, indexPath).cache()
@@ -76,7 +94,11 @@ object AnnServe {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(SimilarityQueries.serveQueryBatch(
           batch.sparkSession, batch, centRow, indexPath, nprobe,
-          tombstoneAware), id)
+          tombstoneAware,
+          // the allowlist plan is built per batch — a fresh file listing,
+          // so appended facet rows land next micro-batch like tombstones
+          docFilter = SimilarityQueries.facetPostingsFilter(
+            batch.sparkSession, indexPath, facetLabel)), id)
       }
     // a throwing start() never registers the listener — release the
     // centroid cache before rethrowing rather than leak it

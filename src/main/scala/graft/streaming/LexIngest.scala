@@ -112,11 +112,12 @@ object LexIngest {
         .write.partitionBy("slot").mode("overwrite")
         .parquet(new Path(staging, "postings").toString)
       // facet sidecar rides the same exactly-once commit: one thin row
-      // per doc into its lang directory (streams without lang/source
-      // columns land honestly in `und`, never silently facet-less)
+      // per doc into its (lang, source) leaf directory (streams without
+      // lang/source columns land honestly in `und`/`unk`, never
+      // silently facet-less)
       LexQueries.attrsRows(batch)
-        .repartition(col("lang"))
-        .write.partitionBy("lang").mode("overwrite")
+        .repartition(col("lang"), col("source"))
+        .write.partitionBy(LexQueries.AttrsPartCols: _*).mode("overwrite")
         .parquet(new Path(staging, "attrs").toString)
     }
 }

@@ -58,16 +58,22 @@ object LexServe {
     * micro-batch with no restart. */
   private[graft] def serveBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, statsRow: DataFrame, k: Int,
-      tombstoneAware: Boolean, facetLang: Option[String] = None): DataFrame =
+      tombstoneAware: Boolean, facetLang: Option[String] = None,
+      facetSource: Option[String] = None): DataFrame = {
+    // both facet axes are attrs partition levels: a lang facet prunes at
+    // level 1, a source facet at level 2, a combined predicate at the
+    // leaf — one allowlist read either way
+    val preds =
+      facetLang.map(l => col("lang") === l).toSeq ++
+        facetSource.map(s => col("source") === s).toSeq
     LexQueries.queryBatch(spark, batch, indexPath, statsRow, k,
-      tombstoneAware, docFilter = facetLang match {
-        case None => identity
-        case Some(l) =>
-          df => df.join(
-            spark.read.parquet(s"$indexPath/attrs")
-              .filter(col("lang") === l).select(col("doc_id").as("_facet_doc")),
-            df("doc_id") === col("_facet_doc"), "left_semi")
-      })
+      tombstoneAware, docFilter =
+        if (preds.isEmpty) identity
+        else df => df.join(
+          spark.read.parquet(s"$indexPath/attrs")
+            .filter(preds.reduce(_ && _)).select(col("doc_id").as("_facet_doc")),
+          df("doc_id") === col("_facet_doc"), "left_semi"))
+  }
 
   /** Start serving `queries` (a STREAMING frame with columns `qid`,
     * `text`) against the persisted lexical index at `indexPath`; each
@@ -81,8 +87,22 @@ object LexServe {
       k: Int = 10,
       availableNow: Boolean = false,
       tombstoneAware: Boolean = false,
-      facetLang: Option[String] = None
+      facetLang: Option[String] = None,
+      facetSource: Option[String] = None
   ): StreamingQuery = {
+    // facet serving needs the attrs sidecar — refuse ONCE at stream
+    // start with an actionable message for a standing index built
+    // before the sidecar existed (pre-lex-v4), instead of failing every
+    // micro-batch with a raw path error from the per-batch read
+    if (facetLang.isDefined || facetSource.isDefined) {
+      val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(attrs),
+        s"LexServe --facetLang/--facetSource: no attrs/ sidecar under $indexPath - the " +
+          "index predates faceted serving; rebuild it (or append/ingest " +
+          "once, which materializes facet rows for the delta) before " +
+          "serving with a facet")
+    }
     // corpus stats: one frozen row for the index's life — loaded and
     // pinned once, broadcast into every batch's scoring
     val statsRow = LexQueries.loadStats(spark, indexPath).cache()
@@ -91,7 +111,7 @@ object LexServe {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(serveBatch(batch.sparkSession, batch, indexPath, statsRow, k,
-          tombstoneAware, facetLang), id)
+          tombstoneAware, facetLang, facetSource), id)
       }
     // a throwing start() never registers the listener — release the
     // pinned stats row before rethrowing rather than leak it

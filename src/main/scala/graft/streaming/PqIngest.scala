@@ -80,7 +80,7 @@ object PqIngest {
       centRow: DataFrame, centStored: DataFrame, cbStored: DataFrame,
       indexPath: String, batchId: Long): Unit =
     StagedCommit.run(spark, indexPath, batchId, "PqIngest.ingestBatch",
-        trees = Seq("postings", "idmap")) { staging =>
+        trees = Seq("postings", "idmap", "attrs")) { staging =>
       val (codes0, asn0) = SimilarityQueries.pqEncodeBatch(
         batch, centRow, centStored, cbStored)
       // persist the ROUTING once (the VecIngest discipline): the code
@@ -96,6 +96,12 @@ object PqIngest {
         asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
           .coalesce(1)
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
+        // facet sidecar rides the same exactly-once commit (the VecIngest
+        // contract: label-less streams land honestly in `-1`)
+        SimilarityQueries.vecAttrsRows(batch)
+          .repartition(col("label"))
+          .write.partitionBy("label").mode("overwrite")
+          .parquet(new Path(staging, "attrs").toString)
       } finally { codes.unpersist(); asn.unpersist(); () }
     }
 }

@@ -51,6 +51,11 @@ object PqServe {
     * a live stream), so an [[SimilarityQueries.ivfPqIndexDelete]]
     * takedown stops surfacing on the NEXT micro-batch with no
     * restart. */
+  /** `facetLabel` scopes every query to one facet with FILTER-FIRST
+    * semantics ([[AnnServe]]'s contract, compressed-index form): the
+    * allowlist screens the CODE posting rows before the ADC join,
+    * re-built per batch like tombstones; a sidecar-less index refuses
+    * once at stream start. */
   def start(
       spark: SparkSession,
       queries: DataFrame,
@@ -59,8 +64,18 @@ object PqServe {
       checkpointDir: String,
       nprobe: Int = SimilarityQueries.IvfNprobe,
       availableNow: Boolean = false,
-      tombstoneAware: Boolean = false
+      tombstoneAware: Boolean = false,
+      facetLabel: Option[Long] = None
   ): StreamingQuery = {
+    if (facetLabel.isDefined) {
+      val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(attrs),
+        s"PqServe --facetLabel: no attrs/ sidecar under $indexPath - the " +
+          "index predates faceted serving; rebuild it (or append/absorb " +
+          "once, which materializes facet rows for the delta) before " +
+          "serving with a facet")
+    }
     // frozen index state, loaded + materialized once per stream start:
     // the one-row routing centroid array, the (pcid, cemb) residual
     // centroid frame, and the residual codebooks — every batch
@@ -79,7 +94,9 @@ object PqServe {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(SimilarityQueries.servePqQueryBatch(
           batch.sparkSession, batch, centRow, cent, cb, indexPath, nprobe,
-          tombstoneAware), id)
+          tombstoneAware,
+          docFilter = SimilarityQueries.facetPostingsFilter(
+            batch.sparkSession, indexPath, facetLabel)), id)
       }
     // a throwing start() never registers the listener — release the
     // cached frames before rethrowing rather than leak them

@@ -81,7 +81,7 @@ object VecIngest {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       centRow: DataFrame, indexPath: String, batchId: Long): Unit =
     StagedCommit.run(spark, indexPath, batchId, "VecIngest.ingestBatch",
-        trees = Seq("postings", "idmap")) { staging =>
+        trees = Seq("postings", "idmap", "attrs")) { staging =>
       // repartition ON THE BUCKET before the staged write: one file per
       // touched bucket instead of (partitions × buckets) shards — fewer
       // renames per commit, and (the 100 TB point) a long-running ingest
@@ -96,6 +96,13 @@ object VecIngest {
         asn.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
           .coalesce(1) // two longs per vector — one sidecar file per batch
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
+        // facet sidecar rides the same exactly-once commit: one thin row
+        // per vector into its label directory (label-less streams land
+        // honestly in `-1`, never silently facet-less)
+        SimilarityQueries.vecAttrsRows(batch)
+          .repartition(col("label"))
+          .write.partitionBy("label").mode("overwrite")
+          .parquet(new Path(staging, "attrs").toString)
       } finally { asn.unpersist(); () }
     }
 }

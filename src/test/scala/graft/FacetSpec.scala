@@ -1,0 +1,211 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import graft.sources.Tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Faceted VECTOR retrieval — the attrs-sidecar + filter-first contract
+  * for the IVF/IVFPQ families ([[graft.queries.LexQueries]]'s lex-v4
+  * facet design ported to embeddings):
+  *
+  *   - every WRITER maintains the (vec_id, label) sidecar (build,
+  *     append, absorb, merge, streamed ingest, compact purge) — a grown
+  *     index's facets must cover its delta vectors;
+  *   - serving filters FIRST: the facet allowlist screens the posting
+  *     rows before any distance or top-k, so k fills among qualifying
+  *     vectors and surviving scores are bit-identical to the
+  *     unfiltered serve;
+  *   - the streamed facet edge equals the batch facet entry point bit
+  *     for bit, and appended facet rows land on the NEXT micro-batch
+  *     (the tombstone re-read discipline). */
+class FacetSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** The ground-truth (vec_id, label) set straight from the fixture —
+    * what every writer's sidecar must reproduce for its slice. */
+  private def truth(pred: org.apache.spark.sql.Column): Set[(Long, Long)] =
+    Tables.embeddings(spark, dir).filter(pred)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private def attrsOf(idx: String): Set[(Long, Long)] =
+    spark.read.parquet(s"$idx/attrs")
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("every IVF writer maintains the attrs sidecar: build, append, absorb, merge, compact") {
+    val q = SimilarityQueries
+    // build covers the build slice
+    val idx = tmp("facet_ivf")
+    q.buildIvfIndexBase(spark, dir, idx)
+    assert(attrsOf(idx) == truth(col("vec_id") % 4 =!= 0),
+      "build must write one facet row per indexed vector")
+    // append covers the delta
+    q.appendIvfIndex(spark, dir, idx)
+    assert(attrsOf(idx) == truth(lit(true)),
+      "append must extend the facets to the delta")
+    // absorb covers an arbitrary labeled frame
+    val extra = Seq((100000L, Seq.fill(8)(0.25f), 3L), (100001L, Seq.fill(8)(0.5f), 7L))
+      .toDF("vec_id", "embedding", "label")
+    q.ivfAbsorb(spark, idx, extra)
+    assert(attrsOf(idx) == truth(lit(true)) + ((100000L, 3L)) + ((100001L, 7L)))
+    // a label-less absorb lands honestly in -1, never silently facet-less
+    q.ivfAbsorb(spark, idx,
+      Seq((100002L, Seq.fill(8)(0.75f))).toDF("vec_id", "embedding"))
+    assert(attrsOf(idx).contains((100002L, -1L)))
+    // delete + compact purges the tombstoned ids from the sidecar
+    q.ivfIndexDelete(spark, idx, Seq(100000L, 100002L).toDF("vec_id"))
+    q.ivfIndexCompact(spark, idx)
+    assert(attrsOf(idx) == truth(lit(true)) + ((100001L, 7L)),
+      "compact must purge tombstoned ids from the facet sidecar")
+  }
+
+  test("IVF and IVFPQ merges carry the shard's facets (src tombstones purged)") {
+    val q = SimilarityQueries
+    val e = Tables.embeddings(spark, dir)
+    // IVF: shard B (with one tombstoned vector) merges into shard A
+    val dst = tmp("facet_mrg_dst")
+    val src = tmp("facet_mrg_src")
+    q.buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), dst)
+    q.buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), src)
+    val victim = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id")).as[Long].head()
+    q.ivfIndexDelete(spark, src, Seq(victim).toDF("vec_id"))
+    q.ivfIndexMergeInto(spark, dst, src)
+    assert(attrsOf(dst) ==
+      truth(col("vec_id") % 2 === 1) ++
+        truth(col("vec_id") % 2 === 0 && col("vec_id") =!= victim),
+      "merge must absorb src facets minus src tombstones")
+    // IVFPQ: central-training shard merge, same contract
+    val pqIdx = tmp("facet_pq_mrg")
+    q.buildIvfPqIndexMerged(spark, dir, pqIdx)
+    assert(attrsOf(pqIdx) == truth(lit(true)),
+      "the ivfpq shard merge must cover both shards' facets")
+  }
+
+  test("filter-first faceted serving: sidecar allowlist == label truth; scores bit-identical to unfiltered") {
+    val got = SimilarityQueries.filteredAnnServed(spark, dir)
+      .select(col("qid"), col("vid"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // every surfaced candidate satisfies the facet
+    val facetIds = truth(col("label").cast("long") === SimilarityQueries.FacetLabel)
+      .map(_._1)
+    assert(got.forall(r => facetIds.contains(r._2)),
+      "a non-facet candidate surfaced through the filtered serve")
+    // filter-first, not post-filter: the unfiltered top-3 then filtered
+    // UNDERFILLS; the filtered serve must fill k among qualifying
+    // vectors in the probed buckets — so it must be a superset of the
+    // post-filtered unfiltered answer, with bit-identical scores there
+    val unfiltered = SimilarityQueries.annIvfServed(spark, dir)
+      .select(col("qid"), col("vid"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val postFiltered = unfiltered.filter(r => facetIds.contains(r._2))
+    assert(postFiltered.subsetOf(got),
+      "filter-first must keep every facet survivor of the unfiltered " +
+        "top-k, with bit-identical scores")
+    assert(got.size >= postFiltered.size)
+    // the composite twin obeys the same facet
+    val gotPq = SimilarityQueries.ivfPqAnnFiltered(spark, dir)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    assert(gotPq.nonEmpty && gotPq.forall(r => facetIds.contains(r._2)))
+  }
+
+  test("streamed faceted serving == batch facet entry point; appended facet rows land next micro-batch; sidecar-less index refuses") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val idx = tmp("facet_stream_idx")
+    q.buildIvfIndexBase(spark, dir, idx)
+    val queryVecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("facet_stream_out")
+    val query = graft.streaming.AnnServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("facet_stream_ckpt"),
+      facetLabel = Some(SimilarityQueries.FacetLabel))
+    def rows(id: Long) = spark.read.parquet(s"$outDir/b$id")
+      .select(col("qid"), col("vid"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    try {
+      ms.addData(queryVecs: _*)
+      query.processAllAvailable()
+      // batch twin over the same base index: the shared serving core
+      // with the same facet screen
+      val batchTwin = q.serveQueryBatch(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        q.loadCentRow(spark, idx), idx,
+        docFilter = q.facetPostingsFilter(spark, idx, Some(q.FacetLabel)))
+        .select(col("qid"), col("vid"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows(0L) == batchTwin,
+        "streamed faceted serving must equal the batch facet path bit for bit")
+      // append the delta mid-stream: its facet rows (attrs re-read per
+      // batch) AND its postings land on the next micro-batch
+      q.appendIvfIndex(spark, dir, idx)
+      ms.addData(queryVecs: _*)
+      query.processAllAvailable()
+      val after = rows(1L)
+      val facetIds = truth(col("label").cast("long") === q.FacetLabel).map(_._1)
+      assert(after.forall(r => facetIds.contains(r._2)))
+      assert(after != rows(0L),
+        "appended facet vectors must become servable on the next batch " +
+          "(the fixture's delta slice contains facet-label vectors near " +
+          "the queries)")
+    } finally query.stop()
+    // a pre-sidecar index refuses faceted serving ONCE, at stream start
+    val bare = tmp("facet_bare_idx")
+    q.buildIvfIndexBase(spark, dir, bare)
+    val fs = new org.apache.hadoop.fs.Path(bare)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bare/attrs"), true)
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnServe.start(
+        spark, ms2.toDF().toDF("vec_id", "embedding"), bare,
+        (_, _) => (), tmp("facet_bare_ckpt"),
+        facetLabel = Some(q.FacetLabel))
+    }
+  }
+
+  test("streamed vector ingest maintains the facet sidecar under the exactly-once commit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val idx = tmp("facet_ingest_idx")
+    q.buildIvfIndexBase(spark, dir, idx)
+    val before = attrsOf(idx)
+    val delta = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+      .as[(Long, Seq[Float], Long)].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float], Long)]
+    val query = graft.streaming.VecIngest.start(
+      spark, ms.toDF().toDF("vec_id", "embedding", "label"),
+      idx, tmp("facet_ingest_ckpt"))
+    try {
+      ms.addData(delta: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(attrsOf(idx) == before ++ delta.map(t => (t._1, t._3)),
+      "streamed ingest must land facet rows under the same commit as postings")
+    // and a replay of the same batch does not duplicate facet rows
+    val n = spark.read.parquet(s"$idx/attrs").count()
+    graft.streaming.VecIngest.ingestBatch(spark,
+      delta.toDF("vec_id", "embedding", "label"),
+      q.loadCentRow(spark, idx), idx, batchId = 0L)
+    assert(spark.read.parquet(s"$idx/attrs").count() == n,
+      "a committed batch's replay must be a no-op for the sidecar too")
+  }
+}

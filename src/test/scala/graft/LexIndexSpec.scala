@@ -255,6 +255,38 @@ class LexIndexSpec extends SparkSuite {
       "refreshed lexicon (df + MaxScore bounds) must equal from-scratch")
   }
 
+  test("refresh holds the maintenance fence: growers refuse inside its span, marker released after") {
+    // the grower-vs-refresh race the fence closes: a grower that
+    // marks-and-writes between refresh's postings read and its
+    // clearBoundsStale would get its staleness marker wiped while the
+    // refreshed bounds do not cover its postings — so refresh holds
+    // _maintenance for its read-to-clear span and growers (which all
+    // assertNoMaintenance) fail loudly instead of silently losing the
+    // marker. The span itself is sub-second; pin its two edges.
+    val docs = Tables.documents(spark, dir)
+    val idx = tmp("lexrf_fence")
+    LexQueries.buildLexIndexFrom(spark, docs.filter(col("doc_id") % 4 =!= 0), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = graft.queries.SimilarityQueries.maintenanceMarker(idx)
+    // edge 1: while the refresh span's marker stands (held here by the
+    // test, standing in for a mid-span refresh), every grower refuses
+    fs.create(marker, true).close()
+    try {
+      intercept[IllegalStateException] {
+        LexQueries.appendLexIndex(spark,
+          docs.filter(col("doc_id") % 4 === 0), idx)
+      }
+      // ... and a second refresh refuses too (no nested maintenance)
+      intercept[IllegalStateException] { LexQueries.refreshLexicon(spark, idx) }
+    } finally { fs.delete(marker, false); () }
+    // edge 2: a completed refresh releases the marker and growers work
+    LexQueries.refreshLexicon(spark, idx)
+    assert(!fs.exists(marker), "refresh must release _maintenance on success")
+    LexQueries.appendLexIndex(spark, docs.filter(col("doc_id") % 4 === 0), idx)
+    assert(LexQueries.boundsStale(spark, idx))
+  }
+
   test("property: multi-query result sharing equals independent per-query answers") {
     import spark.implicits._
     // seeded random corpora + query batches with heavy signature reuse
@@ -325,10 +357,12 @@ class LexIndexSpec extends SparkSuite {
       "stale bounds must disarm the pruned serving path")
   }
 
-  test("auto pruning stays OFF below the posting-mass threshold (the measured break-even gate)") {
-    // fixture posting mass (Σ df over the 5 query terms) is orders of
-    // magnitude under PruneAutoRows — the auto decision must take the
-    // single-pass unpruned plan, the one LexAb measured 2× faster here
+  test("default serving is the unpruned single-pass plan (the measured winner at every scale and shape)") {
+    // round 16 removed the auto-engage: LexAbXl measured the pruned
+    // plan 2.3× slower even at Σ df = 10⁷ with tiny essential sets, and
+    // only a wash at 5× signature fan-out — the default must be the
+    // unpruned plan unconditionally (forced Some(true) stays available
+    // and parity-pinned above)
     import spark.implicits._
     val idx = tmp("lexauto")
     LexQueries.buildLexIndexFrom(spark,
@@ -338,7 +372,7 @@ class LexIndexSpec extends SparkSuite {
       Seq((1L, "join vector stream")).toDF("qid", "text"),
       idx, LexQueries.loadStats(spark, idx))
     assert(!auto.queryExecution.executedPlan.treeString.contains("LeftSemi"),
-      "below PruneAutoRows the auto path must serve unpruned")
+      "the default serving plan must be the unpruned single pass")
   }
 
   test("bm25_filtered: filter-first facet semantics; allowlist reads the attrs sidecar, never text") {
@@ -374,6 +408,33 @@ class LexIndexSpec extends SparkSuite {
       "the facet read must be partition-pruned to its directory")
   }
 
+  test("bm25_filtered_source: the second facet axis prunes at the attrs leaf level, same filter-first contract") {
+    val out = LexQueries.bm25FilteredSource(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val srcDocs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("source") === "src3").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(srcDocs(r.getAs[Long]("doc_id")),
+      "a non-facet doc surfaced through the source facet"))
+    // scores bit-identical to the unfiltered serve on survivors —
+    // corpus-wide frozen statistics, the facet scopes candidates only
+    val unfScores = LexQueries.bm25Multiterm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    out.foreach { r =>
+      unfScores.get(r.getAs[Long]("doc_id")).foreach(s =>
+        assert(s == r.getAs[Double]("score"), "facet must not change scores"))
+    }
+    // plan: no corpus scan; the allowlist is the attrs read pruned on
+    // the SECOND partition level (source= leaf directories)
+    val p = LexQueries.bm25FilteredSource(spark, dir)
+      .queryExecution.executedPlan.treeString
+    assert(!p.contains("documents.parquet"),
+      s"source-faceted serving must not scan the corpus:\n$p")
+    assert(p.contains("/attrs"), "the allowlist must come from the attrs sidecar")
+    assert(p.contains("source=src3") || p.contains("PartitionFilters: [isnotnull(source"),
+      s"the source facet must prune at the leaf partition level:\n$p")
+  }
+
   test("facet sidecar follows the whole lifecycle: append/merge/ingest docs facet-visible, compact purges, attribute-less docs land in und") {
     import spark.implicits._
     def attrs(idx: String) = spark.read.parquet(s"$idx/attrs")
@@ -389,7 +450,10 @@ class LexIndexSpec extends SparkSuite {
       Seq((3L, "spark join", "en", "crawl")).toDF("doc_id", "text", "lang", "source"), idx)
     LexQueries.appendLexIndex(spark, Seq((4L, "vector")).toDF("doc_id", "text"), idx)
     assert(attrs(idx).contains((3L, "en", "crawl")))
-    assert(attrs(idx).contains((4L, "und", null)))
+    // attribute-less docs land in the honest sentinel partitions at BOTH
+    // levels (source is a partition column since lex-v5, so a null would
+    // otherwise hide in the hive default-partition directory)
+    assert(attrs(idx).contains((4L, "und", "unk")))
     // merge absorbs the shard's attrs, src tombstones purged on the way
     val shard = tmp("lexattr_shard")
     LexQueries.buildLexIndexFrom(spark,
@@ -410,7 +474,13 @@ class LexIndexSpec extends SparkSuite {
     val after = attrs(idx)
     assert(!after.exists(r => r._1 == 10L || r._1 == 20L),
       "compact must purge tombstoned facet rows")
-    assert(after.contains((1L, "en", "web")) && after.contains((4L, "und", null)))
+    assert(after.contains((1L, "en", "web")) && after.contains((4L, "und", "unk")))
+    // the fully-purged (es, feed) LEAF directory is gone, and so is its
+    // lang directory (nothing else lived under es)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/attrs/lang=es")),
+      "a fully-purged facet directory must be dropped, not left empty")
   }
 
   test("faceted multi-query serving: filter-first per facet, bit-parity with a manual allowlist restriction") {
@@ -443,6 +513,46 @@ class LexIndexSpec extends SparkSuite {
     // including ones a global unfaceted top-k could have displaced
     val q1 = faceted.filter(_.head == 1L).map(_(1).asInstanceOf[Long]).toSet
     assert(q1 == Set(1L, 3L, 5L))
+    // the SOURCE axis serves through the same seam (level-2 pruning);
+    // combining both axes intersects at the leaf
+    val bySrc = graft.streaming.LexServe.serveBatch(spark, queries, idx,
+        stats, k = 10, tombstoneAware = false, facetSource = Some("web"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val webDocs = Set(1L, 2L, 4L, 5L)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach(r => assert(webDocs(r(1).asInstanceOf[Long])))
+    val both = graft.streaming.LexServe.serveBatch(spark, queries, idx,
+        stats, k = 10, tombstoneAware = false,
+        facetLang = Some("en"), facetSource = Some("web"))
+      .collect().map(_.toSeq)
+    val enWeb = Set(1L, 5L)
+    assert(both.nonEmpty)
+    both.foreach(r => assert(enWeb(r(1).asInstanceOf[Long]),
+      "a combined-facet serve must intersect both axes"))
+  }
+
+  test("facet screens are interchangeable: pushdown == semi-join bit for bit, auto picks the measured winner") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join vector stream", "en", "web"),
+      (2L, "join vector", "de", "web"),
+      (3L, "join stream spark", "en", "crawl"),
+      (4L, "vector window spark", "de", "web"),
+      (5L, "join", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val idx = tmp("lexfacetscreen")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    val stats = LexQueries.loadStats(spark, idx)
+    def served(maxIds: Long) = LexQueries.rankTop10(LexQueries.multitermTotals(
+      LexQueries.facetScreen(spark, idx, col("lang") === "en",
+        pushdownMaxIds = maxIds)(
+        LexQueries.serveTermScores(spark, idx, LexQueries.QueryTerms, stats))))
+      .collect().map(_.toSeq).toSeq
+    val semi = served(0L)       // semi-join (the measured default)
+    val push = served(1000L)    // collected-id pushdown (the losing plan)
+    assert(semi.nonEmpty && semi == push,
+      "the two facet screens must be semantically invisible to the answer")
+    assert(semi == served(LexQueries.FacetPushdownMaxIds),
+      "the auto gate must answer identically at its default")
   }
 
   test("contamination_served plan: the training corpus is never re-tokenized") {
