@@ -180,6 +180,46 @@ class FacetSpec extends SparkSuite {
     }
   }
 
+  test("streamed IVFPQ faceted serving == batch facet path (the compressed-index parity pin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val idx = tmp("facet_pq_stream_idx")
+    q.buildIvfPqIndex(spark, dir, idx)
+    val queryVecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("facet_pq_stream_out")
+    val query = graft.streaming.PqServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("facet_pq_stream_ckpt"),
+      facetLabel = Some(SimilarityQueries.FacetLabel))
+    try {
+      ms.addData(queryVecs: _*)
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$outDir/b0")
+        .select(col("qid"), col("vid"), col("adist_fp"))
+        .as[(Long, Long, Long)].collect().toSet
+      val centStored = spark.read.parquet(s"$idx/centroids")
+      val batchTwin = q.servePqQueryBatch(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        centStored.agg(collect_list(struct(col("cid"), col("cemb"),
+          col("cnrm"))).as("cents")),
+        centStored.select(col("cid").as("pcid"), col("cemb")),
+        spark.read.parquet(s"$idx/codebooks"), idx,
+        docFilter = q.facetPostingsFilter(spark, idx, Some(q.FacetLabel)))
+        .select(col("qid"), col("vid"), col("adist_fp"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batchTwin,
+        "streamed IVFPQ faceted serving must equal the batch facet path")
+      val facetIds = truth(col("label").cast("long") === q.FacetLabel).map(_._1)
+      assert(streamed.forall(r => facetIds.contains(r._2)))
+    } finally query.stop()
+  }
+
   test("streamed vector ingest maintains the facet sidecar under the exactly-once commit") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val q = SimilarityQueries
