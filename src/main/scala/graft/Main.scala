@@ -359,6 +359,8 @@ object Main {
     // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh|lex]
     //                   --indexDir idx/ --queryDir q/ --outDir out/
     //                   [--once true] [--tombstoneAware true]
+    //                   [--facetLabel N (ivf|ivfpq)]
+    //                   [--facetLang xx] [--facetSource src] (lex)
     if (cli.get("mode").contains("serve")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       val queryDir = cli.getOrElse("queryDir", sys.error("--queryDir required"))

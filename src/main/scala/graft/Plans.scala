@@ -164,7 +164,11 @@ object Plans {
     "bm25_served" -> "lexical serving: STATIC slot IN (...) partition filters on lexicon AND postings (driver-computed term slots); no documents scan, no df pass; WindowGroupLimit top-10",
     "bm25_maxscore" -> "MaxScore pruning: checkpoint-materialized term scores consumed by candidate-bounded semi-joins; the unpruned answer's plan shape with fewer aggregated docs",
     "hybrid_served" -> "RRF from TWO persisted indexes: slot-pruned BM25 arm + stored-centroid IVF arm; both TakeOrderedAndProject to 50 rows before the <=100-row fuse",
-    "bm25_maxp" -> "max-passage: chunk-level slot-pruned serving; per-doc argmax via WindowGroupLimit rank-1; top-10 docs via TakeOrderedAndProject"
+    "bm25_maxp" -> "max-passage: chunk-level slot-pruned serving; per-doc argmax via WindowGroupLimit rank-1; top-10 docs via TakeOrderedAndProject",
+    "filtered_ann_served" -> "index-served faceted ANN: attrs sidecar read partition-pruned to ONE label directory, semi-joined into the probed buckets' postings BEFORE cosine/top-k (filter-first); no corpus scan",
+    "ivfpq_ann_filtered" -> "faceted COMPRESSED serving: the same label-pruned allowlist screens the code postings before the ADC join; no raw vector, no corpus scan",
+    "bm25_filtered_source" -> "source facet: allowlist read pruned at the attrs tree's SECOND partition level (source= leaves); corpus never in the plan",
+    "hybrid_filtered" -> "hybrid + facet: ONE partition-pruned allowlist read screens BOTH arms before their rank windows (ranks are within-facet); arms still TakeOrderedAndProject to 50"
   )
 
   def main(args: Array[String]): Unit = {
