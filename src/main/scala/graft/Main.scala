@@ -360,7 +360,7 @@ object Main {
     //                   --indexDir idx/ --queryDir q/ --outDir out/
     //                   [--once true] [--tombstoneAware true]
     //                   [--facetLabel N (ivf|ivfpq)]
-    //                   [--facetLang xx] [--facetSource src] (lex)
+    //                   [--facetLang xx] [--facetSource src] (lex|lsh)
     if (cli.get("mode").contains("serve")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
       val queryDir = cli.getOrElse("queryDir", sys.error("--queryDir required"))
@@ -416,10 +416,15 @@ object Main {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))
+          // --facetLang/--facetSource scope the STANDING side to one
+          // facet (the attrs sidecar's pruned directories re-read per
+          // batch, like tombstones) — "near-dups within language X",
+          // the language-scoped dedup-sweep shape
           graft.streaming.LshServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
-            tombstoneAware = tombAware)
+            tombstoneAware = tombAware, facetLang = cli.get("facetLang"),
+            facetSource = cli.get("facetSource"))
         case "lex" =>
           // (qid, text) retrieval queries → LexServe BM25 top-10 against
           // the standing inverted index (build with --mode index

@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
+    "incremental_neardup_filtered" -> (SimilarityQueries.incrementalNearDupFiltered _),
     "incremental_neardup_deleted" -> (SimilarityQueries.incrementalNearDupDeleted _),
     "ann_ivf_deleted" -> (SimilarityQueries.annIvfDeleted _),
     "ann_ivf_compacted" -> (SimilarityQueries.annIvfCompacted _),
@@ -1959,6 +1960,18 @@ object SparkEntry {
       s"""WITH $LshCandBody
          |SELECT doc_a, doc_b FROM cand
          |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""".stripMargin,
+    "incremental_neardup_filtered" ->
+      // faceted near-dup serving (the fourth index family's facet row):
+      // per-document signatures carry no corpus statistic, so the
+      // facet-screened pair set (allowlist from the attrs sidecar applied
+      // BEFORE the band equijoin) is exactly the unfaceted set with BOTH
+      // endpoints in the facet — which is what this recomputes
+      s"""WITH $LshCandBody,
+         |fen AS (SELECT doc_id FROM documents WHERE lang = 'en')
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0)
+         |  AND doc_a IN (SELECT doc_id FROM fen)
+         |  AND doc_b IN (SELECT doc_id FROM fen)""".stripMargin,
     "incremental_neardup_deleted" ->
       // retire contract: a tombstoned doc (id % 10 = 7) never surfaces on
       // EITHER side of a pair — the anti-join runs before pair generation,

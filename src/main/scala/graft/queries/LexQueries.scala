@@ -396,11 +396,22 @@ object LexQueries {
               .parquet(s"$indexPath/postings/slot=${touched.head}")
         } finally survivors.unpersist()
       }
-      // facet-sidecar purge: rewrite only the (lang, source) LEAF
-      // partitions that still hold tombstoned rows (the slot-compact
-      // discipline on the attrs tree — the touched set is bounded by
-      // delete traffic, never by facet cardinality); an index built
-      // before the sidecar existed has none
+      purgeAttrsSidecar(spark, fs, indexPath, tombPath)
+      fs.delete(tombPath, true)
+    } finally release()
+  }
+
+  /** Purge tombstoned doc_ids from the (lang, source) attrs facet
+    * sidecar: rewrite only the LEAF partitions that still hold
+    * tombstoned rows (the slot-compact discipline on the attrs tree —
+    * the touched set is bounded by delete traffic, never by facet
+    * cardinality); an index built before the sidecar existed has none.
+    * Shared by the lexical AND LSH compactors (both facet their
+    * doc-keyed indexes through the same sidecar layout); callers hold
+    * the maintenance marker. */
+  private[graft] def purgeAttrsSidecar(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      tombPath: org.apache.hadoop.fs.Path): Unit = {
       val attrsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
       if (fs.exists(attrsRoot)) {
         val tombs2 = broadcast(spark.read.parquet(tombPath.toString)
@@ -449,8 +460,6 @@ object LexQueries {
           } finally surv.unpersist()
         }
       }
-      fs.delete(tombPath, true)
-    } finally release()
   }
 
   // ---------------------------------------------------------------- serving

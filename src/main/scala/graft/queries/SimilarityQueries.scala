@@ -2881,10 +2881,17 @@ object SimilarityQueries {
     * only itself ([[lshIndexAppend]]), and candidate generation against
     * the full standing corpus stays the band-signature equijoin over
     * compact (band, sig) keys, never touching document text again. */
-  def buildLshIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
-    bandSigs(minhashSigsOf(
-      Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0)))
+  def buildLshIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 4 =!= 0)
+    bandSigs(minhashSigsOf(docs))
       .write.partitionBy("band").mode("overwrite").parquet(s"$indexPath/postings")
+    // facet sidecar — the SAME (doc_id → lang, source) layout as the
+    // lexical index (both facet a doc-keyed index), so faceted near-dup
+    // serving reads one partition-pruned directory per facet value
+    LexQueries.attrsRows(docs)
+      .write.partitionBy(LexQueries.AttrsPartCols: _*).mode("overwrite")
+      .parquet(s"$indexPath/attrs")
+  }
 
   /** Incremental growth of the LSH index: sign ONLY the delta slice
     * (doc_id % 4 == 0) and append. Signatures are strictly per-document
@@ -2895,16 +2902,25 @@ object SimilarityQueries {
   def lshIndexAppend(spark: SparkSession, dir: String, indexPath: String): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "lshIndexAppend")
-    bandSigs(minhashSigsOf(
-      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)))
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0)
+    // facets must cover the delta; attrs land first (the harmless crash
+    // direction shared by every appender)
+    LexQueries.attrsRows(delta)
+      .write.partitionBy(LexQueries.AttrsPartCols: _*).mode("append")
+      .parquet(s"$indexPath/attrs")
+    bandSigs(minhashSigsOf(delta))
       .write.partitionBy("band").mode("append").parquet(s"$indexPath/postings")
   }
 
   /** One shard's independent LSH build over an arbitrary document
     * slice — the near-dup side of the shard-parallel story. */
-  private[graft] def buildLshIndexSlice(docs: DataFrame, indexPath: String): Unit =
+  private[graft] def buildLshIndexSlice(docs: DataFrame, indexPath: String): Unit = {
     bandSigs(minhashSigsOf(docs.select(col("doc_id"), col("text"))))
       .write.partitionBy("band").mode("overwrite").parquet(s"$indexPath/postings")
+    LexQueries.attrsRows(docs)
+      .write.partitionBy(LexQueries.AttrsPartCols: _*).mode("overwrite")
+      .parquet(s"$indexPath/attrs")
+  }
 
   /** LSH twin of [[ivfIndexMergeInto]] — and the degenerate case that
     * shows why the near-dup index is the EASY one to shard: signatures
@@ -2929,6 +2945,24 @@ object SimilarityQueries {
           .select(col("doc_id").as("_tomb_del")).distinct())
         src.join(tomb, src("doc_id") === tomb("_tomb_del"), "left_anti")
       } else src
+    // facets must cover the absorbed shard — src attrs (tombstone-
+    // purged) first, the crash-safe order shared by every appender; a
+    // shard built before the sidecar existed contributes none
+    val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
+    if (fs.exists(srcAttrs)) {
+      val a = spark.read.parquet(srcAttrs.toString)
+        .select(col("doc_id"),
+          coalesce(col("lang").cast("string"), lit("und")).as("lang"),
+          coalesce(col("source").cast("string"), lit("unk")).as("source"))
+      val liveA =
+        if (fs.exists(tombPath)) {
+          val tomb = broadcast(spark.read.parquet(tombPath.toString)
+            .select(col("doc_id").as("_tomb_del")).distinct())
+          a.join(tomb, a("doc_id") === tomb("_tomb_del"), "left_anti")
+        } else a
+      liveA.write.partitionBy(LexQueries.AttrsPartCols: _*).mode("append")
+        .parquet(s"$dstIndex/attrs")
+    }
     live.write.partitionBy("band").mode("append").parquet(s"$dstIndex/postings")
   }
 
@@ -2960,12 +2994,46 @@ object SimilarityQueries {
     * variant of the same lifecycle. Output equals the full-corpus LSH
     * pair set restricted to pairs touching the delta (the oracle pins
     * exactly that). */
-  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val idx = servedIndexWith(dir, "lshidx", documentsStamp(spark, dir)) { p =>
+  /** LSH layout version folded into the cached-index stamps — the
+    * [[graft.queries.LexQueries]] discipline. v2: attrs facet sidecar. */
+  private val LshLayoutVersion = "lsh-v2"
+
+  private def lshStamp(spark: SparkSession, dir: String): String =
+    s"${documentsStamp(spark, dir)};$LshLayoutVersion"
+
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupBy(spark, dir, facetPred = None)
+
+  /** `incremental_neardup_filtered`: FACETED near-dup serving — the
+    * fourth index family gains the facet seam the other three have
+    * (lex `bm25_filtered`, IVF `filtered_ann_served`, IVFPQ
+    * `ivfpq_ann_filtered`): the new-shard-vs-standing-corpus candidate
+    * set restricted to lang = 'en' documents, filter-FIRST — the
+    * allowlist (a partition-pruned read of the shared attrs sidecar)
+    * screens the signature rows BEFORE the band equijoin, so the pair
+    * join runs entirely within the facet. Per-document signatures are
+    * facet-independent (no corpus statistic anywhere), so the faceted
+    * pair set IS the unfaceted set with both endpoints in the facet —
+    * which is exactly what the oracle recomputes. The production shape:
+    * language-scoped dedup sweeps (cross-language near-dups are almost
+    * always false positives of boilerplate, and curation pipelines
+    * dedup within language buckets). */
+  def incrementalNearDupFiltered(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupBy(spark, dir, Some(col("lang") === "en"))
+
+  private def incrementalNearDupBy(spark: SparkSession, dir: String,
+      facetPred: Option[Column]): DataFrame = {
+    val idx = servedIndexWith(dir, "lshidx", lshStamp(spark, dir)) { p =>
       buildLshIndex(spark, dir, p); lshIndexAppend(spark, dir, p)
     }
-    val all = spark.read.parquet(s"$idx/postings")
+    val all0 = spark.read.parquet(s"$idx/postings")
       .select(col("doc_id"), col("band"), col("sig"))
+    // the facet screens BEFORE the pair join: delta derives from the
+    // screened frame too, so both pair endpoints satisfy the facet
+    val all = facetPred match {
+      case None => all0
+      case Some(p) => graft.queries.LexQueries.facetScreen(spark, idx, p)(all0)
+    }
     val delta = all.filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
         col("sig").as("sig_d"))
@@ -3382,6 +3450,10 @@ object SimilarityQueries {
         survivors.drop("band").limit(0).write.mode("overwrite")
           .parquet(s"$indexPath/postings/band=${allBands.head}")
     } finally survivors.unpersist()
+    // facet-sidecar purge — the shared (lang, source) leaf-granular
+    // rewrite the lexical compactor uses (both indexes are doc-keyed
+    // and facet through the same sidecar layout)
+    LexQueries.purgeAttrsSidecar(spark, fs, indexPath, tombPath)
     fs.delete(tombPath, true)
   }
 
@@ -3391,7 +3463,7 @@ object SimilarityQueries {
     * dedup-side retire contract ([[annIvfDeleted]]'s twin). Still reads
     * zero document text. */
   def incrementalNearDupDeleted(spark: SparkSession, dir: String): DataFrame = {
-    val idx = servedIndexWith(dir, "lshidx_del", documentsStamp(spark, dir)) { p =>
+    val idx = servedIndexWith(dir, "lshidx_del", lshStamp(spark, dir)) { p =>
       buildLshIndex(spark, dir, p)
       lshIndexAppend(spark, dir, p)
       lshIndexDelete(spark, p, Tables.documents(spark, dir)

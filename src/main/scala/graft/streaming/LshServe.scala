@@ -47,10 +47,23 @@ object LshServe {
 
   /** Candidates for ONE batch of (doc_id, text) rows against the
     * persisted index — exposed for direct batch testing and parity.
-    * Output: (query_id, standing_id), distinct. */
+    * Output: (query_id, standing_id), distinct.
+    *
+    * `facetLang`/`facetSource` scope the STANDING side to one facet
+    * ([[LexServe.serveBatch]]'s contract, near-dup flavored): the
+    * allowlist is a partition-pruned read of the `attrs/` sidecar —
+    * both axes are partition levels, so a lang facet prunes at level 1,
+    * a source facet at level 2 — re-read PER BATCH like tombstones, so
+    * facet rows landed by a concurrent append scope the very next
+    * micro-batch. Per-document signatures carry no corpus statistic, so
+    * the faceted candidate set IS the unfaceted set restricted to
+    * facet-member standing docs — screening before the equijoin is
+    * pure savings, never a semantics change. */
   private[graft] def candidatesFor(
       spark: SparkSession, batch: DataFrame, indexPath: String,
-      tombstoneAware: Boolean, shareResults: Boolean = true): DataFrame = {
+      tombstoneAware: Boolean, shareResults: Boolean = true,
+      facetLang: Option[String] = None,
+      facetSource: Option[String] = None): DataFrame = {
     if (shareResults) {
       // RESULT SHARING: candidates depend only on the document TEXT, so
       // a head-skewed batch (boilerplate re-crawls are exactly this)
@@ -63,7 +76,8 @@ object LshServe {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("text"))
       val repCand = candidatesFor(spark, reps, indexPath, tombstoneAware,
-        shareResults = false)
+        shareResults = false, facetLang = facetLang,
+        facetSource = facetSource)
         .withColumnRenamed("query_id", "rep_qid")
       val mapping = batch.select(col("doc_id").as("out_qid"), col("text"))
         .join(reps.select(col("doc_id").as("rep_id"), col("text")), "text")
@@ -89,7 +103,17 @@ object LshServe {
             .select(col("doc_id").as("tomb_id")).distinct()),
           postings0("standing_id") === col("tomb_id"), "left_anti")
       }
-    postings
+    val facetPreds =
+      facetLang.map(l => col("lang") === l).toSeq ++
+        facetSource.map(s => col("source") === s).toSeq
+    val faceted =
+      if (facetPreds.isEmpty) postings
+      else postings.join(
+        spark.read.parquet(s"$indexPath/attrs")
+          .filter(facetPreds.reduce(_ && _))
+          .select(col("doc_id").as("_facet_doc")),
+        postings("standing_id") === col("_facet_doc"), "left_semi")
+    faceted
       .join(broadcast(sigs),
         col("band") === col("q_band") && col("sig") === col("q_sig"))
       .select(col("query_id"), col("standing_id"))
@@ -106,13 +130,29 @@ object LshServe {
       sink: (DataFrame, Long) => Unit,
       checkpointDir: String,
       availableNow: Boolean = false,
-      tombstoneAware: Boolean = false
+      tombstoneAware: Boolean = false,
+      facetLang: Option[String] = None,
+      facetSource: Option[String] = None
   ): StreamingQuery = {
+    // facet serving needs the attrs sidecar — refuse ONCE at stream
+    // start with an actionable message for a standing index built
+    // before it existed (pre-lsh-v2), instead of failing every
+    // micro-batch with a raw path error from the per-batch read
+    if (facetLang.isDefined || facetSource.isDefined) {
+      val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(attrs),
+        s"LshServe --facetLang/--facetSource: no attrs/ sidecar under $indexPath - the " +
+          "index predates faceted serving; rebuild it (or append once, " +
+          "which materializes facet rows for the delta) before serving " +
+          "with a facet")
+    }
     val w = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(candidatesFor(batch.sparkSession, batch, indexPath,
-          tombstoneAware), id)
+          tombstoneAware, facetLang = facetLang,
+          facetSource = facetSource), id)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

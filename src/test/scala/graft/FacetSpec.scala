@@ -248,4 +248,121 @@ class FacetSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idx/attrs").count() == n,
       "a committed batch's replay must be a no-op for the sidecar too")
   }
+
+  // ------------------------------------------------------------- LSH family
+  // The FOURTH index family's facets: the near-dup signature index is
+  // doc-keyed like the lexical one, so it shares the (lang, source)
+  // sidecar layout outright (LexQueries.attrsRows / purgeAttrsSidecar).
+
+  /** Ground-truth (doc_id, lang, source) for a document predicate. */
+  private def docTruth(pred: org.apache.spark.sql.Column): Set[(Long, String, String)] =
+    Tables.documents(spark, dir).filter(pred)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)].collect().toSet
+
+  private def docAttrsOf(idx: String): Set[(Long, String, String)] =
+    spark.read.parquet(s"$idx/attrs")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)].collect().toSet
+
+  test("every LSH writer maintains the attrs sidecar: build, append, merge, compact purge") {
+    val q = SimilarityQueries
+    val idx = tmp("facet_lsh")
+    q.buildLshIndex(spark, dir, idx)
+    assert(docAttrsOf(idx) == docTruth(col("doc_id") % 4 =!= 0),
+      "build must write one facet row per indexed document")
+    q.lshIndexAppend(spark, dir, idx)
+    assert(docAttrsOf(idx) == docTruth(lit(true)),
+      "append must extend the facets to the delta")
+    // merge absorbs the shard's facets, src tombstones purged on the way
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val dst = tmp("facet_lsh_dst")
+    val src = tmp("facet_lsh_src")
+    q.buildLshIndexSlice(docs.filter(col("doc_id") % 2 === 1), dst)
+    q.buildLshIndexSlice(docs.filter(col("doc_id") % 2 === 0), src)
+    val victim = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long].head()
+    q.lshIndexDelete(spark, src, Seq(victim).toDF("doc_id"))
+    q.lshIndexMergeInto(spark, dst, src)
+    assert(docAttrsOf(dst) ==
+      docTruth(col("doc_id") % 2 === 1) ++
+        docTruth(col("doc_id") % 2 === 0 && col("doc_id") =!= victim),
+      "merge must absorb src facets minus src tombstones")
+    // delete + compact purges the tombstoned ids from the sidecar
+    val gone = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id")).as[Long].head()
+    q.lshIndexDelete(spark, idx, Seq(gone).toDF("doc_id"))
+    q.lshIndexCompact(spark, idx)
+    assert(docAttrsOf(idx) == docTruth(col("doc_id") =!= gone),
+      "compact must purge tombstoned ids from the facet sidecar")
+  }
+
+  test("incremental_neardup_filtered == the unfaceted pair set with both endpoints in the facet") {
+    val q = SimilarityQueries
+    val got = q.incrementalNearDupFiltered(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val en = docTruth(col("lang") === "en").map(_._1)
+    val all = q.incrementalNearDup(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == all.filter(p => en(p._1) && en(p._2)),
+      "signatures are facet-independent, so the screened pair set must " +
+        "equal the unfaceted set restricted to facet-member endpoints")
+    assert(got.nonEmpty, "the fixture must plant en-en near-dup pairs")
+    assert(got != all, "the facet must actually exclude cross-facet pairs")
+  }
+
+  test("streamed faceted LSH serving == batch facet path; non-facet standing docs never surface; sidecar-less index refuses") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val idx = tmp("facet_lsh_stream_idx")
+    q.buildLshIndex(spark, dir, idx)
+    q.lshIndexAppend(spark, dir, idx)
+    val queryDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val outDir = tmp("facet_lsh_stream_out")
+    val query = graft.streaming.LshServe.start(
+      spark, ms.toDF().toDF("doc_id", "text"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("facet_lsh_stream_ckpt"), facetLang = Some("en"))
+    try {
+      ms.addData(queryDocs: _*)
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$outDir/b0")
+        .select(col("query_id"), col("standing_id"))
+        .as[(Long, Long)].collect().toSet
+      val batchTwin = graft.streaming.LshServe.candidatesFor(spark,
+          queryDocs.toDF("doc_id", "text"), idx, tombstoneAware = false,
+          facetLang = Some("en"))
+        .select(col("query_id"), col("standing_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batchTwin,
+        "streamed faceted LSH serving must equal the batch facet path")
+      // the facet screens the STANDING side only; parity with a manual
+      // restriction of the unfaceted candidates
+      val unfaceted = graft.streaming.LshServe.candidatesFor(spark,
+          queryDocs.toDF("doc_id", "text"), idx, tombstoneAware = false)
+        .select(col("query_id"), col("standing_id"))
+        .as[(Long, Long)].collect().toSet
+      val en = docTruth(col("lang") === "en").map(_._1)
+      assert(streamed == unfaceted.filter(p => en(p._2)),
+        "the faceted candidate set must be the unfaceted set restricted " +
+          "to facet-member standing docs")
+      assert(streamed.nonEmpty && streamed != unfaceted)
+    } finally query.stop()
+    // a pre-sidecar index refuses faceted serving ONCE, at stream start
+    val bare = tmp("facet_lsh_bare")
+    q.buildLshIndex(spark, dir, bare)
+    val fs = new org.apache.hadoop.fs.Path(bare)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bare/attrs"), true)
+    val ms2 = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      graft.streaming.LshServe.start(
+        spark, ms2.toDF().toDF("doc_id", "text"), bare,
+        (_, _) => (), tmp("facet_lsh_bare_ckpt"), facetLang = Some("en"))
+    }
+  }
 }
