@@ -168,7 +168,8 @@ object Plans {
     "filtered_ann_served" -> "index-served faceted ANN: attrs sidecar read partition-pruned to ONE label directory, semi-joined into the probed buckets' postings BEFORE cosine/top-k (filter-first); no corpus scan",
     "ivfpq_ann_filtered" -> "faceted COMPRESSED serving: the same label-pruned allowlist screens the code postings before the ADC join; no raw vector, no corpus scan",
     "bm25_filtered_source" -> "source facet: allowlist read pruned at the attrs tree's SECOND partition level (source= leaves); corpus never in the plan",
-    "hybrid_filtered" -> "hybrid + facet: ONE partition-pruned allowlist read screens BOTH arms before their rank windows (ranks are within-facet); arms still TakeOrderedAndProject to 50"
+    "hybrid_filtered" -> "hybrid + facet: ONE partition-pruned allowlist read screens BOTH arms before their rank windows (ranks are within-facet); arms still TakeOrderedAndProject to 50",
+    "incremental_neardup_filtered" -> "faceted near-dup serving (4th family): lang-pruned attrs allowlist semi-joins the signature scan BEFORE the band equijoin; both pair sides facet-screened compact keys, zero document text in the plan"
   )
 
   def main(args: Array[String]): Unit = {
