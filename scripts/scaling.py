@@ -77,6 +77,13 @@ DRIVER = {
     "null_profile": "lineitem", "bloom_prune": "lineitem",
     "score_agreement": "documents", "neardup_families": "documents",
     "ivfpq_recall": "embeddings",
+    # round-16 continuation: the five faceted-retrieval rows plus the
+    # LSH facet twin — new same-round families, measured at every decade
+    # their driving table scales through
+    "bm25_filtered": "documents", "bm25_filtered_source": "documents",
+    "hybrid_filtered": "documents",
+    "incremental_neardup_filtered": "documents",
+    "filtered_ann_served": "embeddings", "ivfpq_ann_filtered": "embeddings",
 }
 
 
