@@ -118,9 +118,9 @@ object Main {
       // --docDir — none of these reads fixture tables
       val family0 = cli.getOrElse("family", "")
       val sfDir = cli.getOrElse("sfDir",
-        if (op == "compact" || op == "delete" || op == "merge" ||
-            op == "absorb" || op == "refresh" ||
-            (family0 == "lex" && op == "append")) ""
+        if (op == "compact" || op == "delete" || op == "delete-source" ||
+            op == "delete-label" || op == "merge" || op == "absorb" ||
+            op == "refresh" || (family0 == "lex" && op == "append")) ""
         else sys.error("--sfDir required"))
       def srcIndexDir = cli.getOrElse("srcIndexDir",
         sys.error("--srcIndexDir required for merge"))
@@ -147,6 +147,11 @@ object Main {
         // fixture-lifecycle entry points, not CLI ops.
         case ("ivf" | "ivf_trained", "append") => q.appendIvfIndex(spark, sfDir, indexDir)
         case ("ivf" | "ivf_trained", "delete") => q.ivfIndexDelete(spark, indexDir, ids)
+        // facet-scoped takedown: tombstones resolve from the attrs
+        // sidecar's one label directory — O(facet), zero posting reads
+        case ("ivf" | "ivf_trained", "delete-label") =>
+          q.ivfIndexDeleteLabel(spark, indexDir, cli.getOrElse("label",
+            sys.error("--label required for delete-label")).toLong)
         case ("ivf" | "ivf_trained", "compact") => q.ivfIndexCompact(spark, indexDir)
         // shard-parallel merge: src postings re-route against the
         // DESTINATION's frozen centroids and append per-bucket — no
@@ -157,6 +162,9 @@ object Main {
         case ("ivfpq", "build") => q.buildIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "append") => q.appendIvfPqIndex(spark, sfDir, indexDir)
         case ("ivfpq", "delete") => q.ivfPqIndexDelete(spark, indexDir, ids)
+        case ("ivfpq", "delete-label") =>
+          q.ivfPqIndexDeleteLabel(spark, indexDir, cli.getOrElse("label",
+            sys.error("--label required for delete-label")).toLong)
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
         case ("ivfpq", "absorb") => q.ivfPqAbsorb(spark, indexDir, vecFrame)
         case ("ivfpq", "merge") =>
@@ -169,6 +177,10 @@ object Main {
         case ("lsh", "build") => q.buildLshIndex(spark, sfDir, indexDir)
         case ("lsh", "append") => q.lshIndexAppend(spark, sfDir, indexDir)
         case ("lsh", "delete") => q.lshIndexDelete(spark, indexDir, ids)
+        // facet-scoped takedown: tombstones resolve from the attrs
+        // sidecar's source= leaves — O(facet), zero posting reads
+        case ("lsh", "delete-source") => q.lshIndexDeleteSource(spark, indexDir,
+          cli.getOrElse("source", sys.error("--source required for delete-source")))
         case ("lsh", "compact") => q.lshIndexCompact(spark, indexDir)
         // per-document signatures: merge = partition-wise posting union
         case ("lsh", "merge") => q.lshIndexMergeInto(spark, indexDir, srcIndexDir)
@@ -190,6 +202,9 @@ object Main {
           graft.queries.LexQueries.deleteLexDocs(spark, indexDir,
             cli.getOrElse("ids", sys.error("--ids required for delete"))
               .split(",").map(_.trim.toLong).toSeq)
+        case ("lex", "delete-source") =>
+          graft.queries.LexQueries.deleteLexSource(spark, indexDir,
+            cli.getOrElse("source", sys.error("--source required for delete-source")))
         case ("lex", "compact") =>
           graft.queries.LexQueries.compactLexIndex(spark, indexDir)
         // universal slot hash ⇒ shard merge is a partition-wise posting

@@ -73,9 +73,12 @@ object SparkEntry {
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
     "incremental_neardup_filtered" -> (SimilarityQueries.incrementalNearDupFiltered _),
     "incremental_neardup_deleted" -> (SimilarityQueries.incrementalNearDupDeleted _),
+    "incremental_neardup_source_retired" -> (SimilarityQueries.incrementalNearDupSourceRetired _),
     "ann_ivf_deleted" -> (SimilarityQueries.annIvfDeleted _),
+    "ann_ivf_label_retired" -> (SimilarityQueries.annIvfLabelRetired _),
     "ann_ivf_compacted" -> (SimilarityQueries.annIvfCompacted _),
     "ivfpq_ann_deleted" -> (SimilarityQueries.ivfPqAnnDeleted _),
+    "ivfpq_ann_label_retired" -> (SimilarityQueries.ivfPqAnnLabelRetired _),
     "ivfpq_ann_compacted" -> (SimilarityQueries.ivfPqAnnCompacted _),
     "lsh_bucket_skew" -> (SimilarityQueries.lshBucketSkew _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
@@ -121,6 +124,7 @@ object SparkEntry {
     "bm25_grown_maxscore" -> (LexQueries.bm25GrownMaxscore _),
     "bm25_filtered" -> (LexQueries.bm25Filtered _),
     "bm25_filtered_source" -> (LexQueries.bm25FilteredSource _),
+    "bm25_source_retired" -> (LexQueries.bm25SourceRetired _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -746,21 +750,32 @@ object SparkEntry {
            candExtra = " AND e.vid % 10 != 7")}
        |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin
 
+  /** Serving a retired IVF index with the takedown set factored out —
+    * `% 10 = 7` id batches for the deleted/compacted pair, a label's
+    * sidecar membership for the facet-scoped retire row. */
+  private def ivfRetiredServeSqlWith(qPred: String, candPred: String): String =
+    s"""$IvfAssignSql,
+       |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
+       |      FROM probes WHERE vec_id < 10 AND $qPred),
+       |p AS (SELECT q.qid, a.vec_id AS vid,
+       |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+       |      WHERE $candPred),
+       |r AS (SELECT qid, vid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+       |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin
+
   /** Serving the retired IVF index — shared verbatim by the
     * `ann_ivf_deleted` (tombstone-aware) and `ann_ivf_compacted`
     * (physically compacted) oracle keys: compaction must change storage,
     * never results. */
   private lazy val IvfRetiredServeSql: String =
-    s"""$IvfAssignSql,
-       |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket
-       |      FROM probes WHERE vec_id < 10 AND vec_id % 10 != 7),
-       |p AS (SELECT q.qid, a.vec_id AS vid,
-       |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
-       |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
-       |      WHERE a.vec_id % 10 != 7),
-       |r AS (SELECT qid, vid, cos,
-       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
-       |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin
+    ivfRetiredServeSqlWith("vec_id % 10 != 7", "a.vec_id % 10 != 7")
+
+  /** The label complement the facet-scoped vector retire rows serve
+    * from (mirrors `SimilarityQueries.RetiredLabel`). */
+  private def labelSurvivorSql(idExpr: String): String =
+    s"$idExpr NOT IN (SELECT vec_id FROM embeddings WHERE label = ${SimilarityQueries.RetiredLabel})"
 
   private lazy val LshCandBody: String = {
     val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
@@ -1981,10 +1996,31 @@ object SparkEntry {
          |SELECT doc_a, doc_b FROM cand
          |WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0)
          |  AND doc_a % 10 != 7 AND doc_b % 10 != 7""".stripMargin,
+    "incremental_neardup_source_retired" ->
+      // facet-scoped takedown: a retired SOURCE's docs (tombstones
+      // resolved from the attrs sidecar, not an id list) never surface
+      // on either side of a pair
+      s"""WITH $LshCandBody,
+         |ret AS (SELECT doc_id FROM documents WHERE source = 'src12')
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0)
+         |  AND doc_a NOT IN (SELECT doc_id FROM ret)
+         |  AND doc_b NOT IN (SELECT doc_id FROM ret)""".stripMargin,
     // tombstone-aware serving: centroids and surviving assignments are
     // FROZEN as built (delete never retrains); only rows whose vec_id is
     // retired (% 10 = 7) vanish from both query and candidate sides
     "ann_ivf_deleted" -> IvfRetiredServeSql,
+    // facet-scoped takedown: a whole label class retired via the attrs
+    // sidecar — the same retired-serve chain with the label's sidecar
+    // membership as the takedown set (retired vectors neither query nor
+    // surface as candidates)
+    "ann_ivf_label_retired" -> ivfRetiredServeSqlWith(
+      labelSurvivorSql("vec_id"), labelSurvivorSql("a.vec_id")),
+    "ivfpq_ann_label_retired" ->
+      s"""${ivfPqBodyWith("", "", "",
+             qExtra = s" AND ${labelSurvivorSql("p.vec_id")}",
+             candExtra = s" AND ${labelSurvivorSql("e.vid")}")}
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     // the composite twin of the retire pair — one shared definition
     "ivfpq_ann_deleted" -> IvfPqRetiredServeSql,
     "ivfpq_ann_compacted" -> IvfPqRetiredServeSql,
@@ -2204,6 +2240,11 @@ object SparkEntry {
     // candidate filter keyed on the attrs tree's SECOND partition level
     "bm25_filtered_source" -> bm25MultitermSqlWith(
       tfWhere = "WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')"),
+    // facet-scoped takedown: candidates restricted to the COMPLEMENT of
+    // the retired source, df/stats frozen at the full-corpus build —
+    // exactly the tombstone-aware serve over sidecar-resolved tombstones
+    "bm25_source_retired" -> bm25MultitermSqlWith(
+      tfWhere = "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src12')"),
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

@@ -349,6 +349,31 @@ object LexQueries {
     ids.toDF("doc_id").write.mode("append").parquet(s"$indexPath/tombstones")
   }
 
+  /** FACET-SCOPED takedown — "retire everything we ingested from source
+    * X", the licensing/legal shape the (lang, source) sidecar exists to
+    * serve on its write side: the doc_ids resolve from ONE
+    * partition-pruned attrs read (the source= leaves across langs) and
+    * land in the tombstone table distributed, so the whole operation is
+    * O(facet sidecar slice) — zero posting files read, zero text bytes,
+    * no driver-side id collection. Serving anti-joins the broadcast
+    * tombstone set as with any takedown; since a whole source can be a
+    * corpus-scale fraction (vs the usual ≪corpus takedown batch), run
+    * [[compactLexIndex]] soon after to purge physically and shrink the
+    * broadcast back to zero. Fenced like every delete. */
+  def deleteLexSource(spark: SparkSession, indexPath: String,
+      source: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    SimilarityQueries.assertNoMaintenance(fs, indexPath, "deleteLexSource")
+    val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+    require(fs.exists(attrs),
+      s"deleteLexSource: no attrs/ sidecar under $indexPath - the index " +
+        "predates facets, so source membership is unknown; rebuild it " +
+        "(or resolve the ids upstream and use deleteLexDocs)")
+    spark.read.parquet(attrs.toString)
+      .filter(col("source") === source).select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
+
   /** Physical purge — rewrite ONLY the slot directories that still hold
     * tombstoned rows, then drop the tombstones (the IVF compact
     * discipline: untouched slots keep their bytes, a slot whose every
@@ -1293,6 +1318,30 @@ object LexQueries {
     * two independently-pruned facet axes. */
   def bm25FilteredSource(spark: SparkSession, dir: String): DataFrame =
     bm25FilteredBy(spark, dir, col("source") === "src3")
+
+  /** The source the *_source_retired rows take down — deliberately NOT
+    * `bm25_filtered_source`'s src3, so the facet-serve and facet-retire
+    * rows exercise disjoint slices; src12 touches near-dup pairs at
+    * every gated SF, so the LSH retire row is never vacuous. */
+  private[graft] val RetiredSource = "src12"
+
+  /** `bm25_source_retired`: serve AFTER a facet-scoped takedown
+    * ([[deleteLexSource]]) — the other half of the licensing shape
+    * (`bm25_filtered_source` answers FROM one source; this one retires
+    * a source and answers from everything else). Tombstones resolved
+    * from the sidecar's `source=` leaves, zero posting reads; serving is
+    * the plain tombstone-aware multiterm chain with df/stats frozen at
+    * the full-corpus build — exactly what the oracle recomputes by
+    * restricting candidates to the complement. */
+  def bm25SourceRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = SimilarityQueries.servedIndexWith(dir, "lexidx_srcdel",
+        s"${lexStamp(spark, dir)};srcdel=$RetiredSource") { p =>
+      buildLexIndex(spark, dir, p)
+      deleteLexSource(spark, p, RetiredSource)
+    }
+    rankTop10(multitermTotals(serveTermScores(spark, idx, QueryTerms,
+      loadStats(spark, idx), tombstoneAware = true)))
+  }
 
   /** The shared faceted-serving chain: a partition-pruned attrs read
     * under `facetPred` (any predicate over the lang/source partition

@@ -3179,6 +3179,39 @@ object SimilarityQueries {
       .write.mode("append").parquet(s"$indexPath/tombstones")
   }
 
+  /** The vec_ids of one facet label, resolved from the attrs sidecar's
+    * ONE partition-pruned label directory — the shared resolution step
+    * of the vector families' facet-scoped takedown. */
+  private def labelMembers(spark: SparkSession, indexPath: String,
+      label: Long, op: String): DataFrame = {
+    val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+    val fs = attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(attrs),
+      s"$op: no attrs/ sidecar under $indexPath - the index predates " +
+        "facets, so label membership is unknown; rebuild it (or resolve " +
+        "the ids upstream and use the id-list delete)")
+    spark.read.parquet(attrs.toString)
+      .filter(col("label") === label).select(col("vec_id")).distinct()
+  }
+
+  /** FACET-SCOPED takedown for the raw-vector family — the doc-keyed
+    * families' [[graft.queries.LexQueries.deleteLexSource]] shape on
+    * embeddings ("retire every vector of class/source X", e.g. a
+    * contaminated or license-pulled slice): ids resolve from the attrs
+    * sidecar's one label directory, buckets from the idmap sidecar —
+    * O(facet) end to end, zero posting files read. Compact soon after a
+    * corpus-scale label to shrink the serving anti-join broadcast. */
+  def ivfIndexDeleteLabel(spark: SparkSession, indexPath: String,
+      label: Long): Unit =
+    ivfIndexDelete(spark, indexPath,
+      labelMembers(spark, indexPath, label, "ivfIndexDeleteLabel"))
+
+  /** [[ivfIndexDeleteLabel]] for the composite (IVFPQ) layout. */
+  def ivfPqIndexDeleteLabel(spark: SparkSession, indexPath: String,
+      label: Long): Unit =
+    ivfPqIndexDelete(spark, indexPath,
+      labelMembers(spark, indexPath, label, "ivfPqIndexDeleteLabel"))
+
   /** Physically remove tombstoned vectors: read ONLY the touched bucket
     * partitions (≤ [[IvfK]], partition-pruned), anti-join the broadcast
     * tombstone ids, dynamic-partition-overwrite exactly those bucket
@@ -3324,6 +3357,46 @@ object SimilarityQueries {
     ivfServeTombstoned(spark, e, idx)
   }
 
+  /** The label the *_label_retired rows take down — deliberately NOT
+    * [[FacetLabel]] (the facet-SERVE rows' label), and chosen so the
+    * fixture's query set (vec_id < 10) contains retired-label queries:
+    * both contract sides exercise (retired vectors neither query nor
+    * surface as candidates). Literal so the oracle mirrors it. */
+  private[graft] val RetiredLabel = 7L
+
+  /** `ann_ivf_label_retired`: IVF serving after a FACET-SCOPED takedown
+    * ([[ivfIndexDeleteLabel]]) — a whole label class retired by ONE
+    * partition-pruned sidecar read, no id list anywhere; serving is the
+    * plain tombstone-aware path, oracle = [[annIvf]] with both sides
+    * restricted to the label's complement. */
+  def annIvfLabelRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivf_ldel",
+        s"${embeddingsStamp(spark, dir)};ldel=$RetiredLabel") { p =>
+      buildIvfIndex(spark, dir, p)
+      ivfIndexDeleteLabel(spark, p, RetiredLabel)
+    }
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("label").cast("long") =!= RetiredLabel)
+    ivfServeTombstoned(spark, e, idx)
+  }
+
+  /** `ivfpq_ann_label_retired`: [[annIvfLabelRetired]] for the
+    * composite index — the compressed serving path after the same
+    * sidecar-resolved label takedown. */
+  def ivfPqAnnLabelRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivfpq_ldel",
+        s"${embeddingsStamp(spark, dir)};ldel=$RetiredLabel") { p =>
+      buildIvfPqIndex(spark, dir, p)
+      ivfPqIndexDeleteLabel(spark, p, RetiredLabel)
+    }
+    val tombIds = broadcast(spark.read.parquet(s"$idx/tombstones")
+      .select(col("vec_id").as("tomb_id")).distinct())
+    ivfPqAnnServe(spark, dir, idx,
+      queryFilter = col("label").cast("long") =!= RetiredLabel,
+      postingsFilter =
+        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti"))
+  }
+
   /** IVF serving after compaction — the tombstoned rows are physically
     * gone (touched buckets rewritten, untouched buckets byte-identical),
     * serving is the plain [[annIvfServe]] plan with zero anti-join work.
@@ -3393,6 +3466,29 @@ object SimilarityQueries {
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath,
       "lshIndexDelete")
     ids.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
+
+  /** FACET-SCOPED takedown for the near-dup index —
+    * [[graft.queries.LexQueries.deleteLexSource]]'s twin (the two
+    * doc-keyed families share the sidecar layout, so they share the
+    * retire shape): doc_ids resolve from one partition-pruned attrs
+    * read and land in the tombstone table distributed — O(facet sidecar
+    * slice), zero posting reads, no driver-side collection. A whole
+    * source can be a corpus-scale fraction: compact soon after to keep
+    * the serving-side broadcast anti-join small. */
+  def lshIndexDeleteSource(spark: SparkSession, indexPath: String,
+      source: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertNoMaintenance(fs, indexPath, "lshIndexDeleteSource")
+    val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+    require(fs.exists(attrs),
+      s"lshIndexDeleteSource: no attrs/ sidecar under $indexPath - the " +
+        "index predates facets, so source membership is unknown; rebuild " +
+        "it (or resolve the ids upstream and use lshIndexDelete)")
+    spark.read.parquet(attrs.toString)
+      .filter(col("source") === source).select(col("doc_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/tombstones")
   }
 
@@ -3468,6 +3564,36 @@ object SimilarityQueries {
       lshIndexAppend(spark, dir, p)
       lshIndexDelete(spark, p, Tables.documents(spark, dir)
         .select(col("doc_id")).filter(retiredPred(col("doc_id"))))
+    }
+    val tomb = broadcast(spark.read.parquet(s"$idx/tombstones")
+      .select(col("doc_id").as("tomb_id")).distinct())
+    val all = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(tomb, col("doc_id") === col("tomb_id"), "left_anti")
+    val delta = all.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("doc_d"), col("band").as("band_d"),
+        col("sig").as("sig_d"))
+    all.join(delta,
+        col("band") === col("band_d") && col("sig") === col("sig_d") &&
+          col("doc_id") =!= col("doc_d"))
+      .select(least(col("doc_id"), col("doc_d")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_d")).as("doc_b"))
+      .distinct()
+  }
+
+  /** `incremental_neardup_source_retired`: the near-dup serve after a
+    * FACET-SCOPED takedown ([[lshIndexDeleteSource]]) — a whole source's
+    * documents stop surfacing on EITHER side of a candidate pair, with
+    * the tombstones resolved from the sidecar rather than an explicit id
+    * list. Same tombstone-aware pair chain as
+    * [[incrementalNearDupDeleted]]; the oracle restricts endpoints to
+    * the complement of the retired source. */
+  def incrementalNearDupSourceRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "lshidx_srcdel",
+        s"${lshStamp(spark, dir)};srcdel=${LexQueries.RetiredSource}") { p =>
+      buildLshIndex(spark, dir, p)
+      lshIndexAppend(spark, dir, p)
+      lshIndexDeleteSource(spark, p, LexQueries.RetiredSource)
     }
     val tomb = broadcast(spark.read.parquet(s"$idx/tombstones")
       .select(col("doc_id").as("tomb_id")).distinct())

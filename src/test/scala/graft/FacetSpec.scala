@@ -311,6 +311,109 @@ class FacetSpec extends SparkSuite {
     assert(got != all, "the facet must actually exclude cross-facet pairs")
   }
 
+  test("facet-scoped takedown: tombstones resolve from the sidecar, serving and compact honor them, sidecar-less index refuses") {
+    import graft.queries.LexQueries
+    val q = SimilarityQueries
+    // --- lex family, synthetic corpus with known sources
+    val docs = Seq(
+      (1L, "join vector stream", "en", "webA"),
+      (2L, "join vector", "de", "webB"),
+      (3L, "join stream spark", "en", "webB"),
+      (4L, "vector window spark", "de", "webA"),
+      (5L, "join", "en", "webB")).toDF("doc_id", "text", "lang", "source")
+    val idx = tmp("facet_srcdel_lex")
+    LexQueries.buildLexIndexFrom(spark, docs, idx)
+    LexQueries.deleteLexSource(spark, idx, "webB")
+    val tombs = spark.read.parquet(s"$idx/tombstones")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(tombs == Set(2L, 3L, 5L),
+      "the tombstone set must be exactly the sidecar's source membership")
+    // tombstone-aware serving excludes the retired source's docs
+    val served = graft.streaming.LexServe.serveBatch(spark,
+        Seq((1L, "join vector")).toDF("qid", "text"), idx,
+        LexQueries.loadStats(spark, idx), k = 10, tombstoneAware = true)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(served == Set(1L, 4L),
+      "only the surviving sources' docs may serve after a source retire")
+    // compact purges the retired source's postings AND its facet rows
+    LexQueries.compactLexIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/attrs")
+      .filter(col("source") === "webB").count() == 0,
+      "compact must purge the retired source from the sidecar")
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id").isin(2L, 3L, 5L)).count() == 0)
+    // a pre-sidecar index refuses with the actionable message
+    val bare = tmp("facet_srcdel_bare")
+    LexQueries.buildLexIndexFrom(spark, docs.drop("lang", "source"), bare)
+    val fs = new org.apache.hadoop.fs.Path(bare)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bare/attrs"), true)
+    intercept[IllegalArgumentException] {
+      LexQueries.deleteLexSource(spark, bare, "webB")
+    }
+    // --- LSH twin over the fixture: same contract, sidecar-resolved
+    val lshIdx = tmp("facet_srcdel_lsh")
+    q.buildLshIndex(spark, dir, lshIdx)
+    q.lshIndexAppend(spark, dir, lshIdx)
+    q.lshIndexDeleteSource(spark, lshIdx, LexQueries.RetiredSource)
+    val lshTombs = spark.read.parquet(s"$lshIdx/tombstones")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(lshTombs ==
+      docTruth(col("source") === LexQueries.RetiredSource).map(_._1),
+      "LSH source retire must tombstone exactly the fixture's source slice")
+    intercept[IllegalArgumentException] {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$lshIdx/attrs"), true)
+      q.lshIndexDeleteSource(spark, lshIdx, LexQueries.RetiredSource)
+    }
+  }
+
+  test("vector facet-scoped takedown: label members tombstone via the sidecar, both families; sidecar-less refuses") {
+    val q = SimilarityQueries
+    val labelIds = truth(col("label").cast("long") === q.RetiredLabel).map(_._1)
+    assert(labelIds.nonEmpty)
+    val idx = tmp("facet_ldel_ivf")
+    q.buildIvfIndex(spark, dir, idx)
+    q.ivfIndexDeleteLabel(spark, idx, q.RetiredLabel)
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .select(col("vec_id")).as[Long].collect().toSet == labelIds,
+      "the IVF tombstone set must be exactly the sidecar's label membership")
+    val pq = tmp("facet_ldel_pq")
+    q.buildIvfPqIndex(spark, dir, pq)
+    q.ivfPqIndexDeleteLabel(spark, pq, q.RetiredLabel)
+    assert(spark.read.parquet(s"$pq/tombstones")
+      .select(col("vec_id")).as[Long].collect().toSet == labelIds,
+      "the IVFPQ tombstone set must be exactly the sidecar's label membership")
+    // retired-label vectors never surface as candidates after the retire
+    val got = q.annIvfLabelRetired(spark, dir)
+      .select(col("vid")).as[Long].collect().toSet
+    assert(got.nonEmpty && got.intersect(labelIds).isEmpty)
+    val gotPq = q.ivfPqAnnLabelRetired(spark, dir)
+      .select(col("vid")).as[Long].collect().toSet
+    assert(gotPq.nonEmpty && gotPq.intersect(labelIds).isEmpty)
+    // a pre-sidecar index refuses with the actionable message
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/attrs"), true)
+    intercept[IllegalArgumentException] {
+      q.ivfIndexDeleteLabel(spark, idx, q.RetiredLabel)
+    }
+  }
+
+  test("incremental_neardup_source_retired: a retired source never surfaces on either pair side") {
+    val q = SimilarityQueries
+    val got = q.incrementalNearDupSourceRetired(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val retired = docTruth(col("source") === graft.queries.LexQueries.RetiredSource)
+      .map(_._1)
+    val all = q.incrementalNearDup(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == all.filter(p => !retired(p._1) && !retired(p._2)),
+      "the retired-source pair set must equal the unfaceted set minus " +
+        "pairs touching the retired source")
+    assert(got.nonEmpty && got != all,
+      "the fixture must plant pairs touching the retired source")
+  }
+
   test("streamed faceted LSH serving == batch facet path; non-facet standing docs never surface; sidecar-less index refuses") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val q = SimilarityQueries
