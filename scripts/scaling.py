@@ -84,6 +84,11 @@ DRIVER = {
     "hybrid_filtered": "documents",
     "incremental_neardup_filtered": "documents",
     "filtered_ann_served": "embeddings", "ivfpq_ann_filtered": "embeddings",
+    # round-16 continuation: the facet-scoped takedown rows
+    "bm25_source_retired": "documents",
+    "incremental_neardup_source_retired": "documents",
+    "ann_ivf_label_retired": "embeddings",
+    "ivfpq_ann_label_retired": "embeddings",
 }
 
 
