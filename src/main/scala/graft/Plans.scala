@@ -169,7 +169,8 @@ object Plans {
     "ivfpq_ann_filtered" -> "faceted COMPRESSED serving: the same label-pruned allowlist screens the code postings before the ADC join; no raw vector, no corpus scan",
     "bm25_filtered_source" -> "source facet: allowlist read pruned at the attrs tree's SECOND partition level (source= leaves); corpus never in the plan",
     "hybrid_filtered" -> "hybrid + facet: ONE partition-pruned allowlist read screens BOTH arms before their rank windows (ranks are within-facet); arms still TakeOrderedAndProject to 50",
-    "incremental_neardup_filtered" -> "faceted near-dup serving (4th family): lang-pruned attrs allowlist semi-joins the signature scan BEFORE the band equijoin; both pair sides facet-screened compact keys, zero document text in the plan"
+    "incremental_neardup_filtered" -> "faceted near-dup serving (4th family): lang-pruned attrs allowlist semi-joins the signature scan BEFORE the band equijoin; both pair sides facet-screened compact keys, zero document text in the plan",
+    "facet_profile" -> "the facet-tree pre-flight: one map-combinable aggregate over the sidecar's partition columns + doc_id — the corpus is not in the plan, no text byte read"
   )
 
   def main(args: Array[String]): Unit = {

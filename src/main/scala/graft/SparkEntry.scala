@@ -125,6 +125,7 @@ object SparkEntry {
     "bm25_filtered" -> (LexQueries.bm25Filtered _),
     "bm25_filtered_source" -> (LexQueries.bm25FilteredSource _),
     "bm25_source_retired" -> (LexQueries.bm25SourceRetired _),
+    "facet_profile" -> (LexQueries.facetProfile _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -2245,6 +2246,13 @@ object SparkEntry {
     // exactly the tombstone-aware serve over sidecar-resolved tombstones
     "bm25_source_retired" -> bm25MultitermSqlWith(
       tfWhere = "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src12')"),
+    // the facet-tree pre-flight: sidecar counts must equal the corpus's
+    // own (lang, source) histogram — a writer that dropped or duplicated
+    // facet rows mismatches here
+    "facet_profile" ->
+      s"""SELECT coalesce(lang, 'und') AS lang, coalesce(source, 'unk') AS source,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

@@ -1343,6 +1343,22 @@ object LexQueries {
       loadStats(spark, idx), tombstoneAware = true)))
   }
 
+  /** `facet_profile`: the operator's pre-flight view of the facet tree
+    * — per-(lang, source) doc counts straight from the served index's
+    * attrs sidecar (partition columns + one thin id column, never a
+    * text byte; the corpus is not in the plan). This is the number a
+    * facet-scoped QUERY will read and a facet-scoped TAKEDOWN
+    * ([[deleteLexSource]]) would retire — the capacity/impact check an
+    * operator runs before either; also the sidecar's own audit (the
+    * oracle recomputes the counts from the corpus, so a writer that
+    * dropped or duplicated facet rows hash-mismatches here). */
+  def facetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedLexIndex(spark, dir)
+    spark.read.parquet(s"$idx/attrs")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** The shared faceted-serving chain: a partition-pruned attrs read
     * under `facetPred` (any predicate over the lang/source partition
     * columns — both levels prune), screened into the slot-pruned scored
