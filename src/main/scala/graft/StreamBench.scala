@@ -234,6 +234,44 @@ object StreamBench {
     }
     val annSkQps = if (annSkSec > 0) annSkQueries / annSkSec else -1.0
 
+    // FACETED ANN serving — the base ANN stage with --facetLabel: the
+    // allowlist (one label directory of the attrs sidecar) is re-read
+    // and semi-joined into the probed postings every batch, so the qps
+    // ratio vs ann_serve_qps prices the facet screen itself (the scored
+    // candidate set shrinks ~10x, the screen adds one broadcast
+    // semi-join + one pruned sidecar read per batch).
+    val (annFcQueries, annFcSec) = try {
+      val idx = java.nio.file.Files.createTempDirectory("sb-ivf-facet").toString
+      graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir, idx)
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nQ = math.min(20000, math.max(2000, n / 10))
+      val queries: Seq[(Long, Seq[Float])] =
+        (0 until nQ).map(i => (9000000L + i, base(i % base.length)._2))
+      val ms12 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](12, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]])
+      val q = graft.streaming.AnnServe.start(
+        spark, ms12.toDF().toDF("vec_id", "embedding"), idx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory("sb-ann-facet-ckpt").toString,
+        facetLabel = Some(graft.queries.SimilarityQueries.FacetLabel))
+      ms12.addData(queries.take(200): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val chunks = queries.drop(200).grouped(math.max(1, (nQ - 200) / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms12.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (nQ - 200, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] ann facet stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val annFcQps = if (annFcSec > 0) annFcQueries / annFcSec else -1.0
+
     // Streaming IVFPQ serving (graft.streaming.PqServe — the
     // compressed-index twin): same query stream shape, ADC scoring over
     // bucket-pruned CODE postings with centroids + codebooks cached at
@@ -469,7 +507,7 @@ object StreamBench {
     val lex10Qps = if (lex10Sec > 0) lex10Queries / lex10Sec else -1.0
 
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"ann_serve_skew_qps":$annSkQps%.0f,"ann_serve_skew_queries":$annSkQueries,"ann_serve_skew_seconds":$annSkSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"pq_ingest_vps":$piVps%.0f,"pq_ingest_vectors":$piVecs,"pq_ingest_seconds":$piSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"ann_serve_skew_qps":$annSkQps%.0f,"ann_serve_skew_queries":$annSkQueries,"ann_serve_skew_seconds":$annSkSec%.2f,"ann_serve_facet_qps":$annFcQps%.0f,"ann_serve_facet_queries":$annFcQueries,"ann_serve_facet_seconds":$annFcSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"pq_ingest_vps":$piVps%.0f,"pq_ingest_vectors":$piVecs,"pq_ingest_seconds":$piSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

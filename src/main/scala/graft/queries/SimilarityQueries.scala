@@ -3105,7 +3105,11 @@ object SimilarityQueries {
       else spark.read.parquet(s"$indexPath/postings")
         .select(col(idCol).as("vec_id"),
           col("bucket").cast("long").as("bucket")).distinct()
-    pairs.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id")
+    // un-hinted: AQE broadcasts the usual ≪corpus takedown batch at
+    // runtime, but a facet-scoped delete (ivfIndexDeleteLabel) can carry
+    // a corpus-scale fraction — a forced broadcast hint would ship that
+    // whole slice to every task where a shuffle join is the right plan
+    pairs.join(ids.select(col("vec_id")).distinct(), "vec_id")
   }
 
   /** Maintenance marker protocol — the index twin of the corpus
