@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_recall" -> (SimilarityQueries.annRecall _),
     "ann_recall_trained" -> (SimilarityQueries.annRecallTrained _),
     "ann_recall_nprobe" -> (SimilarityQueries.annRecallNprobe _),
+    "lsh_recall_sampled" -> (SimilarityQueries.lshRecallSampled _),
     "incremental_neardup" -> (SimilarityQueries.incrementalNearDup _),
     "incremental_neardup_filtered" -> (SimilarityQueries.incrementalNearDupFiltered _),
     "incremental_neardup_deleted" -> (SimilarityQueries.incrementalNearDupDeleted _),
@@ -1558,6 +1559,37 @@ object SparkEntry {
       // threshold test in exact BIGINTs
       s"""WITH $LshCandBody,
          |rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents),
+         |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
+         |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
+         |rsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),
+         |rit AS (SELECT a.doc_id AS da, b2.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+         |  FROM rs a JOIN rs b2 ON a.h = b2.h AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |rpj AS (SELECT da, db, i, sa.n + sb.n - i AS u
+         |  FROM rit JOIN rsz sa ON da = sa.doc_id JOIN rsz sb ON db = sb.doc_id),
+         |rpc AS (SELECT rpj.i, rpj.u,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS caught
+         |  FROM rpj LEFT JOIN cand c ON rpj.da = c.doc_a AND rpj.db = c.doc_b),
+         |th AS (SELECT unnest(range(1, 10)) AS t)
+         |SELECT CAST(t AS BIGINT) AS threshold_x10,
+         |  CAST(sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN i * 10 >= u * t THEN caught ELSE 0 END) AS BIGINT) AS n_caught,
+         |  CASE WHEN sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) > 0
+         |       THEN CAST(sum(CASE WHEN i * 10 >= u * t THEN caught ELSE 0 END) AS DOUBLE)
+         |            / CAST(sum(CASE WHEN i * 10 >= u * t THEN 1 ELSE 0 END) AS DOUBLE)
+         |       ELSE NULL END AS recall
+         |FROM rpc, th GROUP BY t""".stripMargin
+    },
+    "lsh_recall_sampled" -> {
+      // the corpus-scale audit twin: the TRUTH side restricted to the
+      // deterministic fixed-size sample (smallest md5("smp:"||id), ties
+      // impossible), the candidate side the full band-bounded cand set
+      s"""WITH $LshCandBody,
+         |rsmp AS (SELECT doc_id FROM (
+         |    SELECT doc_id, md5('smp:' || CAST(doc_id AS VARCHAR)) AS hk
+         |    FROM documents ORDER BY hk, doc_id
+         |    LIMIT ${SimilarityQueries.RecallSampleK})),
+         |rw AS (SELECT doc_id, $WordToksSql AS ws FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM rsmp)),
          |rs0 AS (SELECT doc_id, unnest($ShingleSql) AS sh FROM rw),
          |rs AS (SELECT DISTINCT doc_id, ${hash32Sql("sh")} AS h FROM rs0),
          |rsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY 1),

@@ -3646,8 +3646,42 @@ object SimilarityQueries {
     * [[annRecall]] discipline) and/or df-caps hot shingles — estimating
     * a recall curve needs a sample, never the corpus. The candidate
     * membership check is an equijoin on canonical (a, b) pair keys. */
-  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val shx = Tables.documents(spark, dir)
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOver(spark, dir, Tables.documents(spark, dir))
+
+  /** Fixed SIZE of the sampled recall audit's doc subset — a constant,
+    * not a rate: the truth join is then sample²-bounded whatever the
+    * corpus grows to. Literal so the oracle mirrors the selection. */
+  private[graft] val RecallSampleK = 1000
+
+  /** `lsh_recall_sampled`: the CORPUS-SCALE recall audit —
+    * [[lshRecall]]'s documented scale path made a first-class query.
+    * The round-16 scaling screen measured the exact audit's truth side
+    * at 98.6× join rows for a 10× doc step (the shingle vocabulary
+    * saturates, so Σc² grows quadratically — SCALING.md finding 1b′);
+    * this twin restricts the TRUTH side to a deterministic fixed-size
+    * sample (the [[RecallSampleK]] docs with the smallest
+    * md5("smp:" ++ doc_id) — order-stable, corpus-independent), so the
+    * intersection join is bounded by sample² forever, while the
+    * CANDIDATE side stays the full production band-bounded
+    * [[minhashLsh]] pair set (recall is audited for sampled true pairs
+    * against real candidates — the standard unbiased audit design).
+    * At fixtures smaller than the sample the two audits coincide; at
+    * every larger corpus this is the one you can afford to run. */
+  def lshRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sample = docs
+      .select(col("doc_id"),
+        md5(concat(lit("smp:"), col("doc_id").cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(RecallSampleK)
+      .select(col("doc_id").as("_smp_doc"))
+    lshRecallOver(spark, dir,
+      docs.join(broadcast(sample), docs("doc_id") === col("_smp_doc"), "left_semi"))
+  }
+
+  private def lshRecallOver(spark: SparkSession, dir: String,
+      truthDocs: DataFrame): DataFrame = {
+    val shx = truthDocs
       .withColumn("ws", wordTokens(col("text")))
       .select(col("doc_id"), explode(array_distinct(shingleCol(col("ws")))).as("sh"))
       .select(col("doc_id"), md5Hash32(col("sh")).as("h"))
