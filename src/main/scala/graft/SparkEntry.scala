@@ -127,6 +127,7 @@ object SparkEntry {
     "bm25_filtered_source" -> (LexQueries.bm25FilteredSource _),
     "bm25_source_retired" -> (LexQueries.bm25SourceRetired _),
     "facet_profile" -> (LexQueries.facetProfile _),
+    "vec_facet_profile" -> (SimilarityQueries.vecFacetProfile _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -2285,6 +2286,12 @@ object SparkEntry {
       s"""SELECT coalesce(lang, 'und') AS lang, coalesce(source, 'unk') AS source,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the vector twin: label histogram from the IVF sidecar == the
+    // embeddings table's own (missing labels would land in -1)
+    "vec_facet_profile" ->
+      s"""SELECT CAST(coalesce(label, -1) AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM embeddings GROUP BY 1""".stripMargin,
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

@@ -2355,6 +2355,21 @@ object SimilarityQueries {
     * rows scope to — literal so the DuckDB oracle can mirror it. */
   private[graft] val FacetLabel = 1L
 
+  /** `vec_facet_profile`: [[graft.queries.LexQueries.facetProfile]]'s
+    * vector twin — per-label vector counts straight from the served IVF
+    * index's attrs sidecar (one partition column + one thin id column;
+    * no embedding byte, the corpus is not in the plan). The pre-flight
+    * for both faceted serving (`--facetLabel`) and the facet-scoped
+    * takedown ([[ivfIndexDeleteLabel]]), and the sidecar's own audit —
+    * the oracle recomputes the histogram from the embeddings table, so
+    * a writer that dropped or duplicated facet rows hash-mismatches. */
+  def vecFacetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
+    spark.read.parquet(s"$idx/attrs")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** `filtered_ann_served`: FACETED retrieval from the persisted IVF
     * index — [[graft.queries.LexQueries.bm25Filtered]]'s vector twin,
     * and the production ANN query shape ("nearest neighbors within
