@@ -101,6 +101,16 @@ DRIVER = {
     "cluster_eval": "embeddings", "pca_project": "embeddings",
     "pq_ann": "embeddings", "pq_recall": "embeddings",
     "lsh_recall_sampled": "documents",
+    # round-17: the SOURCE-axis vector facet rows (takedown + faceted
+    # serve) and the profile family (O(partition-metadata) — trivially
+    # flat, but the screen checks, not assumes; VERDICT r16 item 5)
+    "ann_ivf_source_retired": "embeddings",
+    "ivfpq_ann_source_retired": "embeddings",
+    "filtered_ann_source": "embeddings",
+    "vec_facet_profile": "embeddings",
+    "ivfpq_facet_profile": "embeddings",
+    "lsh_facet_profile": "documents",
+    "facet_profile": "documents",
 }
 
 # Honest attributions for super-linear sf1-step exponents: query ->

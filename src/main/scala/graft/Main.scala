@@ -152,6 +152,9 @@ object Main {
         case ("ivf" | "ivf_trained", "delete-label") =>
           q.ivfIndexDeleteLabel(spark, indexDir, cli.getOrElse("label",
             sys.error("--label required for delete-label")).toLong)
+        case ("ivf" | "ivf_trained", "delete-source") =>
+          q.ivfIndexDeleteSource(spark, indexDir, cli.getOrElse("source",
+            sys.error("--source required for delete-source")))
         case ("ivf" | "ivf_trained", "compact") => q.ivfIndexCompact(spark, indexDir)
         // shard-parallel merge: src postings re-route against the
         // DESTINATION's frozen centroids and append per-bucket — no
@@ -165,6 +168,9 @@ object Main {
         case ("ivfpq", "delete-label") =>
           q.ivfPqIndexDeleteLabel(spark, indexDir, cli.getOrElse("label",
             sys.error("--label required for delete-label")).toLong)
+        case ("ivfpq", "delete-source") =>
+          q.ivfPqIndexDeleteSource(spark, indexDir, cli.getOrElse("source",
+            sys.error("--source required for delete-source")))
         case ("ivfpq", "compact") => q.ivfIndexCompact(spark, indexDir, idCol = "vid")
         case ("ivfpq", "absorb") => q.ivfPqAbsorb(spark, indexDir, vecFrame)
         case ("ivfpq", "merge") =>
@@ -371,10 +377,10 @@ object Main {
     // --family lex: (qid, text) retrieval queries through
     // graft.streaming.LexServe (BM25 top-10 from the standing inverted
     // index — batch tokenizes itself, lexicon/posting reads slot-pruned).
-    // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh|lex]
+    // Usage: graft.Main --mode serve [--family ivf|ivfpq|lsh|lex|hybrid]
     //                   --indexDir idx/ --queryDir q/ --outDir out/
     //                   [--once true] [--tombstoneAware true]
-    //                   [--facetLabel N (ivf|ivfpq)]
+    //                   [--facetLabel N] [--facetSource src] (ivf|ivfpq)
     //                   [--facetLang xx] [--facetSource src] (lex|lsh)
     if (cli.get("mode").contains("serve")) {
       val indexDir = cli.getOrElse("indexDir", sys.error("--indexDir required"))
@@ -410,7 +416,8 @@ object Main {
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
             tombstoneAware = tombAware,
-            facetLabel = cli.get("facetLabel").map(_.toLong))
+            facetLabel = cli.get("facetLabel").map(_.toLong),
+            facetSource = cli.get("facetSource"))
         case "ivfpq" =>
           // code postings carry no raw vectors; the query vector type
           // comes from the stored centroids instead
@@ -424,7 +431,8 @@ object Main {
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
             tombstoneAware = tombAware,
-            facetLabel = cli.get("facetLabel").map(_.toLong))
+            facetLabel = cli.get("facetLabel").map(_.toLong),
+            facetSource = cli.get("facetSource"))
         case "lsh" =>
           val qSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
@@ -459,6 +467,26 @@ object Main {
           graft.streaming.LexServe.start(
             spark, spark.readStream.schema(qSchema).parquet(queryDir),
             indexDir, sink, ckpt, availableNow = once,
+            tombstoneAware = tombAware, facetLang = cli.get("facetLang"),
+            facetSource = cli.get("facetSource"))
+        case "hybrid" =>
+          // (qid, text, embedding) hybrid queries → HybridServe: RRF
+          // fusion of the lexical index at --indexDir with the IVF
+          // index at --ivfIndexDir; facet flags screen BOTH arms from
+          // one allowlist read (doc_id ≡ vec_id)
+          val ivfDir = cli.getOrElse("ivfIndexDir",
+            sys.error("--ivfIndexDir required for --family hybrid"))
+          val embType = spark.read.parquet(s"$ivfDir/postings")
+            .schema("embedding").dataType
+          val qSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("embedding", embType)))
+          graft.streaming.HybridServe.start(
+            spark, spark.readStream.schema(qSchema).parquet(queryDir),
+            indexDir, ivfDir, sink, ckpt, availableNow = once,
             tombstoneAware = tombAware, facetLang = cli.get("facetLang"),
             facetSource = cli.get("facetSource"))
         case other => sys.error(s"unknown serve family: $other")

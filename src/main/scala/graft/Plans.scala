@@ -170,7 +170,10 @@ object Plans {
     "bm25_filtered_source" -> "source facet: allowlist read pruned at the attrs tree's SECOND partition level (source= leaves); corpus never in the plan",
     "hybrid_filtered" -> "hybrid + facet: ONE partition-pruned allowlist read screens BOTH arms before their rank windows (ranks are within-facet); arms still TakeOrderedAndProject to 50",
     "incremental_neardup_filtered" -> "faceted near-dup serving (4th family): lang-pruned attrs allowlist semi-joins the signature scan BEFORE the band equijoin; both pair sides facet-screened compact keys, zero document text in the plan",
-    "facet_profile" -> "the facet-tree pre-flight: one map-combinable aggregate over the sidecar's partition columns + doc_id — the corpus is not in the plan, no text byte read"
+    "facet_profile" -> "the facet-tree pre-flight: one map-combinable aggregate over the sidecar's partition columns + doc_id — the corpus is not in the plan, no text byte read",
+    "vec_facet_profile" -> "the vector families' pre-flight, two-axis since vec-v3: ReadSchema struct<> — the histogram folds from the (label, source) partition metadata alone, zero data columns read",
+    "ivfpq_facet_profile" -> "the composite family's twin over its own sidecar: same ReadSchema struct<> contract — the PQ writers' facet maintenance audited at zero data-column cost",
+    "lsh_facet_profile" -> "the near-dup family's twin over its doc-keyed (lang, source) sidecar: same ReadSchema struct<> contract"
   )
 
   def main(args: Array[String]): Unit = {

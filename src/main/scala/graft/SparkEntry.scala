@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_ivf_served" -> (SimilarityQueries.annIvfServed _),
     "filtered_ann_served" -> (SimilarityQueries.filteredAnnServed _),
     "ivfpq_ann_filtered" -> (SimilarityQueries.ivfPqAnnFiltered _),
+    "filtered_ann_source" -> (SimilarityQueries.filteredAnnSource _),
     "ann_ivf_merged" -> (SimilarityQueries.annIvfMerged _),
     "ann_ivf_appended" -> (SimilarityQueries.annIvfAppended _),
     "ann_ndcg" -> (SimilarityQueries.annNdcg _),
@@ -77,9 +78,11 @@ object SparkEntry {
     "incremental_neardup_source_retired" -> (SimilarityQueries.incrementalNearDupSourceRetired _),
     "ann_ivf_deleted" -> (SimilarityQueries.annIvfDeleted _),
     "ann_ivf_label_retired" -> (SimilarityQueries.annIvfLabelRetired _),
+    "ann_ivf_source_retired" -> (SimilarityQueries.annIvfSourceRetired _),
     "ann_ivf_compacted" -> (SimilarityQueries.annIvfCompacted _),
     "ivfpq_ann_deleted" -> (SimilarityQueries.ivfPqAnnDeleted _),
     "ivfpq_ann_label_retired" -> (SimilarityQueries.ivfPqAnnLabelRetired _),
+    "ivfpq_ann_source_retired" -> (SimilarityQueries.ivfPqAnnSourceRetired _),
     "ivfpq_ann_compacted" -> (SimilarityQueries.ivfPqAnnCompacted _),
     "lsh_bucket_skew" -> (SimilarityQueries.lshBucketSkew _),
     "interval_join_outer" -> (AnalyticsQueries.intervalJoinOuter _),
@@ -128,6 +131,8 @@ object SparkEntry {
     "bm25_source_retired" -> (LexQueries.bm25SourceRetired _),
     "facet_profile" -> (LexQueries.facetProfile _),
     "vec_facet_profile" -> (SimilarityQueries.vecFacetProfile _),
+    "ivfpq_facet_profile" -> (SimilarityQueries.ivfPqFacetProfile _),
+    "lsh_facet_profile" -> (SimilarityQueries.lshFacetProfile _),
     "bm25_appended" -> (LexQueries.bm25Appended _),
     "bm25_deleted" -> (LexQueries.bm25Deleted _),
     "lex_lexicon" -> (LexQueries.lexLexicon _),
@@ -780,6 +785,27 @@ object SparkEntry {
   private def labelSurvivorSql(idExpr: String): String =
     s"$idExpr NOT IN (SELECT vec_id FROM embeddings WHERE label = ${SimilarityQueries.RetiredLabel})"
 
+  /** The source complement the SOURCE-scoped vector retire rows serve
+    * from — membership via doc_id ≡ vec_id against the documents table
+    * (mirrors `SimilarityQueries.RetiredVecSource`). */
+  private def srcSurvivorSql(idExpr: String): String =
+    s"$idExpr NOT IN (SELECT doc_id FROM documents " +
+      s"WHERE source = '${SimilarityQueries.RetiredVecSource}')"
+
+  /** The two-axis vector facet histogram — shared verbatim by
+    * `vec_facet_profile` (IVF sidecar) and `ivfpq_facet_profile`
+    * (composite sidecar): both writer families maintain the same
+    * (vec_id, label, source) sidecar, so one oracle definition pins
+    * both. The source axis recomputes through the documents join the
+    * builders perform (doc_id ≡ vec_id; an unmatched vector lands in
+    * 'unk'). */
+  private lazy val VecFacetProfileSql: String =
+    s"""SELECT CAST(coalesce(e.label, -1) AS BIGINT) AS label,
+       |  coalesce(d.source, 'unk') AS source,
+       |  CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   private lazy val LshCandBody: String = {
     val minExprs = SimilarityQueries.MinhashSeeds.zipWithIndex.map {
       case ((a, b), i) => s"min((h * $a + $b) % ${SimilarityQueries.MinhashP}) AS mh$i"
@@ -1336,6 +1362,20 @@ object SparkEntry {
          |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
          |      WHERE a.vec_id IN (SELECT vec_id FROM embeddings
          |                         WHERE label = ${SimilarityQueries.FacetLabel})),
+         |r AS (SELECT qid, vid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
+         |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
+    "filtered_ann_source" ->
+      // the served chain scoped to one SOURCE's candidates (membership
+      // via doc_id ≡ vec_id), filter-first before the rank window —
+      // surviving cosines bit-identical to the unfiltered serve
+      s"""$IvfAssignSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket FROM probes WHERE vec_id < 10),
+         |p AS (SELECT q.qid, a.vec_id AS vid,
+         |        ${dotSql("q.qemb", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+         |      FROM q JOIN asn a ON q.bucket = a.bucket AND a.vec_id != q.qid
+         |      WHERE a.vec_id IN (SELECT doc_id FROM documents
+         |                         WHERE source = '${SimilarityQueries.FacetVecSource}')),
          |r AS (SELECT qid, vid, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM p)
          |SELECT qid, vid, cos FROM r WHERE rn <= 3""".stripMargin,
@@ -2050,10 +2090,19 @@ object SparkEntry {
     // surface as candidates)
     "ann_ivf_label_retired" -> ivfRetiredServeSqlWith(
       labelSurvivorSql("vec_id"), labelSurvivorSql("a.vec_id")),
+    // source-scoped takedown on embeddings: the retired SOURCE's vectors
+    // (membership via doc_id ≡ vec_id) neither query nor surface
+    "ann_ivf_source_retired" -> ivfRetiredServeSqlWith(
+      srcSurvivorSql("vec_id"), srcSurvivorSql("a.vec_id")),
     "ivfpq_ann_label_retired" ->
       s"""${ivfPqBodyWith("", "", "",
              qExtra = s" AND ${labelSurvivorSql("p.vec_id")}",
              candExtra = s" AND ${labelSurvivorSql("e.vid")}")}
+         |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
+    "ivfpq_ann_source_retired" ->
+      s"""${ivfPqBodyWith("", "", "",
+             qExtra = s" AND ${srcSurvivorSql("p.vec_id")}",
+             candExtra = s" AND ${srcSurvivorSql("e.vid")}")}
          |SELECT qid, vid, adist_fp, rn FROM prr WHERE rn <= 3""".stripMargin,
     // the composite twin of the retire pair — one shared definition
     "ivfpq_ann_deleted" -> IvfPqRetiredServeSql,
@@ -2288,10 +2337,18 @@ object SparkEntry {
          |FROM documents GROUP BY 1, 2""".stripMargin,
     // the vector twin: label histogram from the IVF sidecar == the
     // embeddings table's own (missing labels would land in -1)
-    "vec_facet_profile" ->
-      s"""SELECT CAST(coalesce(label, -1) AS BIGINT) AS label,
-         |  CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM embeddings GROUP BY 1""".stripMargin,
+    // two-axis since vec-v3: the SOURCE axis joins in from documents
+    // via doc_id ≡ vec_id at build time — the oracle recomputes both
+    "vec_facet_profile" -> VecFacetProfileSql,
+    // the composite writer family maintains the SAME sidecar — one
+    // definition binds both keys, so the invariance pin is structural
+    "ivfpq_facet_profile" -> VecFacetProfileSql,
+    // the LSH sidecar is doc-keyed (lang, source) like the lexical one;
+    // build+append cover the full corpus
+    "lsh_facet_profile" ->
+      s"""SELECT coalesce(lang, 'und') AS lang, coalesce(source, 'unk') AS source,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     // max-passage retrieval from the persisted chunk-level index: the
     // oracle re-derives the chunk pseudo-corpus and the argmax rollup
     "bm25_maxp" -> bm25MaxpSql,

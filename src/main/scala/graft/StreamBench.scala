@@ -506,8 +506,59 @@ object StreamBench {
       .map(d => lexStage(d, "lex10x")).getOrElse((-1, -1.0))
     val lex10Qps = if (lex10Sec > 0) lex10Queries / lex10Sec else -1.0
 
+    // Streaming HYBRID retrieval (graft.streaming.HybridServe — RRF
+    // fusion of the lex and IVF per-batch serving paths): hybrid
+    // queries (qid, text, embedding) rotate term subsets × base
+    // vectors. The qps prices fusion against the two single-family
+    // stages from the SAME session — per batch it runs both arms plus
+    // a ≤2·armK-rows-per-query fusion join, so the expected cost is
+    // roughly the sum of the arms'. `facet` runs the lang-faceted twin
+    // (both arms screened from one allowlist read). */
+    def hybridStage(tag: String, facetLang: Option[String]): (Int, Double) = try {
+      val lexIdx = java.nio.file.Files.createTempDirectory(s"sb-$tag-lex").toString
+      graft.queries.LexQueries.buildLexIndex(spark, sfDir, lexIdx)
+      val ivfIdx = java.nio.file.Files.createTempDirectory(s"sb-$tag-ivf").toString
+      graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir, ivfIdx)
+      val terms = graft.queries.LexQueries.QueryTerms
+      val subsets = (1 until (1 << terms.size)).map(m =>
+        terms.zipWithIndex.collect { case (t, i) if ((m >> i) & 1) == 1 => t }
+          .mkString(" "))
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val nQ = math.min(20000, math.max(2000, n / 10))
+      val queries: Seq[(Long, String, Seq[Float])] =
+        (0 until nQ).map(i => (7000000L + i, subsets(i % subsets.size),
+          base(i % base.length)._2))
+      val ms13 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Seq[Float])](13, spark, Some(parts))(
+          implicitly[org.apache.spark.sql.Encoder[(Long, String, Seq[Float])]])
+      val q = graft.streaming.HybridServe.start(
+        spark, ms13.toDF().toDF("qid", "text", "embedding"), lexIdx, ivfIdx,
+        (df, _) => df.write.format("noop").mode("overwrite").save(),
+        java.nio.file.Files.createTempDirectory(s"sb-$tag-ckpt").toString,
+        facetLang = facetLang)
+      ms13.addData(queries.take(200): _*) // warmup batch, untimed
+      q.processAllAvailable()
+      val rest = queries.drop(200)
+      val chunks = rest.grouped(math.max(1, rest.size / 8)).toSeq
+      val t0 = System.nanoTime()
+      chunks.foreach { c => ms13.addData(c: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (rest.size, sec)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streambench] $tag serving stage failed: ${e.getMessage}")
+      (-1, -1.0)
+    }
+    val (hybQueries, hybSec) = hybridStage("hybrid", None)
+    val hybQps = if (hybSec > 0) hybQueries / hybSec else -1.0
+    val (hybFcQueries, hybFcSec) = hybridStage("hybridfc", Some("en"))
+    val hybFcQps = if (hybFcSec > 0) hybFcQueries / hybFcSec else -1.0
+
     println(
-      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"ann_serve_skew_qps":$annSkQps%.0f,"ann_serve_skew_queries":$annSkQueries,"ann_serve_skew_seconds":$annSkSec%.2f,"ann_serve_facet_qps":$annFcQps%.0f,"ann_serve_facet_queries":$annFcQueries,"ann_serve_facet_seconds":$annFcSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"pq_ingest_vps":$piVps%.0f,"pq_ingest_vectors":$piVecs,"pq_ingest_seconds":$piSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
+      f"""{"metric":"stream_throughput","records":$n,"parse_watermark_rps":${n / parseSec}%.0f,"full_pipeline_rps":${n / fullSec}%.0f,"update_mode_rps":${n / updSec}%.0f,"parse_seconds":$parseSec%.2f,"full_seconds":$fullSec%.2f,"update_seconds":$updSec%.2f,"ann_serve_qps":$annQps%.0f,"ann_serve_queries":$annQueries,"ann_serve_seconds":$annSec%.2f,"ann_serve_skew_qps":$annSkQps%.0f,"ann_serve_skew_queries":$annSkQueries,"ann_serve_skew_seconds":$annSkSec%.2f,"ann_serve_facet_qps":$annFcQps%.0f,"ann_serve_facet_queries":$annFcQueries,"ann_serve_facet_seconds":$annFcSec%.2f,"pq_serve_qps":$pqQps%.0f,"pq_serve_queries":$pqQueries,"pq_serve_seconds":$pqSec%.2f,"lsh_serve_dps":$lshDps%.0f,"lsh_serve_docs":$lshDocs,"lsh_serve_seconds":$lshSec%.2f,"lsh_serve_10x_dps":$lsh10Dps%.0f,"lsh_serve_10x_docs":$lsh10Docs,"lsh_serve_10x_seconds":$lsh10Sec%.2f,"lex_serve_qps":$lexQps%.0f,"lex_serve_queries":$lexQueries,"lex_serve_seconds":$lexSec%.2f,"lex_serve_10x_qps":$lex10Qps%.0f,"lex_serve_10x_queries":$lex10Queries,"lex_serve_10x_seconds":$lex10Sec%.2f,"hybrid_serve_qps":$hybQps%.0f,"hybrid_serve_queries":$hybQueries,"hybrid_serve_seconds":$hybSec%.2f,"hybrid_serve_facet_qps":$hybFcQps%.0f,"hybrid_serve_facet_queries":$hybFcQueries,"hybrid_serve_facet_seconds":$hybFcSec%.2f,"vec_ingest_vps":$viVps%.0f,"vec_ingest_vectors":$viVecs,"vec_ingest_seconds":$viSec%.2f,"pq_ingest_vps":$piVps%.0f,"pq_ingest_vectors":$piVecs,"pq_ingest_seconds":$piSec%.2f,"doc_ingest_dps":$diDps%.0f,"doc_ingest_docs":$diDocs,"doc_ingest_seconds":$diSec%.2f,"state_store":"$store","append_state":$fullState,"update_state":$updState,"reference_ceiling_rps":10000}""")
     spark.stop()
   }
 }

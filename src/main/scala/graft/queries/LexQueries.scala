@@ -597,7 +597,7 @@ object LexQueries {
 
   /** The self-managing persisted index over the fixture's documents —
     * build-once/serve-many under the shared cache discipline. */
-  private def servedLexIndex(spark: SparkSession, dir: String): String =
+  private[graft] def servedLexIndex(spark: SparkSession, dir: String): String =
     SimilarityQueries.servedIndexWith(dir, "lexidx",
       lexStamp(spark, dir))(buildLexIndex(spark, dir, _))
 

@@ -161,13 +161,15 @@ object SimilarityQueries {
     * DYNAMIC-PARTITION-PRUNABLE: a query batch probing 20 buckets reads
     * 20 directories of the index, not the corpus. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
-    buildIvfIndexFrom(withNorm(Tables.embeddings(spark, dir)), indexPath)
+    buildIvfIndexFrom(withNorm(Tables.embeddings(spark, dir)), indexPath,
+      docSrc = Some(docSrcOf(spark, dir)))
 
   /** [[buildIvfIndex]] generic over the vector source — the same
     * centroid-sample + bucket-partitioned-postings layout over ANY
     * normed (vec_id, embedding, nrm) frame (the in-engine hash-embedded
     * corpus indexes through here too). */
-  private def buildIvfIndexFrom(e: DataFrame, indexPath: String): Unit = {
+  private def buildIvfIndexFrom(e: DataFrame, indexPath: String,
+      docSrc: Option[DataFrame] = None): Unit = {
     val cents = ivfCentFrame(e)
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
     val centRow = cents.agg(collect_list(struct(
@@ -177,7 +179,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(e.sparkSession, indexPath)
-    writeVecAttrs(e, indexPath, "overwrite")
+    writeVecAttrs(e, indexPath, "overwrite", docSrc)
   }
 
   /** Serve [[annIvf]]'s query from a PERSISTED index: route the query
@@ -277,17 +279,18 @@ object SimilarityQueries {
   private[graft] def serveQueryBatch(spark: SparkSession, queryVecs: DataFrame,
       centRow: DataFrame, indexPath: String, nprobe: Int = IvfNprobe,
       tombstoneAware: Boolean = false, shareResults: Boolean = true,
-      docFilter: DataFrame => DataFrame = identity): DataFrame = {
+      docFilter: DataFrame => DataFrame = identity,
+      k: Int = 3): DataFrame = {
     val screen: DataFrame => DataFrame =
       p => docFilter(tombstonePostingsFilter(spark, indexPath, tombstoneAware)(p))
     if (!shareResults)
       serveAgainstIndex(spark, withNorm(queryVecs), centRow, indexPath, nprobe,
-        screen)
-    else shareByEmbedding(queryVecs, k = 3,
+        screen, k)
+    else shareByEmbedding(queryVecs, k = k,
       rankCols = Seq(col("cos").desc, col("vid").asc),
       payload = Seq("vid", "cos")) { reps =>
       serveAgainstIndex(spark, withNorm(reps), centRow, indexPath, nprobe,
-        screen, k = 4, excludeSelf = false)
+        screen, k = k + 1, excludeSelf = false)
     }
   }
 
@@ -338,32 +341,85 @@ object SimilarityQueries {
 
   /** The ATTRIBUTE sidecar rows faceted VECTOR retrieval filters on —
     * [[graft.queries.LexQueries.attrsRows]]'s embedding twin: one thin
-    * (vec_id, label) row per indexed vector PARTITIONED BY label, so a
-    * facet's allowlist is a partition-pruned read of one narrow column
-    * (never an embedding byte or a code row) and costs one directory
-    * listing at any corpus size. Tolerant of label-less frames (raw
-    * ingest batches, the hash-embedded pseudo-corpus): a missing or
-    * null label lands in the honest `-1` partition — visible there
-    * rather than silently absent from every facet. Maintained by EVERY
-    * writer (build, append, absorb, merge, streamed ingest, compact
-    * purge), the same no-silent-staleness stance as the lexical
-    * sidecar. */
+    * (vec_id, label, source) row per indexed vector PARTITIONED BY
+    * (label, source) — BOTH facet axes are partition levels (the
+    * lex-v5 discipline), so a label facet prunes at level 1, a SOURCE
+    * facet (the takedown/licensing shape applied to embeddings) at
+    * level 2, and a combined predicate at the leaf: every facet's
+    * allowlist is a partition-pruned read of one narrow column (never
+    * an embedding byte or a code row) and costs one directory listing
+    * at any corpus size. Tolerant of attribute-less frames (raw ingest
+    * batches, the hash-embedded pseudo-corpus): a missing or null
+    * label lands in the honest `-1` partition and a missing source in
+    * `unk` — visible there rather than silently absent from every
+    * facet. Maintained by EVERY writer (build, append, absorb, merge,
+    * streamed ingest, compact purge), the same no-silent-staleness
+    * stance as the lexical sidecar. */
   private[graft] def vecAttrsRows(vecs: DataFrame): DataFrame = {
     val lab = if (vecs.columns.contains("label"))
       coalesce(col("label").cast("long"), lit(-1L))
     else lit(-1L)
-    vecs.select(col("vec_id"), lab.as("label"))
+    val src = if (vecs.columns.contains("source"))
+      coalesce(col("source").cast("string"), lit("unk"))
+    else lit("unk")
+    vecs.select(col("vec_id"), lab.as("label"), src.as("source"))
   }
+
+  /** The vec-attrs tree's partition spec, shared by every writer. */
+  private[graft] val VecAttrsPartCols: Seq[String] = Seq("label", "source")
+
+  /** A sidecar read normalized to the two-axis (vec_id, label, source)
+    * shape — partition columns read back with directory-name types, so
+    * label re-pins to LONG; a shard written before the source axis
+    * existed (pre-vec-v3) contributes honest `unk` rows rather than a
+    * missing-column failure. */
+  private def readAttrsTwoAxis(spark: SparkSession, attrsPath: String): DataFrame = {
+    val a = spark.read.parquet(attrsPath)
+    val src = if (a.columns.contains("source")) col("source").cast("string")
+      else lit("unk")
+    a.select(col("vec_id"), col("label").cast("long").as("label"),
+      src.as("source"))
+  }
+
+  /** The thin (doc_id, source) map a SOURCE axis derives from —
+    * doc_id ≡ vec_id ties each embedding to the document it was
+    * computed from, so the documents table's source column becomes the
+    * vector families' licensing/takedown facet ("retire every
+    * embedding derived from source X"). Two narrow columns; the
+    * sidecar join below never touches an embedding byte. */
+  private[graft] def docSrcOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      coalesce(col("source").cast("string"), lit("unk")).as("source"))
 
   /** Write-side sidecar maintenance shared by the vector-index writers.
     * Appenders write attrs BEFORE postings (the harmless crash
     * direction: a facet row without postings selects nothing — the
     * allowlist is a semi-join restriction — whereas postings without a
-    * facet row would serve unfiltered yet be absent from every facet). */
+    * facet row would serve unfiltered yet be absent from every facet).
+    *
+    * `docSrc` attaches the SOURCE axis from a thin (doc_id, source)
+    * map ([[docSrcOf]]) by an id equijoin on the SIDECAR rows only —
+    * the vector frame's centroid/posting jobs never see the join, so
+    * attaching source costs one narrow build-time shuffle in the
+    * sidecar write and nothing anywhere else. Un-hinted: both sides
+    * are corpus-scale-thin, AQE picks the join strategy. A vector with
+    * no document row (or no docSrc at all) lands honestly in `unk`. */
   private def writeVecAttrs(vecs: DataFrame, indexPath: String,
-      mode: String): Unit =
-    vecAttrsRows(vecs).write.partitionBy("label").mode(mode)
+      mode: String, docSrc: Option[DataFrame] = None): Unit = {
+    val rows = vecAttrsRows(vecs)
+    val out = docSrc match {
+      case None => rows
+      case Some(m) =>
+        val mm = m.select(col("doc_id").as("_src_doc"),
+          col("source").as("_src_val"))
+        rows.drop("source")
+          .join(mm, col("vec_id") === col("_src_doc"), "left")
+          .select(col("vec_id"), col("label"),
+            coalesce(col("_src_val"), lit("unk")).as("source"))
+    }
+    out.write.partitionBy(VecAttrsPartCols: _*).mode(mode)
       .parquet(s"$indexPath/attrs")
+  }
 
   /** The FACETED-serving candidate screen for the vector families —
     * [[graft.queries.LexQueries.queryBatch]]'s `docFilter` seam in
@@ -378,21 +434,27 @@ object SimilarityQueries {
     * landed by a concurrent append/ingest scope the next batch like
     * tombstones. */
   private[graft] def facetPostingsFilter(spark: SparkSession,
-      indexPath: String, facetLabel: Option[Long]): DataFrame => DataFrame =
-    facetLabel match {
-      case None => identity
-      case Some(l) =>
-        val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
-        require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(attrs),
-          s"faceted serving: no attrs/ sidecar under $indexPath - the index " +
-            "predates faceted serving; rebuild it (or append/absorb once, " +
-            "which materializes facet rows for the delta) before serving " +
-            "with a facet")
-        val allowed = spark.read.parquet(attrs.toString)
-          .filter(col("label") === l).select(col("vec_id").as("_facet_vid"))
-        p => p.join(allowed, p("vid") === col("_facet_vid"), "left_semi")
+      indexPath: String, facetLabel: Option[Long],
+      facetSource: Option[String] = None): DataFrame => DataFrame = {
+    // both facet axes are attrs partition levels: a label facet prunes
+    // at level 1, a source facet at level 2, a combined predicate at
+    // the leaf — one allowlist read either way
+    val preds = facetLabel.map(l => col("label") === l).toSeq ++
+      facetSource.map(s => col("source") === s).toSeq
+    if (preds.isEmpty) identity
+    else {
+      val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
+      require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(attrs),
+        s"faceted serving: no attrs/ sidecar under $indexPath - the index " +
+          "predates faceted serving; rebuild it (or append/absorb once, " +
+          "which materializes facet rows for the delta) before serving " +
+          "with a facet")
+      val allowed = spark.read.parquet(attrs.toString)
+        .filter(preds.reduce(_ && _)).select(col("vec_id").as("_facet_vid"))
+      p => p.join(allowed, p("vid") === col("_facet_vid"), "left_semi")
     }
+  }
 
   /** The per-batch tombstone screen shared by the streaming serving
     * paths: when enabled and tombstones exist, anti-join the posting
@@ -645,7 +707,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
-    writeVecAttrs(e, indexPath, "overwrite")
+    writeVecAttrs(e, indexPath, "overwrite", Some(docSrcOf(spark, dir)))
   }
 
   /** [[annIvfTrained]] served from the PERSISTED trained index —
@@ -2215,7 +2277,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
-    writeVecAttrs(e, indexPath, "overwrite")
+    writeVecAttrs(e, indexPath, "overwrite", Some(docSrcOf(spark, dir)))
   }
 
   /** Serve [[ivfPqAnn]] from a PERSISTED index ([[buildIvfPqIndex]]) —
@@ -2363,12 +2425,28 @@ object SimilarityQueries {
     * takedown ([[ivfIndexDeleteLabel]]), and the sidecar's own audit —
     * the oracle recomputes the histogram from the embeddings table, so
     * a writer that dropped or duplicated facet rows hash-mismatches. */
-  def vecFacetProfile(spark: SparkSession, dir: String): DataFrame = {
-    val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
+  def vecFacetProfile(spark: SparkSession, dir: String): DataFrame =
+    facetProfileOf(spark,
+      servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _)))
+
+  /** `ivfpq_facet_profile`: [[vecFacetProfile]] over the COMPOSITE
+    * index's sidecar — same O(partition-metadata) histogram, auditing
+    * the PQ writer family's facet maintenance end to end (the oracle
+    * recomputes from embeddings⋈documents, so a code-path writer that
+    * dropped or duplicated facet rows hash-mismatches). */
+  def ivfPqFacetProfile(spark: SparkSession, dir: String): DataFrame =
+    facetProfileOf(spark,
+      servedIndex(spark, dir, "ivfpq")(buildIvfPqIndex(spark, dir, _)))
+
+  /** The per-(label, source) histogram shared by the vector profile
+    * rows: both axes are partition columns of the attrs tree, so the
+    * plan reads ZERO data columns (ReadSchema: struct<> — PlanSpec
+    * pins it) and folds from partition metadata alone. */
+  private def facetProfileOf(spark: SparkSession, idx: String): DataFrame =
     spark.read.parquet(s"$idx/attrs")
-      .groupBy(col("label").cast("long").as("label"))
+      .groupBy(col("label").cast("long").as("label"),
+        col("source").cast("string").as("source"))
       .agg(count(lit(1)).as("n_vecs"))
-  }
 
   /** `filtered_ann_served`: FACETED retrieval from the persisted IVF
     * index — [[graft.queries.LexQueries.bm25Filtered]]'s vector twin,
@@ -2435,7 +2513,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
-    writeVecAttrs(base, indexPath, "overwrite")
+    writeVecAttrs(base, indexPath, "overwrite", Some(docSrcOf(spark, dir)))
   }
 
   /** One insert batch: route the delta slice (vec_id % 4 == 0) with the
@@ -2449,7 +2527,7 @@ object SimilarityQueries {
       .filter(col("vec_id") % 4 === 0)
     // facets must cover the delta; attrs land first (the harmless crash
     // direction — see writeVecAttrs)
-    writeVecAttrs(delta, indexPath, "append")
+    writeVecAttrs(delta, indexPath, "append", Some(docSrcOf(spark, dir)))
     val asn = assignFromCents(delta, storedCents(spark, indexPath))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
     asn.write.partitionBy("bucket").mode("append")
@@ -2497,15 +2575,15 @@ object SimilarityQueries {
     // the sidecar existed simply contributes none
     val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
     if (fs.exists(srcAttrs)) {
-      val a = spark.read.parquet(srcAttrs.toString)
-        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val a = readAttrsTwoAxis(spark, srcAttrs.toString)
       val liveA =
         if (fs.exists(srcTomb)) {
           val tomb = broadcast(spark.read.parquet(srcTomb.toString)
             .select(col("vec_id").as("_tomb_del")).distinct())
           a.join(tomb, a("vec_id") === tomb("_tomb_del"), "left_anti")
         } else a
-      liveA.write.partitionBy("label").mode("append").parquet(s"$dstIndex/attrs")
+      liveA.write.partitionBy(VecAttrsPartCols: _*).mode("append")
+        .parquet(s"$dstIndex/attrs")
     }
     // routed once, consumed by the postings write AND the sidecar append
     val asn = assignFromCents(live, storedCents(spark, dstIndex))
@@ -2521,13 +2599,14 @@ object SimilarityQueries {
     * standard index layout ([[buildIvfIndex]]) over an arbitrary raw
     * (vec_id, embedding) slice, centroids sampled from the slice. */
   private[graft] def buildIvfIndexSlice(spark: SparkSession, slice: DataFrame,
-      indexPath: String): Unit =
-    buildIvfIndexFrom(withNorm(slice), indexPath)
+      indexPath: String, docSrc: Option[DataFrame] = None): Unit =
+    buildIvfIndexFrom(withNorm(slice), indexPath, docSrc)
 
   /** Build over `corpus` with centroids sampled from `centSlice` — the
     * one-pass twin MergeSpec compares the shard merge against. */
   private[graft] def buildIvfIndexSliceCents(spark: SparkSession, corpus: DataFrame,
-      centSlice: DataFrame, indexPath: String): Unit = {
+      centSlice: DataFrame, indexPath: String,
+      docSrc: Option[DataFrame] = None): Unit = {
     ivfCentFrame(withNorm(centSlice))
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignFromCents(withNorm(corpus), storedCents(spark, indexPath))
@@ -2535,7 +2614,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath)
-    writeVecAttrs(corpus, indexPath, "overwrite")
+    writeVecAttrs(corpus, indexPath, "overwrite", docSrc)
   }
 
   /** Argmax routing of a raw (vec_id, embedding) frame against a stored
@@ -2555,7 +2634,8 @@ object SimilarityQueries {
     * what the `ann_ivf_merged` oracle recomputes. */
   def buildIvfIndexMerged(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val e = Tables.embeddings(spark, dir)
-    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
+    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath,
+      docSrc = Some(docSrcOf(spark, dir)))
     // shard B stages as a SIBLING of the destination (same filesystem —
     // works beyond local mode, unlike a driver-local temp dir) and is
     // deleted once absorbed: the merge never mutates its source, so the
@@ -2564,7 +2644,8 @@ object SimilarityQueries {
     val fs = new org.apache.hadoop.fs.Path(srcIdx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
-    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), srcIdx)
+    buildIvfIndexSlice(spark, e.filter(col("vec_id") % 2 === 0), srcIdx,
+      docSrc = Some(docSrcOf(spark, dir)))
     ivfIndexMergeInto(spark, indexPath, srcIdx)
     fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
     ()
@@ -2630,7 +2711,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
-    writeVecAttrs(base, indexPath, "overwrite")
+    writeVecAttrs(base, indexPath, "overwrite", Some(docSrcOf(spark, dir)))
   }
 
   /** One insert batch for the composite index: route AND residual-encode
@@ -2642,7 +2723,8 @@ object SimilarityQueries {
     // not the label-less -1 fallback
     ivfPqAbsorb(spark, indexPath,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id"), col("embedding"), col("label")))
+        .select(col("vec_id"), col("embedding"), col("label")),
+      docSrc = Some(docSrcOf(spark, dir)))
 
   /** Absorb an ARBITRARY raw (vec_id, embedding) frame into a persisted
     * composite index using only the STORED artifacts — the shard-corpus
@@ -2654,10 +2736,11 @@ object SimilarityQueries {
     * directories gain files. The fixture append lifecycle
     * ([[appendIvfPqIndex]], oracle `ivfpq_ann_appended`) runs through
     * this exact path, so the absorb arithmetic is hash-gated. */
-  def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+  def ivfPqAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame,
+      docSrc: Option[DataFrame] = None): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfPqAbsorb")
-    writeVecAttrs(vecs, indexPath, "append") // before postings — crash-safe order
+    writeVecAttrs(vecs, indexPath, "append", docSrc) // before postings — crash-safe order
     val (codes, asnD) = pqEncodeBatch(vecs, storedCents(spark, indexPath),
       spark.read.parquet(s"$indexPath/centroids"),
       spark.read.parquet(s"$indexPath/codebooks"))
@@ -2727,9 +2810,9 @@ object SimilarityQueries {
     // first, the crash-safe order shared by every appender
     val srcAttrs = new org.apache.hadoop.fs.Path(s"$srcIndex/attrs")
     if (fs.exists(srcAttrs))
-      tombF(spark.read.parquet(srcAttrs.toString)
-          .select(col("vec_id"), col("label").cast("long").as("label")))
-        .write.partitionBy("label").mode("append").parquet(s"$dstIndex/attrs")
+      tombF(readAttrsTwoAxis(spark, srcAttrs.toString))
+        .write.partitionBy(VecAttrsPartCols: _*).mode("append")
+        .parquet(s"$dstIndex/attrs")
     tombF(spark.read.parquet(s"$srcIndex/postings")
         .select(col("vid"), col("m"), col("code"),
           col("bucket").cast("long").as("bucket")))
@@ -2745,12 +2828,13 @@ object SimilarityQueries {
     * artifact-identical and therefore mergeable) and encode this
     * worker's slice with them — no training anywhere in the plan. */
   private[graft] def buildIvfPqShardWithArtifacts(spark: SparkSession,
-      artifactIndex: String, vecs: DataFrame, indexPath: String): Unit = {
+      artifactIndex: String, vecs: DataFrame, indexPath: String,
+      docSrc: Option[DataFrame] = None): Unit = {
     spark.read.parquet(s"$artifactIndex/centroids")
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
     spark.read.parquet(s"$artifactIndex/codebooks")
       .write.mode("overwrite").parquet(s"$indexPath/codebooks")
-    ivfPqAbsorb(spark, indexPath, vecs)
+    ivfPqAbsorb(spark, indexPath, vecs, docSrc)
   }
 
   /** Central-training shard-merge lifecycle behind [[ivfPqAnnMerged]]:
@@ -2765,7 +2849,8 @@ object SimilarityQueries {
   def buildIvfPqIndexMerged(spark: SparkSession, dir: String,
       indexPath: String): Unit = {
     val e = Tables.embeddings(spark, dir)
-    buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath)
+    buildIvfPqIndexSlice(spark, e.filter(col("vec_id") % 2 === 1), indexPath,
+      docSrc = Some(docSrcOf(spark, dir)))
     // shard B stages as a SIBLING of the destination and is deleted once
     // absorbed (same rationale as buildIvfIndexMerged: destination-
     // derived path works beyond local mode; the merge never mutates its
@@ -2777,7 +2862,7 @@ object SimilarityQueries {
     buildIvfPqShardWithArtifacts(spark, indexPath,
       e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("embedding"), col("label")),
-      srcIdx)
+      srcIdx, docSrc = Some(docSrcOf(spark, dir)))
     ivfPqIndexMergeInto(spark, indexPath, srcIdx)
     fs.delete(new org.apache.hadoop.fs.Path(srcIdx), true)
     ()
@@ -2788,7 +2873,7 @@ object SimilarityQueries {
     * fixture filter (the central-training job of the shard-merge
     * lifecycle). */
   private[graft] def buildIvfPqIndexSlice(spark: SparkSession, slice: DataFrame,
-      indexPath: String): Unit = {
+      indexPath: String, docSrc: Option[DataFrame] = None): Unit = {
     val base = withNorm(slice)
     ivfCentFrame(base).write.mode("overwrite").parquet(s"$indexPath/centroids")
     val centStored = spark.read.parquet(s"$indexPath/centroids")
@@ -2803,7 +2888,7 @@ object SimilarityQueries {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexPath/postings")
     writeIdMapFromPostings(spark, indexPath, idCol = "vid", dedup = true)
-    writeVecAttrs(base, indexPath, "overwrite")
+    writeVecAttrs(base, indexPath, "overwrite", docSrc)
   }
 
   /** [[ivfPqAnnServe]] over the shard-merged composite index
@@ -2841,10 +2926,11 @@ object SimilarityQueries {
     * [[appendIvfIndex]] generalized off the fixture slice (the
     * streaming edge, [[graft.streaming.VecIngest]], is this same
     * routing under an exactly-once staged-promote commit). */
-  def ivfAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame): Unit = {
+  def ivfAbsorb(spark: SparkSession, indexPath: String, vecs: DataFrame,
+      docSrc: Option[DataFrame] = None): Unit = {
     assertNoMaintenance(new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath, "ivfAbsorb")
-    writeVecAttrs(vecs, indexPath, "append") // before postings — crash-safe order
+    writeVecAttrs(vecs, indexPath, "append", docSrc) // before postings — crash-safe order
     val asn = routeIngestBatch(vecs, storedCents(spark, indexPath))
     asn.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/postings")
     appendIdMap(asn, indexPath)
@@ -2862,7 +2948,7 @@ object SimilarityQueries {
     * discipline): bumping it invalidates indexes built by older code
     * whose on-disk layout changed — the fixture stamp alone cannot see
     * that. v2: `attrs/` facet sidecar beside postings/idmap. */
-  private val VecLayoutVersion = "vec-v2"
+  private val VecLayoutVersion = "vec-v3"
 
   /** Content stamp of the fixture's embeddings table (file names +
     * lengths + mtimes) — the staleness guard for [[ivfPqAnnServed]]'s
@@ -3036,6 +3122,22 @@ object SimilarityQueries {
   def incrementalNearDupFiltered(spark: SparkSession, dir: String): DataFrame =
     incrementalNearDupBy(spark, dir, Some(col("lang") === "en"))
 
+  /** `lsh_facet_profile`: [[graft.queries.LexQueries.facetProfile]]
+    * over the near-dup index's sidecar — per-(lang, source) doc counts
+    * from partition metadata alone (ReadSchema: struct<>, PlanSpec
+    * pins it), auditing the LSH writer family's facet maintenance:
+    * build + append cover the full corpus, so the histogram must equal
+    * the documents table's own. */
+  def lshFacetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "lshidx", lshStamp(spark, dir)) { p =>
+      buildLshIndex(spark, dir, p); lshIndexAppend(spark, dir, p)
+    }
+    spark.read.parquet(s"$idx/attrs")
+      .groupBy(col("lang").cast("string").as("lang"),
+        col("source").cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   private def incrementalNearDupBy(spark: SparkSession, dir: String,
       facetPred: Option[Column]): DataFrame = {
     val idx = servedIndexWith(dir, "lshidx", lshStamp(spark, dir)) { p =>
@@ -3202,15 +3304,28 @@ object SimilarityQueries {
     * ONE partition-pruned label directory — the shared resolution step
     * of the vector families' facet-scoped takedown. */
   private def labelMembers(spark: SparkSession, indexPath: String,
-      label: Long, op: String): DataFrame = {
+      label: Long, op: String): DataFrame =
+    facetMembers(spark, indexPath, col("label") === label, op)
+
+  /** [[labelMembers]] on the SOURCE axis — one leaf-pruned read of the
+    * `source=` directories across labels. */
+  private def sourceMembers(spark: SparkSession, indexPath: String,
+      source: String, op: String): DataFrame =
+    facetMembers(spark, indexPath, col("source") === source, op)
+
+  /** The vec_ids of one facet, resolved from the attrs sidecar's
+    * partition-pruned directories — the shared resolution step of the
+    * vector families' facet-scoped takedown. */
+  private def facetMembers(spark: SparkSession, indexPath: String,
+      pred: Column, op: String): DataFrame = {
     val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
     val fs = attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(attrs),
       s"$op: no attrs/ sidecar under $indexPath - the index predates " +
-        "facets, so label membership is unknown; rebuild it (or resolve " +
+        "facets, so facet membership is unknown; rebuild it (or resolve " +
         "the ids upstream and use the id-list delete)")
     spark.read.parquet(attrs.toString)
-      .filter(col("label") === label).select(col("vec_id")).distinct()
+      .filter(pred).select(col("vec_id")).distinct()
   }
 
   /** FACET-SCOPED takedown for the raw-vector family — the doc-keyed
@@ -3230,6 +3345,28 @@ object SimilarityQueries {
       label: Long): Unit =
     ivfPqIndexDelete(spark, indexPath,
       labelMembers(spark, indexPath, label, "ivfPqIndexDeleteLabel"))
+
+  /** SOURCE-scoped takedown for the raw-vector family —
+    * [[graft.queries.LexQueries.deleteLexSource]] applied to
+    * embeddings, arguably where the licensing shape matters most
+    * ("retire every vector DERIVED FROM source X" — the embeddings of
+    * a license-pulled or contaminated corpus slice are as tainted as
+    * its text): ids resolve from the attrs sidecar's `source=` leaf
+    * directories (doc_id ≡ vec_id tied the documents' source axis to
+    * the sidecar at build time), buckets from the idmap sidecar —
+    * O(facet) end to end, zero posting files read, no id list
+    * anywhere. Compact soon after a corpus-scale source to shrink the
+    * serving anti-join broadcast. */
+  def ivfIndexDeleteSource(spark: SparkSession, indexPath: String,
+      source: String): Unit =
+    ivfIndexDelete(spark, indexPath,
+      sourceMembers(spark, indexPath, source, "ivfIndexDeleteSource"))
+
+  /** [[ivfIndexDeleteSource]] for the composite (IVFPQ) layout. */
+  def ivfPqIndexDeleteSource(spark: SparkSession, indexPath: String,
+      source: String): Unit =
+    ivfPqIndexDelete(spark, indexPath,
+      sourceMembers(spark, indexPath, source, "ivfPqIndexDeleteSource"))
 
   /** Physically remove tombstoned vectors: read ONLY the touched bucket
     * partitions (≤ [[IvfK]], partition-pruned), anti-join the broadcast
@@ -3305,41 +3442,53 @@ object SimilarityQueries {
         }
       } finally survivors.unpersist()
     }
-    // facet-sidecar purge: rewrite only the label partitions that still
-    // hold tombstoned rows (the slot-compact discipline on the attrs
-    // tree); an index built before the sidecar existed has none
+    // facet-sidecar purge: rewrite only the (label, source) leaves that
+    // still hold tombstoned rows (the slot-compact discipline on the
+    // attrs tree, two-axis like the lexical sidecar's); an index built
+    // before the sidecar existed has none
     val attrsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
     if (fs.exists(attrsRoot)) {
       val tombIds2 = broadcast(spark.read.parquet(tombPath.toString)
         .select(col("vec_id").as("_tomb_del")).distinct())
-      // partition column reads back INT (directory-name inference) —
-      // pin the driver-side list to LONG explicitly
-      val touchedLab = spark.read.parquet(attrsRoot.toString)
+      // partition columns read back with directory-name types — pin the
+      // driver-side pair list to (LONG, STRING) explicitly
+      val touchedPair = readAttrsTwoAxis(spark, attrsRoot.toString)
         .join(tombIds2, col("vec_id") === col("_tomb_del"))
-        .select(col("label").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      if (touchedLab.nonEmpty) {
-        val surv = spark.read.parquet(attrsRoot.toString)
-          .filter(col("label").isin(touchedLab: _*))
+        .select(col("label"), col("source")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      if (touchedPair.nonEmpty) {
+        val pairPred = touchedPair.map { case (l, src) =>
+          col("label") === l && col("source") === src
+        }.reduce(_ || _)
+        val surv = readAttrsTwoAxis(spark, attrsRoot.toString)
+          .filter(pairPred)
           .join(tombIds2, col("vec_id") === col("_tomb_del"), "left_anti")
-          .select(col("vec_id"), col("label").cast("long").as("label"))
           .persist()
         try {
-          val survLab = surv.select(col("label")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          surv.write.partitionBy("label")
+          val survPair = surv.select(col("label"), col("source")).distinct()
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          surv.write.partitionBy(VecAttrsPartCols: _*)
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(attrsRoot.toString)
-          touchedLab.filterNot(survLab).foreach { l =>
+          // dynamic overwrite only rewrites leaves PRESENT in the new
+          // data — a fully-purged leaf drops explicitly, and its label
+          // directory too once the last source left
+          touchedPair.filterNot(survPair).foreach { case (l, src) =>
             fs.delete(new org.apache.hadoop.fs.Path(
-              s"$indexPath/attrs/label=$l"), true)
+              s"$indexPath/attrs/label=$l/source=$src"), true)
+            val labDir = new org.apache.hadoop.fs.Path(
+              s"$indexPath/attrs/label=$l")
+            if (fs.exists(labDir) && !fs.listStatus(labDir).exists(st =>
+                st.isDirectory && st.getPath.getName.startsWith("source=")))
+              fs.delete(labDir, true)
           }
           val anyLabLeft = fs.exists(attrsRoot) &&
             fs.listStatus(attrsRoot).exists(st =>
               st.isDirectory && st.getPath.getName.startsWith("label="))
           if (!anyLabLeft)
-            surv.drop("label").limit(0).write.mode("overwrite")
-              .parquet(s"$indexPath/attrs/label=${touchedLab.head}")
+            surv.drop("label").drop("source").limit(0).write.mode("overwrite")
+              .parquet(s"$indexPath/attrs/label=${touchedPair.head._1}" +
+                s"/source=${touchedPair.head._2}")
         } finally surv.unpersist()
       }
     }
@@ -3414,6 +3563,88 @@ object SimilarityQueries {
       queryFilter = col("label").cast("long") =!= RetiredLabel,
       postingsFilter =
         p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti"))
+  }
+
+  /** The source the vector *_source_retired rows take down — the
+    * fixture maps doc_id ≡ vec_id and sources cycle mod 20, so src7
+    * contains query vector 7 (vec_id < 10 is the query set): both
+    * contract sides exercise (retired-source vectors neither query nor
+    * surface as candidates). Deliberately distinct from the lex
+    * family's retired source (src12) and the serve-facet source
+    * ([[FacetVecSource]]). Literal so the oracle mirrors it. */
+  private[graft] val RetiredVecSource = "src7"
+
+  /** The source the source-FACETED vector serve rows scope to —
+    * literal so the DuckDB oracle can mirror it; distinct from
+    * [[RetiredVecSource]] so facet-serve and facet-retire exercise
+    * disjoint slices. */
+  private[graft] val FacetVecSource = "src3"
+
+  /** The retired-source membership as a query-side screen: anti-join
+    * the thin (doc_id, source) map — never an embedding byte. */
+  private def notFromSource(spark: SparkSession, dir: String, source: String)(
+      e: DataFrame): DataFrame = {
+    val ret = docSrcOf(spark, dir).filter(col("source") === source)
+      .select(col("doc_id").as("_ret_doc"))
+    e.join(broadcast(ret), e("vec_id") === col("_ret_doc"), "left_anti")
+  }
+
+  /** `ann_ivf_source_retired`: IVF serving after a SOURCE-scoped
+    * takedown ([[ivfIndexDeleteSource]]) — the licensing shape applied
+    * to embeddings ("retire every vector derived from source X"): the
+    * tombstone set resolves from the sidecar's source leaves (landed
+    * there at build time via doc_id ≡ vec_id), no id list anywhere;
+    * serving is the plain tombstone-aware path, oracle = [[annIvf]]
+    * with both sides restricted to the source's complement via the
+    * documents join. */
+  def annIvfSourceRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivf_sdel",
+        s"${embeddingsStamp(spark, dir)};sdel=$RetiredVecSource") { p =>
+      buildIvfIndex(spark, dir, p)
+      ivfIndexDeleteSource(spark, p, RetiredVecSource)
+    }
+    val e = notFromSource(spark, dir, RetiredVecSource)(
+      withNorm(Tables.embeddings(spark, dir)))
+    ivfServeTombstoned(spark, e, idx)
+  }
+
+  /** `ivfpq_ann_source_retired`: [[annIvfSourceRetired]] for the
+    * composite index — the compressed serving path after the same
+    * sidecar-resolved source takedown. */
+  def ivfPqAnnSourceRetired(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndexWith(dir, "ivfpq_sdel",
+        s"${embeddingsStamp(spark, dir)};sdel=$RetiredVecSource") { p =>
+      buildIvfPqIndex(spark, dir, p)
+      ivfPqIndexDeleteSource(spark, p, RetiredVecSource)
+    }
+    val tombIds = broadcast(spark.read.parquet(s"$idx/tombstones")
+      .select(col("vec_id").as("tomb_id")).distinct())
+    // queryFilter is a Column over the embeddings row — resolve the
+    // retired membership via a collected id set scoped to the serve
+    // contract's query ids (vec_id < 10), so the collect is ≤ 10 rows
+    // regardless of how large the retired source is
+    val retSet = docSrcOf(spark, dir).filter(col("source") === RetiredVecSource)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toIndexedSeq
+    val retLit = if (retSet.isEmpty) lit(false)
+      else col("vec_id").isin(retSet: _*)
+    ivfPqAnnServe(spark, dir, idx,
+      queryFilter = !retLit,
+      postingsFilter =
+        p => p.join(tombIds, p("vid") === tombIds("tomb_id"), "left_anti"))
+  }
+
+  /** `filtered_ann_source`: SOURCE-faceted retrieval from the persisted
+    * IVF index — [[graft.queries.LexQueries.bm25FilteredSource]]'s
+    * vector twin ("nearest neighbors within source X", the provenance-
+    * scoped retrieval shape): filter-first against the sidecar's
+    * `source=` leaf allowlist, surviving cosines bit-identical to the
+    * unfiltered serve (the frozen-stats contract). */
+  def filteredAnnSource(spark: SparkSession, dir: String): DataFrame = {
+    val idx = servedIndex(spark, dir, "ivf")(buildIvfIndex(spark, dir, _))
+    ivfServeFrom(spark, withNorm(Tables.embeddings(spark, dir)), idx,
+      postingsFilter =
+        facetPostingsFilter(spark, idx, None, Some(FacetVecSource)))
   }
 
   /** IVF serving after compaction — the tombstoned rows are physically

@@ -57,7 +57,8 @@ object AnnServe {
     * never stale with respect to routing; only a full REBUILD (new
     * centroids) requires a stream restart, because a rebuild changes
     * what the posting buckets MEAN. */
-  /** `facetLabel` scopes every query to one facet with FILTER-FIRST
+  /** `facetLabel`/`facetSource` scope every query to one facet (their
+    * conjunction when both) with FILTER-FIRST
     * semantics ([[SimilarityQueries.filteredAnnServed]]'s contract,
     * streaming): the allowlist is a partition-pruned read of the
     * `attrs/` sidecar's one label directory, re-built PER BATCH — like
@@ -74,13 +75,14 @@ object AnnServe {
       nprobe: Int = SimilarityQueries.IvfNprobe,
       availableNow: Boolean = false,
       tombstoneAware: Boolean = false,
-      facetLabel: Option[Long] = None
+      facetLabel: Option[Long] = None,
+      facetSource: Option[String] = None
   ): StreamingQuery = {
-    if (facetLabel.isDefined) {
+    if (facetLabel.isDefined || facetSource.isDefined) {
       val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
       require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(attrs),
-        s"AnnServe --facetLabel: no attrs/ sidecar under $indexPath - the " +
+        s"AnnServe --facetLabel/--facetSource: no attrs/ sidecar under $indexPath - the " +
           "index predates faceted serving; rebuild it (or append/absorb " +
           "once, which materializes facet rows for the delta) before " +
           "serving with a facet")
@@ -98,7 +100,7 @@ object AnnServe {
           // the allowlist plan is built per batch — a fresh file listing,
           // so appended facet rows land next micro-batch like tombstones
           docFilter = SimilarityQueries.facetPostingsFilter(
-            batch.sparkSession, indexPath, facetLabel)), id)
+            batch.sparkSession, indexPath, facetLabel, facetSource)), id)
       }
     // a throwing start() never registers the listener — release the
     // centroid cache before rethrowing rather than leak it

@@ -99,8 +99,9 @@ object PqIngest {
         // facet sidecar rides the same exactly-once commit (the VecIngest
         // contract: label-less streams land honestly in `-1`)
         SimilarityQueries.vecAttrsRows(batch)
-          .repartition(col("label"))
-          .write.partitionBy("label").mode("overwrite")
+          .repartition(col("label"), col("source"))
+          .write.partitionBy(SimilarityQueries.VecAttrsPartCols: _*)
+          .mode("overwrite")
           .parquet(new Path(staging, "attrs").toString)
       } finally { codes.unpersist(); asn.unpersist(); () }
     }

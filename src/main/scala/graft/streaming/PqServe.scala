@@ -51,7 +51,8 @@ object PqServe {
     * a live stream), so an [[SimilarityQueries.ivfPqIndexDelete]]
     * takedown stops surfacing on the NEXT micro-batch with no
     * restart. */
-  /** `facetLabel` scopes every query to one facet with FILTER-FIRST
+  /** `facetLabel`/`facetSource` scope every query to one facet (their
+    * conjunction when both) with FILTER-FIRST
     * semantics ([[AnnServe]]'s contract, compressed-index form): the
     * allowlist screens the CODE posting rows before the ADC join,
     * re-built per batch like tombstones; a sidecar-less index refuses
@@ -65,13 +66,14 @@ object PqServe {
       nprobe: Int = SimilarityQueries.IvfNprobe,
       availableNow: Boolean = false,
       tombstoneAware: Boolean = false,
-      facetLabel: Option[Long] = None
+      facetLabel: Option[Long] = None,
+      facetSource: Option[String] = None
   ): StreamingQuery = {
-    if (facetLabel.isDefined) {
+    if (facetLabel.isDefined || facetSource.isDefined) {
       val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
       require(attrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(attrs),
-        s"PqServe --facetLabel: no attrs/ sidecar under $indexPath - the " +
+        s"PqServe --facetLabel/--facetSource: no attrs/ sidecar under $indexPath - the " +
           "index predates faceted serving; rebuild it (or append/absorb " +
           "once, which materializes facet rows for the delta) before " +
           "serving with a facet")
@@ -96,7 +98,7 @@ object PqServe {
           batch.sparkSession, batch, centRow, cent, cb, indexPath, nprobe,
           tombstoneAware,
           docFilter = SimilarityQueries.facetPostingsFilter(
-            batch.sparkSession, indexPath, facetLabel)), id)
+            batch.sparkSession, indexPath, facetLabel, facetSource)), id)
       }
     // a throwing start() never registers the listener — release the
     // cached frames before rethrowing rather than leak them

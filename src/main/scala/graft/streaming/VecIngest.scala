@@ -97,11 +97,12 @@ object VecIngest {
           .coalesce(1) // two longs per vector — one sidecar file per batch
           .write.mode("overwrite").parquet(new Path(staging, "idmap").toString)
         // facet sidecar rides the same exactly-once commit: one thin row
-        // per vector into its label directory (label-less streams land
-        // honestly in `-1`, never silently facet-less)
+        // per vector into its (label, source) leaf (attribute-less
+        // streams land honestly in `-1`/`unk`, never silently facet-less)
         SimilarityQueries.vecAttrsRows(batch)
-          .repartition(col("label"))
-          .write.partitionBy("label").mode("overwrite")
+          .repartition(col("label"), col("source"))
+          .write.partitionBy(SimilarityQueries.VecAttrsPartCols: _*)
+          .mode("overwrite")
           .parquet(new Path(staging, "attrs").toString)
       } finally { asn.unpersist(); () }
     }

@@ -468,4 +468,160 @@ class FacetSpec extends SparkSuite {
         (_, _) => (), tmp("facet_lsh_bare_ckpt"), facetLang = Some("en"))
     }
   }
+
+  // ---------------------------------------------- SOURCE axis (vec-v3)
+  //
+  // The vector sidecar's second partition level: source joins in from
+  // the documents table at build time (doc_id ≡ vec_id), giving the
+  // vector families the licensing/takedown facet where it arguably
+  // matters most — "retire every embedding derived from source X".
+
+  /** Ground-truth (vec_id, source) via the doc_id ≡ vec_id join —
+    * what every source-carrying writer's sidecar must reproduce. */
+  private def srcTruth(pred: org.apache.spark.sql.Column): Set[(Long, String)] =
+    Tables.embeddings(spark, dir).filter(pred)
+      .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source").as("_dsrc")),
+        col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), coalesce(col("_dsrc"), lit("unk")))
+      .as[(Long, String)].collect().toSet
+
+  private def attrsSrcOf(idx: String): Set[(Long, String)] =
+    spark.read.parquet(s"$idx/attrs")
+      .select(col("vec_id"), col("source").cast("string"))
+      .as[(Long, String)].collect().toSet
+
+  test("SOURCE axis: every vector writer lands it (build, append, absorb, compact purge)") {
+    val q = SimilarityQueries
+    val idx = tmp("facet_src_ivf")
+    q.buildIvfIndexBase(spark, dir, idx)
+    assert(attrsSrcOf(idx) == srcTruth(col("vec_id") % 4 =!= 0),
+      "build must land each vector's document source in the sidecar")
+    q.appendIvfIndex(spark, dir, idx)
+    assert(attrsSrcOf(idx) == srcTruth(lit(true)),
+      "append must extend the source axis to the delta")
+    // an absorb frame carrying its OWN source column lands it; one
+    // without lands honestly in unk
+    q.ivfAbsorb(spark, idx,
+      Seq((200000L, Seq.fill(8)(0.25f), 3L, "srcX"))
+        .toDF("vec_id", "embedding", "label", "source"))
+    q.ivfAbsorb(spark, idx,
+      Seq((200001L, Seq.fill(8)(0.5f), 3L)).toDF("vec_id", "embedding", "label"))
+    assert(attrsSrcOf(idx).contains((200000L, "srcX")))
+    assert(attrsSrcOf(idx).contains((200001L, "unk")))
+    // compact purges tombstoned ids out of the (label, source) leaves
+    q.ivfIndexDelete(spark, idx, Seq(200000L).toDF("vec_id"))
+    q.ivfIndexCompact(spark, idx)
+    assert(attrsSrcOf(idx) == srcTruth(lit(true)) + ((200001L, "unk")),
+      "compact must purge tombstoned ids from the two-axis sidecar")
+    // the composite family writes the same two-axis sidecar
+    val pq = tmp("facet_src_pq")
+    q.buildIvfPqIndexBase(spark, dir, pq)
+    assert(attrsSrcOf(pq) == srcTruth(col("vec_id") % 4 =!= 0))
+    q.appendIvfPqIndex(spark, dir, pq)
+    assert(attrsSrcOf(pq) == srcTruth(lit(true)))
+  }
+
+  test("vector SOURCE takedown: members resolve from the sidecar leaves, both families serve their complement") {
+    val q = SimilarityQueries
+    val retIds = srcTruth(lit(true))
+      .filter(_._2 == q.RetiredVecSource).map(_._1)
+    assert(retIds.nonEmpty, "the fixture must populate the retired source")
+    val idx = tmp("facet_sdel_ivf")
+    q.buildIvfIndex(spark, dir, idx)
+    q.ivfIndexDeleteSource(spark, idx, q.RetiredVecSource)
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .select(col("vec_id")).as[Long].collect().toSet == retIds,
+      "the IVF tombstone set must be exactly the sidecar's source membership")
+    val pq = tmp("facet_sdel_pq")
+    q.buildIvfPqIndex(spark, dir, pq)
+    q.ivfPqIndexDeleteSource(spark, pq, q.RetiredVecSource)
+    assert(spark.read.parquet(s"$pq/tombstones")
+      .select(col("vec_id")).as[Long].collect().toSet == retIds,
+      "the IVFPQ tombstone set must be exactly the sidecar's source membership")
+    // both contract sides: retired vectors neither query nor surface,
+    // and the retire actually removed something from the query set
+    val got = q.annIvfSourceRetired(spark, dir)
+    val gotQ = got.select(col("qid")).as[Long].collect().toSet
+    val gotV = got.select(col("vid")).as[Long].collect().toSet
+    assert(gotV.nonEmpty && gotV.intersect(retIds).isEmpty)
+    assert(gotQ.intersect(retIds).isEmpty && retIds.exists(_ < 10),
+      "the retired source must contain a query vector (non-vacuous)")
+    val gotPq = q.ivfPqAnnSourceRetired(spark, dir)
+      .select(col("vid")).as[Long].collect().toSet
+    assert(gotPq.nonEmpty && gotPq.intersect(retIds).isEmpty)
+  }
+
+  test("SOURCE-faceted serving is filter-first with bit-identical scores; streamed == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val facetIds = srcTruth(lit(true))
+      .filter(_._2 == q.FacetVecSource).map(_._1)
+    assert(facetIds.nonEmpty)
+    val got = q.filteredAnnSource(spark, dir)
+      .select(col("qid"), col("vid"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got.forall(r => facetIds.contains(r._2)),
+      "a non-facet candidate surfaced through the source-filtered serve")
+    val unfiltered = q.annIvfServed(spark, dir)
+      .select(col("qid"), col("vid"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val postFiltered = unfiltered.filter(r => facetIds.contains(r._2))
+    assert(postFiltered.subsetOf(got),
+      "filter-first must keep every facet survivor of the unfiltered " +
+        "top-k, with bit-identical scores")
+    // streamed: AnnServe --facetSource equals the batch entry point
+    val idx = tmp("facet_src_stream_idx")
+    q.buildIvfIndex(spark, dir, idx)
+    val queryVecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val outDir = tmp("facet_src_stream_out")
+    val query = graft.streaming.AnnServe.start(
+      spark, ms.toDF().toDF("vec_id", "embedding"), idx,
+      (df, id) => df.write.mode("overwrite").parquet(s"$outDir/b$id"),
+      tmp("facet_src_stream_ckpt"),
+      facetSource = Some(q.FacetVecSource))
+    try {
+      ms.addData(queryVecs: _*)
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$outDir/b0")
+        .select(col("qid"), col("vid"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+      val batchTwin = q.serveQueryBatch(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        q.loadCentRow(spark, idx), idx,
+        docFilter = q.facetPostingsFilter(spark, idx, None,
+          Some(q.FacetVecSource)))
+        .select(col("qid"), col("vid"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batchTwin,
+        "streamed source-faceted serving must equal the batch facet path")
+      assert(streamed.forall(r => facetIds.contains(r._2)))
+    } finally query.stop()
+  }
+
+  test("streamed vector ingest lands the source axis under the exactly-once commit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = SimilarityQueries
+    val idx = tmp("facet_src_ingest_idx")
+    q.buildIvfIndexBase(spark, dir, idx)
+    // a streamed batch carrying (label, source) attribute columns
+    val rows = Seq(
+      (300000L, Seq.fill(8)(0.3f), 2L, "srcA"),
+      (300001L, Seq.fill(8)(0.6f), 2L, "srcB"))
+    val ms = MemoryStream[(Long, Seq[Float], Long, String)]
+    val query = graft.streaming.VecIngest.start(
+      spark, ms.toDF().toDF("vec_id", "embedding", "label", "source"),
+      idx, tmp("facet_src_ingest_ckpt"))
+    try {
+      ms.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(attrsSrcOf(idx).contains((300000L, "srcA")))
+    assert(attrsSrcOf(idx).contains((300001L, "srcB")))
+  }
 }

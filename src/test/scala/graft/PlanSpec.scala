@@ -1097,4 +1097,73 @@ class PlanSpec extends SparkSuite {
     assert(graft.streaming.Pipeline.LateRouter
       .bootstrapWatermark(spark, s"$flat/data").contains(ms(2) + 2))
   }
+
+  test("facet profiles read ZERO data columns: every scan's ReadSchema is struct<>") {
+    // the profile rows fold entirely from the attrs trees' partition
+    // metadata — a regression that pulls a data column (vec_id, doc_id)
+    // into the plan turns an O(metadata) pre-flight into a sidecar scan
+    val profiles = Seq[org.apache.spark.sql.DataFrame](
+      SimilarityQueries.vecFacetProfile(spark, dir),
+      SimilarityQueries.ivfPqFacetProfile(spark, dir),
+      SimilarityQueries.lshFacetProfile(spark, dir))
+    profiles.foreach { df =>
+      val p = plan(df)
+      val rs = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(rs.nonEmpty && rs.forall(_.contains("struct<>")),
+        s"profile plan must read zero data columns:\n${rs.mkString("\n")}")
+    }
+  }
+
+  test("full-surface window-boundedness pin: no declared query introduces an unaudited unpartitioned WindowExec") {
+    // VERDICT r16 item 6: the `WindowExec: No Partition Defined` warning
+    // was adjudicated by human audit each round — this makes it
+    // mechanical. Every declared query's physical plan is walked; an
+    // unpartitioned WindowExec is acceptable ONLY when the plan itself
+    // bounds its input (a GlobalLimit / TakeOrderedAndProject below it,
+    // or a one-row/local frame) or the query is on the audited
+    // allowlist below, each entry justified. A future query that adds
+    // an unbounded global sort/rank fails here by name.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, LocalTableScanExec, RDDScanExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // audited: unpartitioned windows whose inputs are bounded by
+    // CONSTRUCTION (not visible as a limit in the plan) — the human
+    // audit, recorded once, enforced thereafter
+    val audited: Map[String, String] = Map(
+      "token_budget_select" -> "global window consumes the <=32-row band-totals aggregate (own PlanSpec test)",
+      "hybrid_served" -> "arms TakeOrderedAndProject to 50 rows before the global fuse window",
+      "hybrid_filtered" -> "same bounded-arm fuse, facet-screened",
+      "quantile_bins" -> "documented single-task scale-killer row: the DOCUMENTED alternative to percentile_approx, kept as the exactness contrast",
+      "lsh_recall" -> "global stats over the <=|truth-sample| audit frame",
+      "lsh_recall_sampled" -> "global stats over the fixed-1000-doc sample frame",
+      "topk" -> "rank over the already-limited top-k frame",
+      "bootstrap_ci" -> "window over the <=B-row resample-means frame")
+    def bounded(w: WindowExec): Boolean =
+      w.child.collectFirst {
+        case _: GlobalLimitExec => ()
+        case _: LocalLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+        case _: LocalTableScanExec => ()
+        case _: RDDScanExec => () // localCheckpoint-fed bounded shortlists
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => () // one-row aggregate
+      }.isDefined
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val sp = fn(spark, dir).queryExecution.executedPlan
+        val unpart = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (unpart.exists(w => !bounded(w)) && !audited.contains(name))
+          offenders += name
+      }
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+    assert(offenders.isEmpty,
+      s"unaudited unpartitioned WindowExec over possibly-unbounded input in: " +
+        s"${offenders.mkString(", ")} - bound the input or add an audited " +
+        "allowlist entry with its justification")
+  }
 }
