@@ -360,8 +360,12 @@ object LexQueries {
     * corpus-scale fraction (vs the usual ≪corpus takedown batch), run
     * [[compactLexIndex]] soon after to purge physically and shrink the
     * broadcast back to zero. Fenced like every delete. */
+  /** `autoCompact`: fold the physical purge into the retire — an
+    * explicit override, never an auto-engage (the RetireAb measurement:
+    * tombstoned serving is latency-free at every measurable mass; the
+    * corpus-scale trigger is broadcast memory, an operator decision). */
   def deleteLexSource(spark: SparkSession, indexPath: String,
-      source: String): Unit = {
+      source: String, autoCompact: Boolean = false): Unit = {
     val fs = fsOf(spark, indexPath)
     SimilarityQueries.assertNoMaintenance(fs, indexPath, "deleteLexSource")
     val attrs = new org.apache.hadoop.fs.Path(s"$indexPath/attrs")
@@ -372,6 +376,7 @@ object LexQueries {
     spark.read.parquet(attrs.toString)
       .filter(col("source") === source).select(col("doc_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/tombstones")
+    if (autoCompact) compactLexIndex(spark, indexPath)
   }
 
   /** Physical purge — rewrite ONLY the slot directories that still hold

@@ -3335,16 +3335,33 @@ object SimilarityQueries {
     * sidecar's one label directory, buckets from the idmap sidecar —
     * O(facet) end to end, zero posting files read. Compact soon after a
     * corpus-scale label to shrink the serving anti-join broadcast. */
+  /** `autoCompact` on the facet-scoped retires: measured (RetireAb,
+    * bench_records/r17_retireab.txt — sf1-scale index, 20k-query serve
+    * batch, tombstone masses 1/5/25/50%), the per-serve tombstone
+    * anti-join penalty is UNMEASURABLE at every mass (50%: 3.41 s
+    * tombstoned vs 3.44 s compacted) while compact costs ~6 s one-time
+    * — so there is no mass threshold at which auto-compaction wins on
+    * serving latency, and none ships (the MaxScore/PruneAutoRows
+    * honesty protocol: measure, ship the winner, keep the override).
+    * The real corpus-scale trigger is broadcast MEMORY — a 100 TB
+    * deployment's corpus-scale tombstone set is a GB-scale broadcast
+    * per serve — which is operator-visible capacity planning, not a
+    * latency gate: pass `autoCompact = true` to fold the compact into
+    * the retire when that ceiling approaches. */
   def ivfIndexDeleteLabel(spark: SparkSession, indexPath: String,
-      label: Long): Unit =
+      label: Long, autoCompact: Boolean = false): Unit = {
     ivfIndexDelete(spark, indexPath,
       labelMembers(spark, indexPath, label, "ivfIndexDeleteLabel"))
+    if (autoCompact) ivfIndexCompact(spark, indexPath)
+  }
 
   /** [[ivfIndexDeleteLabel]] for the composite (IVFPQ) layout. */
   def ivfPqIndexDeleteLabel(spark: SparkSession, indexPath: String,
-      label: Long): Unit =
+      label: Long, autoCompact: Boolean = false): Unit = {
     ivfPqIndexDelete(spark, indexPath,
       labelMembers(spark, indexPath, label, "ivfPqIndexDeleteLabel"))
+    if (autoCompact) ivfIndexCompact(spark, indexPath, idCol = "vid")
+  }
 
   /** SOURCE-scoped takedown for the raw-vector family —
     * [[graft.queries.LexQueries.deleteLexSource]] applied to
@@ -3358,15 +3375,19 @@ object SimilarityQueries {
     * anywhere. Compact soon after a corpus-scale source to shrink the
     * serving anti-join broadcast. */
   def ivfIndexDeleteSource(spark: SparkSession, indexPath: String,
-      source: String): Unit =
+      source: String, autoCompact: Boolean = false): Unit = {
     ivfIndexDelete(spark, indexPath,
       sourceMembers(spark, indexPath, source, "ivfIndexDeleteSource"))
+    if (autoCompact) ivfIndexCompact(spark, indexPath)
+  }
 
   /** [[ivfIndexDeleteSource]] for the composite (IVFPQ) layout. */
   def ivfPqIndexDeleteSource(spark: SparkSession, indexPath: String,
-      source: String): Unit =
+      source: String, autoCompact: Boolean = false): Unit = {
     ivfPqIndexDelete(spark, indexPath,
       sourceMembers(spark, indexPath, source, "ivfPqIndexDeleteSource"))
+    if (autoCompact) ivfIndexCompact(spark, indexPath, idCol = "vid")
+  }
 
   /** Physically remove tombstoned vectors: read ONLY the touched bucket
     * partitions (≤ [[IvfK]], partition-pruned), anti-join the broadcast
@@ -3728,7 +3749,7 @@ object SimilarityQueries {
     * source can be a corpus-scale fraction: compact soon after to keep
     * the serving-side broadcast anti-join small. */
   def lshIndexDeleteSource(spark: SparkSession, indexPath: String,
-      source: String): Unit = {
+      source: String, autoCompact: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assertNoMaintenance(fs, indexPath, "lshIndexDeleteSource")
@@ -3740,6 +3761,7 @@ object SimilarityQueries {
     spark.read.parquet(attrs.toString)
       .filter(col("source") === source).select(col("doc_id")).distinct()
       .write.mode("append").parquet(s"$indexPath/tombstones")
+    if (autoCompact) lshIndexCompact(spark, indexPath)
   }
 
   /** Physically remove tombstoned documents from the LSH signature

@@ -246,4 +246,61 @@ class IndexRetireSpec extends SparkSuite {
     val expect = full.filter { case (a, b) => a % 10 != 7 && b % 10 != 7 }
     assert(pairs.map(r => (num(r.get(0)), num(r.get(1)))).toSet == expect)
   }
+
+  test("autoCompact retire == retire-then-manual-compact, every family (the RetireAb override pin)") {
+    import spark.implicits._
+    val q = SimilarityQueries
+    def tmp(pfx: String) = JFiles.createTempDirectory(pfx).toString
+    // IVF: source retire with autoCompact vs manual compact — identical
+    // surviving attrs/postings row sets and zero tombstones both ways
+    val a = tmp("rt_auto"); val m = tmp("rt_man")
+    q.buildIvfIndex(spark, dir, a); q.buildIvfIndex(spark, dir, m)
+    q.ivfIndexDeleteSource(spark, a, q.RetiredVecSource, autoCompact = true)
+    q.ivfIndexDeleteSource(spark, m, q.RetiredVecSource)
+    q.ivfIndexCompact(spark, m)
+    def postRows(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    def attrRows(idx: String) = spark.read.parquet(s"$idx/attrs")
+      .select(col("vec_id")).as[Long].collect().toSet
+    def noTombs(idx: String) = !new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones"))
+    assert(postRows(a) == postRows(m) && attrRows(a) == attrRows(m))
+    assert(noTombs(a) && noTombs(m),
+      "autoCompact must clear the tombstone set exactly like a manual compact")
+    // IVFPQ label retire, same contract over the code layout
+    val pa = tmp("rt_pq_auto"); val pm = tmp("rt_pq_man")
+    q.buildIvfPqIndex(spark, dir, pa); q.buildIvfPqIndex(spark, dir, pm)
+    q.ivfPqIndexDeleteLabel(spark, pa, q.RetiredLabel, autoCompact = true)
+    q.ivfPqIndexDeleteLabel(spark, pm, q.RetiredLabel)
+    q.ivfIndexCompact(spark, pm, idCol = "vid")
+    def codeRows(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("vid"), col("m").cast("long"), col("code").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(codeRows(pa) == codeRows(pm) && noTombs(pa) && noTombs(pm))
+    // lex source retire
+    val la = tmp("rt_lex_auto"); val lm = tmp("rt_lex_man")
+    graft.queries.LexQueries.buildLexIndex(spark, dir, la)
+    graft.queries.LexQueries.buildLexIndex(spark, dir, lm)
+    graft.queries.LexQueries.deleteLexSource(spark, la,
+      graft.queries.LexQueries.RetiredSource, autoCompact = true)
+    graft.queries.LexQueries.deleteLexSource(spark, lm,
+      graft.queries.LexQueries.RetiredSource)
+    graft.queries.LexQueries.compactLexIndex(spark, lm)
+    def lexRows(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("tok"), col("doc_id")).as[(String, Long)].collect().toSet
+    assert(lexRows(la) == lexRows(lm) && noTombs(la) && noTombs(lm))
+    // lsh source retire
+    val sa = tmp("rt_lsh_auto"); val sm = tmp("rt_lsh_man")
+    q.buildLshIndex(spark, dir, sa); q.buildLshIndex(spark, dir, sm)
+    q.lshIndexDeleteSource(spark, sa,
+      graft.queries.LexQueries.RetiredSource, autoCompact = true)
+    q.lshIndexDeleteSource(spark, sm, graft.queries.LexQueries.RetiredSource)
+    q.lshIndexCompact(spark, sm)
+    def sigRows(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id"), col("band").cast("long"), col("sig"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(sigRows(sa) == sigRows(sm) && noTombs(sa) && noTombs(sm))
+  }
 }
