@@ -162,10 +162,15 @@ object AnalyticsQueries {
     * enumerate identical windows. `stickiness` = hourly actives ÷
     * trailing-24 h actives — the DAU/WAU-style engagement ratio. */
   def rollingActives(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the activity frame: `uh` feeds the window fan-out,
+    // the hour list AND the hourly counts — un-materialized, the
+    // corpus-sized scan+distinct ran 3× (3 event scans in the
+    // before-plan). The frame is compact (type, user, hour) rows.
     val uh = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"),
         expr("unix_millis(ts) div 3600000").as("hb"))
       .distinct()
+      .localCheckpoint(true)
     val hrs = uh.select(col("hb").as("wh")).distinct()
     val rolling = uh
       .select(col("event_type"), col("user_id"), col("hb"),
@@ -1839,6 +1844,9 @@ object AnalyticsQueries {
     * the same series × hours frame map-side). The rank window partitions
     * by series; nothing global. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the hourly mean frame: both pair-join sides AND
+    // the OLS moments read it — un-materialized, the corpus scan+fold
+    // ran 3×. The frame is series × hours rows, calendar-bounded.
     val m = Tables.events(spark, dir)
       .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
       .groupBy(col("event_type"), col("hb"))
@@ -1846,6 +1854,7 @@ object AnalyticsQueries {
       .select(col("event_type"), col("hb"),
         floor((col("sdec").cast("double") / col("cnt").cast("double")) *
           lit(1000.0)).cast("long").as("fp"))
+      .localCheckpoint(true)
     val a = m.select(col("event_type"), col("hb").as("ha"), col("fp").as("fa"))
     val b = m.select(col("event_type"), col("hb").as("hbb"), col("fp").as("fb"))
     val slopes = a.join(b, Seq("event_type"))

@@ -183,9 +183,19 @@ object CurationQueries {
     * then a component-keyed window over LSH-bounded components — the
     * [[dedupKeepBest]] shape on the embedding side. */
   def semanticKeep(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = semanticClusters(spark, dir)
-    val scored = SimilarityQueries.kmeansTrain(spark, dir, rounds = 2)
-      .select(col("vec_id"), col("cos"))
+    // ONE trained assignment feeds both the edge set (via
+    // semanticNearDupFrom) and the keeper scores: the standalone form
+    // ran the whole seed→Lloyd→assign chain twice (once inside
+    // semanticClusters' edges, once for `scored`) — the shared frame is
+    // the same deterministic chain, so every value is bit-identical.
+    val assigned = SimilarityQueries.kmeansTrain(spark, dir, rounds = 2)
+      .localCheckpoint(true)
+    val edges = SimilarityQueries.semanticNearDupFrom(assigned)
+      .select(col("va").as("a"), col("vb").as("b"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node_id"))
+    val clusters = minLabelComponents(edges, nodes)._1
+      .withColumnRenamed("node_id", "vec_id")
+    val scored = assigned.select(col("vec_id"), col("cos"))
     val byCluster = Window.partitionBy(col("cluster"))
     val pick = byCluster.orderBy(col("cos").asc, col("vec_id").asc)
     clusters.join(scored, "vec_id")
@@ -1106,8 +1116,13 @@ object CurationQueries {
     val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // localCheckpoint degrees and the degree-annotated adjacency: every
+    // power-iteration round joins `adjDeg` (re-running the degree fold
+    // per round otherwise), and `deg` is read again by the final select.
+    // Both frames are LSH-bounded edge/node rows.
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adjDeg = adj.join(deg, "src")
+      .localCheckpoint(true)
+    val adjDeg = adj.join(deg, "src").localCheckpoint(true)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val tot = docs.agg(count(lit(1)).as("n"))
     val r0 = docs.crossJoin(broadcast(tot)) // 1-row build side: free

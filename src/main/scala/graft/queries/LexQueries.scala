@@ -1122,6 +1122,10 @@ object LexQueries {
     * sweep and this one reads only probe-term postings. */
   def contaminationServed(spark: SparkSession, dir: String): DataFrame = {
     val idx = servedLexIndex(spark, dir)
+    // localCheckpoint the probe frame: the three termFrame union arms AND
+    // the j1 broadcast each re-derived the tokenize→shingle→distinct
+    // chain (4 derivations). The frame is |distinct probe 3-grams| rows —
+    // benchmark-suite-sized by construction, never corpus-sized.
     val probes = Tables.documents(spark, dir).filter(col("doc_id") < 50)
       .select(explode(SimilarityQueries.shingleColPublic(
         wordTokens(col("text")))).as("sh"))
@@ -1129,6 +1133,7 @@ object LexQueries {
       .select(split(col("sh"), " ").as("g"))
       .select(element_at(col("g"), 1).as("w1"),
         element_at(col("g"), 2).as("w2"), element_at(col("g"), 3).as("w3"))
+      .localCheckpoint(true)
     // ONE pass over the postings: semi-join to the probe vocabulary and
     // materialize — the three per-word steps reuse the probe-term
     // posting frame instead of re-scanning the posting table three

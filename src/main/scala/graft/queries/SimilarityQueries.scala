@@ -678,6 +678,10 @@ object SimilarityQueries {
     * model-embedded fixture, closing the loop's eval edge: every ANN
     * rollout over the in-engine embeddings gates on this number. */
   def hashEmbedAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed, deliberately: the two truth references are
+    // identical subtrees, so the embed→knn chain's window exchange
+    // dedupes via ReuseExchange; an eager checkpoint measured
+    // 2.21 → 3.16 s (interleaved A/B at sf0.1).
     val exact3 = hashEmbedKnn(spark, dir).select(col("qid"), col("vid"))
     val approx3 = hashEmbedAnn(spark, dir).select(col("qid"), col("vid"))
     val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
@@ -1075,8 +1079,18 @@ object SimilarityQueries {
     * land in the same bucket (higher recall) without the pair space
     * growing past Σ bucket² — the production SemDeDup shape: train,
     * assign, pair within cell. */
-  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = kmeansTrain(spark, dir, rounds = 2)
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame =
+    semanticNearDupFrom(
+      kmeansTrain(spark, dir, rounds = 2).localCheckpoint(true))
+
+  /** [[semanticNearDup]]'s pair join over an EXPLICIT assignment frame —
+    * the seam [[graft.queries.CurationQueries.semanticKeep]] shares so
+    * one trained assignment feeds both the edge set and the keeper
+    * scores. The caller checkpoints: both join sides read the frame and
+    * the assign chain is NARROW (broadcast argmax, no exchange), so
+    * ReuseExchange cannot share it — un-materialized, the corpus argmax
+    * (and its whole Lloyd lineage) ran once per reference. */
+  private[graft] def semanticNearDupFrom(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
@@ -1250,10 +1264,16 @@ object SimilarityQueries {
     * which, never the COUNT, so the id-ordered DuckDB oracle restates
     * the same number. Degrees fold map-side from the edge list. */
   def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = minhashLsh(spark, dir)
+    // localCheckpoint the edge list, degrees and oriented edges: `e`
+    // feeds nEdges/deg/oe, `deg` feeds wedges and BOTH sides of the
+    // orientation join, and `oe` appears three times in the triangle
+    // join — un-materialized, the MinHash chain re-ran 9× (22 parquet
+    // scans in the before-plan). All three frames are compact id rows.
+    val e = minhashLsh(spark, dir).localCheckpoint(true)
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val wedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     // orient: (u, v) with (deg_u, u) <lex (deg_v, v); rank structs carry
     // the order so the triple join needs no further degree lookups
@@ -1265,6 +1285,7 @@ object SimilarityQueries {
           struct(col("doc_a").as("u"), col("doc_b").as("v")))
           .otherwise(struct(col("doc_b").as("u"), col("doc_a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
     val tri = oe.as("e1")
       .join(oe.select(col("u").as("u2"), col("v").as("c2")).as("e2"),
         col("e1.v") === col("u2"))
@@ -1568,6 +1589,11 @@ object SimilarityQueries {
     * overlaps are pair-key equijoins; every aggregate folds to one row
     * before the broadcast cross-joins assemble the 3-row report. */
   def neardupFamilies(spark: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed, deliberately: all three pair frames are
+    // referenced 4× (two stats() cells × count+semi), but the repeated
+    // references are IDENTICAL subtrees, so ReuseExchange already shares
+    // the heavy candidate chains — an eager checkpoint only adds a
+    // materialization barrier (interleaved A/B at sf0.1: 2.48 → 3.11 s).
     val mh = minhashLsh(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val sh = TextQueries.simhashNearDup(spark, dir)
@@ -1623,8 +1649,13 @@ object SimilarityQueries {
     val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"mh$i")
     }
-    val sigs = sh.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
-    val sets = sh.distinct()
+    // ONE tokenize pass: materialize the distinct (source, h) set and
+    // derive the sketch from it — per-seed min is duplicate-insensitive
+    // (min over the multiset == min over the set), so the signatures are
+    // bit-identical while the shingle explode runs once instead of 4×
+    // (sigs + sizes + both intersection sides each re-derived `sh`).
+    val sets = sh.distinct().localCheckpoint(true)
+    val sigs = sets.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
     val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val inter = sets.select(col("source").as("src_a"), col("h"))
       .join(sets.select(col("source").as("src_b"), col("h").as("hb")),
@@ -1666,9 +1697,13 @@ object SimilarityQueries {
   private def cosineRecallOf(spark: SparkSession, dir: String,
       approx3: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    // localCheckpoint the truth frame (3 rows/query): the hit semi-join
+    // and the k fold both read it — un-materialized, the exact
+    // corpus×queries scan ran twice.
     val exact3 = knnCosine(spark, dir)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("qid"), col("vid"))
+      .localCheckpoint(true)
     val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
@@ -1715,6 +1750,9 @@ object SimilarityQueries {
       .filter(col("rn") <= 3)
       .select(col("nprobe"), col("qid"), col("vid"))
     val wx = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+    // NOT checkpointed: the two truth references share the window
+    // exchange via ReuseExchange (a checkpoint measured 1.02–1.16× in
+    // two interleaved A/Bs at sf0.1)
     val exact3 = knnCosine(spark, dir)
       .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 3)
       .select(col("qid"), col("vid"))
@@ -1768,6 +1806,8 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id").as("vid"))
+    // NOT checkpointed: both truth references share the window exchange
+    // via ReuseExchange; a checkpoint measured 0.39 → 0.54 s (A/B).
     val exact3 = top3(dotD(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
     val trunc3 = top3(dotD(col("qtemb"), col("temb")) / (col("qtnrm") * col("tnrm")))
     val hits = trunc3.join(exact3, Seq("qid", "vid"), "left_semi")
@@ -2095,7 +2135,10 @@ object SimilarityQueries {
     * [[exactL2Top3]] — one row per query with hit count and recall. */
   private def recallAgainstExact(
       spark: SparkSession, dir: String, approx3: DataFrame): DataFrame = {
-    val exact3 = exactL2Top3(spark, dir)
+    // localCheckpoint the truth frame: the hit semi-join AND the per-query
+    // k fold both read it — un-materialized, the exact corpus×queries
+    // scan ran twice. 3 rows per query at any corpus size.
+    val exact3 = exactL2Top3(spark, dir).localCheckpoint(true)
     val hits = approx3.join(exact3, Seq("qid", "vid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     exact3.groupBy(col("qid")).agg(count(lit(1)).as("k"))
@@ -2194,7 +2237,12 @@ object SimilarityQueries {
     * combinable; top-k prunes via WindowGroupLimit. */
   def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
-    val asn = ivfAssign(spark, dir)
+    // localCheckpoint the coarse assignment: residual frame, encode join
+    // and ADC query side all read it, and the chain is NARROW (broadcast
+    // argmax, no exchange), so ReuseExchange cannot share it — without
+    // the checkpoint the corpus argmax ran 3×. This is exactly the frame
+    // the persisted-index build writes as postings.
+    val asn = ivfAssign(spark, dir).localCheckpoint(true)
     val res = residualFrame(e, asn)
     val subsR = pqSubvectors(res)
     val cb = pqTrain(res)
@@ -4152,6 +4200,10 @@ object SimilarityQueries {
     * the corpus-wide co-occurrence join the oracle runs is exactly what
     * this plan avoids. Windows partition by doc. */
   def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed, deliberately: shx/prefix/arrs are each read
+    // multiple times, but every re-reference is an identical subtree and
+    // the distinct/window exchanges dedupe via ReuseExchange — eager
+    // checkpoints measured 1.80 → 2.29 s (interleaved A/B at sf0.1).
     val shx = Tables.documents(spark, dir)
       .withColumn("ws", wordTokens(col("text")))
       .select(col("doc_id"), explode(array_distinct(shingleCol(col("ws")))).as("sh"))
