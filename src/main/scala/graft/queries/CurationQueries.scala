@@ -1301,6 +1301,14 @@ object CurationQueries {
     * cross-batch half of stage 2. */
   private[graft] def curationFlagsOf(docs: DataFrame, clusters: DataFrame,
       standingFps: Option[DataFrame]): DataFrame = {
+    // Every text-derived scalar computes HERE, in the scan projection,
+    // and text/tokens drop immediately after: stage 4's mix hash `u` and
+    // stage 5's pack `shard` used to be computed in place, which dragged
+    // the full text column through the fp window exchange, the
+    // cluster-label broadcast AND the pack window sort (visible in the
+    // before-plan: text in Exchange(6), Window(8), BroadcastExchange(11)).
+    // Same expressions, same values — only computed before the first
+    // exchange instead of after three.
     val d0 = docs
       .withColumn("tokens", wordTokens(col("text")))
       .withColumn("n_tok", size(col("tokens")).cast("long"))
@@ -1309,6 +1317,11 @@ object CurationQueries {
         col("n_tok") >= 30 && length(col("text")) <= 20000 &&
           langId(col("tokens")) === col("lang") &&
           TextQueries.qualityCol(col("text"), col("tokens")) >= 0.6)
+      .withColumn("u",
+        md5Hash32(concat(col("source"), lit(":"), col("text"))).cast("double") /
+          lit(4294967296.0))
+      .withColumn("shard", pmod(md5Hash32(col("text")), lit(8L)))
+      .drop("text", "tokens", "lang")
     // 2. exact dedup among pass1 survivors (plus, in streaming, the
     //    standing-fp serve-around: an fp curated by an earlier batch
     //    disqualifies the whole group)
@@ -1328,11 +1341,18 @@ object CurationQueries {
     // 3. best surviving member per near-dup cluster ((n_chars DESC,
     //    doc_id) == lexicographic min of (-n_chars, doc_id))
     val wCl = Window.partitionBy(col("cluster"))
+    // localCheckpoint the pass-3 frame: `bySource`'s rate fold AND the
+    // d4/pack consumer both derive it, so the whole tokenize→fp-window→
+    // cluster-join→cluster-window chain ran TWICE per manifest (the two
+    // derivations share no exchange — bySource folds under an eager
+    // checkpoint of its own). The frame is compact per-doc scalars —
+    // text and tokens already dropped in d0's scan projection.
     val d3 = d2.join(clusters, "doc_id")
       .withColumn("best",
         min(when(col("pass2"),
           struct((-col("n_chars")).as("neg"), col("doc_id").as("did")))).over(wCl))
       .withColumn("pass3", col("pass2") && col("doc_id") === col("best")("did"))
+      .localCheckpoint(true)
     // 4. mixture rates over the pass3 survivors (mix_sample's formula,
     //    same IEEE op order). The ≤|sources|-row fold is checkpointed:
     //    `totals` and `rates` both read it, and without the checkpoint
@@ -1350,15 +1370,14 @@ object CurationQueries {
             col("src_tok").cast("double")).as("rate"))
     val d4 = d3
       .join(broadcast(rates), col("source") === col("rsource"), "left")
-      .withColumn("u",
-        md5Hash32(concat(col("source"), lit(":"), col("text"))).cast("double") /
-          lit(4294967296.0))
+      // `u` and `shard` were computed in d0's scan projection (so text
+      // never crossed an exchange); the formulas are unchanged
       .withColumn("pass4",
         col("pass3") && col("rate").isNotNull && col("u") < col("rate"))
     // 5. packing for pass4 rows: conditional prefix sum per shard
     val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    d4.withColumn("shard", pmod(md5Hash32(col("text")), lit(8L)))
+    d4
       .withColumn("start_tok", coalesce(
         sum(when(col("pass4"), col("n_tok")).otherwise(0L)).over(wPack), lit(0L)))
       .withColumn("bin", expr("start_tok DIV 512"))
