@@ -146,7 +146,10 @@ object TextQueries {
   }
 
   private def dupSpanFrame(docs: DataFrame): DataFrame = {
-    val sh = shingleStarts(docs)
+    // materialize the shingle-start frame once: the count branch and the
+    // mark branch otherwise each re-run the per-shingle md5Hash60 pass
+    // (compact (doc_id, pos, h) rows — token-count-sized, never text)
+    val sh = shingleStarts(docs).localCheckpoint(true)
     val dupCounts = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
@@ -163,7 +166,9 @@ object TextQueries {
     * policy, where [[dupSpanFrame]]'s drop-all form is the conservative
     * profile. */
   private def dupSpanFrameKeepOne(docs: DataFrame): DataFrame = {
-    val sh = shingleStarts(docs)
+    // same one-materialization as dupSpanFrame: election + marks both
+    // read the shingle-start frame
+    val sh = shingleStarts(docs).localCheckpoint(true)
     val elected = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1322,6 +1327,9 @@ object TextQueries {
       .select(col("doc_id"),
         explode(array_distinct(SimilarityQueries.shingleColPublic(col("ws")))).as("sh"))
       .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      // materialized once: ownership fold + the join side otherwise each
+      // re-run the tokenize→shingle→hash pass (compact (doc_id, h) rows)
+      .localCheckpoint(true)
     val owner = shd.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
     shd.join(owner, "h")
       .groupBy(col("doc_id"))
@@ -1337,6 +1345,9 @@ object TextQueries {
       .withColumn("ws", wordTokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(SimilarityQueries.shingleColPublic(col("ws")))).as("sh"))
+      // materialized once: the df fold + the join side otherwise each
+      // re-run the tokenize→shingle pass
+      .localCheckpoint(true)
     // shd is distinct per (doc_id, sh) by construction, so count(*) per
     // shingle IS its document frequency
     val dfq = shd.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
