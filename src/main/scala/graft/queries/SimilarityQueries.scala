@@ -1206,7 +1206,9 @@ object SimilarityQueries {
   /** Embedding near-duplicate pairs: cosine ≥ 0.3 within an IVF bucket,
     * a<b. Bucketing bounds the pair space (Σ bucket² ≪ N²). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssign(spark, dir)
+    // materialized once: both pair-join sides read the assignment and
+    // the assign chain is narrow (broadcast argmax, no exchange to reuse)
+    val assigned = ivfAssign(spark, dir).localCheckpoint(true)
     val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
@@ -1317,7 +1319,9 @@ object SimilarityQueries {
     * drops embeddings before the explode), and folds map-side to 13
     * rows per partition. */
   def semanticThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssign(spark, dir)
+    // materialized once: both pair-join sides read the assignment (the
+    // narrow broadcast-argmax chain re-ran per side otherwise)
+    val assigned = ivfAssign(spark, dir).localCheckpoint(true)
     val a = assigned.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
