@@ -563,7 +563,12 @@ class LexIndexSpec extends SparkSuite {
     // postings alone
     val docScans = p.linesIterator.filter(l =>
       l.contains("Scan parquet") && l.contains("documents.parquet")).toSeq
-    assert(docScans.nonEmpty && docScans.forall(_.contains("< 50)")),
+    // round 17: the probe frame localCheckpoints, so the (pushed,
+    // probe-slice) documents scan usually runs at checkpoint time and
+    // vanishes from THIS plan entirely — zero documents scans satisfies
+    // the invariant a fortiori; any scan still present must be the
+    // pushed probe slice
+    assert(docScans.forall(_.contains("< 50)")),
       s"every documents scan must be the pushed probe-slice scan:\n${docScans.mkString("\n")}")
     // the probe-term postings materialize ONCE at localCheckpoint time;
     // the final plan consumes the checkpointed frame (ExistingRDD), so
